@@ -1,0 +1,372 @@
+"""ChartConfig -> DataFrame compiler.
+
+Ref: hyperdxio/hyperdx ``packages/common-utils/src/core/renderChartConfig.ts``
+— the clause renderers (renderSelectList 697-802, renderWhere 1141-1282,
+renderGroupBy 1284-1306, renderHaving 1433-1452, renderOrderBy 1454-1479,
+renderLimit 1481-1494), the aggFn dispatcher (aggFnExpr 500-669) and the
+series-limit CTE (1308-1431).
+
+Spark-first design: the output is a *lazy* DataFrame (the logical plan is the
+IR). Catalyst then does what the reference delegated to ClickHouse — filter
+pushdown to parquet, column pruning, partition pruning on the time predicate,
+whole-stage codegen for every expression below. Aggregations are expressed
+with built-in functions only (map-side partial aggregation for free); the
+series-limit cap is a broadcast left-semi join (the top-N side is <= N rows
+by construction, so no shuffle of the big side at any scale).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from datetime import datetime
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hyperdx_spark.functions.chcompat import _split_args, translate_expr
+from hyperdx_spark.granularity import auto_granularity, granularity_seconds
+from hyperdx_spark.lucene.serializer import SearchQueryBuilder
+from hyperdx_spark.model import (
+    ChartConfig,
+    QuerySettings,
+    SelectCol,
+    Source,
+    SortSpec,
+    SqlAstFilter,
+    SqlFilter,
+)
+
+DEFAULT_SETTINGS = QuerySettings()
+
+
+def _num(expr: str) -> str:
+    """ClickHouse ``toFloat64OrDefault(toString(x))`` numeric-coercion
+    semantics (renderChartConfig.ts:518-522): non-numeric -> 0.0, NULL stays
+    NULL (skipped by aggregates)."""
+    return (
+        f"CASE WHEN ({expr}) IS NULL THEN CAST(NULL AS DOUBLE) "
+        f"ELSE coalesce(try_cast({expr} AS DOUBLE), CAST(0.0 AS DOUBLE)) END"
+    )
+
+
+def _weight(expr: str) -> str:
+    """Sample-rate weight: ``greatest(toUInt64OrZero(toString(w)), 1)``
+    (renderChartConfig.ts:556)."""
+    return f"greatest(coalesce(try_cast({expr} AS BIGINT), 0), 1)"
+
+
+@dataclass
+class _Ctx:
+    config: ChartConfig
+    source: Source
+    builder: SearchQueryBuilder
+    settings: QuerySettings
+    ts_expr: str
+    bucket_seconds: Optional[int]
+
+
+def _condition_sql(ctx: _Ctx, condition: str, language: str) -> str:
+    if language == "lucene":
+        return ctx.builder.build(condition)
+    return translate_expr(condition)
+
+
+def _agg_expr(ctx: _Ctx, sc: SelectCol) -> tuple[str, str]:
+    """One DerivedColumn -> (SQL aggregate expression, alias).
+
+    Mirrors aggFnExpr (renderChartConfig.ts:500-669) incl. the sample-weighted
+    family (553-624) when the source declares sampleRateExpression.
+    """
+    fn = sc.agg_fn
+    val = translate_expr(sc.value_expression) if sc.value_expression else ""
+    cond = (
+        _condition_sql(ctx, sc.agg_condition, sc.agg_condition_language)
+        if sc.agg_condition
+        else None
+    )
+    w = ctx.source.sample_rate_expression
+    w_sql = _weight(translate_expr(w)) if w else None
+
+    def gated(inner: str, extra_null_guard: Optional[str] = None) -> str:
+        """Wrap with the aggCondition: <fn>If(x, cond AND x IS NOT NULL)."""
+        if cond is None:
+            return inner
+        guard = cond if extra_null_guard is None else f"(({cond}) AND ({extra_null_guard}) IS NOT NULL)"
+        return f"CASE WHEN {guard} THEN {inner} ELSE NULL END"
+
+    alias = sc.alias or (f"{fn}({sc.value_expression})" if fn else sc.value_expression)
+
+    if fn in (None, "none"):
+        return val, alias
+    if fn == "count":
+        if w_sql:  # sample-weighted count = sum(weight)
+            return f"sum({gated(w_sql)})", alias
+        if cond:
+            return f"count_if({cond})", alias
+        return "count(*)", alias
+    if fn == "count_distinct":
+        inner = gated(val, extra_null_guard=val)
+        if ctx.settings.approx_count_distinct:
+            return f"approx_count_distinct({inner})", alias
+        return f"count(DISTINCT {inner})", alias
+    if fn in ("sum", "avg", "min", "max"):
+        x = _num(val)
+        if w_sql and fn == "sum":
+            x = f"({x}) * ({w_sql})"
+            return f"sum({gated(x, extra_null_guard=val)})", alias
+        if w_sql and fn == "avg":
+            num = f"sum({gated(f'({x}) * ({w_sql})', extra_null_guard=val)})"
+            den = f"sum({gated(w_sql, extra_null_guard=val)})"
+            return f"({num} / {den})", alias
+        if w_sql and fn == "count":  # unreachable; count handled above
+            pass
+        return f"{fn}({gated(x, extra_null_guard=val)})", alias
+    if fn == "quantile":
+        level = sc.level if sc.level is not None else 0.5
+        x = gated(_num(val), extra_null_guard=val)
+        if ctx.settings.approx_quantiles:
+            return (
+                f"approx_percentile({x}, {level}, {ctx.settings.quantile_accuracy})",
+                alias,
+            )
+        return f"percentile({x}, {level})", alias
+    if fn == "last_value":
+        # deterministic argMax(x, ts) (renderChartConfig.ts:1942)
+        x = gated(val, extra_null_guard=val)
+        return f"max_by({x}, CASE WHEN ({x}) IS NOT NULL THEN {ctx.ts_expr} END)", alias
+    if fn == "any":
+        return f"any_value({gated(val, extra_null_guard=val)})", alias
+    raise ValueError(f"unsupported aggFn: {fn!r} (metrics aggs live in hyperdx_spark.metrics)")
+
+
+def _where_clauses(ctx: _Ctx, df: DataFrame) -> list[Column]:
+    """renderWhere (renderChartConfig.ts:1141-1282): AND of time filter,
+    search condition, OR-of-aggConditions pushdown, filters array."""
+    cfg = ctx.config
+    conds: list[Column] = []
+    if cfg.date_range is not None:
+        start, end = cfg.date_range
+        ts = F.expr(ctx.ts_expr)
+        # inclusive BETWEEN, matching timeFilterExpr (renderChartConfig.ts:863-997)
+        conds.append((ts >= F.lit(start)) & (ts <= F.lit(end)))
+    if cfg.where:
+        conds.append(F.expr(_condition_sql(ctx, cfg.where, cfg.where_language)))
+    # aggCondition pushdown: only when every select has one (1165-1193)
+    if isinstance(cfg.select, (list, tuple)) and cfg.select:
+        sel_conds = [
+            _condition_sql(ctx, sc.agg_condition, sc.agg_condition_language)
+            for sc in cfg.select
+            if sc.agg_condition
+        ]
+        if len(sel_conds) == len(list(cfg.select)):
+            conds.append(F.expr("(" + " OR ".join(f"({c})" for c in sel_conds) + ")"))
+    for flt in cfg.filters:
+        if isinstance(flt, SqlAstFilter):
+            right = flt.right
+            if isinstance(right, str) and flt.right_is_literal:
+                right_sql = "'" + right.replace("'", "\\'") + "'"
+            else:
+                right_sql = str(right)
+            conds.append(F.expr(f"({translate_expr(flt.left)}) {flt.operator} {right_sql}"))
+        elif isinstance(flt, SqlFilter):
+            conds.append(F.expr(_condition_sql(ctx, flt.condition, flt.type)))
+        else:
+            raise TypeError(f"unknown filter {flt!r}")
+    return conds
+
+
+def _bucket_col(ctx: _Ctx) -> Column:
+    """Epoch-aligned time bucket — matches DuckDB time_bucket for the ladder
+    steps, deterministic at any scale (no session-local alignment)."""
+    step = ctx.bucket_seconds
+    return F.timestamp_seconds(
+        (F.unix_timestamp(F.expr(ctx.ts_expr)) / step).cast("long") * step
+    )
+
+
+def compile_chart_config(
+    spark: SparkSession,
+    config: ChartConfig,
+    sf_dir: Optional[str] = None,
+    df: Optional[DataFrame] = None,
+    settings: Optional[QuerySettings] = None,
+) -> DataFrame:
+    """Compile *config* to a lazy DataFrame (renderChartConfig.ts:2247-2332)."""
+    settings = settings or DEFAULT_SETTINGS
+    source = config.source
+    if df is None:
+        if sf_dir is None:
+            df = spark.table(source.table)
+        else:
+            from hyperdx_spark.io import load_table
+
+            # push the time range onto the raw nanos column so the parquet
+            # scan prunes row groups (see io.load_table docstring)
+            tf = None
+            ts_col = source.timestamp_value_expression.strip().strip("`")
+            if config.date_range is not None and ts_col.isidentifier():
+                tf = (ts_col, config.date_range[0], config.date_range[1])
+            df = load_table(spark, sf_dir, source.table, time_filter=tf)
+
+    ts_expr = translate_expr(source.timestamp_value_expression)
+    granularity = config.granularity
+    if granularity == "auto":
+        if config.date_range is None:
+            raise ValueError("granularity='auto' requires date_range")
+        granularity = auto_granularity(config.date_range, settings.max_buckets)
+    bucket_seconds = granularity_seconds(granularity) if granularity else None
+
+    ctx = _Ctx(
+        config=config,
+        source=source,
+        builder=SearchQueryBuilder(df.schema, source),
+        settings=settings,
+        ts_expr=ts_expr,
+        bucket_seconds=bucket_seconds,
+    )
+
+    for cond in _where_clauses(ctx, df):
+        df = df.where(cond)
+
+    ts_alias = config.timestamp_alias
+    group_exprs = [translate_expr(g) for g in config.group_by]
+
+    is_agg = isinstance(config.select, (list, tuple)) and any(
+        sc.agg_fn not in (None, "none") for sc in config.select
+    )
+
+    if is_agg:
+        selects: Sequence[SelectCol] = config.select  # type: ignore[assignment]
+        keys: list[Column] = []
+        if bucket_seconds is not None:
+            keys.append(_bucket_col(ctx).alias(ts_alias))
+        key_names = [ts_alias] if bucket_seconds is not None else []
+        for i, g in enumerate(group_exprs):
+            name = g if g in df.columns else f"__group_{i}"
+            keys.append(F.expr(g).alias(name))
+            key_names.append(name)
+        aggs = []
+        aliases = []
+        for sc in selects:
+            expr_sql, alias = _agg_expr(ctx, sc)
+            aggs.append(F.expr(expr_sql).alias(alias))
+            aliases.append(alias)
+        if keys:
+            out = df.groupBy(*keys).agg(*aggs)
+        else:
+            out = df.agg(*aggs)
+        if not config.select_group_by:
+            out = out.select(*(a for a in aliases))
+        value_alias = aliases[0] if aliases else None
+        group_names = [n for n in key_names if n != ts_alias]
+        if config.having:
+            out = out.where(F.expr(_condition_sql(ctx, config.having, config.having_language)))
+        if config.series_limit and group_names:
+            out = _apply_series_limit(out, group_names, value_alias, config.series_limit)
+        if config.fill_nulls is not None and bucket_seconds is not None and config.date_range:
+            out = _fill_buckets(
+                spark, out, ts_alias, group_names, aliases,
+                config.date_range, bucket_seconds, config.fill_nulls,
+            )
+    else:
+        out = _project(ctx, df)
+
+    out = _order_limit(ctx, out, is_agg)
+    return out
+
+
+def _project(ctx: _Ctx, df: DataFrame) -> DataFrame:
+    cfg = ctx.config
+    sel = cfg.select
+    if isinstance(sel, str):
+        sel = sel.strip() or (ctx.source.default_table_select_expression or "*")
+        exprs = [translate_expr(e) for e in _split_args(sel)]
+        return df.selectExpr(*exprs)
+    cols = []
+    for sc in sel:
+        expr_sql, alias = _agg_expr(ctx, sc)  # agg_fn none -> verbatim
+        cols.append(F.expr(expr_sql).alias(alias))
+    return df.select(*cols) if cols else df
+
+
+def _apply_series_limit(
+    out: DataFrame, group_names: list[str], value_alias: Optional[str], n: int
+) -> DataFrame:
+    """Top-N series semi-join (__hdx_series_limit CTE,
+    renderChartConfig.ts:1308-1431): rank groups by max of the plotted value,
+    keep top N. The ranking side is <= N rows -> broadcast semi-join, the big
+    side never reshuffles."""
+    if value_alias is None:
+        return out
+    peak = F.max(F.when(F.isnan(F.col(value_alias)), None).otherwise(F.col(value_alias)))
+    ranking = (
+        out.groupBy(*[F.col(g) for g in group_names])
+        .agg(peak.alias("__peak"))
+        .orderBy(F.desc_nulls_last("__peak"), *[F.asc(g) for g in group_names])
+        .limit(n)
+        .select(*group_names)
+    )
+    cols = out.columns
+    return out.join(F.broadcast(ranking), on=group_names, how="left_semi").select(*cols)
+
+
+def _fill_buckets(
+    spark: SparkSession,
+    out: DataFrame,
+    ts_alias: str,
+    group_names: list[str],
+    value_aliases: list[str],
+    date_range: tuple[datetime, datetime],
+    step: int,
+    fill_value: float,
+) -> DataFrame:
+    """Zero-fill empty buckets (ChartUtils.tsx fillNulls/generateEmptyBuckets).
+
+    The spine is (buckets x observed groups): buckets come from a generated
+    sequence (tiny — <= max_buckets rows), groups from the aggregated result
+    (small), so the join is a broadcast against the already-aggregated data.
+    """
+    start, end = date_range
+    lo = int(start.timestamp() // step) * step
+    hi = int(end.timestamp() // step) * step
+    spine = spark.range(lo, hi + 1, step).select(
+        F.timestamp_seconds(F.col("id")).alias(ts_alias)
+    )
+    if group_names:
+        groups = out.select(*group_names).distinct()
+        spine = spine.crossJoin(F.broadcast(groups))
+    filled = F.broadcast(spine).join(out, on=[ts_alias] + group_names, how="left")
+    vals = [
+        F.coalesce(F.col(a), F.lit(fill_value)).alias(a) for a in value_aliases
+    ]
+    return filled.select(ts_alias, *group_names, *vals)
+
+
+def _order_limit(ctx: _Ctx, out: DataFrame, is_agg: bool) -> DataFrame:
+    cfg = ctx.config
+    order = cfg.order_by
+    sort_cols: list[Column] = []
+    if is_agg and ctx.bucket_seconds is not None:
+        # time bucket prepended for granular charts (renderChartConfig.ts:1454)
+        sort_cols.append(F.col(cfg.timestamp_alias).asc())
+    if isinstance(order, str) and order.strip():
+        for part in _split_args(order):
+            part = part.strip()
+            desc = part.upper().endswith(" DESC")
+            if desc or part.upper().endswith(" ASC"):
+                part = part.rsplit(None, 1)[0]
+            col = F.expr(translate_expr(part))
+            sort_cols.append(col.desc() if desc else col.asc())
+    elif isinstance(order, (list, tuple)):
+        for spec in order:
+            assert isinstance(spec, SortSpec)
+            col = F.expr(translate_expr(spec.value_expression))
+            sort_cols.append(col.desc() if spec.order == "DESC" else col.asc())
+    if sort_cols:
+        out = out.orderBy(*sort_cols)
+    if cfg.offset:
+        out = out.offset(cfg.offset)
+    if cfg.limit is not None:
+        out = out.limit(cfg.limit)
+    return out

@@ -1,0 +1,190 @@
+"""ClickHouse-expression compatibility shim.
+
+The reference's "UDF surface" is the whole ClickHouse function namespace —
+users paste raw CH SQL into selects/wheres/source mappings
+(renderChartConfig.ts:703 UNSAFE_RAW_SQL). Our expression language is Spark
+SQL; this shim rewrites the CH idioms that show up in real source configs and
+dashboards into Spark SQL so those configs keep working (SURVEY.md §2.12).
+
+This is a *name-level* rewrite of function calls, not a SQL parser — enough
+for the expression fragments ChartConfigs contain. Unknown functions pass
+through untouched and fail (loudly) at Spark analysis time.
+"""
+
+from __future__ import annotations
+
+import re
+
+# CH name -> Spark name; names starting with '_' get structural rewrites in
+# _rewrite_call, everything else is a plain rename
+_RENAMES = {
+    "toString": "_tostring",
+    "toStartOfInterval": "_tostartofinterval",
+    "toStartOfDay": "_tostartofday",
+    "toStartOfHour": "_tostartofhour",
+    "toStartOfMinute": "_tostartofminute",
+    "toStartOfWeek": "_tostartofweek",
+    "toStartOfMonth": "_tostartofmonth",
+    "toDate": "to_date",
+    "toUnixTimestamp": "unix_timestamp",
+    "fromUnixTimestamp": "timestamp_seconds",
+    "JSONExtractString": "_jsonextractstring",
+    "has": "array_contains",
+    "mapContains": "map_contains_key",
+    "argMax": "max_by",
+    "argMin": "min_by",
+    "anyLast": "last",
+    "cityHash64": "xxhash64",  # identity use only — hash values differ from CH
+    "farmFingerprint64": "xxhash64",
+    "position": "instr",
+    "lcase": "lower",
+    "ucase": "upper",
+    "empty": "_empty",
+    "notEmpty": "_notempty",
+    "multiIf": "_multiif",
+    "toFloat64OrDefault": "_tofloat64ordefault",
+    "toFloat64OrNull": "_tofloat64ornull",
+    "toFloat64": "_tofloat64",
+    "toInt64OrNull": "_toint64ornull",
+    "toUInt64OrZero": "_touint64orzero",
+    "toUInt64": "_tofloat64",
+    "intDiv": "_intdiv",
+    "arrayJoin": "explode",
+    "arrayConcat": "concat",
+    "arrayCompact": "array_distinct",
+    "arraySum": "_arraysum",
+    "lengthUTF8": "char_length",
+    "countIf": "count_if",
+    "formatDateTime": "date_format",
+}
+
+_CALL_RE = re.compile(r"\b([A-Za-z_][A-Za-z0-9_]*)\s*\(")
+
+
+def _split_args(s: str) -> list[str]:
+    """Split top-level comma-separated args (respects quotes/parens)."""
+    args, depth, buf, i = [], 0, [], 0
+    in_str: str | None = None
+    while i < len(s):
+        c = s[i]
+        if in_str:
+            buf.append(c)
+            if c == "\\":
+                if i + 1 < len(s):
+                    buf.append(s[i + 1])
+                    i += 1
+            elif c == in_str:
+                in_str = None
+        elif c in "'\"":
+            in_str = c
+            buf.append(c)
+        elif c in "([":
+            depth += 1
+            buf.append(c)
+        elif c in ")]":
+            depth -= 1
+            buf.append(c)
+        elif c == "," and depth == 0:
+            args.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(c)
+        i += 1
+    if buf:
+        args.append("".join(buf).strip())
+    return args
+
+
+def _find_close(s: str, start: int) -> int:
+    """Index of the ')' matching the '(' at s[start]."""
+    depth, i = 0, start
+    in_str: str | None = None
+    while i < len(s):
+        c = s[i]
+        if in_str:
+            if c == "\\":
+                i += 1
+            elif c == in_str:
+                in_str = None
+        elif c in "'\"":
+            in_str = c
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    raise ValueError(f"unbalanced parens in expression: {s!r}")
+
+
+def _rewrite_call(name: str, args: list[str]) -> str:
+    low = name
+    if low == "_tostring":
+        return f"cast({args[0]} AS STRING)"
+    if low == "_tofloat64ordefault":
+        default = args[1] if len(args) > 1 else "0.0"
+        return f"coalesce(try_cast({args[0]} AS DOUBLE), {default})"
+    if low == "_tofloat64ornull":
+        return f"try_cast({args[0]} AS DOUBLE)"
+    if low == "_tofloat64":
+        return f"cast({args[0]} AS DOUBLE)"
+    if low == "_toint64ornull":
+        return f"try_cast({args[0]} AS BIGINT)"
+    if low == "_touint64orzero":
+        return f"coalesce(try_cast({args[0]} AS BIGINT), 0)"
+    if low == "_intdiv":
+        return f"({args[0]} div {args[1]})"
+    if low == "_empty":
+        return f"({args[0]} IS NULL OR {args[0]} = '')"
+    if low == "_notempty":
+        return f"({args[0]} IS NOT NULL AND {args[0]} != '')"
+    if low == "_arraysum":
+        return f"aggregate({args[0]}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    if low == "_jsonextractstring":
+        col, keys = args[0], args[1:]
+        path = "$." + ".".join(k.strip().strip("'\"") for k in keys)
+        return f"get_json_object({col}, '{path}')"
+    if low == "_multiif":
+        # multiIf(c1, v1, c2, v2, ..., else) -> CASE WHEN
+        parts = ["CASE"]
+        i = 0
+        while i + 1 < len(args):
+            parts.append(f"WHEN {args[i]} THEN {args[i + 1]}")
+            i += 2
+        parts.append(f"ELSE {args[-1]} END")
+        return " ".join(parts)
+    if low == "_tostartofinterval":
+        return f"date_trunc({args[1]}, {args[0]})"  # limited: named units
+    if low.startswith("_tostartof"):
+        unit = low[len("_tostartof"):]
+        return f"date_trunc('{unit}', {args[0]})"
+    return f"{low}({', '.join(args)})"
+
+
+def translate_expr(expr: str) -> str:
+    """Rewrite ClickHouse function idioms in *expr* to Spark SQL."""
+    out = []
+    i = 0
+    while i < len(expr):
+        m = _CALL_RE.search(expr, i)
+        if not m:
+            out.append(expr[i:])
+            break
+        name = m.group(1)
+        if name not in _RENAMES:
+            out.append(expr[i : m.end()])
+            i = m.end()
+            continue
+        open_idx = m.end() - 1
+        close_idx = _find_close(expr, open_idx)
+        inner = translate_expr(expr[open_idx + 1 : close_idx])
+        args = _split_args(inner)
+        mapped = _RENAMES[name]
+        out.append(expr[i : m.start()])
+        if mapped.startswith("_"):
+            out.append(_rewrite_call(mapped, args))
+        else:
+            out.append(f"{mapped}({', '.join(args)})")
+        i = close_idx + 1
+    return "".join(out)

@@ -1,0 +1,102 @@
+"""Table loading / registration.
+
+The driver's synthetic tables (TESTDATA.md) are parquet files with INT64
+TIMESTAMP(NANOS) columns, which Spark's vectorized reader rejects. With
+``spark.sql.legacy.parquet.nanosAsLong=true`` they surface as LongType
+nanoseconds; we detect which columns are really timestamps from the parquet
+footer (pyarrow) and convert to micro-second TimestampType, truncating — the
+same thing DuckDB does — so oracle comparisons agree to the microsecond.
+
+At scale this is a one-time schema adaptation at scan definition; the
+conversion is a cheap projection that stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+@lru_cache(maxsize=256)
+def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
+    """Columns stored as parquet TIMESTAMP(NANOS) in the file at *path*."""
+    import pyarrow.parquet as pq
+
+    try:
+        schema = pq.read_schema(path)
+    except Exception:
+        return ()
+    cols = []
+    for field in schema:
+        t = field.type
+        if str(t).startswith("timestamp[ns"):
+            cols.append(field.name)
+    return tuple(cols)
+
+
+def load_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    time_filter: tuple[str, "datetime", "datetime"] | None = None,
+) -> DataFrame:
+    """Load one synthetic table, normalizing nanos timestamps to micros.
+
+    ``time_filter=(col, start, end)`` applies the inclusive time-range
+    predicate on the *raw nanosecond long* BEFORE the timestamp conversion.
+    This is what makes the filter reach the parquet scan (PushedFilters ->
+    row-group min/max skipping): a predicate on
+    ``timestamp_micros(ts div 1000)`` cannot be pushed because Catalyst won't
+    invert the conversion. At 100 TB this is the difference between pruning
+    to the queried window and scanning everything.
+    """
+    from hyperdx_spark.session import tune_session
+
+    tune_session(spark)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    nanos_cols = [
+        c
+        for c in _nanos_timestamp_cols(path)
+        if c in df.columns and dict(df.dtypes)[c] == "bigint"
+    ]
+    if time_filter is not None:
+        col, start, end = time_filter
+        if col in nanos_cols:
+            start_ns = int(start.timestamp() * 1_000_000) * 1000
+            # inclusive at micro precision: raw nanos that truncate to <= end
+            end_ns = int(end.timestamp() * 1_000_000) * 1000 + 999
+            df = df.where(
+                (F.col(col) >= F.lit(start_ns)) & (F.col(col) <= F.lit(end_ns))
+            )
+    for c in nanos_cols:
+        # integer-div truncation matches DuckDB's nanos->micros read
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def nanos_timestamp_columns(sf_dir: str, name: str) -> tuple[str, ...]:
+    return _nanos_timestamp_cols(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register each table as a temp view (used by raw-SQL macros and tests)."""
+    for name in names:
+        if os.path.exists(os.path.join(sf_dir, f"{name}.parquet")):
+            load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,357 @@
+"""Schema-aware Lucene AST -> Spark SQL predicate serializer.
+
+Ref: hyperdxio/hyperdx ``packages/common-utils/src/queryParser.ts`` —
+``CustomSchemaSQLSerializerV2`` (eq 418-544, exists 546-588, cmp/range
+590-696/726-783, array fields 821-908, LIKE/token dispatch 1460-1608, field
+resolution 1620-1760, implicit column 1873-1911, term dispatch 1937-2033).
+
+Semantics preserved:
+* unquoted term on a string field  -> case-insensitive substring (ILIKE %v%)
+* quoted term                      -> exact equality
+* wildcards '*'                    -> LIKE with '%' substitution, no implicit
+                                      surrounding '%'
+* bare term (no field)             -> token search on the implicit column
+                                      (word-boundary), plus whole-term
+                                      substring when the term has separators
+* field:*                          -> exists (notEmpty)
+* >=,<=,>,<  and [a TO b] / {a TO b} ranges, '*' = unbounded end
+* Map['k'] / JSON missing keys read as '' (ClickHouse default-value
+  semantics) so negations keep rows where the key is absent.
+
+Output is a Spark SQL boolean expression string — deterministic and
+snapshot-testable, exactly like the reference's SQL-snapshot strategy
+(SURVEY.md §5); wrap with ``F.expr`` for the DataFrame API.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DataType,
+    DateType,
+    MapType,
+    NumericType,
+    StringType,
+    StructType,
+    TimestampNTZType,
+    TimestampType,
+)
+
+from hyperdx_spark.lucene.ast import BoolOp, Group, MatchAll, Node, Not, Range, Term
+from hyperdx_spark.lucene.parser import parse
+
+_TOKEN_SPLIT_RE = "[^a-z0-9]+"  # tokenizer: split on non-alphanumeric ASCII (queryParser.ts:709-715)
+_NUM_RE = re.compile(r"[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?")
+
+
+def _unescape(v: str) -> str:
+    return re.sub(r"\\(.)", r"\1", v)
+
+
+def _sql_str(v: str) -> str:
+    """Single-quoted SQL string literal."""
+    return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _like_escape(v: str) -> str:
+    return v.replace("\\", "\\\\").replace("%", r"\%").replace("_", r"\_")
+
+
+def _wildcard_to_like(v: str) -> str:
+    """term with '*' wildcards -> LIKE pattern ('*' -> '%', rest escaped)."""
+    return "%".join(_like_escape(p) for p in v.split("*"))
+
+
+def _is_number(v: str) -> bool:
+    return bool(_NUM_RE.fullmatch(v))
+
+
+def _num_lit(v: str) -> str:
+    return v  # validated by _is_number
+
+
+class _Field:
+    """A resolved field: a SQL expression + search kind."""
+
+    def __init__(self, expr: str, kind: str):
+        self.expr = expr
+        self.kind = kind  # 'string' | 'number' | 'bool' | 'date' | 'json' | 'array' | 'map' | 'expr'
+
+
+class SearchQueryBuilder:
+    """Compile Lucene queries against one table schema + source mapping."""
+
+    def __init__(self, schema: StructType, source=None):
+        self.schema = schema
+        self.source = source
+        self._fields = {f.name: f.dataType for f in schema.fields}
+        self._fields_lower = {f.name.lower(): f.name for f in schema.fields}
+
+    # ---------- public API ----------
+
+    def build(self, query) -> str:
+        node = parse(query) if isinstance(query, str) else query
+        sql = self._node(node)
+        return sql if sql else "TRUE"
+
+    # ---------- field resolution (queryParser.ts:1620-1760) ----------
+
+    def _kind_of(self, dt: DataType) -> str:
+        if isinstance(dt, StringType):
+            return "string"
+        if isinstance(dt, BooleanType):
+            return "bool"
+        if isinstance(dt, NumericType):
+            return "number"
+        if isinstance(dt, (TimestampType, TimestampNTZType, DateType)):
+            return "date"
+        if isinstance(dt, MapType):
+            return "map"
+        if isinstance(dt, ArrayType):
+            return "array"
+        if isinstance(dt, StructType):
+            return "struct"
+        return "expr"
+
+    def resolve(self, field: str) -> _Field:
+        src = self.source
+        if src is not None and field in ("level", "severity") and getattr(
+            src, "severity_text_expression", None
+        ):
+            return _Field(src.severity_text_expression, "string")
+        # exact match (then case-insensitive)
+        name = field if field in self._fields else self._fields_lower.get(field.lower())
+        if name is not None:
+            return _Field(f"`{name}`", self._kind_of(self._fields[name]))
+        # longest-prefix match over dot-path (queryParser.ts:126-155)
+        parts = field.split(".")
+        for cut in range(len(parts) - 1, 0, -1):
+            prefix = ".".join(parts[:cut])
+            name = prefix if prefix in self._fields else self._fields_lower.get(prefix.lower())
+            if name is None:
+                continue
+            rest = parts[cut:]
+            dt = self._fields[name]
+            if isinstance(dt, MapType):
+                # Map['k'] with ClickHouse missing-key default ''
+                return _Field(
+                    f"coalesce(element_at(`{name}`, {_sql_str('.'.join(rest))}), '')",
+                    "string",
+                )
+            if isinstance(dt, StructType):
+                expr = f"`{name}`" + "".join(f".`{p}`" for p in rest)
+                leaf: DataType = dt
+                ok = True
+                for p in rest:
+                    if isinstance(leaf, StructType) and p in leaf.fieldNames():
+                        leaf = leaf[p].dataType
+                    else:
+                        ok = False
+                        break
+                return _Field(expr, self._kind_of(leaf) if ok else "string")
+            if isinstance(dt, StringType):
+                # JSON-in-string: JSONExtractString analogue (queryParser.ts:1727-1739)
+                path = "$." + ".".join(rest)
+                return _Field(
+                    f"coalesce(get_json_object(`{name}`, {_sql_str(path)}), '')",
+                    "json",
+                )
+            if isinstance(dt, ArrayType):
+                return _Field(f"`{name}`", "array")
+        # unknown: pass through as a raw expression (queryParser.ts:1752-1759)
+        return _Field(field, "expr")
+
+    def _implicit_exprs(self) -> list[str]:
+        src = self.source
+        exprs = None
+        if src is not None:
+            exprs = getattr(src, "implicit_column_expression", None)
+        if not exprs:
+            raise ValueError(
+                "bare-term search requires source.implicit_column_expression"
+            )
+        if isinstance(exprs, str):
+            exprs = [exprs]
+        return list(exprs)
+
+    def _implicit_expr(self) -> str:
+        exprs = self._implicit_exprs()
+        if len(exprs) == 1:
+            return f"coalesce({exprs[0]}, '')"
+        # multi-column implicit -> concatWithSeparator(';') (queryParser.ts:1873-1911)
+        joined = ", ".join(f"coalesce({e}, '')" for e in exprs)
+        return f"concat_ws(';', {joined})"
+
+    # ---------- node serialization ----------
+
+    def _node(self, node: Node) -> str:
+        if isinstance(node, MatchAll):
+            return "TRUE"
+        if isinstance(node, BoolOp):
+            return f"({self._node(node.left)} {node.op} {self._node(node.right)})"
+        if isinstance(node, Not):
+            return f"(NOT {self._node(node.child)})"
+        if isinstance(node, Group):
+            if node.field is not None:
+                pushed = _push_field(node.child, node.field)
+                return self._node(pushed)
+            return self._node(node.child)
+        if isinstance(node, Range):
+            return self._range(node)
+        if isinstance(node, Term):
+            return self._term(node)
+        raise TypeError(f"unknown node {node!r}")
+
+    def _term(self, t: Term) -> str:
+        value = _unescape(t.value) if not t.quoted else t.value
+        if t.field is None:
+            return self._implicit_term(value, t.quoted, t.prefix)
+        f = self.resolve(t.field)
+        if t.prefix:
+            return self._cmp(f, t.prefix, value)
+        if not t.quoted and value == "*":
+            return self._exists(f)
+        if t.quoted:
+            return self._eq(f, value)
+        if "*" in value:
+            return self._wildcard(f, value)
+        return self._contains(f, value)
+
+    # field:value, unquoted -> ILIKE '%v%' (queryParser.ts:1604-1608)
+    def _contains(self, f: _Field, v: str) -> str:
+        if f.kind == "number":
+            if _is_number(v):
+                return f"{f.expr} = {_num_lit(v)}"
+            return "FALSE"
+        if f.kind == "bool":
+            return self._bool_eq(f, v)
+        if f.kind == "date":
+            return f"{f.expr} = CAST({_sql_str(v)} AS TIMESTAMP)"
+        if f.kind == "json" and _is_number(v):
+            # numeric compare on JSON value, guarded cast (queryParser.ts:1710-1726)
+            return f"(try_cast({f.expr} AS DOUBLE) = {_num_lit(v)} OR lower({f.expr}) LIKE {_sql_str('%' + _like_escape(v.lower()) + '%')})"
+        if f.kind == "array":
+            # substring match on any element (queryParser.ts:821-908)
+            pat = _sql_str("%" + _like_escape(v.lower()) + "%")
+            return f"exists({f.expr}, x -> lower(cast(x AS STRING)) LIKE {pat})"
+        return f"lower({f.expr}) LIKE {_sql_str('%' + _like_escape(v.lower()) + '%')}"
+
+    # field:"value" -> exact equality (queryParser.ts:418-544)
+    def _eq(self, f: _Field, v: str) -> str:
+        if f.kind == "number":
+            if _is_number(v):
+                return f"{f.expr} = {_num_lit(v)}"
+            return "FALSE"
+        if f.kind == "bool":
+            return self._bool_eq(f, v)
+        if f.kind == "date":
+            return f"{f.expr} = CAST({_sql_str(v)} AS TIMESTAMP)"
+        if f.kind == "array":
+            return f"array_contains({f.expr}, {_sql_str(v)})"
+        return f"{f.expr} = {_sql_str(v)}"
+
+    def _bool_eq(self, f: _Field, v: str) -> str:
+        truthy = v.lower() in ("true", "1")
+        return f"{f.expr} = {'TRUE' if truthy else 'FALSE'}"
+
+    def _wildcard(self, f: _Field, v: str) -> str:
+        pat = _sql_str(_wildcard_to_like(v.lower()))
+        if f.kind == "array":
+            return f"exists({f.expr}, x -> lower(cast(x AS STRING)) LIKE {pat})"
+        expr = f.expr if f.kind in ("string", "json", "expr") else f"cast({f.expr} AS STRING)"
+        return f"lower({expr}) LIKE {pat}"
+
+    def _exists(self, f: _Field) -> str:
+        # notEmpty semantics (queryParser.ts:546-588)
+        if f.kind in ("string", "json", "expr"):
+            return f"({f.expr} IS NOT NULL AND {f.expr} != '')"
+        if f.kind == "array":
+            return f"({f.expr} IS NOT NULL AND size({f.expr}) > 0)"
+        if f.kind == "map":
+            return f"({f.expr} IS NOT NULL AND cardinality({f.expr}) > 0)"
+        return f"{f.expr} IS NOT NULL"
+
+    def _cast_side(self, f: _Field, v: str) -> tuple[str, str]:
+        """lhs/rhs for ordered comparison with type dispatch."""
+        if f.kind == "date":
+            return f.expr, f"CAST({_sql_str(v)} AS TIMESTAMP)"
+        if f.kind == "number":
+            return f.expr, _num_lit(v) if _is_number(v) else "NULL"
+        if _is_number(v):
+            return f"try_cast({f.expr} AS DOUBLE)", _num_lit(v)
+        return f.expr, _sql_str(v)
+
+    def _cmp(self, f: _Field, op: str, v: str) -> str:
+        lhs, rhs = self._cast_side(f, v)
+        return f"{lhs} {op} {rhs}"
+
+    def _range(self, r: Range) -> str:
+        if r.field is None:
+            raise ValueError("range query requires a field")
+        f = self.resolve(r.field)
+        conds = []
+        if r.low != "*":
+            lhs, rhs = self._cast_side(f, r.low)
+            conds.append(f"{lhs} {'>=' if r.include_low else '>'} {rhs}")
+        if r.high != "*":
+            lhs, rhs = self._cast_side(f, r.high)
+            conds.append(f"{lhs} {'<=' if r.include_high else '<'} {rhs}")
+        if not conds:
+            return f"{f.expr} IS NOT NULL"
+        return "(" + " AND ".join(conds) + ")"
+
+    # bare term -> implicit column token search (queryParser.ts:1578-1600)
+    def _implicit_term(self, value: str, quoted: bool, prefix: Optional[str]) -> str:
+        body = self._implicit_expr()
+        if prefix:
+            # comparison on the implicit column (numeric body)
+            lhs = f"try_cast({body} AS DOUBLE)"
+            return f"{lhs} {prefix} {_num_lit(value) if _is_number(value) else 'NULL'}"
+        if quoted:
+            # quoted phrase -> case-insensitive substring
+            return f"lower({body}) LIKE {_sql_str('%' + _like_escape(value.lower()) + '%')}"
+        if "*" in value:
+            return f"lower({body}) LIKE {_sql_str(_wildcard_to_like(value.lower()))}"
+        tokens = [tok for tok in re.split(_TOKEN_SPLIT_RE, value.lower()) if tok]
+        conds = [
+            f"array_contains(split(lower({body}), {_sql_str(_TOKEN_SPLIT_RE)}), {_sql_str(tok)})"
+            for tok in tokens
+        ]
+        if len(tokens) != 1 or not re.fullmatch(r"[a-zA-Z0-9]+", value):
+            # separators present -> exact whole-term substring too
+            conds.append(
+                f"lower({body}) LIKE {_sql_str('%' + _like_escape(value.lower()) + '%')}"
+            )
+        if not conds:
+            return "TRUE"
+        return "(" + " AND ".join(conds) + ")" if len(conds) > 1 else conds[0]
+
+
+def _push_field(node: Node, field: str) -> Node:
+    """field:(a OR b) — inner implicit terms inherit the field (queryParser.ts:2035)."""
+    if isinstance(node, Term):
+        if node.field is None:
+            return Term(node.value, field=field, quoted=node.quoted, prefix=node.prefix)
+        return node
+    if isinstance(node, Range):
+        if node.field is None:
+            return Range(field, node.low, node.high, node.include_low, node.include_high)
+        return node
+    if isinstance(node, BoolOp):
+        return BoolOp(node.op, _push_field(node.left, field), _push_field(node.right, field))
+    if isinstance(node, Not):
+        return Not(_push_field(node.child, field))
+    if isinstance(node, Group):
+        return Group(_push_field(node.child, field), field=node.field)
+    return node
+
+
+def lucene_to_column(query: str, schema: StructType, source=None):
+    """Parse + serialize to a pyspark Column."""
+    from pyspark.sql import functions as F
+
+    return F.expr(SearchQueryBuilder(schema, source).build(query))

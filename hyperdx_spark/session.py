@@ -1,0 +1,71 @@
+"""SparkSession factory tuned for the engine.
+
+Scale notes (the configs below are chosen for a large cluster, tested on
+local[32]):
+
+* AQE on: runtime coalescing of shuffle partitions, skew-join splitting and
+  dynamic broadcast conversion replace most hand-tuning at 100 TB.
+* ``spark.sql.shuffle.partitions`` is only the pre-AQE upper bound; AQE
+  coalesces down using ``advisoryPartitionSizeInBytes`` so the same code runs
+  at sf0.001 and at 100 TB without re-tuning.
+* Timestamps: the engine standardizes on UTC micro-second timestamps
+  (ClickHouse DateTime64(9) loses ns -> micro; see io.py).
+* Arrow enabled for the few Pandas-UDF code paths (exp-histogram merge,
+  multimodal decode) — everything else stays JVM-side.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable SQL confs every entry point re-asserts, so the engine
+# behaves identically whether it owns the session or receives one (the
+# correctness driver passes its own session into __spark_entry__.entry).
+RUNTIME_CONFS = {
+    # test parquet is written with INT64 TIMESTAMP(NANOS) which Spark cannot
+    # read natively; read as long and convert in io.load_table
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # ANSI off: the engine implements ClickHouse-ish "OrDefault"/"OrNull"
+    # coercions itself (try_cast + coalesce); ANSI runtime errors on bad
+    # casts would break that contract.
+    "spark.sql.ansi.enabled": "false",
+}
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime confs to an externally-created session."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # immutable in this deployment — keep going, the engine degrades
+            # gracefully (io falls back to pyarrow-level conversion)
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "hyperdx_spark", cpus: int | None = None) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 32)))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        # files: keep per-task input ~128MB so a 100 TB scan fans out to
+        # ~800k tasks instead of a handful of huge ones
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return tune_session(spark)

@@ -1,0 +1,245 @@
+"""End-to-end ChartConfig -> DataFrame tests on the driver's events table,
+cross-checked against DuckDB as the SQL oracle (SURVEY.md §5)."""
+
+from datetime import datetime
+
+import duckdb
+import pytest
+
+from hyperdx_spark.compile import compile_chart_config
+from hyperdx_spark.model import (
+    ChartConfig,
+    QuerySettings,
+    SelectCol,
+    SqlAstFilter,
+    SqlFilter,
+)
+
+RANGE = (datetime(2024, 1, 1), datetime(2024, 2, 1))
+EXACT = QuerySettings(approx_quantiles=False)
+
+
+def duck(sf_dir: str, sql: str):
+    con = duckdb.connect()
+    for t in ("events",):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con.execute(sql).fetchall()
+
+
+def rows_of(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def assert_same(spark_rows, duck_rows):
+    def norm(rows):
+        out = []
+        for r in rows:
+            out.append(
+                tuple(
+                    round(v, 6) if isinstance(v, float) else v
+                    for v in r
+                )
+            )
+        return sorted(out, key=repr)
+
+    assert norm(spark_rows) == norm(duck_rows)
+
+
+def test_minimum_slice(spark, sf_dir, events_source):
+    """SURVEY §7.1: count of error events per 5m bucket per event_type."""
+    cfg = ChartConfig(
+        source=events_source,
+        select=[SelectCol(agg_fn="count", alias="cnt")],
+        where="error",
+        where_language="lucene",
+        granularity="5 minute",
+        group_by=["event_type"],
+        date_range=RANGE,
+    )
+    df = compile_chart_config(spark, cfg, sf_dir=sf_dir)
+    got = rows_of(df)
+    want = duck(
+        sf_dir,
+        """
+        SELECT make_timestamp((floor(epoch(ts))::BIGINT // 300) * 300 * 1000000) AS __timestamp,
+               event_type, count(*) AS cnt
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-01' AND ts <= TIMESTAMP '2024-02-01'
+          AND list_contains(string_split_regex(lower(concat_ws(' ', event_type, props)), '[^a-z0-9]+'), 'error')
+        GROUP BY 1, 2 ORDER BY 1
+        """,
+    )
+    assert len(got) > 0
+    assert_same(got, want)
+
+
+def test_multi_agg_quantile(spark, sf_dir, events_source):
+    cfg = ChartConfig(
+        source=events_source,
+        select=[
+            SelectCol(agg_fn="sum", value_expression="value", alias="sum_v"),
+            SelectCol(agg_fn="avg", value_expression="value", alias="avg_v"),
+            SelectCol(agg_fn="quantile", value_expression="value", level=0.9, alias="p90_v"),
+            SelectCol(agg_fn="count_distinct", value_expression="user_id", alias="users"),
+        ],
+        group_by=["event_type"],
+        date_range=RANGE,
+    )
+    df = compile_chart_config(spark, cfg, sf_dir=sf_dir, settings=EXACT)
+    want = duck(
+        sf_dir,
+        """
+        SELECT event_type,
+               sum(coalesce(try_cast(value AS DOUBLE), 0)) AS sum_v,
+               avg(coalesce(try_cast(value AS DOUBLE), 0)) AS avg_v,
+               quantile_cont(value, 0.9) AS p90_v,
+               count(DISTINCT user_id) AS users
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-01' AND ts <= TIMESTAMP '2024-02-01'
+        GROUP BY 1
+        """,
+    )
+    assert_same(rows_of(df), want)
+
+
+def test_agg_condition(spark, sf_dir, events_source):
+    """Per-series conditional agg (countIf analogue) + OR pushdown."""
+    cfg = ChartConfig(
+        source=events_source,
+        select=[
+            SelectCol(agg_fn="count", agg_condition="event_type:error", alias="errors"),
+            SelectCol(agg_fn="count", agg_condition="event_type:click", alias="clicks"),
+        ],
+        granularity="1 day",
+        date_range=RANGE,
+    )
+    df = compile_chart_config(spark, cfg, sf_dir=sf_dir)
+    want = duck(
+        sf_dir,
+        """
+        SELECT make_timestamp((floor(epoch(ts))::BIGINT // 86400) * 86400 * 1000000) AS __timestamp,
+               count(*) FILTER (lower(event_type) LIKE '%error%') AS errors,
+               count(*) FILTER (lower(event_type) LIKE '%click%') AS clicks
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-01' AND ts <= TIMESTAMP '2024-02-01'
+          AND (lower(event_type) LIKE '%error%' OR lower(event_type) LIKE '%click%')
+        GROUP BY 1
+        """,
+    )
+    assert_same(rows_of(df), want)
+
+
+def test_filters_and_having(spark, sf_dir, events_source):
+    cfg = ChartConfig(
+        source=events_source,
+        select=[SelectCol(agg_fn="avg", value_expression="value", alias="avg_v")],
+        filters=[
+            SqlFilter("value >= 1", "sql"),
+            SqlAstFilter(operator="!=", left="event_type", right="view"),
+        ],
+        group_by=["event_type"],
+        having="avg_v > 10",
+        date_range=RANGE,
+    )
+    df = compile_chart_config(spark, cfg, sf_dir=sf_dir, settings=EXACT)
+    want = duck(
+        sf_dir,
+        """
+        SELECT event_type, avg(coalesce(try_cast(value AS DOUBLE),0)) AS avg_v
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-01' AND ts <= TIMESTAMP '2024-02-01'
+          AND value >= 1 AND event_type != 'view'
+        GROUP BY 1 HAVING avg_v > 10
+        """,
+    )
+    assert_same(rows_of(df), want)
+
+
+def test_search_projection_order_limit(spark, sf_dir, events_source):
+    cfg = ChartConfig(
+        source=events_source,
+        select="event_id, ts, event_type, value",
+        where="event_type:error value:>=30",
+        where_language="lucene",
+        order_by="ts DESC",
+        limit=50,
+        date_range=RANGE,
+    )
+    df = compile_chart_config(spark, cfg, sf_dir=sf_dir)
+    got = rows_of(df)
+    want = duck(
+        sf_dir,
+        """
+        SELECT event_id, ts, event_type, value FROM events
+        WHERE ts >= TIMESTAMP '2024-01-01' AND ts <= TIMESTAMP '2024-02-01'
+          AND lower(event_type) LIKE '%error%' AND value >= 30
+        ORDER BY ts DESC LIMIT 50
+        """,
+    )
+    assert got == want  # order-sensitive
+
+
+def test_series_limit(spark, sf_dir, events_source):
+    cfg = ChartConfig(
+        source=events_source,
+        select=[SelectCol(agg_fn="count", alias="cnt")],
+        granularity="1 day",
+        group_by=["event_type"],
+        series_limit=2,
+        date_range=RANGE,
+    )
+    df = compile_chart_config(spark, cfg, sf_dir=sf_dir)
+    got = rows_of(df)
+    kept = {r[1] for r in got}
+    assert len(kept) == 2
+    # top-2 series by peak bucket count must be kept
+    want = duck(
+        sf_dir,
+        """
+        WITH b AS (
+          SELECT make_timestamp((floor(epoch(ts))::BIGINT // 86400) * 86400 * 1000000) AS b,
+                 event_type, count(*) AS cnt
+          FROM events
+          WHERE ts >= TIMESTAMP '2024-01-01' AND ts <= TIMESTAMP '2024-02-01'
+          GROUP BY 1, 2)
+        SELECT event_type FROM b GROUP BY 1 ORDER BY max(cnt) DESC, event_type LIMIT 2
+        """,
+    )
+    assert kept == {r[0] for r in want}
+
+
+def test_fill_nulls(spark, sf_dir, events_source):
+    cfg = ChartConfig(
+        source=events_source,
+        select=[SelectCol(agg_fn="count", alias="cnt")],
+        where='event_type:"signup"',
+        granularity="6 hour",
+        date_range=(datetime(2024, 1, 1), datetime(2024, 1, 8)),
+        fill_nulls=0.0,
+    )
+    df = compile_chart_config(spark, cfg, sf_dir=sf_dir)
+    got = rows_of(df)
+    # one row per 6h bucket across the whole range, gaps zero-filled
+    assert len(got) == 7 * 4 + 1
+
+
+def test_json_dot_path(spark, sf_dir, events_source):
+    cfg = ChartConfig(
+        source=events_source,
+        select=[SelectCol(agg_fn="count", alias="cnt")],
+        where="props.k:>=50",
+        where_language="lucene",
+        date_range=RANGE,
+    )
+    df = compile_chart_config(spark, cfg, sf_dir=sf_dir)
+    want = duck(
+        sf_dir,
+        """
+        SELECT count(*) AS cnt FROM events
+        WHERE ts >= TIMESTAMP '2024-01-01' AND ts <= TIMESTAMP '2024-02-01'
+          AND try_cast(coalesce(json_extract_string(props, '$.k'), '') AS DOUBLE) >= 50
+        """,
+    )
+    assert_same(rows_of(df), want)

@@ -1,0 +1,91 @@
+"""Parser unit tests — cases modeled on the reference's queryParser.test.ts."""
+
+from hyperdx_spark.lucene.ast import BoolOp, Group, MatchAll, Not, Range, Term
+from hyperdx_spark.lucene.parser import parse
+
+
+def test_empty():
+    assert isinstance(parse(""), MatchAll)
+    assert isinstance(parse("   "), MatchAll)
+
+
+def test_bare_term():
+    t = parse("error")
+    assert t == Term("error")
+
+
+def test_field_term():
+    assert parse("level:error") == Term("error", field="level")
+
+
+def test_quoted():
+    assert parse('msg:"hello world"') == Term("hello world", field="msg", quoted=True)
+    assert parse('"bare phrase"') == Term("bare phrase", quoted=True)
+
+
+def test_implicit_and():
+    node = parse("foo bar")
+    assert node == BoolOp("AND", Term("foo"), Term("bar"))
+
+
+def test_explicit_bool():
+    node = parse("foo OR bar AND baz")
+    # AND binds tighter
+    assert node == BoolOp("OR", Term("foo"), BoolOp("AND", Term("bar"), Term("baz")))
+
+
+def test_not_and_minus():
+    assert parse("NOT foo") == Not(Term("foo"))
+    assert parse("-foo") == Not(Term("foo"))
+    assert parse("!foo") == Not(Term("foo"))
+    assert parse("foo AND NOT bar") == BoolOp("AND", Term("foo"), Not(Term("bar")))
+
+
+def test_minus_in_value_is_literal():
+    # 'field:-5' searches the literal -5 (queryParser.ts term dispatch)
+    assert parse("level:-5") == Term("-5", field="level")
+
+
+def test_comparison_prefixes():
+    assert parse("duration:>=100") == Term("100", field="duration", prefix=">=")
+    assert parse("duration:<5.5") == Term("5.5", field="duration", prefix="<")
+
+
+def test_range():
+    r = parse("value:[1 TO 10]")
+    assert r == Range("value", "1", "10", True, True)
+    r = parse("value:{1 TO 10}")
+    assert r == Range("value", "1", "10", False, False)
+    r = parse("value:[1 TO 10}")
+    assert r == Range("value", "1", "10", True, False)
+    r = parse("value:[* TO 10]")
+    assert r == Range("value", "*", "10", True, True)
+
+
+def test_grouped_field():
+    node = parse("level:(error OR warn)")
+    assert isinstance(node, Group)
+    assert node.field == "level"
+    assert node.child == BoolOp("OR", Term("error"), Term("warn"))
+
+
+def test_parens():
+    node = parse("(a OR b) AND c")
+    assert node == BoolOp("AND", Group(BoolOp("OR", Term("a"), Term("b"))), Term("c"))
+
+
+def test_url_not_field():
+    # URL colon must not split into field:value
+    assert parse("https://example.com/x") == Term("https://example.com/x")
+
+
+def test_wildcards_kept():
+    assert parse("svc:api*") == Term("api*", field="svc")
+
+
+def test_exists():
+    assert parse("svc:*") == Term("*", field="svc")
+
+
+def test_dotted_field():
+    assert parse("props.k:30") == Term("30", field="props.k")

@@ -1,0 +1,158 @@
+"""Serializer unit tests — SQL-string assertions mirroring the reference's
+SQL-snapshot strategy (SURVEY.md §5; queryParser.test.ts)."""
+
+import pytest
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DoubleType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from hyperdx_spark.lucene.serializer import SearchQueryBuilder
+from hyperdx_spark.model import Source
+
+SCHEMA = StructType(
+    [
+        StructField("ts", TimestampType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("user_id", LongType()),
+        StructField("props", StringType()),  # JSON-in-string
+        StructField("attrs", MapType(StringType(), StringType())),
+        StructField("tags", ArrayType(StringType())),
+        StructField("ok", BooleanType()),
+    ]
+)
+
+SRC = Source(
+    table="events",
+    implicit_column_expression="props",
+    severity_text_expression="event_type",
+)
+
+
+def build(q: str) -> str:
+    return SearchQueryBuilder(SCHEMA, SRC).build(q)
+
+
+def test_empty_is_true():
+    assert build("") == "TRUE"
+
+
+def test_field_contains():
+    assert build("event_type:err") == "lower(`event_type`) LIKE '%err%'"
+
+
+def test_field_quoted_eq():
+    assert build('event_type:"error"') == "`event_type` = 'error'"
+
+
+def test_numeric_eq():
+    assert build("value:5") == "`value` = 5"
+    assert build("user_id:42") == "`user_id` = 42"
+
+
+def test_numeric_nonsense_is_false():
+    assert build("value:abc") == "FALSE"
+
+
+def test_bool():
+    assert build("ok:true") == "`ok` = TRUE"
+    assert build("ok:0") == "`ok` = FALSE"
+
+
+def test_comparisons():
+    assert build("value:>=10") == "`value` >= 10"
+    assert build("value:<2.5") == "`value` < 2.5"
+
+
+def test_range():
+    assert build("value:[1 TO 10]") == "(`value` >= 1 AND `value` <= 10)"
+    assert build("value:{1 TO 10}") == "(`value` > 1 AND `value` < 10)"
+    assert build("value:[* TO 10]") == "(`value` <= 10)"
+
+
+def test_wildcards():
+    assert build("event_type:err*") == "lower(`event_type`) LIKE 'err%'"
+    assert build("event_type:*ror") == "lower(`event_type`) LIKE '%ror'"
+    assert build("event_type:e*r") == "lower(`event_type`) LIKE 'e%r'"
+
+
+def test_exists():
+    assert build("event_type:*") == "(`event_type` IS NOT NULL AND `event_type` != '')"
+    assert build("value:*") == "`value` IS NOT NULL"
+    assert build("tags:*") == "(`tags` IS NOT NULL AND size(`tags`) > 0)"
+
+
+def test_map_subscript():
+    got = build("attrs.region:us-east")
+    assert "element_at(`attrs`, 'region')" in got
+    assert "LIKE '%us-east%'" in got
+
+
+def test_map_quoted_eq_with_missing_key_default():
+    got = build('attrs.region:"us"')
+    assert got == "coalesce(element_at(`attrs`, 'region'), '') = 'us'"
+
+
+def test_json_string_path():
+    got = build("props.k:30")
+    assert "get_json_object(`props`, '$.k')" in got
+    assert "try_cast" in got  # numeric dual dispatch
+
+
+def test_array_contains():
+    assert build('tags:"prod"') == "array_contains(`tags`, 'prod')"
+    got = build("tags:pro")
+    assert got == "exists(`tags`, x -> lower(cast(x AS STRING)) LIKE '%pro%')"
+
+
+def test_severity_alias():
+    assert build("level:error") == "lower(event_type) LIKE '%error%'"
+
+
+def test_bool_ops_and_not():
+    got = build("event_type:a OR event_type:b")
+    assert got == "(lower(`event_type`) LIKE '%a%' OR lower(`event_type`) LIKE '%b%')"
+    got = build("-event_type:a")
+    assert got == "(NOT lower(`event_type`) LIKE '%a%')"
+
+
+def test_grouped_field_inherits():
+    got = build("event_type:(err OR warn)")
+    assert got == "(lower(`event_type`) LIKE '%err%' OR lower(`event_type`) LIKE '%warn%')"
+
+
+def test_bare_term_token_search():
+    got = build("click")
+    assert got == (
+        "array_contains(split(lower(coalesce(props, '')), '[^a-z0-9]+'), 'click')"
+    )
+
+
+def test_bare_term_with_separator():
+    got = build("us-east")
+    assert "array_contains" in got and "'us'" in got and "'east'" in got
+    assert "LIKE '%us-east%'" in got
+
+
+def test_bare_quoted_phrase():
+    got = build('"hello world"')
+    assert got == "lower(coalesce(props, '')) LIKE '%hello world%'"
+
+
+def test_unknown_field_passthrough():
+    got = build("nosuchcol:5")
+    # unknown field is kept as a raw expression (queryParser.ts:1752-1759)
+    assert "nosuchcol" in got
+
+
+def test_like_injection_escaped():
+    got = build("event_type:a'b")
+    assert r"a\'b" in got
