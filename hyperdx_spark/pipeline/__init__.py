@@ -1,0 +1,12 @@
+"""Large-scale training-data pipeline operators.
+
+Beyond the reference's own query surface: deduplication (exact / MinHash-LSH /
+SimHash / n-gram Jaccard / embedding cosine), similarity search (brute-force
+and LSH/IVF-bucketed ANN), text analysis (language-ID, quality scoring, token
+counting, fingerprinting) and multimodal column plumbing. All operators are
+DataFrame-native and designed for 100 TB inputs (inverted-index joins instead
+of pairwise cross joins, banding instead of all-pairs, broadcast for small
+sides).
+"""
+
+from hyperdx_spark.pipeline import dedup, similarity, text, multimodal  # noqa: F401

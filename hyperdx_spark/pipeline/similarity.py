@@ -1,0 +1,206 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers:
+* ``cosine_topk``      — brute-force exact top-k. The dot product is a single
+                         JVM-side ``aggregate(zip_with(...))`` expression; the
+                         per-query top-k is a window rank. Baseline + oracle.
+* ``cosine_topk_lsh``  — random-hyperplane LSH: queries only meet candidates
+                         sharing a signature bucket (multi-probe via bands).
+                         The scale path: candidate set shrinks by the bucket
+                         fan-out instead of |corpus|.
+
+Hyperplanes are generated deterministically from a seed via a splitmix-style
+integer mix of (seed, plane, dim) — reproducible across runs and engines, no
+driver-side randomness shipped to executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Element-wise dot product of two array<numeric> columns (JVM-side)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + (x * x).cast("double"))
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact brute-force top-k by cosine: (query_id, match_id, cos, rank).
+
+    The query side is broadcast (queries are few); the corpus streams through
+    one stage — at 100 TB this is a single scan, no shuffle until the
+    per-query top-k (tiny after rank filter).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("__cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("match_id"))
+        .withColumn("cos", cosine(F.col("__qv"), F.col("__cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("match_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "match_id", "cos", "rank")
+    )
+
+
+def _hyperplane(seed: int, plane: Column, dim: Column) -> Column:
+    """Deterministic pseudo-random component in [-1, 1): integer mix of
+    (seed, plane, dim) -> fraction. splitmix-style, engine-reproducible."""
+    h = F.xxhash64(F.lit(seed), plane, dim)
+    return (h.cast("double") / F.lit(float(2**63))).cast("double")
+
+
+def lsh_signature(
+    vec: Column, *, num_planes: int = 16, dim: int = 64, seed: int = 42
+) -> Column:
+    """Random-hyperplane signature: bit p = sign(v . h_p). array<int> of 0/1."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_planes - 1)),
+        lambda p: F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.sequence(F.lit(0), F.lit(dim - 1)),
+                    lambda x, i: (x.cast("double") * _hyperplane(seed, p, i)),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    num_planes: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates = rows sharing any signature band with
+    the query, then exact cosine + rank over candidates only."""
+    rows_per_band = num_planes // bands
+
+    def banded(df: DataFrame, idalias: str, vecalias: str) -> DataFrame:
+        sig = lsh_signature(F.col(vec_col), num_planes=num_planes, dim=dim, seed=seed)
+        return df.select(
+            F.col(id_col).alias(idalias),
+            F.col(vec_col).alias(vecalias),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.struct(
+                        b.alias("band"),
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(sig, b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        ).alias("bucket"),
+                    ),
+                )
+            ).alias("bb"),
+        ).select(
+            idalias, vecalias, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        )
+
+    qb = banded(queries, "query_id", "__qv")
+    cb = banded(corpus, "match_id", "__cv")
+    cand = (
+        cb.join(F.broadcast(qb), on=["band", "bucket"])
+        .where(F.col("query_id") != F.col("match_id"))
+        .dropDuplicates(["query_id", "match_id"])
+        .withColumn("cos", cosine(F.col("__qv"), F.col("__cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("match_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "match_id", "cos", "rank")
+    )
+
+
+def cosine_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    num_planes: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-duplicate pairs (cos >= threshold) via LSH banding —
+    the embedding-cosine member of the dedup family."""
+    sig = lsh_signature(F.col(vec_col), num_planes=num_planes, dim=dim, seed=seed)
+    rows_per_band = num_planes // bands
+    banded = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(sig, b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "v", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, on=["band", "bucket"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.v").alias("__va"),
+            F.col("b.v").alias("__vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("cos", cosine(F.col("__va"), F.col("__vb")))
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

@@ -1,0 +1,105 @@
+"""Text analysis over document tables — language-ID, quality scoring, token
+counting, fingerprinting.
+
+Everything is built-in `pyspark.sql.functions` (JVM-side, whole-stage
+codegen); no Python UDFs in any hot path. Tokenization uses the same
+non-alphanumeric split as the search language's token search so full-text
+semantics and corpus statistics agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT = "[^a-zA-Z0-9]+"
+
+# compact English stopword list used by the n-gram/stopword language heuristic
+EN_STOPWORDS = (
+    "the a an and or of to in is are was were be been it that this with as for"
+    " on at by from not but had has have he she they we you i his her its"
+).split()
+
+
+def tokens(col: Column | str) -> Column:
+    """Lower-cased alphanumeric tokens; empty strings filtered."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), TOKEN_SPLIT), lambda t: t != "")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def char_classes(col: Column | str) -> dict[str, Column]:
+    """Counts of character classes (quality-signal building blocks)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    alpha = n - F.length(F.regexp_replace(c, "[A-Za-z]", ""))
+    digit = n - F.length(F.regexp_replace(c, "[0-9]", ""))
+    space = n - F.length(F.regexp_replace(c, r"\s", ""))
+    punct = n - alpha - digit - space
+    return {"n_chars": n, "alpha": alpha, "digit": digit, "space": space, "punct": punct}
+
+
+def stopword_ratio(col: Column | str, stopwords: list[str] = EN_STOPWORDS) -> Column:
+    """Fraction of tokens that are (English) stopwords."""
+    toks = tokens(col)
+    sw = F.array(*[F.lit(w) for w in stopwords])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(toks) > 0, hits.cast("double") / F.size(toks)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def quality_score(col: Column | str) -> Column:
+    """Heuristic document quality in [0, 1]: penalize very short docs, high
+    punctuation/digit density and stopword-free (non-prose) text. The exact
+    blend is a policy choice; each term is independently useful."""
+    cc = char_classes(col)
+    n = cc["n_chars"].cast("double")
+    length_term = F.least(n / F.lit(500.0), F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(
+        cc["punct"].cast("double") / F.greatest(n, F.lit(1.0)) * 5.0, F.lit(1.0)
+    )
+    digit_term = F.lit(1.0) - F.least(
+        cc["digit"].cast("double") / F.greatest(n, F.lit(1.0)) * 5.0, F.lit(1.0)
+    )
+    sw_term = F.least(stopword_ratio(col) * F.lit(4.0), F.lit(1.0))
+    return (length_term + punct_term + digit_term + sw_term) / F.lit(4.0)
+
+
+def detect_language(col: Column | str, threshold: float = 0.08) -> Column:
+    """Stopword-density language heuristic: 'en' when the English stopword
+    ratio clears the threshold, else 'unknown'. (A full n-gram profile model
+    slots in here; the interface — text column in, label column out — holds.)
+    """
+    return F.when(stopword_ratio(col) >= threshold, F.lit("en")).otherwise(
+        F.lit("unknown")
+    )
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Content fingerprint: md5 of NFC-ish normalized text (lower, collapsed
+    whitespace). Stable across engines — usable as an exact-dedup key."""
+    c = F.col(col) if isinstance(col, str) else col
+    normalized = F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+    return F.md5(normalized)
+
+
+def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass text-analysis projection: token stats, char classes, quality,
+    language, fingerprint."""
+    cc = char_classes(text_col)
+    toks = tokens(text_col)
+    return df.select(
+        "*",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        cc["punct"].alias("n_punct"),
+        cc["digit"].alias("n_digit"),
+        stopword_ratio(text_col).alias("stopword_ratio"),
+        quality_score(text_col).alias("quality"),
+        detect_language(text_col).alias("lang_pred"),
+        fingerprint(text_col).alias("fp"),
+    )

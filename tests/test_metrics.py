@@ -1,0 +1,224 @@
+"""Metric-semantics tests: gauge/counter-rate vs DuckDB window-function
+oracles on the events table; histogram quantile vs hand-computed goldens
+(modeled on the reference's renderChartConfig.int.test.ts fixtures)."""
+
+from datetime import datetime
+
+import duckdb
+import pytest
+
+from hyperdx_spark import metrics
+from hyperdx_spark.post import compute_ratio, merge_result_sets
+
+
+def duck(sf_dir: str, sql: str):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    return con.execute(sql).fetchall()
+
+
+def norm(rows):
+    return sorted(
+        [tuple(round(v, 6) if isinstance(v, float) else v for v in r) for r in rows],
+        key=repr,
+    )
+
+
+def test_gauge_bucket(spark, sf_dir, events):
+    """Gauge: last sample per (series, bucket), averaged across series."""
+    df = metrics.gauge_bucket(
+        events,
+        ts="ts",
+        value="value",
+        series_cols=["user_id"],
+        group_cols=["event_type"],
+        bucket_seconds=86400,
+        agg="avg",
+        value_alias="v",
+    )
+    want = duck(
+        sf_dir,
+        """
+        WITH inner_g AS (
+          SELECT make_timestamp((floor(epoch(ts))::BIGINT // 86400) * 86400 * 1000000) AS b,
+                 user_id, event_type, arg_max(value, ts) AS lastv
+          FROM events GROUP BY 1, 2, 3)
+        SELECT b, event_type, avg(lastv) AS v FROM inner_g GROUP BY 1, 2
+        """,
+    )
+    assert norm(df.collect()) == norm(want)
+
+
+def test_counter_rate_reset_clamp(spark):
+    """Counter resets clamp to 0; first sample contributes nothing
+    (renderChartConfig.ts:1871-1901 int-test semantics)."""
+    rows = [
+        # series A: 10 -> 15 -> 3 (reset) -> 7
+        ("A", datetime(2024, 1, 1, 0, 0), 10.0),
+        ("A", datetime(2024, 1, 1, 0, 1), 15.0),
+        ("A", datetime(2024, 1, 1, 0, 2), 3.0),
+        ("A", datetime(2024, 1, 1, 0, 3), 7.0),
+        # series B in the same bucket: 100 -> 150
+        ("B", datetime(2024, 1, 1, 0, 2), 100.0),
+        ("B", datetime(2024, 1, 1, 0, 4), 150.0),
+    ]
+    df = spark.createDataFrame(rows, "series string, ts timestamp, value double")
+    out = metrics.counter_rate(
+        df,
+        ts="ts",
+        value="value",
+        series_cols=["series"],
+        bucket_seconds=3600,
+        value_alias="rate",
+    ).collect()
+    assert len(out) == 1
+    # A: +5, reset->0, +4 ; B: +50  => 59
+    assert out[0]["rate"] == pytest.approx(59.0)
+
+
+def test_counter_rate_delta_temporality(spark):
+    rows = [
+        ("A", datetime(2024, 1, 1, 0, 0), 5.0),
+        ("A", datetime(2024, 1, 1, 0, 1), 7.0),
+    ]
+    df = spark.createDataFrame(rows, "series string, ts timestamp, value double")
+    out = metrics.counter_rate(
+        df, ts="ts", value="value", series_cols=["series"],
+        bucket_seconds=3600, is_delta=True,
+    ).collect()
+    assert out[0]["rate"] == pytest.approx(12.0)
+
+
+def test_counter_rate_oracle(spark, sf_dir, events):
+    """Treat events.value as a cumulative counter per event_type series."""
+    df = metrics.counter_rate(
+        events,
+        ts="ts",
+        value="value",
+        series_cols=["event_type"],
+        group_cols=["event_type"],
+        bucket_seconds=86400,
+        value_alias="rate",
+    )
+    want = duck(
+        sf_dir,
+        """
+        WITH d AS (
+          SELECT event_type, ts, value,
+                 lag(value) OVER (PARTITION BY event_type ORDER BY ts) AS prev
+          FROM events)
+        SELECT make_timestamp((floor(epoch(ts))::BIGINT // 86400) * 86400 * 1000000) AS b,
+               event_type,
+               sum(CASE WHEN prev IS NULL THEN NULL ELSE greatest(value - prev, 0) END) AS rate
+        FROM d GROUP BY 1, 2
+        """,
+    )
+    assert norm(df.collect()) == norm(want)
+
+
+def test_counter_increase_top_groups(spark, sf_dir, events):
+    df = metrics.counter_increase(
+        events,
+        ts="ts",
+        value="value",
+        series_cols=["event_type"],
+        group_cols=["event_type"],
+        bucket_seconds=86400,
+        top_groups=2,
+    )
+    got = df.collect()
+    assert len({r["event_type"] for r in got}) == 2
+
+
+def test_histogram_quantile_linear_interp(spark):
+    """Golden: single cumulative series, bounds [1, 5, 10], p50.
+
+    t0 counts [0,0,0,0]; t1 counts [2,4,6,8] => delta [2,4,6,8], total 20,
+    rank 10; cum [2,6,12,20] -> first >= 10 is bucket 3 (bounds 5..10),
+    interp = 5 + (10-6)/6 * (10-5) = 8.3333…
+    """
+    rows = [
+        ("s1", datetime(2024, 1, 1, 0, 0), [0, 0, 0, 0], [1.0, 5.0, 10.0]),
+        ("s1", datetime(2024, 1, 1, 0, 1), [2, 4, 6, 8], [1.0, 5.0, 10.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "series string, ts timestamp, counts array<bigint>, bounds array<double>"
+    )
+    out = metrics.histogram_quantile(
+        df,
+        ts="ts",
+        bucket_counts="counts",
+        explicit_bounds="bounds",
+        series_cols=["series"],
+        bucket_seconds=3600,
+        level=0.5,
+        value_alias="p50",
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["p50"] == pytest.approx(5 + (10 - 6) / 6 * 5)
+
+
+def test_histogram_quantile_reset_and_unbounded(spark):
+    """Reset (count decreased) uses current counts; rank landing in the last
+    (+inf) bucket returns its lower bound (histogram.ts:232-246)."""
+    rows = [
+        ("s1", datetime(2024, 1, 1, 0, 0), [5, 5], [10.0]),
+        ("s1", datetime(2024, 1, 1, 0, 1), [1, 9], [10.0]),  # reset: 1 < 5
+    ]
+    df = spark.createDataFrame(
+        rows, "series string, ts timestamp, counts array<bigint>, bounds array<double>"
+    )
+    out = metrics.histogram_quantile(
+        df,
+        ts="ts",
+        bucket_counts="counts",
+        explicit_bounds="bounds",
+        series_cols=["series"],
+        bucket_seconds=3600,
+        level=0.99,
+        value_alias="p99",
+    ).collect()
+    # deltas: t0 [5,5] (first point) + t1 [1,9] (reset -> current) = [6,14]
+    # total 20, rank 19.8 -> falls in unbounded bucket -> returns bound 10.0
+    assert out[0]["p99"] == pytest.approx(10.0)
+
+
+def test_ratio_and_merge(spark, sf_dir, events):
+    from pyspark.sql import functions as F
+
+    daily = events.groupBy(
+        F.date_trunc("day", "ts").alias("__timestamp")
+    )
+    errors = daily.agg(
+        F.count_if(F.col("event_type") == "error").alias("errors"),
+        F.count("*").alias("total"),
+    )
+    merged = compute_ratio(errors, numerator="errors", denominator="total")
+    got = merged.select("__timestamp", "ratio").collect()
+    want = duck(
+        sf_dir,
+        """
+        SELECT date_trunc('day', ts)::TIMESTAMP AS b,
+               count(*) FILTER (event_type = 'error')::DOUBLE / count(*) AS ratio
+        FROM events GROUP BY 1
+        """,
+    )
+    assert norm(got) == norm(want)
+
+
+def test_share_of_total(spark):
+    rows = [
+        (datetime(2024, 1, 1), "a", 10.0),
+        (datetime(2024, 1, 1), "b", 30.0),
+        (datetime(2024, 1, 2), "a", 5.0),
+    ]
+    df = spark.createDataFrame(rows, "__timestamp timestamp, g string, v double")
+    out = compute_ratio(
+        df, numerator="v", denominator="v", mode="share_of_total"
+    ).collect()
+    got = {(r["__timestamp"].day, r["g"]): r["ratio"] for r in out}
+    assert got[(1, "a")] == pytest.approx(0.25)
+    assert got[(1, "b")] == pytest.approx(0.75)
+    assert got[(2, "a")] == pytest.approx(1.0)

@@ -1,0 +1,218 @@
+"""Training-data pipeline operator tests: text analysis, dedup family,
+similarity search, multimodal plumbing. DuckDB oracles where the operation is
+SQL-portable; property/golden tests otherwise."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from hyperdx_spark.pipeline import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def documents(spark, sf_dir):
+    from hyperdx_spark.io import load_table
+
+    return load_table(spark, sf_dir, "documents")
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_dir):
+    from hyperdx_spark.io import load_table
+
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def duck(sf_dir: str, sql: str):
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con.execute(sql).fetchall()
+
+
+def norm(rows):
+    return sorted(
+        [tuple(round(v, 6) if isinstance(v, float) else v for v in r) for r in rows],
+        key=repr,
+    )
+
+
+# ------------------------------------------------------------------ text
+
+def test_token_count_oracle(spark, sf_dir, documents):
+    got = documents.select(
+        "doc_id", text.token_count("text").alias("n_tokens")
+    ).collect()
+    want = duck(
+        sf_dir,
+        """
+        SELECT doc_id,
+               len(list_filter(string_split_regex(lower(text), '[^a-zA-Z0-9]+'), t -> t != '')) AS n_tokens
+        FROM documents
+        """,
+    )
+    assert norm([tuple(r) for r in got]) == norm(want)
+
+
+def test_fingerprint_md5_portable(spark, sf_dir, documents):
+    got = documents.select("doc_id", text.fingerprint("text").alias("fp")).collect()
+    want = duck(
+        sf_dir,
+        "SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp FROM documents",
+    )
+    assert norm([tuple(r) for r in got]) == norm(want)
+
+
+def test_analyze_shape(spark, documents):
+    out = text.analyze(documents).limit(5).collect()
+    for r in out:
+        assert r["n_tokens"] > 0
+        assert 0.0 <= r["quality"] <= 1.0
+        assert r["lang_pred"] in ("en", "unknown")
+        assert len(r["fp"]) == 32
+
+
+def test_stopword_ratio_bounds(spark, documents):
+    out = documents.select(text.stopword_ratio("text").alias("r")).agg(
+        F.min("r"), F.max("r")
+    ).collect()[0]
+    assert 0.0 <= out[0] <= out[1] <= 1.0
+
+
+# ------------------------------------------------------------------ dedup
+
+def test_exact_duplicates(spark, documents):
+    # inject known duplicates
+    dup = documents.limit(3).withColumn("doc_id", F.col("doc_id") + 100000)
+    df = documents.unionByName(dup)
+    groups = dedup.exact_duplicates(df)
+    dupes = groups.where(F.col("n_copies") > 1).collect()
+    assert len(dupes) == 3
+    assert all(r["keep_id"] < 100000 for r in dupes)
+    kept = dedup.drop_exact_duplicates(df)
+    assert kept.count() == documents.count()
+
+
+def test_ngram_jaccard_exact_pair(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely different text with no overlap at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.ngram_jaccard_pairs(df, n=3, threshold=0.3).collect()
+    assert len(pairs) == 1
+    p = pairs[0]
+    # 9 tokens -> 7 trigrams each; docs share 6 -> jaccard 6/8
+    assert (p["id_a"], p["id_b"]) == (1, 2)
+    assert p["jaccard"] == pytest.approx(6 / 8)
+
+
+def test_minhash_finds_near_dups(spark, documents):
+    """Near-identical docs (one word changed) must collide in some band."""
+    mutated = documents.limit(5).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extraword")).alias("text"),
+    )
+    df = documents.select("doc_id", "text").unionByName(mutated)
+    pairs = dedup.minhash_lsh_pairs(df, verify_threshold=0.5).collect()
+    found = {(p["id_a"], p["id_b"]) for p in pairs}
+    for i in range(5):
+        assert any(a == i and b == i + 100000 for a, b in found), (i, found)
+
+
+def test_minhash_no_false_high_jaccard(spark, documents):
+    """Verified jaccard must equal exact shingle jaccard (verification step
+    is exact, so every returned pair is a true near-dup)."""
+    pairs = dedup.minhash_lsh_pairs(
+        documents.select("doc_id", "text"), verify_threshold=0.8
+    )
+    for p in pairs.limit(5).collect():
+        assert p["jaccard"] >= 0.8
+
+
+def test_simhash_deterministic_and_blocking(spark):
+    rows = [(1, "alpha beta gamma delta epsilon zeta eta theta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    h1 = df.select(dedup.simhash("text").alias("h")).collect()[0]["h"]
+    h2 = df.select(dedup.simhash("text").alias("h")).collect()[0]["h"]
+    assert h1 == h2
+    # identical docs -> hamming 0 pair
+    two = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    pairs = dedup.simhash_near_duplicates(two).collect()
+    assert len(pairs) == 1 and pairs[0]["hamming"] == 0
+
+
+# ------------------------------------------------------------------ similarity
+
+def test_cosine_topk_oracle(spark, sf_dir, embeddings):
+    got = similarity.cosine_topk(
+        embeddings, embeddings.where(F.col("vec_id") < 3), k=5
+    ).collect()
+    want = duck(
+        sf_dir,
+        """
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+        scored AS (
+          SELECT q.query_id, e.vec_id AS match_id,
+                 list_dot_product(q.qv::DOUBLE[], e.embedding::DOUBLE[])
+                   / (sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))
+                      * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS cos
+          FROM embeddings e, q WHERE e.vec_id != q.query_id),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, match_id) AS rank
+          FROM scored)
+        SELECT query_id, match_id, cos, rank FROM ranked WHERE rank <= 5
+        """,
+    )
+    got_n = norm([(r["query_id"], r["match_id"], r["cos"], r["rank"]) for r in got])
+    assert got_n == norm(want)
+
+
+def test_lsh_recall_against_exact(spark, embeddings):
+    """LSH top-1 must agree with exact top-1 for most queries (recall check,
+    not exactness — banding is approximate by design)."""
+    qs = embeddings.where(F.col("vec_id") < 20)
+    exact = {
+        r["query_id"]: r["match_id"]
+        for r in similarity.cosine_topk(embeddings, qs, k=1).collect()
+    }
+    approx = {
+        r["query_id"]: r["match_id"]
+        for r in similarity.cosine_topk_lsh(
+            embeddings, qs, k=1, num_planes=16, bands=8
+        ).collect()
+    }
+    hits = sum(1 for q, m in exact.items() if approx.get(q) == m)
+    assert hits >= len(exact) * 0.5, (hits, len(exact))
+
+
+def test_cosine_pairs_threshold(spark, embeddings):
+    out = similarity.cosine_pairs(embeddings, threshold=0.99)
+    for r in out.limit(5).collect():
+        assert r["cos"] >= 0.99
+
+
+# ------------------------------------------------------------------ multimodal
+
+def test_multimodal_stub_plumbing(spark, documents):
+    media = multimodal.media_from_documents(documents.limit(20))
+    feats = multimodal.decode_media(media, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["n_bytes"] > 0
+        assert len(r["features"]) == 8
+        assert r["kind"] == "image"
+
+
+def test_multimodal_decode_raises_without_codecs(spark, documents):
+    media = multimodal.media_from_documents(documents.limit(1))
+    feats = multimodal.decode_media(media, fake=False)
+    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+        feats.collect()
