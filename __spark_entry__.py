@@ -1,38 +1,849 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator family from
+SURVEY.md §2 plus the training-data pipeline ops; ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible entry. Column names and
+value rounding are aligned on both sides (doubles rounded to 4; large sums
+done in DECIMAL(38,6) so partition order can't perturb the hash).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+from datetime import datetime
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+from hyperdx_spark.compile import compile_chart_config
+from hyperdx_spark.io import load_table
+from hyperdx_spark.model import ChartConfig, QuerySettings, SelectCol, Source
+from hyperdx_spark.session import tune_session
+from hyperdx_spark import metrics
+from hyperdx_spark.pipeline import dedup, multimodal, similarity, text
+from hyperdx_spark.post import compute_ratio
+
+RANGE = (datetime(2024, 1, 1), datetime(2024, 2, 1))
+EXACT = QuerySettings(approx_quantiles=False)
+TIME_WHERE = "ts >= TIMESTAMP '2024-01-01' AND ts <= TIMESTAMP '2024-02-01'"
+
+
+def _src() -> Source:
+    return Source(
+        table="events",
+        kind="log",
+        timestamp_value_expression="ts",
+        implicit_column_expression="concat_ws(' ', event_type, props)",
+        severity_text_expression="event_type",
+        service_name_expression="event_type",
+    )
+
+
+def _round4(df: DataFrame) -> DataFrame:
+    """Round every double column to 4 decimals (hash stability across
+    engines / partition orders); oracles apply ROUND(x, 4) identically."""
+    cols = []
+    for f in df.schema.fields:
+        if isinstance(f.dataType, DoubleType):
+            cols.append(F.round(F.col(f.name), 4).alias(f.name))
+        else:
+            cols.append(F.col(f.name))
+    return df.select(*cols)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: lucene-filtered error-rate
+    time series through the full ChartConfig compiler."""
+    tune_session(spark)
+    cfg = ChartConfig(
+        source=_src(),
+        select=[
+            SelectCol(agg_fn="count", alias="cnt"),
+            SelectCol(agg_fn="avg", value_expression="value", alias="avg_v"),
+        ],
+        where="error",
+        where_language="lucene",
+        granularity="1 day",
+        group_by=["event_type"],
+        date_range=RANGE,
+    )
+    return _round4(compile_chart_config(spark, cfg, sf_dir="/root/testdata/sf0.001"))
+
+
+# --------------------------------------------------------------------------
+# §2.2/2.6/2.8 search: projection + lucene predicates + order/limit
+# --------------------------------------------------------------------------
+
+def q_search(spark, sf_dir):
+    cfg = ChartConfig(
+        source=_src(),
+        select="event_id, ts, event_type, value",
+        where="event_type:error value:>=30",
+        where_language="lucene",
+        order_by="ts DESC, event_id DESC",
+        limit=200,
+        date_range=RANGE,
+    )
+    return compile_chart_config(spark, cfg, sf_dir=sf_dir)
+
+
+O_SEARCH = f"""
+SELECT event_id, ts, event_type, value FROM events
+WHERE {TIME_WHERE} AND lower(event_type) LIKE '%error%' AND value >= 30
+ORDER BY ts DESC, event_id DESC LIMIT 200
+"""
+
+# --------------------------------------------------------------------------
+# §2.4 aggregations + §2.1 time bucketing + lucene implicit search
+# --------------------------------------------------------------------------
+
+def q_timeseries_error_5m(spark, sf_dir):
+    cfg = ChartConfig(
+        source=_src(),
+        select=[SelectCol(agg_fn="count", alias="cnt")],
+        where="error",
+        where_language="lucene",
+        granularity="5 minute",
+        group_by=["event_type"],
+        date_range=RANGE,
+    )
+    return compile_chart_config(spark, cfg, sf_dir=sf_dir)
+
+
+O_TIMESERIES = f"""
+SELECT make_timestamp((floor(epoch(ts))::BIGINT // 300) * 300 * 1000000) AS __timestamp,
+       event_type, count(*) AS cnt
+FROM events
+WHERE {TIME_WHERE}
+  AND list_contains(list_filter(string_split_regex(lower(concat_ws(' ', event_type, props)), '[^a-z0-9]+'), t -> t != ''), 'error')
+GROUP BY 1, 2
+"""
+
+
+def q_multi_agg(spark, sf_dir):
+    cfg = ChartConfig(
+        source=_src(),
+        select=[
+            SelectCol(agg_fn="sum", value_expression="value", alias="sum_v"),
+            SelectCol(agg_fn="avg", value_expression="value", alias="avg_v"),
+            SelectCol(agg_fn="min", value_expression="value", alias="min_v"),
+            SelectCol(agg_fn="max", value_expression="value", alias="max_v"),
+            SelectCol(agg_fn="quantile", value_expression="value", level=0.9, alias="p90_v"),
+            SelectCol(agg_fn="count_distinct", value_expression="user_id", alias="users"),
+        ],
+        group_by=["event_type"],
+        date_range=RANGE,
+    )
+    return _round4(compile_chart_config(spark, cfg, sf_dir=sf_dir, settings=EXACT))
+
+
+_NUMV = "CASE WHEN value IS NULL THEN NULL ELSE coalesce(try_cast(value AS DOUBLE), 0.0) END"
+O_MULTI_AGG = f"""
+SELECT event_type,
+       round(sum({_NUMV}), 4) AS sum_v,
+       round(avg({_NUMV}), 4) AS avg_v,
+       round(min({_NUMV}), 4) AS min_v,
+       round(max({_NUMV}), 4) AS max_v,
+       round(quantile_cont({_NUMV}, 0.9), 4) AS p90_v,
+       count(DISTINCT user_id) AS users
+FROM events WHERE {TIME_WHERE}
+GROUP BY 1
+"""
+
+
+def q_conditional_agg(spark, sf_dir):
+    cfg = ChartConfig(
+        source=_src(),
+        select=[
+            SelectCol(agg_fn="count", agg_condition="event_type:error", alias="errors"),
+            SelectCol(agg_fn="count", agg_condition="event_type:click", alias="clicks"),
+        ],
+        granularity="1 day",
+        date_range=RANGE,
+    )
+    return compile_chart_config(spark, cfg, sf_dir=sf_dir)
+
+
+O_CONDITIONAL = f"""
+SELECT make_timestamp((floor(epoch(ts))::BIGINT // 86400) * 86400 * 1000000) AS __timestamp,
+       count(*) FILTER (lower(event_type) LIKE '%error%') AS errors,
+       count(*) FILTER (lower(event_type) LIKE '%click%') AS clicks
+FROM events
+WHERE {TIME_WHERE}
+  AND (lower(event_type) LIKE '%error%' OR lower(event_type) LIKE '%click%')
+GROUP BY 1
+"""
+
+
+def q_having(spark, sf_dir):
+    cfg = ChartConfig(
+        source=_src(),
+        select=[SelectCol(agg_fn="avg", value_expression="value", alias="avg_v")],
+        group_by=["event_type"],
+        having="avg_v > 10",
+        date_range=RANGE,
+    )
+    return _round4(compile_chart_config(spark, cfg, sf_dir=sf_dir, settings=EXACT))
+
+
+O_HAVING = f"""
+SELECT event_type, round(avg({_NUMV}), 4) AS avg_v
+FROM events WHERE {TIME_WHERE}
+GROUP BY 1 HAVING avg({_NUMV}) > 10
+"""
+
+# --------------------------------------------------------------------------
+# §2.6 top-N series cap (broadcast semi-join)
+# --------------------------------------------------------------------------
+
+def q_series_limit(spark, sf_dir):
+    cfg = ChartConfig(
+        source=_src(),
+        select=[SelectCol(agg_fn="count", alias="cnt")],
+        granularity="1 day",
+        group_by=["event_type"],
+        series_limit=2,
+        date_range=RANGE,
+    )
+    return compile_chart_config(spark, cfg, sf_dir=sf_dir)
+
+
+O_SERIES_LIMIT = f"""
+WITH b AS (
+  SELECT make_timestamp((floor(epoch(ts))::BIGINT // 86400) * 86400 * 1000000) AS __timestamp,
+         event_type, count(*) AS cnt
+  FROM events WHERE {TIME_WHERE} GROUP BY 1, 2),
+top AS (SELECT event_type FROM b GROUP BY 1 ORDER BY max(cnt) DESC, event_type LIMIT 2)
+SELECT b.* FROM b SEMI JOIN top USING (event_type)
+"""
+
+# --------------------------------------------------------------------------
+# §2.11 zero-fill of empty buckets
+# --------------------------------------------------------------------------
+
+def q_fill_zero(spark, sf_dir):
+    cfg = ChartConfig(
+        source=_src(),
+        select=[SelectCol(agg_fn="count", alias="cnt")],
+        where='event_type:"signup"',
+        granularity="6 hour",
+        date_range=(datetime(2024, 1, 1), datetime(2024, 1, 8)),
+        fill_nulls=0.0,
+    )
+    return compile_chart_config(spark, cfg, sf_dir=sf_dir)
+
+
+O_FILL_ZERO = """
+WITH c AS (
+  SELECT make_timestamp((floor(epoch(ts))::BIGINT // 21600) * 21600 * 1000000) AS b,
+         count(*) AS cnt
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-01' AND ts <= TIMESTAMP '2024-01-08'
+    AND event_type = 'signup'
+  GROUP BY 1),
+spine AS (SELECT make_timestamp(s * 1000000) AS b
+          FROM generate_series(1704067200, 1704672000, 21600) t(s))
+SELECT spine.b AS __timestamp, coalesce(c.cnt::DOUBLE, 0.0) AS cnt
+FROM spine LEFT JOIN c USING (b)
+"""
+
+# --------------------------------------------------------------------------
+# §1.4/2.8 JSON dot-path field resolution
+# --------------------------------------------------------------------------
+
+def q_json_path(spark, sf_dir):
+    cfg = ChartConfig(
+        source=_src(),
+        select=[SelectCol(agg_fn="count", alias="cnt")],
+        where="props.k:>=50",
+        where_language="lucene",
+        granularity="1 day",
+        date_range=RANGE,
+    )
+    return compile_chart_config(spark, cfg, sf_dir=sf_dir)
+
+
+O_JSON_PATH = f"""
+SELECT make_timestamp((floor(epoch(ts))::BIGINT // 86400) * 86400 * 1000000) AS __timestamp,
+       count(*) AS cnt
+FROM events
+WHERE {TIME_WHERE}
+  AND try_cast(coalesce(json_extract_string(props, '$.k'), '') AS DOUBLE) >= 50
+GROUP BY 1
+"""
+
+# --------------------------------------------------------------------------
+# §2.4 last_value (deterministic argMax)
+# --------------------------------------------------------------------------
+
+def q_last_value(spark, sf_dir):
+    cfg = ChartConfig(
+        source=_src(),
+        select=[SelectCol(agg_fn="last_value", value_expression="value", alias="last_v")],
+        group_by=["event_type"],
+        date_range=RANGE,
+    )
+    return _round4(compile_chart_config(spark, cfg, sf_dir=sf_dir))
+
+
+O_LAST_VALUE = f"""
+SELECT event_type, round(arg_max(value, ts), 4) AS last_v
+FROM events WHERE {TIME_WHERE} GROUP BY 1
+"""
+
+# --------------------------------------------------------------------------
+# §2.3/2.11 ratio series
+# --------------------------------------------------------------------------
+
+def q_error_ratio(spark, sf_dir):
+    cfg = ChartConfig(
+        source=_src(),
+        select=[
+            SelectCol(agg_fn="count", agg_condition="event_type:error", alias="errors"),
+            SelectCol(agg_fn="count", alias="total"),
+        ],
+        granularity="1 day",
+        date_range=RANGE,
+    )
+    df = compile_chart_config(spark, cfg, sf_dir=sf_dir)
+    out = compute_ratio(df, numerator="errors", denominator="total").select(
+        "__timestamp", "ratio"
+    )
+    return _round4(out)
+
+
+O_ERROR_RATIO = f"""
+SELECT make_timestamp((floor(epoch(ts))::BIGINT // 86400) * 86400 * 1000000) AS __timestamp,
+       round(count(*) FILTER (lower(event_type) LIKE '%error%')::DOUBLE / count(*), 4) AS ratio
+FROM events WHERE {TIME_WHERE} GROUP BY 1
+"""
+
+
+def q_share_of_total(spark, sf_dir):
+    cfg = ChartConfig(
+        source=_src(),
+        select=[SelectCol(agg_fn="count", alias="cnt")],
+        granularity="1 day",
+        group_by=["event_type"],
+        date_range=RANGE,
+    )
+    df = compile_chart_config(spark, cfg, sf_dir=sf_dir)
+    out = compute_ratio(
+        df, numerator="cnt", denominator="cnt", mode="share_of_total", alias="share"
+    ).select("__timestamp", "event_type", "share")
+    return _round4(out)
+
+
+O_SHARE = f"""
+WITH b AS (
+  SELECT make_timestamp((floor(epoch(ts))::BIGINT // 86400) * 86400 * 1000000) AS __timestamp,
+         event_type, count(*) AS cnt
+  FROM events WHERE {TIME_WHERE} GROUP BY 1, 2)
+SELECT __timestamp, event_type,
+       round(cnt::DOUBLE / sum(cnt::DOUBLE) OVER (PARTITION BY __timestamp), 4) AS share
+FROM b
+"""
+
+# --------------------------------------------------------------------------
+# §2.9 metric semantics on the events stream
+# --------------------------------------------------------------------------
+
+def q_gauge_last(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    out = metrics.gauge_bucket(
+        ev, ts="ts", value="value", series_cols=["user_id"],
+        group_cols=["event_type"], bucket_seconds=86400, agg="avg", value_alias="v",
+    )
+    return _round4(out)
+
+
+O_GAUGE = """
+WITH g AS (
+  SELECT make_timestamp((floor(epoch(ts))::BIGINT // 86400) * 86400 * 1000000) AS __timestamp,
+         user_id, event_type, arg_max(value, ts) AS lastv
+  FROM events GROUP BY 1, 2, 3)
+SELECT __timestamp, event_type, round(avg(lastv), 4) AS v FROM g GROUP BY 1, 2
+"""
+
+
+def q_counter_rate(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    out = metrics.counter_rate(
+        ev, ts="ts", value="value", series_cols=["event_type"],
+        group_cols=["event_type"], bucket_seconds=86400, value_alias="rate",
+    )
+    return _round4(out)
+
+
+O_COUNTER_RATE = """
+WITH d AS (
+  SELECT event_type, ts, value,
+         lag(value) OVER (PARTITION BY event_type ORDER BY ts) AS prev
+  FROM events)
+SELECT make_timestamp((floor(epoch(ts))::BIGINT // 86400) * 86400 * 1000000) AS __timestamp,
+       event_type,
+       round(sum(CASE WHEN prev IS NULL THEN NULL ELSE greatest(value - prev, 0) END), 4) AS rate
+FROM d GROUP BY 1, 2
+"""
+
+
+def q_increase_top3(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    out = metrics.counter_increase(
+        ev, ts="ts", value="value", series_cols=["event_type"],
+        group_cols=["event_type"], bucket_seconds=86400, top_groups=3,
+        value_alias="inc",
+    )
+    return _round4(out)
+
+
+O_INCREASE = """
+WITH d AS (
+  SELECT event_type, ts, value,
+         lag(value) OVER (PARTITION BY event_type ORDER BY ts) AS prev
+  FROM events),
+r AS (
+  SELECT make_timestamp((floor(epoch(ts))::BIGINT // 86400) * 86400 * 1000000) AS __timestamp,
+         event_type,
+         sum(CASE WHEN prev IS NULL THEN NULL ELSE greatest(value - prev, 0) END) AS inc
+  FROM d GROUP BY 1, 2),
+top AS (
+  SELECT event_type FROM r GROUP BY 1
+  ORDER BY sum(inc) DESC NULLS LAST, event_type LIMIT 3)
+SELECT __timestamp, event_type, round(inc, 4) AS inc FROM r SEMI JOIN top USING (event_type)
+"""
+
+# --------------------------------------------------------------------------
+# §2.11 heatmap bucketing
+# --------------------------------------------------------------------------
+
+def q_heatmap(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    b = (
+        ev.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "ybucket",
+            F.least(
+                F.floor((F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 20),
+                F.lit(19),
+            ).cast("int"),
+        )
+        .groupBy(
+            F.timestamp_seconds(
+                (F.unix_timestamp("ts") / 86400).cast("long") * 86400
+            ).alias("__timestamp"),
+            "ybucket",
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    return b
+
+
+O_HEATMAP = """
+WITH bounds AS (SELECT min(value) lo, max(value) hi FROM events)
+SELECT make_timestamp((floor(epoch(ts))::BIGINT // 86400) * 86400 * 1000000) AS __timestamp,
+       least(floor((value - lo) / (hi - lo) * 20), 19)::INT AS ybucket,
+       count(*) AS cnt
+FROM events, bounds GROUP BY 1, 2
+"""
+
+# --------------------------------------------------------------------------
+# TPC-H-style relational analytics (joins / wide aggs)
+# --------------------------------------------------------------------------
+
+def q_tpch_q1(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = "decimal(38,6)"
+    out = (
+        li.where(F.col("l_shipdate") <= F.lit(datetime(2000, 9, 2)))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(dec)).alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(dec)).alias("sum_base_price"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(dec)
+            ).alias("sum_disc_price"),
+            F.sum(
+                (
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ).cast(dec)
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+    return out
+
+
+O_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity::DECIMAL(38,6)) AS sum_qty,
+       sum(l_extendedprice::DECIMAL(38,6)) AS sum_base_price,
+       sum((l_extendedprice * (1 - l_discount))::DECIMAL(38,6)) AS sum_disc_price,
+       sum((l_extendedprice * (1 - l_discount) * (1 + l_tax))::DECIMAL(38,6)) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_tpch_q3(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    dec = "decimal(38,6)"
+    out = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .where(
+            (F.col("c_mktsegment") == "BUILDING")
+            & (F.col("o_orderdate") < F.lit(datetime(1998, 3, 15)))
+            & (F.col("l_shipdate") > F.lit(datetime(1998, 3, 15)))
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(dec)
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+    return out
+
+
+O_TPCH_Q3 = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       sum((l_extendedprice * (1 - l_discount))::DECIMAL(38,6)) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+def q_tpch_q5ish(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    dec = "decimal(38,6)"
+    out = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .where(
+            (F.col("o_orderdate") >= F.lit(datetime(1996, 1, 1)))
+            & (F.col("o_orderdate") < F.lit(datetime(1997, 1, 1)))
+        )
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(dec)
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+    return out
+
+
+O_TPCH_Q5 = """
+SELECT r_name, n_name,
+       sum((l_extendedprice * (1 - l_discount))::DECIMAL(38,6)) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY 1, 2
+"""
+
+
+def q_top_customers(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    dec = "decimal(38,6)"
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast(dec)).alias("total_spend"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy(F.desc("total_spend"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+O_TOP_CUSTOMERS = """
+SELECT c_custkey, c_name,
+       sum(o_totalprice::DECIMAL(38,6)) AS total_spend,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1, 2 ORDER BY total_spend DESC, c_custkey LIMIT 10
+"""
+
+# --------------------------------------------------------------------------
+# Training-data pipeline: text analysis
+# --------------------------------------------------------------------------
+
+def q_text_stats(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = (
+        text.analyze(docs)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+            F.round(F.avg("stopword_ratio"), 4).alias("avg_sw_ratio"),
+            F.count_if(F.col("lang_pred") == "en").alias("n_en"),
+        )
+    )
+    return out
+
+
+_TOKS = "list_filter(string_split_regex(lower(text), '[^a-zA-Z0-9]+'), t -> t != '')"
+_SW = "['the','a','an','and','or','of','to','in','is','are','was','were','be','been','it','that','this','with','as','for','on','at','by','from','not','but','had','has','have','he','she','they','we','you','i','his','her','its']"
+_SW_RATIO = (
+    f"(CASE WHEN len({_TOKS}) > 0 THEN "
+    f"len(list_filter({_TOKS}, t -> list_contains({_SW}, t)))::DOUBLE / len({_TOKS}) "
+    f"ELSE 0.0 END)"
+)
+_N = "length(text)::DOUBLE"
+_PUNCT = r"length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))"
+_DIGIT = f"(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))"
+_QUALITY = (
+    f"((least({_N} / 500.0, 1.0)"
+    f" + (1.0 - least({_PUNCT}::DOUBLE / greatest({_N}, 1.0) * 5.0, 1.0))"
+    f" + (1.0 - least({_DIGIT}::DOUBLE / greatest({_N}, 1.0) * 5.0, 1.0))"
+    f" + least({_SW_RATIO} * 4.0, 1.0)) / 4.0)"
+)
+O_TEXT_STATS = f"""
+SELECT source,
+       count(*) AS n_docs,
+       sum(len({_TOKS})) AS total_tokens,
+       round(avg({_QUALITY}), 4) AS avg_quality,
+       round(avg({_SW_RATIO}), 4) AS avg_sw_ratio,
+       count(*) FILTER ({_SW_RATIO} >= 0.08) AS n_en
+FROM documents GROUP BY 1
+"""
+
+# --------------------------------------------------------------------------
+# Training-data pipeline: dedup family
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_duplicates(docs)
+
+
+O_DEDUP_EXACT = r"""
+SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+       min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def _docs_with_near_dups(spark, sf_dir):
+    """documents UNION a deterministic mutation (known near-dups) so the
+    near-dup operators have true positives to find at any sf."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" mutated tail")).alias("text"),
+    )
+    return docs.unionByName(mutated)
+
+
+O_DOCS_NEAR = """
+docs_near AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' mutated tail' AS text
+  FROM documents WHERE doc_id % 10 = 0)
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    df = _docs_with_near_dups(spark, sf_dir)
+    out = dedup.ngram_jaccard_pairs(df, n=3, threshold=0.6)
+    return _round4(out)
+
+
+O_NGRAM_JACCARD = f"""
+WITH {O_DOCS_NEAR},
+toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-zA-Z0-9]+'), t -> t != '') AS tk
+  FROM docs_near),
+sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(tk) >= 3
+           THEN list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+           ELSE [array_to_string(tk, ' ')] END) AS shingles
+  FROM toks),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM ex a JOIN ex b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(n_inter::DOUBLE / (sa.sz + sb.sz - n_inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_inter::DOUBLE / (sa.sz + sb.sz - n_inter) >= 0.6
+"""
+
+
+def q_minhash_lsh(spark, sf_dir):
+    df = _docs_with_near_dups(spark, sf_dir)
+    out = dedup.minhash_lsh_pairs(
+        df, num_hashes=32, bands=8, ngram=3, verify_threshold=0.6
+    )
+    return _round4(out)
+
+
+def q_simhash_pairs(spark, sf_dir):
+    df = _docs_with_near_dups(spark, sf_dir)
+    return dedup.simhash_near_duplicates(df, max_hamming=3, blocks=4)
+
+
+# --------------------------------------------------------------------------
+# Training-data pipeline: similarity search
+# --------------------------------------------------------------------------
+
+def q_ann_cosine(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.cosine_topk(emb, emb.where(F.col("vec_id") < 3), k=5)
+    return _round4(out)
+
+
+O_ANN_COSINE = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+scored AS (
+  SELECT q.query_id, e.vec_id AS match_id,
+         list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i]::DOUBLE * e.embedding[i]::DOUBLE))
+           / (sqrt(list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE)))
+              * sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))) AS cos
+  FROM embeddings e, q WHERE e.vec_id != q.query_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, match_id) AS rank
+  FROM scored)
+SELECT query_id, match_id, round(cos, 4) AS cos, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def q_ann_lsh(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _round4(
+        similarity.cosine_topk_lsh(
+            emb, emb.where(F.col("vec_id") < 3), k=5, num_planes=16, bands=8
+        )
+    )
+
+
+def q_embedding_dedup(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _round4(similarity.cosine_pairs(emb, threshold=0.5))
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing (stubbed decode — rows-only check)
+# --------------------------------------------------------------------------
+
+def q_multimodal_features(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.media_from_documents(docs)
+    return multimodal.decode_media(media, fake=True)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q_search": q_search,
+        "q_timeseries_error_5m": q_timeseries_error_5m,
+        "q_multi_agg": q_multi_agg,
+        "q_conditional_agg": q_conditional_agg,
+        "q_having": q_having,
+        "q_series_limit": q_series_limit,
+        "q_fill_zero": q_fill_zero,
+        "q_json_path": q_json_path,
+        "q_last_value": q_last_value,
+        "q_error_ratio": q_error_ratio,
+        "q_share_of_total": q_share_of_total,
+        "q_gauge_last": q_gauge_last,
+        "q_counter_rate": q_counter_rate,
+        "q_increase_top3": q_increase_top3,
+        "q_heatmap": q_heatmap,
+        "q_tpch_q1": q_tpch_q1,
+        "q_tpch_q3": q_tpch_q3,
+        "q_tpch_q5ish": q_tpch_q5ish,
+        "q_top_customers": q_top_customers,
+        "q_text_stats": q_text_stats,
+        "q_dedup_exact": q_dedup_exact,
+        "q_ngram_jaccard": q_ngram_jaccard,
+        "q_minhash_lsh": q_minhash_lsh,
+        "q_simhash_pairs": q_simhash_pairs,
+        "q_ann_cosine": q_ann_cosine,
+        "q_ann_lsh": q_ann_lsh,
+        "q_embedding_dedup": q_embedding_dedup,
+        "q_multimodal_features": q_multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q_search": O_SEARCH,
+        "q_timeseries_error_5m": O_TIMESERIES,
+        "q_multi_agg": O_MULTI_AGG,
+        "q_conditional_agg": O_CONDITIONAL,
+        "q_having": O_HAVING,
+        "q_series_limit": O_SERIES_LIMIT,
+        "q_fill_zero": O_FILL_ZERO,
+        "q_json_path": O_JSON_PATH,
+        "q_last_value": O_LAST_VALUE,
+        "q_error_ratio": O_ERROR_RATIO,
+        "q_share_of_total": O_SHARE,
+        "q_gauge_last": O_GAUGE,
+        "q_counter_rate": O_COUNTER_RATE,
+        "q_increase_top3": O_INCREASE,
+        "q_heatmap": O_HEATMAP,
+        "q_tpch_q1": O_TPCH_Q1,
+        "q_tpch_q3": O_TPCH_Q3,
+        "q_tpch_q5ish": O_TPCH_Q5,
+        "q_top_customers": O_TOP_CUSTOMERS,
+        "q_text_stats": O_TEXT_STATS,
+        "q_dedup_exact": O_DEDUP_EXACT,
+        "q_ngram_jaccard": O_NGRAM_JACCARD,
+        "q_ann_cosine": O_ANN_COSINE,
+        # q_minhash_lsh, q_simhash_pairs, q_ann_lsh, q_embedding_dedup,
+        # q_multimodal_features: hash-based/stubbed ops -> rows-only check
+    }

@@ -62,16 +62,45 @@ def drop_exact_duplicates(
 # ---------------------------------------------------------------- shingles
 
 def word_shingles(text_col: str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of the document."""
+    """Distinct word n-gram shingles of the document.
+
+    NOTE: higher-order-function lambdas are interpreted (never codegen'd) in
+    Spark, and any expression referenced inside a lambda is re-evaluated per
+    element — so this Column form re-tokenizes the document once per shingle.
+    Fine for a handful of rows; in bulk pipelines use ``shingle_table`` which
+    materializes the token array in its own projection first (~25× faster).
+    """
     toks = tokens(text_col)
-    return F.array_distinct(
-        F.when(
-            F.size(toks) >= n,
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - n),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-            ),
-        ).otherwise(F.array(F.concat_ws(" ", toks)))
+    return F.array_distinct(_shingles_of(toks, n))
+
+
+def _shingles_of(toks: Column, n: int) -> Column:
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def shingle_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, sh: array<string>) with distinct word n-gram shingles.
+
+    Two separate projections — tokens, then shingles — so the token array is
+    computed once per row instead of once per shingle (Catalyst keeps the
+    projections apart because the token column is referenced many times).
+    Input is spread across the cluster first: tiny parquet files arrive as
+    1-2 splits and would otherwise serialize this, the expensive step.
+    """
+    spark = df.sparkSession
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+    base = base.repartition(spark.sparkContext.defaultParallelism, "id")
+    tk = base.select("id", tokens("__text").alias("__tk"))
+    return tk.select(
+        "id", F.array_distinct(_shingles_of(F.col("__tk"), n)).alias("sh")
     )
 
 
@@ -96,21 +125,33 @@ def ngram_jaccard_pairs(
     (stop-shingles) — at corpus scale this bounds the join fan-out; the
     resulting measure is then approximate on those pairs.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"), F.explode(word_shingles(text_col, n)).alias("s")
-    )
+    shingle_tbl = shingle_table(df, text_col, id_col, n)
+    sh = shingle_tbl.select("id", F.explode("sh").alias("s"))
+    # Inverted index as ONE aggregation: group docs per shingle, generate
+    # in-posting pairs (posting lists are short once stop-shingles are
+    # dropped), count co-occurrences. Compared to the classic self-join this
+    # evaluates the shingle pipeline once and shuffles each posting once.
+    postings = sh.groupBy("s").agg(F.sort_array(F.collect_set("id")).alias("ids"))
     if max_shingle_df is not None:
-        hot = sh.groupBy("s").count().where(F.col("count") > max_shingle_df).select("s")
-        sh = sh.join(F.broadcast(hot), on="s", how="left_anti")
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+        postings = postings.where(F.size("ids") <= max_shingle_df)
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
+        )
+    )
     inter = (
-        a.join(b, on="s")
-        .where(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        postings.where(F.size("ids") > 1)
+        .select(pair.alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count("*").alias("inter"))
     )
+    sizes = shingle_tbl.select("id", F.size("sh").alias("sz"))
     out = (
         inter.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), on="id_a")
         .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), on="id_b")
@@ -151,22 +192,43 @@ def minhash_lsh_pairs(
     bands: int = 8,
     ngram: int = 3,
     verify_threshold: Optional[float] = 0.5,
+    max_bucket_size: Optional[int] = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash banding.
 
     num_hashes/bands rows per band; docs colliding in any band become
     candidates; optional exact-Jaccard verification on the (small) candidate
     set. Only bucket collisions are joined — all-pairs work never happens.
+
+    Scale notes: the band self-join shuffles ONLY (id, band, bucket) rows —
+    shingle sets are re-attached to the (much smaller) surviving pair list
+    afterwards, so the wide arrays never ride through the candidate shuffle.
+    ``max_bucket_size`` drops degenerate mega-buckets (boilerplate docs) whose
+    n² pair fan-out would otherwise dominate; near-dup pipelines at corpus
+    scale always cap these (pairs in a dropped bucket usually also collide in
+    a healthier band).
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(text_col, num_hashes, ngram).alias("sig"),
-        word_shingles(text_col, ngram).alias("sh"),
+    shingle_tbl = shingle_table(df, text_col, id_col, ngram)
+    # Signature via explode + 32 min-aggregates (NOT a nested higher-order
+    # function): one md5 per (shingle, seed), whole-stage codegen, map-side
+    # partial min. The nested-transform formulation forces interpreted
+    # expression eval with per-seed shingle recomputation — ~100× slower.
+    exploded = shingle_tbl.select("id", F.explode("sh").alias("s"))
+    sig = (
+        exploded.groupBy("id")
+        .agg(
+            *[
+                F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"__h{i}")
+                for i in range(num_hashes)
+            ]
+        )
+        .select(
+            "id", F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("sig")
+        )
     )
     banded = sig.select(
         "id",
-        "sh",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -180,22 +242,38 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("bb"),
-    ).select("id", "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = (
-        a.join(b, on=["band", "bucket"])
-        .where(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # Bucket members meet via ONE aggregation (collect ids per (band,bucket),
+    # emit in-bucket pairs) instead of a self-join — the signature pipeline
+    # is evaluated once and only bucket ids are shuffled.
+    buckets = banded.groupBy("band", "bucket").agg(
+        F.sort_array(F.collect_set("id")).alias("ids")
+    )
+    if max_bucket_size is not None:
+        buckets = buckets.where(F.size("ids") <= max_bucket_size)
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
         )
+    )
+    cand = (
+        buckets.where(F.size("ids") > 1)
+        .select(pair.alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
     if verify_threshold is None:
-        return cand.select("id_a", "id_b")
+        return cand
+    shingle_sets = shingle_tbl.select("id", "sh")
+    cand = cand.join(
+        shingle_sets.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), on="id_a"
+    ).join(shingle_sets.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), on="id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = (F.size("sh_a") + F.size("sh_b") - inter).cast("double")
     return (
@@ -244,8 +322,34 @@ def simhash_near_duplicates(
     """SimHash near-dup pairs: by pigeonhole, two fingerprints within
     max_hamming bits (max_hamming < blocks) agree on at least one of
     ``blocks`` contiguous 16-bit chunks — block on each chunk, then verify
-    the Hamming distance with bit_count(xor)."""
-    hs = df.select(F.col(id_col).alias("id"), simhash(text_col).alias("h"))
+    the Hamming distance with bit_count(xor).
+
+    Fingerprints are computed distributed via explode + 64 bit-vote
+    aggregates (same bits as the ``simhash`` column function, but codegen'd
+    with map-side combine instead of interpreted nested lambdas)."""
+    spark = df.sparkSession
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+    base = base.repartition(spark.sparkContext.defaultParallelism, "id")
+    tok = base.select(
+        "id", F.explode_outer(tokens("__text")).alias("t")
+    ).select("id", F.xxhash64("t").alias("th"))
+    votes = tok.groupBy("id").agg(
+        F.count("th").alias("__n"),
+        *[
+            F.coalesce(
+                F.sum(F.bit_get("th", F.lit(b)).cast("long")), F.lit(0)
+            ).alias(f"__b{b}")
+            for b in range(64)
+        ],
+    )
+    packed = None
+    for b in range(64):
+        bit = F.when(
+            F.col(f"__b{b}") * 2 > F.col("__n"),
+            F.shiftleft(F.lit(1).cast("long"), b),
+        ).otherwise(F.lit(0).cast("long"))
+        packed = bit if packed is None else packed + bit
+    hs = votes.select("id", packed.alias("h"))
     chunk_bits = 64 // blocks
     blocked = hs.select(
         "id",

@@ -22,8 +22,10 @@ from pyspark.sql import functions as F
 
 def dot(a: Column, b: Column) -> Column:
     """Element-wise dot product of two array<numeric> columns (JVM-side)."""
+    # cast each element BEFORE multiplying: float32 multiply then widen gives
+    # different bits than double multiply (matters for oracle determinism)
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
@@ -31,7 +33,9 @@ def dot(a: Column, b: Column) -> Column:
 
 def norm(a: Column) -> Column:
     return F.sqrt(
-        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + (x * x).cast("double"))
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
     )
 
 
