@@ -419,6 +419,175 @@ SELECT __timestamp, event_type, round(inc, 4) AS inc FROM r SEMI JOIN top USING 
 """
 
 # --------------------------------------------------------------------------
+# §2.9 histogram metrics — synthesized histogram series over events so the
+# array pipelines are oracle-checkable relationally
+# --------------------------------------------------------------------------
+
+def q_hist_count(spark, sf_dir):
+    """Cumulative Count series with periodic resets (rn % 50) per event_type."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    rn = F.row_number().over(
+        Window.partitionBy("event_type").orderBy("ts", "event_id")
+    )
+    series = ev.withColumn("cnt", (rn % 50).cast("long"))
+    out = metrics.histogram_count(
+        series, ts="ts", count="cnt", series_cols=["event_type"],
+        bucket_seconds=86400, group_cols=["event_type"], value_alias="total",
+    )
+    return out
+
+
+O_HIST_COUNT = """
+WITH s AS (
+  SELECT event_type, ts,
+         (row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) % 50)::BIGINT AS cnt
+  FROM events),
+d AS (
+  SELECT event_type, ts, cnt,
+         lag(cnt) OVER (PARTITION BY event_type ORDER BY ts) AS prev
+  FROM s)
+SELECT make_timestamp((floor(epoch(ts))::BIGINT // 86400) * 86400 * 1000000) AS __timestamp,
+       event_type,
+       sum(CASE WHEN prev IS NULL THEN 0
+                WHEN cnt < prev THEN cnt
+                ELSE cnt - prev END) AS total
+FROM d GROUP BY 1, 2
+"""
+
+
+def q_hist_quantile(spark, sf_dir):
+    """Explicit-bounds histogram p51.7: per (event_type, hour) delta
+    histograms of `value` with bounds 50..450, quantile per day."""
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.timestamp_seconds(
+        (F.unix_timestamp("ts") / 3600).cast("long") * 3600
+    ).alias("h")
+    idx = F.least(F.floor(F.col("value") / 50), F.lit(9)).cast("int").alias("i")
+    counts = ev.groupBy(hour, F.col("event_type"), idx).agg(F.count("*").alias("c"))
+    rows = (
+        counts.groupBy("h", "event_type")
+        .agg(F.map_from_entries(F.collect_list(F.struct("i", "c"))).alias("m"))
+        .select(
+            "h",
+            "event_type",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(9)),
+                lambda j: F.coalesce(F.element_at(F.col("m"), j.cast("int")), F.lit(0)),
+            ).alias("counts"),
+            F.array(*[F.lit(50.0 * i) for i in range(1, 10)]).alias("bounds"),
+        )
+    )
+    out = metrics.histogram_quantile(
+        rows, ts="h", bucket_counts="counts", explicit_bounds="bounds",
+        series_cols=["event_type"], bucket_seconds=86400, level=0.517,
+        cumulative=False, value_alias="p50",
+    )
+    return _round4(out)
+
+
+O_HIST_QUANTILE = """
+WITH c AS (
+  SELECT make_timestamp((floor(epoch(ts))::BIGINT // 86400) * 86400 * 1000000) AS __timestamp,
+         least(floor(value / 50), 9)::INT AS i, count(*)::DOUBLE AS c
+  FROM events GROUP BY 1, 2),
+t AS (
+  SELECT *, sum(c) OVER (PARTITION BY __timestamp ORDER BY i) AS cum,
+         0.517 * sum(c) OVER (PARTITION BY __timestamp) AS rank
+  FROM c),
+pick AS (
+  SELECT __timestamp, min(i) AS i FROM t WHERE cum >= rank GROUP BY 1)
+SELECT t.__timestamp,
+       round(CASE WHEN t.i >= 9 THEN 450.0
+             ELSE 50.0 * t.i + 50.0 * (t.rank - (t.cum - t.c)) / t.c END, 4) AS p50
+FROM t JOIN pick ON t.__timestamp = pick.__timestamp AND t.i = pick.i
+"""
+
+
+def q_exp_hist_quantile(spark, sf_dir):
+    """Exponential-histogram p48.3 with mixed scales (error series at scale 1,
+    everything else at scale 0) — exercises downscale-merge + zero bucket."""
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.timestamp_seconds(
+        (F.unix_timestamp("ts") / 3600).cast("long") * 3600
+    ).alias("h")
+    scale = F.when(F.col("event_type") == "error", 1).otherwise(0)
+    idx = (F.floor("value").cast("long") % 8).alias("i")
+    zero = (
+        ev.groupBy(hour, "event_type")
+        .agg(F.count_if(F.col("value") < 1).alias("zero"))
+    )
+    pairs = (
+        ev.where(F.col("value") >= 1)
+        .groupBy(hour, F.col("event_type"), idx)
+        .agg(F.count("*").alias("c"))
+    )
+    arrays = (
+        pairs.groupBy("h", "event_type")
+        .agg(
+            F.min("i").alias("off"),
+            F.max("i").alias("mx"),
+            F.map_from_entries(F.collect_list(F.struct("i", "c"))).alias("m"),
+        )
+        .select(
+            "h", "event_type", "off",
+            F.transform(
+                F.sequence(F.col("off"), F.col("mx")),
+                lambda j: F.coalesce(F.element_at(F.col("m"), j), F.lit(0)).cast("long"),
+            ).alias("pos"),
+        )
+    )
+    rows = (
+        zero.join(arrays, on=["h", "event_type"], how="left")
+        .select(
+            "h", "event_type",
+            scale.alias("scale"),
+            F.col("zero").cast("long").alias("zero"),
+            F.coalesce("off", F.lit(0)).alias("pos_off"),
+            F.coalesce("pos", F.array().cast("array<long>")).alias("pos"),
+            F.lit(0).cast("long").alias("neg_off"),
+            F.array().cast("array<long>").alias("neg"),
+            F.lit(1).alias("temp"),
+        )
+    )
+    out = metrics.exp_histogram_quantile(
+        rows, ts="h", start_ts="h", scale="scale", zero_count="zero",
+        pos_offset="pos_off", pos_counts="pos", neg_offset="neg_off",
+        neg_counts="neg", series_cols=["event_type"], bucket_seconds=86400,
+        level=0.483, temporality_col="temp", value_alias="p",
+    )
+    return _round4(out)
+
+
+O_EXP_HIST_QUANTILE = """
+WITH e AS (
+  SELECT make_timestamp((floor(epoch(ts))::BIGINT // 86400) * 86400 * 1000000) AS d,
+         event_type, value,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS scale
+  FROM events),
+entries AS (
+  SELECT d, 0 AS side, 0::BIGINT AS i, count(*) FILTER (value < 1)::DOUBLE AS c
+  FROM e GROUP BY d
+  UNION ALL
+  SELECT d, 1 AS side,
+         (floor(value)::BIGINT % 8) // (CASE WHEN scale = 1 THEN 2 ELSE 1 END) AS i,
+         count(*)::DOUBLE AS c
+  FROM e WHERE value >= 1 GROUP BY d, 2, 3),
+t AS (
+  SELECT *, sum(c) OVER (PARTITION BY d ORDER BY side, i) AS cum,
+         0.483 * sum(c) OVER (PARTITION BY d) AS rank
+  FROM entries),
+pick AS (
+  SELECT DISTINCT ON (d) d, side, i
+  FROM t WHERE c > 0 AND cum >= rank ORDER BY d, side, i)
+SELECT t.d AS __timestamp,
+       round(CASE WHEN t.side = 0 THEN 0.0
+             ELSE pow(2.0, t.i + (t.rank - (t.cum - t.c)) / t.c) END, 4) AS p
+FROM t JOIN pick ON t.d = pick.d AND t.side = pick.side AND t.i = pick.i
+"""
+
+# --------------------------------------------------------------------------
 # §2.11 heatmap bucketing
 # --------------------------------------------------------------------------
 
@@ -802,6 +971,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_gauge_last": q_gauge_last,
         "q_counter_rate": q_counter_rate,
         "q_increase_top3": q_increase_top3,
+        "q_hist_count": q_hist_count,
+        "q_hist_quantile": q_hist_quantile,
+        "q_exp_hist_quantile": q_exp_hist_quantile,
         "q_heatmap": q_heatmap,
         "q_tpch_q1": q_tpch_q1,
         "q_tpch_q3": q_tpch_q3,
@@ -835,6 +1007,9 @@ def oracle_sql() -> dict[str, str]:
         "q_gauge_last": O_GAUGE,
         "q_counter_rate": O_COUNTER_RATE,
         "q_increase_top3": O_INCREASE,
+        "q_hist_count": O_HIST_COUNT,
+        "q_hist_quantile": O_HIST_QUANTILE,
+        "q_exp_hist_quantile": O_EXP_HIST_QUANTILE,
         "q_heatmap": O_HEATMAP,
         "q_tpch_q1": O_TPCH_Q1,
         "q_tpch_q3": O_TPCH_Q3,

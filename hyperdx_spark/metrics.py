@@ -143,6 +143,400 @@ def counter_increase(
     return rates.join(F.broadcast(ranking), on=list(group_cols), how="left_semi").select(*cols)
 
 
+def histogram_count(
+    df: DataFrame,
+    *,
+    ts: str,
+    count: str,
+    series_cols: Sequence[str],
+    bucket_seconds: int,
+    group_cols: Sequence[str] = (),
+    temporality_col: Optional[str] = None,
+    bucket_alias: str = "__timestamp",
+    value_alias: str = "count",
+) -> DataFrame:
+    """Explicit-bounds histogram total-count chart (core/histogram.ts:89-135).
+
+    Cumulative temporality: per-series delta of ``Count`` with reset
+    detection — when the count decreases the series restarted, so the new
+    current count IS the delta; the first sample contributes 0. Delta
+    temporality rows pass through. Bucket value = sum(delta).
+
+    ``temporality_col``: 1 = delta, 2 = cumulative per row; None = all
+    cumulative. The reference partitions the window by (groups, attr_hash,
+    bounds_hash, temporality); pass bounds/temporality columns in
+    ``series_cols`` for the same isolation.
+    """
+    w = Window.partitionBy(*[F.col(c) for c in series_cols]).orderBy(F.col(ts))
+    cur = F.col(count).cast("long")
+    prev = F.lag(cur, 1).over(w)
+    cum_delta = F.when(prev.isNull(), F.lit(0)).otherwise(
+        F.when(cur < prev, cur).otherwise(cur - prev)
+    )
+    if temporality_col is None:
+        delta = cum_delta
+    else:
+        t = F.col(temporality_col)
+        delta = (
+            F.when(t == 1, cur).when(t == 2, cum_delta).otherwise(F.lit(0))
+        )
+    b = _bucket(F.col(ts), bucket_seconds).alias(bucket_alias)
+    return (
+        df.withColumn("__delta", delta)
+        .groupBy(b, *[F.col(c) for c in group_cols])
+        .agg(F.sum("__delta").alias(value_alias))
+    )
+
+
+def exp_histogram_count(
+    df: DataFrame,
+    *,
+    ts: str,
+    start_ts: str,
+    count: str,
+    series_cols: Sequence[str],
+    bucket_seconds: int,
+    group_cols: Sequence[str] = (),
+    temporality_col: Optional[str] = None,
+    bucket_alias: str = "__timestamp",
+    value_alias: str = "count",
+) -> DataFrame:
+    """Exponential-histogram total count (histogram.ts:279-330).
+
+    Reset detection uses StartTimeUnix: a point is ignored when it is the
+    series' first or when start==ts; a changed start time or a decreased
+    count restarts the series (delta = current); otherwise delta =
+    current - previous.
+    """
+    w = Window.partitionBy(*[F.col(c) for c in series_cols]).orderBy(F.col(ts))
+    cur = F.col(count).cast("long")
+    prev = F.lag(cur, 1).over(w)
+    prev_start = F.lag(F.col(start_ts), 1).over(w)
+    is_first = prev.isNull()
+    cum_delta = (
+        F.when(is_first | (F.col(start_ts) == F.col(ts)), F.lit(0))
+        .when((F.col(start_ts) != prev_start) | (cur < prev), cur)
+        .otherwise(cur - prev)
+    )
+    if temporality_col is None:
+        delta = cum_delta
+    else:
+        t = F.col(temporality_col)
+        delta = F.when(t == 1, cur).when(t == 2, cum_delta).otherwise(F.lit(0))
+    b = _bucket(F.col(ts), bucket_seconds).alias(bucket_alias)
+    return (
+        df.withColumn("__delta", delta)
+        .groupBy(b, *[F.col(c) for c in group_cols])
+        .agg(F.sum("__delta").alias(value_alias))
+    )
+
+
+def _empty_longs() -> Column:
+    return F.array().cast("array<bigint>")
+
+
+def _index_range(off: Column, counts: Column) -> Column:
+    """sequence(off, off+len-1) — empty array when counts is empty (sequence
+    with reversed bounds would otherwise count DOWN)."""
+    return F.when(
+        F.size(counts) > 0,
+        F.sequence(off.cast("long"), off.cast("long") + F.size(counts) - 1),
+    ).otherwise(_empty_longs())
+
+
+def _resize(arr: Column, n: Column) -> Column:
+    """ClickHouse arrayResize(arr, n) with 0-fill (n >= 0)."""
+    padded = F.concat(
+        arr, F.array_repeat(F.lit(0).cast("bigint"), F.greatest(n - F.size(arr), F.lit(0)))
+    )
+    return F.slice(padded, 1, n)
+
+
+def _downscale(counts: Column, off: Column, divisor: Column, norm_off: Column) -> Column:
+    """Merge 2^shift adjacent exponential buckets into one (scale reduction):
+    normalized bucket j sums source buckets whose floor(index/divisor) == j.
+    Equivalent to the reference's arraySplit-on-divisibility + arraySum
+    (histogram.ts:396-421)."""
+    last = off + F.size(counts) - 1
+    norm_last = F.floor(last.cast("double") / divisor).cast("long")
+    return F.when(F.size(counts) == 0, _empty_longs()).otherwise(
+        F.transform(
+            F.sequence(norm_off, norm_last),
+            lambda j: F.aggregate(
+                F.zip_with(
+                    counts,
+                    F.sequence(off.cast("long"), off.cast("long") + F.size(counts) - 1),
+                    lambda c, i: F.when(
+                        F.floor(i.cast("double") / divisor).cast("long") == j, c
+                    ).otherwise(F.lit(0)),
+                ),
+                F.lit(0).cast("bigint"),
+                lambda a, x: a + x,
+            ),
+        )
+    )
+
+
+def exp_histogram_quantile(
+    df: DataFrame,
+    *,
+    ts: str,
+    start_ts: str,
+    scale: str,
+    zero_count: str,
+    pos_offset: str,
+    pos_counts: str,
+    neg_offset: str,
+    neg_counts: str,
+    series_cols: Sequence[str],
+    bucket_seconds: int,
+    level: float,
+    group_cols: Sequence[str] = (),
+    temporality_col: Optional[str] = None,
+    bucket_alias: str = "__timestamp",
+    value_alias: str = "p",
+) -> DataFrame:
+    """Exponential-histogram quantile (core/histogram.ts:332-661), the
+    reference's hardest pipeline, as a pure DataFrame plan:
+
+    1. normalize every series to the minimum Scale in range — merge
+       2^shift adjacent buckets, floor-divide offsets;
+    2. cumulative-temporality series -> per-sample deltas: previous counts
+       are shifted to the current index window (arrayResize/Concat/Slice
+       equivalent), element-wise subtracted; StartTimeUnix change, zero/count
+       decrease, or dropped-on-alignment counts => reset (delta = current);
+       first sample or start==ts => no contribution;
+    3. UNION delta-temporality rows unchanged;
+    4. sumMap(indexes, counts) across series per (time bucket, groups) —
+       implemented as posexplode + group-sum (distributed, no array-size
+       assumption);
+    5. assemble ascending-value bucket order [reversed negatives, zero,
+       positives], cumulative-sum, pick the first non-empty bucket with
+       cum >= level*total;
+    6. log-linear interpolation: ±exp2((index + fraction) * 2^-Scale); the
+       zero bucket returns exactly 0.
+
+    All array math is Spark higher-order functions over plain column
+    references (cheap under interpreted HOF eval; OTel exp histograms have
+    ≤ ~320 buckets).
+    """
+    gcols = list(group_cols)
+    min_scale = df.agg(F.min(F.col(scale)).alias("__min_scale"))
+    d = df.crossJoin(F.broadcast(min_scale))
+    shift = (F.col(scale) - F.col("__min_scale")).cast("int")
+    d = d.withColumn("__div", F.pow(F.lit(2.0), shift).cast("long"))
+    for side, off_c, cnt_c in (
+        ("pos", pos_offset, pos_counts),
+        ("neg", neg_offset, neg_counts),
+    ):
+        norm_off = F.floor(
+            F.col(off_c).cast("double") / F.col("__div")
+        ).cast("long")
+        d = d.withColumn(f"__{side}_off", norm_off).withColumn(
+            f"__{side}_cnt",
+            F.when(F.col("__div") == 1, F.col(cnt_c).cast("array<bigint>")).otherwise(
+                _downscale(
+                    F.col(cnt_c).cast("array<bigint>"),
+                    F.col(off_c).cast("long"),
+                    F.col("__div"),
+                    norm_off,
+                )
+            ),
+        )
+    d = d.select(
+        F.col(ts).alias("__ts"),
+        F.col(start_ts).alias("__start"),
+        F.col("__min_scale").alias("__scale"),
+        F.col(zero_count).cast("long").alias("__zero"),
+        "__pos_off",
+        "__pos_cnt",
+        "__neg_off",
+        "__neg_cnt",
+        *[F.col(c) for c in dict.fromkeys([*series_cols, *gcols])],
+        (
+            F.col(temporality_col) if temporality_col is not None else F.lit(2)
+        ).alias("__temp"),
+    )
+
+    # ---- cumulative branch: align previous counts, delta, reset detection
+    w = Window.partitionBy(*[F.col(c) for c in series_cols]).orderBy("__ts")
+    cum = d.where(F.col("__temp") == 2)
+    for side in ("pos", "neg"):
+        cur_cnt, cur_off = F.col(f"__{side}_cnt"), F.col(f"__{side}_off")
+        prev_cnt = F.lag(cur_cnt, 1).over(w)
+        prev_off = F.lag(cur_off, 1).over(w)
+        cum = (
+            cum.withColumn(f"__{side}_prev", prev_cnt)
+            .withColumn(f"__{side}_prev_off", prev_off)
+        )
+    cum = (
+        cum.withColumn("__prev_zero", F.lag(F.col("__zero"), 1).over(w))
+        .withColumn("__prev_start", F.lag(F.col("__start"), 1).over(w))
+        .withColumn("__is_first", F.lag(F.col("__ts"), 1).over(w).isNull())
+    )
+    for side in ("pos", "neg"):
+        cur_cnt, cur_off = F.col(f"__{side}_cnt"), F.col(f"__{side}_off")
+        prev_cnt = F.coalesce(F.col(f"__{side}_prev"), _empty_longs())
+        prev_off = F.coalesce(F.col(f"__{side}_prev_off"), cur_off)
+        aligned = _resize(
+            F.concat(
+                F.array_repeat(
+                    F.lit(0).cast("bigint"),
+                    F.greatest(
+                        (prev_off - cur_off).cast("int"), F.lit(0)
+                    ),
+                ),
+                F.slice(
+                    prev_cnt,
+                    (F.lit(1) + F.greatest((cur_off - prev_off).cast("int"), F.lit(0))),
+                    F.greatest(F.size(prev_cnt), F.lit(1)),
+                ),
+            ),
+            F.size(cur_cnt),
+        )
+        cum = cum.withColumn(f"__{side}_aligned", aligned)
+    for side in ("pos", "neg"):
+        cur_cnt = F.col(f"__{side}_cnt")
+        aligned = F.col(f"__{side}_aligned")
+        prev_cnt = F.coalesce(F.col(f"__{side}_prev"), _empty_longs())
+        deltas = F.zip_with(cur_cnt, aligned, lambda a, b: a - b)
+        asum = lambda c: F.aggregate(c, F.lit(0).cast("bigint"), lambda a, x: a + x)  # noqa: E731
+        decreased = (
+            F.coalesce(F.array_min(deltas) < 0, F.lit(False))
+            | (asum(prev_cnt) > asum(aligned))
+        )
+        cum = cum.withColumn(f"__{side}_deltas", deltas).withColumn(
+            f"__{side}_decreased", decreased
+        )
+    use_zero = F.col("__is_first") | (F.col("__start") == F.col("__ts"))
+    use_current = ~use_zero & (
+        (F.col("__start") != F.col("__prev_start"))
+        | (F.col("__zero") < F.col("__prev_zero"))
+        | F.col("__pos_decreased")
+        | F.col("__neg_decreased")
+    )
+    use_current = F.coalesce(use_current, F.lit(True))
+
+    def _branch(side: str) -> tuple[Column, Column]:
+        idxs = F.when(use_zero, _empty_longs()).otherwise(
+            _index_range(F.col(f"__{side}_off"), F.col(f"__{side}_cnt"))
+        )
+        cnts = (
+            F.when(use_zero, _empty_longs())
+            .when(use_current, F.col(f"__{side}_cnt"))
+            .otherwise(F.col(f"__{side}_deltas"))
+        )
+        return idxs, cnts
+
+    pos_i, pos_c = _branch("pos")
+    neg_i, neg_c = _branch("neg")
+    cum_out = cum.select(
+        "__ts",
+        "__scale",
+        *gcols,
+        F.when(use_zero, F.lit(0))
+        .when(use_current, F.col("__zero"))
+        .otherwise(F.col("__zero") - F.col("__prev_zero"))
+        .alias("__zero_d"),
+        pos_i.alias("__pos_i"),
+        pos_c.alias("__pos_c"),
+        neg_i.alias("__neg_i"),
+        neg_c.alias("__neg_c"),
+    )
+
+    # ---- delta-temporality branch passes through
+    delta_out = d.where(F.col("__temp") == 1).select(
+        "__ts",
+        "__scale",
+        *gcols,
+        F.col("__zero").alias("__zero_d"),
+        _index_range(F.col("__pos_off"), F.col("__pos_cnt")).alias("__pos_i"),
+        F.col("__pos_cnt").alias("__pos_c"),
+        _index_range(F.col("__neg_off"), F.col("__neg_cnt")).alias("__neg_i"),
+        F.col("__neg_cnt").alias("__neg_c"),
+    )
+    unioned = cum_out.unionByName(delta_out)
+
+    # ---- sumMap across series per (bucket, groups): explode (side, idx, cnt)
+    b = _bucket(F.col("__ts"), bucket_seconds).alias(bucket_alias)
+    entries = F.concat(
+        F.array(F.struct(F.lit(0).alias("side"), F.lit(0).cast("long").alias("idx"), F.col("__zero_d").cast("long").alias("cnt"))),
+        F.zip_with(
+            F.col("__pos_i"),
+            F.col("__pos_c"),
+            lambda i, c: F.struct(
+                F.lit(1).alias("side"), i.alias("idx"), c.cast("long").alias("cnt")
+            ),
+        ),
+        F.zip_with(
+            F.col("__neg_i"),
+            F.col("__neg_c"),
+            lambda i, c: F.struct(
+                F.lit(-1).alias("side"), i.alias("idx"), c.cast("long").alias("cnt")
+            ),
+        ),
+    )
+    exploded = unioned.select(
+        b, *gcols, F.col("__scale"), F.explode(entries).alias("__e")
+    )
+    summed = exploded.groupBy(
+        bucket_alias, *gcols, F.col("__e.side").alias("__side"), F.col("__e.idx").alias("__idx")
+    ).agg(F.sum("__e.cnt").alias("__cnt"), F.first("__scale").alias("__scale"))
+
+    # ---- assemble ascending-value order: sort key (side, side*idx)
+    assembled = summed.groupBy(bucket_alias, *gcols).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("__side").alias("s"),
+                    (F.col("__side") * F.col("__idx")).alias("k"),
+                    F.col("__idx").alias("idx"),
+                    F.col("__cnt").alias("cnt"),
+                )
+            )
+        ).alias("__b"),
+        F.first("__scale").alias("__scale"),
+    )
+    counts = F.transform(F.col("__b"), lambda s: s["cnt"].cast("double"))
+    assembled = assembled.withColumn("__counts", counts)
+    assembled = assembled.withColumn(
+        "__cum",
+        F.expr(
+            "transform(__counts, (x, i) -> aggregate(slice(__counts, 1, i + 1),"
+            " CAST(0.0 AS DOUBLE), (a, c) -> a + c))"
+        ),
+    )
+    total = F.element_at("__cum", -1)
+    rank = F.lit(level) * total
+    assembled = assembled.withColumn("__rank", rank).withColumn("__total", total)
+    sel = F.expr(
+        "array_position(zip_with(__cum, __counts, (c, n) -> n > 0 AND c >= __rank), true)"
+    )
+    assembled = (
+        assembled.withColumn("__i", sel)
+        .where((F.col("__total") > 0) & (F.col("__i") > 0))
+        .withColumn("__sel", F.element_at("__b", F.col("__i").cast("int")))
+        .withColumn(
+            "__cum_before",
+            F.when(F.col("__i") <= 1, F.lit(0.0)).otherwise(
+                F.element_at("__cum", (F.col("__i") - 1).cast("int"))
+            ),
+        )
+    )
+    frac = (F.col("__rank") - F.col("__cum_before")) / F.element_at(
+        "__counts", F.col("__i").cast("int")
+    )
+    sel_side = F.col("__sel.s")
+    sel_idx = F.col("__sel.idx").cast("double")
+    inv_scale = F.pow(F.lit(2.0), -F.col("__scale").cast("double"))
+    value = (
+        F.when(sel_side < 0, -F.pow(F.lit(2.0), (sel_idx + 1 - frac) * inv_scale))
+        .when(sel_side > 0, F.pow(F.lit(2.0), (sel_idx + frac) * inv_scale))
+        .otherwise(F.lit(0.0))
+    )
+    return assembled.select(bucket_alias, *gcols, value.alias(value_alias))
+
+
 def histogram_quantile(
     df: DataFrame,
     *,

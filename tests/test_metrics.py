@@ -6,6 +6,7 @@ from datetime import datetime
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 
 from hyperdx_spark import metrics
 from hyperdx_spark.post import compute_ratio, merge_result_sets
@@ -222,3 +223,157 @@ def test_share_of_total(spark):
     assert got[(1, "a")] == pytest.approx(0.25)
     assert got[(1, "b")] == pytest.approx(0.75)
     assert got[(2, "a")] == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------- histograms
+
+
+def test_histogram_count_reset_semantics(spark):
+    from hyperdx_spark import metrics
+
+    rows = [
+        # series s1 cumulative: 5 -> 8 (+3) -> 2 (reset: +2) -> 6 (+4)
+        (datetime(2024, 1, 1, 0, 0), "s1", 5),
+        (datetime(2024, 1, 1, 0, 1), "s1", 8),
+        (datetime(2024, 1, 1, 0, 2), "s1", 2),
+        (datetime(2024, 1, 1, 0, 3), "s1", 6),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, sid string, cnt long")
+    out = metrics.histogram_count(
+        df, ts="ts", count="cnt", series_cols=["sid"], bucket_seconds=3600
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["count"] == 3 + 2 + 4  # first point contributes 0
+
+
+def test_exp_histogram_count_start_time_reset(spark):
+    from hyperdx_spark import metrics
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # (ts, start, count): first point ignored; start change -> current
+        (t(1), t(0), "s", 10),
+        (t(2), t(0), "s", 15),   # +5
+        (t(3), t(3), "s", 99),   # start == ts -> 0
+        (t(4), t(3), "s", 7),    # start changed vs prev(t0->t3) -> current 7
+        (t(5), t(3), "s", 9),    # +2
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, st timestamp, sid string, cnt long")
+    out = metrics.exp_histogram_count(
+        df, ts="ts", start_ts="st", count="cnt", series_cols=["sid"],
+        bucket_seconds=3600,
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["count"] == 5 + 0 + 7 + 2
+
+
+def _exp_hist_df(spark, rows):
+    schema = (
+        "ts timestamp, st timestamp, sid string, scale int, zero long, "
+        "pos_off long, pos long_array, neg_off long, neg long_array"
+    )
+    schema = schema.replace("long_array", "array<long>")
+    return spark.createDataFrame(rows, schema)
+
+
+def test_exp_histogram_quantile_delta_simple(spark):
+    from hyperdx_spark import metrics
+
+    t0 = datetime(2024, 1, 1)
+    # one delta sample, scale 0, buckets idx 0,1,2 -> counts 1,1,2
+    df = _exp_hist_df(spark, [(t0, t0, "s", 0, 0, 0, [1, 1, 2], 0, [])])
+    out = metrics.exp_histogram_quantile(
+        df, ts="ts", start_ts="st", scale="scale", zero_count="zero",
+        pos_offset="pos_off", pos_counts="pos", neg_offset="neg_off",
+        neg_counts="neg", series_cols=["sid"], bucket_seconds=3600, level=0.5,
+        temporality_col=None,
+    )
+    # temporality default cumulative; mark delta via temporality col instead
+    df = df.withColumn("temp", F.lit(1))
+    out = metrics.exp_histogram_quantile(
+        df, ts="ts", start_ts="st", scale="scale", zero_count="zero",
+        pos_offset="pos_off", pos_counts="pos", neg_offset="neg_off",
+        neg_counts="neg", series_cols=["sid"], bucket_seconds=3600, level=0.5,
+        temporality_col="temp",
+    ).collect()
+    # total=4 rank=2, cum=[1,2,4] -> bucket idx1, frac=(2-1)/1=1 -> 2^(1+1)=4
+    assert len(out) == 1
+    assert out[0]["p"] == pytest.approx(4.0)
+
+
+def test_exp_histogram_quantile_zero_bucket(spark):
+    from hyperdx_spark import metrics
+
+    t0 = datetime(2024, 1, 1)
+    df = _exp_hist_df(spark, [(t0, t0, "s", 0, 2, 0, [1, 1], 0, [])]).withColumn(
+        "temp", F.lit(1)
+    )
+    out = metrics.exp_histogram_quantile(
+        df, ts="ts", start_ts="st", scale="scale", zero_count="zero",
+        pos_offset="pos_off", pos_counts="pos", neg_offset="neg_off",
+        neg_counts="neg", series_cols=["sid"], bucket_seconds=3600, level=0.5,
+        temporality_col="temp",
+    ).collect()
+    # ordered [zero(2), idx0(1), idx1(1)]: rank=2 -> zero bucket -> 0.0
+    assert out[0]["p"] == pytest.approx(0.0)
+
+
+def test_exp_histogram_quantile_scale_normalization(spark):
+    from hyperdx_spark import metrics
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        # series a at scale 1, idx 2..3 -> normalized scale 0 idx 1 (cnt 4)
+        (t0, t0, "a", 1, 0, 2, [1, 3], 0, []),
+        # series b already at scale 0, idx 1 cnt 4
+        (t0, t0, "b", 0, 0, 1, [4], 0, []),
+    ]
+    df = _exp_hist_df(spark, rows).withColumn("temp", F.lit(1))
+    out = metrics.exp_histogram_quantile(
+        df, ts="ts", start_ts="st", scale="scale", zero_count="zero",
+        pos_offset="pos_off", pos_counts="pos", neg_offset="neg_off",
+        neg_counts="neg", series_cols=["sid"], bucket_seconds=3600, level=0.5,
+        temporality_col="temp",
+    ).collect()
+    # summed: idx1 cnt8; rank=4 -> frac=0.5 -> 2^(1.5)
+    assert out[0]["p"] == pytest.approx(2 ** 1.5)
+
+
+def test_exp_histogram_quantile_cumulative_alignment_reset(spark):
+    from hyperdx_spark import metrics
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # cumulative series: first point ignored; second shifts the index
+        # window so counts are dropped on alignment -> reset -> use current
+        (t(1), t(0), "s", 0, 0, 0, [2, 2], 0, []),
+        (t(2), t(0), "s", 0, 0, 1, [3, 1], 0, []),
+    ]
+    df = _exp_hist_df(spark, rows)
+    out = metrics.exp_histogram_quantile(
+        df, ts="ts", start_ts="st", scale="scale", zero_count="zero",
+        pos_offset="pos_off", pos_counts="pos", neg_offset="neg_off",
+        neg_counts="neg", series_cols=["sid"], bucket_seconds=3600, level=0.99,
+    ).collect()
+    # delta = current [3,1] at idx 1,2; total 4, rank 3.96 -> idx2,
+    # frac=(3.96-3)/1=0.96 -> 2^(2.96)
+    assert out[0]["p"] == pytest.approx(2 ** 2.96)
+
+
+def test_exp_histogram_quantile_negative_side(spark):
+    from hyperdx_spark import metrics
+
+    t0 = datetime(2024, 1, 1)
+    # only negative buckets: idx 0 cnt 3, idx 1 cnt 1 ->
+    # ascending order: [neg idx1, neg idx0, zero(0)]
+    df = _exp_hist_df(spark, [(t0, t0, "s", 0, 0, 0, [], 0, [3, 1])]).withColumn(
+        "temp", F.lit(1)
+    )
+    out = metrics.exp_histogram_quantile(
+        df, ts="ts", start_ts="st", scale="scale", zero_count="zero",
+        pos_offset="pos_off", pos_counts="pos", neg_offset="neg_off",
+        neg_counts="neg", series_cols=["sid"], bucket_seconds=3600, level=0.25,
+        temporality_col="temp",
+    ).collect()
+    # rank=1 -> first bucket (neg idx1), frac=1/1=1 -> -2^(1+1-1) = -2
+    assert out[0]["p"] == pytest.approx(-2.0)
