@@ -625,6 +625,87 @@ FROM events, bounds GROUP BY 1, 2
 """
 
 # --------------------------------------------------------------------------
+# §2.11 Drain pattern mining + event deltas
+# --------------------------------------------------------------------------
+
+def q_log_patterns(spark, sf_dir):
+    """Drain template mining over synthesized log bodies. At sf0.01 the 10k
+    sample covers every row, so templates and counts are deterministic and
+    oracle-checkable."""
+    from hyperdx_spark.analytics import drain
+
+    ev = load_table(spark, sf_dir, "events")
+    bodies = ev.select(
+        F.concat(
+            F.col("event_type"), F.lit(" user "), (F.col("user_id") % 7).cast("string"),
+            F.lit(" took "), F.floor("value").cast("string"), F.lit(" ms"),
+        ).alias("body")
+    )
+    patterns = drain.mine_patterns(bodies, text_col="body", sample_size=10000)
+    return spark.createDataFrame(
+        [(p.pattern, p.sample_count) for p in patterns],
+        "pattern string, n long",
+    )
+
+
+O_LOG_PATTERNS = """
+SELECT event_type || ' user <*> took <*> ms' AS pattern, count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+def q_event_deltas(spark, sf_dir):
+    """Rank properties whose value distributions separate error events from
+    the rest (distributed event-deltas)."""
+    from hyperdx_spark.analytics import event_deltas
+
+    ev = load_table(spark, sf_dir, "events")
+    props = F.create_map(
+        F.lit("k"), F.get_json_object("props", "$.k"),
+        F.lit("vbucket"), F.floor(F.col("value") / 100).cast("int").cast("string"),
+        F.lit("user_mod"), (F.col("user_id") % 5).cast("string"),
+    )
+    out = event_deltas.rank_properties(
+        ev, target=F.col("event_type") == "error", properties=props
+    )
+    return _round4(out.select("key", "base_score", "score"))
+
+
+O_EVENT_DELTAS = """
+WITH kv AS (
+  SELECT (event_type = 'error') AS t, 'k' AS k, coalesce(json_extract_string(props, '$.k'), '') AS v FROM events
+  UNION ALL
+  SELECT (event_type = 'error'), 'vbucket', (floor(value / 100)::INT)::VARCHAR FROM events
+  UNION ALL
+  SELECT (event_type = 'error'), 'user_mod', (user_id % 5)::VARCHAR FROM events),
+occ AS (SELECT t, k, count(*) AS n FROM kv GROUP BY 1, 2),
+gated AS (SELECT kv.* FROM kv JOIN occ USING (t, k) WHERE occ.n >= 5),
+vo AS (SELECT t, k, v, count(*)::DOUBLE AS c FROM gated GROUP BY 1, 2, 3),
+sides AS (
+  SELECT k, v, sum(c) FILTER (t) AS tc, sum(c) FILTER (NOT t) AS bc
+  FROM vo GROUP BY 1, 2),
+tot AS (
+  SELECT k, v, coalesce(tc, 0) AS tc, coalesce(bc, 0) AS bc,
+         sum(coalesce(tc, 0)) OVER (PARTITION BY k) AS tsum,
+         sum(coalesce(bc, 0)) OVER (PARTITION BY k) AS bsum
+  FROM sides),
+scored AS (
+  SELECT k,
+         max(CASE WHEN tsum > 0 AND bsum > 0
+                  THEN abs(tc / tsum * 100 - bc / bsum * 100)
+                  ELSE (CASE WHEN tsum > 0 THEN tc ELSE bc END)
+                       / (CASE WHEN tsum > 0 THEN tsum ELSE bsum END) * 100 END) AS raw,
+         count(*) AS nv, max(tsum) AS tsum, max(bsum) AS bsum
+  FROM tot GROUP BY 1)
+SELECT k AS key,
+       round(CASE WHEN tsum > 0 AND bsum > 0 THEN raw
+             WHEN nv > 1 THEN raw ELSE 0 END, 4) AS base_score,
+       round(CASE WHEN tsum > 0 AND bsum > 0 THEN raw
+             WHEN nv > 1 THEN raw ELSE 0 END, 4) AS score
+FROM scored
+"""
+
+# --------------------------------------------------------------------------
 # TPC-H-style relational analytics (joins / wide aggs)
 # --------------------------------------------------------------------------
 
@@ -975,6 +1056,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hist_quantile": q_hist_quantile,
         "q_exp_hist_quantile": q_exp_hist_quantile,
         "q_heatmap": q_heatmap,
+        "q_log_patterns": q_log_patterns,
+        "q_event_deltas": q_event_deltas,
         "q_tpch_q1": q_tpch_q1,
         "q_tpch_q3": q_tpch_q3,
         "q_tpch_q5ish": q_tpch_q5ish,
@@ -1011,6 +1094,8 @@ def oracle_sql() -> dict[str, str]:
         "q_hist_quantile": O_HIST_QUANTILE,
         "q_exp_hist_quantile": O_EXP_HIST_QUANTILE,
         "q_heatmap": O_HEATMAP,
+        "q_log_patterns": O_LOG_PATTERNS,
+        "q_event_deltas": O_EVENT_DELTAS,
         "q_tpch_q1": O_TPCH_Q1,
         "q_tpch_q3": O_TPCH_Q3,
         "q_tpch_q5ish": O_TPCH_Q5,

