@@ -625,6 +625,48 @@ FROM events, bounds GROUP BY 1, 2
 """
 
 # --------------------------------------------------------------------------
+# §2.10 alert evaluation — distributed backtest over daily error counts
+# --------------------------------------------------------------------------
+
+def q_alert_backtest(spark, sf_dir):
+    from hyperdx_spark import alerts
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy(
+            F.timestamp_seconds(
+                (F.unix_timestamp("ts") / 86400).cast("long") * 86400
+            ).alias("__timestamp")
+        )
+        .agg(F.count("*").cast("double").alias("value"))
+    )
+    cfg = alerts.AlertConfig(threshold=65, num_consecutive_windows=2)
+    return alerts.backtest(daily, cfg)
+
+
+O_ALERT_BACKTEST = """
+WITH v AS (
+  SELECT make_timestamp((floor(epoch(ts))::BIGINT // 86400) * 86400 * 1000000) AS __timestamp,
+         count(*)::DOUBLE AS value
+  FROM events WHERE event_type = 'error' GROUP BY 1),
+d AS (SELECT *, (value >= 65) AS exceeds FROM v),
+g AS (SELECT *, sum(CASE WHEN NOT exceeds THEN 1 ELSE 0 END)
+               OVER (ORDER BY __timestamp) AS grp FROM d),
+s AS (
+  SELECT *, CASE WHEN exceeds THEN
+      row_number() OVER (PARTITION BY grp ORDER BY __timestamp)
+      - (CASE WHEN first_value(exceeds) OVER (PARTITION BY grp ORDER BY __timestamp) THEN 0 ELSE 1 END)
+    ELSE 0 END AS streak
+  FROM g)
+SELECT __timestamp, value, exceeds, streak,
+       CASE WHEN NOT exceeds THEN 'OK'
+            WHEN streak >= 2 THEN 'ALERT'
+            ELSE 'PENDING' END AS state
+FROM s
+"""
+
+# --------------------------------------------------------------------------
 # §2.11 Drain pattern mining + event deltas
 # --------------------------------------------------------------------------
 
@@ -1056,6 +1098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hist_quantile": q_hist_quantile,
         "q_exp_hist_quantile": q_exp_hist_quantile,
         "q_heatmap": q_heatmap,
+        "q_alert_backtest": q_alert_backtest,
         "q_log_patterns": q_log_patterns,
         "q_event_deltas": q_event_deltas,
         "q_tpch_q1": q_tpch_q1,
@@ -1094,6 +1137,7 @@ def oracle_sql() -> dict[str, str]:
         "q_hist_quantile": O_HIST_QUANTILE,
         "q_exp_hist_quantile": O_EXP_HIST_QUANTILE,
         "q_heatmap": O_HEATMAP,
+        "q_alert_backtest": O_ALERT_BACKTEST,
         "q_log_patterns": O_LOG_PATTERNS,
         "q_event_deltas": O_EVENT_DELTAS,
         "q_tpch_q1": O_TPCH_Q1,

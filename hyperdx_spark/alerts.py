@@ -1,0 +1,274 @@
+"""Alert evaluation (SURVEY §2.10).
+
+Parity target: ``packages/api/src/tasks/checkAlerts/index.ts`` —
+threshold operators (doesExceedThreshold :232-266), per-bucket/per-group
+evaluation with worst-case-in-bucket (:1282-1310), empty-bucket zero
+semantics (:1232-1280), M-consecutive-windows PENDING->ALERT promotion
+(:1110-1131), OK auto-resolve (:1318-1343 and missing-group resolve
+:1345-1380). Alert types/enums: ``common-utils/src/types.ts:584-649``.
+
+Two surfaces:
+
+* ``evaluate``: the reference's driver-side state machine over a chart
+  query's result rows — scheduling and notification delivery stay external.
+* ``backtest``: the same bucket/group/threshold/consecutive-window logic as
+  ONE distributed DataFrame plan (lag-window streak counting) — evaluate an
+  alert definition over months of history in a single pass, something the
+  reference cannot do server-side.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from datetime import datetime, timedelta
+from enum import Enum
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+class ThresholdType(str, Enum):
+    ABOVE = "above"                      # value >= threshold
+    ABOVE_EXCLUSIVE = "above_exclusive"  # value > threshold
+    BELOW = "below"                      # value < threshold
+    BELOW_OR_EQUAL = "below_or_equal"    # value <= threshold
+    EQUAL = "equal"
+    NOT_EQUAL = "not_equal"
+    BETWEEN = "between"
+    NOT_BETWEEN = "not_between"
+
+
+class AlertState(str, Enum):
+    OK = "OK"
+    PENDING = "PENDING"
+    ALERT = "ALERT"
+    INSUFFICIENT_DATA = "INSUFFICIENT_DATA"
+
+
+@dataclass
+class AlertConfig:
+    threshold: float
+    threshold_type: ThresholdType = ThresholdType.ABOVE
+    threshold_max: Optional[float] = None
+    window_minutes: int = 5            # granularity = alert interval
+    num_consecutive_windows: int = 1   # M-of-M lookback
+
+
+def does_exceed_threshold(cfg: AlertConfig, value: float) -> bool:
+    t, tmax = cfg.threshold, cfg.threshold_max
+    tt = cfg.threshold_type
+    if tt == ThresholdType.ABOVE:
+        return value >= t
+    if tt == ThresholdType.ABOVE_EXCLUSIVE:
+        return value > t
+    if tt == ThresholdType.BELOW:
+        return value < t
+    if tt == ThresholdType.BELOW_OR_EQUAL:
+        return value <= t
+    if tt == ThresholdType.EQUAL:
+        return value == t
+    if tt == ThresholdType.NOT_EQUAL:
+        return value != t
+    if tmax is None:
+        raise ValueError(f"thresholdMax is required for {tt}")
+    inside = t <= value <= tmax
+    return inside if tt == ThresholdType.BETWEEN else not inside
+
+
+def threshold_column(cfg: AlertConfig, value: Column) -> Column:
+    """The same predicate as a Column expression (for distributed backtest)."""
+    t = F.lit(cfg.threshold)
+    tt = cfg.threshold_type
+    if tt == ThresholdType.ABOVE:
+        return value >= t
+    if tt == ThresholdType.ABOVE_EXCLUSIVE:
+        return value > t
+    if tt == ThresholdType.BELOW:
+        return value < t
+    if tt == ThresholdType.BELOW_OR_EQUAL:
+        return value <= t
+    if tt == ThresholdType.EQUAL:
+        return value == t
+    if tt == ThresholdType.NOT_EQUAL:
+        return value != t
+    if cfg.threshold_max is None:
+        raise ValueError(f"thresholdMax is required for {tt}")
+    inside = (value >= t) & (value <= F.lit(cfg.threshold_max))
+    return inside if tt == ThresholdType.BETWEEN else ~inside
+
+
+@dataclass
+class GroupHistory:
+    state: AlertState = AlertState.OK
+    counts: int = 0
+    fired: bool = False
+    last_values: list = field(default_factory=list)  # [(bucket_start, value)]
+
+
+@dataclass
+class Notification:
+    state: AlertState
+    group: str
+    value: float
+    bucket_start: datetime
+
+
+def evaluate(
+    rows: Sequence[dict],
+    cfg: AlertConfig,
+    *,
+    date_range: tuple[datetime, datetime],
+    ts_key: str = "__timestamp",
+    value_key: str = "value",
+    group_keys: Sequence[str] = (),
+    previous: Optional[dict[str, GroupHistory]] = None,
+    recent_states: Optional[dict[str, list[AlertState]]] = None,
+) -> tuple[dict[str, GroupHistory], list[Notification]]:
+    """Driver-side state machine over one evaluation's query rows.
+
+    ``rows``: collected chart rows (dicts). ``recent_states``: per group the
+    previous windows' states newest-first (for M-consecutive promotion).
+    Returns the new per-group histories and the notifications that fired.
+    """
+    previous = previous or {}
+    recent_states = recent_states or {}
+    histories: dict[str, GroupHistory] = {}
+    notifications: list[Notification] = []
+    m = cfg.num_consecutive_windows
+
+    def get_history(g: str) -> GroupHistory:
+        return histories.setdefault(g, GroupHistory())
+
+    def consecutive_ok(g: str) -> bool:
+        if m <= 1:
+            return True
+        rel = (recent_states.get(g) or [])[: m - 1]
+        return len(rel) == m - 1 and all(
+            s in (AlertState.ALERT, AlertState.PENDING) for s in rel
+        )
+
+    # expected buckets over the evaluated range
+    step = timedelta(minutes=cfg.window_minutes)
+    buckets = []
+    cur = date_range[0]
+    while cur < date_range[1]:
+        buckets.append(cur)
+        cur += step
+
+    by_bucket: dict[datetime, list[dict]] = {}
+    for r in rows:
+        by_bucket.setdefault(r[ts_key], []).append(r)
+
+    has_group_by = bool(group_keys)
+    for bucket in buckets:
+        data = by_bucket.get(bucket)
+        if not data:
+            # empty bucket == value 0 (zero-value alert / auto-resolve)
+            if does_exceed_threshold(cfg, 0):
+                h = get_history("")
+                h.last_values.append((bucket, 0.0))
+                h.counts += 1
+                if consecutive_ok(""):
+                    h.state = AlertState.ALERT
+                    h.fired = True
+                    notifications.append(Notification(AlertState.ALERT, "", 0.0, bucket))
+                else:
+                    h.state = AlertState.PENDING
+                    h.fired = previous.get("", GroupHistory()).fired
+            elif not has_group_by:
+                get_history("").last_values.append((bucket, 0.0))
+            continue
+        # worst-case value per group within the bucket
+        evaluations: dict[str, tuple[float, bool]] = {}
+        for r in data:
+            value = r.get(value_key)
+            if value is None:
+                continue
+            g = ", ".join(f"{k}:{r[k]}" for k in group_keys) if has_group_by else ""
+            exceeds = does_exceed_threshold(cfg, value)
+            prev_eval = evaluations.get(g)
+            if prev_eval is None or not prev_eval[1] or exceeds:
+                evaluations[g] = (float(value), exceeds)
+        for g, (value, exceeds) in evaluations.items():
+            h = get_history(g)
+            if exceeds:
+                h.counts += 1
+                if consecutive_ok(g):
+                    h.state = AlertState.ALERT
+                    h.fired = True
+                    notifications.append(Notification(AlertState.ALERT, g, value, bucket))
+                else:
+                    h.state = AlertState.PENDING
+                    h.fired = previous.get(g, GroupHistory()).fired
+            else:
+                h.state = AlertState.OK
+                h.counts = 0
+            h.last_values.append((bucket, value))
+
+    # auto-resolve: previously firing groups that are now OK / missing
+    for g, prev_h in previous.items():
+        if prev_h.state in (AlertState.ALERT, AlertState.PENDING) and prev_h.fired:
+            now = histories.get(g)
+            if now is not None and now.state == AlertState.OK:
+                lv = now.last_values[-1] if now.last_values else (date_range[1], 0.0)
+                notifications.append(Notification(AlertState.OK, g, lv[1], lv[0]))
+            elif now is None and not does_exceed_threshold(cfg, 0):
+                h = get_history(g)
+                h.state = AlertState.OK
+                notifications.append(
+                    Notification(AlertState.OK, g, 0.0, date_range[1])
+                )
+    return histories, notifications
+
+
+def backtest(
+    df: DataFrame,
+    cfg: AlertConfig,
+    *,
+    ts_col: str = "__timestamp",
+    value_col: str = "value",
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Distributed alert backtest: per (group, bucket) compute exceeds, the
+    running exceed-streak, and the resulting state (ALERT once the streak
+    reaches num_consecutive_windows, PENDING while shorter, OK otherwise) —
+    one window pass, shuffles once on the group key."""
+    exceeds = threshold_column(cfg, F.col(value_col))
+    w = (
+        Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(F.col(ts_col))
+        if group_cols
+        else Window.partitionBy(F.lit(1)).orderBy(F.col(ts_col))
+    )
+    d = df.withColumn("exceeds", exceeds)
+    # streak of consecutive exceeding windows ending at this row: rows since
+    # the last non-exceeding row (classic gaps-and-islands)
+    grp = F.sum(F.when(~F.col("exceeds"), 1).otherwise(0)).over(w)
+    d = d.withColumn("__grp", grp)
+    streak_w = (
+        Window.partitionBy(*[F.col(c) for c in group_cols], F.col("__grp")).orderBy(
+            F.col(ts_col)
+        )
+        if group_cols
+        else Window.partitionBy(F.col("__grp")).orderBy(F.col(ts_col))
+    )
+    # an island partition contains its leading non-exceeding row EXCEPT when
+    # the island starts the series — offset row_number by whether the
+    # partition's first row exceeds
+    first_exceeds = F.first("exceeds").over(
+        streak_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offset = F.when(first_exceeds, F.lit(0)).otherwise(F.lit(1))
+    streak = F.when(
+        F.col("exceeds"), F.row_number().over(streak_w) - offset
+    ).otherwise(F.lit(0))
+    m = cfg.num_consecutive_windows
+    state = (
+        F.when(~F.col("exceeds"), F.lit(AlertState.OK.value))
+        .when(streak >= m, F.lit(AlertState.ALERT.value))
+        .otherwise(F.lit(AlertState.PENDING.value))
+    )
+    return d.select(
+        F.col(ts_col), *group_cols, F.col(value_col), F.col("exceeds"),
+        streak.alias("streak"), state.alias("state"),
+    )

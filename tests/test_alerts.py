@@ -1,0 +1,140 @@
+"""Alert threshold semantics + state machine + distributed backtest
+(SURVEY §2.10; ref packages/api/src/tasks/checkAlerts/index.ts)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from hyperdx_spark.alerts import (
+    AlertConfig,
+    AlertState,
+    GroupHistory,
+    ThresholdType,
+    backtest,
+    does_exceed_threshold,
+    evaluate,
+)
+
+T = datetime
+
+
+def cfg(**kw):
+    return AlertConfig(threshold=10, **kw)
+
+
+def test_threshold_operators():
+    assert does_exceed_threshold(cfg(), 10)                      # above = >=
+    assert not does_exceed_threshold(cfg(threshold_type=ThresholdType.ABOVE_EXCLUSIVE), 10)
+    assert does_exceed_threshold(cfg(threshold_type=ThresholdType.BELOW), 9)
+    assert not does_exceed_threshold(cfg(threshold_type=ThresholdType.BELOW), 10)
+    assert does_exceed_threshold(cfg(threshold_type=ThresholdType.BELOW_OR_EQUAL), 10)
+    assert does_exceed_threshold(cfg(threshold_type=ThresholdType.EQUAL), 10)
+    assert does_exceed_threshold(cfg(threshold_type=ThresholdType.NOT_EQUAL), 11)
+    b = cfg(threshold_type=ThresholdType.BETWEEN, threshold_max=20)
+    assert does_exceed_threshold(b, 15) and not does_exceed_threshold(b, 21)
+    nb = cfg(threshold_type=ThresholdType.NOT_BETWEEN, threshold_max=20)
+    assert does_exceed_threshold(nb, 21) and not does_exceed_threshold(nb, 15)
+    with pytest.raises(ValueError):
+        does_exceed_threshold(cfg(threshold_type=ThresholdType.BETWEEN), 5)
+
+
+def test_evaluate_fires_and_resolves():
+    c = cfg(window_minutes=1)
+    rows = [
+        {"__timestamp": T(2024, 1, 1, 0, 0), "value": 5},
+        {"__timestamp": T(2024, 1, 1, 0, 1), "value": 50},
+        {"__timestamp": T(2024, 1, 1, 0, 2), "value": 3},
+    ]
+    hist, notes = evaluate(
+        rows, c, date_range=(T(2024, 1, 1, 0, 0), T(2024, 1, 1, 0, 3))
+    )
+    assert [n.state for n in notes] == [AlertState.ALERT]
+    assert hist[""].state == AlertState.OK  # last bucket resolved it
+
+    # a previously-fired group that is now OK emits a resolve notification
+    prev = {"": GroupHistory(state=AlertState.ALERT, fired=True)}
+    hist2, notes2 = evaluate(
+        [{"__timestamp": T(2024, 1, 1, 0, 0), "value": 1}],
+        c,
+        date_range=(T(2024, 1, 1, 0, 0), T(2024, 1, 1, 0, 1)),
+        previous=prev,
+    )
+    assert [n.state for n in notes2] == [AlertState.OK]
+
+
+def test_evaluate_consecutive_windows_pending():
+    c = cfg(window_minutes=1, num_consecutive_windows=3)
+    rows = [{"__timestamp": T(2024, 1, 1, 0, 0), "value": 99}]
+    # no prior alerting windows -> PENDING, nothing fires
+    hist, notes = evaluate(
+        rows, c, date_range=(T(2024, 1, 1, 0, 0), T(2024, 1, 1, 0, 1))
+    )
+    assert hist[""].state == AlertState.PENDING and notes == []
+    # two prior ALERT/PENDING windows -> fires
+    hist, notes = evaluate(
+        rows, c,
+        date_range=(T(2024, 1, 1, 0, 0), T(2024, 1, 1, 0, 1)),
+        recent_states={"": [AlertState.PENDING, AlertState.ALERT]},
+    )
+    assert hist[""].state == AlertState.ALERT and len(notes) == 1
+
+
+def test_evaluate_empty_bucket_zero_semantics():
+    # BELOW 10: an empty bucket evaluates value 0 -> alert
+    c = AlertConfig(threshold=10, threshold_type=ThresholdType.BELOW, window_minutes=1)
+    hist, notes = evaluate(
+        [], c, date_range=(T(2024, 1, 1, 0, 0), T(2024, 1, 1, 0, 2))
+    )
+    assert hist[""].state == AlertState.ALERT
+    assert len(notes) == 2  # both empty buckets fire
+
+
+def test_evaluate_grouped_worst_case_in_bucket():
+    c = cfg(window_minutes=1)
+    rows = [
+        {"__timestamp": T(2024, 1, 1, 0, 0), "value": 50, "svc": "a"},
+        {"__timestamp": T(2024, 1, 1, 0, 0), "value": 1, "svc": "a"},
+        {"__timestamp": T(2024, 1, 1, 0, 0), "value": 2, "svc": "b"},
+    ]
+    hist, notes = evaluate(
+        rows, c,
+        date_range=(T(2024, 1, 1, 0, 0), T(2024, 1, 1, 0, 1)),
+        group_keys=["svc"],
+    )
+    assert hist["svc:a"].state == AlertState.ALERT  # worst case kept
+    assert hist["svc:b"].state == AlertState.OK
+
+
+def test_backtest_streaks(spark):
+    c = AlertConfig(threshold=10, num_consecutive_windows=2, window_minutes=1)
+    rows = [
+        (T(2024, 1, 1, 0, 0), 50.0),   # exceeds, streak 1 -> PENDING
+        (T(2024, 1, 1, 0, 1), 60.0),   # streak 2 -> ALERT
+        (T(2024, 1, 1, 0, 2), 1.0),    # OK
+        (T(2024, 1, 1, 0, 3), 70.0),   # streak 1 -> PENDING
+        (T(2024, 1, 1, 0, 4), 80.0),   # streak 2 -> ALERT
+        (T(2024, 1, 1, 0, 5), 90.0),   # streak 3 -> ALERT
+    ]
+    df = spark.createDataFrame(rows, "__timestamp timestamp, value double")
+    out = {r["__timestamp"].minute: r for r in backtest(df, c).collect()}
+    assert [out[m]["state"] for m in range(6)] == [
+        "PENDING", "ALERT", "OK", "PENDING", "ALERT", "ALERT",
+    ]
+    assert [out[m]["streak"] for m in range(6)] == [1, 2, 0, 1, 2, 3]
+
+
+def test_backtest_grouped(spark):
+    c = AlertConfig(threshold=10, num_consecutive_windows=1, window_minutes=1)
+    rows = [
+        (T(2024, 1, 1, 0, 0), 50.0, "a"),
+        (T(2024, 1, 1, 0, 0), 5.0, "b"),
+        (T(2024, 1, 1, 0, 1), 50.0, "b"),
+    ]
+    df = spark.createDataFrame(rows, "__timestamp timestamp, value double, svc string")
+    out = {(r["svc"], r["__timestamp"].minute): r["state"]
+           for r in backtest(df, c, group_cols=["svc"]).collect()}
+    assert out[("a", 0)] == "ALERT"
+    assert out[("b", 0)] == "OK"
+    assert out[("b", 1)] == "ALERT"
