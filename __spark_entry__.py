@@ -625,6 +625,75 @@ FROM events, bounds GROUP BY 1, 2
 """
 
 # --------------------------------------------------------------------------
+# §2.1 raw-SQL macros + §2.8 metadata/autocomplete ops
+# --------------------------------------------------------------------------
+
+def q_raw_sql_macros(spark, sf_dir):
+    from hyperdx_spark import macros
+    from hyperdx_spark.io import register_tables
+
+    register_tables(spark, sf_dir, ("events",), time_filter=("ts", *RANGE))
+    sql = macros.replace_macros(
+        "SELECT $__timeInterval(ts) AS __timestamp, event_type, count(*) AS n"
+        " FROM $__sourceTable WHERE $__timeFilter(ts) AND $__filters"
+        " GROUP BY 1, 2",
+        date_range=RANGE,
+        interval_seconds=86400,
+        table="events",
+        filters_sql="value >= 10",
+    )
+    return spark.sql(sql)
+
+
+O_RAW_SQL_MACROS = f"""
+SELECT make_timestamp((floor(epoch(ts))::BIGINT // 86400) * 86400 * 1000000) AS __timestamp,
+       event_type, count(*) AS n
+FROM events WHERE {TIME_WHERE} AND value >= 10
+GROUP BY 1, 2
+"""
+
+
+def q_key_values(spark, sf_dir):
+    from hyperdx_spark import metadata
+
+    ev = load_table(spark, sf_dir, "events")
+    kv = metadata.get_key_values(
+        ev, ["event_type", "cast(user_id % 3 as string)"], max_values_per_key=20
+    )
+    # explode the per-key arrays to (key, value) rows — scalar columns hash
+    # identically across engines, array stringification does not
+    return kv.select(
+        F.lit("event_type").alias("key"), F.explode("key0").alias("value")
+    ).unionByName(
+        kv.select(F.lit("user_mod3").alias("key"), F.explode("key1").alias("value"))
+    )
+
+
+O_KEY_VALUES = """
+WITH kv AS (
+  SELECT list_slice(list_sort(list(DISTINCT event_type)), 1, 20) AS key0,
+         list_slice(list_sort(list(DISTINCT (user_id % 3)::VARCHAR)), 1, 20) AS key1
+  FROM events)
+SELECT 'event_type' AS key, unnest(key0) AS value FROM kv
+UNION ALL
+SELECT 'user_mod3' AS key, unnest(key1) AS value FROM kv
+"""
+
+
+def q_values_distribution(spark, sf_dir):
+    from hyperdx_spark import metadata
+
+    ev = load_table(spark, sf_dir, "events")
+    return metadata.get_values_distribution(ev, "event_type", top=10)
+
+
+O_VALUES_DISTRIBUTION = """
+WITH c AS (SELECT event_type AS value, count(*) AS count FROM events GROUP BY 1)
+SELECT value, count, round(count::DOUBLE / sum(count) OVER () * 100, 4) AS pct
+FROM c ORDER BY count DESC, value LIMIT 10
+"""
+
+# --------------------------------------------------------------------------
 # §2.10 alert evaluation — distributed backtest over daily error counts
 # --------------------------------------------------------------------------
 
@@ -1098,6 +1167,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hist_quantile": q_hist_quantile,
         "q_exp_hist_quantile": q_exp_hist_quantile,
         "q_heatmap": q_heatmap,
+        "q_raw_sql_macros": q_raw_sql_macros,
+        "q_key_values": q_key_values,
+        "q_values_distribution": q_values_distribution,
         "q_alert_backtest": q_alert_backtest,
         "q_log_patterns": q_log_patterns,
         "q_event_deltas": q_event_deltas,
@@ -1137,6 +1209,9 @@ def oracle_sql() -> dict[str, str]:
         "q_hist_quantile": O_HIST_QUANTILE,
         "q_exp_hist_quantile": O_EXP_HIST_QUANTILE,
         "q_heatmap": O_HEATMAP,
+        "q_raw_sql_macros": O_RAW_SQL_MACROS,
+        "q_key_values": O_KEY_VALUES,
+        "q_values_distribution": O_VALUES_DISTRIBUTION,
         "q_alert_backtest": O_ALERT_BACKTEST,
         "q_log_patterns": O_LOG_PATTERNS,
         "q_event_deltas": O_EVENT_DELTAS,

@@ -95,8 +95,26 @@ def nanos_timestamp_columns(sf_dir: str, name: str) -> tuple[str, ...]:
     return _nanos_timestamp_cols(os.path.join(sf_dir, f"{name}.parquet"))
 
 
-def register_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
-    """Register each table as a temp view (used by raw-SQL macros and tests)."""
+def register_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    names: tuple[str, ...] = TABLES,
+    time_filter: tuple[str, "datetime", "datetime"] | None = None,
+) -> None:
+    """Register each table as a temp view (used by raw-SQL macros and tests).
+
+    ``time_filter=(col, start, end)`` is forwarded to :func:`load_table` for
+    every table whose nanos-stored column matches *col*: the range predicate
+    is applied on the raw nanosecond long so it reaches ``PushedFilters`` on
+    the parquet scan. A raw-SQL ``$__timeFilter`` residual on the converted
+    timestamp column is then a no-op row filter over already-pruned row
+    groups instead of a full scan.
+    """
     for name in names:
-        if os.path.exists(os.path.join(sf_dir, f"{name}.parquet")):
-            load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        tf = None
+        if time_filter is not None and time_filter[0] in _nanos_timestamp_cols(path):
+            tf = time_filter
+        load_table(spark, sf_dir, name, time_filter=tf).createOrReplaceTempView(name)

@@ -1,0 +1,166 @@
+"""Raw-SQL macro expansion (Grafana-style ``$__...`` template macros).
+
+Parity target: ``packages/common-utils/src/macros.ts`` — macro set :45-150
+(fromTime/toTime[_ms], timeFilter[_ms], dateFilter, dateTimeFilter/dt,
+timeInterval[_ms], interval_s), bracket-aware argument parsing :211-238,
+longest-name-first replacement and filters/sourceTable handling :288-369.
+Expansions emit Spark SQL instead of ClickHouse SQL; the template then runs
+through ``spark.sql`` against registered views.
+"""
+
+from __future__ import annotations
+
+import re
+from datetime import datetime
+from typing import Optional
+
+NO_FILTERS = "(1=1 /** no filters applied */)"
+
+
+def _split_args(inner: str) -> list[str]:
+    """Split on top-level commas (bracket/quote aware)."""
+    args, depth, cur, quote = [], 0, "", None
+    for ch in inner:
+        if quote:
+            cur += ch
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+            cur += ch
+        elif ch in "([":
+            depth += 1
+            cur += ch
+        elif ch in ")]":
+            depth -= 1
+            cur += ch
+        elif ch == "," and depth == 0:
+            args.append(cur.strip())
+            cur = ""
+        else:
+            cur += ch
+    if cur.strip():
+        args.append(cur.strip())
+    return args
+
+
+def _parse_args(s: str) -> tuple[list[str], int]:
+    """Parse an optional parenthesized argument list at the start of *s*.
+    Returns (args, consumed_chars); consumed 0 when there is no '('."""
+    if not s.startswith("("):
+        return [], 0
+    depth = 0
+    for i, ch in enumerate(s):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return _split_args(s[1:i]), i + 1
+    raise ValueError("Failed to parse macro arguments: unbalanced parens")
+
+
+def _ms(dt: datetime) -> int:
+    return int(dt.timestamp() * 1000)
+
+
+def replace_macros(
+    sql_template: str,
+    *,
+    date_range: tuple[datetime, datetime],
+    interval_seconds: int = 60,
+    table: Optional[str] = None,
+    metric_tables: Optional[dict[str, str]] = None,
+    filters_sql: Optional[str] = None,
+) -> str:
+    """Expand every ``$__macro[(args)]`` occurrence into Spark SQL."""
+    start_ms, end_ms = _ms(date_range[0]), _ms(date_range[1])
+    from_ts = f"timestamp_millis({start_ms})"
+    to_ts = f"timestamp_millis({end_ms})"
+
+    def one_arg(name, args):
+        if len(args) != 1:
+            raise ValueError(f"Macro '{name}' expects 1 argument(s), but got {len(args)}")
+        return args[0]
+
+    def source_table(args):
+        if len(args) > 1:
+            raise ValueError(f"Macro 'sourceTable' expects 0-1 argument(s), but got {len(args)}")
+        if table is None and not metric_tables:
+            raise ValueError("Macro '$__sourceTable' requires a source to be selected")
+        if not args:
+            if metric_tables:
+                raise ValueError(
+                    "Macro '$__sourceTable(metricType)' requires a metricType"
+                    " when a metrics source is selected"
+                )
+            return f"`{table}`"
+        if not metric_tables:
+            raise ValueError(
+                "Macro '$__sourceTable(metricType)' requires a metrics source"
+            )
+        mt = args[0]
+        if mt not in metric_tables:
+            raise ValueError(
+                f"Macro '$__sourceTable(metricType)': no table for '{mt}'"
+            )
+        return f"`{metric_tables[mt]}`"
+
+    def bucket(col, step_expr):
+        return (
+            f"timestamp_seconds(CAST(floor(unix_timestamp({col}) / {step_expr})"
+            f" AS BIGINT) * {step_expr})"
+        )
+
+    replacements = {
+        "timeFilter_ms": lambda a: f"{one_arg('timeFilter_ms', a)} >= {from_ts}"
+        f" AND {one_arg('timeFilter_ms', a)} <= {to_ts}",
+        "timeInterval_ms": lambda a: bucket(one_arg("timeInterval_ms", a), interval_seconds),
+        "dateTimeFilter": lambda a: _dt_filter(a, from_ts, to_ts),
+        "timeFilter": lambda a: f"{one_arg('timeFilter', a)} >= {from_ts}"
+        f" AND {one_arg('timeFilter', a)} <= {to_ts}",
+        "timeInterval": lambda a: bucket(one_arg("timeInterval", a), interval_seconds),
+        "fromTime_ms": lambda a: from_ts,
+        "toTime_ms": lambda a: to_ts,
+        "dateFilter": lambda a: f"{one_arg('dateFilter', a)} >= to_date({from_ts})"
+        f" AND {one_arg('dateFilter', a)} <= to_date({to_ts})",
+        "sourceTable": source_table,
+        "interval_s": lambda a: str(interval_seconds),
+        "fromTime": lambda a: from_ts,
+        "filters": lambda a: filters_sql or NO_FILTERS,
+        "toTime": lambda a: to_ts,
+        "dt": lambda a: _dt_filter(a, from_ts, to_ts),
+    }
+
+    def _dt_filter(args, f, t):
+        if len(args) != 2:
+            raise ValueError(f"Macro 'dt' expects 2 argument(s), but got {len(args)}")
+        date_col, time_col = args
+        return (
+            f"({date_col} >= to_date({f}) AND {date_col} <= to_date({t}))"
+            f" AND ({time_col} >= {f} AND {time_col} <= {t})"
+        )
+
+    sql = sql_template
+    # longest name first so $__timeFilter_ms isn't matched by $__timeFilter
+    for name in sorted(replacements, key=len, reverse=True):
+        pattern = re.compile(rf"\$__{name}\b")
+        while True:
+            m = pattern.search(sql)
+            if m is None:
+                break
+            args, consumed = _parse_args(sql[m.end():])
+            replacement = replacements[name](args)
+            sql = sql[: m.start()] + replacement + sql[m.end() + consumed:]
+    return sql
+
+
+TIME_RANGE_MACROS = (
+    "timeFilter", "timeFilter_ms", "dateFilter", "dateTimeFilter", "dt",
+    "fromTime", "toTime", "fromTime_ms", "toTime_ms",
+)
+
+
+def has_macro(sql: str, name: str) -> bool:
+    return re.search(rf"\$__{name}\b", sql) is not None

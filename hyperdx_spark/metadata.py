@@ -1,0 +1,146 @@
+"""Metadata / autocomplete operators (SURVEY §2.8 bottom).
+
+Parity target: ``packages/common-utils/src/core/metadata.ts`` —
+``getAllFields`` (:1422), ``getMapKeys`` (:641), ``getJSONKeys`` (:951),
+``getMapValues`` (:1040), ``getKeyValues`` (:2431: per-key distinct value
+arrays, optionally over a sampled CTE, ≤ maxValuesPerKey values),
+``getValuesDistribution`` (:1995). The reference introspects
+``system.columns`` with caching; here the schema IS ``df.schema`` and the
+data-dependent parts (map/JSON keys, values) are bounded scans capped the
+same way (max_rows ~ the reference's 3e6 ``max_rows_to_read`` guard).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DEFAULT_MAX_ROWS = 3_000_000   # metadata.ts:56
+MAX_VALUES_PER_KEY = 20        # metadata.ts:60
+
+
+def get_all_fields(df: DataFrame) -> list[tuple[str, str]]:
+    """Every addressable dot-path in the schema with its type: struct fields
+    recurse; map/array columns are returned as the container (their dynamic
+    keys come from get_map_keys/get_json_keys)."""
+    out: list[tuple[str, str]] = []
+
+    def walk(prefix: str, dtype: T.DataType) -> None:
+        if isinstance(dtype, T.StructType):
+            for f in dtype.fields:
+                path = f"{prefix}.{f.name}" if prefix else f.name
+                out.append((path, f.dataType.simpleString()))
+                walk(path, f.dataType)
+        elif isinstance(dtype, T.ArrayType):
+            walk(prefix, dtype.elementType) if isinstance(
+                dtype.elementType, T.StructType
+            ) else None
+
+    for f in df.schema.fields:
+        out.append((f.name, f.dataType.simpleString()))
+        walk(f.name, f.dataType)
+    return out
+
+
+def _capped(df: DataFrame, max_rows: Optional[int]) -> DataFrame:
+    return df.limit(max_rows) if max_rows else df
+
+
+def get_map_keys(
+    df: DataFrame, map_col: str, *, max_rows: Optional[int] = DEFAULT_MAX_ROWS
+) -> DataFrame:
+    """Distinct keys of a map column over a bounded scan (metadata.ts:641)."""
+    return (
+        _capped(df.select(map_col), max_rows)
+        .select(F.explode(F.map_keys(F.col(map_col))).alias("key"))
+        .distinct()
+        .orderBy("key")
+    )
+
+
+def get_json_keys(
+    df: DataFrame, json_col: str, *, max_rows: Optional[int] = DEFAULT_MAX_ROWS
+) -> DataFrame:
+    """Distinct top-level keys of a JSON-string column (metadata.ts:951)."""
+    return (
+        _capped(df.select(json_col), max_rows)
+        .select(F.explode(F.json_object_keys(F.col(json_col))).alias("key"))
+        .distinct()
+        .orderBy("key")
+    )
+
+
+def get_map_values(
+    df: DataFrame,
+    map_col: str,
+    key: str,
+    *,
+    max_values: int = MAX_VALUES_PER_KEY,
+    max_rows: Optional[int] = DEFAULT_MAX_ROWS,
+) -> list[str]:
+    """Distinct values observed for one map key (metadata.ts:1040)."""
+    rows = (
+        _capped(df.select(map_col), max_rows)
+        .select(F.element_at(F.col(map_col), key).alias("v"))
+        .where(F.col("v").isNotNull() & (F.col("v") != ""))
+        .distinct()
+        .orderBy("v")
+        .limit(max_values)
+        .collect()
+    )
+    return [r["v"] for r in rows]
+
+
+def get_key_values(
+    df: DataFrame,
+    keys: Sequence[str],
+    *,
+    max_values_per_key: int = MAX_VALUES_PER_KEY,
+    sample_rows: Optional[int] = None,
+) -> DataFrame:
+    """Per-key distinct value arrays in ONE aggregation (metadata.ts:2431
+    ``groupUniqArray(N)(expr)`` batched over ≤100 keys). ``keys`` are SQL
+    expressions; values are stringified, sorted, and capped so the result
+    is deterministic across engines. Returns one row with one array column
+    per key (aliased key0, key1, ... in input order)."""
+    src = _capped(df, sample_rows)
+    aggs = [
+        F.slice(
+            F.array_sort(F.collect_set(F.expr(k).cast("string"))),
+            1,
+            max_values_per_key,
+        ).alias(f"key{i}")
+        for i, k in enumerate(keys)
+    ]
+    return src.agg(*aggs)
+
+
+def get_values_distribution(
+    df: DataFrame,
+    expr: str,
+    *,
+    top: int = 20,
+    max_rows: Optional[int] = DEFAULT_MAX_ROWS,
+) -> DataFrame:
+    """Value frequency distribution of an expression (metadata.ts:1995):
+    (value, count, pct of scanned rows), most frequent first."""
+    src = _capped(df, max_rows)
+    counts = (
+        src.select(F.expr(expr).cast("string").alias("value"))
+        .groupBy("value")
+        .agg(F.count("*").alias("count"))
+    )
+    total = counts.agg(F.sum("count").alias("__t"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "value",
+            "count",
+            F.round(F.col("count") / F.col("__t") * 100, 4).alias("pct"),
+        )
+        .orderBy(F.desc("count"), F.asc("value"))
+        .limit(top)
+    )

@@ -1,0 +1,117 @@
+"""Metadata/autocomplete ops + raw-SQL macro expansion."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from hyperdx_spark import macros, metadata
+from hyperdx_spark.io import register_tables
+
+RANGE = (datetime(2024, 1, 1), datetime(2024, 2, 1))
+
+
+# ---------------------------------------------------------------- macros
+
+
+def test_macro_time_filter_and_interval():
+    sql = macros.replace_macros(
+        "SELECT $__timeInterval(ts) b, count(*) FROM t WHERE $__timeFilter(ts) GROUP BY 1",
+        date_range=RANGE,
+        interval_seconds=300,
+    )
+    assert "ts >= timestamp_millis(1704067200000)" in sql
+    assert "ts <= timestamp_millis(1706745600000)" in sql
+    assert "floor(unix_timestamp(ts) / 300)" in sql
+    assert "$__" not in sql
+
+
+def test_macro_longest_name_wins():
+    sql = macros.replace_macros(
+        "SELECT $__fromTime_ms, $__fromTime", date_range=RANGE
+    )
+    # fromTime_ms must not be corrupted by the fromTime replacement
+    assert sql.count("timestamp_millis(1704067200000)") == 2
+    assert "_ms" not in sql
+
+
+def test_macro_source_table_and_filters():
+    sql = macros.replace_macros(
+        "SELECT * FROM $__sourceTable WHERE $__filters",
+        date_range=RANGE,
+        table="events",
+    )
+    assert "FROM `events`" in sql and "(1=1" in sql
+    sql = macros.replace_macros(
+        "SELECT * FROM $__sourceTable(gauge)",
+        date_range=RANGE,
+        metric_tables={"gauge": "metrics_gauge"},
+    )
+    assert "`metrics_gauge`" in sql
+    with pytest.raises(ValueError):
+        macros.replace_macros("SELECT * FROM $__sourceTable", date_range=RANGE)
+    with pytest.raises(ValueError):
+        macros.replace_macros(
+            "SELECT * FROM $__sourceTable",
+            date_range=RANGE,
+            metric_tables={"gauge": "g"},
+        )
+
+
+def test_macro_args_bracket_aware():
+    sql = macros.replace_macros(
+        "WHERE $__dt(toDate(a, 'x,y'), b)", date_range=RANGE
+    )
+    assert "toDate(a, 'x,y') >= to_date" in sql
+
+
+def test_macro_runs_on_spark(spark, sf_dir):
+    register_tables(spark, sf_dir, ("events",))
+    sql = macros.replace_macros(
+        "SELECT $__timeInterval(ts) AS b, count(*) AS n FROM $__sourceTable"
+        " WHERE $__timeFilter(ts) GROUP BY 1",
+        date_range=RANGE,
+        interval_seconds=86400,
+        table="events",
+    )
+    rows = spark.sql(sql).collect()
+    assert len(rows) == 30 and sum(r["n"] for r in rows) == 1000
+
+
+# ---------------------------------------------------------------- metadata
+
+
+def test_get_all_fields(spark):
+    df = spark.createDataFrame(
+        [(1, {"a": "b"}, (2, "x"))],
+        "id long, m map<string,string>, s struct<n:long,t:string>",
+    )
+    fields = dict(metadata.get_all_fields(df))
+    assert fields["id"] == "bigint"
+    assert fields["m"].startswith("map<")
+    assert fields["s.n"] == "bigint"
+    assert fields["s.t"] == "string"
+
+
+def test_map_and_json_keys(spark):
+    df = spark.createDataFrame(
+        [({"a": "1", "b": "2"}, '{"x": 1}'), ({"a": "3"}, '{"y": 2}')],
+        "m map<string,string>, j string",
+    )
+    assert [r["key"] for r in metadata.get_map_keys(df, "m").collect()] == ["a", "b"]
+    assert [r["key"] for r in metadata.get_json_keys(df, "j").collect()] == ["x", "y"]
+    assert metadata.get_map_values(df, "m", "a") == ["1", "3"]
+
+
+def test_key_values_and_distribution(spark, events):
+    kv = metadata.get_key_values(
+        events, ["event_type", "user_id % 3"], max_values_per_key=10
+    ).collect()[0]
+    assert len(kv["key0"]) == 5
+    assert kv["key1"] == ["0", "1", "2"]
+
+    dist = metadata.get_values_distribution(events, "event_type").collect()
+    assert len(dist) == 5
+    assert abs(sum(r["pct"] for r in dist) - 100.0) < 0.01
+    assert dist[0]["count"] >= dist[-1]["count"]
