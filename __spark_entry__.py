@@ -694,6 +694,58 @@ FROM c ORDER BY count DESC, value LIMIT 10
 """
 
 # --------------------------------------------------------------------------
+# §4 MV rollup rewrite — hourly rollup answers a daily chart (mv.py)
+# --------------------------------------------------------------------------
+
+def q_mv_rollup(spark, sf_dir):
+    """Build an hourly rollup of events, then answer a daily chart from it
+    via the MV rewrite (materializedViews.ts parity). The oracle computes
+    the same answer from the raw table — results must be identical."""
+    import tempfile
+
+    from hyperdx_spark.mv import AggregatedColumn, MVConfig, compile_with_mv
+
+    mv = MVConfig(
+        path=os.path.join(tempfile.mkdtemp(prefix="hdx_mv_"), "events_hourly"),
+        dimension_columns=["event_type"],
+        min_granularity="1 hour",
+        timestamp_column="bucket_ts",
+        aggregated_columns=[
+            AggregatedColumn("count", "cnt_state"),
+            AggregatedColumn("sum", "sum_value", source_column="value"),
+            AggregatedColumn("min", "min_value", source_column="value"),
+            AggregatedColumn("max", "max_value", source_column="value"),
+        ],
+    )
+    from hyperdx_spark.mv import write_rollup
+
+    write_rollup(load_table(spark, sf_dir, "events"), mv, "ts")
+    cfg = ChartConfig(
+        source=_src(),
+        select=[
+            SelectCol(agg_fn="count", alias="cnt"),
+            SelectCol(agg_fn="sum", value_expression="value", alias="sum_v"),
+            SelectCol(agg_fn="min", value_expression="value", alias="min_v"),
+            SelectCol(agg_fn="max", value_expression="value", alias="max_v"),
+        ],
+        group_by=["event_type"],
+        granularity="1 day",
+        date_range=RANGE,
+    )
+    df, expl = compile_with_mv(spark, cfg, [mv], sf_dir=sf_dir)
+    if not expl[0].success:  # the rewrite MUST engage for this entry
+        raise RuntimeError(f"MV rewrite failed: {expl[0].errors}")
+    return _round4(df)
+
+
+O_MV_ROLLUP = f"""
+SELECT make_timestamp((floor(epoch(ts))::BIGINT // 86400) * 86400 * 1000000) AS __timestamp,
+       event_type, count(*) AS cnt, round(sum(value), 4) AS sum_v,
+       round(min(value), 4) AS min_v, round(max(value), 4) AS max_v
+FROM events WHERE {TIME_WHERE} GROUP BY 1, 2
+"""
+
+# --------------------------------------------------------------------------
 # §2.10 alert evaluation — distributed backtest over daily error counts
 # --------------------------------------------------------------------------
 
@@ -1168,6 +1220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_exp_hist_quantile": q_exp_hist_quantile,
         "q_heatmap": q_heatmap,
         "q_raw_sql_macros": q_raw_sql_macros,
+        "q_mv_rollup": q_mv_rollup,
         "q_key_values": q_key_values,
         "q_values_distribution": q_values_distribution,
         "q_alert_backtest": q_alert_backtest,
@@ -1210,6 +1263,7 @@ def oracle_sql() -> dict[str, str]:
         "q_exp_hist_quantile": O_EXP_HIST_QUANTILE,
         "q_heatmap": O_HEATMAP,
         "q_raw_sql_macros": O_RAW_SQL_MACROS,
+        "q_mv_rollup": O_MV_ROLLUP,
         "q_key_values": O_KEY_VALUES,
         "q_values_distribution": O_VALUES_DISTRIBUTION,
         "q_alert_backtest": O_ALERT_BACKTEST,

@@ -137,6 +137,17 @@ def _agg_expr(ctx: _Ctx, sc: SelectCol) -> tuple[str, str]:
         return f"max_by({x}, CASE WHEN ({x}) IS NOT NULL THEN {ctx.ts_expr} END)", alias
     if fn == "any":
         return f"any_value({gated(val, extra_null_guard=val)})", alias
+    # merge combinators over rollup state columns (mv.py). count state is a
+    # plain partial count (summed), avg state a struct(sum, cnt), distinct
+    # state an HLL sketch (uniqState/uniqMerge analogue).
+    if fn in ("count_merge", "sum_merge"):
+        return f"sum({val})", alias
+    if fn in ("min_merge", "max_merge"):
+        return f"{fn[:3]}({val})", alias
+    if fn == "avg_merge":
+        return f"(sum(({val}).sum) / sum(({val}).cnt))", alias
+    if fn == "count_distinct_merge":
+        return f"hll_sketch_estimate(hll_union_agg({val}))", alias
     raise ValueError(f"unsupported aggFn: {fn!r} (metrics aggs live in hyperdx_spark.metrics)")
 
 
@@ -148,8 +159,10 @@ def _where_clauses(ctx: _Ctx, df: DataFrame) -> list[Column]:
     if cfg.date_range is not None:
         start, end = cfg.date_range
         ts = F.expr(ctx.ts_expr)
-        # inclusive BETWEEN, matching timeFilterExpr (renderChartConfig.ts:863-997)
-        conds.append((ts >= F.lit(start)) & (ts <= F.lit(end)))
+        # inclusive BETWEEN, matching timeFilterExpr (renderChartConfig.ts:863-997);
+        # exclusive end after MV rewrite (materializedViews.ts:548-556)
+        upper = (ts <= F.lit(end)) if cfg.date_range_end_inclusive else (ts < F.lit(end))
+        conds.append((ts >= F.lit(start)) & upper)
     if cfg.where:
         conds.append(F.expr(_condition_sql(ctx, cfg.where, cfg.where_language)))
     # aggCondition pushdown: only when every select has one (1165-1193)
@@ -207,7 +220,10 @@ def compile_chart_config(
             ts_col = source.timestamp_value_expression.strip().strip("`")
             if config.date_range is not None and ts_col.isidentifier():
                 tf = (ts_col, config.date_range[0], config.date_range[1])
-            df = load_table(spark, sf_dir, source.table, time_filter=tf)
+            df = load_table(
+                spark, sf_dir, source.table, time_filter=tf,
+                end_inclusive=config.date_range_end_inclusive,
+            )
 
     ts_expr = translate_expr(source.timestamp_value_expression)
     granularity = config.granularity

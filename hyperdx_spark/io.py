@@ -55,6 +55,7 @@ def load_table(
     sf_dir: str,
     name: str,
     time_filter: tuple[str, "datetime", "datetime"] | None = None,
+    end_inclusive: bool = True,
 ) -> DataFrame:
     """Load one synthetic table, normalizing nanos timestamps to micros.
 
@@ -80,8 +81,10 @@ def load_table(
         col, start, end = time_filter
         if col in nanos_cols:
             start_ns = int(start.timestamp() * 1_000_000) * 1000
-            # inclusive at micro precision: raw nanos that truncate to <= end
-            end_ns = int(end.timestamp() * 1_000_000) * 1000 + 999
+            # inclusive at micro precision: raw nanos that truncate to <= end;
+            # exclusive: strictly below end's first nanosecond
+            end_us = int(end.timestamp() * 1_000_000)
+            end_ns = end_us * 1000 + 999 if end_inclusive else end_us * 1000 - 1
             df = df.where(
                 (F.col(col) >= F.lit(start_ns)) & (F.col(col) <= F.lit(end_ns))
             )

@@ -36,6 +36,15 @@ AggFn = Literal[
     "any",
     "none",
     "increase",
+    # internal merge combinators over rollup state columns — the reference's
+    # `<agg>Merge` passthrough (types.ts:181-183), emitted by the MV rewrite
+    # (mv.py), never written by users directly
+    "count_merge",
+    "sum_merge",
+    "avg_merge",
+    "min_merge",
+    "max_merge",
+    "count_distinct_merge",
 ]
 
 Language = Literal["sql", "lucene"]
@@ -116,6 +125,9 @@ class ChartConfig:
     select_group_by: bool = True  # echo group cols into SELECT
     granularity: Optional[str] = None  # '5 minute' | 'auto' | None
     date_range: Optional[tuple[datetime, datetime]] = None
+    # False after MV-rollup rewrite: aligned range, end-exclusive so the next
+    # rollup bucket is not swept in (materializedViews.ts:548-556)
+    date_range_end_inclusive: bool = True
     having: Optional[str] = None
     having_language: Language = "sql"
     order_by: Union[str, Sequence[SortSpec], None] = None

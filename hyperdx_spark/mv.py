@@ -1,0 +1,380 @@
+"""Materialized-view (rollup) rewrite — aggregate retargeting onto
+pre-aggregated rollup tables.
+
+Parity target: hyperdxio/hyperdx
+``packages/common-utils/src/core/materializedViews.ts`` — MV configuration
+(types.ts:1784-1800), coverage checks (granularity multiple
+:306-345, date-range containment :357-373), per-select conversion to
+``-Merge`` aggregates (:380-465), config retargeting with aligned
+end-exclusive date range (:474-560), and best-candidate selection by row
+estimate (:565-770).
+
+Spark-first design: rollup "state" columns are plain re-aggregable values
+(the ``SimpleAggregateFunction`` path, materializedViews.ts:207-222) —
+partial counts summed, sums summed, min/max re-applied — plus two genuine
+state encodings Spark supports natively:
+
+* avg state  -> ``struct(sum double, cnt long)`` merged as ``sum(sum)/sum(cnt)``
+  (the ``AggregateFunction(avg)`` analogue),
+* count_distinct state -> an HLL sketch column via ``hll_sketch_agg``
+  merged with ``hll_union_agg`` + ``hll_sketch_estimate`` (the
+  ``uniqState``/``uniqMerge`` analogue — binary, mergeable, columnar).
+
+Quantile state (ClickHouse t-digest ``AggregateFunction(quantile)``) has no
+public persistable Spark sketch; a quantile select therefore *fails* the
+coverage check and the query falls back to the raw table — the same
+user-visible behavior as a reference MV that lacks the column.
+
+At 100 TB the rollup read replaces the raw scan with a table that is
+``raw_rows / (bucket_width * avg_series_cardinality)`` smaller; the rollup
+itself is written partitioned by bucket date so the rewritten query's time
+filter prunes partitions.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from datetime import datetime, timedelta
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hyperdx_spark.functions.chcompat import translate_expr
+from hyperdx_spark.granularity import auto_granularity, granularity_seconds
+from hyperdx_spark.model import ChartConfig, SelectCol, Source
+
+# materializedViews.ts:375 — custom count() expressions silently mis-aggregate
+_COUNT_FN_RE = re.compile(r"\bcount(if)?\s*\(", re.IGNORECASE)
+
+# user aggFn -> merge combinator emitted into the rewritten select
+_MERGE_FN = {
+    "count": "count_merge",
+    "sum": "sum_merge",
+    "avg": "avg_merge",
+    "min": "min_merge",
+    "max": "max_merge",
+    "count_distinct": "count_distinct_merge",
+}
+
+
+@dataclass
+class AggregatedColumn:
+    """One rollup column (types.ts:1769-1777): state of ``agg_fn`` over
+    ``source_column``, stored as ``mv_column``. count needs no source."""
+
+    agg_fn: str
+    mv_column: str
+    source_column: Optional[str] = None
+
+
+@dataclass
+class MVConfig:
+    """Rollup-table description (types.ts:1784-1800)."""
+
+    path: str  # parquet directory of the rollup table
+    dimension_columns: Sequence[str]
+    min_granularity: str  # e.g. '1 hour' — the rollup's bucket width
+    timestamp_column: str  # bucket column name in the rollup
+    aggregated_columns: Sequence[AggregatedColumn] = field(default_factory=list)
+    min_date: Optional[datetime] = None  # earliest bucket present
+
+
+@dataclass
+class MVExplanation:
+    """materializedViews.ts:471-477 MVOptimizationExplanation."""
+
+    success: bool
+    errors: list[str]
+    mv: MVConfig
+    row_estimate: Optional[int] = None
+
+
+# --------------------------------------------------------------------------
+# Rollup construction
+# --------------------------------------------------------------------------
+
+def rollup_dataframe(
+    base: DataFrame, mv: MVConfig, ts_expr: str
+) -> DataFrame:
+    """Aggregate *base* into the rollup shape described by *mv*.
+
+    Equivalent of the reference's AggregatingMergeTree MV SELECT: one row per
+    (bucket, dims) carrying re-aggregable state columns.
+    """
+    step = granularity_seconds(mv.min_granularity)
+    ts = F.expr(translate_expr(ts_expr))
+    bucket = F.timestamp_seconds(
+        (F.unix_timestamp(ts) / step).cast("long") * step
+    ).alias(mv.timestamp_column)
+    keys = [bucket] + [F.expr(translate_expr(d)).alias(d) for d in mv.dimension_columns]
+    aggs = []
+    for ac in mv.aggregated_columns:
+        fn = ac.agg_fn
+        src = F.expr(translate_expr(ac.source_column)) if ac.source_column else None
+        if fn == "count":
+            aggs.append(F.count(F.lit(1)).alias(ac.mv_column))
+        elif fn == "sum":
+            aggs.append(F.sum(src.cast("double")).alias(ac.mv_column))
+        elif fn == "min":
+            aggs.append(F.min(src).alias(ac.mv_column))
+        elif fn == "max":
+            aggs.append(F.max(src).alias(ac.mv_column))
+        elif fn == "avg":
+            aggs.append(
+                F.struct(
+                    F.sum(src.cast("double")).alias("sum"),
+                    F.count(src).alias("cnt"),
+                ).alias(ac.mv_column)
+            )
+        elif fn == "count_distinct":
+            aggs.append(F.hll_sketch_agg(src).alias(ac.mv_column))
+        else:
+            raise ValueError(
+                f"aggFn {fn!r} has no persistable rollup state in Spark"
+            )
+    return base.groupBy(*keys).agg(*aggs)
+
+
+def write_rollup(
+    base: DataFrame, mv: MVConfig, ts_expr: str, mode: str = "overwrite"
+) -> None:
+    """Materialize the rollup at ``mv.path``, partitioned by bucket date so
+    the rewritten query's time filter prunes whole partitions."""
+    out = rollup_dataframe(base, mv, ts_expr)
+    out = out.withColumn("__bucket_date", F.to_date(F.col(mv.timestamp_column)))
+    out.write.mode(mode).partitionBy("__bucket_date").parquet(mv.path)
+
+
+# --------------------------------------------------------------------------
+# Coverage checks + rewrite
+# --------------------------------------------------------------------------
+
+def _supports_granularity(mv: MVConfig, cfg: ChartConfig, max_buckets: int) -> Optional[str]:
+    """materializedViews.ts:306-345. Returns an error string or None."""
+    if not cfg.granularity and not cfg.date_range:
+        return None
+    gran = cfg.granularity or "auto"
+    if gran == "auto":
+        if not cfg.date_range:
+            return "auto granularity requires a date range"
+        gran = auto_granularity(cfg.date_range, max_buckets)
+    chart_s = granularity_seconds(gran)
+    mv_s = granularity_seconds(mv.min_granularity)
+    if chart_s >= mv_s and chart_s % mv_s == 0:
+        return None
+    if cfg.granularity:
+        return (
+            "Granularity must be a multiple of the view's granularity"
+            f" ({mv.min_granularity})."
+        )
+    return (
+        "The selected date range is too short for the granularity of this"
+        " materialized view."
+    )
+
+
+def _supports_date_range(mv: MVConfig, cfg: ChartConfig) -> Optional[str]:
+    """materializedViews.ts:357-373."""
+    if mv.min_date is None:
+        return None
+    if cfg.date_range is None:
+        return (
+            "The selected date range includes dates for which this view does"
+            " not contain data."
+        )
+    if cfg.date_range[0] >= mv.min_date:
+        return None
+    return (
+        "The selected date range includes dates for which this view does not"
+        " contain data."
+    )
+
+
+def _aligned_range(
+    date_range: tuple[datetime, datetime], mv_granularity: str
+) -> tuple[datetime, datetime]:
+    """core/utils.ts:1043-1058 getAlignedDateRange: floor start, ceil end."""
+    step = granularity_seconds(mv_granularity)
+
+    def floor(dt: datetime) -> datetime:
+        epoch = int(dt.timestamp())
+        return datetime.fromtimestamp(epoch - epoch % step, tz=dt.tzinfo)
+
+    start, end = date_range
+    aligned_end = floor(end)
+    if aligned_end < end:
+        aligned_end += timedelta(seconds=step)
+    return floor(start), aligned_end
+
+
+def _convert_select(mv: MVConfig, sc: SelectCol) -> SelectCol:
+    """materializedViews.ts:380-465 convertSelectToMaterializedViewSelect."""
+    if _COUNT_FN_RE.search(sc.value_expression or ""):
+        raise ValueError(
+            "Custom count() expressions are not supported with materialized views."
+        )
+    if sc.agg_fn in (None, "none"):
+        # bare projection: must be a stored dimension (the reference defers
+        # this to the EXPLAIN check; we verify statically)
+        if sc.value_expression not in mv.dimension_columns:
+            raise ValueError(
+                f"Column '{sc.value_expression}' is not a dimension of this view."
+            )
+        return sc
+    if sc.agg_condition:
+        # conditional aggregates cannot be applied over pre-aggregated state
+        raise ValueError(
+            "Aggregate conditions are not supported with materialized views."
+        )
+    merge_fn = _MERGE_FN.get(sc.agg_fn)
+    if merge_fn is None:
+        raise ValueError(
+            f"The aggregate function {sc.agg_fn} is not available for"
+            f" column '{sc.value_expression}'."
+        )
+    match = next(
+        (
+            ac
+            for ac in mv.aggregated_columns
+            if ac.agg_fn == sc.agg_fn
+            and (sc.agg_fn == "count" or ac.source_column == sc.value_expression)
+        ),
+        None,
+    )
+    if match is None:
+        raise ValueError(
+            f"The aggregate function {sc.agg_fn} is not available for"
+            f" column '{sc.value_expression}'."
+        )
+    return SelectCol(
+        value_expression=match.mv_column,
+        agg_fn=merge_fn,
+        alias=sc.alias or f"{sc.agg_fn}({sc.value_expression})",
+    )
+
+
+def try_rewrite_with_mv(
+    cfg: ChartConfig, mv: MVConfig, max_buckets: int = 60
+) -> MVExplanation:
+    """materializedViews.ts:474-560 tryConvertConfigToMaterializedViewSelect.
+
+    On success ``MVExplanation.success`` is True and ``rewritten(cfg, mv)``
+    yields the retargeted config; errors list why coverage failed otherwise.
+    """
+    errors: list[str] = []
+    if not isinstance(cfg.select, (list, tuple)):
+        errors.append("Only array-based select statements are supported.")
+        return MVExplanation(False, errors, mv)
+    err = _supports_date_range(mv, cfg)
+    if err:
+        return MVExplanation(False, [err], mv)
+    err = _supports_granularity(mv, cfg, max_buckets)
+    if err:
+        return MVExplanation(False, [err], mv)
+    for g in cfg.group_by:
+        if g not in mv.dimension_columns:
+            errors.append(f"Group-by column '{g}' is not a dimension of this view.")
+    for sc in cfg.select:
+        try:
+            _convert_select(mv, sc)
+        except ValueError as ex:
+            errors.append(str(ex))
+    if errors:
+        return MVExplanation(False, errors, mv)
+    return MVExplanation(True, [], mv, row_estimate=_row_estimate(mv))
+
+
+def rewritten(cfg: ChartConfig, mv: MVConfig) -> ChartConfig:
+    """The retargeted config (only valid after a successful check)."""
+    new_select = [_convert_select(mv, sc) for sc in cfg.select]
+    new_range = cfg.date_range
+    end_inclusive = cfg.date_range_end_inclusive
+    if cfg.date_range is not None:
+        new_range = _aligned_range(cfg.date_range, mv.min_granularity)
+        end_inclusive = False
+    return ChartConfig(
+        source=Source(
+            table=mv.path,
+            kind=cfg.source.kind,
+            timestamp_value_expression=mv.timestamp_column,
+        ),
+        select=new_select,
+        where=cfg.where,
+        where_language=cfg.where_language,
+        filters=list(cfg.filters),
+        group_by=list(cfg.group_by),
+        select_group_by=cfg.select_group_by,
+        granularity=cfg.granularity,
+        date_range=new_range,
+        date_range_end_inclusive=end_inclusive,
+        having=cfg.having,
+        having_language=cfg.having_language,
+        order_by=cfg.order_by,
+        limit=cfg.limit,
+        offset=cfg.offset,
+        series_limit=cfg.series_limit,
+        fill_nulls=cfg.fill_nulls,
+        timestamp_alias=cfg.timestamp_alias,
+    )
+
+
+def _row_estimate(mv: MVConfig) -> Optional[int]:
+    """Rollup size from parquet footers (the reference's EXPLAIN row
+    estimate, materializedViews.ts:640-700) — metadata only, no scan."""
+    import glob
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+
+        total = 0
+        for f in glob.glob(os.path.join(mv.path, "**", "*.parquet"), recursive=True):
+            total += pq.read_metadata(f).num_rows
+        return total
+    except Exception:
+        return None
+
+
+def compile_with_mv(
+    spark: SparkSession,
+    cfg: ChartConfig,
+    mvs: Sequence[MVConfig],
+    sf_dir: Optional[str] = None,
+    df: Optional[DataFrame] = None,
+    settings=None,
+) -> tuple[DataFrame, list[MVExplanation]]:
+    """materializedViews.ts:565-770 optimizeConfig: try every candidate MV,
+    pick the smallest covering rollup by row estimate, else fall back to the
+    raw table. Returns (DataFrame, per-MV explanations)."""
+    from hyperdx_spark.compile import compile_chart_config
+
+    explanations = [try_rewrite_with_mv(cfg, mv) for mv in mvs]
+    winners = [e for e in explanations if e.success]
+    if winners:
+        best = min(
+            winners,
+            key=lambda e: e.row_estimate if e.row_estimate is not None else float("inf"),
+        )
+        new_cfg = rewritten(cfg, best.mv)
+        mv_df = spark.read.parquet(best.mv.path)
+        if "__bucket_date" in mv_df.columns:
+            if new_cfg.date_range is not None:
+                # prune rollup partitions on the partition column itself —
+                # the ts filter compile adds can't reach directory pruning
+                start, end = new_cfg.date_range
+                mv_df = mv_df.where(
+                    F.col("__bucket_date").between(
+                        F.to_date(F.lit(start)), F.to_date(F.lit(end))
+                    )
+                )
+            mv_df = mv_df.drop("__bucket_date")
+        return (
+            compile_chart_config(spark, new_cfg, df=mv_df, settings=settings),
+            explanations,
+        )
+    return (
+        compile_chart_config(spark, cfg, sf_dir=sf_dir, df=df, settings=settings),
+        explanations,
+    )

@@ -1,0 +1,212 @@
+"""MV rollup rewrite (hyperdx_spark.mv) vs raw-table ground truth.
+
+Mirrors the reference's materializedViews coverage-check + conversion tests
+(packages/api/src/clickhouse/__tests__/materializedViews.test.ts): the
+rewritten query over the rollup must equal the same config over the raw
+table, and every coverage-failure branch must fall back with the matching
+error message.
+"""
+
+from datetime import datetime
+
+import pytest
+
+from hyperdx_spark.compile import compile_chart_config
+from hyperdx_spark.model import ChartConfig, SelectCol, Source
+from hyperdx_spark.mv import (
+    AggregatedColumn,
+    MVConfig,
+    compile_with_mv,
+    rewritten,
+    try_rewrite_with_mv,
+    write_rollup,
+)
+
+RANGE = (datetime(2024, 1, 1), datetime(2024, 1, 31))
+
+
+@pytest.fixture(scope="module")
+def mv(spark, sf_dir, tmp_path_factory):
+    from hyperdx_spark.io import load_table
+
+    path = str(tmp_path_factory.mktemp("rollup") / "events_hourly")
+    cfg = MVConfig(
+        path=path,
+        dimension_columns=["event_type"],
+        min_granularity="1 hour",
+        timestamp_column="bucket_ts",
+        aggregated_columns=[
+            AggregatedColumn("count", "cnt_state"),
+            AggregatedColumn("sum", "sum_value", source_column="value"),
+            AggregatedColumn("avg", "avg_value", source_column="value"),
+            AggregatedColumn("min", "min_value", source_column="value"),
+            AggregatedColumn("max", "max_value", source_column="value"),
+            AggregatedColumn("count_distinct", "uniq_users", source_column="user_id"),
+        ],
+    )
+    write_rollup(load_table(spark, sf_dir, "events"), cfg, "ts")
+    return cfg
+
+
+def _cfg(**kw):
+    defaults = dict(
+        source=Source(table="events", timestamp_value_expression="ts"),
+        select=[
+            SelectCol(agg_fn="count", alias="cnt"),
+            SelectCol(agg_fn="sum", value_expression="value", alias="sum_v"),
+            SelectCol(agg_fn="avg", value_expression="value", alias="avg_v"),
+        ],
+        group_by=["event_type"],
+        granularity="1 day",
+        date_range=RANGE,
+    )
+    defaults.update(kw)
+    return ChartConfig(**defaults)
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    out = []
+    for r in df.select(*cols).collect():
+        out.append(
+            tuple(round(v, 6) if isinstance(v, float) else v for v in r)
+        )
+    return sorted(out, key=repr)
+
+
+def test_rewrite_matches_raw_table(spark, sf_dir, mv):
+    cfg = _cfg()
+    check = try_rewrite_with_mv(cfg, mv)
+    assert check.success, check.errors
+    assert check.row_estimate and check.row_estimate > 0
+    df_mv, expl = compile_with_mv(spark, cfg, [mv], sf_dir=sf_dir)
+    assert expl[0].success
+    df_raw = compile_chart_config(spark, cfg, sf_dir=sf_dir)
+    assert _rows(df_mv) == _rows(df_raw)
+
+
+def test_min_max_merge(spark, sf_dir, mv):
+    cfg = _cfg(
+        select=[
+            SelectCol(agg_fn="min", value_expression="value", alias="min_v"),
+            SelectCol(agg_fn="max", value_expression="value", alias="max_v"),
+        ]
+    )
+    df_mv, _ = compile_with_mv(spark, cfg, [mv], sf_dir=sf_dir)
+    df_raw = compile_chart_config(spark, cfg, sf_dir=sf_dir)
+    assert _rows(df_mv) == _rows(df_raw)
+
+
+def test_count_distinct_hll_close_to_exact(spark, sf_dir, mv):
+    cfg = _cfg(
+        select=[SelectCol(agg_fn="count_distinct", value_expression="user_id", alias="u")],
+        group_by=[],
+        granularity=None,
+    )
+    df_mv, expl = compile_with_mv(spark, cfg, [mv], sf_dir=sf_dir)
+    assert expl[0].success
+    approx = df_mv.collect()[0]["u"]
+    exact = compile_chart_config(spark, cfg, sf_dir=sf_dir).collect()[0]["u"]
+    assert abs(approx - exact) <= max(2, exact * 0.05)
+
+
+def test_rewritten_config_shape(mv):
+    cfg = _cfg()
+    new = rewritten(cfg, mv)
+    assert new.source.timestamp_value_expression == "bucket_ts"
+    assert new.date_range_end_inclusive is False
+    assert [sc.agg_fn for sc in new.select] == [
+        "count_merge", "sum_merge", "avg_merge",
+    ]
+    assert [sc.value_expression for sc in new.select] == [
+        "cnt_state", "sum_value", "avg_value",
+    ]
+    # aligned to the hour, unchanged here since RANGE is midnight-aligned
+    assert new.date_range == RANGE
+
+
+def test_granularity_not_multiple_fails(mv):
+    check = try_rewrite_with_mv(_cfg(granularity="90 minute"), mv)
+    assert not check.success
+    assert "multiple of the view's granularity" in check.errors[0]
+
+
+def test_finer_granularity_fails(mv):
+    check = try_rewrite_with_mv(_cfg(granularity="5 minute"), mv)
+    assert not check.success
+
+
+def test_quantile_falls_back(spark, sf_dir, mv):
+    cfg = _cfg(
+        select=[SelectCol(agg_fn="quantile", value_expression="value", level=0.9, alias="p90")]
+    )
+    check = try_rewrite_with_mv(cfg, mv)
+    assert not check.success
+    assert "not available for column" in check.errors[0]
+    # compile_with_mv falls back to the raw table
+    df, expl = compile_with_mv(spark, cfg, [mv], sf_dir=sf_dir)
+    assert not expl[0].success
+    assert df.count() > 0
+
+
+def test_group_by_not_dimension_fails(mv):
+    check = try_rewrite_with_mv(_cfg(group_by=["user_id"]), mv)
+    assert not check.success
+    assert "not a dimension" in check.errors[0]
+
+
+def test_min_date_excludes_range(mv):
+    late = MVConfig(
+        path=mv.path,
+        dimension_columns=mv.dimension_columns,
+        min_granularity=mv.min_granularity,
+        timestamp_column=mv.timestamp_column,
+        aggregated_columns=mv.aggregated_columns,
+        min_date=datetime(2024, 1, 15),
+    )
+    check = try_rewrite_with_mv(_cfg(), late)
+    assert not check.success
+    assert "does not contain data" in check.errors[0]
+
+
+def test_agg_condition_fails(mv):
+    cfg = _cfg(
+        select=[SelectCol(agg_fn="count", agg_condition="error", alias="cnt")]
+    )
+    check = try_rewrite_with_mv(cfg, mv)
+    assert not check.success
+
+
+def test_custom_count_expression_fails(mv):
+    cfg = _cfg(select=[SelectCol(agg_fn="sum", value_expression="countIf(x)", alias="c")])
+    check = try_rewrite_with_mv(cfg, mv)
+    assert not check.success
+    assert "Custom count()" in check.errors[0]
+
+
+def test_aligned_end_exclusive(spark, sf_dir, mv):
+    # unaligned end: 12:30 ceils to 13:00 end-exclusive — the 12:00 bucket is
+    # included whole, matching the reference's aligned semantics
+    cfg = _cfg(
+        granularity=None,
+        select=[SelectCol(agg_fn="count", alias="cnt")],
+        group_by=[],
+        date_range=(datetime(2024, 1, 1), datetime(2024, 1, 30, 12, 30)),
+    )
+    new = rewritten(cfg, mv)
+    assert new.date_range == (datetime(2024, 1, 1), datetime(2024, 1, 30, 13, 0))
+    assert new.date_range_end_inclusive is False
+    df_mv, expl = compile_with_mv(spark, cfg, [mv], sf_dir=sf_dir)
+    assert expl[0].success
+    raw_aligned = compile_chart_config(
+        spark,
+        _cfg(
+            granularity=None,
+            select=[SelectCol(agg_fn="count", alias="cnt")],
+            group_by=[],
+            date_range=(datetime(2024, 1, 1), datetime(2024, 1, 30, 13, 0)),
+            date_range_end_inclusive=False,
+        ),
+        sf_dir=sf_dir,
+    )
+    assert _rows(df_mv) == _rows(raw_aligned)
