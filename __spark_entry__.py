@@ -746,6 +746,52 @@ FROM events WHERE {TIME_WHERE} GROUP BY 1, 2
 """
 
 # --------------------------------------------------------------------------
+# Structured Streaming live tail -> watermarked windowed agg (streaming/)
+# --------------------------------------------------------------------------
+
+def q_stream_tail(spark, sf_dir):
+    """Live-tail pipeline run to completion with Trigger.AvailableNow: seed
+    an ingest dir with two days of events, stream 6-hour windowed counts
+    with a 1-hour watermark, return the day-1 buckets (all closed by the
+    final watermark, so the emitted set is deterministic)."""
+    import tempfile
+    import uuid
+
+    from hyperdx_spark.streaming import live_tail, windowed_agg
+
+    seed = tempfile.mkdtemp(prefix="hdx_ingest_")
+    ev = load_table(spark, sf_dir, "events").where(
+        (F.col("ts") >= F.lit(datetime(2024, 1, 1)))
+        & (F.col("ts") < F.lit(datetime(2024, 1, 3)))
+    )
+    ev.coalesce(2).write.mode("overwrite").parquet(seed)
+    stream = live_tail(spark, seed, _src())
+    agg = windowed_agg(
+        stream,
+        _src(),
+        select=[SelectCol(agg_fn="count", alias="cnt")],
+        window="6 hours",
+        watermark="1 hour",
+        group_by=["event_type"],
+    )
+    name = "tail_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).where(F.col("__timestamp") < F.lit(datetime(2024, 1, 2)))
+
+
+O_STREAM_TAIL = """
+SELECT make_timestamp((floor(epoch(ts))::BIGINT // 21600) * 21600 * 1000000) AS __timestamp,
+       event_type, count(*) AS cnt
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-02'
+GROUP BY 1, 2
+"""
+
+# --------------------------------------------------------------------------
 # §2.10 alert evaluation — distributed backtest over daily error counts
 # --------------------------------------------------------------------------
 
@@ -1221,6 +1267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_heatmap": q_heatmap,
         "q_raw_sql_macros": q_raw_sql_macros,
         "q_mv_rollup": q_mv_rollup,
+        "q_stream_tail": q_stream_tail,
         "q_key_values": q_key_values,
         "q_values_distribution": q_values_distribution,
         "q_alert_backtest": q_alert_backtest,
@@ -1264,6 +1311,7 @@ def oracle_sql() -> dict[str, str]:
         "q_heatmap": O_HEATMAP,
         "q_raw_sql_macros": O_RAW_SQL_MACROS,
         "q_mv_rollup": O_MV_ROLLUP,
+        "q_stream_tail": O_STREAM_TAIL,
         "q_key_values": O_KEY_VALUES,
         "q_values_distribution": O_VALUES_DISTRIBUTION,
         "q_alert_backtest": O_ALERT_BACKTEST,

@@ -1,0 +1,155 @@
+"""Structured-Streaming operators: live tail, windowed aggregation, alert
+stream.
+
+The reference has *no* true streaming engine — live tail is repeated bounded
+ASC-ordered queries (``packages/app/src/hooks/useOffsetPaginatedQuery.tsx``)
+and alerts are a cron task (``packages/api/src/tasks/checkAlerts``). Spark
+gives us the real thing: ``readStream`` over the ingest directory (the OTel
+collector's sink), the same Lucene/ChartConfig predicate compilation on the
+streaming DataFrame, watermarked windowed aggregation for late data, and
+per-batch alert evaluation via ``foreachBatch``.
+
+Design for scale: the filter compiles to the identical Column expressions
+the batch path uses, so Catalyst pushes them into each micro-batch's file
+scan; windowed aggs keep state keyed by (window, groups) bounded by the
+watermark — state size = cardinality(groups) x (watermark / window) rows.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from hyperdx_spark.functions.chcompat import translate_expr
+from hyperdx_spark.lucene.serializer import SearchQueryBuilder
+from hyperdx_spark.model import SelectCol, Source
+
+
+def live_tail(
+    spark: SparkSession,
+    path: str,
+    source: Source,
+    where: str = "",
+    where_language: str = "lucene",
+    select: Optional[Sequence[str]] = None,
+    schema: Optional[StructType] = None,
+    fmt: str = "parquet",
+    max_files_per_trigger: Optional[int] = None,
+) -> DataFrame:
+    """A filtered streaming scan of the ingest directory — the engine-side
+    half of live tail. Attach ``.writeStream`` (console/memory/your sink)
+    to consume; ordering within a micro-batch follows file order, the UI
+    sorts by the timestamp role as the reference's ASC pages do.
+    """
+    if schema is None:
+        schema = spark.read.format(fmt).load(path).schema
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.load(path)
+    if where:
+        if where_language == "lucene":
+            cond = SearchQueryBuilder(schema, source).build(where)
+        else:
+            cond = translate_expr(where)
+        stream = stream.where(F.expr(cond))
+    if select:
+        stream = stream.selectExpr(*[translate_expr(s) for s in select])
+    return stream
+
+
+def windowed_agg(
+    stream: DataFrame,
+    source: Source,
+    select: Sequence[SelectCol],
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+    group_by: Sequence[str] = (),
+    timestamp_alias: str = "__timestamp",
+) -> DataFrame:
+    """Watermarked windowed aggregation over a (possibly filtered) stream.
+
+    Batch-equivalent of the ChartConfig granularity bucketing: emits one row
+    per (window start, groups) with the same aggregate expressions the batch
+    compiler produces, but incrementally and tolerant of *watermark* of
+    lateness. Output mode 'append' emits a bucket once its watermark passes
+    — exactly-once bucket rows for downstream alerting.
+    """
+    from hyperdx_spark.compile import DEFAULT_SETTINGS, _agg_expr, _Ctx
+    from hyperdx_spark.model import ChartConfig
+
+    ts_expr = translate_expr(source.timestamp_value_expression)
+    stream = stream.withColumn("__ts", F.expr(ts_expr)).withWatermark(
+        "__ts", watermark
+    )
+    ctx = _Ctx(
+        config=ChartConfig(source=source, select=list(select)),
+        source=source,
+        builder=SearchQueryBuilder(stream.schema, source),
+        settings=DEFAULT_SETTINGS,
+        ts_expr="__ts",
+        bucket_seconds=None,
+    )
+    keys = [F.window("__ts", window).alias("__window")]
+    group_names = []
+    for g in group_by:
+        expr = translate_expr(g)
+        name = g if g in stream.columns else f"__group_{len(group_names)}"
+        keys.append(F.expr(expr).alias(name))
+        group_names.append(name)
+    aggs, aliases = [], []
+    for sc in select:
+        sql, alias = _agg_expr(ctx, sc)
+        aggs.append(F.expr(sql).alias(alias))
+        aliases.append(alias)
+    out = stream.groupBy(*keys).agg(*aggs)
+    return out.select(
+        F.col("__window.start").alias(timestamp_alias), *group_names, *aliases
+    )
+
+
+def stream_alert(
+    agg_stream: DataFrame,
+    alert_cfg,
+    on_fire: Callable[[list[dict]], None],
+    value_col: Optional[str] = None,
+    query_name: str = "hdx_alerts",
+    checkpoint: Optional[str] = None,
+    trigger_available_now: bool = False,
+):
+    """Evaluate alert thresholds per emitted bucket via ``foreachBatch``.
+
+    ``agg_stream`` is a :func:`windowed_agg` output; each appended row is a
+    closed (watermark-passed) bucket, so threshold checks never fire on
+    partial buckets — the streaming analogue of the cron task's completed-
+    window evaluation (tasks/checkAlerts/index.ts:1110-1420).
+    Returns the StreamingQuery.
+    """
+    from hyperdx_spark.alerts import does_exceed_threshold
+
+    cols = agg_stream.columns
+    vcol = value_col or cols[-1]
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        rows = batch_df.collect()  # <= buckets closed this batch: tiny
+        fired = [
+            {**r.asDict(), "value": r[vcol]}
+            for r in rows
+            if r[vcol] is not None and does_exceed_threshold(alert_cfg, float(r[vcol]))
+        ]
+        if fired:
+            on_fire(fired)
+
+    writer = (
+        agg_stream.writeStream.outputMode("append")
+        .queryName(query_name)
+        .foreachBatch(process)
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
