@@ -792,6 +792,38 @@ GROUP BY 1, 2
 """
 
 # --------------------------------------------------------------------------
+# §2.11 chunked querying — progressive windows, union equals one query
+# --------------------------------------------------------------------------
+
+def q_chunked_union(spark, sf_dir):
+    """Chunked chart execution (useChartConfig.tsx:73-135): the date range
+    splits into the 15m/6h/6h/12h/24h... ladder, each chunk runs
+    independently, and the union must equal the single-query answer (the
+    oracle computes the latter)."""
+    from hyperdx_spark.windows import run_chunked
+
+    cfg = ChartConfig(
+        source=_src(),
+        select=[SelectCol(agg_fn="count", alias="cnt")],
+        where="error",
+        where_language="lucene",
+        granularity="1 day",
+        group_by=["event_type"],
+        date_range=RANGE,
+    )
+    return run_chunked(spark, cfg, sf_dir=sf_dir)
+
+
+O_CHUNKED_UNION = f"""
+SELECT make_timestamp((floor(epoch(ts))::BIGINT // 86400) * 86400 * 1000000) AS __timestamp,
+       event_type, count(*) AS cnt
+FROM events
+WHERE {TIME_WHERE}
+  AND list_contains(list_filter(string_split_regex(lower(concat_ws(' ', event_type, props)), '[^a-z0-9]+'), t -> t != ''), 'error')
+GROUP BY 1, 2
+"""
+
+# --------------------------------------------------------------------------
 # §2.10 alert evaluation — distributed backtest over daily error counts
 # --------------------------------------------------------------------------
 
@@ -1268,6 +1300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_raw_sql_macros": q_raw_sql_macros,
         "q_mv_rollup": q_mv_rollup,
         "q_stream_tail": q_stream_tail,
+        "q_chunked_union": q_chunked_union,
         "q_key_values": q_key_values,
         "q_values_distribution": q_values_distribution,
         "q_alert_backtest": q_alert_backtest,
@@ -1312,6 +1345,7 @@ def oracle_sql() -> dict[str, str]:
         "q_raw_sql_macros": O_RAW_SQL_MACROS,
         "q_mv_rollup": O_MV_ROLLUP,
         "q_stream_tail": O_STREAM_TAIL,
+        "q_chunked_union": O_CHUNKED_UNION,
         "q_key_values": O_KEY_VALUES,
         "q_values_distribution": O_VALUES_DISTRIBUTION,
         "q_alert_backtest": O_ALERT_BACKTEST,

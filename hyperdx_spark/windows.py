@@ -1,0 +1,278 @@
+"""Progressive time windows: chunked chart querying + offset-paginated
+search.
+
+Parity targets (hyperdxio/hyperdx):
+* ``packages/app/src/utils/searchWindows.ts`` — the window ladder (15m, 6h,
+  6h, 12h, then 24h repeated), DESC from the newest edge and ASC from the
+  oldest.
+* ``packages/app/src/hooks/useChartConfig.tsx:73-135`` — chunk eligibility
+  and granularity-aligned window boundaries (end-exclusive for all but the
+  newest window so chunks never overlap).
+* ``useChartConfig.tsx:159-178`` — series-limit pinning: the top-N ranking
+  is computed ONCE over the full range and pinned for every chunk, so a
+  group can't flicker in/out across chunks.
+* ``packages/app/src/hooks/useOffsetPaginatedQuery.tsx`` — per-window
+  offset pagination (page = LIMIT k OFFSET m inside the active window).
+
+In Spark, chunking is unnecessary for *correctness* (one plan covers the
+whole range and partition pruning does the rest) — it exists for
+incremental delivery: each window is an independent small job whose result
+streams to the UI while older windows still run. At 100 TB the newest-15m
+window touches only the newest partitions, so first results arrive in
+seconds regardless of total range.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from datetime import datetime, timedelta
+from typing import Iterator, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hyperdx_spark.granularity import auto_granularity, granularity_seconds
+from hyperdx_spark.model import ChartConfig
+
+ONE_MIN_WINDOW = 60
+DEFAULT_TIME_WINDOWS_SECONDS = (
+    15 * 60,       # 15m
+    6 * 60 * 60,   # 6h
+    6 * 60 * 60,   # 6h
+    12 * 60 * 60,  # 12h
+    24 * 60 * 60,  # 24h, repeated for the remainder
+)
+
+
+@dataclass
+class TimeWindow:
+    start: datetime
+    end: datetime
+    index: int
+    direction: str  # 'ASC' | 'DESC'
+    end_inclusive: bool = True
+
+
+def generate_time_windows_descending(
+    start: datetime,
+    end: datetime,
+    durations: Sequence[int] = DEFAULT_TIME_WINDOWS_SECONDS,
+) -> list[TimeWindow]:
+    """searchWindows.ts:18-60 — newest-first progressive windows."""
+    if start == end:
+        return [TimeWindow(start, end, 0, "DESC")]
+    out: list[TimeWindow] = []
+    cur_end = end
+    i = 0
+    while cur_end > start:
+        size = durations[i] if i < len(durations) else durations[-1]
+        w_start = max(cur_end - timedelta(seconds=size), start)
+        out.append(TimeWindow(w_start, cur_end, i, "DESC"))
+        cur_end = w_start
+        i += 1
+    return out
+
+
+def generate_time_windows_ascending(
+    start: datetime,
+    end: datetime,
+    durations: Sequence[int] = DEFAULT_TIME_WINDOWS_SECONDS,
+) -> list[TimeWindow]:
+    """searchWindows.ts:63-105 — oldest-first progressive windows (live-tail
+    style fetch)."""
+    if start == end:
+        return [TimeWindow(start, end, 0, "ASC")]
+    out: list[TimeWindow] = []
+    cur_start = start
+    i = 0
+    while cur_start < end:
+        size = durations[i] if i < len(durations) else durations[-1]
+        w_end = min(cur_start + timedelta(seconds=size), end)
+        out.append(TimeWindow(cur_start, w_end, i, "ASC"))
+        cur_start = w_end
+        i += 1
+    return out
+
+
+def should_use_chunking(cfg: ChartConfig) -> bool:
+    """useChartConfig.tsx:73-93 — granularity + date range required (raw-SQL
+    and metric configs are compiled elsewhere in this engine)."""
+    return bool(cfg.granularity) and cfg.date_range is not None
+
+
+def granularity_aligned_windows(
+    cfg: ChartConfig,
+    durations: Sequence[int] = DEFAULT_TIME_WINDOWS_SECONDS,
+    max_buckets: int = 60,
+) -> list[TimeWindow]:
+    """useChartConfig.tsx:95-135 getGranularityAlignedTimeWindows.
+
+    Boundaries snap to chart buckets; every window except the newest is
+    end-exclusive so a bucket is computed by exactly one chunk.
+    """
+    assert cfg.date_range is not None and cfg.granularity
+    start, end = cfg.date_range
+    gran = cfg.granularity
+    if gran == "auto":
+        gran = auto_granularity(cfg.date_range, max_buckets)
+    step = granularity_seconds(gran)
+
+    def floor(dt: datetime) -> datetime:
+        epoch = int(dt.timestamp())
+        return datetime.fromtimestamp(epoch - epoch % step, tz=dt.tzinfo)
+
+    unaligned = generate_time_windows_descending(start, end, durations)
+    out: list[TimeWindow] = []
+    for idx, w in enumerate(unaligned):
+        aligned_start = w.start if idx == len(unaligned) - 1 else floor(w.start)
+        aligned_end = end if idx == 0 else floor(w.end)
+        # skip windows swallowed by the previous window's alignment
+        if out and aligned_start >= out[-1].start:
+            continue
+        out.append(
+            TimeWindow(
+                aligned_start,
+                aligned_end,
+                idx,
+                "DESC",
+                end_inclusive=cfg.date_range_end_inclusive if idx == 0 else False,
+            )
+        )
+    return out
+
+
+def _pin_series_limit(
+    spark: SparkSession, cfg: ChartConfig, sf_dir: Optional[str]
+) -> ChartConfig:
+    """Series-limit pinning (useChartConfig.tsx:159-178): rank top-N groups
+    over the FULL date range once, then filter every chunk to that set."""
+    from hyperdx_spark.compile import compile_chart_config
+    from hyperdx_spark.model import SqlFilter
+
+    if not cfg.series_limit or not cfg.group_by:
+        return cfg
+    full = compile_chart_config(spark, cfg, sf_dir=sf_dir)
+    group_cols = [c for c in full.columns if c in cfg.group_by or c.startswith("__group_")]
+    pinned = [tuple(r) for r in full.select(*group_cols).distinct().collect()]
+    if not pinned:
+        return replace(cfg, series_limit=None)
+
+    def lit_sql(v) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, str):
+            return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        return repr(v)
+
+    exprs = [g for g in cfg.group_by]
+    if len(exprs) == 1:
+        cond = f"({exprs[0]}) IN (" + ", ".join(lit_sql(t[0]) for t in pinned) + ")"
+    else:
+        tup = "(" + ", ".join(exprs) + ")"
+        vals = ", ".join("(" + ", ".join(lit_sql(v) for v in t) + ")" for t in pinned)
+        cond = f"{tup} IN ({vals})"
+    return replace(
+        cfg,
+        series_limit=None,
+        filters=list(cfg.filters) + [SqlFilter(condition=cond, type="sql")],
+    )
+
+
+def chunked_chart(
+    spark: SparkSession,
+    cfg: ChartConfig,
+    sf_dir: Optional[str] = None,
+    durations: Sequence[int] = DEFAULT_TIME_WINDOWS_SECONDS,
+    settings=None,
+) -> Iterator[tuple[TimeWindow, DataFrame]]:
+    """Yield (window, result DataFrame) newest-first — each an independent
+    job over a granularity-aligned sub-range. Concatenating all results
+    equals the unchunked query (chunks never overlap; series limit is
+    pinned globally first)."""
+    from hyperdx_spark.compile import compile_chart_config
+
+    if not should_use_chunking(cfg):
+        yield (
+            TimeWindow(
+                cfg.date_range[0] if cfg.date_range else datetime.min,
+                cfg.date_range[1] if cfg.date_range else datetime.max,
+                0,
+                "DESC",
+            ),
+            compile_chart_config(spark, cfg, sf_dir=sf_dir, settings=settings),
+        )
+        return
+    pinned_cfg = _pin_series_limit(spark, cfg, sf_dir)
+    for w in granularity_aligned_windows(cfg, durations):
+        sub = replace(
+            pinned_cfg,
+            date_range=(w.start, w.end),
+            date_range_end_inclusive=w.end_inclusive,
+            fill_nulls=None,  # spine is per-chunk; fill at merge time instead
+        )
+        yield w, compile_chart_config(spark, sub, sf_dir=sf_dir, settings=settings)
+
+
+def run_chunked(
+    spark: SparkSession,
+    cfg: ChartConfig,
+    sf_dir: Optional[str] = None,
+    durations: Sequence[int] = DEFAULT_TIME_WINDOWS_SECONDS,
+    settings=None,
+) -> DataFrame:
+    """Union of all chunk results (oldest-first order column prepends the
+    bucket sort) — must equal the unchunked compile."""
+    from functools import reduce
+
+    dfs = [df for _, df in chunked_chart(spark, cfg, sf_dir, durations, settings)]
+    out = reduce(lambda a, b: a.unionByName(b), dfs)
+    if cfg.granularity:
+        out = out.orderBy(F.col(cfg.timestamp_alias).asc())
+    return out
+
+
+def offset_paginated_search(
+    spark: SparkSession,
+    cfg: ChartConfig,
+    sf_dir: Optional[str] = None,
+    page_size: int = 200,
+    direction: str = "DESC",
+    durations: Sequence[int] = DEFAULT_TIME_WINDOWS_SECONDS,
+    max_pages_per_window: int = 1000,
+) -> Iterator[list]:
+    """Infinite-scroll search (useOffsetPaginatedQuery): progressive windows
+    newest-first (or ASC for live-tail catch-up), each offset-paginated.
+
+    Yields lists of Rows; stops a window when a short page arrives. Each
+    page is LIMIT/OFFSET over one small time window, so the scan cost is
+    bounded by the window, not the full range."""
+    from hyperdx_spark.compile import compile_chart_config
+
+    assert cfg.date_range is not None, "offset pagination requires a date range"
+    start, end = cfg.date_range
+    gen = (
+        generate_time_windows_descending
+        if direction == "DESC"
+        else generate_time_windows_ascending
+    )
+    ts = cfg.source.timestamp_value_expression
+    for w in gen(start, end, durations):
+        sub = replace(
+            cfg,
+            date_range=(w.start, w.end),
+            # windows touch at boundaries: only the window ending at the
+            # outer edge keeps the outer inclusivity; interior edges are
+            # end-exclusive so no row lands in two windows
+            date_range_end_inclusive=(w.end == end and cfg.date_range_end_inclusive),
+            order_by=cfg.order_by or f"{ts} {direction}",
+            limit=page_size,
+        )
+        for page_no in range(max_pages_per_window):
+            page_df = compile_chart_config(
+                spark, replace(sub, offset=page_no * page_size), sf_dir=sf_dir
+            )
+            rows = page_df.collect()
+            if rows:
+                yield rows
+            if len(rows) < page_size:
+                break

@@ -1,0 +1,147 @@
+"""Progressive windows / chunked querying / offset pagination
+(hyperdx_spark.windows) — ladder shapes ported from utils/searchWindows.ts
+and equality of chunked vs unchunked execution."""
+
+from datetime import datetime, timedelta
+
+from hyperdx_spark.compile import compile_chart_config
+from hyperdx_spark.model import ChartConfig, SelectCol, Source
+from hyperdx_spark.windows import (
+    DEFAULT_TIME_WINDOWS_SECONDS,
+    generate_time_windows_ascending,
+    generate_time_windows_descending,
+    granularity_aligned_windows,
+    offset_paginated_search,
+    run_chunked,
+    should_use_chunking,
+)
+
+RANGE = (datetime(2024, 1, 1), datetime(2024, 1, 8))
+
+
+def _src():
+    return Source(
+        table="events",
+        timestamp_value_expression="ts",
+        implicit_column_expression="concat_ws(' ', event_type, props)",
+    )
+
+
+def test_desc_ladder_shape():
+    ws = generate_time_windows_descending(*RANGE)
+    # newest-first: 15m, 6h, 6h, 12h, then 24h to exhaustion
+    sizes = [int((w.end - w.start).total_seconds()) for w in ws]
+    assert sizes[:4] == list(DEFAULT_TIME_WINDOWS_SECONDS[:4])
+    assert all(s == 86400 for s in sizes[4:-1])
+    assert ws[0].end == RANGE[1]
+    assert ws[-1].start == RANGE[0]
+    # contiguous, non-overlapping
+    for a, b in zip(ws, ws[1:]):
+        assert a.start == b.end
+
+
+def test_asc_ladder_shape():
+    ws = generate_time_windows_ascending(*RANGE)
+    assert ws[0].start == RANGE[0]
+    assert ws[-1].end == RANGE[1]
+    sizes = [int((w.end - w.start).total_seconds()) for w in ws]
+    assert sizes[:2] == [900, 21600]
+
+
+def test_degenerate_range():
+    t = datetime(2024, 1, 1)
+    assert len(generate_time_windows_descending(t, t)) == 1
+    assert len(generate_time_windows_ascending(t, t)) == 1
+
+
+def test_aligned_windows_cover_range_once():
+    cfg = ChartConfig(
+        source=_src(),
+        select=[SelectCol(agg_fn="count", alias="cnt")],
+        granularity="1 hour",
+        date_range=RANGE,
+    )
+    ws = granularity_aligned_windows(cfg)
+    assert ws[0].end == RANGE[1] and ws[-1].start == RANGE[0]
+    for a, b in zip(ws, ws[1:]):
+        assert a.start == b.end  # contiguous
+        assert not b.end_inclusive  # interior edges exclusive
+    # all interior boundaries bucket-aligned
+    for w in ws[:-1]:
+        assert int(w.start.timestamp()) % 3600 == 0
+
+
+def test_should_use_chunking():
+    cfg = ChartConfig(source=_src(), select=[SelectCol(agg_fn="count")])
+    assert not should_use_chunking(cfg)
+    cfg2 = ChartConfig(
+        source=_src(), select=[SelectCol(agg_fn="count")],
+        granularity="1 day", date_range=RANGE,
+    )
+    assert should_use_chunking(cfg2)
+
+
+def test_chunked_equals_unchunked(spark, sf_dir):
+    cfg = ChartConfig(
+        source=_src(),
+        select=[
+            SelectCol(agg_fn="count", alias="cnt"),
+            SelectCol(agg_fn="sum", value_expression="value", alias="sum_v"),
+        ],
+        where="error",
+        granularity="1 hour",
+        group_by=["event_type"],
+        date_range=RANGE,
+    )
+    chunked = run_chunked(spark, cfg, sf_dir=sf_dir)
+    whole = compile_chart_config(spark, cfg, sf_dir=sf_dir)
+
+    def key(rows):
+        return sorted(
+            ((r["__timestamp"], r["event_type"], r["cnt"], round(r["sum_v"], 6)) for r in rows)
+        )
+
+    assert key(chunked.collect()) == key(whole.collect())
+
+
+def test_chunked_series_limit_pinned(spark, sf_dir):
+    cfg = ChartConfig(
+        source=_src(),
+        select=[SelectCol(agg_fn="count", alias="cnt")],
+        granularity="1 day",
+        group_by=["event_type"],
+        series_limit=2,
+        date_range=RANGE,
+    )
+    chunked = run_chunked(spark, cfg, sf_dir=sf_dir)
+    whole = compile_chart_config(spark, cfg, sf_dir=sf_dir)
+    # the pinned group set equals the global top-N set
+    assert (
+        sorted(r["event_type"] for r in chunked.select("event_type").distinct().collect())
+        == sorted(r["event_type"] for r in whole.select("event_type").distinct().collect())
+    )
+    assert chunked.count() == whole.count()
+
+
+def test_offset_pagination_complete_and_ordered(spark, sf_dir):
+    cfg = ChartConfig(
+        source=_src(),
+        select="event_id, ts",
+        where="click",
+        date_range=(datetime(2024, 1, 1), datetime(2024, 1, 3)),
+    )
+    pages = list(offset_paginated_search(spark, cfg, sf_dir=sf_dir, page_size=50))
+    got = [r["event_id"] for p in pages for r in p]
+    assert len(set(got)) == len(got)  # no duplicates across pages/windows
+    expected = compile_chart_config(
+        spark,
+        ChartConfig(
+            source=_src(), select="event_id, ts", where="click",
+            date_range=(datetime(2024, 1, 1), datetime(2024, 1, 3)),
+            order_by="ts DESC",
+        ),
+        sf_dir=sf_dir,
+    )
+    assert sorted(got) == sorted(r["event_id"] for r in expected.collect())
+    # page sizes: every non-terminal page within a window is full
+    assert all(len(p) <= 50 for p in pages)
