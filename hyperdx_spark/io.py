@@ -94,6 +94,38 @@ def load_table(
     return df
 
 
+def export_csv(
+    df: DataFrame,
+    path: str,
+    header: bool = True,
+    single_file: bool = False,
+    max_driver_rows: int = 1_000_000,
+) -> None:
+    """CSV export (the reference's CsvExportButton writes fetched rows
+    client-side; ``packages/app/src/components/CsvExportButton.tsx``).
+
+    Distributed by default (one file per partition — correct at any scale);
+    ``single_file=True`` collects through the driver for the
+    download-one-file UX and is capped to *max_driver_rows*.
+    """
+    if single_file:
+        import csv
+
+        rows = df.limit(max_driver_rows + 1).collect()
+        if len(rows) > max_driver_rows:
+            raise ValueError(
+                f"single_file export exceeds {max_driver_rows} rows; use"
+                " single_file=False for a distributed write"
+            )
+        with open(path, "w", newline="") as fh:
+            w = csv.writer(fh)
+            if header:
+                w.writerow(df.columns)
+            w.writerows([tuple(r) for r in rows])
+        return
+    df.write.mode("overwrite").option("header", str(header).lower()).csv(path)
+
+
 def nanos_timestamp_columns(sf_dir: str, name: str) -> tuple[str, ...]:
     return _nanos_timestamp_cols(os.path.join(sf_dir, f"{name}.parquet"))
 

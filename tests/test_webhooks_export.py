@@ -1,0 +1,93 @@
+"""Webhook payload builders (template.ts parity) + CSV export."""
+
+import json
+
+from hyperdx_spark.webhooks import (
+    DEFAULT_GENERIC_WEBHOOK_BODY_TEMPLATE,
+    Message,
+    build_title,
+    generic_payload,
+    render_template,
+    slack_payload,
+)
+
+
+def _msg(**kw):
+    d = dict(
+        title='Alert for "prod errors" - 42 lines found',
+        body="error spike",
+        hdx_link="https://app/search/abc?from=1&to=2",
+        state="ALERT",
+        start_time="2024-01-01T00:00:00Z",
+        end_time="2024-01-01T00:05:00Z",
+        event_id="evt-1",
+    )
+    d.update(kw)
+    return Message(**d)
+
+
+def test_slack_payload_shape():
+    p = slack_payload(_msg())
+    assert p["text"].startswith("Alert for")
+    block = p["blocks"][0]
+    assert block["type"] == "section"
+    assert block["text"]["type"] == "mrkdwn"
+    assert "https://app/search/abc" in block["text"]["text"]
+    assert block["text"]["text"].startswith("*<")
+
+
+def test_generic_payload_default_template_is_valid_json():
+    body = generic_payload(_msg())
+    doc = json.loads(body)
+    assert "42 lines found" in doc["text"]
+    assert "ALERT" in doc["text"]
+
+
+def test_generic_payload_escapes_quotes_and_newlines():
+    body = generic_payload(_msg(body='line1\nsaid "boom"', title='t"x'))
+    doc = json.loads(body)  # must stay valid JSON after splicing
+    assert 'said "boom"' in doc["text"]
+
+
+def test_generic_payload_custom_and_empty_template():
+    assert generic_payload(_msg(), body_template="") == ""
+    out = generic_payload(_msg(), body_template='{"s": "{{state}}"}')
+    assert json.loads(out) == {"s": "ALERT"}
+
+
+def test_render_template_missing_key_empty():
+    assert render_template("a {{x}} b", {}) == "a  b"
+
+
+def test_build_title_emoji_by_state():
+    assert build_title("s", 3, state="ALERT").startswith("\U0001f6a8 ")
+    assert build_title("s", 3, state="OK").startswith("✅ ")
+    t = build_title("s", 3, template="{{value}} hits", view={"value": 3})
+    assert t.endswith("3 hits")
+
+
+def test_default_template_matches_reference():
+    assert DEFAULT_GENERIC_WEBHOOK_BODY_TEMPLATE.startswith('{"text"')
+
+
+def test_export_csv_roundtrip(spark, sf_dir, tmp_path):
+    from hyperdx_spark.io import export_csv, load_table
+
+    df = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "event_type", "value")
+        .limit(100)
+    )
+    # distributed write
+    out_dir = str(tmp_path / "dist")
+    export_csv(df, out_dir)
+    back = spark.read.option("header", "true").csv(out_dir)
+    assert back.count() == 100
+    assert back.columns == ["event_id", "event_type", "value"]
+    # single file through the driver
+    out_file = str(tmp_path / "one.csv")
+    export_csv(df, out_file, single_file=True)
+    with open(out_file) as fh:
+        lines = fh.read().strip().splitlines()
+    assert lines[0] == "event_id,event_type,value"
+    assert len(lines) == 101
