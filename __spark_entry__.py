@@ -824,6 +824,49 @@ GROUP BY 1, 2
 """
 
 # --------------------------------------------------------------------------
+# §2.1 PromQL adapter — query_range evaluated natively on Spark (promql.py)
+# --------------------------------------------------------------------------
+
+def q_promql(spark, sf_dir):
+    """PromQL `sum by (event_type) (sum_over_time(events_value[1d]))` at
+    daily steps — the events table exposed as a Prometheus-style samples
+    table. The oracle replays the same window join in SQL."""
+    from hyperdx_spark.promql import PromQLEngine
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.lit("events_value").alias("__name__"),
+        F.col("ts"),
+        F.col("value").cast("double").alias("value"),
+        F.col("event_type"),
+    )
+    eng = PromQLEngine(ev)
+    out = eng.query_range(
+        spark,
+        "sum by (event_type) (sum_over_time(events_value[1d]))",
+        datetime(2024, 1, 2),
+        datetime(2024, 1, 8),
+        86400,
+    )
+    return out.select(
+        F.col("__step").alias("__timestamp"),
+        "event_type",
+        F.round("value", 4).alias("value"),
+    )
+
+
+O_PROMQL = """
+WITH steps AS (
+  SELECT make_timestamp(e * 1000000) AS step
+  FROM (SELECT unnest(generate_series(epoch(TIMESTAMP '2024-01-02')::BIGINT,
+                                      epoch(TIMESTAMP '2024-01-08')::BIGINT,
+                                      86400)) AS e)
+)
+SELECT step AS __timestamp, event_type, round(sum(value), 4) AS value
+FROM steps JOIN events ON ts > step - INTERVAL 1 DAY AND ts <= step
+GROUP BY 1, 2
+"""
+
+# --------------------------------------------------------------------------
 # §2.10 alert evaluation — distributed backtest over daily error counts
 # --------------------------------------------------------------------------
 
@@ -1301,6 +1344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mv_rollup": q_mv_rollup,
         "q_stream_tail": q_stream_tail,
         "q_chunked_union": q_chunked_union,
+        "q_promql": q_promql,
         "q_key_values": q_key_values,
         "q_values_distribution": q_values_distribution,
         "q_alert_backtest": q_alert_backtest,
@@ -1346,6 +1390,7 @@ def oracle_sql() -> dict[str, str]:
         "q_mv_rollup": O_MV_ROLLUP,
         "q_stream_tail": O_STREAM_TAIL,
         "q_chunked_union": O_CHUNKED_UNION,
+        "q_promql": O_PROMQL,
         "q_key_values": O_KEY_VALUES,
         "q_values_distribution": O_VALUES_DISTRIBUTION,
         "q_alert_backtest": O_ALERT_BACKTEST,

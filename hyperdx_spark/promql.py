@@ -1,0 +1,427 @@
+"""PromQL adapter — a PromQL subset compiled straight to DataFrame plans.
+
+The reference routes PromQL dashboards to an external Prometheus API and
+reshapes the response matrix client-side
+(``packages/api/src/routers/api/prometheus.ts``,
+``packages/app/src/hooks/useChartConfig.tsx:325-399``). Here the engine
+evaluates the query itself over a samples table, so PromQL tiles run on the
+same Spark data as everything else.
+
+Data model: a *samples* DataFrame with columns ``__name__`` (metric name),
+a timestamp, a double value, and one string column per label.
+
+Supported subset (the shapes HyperDX dashboards actually use):
+* selector ``name{l="v", l2!="v", l3=~"re", l4!~"re"}``
+* range functions over ``sel[window]``: ``rate``, ``increase``, ``delta``,
+  ``avg_over_time``, ``min_over_time``, ``max_over_time``,
+  ``sum_over_time``, ``count_over_time``, ``last_over_time``
+* aggregation: ``sum/avg/min/max/count [by (labels)] (expr)``
+* scalar arithmetic: ``expr op number`` / ``number op expr`` (+ - * /)
+
+Semantics notes (documented divergences from Prometheus):
+* ``rate``/``increase`` sum reset-adjusted deltas of consecutive samples
+  whose *both* endpoints fall inside the window — no boundary
+  extrapolation (Prometheus extrapolates to the window edges).
+* instant selectors use a staleness lookback (default 5m) and take the
+  latest sample per series at each step, like Prometheus.
+
+Scale shape: one pass computes per-sample deltas (single shuffle on the
+series key); steps are a generated range (tiny) broadcast against the
+window join; every aggregation is a plain groupBy on (step, labels).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from datetime import datetime
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+DEFAULT_LOOKBACK_S = 300  # Prometheus staleness window
+
+_RANGE_FNS = {
+    "rate",
+    "increase",
+    "delta",
+    "avg_over_time",
+    "min_over_time",
+    "max_over_time",
+    "sum_over_time",
+    "count_over_time",
+    "last_over_time",
+}
+_AGG_OPS = {"sum", "avg", "min", "max", "count"}
+
+_DUR_RE = re.compile(r"^(\d+)(ms|s|m|h|d|w|y)$")
+_DUR_S = {"ms": 0.001, "s": 1, "m": 60, "h": 3600, "d": 86400, "w": 604800, "y": 31536000}
+
+
+def parse_duration(s: str) -> float:
+    m = _DUR_RE.match(s.strip())
+    if not m:
+        raise ValueError(f"bad PromQL duration: {s!r}")
+    return int(m.group(1)) * _DUR_S[m.group(2)]
+
+
+# --------------------------------------------------------------------------
+# AST
+# --------------------------------------------------------------------------
+
+@dataclass
+class Selector:
+    name: str
+    matchers: list[tuple[str, str, str]] = field(default_factory=list)  # (label, op, value)
+    window_s: Optional[float] = None  # set for sel[dur]
+
+
+@dataclass
+class RangeFn:
+    fn: str
+    arg: Selector
+
+
+@dataclass
+class Agg:
+    op: str
+    by: Optional[list[str]]  # None = collapse all labels
+    arg: "Expr"
+
+
+@dataclass
+class BinOp:
+    op: str
+    left: "Expr"
+    right: "Expr"
+
+
+@dataclass
+class NumberLit:
+    value: float
+
+
+Expr = object  # union of the above
+
+
+# --------------------------------------------------------------------------
+# Parser (recursive descent over a small token stream)
+# --------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"\s*(?:(?P<dur>\d+(?:ms|s|m|h|d|w|y)\b)"
+    r"|(?P<num>\d+\.\d+|\.\d+|\d+(?!\w))|(?P<id>[a-zA-Z_:][a-zA-Z0-9_:]*)"
+    r"|(?P<str>\"(?:[^\"\\]|\\.)*\"|'(?:[^'\\]|\\.)*')"
+    r"|(?P<op>=~|!~|!=|[{}()\[\],=+\-*/]))"
+)
+
+
+def _tokenize(s: str) -> list[tuple[str, str]]:
+    out, pos = [], 0
+    while pos < len(s):
+        m = _TOKEN_RE.match(s, pos)
+        if not m:
+            if s[pos:].strip() == "":
+                break
+            raise ValueError(f"PromQL parse error at: {s[pos:]!r}")
+        pos = m.end()
+        for kind in ("dur", "num", "id", "str", "op"):
+            v = m.group(kind)
+            if v is not None:
+                out.append((kind, v))
+                break
+    return out
+
+
+class _Parser:
+    def __init__(self, tokens: list[tuple[str, str]]):
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self) -> Optional[tuple[str, str]]:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self) -> tuple[str, str]:
+        t = self.peek()
+        if t is None:
+            raise ValueError("unexpected end of PromQL expression")
+        self.i += 1
+        return t
+
+    def expect(self, val: str) -> None:
+        t = self.next()
+        if t[1] != val:
+            raise ValueError(f"expected {val!r}, got {t[1]!r}")
+
+    # expr := term (('+'|'-') term)*   — scalar ops only
+    def expr(self):
+        node = self.term()
+        while self.peek() and self.peek()[1] in ("+", "-"):
+            op = self.next()[1]
+            node = BinOp(op, node, self.term())
+        return node
+
+    def term(self):
+        node = self.atom()
+        while self.peek() and self.peek()[1] in ("*", "/"):
+            op = self.next()[1]
+            node = BinOp(op, node, self.atom())
+        return node
+
+    def atom(self):
+        kind, v = self.next()
+        if kind == "num":
+            return NumberLit(float(v))
+        if v == "(":
+            node = self.expr()
+            self.expect(")")
+            return node
+        if kind != "id":
+            raise ValueError(f"unexpected token {v!r}")
+        if v in _AGG_OPS and self.peek() and self.peek()[1] in ("(", "by"):
+            return self._agg(v)
+        if v in _RANGE_FNS and self.peek() and self.peek()[1] == "(":
+            self.expect("(")
+            sel = self._selector()
+            if sel.window_s is None:
+                raise ValueError(f"{v}() requires a range selector sel[dur]")
+            self.expect(")")
+            return RangeFn(v, sel)
+        return self._selector(name=v)
+
+    def _agg(self, op: str):
+        by = None
+        if self.peek() and self.peek()[1] == "by":
+            self.next()
+            self.expect("(")
+            by = []
+            while True:
+                k, lbl = self.next()
+                if k != "id":
+                    raise ValueError(f"bad label in by(): {lbl!r}")
+                by.append(lbl)
+                t = self.next()[1]
+                if t == ")":
+                    break
+                if t != ",":
+                    raise ValueError("bad by() list")
+        self.expect("(")
+        arg = self.expr()
+        self.expect(")")
+        return Agg(op, by, arg)
+
+    def _selector(self, name: Optional[str] = None) -> Selector:
+        if name is None:
+            kind, name = self.next()
+            if kind != "id":
+                raise ValueError(f"expected metric name, got {name!r}")
+        sel = Selector(name)
+        if self.peek() and self.peek()[1] == "{":
+            self.next()
+            while True:
+                t = self.peek()
+                if t and t[1] == "}":
+                    self.next()
+                    break
+                k, lbl = self.next()
+                if k != "id":
+                    raise ValueError(f"bad matcher label {lbl!r}")
+                op = self.next()[1]
+                if op not in ("=", "!=", "=~", "!~"):
+                    raise ValueError(f"bad matcher op {op!r}")
+                vk, vv = self.next()
+                if vk != "str":
+                    raise ValueError("matcher value must be quoted")
+                sel.matchers.append((lbl, op, vv[1:-1]))
+                if self.peek() and self.peek()[1] == ",":
+                    self.next()
+        if self.peek() and self.peek()[1] == "[":
+            self.next()
+            parts = []
+            while True:
+                t = self.next()
+                if t[1] == "]":
+                    break
+                parts.append(t[1])
+            sel.window_s = parse_duration("".join(parts))
+        return sel
+
+
+def parse(query: str):
+    p = _Parser(_tokenize(query))
+    node = p.expr()
+    if p.peek() is not None:
+        raise ValueError(f"trailing tokens: {p.toks[p.i:]}")
+    return node
+
+
+# --------------------------------------------------------------------------
+# Evaluator
+# --------------------------------------------------------------------------
+
+class PromQLEngine:
+    """Evaluates parsed PromQL over a samples DataFrame."""
+
+    def __init__(
+        self,
+        samples: DataFrame,
+        name_col: str = "__name__",
+        ts_col: str = "ts",
+        value_col: str = "value",
+        label_cols: Optional[Sequence[str]] = None,
+    ):
+        self.samples = samples
+        self.name_col = name_col
+        self.ts_col = ts_col
+        self.value_col = value_col
+        if label_cols is None:
+            label_cols = [
+                c
+                for c in samples.columns
+                if c not in (name_col, ts_col, value_col)
+            ]
+        self.label_cols = list(label_cols)
+
+    # -- selectors ---------------------------------------------------------
+
+    def _filter(self, sel: Selector) -> DataFrame:
+        df = self.samples.where(F.col(self.name_col) == sel.name)
+        for lbl, op, val in sel.matchers:
+            c = F.col(lbl)
+            if op == "=":
+                df = df.where(c == val)
+            elif op == "!=":
+                df = df.where((c != val) | c.isNull())
+            elif op == "=~":
+                df = df.where(c.rlike(f"^(?:{val})$"))
+            else:  # !~
+                df = df.where(~F.coalesce(c.rlike(f"^(?:{val})$"), F.lit(False)))
+        return df
+
+    def _steps(self, spark: SparkSession, start: datetime, end: datetime, step_s: int) -> DataFrame:
+        lo, hi = int(start.timestamp()), int(end.timestamp())
+        return spark.range(lo, hi + 1, step_s).select(
+            F.timestamp_seconds(F.col("id")).alias("__step"),
+            F.col("id").alias("__step_epoch"),
+        )
+
+    def _instant(
+        self, spark, sel: Selector, start, end, step_s, lookback_s=DEFAULT_LOOKBACK_S
+    ) -> DataFrame:
+        """Latest sample per series within the staleness lookback at each
+        step -> rows (__step, labels..., value)."""
+        df = self._filter(sel)
+        steps = self._steps(spark, start, end, step_s)
+        ts, val = F.col(self.ts_col), F.col(self.value_col)
+        j = F.broadcast(steps).join(
+            df,
+            (ts > F.col("__step") - F.expr(f"INTERVAL {lookback_s} SECOND"))
+            & (ts <= F.col("__step")),
+        )
+        return (
+            j.groupBy("__step", *self.label_cols)
+            .agg(F.max_by(val, ts).alias("value"))
+        )
+
+    def _range_fn(self, spark, fn: str, sel: Selector, start, end, step_s) -> DataFrame:
+        df = self._filter(sel)
+        w_s = int(sel.window_s)
+        ts, val = F.col(self.ts_col), F.col(self.value_col)
+        if fn in ("rate", "increase", "delta"):
+            # one pass of per-sample deltas on the series key, then a window
+            # join: only deltas with both endpoints inside the step's window
+            # contribute (no boundary extrapolation)
+            w = Window.partitionBy(*self.label_cols).orderBy(ts)
+            df = df.withColumn("__prev_v", F.lag(val).over(w)).withColumn(
+                "__prev_ts", F.lag(ts).over(w)
+            )
+            if fn == "delta":
+                d = val - F.col("__prev_v")
+            else:  # counter semantics: reset -> current value
+                d = F.when(val >= F.col("__prev_v"), val - F.col("__prev_v")).otherwise(val)
+            df = df.withColumn("__delta", d).where(F.col("__prev_ts").isNotNull())
+            steps = self._steps(spark, start, end, step_s)
+            # a delta covers the interval (prev_ts, ts]; it contributes to a
+            # step's window iff that interval lies within [step-w, step]
+            j = F.broadcast(steps).join(
+                df,
+                (ts <= F.col("__step"))
+                & (F.col("__prev_ts") >= F.col("__step") - F.expr(f"INTERVAL {w_s} SECOND")),
+            )
+            total = F.sum("__delta")
+            if fn == "rate":
+                total = total / F.lit(float(w_s))
+            return j.groupBy("__step", *self.label_cols).agg(total.alias("value"))
+        # x_over_time family: plain window join + aggregate
+        steps = self._steps(spark, start, end, step_s)
+        j = F.broadcast(steps).join(
+            df,
+            (ts > F.col("__step") - F.expr(f"INTERVAL {w_s} SECOND"))
+            & (ts <= F.col("__step")),
+        )
+        agg = {
+            "avg_over_time": F.avg(val),
+            "min_over_time": F.min(val),
+            "max_over_time": F.max(val),
+            "sum_over_time": F.sum(val),
+            "count_over_time": F.count(val),
+            "last_over_time": F.max_by(val, ts),
+        }[fn]
+        return j.groupBy("__step", *self.label_cols).agg(agg.alias("value"))
+
+    # -- public ------------------------------------------------------------
+
+    def query_range(
+        self,
+        spark: SparkSession,
+        query: str,
+        start: datetime,
+        end: datetime,
+        step_s: int,
+        lookback_s: int = DEFAULT_LOOKBACK_S,
+    ) -> DataFrame:
+        """Prometheus /query_range: rows (__step, labels..., value)."""
+        node = parse(query)
+        return self._eval(spark, node, start, end, step_s, lookback_s)
+
+    def _eval(self, spark, node, start, end, step_s, lookback_s) -> DataFrame:
+        if isinstance(node, NumberLit):
+            raise ValueError("bare scalar queries are not supported")
+        if isinstance(node, Selector):
+            if node.window_s is not None:
+                raise ValueError("range selector needs a range function")
+            return self._instant(spark, node, start, end, step_s, lookback_s)
+        if isinstance(node, RangeFn):
+            return self._range_fn(spark, node.fn, node.arg, start, end, step_s)
+        if isinstance(node, Agg):
+            inner = self._eval(spark, node.arg, start, end, step_s, lookback_s)
+            keep = node.by if node.by is not None else []
+            op = {
+                "sum": F.sum,
+                "avg": F.avg,
+                "min": F.min,
+                "max": F.max,
+                "count": F.count,
+            }[node.op]
+            return inner.groupBy("__step", *keep).agg(op("value").alias("value"))
+        if isinstance(node, BinOp):
+            lnum = isinstance(node.left, NumberLit)
+            rnum = isinstance(node.right, NumberLit)
+            if lnum and rnum:
+                raise ValueError("scalar-only arithmetic is not supported")
+            if not lnum and not rnum:
+                raise ValueError("vector-vector arithmetic is not supported yet")
+            vec = self._eval(
+                spark, node.right if lnum else node.left, start, end, step_s, lookback_s
+            )
+            k = (node.left if lnum else node.right).value
+            v = F.col("value")
+            expr = {
+                "+": v + k,
+                "-": (k - v) if lnum else (v - k),
+                "*": v * k,
+                "/": (F.lit(k) / v) if lnum else (v / k),
+            }[node.op]
+            return vec.withColumn("value", expr)
+        raise TypeError(f"unknown node {node!r}")

@@ -1,0 +1,135 @@
+"""PromQL adapter: parser shapes + evaluation over a synthetic samples
+table with hand-computable answers."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from hyperdx_spark.promql import (
+    Agg,
+    BinOp,
+    NumberLit,
+    PromQLEngine,
+    RangeFn,
+    Selector,
+    parse,
+    parse_duration,
+)
+
+T0 = datetime(2024, 1, 1)
+
+
+def _samples(spark):
+    # http_requests_total: counter, 2 series (job=a / job=b), 1 sample/min
+    rows = []
+    for minute in range(0, 31):
+        ts = datetime(2024, 1, 1, 0, minute)
+        rows.append(("http_requests_total", ts, float(minute * 6), "a"))
+        # series b resets at minute 20 (counter reset)
+        v = minute * 10 if minute < 20 else (minute - 20) * 10
+        rows.append(("http_requests_total", ts, float(v), "b"))
+        rows.append(("mem_bytes", ts, 100.0 + minute, "a"))
+    return spark.createDataFrame(rows, "`__name__` string, ts timestamp, value double, job string")
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    return PromQLEngine(_samples(spark))
+
+
+def test_parse_duration():
+    assert parse_duration("5m") == 300
+    assert parse_duration("90s") == 90
+    with pytest.raises(ValueError):
+        parse_duration("5 parsecs")
+
+
+def test_parse_shapes():
+    n = parse('rate(http_requests_total{job="a", code=~"5.."}[5m])')
+    assert isinstance(n, RangeFn) and n.fn == "rate"
+    assert n.arg.name == "http_requests_total"
+    assert ("job", "=", "a") in n.arg.matchers
+    assert ("code", "=~", "5..") in n.arg.matchers
+    assert n.arg.window_s == 300
+
+    a = parse("sum by (job) (rate(x[1m]))")
+    assert isinstance(a, Agg) and a.op == "sum" and a.by == ["job"]
+
+    b = parse("mem_bytes / 1024")
+    assert isinstance(b, BinOp) and isinstance(b.right, NumberLit)
+
+    s = parse("up")
+    assert isinstance(s, Selector) and s.name == "up" and s.window_s is None
+
+
+def test_parse_errors():
+    for bad in ["rate(x)", "sum by job (x)", 'x{job=a}', "x[", "1 + 2"]:
+        with pytest.raises(ValueError):
+            n = parse(bad)
+            # BinOp(1,2) parses; evaluation rejects it
+            if bad == "1 + 2":
+                PromQLEngine._eval(None, None, n, None, None, None, None)
+
+
+def test_instant_vector_latest_per_step(spark, engine):
+    out = engine.query_range(
+        spark, 'http_requests_total{job="a"}',
+        datetime(2024, 1, 1, 0, 10), datetime(2024, 1, 1, 0, 12), 60,
+    ).collect()
+    got = {(r["__step"].minute, r["job"]): r["value"] for r in out}
+    assert got == {(10, "a"): 60.0, (11, "a"): 66.0, (12, "a"): 72.0}
+
+
+def test_rate_steady_counter(spark, engine):
+    # series a increases 6/min -> rate over any aligned window = 0.1/s
+    out = engine.query_range(
+        spark, 'rate(http_requests_total{job="a"}[5m])',
+        datetime(2024, 1, 1, 0, 10), datetime(2024, 1, 1, 0, 15), 300,
+    ).collect()
+    assert all(abs(r["value"] - 0.1) < 1e-9 for r in out)
+
+
+def test_increase_handles_reset(spark, engine):
+    # series b: +10/min, resets at minute 20 (0 again). Window (0:15, 0:25]:
+    # deltas: 16..19 are +10 each (4 samples w/ prev in window), minute 20
+    # reset contributes current=0, 21..25 +10 each -> 4*10 + 0 + 5*10 = 90
+    out = engine.query_range(
+        spark, 'increase(http_requests_total{job="b"}[10m])',
+        datetime(2024, 1, 1, 0, 25), datetime(2024, 1, 1, 0, 25), 60,
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["value"] == 90.0
+
+
+def test_agg_sum_collapses_labels(spark, engine):
+    out = engine.query_range(
+        spark, "sum(http_requests_total)",
+        datetime(2024, 1, 1, 0, 10), datetime(2024, 1, 1, 0, 10), 60,
+    ).collect()
+    # job=a: 60, job=b: 100 -> 160; labels collapsed
+    assert len(out) == 1 and out[0]["value"] == 160.0
+    assert set(out[0].asDict()) == {"__step", "value"}
+
+
+def test_avg_over_time_and_scalar_arith(spark, engine):
+    out = engine.query_range(
+        spark, "avg_over_time(mem_bytes[10m]) / 2",
+        datetime(2024, 1, 1, 0, 10), datetime(2024, 1, 1, 0, 10), 60,
+    ).collect()
+    # samples minutes 1..10 (window exclusive at left edge): avg 105.5 / 2
+    assert len(out) == 1
+    assert abs(out[0]["value"] - 52.75) < 1e-9
+
+
+def test_regex_matchers(spark, engine):
+    out = engine.query_range(
+        spark, 'http_requests_total{job=~"a|b"}',
+        datetime(2024, 1, 1, 0, 5), datetime(2024, 1, 1, 0, 5), 60,
+    ).collect()
+    assert len(out) == 2
+    out2 = engine.query_range(
+        spark, 'http_requests_total{job!~"a"}',
+        datetime(2024, 1, 1, 0, 5), datetime(2024, 1, 1, 0, 5), 60,
+    ).collect()
+    assert len(out2) == 1 and out2[0]["job"] == "b"
