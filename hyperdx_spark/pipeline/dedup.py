@@ -84,23 +84,60 @@ def _shingles_of(toks: Column, n: int) -> Column:
     ).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
-def shingle_table(
+def shingle_rows(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
-    """(id, sh: array<string>) with distinct word n-gram shingles.
+    """Distinct (id, s) word n-gram shingle rows.
 
-    Two separate projections — tokens, then shingles — so the token array is
-    computed once per row instead of once per shingle (Catalyst keeps the
-    projections apart because the token column is referenced many times).
+    Row-based formulation: posexplode the token array once, then build each
+    shingle with ``lead()`` windows — every operator is codegen'd. The
+    equivalent higher-order-function form (transform + slice + concat per
+    shingle) runs interpreted and is ~7× slower wall-clock; worse, adding a
+    downstream explode collapses it into the Generate and the cost lands in
+    every consumer. Docs shorter than *n* tokens contribute their whole text
+    as one shingle (same rule as the array form).
+
     Input is spread across the cluster first: tiny parquet files arrive as
-    1-2 splits and would otherwise serialize this, the expensive step.
+    1-2 splits and would otherwise serialize the expensive step; at real
+    scale the window shuffle on id is the only data movement.
     """
+    from pyspark.sql import Window
+
     spark = df.sparkSession
     base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
     base = base.repartition(spark.sparkContext.defaultParallelism, "id")
-    tk = base.select("id", tokens("__text").alias("__tk"))
-    return tk.select(
-        "id", F.array_distinct(_shingles_of(F.col("__tk"), n)).alias("sh")
+    tokrows = base.select("id", F.posexplode(tokens("__text")).alias("__pos", "__tk"))
+    w = Window.partitionBy("id").orderBy("__pos")
+    leads = [F.col("__tk")] + [F.lead("__tk", i).over(w) for i in range(1, n)]
+    full = (
+        tokrows.select("id", F.concat_ws(" ", *leads).alias("s"), leads[-1].alias("__ok"))
+        .where(F.col("__ok").isNotNull())
+        .drop("__ok")
+    )
+    # docs with < n tokens: whole text as the single shingle
+    short = (
+        tokrows.groupBy("id")
+        .agg(F.concat_ws(" ", F.array_sort(F.collect_list(F.struct("__pos", "__tk")))["__tk"]).alias("s"),
+             F.count("*").alias("__n"))
+        .where(F.col("__n") < n)
+        .select("id", "s")
+    )
+    empty = base.join(tokrows.select("id").distinct(), on="id", how="left_anti").select(
+        "id", F.lit("").alias("s")
+    )
+    return full.unionByName(short).unionByName(empty).distinct()
+
+
+def shingle_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, sh: array<string>) with distinct word n-gram shingles — the
+    array view over :func:`shingle_rows` (used where whole sets are compared,
+    e.g. candidate verification)."""
+    return (
+        shingle_rows(df, text_col, id_col, n)
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_set("s")).alias("sh"))
     )
 
 
@@ -125,8 +162,7 @@ def ngram_jaccard_pairs(
     (stop-shingles) — at corpus scale this bounds the join fan-out; the
     resulting measure is then approximate on those pairs.
     """
-    shingle_tbl = shingle_table(df, text_col, id_col, n)
-    sh = shingle_tbl.select("id", F.explode("sh").alias("s"))
+    sh = shingle_rows(df, text_col, id_col, n)
     # Inverted index as ONE aggregation: group docs per shingle, generate
     # in-posting pairs (posting lists are short once stop-shingles are
     # dropped), count co-occurrences. Compared to the classic self-join this
@@ -151,7 +187,7 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count("*").alias("inter"))
     )
-    sizes = shingle_tbl.select("id", F.size("sh").alias("sz"))
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     out = (
         inter.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), on="id_a")
         .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), on="id_b")
@@ -209,12 +245,12 @@ def minhash_lsh_pairs(
     a healthier band).
     """
     rows_per_band = num_hashes // bands
-    shingle_tbl = shingle_table(df, text_col, id_col, ngram)
-    # Signature via explode + 32 min-aggregates (NOT a nested higher-order
-    # function): one md5 per (shingle, seed), whole-stage codegen, map-side
-    # partial min. The nested-transform formulation forces interpreted
-    # expression eval with per-seed shingle recomputation — ~100× slower.
-    exploded = shingle_tbl.select("id", F.explode("sh").alias("s"))
+    # Signature via shingle rows + 32 min-aggregates (NOT a nested higher-
+    # order function): one md5 per (shingle, seed), whole-stage codegen,
+    # map-side partial min. The nested-transform formulation forces
+    # interpreted expression eval with per-seed shingle recomputation —
+    # ~100× slower.
+    exploded = shingle_rows(df, text_col, id_col, ngram)
     sig = (
         exploded.groupBy("id")
         .agg(
@@ -270,7 +306,9 @@ def minhash_lsh_pairs(
     )
     if verify_threshold is None:
         return cand
-    shingle_sets = shingle_tbl.select("id", "sh")
+    shingle_sets = (
+        exploded.groupBy("id").agg(F.sort_array(F.collect_set("s")).alias("sh"))
+    )
     cand = cand.join(
         shingle_sets.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), on="id_a"
     ).join(shingle_sets.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), on="id_b")
