@@ -17,9 +17,11 @@ Scale design (the point of each algorithm):
                   <= k bits; blocking on rotated chunks finds candidates.
 * embedding:      delegated to similarity.cosine_pairs (LSH-bucketed).
 
-MinHash uses ``min(md5(seed || shingle))`` — a valid min-wise family over the
-lexicographic order on hex digests, chosen (over xxhash64) because every SQL
-engine computes the identical value, which makes results oracle-checkable.
+MinHash uses ``min(xxhash64(seed, shingle))`` — a min-wise family over
+64-bit ints. (An md5/lexicographic variant would be bit-identical across SQL
+engines, but costs ~10× in hex-string allocation; candidate pairs are
+verified with exact Jaccard anyway, so the hash family only affects recall,
+not reported similarity.)
 """
 
 from __future__ import annotations
@@ -162,7 +164,9 @@ def ngram_jaccard_pairs(
     (stop-shingles) — at corpus scale this bounds the join fan-out; the
     resulting measure is then approximate on those pairs.
     """
-    sh = shingle_rows(df, text_col, id_col, n)
+    # the shingle DAG feeds two plan branches (postings + set sizes);
+    # persist it so the tokenize/window work runs once, not per branch
+    sh = shingle_rows(df, text_col, id_col, n).persist()
     # Inverted index as ONE aggregation: group docs per shingle, generate
     # in-posting pairs (posting lists are short once stop-shingles are
     # dropped), count co-occurrences. Compared to the classic self-join this
@@ -205,17 +209,15 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------- minhash
 
 def minhash_signature(text_col: str, num_hashes: int = 32, ngram: int = 3) -> Column:
-    """MinHash signature: per seed i, min over shingles of md5(i || ':' || s).
-
-    Engine-portable (md5 + lexicographic min) and a correct min-wise hash
-    family. array<string> of length num_hashes.
+    """MinHash signature: per seed i, min over shingles of
+    xxhash64(i, shingle) — a min-wise family over 64-bit ints. Longs beat a
+    digest-string family ~10×: no hex allocation, primitive min.
+    array<long> of length num_hashes.
     """
     sh = word_shingles(text_col, ngram)
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(sh, lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s)))
-        ),
+        lambda i: F.array_min(F.transform(sh, lambda s: F.xxhash64(i, s))),
     )
 
 
@@ -251,17 +253,25 @@ def minhash_lsh_pairs(
     # interpreted expression eval with per-seed shingle recomputation —
     # ~100× slower.
     exploded = shingle_rows(df, text_col, id_col, ngram)
+    if verify_threshold is not None:
+        # three plan branches read the shingles (signatures + two verify
+        # joins) — persist so the expensive DAG runs once
+        exploded = exploded.persist()
+    # seeds are EXPLODED into rows rather than emitted as num_hashes agg
+    # columns: a 32-wide min-aggregate compiles into a huge codegen unit
+    # (multi-second janino compile on first execution); the narrow
+    # (id, seed) min-agg is tiny, still map-side-combined, and shuffles only
+    # the per-(id, seed) minima
+    seeded = exploded.select(
+        "id",
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
+        "s",
+    )
+    minh = seeded.groupBy("id", "seed").agg(F.min(F.xxhash64("seed", "s")).alias("h"))
     sig = (
-        exploded.groupBy("id")
-        .agg(
-            *[
-                F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"__h{i}")
-                for i in range(num_hashes)
-            ]
-        )
-        .select(
-            "id", F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("sig")
-        )
+        minh.groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("seed", "h"))).alias("__sh"))
+        .select("id", F.col("__sh.h").alias("sig"))
     )
     banded = sig.select(
         "id",
@@ -270,10 +280,8 @@ def minhash_lsh_pairs(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
-                    F.md5(
-                        F.concat_ws(
-                            "|", F.slice("sig", b * rows_per_band + 1, rows_per_band)
-                        )
+                    F.xxhash64(
+                        F.slice("sig", b * rows_per_band + 1, rows_per_band)
                     ).alias("bucket"),
                 ),
             )

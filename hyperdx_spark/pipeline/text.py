@@ -87,19 +87,55 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(normalized)
 
 
-def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """One-pass text-analysis projection: token stats, char classes, quality,
-    language, fingerprint."""
+def analyze(
+    df: DataFrame, text_col: str = "text", lang_threshold: float = 0.08
+) -> DataFrame:
+    """Text-analysis projection: token stats, char classes, quality,
+    language, fingerprint.
+
+    Staged so each expensive primitive — the tokenize regex, the stopword
+    scan, each char-class regex — is evaluated ONCE per row and shared
+    (naively composing the per-column functions re-runs the tokenizer up to
+    7× per row; Catalyst keeps these projections apart because the
+    intermediate columns are referenced repeatedly)."""
     cc = char_classes(text_col)
-    toks = tokens(text_col)
-    return df.select(
+    sw = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    staged = df.select(
         "*",
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        tokens(text_col).alias("__toks"),
+        cc["n_chars"].alias("__n_chars"),
         cc["punct"].alias("n_punct"),
         cc["digit"].alias("n_digit"),
-        stopword_ratio(text_col).alias("stopword_ratio"),
-        quality_score(text_col).alias("quality"),
-        detect_language(text_col).alias("lang_pred"),
-        fingerprint(text_col).alias("fp"),
+    ).select(
+        "*",
+        F.size("__toks").alias("n_tokens"),
+        F.size(F.array_distinct("__toks")).alias("n_unique_tokens"),
+        F.size(F.filter("__toks", lambda t: F.array_contains(sw, t))).alias("__sw_hits"),
+    )
+    n = F.col("__n_chars").cast("double")
+    ratio = F.when(
+        F.col("n_tokens") > 0,
+        F.col("__sw_hits").cast("double") / F.col("n_tokens"),
+    ).otherwise(F.lit(0.0))
+    length_term = F.least(n / F.lit(500.0), F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(
+        F.col("n_punct").cast("double") / F.greatest(n, F.lit(1.0)) * 5.0, F.lit(1.0)
+    )
+    digit_term = F.lit(1.0) - F.least(
+        F.col("n_digit").cast("double") / F.greatest(n, F.lit(1.0)) * 5.0, F.lit(1.0)
+    )
+    staged = staged.withColumn("stopword_ratio", ratio)
+    sw_term = F.least(F.col("stopword_ratio") * F.lit(4.0), F.lit(1.0))
+    return (
+        staged.withColumn(
+            "quality", (length_term + punct_term + digit_term + sw_term) / F.lit(4.0)
+        )
+        .withColumn(
+            "lang_pred",
+            F.when(F.col("stopword_ratio") >= lang_threshold, F.lit("en")).otherwise(
+                F.lit("unknown")
+            ),
+        )
+        .withColumn("fp", fingerprint(text_col))
+        .drop("__toks", "__n_chars", "__sw_hits")
     )
