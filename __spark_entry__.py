@@ -867,6 +867,107 @@ GROUP BY 1, 2
 """
 
 # --------------------------------------------------------------------------
+# §2.1 CTEs, §2.4 sample-weighted aggs, §2.3 correlation semi-join
+# --------------------------------------------------------------------------
+
+def q_cte_two_level(spark, sf_dir):
+    """CTE pipeline (renderWith): hourly error counts -> daily peak."""
+    inner = ChartConfig(
+        source=_src(),
+        select=[SelectCol(agg_fn="count", alias="cnt")],
+        where="error",
+        where_language="lucene",
+        granularity="1 hour",
+        group_by=["event_type"],
+        date_range=RANGE,
+    )
+    outer = ChartConfig(
+        source=Source(table="__hdx_cte_hourly", timestamp_value_expression="__timestamp"),
+        ctes=[("__hdx_cte_hourly", inner)],
+        select=[SelectCol(agg_fn="max", value_expression="cnt", alias="peak_hourly")],
+        granularity="1 day",
+        group_by=["event_type"],
+        date_range=RANGE,
+    )
+    return compile_chart_config(spark, outer, sf_dir=sf_dir)
+
+
+O_CTE_TWO_LEVEL = f"""
+WITH hourly AS (
+  SELECT make_timestamp((floor(epoch(ts))::BIGINT // 3600) * 3600 * 1000000) AS h,
+         event_type, count(*) AS cnt
+  FROM events
+  WHERE {TIME_WHERE}
+    AND list_contains(list_filter(string_split_regex(lower(concat_ws(' ', event_type, props)), '[^a-z0-9]+'), t -> t != ''), 'error')
+  GROUP BY 1, 2)
+SELECT make_timestamp((floor(epoch(h))::BIGINT // 86400) * 86400 * 1000000) AS __timestamp,
+       event_type, max(cnt)::DOUBLE AS peak_hourly
+FROM hourly GROUP BY 1, 2
+"""
+
+
+def q_sample_weighted(spark, sf_dir):
+    """Sample-weighted aggregations (renderChartConfig.ts:553-624): the
+    source declares sampleRateExpression; count becomes sum(weight), sum
+    becomes sum(x*w), avg becomes sum(x*w)/sum(w). Weight here is the
+    deterministic 1 + user_id % 4."""
+    src = Source(
+        table="events",
+        timestamp_value_expression="ts",
+        sample_rate_expression="1 + user_id % 4",
+    )
+    cfg = ChartConfig(
+        source=src,
+        select=[
+            SelectCol(agg_fn="count", alias="est_count"),
+            SelectCol(agg_fn="sum", value_expression="value", alias="est_sum"),
+            SelectCol(agg_fn="avg", value_expression="value", alias="est_avg"),
+        ],
+        group_by=["event_type"],
+        date_range=RANGE,
+    )
+    return _round4(compile_chart_config(spark, cfg, sf_dir=sf_dir))
+
+
+O_SAMPLE_WEIGHTED = f"""
+SELECT event_type,
+       sum(greatest(coalesce(try_cast(1 + user_id % 4 AS BIGINT), 0), 1)) AS est_count,
+       round(sum({_NUMV} * greatest(1 + user_id % 4, 1)), 4) AS est_sum,
+       round(sum({_NUMV} * greatest(1 + user_id % 4, 1))
+             / sum(greatest(1 + user_id % 4, 1)), 4) AS est_avg
+FROM events WHERE {TIME_WHERE}
+GROUP BY 1
+"""
+
+
+def q_correlated_semi_join(spark, sf_dir):
+    """Trace<->log-style correlation (SURVEY §2.3): events of users who had
+    an error event in the range — a broadcast left-semi join on the
+    correlation key, the Spark form of the reference's `IN (SELECT ...)`
+    key-lookup queries."""
+    ev = load_table(spark, sf_dir, "events", time_filter=("ts", *RANGE))
+    errs = ev.where(F.lower("event_type").contains("error")).select("user_id").distinct()
+    out = (
+        ev.join(F.broadcast(errs), on="user_id", how="left_semi")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.count_distinct("user_id").alias("users"),
+        )
+    )
+    return out
+
+
+O_CORRELATED_SEMI = f"""
+SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS users
+FROM events
+WHERE {TIME_WHERE} AND user_id IN (
+  SELECT DISTINCT user_id FROM events
+  WHERE {TIME_WHERE} AND lower(event_type) LIKE '%error%')
+GROUP BY 1
+"""
+
+# --------------------------------------------------------------------------
 # §2.10 alert evaluation — distributed backtest over daily error counts
 # --------------------------------------------------------------------------
 
@@ -1345,6 +1446,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_tail": q_stream_tail,
         "q_chunked_union": q_chunked_union,
         "q_promql": q_promql,
+        "q_cte_two_level": q_cte_two_level,
+        "q_sample_weighted": q_sample_weighted,
+        "q_correlated_semi_join": q_correlated_semi_join,
         "q_key_values": q_key_values,
         "q_values_distribution": q_values_distribution,
         "q_alert_backtest": q_alert_backtest,
@@ -1391,6 +1495,9 @@ def oracle_sql() -> dict[str, str]:
         "q_stream_tail": O_STREAM_TAIL,
         "q_chunked_union": O_CHUNKED_UNION,
         "q_promql": O_PROMQL,
+        "q_cte_two_level": O_CTE_TWO_LEVEL,
+        "q_sample_weighted": O_SAMPLE_WEIGHTED,
+        "q_correlated_semi_join": O_CORRELATED_SEMI,
         "q_key_values": O_KEY_VALUES,
         "q_values_distribution": O_VALUES_DISTRIBUTION,
         "q_alert_backtest": O_ALERT_BACKTEST,

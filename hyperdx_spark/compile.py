@@ -208,8 +208,19 @@ def compile_chart_config(
     """Compile *config* to a lazy DataFrame (renderChartConfig.ts:2247-2332)."""
     settings = settings or DEFAULT_SETTINGS
     source = config.source
+    # CTEs (renderWith): compile each sub-config and register it as a temp
+    # view — the view holds the lazy logical plan, so the whole query stays
+    # one Catalyst plan (no materialization between CTE and outer query)
+    for name, sub_cfg in config.ctes:
+        compile_chart_config(spark, sub_cfg, sf_dir=sf_dir, settings=settings).createOrReplaceTempView(name)
     if df is None:
-        if sf_dir is None:
+        import os as _os
+
+        in_sf_dir = sf_dir is not None and _os.path.exists(
+            _os.path.join(sf_dir, f"{source.table}.parquet")
+        )
+        if not in_sf_dir:
+            # a CTE or an externally-registered view
             df = spark.table(source.table)
         else:
             from hyperdx_spark.io import load_table

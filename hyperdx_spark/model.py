@@ -116,6 +116,11 @@ class ChartConfig:
     """The query IR compiled by hyperdx_spark.compile (ref types.ts:1269-1332)."""
 
     source: Source
+    # CTEs (renderWith, renderChartConfig.ts:1549-1617; types.ts:1307-1332):
+    # each name -> sub-config compiled first and registered as a temp view;
+    # the outer query (or another CTE) references it by table name.
+    # The reference nests one level; we allow CTEs referencing earlier CTEs.
+    ctes: "Sequence[tuple[str, ChartConfig]]" = field(default_factory=list)
     # str = raw select-list SQL passthrough; list = derived columns
     select: Union[str, Sequence[SelectCol]] = ""
     where: str = ""

@@ -243,3 +243,52 @@ def test_json_dot_path(spark, sf_dir, events_source):
         """,
     )
     assert_same(rows_of(df), want)
+
+
+def test_cte_two_level_agg(spark, sf_dir, events_source):
+    """renderWith (renderChartConfig.ts:1549-1617): inner CTE buckets hourly
+    error counts; the outer config computes the daily max of those hourly
+    counts. Must equal the directly-computed two-level SQL answer."""
+    from datetime import datetime
+
+    from hyperdx_spark.compile import compile_chart_config
+    from hyperdx_spark.model import ChartConfig, SelectCol, Source
+
+    rng = (datetime(2024, 1, 1), datetime(2024, 1, 8))
+    inner = ChartConfig(
+        source=events_source,
+        select=[SelectCol(agg_fn="count", alias="cnt")],
+        where="error",
+        granularity="1 hour",
+        group_by=["event_type"],
+        date_range=rng,
+    )
+    outer = ChartConfig(
+        source=Source(table="hourly", timestamp_value_expression="__timestamp"),
+        ctes=[("hourly", inner)],
+        select=[SelectCol(agg_fn="max", value_expression="cnt", alias="peak_hourly")],
+        granularity="1 day",
+        group_by=["event_type"],
+        date_range=rng,
+    )
+    got = {
+        (r["__timestamp"], r["event_type"]): r["peak_hourly"]
+        for r in compile_chart_config(spark, outer, sf_dir=sf_dir).collect()
+    }
+    from hyperdx_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").where(
+        (F.col("ts") >= F.lit(rng[0])) & (F.col("ts") <= F.lit(rng[1]))
+        & F.lower("event_type").contains("error")
+    )
+    hourly = ev.groupBy(
+        F.timestamp_seconds((F.unix_timestamp("ts") / 3600).cast("long") * 3600).alias("h"),
+        "event_type",
+    ).count()
+    daily = hourly.groupBy(
+        F.timestamp_seconds((F.unix_timestamp("h") / 86400).cast("long") * 86400).alias("d"),
+        "event_type",
+    ).agg(F.max("count").alias("m"))
+    expected = {(r["d"], r["event_type"]): float(r["m"]) for r in daily.collect()}
+    assert got == expected and got
