@@ -61,3 +61,118 @@ def previous_period(
         bucket_col,
         F.timestamp_seconds(F.unix_timestamp(F.col(bucket_col)) + offset_seconds),
     )
+
+
+CHART_KEY_JOINER = " · "  # ChartUtils.tsx:198
+PREVIOUS_PERIOD_SUFFIX = " (previous)"  # ChartUtils.tsx:199
+MAX_RENDERED_TIME_CHART_SERIES = 250  # defaults.ts:16
+
+
+def format_time_chart(
+    df: DataFrame,
+    *,
+    ts_col: str = "__timestamp",
+    value_cols: Sequence[str],
+    group_cols: Sequence[str] = (),
+    date_range=None,
+    step_seconds: Optional[int] = None,
+    fill: Optional[float] = 0.0,
+    previous_df: Optional[DataFrame] = None,
+    previous_offset_seconds: int = 0,
+    max_series: int = MAX_RENDERED_TIME_CHART_SERIES,
+) -> tuple[list[dict], list[dict], int]:
+    """Pivot aggregated rows into per-series chart lines
+    (ChartUtils.tsx:704-830 formatResponseForTimeChart).
+
+    Presentation-layer operator: runs on the driver over the (already
+    aggregated, small) chart result, like the reference runs it in the
+    browser. Returns (rows, line_meta, hidden_series_count):
+
+    * rows: one dict per bucket ``{ts_col: epoch_s, "<series key>": value}``,
+      empty buckets zero-filled when *date_range*+*step_seconds* are given;
+    * series key = value column, group values joined with ``' · '``
+      (value-column prefix omitted for single-value grouped charts);
+      previous-period series get ``' (previous)'`` and their buckets are
+      shifted forward by *previous_offset_seconds*;
+    * the render cap keeps the top *max_series* LOGICAL series by peak
+      value (current + previous pairs and multi-value-column siblings are
+      kept or dropped together; current-period groups take priority).
+    """
+    value_cols = list(value_cols)
+    group_cols = list(group_cols)
+    omit_value_in_key = len(value_cols) == 1 and bool(group_cols)
+    has_value_prefix = len(value_cols) > 1 and bool(group_cols)
+
+    buckets: dict[int, dict] = {}
+    lines: dict[str, dict] = {}
+
+    def add(rows, is_previous: bool) -> None:
+        offset = previous_offset_seconds if is_previous else 0
+        for row in rows:
+            ts = int(row[ts_col].timestamp()) + offset
+            bucket = buckets.setdefault(ts, {ts_col: ts})
+            parts = ["" if row[g] is None else str(row[g]) for g in group_cols]
+            group_part = CHART_KEY_JOINER.join(parts)
+            for vc in value_cols:
+                if omit_value_in_key:
+                    current_key = group_part
+                elif group_cols:
+                    current_key = CHART_KEY_JOINER.join([vc, *parts])
+                else:
+                    current_key = vc
+                key = current_key + (PREVIOUS_PERIOD_SUFFIX if is_previous else "")
+                v = row[vc]
+                bucket[key] = float(v) if v is not None else None
+                if key not in lines:
+                    group_key = current_key
+                    if has_value_prefix and current_key.startswith(vc + CHART_KEY_JOINER):
+                        group_key = current_key[len(vc + CHART_KEY_JOINER):]
+                    lines[key] = {
+                        "data_key": key,
+                        "current_period_key": current_key,
+                        "group_key": group_key,
+                        "value_column": vc,
+                        "is_previous": is_previous,
+                    }
+
+    add(df.collect(), False)
+    if previous_df is not None:
+        add(previous_df.collect(), True)
+
+    # zero-fill empty buckets (generateEmptyBuckets/fillNulls,
+    # ChartUtils.tsx:1055-1119)
+    if date_range is not None and step_seconds:
+        lo = int(date_range[0].timestamp()) // step_seconds * step_seconds
+        hi = int(date_range[1].timestamp()) // step_seconds * step_seconds
+        for ts in range(lo, hi + 1, step_seconds):
+            buckets.setdefault(ts, {ts_col: ts})
+        if fill is not None:
+            for bucket in buckets.values():
+                for key in lines:
+                    bucket.setdefault(key, fill)
+
+    # render cap on logical groups, ranked by peak value; groups with a
+    # current-period series outrank previous-only groups
+    peaks: dict[str, float] = {}
+    current_groups = set()
+    for key, line in lines.items():
+        g = line["group_key"]
+        peak = max(
+            (b[key] for b in buckets.values() if b.get(key) is not None),
+            default=float("-inf"),
+        )
+        peaks[g] = max(peaks.get(g, float("-inf")), peak)
+        if not line["is_previous"]:
+            current_groups.add(g)
+    ranked = sorted(
+        peaks, key=lambda g: (g not in current_groups, -peaks[g], g)
+    )
+    kept = set(ranked[:max_series])
+    hidden = len(ranked) - len(kept)
+    line_meta = [ln for ln in lines.values() if ln["group_key"] in kept]
+    kept_keys = {ln["data_key"] for ln in line_meta}
+    rows = [
+        {k: v for k, v in b.items() if k == ts_col or k in kept_keys}
+        for _, b in sorted(buckets.items())
+    ]
+    return rows, line_meta, hidden

@@ -1,0 +1,112 @@
+"""Time-chart formatting (post.format_time_chart) — ChartUtils.tsx parity:
+series keys, previous-period overlay, zero-fill, top-by-peak render cap."""
+
+from datetime import datetime
+
+import pytest
+
+from hyperdx_spark.post import (
+    CHART_KEY_JOINER,
+    PREVIOUS_PERIOD_SUFFIX,
+    format_time_chart,
+    merge_result_sets,
+    previous_period,
+)
+
+
+@pytest.fixture(scope="module")
+def chart_df(spark):
+    rows = [
+        (datetime(2024, 1, 1, 0), "api", 10.0, 1.0),
+        (datetime(2024, 1, 1, 0), "web", 5.0, 2.0),
+        (datetime(2024, 1, 1, 1), "api", 20.0, 3.0),
+        # hour 2 missing entirely (zero-fill target)
+        (datetime(2024, 1, 1, 3), "web", 7.0, 4.0),
+    ]
+    return spark.createDataFrame(
+        rows, "`__timestamp` timestamp, service string, cnt double, avg_v double"
+    )
+
+
+def test_single_value_grouped_key_omits_value_column(spark, chart_df):
+    rows, meta, hidden = format_time_chart(
+        chart_df.select("__timestamp", "service", "cnt"),
+        value_cols=["cnt"],
+        group_cols=["service"],
+    )
+    keys = {m["data_key"] for m in meta}
+    assert keys == {"api", "web"}
+    assert hidden == 0
+    first = rows[0]
+    assert first["api"] == 10.0 and first["web"] == 5.0
+
+
+def test_multi_value_key_prefixes_value_column(spark, chart_df):
+    rows, meta, _ = format_time_chart(
+        chart_df, value_cols=["cnt", "avg_v"], group_cols=["service"]
+    )
+    keys = {m["data_key"] for m in meta}
+    assert f"cnt{CHART_KEY_JOINER}api" in keys
+    assert f"avg_v{CHART_KEY_JOINER}web" in keys
+    # group identity strips the value prefix: cnt·api and avg_v·api share it
+    groups = {m["group_key"] for m in meta}
+    assert groups == {"api", "web"}
+
+
+def test_zero_fill(spark, chart_df):
+    rows, _, _ = format_time_chart(
+        chart_df.select("__timestamp", "service", "cnt"),
+        value_cols=["cnt"],
+        group_cols=["service"],
+        date_range=(datetime(2024, 1, 1, 0), datetime(2024, 1, 1, 3)),
+        step_seconds=3600,
+    )
+    assert len(rows) == 4  # hours 0-3 inclusive, hour 2 generated
+    h2 = rows[2]
+    assert h2["api"] == 0.0 and h2["web"] == 0.0
+
+
+def test_previous_period_overlay_and_suffix(spark, chart_df):
+    cur = chart_df.select("__timestamp", "service", "cnt")
+    prev = previous_period(cur, offset_seconds=3600)  # pretend prior window
+    rows, meta, _ = format_time_chart(
+        cur,
+        value_cols=["cnt"],
+        group_cols=["service"],
+        previous_df=cur,
+        previous_offset_seconds=3600,
+    )
+    prev_keys = {m["data_key"] for m in meta if m["is_previous"]}
+    assert prev_keys == {
+        "api" + PREVIOUS_PERIOD_SUFFIX,
+        "web" + PREVIOUS_PERIOD_SUFFIX,
+    }
+    # shifted: the previous series' first bucket lands one hour later
+    ts0 = int(datetime(2024, 1, 1, 0).timestamp())
+    by_ts = {r["__timestamp"]: r for r in rows}
+    assert by_ts[ts0 + 3600]["api" + PREVIOUS_PERIOD_SUFFIX] == 10.0
+
+
+def test_render_cap_keeps_top_by_peak(spark):
+    rows_in = [
+        (datetime(2024, 1, 1), f"g{i}", float(i)) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows_in, "`__timestamp` timestamp, g string, v double")
+    rows, meta, hidden = format_time_chart(
+        df, value_cols=["v"], group_cols=["g"], max_series=3
+    )
+    assert hidden == 7
+    assert {m["data_key"] for m in meta} == {"g9", "g8", "g7"}
+
+
+def test_merge_result_sets_full_outer(spark):
+    a = spark.createDataFrame(
+        [(datetime(2024, 1, 1), 1.0)], "`__timestamp` timestamp, a double"
+    )
+    b = spark.createDataFrame(
+        [(datetime(2024, 1, 2), 2.0)], "`__timestamp` timestamp, b double"
+    )
+    m = merge_result_sets([a, b], on=["__timestamp"])
+    got = {r["__timestamp"]: (r["a"], r["b"]) for r in m.collect()}
+    assert got[datetime(2024, 1, 1)] == (1.0, None)
+    assert got[datetime(2024, 1, 2)] == (None, 2.0)
