@@ -592,28 +592,10 @@ FROM t JOIN pick ON t.d = pick.d AND t.side = pick.side AND t.i = pick.i
 # --------------------------------------------------------------------------
 
 def q_heatmap(spark, sf_dir):
+    from hyperdx_spark.analytics.heatmap import heatmap
+
     ev = load_table(spark, sf_dir, "events")
-    bounds = ev.agg(
-        F.min("value").alias("lo"), F.max("value").alias("hi")
-    )
-    b = (
-        ev.crossJoin(F.broadcast(bounds))
-        .withColumn(
-            "ybucket",
-            F.least(
-                F.floor((F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 20),
-                F.lit(19),
-            ).cast("int"),
-        )
-        .groupBy(
-            F.timestamp_seconds(
-                (F.unix_timestamp("ts") / 86400).cast("long") * 86400
-            ).alias("__timestamp"),
-            "ybucket",
-        )
-        .agg(F.count("*").alias("cnt"))
-    )
-    return b
+    return heatmap(ev, ts="ts", value="value", bucket_seconds=86400, y_buckets=20)
 
 
 O_HEATMAP = """

@@ -1,0 +1,81 @@
+"""Natural-language explanation of a search query (autocomplete UX).
+
+Parity target: hyperdxio/hyperdx ``queryParser.ts:205-416``
+(EnglishSerializer) + :2175-2201 — the same AST the SQL serializer walks,
+rendered as English. Pure function over the parsed AST; no schema needed
+(the reference consults metadata only to phrase array fields — we phrase
+from the syntax alone)."""
+
+from __future__ import annotations
+
+from hyperdx_spark.lucene.ast import BoolOp, Group, MatchAll, Node, Not, Range, Term
+from hyperdx_spark.lucene.parser import parse
+
+_CMP_PHRASE = {
+    ">": "is greater than",
+    ">=": "is greater than or equal to",
+    "<": "is less than",
+    "<=": "is less than or equal to",
+}
+
+
+def explain_query(query: str, implicit_name: str = "event") -> str:
+    """Parse *query* and render the reference's English explanation."""
+    return explain_node(parse(query), implicit_name)
+
+
+def _field(term_field, implicit_name: str) -> str:
+    return f"'{term_field}'" if term_field else implicit_name
+
+
+def explain_node(node: Node, implicit_name: str = "event") -> str:
+    if isinstance(node, MatchAll):
+        return "anything"
+    if isinstance(node, Term):
+        f = _field(node.field, implicit_name)
+        neg = node.negated
+        if node.value == "*" and not node.quoted:
+            # exists check (queryParser.ts EnglishSerializer existence phrasing)
+            return f"{f} {'is null' if neg else 'is not null'}"
+        if node.prefix in _CMP_PHRASE:
+            phrase = _CMP_PHRASE[node.prefix]
+            base = f"{f} {phrase} {node.value}"
+            return f"NOT ({base})" if neg else base
+        if node.quoted:
+            verb = "is not" if neg else "is"
+            return f"{f} {verb} '{node.value}'"
+        has_wild = node.value.startswith("*") or node.value.endswith("*")
+        verb = "does not contain" if neg else "contains"
+        shown = node.value.strip("*") if has_wild else node.value
+        if node.value.endswith("*") and not node.value.startswith("*"):
+            verb = "does not start with" if neg else "starts with"
+        elif node.value.startswith("*") and not node.value.endswith("*"):
+            verb = "does not end with" if neg else "ends with"
+        return f"{f} {verb} {shown}"
+    if isinstance(node, Range):
+        f = _field(node.field, implicit_name)
+        lo = "-infinity" if node.low == "*" else node.low
+        hi = "infinity" if node.high == "*" else node.high
+        incl = "inclusive" if (node.include_low and node.include_high) else "exclusive"
+        base = f"{f} is between {lo} and {hi} ({incl})"
+        return f"NOT ({base})" if node.negated else base
+    if isinstance(node, BoolOp):
+        return (
+            f"{explain_node(node.left, implicit_name)} {node.op} "
+            f"{explain_node(node.right, implicit_name)}"
+        )
+    if isinstance(node, Not):
+        # negated leaves read as natural phrases ('does not contain', 'is
+        # null') rather than a wrapping NOT(...)
+        child = node.child
+        if isinstance(child, (Term, Range)):
+            from dataclasses import replace
+
+            return explain_node(replace(child, negated=True), implicit_name)
+        return f"NOT ({explain_node(child, implicit_name)})"
+    if isinstance(node, Group):
+        inner_name = f"'{node.field}'" if node.field else implicit_name
+        inner = explain_node(node.child, inner_name)
+        body = f"({inner})"
+        return f"NOT {body}" if node.negated else body
+    raise TypeError(f"unknown node {node!r}")

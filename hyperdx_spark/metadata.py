@@ -144,3 +144,28 @@ def get_values_distribution(
         .orderBy(F.desc("count"), F.asc("value"))
         .limit(top)
     )
+
+
+GET_ALL_KEY_VALUES_CHUNK_SIZE = 100  # metadata.ts:60
+
+
+def get_all_key_values(
+    df: DataFrame,
+    keys: Sequence[str],
+    *,
+    max_values_per_key: int = MAX_VALUES_PER_KEY,
+    sample_rows: Optional[int] = None,
+    chunk_size: int = GET_ALL_KEY_VALUES_CHUNK_SIZE,
+) -> dict[str, list[str]]:
+    """Batched autocomplete fetch (metadata.ts:2204-2250 getAllKeyValues):
+    keys are queried in chunks of ≤ *chunk_size* per aggregation (each chunk
+    is one scan with one agg per key), results merged into {key: values}."""
+    out: dict[str, list[str]] = {}
+    for i in range(0, len(keys), chunk_size):
+        chunk = list(keys[i : i + chunk_size])
+        row = get_key_values(
+            df, chunk, max_values_per_key=max_values_per_key, sample_rows=sample_rows
+        ).collect()[0]
+        for j, k in enumerate(chunk):
+            out[k] = list(row[f"key{j}"])
+    return out

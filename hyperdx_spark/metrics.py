@@ -43,16 +43,31 @@ def gauge_bucket(
     agg: str = "avg",
     bucket_alias: str = "__timestamp",
     value_alias: str = "value",
+    is_delta: bool = False,
 ) -> DataFrame:
     """Gauge chart (renderChartConfig.ts:1725-1819).
 
     Per (series, time-bucket) take ``last_value(Value)`` = argMax(Value, ts),
     then apply the user aggregation across series per (bucket, groups).
+
+    ``is_delta`` (renderDeltaExpression, renderChartConfig.ts:1655-1684):
+    the per-(series, bucket) value becomes the extrapolated delta
+    ``(argMax - argMin) * interval / time_diff`` (Prometheus ``delta()``
+    behavior; 0 when the bucket has a single sample).
     """
     b = _bucket(F.col(ts), bucket_seconds).alias(bucket_alias)
+    v, t = F.col(value).cast("double"), F.col(ts)
+    if is_delta:
+        value_diff = F.max_by(v, t) - F.min_by(v, t)
+        time_diff = (F.unix_timestamp(F.max(t)) - F.unix_timestamp(F.min(t))).cast("double")
+        per_series = F.when(
+            time_diff > 0, value_diff * F.lit(float(bucket_seconds)) / time_diff
+        ).otherwise(F.lit(0.0))
+    else:
+        per_series = F.max_by(v, t)
     inner = (
         df.groupBy(b, *[F.col(c) for c in set(series_cols) | set(group_cols)])
-        .agg(F.max_by(F.col(value), F.col(ts)).alias("__last"))
+        .agg(per_series.alias("__last"))
     )
     outer_agg = {
         "avg": F.avg,

@@ -115,3 +115,32 @@ def test_key_values_and_distribution(spark, events):
     assert len(dist) == 5
     assert abs(sum(r["pct"] for r in dist) - 100.0) < 0.01
     assert dist[0]["count"] >= dist[-1]["count"]
+
+
+def test_get_all_key_values_batched(spark, sf_dir):
+    from hyperdx_spark.io import load_table
+    from hyperdx_spark.metadata import get_all_key_values
+
+    ev = load_table(spark, sf_dir, "events")
+    out = get_all_key_values(
+        ev, ["event_type", "cast(user_id % 2 as string)"], chunk_size=1
+    )
+    assert set(out) == {"event_type", "cast(user_id % 2 as string)"}
+    assert out["cast(user_id % 2 as string)"] == ["0", "1"]
+    assert len(out["event_type"]) >= 3
+
+
+def test_lucene_explain():
+    from hyperdx_spark.lucene.explain import explain_query
+
+    assert explain_query('level:"error"') == "'level' is 'error'"
+    assert explain_query("level:err") == "'level' contains err"
+    assert explain_query("-level:err") == "'level' does not contain err"
+    assert explain_query("level:err*") == "'level' starts with err"
+    assert explain_query("duration:>=100") == "'duration' is greater than or equal to 100"
+    assert explain_query("level:*") == "'level' is not null"
+    assert explain_query("duration:[1 TO 5]") == "'duration' is between 1 and 5 (inclusive)"
+    assert (
+        explain_query("foo bar", implicit_name="event")
+        == "event contains foo AND event contains bar"
+    )
