@@ -377,3 +377,29 @@ def test_exp_histogram_quantile_negative_side(spark):
     ).collect()
     # rank=1 -> first bucket (neg idx1), frac=1/1=1 -> -2^(1+1-1) = -2
     assert out[0]["p"] == pytest.approx(-2.0)
+
+
+def test_gauge_delta_extrapolated(spark):
+    """renderDeltaExpression (renderChartConfig.ts:1655-1684): per-bucket
+    extrapolated delta = (argMax - argMin) * interval / time_diff; 0 for
+    single-sample buckets."""
+    from datetime import datetime
+
+    from hyperdx_spark import metrics
+
+    rows = [
+        # series s1, bucket 0: samples at 0s (v=10) and 40s (v=22) in a 60s
+        # bucket -> (22-10)*60/40 = 18
+        (datetime(2024, 1, 1, 0, 0, 0), 10.0, "s1"),
+        (datetime(2024, 1, 1, 0, 0, 40), 22.0, "s1"),
+        # series s2, single sample -> 0
+        (datetime(2024, 1, 1, 0, 0, 30), 99.0, "s2"),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, v double, sid string")
+    out = metrics.gauge_bucket(
+        df, ts="ts", value="v", series_cols=["sid"], bucket_seconds=60,
+        group_cols=["sid"], agg="sum", is_delta=True,
+    ).collect()
+    got = {r["sid"]: r["value"] for r in out}
+    assert got["s1"] == 18.0
+    assert got["s2"] == 0.0
