@@ -64,6 +64,35 @@ class _Ctx:
     settings: QuerySettings
     ts_expr: str
     bucket_seconds: Optional[int]
+    # every token of a multi-column timestampValueExpression; the time
+    # filter is emitted on ALL of them (partition pruning on the coarse
+    # Date column + precision on the DateTime one), bucketing on ts_expr
+    ts_filter_exprs: Sequence[str] = ()
+
+
+def pick_bucket_timestamp_expr(
+    ts_value_expression: str, df: DataFrame
+) -> tuple[str, list[str]]:
+    """Multi-column timestamp support (core/utils.ts:192-263
+    ``pickBucketTimestampColumn``, renderChartConfig.ts:2266-2288): a
+    source may list several timestamp expressions ("EventDate, EventTime")
+    — bucket on the highest-precision one (TimestampType preferred over
+    DateType), filter on every one so the coarse column prunes partitions.
+    Returns (bucket_expr, all_exprs)."""
+    parts = [translate_expr(p) for p in _split_args(ts_value_expression)]
+    if len(parts) <= 1:
+        return parts[0] if parts else "", parts
+    dtypes = dict(df.dtypes)
+
+    def precision(expr: str) -> int:
+        t = dtypes.get(expr.strip().strip("`"), "")
+        if t.startswith("timestamp"):
+            return 2
+        if t == "date":
+            return 0
+        return 1  # unknown expression: assume timestamp-like
+    best = max(parts, key=precision)
+    return best, parts
 
 
 def _condition_sql(ctx: _Ctx, condition: str, language: str) -> str:
@@ -158,11 +187,21 @@ def _where_clauses(ctx: _Ctx, df: DataFrame) -> list[Column]:
     conds: list[Column] = []
     if cfg.date_range is not None:
         start, end = cfg.date_range
-        ts = F.expr(ctx.ts_expr)
+        dtypes = dict(df.dtypes)
         # inclusive BETWEEN, matching timeFilterExpr (renderChartConfig.ts:863-997);
-        # exclusive end after MV rewrite (materializedViews.ts:548-556)
-        upper = (ts <= F.lit(end)) if cfg.date_range_end_inclusive else (ts < F.lit(end))
-        conds.append((ts >= F.lit(start)) & upper)
+        # exclusive end after MV rewrite (materializedViews.ts:548-556).
+        # Multi-column timestamps: emit the filter on EVERY listed column —
+        # Date columns get date bounds (partition pruning), DateTime ones
+        # the precise bounds (timeFilterExpr 909-996).
+        for expr in (ctx.ts_filter_exprs or [ctx.ts_expr]):
+            ts = F.expr(expr)
+            if dtypes.get(expr.strip().strip("`")) == "date":
+                conds.append(
+                    (ts >= F.to_date(F.lit(start))) & (ts <= F.to_date(F.lit(end)))
+                )
+                continue
+            upper = (ts <= F.lit(end)) if cfg.date_range_end_inclusive else (ts < F.lit(end))
+            conds.append((ts >= F.lit(start)) & upper)
     if cfg.where:
         conds.append(F.expr(_condition_sql(ctx, cfg.where, cfg.where_language)))
     # aggCondition pushdown: only when every select has one (1165-1193)
@@ -226,17 +265,24 @@ def compile_chart_config(
             from hyperdx_spark.io import load_table
 
             # push the time range onto the raw nanos column so the parquet
-            # scan prunes row groups (see io.load_table docstring)
+            # scan prunes row groups (see io.load_table docstring); with a
+            # multi-column timestamp any single listed column bounds the
+            # same range, so the first identifier token is a valid pushdown
             tf = None
-            ts_col = source.timestamp_value_expression.strip().strip("`")
-            if config.date_range is not None and ts_col.isidentifier():
-                tf = (ts_col, config.date_range[0], config.date_range[1])
+            if config.date_range is not None:
+                for part in _split_args(source.timestamp_value_expression):
+                    ts_col = part.strip().strip("`")
+                    if ts_col.isidentifier():
+                        tf = (ts_col, config.date_range[0], config.date_range[1])
+                        break
             df = load_table(
                 spark, sf_dir, source.table, time_filter=tf,
                 end_inclusive=config.date_range_end_inclusive,
             )
 
-    ts_expr = translate_expr(source.timestamp_value_expression)
+    ts_expr, ts_filter_exprs = pick_bucket_timestamp_expr(
+        source.timestamp_value_expression, df
+    )
     granularity = config.granularity
     if granularity == "auto":
         if config.date_range is None:
@@ -251,6 +297,7 @@ def compile_chart_config(
         settings=settings,
         ts_expr=ts_expr,
         bucket_seconds=bucket_seconds,
+        ts_filter_exprs=ts_filter_exprs,
     )
 
     for cond in _where_clauses(ctx, df):

@@ -292,3 +292,43 @@ def test_cte_two_level_agg(spark, sf_dir, events_source):
     ).agg(F.max("count").alias("m"))
     expected = {(r["d"], r["event_type"]): float(r["m"]) for r in daily.collect()}
     assert got == expected and got
+
+
+def test_multi_column_timestamp(spark, sf_dir, tmp_path):
+    """pickBucketTimestampColumn (core/utils.ts:192-263): a source listing
+    "event_date, ts" filters on BOTH columns (date bounds on the Date one
+    for partition pruning) and buckets on the DateTime one."""
+    from datetime import datetime
+
+    from hyperdx_spark.compile import compile_chart_config
+    from hyperdx_spark.io import load_table
+    from hyperdx_spark.model import ChartConfig, SelectCol, Source
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "dual_ts")
+    load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    ).write.parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView("dual_ts_events")
+
+    rng = (datetime(2024, 1, 5), datetime(2024, 1, 10))
+    cfg = ChartConfig(
+        source=Source(table="dual_ts_events", timestamp_value_expression="event_date, ts"),
+        select=[SelectCol(agg_fn="count", alias="cnt")],
+        granularity="1 day",
+        date_range=rng,
+    )
+    df = compile_chart_config(spark, cfg)
+    plan = df.queryExecution.optimizedPlan().toString() if hasattr(df, "queryExecution") else ""
+    got = {r["__timestamp"]: r["cnt"] for r in df.collect()}
+    ev = load_table(spark, sf_dir, "events").where(
+        (F.col("ts") >= F.lit(rng[0])) & (F.col("ts") <= F.lit(rng[1]))
+    )
+    expected = {
+        r["d"]: r["count"]
+        for r in ev.groupBy(F.date_trunc("day", "ts").alias("d")).count().collect()
+    }
+    assert got == expected and len(got) >= 5
+    # both columns appear in the compiled filter
+    explained = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "event_date" in explained and "ts" in explained
