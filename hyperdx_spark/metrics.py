@@ -652,3 +652,20 @@ def histogram_quantile(
     return out.select(
         bucket_alias, *group_cols, value.alias(value_alias)
     )
+
+
+SUPPORTED_METRIC_TYPES = ("gauge", "sum", "histogram", "exponential histogram")
+
+
+def require_supported_metric_type(metric_type: str) -> str:
+    """Parity with translateMetricChartConfig's terminal branch
+    (renderChartConfig.ts:2172): summary (and unknown) metric tables exist
+    in the schema but have no chart translation — error loudly instead of
+    silently mis-aggregating."""
+    t = metric_type.strip().lower()
+    if t not in SUPPORTED_METRIC_TYPES:
+        raise ValueError(
+            f"Unsupported metric type: {metric_type}. Supported: "
+            + ", ".join(SUPPORTED_METRIC_TYPES)
+        )
+    return t

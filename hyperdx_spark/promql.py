@@ -54,6 +54,7 @@ _RANGE_FNS = {
     "last_over_time",
 }
 _AGG_OPS = {"sum", "avg", "min", "max", "count"}
+_TOPK_OPS = {"topk", "bottomk"}
 
 _DUR_RE = re.compile(r"^(\d+)(ms|s|m|h|d|w|y)$")
 _DUR_S = {"ms": 0.001, "s": 1, "m": 60, "h": 3600, "d": 86400, "w": 604800, "y": 31536000}
@@ -87,6 +88,13 @@ class RangeFn:
 class Agg:
     op: str
     by: Optional[list[str]]  # None = collapse all labels
+    arg: "Expr"
+
+
+@dataclass
+class TopK:
+    op: str  # topk | bottomk
+    k: int
     arg: "Expr"
 
 
@@ -181,6 +189,15 @@ class _Parser:
             raise ValueError(f"unexpected token {v!r}")
         if v in _AGG_OPS and self.peek() and self.peek()[1] in ("(", "by"):
             return self._agg(v)
+        if v in _TOPK_OPS and self.peek() and self.peek()[1] == "(":
+            self.expect("(")
+            kk, kv = self.next()
+            if kk != "num":
+                raise ValueError(f"{v}(k, expr) needs a numeric k")
+            self.expect(",")
+            arg = self.expr()
+            self.expect(")")
+            return TopK(v, int(float(kv)), arg)
         if v in _RANGE_FNS and self.peek() and self.peek()[1] == "(":
             self.expect("(")
             sel = self._selector()
@@ -405,6 +422,16 @@ class PromQLEngine:
                 "count": F.count,
             }[node.op]
             return inner.groupBy("__step", *keep).agg(op("value").alias("value"))
+        if isinstance(node, TopK):
+            inner = self._eval(spark, node.arg, start, end, step_s, lookback_s)
+            label_cols = [c for c in inner.columns if c not in ("__step", "value")]
+            order = F.desc("value") if node.op == "topk" else F.asc("value")
+            w = Window.partitionBy("__step").orderBy(order, *[F.asc(c) for c in label_cols])
+            return (
+                inner.withColumn("__rk", F.row_number().over(w))
+                .where(F.col("__rk") <= node.k)
+                .drop("__rk")
+            )
         if isinstance(node, BinOp):
             lnum = isinstance(node.left, NumberLit)
             rnum = isinstance(node.right, NumberLit)

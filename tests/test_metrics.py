@@ -403,3 +403,13 @@ def test_gauge_delta_extrapolated(spark):
     got = {r["sid"]: r["value"] for r in out}
     assert got["s1"] == 18.0
     assert got["s2"] == 0.0
+
+
+def test_unsupported_metric_type_raises():
+    import pytest as _pytest
+
+    from hyperdx_spark.metrics import require_supported_metric_type
+
+    assert require_supported_metric_type("Gauge") == "gauge"
+    with _pytest.raises(ValueError, match="Unsupported metric type"):
+        require_supported_metric_type("summary")

@@ -133,3 +133,16 @@ def test_regex_matchers(spark, engine):
         datetime(2024, 1, 1, 0, 5), datetime(2024, 1, 1, 0, 5), 60,
     ).collect()
     assert len(out2) == 1 and out2[0]["job"] == "b"
+
+
+def test_topk_bottomk(spark, engine):
+    out = engine.query_range(
+        spark, "topk(1, http_requests_total)",
+        datetime(2024, 1, 1, 0, 10), datetime(2024, 1, 1, 0, 10), 60,
+    ).collect()
+    assert len(out) == 1 and out[0]["job"] == "b"  # 100 > 60
+    out2 = engine.query_range(
+        spark, "bottomk(1, http_requests_total)",
+        datetime(2024, 1, 1, 0, 10), datetime(2024, 1, 1, 0, 10), 60,
+    ).collect()
+    assert len(out2) == 1 and out2[0]["job"] == "a"
