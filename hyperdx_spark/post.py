@@ -19,8 +19,25 @@ from pyspark.sql import functions as F
 def merge_result_sets(dfs: Sequence[DataFrame], on: Sequence[str]) -> DataFrame:
     """Client-side bucket merge (clickhouse/index.ts:496-610): N per-series
     result sets merged on (time bucket + group dims) — a full outer join on
-    the bucket keys. Spark equivalent of the reference's hash-key merge."""
-    return reduce(lambda a, b: a.join(b, on=list(on), how="full_outer"), dfs)
+    the bucket keys. Spark equivalent of the reference's hash-key merge.
+
+    Alias collisions (the reference's mergeResultSets disambiguates repeated
+    value-column names): a non-key column already present from an earlier
+    result set is suffixed ``_2``, ``_3``, … in arrival order."""
+    keys = list(on)
+    seen: dict[str, int] = {}
+    renamed = []
+    for df in dfs:
+        mapping = {}
+        for c in df.columns:
+            if c in keys:
+                continue
+            n = seen.get(c, 0) + 1
+            seen[c] = n
+            if n > 1:
+                mapping[c] = f"{c}_{n}"
+        renamed.append(df.withColumnsRenamed(mapping) if mapping else df)
+    return reduce(lambda a, b: a.join(b, on=keys, how="full_outer"), renamed)
 
 
 def compute_ratio(

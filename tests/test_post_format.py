@@ -110,3 +110,18 @@ def test_merge_result_sets_full_outer(spark):
     got = {r["__timestamp"]: (r["a"], r["b"]) for r in m.collect()}
     assert got[datetime(2024, 1, 1)] == (1.0, None)
     assert got[datetime(2024, 1, 2)] == (None, 2.0)
+
+
+def test_merge_result_sets_alias_collision(spark):
+    from datetime import datetime
+
+    a = spark.createDataFrame(
+        [(datetime(2024, 1, 1), 1.0)], "`__timestamp` timestamp, cnt double"
+    )
+    b = spark.createDataFrame(
+        [(datetime(2024, 1, 1), 2.0)], "`__timestamp` timestamp, cnt double"
+    )
+    m = merge_result_sets([a, b], on=["__timestamp"])
+    assert m.columns == ["__timestamp", "cnt", "cnt_2"]
+    row = m.collect()[0]
+    assert row["cnt"] == 1.0 and row["cnt_2"] == 2.0
