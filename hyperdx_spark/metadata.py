@@ -100,16 +100,28 @@ def get_key_values(
     *,
     max_values_per_key: int = MAX_VALUES_PER_KEY,
     sample_rows: Optional[int] = None,
+    facet_condition: Optional[str] = None,
 ) -> DataFrame:
     """Per-key distinct value arrays in ONE aggregation (metadata.ts:2431
     ``groupUniqArray(N)(expr)`` batched over ≤100 keys). ``keys`` are SQL
     expressions; values are stringified, sorted, and capped so the result
     is deterministic across engines. Returns one row with one array column
-    per key (aliased key0, key1, ... in input order)."""
+    per key (aliased key0, key1, ... in input order).
+
+    ``facet_condition`` (the faceted ``groupUniqArrayIf`` variant): a SQL
+    predicate — values are collected only from matching rows, so filter
+    panels show values consistent with the active search."""
     src = _capped(df, sample_rows)
+
+    def value_of(k: str):
+        v = F.expr(k).cast("string")
+        if facet_condition is not None:
+            v = F.when(F.expr(facet_condition), v)
+        return v
+
     aggs = [
         F.slice(
-            F.array_sort(F.collect_set(F.expr(k).cast("string"))),
+            F.array_sort(F.collect_set(value_of(k))),
             1,
             max_values_per_key,
         ).alias(f"key{i}")

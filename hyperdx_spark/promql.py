@@ -438,7 +438,28 @@ class PromQLEngine:
             if lnum and rnum:
                 raise ValueError("scalar-only arithmetic is not supported")
             if not lnum and not rnum:
-                raise ValueError("vector-vector arithmetic is not supported yet")
+                # vector-vector: one-to-one matching on the shared label set
+                # (Prometheus default matching; no group_left/right). The
+                # error-ratio shape `rate(err[5m]) / rate(total[5m])`.
+                lv = self._eval(spark, node.left, start, end, step_s, lookback_s)
+                rv = self._eval(spark, node.right, start, end, step_s, lookback_s)
+                keys = sorted(
+                    (set(lv.columns) & set(rv.columns)) - {"value"}
+                )
+                rv2 = rv.withColumnRenamed("value", "__rv")
+                # drop unshared labels (they'd collide or be meaningless on
+                # the matched result)
+                lv2 = lv.select(*keys, "value")
+                rv2 = rv2.select(*keys, "__rv")
+                j = lv2.join(rv2, on=keys, how="inner")
+                a, b = F.col("value"), F.col("__rv")
+                expr = {
+                    "+": a + b,
+                    "-": a - b,
+                    "*": a * b,
+                    "/": F.when(b != 0, a / b),
+                }[node.op]
+                return j.select(*keys, expr.alias("value"))
             vec = self._eval(
                 spark, node.right if lnum else node.left, start, end, step_s, lookback_s
             )

@@ -144,3 +144,23 @@ def test_lucene_explain():
         explain_query("foo bar", implicit_name="event")
         == "event contains foo AND event contains bar"
     )
+
+
+def test_get_key_values_faceted(spark, sf_dir):
+    from hyperdx_spark.io import load_table
+    from hyperdx_spark.metadata import get_key_values
+
+    ev = load_table(spark, sf_dir, "events")
+    all_vals = get_key_values(ev, ["event_type"]).collect()[0]["key0"]
+    faceted = get_key_values(
+        ev, ["event_type"], facet_condition="value >= 45"
+    ).collect()[0]["key0"]
+    assert set(faceted) <= set(all_vals)
+    # facet must actually restrict to matching rows
+    from pyspark.sql import functions as F
+
+    expected = sorted(
+        r["event_type"]
+        for r in ev.where(F.col("value") >= 45).select("event_type").distinct().collect()
+    )
+    assert list(faceted) == expected

@@ -146,3 +146,33 @@ def test_topk_bottomk(spark, engine):
         datetime(2024, 1, 1, 0, 10), datetime(2024, 1, 1, 0, 10), 60,
     ).collect()
     assert len(out2) == 1 and out2[0]["job"] == "a"
+
+
+def test_vector_vector_ratio(spark, engine):
+    # mem_bytes{job=a} / http_requests_total{job=a}: matched on (step, job)
+    out = engine.query_range(
+        spark, "mem_bytes / http_requests_total",
+        datetime(2024, 1, 1, 0, 10), datetime(2024, 1, 1, 0, 10), 60,
+    ).collect()
+    # mem at :10 = 110, http{a} at :10 = 60 -> 110/60; job=b has no mem
+    # series so one-to-one matching drops it
+    assert len(out) == 1
+    assert out[0]["job"] == "a"
+    assert abs(out[0]["value"] - 110.0 / 60.0) < 1e-9
+
+
+def test_vector_vector_division_by_zero_null(spark):
+    rows = [
+        ("num", datetime(2024, 1, 1, 0, 0), 5.0, "x"),
+        ("den", datetime(2024, 1, 1, 0, 0), 0.0, "x"),
+    ]
+    from hyperdx_spark.promql import PromQLEngine
+
+    eng = PromQLEngine(
+        spark.createDataFrame(rows, "`__name__` string, ts timestamp, value double, job string")
+    )
+    out = eng.query_range(
+        spark, "num / den",
+        datetime(2024, 1, 1, 0, 0), datetime(2024, 1, 1, 0, 0), 60,
+    ).collect()
+    assert len(out) == 1 and out[0]["value"] is None
