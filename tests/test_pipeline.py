@@ -216,3 +216,32 @@ def test_multimodal_decode_raises_without_codecs(spark, documents):
     feats = multimodal.decode_media(media, fake=False)
     with pytest.raises(Exception, match="NotImplementedError|codecs"):
         feats.collect()
+
+
+def test_resize_and_frame_sample_plumbing(spark, sf_dir):
+    import pytest as _pytest
+
+    from hyperdx_spark.io import load_table
+    from hyperdx_spark.pipeline import multimodal
+
+    media = multimodal.media_from_documents(
+        load_table(spark, sf_dir, "documents").limit(20)
+    )
+    resized = multimodal.resize_images(media, width=4, height=4, fake=True)
+    rows = resized.collect()
+    assert len(rows) == 20
+    assert all(r["width"] == 4 and len(r["payload"]) <= 16 for r in rows)
+
+    frames = multimodal.sample_frames(media, every_ms=500, max_frames=4, fake=True)
+    out = frames.collect()
+    assert len(out) >= 20  # fan-out: >= 1 frame per video
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r)
+    for frs in by_id.values():
+        assert [f["frame_idx"] for f in sorted(frs, key=lambda x: x["frame_idx"])] == list(range(len(frs)))
+        assert all(f["ts_ms"] == f["frame_idx"] * 500 for f in frs)
+
+    # the non-fake path must raise loudly at execution time
+    with _pytest.raises(Exception, match="NotImplementedError|codecs"):
+        multimodal.resize_images(media, width=4, height=4, fake=False).collect()
