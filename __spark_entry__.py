@@ -922,6 +922,40 @@ GROUP BY 1
 """
 
 
+def q_weighted_quantile(spark, sf_dir):
+    """Sample-weighted quantile (quantileTDigestWeighted analogue): Spark's
+    exact percentile with an integer frequency; the oracle repeats each
+    value weight times via generate_series."""
+    src = Source(
+        table="events",
+        timestamp_value_expression="ts",
+        sample_rate_expression="1 + user_id % 4",
+    )
+    cfg = ChartConfig(
+        source=src,
+        select=[
+            SelectCol(agg_fn="quantile", value_expression="value", level=0.5, alias="p50"),
+            SelectCol(agg_fn="quantile", value_expression="value", level=0.9, alias="p90"),
+        ],
+        group_by=["event_type"],
+        date_range=RANGE,
+    )
+    return _round4(compile_chart_config(spark, cfg, sf_dir=sf_dir))
+
+
+O_WEIGHTED_QUANTILE = f"""
+WITH expanded AS (
+  SELECT event_type, {_NUMV} AS v
+  FROM events JOIN (VALUES (1),(2),(3),(4)) s(i)
+    ON s.i <= greatest(1 + user_id % 4, 1)
+  WHERE {TIME_WHERE})
+SELECT event_type,
+       round(quantile_cont(v, 0.5), 4) AS p50,
+       round(quantile_cont(v, 0.9), 4) AS p90
+FROM expanded GROUP BY 1
+"""
+
+
 def q_correlated_semi_join(spark, sf_dir):
     """Trace<->log-style correlation (SURVEY §2.3): events of users who had
     an error event in the range — a broadcast left-semi join on the
@@ -1430,6 +1464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_promql": q_promql,
         "q_cte_two_level": q_cte_two_level,
         "q_sample_weighted": q_sample_weighted,
+        "q_weighted_quantile": q_weighted_quantile,
         "q_correlated_semi_join": q_correlated_semi_join,
         "q_key_values": q_key_values,
         "q_values_distribution": q_values_distribution,
@@ -1479,6 +1514,7 @@ def oracle_sql() -> dict[str, str]:
         "q_promql": O_PROMQL,
         "q_cte_two_level": O_CTE_TWO_LEVEL,
         "q_sample_weighted": O_SAMPLE_WEIGHTED,
+        "q_weighted_quantile": O_WEIGHTED_QUANTILE,
         "q_correlated_semi_join": O_CORRELATED_SEMI,
         "q_key_values": O_KEY_VALUES,
         "q_values_distribution": O_VALUES_DISTRIBUTION,

@@ -154,6 +154,12 @@ def _agg_expr(ctx: _Ctx, sc: SelectCol) -> tuple[str, str]:
     if fn == "quantile":
         level = sc.level if sc.level is not None else 0.5
         x = gated(_num(val), extra_null_guard=val)
+        if w_sql:
+            # sample-weighted quantile (quantileTDigestWeighted analogue,
+            # renderChartConfig.ts:598-607): Spark's exact percentile takes
+            # an integer frequency — identical to repeating each value
+            # weight times, no UDAF needed
+            return f"percentile({x}, {level}, CAST({w_sql} AS BIGINT))", alias
         if ctx.settings.approx_quantiles:
             return (
                 f"approx_percentile({x}, {level}, {ctx.settings.quantile_accuracy})",
