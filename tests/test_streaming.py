@@ -125,3 +125,57 @@ def test_stream_alert_fires_per_bucket(spark, ingest_dir, tmp_path):
     assert fired
     assert all(r["value"] > 1 for r in fired)
     assert all("__timestamp" in r for r in fired)
+
+
+def test_watermark_single_emission_with_late_rows(spark, tmp_path):
+    """Late-data semantics (the property stream_alert depends on): in
+    append mode every window key is emitted AT MOST ONCE even when a row
+    older than the watermark arrives in a later micro-batch. (Spark's
+    watermark makes *dropping* late rows best-effort; single emission per
+    window is the hard guarantee — an alert never fires twice for one
+    bucket.)"""
+    import os
+    from pyspark.sql import Row
+
+    path = str(tmp_path / "late_ingest")
+    os.makedirs(path)
+    on_time = [
+        Row(ts=datetime(2024, 1, 1, 10, 15), v=1.0),
+        Row(ts=datetime(2024, 1, 1, 10, 45), v=1.0),
+        Row(ts=datetime(2024, 1, 1, 12, 0), v=1.0),  # advances watermark to 12:00
+    ]
+    spark.createDataFrame(on_time).coalesce(1).write.parquet(path + "/f1")
+    late = [Row(ts=datetime(2024, 1, 1, 10, 30), v=1.0)]  # < watermark
+    spark.createDataFrame(late).coalesce(1).write.parquet(path + "/f2")
+    # one directory of parquet parts: stream file-by-file in name order
+    import glob
+    import shutil
+
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i, f in enumerate(sorted(glob.glob(path + "/f*/part-*.parquet"))):
+        dst = os.path.join(flat, f"{i:03d}.parquet")
+        shutil.copy(f, dst)
+        # the file source orders micro-batches by modification time; make
+        # the ordering deterministic
+        os.utime(dst, (1700000000 + i * 60, 1700000000 + i * 60))
+
+    src = Source(table="ingest", timestamp_value_expression="ts")
+    stream = live_tail(spark, flat, src, max_files_per_trigger=1)
+    agg = windowed_agg(
+        stream, src, select=[SelectCol(agg_fn="count", alias="cnt")],
+        window="1 hour", watermark="0 seconds",
+    )
+    q = (
+        agg.writeStream.format("memory").queryName("late_tbl")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM late_tbl").collect()
+    emitted = [r["__timestamp"] for r in rows]
+    # every closed window emitted exactly once — never re-emitted after the
+    # late row; counts reflect whatever rows were admitted into state
+    assert len(emitted) == len(set(emitted))
+    assert datetime(2024, 1, 1, 10, 0) in set(emitted)
+    by_ts = {r["__timestamp"]: r["cnt"] for r in rows}
+    assert by_ts[datetime(2024, 1, 1, 10, 0)] in (2, 3)
