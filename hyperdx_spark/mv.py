@@ -79,6 +79,10 @@ class MVConfig:
     timestamp_column: str  # bucket column name in the rollup
     aggregated_columns: Sequence[AggregatedColumn] = field(default_factory=list)
     min_date: Optional[datetime] = None  # earliest bucket present
+    # the base table this rollup was built from (tryOptimizeConfig's
+    # `config.from == source.from` check, materializedViews.ts:620-626);
+    # None = accept any config (caller vouches)
+    source_table: Optional[str] = None
 
 
 @dataclass
@@ -267,6 +271,11 @@ def try_rewrite_with_mv(
     if not isinstance(cfg.select, (list, tuple)):
         errors.append("Only array-based select statements are supported.")
         return MVExplanation(False, errors, mv)
+    if mv.source_table is not None and cfg.source.table != mv.source_table:
+        return MVExplanation(
+            False, [f"This view is built from '{mv.source_table}', not"
+                    f" '{cfg.source.table}'."], mv
+        )
     err = _supports_date_range(mv, cfg)
     if err:
         return MVExplanation(False, [err], mv)
@@ -337,6 +346,24 @@ def _row_estimate(mv: MVConfig) -> Optional[int]:
         return None
 
 
+def _mv_view(spark: SparkSession, mv: MVConfig, cfg: ChartConfig, name: str) -> str:
+    """Register the rollup parquet (partition-pruned to the config's aligned
+    range) as a temp view and return its name."""
+    mv_df = spark.read.parquet(mv.path)
+    if "__bucket_date" in mv_df.columns:
+        if cfg.date_range is not None:
+            start, end = cfg.date_range
+            mv_df = mv_df.where(
+                F.col("__bucket_date").between(
+                    F.to_date(F.lit(start)), F.to_date(F.lit(end))
+                )
+            )
+        mv_df = mv_df.drop("__bucket_date")
+    view = f"__hdx_mv_{name}"
+    mv_df.createOrReplaceTempView(view)
+    return view
+
+
 def compile_with_mv(
     spark: SparkSession,
     cfg: ChartConfig,
@@ -347,8 +374,37 @@ def compile_with_mv(
 ) -> tuple[DataFrame, list[MVExplanation]]:
     """materializedViews.ts:565-770 optimizeConfig: try every candidate MV,
     pick the smallest covering rollup by row estimate, else fall back to the
-    raw table. Returns (DataFrame, per-MV explanations)."""
+    raw table. CTE sub-configs are optimized independently first
+    (tryOptimizeConfig's config.with pass, :565-640) — a rewritten CTE
+    reads a registered rollup view while the outer query is untouched.
+    Returns (DataFrame, per-MV explanations for the outer config)."""
+    from dataclasses import replace as _replace
+
     from hyperdx_spark.compile import compile_chart_config
+
+    if cfg.ctes:
+        new_ctes = []
+        changed = False
+        for name, sub in cfg.ctes:
+            sub_wins = [
+                e for e in (try_rewrite_with_mv(sub, mv) for mv in mvs) if e.success
+            ]
+            if sub_wins:
+                best = min(
+                    sub_wins,
+                    key=lambda e: e.row_estimate
+                    if e.row_estimate is not None
+                    else float("inf"),
+                )
+                new_sub = rewritten(sub, best.mv)
+                view = _mv_view(spark, best.mv, new_sub, name)
+                new_sub = _replace(new_sub, source=_replace(new_sub.source, table=view))
+                new_ctes.append((name, new_sub))
+                changed = True
+            else:
+                new_ctes.append((name, sub))
+        if changed:
+            cfg = _replace(cfg, ctes=new_ctes)
 
     explanations = [try_rewrite_with_mv(cfg, mv) for mv in mvs]
     winners = [e for e in explanations if e.success]

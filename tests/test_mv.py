@@ -210,3 +210,41 @@ def test_aligned_end_exclusive(spark, sf_dir, mv):
         sf_dir=sf_dir,
     )
     assert _rows(df_mv) == _rows(raw_aligned)
+
+
+def test_cte_rewritten_to_rollup(spark, sf_dir, mv):
+    """tryOptimizeConfig's config.with pass: a CTE whose shape the rollup
+    covers is retargeted while the outer query (which the rollup cannot
+    answer) runs unchanged over the CTE — results equal the raw pipeline."""
+    from dataclasses import replace
+
+    inner = _cfg(
+        select=[SelectCol(agg_fn="sum", value_expression="value", alias="sum_v")],
+        granularity="1 day",
+    )
+    outer = ChartConfig(
+        source=Source(table="daily", timestamp_value_expression="__timestamp"),
+        ctes=[("daily", inner)],
+        select=[SelectCol(agg_fn="max", value_expression="sum_v", alias="peak_day")],
+        group_by=["event_type"],
+        date_range=RANGE,
+    )
+    df_mv, expl = compile_with_mv(spark, outer, [mv], sf_dir=sf_dir)
+    # outer itself can't rewrite (max over sum_v isn't in the rollup)...
+    assert not expl[0].success
+    # ...but results must equal the fully-raw pipeline
+    df_raw = compile_chart_config(spark, outer, sf_dir=sf_dir)
+    assert _rows(df_mv) == _rows(df_raw)
+    # and the rewritten CTE actually reads the rollup view
+    plan = df_mv._jdf.queryExecution().optimizedPlan().toString()
+    assert "cnt_state" in plan or mv.path.split("/")[-1] in plan or "sum_value" in plan
+
+
+def test_source_table_identity_check(mv):
+    from dataclasses import replace as _r
+
+    guarded = _r(mv, source_table="events")
+    assert try_rewrite_with_mv(_cfg(), guarded).success
+    other = _cfg(source=Source(table="orders", timestamp_value_expression="ts"))
+    check = try_rewrite_with_mv(other, guarded)
+    assert not check.success and "built from" in check.errors[0]
