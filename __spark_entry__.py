@@ -922,6 +922,42 @@ GROUP BY 1
 """
 
 
+def q_gauge_delta(spark, sf_dir):
+    """Gauge isDelta variant (renderDeltaExpression): per (series, day)
+    extrapolated delta (argMax - argMin) * interval / time_diff. Samples
+    are pre-deduped per (ts, series) so argMax/argMin tie-breaking cannot
+    differ between engines."""
+    ev = load_table(spark, sf_dir, "events", time_filter=("ts", *RANGE))
+    samples = ev.groupBy("ts", "event_type").agg(F.max("value").alias("value"))
+    out = metrics.gauge_bucket(
+        samples,
+        ts="ts",
+        value="value",
+        series_cols=["event_type"],
+        bucket_seconds=86400,
+        group_cols=["event_type"],
+        agg="sum",
+        is_delta=True,
+    )
+    return _round4(out)
+
+
+O_GAUGE_DELTA = f"""
+WITH samples AS (
+  SELECT ts, event_type, max(value) AS value
+  FROM events WHERE {TIME_WHERE} GROUP BY 1, 2),
+per AS (
+  SELECT make_timestamp((floor(epoch(ts))::BIGINT // 86400) * 86400 * 1000000) AS __timestamp,
+         event_type,
+         arg_max(value, ts) - arg_min(value, ts) AS vd,
+         floor(epoch(max(ts)))::BIGINT - floor(epoch(min(ts)))::BIGINT AS td
+  FROM samples GROUP BY 1, 2)
+SELECT __timestamp, event_type,
+       round(CASE WHEN td > 0 THEN vd * 86400.0 / td ELSE 0 END, 4) AS value
+FROM per
+"""
+
+
 def q_weighted_quantile(spark, sf_dir):
     """Sample-weighted quantile (quantileTDigestWeighted analogue): Spark's
     exact percentile with an integer frequency; the oracle repeats each
@@ -1465,6 +1501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cte_two_level": q_cte_two_level,
         "q_sample_weighted": q_sample_weighted,
         "q_weighted_quantile": q_weighted_quantile,
+        "q_gauge_delta": q_gauge_delta,
         "q_correlated_semi_join": q_correlated_semi_join,
         "q_key_values": q_key_values,
         "q_values_distribution": q_values_distribution,
@@ -1515,6 +1552,7 @@ def oracle_sql() -> dict[str, str]:
         "q_cte_two_level": O_CTE_TWO_LEVEL,
         "q_sample_weighted": O_SAMPLE_WEIGHTED,
         "q_weighted_quantile": O_WEIGHTED_QUANTILE,
+        "q_gauge_delta": O_GAUGE_DELTA,
         "q_correlated_semi_join": O_CORRELATED_SEMI,
         "q_key_values": O_KEY_VALUES,
         "q_values_distribution": O_VALUES_DISTRIBUTION,
