@@ -221,11 +221,32 @@ def run_chunked(
     settings=None,
 ) -> DataFrame:
     """Union of all chunk results (oldest-first order column prepends the
-    bucket sort) — must equal the unchunked compile."""
+    bucket sort) — must equal the unchunked compile. Zero-fill is applied
+    over the FULL range after the merge (each chunk disables it, otherwise
+    every chunk would generate its own partial spine)."""
     from functools import reduce
+
+    from hyperdx_spark.compile import _fill_buckets
 
     dfs = [df for _, df in chunked_chart(spark, cfg, sf_dir, durations, settings)]
     out = reduce(lambda a, b: a.unionByName(b), dfs)
+    if (
+        cfg.fill_nulls is not None
+        and cfg.granularity
+        and cfg.date_range is not None
+        and isinstance(cfg.select, (list, tuple))
+    ):
+        gran = cfg.granularity
+        if gran == "auto":
+            gran = auto_granularity(cfg.date_range)
+        value_aliases = [
+            sc.alias or f"{sc.agg_fn}({sc.value_expression})" for sc in cfg.select
+        ]
+        group_names = [c for c in out.columns if c not in value_aliases and c != cfg.timestamp_alias]
+        out = _fill_buckets(
+            spark, out, cfg.timestamp_alias, group_names, value_aliases,
+            cfg.date_range, granularity_seconds(gran), cfg.fill_nulls,
+        )
     if cfg.granularity:
         out = out.orderBy(F.col(cfg.timestamp_alias).asc())
     return out

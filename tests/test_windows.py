@@ -145,3 +145,28 @@ def test_offset_pagination_complete_and_ordered(spark, sf_dir):
     assert sorted(got) == sorted(r["event_id"] for r in expected.collect())
     # page sizes: every non-terminal page within a window is full
     assert all(len(p) <= 50 for p in pages)
+
+
+def test_chunked_preserves_fill_nulls(spark, sf_dir):
+    """fill_nulls must survive chunking: chunks disable their own partial
+    spines and run_chunked re-fills over the full range — equal to the
+    unchunked compile with the same config."""
+    cfg = ChartConfig(
+        source=_src(),
+        select=[SelectCol(agg_fn="count", alias="cnt")],
+        where="signup",
+        granularity="1 hour",
+        group_by=["event_type"],
+        fill_nulls=0.0,
+        date_range=(datetime(2024, 1, 1), datetime(2024, 1, 3)),
+    )
+    chunked = run_chunked(spark, cfg, sf_dir=sf_dir)
+    whole = compile_chart_config(spark, cfg, sf_dir=sf_dir)
+
+    def key(rows):
+        return sorted((r["__timestamp"], r["event_type"], r["cnt"]) for r in rows)
+
+    ck, wk = key(chunked.collect()), key(whole.collect())
+    assert ck == wk
+    # the spine actually filled empty buckets with zeros
+    assert any(v == 0.0 for _, _, v in ck)
