@@ -272,3 +272,43 @@ def backtest(
         F.col(ts_col), *group_cols, F.col(value_col), F.col("exceeds"),
         streak.alias("streak"), state.alias("state"),
     )
+
+
+def notification_messages(
+    notifications: Sequence[Notification],
+    *,
+    search_name: str,
+    link_base: str = "",
+    granularity_seconds: int = 0,
+) -> list:
+    """Bridge evaluation output to webhook payload Messages
+    (renderAlertTemplate, tasks/checkAlerts/template.ts:552+): one Message
+    per fired notification with the state-appropriate title and the time
+    window of the offending bucket."""
+    from datetime import timedelta as _td
+
+    from hyperdx_spark.webhooks import Message, build_title
+
+    out = []
+    for n in notifications:
+        end = n.bucket_start + _td(seconds=granularity_seconds)
+        out.append(
+            Message(
+                title=build_title(search_name, n.value, state=n.state.value),
+                body=(
+                    f"{n.value} events matched for group '{n.group}'"
+                    if n.group
+                    else f"{n.value} events matched"
+                ),
+                hdx_link=(
+                    f"{link_base}?from={int(n.bucket_start.timestamp() * 1000)}"
+                    f"&to={int(end.timestamp() * 1000)}"
+                    if link_base
+                    else ""
+                ),
+                state=n.state.value,
+                start_time=n.bucket_start.isoformat(),
+                end_time=end.isoformat(),
+            )
+        )
+    return out

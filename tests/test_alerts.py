@@ -138,3 +138,35 @@ def test_backtest_grouped(spark):
     assert out[("a", 0)] == "ALERT"
     assert out[("b", 0)] == "OK"
     assert out[("b", 1)] == "ALERT"
+
+
+def test_notifications_to_webhook_messages():
+    """End-to-end alert -> webhook bridge: fired notifications become Slack
+    and generic payloads with state-appropriate titles and bucket links."""
+    import json
+    from datetime import datetime
+
+    from hyperdx_spark.alerts import AlertState, Notification, notification_messages
+    from hyperdx_spark.webhooks import generic_payload, slack_payload
+
+    notes = [
+        Notification(
+            state=AlertState.ALERT, group="api", value=42.0,
+            bucket_start=datetime(2024, 1, 1, 10, 0),
+        ),
+        Notification(
+            state=AlertState.OK, group="api", value=0.0,
+            bucket_start=datetime(2024, 1, 1, 11, 0),
+        ),
+    ]
+    msgs = notification_messages(
+        notes, search_name="prod errors",
+        link_base="https://app/search/abc", granularity_seconds=3600,
+    )
+    assert msgs[0].title.startswith("\U0001f6a8 ")
+    assert msgs[1].title.startswith("✅ ")
+    assert "from=1704103200000" in msgs[0].hdx_link
+    p = slack_payload(msgs[0])
+    assert "42.0" in p["text"]
+    doc = json.loads(generic_payload(msgs[0]))
+    assert "ALERT" in doc["text"] and "api" in doc["text"]
