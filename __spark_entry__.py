@@ -452,7 +452,7 @@ SELECT make_timestamp((floor(epoch(ts))::BIGINT // 86400) * 86400 * 1000000) AS 
        event_type,
        sum(CASE WHEN prev IS NULL THEN 0
                 WHEN cnt < prev THEN cnt
-                ELSE cnt - prev END) AS total
+                ELSE cnt - prev END)::BIGINT AS total
 FROM d GROUP BY 1, 2
 """
 
@@ -913,7 +913,7 @@ def q_sample_weighted(spark, sf_dir):
 
 O_SAMPLE_WEIGHTED = f"""
 SELECT event_type,
-       sum(greatest(coalesce(try_cast(1 + user_id % 4 AS BIGINT), 0), 1)) AS est_count,
+       sum(greatest(coalesce(try_cast(1 + user_id % 4 AS BIGINT), 0), 1))::BIGINT AS est_count,
        round(sum({_NUMV} * greatest(1 + user_id % 4, 1)), 4) AS est_sum,
        round(sum({_NUMV} * greatest(1 + user_id % 4, 1))
              / sum(greatest(1 + user_id % 4, 1)), 4) AS est_avg
@@ -1149,26 +1149,41 @@ FROM scored
 def q_tpch_q1(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     dec = "decimal(38,6)"
+    # Exact decimal sums, emitted as DOUBLE: decimal->double conversion is
+    # correctly rounded in both Spark (BigDecimal.doubleValue) and DuckDB, so
+    # both engines produce bit-identical doubles from the same exact sum.
+    # Averages are derived from the exact sums (one IEEE division), never from
+    # float-ordered avg() whose partial-sum order is nondeterministic.
     out = (
         li.where(F.col("l_shipdate") <= F.lit(datetime(2000, 9, 2)))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast(dec)).alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast(dec)).alias("sum_base_price"),
+            F.sum(F.col("l_quantity").cast(dec)).alias("_sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(dec)).alias("_sum_base_price"),
             F.sum(
                 (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(dec)
-            ).alias("sum_disc_price"),
+            ).alias("_sum_disc_price"),
             F.sum(
                 (
                     F.col("l_extendedprice")
                     * (1 - F.col("l_discount"))
                     * (1 + F.col("l_tax"))
                 ).cast(dec)
-            ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            ).alias("_sum_charge"),
+            F.sum(F.col("l_discount").cast(dec)).alias("_sum_disc"),
             F.count("*").alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("_sum_qty").cast("double").alias("sum_qty"),
+            F.col("_sum_base_price").cast("double").alias("sum_base_price"),
+            F.col("_sum_disc_price").cast("double").alias("sum_disc_price"),
+            F.col("_sum_charge").cast("double").alias("sum_charge"),
+            (F.col("_sum_qty").cast("double") / F.col("count_order")).alias("avg_qty"),
+            (F.col("_sum_base_price").cast("double") / F.col("count_order")).alias("avg_price"),
+            (F.col("_sum_disc").cast("double") / F.col("count_order")).alias("avg_disc"),
+            "count_order",
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -1177,14 +1192,14 @@ def q_tpch_q1(spark, sf_dir):
 
 O_TPCH_Q1 = """
 SELECT l_returnflag, l_linestatus,
-       sum(l_quantity::DECIMAL(38,6)) AS sum_qty,
-       sum(l_extendedprice::DECIMAL(38,6)) AS sum_base_price,
-       sum((l_extendedprice * (1 - l_discount))::DECIMAL(38,6)) AS sum_disc_price,
-       sum((l_extendedprice * (1 - l_discount) * (1 + l_tax))::DECIMAL(38,6)) AS sum_charge,
-       round(avg(l_quantity), 4) AS avg_qty,
-       round(avg(l_extendedprice), 4) AS avg_price,
-       round(avg(l_discount), 4) AS avg_disc,
-       count(*) AS count_order
+       sum(l_quantity::DECIMAL(38,6))::DOUBLE AS sum_qty,
+       sum(l_extendedprice::DECIMAL(38,6))::DOUBLE AS sum_base_price,
+       sum((l_extendedprice * (1 - l_discount))::DECIMAL(38,6))::DOUBLE AS sum_disc_price,
+       sum((l_extendedprice * (1 - l_discount) * (1 + l_tax))::DECIMAL(38,6))::DOUBLE AS sum_charge,
+       sum(l_quantity::DECIMAL(38,6))::DOUBLE / count(*) AS avg_qty,
+       sum(l_extendedprice::DECIMAL(38,6))::DOUBLE / count(*) AS avg_price,
+       sum(l_discount::DECIMAL(38,6))::DOUBLE / count(*) AS avg_disc,
+       count(*)::BIGINT AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-09-02'
 GROUP BY 1, 2 ORDER BY 1, 2
@@ -1208,17 +1223,21 @@ def q_tpch_q3(spark, sf_dir):
         .agg(
             F.sum(
                 (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(dec)
-            ).alias("revenue")
+            ).alias("_revenue")
         )
-        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .orderBy(F.desc("_revenue"), F.asc("l_orderkey"))
         .limit(10)
+        .select(
+            "l_orderkey", "o_orderdate", "o_orderpriority",
+            F.col("_revenue").cast("double").alias("revenue"),
+        )
     )
     return out
 
 
 O_TPCH_Q3 = """
 SELECT l_orderkey, o_orderdate, o_orderpriority,
-       sum((l_extendedprice * (1 - l_discount))::DECIMAL(38,6)) AS revenue
+       sum((l_extendedprice * (1 - l_discount))::DECIMAL(38,6))::DOUBLE AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -1252,8 +1271,13 @@ def q_tpch_q5ish(spark, sf_dir):
         .agg(
             F.sum(
                 (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(dec)
-            ).alias("revenue"),
+            ).alias("_revenue"),
             F.count("*").alias("n_items"),
+        )
+        .select(
+            "r_name", "n_name",
+            F.col("_revenue").cast("double").alias("revenue"),
+            "n_items",
         )
     )
     return out
@@ -1261,8 +1285,8 @@ def q_tpch_q5ish(spark, sf_dir):
 
 O_TPCH_Q5 = """
 SELECT r_name, n_name,
-       sum((l_extendedprice * (1 - l_discount))::DECIMAL(38,6)) AS revenue,
-       count(*) AS n_items
+       sum((l_extendedprice * (1 - l_discount))::DECIMAL(38,6))::DOUBLE AS revenue,
+       count(*)::BIGINT AS n_items
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -1282,18 +1306,23 @@ def q_top_customers(spark, sf_dir):
         orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(
-            F.sum(F.col("o_totalprice").cast(dec)).alias("total_spend"),
+            F.sum(F.col("o_totalprice").cast(dec)).alias("_total_spend"),
             F.count("*").alias("n_orders"),
         )
-        .orderBy(F.desc("total_spend"), F.asc("c_custkey"))
+        .orderBy(F.desc("_total_spend"), F.asc("c_custkey"))
         .limit(10)
+        .select(
+            "c_custkey", "c_name",
+            F.col("_total_spend").cast("double").alias("total_spend"),
+            "n_orders",
+        )
     )
 
 
 O_TOP_CUSTOMERS = """
 SELECT c_custkey, c_name,
-       sum(o_totalprice::DECIMAL(38,6)) AS total_spend,
-       count(*) AS n_orders
+       sum(o_totalprice::DECIMAL(38,6))::DOUBLE AS total_spend,
+       count(*)::BIGINT AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY 1, 2 ORDER BY total_spend DESC, c_custkey LIMIT 10
 """
@@ -1337,7 +1366,7 @@ _QUALITY = (
 O_TEXT_STATS = f"""
 SELECT source,
        count(*) AS n_docs,
-       sum(len({_TOKS})) AS total_tokens,
+       sum(len({_TOKS}))::BIGINT AS total_tokens,
        round(avg({_QUALITY}), 4) AS avg_quality,
        round(avg({_SW_RATIO}), 4) AS avg_sw_ratio,
        count(*) FILTER ({_SW_RATIO} >= 0.08) AS n_en
@@ -1470,7 +1499,14 @@ def q_embedding_dedup(spark, sf_dir):
 def q_multimodal_features(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.media_from_documents(docs)
-    return multimodal.decode_media(media, fake=True)
+    out = multimodal.decode_media(media, fake=True)
+    # Serialize array/binary columns: the driver canonicalizes the result via
+    # pandas sort_values, which dies on unhashable ndarray cells.
+    for f in out.schema.fields:
+        dt = f.dataType.simpleString()
+        if dt.startswith("array") or dt == "binary":
+            out = out.withColumn(f.name, F.to_json(F.col(f.name)) if dt.startswith("array") else F.hex(F.col(f.name)))
+    return out
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
