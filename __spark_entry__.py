@@ -1449,9 +1449,43 @@ def q_minhash_lsh(spark, sf_dir):
 
 
 def q_simhash_pairs(spark, sf_dir):
+    # md5 token-hash variant: bit-for-bit reproducible in DuckDB, so the
+    # pigeonhole-exact blocking (max_hamming < blocks) is fully oracle-checked
     df = _docs_with_near_dups(spark, sf_dir)
-    return dedup.simhash_near_duplicates(df, max_hamming=3, blocks=4)
+    return dedup.simhash_near_duplicates(
+        df, max_hamming=3, blocks=4, token_hash="md5"
+    )
 
+
+# LSH oracle note: at sf0.01 the banded-LSH candidate sets provably contain
+# every >=threshold pair (verified against brute force), so the exact ground
+# truth IS the expected output — the verification step re-scores candidates
+# exactly, making the result deterministic. MinHash+verify therefore shares
+# the n-gram-Jaccard ground truth (same shingles, same threshold).
+O_MINHASH_LSH = O_NGRAM_JACCARD
+
+O_SIMHASH_PAIRS = f"""
+WITH {O_DOCS_NEAR},
+toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-zA-Z0-9]+'), t -> t != '')) AS t
+  FROM docs_near),
+hx AS (SELECT doc_id, md5(t) AS hx FROM toks),
+bv AS (
+  SELECT doc_id, i.b AS b, count(*) AS n,
+         sum(((strpos('0123456789abcdef', substr(hx, ((63 - i.b) // 4) + 1, 1)) - 1)
+              >> (i.b % 4)) & 1) AS votes
+  FROM hx, (SELECT unnest(range(64)) AS b) i
+  GROUP BY 1, 2),
+fp AS (
+  SELECT doc_id, list(CASE WHEN votes * 2 > n THEN 1 ELSE 0 END ORDER BY b) AS bits
+  FROM bv GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_filter(range(1, 65), i -> a.bits[i] != b.bits[i]))::INT AS hamming
+  FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+"""
 
 # --------------------------------------------------------------------------
 # Training-data pipeline: similarity search
@@ -1490,6 +1524,17 @@ def q_ann_lsh(spark, sf_dir):
 def q_embedding_dedup(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return _round4(similarity.cosine_pairs(emb, threshold=0.5))
+
+
+O_EMBEDDING_DEDUP = """
+WITH scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_sum(list_transform(range(1, len(a.embedding) + 1), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+           / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+              * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))) AS cos
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, round(cos, 4) AS cos FROM scored WHERE cos >= 0.5
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1603,6 +1648,9 @@ def oracle_sql() -> dict[str, str]:
         "q_dedup_exact": O_DEDUP_EXACT,
         "q_ngram_jaccard": O_NGRAM_JACCARD,
         "q_ann_cosine": O_ANN_COSINE,
-        # q_minhash_lsh, q_simhash_pairs, q_ann_lsh, q_embedding_dedup,
-        # q_multimodal_features: hash-based/stubbed ops -> rows-only check
+        "q_minhash_lsh": O_MINHASH_LSH,
+        "q_simhash_pairs": O_SIMHASH_PAIRS,
+        "q_ann_lsh": O_ANN_COSINE,  # LSH recall is 100% at this sf (verified)
+        "q_embedding_dedup": O_EMBEDDING_DEDUP,
+        # q_multimodal_features: stubbed decode -> rows-only check
     }

@@ -364,6 +364,7 @@ def simhash_near_duplicates(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     blocks: int = 4,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup pairs: by pigeonhole, two fingerprints within
     max_hamming bits (max_hamming < blocks) agree on at least one of
@@ -372,13 +373,27 @@ def simhash_near_duplicates(
 
     Fingerprints are computed distributed via explode + 64 bit-vote
     aggregates (same bits as the ``simhash`` column function, but codegen'd
-    with map-side combine instead of interpreted nested lambdas)."""
+    with map-side combine instead of interpreted nested lambdas).
+
+    ``token_hash``: ``"xxhash64"`` (default, fastest) or ``"md5"`` — the
+    first 64 bits of md5, packed MSB-first from the hex digits. The md5
+    family is reproducible in any SQL engine (an external oracle can rebuild
+    bit b as ``(hexdigit[(63-b)//4] >> (b%4)) & 1``), at ~2× the hash cost;
+    use it when cross-engine verification matters more than throughput."""
     spark = df.sparkSession
     base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
     base = base.repartition(spark.sparkContext.defaultParallelism, "id")
-    tok = base.select(
-        "id", F.explode_outer(tokens("__text")).alias("t")
-    ).select("id", F.xxhash64("t").alias("th"))
+    toks = base.select("id", F.explode_outer(tokens("__text")).alias("t"))
+    if token_hash == "md5":
+        hx = F.md5("t")
+        hi = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+        lo = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")
+        th = F.shiftleft(hi, 32).bitwiseOR(lo)
+    elif token_hash == "xxhash64":
+        th = F.xxhash64("t")
+    else:
+        raise ValueError(f"unknown token_hash {token_hash!r}")
+    tok = toks.select("id", th.alias("th"))
     votes = tok.groupBy("id").agg(
         F.count("th").alias("__n"),
         *[
