@@ -21,12 +21,22 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType
 
 from hyperdx_spark.compile import compile_chart_config
-from hyperdx_spark.io import load_table
-from hyperdx_spark.model import ChartConfig, QuerySettings, SelectCol, Source
+from hyperdx_spark.io import export_csv, load_table
+from hyperdx_spark.lucene.explain import explain_query
+from hyperdx_spark.metadata import get_all_fields
+from hyperdx_spark.model import (
+    ChartConfig,
+    QuerySettings,
+    SelectCol,
+    Source,
+    SqlAstFilter,
+    SqlFilter,
+)
 from hyperdx_spark.session import tune_session
 from hyperdx_spark import metrics
 from hyperdx_spark.pipeline import dedup, multimodal, similarity, text
-from hyperdx_spark.post import compute_ratio
+from hyperdx_spark.post import compute_ratio, format_time_chart, previous_period
+from hyperdx_spark.windows import offset_paginated_search
 
 RANGE = (datetime(2024, 1, 1), datetime(2024, 2, 1))
 EXACT = QuerySettings(approx_quantiles=False)
@@ -1554,6 +1564,362 @@ def q_multimodal_features(spark, sf_dir):
     return out
 
 
+# --------------------------------------------------------------------------
+# §2.6 Lucene dispatch composite: ranges, JSON-field comparison, wildcard,
+# quoted exact equality, negation — one query through every term kind
+# --------------------------------------------------------------------------
+
+def q_lucene_dispatch(spark, sf_dir):
+    cfg = ChartConfig(
+        source=_src(),
+        select="event_id, ts, event_type, value",
+        where=(
+            'value:[10 TO 90] AND props.k:>=20 AND '
+            '(event_type:err* OR event_type:"purchase") AND NOT event_type:click'
+        ),
+        where_language="lucene",
+        order_by="ts ASC, event_id ASC",
+        limit=300,
+        date_range=RANGE,
+    )
+    return compile_chart_config(spark, cfg, sf_dir=sf_dir)
+
+
+O_LUCENE_DISPATCH = f"""
+SELECT event_id, ts, event_type, value FROM events
+WHERE {TIME_WHERE}
+  AND value >= 10 AND value <= 90
+  AND try_cast(coalesce(json_extract_string(props, '$.k'), '') AS DOUBLE) >= 20
+  AND (lower(event_type) LIKE 'err%' OR event_type = 'purchase')
+  AND NOT (lower(event_type) LIKE '%click%')
+ORDER BY ts, event_id LIMIT 300
+"""
+
+# --------------------------------------------------------------------------
+# §2.2 filters array: structured sql_ast comparisons + raw SQL filter
+# --------------------------------------------------------------------------
+
+def q_sqlast_filters(spark, sf_dir):
+    cfg = ChartConfig(
+        source=_src(),
+        select=[SelectCol(agg_fn="count", alias="cnt")],
+        filters=[
+            SqlAstFilter(operator=">=", left="value", right=25),
+            SqlAstFilter(operator="!=", left="event_type", right="click"),
+            SqlFilter(condition="user_id % 2 = 0", type="sql"),
+        ],
+        granularity="1 day",
+        date_range=RANGE,
+    )
+    return compile_chart_config(spark, cfg, sf_dir=sf_dir)
+
+
+O_SQLAST_FILTERS = f"""
+SELECT make_timestamp((floor(epoch(ts))::BIGINT // 86400) * 86400 * 1000000) AS __timestamp,
+       count(*) AS cnt
+FROM events
+WHERE {TIME_WHERE} AND value >= 25 AND event_type != 'click' AND user_id % 2 = 0
+GROUP BY 1
+"""
+
+# --------------------------------------------------------------------------
+# §2.9 exp-histogram count (StartTimeUnix reset detection)
+# --------------------------------------------------------------------------
+
+def q_exp_hist_count(spark, sf_dir):
+    """Exp-histogram Count series: distinct (series, ts) points carry a
+    cumulative counter (rn % 37) and a per-day StartTime — start changes
+    restart the series, decreases are resets (histogram.ts:279-330)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.groupBy("event_type", "ts").agg(F.count("*").alias("__n"))
+    rn = F.row_number().over(Window.partitionBy("event_type").orderBy("ts"))
+    series = pts.select(
+        "event_type",
+        "ts",
+        F.date_trunc("day", F.col("ts")).alias("st"),
+        (rn % 37).cast("long").alias("cnt"),
+    )
+    return metrics.exp_histogram_count(
+        series, ts="ts", start_ts="st", count="cnt",
+        series_cols=["event_type"], bucket_seconds=86400,
+        group_cols=["event_type"], value_alias="total",
+    )
+
+
+O_EXP_HIST_COUNT = """
+WITH s AS (SELECT event_type, ts FROM events GROUP BY 1, 2),
+r AS (
+  SELECT event_type, ts, date_trunc('day', ts) AS st,
+         (row_number() OVER (PARTITION BY event_type ORDER BY ts) % 37)::BIGINT AS cnt
+  FROM s),
+d AS (
+  SELECT event_type, ts, st, cnt,
+         lag(cnt) OVER (PARTITION BY event_type ORDER BY ts) AS prev,
+         lag(st) OVER (PARTITION BY event_type ORDER BY ts) AS pst
+  FROM r)
+SELECT make_timestamp((floor(epoch(ts))::BIGINT // 86400) * 86400 * 1000000) AS __timestamp,
+       event_type,
+       sum(CASE WHEN prev IS NULL OR st = ts THEN 0
+                WHEN st != pst OR cnt < prev THEN cnt
+                ELSE cnt - prev END)::BIGINT AS total
+FROM d GROUP BY 1, 2
+"""
+
+# --------------------------------------------------------------------------
+# §2.10 offset-paginated search: page concat must equal the global order
+# --------------------------------------------------------------------------
+
+def q_offset_pages(spark, sf_dir):
+    """Concatenated pages from the progressive-window paginator; the global
+    row sequence must equal one totally-ordered scan (windows.py:255+)."""
+    cfg = ChartConfig(
+        source=_src(),
+        select="event_id, ts, value",
+        where='event_type:"error" AND value:>=80',
+        where_language="lucene",
+        order_by="ts DESC, event_id DESC",
+        date_range=RANGE,
+    )
+    rows_all = []
+    rn = 0
+    for page in offset_paginated_search(spark, cfg, sf_dir=sf_dir, page_size=100):
+        for r in page:
+            rn += 1
+            rows_all.append((rn, r["event_id"], r["ts"], r["value"]))
+    return spark.createDataFrame(
+        rows_all, "rn bigint, event_id bigint, ts timestamp, value double"
+    )
+
+
+O_OFFSET_PAGES = f"""
+SELECT row_number() OVER (ORDER BY ts DESC, event_id DESC) AS rn,
+       event_id, ts, value
+FROM events
+WHERE {TIME_WHERE} AND event_type = 'error' AND value >= 80
+"""
+
+# --------------------------------------------------------------------------
+# §2.11 previous-period overlay
+# --------------------------------------------------------------------------
+
+def q_prev_period(spark, sf_dir):
+    """Current-vs-previous overlay: the prior 15-day window is shifted
+    forward onto the current axis (ChartUtils previous-period offset)."""
+    base = dict(
+        source=_src(),
+        select=[SelectCol(agg_fn="count", alias="cnt")],
+        granularity="1 day",
+    )
+    cur = compile_chart_config(
+        spark,
+        ChartConfig(**base, date_range=(datetime(2024, 1, 16), datetime(2024, 2, 1))),
+        sf_dir=sf_dir,
+    )
+    prev = compile_chart_config(
+        spark,
+        ChartConfig(**base, date_range=(datetime(2024, 1, 1), datetime(2024, 1, 16))),
+        sf_dir=sf_dir,
+    )
+    prev = previous_period(prev, offset_seconds=15 * 86400)
+    return cur.withColumn("period", F.lit("current")).unionByName(
+        prev.withColumn("period", F.lit("previous"))
+    )
+
+
+O_PREV_PERIOD = """
+SELECT make_timestamp((floor(epoch(ts))::BIGINT // 86400) * 86400 * 1000000) AS __timestamp,
+       count(*) AS cnt, 'current' AS period
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-16' AND ts <= TIMESTAMP '2024-02-01'
+GROUP BY 1
+UNION ALL
+SELECT make_timestamp(((floor(epoch(ts))::BIGINT // 86400) * 86400 + 1296000) * 1000000) AS __timestamp,
+       count(*) AS cnt, 'previous' AS period
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-01' AND ts <= TIMESTAMP '2024-01-16'
+GROUP BY 1
+"""
+
+# --------------------------------------------------------------------------
+# §2.1 export: CSV round-trip (write single-file, read back typed)
+# --------------------------------------------------------------------------
+
+def q_csv_export(spark, sf_dir):
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events", time_filter=("ts", *RANGE))
+    day_s = ((F.unix_timestamp("ts") / 86400).cast("long") * 86400).alias("day_s")
+    agg = ev.groupBy(day_s, "event_type").agg(F.count("*").alias("cnt"))
+    path = os.path.join(tempfile.gettempdir(), "hyperdx_csv_export.csv")
+    export_csv(agg, path, single_file=True)
+    return spark.read.schema("day_s BIGINT, event_type STRING, cnt BIGINT").option(
+        "header", "true"
+    ).csv(path)
+
+
+O_CSV_EXPORT = f"""
+SELECT (floor(epoch(ts))::BIGINT // 86400) * 86400 AS day_s,
+       event_type, count(*) AS cnt
+FROM events WHERE {TIME_WHERE}
+GROUP BY 1, 2
+"""
+
+# --------------------------------------------------------------------------
+# §2.11 client render cap: top-N logical series by peak value
+# --------------------------------------------------------------------------
+
+def q_render_cap(spark, sf_dir):
+    """format_time_chart's render cap: keep the top-3 series by peak daily
+    count (ChartUtils formatResponseForTimeChart), flattened to rows."""
+    ev = load_table(spark, sf_dir, "events", time_filter=("ts", *RANGE))
+    bucket = F.timestamp_seconds(
+        (F.unix_timestamp("ts") / 86400).cast("long") * 86400
+    ).alias("__timestamp")
+    daily = ev.groupBy(bucket, "event_type").agg(
+        F.count("*").cast("double").alias("cnt")
+    )
+    rows, _meta, _hidden = format_time_chart(
+        daily, value_cols=["cnt"], group_cols=["event_type"],
+        fill=None, max_series=3,
+    )
+    flat = [
+        (r["__timestamp"], k, v)
+        for r in rows
+        for k, v in r.items()
+        if k != "__timestamp"
+    ]
+    return spark.createDataFrame(flat, "ts_s bigint, series string, value double")
+
+
+O_RENDER_CAP = f"""
+WITH d AS (
+  SELECT (floor(epoch(ts))::BIGINT // 86400) * 86400 AS ts_s,
+         event_type, count(*)::DOUBLE AS cnt
+  FROM events WHERE {TIME_WHERE} GROUP BY 1, 2),
+top AS (
+  SELECT event_type FROM d GROUP BY 1
+  ORDER BY max(cnt) DESC, event_type LIMIT 3)
+SELECT ts_s, event_type AS series, cnt AS value
+FROM d SEMI JOIN top USING (event_type)
+"""
+
+# --------------------------------------------------------------------------
+# §2.4 any (deterministic over constant-per-group input) + none projection
+# --------------------------------------------------------------------------
+
+def q_any_agg(spark, sf_dir):
+    cfg = ChartConfig(
+        source=_src(),
+        select=[
+            SelectCol(agg_fn="any", value_expression="upper(event_type)", alias="any_u"),
+            SelectCol(agg_fn="count", alias="cnt"),
+        ],
+        group_by=["event_type"],
+        date_range=RANGE,
+    )
+    return compile_chart_config(spark, cfg, sf_dir=sf_dir)
+
+
+O_ANY_AGG = f"""
+SELECT event_type, upper(event_type) AS any_u, count(*) AS cnt
+FROM events WHERE {TIME_WHERE} GROUP BY 1
+"""
+
+
+def q_none_projection(spark, sf_dir):
+    cfg = ChartConfig(
+        source=_src(),
+        select=[
+            SelectCol(value_expression="event_id", alias="id"),
+            SelectCol(value_expression="value * 2", agg_fn="none", alias="v2"),
+        ],
+        order_by="id ASC",
+        limit=100,
+        date_range=RANGE,
+    )
+    return compile_chart_config(spark, cfg, sf_dir=sf_dir)
+
+
+O_NONE_PROJECTION = f"""
+SELECT event_id AS id, value * 2 AS v2 FROM events
+WHERE {TIME_WHERE} ORDER BY event_id LIMIT 100
+"""
+
+# --------------------------------------------------------------------------
+# §2.12 ClickHouse-function compat shim in a raw select passthrough
+# --------------------------------------------------------------------------
+
+def q_chcompat(spark, sf_dir):
+    cfg = ChartConfig(
+        source=_src(),
+        select=(
+            "event_id, toStartOfDay(ts) AS day, toString(event_id) AS id_str, "
+            "toFloat64OrDefault(JSONExtractString(props, 'k'), -1.0) AS k_num, "
+            "multiIf(value >= 50, 'hi', value >= 20, 'mid', 'lo') AS band, "
+            "intDiv(user_id, 10) AS cohort"
+        ),
+        order_by="event_id ASC",
+        limit=100,
+        date_range=RANGE,
+    )
+    return compile_chart_config(spark, cfg, sf_dir=sf_dir)
+
+
+O_CHCOMPAT = f"""
+SELECT event_id, date_trunc('day', ts) AS day, event_id::VARCHAR AS id_str,
+       coalesce(try_cast(json_extract_string(props, '$.k') AS DOUBLE), -1.0) AS k_num,
+       CASE WHEN value >= 50 THEN 'hi' WHEN value >= 20 THEN 'mid' ELSE 'lo' END AS band,
+       user_id // 10 AS cohort
+FROM events WHERE {TIME_WHERE}
+ORDER BY event_id LIMIT 100
+"""
+
+# --------------------------------------------------------------------------
+# §2.6 English query explanation + metadata field listing (static contracts)
+# --------------------------------------------------------------------------
+
+_EXPLAIN_CASES = [
+    "error web",
+    "event_type:err* AND NOT value:<10",
+    "props.k:* AND -event_type:click",
+    '"timed out" OR (value:>100 AND event_type:err*)',
+]
+
+
+def q_lucene_explain(spark, sf_dir):
+    rows = [(q, explain_query(q)) for q in _EXPLAIN_CASES]
+    return spark.createDataFrame(rows, "query string, explanation string")
+
+
+O_LUCENE_EXPLAIN = """
+SELECT * FROM (VALUES
+  ('error web',
+   'event contains error AND event contains web'),
+  ('event_type:err* AND NOT value:<10',
+   e'\\'event_type\\' starts with err AND NOT (\\'value\\' is less than 10)'),
+  ('props.k:* AND -event_type:click',
+   e'\\'props.k\\' is not null AND \\'event_type\\' does not contain click'),
+  ('"timed out" OR (value:>100 AND event_type:err*)',
+   e'event is \\'timed out\\' OR (\\'value\\' is greater than 100 AND \\'event_type\\' starts with err)')
+) AS t(query, explanation)
+"""
+
+
+def q_metadata_fields(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return spark.createDataFrame(get_all_fields(ev), "field string, type string")
+
+
+O_METADATA_FIELDS = """
+SELECT * FROM (VALUES
+  ('event_id', 'bigint'), ('ts', 'timestamp'), ('user_id', 'bigint'),
+  ('event_type', 'string'), ('value', 'double'), ('props', 'string')
+) AS t(field, type)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_search": q_search,
@@ -1602,6 +1968,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_lsh": q_ann_lsh,
         "q_embedding_dedup": q_embedding_dedup,
         "q_multimodal_features": q_multimodal_features,
+        "q_lucene_dispatch": q_lucene_dispatch,
+        "q_sqlast_filters": q_sqlast_filters,
+        "q_exp_hist_count": q_exp_hist_count,
+        "q_offset_pages": q_offset_pages,
+        "q_prev_period": q_prev_period,
+        "q_csv_export": q_csv_export,
+        "q_render_cap": q_render_cap,
+        "q_any_agg": q_any_agg,
+        "q_none_projection": q_none_projection,
+        "q_chcompat": q_chcompat,
+        "q_lucene_explain": q_lucene_explain,
+        "q_metadata_fields": q_metadata_fields,
     }
 
 
@@ -1653,4 +2031,16 @@ def oracle_sql() -> dict[str, str]:
         "q_ann_lsh": O_ANN_COSINE,  # LSH recall is 100% at this sf (verified)
         "q_embedding_dedup": O_EMBEDDING_DEDUP,
         # q_multimodal_features: stubbed decode -> rows-only check
+        "q_lucene_dispatch": O_LUCENE_DISPATCH,
+        "q_sqlast_filters": O_SQLAST_FILTERS,
+        "q_exp_hist_count": O_EXP_HIST_COUNT,
+        "q_offset_pages": O_OFFSET_PAGES,
+        "q_prev_period": O_PREV_PERIOD,
+        "q_csv_export": O_CSV_EXPORT,
+        "q_render_cap": O_RENDER_CAP,
+        "q_any_agg": O_ANY_AGG,
+        "q_none_projection": O_NONE_PROJECTION,
+        "q_chcompat": O_CHCOMPAT,
+        "q_lucene_explain": O_LUCENE_EXPLAIN,
+        "q_metadata_fields": O_METADATA_FIELDS,
     }
