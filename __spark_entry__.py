@@ -858,6 +858,157 @@ FROM steps JOIN events ON ts > step - INTERVAL 1 DAY AND ts <= step
 GROUP BY 1, 2
 """
 
+def _promql_samples(spark, sf_dir):
+    """events as a Prometheus-style samples table (one series per type)."""
+    return load_table(spark, sf_dir, "events").select(
+        F.lit("events_value").alias("__name__"),
+        F.col("ts"),
+        F.col("value").cast("double").alias("value"),
+        F.col("event_type"),
+    )
+
+
+def q_promql_hist_quantile(spark, sf_dir):
+    """The canonical latency panel: histogram_quantile(0.9, sum by (le)
+    (rate(ev_bucket[4h]))) over synthesized cumulative bucket counters
+    (le in 25/50/75/+Inf) at 6h steps."""
+    from pyspark.sql import Window
+    from hyperdx_spark.promql import PromQLEngine
+
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.timestamp_seconds(
+        (F.unix_timestamp("ts") / 3600).cast("long") * 3600
+    ).alias("h")
+    hourly = ev.groupBy(hour).agg(
+        F.count_if(F.col("value") <= 25).alias("c25"),
+        F.count_if(F.col("value") <= 50).alias("c50"),
+        F.count_if(F.col("value") <= 75).alias("c75"),
+        F.count("*").alias("cinf"),
+    )
+    long = hourly.selectExpr(
+        "h", "stack(4, '25', c25, '50', c50, '75', c75, '+Inf', cinf) AS (le, c)"
+    )
+    w = Window.partitionBy("le").orderBy("h")
+    samples = long.select(
+        F.lit("ev_bucket").alias("__name__"),
+        F.col("h").alias("ts"),
+        F.sum("c").over(w).cast("double").alias("value"),
+        "le",
+    )
+    out = PromQLEngine(samples).query_range(
+        spark,
+        "histogram_quantile(0.9, sum by (le) (rate(ev_bucket[4h])))",
+        datetime(2024, 1, 2),
+        datetime(2024, 1, 8),
+        21600,
+    )
+    return out.where(F.col("value").isNotNull()).select(
+        F.col("__step").alias("__timestamp"), F.round("value", 4).alias("value")
+    )
+
+
+O_PROMQL_HIST_QUANTILE = """
+WITH hours AS (
+  SELECT make_timestamp((floor(epoch(ts))::BIGINT // 3600) * 3600 * 1000000) AS h,
+         count(*) FILTER (value <= 25) AS c25,
+         count(*) FILTER (value <= 50) AS c50,
+         count(*) FILTER (value <= 75) AS c75,
+         count(*) AS cinf
+  FROM events GROUP BY 1),
+cum AS (
+  SELECT h,
+         sum(c25) OVER (ORDER BY h)::DOUBLE AS v25,
+         sum(c50) OVER (ORDER BY h)::DOUBLE AS v50,
+         sum(c75) OVER (ORDER BY h)::DOUBLE AS v75,
+         sum(cinf) OVER (ORDER BY h)::DOUBLE AS vinf
+  FROM hours),
+d AS (
+  SELECT h, lag(h) OVER (ORDER BY h) AS ph,
+         v25 - lag(v25) OVER (ORDER BY h) AS d25,
+         v50 - lag(v50) OVER (ORDER BY h) AS d50,
+         v75 - lag(v75) OVER (ORDER BY h) AS d75,
+         vinf - lag(vinf) OVER (ORDER BY h) AS dinf
+  FROM cum),
+steps AS (
+  SELECT make_timestamp(e * 1000000) AS step
+  FROM (SELECT unnest(generate_series(epoch(TIMESTAMP '2024-01-02')::BIGINT,
+                                      epoch(TIMESTAMP '2024-01-08')::BIGINT,
+                                      21600)) AS e)),
+r AS (
+  SELECT step, sum(d25) / 14400.0 AS r25, sum(d50) / 14400.0 AS r50,
+         sum(d75) / 14400.0 AS r75, sum(dinf) / 14400.0 AS rinf
+  FROM steps JOIN d ON h <= step AND ph >= step - INTERVAL 4 HOUR
+  GROUP BY 1),
+q AS (
+  SELECT step,
+    CASE
+      WHEN rinf IS NULL OR rinf <= 0 THEN NULL
+      WHEN r25 >= 0.9 * rinf THEN
+        CASE WHEN r25 - 0 > 0 THEN 0 + (25.0 - 0) * ((0.9 * rinf - 0) / (r25 - 0)) END
+      WHEN r50 >= 0.9 * rinf THEN
+        CASE WHEN r50 - r25 > 0 THEN 25.0 + (50.0 - 25.0) * ((0.9 * rinf - r25) / (r50 - r25)) END
+      WHEN r75 >= 0.9 * rinf THEN
+        CASE WHEN r75 - r50 > 0 THEN 50.0 + (75.0 - 50.0) * ((0.9 * rinf - r50) / (r75 - r50)) END
+      ELSE 75.0 END AS value
+  FROM r)
+SELECT step AS __timestamp, round(value, 4) AS value FROM q WHERE value IS NOT NULL
+"""
+
+
+def q_promql_offset(spark, sf_dir):
+    """`offset 1d` modifier: yesterday's daily sums reported on today's
+    step axis."""
+    from hyperdx_spark.promql import PromQLEngine
+
+    out = PromQLEngine(_promql_samples(spark, sf_dir)).query_range(
+        spark,
+        "sum by (event_type) (sum_over_time(events_value[1d] offset 1d))",
+        datetime(2024, 1, 3),
+        datetime(2024, 1, 9),
+        86400,
+    )
+    return out.select(
+        F.col("__step").alias("__timestamp"),
+        "event_type",
+        F.round("value", 4).alias("value"),
+    )
+
+
+O_PROMQL_OFFSET = """
+WITH steps AS (
+  SELECT make_timestamp(e * 1000000) AS step
+  FROM (SELECT unnest(generate_series(epoch(TIMESTAMP '2024-01-03')::BIGINT,
+                                      epoch(TIMESTAMP '2024-01-09')::BIGINT,
+                                      86400)) AS e)
+)
+SELECT step AS __timestamp, event_type, round(sum(value), 4) AS value
+FROM steps JOIN events
+  ON ts > step - INTERVAL 2 DAY AND ts <= step - INTERVAL 1 DAY
+GROUP BY 1, 2
+"""
+
+
+def q_promql_absent(spark, sf_dir):
+    """absent(): value 1 at every step where the selector matches nothing."""
+    from hyperdx_spark.promql import PromQLEngine
+
+    out = PromQLEngine(_promql_samples(spark, sf_dir)).query_range(
+        spark,
+        'absent(events_value{event_type="nosuch"})',
+        datetime(2024, 1, 2),
+        datetime(2024, 1, 8),
+        86400,
+    )
+    return out.select(F.col("__step").alias("__timestamp"), "value")
+
+
+O_PROMQL_ABSENT = """
+SELECT make_timestamp(e * 1000000) AS __timestamp, 1.0 AS value
+FROM (SELECT unnest(generate_series(epoch(TIMESTAMP '2024-01-02')::BIGINT,
+                                    epoch(TIMESTAMP '2024-01-08')::BIGINT,
+                                    86400)) AS e)
+"""
+
 # --------------------------------------------------------------------------
 # §2.1 CTEs, §2.4 sample-weighted aggs, §2.3 correlation semi-join
 # --------------------------------------------------------------------------
@@ -1945,6 +2096,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_tail": q_stream_tail,
         "q_chunked_union": q_chunked_union,
         "q_promql": q_promql,
+        "q_promql_hist_quantile": q_promql_hist_quantile,
+        "q_promql_offset": q_promql_offset,
+        "q_promql_absent": q_promql_absent,
         "q_cte_two_level": q_cte_two_level,
         "q_sample_weighted": q_sample_weighted,
         "q_weighted_quantile": q_weighted_quantile,
@@ -2008,6 +2162,9 @@ def oracle_sql() -> dict[str, str]:
         "q_stream_tail": O_STREAM_TAIL,
         "q_chunked_union": O_CHUNKED_UNION,
         "q_promql": O_PROMQL,
+        "q_promql_hist_quantile": O_PROMQL_HIST_QUANTILE,
+        "q_promql_offset": O_PROMQL_OFFSET,
+        "q_promql_absent": O_PROMQL_ABSENT,
         "q_cte_two_level": O_CTE_TWO_LEVEL,
         "q_sample_weighted": O_SAMPLE_WEIGHTED,
         "q_weighted_quantile": O_WEIGHTED_QUANTILE,

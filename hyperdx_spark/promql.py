@@ -16,7 +16,11 @@ Supported subset (the shapes HyperDX dashboards actually use):
   ``avg_over_time``, ``min_over_time``, ``max_over_time``,
   ``sum_over_time``, ``count_over_time``, ``last_over_time``
 * aggregation: ``sum/avg/min/max/count [by (labels)] (expr)``
-* scalar arithmetic: ``expr op number`` / ``number op expr`` (+ - * /)
+* ``topk/bottomk(k, expr)``; ``histogram_quantile(phi, expr)`` over an
+  ``le``-labelled cumulative-bucket vector; ``absent(expr)``
+* ``offset dur`` modifier on selectors (instant and range)
+* scalar arithmetic: ``expr op number`` / ``number op expr`` (+ - * /);
+  vector-vector arithmetic on the shared label set
 
 Semantics notes (documented divergences from Prometheus):
 * ``rate``/``increase`` sum reset-adjusted deltas of consecutive samples
@@ -76,6 +80,7 @@ class Selector:
     name: str
     matchers: list[tuple[str, str, str]] = field(default_factory=list)  # (label, op, value)
     window_s: Optional[float] = None  # set for sel[dur]
+    offset_s: float = 0.0  # `sel offset dur` — evaluate shifted into the past
 
 
 @dataclass
@@ -96,6 +101,17 @@ class TopK:
     op: str  # topk | bottomk
     k: int
     arg: "Expr"
+
+
+@dataclass
+class HistogramQuantile:
+    phi: float
+    arg: "Expr"  # vector carrying an `le` label (cumulative bucket counts)
+
+
+@dataclass
+class Absent:
+    arg: "Expr"  # emits value=1 at steps where the vector is empty
 
 
 @dataclass
@@ -198,6 +214,20 @@ class _Parser:
             arg = self.expr()
             self.expect(")")
             return TopK(v, int(float(kv)), arg)
+        if v == "histogram_quantile" and self.peek() and self.peek()[1] == "(":
+            self.expect("(")
+            kk, kv = self.next()
+            if kk != "num":
+                raise ValueError("histogram_quantile(phi, expr) needs a numeric phi")
+            self.expect(",")
+            arg = self.expr()
+            self.expect(")")
+            return HistogramQuantile(float(kv), arg)
+        if v == "absent" and self.peek() and self.peek()[1] == "(":
+            self.expect("(")
+            arg = self.expr()
+            self.expect(")")
+            return Absent(arg)
         if v in _RANGE_FNS and self.peek() and self.peek()[1] == "(":
             self.expect("(")
             sel = self._selector()
@@ -262,6 +292,12 @@ class _Parser:
                     break
                 parts.append(t[1])
             sel.window_s = parse_duration("".join(parts))
+        if self.peek() and self.peek() == ("id", "offset"):
+            self.next()
+            k, dur = self.next()
+            if k != "dur":
+                raise ValueError(f"offset needs a duration, got {dur!r}")
+            sel.offset_s = parse_duration(dur)
         return sel
 
 
@@ -323,6 +359,14 @@ class PromQLEngine:
             F.col("id").alias("__step_epoch"),
         )
 
+    @staticmethod
+    def _eff_step(sel: Selector) -> Column:
+        """Evaluation time for this selector: `offset` shifts it into the
+        past while results stay keyed by the original __step."""
+        if sel.offset_s:
+            return F.col("__step") - F.expr(f"INTERVAL {int(sel.offset_s)} SECOND")
+        return F.col("__step")
+
     def _instant(
         self, spark, sel: Selector, start, end, step_s, lookback_s=DEFAULT_LOOKBACK_S
     ) -> DataFrame:
@@ -331,10 +375,10 @@ class PromQLEngine:
         df = self._filter(sel)
         steps = self._steps(spark, start, end, step_s)
         ts, val = F.col(self.ts_col), F.col(self.value_col)
+        eff = self._eff_step(sel)
         j = F.broadcast(steps).join(
             df,
-            (ts > F.col("__step") - F.expr(f"INTERVAL {lookback_s} SECOND"))
-            & (ts <= F.col("__step")),
+            (ts > eff - F.expr(f"INTERVAL {lookback_s} SECOND")) & (ts <= eff),
         )
         return (
             j.groupBy("__step", *self.label_cols)
@@ -359,12 +403,13 @@ class PromQLEngine:
                 d = F.when(val >= F.col("__prev_v"), val - F.col("__prev_v")).otherwise(val)
             df = df.withColumn("__delta", d).where(F.col("__prev_ts").isNotNull())
             steps = self._steps(spark, start, end, step_s)
+            eff = self._eff_step(sel)
             # a delta covers the interval (prev_ts, ts]; it contributes to a
             # step's window iff that interval lies within [step-w, step]
             j = F.broadcast(steps).join(
                 df,
-                (ts <= F.col("__step"))
-                & (F.col("__prev_ts") >= F.col("__step") - F.expr(f"INTERVAL {w_s} SECOND")),
+                (ts <= eff)
+                & (F.col("__prev_ts") >= eff - F.expr(f"INTERVAL {w_s} SECOND")),
             )
             total = F.sum("__delta")
             if fn == "rate":
@@ -372,10 +417,10 @@ class PromQLEngine:
             return j.groupBy("__step", *self.label_cols).agg(total.alias("value"))
         # x_over_time family: plain window join + aggregate
         steps = self._steps(spark, start, end, step_s)
+        eff = self._eff_step(sel)
         j = F.broadcast(steps).join(
             df,
-            (ts > F.col("__step") - F.expr(f"INTERVAL {w_s} SECOND"))
-            & (ts <= F.col("__step")),
+            (ts > eff - F.expr(f"INTERVAL {w_s} SECOND")) & (ts <= eff),
         )
         agg = {
             "avg_over_time": F.avg(val),
@@ -386,6 +431,46 @@ class PromQLEngine:
             "last_over_time": F.max_by(val, ts),
         }[fn]
         return j.groupBy("__step", *self.label_cols).agg(agg.alias("value"))
+
+    def _histogram_quantile(self, phi: float, inner: DataFrame) -> DataFrame:
+        """Prometheus bucketQuantile (promql/quantile.go): per (step, series
+        minus `le`) sort cumulative buckets by upper bound, find the first
+        bucket reaching rank = phi * total, linear-interpolate inside it.
+        bucketStart is 0 for the first bucket; a rank landing in the +Inf
+        bucket returns the highest finite bound. Degenerate histograms
+        (no +Inf, zero total, empty bucket span) yield NULL (Prometheus NaN).
+        """
+        rest = [c for c in inner.columns if c not in ("__step", "value", "le")]
+        le_d = (
+            F.when(F.col("le") == "+Inf", F.lit(float("inf")))
+            .otherwise(F.col("le").cast("double"))
+        )
+        g = inner.groupBy("__step", *rest).agg(
+            F.array_sort(
+                F.collect_list(F.struct(le_d.alias("le"), F.col("value").alias("v")))
+            ).alias("__b")
+        )
+        b = F.col("__b")
+        n = F.size(b)
+        total = F.element_at(b, -1).getField("v")
+        rank = F.lit(phi) * total
+        idx = F.size(F.filter(b, lambda x: x.getField("v") < rank)) + 1
+        prev_le = F.when(idx > 1, F.element_at(b, idx - 1).getField("le")).otherwise(F.lit(0.0))
+        prev_v = F.when(idx > 1, F.element_at(b, idx - 1).getField("v")).otherwise(F.lit(0.0))
+        cur = F.element_at(b, F.least(idx, n))
+        count = cur.getField("v") - prev_v
+        value = (
+            F.when(
+                F.element_at(b, -1).getField("le") != float("inf"), F.lit(None)
+            )  # no +Inf bucket -> undefined
+            .when(total.isNull() | (total <= 0) | (n < 2), F.lit(None))
+            .when(idx >= n, F.element_at(b, -2).getField("le"))
+            .when(count <= 0, F.lit(None))
+            .otherwise(
+                prev_le + (cur.getField("le") - prev_le) * ((rank - prev_v) / count)
+            )
+        )
+        return g.select("__step", *rest, value.alias("value"))
 
     # -- public ------------------------------------------------------------
 
@@ -422,6 +507,19 @@ class PromQLEngine:
                 "count": F.count,
             }[node.op]
             return inner.groupBy("__step", *keep).agg(op("value").alias("value"))
+        if isinstance(node, HistogramQuantile):
+            inner = self._eval(spark, node.arg, start, end, step_s, lookback_s)
+            if "le" not in inner.columns:
+                raise ValueError("histogram_quantile needs an `le` label on its argument")
+            return self._histogram_quantile(node.phi, inner)
+        if isinstance(node, Absent):
+            inner = self._eval(spark, node.arg, start, end, step_s, lookback_s)
+            steps = self._steps(spark, start, end, step_s)
+            present = inner.select("__step").distinct()
+            return (
+                steps.join(present, on="__step", how="left_anti")
+                .select("__step", F.lit(1.0).alias("value"))
+            )
         if isinstance(node, TopK):
             inner = self._eval(spark, node.arg, start, end, step_s, lookback_s)
             label_cols = [c for c in inner.columns if c not in ("__step", "value")]

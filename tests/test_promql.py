@@ -176,3 +176,71 @@ def test_vector_vector_division_by_zero_null(spark):
         datetime(2024, 1, 1, 0, 0), datetime(2024, 1, 1, 0, 0), 60,
     ).collect()
     assert len(out) == 1 and out[0]["value"] is None
+
+
+def test_offset_modifier(spark, engine):
+    # sel offset 5m at step :15 == plain sel at step :10
+    n = parse('http_requests_total{job="a"} offset 5m')
+    assert n.offset_s == 300
+    out = engine.query_range(
+        spark, 'http_requests_total{job="a"} offset 5m',
+        datetime(2024, 1, 1, 0, 15), datetime(2024, 1, 1, 0, 15), 60,
+    ).collect()
+    assert len(out) == 1 and out[0]["value"] == 60.0  # value at :10
+
+
+def test_range_offset(spark, engine):
+    # increase over [5m] offset 10m at :25 == increase [5m] at :15 (= 5*6)
+    out = engine.query_range(
+        spark, 'increase(http_requests_total{job="a"}[5m] offset 10m)',
+        datetime(2024, 1, 1, 0, 25), datetime(2024, 1, 1, 0, 25), 60,
+    ).collect()
+    assert len(out) == 1 and out[0]["value"] == 30.0
+
+
+def test_absent(spark, engine):
+    out = engine.query_range(
+        spark, 'absent(http_requests_total{job="nope"})',
+        datetime(2024, 1, 1, 0, 10), datetime(2024, 1, 1, 0, 12), 60,
+    ).collect()
+    assert sorted(r["__step"].minute for r in out) == [10, 11, 12]
+    assert all(r["value"] == 1.0 for r in out)
+    # present series -> empty result
+    out2 = engine.query_range(
+        spark, 'absent(http_requests_total{job="a"})',
+        datetime(2024, 1, 1, 0, 10), datetime(2024, 1, 1, 0, 12), 60,
+    ).collect()
+    assert out2 == []
+
+
+def test_histogram_quantile(spark):
+    # one histogram at a single step: buckets le=1 (30), le=2 (50), +Inf (60)
+    # p50: rank = 0.5*60 = 30 -> first bucket reaches 30 exactly -> 1.0
+    # p90: rank = 54 -> +Inf bucket -> highest finite bound 2.0
+    # p75: rank = 45 -> second bucket: 1 + (2-1)*(45-30)/(50-30) = 1.75
+    ts = datetime(2024, 1, 1, 0, 10)
+    rows = [
+        ("lat_bucket", ts, 30.0, "1"),
+        ("lat_bucket", ts, 50.0, "2"),
+        ("lat_bucket", ts, 60.0, "+Inf"),
+    ]
+    eng = PromQLEngine(
+        spark.createDataFrame(rows, "`__name__` string, ts timestamp, value double, le string")
+    )
+    for phi, want in [(0.5, 1.0), (0.9, 2.0), (0.75, 1.75)]:
+        out = eng.query_range(
+            spark, f"histogram_quantile({phi}, lat_bucket)", ts, ts, 60
+        ).collect()
+        assert len(out) == 1
+        assert abs(out[0]["value"] - want) < 1e-12, (phi, out)
+
+
+def test_histogram_quantile_degenerate(spark):
+    ts = datetime(2024, 1, 1, 0, 10)
+    # no +Inf bucket -> NULL
+    rows = [("lat_bucket", ts, 30.0, "1"), ("lat_bucket", ts, 50.0, "2")]
+    eng = PromQLEngine(
+        spark.createDataFrame(rows, "`__name__` string, ts timestamp, value double, le string")
+    )
+    out = eng.query_range(spark, "histogram_quantile(0.5, lat_bucket)", ts, ts, 60).collect()
+    assert len(out) == 1 and out[0]["value"] is None
