@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from hyperdx_spark.functions.chcompat import _split_args, translate_expr
 from hyperdx_spark.granularity import auto_granularity, granularity_seconds
-from hyperdx_spark.lucene.serializer import SearchQueryBuilder
+from hyperdx_spark.lucene.serializer import SearchQueryBuilder, _sql_str
 from hyperdx_spark.model import (
     ChartConfig,
     QuerySettings,
@@ -223,7 +223,9 @@ def _where_clauses(ctx: _Ctx, df: DataFrame) -> list[Column]:
         if isinstance(flt, SqlAstFilter):
             right = flt.right
             if isinstance(right, str) and flt.right_is_literal:
-                right_sql = "'" + right.replace("'", "\\'") + "'"
+                # _sql_str escapes backslashes before quotes — a trailing
+                # backslash in the value cannot swallow the closing quote
+                right_sql = _sql_str(right)
             else:
                 right_sql = str(right)
             conds.append(F.expr(f"({translate_expr(flt.left)}) {flt.operator} {right_sql}"))

@@ -46,8 +46,9 @@ _RENAMES = {
     "toFloat64OrNull": "_tofloat64ornull",
     "toFloat64": "_tofloat64",
     "toInt64OrNull": "_toint64ornull",
+    "toInt64": "_toint64",
     "toUInt64OrZero": "_touint64orzero",
-    "toUInt64": "_tofloat64",
+    "toUInt64": "_toint64",  # integer semantics (CH returns UInt64, not float)
     "intDiv": "_intdiv",
     "arrayJoin": "explode",
     "arrayConcat": "concat",
@@ -131,6 +132,8 @@ def _rewrite_call(name: str, args: list[str]) -> str:
         return f"cast({args[0]} AS DOUBLE)"
     if low == "_toint64ornull":
         return f"try_cast({args[0]} AS BIGINT)"
+    if low == "_toint64":
+        return f"cast({args[0]} AS BIGINT)"
     if low == "_touint64orzero":
         return f"coalesce(try_cast({args[0]} AS BIGINT), 0)"
     if low == "_intdiv":

@@ -14,10 +14,23 @@ conversion is a cheap projection that stays inside whole-stage codegen.
 from __future__ import annotations
 
 import os
+from datetime import datetime, timedelta, timezone
 from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_EPOCH_NAIVE = datetime(1970, 1, 1)
+_EPOCH_UTC = datetime(1970, 1, 1, tzinfo=timezone.utc)
+_US = timedelta(microseconds=1)
+
+
+def _exact_micros(dt: datetime) -> int:
+    """Exact epoch microseconds (int) — ``dt.timestamp() * 1e6`` rounds
+    through a float and can land 1µs low. Naive datetimes are treated as
+    UTC, consistent with F.lit(dt) under the UTC session timezone."""
+    epoch = _EPOCH_NAIVE if dt.tzinfo is None else _EPOCH_UTC
+    return (dt - epoch) // _US
 
 TABLES = (
     "region",
@@ -80,10 +93,12 @@ def load_table(
     if time_filter is not None:
         col, start, end = time_filter
         if col in nanos_cols:
-            start_ns = int(start.timestamp() * 1_000_000) * 1000
+            # exact integer micros: float timestamp()*1e6 truncates 1µs low
+            # for ~1% of microsecond values, silently tightening the bound
+            start_ns = _exact_micros(start) * 1000
             # inclusive at micro precision: raw nanos that truncate to <= end;
             # exclusive: strictly below end's first nanosecond
-            end_us = int(end.timestamp() * 1_000_000)
+            end_us = _exact_micros(end)
             end_ns = end_us * 1000 + 999 if end_inclusive else end_us * 1000 - 1
             df = df.where(
                 (F.col(col) >= F.lit(start_ns)) & (F.col(col) <= F.lit(end_ns))

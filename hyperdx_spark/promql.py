@@ -549,6 +549,20 @@ class PromQLEngine:
                 # the matched result)
                 lv2 = lv.select(*keys, "value")
                 rv2 = rv2.select(*keys, "__rv")
+                # Prometheus one-to-one matching errors on many-to-many;
+                # after dropping unshared labels a silently-duplicating join
+                # would be wrong, so count-check each side first (two tiny
+                # aggregations over already-aggregated vectors)
+                for side, name in ((lv2, "left"), (rv2, "right")):
+                    dup = (
+                        side.groupBy(*keys).count().where(F.col("count") > 1).limit(1)
+                    )
+                    if dup.take(1):
+                        raise ValueError(
+                            f"vector matching is many-to-many: duplicate series on "
+                            f"the {name} side after reducing to shared labels {keys}; "
+                            "aggregate each side (e.g. sum by (...)) first"
+                        )
                 j = lv2.join(rv2, on=keys, how="inner")
                 a, b = F.col("value"), F.col("__rv")
                 expr = {

@@ -332,3 +332,43 @@ def test_multi_column_timestamp(spark, sf_dir, tmp_path):
     # both columns appear in the compiled filter
     explained = df._jdf.queryExecution().optimizedPlan().toString()
     assert "event_date" in explained and "ts" in explained
+
+
+def test_exact_micros_no_float_truncation():
+    from datetime import datetime, timezone
+
+    from hyperdx_spark.io import _exact_micros
+
+    # 2024-09-01 00:00:00.123457 UTC: float repr of timestamp()*1e6 lands
+    # one microsecond low for many values in this shape
+    dt = datetime(2024, 9, 1, 0, 0, 0, 123457)
+    assert _exact_micros(dt) == 1725148800_000000 + 123457
+    aware = dt.replace(tzinfo=timezone.utc)
+    assert _exact_micros(aware) == _exact_micros(dt)
+    # sweep: exact for every microsecond remainder in a 1000-value window
+    base = datetime(2026, 1, 2, 3, 4, 5)
+    for us in range(0, 1000):
+        d = base.replace(microsecond=us)
+        assert _exact_micros(d) % 1_000_000 == us
+
+
+def test_chcompat_touint64_is_integer():
+    from hyperdx_spark.functions.chcompat import translate_expr
+
+    out = translate_expr("toUInt64(x)")
+    assert "BIGINT" in out and "DOUBLE" not in out
+    assert "BIGINT" in translate_expr("toInt64(x)")
+
+
+def test_sqlast_filter_backslash_literal(spark, sf_dir, events_source):
+    from hyperdx_spark.model import SqlAstFilter
+
+    cfg = ChartConfig(
+        source=events_source,
+        select=[SelectCol(agg_fn="count", alias="cnt")],
+        filters=[SqlAstFilter(operator="!=", left="event_type", right="x\\")],
+        date_range=RANGE,
+    )
+    # must compile and run: a trailing backslash may not break the literal
+    out = compile_chart_config(spark, cfg, sf_dir=sf_dir).collect()
+    assert len(out) == 1 and out[0]["cnt"] > 0

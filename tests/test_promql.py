@@ -244,3 +244,32 @@ def test_histogram_quantile_degenerate(spark):
     )
     out = eng.query_range(spark, "histogram_quantile(0.5, lat_bucket)", ts, ts, 60).collect()
     assert len(out) == 1 and out[0]["value"] is None
+
+
+def test_vector_vector_many_to_many_raises(spark):
+    # left collapses to (step, extra) with 2 rows/step, right to (step, job):
+    # the only shared key is __step -> many-to-many -> error
+    rows = [
+        ("a_total", datetime(2024, 1, 1), 1.0, "x", "s1"),
+        ("a_total", datetime(2024, 1, 1), 2.0, "x", "s2"),
+        ("b_total", datetime(2024, 1, 1), 3.0, "x", "s1"),
+    ]
+    eng = PromQLEngine(
+        spark.createDataFrame(
+            rows, "`__name__` string, ts timestamp, value double, job string, extra string"
+        ),
+        label_cols=["job", "extra"],
+    )
+    with pytest.raises(ValueError, match="many-to-many"):
+        eng.query_range(
+            spark, "sum by (extra) (a_total) / sum by (job) (b_total)",
+            datetime(2024, 1, 1), datetime(2024, 1, 1), 60,
+        ).collect()
+
+
+def test_vector_vector_one_to_one_still_works(spark, engine):
+    out = engine.query_range(
+        spark, "mem_bytes / http_requests_total",
+        datetime(2024, 1, 1, 0, 10), datetime(2024, 1, 1, 0, 10), 60,
+    ).collect()
+    assert len(out) == 1 and abs(out[0]["value"] - 110.0 / 60.0) < 1e-9
