@@ -2028,6 +2028,53 @@ ORDER BY event_id LIMIT 100
 """
 
 # --------------------------------------------------------------------------
+# §2.2 materialized-column substitution (fastifySQL analogue)
+# --------------------------------------------------------------------------
+
+def q_materialized_col(spark, sf_dir):
+    """`props.k` accessor rewritten to a pre-materialized physical column
+    (renderChartConfig.ts:209-341): the JSON blob is never read — the scan
+    touches only (ts, mat_k). Results must equal the JSON-probe semantics."""
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events")
+    tmp = os.path.join(tempfile.gettempdir(), "hyperdx_mat")
+    ev.withColumn("mat_k", F.get_json_object("props", "$.k")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(tmp, "events_mat.parquet"))
+    src = Source(
+        table="events_mat",
+        timestamp_value_expression="ts",
+        materialized_fields={"JSONExtractString(props, 'k')": "mat_k"},
+    )
+    cfg = ChartConfig(
+        source=src,
+        select=[SelectCol(agg_fn="count", alias="cnt")],
+        where="props.k:>=50",
+        where_language="lucene",
+        granularity="1 day",
+        date_range=RANGE,
+    )
+    out = compile_chart_config(spark, cfg, sf_dir=tmp)
+    scan = [
+        l
+        for l in out._jdf.queryExecution().executedPlan().toString().splitlines()
+        if "FileScan" in l
+    ]
+    assert scan and "props" not in scan[0], "materialized substitution regressed"
+    return out
+
+
+O_MATERIALIZED_COL = f"""
+SELECT make_timestamp((floor(epoch(ts))::BIGINT // 86400) * 86400 * 1000000) AS __timestamp,
+       count(*) AS cnt
+FROM events
+WHERE {TIME_WHERE}
+  AND try_cast(coalesce(json_extract_string(props, '$.k'), '') AS DOUBLE) >= 50
+GROUP BY 1
+"""
+
+# --------------------------------------------------------------------------
 # §2.6 English query explanation + metadata field listing (static contracts)
 # --------------------------------------------------------------------------
 
@@ -2132,6 +2179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_any_agg": q_any_agg,
         "q_none_projection": q_none_projection,
         "q_chcompat": q_chcompat,
+        "q_materialized_col": q_materialized_col,
         "q_lucene_explain": q_lucene_explain,
         "q_metadata_fields": q_metadata_fields,
     }
@@ -2198,6 +2246,7 @@ def oracle_sql() -> dict[str, str]:
         "q_any_agg": O_ANY_AGG,
         "q_none_projection": O_NONE_PROJECTION,
         "q_chcompat": O_CHCOMPAT,
+        "q_materialized_col": O_MATERIALIZED_COL,
         "q_lucene_explain": O_LUCENE_EXPLAIN,
         "q_metadata_fields": O_METADATA_FIELDS,
     }

@@ -95,10 +95,22 @@ def pick_bucket_timestamp_expr(
     return best, parts
 
 
+def _xlate(source: Optional[Source], expr: str) -> str:
+    """CH-compat translation + materialized-column substitution
+    (fastifySQL, renderChartConfig.ts:209-341) for raw SQL expressions."""
+    out = translate_expr(expr)
+    mf = getattr(source, "materialized_fields", None) if source else None
+    if mf:
+        from hyperdx_spark.functions.materialize import substitute
+
+        out = substitute(out, mf)
+    return out
+
+
 def _condition_sql(ctx: _Ctx, condition: str, language: str) -> str:
     if language == "lucene":
         return ctx.builder.build(condition)
-    return translate_expr(condition)
+    return _xlate(ctx.source, condition)
 
 
 def _agg_expr(ctx: _Ctx, sc: SelectCol) -> tuple[str, str]:
@@ -108,14 +120,14 @@ def _agg_expr(ctx: _Ctx, sc: SelectCol) -> tuple[str, str]:
     family (553-624) when the source declares sampleRateExpression.
     """
     fn = sc.agg_fn
-    val = translate_expr(sc.value_expression) if sc.value_expression else ""
+    val = _xlate(ctx.source, sc.value_expression) if sc.value_expression else ""
     cond = (
         _condition_sql(ctx, sc.agg_condition, sc.agg_condition_language)
         if sc.agg_condition
         else None
     )
     w = ctx.source.sample_rate_expression
-    w_sql = _weight(translate_expr(w)) if w else None
+    w_sql = _weight(_xlate(ctx.source, w)) if w else None
 
     def gated(inner: str, extra_null_guard: Optional[str] = None) -> str:
         """Wrap with the aggCondition: <fn>If(x, cond AND x IS NOT NULL)."""
@@ -228,7 +240,7 @@ def _where_clauses(ctx: _Ctx, df: DataFrame) -> list[Column]:
                 right_sql = _sql_str(right)
             else:
                 right_sql = str(right)
-            conds.append(F.expr(f"({translate_expr(flt.left)}) {flt.operator} {right_sql}"))
+            conds.append(F.expr(f"({_xlate(ctx.source, flt.left)}) {flt.operator} {right_sql}"))
         elif isinstance(flt, SqlFilter):
             conds.append(F.expr(_condition_sql(ctx, flt.condition, flt.type)))
         else:
@@ -312,7 +324,7 @@ def compile_chart_config(
         df = df.where(cond)
 
     ts_alias = config.timestamp_alias
-    group_exprs = [translate_expr(g) for g in config.group_by]
+    group_exprs = [_xlate(source, g) for g in config.group_by]
 
     is_agg = isinstance(config.select, (list, tuple)) and any(
         sc.agg_fn not in (None, "none") for sc in config.select
@@ -363,7 +375,7 @@ def _project(ctx: _Ctx, df: DataFrame) -> DataFrame:
     sel = cfg.select
     if isinstance(sel, str):
         sel = sel.strip() or (ctx.source.default_table_select_expression or "*")
-        exprs = [translate_expr(e) for e in _split_args(sel)]
+        exprs = [_xlate(ctx.source, e) for e in _split_args(sel)]
         return df.selectExpr(*exprs)
     cols = []
     for sc in sel:
@@ -438,12 +450,12 @@ def _order_limit(ctx: _Ctx, out: DataFrame, is_agg: bool) -> DataFrame:
             desc = part.upper().endswith(" DESC")
             if desc or part.upper().endswith(" ASC"):
                 part = part.rsplit(None, 1)[0]
-            col = F.expr(translate_expr(part))
+            col = F.expr(_xlate(ctx.source, part))
             sort_cols.append(col.desc() if desc else col.asc())
     elif isinstance(order, (list, tuple)):
         for spec in order:
             assert isinstance(spec, SortSpec)
-            col = F.expr(translate_expr(spec.value_expression))
+            col = F.expr(_xlate(ctx.source, spec.value_expression))
             sort_cols.append(col.desc() if spec.order == "DESC" else col.asc())
     if sort_cols:
         out = out.orderBy(*sort_cols)

@@ -136,6 +136,22 @@ class SearchQueryBuilder:
                 continue
             rest = parts[cut:]
             dt = self._fields[name]
+            # materialized-column substitution (fastifySQL analogue): a
+            # pre-extracted physical column replaces the map probe / JSON
+            # parse, restoring parquet stats pruning on the accessor
+            mfields = getattr(src, "materialized_fields", None) if src else None
+            if mfields:
+                from hyperdx_spark.functions.materialize import lookup
+
+                mat = lookup(mfields, name, ".".join(rest))
+                if mat is not None:
+                    mname = (
+                        mat if mat in self._fields
+                        else self._fields_lower.get(mat.lower())
+                    )
+                    if mname is not None:
+                        return _Field(f"`{mname}`", self._kind_of(self._fields[mname]))
+                    return _Field(f"`{mat}`", "string")
             if isinstance(dt, MapType):
                 # Map['k'] with ClickHouse missing-key default ''
                 return _Field(

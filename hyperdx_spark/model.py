@@ -71,6 +71,11 @@ class Source:
     duration_precision: int = 3
     sample_rate_expression: Optional[str] = None  # enables sample-weighted aggs
     default_table_select_expression: Optional[str] = None
+    # Materialized-column substitution (fastifySQL,
+    # core/renderChartConfig.ts:209-341): logical accessor -> physical column.
+    # Keys in any spelling: "props.k", "props['k']",
+    # "JSONExtractString(props, 'k')", "get_json_object(props, '$.k')".
+    materialized_fields: dict = field(default_factory=dict)
 
 
 @dataclass

@@ -11,6 +11,7 @@ from hyperdx_spark.model import (
     ChartConfig,
     QuerySettings,
     SelectCol,
+    Source,
     SqlAstFilter,
     SqlFilter,
 )
@@ -372,3 +373,83 @@ def test_sqlast_filter_backslash_literal(spark, sf_dir, events_source):
     # must compile and run: a trailing backslash may not break the literal
     out = compile_chart_config(spark, cfg, sf_dir=sf_dir).collect()
     assert len(out) == 1 and out[0]["cnt"] > 0
+
+
+def _write_mat_table(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from hyperdx_spark.io import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    aug = ev.withColumn("mat_k", F.get_json_object("props", "$.k"))
+    aug.write.mode("overwrite").parquet(str(tmp_path / "events_mat.parquet"))
+    return Source(
+        table="events_mat",
+        timestamp_value_expression="ts",
+        materialized_fields={"JSONExtractString(props, 'k')": "mat_k"},
+    )
+
+
+def test_materialized_lucene_plan_prunes_json_blob(spark, sf_dir, tmp_path):
+    src = _write_mat_table(spark, sf_dir, tmp_path)
+    cfg = ChartConfig(
+        source=src,
+        select=[SelectCol(agg_fn="count", alias="cnt")],
+        where="props.k:>=50",
+        where_language="lucene",
+        granularity="1 day",
+        date_range=RANGE,
+    )
+    df = compile_chart_config(spark, cfg, sf_dir=str(tmp_path))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = [l for l in plan.splitlines() if "FileScan" in l][0]
+    # the JSON blob is not read at all; the physical column is
+    assert "mat_k" in scan
+    assert "props" not in scan
+    # same answer as the unsubstituted JSON probe
+    base = ChartConfig(
+        source=Source(table="events", timestamp_value_expression="ts"),
+        select=[SelectCol(agg_fn="count", alias="cnt")],
+        where="props.k:>=50",
+        where_language="lucene",
+        granularity="1 day",
+        date_range=RANGE,
+    )
+    want = sorted(map(tuple, compile_chart_config(spark, base, sf_dir=sf_dir).collect()))
+    got = sorted(map(tuple, df.collect()))
+    assert got == want
+
+
+def test_materialized_sql_where_pushdown(spark, sf_dir, tmp_path):
+    src = _write_mat_table(spark, sf_dir, tmp_path)
+    cfg = ChartConfig(
+        source=src,
+        select=[SelectCol(agg_fn="count", alias="cnt")],
+        where="JSONExtractString(props, 'k') = '50'",
+        where_language="sql",
+        date_range=RANGE,
+    )
+    df = compile_chart_config(spark, cfg, sf_dir=str(tmp_path))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = [l for l in plan.splitlines() if "FileScan" in l][0]
+    assert "props" not in scan
+    # equality on the physical string column reaches PushedFilters
+    # (toString truncates long lines; use the formatted explain)
+    formatted = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "EqualTo(mat_k,50)" in formatted.replace("'", "")
+
+
+def test_materialized_substitute_spellings():
+    from hyperdx_spark.functions.materialize import canonical_key, substitute
+
+    mapping = {"props['k']": "mat_k"}
+    assert canonical_key("JSONExtractString(props, 'k')") == "props.k"
+    assert canonical_key("get_json_object(props, '$.k')") == "props.k"
+    assert canonical_key("props['k']") == "props.k"
+    assert canonical_key("props.k") == "props.k"
+    out = substitute("get_json_object(`props`, '$.k') = '5'", mapping)
+    assert out == "`mat_k` = '5'"
+    # unmapped accessors untouched
+    assert substitute("get_json_object(props, '$.z')", mapping) == "get_json_object(props, '$.z')"
