@@ -2028,6 +2028,90 @@ ORDER BY event_id LIMIT 100
 """
 
 # --------------------------------------------------------------------------
+# §2.3 session-replay correlation (sessions.ts:93-260)
+# --------------------------------------------------------------------------
+
+_SESSION_SPEC = None  # built lazily to avoid import order issues
+
+
+def _session_spec():
+    from hyperdx_spark.sessions import SessionSpec
+
+    # user_id plays rum.sessionId; event types play span roles:
+    # click = user interaction, error = error span, purchase = record-init
+    return SessionSpec(
+        session_id_expr="user_id",
+        exists_condition="user_id:*",
+        interaction_condition='event_type:"click"',
+        error_condition='event_type:"error"',
+        recording_condition='event_type:"purchase"',
+        activity_condition='event_type:"purchase" OR event_type:"view"',
+    )
+
+
+def q_session_list(spark, sf_dir):
+    """Default session list: per-session activity/error/recording counters,
+    HAVING user-activity-or-recording, newest last-activity first."""
+    from hyperdx_spark.sessions import session_list
+
+    return session_list(
+        spark, _src(), _session_spec(), RANGE, sf_dir=sf_dir, limit=50
+    )
+
+
+O_SESSION_LIST = f"""
+WITH s AS (
+  SELECT user_id AS sessionId,
+         min(ts) AS minTimestamp, max(ts) AS maxTimestamp,
+         count(*) AS sessionCount,
+         count(*) FILTER (event_type = 'click') AS interactionCount,
+         count(*) FILTER (event_type = 'error') AS errorCount,
+         count(*) FILTER (event_type = 'purchase') AS recordingCount
+  FROM events
+  WHERE {TIME_WHERE} AND user_id IS NOT NULL
+  GROUP BY 1
+  HAVING count(*) FILTER (event_type = 'click') > 0
+      OR count(*) FILTER (event_type = 'purchase') > 0)
+SELECT * FROM s ORDER BY maxTimestamp DESC LIMIT 50
+"""
+
+
+def q_session_filtered(spark, sf_dir):
+    """User-search branch: sessions matching the search, kept only when the
+    session also shows real user activity (record-init/visibility analogue)."""
+    from hyperdx_spark.sessions import session_list
+
+    return session_list(
+        spark,
+        _src(),
+        _session_spec(),
+        RANGE,
+        where="value >= 95",
+        where_language="sql",
+        sf_dir=sf_dir,
+        limit=50,
+    )
+
+
+O_SESSION_FILTERED = f"""
+WITH s AS (
+  SELECT user_id AS sessionId,
+         min(ts) AS minTimestamp, max(ts) AS maxTimestamp,
+         count(*) AS sessionCount,
+         count(*) FILTER (event_type = 'click') AS interactionCount,
+         count(*) FILTER (event_type = 'error') AS errorCount,
+         count(*) FILTER (event_type = 'purchase') AS recordingCount
+  FROM events
+  WHERE {TIME_WHERE} AND user_id IS NOT NULL AND value >= 95
+  GROUP BY 1
+  ORDER BY maxTimestamp DESC LIMIT 50),
+act AS (
+  SELECT DISTINCT user_id AS sessionId FROM events
+  WHERE {TIME_WHERE} AND (event_type = 'purchase' OR event_type = 'view'))
+SELECT * FROM s SEMI JOIN act USING (sessionId)
+"""
+
+# --------------------------------------------------------------------------
 # §2.2 materialized-column substitution (fastifySQL analogue)
 # --------------------------------------------------------------------------
 
@@ -2180,6 +2264,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_none_projection": q_none_projection,
         "q_chcompat": q_chcompat,
         "q_materialized_col": q_materialized_col,
+        "q_session_list": q_session_list,
+        "q_session_filtered": q_session_filtered,
         "q_lucene_explain": q_lucene_explain,
         "q_metadata_fields": q_metadata_fields,
     }
@@ -2247,6 +2333,8 @@ def oracle_sql() -> dict[str, str]:
         "q_none_projection": O_NONE_PROJECTION,
         "q_chcompat": O_CHCOMPAT,
         "q_materialized_col": O_MATERIALIZED_COL,
+        "q_session_list": O_SESSION_LIST,
+        "q_session_filtered": O_SESSION_FILTERED,
         "q_lucene_explain": O_LUCENE_EXPLAIN,
         "q_metadata_fields": O_METADATA_FIELDS,
     }
