@@ -2027,6 +2027,70 @@ FROM events WHERE {TIME_WHERE}
 ORDER BY event_id LIMIT 100
 """
 
+def q_mv_quantile(spark, sf_dir):
+    """Quantile answered FROM the rollup: the hourly MV carries a
+    fixed-precision histogram state (map<quantized value, count>,
+    scale=100); the daily p90 is a type-7 weighted quantile over the merged
+    state — no base-table scan (materializedViews.ts:225-275 parity)."""
+    import tempfile
+
+    from hyperdx_spark.mv import AggregatedColumn, MVConfig, compile_with_mv, write_rollup
+
+    mv = MVConfig(
+        path=os.path.join(tempfile.mkdtemp(prefix="hdx_mvq_"), "events_hourly"),
+        dimension_columns=["event_type"],
+        min_granularity="1 hour",
+        timestamp_column="bucket_ts",
+        aggregated_columns=[
+            AggregatedColumn("count", "cnt_state"),
+            AggregatedColumn("quantile", "q_state", source_column="value", quantile_scale=100),
+        ],
+    )
+    write_rollup(load_table(spark, sf_dir, "events"), mv, "ts")
+    cfg = ChartConfig(
+        source=_src(),
+        select=[
+            SelectCol(agg_fn="quantile", value_expression="value", level=0.9, alias="p90"),
+            SelectCol(agg_fn="count", alias="cnt"),
+        ],
+        group_by=["event_type"],
+        granularity="1 day",
+        date_range=(datetime(2024, 1, 1), datetime(2024, 1, 8)),
+    )
+    df, expl = compile_with_mv(spark, cfg, [mv], sf_dir=sf_dir)
+    if not expl[0].success:  # the rewrite MUST engage for this entry
+        raise RuntimeError(f"MV quantile rewrite failed: {expl[0].errors}")
+    return df
+
+
+# The oracle replays the exact type-7 arithmetic (h = (n-1)*level;
+# v = lo + (h-floor(h))*(hi-lo)) over the quantized values so the doubles
+# are bit-identical to the Spark merge walk.
+O_MV_QUANTILE = """
+WITH base AS (
+  SELECT make_timestamp((floor(epoch(ts))::BIGINT // 86400) * 86400 * 1000000) AS __timestamp,
+         event_type, floor(value * 100 + 0.5) / 100.0 AS qv
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'),
+s AS (
+  SELECT *, row_number() OVER (PARTITION BY __timestamp, event_type ORDER BY qv) - 1 AS idx,
+         count(*) OVER (PARTITION BY __timestamp, event_type)::BIGINT AS n
+  FROM base),
+g AS (
+  SELECT __timestamp, event_type, n, (n - 1) * CAST(0.9 AS DOUBLE) AS h
+  FROM s GROUP BY 1, 2, 3),
+pick AS (
+  SELECT s.__timestamp, s.event_type,
+         max(CASE WHEN s.idx = CAST(floor(g.h) AS BIGINT) THEN s.qv END) AS lo,
+         max(CASE WHEN s.idx = least(CAST(floor(g.h) AS BIGINT) + 1, g.n - 1) THEN s.qv END) AS hi,
+         any_value(g.h) AS h, any_value(g.n) AS cnt
+  FROM s JOIN g USING (__timestamp, event_type)
+  GROUP BY 1, 2)
+SELECT __timestamp, event_type,
+       lo + (h - floor(h)) * (hi - lo) AS p90, cnt
+FROM pick
+"""
+
 # --------------------------------------------------------------------------
 # §2.3 session-replay correlation (sessions.ts:93-260)
 # --------------------------------------------------------------------------
@@ -2264,6 +2328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_none_projection": q_none_projection,
         "q_chcompat": q_chcompat,
         "q_materialized_col": q_materialized_col,
+        "q_mv_quantile": q_mv_quantile,
         "q_session_list": q_session_list,
         "q_session_filtered": q_session_filtered,
         "q_lucene_explain": q_lucene_explain,
@@ -2333,6 +2398,7 @@ def oracle_sql() -> dict[str, str]:
         "q_none_projection": O_NONE_PROJECTION,
         "q_chcompat": O_CHCOMPAT,
         "q_materialized_col": O_MATERIALIZED_COL,
+        "q_mv_quantile": O_MV_QUANTILE,
         "q_session_list": O_SESSION_LIST,
         "q_session_filtered": O_SESSION_FILTERED,
         "q_lucene_explain": O_LUCENE_EXPLAIN,

@@ -195,7 +195,42 @@ def _agg_expr(ctx: _Ctx, sc: SelectCol) -> tuple[str, str]:
         return f"(sum(({val}).sum) / sum(({val}).cnt))", alias
     if fn == "count_distinct_merge":
         return f"hll_sketch_estimate(hll_union_agg({val}))", alias
+    if fn == "quantile_merge":
+        # merge histogram states (map<qvalue,count>) into one sorted entry
+        # array; the quantile itself is computed by a post-aggregation
+        # projection (see _quantile_from_entries) so the array is
+        # materialized once per group instead of per reference
+        return (
+            f"array_sort(flatten(transform(collect_list({val}), m -> map_entries(m))))",
+            alias,
+        )
     raise ValueError(f"unsupported aggFn: {fn!r} (metrics aggs live in hyperdx_spark.metrics)")
+
+
+def _quantile_from_entries(col: str, level: float) -> str:
+    """Type-7 (linear interpolation, rank h = (total-1)*level) weighted
+    quantile over a sorted array<struct<key double, value long>> histogram —
+    the expanded-multiset definition Spark ``percentile`` and DuckDB
+    ``quantile_cont`` both use, evaluated without expanding: one cumulative
+    walk finds the values at indices floor(h) and floor(h)+1."""
+    e = f"`{col}`"
+    total = f"aggregate({e}, CAST(0 AS BIGINT), (a, x) -> a + x.value)"
+    h = f"(({total}) - 1) * CAST({level!r} AS DOUBLE)"
+    i0 = f"CAST(floor({h}) AS BIGINT)"
+    i1 = f"least({i0} + 1, ({total}) - 1)"
+    walk = (
+        f"aggregate({e}, "
+        "named_struct('cum', CAST(0 AS BIGINT), "
+        "'v0', CAST(NULL AS DOUBLE), 'v1', CAST(NULL AS DOUBLE)), "
+        "(acc, x) -> named_struct("
+        "'cum', acc.cum + x.value, "
+        f"'v0', coalesce(acc.v0, CASE WHEN acc.cum + x.value > {i0} THEN x.key END), "
+        f"'v1', coalesce(acc.v1, CASE WHEN acc.cum + x.value > {i1} THEN x.key END)))"
+    )
+    return (
+        f"CASE WHEN ({total}) > 0 THEN "
+        f"({walk}).v0 + (({h}) - floor({h})) * (({walk}).v1 - ({walk}).v0) END"
+    )
 
 
 def _where_clauses(ctx: _Ctx, df: DataFrame) -> list[Column]:
@@ -350,6 +385,15 @@ def compile_chart_config(
             out = df.groupBy(*keys).agg(*aggs)
         else:
             out = df.agg(*aggs)
+        # quantile_merge post-step: type-7 weighted quantile over the merged
+        # (sorted) histogram entries — a scalar projection over the tiny
+        # aggregated rows, any level served by the same state
+        for sc, alias in zip(selects, aliases):
+            if sc.agg_fn == "quantile_merge":
+                level = sc.level if sc.level is not None else 0.5
+                out = out.withColumn(
+                    alias, F.expr(_quantile_from_entries(alias, level))
+                )
         if not config.select_group_by:
             out = out.select(*(a for a in aliases))
         value_alias = aliases[0] if aliases else None

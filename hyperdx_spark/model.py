@@ -45,6 +45,7 @@ AggFn = Literal[
     "min_merge",
     "max_merge",
     "count_distinct_merge",
+    "quantile_merge",
 ]
 
 Language = Literal["sql", "lucene"]

@@ -20,10 +20,15 @@ state encodings Spark supports natively:
   merged with ``hll_union_agg`` + ``hll_sketch_estimate`` (the
   ``uniqState``/``uniqMerge`` analogue — binary, mergeable, columnar).
 
-Quantile state (ClickHouse t-digest ``AggregateFunction(quantile)``) has no
-public persistable Spark sketch; a quantile select therefore *fails* the
-coverage check and the query falls back to the raw table — the same
-user-visible behavior as a reference MV that lacks the column.
+* quantile state -> ``map<quantized value, count>`` (fixed-precision
+  histogram: values quantized to ``floor(v*scale+0.5)/scale``). The
+  ``AggregateFunction(quantile)`` t-digest analogue
+  (materializedViews.ts:225-275): mergeable by entry concatenation, bounded
+  by the distinct quantized values, level-independent (one state answers any
+  quantile, weighted or not). Merge computes a type-7 weighted quantile over
+  the histogram (same definition as Spark ``percentile`` / DuckDB
+  ``quantile_cont``), so results match a direct quantile over the quantized
+  values exactly.
 
 At 100 TB the rollup read replaces the raw scan with a table that is
 ``raw_rows / (bucket_width * avg_series_cardinality)`` smaller; the rollup
@@ -56,17 +61,25 @@ _MERGE_FN = {
     "min": "min_merge",
     "max": "max_merge",
     "count_distinct": "count_distinct_merge",
+    "quantile": "quantile_merge",
 }
 
 
 @dataclass
 class AggregatedColumn:
     """One rollup column (types.ts:1769-1777): state of ``agg_fn`` over
-    ``source_column``, stored as ``mv_column``. count needs no source."""
+    ``source_column``, stored as ``mv_column``. count needs no source.
+
+    ``quantile_scale`` (quantile state only): values are quantized to
+    ``floor(v*scale + 0.5)/scale`` before counting — the fixed-precision
+    analogue of the reference's ``AggregateFunction(quantile)`` t-digest
+    (materializedViews.ts:225-275); state size is bounded by the distinct
+    quantized values, and any quantile level can be asked of the same state."""
 
     agg_fn: str
     mv_column: str
     source_column: Optional[str] = None
+    quantile_scale: int = 100
 
 
 @dataclass
@@ -112,8 +125,15 @@ def rollup_dataframe(
     bucket = F.timestamp_seconds(
         (F.unix_timestamp(ts) / step).cast("long") * step
     ).alias(mv.timestamp_column)
-    keys = [bucket] + [F.expr(translate_expr(d)).alias(d) for d in mv.dimension_columns]
+
+    def _keys():
+        return [bucket] + [
+            F.expr(translate_expr(d)).alias(d) for d in mv.dimension_columns
+        ]
+
+    key_names = [mv.timestamp_column] + list(mv.dimension_columns)
     aggs = []
+    quantile_cols: list[AggregatedColumn] = []
     for ac in mv.aggregated_columns:
         fn = ac.agg_fn
         src = F.expr(translate_expr(ac.source_column)) if ac.source_column else None
@@ -134,11 +154,37 @@ def rollup_dataframe(
             )
         elif fn == "count_distinct":
             aggs.append(F.hll_sketch_agg(src).alias(ac.mv_column))
+        elif fn == "quantile":
+            quantile_cols.append(ac)
         else:
             raise ValueError(
                 f"aggFn {fn!r} has no persistable rollup state in Spark"
             )
-    return base.groupBy(*keys).agg(*aggs)
+    if not aggs:
+        aggs = [F.count(F.lit(1)).alias("__rollup_rows")]
+    out = base.groupBy(*_keys()).agg(*aggs)
+    # quantile state: map<quantized value, count> built in its own two-level
+    # aggregation and joined back on the rollup key (build-time cost only;
+    # both sides are already partitioned by the group key)
+    for ac in quantile_cols:
+        src = F.expr(translate_expr(ac.source_column))
+        qv = (
+            F.floor(src.cast("double") * F.lit(float(ac.quantile_scale)) + F.lit(0.5))
+            / F.lit(float(ac.quantile_scale))
+        ).alias("__qv")
+        q = (
+            base.where(src.isNotNull())
+            .groupBy(*_keys(), qv)
+            .agg(F.count(F.lit(1)).alias("__qc"))
+            .groupBy(*[F.col(k) for k in key_names])
+            .agg(
+                F.map_from_entries(
+                    F.sort_array(F.collect_list(F.struct("__qv", "__qc")))
+                ).alias(ac.mv_column)
+            )
+        )
+        out = out.join(q, on=key_names, how="left")
+    return out
 
 
 def write_rollup(
@@ -256,6 +302,7 @@ def _convert_select(mv: MVConfig, sc: SelectCol) -> SelectCol:
         value_expression=match.mv_column,
         agg_fn=merge_fn,
         alias=sc.alias or f"{sc.agg_fn}({sc.value_expression})",
+        level=sc.level,
     )
 
 

@@ -248,3 +248,73 @@ def test_source_table_identity_check(mv):
     other = _cfg(source=Source(table="orders", timestamp_value_expression="ts"))
     check = try_rewrite_with_mv(other, guarded)
     assert not check.success and "built from" in check.errors[0]
+
+
+@pytest.fixture(scope="module")
+def mv_q(spark, sf_dir, tmp_path_factory):
+    from hyperdx_spark.io import load_table
+
+    path = str(tmp_path_factory.mktemp("rollup_q") / "events_hourly_q")
+    cfg = MVConfig(
+        path=path,
+        dimension_columns=["event_type"],
+        min_granularity="1 hour",
+        timestamp_column="bucket_ts",
+        aggregated_columns=[
+            AggregatedColumn("count", "cnt_state"),
+            AggregatedColumn("quantile", "q_state", source_column="value", quantile_scale=100),
+        ],
+    )
+    write_rollup(load_table(spark, sf_dir, "events"), cfg, "ts")
+    return cfg
+
+
+def test_quantile_state_merge_matches_direct(spark, sf_dir, mv_q):
+    """Merged histogram state must equal a direct quantile over the
+    quantized values (type-7), for multiple levels from ONE state."""
+    from pyspark.sql import functions as F
+
+    from hyperdx_spark.io import load_table
+
+    for level in (0.5, 0.9):
+        cfg = _cfg(
+            select=[
+                SelectCol(agg_fn="quantile", value_expression="value", level=level, alias="p"),
+                SelectCol(agg_fn="count", alias="cnt"),
+            ]
+        )
+        check = try_rewrite_with_mv(cfg, mv_q)
+        assert check.success, check.errors
+        df, expl = compile_with_mv(spark, cfg, [mv_q], sf_dir=sf_dir)
+        assert expl[0].success
+        got = {
+            (r["__timestamp"], r["event_type"]): r["p"] for r in df.collect()
+        }
+        ev = load_table(spark, sf_dir, "events", time_filter=("ts", *RANGE))
+        qv = (F.floor(F.col("value") * 100 + F.lit(0.5)) / 100.0).alias("qv")
+        day = F.timestamp_seconds(
+            (F.unix_timestamp("ts") / 86400).cast("long") * 86400
+        ).alias("__timestamp")
+        want = {
+            (r["__timestamp"], r["event_type"]): r["p"]
+            for r in ev.select(day, "event_type", qv)
+            .where(F.col("ts") < RANGE[1])
+            .groupBy("__timestamp", "event_type")
+            .agg(F.expr(f"percentile(qv, CAST({level} AS DOUBLE))").alias("p"))
+            .collect()
+        }
+        assert set(got) == set(want)
+        for k in got:
+            assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
+
+
+def test_quantile_state_is_bounded(spark, mv_q):
+    """State size = distinct quantized values, not raw rows."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(mv_q.path)
+    stats = df.select(
+        F.max(F.size(F.map_keys("q_state"))).alias("mx"),
+    ).collect()[0]
+    # value in [0,100] at scale 100 -> at most ~10001 keys ever
+    assert stats["mx"] <= 10001
