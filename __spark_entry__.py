@@ -1703,9 +1703,12 @@ SELECT id_a, id_b, round(cos, 4) AS cos FROM scored WHERE cos >= 0.5
 # --------------------------------------------------------------------------
 
 def q_multimodal_features(spark, sf_dir):
+    """REAL decode: documents rendered into actual PNG/WAV/Y4M payloads,
+    decoded by the pure-stdlib codecs (pipeline/codecs.py) and
+    feature-extracted via Arrow-batched mapInPandas — no stub in this path."""
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.media_from_documents(docs)
-    out = multimodal.decode_media(media, fake=True)
+    out = multimodal.decode_media(media, fake=False)
     # Serialize array/binary columns: the driver canonicalizes the result via
     # pandas sort_values, which dies on unhashable ndarray cells.
     for f in out.schema.fields:

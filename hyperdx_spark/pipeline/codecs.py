@@ -1,0 +1,305 @@
+"""Pure-stdlib media codecs (no PIL/libav in this environment).
+
+Real decoders/encoders for public formats implementable with the standard
+library + numpy:
+
+* PNG  — full chunk parse, zlib inflate, all five scanline filters
+         (none/sub/up/average/paeth), 8-bit gray/RGB/RGBA.
+* BMP  — uncompressed 24-bit BI_RGB.
+* WAV  — PCM via the stdlib ``wave`` module.
+* Y4M  — YUV4MPEG2 uncompressed video (plain-text header + raw 4:2:0
+         frames), the standard interchange format of the *mjpegtools*
+         toolchain — used here for frame sampling.
+
+JPEG and compressed video are NOT implemented (a faithful JPEG decoder is
+out of scope without libjpeg); :func:`sniff` reports them so callers can
+raise a clear unsupported-codec error instead of mis-decoding.
+
+These run inside Arrow-batched ``mapInPandas`` workers — per-image numpy
+vectorized work, no JVM involvement.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+import zlib
+
+import numpy as np
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # PNG color type -> samples per pixel
+
+
+# --------------------------------------------------------------------------
+# PNG
+# --------------------------------------------------------------------------
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """8-bit PNG from (h, w) gray or (h, w, 3|4) RGB(A) uint8."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 3 and arr.shape[2] == 1:
+        arr = arr[:, :, 0]
+    if arr.ndim == 2:
+        color_type, channels = 0, 1
+        arr = arr[:, :, None]
+    elif arr.shape[2] == 3:
+        color_type, channels = 2, 3
+    elif arr.shape[2] == 4:
+        color_type, channels = 6, 4
+    else:
+        raise ValueError(f"unsupported channel count {arr.shape[2]}")
+    h, w = arr.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    # filter byte 0 (None) per scanline
+    raw = np.concatenate(
+        [np.zeros((h, 1), np.uint8), arr.reshape(h, w * channels)], axis=1
+    ).tobytes()
+    return (
+        PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    p = a.astype(np.int16) + b.astype(np.int16) - c.astype(np.int16)
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """(h, w, channels) uint8 from an 8-bit gray/RGB(A) PNG."""
+    if not data.startswith(PNG_MAGIC):
+        raise ValueError("not a PNG")
+    pos, w = len(PNG_MAGIC), 0
+    h = bit_depth = color_type = interlace = 0
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+    if bit_depth != 8:
+        raise ValueError(f"unsupported PNG bit depth {bit_depth}")
+    if interlace:
+        raise ValueError("interlaced PNG not supported")
+    channels = _CHANNELS.get(color_type)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    rows = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    filters, scan = rows[:, 0], rows[:, 1:]
+    out = np.zeros((h, stride), np.uint8)
+    for y in range(h):
+        line = scan[y].copy()
+        f = filters[y]
+        prev = out[y - 1] if y else np.zeros(stride, np.uint8)
+        if f == 0:
+            out[y] = line
+        elif f == 1:  # Sub
+            for x in range(stride):
+                left = out[y, x - channels] if x >= channels else 0
+                out[y, x] = (int(line[x]) + int(left)) & 0xFF
+        elif f == 2:  # Up
+            out[y] = (line.astype(np.int16) + prev.astype(np.int16)).astype(np.uint8)
+        elif f == 3:  # Average
+            for x in range(stride):
+                left = out[y, x - channels] if x >= channels else 0
+                out[y, x] = (int(line[x]) + (int(left) + int(prev[x])) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                left = out[y, x - channels] if x >= channels else 0
+                ul = prev[x - channels] if x >= channels else 0
+                out[y, x] = (
+                    int(line[x]) + int(_paeth(
+                        np.uint8(left), prev[x], np.uint8(ul)
+                    ))
+                ) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+    return out.reshape(h, w, channels)
+
+
+# --------------------------------------------------------------------------
+# BMP (24-bit BI_RGB)
+# --------------------------------------------------------------------------
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("BMP encoder expects (h, w, 3)")
+    h, w = arr.shape[:2]
+    row = w * 3
+    pad = (4 - row % 4) % 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        body += arr[y, :, ::-1].tobytes()  # RGB -> BGR
+        body += b"\x00" * pad
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 14 + 40
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return bytes(header) + bytes(body)
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (offset,) = struct.unpack_from("<I", data, 10)
+    hdr_size, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", data, 14)
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    row = w * 3
+    pad = (4 - row % 4) % 4
+    out = np.zeros((abs(h), w, 3), np.uint8)
+    pos = offset
+    flip = h > 0
+    for y in range(abs(h)):
+        line = np.frombuffer(data, np.uint8, row, pos).reshape(w, 3)
+        out[abs(h) - 1 - y if flip else y] = line[:, ::-1]
+        pos += row + pad
+    return out
+
+
+# --------------------------------------------------------------------------
+# WAV (PCM)
+# --------------------------------------------------------------------------
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    with wave.open(io.BytesIO(data), "rb") as wf:
+        rate = wf.getframerate()
+        n = wf.getnframes()
+        raw = wf.readframes(n)
+        width = wf.getsampwidth()
+        channels = wf.getnchannels()
+    if width != 2:
+        raise ValueError(f"unsupported WAV sample width {width}")
+    arr = np.frombuffer(raw, "<i2")
+    if channels > 1:
+        arr = arr.reshape(-1, channels).mean(axis=1).astype(np.int16)
+    return arr, rate
+
+
+# --------------------------------------------------------------------------
+# Y4M (YUV4MPEG2, 4:2:0) — uncompressed video for frame sampling
+# --------------------------------------------------------------------------
+
+Y4M_MAGIC = b"YUV4MPEG2"
+
+
+def encode_y4m(frames: np.ndarray, fps: int = 25) -> bytes:
+    """frames: (n, h, w) uint8 — stored as the Y plane; U/V planes neutral."""
+    frames = np.asarray(frames, dtype=np.uint8)
+    n, h, w = frames.shape
+    if h % 2 or w % 2:
+        raise ValueError("Y4M 4:2:0 needs even dimensions")
+    head = f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 C420\n".encode()
+    uv = np.full((h // 2) * (w // 2), 128, np.uint8).tobytes()
+    out = bytearray(head)
+    for i in range(n):
+        out += b"FRAME\n" + frames[i].tobytes() + uv + uv
+    return bytes(out)
+
+
+def decode_y4m(data: bytes) -> tuple[np.ndarray, int]:
+    """-> (frames (n, h, w) uint8 luma, fps)."""
+    if not data.startswith(Y4M_MAGIC):
+        raise ValueError("not a YUV4MPEG2 stream")
+    nl = data.index(b"\n")
+    w = h = 0
+    fps = 25
+    for tok in data[:nl].split()[1:]:
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"F":
+            num, den = tok[1:].split(b":")
+            fps = max(int(num) // max(int(den), 1), 1)
+        elif tok[:1] == b"C" and tok not in (b"C420", b"C420jpeg", b"C420mpeg2"):
+            raise ValueError(f"unsupported Y4M chroma {tok!r}")
+    ysz, uvsz = w * h, (w // 2) * (h // 2)
+    frame_bytes = ysz + 2 * uvsz
+    frames = []
+    pos = nl + 1
+    while pos < len(data):
+        fnl = data.index(b"\n", pos)
+        if data[pos : pos + 5] != b"FRAME":
+            raise ValueError("bad Y4M frame header")
+        pos = fnl + 1
+        frames.append(
+            np.frombuffer(data, np.uint8, ysz, pos).reshape(h, w).copy()
+        )
+        pos += frame_bytes
+    return np.stack(frames) if frames else np.zeros((0, h, w), np.uint8), fps
+
+
+# --------------------------------------------------------------------------
+# sniffing + shared ops
+# --------------------------------------------------------------------------
+
+def sniff(data: bytes) -> str:
+    if data.startswith(PNG_MAGIC):
+        return "png"
+    if data[:2] == b"BM":
+        return "bmp"
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return "wav"
+    if data.startswith(Y4M_MAGIC):
+        return "y4m"
+    if data[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    return "unknown"
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    kind = sniff(data)
+    if kind == "png":
+        return decode_png(data)
+    if kind == "bmp":
+        return decode_bmp(data)
+    if kind == "jpeg":
+        raise ValueError(
+            "JPEG decoding is not supported in this environment (no libjpeg); "
+            "transcode to PNG/BMP upstream"
+        )
+    raise ValueError(f"unsupported image codec: {kind}")
+
+
+def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resize of (h, w[, c]) via numpy index maps."""
+    h, w = arr.shape[:2]
+    ys = (np.arange(height) * (h / height)).astype(np.int64).clip(0, h - 1)
+    xs = (np.arange(width) * (w / width)).astype(np.int64).clip(0, w - 1)
+    return arr[ys][:, xs]

@@ -1,10 +1,12 @@
 """Multimodal columns — image/audio/video as opaque ``binary`` + typed
 metadata, processed with Arrow-batched ``mapInPandas``.
 
-The decode step is STUBBED (no image/audio libraries in this container):
-``decode_image`` raises ``NotImplementedError`` unless ``fake=True``, which
-substitutes a deterministic content-derived feature vector so the Spark-side
-plumbing — schema, batch shape, partitioning — is real and testable.
+Decoding is REAL for the formats implementable without external codec
+libraries (pipeline/codecs.py): PNG, 24-bit BMP, PCM WAV, and YUV4MPEG2
+(Y4M) uncompressed video. JPEG / compressed video raise a clear
+unsupported-codec error (no libjpeg/libav in this environment). The
+``fake=True`` paths remain as cheap deterministic stand-ins for tests that
+only exercise plumbing.
 
 Scale notes: mapInPandas streams Arrow batches; per-batch memory is bounded
 by ``spark.sql.execution.arrow.maxRecordsPerBatch``. Binary payloads never
@@ -16,6 +18,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -30,6 +33,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from hyperdx_spark.pipeline import codecs
+
 FEATURE_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
@@ -42,14 +47,78 @@ FEATURE_SCHEMA = StructType(
 )
 
 
+def _fit(feats: list[float], dim: int) -> list[float]:
+    feats = [float(x) for x in feats[:dim]]
+    return feats + [0.0] * (dim - len(feats))
+
+
+def _image_features(arr: np.ndarray, dim: int) -> tuple[int, int, list[float]]:
+    h, w = arr.shape[:2]
+    channels = arr.shape[2] if arr.ndim == 3 else 1
+    flat = arr.astype(np.float64)
+    feats = [
+        flat.mean(),
+        flat.std(),
+        flat.min(),
+        flat.max(),
+        np.abs(np.diff(flat, axis=0)).mean() if h > 1 else 0.0,
+        np.abs(np.diff(flat, axis=1)).mean() if w > 1 else 0.0,
+        float(channels),
+        w / max(h, 1),
+    ]
+    return w, h, _fit(feats, dim)
+
+
+def _audio_features(samples: np.ndarray, rate: int, dim: int) -> tuple[int, int, list[float]]:
+    x = samples.astype(np.float64) / 32768.0
+    n = len(x)
+    zc = float(np.mean(np.abs(np.diff(np.signbit(x))))) if n > 1 else 0.0
+    feats = [
+        float(np.sqrt(np.mean(x * x))) if n else 0.0,  # rms
+        float(np.mean(np.abs(x))) if n else 0.0,
+        float(np.max(np.abs(x))) if n else 0.0,
+        zc,
+        float(rate),
+        n / max(rate, 1),  # duration s
+        float(np.percentile(x, 25)) if n else 0.0,
+        float(np.percentile(x, 75)) if n else 0.0,
+    ]
+    return n, rate, _fit(feats, dim)
+
+
+def _video_features(frames: np.ndarray, fps: int, dim: int) -> tuple[int, int, list[float]]:
+    n, h, w = frames.shape
+    flat = frames.astype(np.float64)
+    inter = np.abs(np.diff(flat, axis=0)).mean() if n > 1 else 0.0
+    feats = [float(n), float(fps), flat.mean(), flat.std(), inter,
+             float(w), float(h), w / max(h, 1)]
+    return w, h, _fit(feats, dim)
+
+
 def _fake_decode(payload: bytes, dim: int = 8) -> tuple[int, int, list[float]]:
-    """Deterministic stand-in for a real decoder: derives (w, h, features)
-    from the payload bytes. Replaced wholesale when codecs are available."""
+    """Deterministic stand-in decoder (plumbing tests only)."""
     n = len(payload)
     w = 16 + (n % 64)
     h = 16 + ((n // 64) % 64)
     feats = [float((payload[i % max(n, 1)] if n else 0) + i) for i in range(dim)]
     return w, h, feats
+
+
+def _real_decode(data: bytes, dim: int) -> tuple[int, int, list[float]]:
+    kind = codecs.sniff(data)
+    if kind in ("png", "bmp"):
+        return _image_features(codecs.decode_image(data), dim)
+    if kind == "wav":
+        samples, rate = codecs.decode_wav(data)
+        return _audio_features(samples, rate, dim)
+    if kind == "y4m":
+        frames, fps = codecs.decode_y4m(data)
+        return _video_features(frames, fps, dim)
+    if kind == "jpeg":
+        raise ValueError(
+            "JPEG decoding is not supported in this environment (no libjpeg)"
+        )
+    raise ValueError(f"unsupported media codec: {kind}")
 
 
 def decode_media(
@@ -63,23 +132,20 @@ def decode_media(
 ) -> DataFrame:
     """Decode + feature-extract a binary media column via mapInPandas.
 
-    With ``fake=False`` this raises NotImplementedError at execution time —
-    the container has no codecs; the plan/schema path is still exercised.
-    """
+    Real decoding for PNG/BMP/WAV/Y4M payloads (pipeline/codecs.py);
+    ``fake=True`` substitutes the deterministic stand-in."""
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "media decoding requires image/audio codecs not present in "
-                    "this environment; pass fake=True for the deterministic stub"
-                )
             rows = []
             for mid, kind, payload in zip(
                 pdf[id_col], pdf[kind_col], pdf[payload_col]
             ):
                 data = bytes(payload) if payload is not None else b""
-                w, h, feats = _fake_decode(data, feature_dim)
+                if fake:
+                    w, h, feats = _fake_decode(data, feature_dim)
+                else:
+                    w, h, feats = _real_decode(data, feature_dim)
                 rows.append(
                     {
                         "media_id": mid,
@@ -95,13 +161,46 @@ def decode_media(
     return df.mapInPandas(decode_batches, FEATURE_SCHEMA)
 
 
-def media_from_documents(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Build a synthetic media table from a text table (payload = utf-8
-    bytes) — exercises the binary-column path with the data we have."""
-    return df.select(
-        F.col(id_col).alias("media_id"),
-        F.lit("image").alias("kind"),
-        F.encode(F.col(text_col), "utf-8").alias("payload"),
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def media_from_documents(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Synthesize a REAL media table from a text table: each document is
+    rendered deterministically into an actual PNG image, PCM WAV clip, or
+    Y4M video (doc_id mod 3), so the decode path exercises true codecs."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                data = (text or "").encode("utf-8")
+                arr = np.frombuffer(data, np.uint8)
+                sel = int(mid) % 3
+                if sel == 0:  # PNG: text bytes tiled into a gray image
+                    w = 32
+                    h = max((len(arr) + w - 1) // w, 2)
+                    img = np.resize(arr, (h, w))
+                    payload, kind = codecs.encode_png(img), "image"
+                elif sel == 1:  # WAV: bytes as a centered waveform
+                    samples = (arr.astype(np.int16) - 128) * 256
+                    payload, kind = codecs.encode_wav(samples, rate=8000), "audio"
+                else:  # Y4M: a few tiled frames
+                    n_frames = min(max(len(arr) // 256, 1), 4)
+                    frames = np.resize(arr, (n_frames, 16, 16))
+                    payload, kind = codecs.encode_y4m(frames, fps=5), "video"
+                rows.append({"media_id": mid, "kind": kind, "payload": payload})
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return df.select(F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)).mapInPandas(
+        synth, MEDIA_SCHEMA
     )
 
 
@@ -124,30 +223,30 @@ def resize_images(
     payload_col: str = "payload",
     fake: bool = False,
 ) -> DataFrame:
-    """Resize plumbing: binary in → binary out at the target dimensions via
-    Arrow-batched mapInPandas. The pixel work is STUBBED (no codecs here):
-    ``fake=True`` substitutes a deterministic byte-downsample so the schema,
-    batch shape, and payload round-trip are real; ``fake=False`` raises at
-    execution, same contract as :func:`decode_media`."""
+    """Resize a binary image column via Arrow-batched mapInPandas: decode
+    (PNG/BMP), nearest-neighbor resample, re-encode as PNG. ``fake=True``
+    keeps the old deterministic byte-downsample stand-in."""
 
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image resize requires codecs not present in this "
-                    "environment; pass fake=True for the deterministic stub"
-                )
             rows = []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 data = bytes(payload) if payload is not None else b""
-                target = max(width * height, 1)
-                step = max(len(data) // target, 1)
+                if fake:
+                    target = max(width * height, 1)
+                    step = max(len(data) // target, 1)
+                    out = data[::step][:target]
+                else:
+                    arr = codecs.decode_image(data)
+                    out = codecs.encode_png(
+                        codecs.resize_nearest(arr, width, height)
+                    )
                 rows.append(
                     {
                         "media_id": mid,
                         "width": width,
                         "height": height,
-                        "payload": data[::step][:target],
+                        "payload": out,
                     }
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
@@ -174,32 +273,43 @@ def sample_frames(
     payload_col: str = "payload",
     fake: bool = False,
 ) -> DataFrame:
-    """Video frame sampling plumbing: one input row (video binary) fans out
-    to ≤ max_frames rows (frame_idx, ts_ms, frame binary). Decode STUBBED:
-    ``fake=True`` slices deterministic byte windows as stand-in frames; the
-    explode shape, schema, and per-batch memory profile are the real ones
-    (a mapInPandas generator may yield more rows than it consumes)."""
+    """Video frame sampling: one input row (Y4M binary) fans out to
+    <= max_frames rows (frame_idx, ts_ms, frame as PNG). A mapInPandas
+    generator may yield more rows than it consumes — the explode shape and
+    per-batch memory profile are the scale-relevant parts. ``fake=True``
+    slices byte windows instead of decoding."""
 
     def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "video decoding requires codecs not present in this "
-                    "environment; pass fake=True for the deterministic stub"
-                )
             rows = []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 data = bytes(payload) if payload is not None else b""
-                # fake duration: 100 bytes ~ 1 second of "video"
-                n_frames = min(max(len(data) // 100, 1), max_frames)
-                chunk = max(len(data) // max(n_frames, 1), 1)
-                for i in range(n_frames):
+                if fake:
+                    n_frames = min(max(len(data) // 100, 1), max_frames)
+                    chunk = max(len(data) // max(n_frames, 1), 1)
+                    for i in range(n_frames):
+                        rows.append(
+                            {
+                                "media_id": mid,
+                                "frame_idx": i,
+                                "ts_ms": i * every_ms,
+                                "frame": data[i * chunk : (i + 1) * chunk],
+                            }
+                        )
+                    continue
+                frames, fps = codecs.decode_y4m(data)
+                n = frames.shape[0]
+                # sample one frame per every_ms of wall time
+                step = max(int(round(fps * every_ms / 1000.0)), 1)
+                for out_idx, src_idx in enumerate(range(0, n, step)):
+                    if out_idx >= max_frames:
+                        break
                     rows.append(
                         {
                             "media_id": mid,
-                            "frame_idx": i,
-                            "ts_ms": i * every_ms,
-                            "frame": data[i * chunk : (i + 1) * chunk],
+                            "frame_idx": out_idx,
+                            "ts_ms": int(src_idx * 1000.0 / fps),
+                            "frame": codecs.encode_png(frames[src_idx]),
                         }
                     )
             yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])

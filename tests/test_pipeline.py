@@ -200,48 +200,120 @@ def test_cosine_pairs_threshold(spark, embeddings):
 
 # ------------------------------------------------------------------ multimodal
 
-def test_multimodal_stub_plumbing(spark, documents):
-    media = multimodal.media_from_documents(documents.limit(20))
-    feats = multimodal.decode_media(media, fake=True)
-    rows = feats.collect()
-    assert len(rows) == 20
+def test_codecs_roundtrip():
+    import numpy as np
+
+    from hyperdx_spark.pipeline import codecs
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (13, 9, 3), dtype=np.uint8)
+    assert np.array_equal(codecs.decode_png(codecs.encode_png(img)), img)
+    gray = rng.integers(0, 256, (5, 8), dtype=np.uint8)
+    assert np.array_equal(
+        codecs.decode_png(codecs.encode_png(gray))[:, :, 0], gray
+    )
+    assert np.array_equal(codecs.decode_bmp(codecs.encode_bmp(img)), img)
+    samples = (rng.integers(-32768, 32767, 500)).astype(np.int16)
+    back, rate = codecs.decode_wav(codecs.encode_wav(samples, rate=8000))
+    assert rate == 8000 and np.array_equal(back, samples)
+    frames = rng.integers(0, 256, (3, 16, 16), dtype=np.uint8)
+    fback, fps = codecs.decode_y4m(codecs.encode_y4m(frames, fps=5))
+    assert fps == 5 and np.array_equal(fback, frames)
+
+
+def test_png_filters_decode():
+    """Foreign PNGs may use Sub/Up/Average/Paeth filters — craft filtered
+    scanlines manually and check the unfilter logic."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from hyperdx_spark.pipeline import codecs
+
+    img = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    # encode each row with a different filter type
+    rows = []
+    prev = np.zeros(12, np.uint8)
+    flat = img.reshape(4, 12)
+    # row 0: filter 1 (Sub)
+    r = flat[0].astype(np.int16).copy()
+    r[3:] -= flat[0][:-3]
+    rows.append(bytes([1]) + bytes((r & 0xFF).astype(np.uint8)))
+    # row 1: filter 2 (Up)
+    rows.append(bytes([2]) + bytes(((flat[1].astype(np.int16) - flat[0]) & 0xFF).astype(np.uint8)))
+    # row 2: filter 3 (Average)
+    prev = flat[1]
+    cur = flat[2].astype(np.int16).copy()
+    for x in range(12):
+        left = int(flat[2][x - 3]) if x >= 3 else 0
+        cur[x] -= (left + int(prev[x])) // 2
+    rows.append(bytes([3]) + bytes((cur & 0xFF).astype(np.uint8)))
+    # row 3: filter 0
+    rows.append(bytes([0]) + bytes(flat[3]))
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    data = (
+        codecs.PNG_MAGIC
+        + codecs._png_chunk(b"IHDR", ihdr)
+        + codecs._png_chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + codecs._png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(codecs.decode_png(data), img)
+
+
+def test_multimodal_real_decode(spark, documents):
+    media = multimodal.media_from_documents(documents.limit(21))
+    rows = multimodal.decode_media(media, fake=False).collect()
+    assert len(rows) == 21
+    kinds = {r["kind"] for r in rows}
+    assert kinds == {"image", "audio", "video"}
     for r in rows:
         assert r["n_bytes"] > 0
         assert len(r["features"]) == 8
-        assert r["kind"] == "image"
+        if r["kind"] == "image":
+            assert r["width"] == 32 and r["height"] >= 2
+        if r["kind"] == "audio":
+            assert r["height"] == 8000  # sample rate
+        if r["kind"] == "video":
+            assert (r["width"], r["height"]) == (16, 16)
 
 
-def test_multimodal_decode_raises_without_codecs(spark, documents):
-    media = multimodal.media_from_documents(documents.limit(1))
-    feats = multimodal.decode_media(media, fake=False)
-    with pytest.raises(Exception, match="NotImplementedError|codecs"):
-        feats.collect()
+def test_multimodal_jpeg_unsupported(spark):
+    import pandas as pd
+
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(b"\xff\xd8\xff\xe0fakejpeg"))],
+        "media_id long, kind string, payload binary",
+    )
+    with pytest.raises(Exception, match="JPEG"):
+        multimodal.decode_media(media, fake=False).collect()
 
 
-def test_resize_and_frame_sample_plumbing(spark, sf_dir):
-    import pytest as _pytest
+def test_resize_and_frame_sample_real(spark, sf_dir):
+    import numpy as np
 
     from hyperdx_spark.io import load_table
-    from hyperdx_spark.pipeline import multimodal
+    from hyperdx_spark.pipeline import codecs, multimodal
 
     media = multimodal.media_from_documents(
-        load_table(spark, sf_dir, "documents").limit(20)
+        load_table(spark, sf_dir, "documents").limit(21)
     )
-    resized = multimodal.resize_images(media, width=4, height=4, fake=True)
-    rows = resized.collect()
-    assert len(rows) == 20
-    assert all(r["width"] == 4 and len(r["payload"]) <= 16 for r in rows)
+    images = media.where("kind = 'image'")
+    resized = multimodal.resize_images(images, width=4, height=4).collect()
+    assert resized
+    for r in resized:
+        arr = codecs.decode_png(bytes(r["payload"]))
+        assert arr.shape[:2] == (4, 4)
 
-    frames = multimodal.sample_frames(media, every_ms=500, max_frames=4, fake=True)
-    out = frames.collect()
-    assert len(out) >= 20  # fan-out: >= 1 frame per video
+    videos = media.where("kind = 'video'")
+    frames = multimodal.sample_frames(videos, every_ms=200, max_frames=4).collect()
+    assert frames
     by_id = {}
-    for r in out:
+    for r in frames:
         by_id.setdefault(r["media_id"], []).append(r)
     for frs in by_id.values():
-        assert [f["frame_idx"] for f in sorted(frs, key=lambda x: x["frame_idx"])] == list(range(len(frs)))
-        assert all(f["ts_ms"] == f["frame_idx"] * 500 for f in frs)
-
-    # the non-fake path must raise loudly at execution time
-    with _pytest.raises(Exception, match="NotImplementedError|codecs"):
-        multimodal.resize_images(media, width=4, height=4, fake=False).collect()
+        idxs = [f["frame_idx"] for f in sorted(frs, key=lambda x: x["frame_idx"])]
+        assert idxs == list(range(len(idxs)))
+        for f in frs:
+            arr = codecs.decode_png(bytes(f["frame"]))
+            assert arr.shape[:2] == (16, 16)
