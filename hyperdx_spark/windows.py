@@ -153,24 +153,19 @@ def _pin_series_limit(
         return cfg
     full = compile_chart_config(spark, cfg, sf_dir=sf_dir)
     group_cols = [c for c in full.columns if c in cfg.group_by or c.startswith("__group_")]
-    pinned = [tuple(r) for r in full.select(*group_cols).distinct().collect()]
+    pinned_df = full.select(*group_cols).distinct()
+    pinned = [tuple(r) for r in pinned_df.collect()]  # bounded by series_limit
     if not pinned:
         return replace(cfg, series_limit=None)
+    # The pinned set rides as a temp view + IN-subquery instead of inlined
+    # SQL literals: no value-escaping surface, and Catalyst turns it into a
+    # broadcast semi-join against the tiny (<= series_limit rows) set.
+    import uuid
 
-    def lit_sql(v) -> str:
-        if v is None:
-            return "NULL"
-        if isinstance(v, str):
-            return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
-        return repr(v)
-
-    exprs = [g for g in cfg.group_by]
-    if len(exprs) == 1:
-        cond = f"({exprs[0]}) IN (" + ", ".join(lit_sql(t[0]) for t in pinned) + ")"
-    else:
-        tup = "(" + ", ".join(exprs) + ")"
-        vals = ", ".join("(" + ", ".join(lit_sql(v) for v in t) + ")" for t in pinned)
-        cond = f"{tup} IN ({vals})"
+    view = f"__hdx_series_pin_{uuid.uuid4().hex[:12]}"
+    spark.createDataFrame(pinned, schema=pinned_df.schema).createOrReplaceTempView(view)
+    tup = "(" + ", ".join(cfg.group_by) + ")"
+    cond = f"{tup} IN (SELECT * FROM {view})"
     return replace(
         cfg,
         series_limit=None,
