@@ -2030,6 +2030,47 @@ FROM events WHERE {TIME_WHERE}
 ORDER BY event_id LIMIT 100
 """
 
+def q_builder_sql(spark, sf_dir):
+    """builderToRawSql parity (core/builderToRawSql.ts): the builder config
+    renders to an editable $__-macro SQL template, which is then executed
+    through the macro engine — result must equal the compiled config."""
+    from hyperdx_spark.builder_sql import builder_to_raw_sql
+    from hyperdx_spark.io import register_tables
+    from hyperdx_spark.macros import replace_macros
+
+    ev = load_table(spark, sf_dir, "events")
+    cfg = ChartConfig(
+        source=_src(),
+        select=[
+            SelectCol(agg_fn="count", alias="cnt"),
+            SelectCol(agg_fn="avg", value_expression="value", alias="avg_v"),
+        ],
+        where="error",
+        where_language="lucene",
+        granularity="1 day",
+        group_by=["event_type"],
+        date_range=RANGE,
+    )
+    tpl = builder_to_raw_sql(cfg, schema=ev.schema)
+    if tpl.is_error:
+        raise RuntimeError(tpl.error)
+    sql = replace_macros(
+        tpl.sql, date_range=RANGE, interval_seconds=86400, table="events"
+    )
+    register_tables(spark, sf_dir, ("events",), time_filter=("ts", *RANGE))
+    return _round4(spark.sql(sql))
+
+
+O_BUILDER_SQL = f"""
+SELECT make_timestamp((floor(epoch(ts))::BIGINT // 86400) * 86400 * 1000000) AS __timestamp,
+       event_type, count(*) AS cnt, round(avg({_NUMV}), 4) AS avg_v
+FROM events
+WHERE {TIME_WHERE}
+  AND list_contains(list_filter(string_split_regex(lower(concat_ws(' ', event_type, props)), '[^a-z0-9]+'), t -> t != ''), 'error')
+GROUP BY 1, 2
+"""
+
+
 def q_mv_quantile(spark, sf_dir):
     """Quantile answered FROM the rollup: the hourly MV carries a
     fixed-precision histogram state (map<quantized value, count>,
@@ -2331,6 +2372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_none_projection": q_none_projection,
         "q_chcompat": q_chcompat,
         "q_materialized_col": q_materialized_col,
+        "q_builder_sql": q_builder_sql,
         "q_mv_quantile": q_mv_quantile,
         "q_session_list": q_session_list,
         "q_session_filtered": q_session_filtered,
@@ -2401,6 +2443,7 @@ def oracle_sql() -> dict[str, str]:
         "q_none_projection": O_NONE_PROJECTION,
         "q_chcompat": O_CHCOMPAT,
         "q_materialized_col": O_MATERIALIZED_COL,
+        "q_builder_sql": O_BUILDER_SQL,
         "q_mv_quantile": O_MV_QUANTILE,
         "q_session_list": O_SESSION_LIST,
         "q_session_filtered": O_SESSION_FILTERED,

@@ -453,3 +453,60 @@ def test_materialized_substitute_spellings():
     assert out == "`mat_k` = '5'"
     # unmapped accessors untouched
     assert substitute("get_json_object(props, '$.z')", mapping) == "get_json_object(props, '$.z')"
+
+
+def test_builder_to_raw_sql_roundtrip(spark, sf_dir, events_source):
+    from hyperdx_spark.builder_sql import builder_to_raw_sql
+    from hyperdx_spark.io import load_table, register_tables
+    from hyperdx_spark.macros import replace_macros
+
+    ev = load_table(spark, sf_dir, "events")
+    cfg = ChartConfig(
+        source=events_source,
+        select=[
+            SelectCol(agg_fn="count", alias="cnt"),
+            SelectCol(agg_fn="sum", value_expression="value", alias="s"),
+        ],
+        where="error",
+        where_language="lucene",
+        granularity="1 day",
+        group_by=["event_type"],
+        having="cnt > 0",
+        date_range=RANGE,
+    )
+    tpl = builder_to_raw_sql(cfg, schema=ev.schema)
+    assert not tpl.is_error
+    assert "$__timeFilter" in tpl.sql and "$__sourceTable" in tpl.sql
+    sql = replace_macros(tpl.sql, date_range=RANGE, interval_seconds=86400, table="events")
+    register_tables(spark, sf_dir, ("events",), time_filter=("ts", *RANGE))
+    got = sorted(map(tuple, spark.sql(sql).collect()))
+    want = sorted(map(tuple, compile_chart_config(spark, cfg, sf_dir=sf_dir).collect()))
+    assert got == want
+
+
+def test_builder_to_raw_sql_errors(spark, sf_dir, events_source):
+    from hyperdx_spark.builder_sql import builder_to_raw_sql
+
+    # string select is Search-style -> not convertible
+    t = builder_to_raw_sql(ChartConfig(source=events_source, select="event_id"))
+    assert t.is_error and "cannot be auto-converted" in t.error
+    # lucene condition without schema
+    t2 = builder_to_raw_sql(
+        ChartConfig(
+            source=events_source,
+            select=[SelectCol(agg_fn="count", alias="c")],
+            where="error",
+            where_language="lucene",
+        )
+    )
+    assert t2.is_error and "schema" in t2.error
+    # series limit is a client feature
+    t3 = builder_to_raw_sql(
+        ChartConfig(
+            source=events_source,
+            select=[SelectCol(agg_fn="count", alias="c")],
+            series_limit=5,
+            group_by=["event_type"],
+        )
+    )
+    assert t3.is_error
