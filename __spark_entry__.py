@@ -2030,6 +2030,69 @@ FROM events WHERE {TIME_WHERE}
 ORDER BY event_id LIMIT 100
 """
 
+def q_otlp_ingest(spark, sf_dir):
+    """Ingest sink round-trip (§2.1 sink): events rendered as OTLP/JSON
+    lines, streamed through parse_otlp_logs -> date-partitioned parquet,
+    then aggregated from the written table. Must equal aggregating the
+    source rows directly."""
+    import tempfile
+
+    from hyperdx_spark.streaming.ingest import (
+        parse_otlp_logs,
+        read_otlp_stream,
+        write_ingest,
+    )
+
+    ev = load_table(spark, sf_dir, "events", time_filter=("ts", *RANGE))
+    line = F.to_json(
+        F.struct(
+            F.array(
+                F.struct(
+                    F.struct(
+                        F.array(
+                            F.struct(
+                                F.lit("service.name").alias("key"),
+                                F.struct(F.lit("svc").alias("stringValue")).alias("value"),
+                            )
+                        ).alias("attributes")
+                    ).alias("resource"),
+                    F.array(
+                        F.struct(
+                            F.struct(F.lit("lib").alias("name")).alias("scope"),
+                            F.array(
+                                F.struct(
+                                    (F.unix_micros("ts") * 1000).cast("string").alias("timeUnixNano"),
+                                    F.col("event_type").alias("severityText"),
+                                    F.struct(F.col("props").alias("stringValue")).alias("body"),
+                                )
+                            ).alias("logRecords"),
+                        )
+                    ).alias("scopeLogs"),
+                )
+            ).alias("resourceLogs")
+        )
+    )
+    base = tempfile.mkdtemp(prefix="hdx_otlp_")
+    src_dir, out_dir, ckpt = (os.path.join(base, d) for d in ("in", "out", "ckpt"))
+    ev.select(line.alias("value")).write.mode("overwrite").text(src_dir)
+    parsed = parse_otlp_logs(read_otlp_stream(spark, src_dir))
+    q = write_ingest(parsed, out_dir, ckpt, available_now=True)
+    q.awaitTermination(300)
+    table = spark.read.parquet(out_dir)
+    return table.groupBy(F.col("severity_text").alias("event_type")).agg(
+        F.count("*").alias("cnt"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+    )
+
+
+O_OTLP_INGEST = f"""
+SELECT event_type, count(*) AS cnt, min(ts) AS min_ts, max(ts) AS max_ts
+FROM events WHERE {TIME_WHERE}
+GROUP BY 1
+"""
+
+
 def q_builder_sql(spark, sf_dir):
     """builderToRawSql parity (core/builderToRawSql.ts): the builder config
     renders to an editable $__-macro SQL template, which is then executed
@@ -2372,6 +2435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_none_projection": q_none_projection,
         "q_chcompat": q_chcompat,
         "q_materialized_col": q_materialized_col,
+        "q_otlp_ingest": q_otlp_ingest,
         "q_builder_sql": q_builder_sql,
         "q_mv_quantile": q_mv_quantile,
         "q_session_list": q_session_list,
@@ -2443,6 +2507,7 @@ def oracle_sql() -> dict[str, str]:
         "q_none_projection": O_NONE_PROJECTION,
         "q_chcompat": O_CHCOMPAT,
         "q_materialized_col": O_MATERIALIZED_COL,
+        "q_otlp_ingest": O_OTLP_INGEST,
         "q_builder_sql": O_BUILDER_SQL,
         "q_mv_quantile": O_MV_QUANTILE,
         "q_session_list": O_SESSION_LIST,

@@ -179,3 +179,94 @@ def test_watermark_single_emission_with_late_rows(spark, tmp_path):
     assert datetime(2024, 1, 1, 10, 0) in set(emitted)
     by_ts = {r["__timestamp"]: r["cnt"] for r in rows}
     assert by_ts[datetime(2024, 1, 1, 10, 0)] in (2, 3)
+
+
+def test_otlp_ingest_end_to_end(spark, tmp_path):
+    """OTLP/JSON lines -> parse -> partitioned parquet sink -> queryable via
+    ChartConfig with the standard log-source role expressions."""
+    import json
+
+    from hyperdx_spark.compile import compile_chart_config
+    from hyperdx_spark.model import ChartConfig, SelectCol, Source
+    from hyperdx_spark.streaming.ingest import (
+        parse_otlp_logs,
+        read_otlp_stream,
+        write_ingest,
+    )
+
+    src_dir = tmp_path / "otlp_in"
+    out_dir = tmp_path / "otel_logs"
+    ckpt = tmp_path / "ckpt"
+    src_dir.mkdir()
+
+    def payload(ts_ns, sev, body, svc):
+        return {
+            "resourceLogs": [
+                {
+                    "resource": {
+                        "attributes": [
+                            {"key": "service.name", "value": {"stringValue": svc}},
+                            {"key": "host", "value": {"stringValue": "h1"}},
+                        ]
+                    },
+                    "scopeLogs": [
+                        {
+                            "scope": {"name": "lib"},
+                            "logRecords": [
+                                {
+                                    "timeUnixNano": str(ts_ns),
+                                    "severityText": sev,
+                                    "severityNumber": 17 if sev == "ERROR" else 9,
+                                    "traceId": "a" * 32,
+                                    "spanId": "b" * 16,
+                                    "body": {"stringValue": body},
+                                    "attributes": [
+                                        {"key": "k", "value": {"intValue": "42"}}
+                                    ],
+                                }
+                            ],
+                        }
+                    ],
+                }
+            ]
+        }
+
+    base_ns = 1704067200_000_000_000  # 2024-01-01
+    lines = [
+        json.dumps(payload(base_ns + i * 3_600_000_000_000, "ERROR" if i % 2 else "INFO",
+                           f"message {i}", "svc-a"))
+        for i in range(6)
+    ]
+    (src_dir / "batch1.jsonl").write_text("\n".join(lines))
+
+    stream = read_otlp_stream(spark, str(src_dir))
+    parsed = parse_otlp_logs(stream)
+    q = write_ingest(parsed, str(out_dir), str(ckpt), available_now=True)
+    q.awaitTermination(120)
+
+    table = spark.read.parquet(str(out_dir))
+    rows = table.collect()
+    assert len(rows) == 6
+    r = {row["body"]: row for row in rows}
+    assert r["message 1"]["severity_text"] == "ERROR"
+    assert r["message 0"]["service_name"] == "svc-a"
+    assert r["message 0"]["resource_attributes"]["host"] == "h1"
+    assert r["message 0"]["log_attributes"]["k"] == "42"
+    assert "__ingest_date" in table.columns
+
+    # the written table answers a ChartConfig with log-source roles
+    table.createOrReplaceTempView("otel_logs_test")
+    cfg = ChartConfig(
+        source=Source(
+            table="otel_logs_test",
+            timestamp_value_expression="ts",
+            severity_text_expression="severity_text",
+            implicit_column_expression="body",
+        ),
+        select=[SelectCol(agg_fn="count", alias="cnt")],
+        where="severity_text:ERROR",
+        where_language="lucene",
+        date_range=(datetime(2024, 1, 1), datetime(2024, 1, 2)),
+    )
+    out = compile_chart_config(spark, cfg).collect()
+    assert out[0]["cnt"] == 3
