@@ -442,3 +442,65 @@ def simhash_near_duplicates(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+# ---------------------------------------------------------------- clustering
+
+def dedup_groups(
+    pairs: DataFrame,
+    *,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Cluster near-duplicate pairs into groups: connected components by
+    iterative min-label propagation, the standard DataFrame-native CC (each
+    round: label = min(label, neighbors' labels); converge in
+    O(component diameter) rounds — near-dup clusters are shallow, so a
+    handful of shuffles regardless of corpus size; ``max_iterations`` is a
+    pathological-chain backstop).
+
+    Returns (id, group_id, is_keeper): group_id = min member id (the kept
+    document in keep-lowest-id dedup policies). Only ids that appear in a
+    pair are returned — everything else is its own singleton group.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("lbl", F.col("id"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))).alias("lbl"),
+            )
+        )
+        new_labels = new_labels.persist()
+        changed = (
+            new_labels.join(labels.withColumnRenamed("lbl", "old"), on="id")
+            .where(F.col("lbl") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()  # no-op on the (unpersisted) first iteration
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id"),
+        F.col("lbl").alias("group_id"),
+        (F.col("id") == F.col("lbl")).alias("is_keeper"),
+    )

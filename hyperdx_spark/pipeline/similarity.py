@@ -208,3 +208,77 @@ def cosine_pairs(
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def _centroids(
+    corpus: DataFrame, *, id_col: str, vec_col: str, nlist: int, seed: int
+) -> DataFrame:
+    """Deterministic IVF centroids: the nlist corpus vectors with the
+    smallest xxhash64(id, seed) — a uniform (hash-ordered) sample that is
+    reproducible across runs and engines, no iterative k-means needed for a
+    coarse quantizer. One pass + a tiny top-k."""
+    w = Window.orderBy(F.col("__h"), F.col("cent_id"))
+    return (
+        corpus.select(
+            F.col(id_col).alias("cent_id"),
+            F.col(vec_col).alias("cvec"),
+            F.xxhash64(F.col(id_col), F.lit(seed)).alias("__h"),
+        )
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= nlist)
+        .drop("__rk", "__h")
+    )
+
+
+def _assign(df: DataFrame, cents: DataFrame, vec: str, n: int) -> DataFrame:
+    """Attach the top-n centroid ids by cosine to every row (centroids
+    broadcast — the quantizer is tiny by construction)."""
+    scored = df.crossJoin(F.broadcast(cents)).withColumn(
+        "__ccos", cosine(F.col(vec), F.col("cvec"))
+    )
+    w = Window.partitionBy(*[c for c in df.columns]).orderBy(
+        F.desc("__ccos"), F.asc("cent_id")
+    )
+    return (
+        scored.withColumn("__crk", F.row_number().over(w))
+        .where(F.col("__crk") <= n)
+        .drop("cvec", "__ccos", "__crk")
+    )
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: corpus vectors are assigned to
+    their nearest coarse centroid once; a query scores only the lists of its
+    ``nprobe`` nearest centroids. At scale the exact-cosine work drops by
+    ~nlist/nprobe; the per-list layout is the natural partitioning for a
+    100 TB corpus (cluster by cent_id, one list per partition group).
+
+    Same output contract as :func:`cosine_topk`: (query_id, match_id, cos,
+    rank) — and with nprobe high enough to cover the true neighbors it is
+    exactly the brute-force answer."""
+    cents = _centroids(corpus, id_col=id_col, vec_col=vec_col, nlist=nlist, seed=seed)
+    c = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("__cv"))
+    cl = _assign(c, cents, "__cv", 1)  # each corpus vector lives in ONE list
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    ql = _assign(q, cents, "__qv", nprobe)  # queries probe several lists
+    cand = (
+        cl.join(F.broadcast(ql), on="cent_id")
+        .where(F.col("query_id") != F.col("match_id"))
+        .withColumn("cos", cosine(F.col("__qv"), F.col("__cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("match_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "match_id", "cos", "rank")
+    )
