@@ -183,7 +183,20 @@ def rollup_dataframe(
                 ).alias(ac.mv_column)
             )
         )
-        out = out.join(q, on=key_names, how="left")
+        # Null-safe equality per key: NULL dimension values never match in a
+        # plain equi-join, which would leave those groups with a NULL quantile
+        # state while the raw-table query returns a value.
+        q = q.select(
+            *[F.col(k).alias(f"__qk_{i}") for i, k in enumerate(key_names)],
+            ac.mv_column,
+        )
+        cond = None
+        for i, k in enumerate(key_names):
+            c = out[k].eqNullSafe(q[f"__qk_{i}"])
+            cond = c if cond is None else (cond & c)
+        out = out.join(q, cond, "left").drop(
+            *[f"__qk_{i}" for i in range(len(key_names))]
+        )
     return out
 
 

@@ -26,6 +26,7 @@ not reported similarity.)
 
 from __future__ import annotations
 
+import warnings
 from typing import Optional
 
 from pyspark.sql import Column, DataFrame
@@ -475,7 +476,8 @@ def dedup_groups(
         edges.select(F.col("src").alias("id")).distinct()
         .withColumn("lbl", F.col("id"))
     )
-    for _ in range(max_iterations):
+    converged = False
+    for it in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
@@ -488,7 +490,13 @@ def dedup_groups(
                 F.least(F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))).alias("lbl"),
             )
         )
-        new_labels = new_labels.persist()
+        # Truncate lineage every few rounds: without this the plan tree at
+        # iteration N nests N joins and analysis/scheduling cost blows up on
+        # deep components.
+        if it > 0 and it % 5 == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.persist()
         changed = (
             new_labels.join(labels.withColumnRenamed("lbl", "old"), on="id")
             .where(F.col("lbl") != F.col("old"))
@@ -498,7 +506,17 @@ def dedup_groups(
         labels.unpersist()  # no-op on the (unpersisted) first iteration
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        warnings.warn(
+            f"dedup_groups: min-label propagation did not converge within "
+            f"{max_iterations} iterations — a component with diameter > "
+            f"{max_iterations} is split into multiple groups; raise "
+            f"max_iterations for chain-shaped near-dup graphs",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(
         F.col("id"),
         F.col("lbl").alias("group_id"),

@@ -133,11 +133,17 @@ def parse_otlp_logs(df: DataFrame, payload_col: str = "value") -> DataFrame:
         F.col("sl.scope.name").alias("scope_name"),
         F.explode("sl.logRecords").alias("lr"),
     )
-    ts_ns = F.col("lr.timeUnixNano").cast("long")
-    obs_ns = F.coalesce(F.col("lr.observedTimeUnixNano").cast("long"), ts_ns)
+    # BIGINT `div` keeps the ns→us arithmetic exact end to end: epoch nanos
+    # (~1.7e18) exceed double's 2^53 exact range, so float division would land
+    # a few percent of microsecond timestamps 1us off.
+    ts_us = F.expr("CAST(lr.timeUnixNano AS BIGINT) div 1000")
+    obs_us = F.expr(
+        "coalesce(CAST(lr.observedTimeUnixNano AS BIGINT),"
+        " CAST(lr.timeUnixNano AS BIGINT)) div 1000"
+    )
     return rec.select(
-        F.timestamp_micros((ts_ns / 1000).cast("long")).alias("ts"),
-        F.timestamp_micros((obs_ns / 1000).cast("long")).alias("observed_ts"),
+        F.timestamp_micros(ts_us).alias("ts"),
+        F.timestamp_micros(obs_us).alias("observed_ts"),
         F.coalesce(F.col("lr.severityText"), F.lit("")).alias("severity_text"),
         F.coalesce(F.col("lr.severityNumber"), F.lit(0)).alias("severity_number"),
         F.coalesce(F.col("lr.traceId"), F.lit("")).alias("trace_id"),

@@ -143,20 +143,20 @@ def granularity_aligned_windows(
 
 def _pin_series_limit(
     spark: SparkSession, cfg: ChartConfig, sf_dir: Optional[str]
-) -> ChartConfig:
+) -> tuple[ChartConfig, Optional[str]]:
     """Series-limit pinning (useChartConfig.tsx:159-178): rank top-N groups
     over the FULL date range once, then filter every chunk to that set."""
     from hyperdx_spark.compile import compile_chart_config
     from hyperdx_spark.model import SqlFilter
 
     if not cfg.series_limit or not cfg.group_by:
-        return cfg
+        return cfg, None
     full = compile_chart_config(spark, cfg, sf_dir=sf_dir)
     group_cols = [c for c in full.columns if c in cfg.group_by or c.startswith("__group_")]
     pinned_df = full.select(*group_cols).distinct()
     pinned = [tuple(r) for r in pinned_df.collect()]  # bounded by series_limit
     if not pinned:
-        return replace(cfg, series_limit=None)
+        return replace(cfg, series_limit=None), None
     # The pinned set rides as a temp view + IN-subquery instead of inlined
     # SQL literals: no value-escaping surface, and Catalyst turns it into a
     # broadcast semi-join against the tiny (<= series_limit rows) set.
@@ -166,10 +166,13 @@ def _pin_series_limit(
     spark.createDataFrame(pinned, schema=pinned_df.schema).createOrReplaceTempView(view)
     tup = "(" + ", ".join(cfg.group_by) + ")"
     cond = f"{tup} IN (SELECT * FROM {view})"
-    return replace(
-        cfg,
-        series_limit=None,
-        filters=list(cfg.filters) + [SqlFilter(condition=cond, type="sql")],
+    return (
+        replace(
+            cfg,
+            series_limit=None,
+            filters=list(cfg.filters) + [SqlFilter(condition=cond, type="sql")],
+        ),
+        view,
     )
 
 
@@ -197,15 +200,22 @@ def chunked_chart(
             compile_chart_config(spark, cfg, sf_dir=sf_dir, settings=settings),
         )
         return
-    pinned_cfg = _pin_series_limit(spark, cfg, sf_dir)
-    for w in granularity_aligned_windows(cfg, durations):
-        sub = replace(
-            pinned_cfg,
-            date_range=(w.start, w.end),
-            date_range_end_inclusive=w.end_inclusive,
-            fill_nulls=None,  # spine is per-chunk; fill at merge time instead
-        )
-        yield w, compile_chart_config(spark, sub, sf_dir=sf_dir, settings=settings)
+    pinned_cfg, pin_view = _pin_series_limit(spark, cfg, sf_dir)
+    try:
+        for w in granularity_aligned_windows(cfg, durations):
+            sub = replace(
+                pinned_cfg,
+                date_range=(w.start, w.end),
+                date_range_end_inclusive=w.end_inclusive,
+                fill_nulls=None,  # spine is per-chunk; fill at merge time instead
+            )
+            yield w, compile_chart_config(spark, sub, sf_dir=sf_dir, settings=settings)
+    finally:
+        # Every chunk's plan is resolved against the pin view at compile time
+        # above, so the view can go as soon as iteration ends — long-lived
+        # dashboard sessions must not accumulate catalog entries.
+        if pin_view is not None:
+            spark.catalog.dropTempView(pin_view)
 
 
 def run_chunked(
