@@ -119,6 +119,29 @@ class BinOp:
     op: str
     left: "Expr"
     right: "Expr"
+    # vector-matching modifiers (prometheus.ts passthrough parity: the
+    # reference serves the full language; these are the k8s-dashboard idioms)
+    on: Optional[list[str]] = None        # on(l1, l2)
+    ignoring: Optional[list[str]] = None  # ignoring(l1, l2)
+    group: Optional[str] = None           # 'left' | 'right' (many-to-one)
+    group_labels: list[str] = field(default_factory=list)
+
+
+@dataclass
+class LabelReplace:
+    arg: "Expr"
+    dst: str
+    replacement: str
+    src: str
+    regex: str
+
+
+@dataclass
+class LabelJoin:
+    arg: "Expr"
+    dst: str
+    sep: str
+    srcs: list[str]
 
 
 @dataclass
@@ -178,20 +201,58 @@ class _Parser:
         if t[1] != val:
             raise ValueError(f"expected {val!r}, got {t[1]!r}")
 
-    # expr := term (('+'|'-') term)*   — scalar ops only
+    # expr := term (('+'|'-') [matching] term)*
     def expr(self):
         node = self.term()
         while self.peek() and self.peek()[1] in ("+", "-"):
             op = self.next()[1]
-            node = BinOp(op, node, self.term())
+            mods = self._match_modifiers()
+            node = BinOp(op, node, self.term(), **mods)
         return node
 
     def term(self):
         node = self.atom()
         while self.peek() and self.peek()[1] in ("*", "/"):
             op = self.next()[1]
-            node = BinOp(op, node, self.atom())
+            mods = self._match_modifiers()
+            node = BinOp(op, node, self.atom(), **mods)
         return node
+
+    def _label_list(self) -> list[str]:
+        """Parse '( label, label, ... )' — possibly empty."""
+        self.expect("(")
+        labels: list[str] = []
+        while True:
+            t = self.peek()
+            if t and t[1] == ")":
+                self.next()
+                break
+            k, lbl = self.next()
+            if k != "id":
+                raise ValueError(f"bad label in matching list: {lbl!r}")
+            labels.append(lbl)
+            t = self.peek()
+            if t and t[1] == ",":
+                self.next()
+        return labels
+
+    def _match_modifiers(self) -> dict:
+        """`on(...)/ignoring(...)` + optional `group_left/group_right[(...)]`
+        after a binary operator (Prometheus vector matching)."""
+        mods: dict = {}
+        t = self.peek()
+        if t and t[0] == "id" and t[1] in ("on", "ignoring"):
+            kind = self.next()[1]
+            labels = self._label_list()
+            mods["on" if kind == "on" else "ignoring"] = labels
+            t = self.peek()
+            if t and t[0] == "id" and t[1] in ("group_left", "group_right"):
+                self.next()
+                mods["group"] = t[1][len("group_"):]
+                nxt = self.peek()
+                if nxt and nxt[1] == "(":
+                    mods["group_labels"] = self._label_list()
+        return mods
 
     def atom(self):
         kind, v = self.next()
@@ -228,6 +289,32 @@ class _Parser:
             arg = self.expr()
             self.expect(")")
             return Absent(arg)
+        if v == "label_replace" and self.peek() and self.peek()[1] == "(":
+            self.expect("(")
+            arg = self.expr()
+            strs = []
+            for _ in range(4):
+                self.expect(",")
+                sk, sv = self.next()
+                if sk != "str":
+                    raise ValueError("label_replace needs string args")
+                strs.append(sv[1:-1])
+            self.expect(")")
+            return LabelReplace(arg, strs[0], strs[1], strs[2], strs[3])
+        if v == "label_join" and self.peek() and self.peek()[1] == "(":
+            self.expect("(")
+            arg = self.expr()
+            strs = []
+            while self.peek() and self.peek()[1] == ",":
+                self.next()
+                sk, sv = self.next()
+                if sk != "str":
+                    raise ValueError("label_join needs string args")
+                strs.append(sv[1:-1])
+            self.expect(")")
+            if len(strs) < 2:
+                raise ValueError("label_join(v, dst, sep, src...) needs dst and sep")
+            return LabelJoin(arg, strs[0], strs[1], strs[2:])
         if v in _RANGE_FNS and self.peek() and self.peek()[1] == "(":
             self.expect("(")
             sel = self._selector()
@@ -472,6 +559,89 @@ class PromQLEngine:
         )
         return g.select("__step", *rest, value.alias("value"))
 
+    def _vector_binop(self, node: "BinOp", lv: DataFrame, rv: DataFrame) -> DataFrame:
+        """Prometheus vector matching (operators: one-to-one and many-to-one).
+
+        * default / `ignoring(...)`: match on the shared label set (minus the
+          ignored labels); result labels = the match labels.
+        * `on(l1, ...)`: match on exactly those labels; result labels = the
+          on() labels (one-to-one) — a label missing on one side matches as
+          the empty string, like an absent Prometheus label.
+        * `group_left/group_right[(extra)]`: many-to-one — the "many" side
+          keeps ALL its labels, plus any `extra` labels copied from the "one"
+          side; the one side must be unique per match group (error if not).
+
+        Reference parity: the reference passes the full language to a
+        Prometheus API (packages/api/src/routers/api/prometheus.ts:1-825);
+        this evaluates the same shapes natively as DataFrame joins.
+        """
+        lv_labels = [c for c in lv.columns if c not in ("__step", "value")]
+        rv_labels = [c for c in rv.columns if c not in ("__step", "value")]
+        if node.on is not None:
+            keys = list(dict.fromkeys(node.on))  # keep order, dedupe
+            # an absent label matches as "" (Prometheus missing-label value)
+            for k in keys:
+                if k not in lv.columns:
+                    lv = lv.withColumn(k, F.lit(""))
+                if k not in rv.columns:
+                    rv = rv.withColumn(k, F.lit(""))
+        else:
+            ign = set(node.ignoring or [])
+            keys = sorted((set(lv_labels) & set(rv_labels)) - ign)
+        match_keys = ["__step"] + keys
+
+        def _assert_unique(side: DataFrame, name: str) -> None:
+            dup = side.groupBy(*match_keys).count().where(F.col("count") > 1).limit(1)
+            if dup.take(1):
+                raise ValueError(
+                    f"vector matching is many-to-many: duplicate series in the "
+                    f"{name} side for match group {keys}; use "
+                    "group_left/group_right for many-to-one matching or "
+                    "aggregate each side first"
+                )
+
+        a, b = F.col("value"), F.col("__rv")
+        op_expr = {
+            "+": a + b,
+            "-": a - b,
+            "*": a * b,
+            "/": F.when(b != 0, a / b),
+        }[node.op]
+
+        if node.group is None:
+            lv2 = lv.select(*match_keys, "value")
+            rv2 = rv.select(*match_keys, F.col("value").alias("__rv"))
+            _assert_unique(lv2, "left")
+            _assert_unique(rv2, "right")
+            j = lv2.join(rv2, on=match_keys, how="inner")
+            return j.select(*match_keys, op_expr.alias("value"))
+
+        # many-to-one: `many` keeps all its labels (+ copied extras)
+        many, one = (lv, rv) if node.group == "left" else (rv, lv)
+        extras = [g for g in node.group_labels if g not in keys]
+        one_cols = [*match_keys, F.col("value").alias("__one_v")] + [
+            F.col(g).alias(f"__x_{g}") for g in extras
+        ]
+        one2 = one.select(*one_cols)
+        _assert_unique(one2, "one (group_" + node.group + ")")
+        many_labels = lv_labels if node.group == "left" else rv_labels
+        many2 = many.select(*match_keys, *[c for c in many_labels if c not in keys], "value")
+        j = many2.join(one2, on=match_keys, how="inner")
+        # restore operand orientation: op is always left-op-right
+        if node.group == "left":
+            j = j.withColumn("__rv", F.col("__one_v"))
+        else:
+            j = j.withColumn("__rv", F.col("value")).withColumn(
+                "value", F.col("__one_v")
+            )
+        out_labels = [c for c in many_labels if c not in keys]
+        return j.select(
+            *match_keys,
+            *out_labels,
+            *[F.col(f"__x_{g}").alias(g) for g in extras],
+            op_expr.alias("value"),
+        )
+
     # -- public ------------------------------------------------------------
 
     def query_range(
@@ -520,6 +690,25 @@ class PromQLEngine:
                 steps.join(present, on="__step", how="left_anti")
                 .select("__step", F.lit(1.0).alias("value"))
             )
+        if isinstance(node, LabelReplace):
+            inner = self._eval(spark, node.arg, start, end, step_s, lookback_s)
+            src = (
+                F.coalesce(F.col(node.src), F.lit(""))
+                if node.src in inner.columns
+                else F.lit("")
+            )
+            anchored = f"^(?:{node.regex})$"
+            # full-match -> dst = replacement ($1.. expanded); else unchanged
+            replaced = F.regexp_replace(src, anchored, node.replacement)
+            cur = F.col(node.dst) if node.dst in inner.columns else F.lit("")
+            newv = F.when(src.rlike(anchored), replaced).otherwise(cur)
+            return inner.withColumn(node.dst, newv)
+        if isinstance(node, LabelJoin):
+            inner = self._eval(spark, node.arg, start, end, step_s, lookback_s)
+            parts = [
+                F.col(s) if s in inner.columns else F.lit("") for s in node.srcs
+            ]
+            return inner.withColumn(node.dst, F.concat_ws(node.sep, *parts))
         if isinstance(node, TopK):
             inner = self._eval(spark, node.arg, start, end, step_s, lookback_s)
             label_cols = [c for c in inner.columns if c not in ("__step", "value")]
@@ -536,42 +725,9 @@ class PromQLEngine:
             if lnum and rnum:
                 raise ValueError("scalar-only arithmetic is not supported")
             if not lnum and not rnum:
-                # vector-vector: one-to-one matching on the shared label set
-                # (Prometheus default matching; no group_left/right). The
-                # error-ratio shape `rate(err[5m]) / rate(total[5m])`.
                 lv = self._eval(spark, node.left, start, end, step_s, lookback_s)
                 rv = self._eval(spark, node.right, start, end, step_s, lookback_s)
-                keys = sorted(
-                    (set(lv.columns) & set(rv.columns)) - {"value"}
-                )
-                rv2 = rv.withColumnRenamed("value", "__rv")
-                # drop unshared labels (they'd collide or be meaningless on
-                # the matched result)
-                lv2 = lv.select(*keys, "value")
-                rv2 = rv2.select(*keys, "__rv")
-                # Prometheus one-to-one matching errors on many-to-many;
-                # after dropping unshared labels a silently-duplicating join
-                # would be wrong, so count-check each side first (two tiny
-                # aggregations over already-aggregated vectors)
-                for side, name in ((lv2, "left"), (rv2, "right")):
-                    dup = (
-                        side.groupBy(*keys).count().where(F.col("count") > 1).limit(1)
-                    )
-                    if dup.take(1):
-                        raise ValueError(
-                            f"vector matching is many-to-many: duplicate series on "
-                            f"the {name} side after reducing to shared labels {keys}; "
-                            "aggregate each side (e.g. sum by (...)) first"
-                        )
-                j = lv2.join(rv2, on=keys, how="inner")
-                a, b = F.col("value"), F.col("__rv")
-                expr = {
-                    "+": a + b,
-                    "-": a - b,
-                    "*": a * b,
-                    "/": F.when(b != 0, a / b),
-                }[node.op]
-                return j.select(*keys, expr.alias("value"))
+                return self._vector_binop(node, lv, rv)
             vec = self._eval(
                 spark, node.right if lnum else node.left, start, end, step_s, lookback_s
             )

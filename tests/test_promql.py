@@ -273,3 +273,103 @@ def test_vector_vector_one_to_one_still_works(spark, engine):
         datetime(2024, 1, 1, 0, 10), datetime(2024, 1, 1, 0, 10), 60,
     ).collect()
     assert len(out) == 1 and abs(out[0]["value"] - 110.0 / 60.0) < 1e-9
+
+
+# -------------------------------------------------------------- matching
+
+def _match_samples(spark):
+    # err: per (job, code) counters; total: per job — the group_left idiom
+    rows = []
+    for minute in range(0, 11):
+        ts = datetime(2024, 1, 1, 0, minute)
+        rows.append(("errs", ts, float(minute * 2), "a", "500"))
+        rows.append(("errs", ts, float(minute * 1), "a", "503"))
+        rows.append(("errs", ts, float(minute * 4), "b", "500"))
+        rows.append(("total", ts, float(minute * 10), "a", None))
+        rows.append(("total", ts, float(minute * 8), "b", None))
+    return spark.createDataFrame(
+        rows, "`__name__` string, ts timestamp, value double, job string, code string"
+    )
+
+
+def test_parse_matching_modifiers():
+    n = parse("a / on(job) group_left b")
+    assert n.on == ["job"] and n.group == "left" and n.group_labels == []
+    n = parse("a * ignoring(code) b")
+    assert n.ignoring == ["code"] and n.group is None
+    n = parse("a / on(job) group_right(env) b")
+    assert n.group == "right" and n.group_labels == ["env"]
+
+
+def test_group_left_share_of_total(spark):
+    eng = PromQLEngine(_match_samples(spark), label_cols=["job", "code"])
+    t = datetime(2024, 1, 1, 0, 10)
+    out = eng.query_range(
+        spark,
+        "sum by (job, code) (increase(errs[10m])) / on(job) group_left "
+        "sum by (job) (increase(total[10m]))",
+        t, t, 60,
+    ).collect()
+    got = {(r["job"], r["code"]): r["value"] for r in out}
+    assert abs(got[("a", "500")] - 20.0 / 100.0) < 1e-9
+    assert abs(got[("a", "503")] - 10.0 / 100.0) < 1e-9
+    assert abs(got[("b", "500")] - 40.0 / 80.0) < 1e-9
+
+
+def test_ignoring_one_to_one(spark):
+    # errs{job=b} has one code series; ignoring(code) matches it 1:1 to total{job=b}
+    eng = PromQLEngine(_match_samples(spark), label_cols=["job", "code"])
+    t = datetime(2024, 1, 1, 0, 10)
+    out = eng.query_range(
+        spark,
+        'sum by (job, code) (increase(errs{job="b"}[10m])) / ignoring(code) '
+        'sum by (job) (increase(total{job="b"}[10m]))',
+        t, t, 60,
+    ).collect()
+    assert len(out) == 1 and abs(out[0]["value"] - 0.5) < 1e-9
+
+
+def test_group_left_requires_unique_one_side(spark):
+    eng = PromQLEngine(_match_samples(spark), label_cols=["job", "code"])
+    t = datetime(2024, 1, 1, 0, 10)
+    # the "one" side (right of group_left) has two code-series for job=a
+    with pytest.raises(ValueError, match="many-to-many"):
+        eng.query_range(
+            spark,
+            "sum by (job, code) (increase(errs[10m])) / on(job) group_left "
+            "sum by (job, code) (increase(errs[10m]))",
+            t, t, 60,
+        ).collect()
+
+
+def test_group_right_mirrors_group_left(spark):
+    eng = PromQLEngine(_match_samples(spark), label_cols=["job", "code"])
+    t = datetime(2024, 1, 1, 0, 10)
+    out = eng.query_range(
+        spark,
+        "sum by (job) (increase(total[10m])) * on(job) group_right "
+        "sum by (job, code) (increase(errs[10m])) ",
+        t, t, 60,
+    ).collect()
+    got = {(r["job"], r["code"]): r["value"] for r in out}
+    # left op right = total * errs
+    assert abs(got[("a", "500")] - 100.0 * 20.0) < 1e-9
+    assert abs(got[("b", "500")] - 80.0 * 40.0) < 1e-9
+
+
+def test_label_replace_and_join(spark):
+    eng = PromQLEngine(_match_samples(spark), label_cols=["job", "code"])
+    t = datetime(2024, 1, 1, 0, 10)
+    out = eng.query_range(
+        spark,
+        'label_replace(sum by (job) (increase(total[10m])), "env", "prod-$1", "job", "(a)")',
+        t, t, 60,
+    ).collect()
+    envs = {r["job"]: r["env"] for r in out}
+    assert envs["a"] == "prod-a" and envs["b"] == ""  # b: no match -> unchanged ('' default)
+    out = eng.query_range(
+        spark,
+        'label_join(sum by (job, code) (increase(errs[10m])), "jc", "-", "job", "code")',
+        t, t, 60,
+    ).collect()
+    assert {r["jc"] for r in out} == {"a-500", "a-503", "b-500"}
