@@ -1,0 +1,167 @@
+"""Relational-analytics demo queries that live outside the 50-entry driver
+registry (TPC-H q3 / q5ish / top-customers) plus the last-commit trio
+(sessionize, dedup_groups, cosine_topk_ivf) — DuckDB-oracled here so every
+shipped module keeps a passing check of record."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+
+def duck(sf_dir: str, sql: str):
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem", "supplier", "nation", "region",
+              "events", "documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con.execute(sql).fetchall()
+
+
+def norm(rows):
+    return sorted(
+        [tuple(round(v, 4) if isinstance(v, float) else v for v in r) for r in rows],
+        key=repr,
+    )
+
+
+# ------------------------------------------------------------------ TPC-H
+
+def test_tpch_q3(spark, sf_dir):
+    import __spark_entry__ as e
+
+    got = norm([tuple(r) for r in e.q_tpch_q3(spark, sf_dir).collect()])
+    want = norm(duck(sf_dir, e.O_TPCH_Q3))
+    assert got == want and len(got) > 0
+
+
+def test_tpch_q5ish(spark, sf_dir):
+    import __spark_entry__ as e
+
+    got = norm([tuple(r) for r in e.q_tpch_q5ish(spark, sf_dir).collect()])
+    want = norm(duck(sf_dir, e.O_TPCH_Q5))
+    assert got == want and len(got) > 0
+
+
+def test_top_customers(spark, sf_dir):
+    import __spark_entry__ as e
+
+    got = norm([tuple(r) for r in e.q_top_customers(spark, sf_dir).collect()])
+    want = norm(duck(sf_dir, e.O_TOP_CUSTOMERS))
+    assert got == want and len(got) == 10
+
+
+# -------------------------------------------------------------- sessionize
+
+def test_sessionize_matches_lag_oracle(spark, sf_dir):
+    from hyperdx_spark.analytics.sessionize import sessionize
+    from hyperdx_spark.io import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    out = sessionize(ev, ts_col="ts", key_cols=("user_id",), gap="4 hours")
+    got = norm([tuple(r) for r in out.collect()])
+    want = norm(
+        duck(
+            sf_dir,
+            """
+            WITH s AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                            OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 4 HOUR
+                          THEN 1 ELSE 0 END AS brk
+              FROM events),
+            g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sid FROM s)
+            SELECT user_id, min(ts), max(ts) + INTERVAL 4 HOUR, count(*)
+            FROM g GROUP BY user_id, sid
+            """,
+        )
+    )
+    assert got == want and len(got) > 0
+
+
+def test_sessionize_merges_within_gap(spark):
+    from datetime import datetime
+
+    from hyperdx_spark.analytics.sessionize import sessionize
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0)),
+        (1, datetime(2024, 1, 1, 0, 20)),   # merges (< 30m after previous)
+        (1, datetime(2024, 1, 1, 1, 0)),    # merges (40m? no — 40m > 30m gap)
+        (2, datetime(2024, 1, 1, 0, 0)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = sessionize(df, ts_col="ts", key_cols=("user_id",), gap="30 minutes")
+    got = {(r["user_id"], r["session_start"].minute, r["n_events"]) for r in out.collect()}
+    assert got == {(1, 0, 2), (1, 0, 1), (2, 0, 1)}
+
+
+# ------------------------------------------------------------ dedup_groups
+
+def test_dedup_groups_known_components(spark):
+    # two components: {1,2,3} (chain) and {7,8}; singletons never appear
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a long, id_b long"
+    )
+    from hyperdx_spark.pipeline.dedup import dedup_groups
+
+    out = {r["id"]: (r["group_id"], r["is_keeper"]) for r in dedup_groups(pairs).collect()}
+    assert out == {
+        1: (1, True), 2: (1, False), 3: (1, False),
+        7: (7, True), 8: (7, False),
+    }
+
+
+def test_dedup_groups_long_chain_converges(spark):
+    # a 12-node chain needs ~diameter rounds; must converge well under the cap
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    from hyperdx_spark.pipeline.dedup import dedup_groups
+
+    out = dedup_groups(pairs, max_iterations=20).collect()
+    assert {r["group_id"] for r in out} == {0}
+    assert sum(r["is_keeper"] for r in out) == 1
+
+
+def test_dedup_groups_warns_without_convergence(spark):
+    import warnings
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a long, id_b long"
+    )
+    from hyperdx_spark.pipeline.dedup import dedup_groups
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        dedup_groups(pairs, max_iterations=2).collect()
+        assert any("did not converge" in str(x.message) for x in w)
+
+
+# ------------------------------------------------------------------- IVF
+
+def test_ivf_exact_when_probing_all_lists(spark, sf_dir):
+    from hyperdx_spark.io import load_table
+    from hyperdx_spark.pipeline import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 3)
+    brute = norm([tuple(r) for r in similarity.cosine_topk(emb, qs, k=5).collect()])
+    ivf = norm(
+        [tuple(r) for r in similarity.cosine_topk_ivf(emb, qs, k=5, nlist=8, nprobe=8).collect()]
+    )
+    assert ivf == brute and len(ivf) == 15
+
+
+def test_ivf_recall_with_partial_probe(spark, sf_dir):
+    from hyperdx_spark.io import load_table
+    from hyperdx_spark.pipeline import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 5)
+    brute = similarity.cosine_topk(emb, qs, k=10)
+    ivf = similarity.cosine_topk_ivf(emb, qs, k=10, nlist=8, nprobe=4)
+    b = {(r["query_id"], r["match_id"]) for r in brute.collect()}
+    i = {(r["query_id"], r["match_id"]) for r in ivf.collect()}
+    recall = len(b & i) / len(b)
+    assert recall >= 0.5, f"IVF nprobe=nlist/2 recall collapsed: {recall}"
