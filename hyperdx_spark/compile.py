@@ -207,17 +207,22 @@ def _agg_expr(ctx: _Ctx, sc: SelectCol) -> tuple[str, str]:
     raise ValueError(f"unsupported aggFn: {fn!r} (metrics aggs live in hyperdx_spark.metrics)")
 
 
-def _quantile_from_entries(col: str, level: float) -> str:
+def _quantile_post(out: DataFrame, col: str, level: float) -> DataFrame:
     """Type-7 (linear interpolation, rank h = (total-1)*level) weighted
     quantile over a sorted array<struct<key double, value long>> histogram —
     the expanded-multiset definition Spark ``percentile`` and DuckDB
-    ``quantile_cont`` both use, evaluated without expanding: one cumulative
-    walk finds the values at indices floor(h) and floor(h)+1."""
+    ``quantile_cont`` both use, evaluated without expanding.
+
+    Staged as separate projections so each O(state) aggregate() walk runs
+    exactly ONCE per row: Catalyst's CollapseProject keeps non-cheap
+    multi-referenced expressions in their own projection, and interpreted
+    HOFs get no codegen subexpression elimination, so textual splicing
+    would re-walk the state per reference."""
     e = f"`{col}`"
-    total = f"aggregate({e}, CAST(0 AS BIGINT), (a, x) -> a + x.value)"
-    h = f"(({total}) - 1) * CAST({level!r} AS DOUBLE)"
+    tot, wk = f"__qt_{col}", f"__qw_{col}"
+    h = f"((`{tot}`) - 1) * CAST({level!r} AS DOUBLE)"
     i0 = f"CAST(floor({h}) AS BIGINT)"
-    i1 = f"least({i0} + 1, ({total}) - 1)"
+    i1 = f"least({i0} + 1, (`{tot}`) - 1)"
     walk = (
         f"aggregate({e}, "
         "named_struct('cum', CAST(0 AS BIGINT), "
@@ -228,8 +233,16 @@ def _quantile_from_entries(col: str, level: float) -> str:
         f"'v1', coalesce(acc.v1, CASE WHEN acc.cum + x.value > {i1} THEN x.key END)))"
     )
     return (
-        f"CASE WHEN ({total}) > 0 THEN "
-        f"({walk}).v0 + (({h}) - floor({h})) * (({walk}).v1 - ({walk}).v0) END"
+        out.withColumn(tot, F.expr(f"aggregate({e}, CAST(0 AS BIGINT), (a, x) -> a + x.value)"))
+        .withColumn(wk, F.expr(walk))
+        .withColumn(
+            col,
+            F.expr(
+                f"CASE WHEN (`{tot}`) > 0 THEN "
+                f"(`{wk}`).v0 + (({h}) - floor({h})) * ((`{wk}`).v1 - (`{wk}`).v0) END"
+            ),
+        )
+        .drop(tot, wk)
     )
 
 
@@ -391,9 +404,7 @@ def compile_chart_config(
         for sc, alias in zip(selects, aliases):
             if sc.agg_fn == "quantile_merge":
                 level = sc.level if sc.level is not None else 0.5
-                out = out.withColumn(
-                    alias, F.expr(_quantile_from_entries(alias, level))
-                )
+                out = _quantile_post(out, alias, level)
         if not config.select_group_by:
             out = out.select(*(a for a in aliases))
         value_alias = aliases[0] if aliases else None
