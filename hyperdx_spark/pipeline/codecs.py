@@ -6,14 +6,17 @@ library + numpy:
 * PNG  — full chunk parse, zlib inflate, all five scanline filters
          (none/sub/up/average/paeth), 8-bit gray/RGB/RGBA.
 * BMP  — uncompressed 24-bit BI_RGB.
+* JPEG — baseline sequential (SOF0) decoder: Huffman entropy decode,
+         dequantize, vectorized 8x8 iDCT, any chroma sampling, restart
+         markers; plus a minimal 4:4:4 encoder for fixtures. Progressive /
+         arithmetic / 12-bit raise a clear unsupported error.
 * WAV  — PCM via the stdlib ``wave`` module.
 * Y4M  — YUV4MPEG2 uncompressed video (plain-text header + raw 4:2:0
          frames), the standard interchange format of the *mjpegtools*
          toolchain — used here for frame sampling.
 
-JPEG and compressed video are NOT implemented (a faithful JPEG decoder is
-out of scope without libjpeg); :func:`sniff` reports them so callers can
-raise a clear unsupported-codec error instead of mis-decoding.
+Compressed video is NOT implemented; :func:`sniff` reports unknown codecs
+so callers raise a clear unsupported-codec error instead of mis-decoding.
 
 These run inside Arrow-batched ``mapInPandas`` workers, no JVM involvement.
 Decode throughput (1 MP RGB, this container): filters none/up are whole-row
@@ -25,6 +28,7 @@ true left-to-right data dependence, decoded as a per-scanline bytearray walk
 from __future__ import annotations
 
 import io
+import re
 import struct
 import wave
 import zlib
@@ -290,6 +294,433 @@ def decode_y4m(data: bytes) -> tuple[np.ndarray, int]:
 
 
 # --------------------------------------------------------------------------
+# JPEG (baseline DCT, ITU-T T.81) — decoder + minimal encoder
+# --------------------------------------------------------------------------
+#
+# Baseline sequential profile only: 8-bit samples, Huffman entropy coding,
+# SOF0 frames, grayscale or YCbCr with any h/v sampling factors (4:4:4,
+# 4:2:2, 4:2:0), DRI/RSTn restart markers. Progressive (SOF2), arithmetic
+# coding, and 12-bit precision raise a clear unsupported error. The iDCT is
+# the exact orthonormal 8x8 DCT-III applied to ALL blocks of a component in
+# one numpy einsum — the per-block Python work is Huffman decoding only.
+
+_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], np.int64)
+
+# Annex K quantization tables (quality ~50)
+_QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+], np.int64)
+_QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+], np.int64)
+
+# Annex K typical Huffman tables: (bits[1..16], values)
+_HT_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+               list(range(12)))
+_HT_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+                 list(range(12)))
+_HT_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+     0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+     0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+     0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+     0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+     0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+     0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+     0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+     0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+     0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+     0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+     0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+_HT_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+     0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+     0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+     0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+     0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+     0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+     0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+     0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+     0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+     0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+     0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+     0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8x8 DCT-II matrix T: forward F = T f T^T, inverse
+    f = T^T F T."""
+    x = np.arange(8)
+    T = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16)
+    T[0, :] = 1.0
+    T *= np.sqrt(np.where(x == 0, 1.0, 2.0) / 8.0)[:, None]
+    return T
+
+
+_DCT_T = _dct_matrix()
+
+
+def _huff_decode_table(bits, values) -> dict:
+    """(length, code) -> symbol, per T.81 C.2 canonical code assignment."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _BitReader:
+    """MSB-first bit reader over a de-stuffed entropy-coded segment."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.buf = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy stream truncated")
+            self.buf = self.data[self.pos]
+            self.pos += 1
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.buf >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_symbol(self, table: dict) -> int:
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | self.read_bit()
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("bad JPEG Huffman code")
+
+
+def _extend(v: int, n: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map n-bit magnitude to signed value."""
+    if n == 0:
+        return 0
+    return v if v >= (1 << (n - 1)) else v - (1 << n) + 1
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """(h, w[, 3]) uint8 from a baseline-sequential JPEG (SOF0)."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) -> table
+    frame = None
+    restart_interval = 0
+    comps: list[dict] = []
+    scan_comps: list[tuple[dict, dict, dict]] = []
+    ecs = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        (seg_len,) = struct.unpack_from(">H", data, pos)
+        body = data[pos + 2 : pos + seg_len]
+        pos += seg_len
+        if marker == 0xDB:  # DQT
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit JPEG quant tables not supported")
+                qt[tq] = np.frombuffer(body, np.uint8, 64, b + 1).astype(np.int64)
+                b += 65
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "only baseline JPEG (SOF0) is supported, got SOF marker "
+                f"0x{marker:02X} (progressive/arithmetic/lossless)"
+            )
+        elif marker == 0xC0:  # SOF0
+            prec, h, w, nc = body[0], *struct.unpack_from(">HH", body, 1), body[5]
+            if prec != 8:
+                raise ValueError(f"unsupported JPEG precision {prec}")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
+                comps.append({
+                    "id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq,
+                })
+            frame = (h, w, nc)
+        elif marker == 0xC4:  # DHT
+            b = 0
+            while b < len(body):
+                tc, th = body[b] >> 4, body[b] & 0xF
+                bits = list(body[b + 1 : b + 17])
+                n = sum(bits)
+                values = list(body[b + 17 : b + 17 + n])
+                huff[(tc, th)] = _huff_decode_table(bits, values)
+                b += 17 + n
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan_comps = []
+            for i in range(ns):
+                cs, tdta = body[1 + 2 * i], body[2 + 2 * i]
+                comp = next(c for c in comps if c["id"] == cs)
+                scan_comps.append(
+                    (comp, huff[(0, tdta >> 4)], huff[(1, tdta & 0xF)])
+                )
+            # entropy-coded segment runs to the next non-RST marker
+            end = pos
+            while end + 1 < len(data):
+                if data[end] == 0xFF and data[end + 1] not in (0x00,) and not (
+                    0xD0 <= data[end + 1] <= 0xD7
+                ):
+                    break
+                end += 1
+            ecs = data[pos:end]
+            pos = end
+    if frame is None or ecs is None:
+        raise ValueError("JPEG missing SOF0/SOS")
+    h, w, nc = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    # per-component coefficient stores (n_blocks, 64)
+    for c in comps:
+        c["bw"] = mcux * c["h"]
+        c["bh"] = mcuy * c["v"]
+        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), np.int64)
+        c["pred"] = 0
+    # split on restart markers; each interval resets DC predictors
+    intervals = re.split(b"\xff[\xd0-\xd7]", ecs) if restart_interval else [ecs]
+    mcu = 0
+    for chunk in intervals:
+        reader = _BitReader(chunk.replace(b"\xff\x00", b"\xff"))
+        for c in comps:
+            c["pred"] = 0
+        limit = mcu + restart_interval if restart_interval else mcuy * mcux
+        while mcu < min(limit, mcuy * mcux):
+            my, mx = divmod(mcu, mcux)
+            for comp, dc_t, ac_t in scan_comps:
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        blk = np.zeros(64, np.int64)
+                        t = reader.read_symbol(dc_t)
+                        diff = _extend(reader.read_bits(t), t)
+                        comp["pred"] += diff
+                        blk[0] = comp["pred"]
+                        k = 1
+                        while k < 64:
+                            rs = reader.read_symbol(ac_t)
+                            r, s = rs >> 4, rs & 0xF
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC run overflow")
+                            blk[k] = _extend(reader.read_bits(s), s)
+                            k += 1
+                        row = my * comp["v"] + by
+                        col = mx * comp["h"] + bx
+                        comp["coef"][row * comp["bw"] + col] = blk
+            mcu += 1
+    # dequantize + dezigzag + one vectorized iDCT per component
+    planes = []
+    for c in comps:
+        deq = c["coef"] * qt[c["tq"]][None, :]
+        blocks = np.zeros((len(deq), 64), np.float64)
+        blocks[:, _ZIGZAG] = deq
+        blocks = blocks.reshape(-1, 8, 8)
+        pix = np.einsum("ux,nuv,vy->nxy", _DCT_T, blocks, _DCT_T) + 128.0
+        plane = (
+            pix.reshape(c["bh"], c["bw"], 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(c["bh"] * 8, c["bw"] * 8)
+        )
+        # upsample to full resolution by sample-and-hold
+        plane = np.repeat(np.repeat(plane, vmax // c["v"], 0), hmax // c["h"], 1)
+        planes.append(plane[:h, :w])
+    if nc == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    rgb = np.stack(
+        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
+        axis=-1,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _huff_encode_table(bits, values) -> dict:
+    """symbol -> (code, length), inverse of _huff_decode_table."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-fill
+        return bytes(self.out)
+
+
+def encode_jpeg(arr: np.ndarray) -> bytes:
+    """Minimal baseline JPEG encoder (grayscale or RGB 4:4:4, Annex K
+    tables) — exists so the decoder has a self-contained roundtrip path in
+    an environment with no libjpeg to produce fixtures."""
+    arr = np.ascontiguousarray(arr)
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    if gray:
+        planes = [arr.astype(np.float64)]
+    else:
+        r, g, b = (arr[..., i].astype(np.float64) for i in range(3))
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    nb_y, nb_x = (h + 7) // 8, (w + 7) // 8
+    qts = [_QT_LUMA] + ([] if gray else [_QT_CHROMA, _QT_CHROMA])
+    dc_tabs = [_HT_DC_LUMA] + ([] if gray else [_HT_DC_CHROMA, _HT_DC_CHROMA])
+    ac_tabs = [_HT_AC_LUMA] + ([] if gray else [_HT_AC_CHROMA, _HT_AC_CHROMA])
+    # quantized zigzag coefficients per component (vectorized forward DCT)
+    comps_coef = []
+    for plane, q in zip(planes, qts):
+        padded = np.zeros((nb_y * 8, nb_x * 8), np.float64)
+        padded[:h, :w] = plane
+        padded[h:, :w] = plane[h - 1 : h, :]  # edge-extend
+        padded[:, w:] = padded[:, w - 1 : w]
+        blocks = (
+            padded.reshape(nb_y, 8, nb_x, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        ) - 128.0
+        coef = np.einsum("ux,nxy,vy->nuv", _DCT_T, blocks, _DCT_T).reshape(-1, 64)
+        zz = coef[:, _ZIGZAG]
+        comps_coef.append(np.round(zz / q[_ZIGZAG][None, :]).astype(np.int64))
+    # headers
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, body: bytes) -> None:
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body)
+
+    seg(0xDB, bytes([0]) + bytes(_QT_LUMA[_ZIGZAG].astype(np.uint8)))
+    if not gray:
+        seg(0xDB, bytes([1]) + bytes(_QT_CHROMA[_ZIGZAG].astype(np.uint8)))
+    nc = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for i in range(nc):
+        sof += bytes([i + 1, 0x11, 0 if i == 0 else 1])
+    seg(0xC0, sof)
+    for tc, th, (bits, values) in (
+        [(0, 0, _HT_DC_LUMA), (1, 0, _HT_AC_LUMA)]
+        + ([] if gray else [(0, 1, _HT_DC_CHROMA), (1, 1, _HT_AC_CHROMA)])
+    ):
+        seg(0xC4, bytes([(tc << 4) | th] + bits) + bytes(values))
+    sos = bytes([nc])
+    for i in range(nc):
+        sos += bytes([i + 1, 0x00 if i == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    seg(0xDA, sos)
+    # entropy coding: interleaved 4:4:4 means one block per component per MCU
+    enc_dc = [_huff_encode_table(*t) for t in dc_tabs]
+    enc_ac = [_huff_encode_table(*t) for t in ac_tabs]
+    wtr = _BitWriter()
+    preds = [0] * nc
+    for bidx in range(nb_y * nb_x):
+        for ci in range(nc):
+            blk = comps_coef[ci][bidx]
+            diff = int(blk[0]) - preds[ci]
+            preds[ci] = int(blk[0])
+            mag = abs(diff)
+            n = mag.bit_length()
+            code, length = enc_dc[ci][n]
+            wtr.write(code, length)
+            if n:
+                wtr.write(diff if diff > 0 else diff + (1 << n) - 1, n)
+            run = 0
+            for k in range(1, 64):
+                v = int(blk[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = enc_ac[ci][0xF0]
+                    wtr.write(code, length)
+                    run -= 16
+                n = abs(v).bit_length()
+                code, length = enc_ac[ci][(run << 4) | n]
+                wtr.write(code, length)
+                wtr.write(v if v > 0 else v + (1 << n) - 1, n)
+                run = 0
+            if run:
+                code, length = enc_ac[ci][0x00]
+                wtr.write(code, length)
+    out.extend(wtr.flush())
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
 # sniffing + shared ops
 # --------------------------------------------------------------------------
 
@@ -314,10 +745,7 @@ def decode_image(data: bytes) -> np.ndarray:
     if kind == "bmp":
         return decode_bmp(data)
     if kind == "jpeg":
-        raise ValueError(
-            "JPEG decoding is not supported in this environment (no libjpeg); "
-            "transcode to PNG/BMP upstream"
-        )
+        return decode_jpeg(data)
     raise ValueError(f"unsupported image codec: {kind}")
 
 

@@ -106,7 +106,7 @@ def _fake_decode(payload: bytes, dim: int = 8) -> tuple[int, int, list[float]]:
 
 def _real_decode(data: bytes, dim: int) -> tuple[int, int, list[float]]:
     kind = codecs.sniff(data)
-    if kind in ("png", "bmp"):
+    if kind in ("png", "bmp", "jpeg"):
         return _image_features(codecs.decode_image(data), dim)
     if kind == "wav":
         samples, rate = codecs.decode_wav(data)
@@ -114,10 +114,6 @@ def _real_decode(data: bytes, dim: int) -> tuple[int, int, list[float]]:
     if kind == "y4m":
         frames, fps = codecs.decode_y4m(data)
         return _video_features(frames, fps, dim)
-    if kind == "jpeg":
-        raise ValueError(
-            "JPEG decoding is not supported in this environment (no libjpeg)"
-        )
     raise ValueError(f"unsupported media codec: {kind}")
 
 
@@ -174,8 +170,9 @@ def media_from_documents(
     df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Synthesize a REAL media table from a text table: each document is
-    rendered deterministically into an actual PNG image, PCM WAV clip, or
-    Y4M video (doc_id mod 3), so the decode path exercises true codecs."""
+    rendered deterministically into an actual PNG or baseline-JPEG image,
+    PCM WAV clip, or Y4M video (doc_id mod 4), so the decode path exercises
+    true codecs end to end."""
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -183,12 +180,13 @@ def media_from_documents(
             for mid, text in zip(pdf[id_col], pdf[text_col]):
                 data = (text or "").encode("utf-8")
                 arr = np.frombuffer(data, np.uint8)
-                sel = int(mid) % 3
-                if sel == 0:  # PNG: text bytes tiled into a gray image
+                sel = int(mid) % 4
+                if sel in (0, 3):  # PNG/JPEG: text bytes tiled into gray
                     w = 32
                     h = max((len(arr) + w - 1) // w, 2)
                     img = np.resize(arr, (h, w))
-                    payload, kind = codecs.encode_png(img), "image"
+                    enc = codecs.encode_png if sel == 0 else codecs.encode_jpeg
+                    payload, kind = enc(img), "image"
                 elif sel == 1:  # WAV: bytes as a centered waveform
                     samples = (arr.astype(np.int16) - 128) * 256
                     payload, kind = codecs.encode_wav(samples, rate=8000), "audio"
