@@ -64,13 +64,14 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    qs = entrymod.queries()
-    # JVM/codegen warm-up on the smallest touch of each table family
-    materialize(qs["q_tpch_q1"](spark, sf_dir).limit(1))
+    # HEADLINE names bind to module-level functions (not the consolidated
+    # registry) so per-query timings stay comparable across rounds even as
+    # registry entries merge/rename.
+    materialize(entrymod.q_tpch_q1(spark, sf_dir).limit(1))
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        fn = qs[name]
+        fn = getattr(entrymod, name)
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()

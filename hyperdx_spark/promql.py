@@ -81,12 +81,25 @@ class Selector:
     matchers: list[tuple[str, str, str]] = field(default_factory=list)  # (label, op, value)
     window_s: Optional[float] = None  # set for sel[dur]
     offset_s: float = 0.0  # `sel offset dur` — evaluate shifted into the past
+    # sel[range:res] — parsed as a subquery over the instant selector
+    subquery_res_s: Optional[float] = None
+
+
+@dataclass
+class Subquery:
+    """expr[range:res] — the inner expression evaluated at `res`-aligned
+    steps; a range function then aggregates those synthetic samples."""
+
+    arg: "Expr"
+    range_s: float
+    res_s: float
+    offset_s: float = 0.0
 
 
 @dataclass
 class RangeFn:
     fn: str
-    arg: Selector
+    arg: "Expr"  # Selector with window, or Subquery
 
 
 @dataclass
@@ -317,11 +330,48 @@ class _Parser:
             return LabelJoin(arg, strs[0], strs[1], strs[2:])
         if v in _RANGE_FNS and self.peek() and self.peek()[1] == "(":
             self.expect("(")
-            sel = self._selector()
-            if sel.window_s is None:
-                raise ValueError(f"{v}() requires a range selector sel[dur]")
+            arg = self.expr()
+            # expr[range:res] subquery brackets after a non-selector argument
+            if self.peek() and self.peek()[1] == "[":
+                self.next()
+                parts = []
+                while True:
+                    t = self.next()
+                    if t[1] == "]":
+                        break
+                    parts.append(t[1])
+                joined = "".join(parts)
+                if ":" not in joined:
+                    raise ValueError(
+                        f"{v}() over an expression needs a subquery [range:res]"
+                    )
+                rng, res = joined.split(":", 1)
+                if not res:
+                    raise ValueError(
+                        "subquery default resolution [d:] is not supported — "
+                        "give an explicit step, e.g. [1h:5m]"
+                    )
+                off = 0.0
+                if self.peek() and self.peek() == ("id", "offset"):
+                    self.next()
+                    k, dur = self.next()
+                    if k != "dur":
+                        raise ValueError(f"offset needs a duration, got {dur!r}")
+                    off = parse_duration(dur)
+                arg = Subquery(arg, parse_duration(rng), parse_duration(res), off)
             self.expect(")")
-            return RangeFn(v, sel)
+            if isinstance(arg, Selector) and arg.subquery_res_s is not None:
+                # x[1h:5m] parsed inside the selector — lift to Subquery
+                inner = Selector(arg.name, arg.matchers, None, 0.0)
+                arg = Subquery(inner, arg.window_s, arg.subquery_res_s, arg.offset_s)
+            if isinstance(arg, Selector):
+                if arg.window_s is None:
+                    raise ValueError(f"{v}() requires a range selector sel[dur]")
+            elif not isinstance(arg, Subquery):
+                raise ValueError(
+                    f"{v}() needs sel[dur] or a subquery expr[range:res]"
+                )
+            return RangeFn(v, arg)
         return self._selector(name=v)
 
     def _agg(self, op: str):
@@ -378,7 +428,18 @@ class _Parser:
                 if t[1] == "]":
                     break
                 parts.append(t[1])
-            sel.window_s = parse_duration("".join(parts))
+            joined = "".join(parts)
+            if ":" in joined:  # sel[range:res] — subquery over the selector
+                rng, res = joined.split(":", 1)
+                if not res:
+                    raise ValueError(
+                        "subquery default resolution [d:] is not supported — "
+                        "give an explicit step, e.g. [1h:5m]"
+                    )
+                sel.window_s = parse_duration(rng)
+                sel.subquery_res_s = parse_duration(res)
+            else:
+                sel.window_s = parse_duration(joined)
         if self.peek() and self.peek() == ("id", "offset"):
             self.next()
             k, dur = self.next()
@@ -472,15 +533,50 @@ class PromQLEngine:
             .agg(F.max_by(val, ts).alias("value"))
         )
 
-    def _range_fn(self, spark, fn: str, sel: Selector, start, end, step_s) -> DataFrame:
-        df = self._filter(sel)
-        w_s = int(sel.window_s)
-        ts, val = F.col(self.ts_col), F.col(self.value_col)
+    def _range_fn(self, spark, fn: str, node, start, end, step_s, lookback_s=DEFAULT_LOOKBACK_S) -> DataFrame:
+        if isinstance(node, Subquery):
+            # evaluate the inner expression at res-aligned steps covering
+            # (start - range, end], then range-aggregate those synthetic
+            # samples per outer step (Prometheus subquery semantics; eval
+            # times align to multiples of res like the upstream engine)
+            import math
+            from datetime import timezone
+
+            res = int(node.res_s)
+            lo = int(math.ceil((start.timestamp() - node.range_s - node.offset_s) / res)) * res
+            hi = int(math.floor((end.timestamp() - node.offset_s) / res)) * res
+            t0 = datetime.fromtimestamp(lo, tz=timezone.utc).replace(tzinfo=None)
+            t1 = datetime.fromtimestamp(hi, tz=timezone.utc).replace(tzinfo=None)
+            inner = self._eval(spark, node.arg, t0, t1, res, lookback_s)
+            labels = [c for c in inner.columns if c not in ("__step", "__step_epoch", "value")]
+            samples = inner.select(
+                F.col("__step").alias("__sq_ts"), *labels, "value"
+            )
+            return self._range_over_samples(
+                spark, fn, samples, "__sq_ts", "value", labels,
+                int(node.range_s), node.offset_s, start, end, step_s,
+            )
+        sel = node
+        return self._range_over_samples(
+            spark, fn, self._filter(sel), self.ts_col, self.value_col,
+            self.label_cols, int(sel.window_s), sel.offset_s, start, end, step_s,
+        )
+
+    def _range_over_samples(
+        self, spark, fn, df, ts_col, value_col, label_cols, w_s, offset_s,
+        start, end, step_s,
+    ) -> DataFrame:
+        ts, val = F.col(ts_col), F.col(value_col)
+        eff = (
+            F.col("__step") - F.expr(f"INTERVAL {int(offset_s)} SECOND")
+            if offset_s
+            else F.col("__step")
+        )
         if fn in ("rate", "increase", "delta"):
             # one pass of per-sample deltas on the series key, then a window
             # join: only deltas with both endpoints inside the step's window
             # contribute (no boundary extrapolation)
-            w = Window.partitionBy(*self.label_cols).orderBy(ts)
+            w = Window.partitionBy(*label_cols).orderBy(ts)
             df = df.withColumn("__prev_v", F.lag(val).over(w)).withColumn(
                 "__prev_ts", F.lag(ts).over(w)
             )
@@ -490,7 +586,6 @@ class PromQLEngine:
                 d = F.when(val >= F.col("__prev_v"), val - F.col("__prev_v")).otherwise(val)
             df = df.withColumn("__delta", d).where(F.col("__prev_ts").isNotNull())
             steps = self._steps(spark, start, end, step_s)
-            eff = self._eff_step(sel)
             # a delta covers the interval (prev_ts, ts]; it contributes to a
             # step's window iff that interval lies within [step-w, step]
             j = F.broadcast(steps).join(
@@ -501,10 +596,9 @@ class PromQLEngine:
             total = F.sum("__delta")
             if fn == "rate":
                 total = total / F.lit(float(w_s))
-            return j.groupBy("__step", *self.label_cols).agg(total.alias("value"))
+            return j.groupBy("__step", *label_cols).agg(total.alias("value"))
         # x_over_time family: plain window join + aggregate
         steps = self._steps(spark, start, end, step_s)
-        eff = self._eff_step(sel)
         j = F.broadcast(steps).join(
             df,
             (ts > eff - F.expr(f"INTERVAL {w_s} SECOND")) & (ts <= eff),
@@ -517,7 +611,7 @@ class PromQLEngine:
             "count_over_time": F.count(val),
             "last_over_time": F.max_by(val, ts),
         }[fn]
-        return j.groupBy("__step", *self.label_cols).agg(agg.alias("value"))
+        return j.groupBy("__step", *label_cols).agg(agg.alias("value"))
 
     def _histogram_quantile(self, phi: float, inner: DataFrame) -> DataFrame:
         """Prometheus bucketQuantile (promql/quantile.go): per (step, series

@@ -373,3 +373,49 @@ def test_label_replace_and_join(spark):
         t, t, 60,
     ).collect()
     assert {r["jc"] for r in out} == {"a-500", "a-503", "b-500"}
+
+
+# -------------------------------------------------------------- subqueries
+
+def test_parse_subquery_shapes():
+    n = parse("max_over_time(rate(http[5m])[30m:5m])")
+    from hyperdx_spark.promql import Subquery
+    assert isinstance(n.arg, Subquery)
+    assert n.arg.range_s == 1800 and n.arg.res_s == 300
+    n = parse("avg_over_time(x[1h:10m])")
+    assert isinstance(n.arg, Subquery) and n.arg.range_s == 3600
+    with pytest.raises(ValueError, match="explicit step"):
+        parse("avg_over_time(x[1h:])")
+
+
+def test_subquery_over_rate(spark):
+    from datetime import timedelta
+
+    rows = [
+        ("http", T0 + timedelta(minutes=m), float(m * 6), "a")
+        for m in range(0, 61)
+    ]
+    eng = PromQLEngine(
+        spark.createDataFrame(rows, "`__name__` string, ts timestamp, value double, job string")
+    )
+    t = T0 + timedelta(hours=1)
+    out = eng.query_range(spark, "max_over_time(rate(http[5m])[30m:5m])", t, t, 60).collect()
+    # constant counter slope 6/min -> rate 0.1/s at every inner step
+    assert len(out) == 1 and abs(out[0]["value"] - 0.1) < 1e-9
+
+
+def test_subquery_over_instant_selector(spark):
+    from datetime import timedelta
+
+    rows = [
+        ("http", T0 + timedelta(minutes=m), float(m * 6), "a")
+        for m in range(0, 61)
+    ]
+    eng = PromQLEngine(
+        spark.createDataFrame(rows, "`__name__` string, ts timestamp, value double, job string")
+    )
+    t = T0 + timedelta(hours=1)
+    # inner instant at res-aligned 00:40/00:50/01:00 -> 240, 300, 360
+    out = eng.query_range(spark, "avg_over_time(http[30m:10m])", t, t, 60).collect()
+    assert len(out) == 1 and abs(out[0]["value"] - 300.0) < 1e-9
+    assert out[0]["job"] == "a"  # labels survive the subquery
