@@ -50,15 +50,35 @@ _RANGE_FNS = {
     "rate",
     "increase",
     "delta",
+    "irate",
+    "idelta",
+    "changes",
+    "resets",
+    "deriv",
     "avg_over_time",
     "min_over_time",
     "max_over_time",
     "sum_over_time",
     "count_over_time",
     "last_over_time",
+    "stddev_over_time",
+    "stdvar_over_time",
+    "present_over_time",
 }
 _AGG_OPS = {"sum", "avg", "min", "max", "count"}
 _TOPK_OPS = {"topk", "bottomk"}
+_MATH_FNS = {
+    "abs": "abs({v})",
+    "ceil": "ceil({v})",
+    "floor": "floor({v})",
+    "sqrt": "sqrt({v})",
+    "exp": "exp({v})",
+    "ln": "ln({v})",
+    "log2": "log2({v})",
+    "log10": "log10({v})",
+    "sgn": "sign({v})",
+}
+_CMP_OPS = {"==", "!=", ">", "<", ">=", "<="}
 
 _DUR_RE = re.compile(r"^(\d+)(ms|s|m|h|d|w|y)$")
 _DUR_S = {"ms": 0.001, "s": 1, "m": 60, "h": 3600, "d": 86400, "w": 604800, "y": 31536000}
@@ -158,6 +178,35 @@ class LabelJoin:
 
 
 @dataclass
+class MathFn:
+    fn: str
+    arg: "Expr"
+    scalars: list[float] = field(default_factory=list)  # clamp/round args
+
+
+@dataclass
+class QuantileOverTime:
+    phi: float
+    arg: "Expr"  # Selector with window or Subquery
+
+
+@dataclass
+class PredictLinear:
+    arg: "Expr"
+    t_s: float
+
+
+@dataclass
+class Compare:
+    op: str
+    left: "Expr"
+    right: "Expr"
+    bool_mode: bool = False
+    on: Optional[list[str]] = None
+    ignoring: Optional[list[str]] = None
+
+
+@dataclass
 class NumberLit:
     value: float
 
@@ -173,7 +222,7 @@ _TOKEN_RE = re.compile(
     r"\s*(?:(?P<dur>\d+(?:ms|s|m|h|d|w|y)\b)"
     r"|(?P<num>\d+\.\d+|\.\d+|\d+(?!\w))|(?P<id>[a-zA-Z_:][a-zA-Z0-9_:]*)"
     r"|(?P<str>\"(?:[^\"\\]|\\.)*\"|'(?:[^'\\]|\\.)*')"
-    r"|(?P<op>=~|!~|!=|[{}()\[\],=+\-*/]))"
+    r"|(?P<op>=~|!~|!=|==|>=|<=|[{}()\[\],=+\-*/<>]))"
 )
 
 
@@ -213,6 +262,22 @@ class _Parser:
         t = self.next()
         if t[1] != val:
             raise ValueError(f"expected {val!r}, got {t[1]!r}")
+
+    # cmp := expr (CMPOP ['bool'] [matching] expr)*
+    def cmp(self):
+        node = self.expr()
+        while self.peek() and self.peek()[1] in _CMP_OPS:
+            op = self.next()[1]
+            bool_mode = False
+            if self.peek() and self.peek() == ("id", "bool"):
+                self.next()
+                bool_mode = True
+            mods = self._match_modifiers()
+            node = Compare(
+                op, node, self.expr(), bool_mode,
+                mods.get("on"), mods.get("ignoring"),
+            )
+        return node
 
     # expr := term (('+'|'-') [matching] term)*
     def expr(self):
@@ -272,7 +337,7 @@ class _Parser:
         if kind == "num":
             return NumberLit(float(v))
         if v == "(":
-            node = self.expr()
+            node = self.cmp()
             self.expect(")")
             return node
         if kind != "id":
@@ -285,7 +350,7 @@ class _Parser:
             if kk != "num":
                 raise ValueError(f"{v}(k, expr) needs a numeric k")
             self.expect(",")
-            arg = self.expr()
+            arg = self.cmp()
             self.expect(")")
             return TopK(v, int(float(kv)), arg)
         if v == "histogram_quantile" and self.peek() and self.peek()[1] == "(":
@@ -294,17 +359,17 @@ class _Parser:
             if kk != "num":
                 raise ValueError("histogram_quantile(phi, expr) needs a numeric phi")
             self.expect(",")
-            arg = self.expr()
+            arg = self.cmp()
             self.expect(")")
             return HistogramQuantile(float(kv), arg)
         if v == "absent" and self.peek() and self.peek()[1] == "(":
             self.expect("(")
-            arg = self.expr()
+            arg = self.cmp()
             self.expect(")")
             return Absent(arg)
         if v == "label_replace" and self.peek() and self.peek()[1] == "(":
             self.expect("(")
-            arg = self.expr()
+            arg = self.cmp()
             strs = []
             for _ in range(4):
                 self.expect(",")
@@ -316,7 +381,7 @@ class _Parser:
             return LabelReplace(arg, strs[0], strs[1], strs[2], strs[3])
         if v == "label_join" and self.peek() and self.peek()[1] == "(":
             self.expect("(")
-            arg = self.expr()
+            arg = self.cmp()
             strs = []
             while self.peek() and self.peek()[1] == ",":
                 self.next()
@@ -330,49 +395,100 @@ class _Parser:
             return LabelJoin(arg, strs[0], strs[1], strs[2:])
         if v in _RANGE_FNS and self.peek() and self.peek()[1] == "(":
             self.expect("(")
-            arg = self.expr()
-            # expr[range:res] subquery brackets after a non-selector argument
-            if self.peek() and self.peek()[1] == "[":
-                self.next()
-                parts = []
-                while True:
-                    t = self.next()
-                    if t[1] == "]":
-                        break
-                    parts.append(t[1])
-                joined = "".join(parts)
-                if ":" not in joined:
-                    raise ValueError(
-                        f"{v}() over an expression needs a subquery [range:res]"
-                    )
-                rng, res = joined.split(":", 1)
-                if not res:
-                    raise ValueError(
-                        "subquery default resolution [d:] is not supported — "
-                        "give an explicit step, e.g. [1h:5m]"
-                    )
-                off = 0.0
-                if self.peek() and self.peek() == ("id", "offset"):
-                    self.next()
-                    k, dur = self.next()
-                    if k != "dur":
-                        raise ValueError(f"offset needs a duration, got {dur!r}")
-                    off = parse_duration(dur)
-                arg = Subquery(arg, parse_duration(rng), parse_duration(res), off)
+            arg = self._range_arg(v)
             self.expect(")")
-            if isinstance(arg, Selector) and arg.subquery_res_s is not None:
-                # x[1h:5m] parsed inside the selector — lift to Subquery
-                inner = Selector(arg.name, arg.matchers, None, 0.0)
-                arg = Subquery(inner, arg.window_s, arg.subquery_res_s, arg.offset_s)
-            if isinstance(arg, Selector):
-                if arg.window_s is None:
-                    raise ValueError(f"{v}() requires a range selector sel[dur]")
-            elif not isinstance(arg, Subquery):
-                raise ValueError(
-                    f"{v}() needs sel[dur] or a subquery expr[range:res]"
-                )
             return RangeFn(v, arg)
+        if v == "quantile_over_time" and self.peek() and self.peek()[1] == "(":
+            self.expect("(")
+            kk, kv = self.next()
+            if kk != "num":
+                raise ValueError("quantile_over_time(phi, sel[d]) needs a numeric phi")
+            self.expect(",")
+            arg = self._range_arg(v)
+            self.expect(")")
+            return QuantileOverTime(float(kv), arg)
+        if v == "predict_linear" and self.peek() and self.peek()[1] == "(":
+            self.expect("(")
+            arg = self._range_arg(v)
+            self.expect(",")
+            kk, kv = self.next()
+            if kk not in ("num", "dur"):
+                raise ValueError("predict_linear(sel[d], t) needs a numeric t")
+            t_s = parse_duration(kv) if kk == "dur" else float(kv)
+            self.expect(")")
+            return PredictLinear(arg, t_s)
+        if v in _MATH_FNS and self.peek() and self.peek()[1] == "(":
+            self.expect("(")
+            arg = self.cmp()
+            self.expect(")")
+            return MathFn(v, arg)
+        if v in ("clamp", "clamp_min", "clamp_max", "round") and self.peek() and self.peek()[1] == "(":
+            self.expect("(")
+            arg = self.cmp()
+            scalars = []
+            while self.peek() and self.peek()[1] == ",":
+                self.next()
+                sk, sv = self.next()
+                neg = False
+                if sv == "-":
+                    neg = True
+                    sk, sv = self.next()
+                if sk != "num":
+                    raise ValueError(f"{v}() scalar args must be numeric")
+                scalars.append(-float(sv) if neg else float(sv))
+            self.expect(")")
+            if v == "clamp" and len(scalars) != 2:
+                raise ValueError("clamp(v, min, max) needs two scalars")
+            if v in ("clamp_min", "clamp_max") and len(scalars) != 1:
+                raise ValueError(f"{v}(v, s) needs one scalar")
+            if v == "round" and len(scalars) > 1:
+                raise ValueError("round(v[, to_nearest]) takes at most one scalar")
+            return MathFn(v, arg, scalars)
         return self._selector(name=v)
+
+    def _range_arg(self, fn: str):
+        """Parse a range-function argument: sel[dur] or expr[range:res]
+        (subquery), with optional trailing offset."""
+        arg = self.cmp()
+        if self.peek() and self.peek()[1] == "[":
+            self.next()
+            parts = []
+            while True:
+                t = self.next()
+                if t[1] == "]":
+                    break
+                parts.append(t[1])
+            joined = "".join(parts)
+            if ":" not in joined:
+                raise ValueError(
+                    f"{fn}() over an expression needs a subquery [range:res]"
+                )
+            rng, res = joined.split(":", 1)
+            if not res:
+                raise ValueError(
+                    "subquery default resolution [d:] is not supported — "
+                    "give an explicit step, e.g. [1h:5m]"
+                )
+            off = 0.0
+            if self.peek() and self.peek() == ("id", "offset"):
+                self.next()
+                k, dur = self.next()
+                if k != "dur":
+                    raise ValueError(f"offset needs a duration, got {dur!r}")
+                off = parse_duration(dur)
+            arg = Subquery(arg, parse_duration(rng), parse_duration(res), off)
+        if isinstance(arg, Selector) and arg.subquery_res_s is not None:
+            # x[1h:5m] parsed inside the selector — lift to Subquery
+            inner = Selector(arg.name, arg.matchers, None, 0.0)
+            arg = Subquery(inner, arg.window_s, arg.subquery_res_s, arg.offset_s)
+        if isinstance(arg, Selector):
+            if arg.window_s is None:
+                raise ValueError(f"{fn}() requires a range selector sel[dur]")
+        elif not isinstance(arg, Subquery):
+            raise ValueError(
+                f"{fn}() needs sel[dur] or a subquery expr[range:res]"
+            )
+        return arg
 
     def _agg(self, op: str):
         by = None
@@ -391,7 +507,7 @@ class _Parser:
                 if t != ",":
                     raise ValueError("bad by() list")
         self.expect("(")
-        arg = self.expr()
+        arg = self.cmp()
         self.expect(")")
         return Agg(op, by, arg)
 
@@ -451,7 +567,7 @@ class _Parser:
 
 def parse(query: str):
     p = _Parser(_tokenize(query))
-    node = p.expr()
+    node = p.cmp()
     if p.peek() is not None:
         raise ValueError(f"trailing tokens: {p.toks[p.i:]}")
     return node
@@ -533,7 +649,7 @@ class PromQLEngine:
             .agg(F.max_by(val, ts).alias("value"))
         )
 
-    def _range_fn(self, spark, fn: str, node, start, end, step_s, lookback_s=DEFAULT_LOOKBACK_S) -> DataFrame:
+    def _range_fn(self, spark, fn: str, node, start, end, step_s, lookback_s=DEFAULT_LOOKBACK_S, extra=None) -> DataFrame:
         if isinstance(node, Subquery):
             # evaluate the inner expression at res-aligned steps covering
             # (start - range, end], then range-aggregate those synthetic
@@ -554,17 +670,18 @@ class PromQLEngine:
             )
             return self._range_over_samples(
                 spark, fn, samples, "__sq_ts", "value", labels,
-                int(node.range_s), node.offset_s, start, end, step_s,
+                int(node.range_s), node.offset_s, start, end, step_s, extra,
             )
         sel = node
         return self._range_over_samples(
             spark, fn, self._filter(sel), self.ts_col, self.value_col,
             self.label_cols, int(sel.window_s), sel.offset_s, start, end, step_s,
+            extra,
         )
 
     def _range_over_samples(
         self, spark, fn, df, ts_col, value_col, label_cols, w_s, offset_s,
-        start, end, step_s,
+        start, end, step_s, extra=None,
     ) -> DataFrame:
         ts, val = F.col(ts_col), F.col(value_col)
         eff = (
@@ -572,6 +689,90 @@ class PromQLEngine:
             if offset_s
             else F.col("__step")
         )
+        if fn in ("irate", "idelta", "changes", "resets"):
+            # pairwise deltas on the series key; per step either count pairs
+            # (changes/resets) or take the LAST pair in the window (irate/
+            # idelta) — prometheus functions.go semantics
+            w = Window.partitionBy(*label_cols).orderBy(ts)
+            df = (
+                df.withColumn("__prev_v", F.lag(val).over(w))
+                .withColumn("__prev_ts", F.lag(ts).over(w))
+                .where(F.col("__prev_ts").isNotNull())
+            )
+            steps = self._steps(spark, start, end, step_s)
+            j = F.broadcast(steps).join(
+                df,
+                (ts <= eff)
+                & (F.col("__prev_ts") >= eff - F.expr(f"INTERVAL {w_s} SECOND")),
+            )
+            if fn == "changes":
+                agg = F.sum((val != F.col("__prev_v")).cast("long")).cast("double")
+            elif fn == "resets":
+                agg = F.sum((val < F.col("__prev_v")).cast("long")).cast("double")
+            else:
+                last = F.max_by(
+                    F.struct(
+                        val.alias("v"),
+                        F.col("__prev_v").alias("pv"),
+                        ts.alias("t"),
+                        F.col("__prev_ts").alias("pt"),
+                    ),
+                    ts,
+                )
+                g = j.groupBy("__step", *label_cols).agg(last.alias("__l"))
+                L = F.col("__l")
+                if fn == "idelta":
+                    value = L.getField("v") - L.getField("pv")
+                else:  # irate: reset-aware instantaneous rate
+                    dv = F.when(
+                        L.getField("v") >= L.getField("pv"),
+                        L.getField("v") - L.getField("pv"),
+                    ).otherwise(L.getField("v"))
+                    dt = (
+                        F.unix_micros(L.getField("t"))
+                        - F.unix_micros(L.getField("pt"))
+                    ).cast("double") / F.lit(1e6)
+                    value = F.when(dt > 0, dv / dt)
+                return g.select("__step", *label_cols, value.alias("value"))
+            return j.groupBy("__step", *label_cols).agg(agg.alias("value"))
+        if fn in ("deriv", "predict_linear"):
+            # least-squares slope over the window's samples (functions.go
+            # linearRegression); predict_linear extrapolates to step + t
+            steps = self._steps(spark, start, end, step_s)
+            j = F.broadcast(steps).join(
+                df,
+                (ts > eff - F.expr(f"INTERVAL {w_s} SECOND")) & (ts <= eff),
+            )
+            # center time on the step epoch (functions.go linearRegression
+            # subtracts an intercept time): raw epoch seconds squared lose
+            # the sub-second signal to double cancellation
+            t_sec = (
+                F.unix_micros(ts).cast("double") / F.lit(1e6)
+                - F.col("__step_epoch").cast("double")
+            )
+            g = j.groupBy("__step", F.col("__step_epoch").alias("__se"), *label_cols).agg(
+                F.count(val).alias("__n"),
+                F.sum(t_sec).alias("__st"),
+                F.sum(val).alias("__sy"),
+                F.sum(t_sec * val).alias("__sty"),
+                F.sum(t_sec * t_sec).alias("__stt"),
+            )
+            n = F.col("__n").cast("double")
+            denom = n * F.col("__stt") - F.col("__st") * F.col("__st")
+            slope = F.when(
+                (F.col("__n") >= 2) & (denom != 0),
+                (n * F.col("__sty") - F.col("__st") * F.col("__sy")) / denom,
+            )
+            if fn == "deriv":
+                value = slope
+            else:
+                # times are step-centered, so the prediction target is just
+                # the horizon `extra` seconds past the step
+                t_target = F.lit(float(extra or 0.0))
+                mean_t = F.col("__st") / n
+                mean_y = F.col("__sy") / n
+                value = mean_y + slope * (t_target - mean_t)
+            return g.select("__step", *label_cols, value.alias("value"))
         if fn in ("rate", "increase", "delta"):
             # one pass of per-sample deltas on the series key, then a window
             # join: only deltas with both endpoints inside the step's window
@@ -610,6 +811,10 @@ class PromQLEngine:
             "sum_over_time": F.sum(val),
             "count_over_time": F.count(val),
             "last_over_time": F.max_by(val, ts),
+            "stddev_over_time": F.stddev_pop(val),
+            "stdvar_over_time": F.var_pop(val),
+            "present_over_time": F.max(F.lit(1.0)),
+            "quantile_over_time": F.percentile(val, F.lit(float(extra or 0.5))),
         }[fn]
         return j.groupBy("__step", *label_cols).agg(agg.alias("value"))
 
@@ -652,6 +857,73 @@ class PromQLEngine:
             )
         )
         return g.select("__step", *rest, value.alias("value"))
+
+    @staticmethod
+    def _cmp_cond(op: str, a: Column, b) -> Column:
+        return {
+            "==": a == b,
+            "!=": a != b,
+            ">": a > b,
+            "<": a < b,
+            ">=": a >= b,
+            "<=": a <= b,
+        }[op]
+
+    def _compare(self, spark, node: "Compare", start, end, step_s, lookback_s) -> DataFrame:
+        """Comparison binary operators (operators.md): filter semantics by
+        default (keep left elements where the comparison holds, value
+        unchanged); `bool` yields 0/1 for every matched element. Vector-
+        vector matching uses the same on/ignoring key reduction as
+        arithmetic; the right side must be unique per match group."""
+        lnum = isinstance(node.left, NumberLit)
+        rnum = isinstance(node.right, NumberLit)
+        if lnum and rnum:
+            raise ValueError("scalar-only comparisons are not supported")
+        if lnum or rnum:
+            vec = self._eval(
+                spark, node.right if lnum else node.left, start, end, step_s, lookback_s
+            )
+            k = (node.left if lnum else node.right).value
+            v = F.col("value")
+            cond = (
+                self._cmp_cond(node.op, F.lit(k), v)
+                if lnum
+                else self._cmp_cond(node.op, v, F.lit(k))
+            )
+            if node.bool_mode:
+                return vec.withColumn("value", cond.cast("int").cast("double"))
+            return vec.where(cond)
+        lv = self._eval(spark, node.left, start, end, step_s, lookback_s)
+        rv = self._eval(spark, node.right, start, end, step_s, lookback_s)
+        lv_labels = [c for c in lv.columns if c not in ("__step", "value")]
+        rv_labels = [c for c in rv.columns if c not in ("__step", "value")]
+        if node.on is not None:
+            keys = list(dict.fromkeys(node.on))
+            for k in keys:
+                if k not in lv.columns:
+                    lv = lv.withColumn(k, F.lit(""))
+                if k not in rv.columns:
+                    rv = rv.withColumn(k, F.lit(""))
+        else:
+            ign = set(node.ignoring or [])
+            keys = sorted((set(lv_labels) & set(rv_labels)) - ign)
+        match_keys = ["__step"] + keys
+        rv2 = rv.select(*match_keys, F.col("value").alias("__rv"))
+        dup = rv2.groupBy(*match_keys).count().where(F.col("count") > 1).limit(1)
+        if dup.take(1):
+            raise ValueError(
+                f"comparison matching is many-to-many: duplicate series on the "
+                f"right side for match group {keys}"
+            )
+        j = lv.join(rv2, on=match_keys, how="inner")
+        cond = self._cmp_cond(node.op, F.col("value"), F.col("__rv"))
+        if node.bool_mode:
+            return j.select(
+                *match_keys,
+                *[c for c in lv_labels if c not in keys],
+                cond.cast("int").cast("double").alias("value"),
+            )
+        return j.where(cond).drop("__rv")
 
     def _vector_binop(self, node: "BinOp", lv: DataFrame, rv: DataFrame) -> DataFrame:
         """Prometheus vector matching (operators: one-to-one and many-to-one).
@@ -760,6 +1032,39 @@ class PromQLEngine:
             return self._instant(spark, node, start, end, step_s, lookback_s)
         if isinstance(node, RangeFn):
             return self._range_fn(spark, node.fn, node.arg, start, end, step_s)
+        if isinstance(node, QuantileOverTime):
+            return self._range_fn(
+                spark, "quantile_over_time", node.arg, start, end, step_s,
+                lookback_s, extra=node.phi,
+            )
+        if isinstance(node, PredictLinear):
+            return self._range_fn(
+                spark, "predict_linear", node.arg, start, end, step_s,
+                lookback_s, extra=node.t_s,
+            )
+        if isinstance(node, MathFn):
+            inner = self._eval(spark, node.arg, start, end, step_s, lookback_s)
+            v = F.col("value")
+            if node.fn == "clamp_min":
+                newv = F.greatest(v, F.lit(node.scalars[0]))
+            elif node.fn == "clamp_max":
+                newv = F.least(v, F.lit(node.scalars[0]))
+            elif node.fn == "clamp":
+                mn, mx = node.scalars
+                newv = (
+                    F.lit(None).cast("double")
+                    if mn > mx
+                    else F.least(F.greatest(v, F.lit(mn)), F.lit(mx))
+                )
+            elif node.fn == "round":
+                to = node.scalars[0] if node.scalars else 1.0
+                # prometheus round: nearest multiple, ties rounded up
+                newv = F.floor(v / F.lit(to) + F.lit(0.5)) * F.lit(to)
+            else:
+                newv = F.expr(_MATH_FNS[node.fn].format(v="value"))
+            return inner.withColumn("value", newv.cast("double"))
+        if isinstance(node, Compare):
+            return self._compare(spark, node, start, end, step_s, lookback_s)
         if isinstance(node, Agg):
             inner = self._eval(spark, node.arg, start, end, step_s, lookback_s)
             keep = node.by if node.by is not None else []

@@ -419,3 +419,80 @@ def test_subquery_over_instant_selector(spark):
     out = eng.query_range(spark, "avg_over_time(http[30m:10m])", t, t, 60).collect()
     assert len(out) == 1 and abs(out[0]["value"] - 300.0) < 1e-9
     assert out[0]["job"] == "a"  # labels survive the subquery
+
+
+# ----------------------------------------------- extended function library
+
+@pytest.fixture(scope="module")
+def fn_engine(spark):
+    from datetime import timedelta
+
+    rows = []
+    for m in range(0, 31):
+        ts = T0 + timedelta(minutes=m)
+        rows.append(("c", ts, float(m * 6), "a"))
+        v = m * 10 if m < 20 else (m - 20) * 10  # reset at minute 20
+        rows.append(("c", ts, float(v), "b"))
+        rows.append(("g", ts, 100.0 + m, "a"))
+    return PromQLEngine(
+        spark.createDataFrame(
+            rows, "`__name__` string, ts timestamp, value double, job string"
+        )
+    )
+
+
+def _at30(spark, eng, q):
+    from datetime import timedelta
+
+    t = T0 + timedelta(minutes=30)
+    out = eng.query_range(spark, q, t, t, 60).collect()
+    return {r["job"] if "job" in r.asDict() else "_": r["value"] for r in out}
+
+
+def test_irate_idelta(spark, fn_engine):
+    assert abs(_at30(spark, fn_engine, "irate(c[5m])")["a"] - 0.1) < 1e-9
+    assert abs(_at30(spark, fn_engine, "idelta(c[5m])")["a"] - 6.0) < 1e-9
+
+
+def test_changes_resets(spark, fn_engine):
+    r = _at30(spark, fn_engine, "resets(c[30m])")
+    assert r["b"] == 1.0 and r["a"] == 0.0
+    assert _at30(spark, fn_engine, "changes(c[10m])")["a"] == 10.0
+
+
+def test_deriv_predict_linear(spark, fn_engine):
+    # gauge g rises 1 per minute -> slope 1/60 per second
+    assert abs(_at30(spark, fn_engine, "deriv(g[10m])")["a"] - 1 / 60) < 1e-9
+    # value 130 at :30, predict 10 minutes ahead -> 140
+    assert abs(_at30(spark, fn_engine, "predict_linear(g[10m], 600)")["a"] - 140.0) < 1e-6
+
+
+def test_over_time_extensions(spark, fn_engine):
+    import numpy as np
+
+    assert abs(_at30(spark, fn_engine, "quantile_over_time(0.5, g[10m])")["a"] - 125.5) < 1e-9
+    assert (
+        abs(
+            _at30(spark, fn_engine, "stddev_over_time(g[10m])")["a"]
+            - np.std(np.arange(121, 131.0))
+        )
+        < 1e-9
+    )
+    assert _at30(spark, fn_engine, "present_over_time(g[5m])")["a"] == 1.0
+
+
+def test_math_functions(spark, fn_engine):
+    assert abs(_at30(spark, fn_engine, "sqrt(g)")["a"] - 130.0 ** 0.5) < 1e-9
+    assert _at30(spark, fn_engine, "clamp(g, 0, 125)")["a"] == 125.0
+    assert _at30(spark, fn_engine, "clamp_min(g, 200)")["a"] == 200.0
+    assert _at30(spark, fn_engine, "round(g / 7)")["a"] == 19.0  # 18.57 -> 19
+
+
+def test_comparison_filter_and_bool(spark, fn_engine):
+    r = _at30(spark, fn_engine, "c > 150")
+    assert set(r) == {"a"} and r["a"] == 180.0  # b at :30 = 100, dropped
+    r = _at30(spark, fn_engine, "c > bool 150")
+    assert r == {"a": 1.0, "b": 0.0}
+    # vector-vector: b has no g series -> one-to-one match drops it
+    r = _at30(spark, fn_engine, "c > g")
+    assert set(r) == {"a"} and r["a"] == 180.0
