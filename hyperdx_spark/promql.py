@@ -10,17 +10,28 @@ same Spark data as everything else.
 Data model: a *samples* DataFrame with columns ``__name__`` (metric name),
 a timestamp, a double value, and one string column per label.
 
-Supported subset (the shapes HyperDX dashboards actually use):
+Supported language (the shapes HyperDX dashboards actually use, and then
+some):
 * selector ``name{l="v", l2!="v", l3=~"re", l4!~"re"}``
-* range functions over ``sel[window]``: ``rate``, ``increase``, ``delta``,
-  ``avg_over_time``, ``min_over_time``, ``max_over_time``,
-  ``sum_over_time``, ``count_over_time``, ``last_over_time``
+* range functions over ``sel[window]`` or a subquery ``expr[range:res]``:
+  ``rate``, ``increase``, ``delta``, ``irate``, ``idelta``, ``changes``,
+  ``resets``, ``deriv``, ``predict_linear``, ``avg/min/max/sum/count/
+  last/stddev/stdvar/present/quantile_over_time``
 * aggregation: ``sum/avg/min/max/count [by (labels)] (expr)``
 * ``topk/bottomk(k, expr)``; ``histogram_quantile(phi, expr)`` over an
   ``le``-labelled cumulative-bucket vector; ``absent(expr)``
-* ``offset dur`` modifier on selectors (instant and range)
-* scalar arithmetic: ``expr op number`` / ``number op expr`` (+ - * /);
-  vector-vector arithmetic on the shared label set
+* ``offset dur`` modifier on selectors (instant, range, subquery)
+* scalar arithmetic: ``expr op number`` / ``number op expr`` (+ - * /)
+* vector-vector arithmetic with full matching: default shared-label 1:1,
+  ``on(...)/ignoring(...)``, ``group_left/group_right[(extra)]``
+* comparisons ``== != > < >= <=`` (filter semantics; ``bool`` for 0/1)
+* ``label_replace``/``label_join``; math fns ``abs ceil floor sqrt exp ln
+  log2 log10 sgn clamp clamp_min clamp_max round``
+
+* set operators ``and / or / unless`` with on/ignoring matching
+
+Not implemented: ``@`` modifiers, native histograms, ``sort/sort_desc``,
+``time()/scalar()/vector()``.
 
 Semantics notes (documented divergences from Prometheus):
 * ``rate``/``increase`` sum reset-adjusted deltas of consecutive samples
@@ -207,6 +218,15 @@ class Compare:
 
 
 @dataclass
+class SetOp:
+    op: str  # and | or | unless
+    left: "Expr"
+    right: "Expr"
+    on: Optional[list[str]] = None
+    ignoring: Optional[list[str]] = None
+
+
+@dataclass
 class NumberLit:
     value: float
 
@@ -263,8 +283,32 @@ class _Parser:
         if t[1] != val:
             raise ValueError(f"expected {val!r}, got {t[1]!r}")
 
-    # cmp := expr (CMPOP ['bool'] [matching] expr)*
+    # cmp (full expression) := and_expr ('or' [matching] and_expr)*
     def cmp(self):
+        node = self._and_level()
+        while self.peek() and self.peek() == ("id", "or"):
+            self.next()
+            mods = self._match_modifiers()
+            node = SetOp(
+                "or", node, self._and_level(),
+                mods.get("on"), mods.get("ignoring"),
+            )
+        return node
+
+    # and_expr := cmp_level (('and'|'unless') [matching] cmp_level)*
+    def _and_level(self):
+        node = self._cmp_level()
+        while self.peek() and self.peek()[0] == "id" and self.peek()[1] in ("and", "unless"):
+            op = self.next()[1]
+            mods = self._match_modifiers()
+            node = SetOp(
+                op, node, self._cmp_level(),
+                mods.get("on"), mods.get("ignoring"),
+            )
+        return node
+
+    # cmp_level := expr (CMPOP ['bool'] [matching] expr)*
+    def _cmp_level(self):
         node = self.expr()
         while self.peek() and self.peek()[1] in _CMP_OPS:
             op = self.next()[1]
@@ -1065,6 +1109,32 @@ class PromQLEngine:
             return inner.withColumn("value", newv.cast("double"))
         if isinstance(node, Compare):
             return self._compare(spark, node, start, end, step_s, lookback_s)
+        if isinstance(node, SetOp):
+            lv = self._eval(spark, node.left, start, end, step_s, lookback_s)
+            rv = self._eval(spark, node.right, start, end, step_s, lookback_s)
+            lv_labels = [c for c in lv.columns if c not in ("__step", "value")]
+            rv_labels = [c for c in rv.columns if c not in ("__step", "value")]
+            if node.on is not None:
+                keys = list(dict.fromkeys(node.on))
+                for k in keys:
+                    if k not in lv.columns:
+                        lv = lv.withColumn(k, F.lit(""))
+                    if k not in rv.columns:
+                        rv = rv.withColumn(k, F.lit(""))
+            else:
+                ign = set(node.ignoring or [])
+                keys = sorted((set(lv_labels) & set(rv_labels)) - ign)
+            match_keys = ["__step"] + keys
+            if node.op == "and":
+                return lv.join(rv.select(*match_keys).distinct(), on=match_keys, how="left_semi")
+            if node.op == "unless":
+                return lv.join(rv.select(*match_keys).distinct(), on=match_keys, how="left_anti")
+            # or: all left elements + right elements whose match group has no
+            # left series; labels unique to one side null-fill on the other
+            right_only = rv.join(
+                lv.select(*match_keys).distinct(), on=match_keys, how="left_anti"
+            )
+            return lv.unionByName(right_only, allowMissingColumns=True)
         if isinstance(node, Agg):
             inner = self._eval(spark, node.arg, start, end, step_s, lookback_s)
             keep = node.by if node.by is not None else []

@@ -496,3 +496,18 @@ def test_comparison_filter_and_bool(spark, fn_engine):
     # vector-vector: b has no g series -> one-to-one match drops it
     r = _at30(spark, fn_engine, "c > g")
     assert set(r) == {"a"} and r["a"] == 180.0
+
+
+def test_set_operators(spark, fn_engine):
+    # and: c series where a g series with the same labels exists (only job=a)
+    r = _at30(spark, fn_engine, "c and g")
+    assert set(r) == {"a"} and r["a"] == 180.0
+    # unless: drop series that exist on the right
+    r = _at30(spark, fn_engine, "c unless g")
+    assert set(r) == {"b"} and r["b"] == 100.0
+    # or: union, left wins on overlap
+    r = _at30(spark, fn_engine, "g or c")
+    assert r["a"] == 130.0 and r["b"] == 100.0
+    # composes with comparisons: alert idiom
+    r = _at30(spark, fn_engine, "c > 150 or g > 1000")
+    assert set(r) == {"a"} and r["a"] == 180.0
