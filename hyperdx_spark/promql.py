@@ -29,9 +29,11 @@ some):
   log2 log10 sgn clamp clamp_min clamp_max round``
 
 * set operators ``and / or / unless`` with on/ignoring matching
+* ``@ epoch`` modifier; ``time()`` / ``scalar(v)`` / ``vector(s)`` with
+  Prometheus scalar element-wise semantics in binary ops
 
-Not implemented: ``@`` modifiers, native histograms, ``sort/sort_desc``,
-``time()/scalar()/vector()``.
+Not implemented: native histograms, ``sort/sort_desc`` (row order is
+presentation-only in a DataFrame result), ``start()/end()`` inside ``@``.
 
 Semantics notes (documented divergences from Prometheus):
 * ``rate``/``increase`` sum reset-adjusted deltas of consecutive samples
@@ -112,6 +114,7 @@ class Selector:
     matchers: list[tuple[str, str, str]] = field(default_factory=list)  # (label, op, value)
     window_s: Optional[float] = None  # set for sel[dur]
     offset_s: float = 0.0  # `sel offset dur` — evaluate shifted into the past
+    at_s: Optional[float] = None  # `sel @ epoch` — pin the evaluation time
     # sel[range:res] — parsed as a subquery over the instant selector
     subquery_res_s: Optional[float] = None
 
@@ -227,6 +230,25 @@ class SetOp:
 
 
 @dataclass
+class TimeFn:
+    """time() — the step epoch as a scalar (element-wise in binops)."""
+
+
+@dataclass
+class ScalarFn:
+    """scalar(v) — single-series vector to scalar (NaN when not single)."""
+
+    arg: "Expr"
+
+
+@dataclass
+class VectorFn:
+    """vector(s) — scalar to a label-less instant vector."""
+
+    value: float
+
+
+@dataclass
 class NumberLit:
     value: float
 
@@ -242,7 +264,7 @@ _TOKEN_RE = re.compile(
     r"\s*(?:(?P<dur>\d+(?:ms|s|m|h|d|w|y)\b)"
     r"|(?P<num>\d+\.\d+|\.\d+|\d+(?!\w))|(?P<id>[a-zA-Z_:][a-zA-Z0-9_:]*)"
     r"|(?P<str>\"(?:[^\"\\]|\\.)*\"|'(?:[^'\\]|\\.)*')"
-    r"|(?P<op>=~|!~|!=|==|>=|<=|[{}()\[\],=+\-*/<>]))"
+    r"|(?P<op>=~|!~|!=|==|>=|<=|[{}()\[\],=+\-*/<>@]))"
 )
 
 
@@ -466,6 +488,26 @@ class _Parser:
             arg = self.cmp()
             self.expect(")")
             return MathFn(v, arg)
+        if v == "time" and self.peek() and self.peek()[1] == "(":
+            self.expect("(")
+            self.expect(")")
+            return TimeFn()
+        if v == "scalar" and self.peek() and self.peek()[1] == "(":
+            self.expect("(")
+            arg = self.cmp()
+            self.expect(")")
+            return ScalarFn(arg)
+        if v == "vector" and self.peek() and self.peek()[1] == "(":
+            self.expect("(")
+            neg = False
+            kk, kv = self.next()
+            if kv == "-":
+                neg = True
+                kk, kv = self.next()
+            if kk != "num":
+                raise ValueError("vector(s) needs a numeric scalar")
+            self.expect(")")
+            return VectorFn(-float(kv) if neg else float(kv))
         if v in ("clamp", "clamp_min", "clamp_max", "round") and self.peek() and self.peek()[1] == "(":
             self.expect("(")
             arg = self.cmp()
@@ -600,12 +642,21 @@ class _Parser:
                 sel.subquery_res_s = parse_duration(res)
             else:
                 sel.window_s = parse_duration(joined)
-        if self.peek() and self.peek() == ("id", "offset"):
-            self.next()
-            k, dur = self.next()
-            if k != "dur":
-                raise ValueError(f"offset needs a duration, got {dur!r}")
-            sel.offset_s = parse_duration(dur)
+        # `offset dur` and `@ epoch` may appear in either order (the two
+        # modifiers commute in the Prometheus grammar)
+        while self.peek() and self.peek() in (("id", "offset"), ("op", "@")):
+            if self.peek() == ("id", "offset"):
+                self.next()
+                k, dur = self.next()
+                if k != "dur":
+                    raise ValueError(f"offset needs a duration, got {dur!r}")
+                sel.offset_s = parse_duration(dur)
+            else:
+                self.next()
+                k, v = self.next()
+                if k != "num":
+                    raise ValueError("@ modifier needs a unix-epoch number")
+                sel.at_s = float(v)
         return sel
 
 
@@ -670,10 +721,16 @@ class PromQLEngine:
     @staticmethod
     def _eff_step(sel: Selector) -> Column:
         """Evaluation time for this selector: `offset` shifts it into the
-        past while results stay keyed by the original __step."""
+        past, `@` pins it to a fixed epoch; results stay keyed by the
+        original __step either way."""
+        base = (
+            F.timestamp_seconds(F.lit(sel.at_s))
+            if sel.at_s is not None
+            else F.col("__step")
+        )
         if sel.offset_s:
-            return F.col("__step") - F.expr(f"INTERVAL {int(sel.offset_s)} SECOND")
-        return F.col("__step")
+            return base - F.expr(f"INTERVAL {int(sel.offset_s)} SECOND")
+        return base
 
     def _instant(
         self, spark, sel: Selector, start, end, step_s, lookback_s=DEFAULT_LOOKBACK_S
@@ -720,19 +777,19 @@ class PromQLEngine:
         return self._range_over_samples(
             spark, fn, self._filter(sel), self.ts_col, self.value_col,
             self.label_cols, int(sel.window_s), sel.offset_s, start, end, step_s,
-            extra,
+            extra, sel.at_s,
         )
 
     def _range_over_samples(
         self, spark, fn, df, ts_col, value_col, label_cols, w_s, offset_s,
-        start, end, step_s, extra=None,
+        start, end, step_s, extra=None, at_s=None,
     ) -> DataFrame:
         ts, val = F.col(ts_col), F.col(value_col)
         eff = (
-            F.col("__step") - F.expr(f"INTERVAL {int(offset_s)} SECOND")
-            if offset_s
-            else F.col("__step")
+            F.timestamp_seconds(F.lit(at_s)) if at_s is not None else F.col("__step")
         )
+        if offset_s:
+            eff = eff - F.expr(f"INTERVAL {int(offset_s)} SECOND")
         if fn in ("irate", "idelta", "changes", "resets"):
             # pairwise deltas on the series key; per step either count pairs
             # (changes/resets) or take the LAST pair in the window (irate/
@@ -1109,6 +1166,26 @@ class PromQLEngine:
             return inner.withColumn("value", newv.cast("double"))
         if isinstance(node, Compare):
             return self._compare(spark, node, start, end, step_s, lookback_s)
+        if isinstance(node, TimeFn):
+            return self._steps(spark, start, end, step_s).select(
+                "__step", F.col("__step_epoch").cast("double").alias("value")
+            )
+        if isinstance(node, VectorFn):
+            return self._steps(spark, start, end, step_s).select(
+                "__step", F.lit(node.value).alias("value")
+            )
+        if isinstance(node, ScalarFn):
+            inner = self._eval(spark, node.arg, start, end, step_s, lookback_s)
+            per_step = inner.groupBy("__step").agg(
+                F.count("value").alias("__n"), F.min("value").alias("__v")
+            )
+            steps = self._steps(spark, start, end, step_s).select("__step")
+            return steps.join(per_step, on="__step", how="left").select(
+                "__step",
+                F.when(F.col("__n") == 1, F.col("__v"))
+                .otherwise(F.lit(float("nan")))
+                .alias("value"),
+            )
         if isinstance(node, SetOp):
             lv = self._eval(spark, node.left, start, end, step_s, lookback_s)
             rv = self._eval(spark, node.right, start, end, step_s, lookback_s)
@@ -1193,6 +1270,31 @@ class PromQLEngine:
             rnum = isinstance(node.right, NumberLit)
             if lnum and rnum:
                 raise ValueError("scalar-only arithmetic is not supported")
+            # time()/scalar() operands are Prometheus scalars: element-wise
+            # against every series of the other side, no label matching
+            lscal = isinstance(node.left, (TimeFn, ScalarFn))
+            rscal = isinstance(node.right, (TimeFn, ScalarFn))
+            if (lscal or rscal) and not (lnum or rnum):
+                lv = self._eval(spark, node.left, start, end, step_s, lookback_s)
+                rv = self._eval(spark, node.right, start, end, step_s, lookback_s)
+                if lscal and not rscal:
+                    scal, vec, scal_left = lv, rv, True
+                elif rscal and not lscal:
+                    scal, vec, scal_left = rv, lv, False
+                else:  # both scalar: plain per-step arithmetic
+                    scal, vec, scal_left = lv, rv, True
+                s2 = scal.select("__step", F.col("value").alias("__sv"))
+                j = vec.join(s2, on="__step", how="inner")
+                a = F.col("__sv") if scal_left else F.col("value")
+                b = F.col("value") if scal_left else F.col("__sv")
+                expr = {
+                    "+": a + b,
+                    "-": a - b,
+                    "*": a * b,
+                    "/": F.when(b != 0, a / b),
+                }[node.op]
+                keep = [c for c in vec.columns if c != "value"]
+                return j.select(*keep, expr.alias("value"))
             if not lnum and not rnum:
                 lv = self._eval(spark, node.left, start, end, step_s, lookback_s)
                 rv = self._eval(spark, node.right, start, end, step_s, lookback_s)

@@ -511,3 +511,35 @@ def test_set_operators(spark, fn_engine):
     # composes with comparisons: alert idiom
     r = _at30(spark, fn_engine, "c > 150 or g > 1000")
     assert set(r) == {"a"} and r["a"] == 180.0
+
+
+def test_at_modifier(spark, fn_engine):
+    from datetime import timedelta
+
+    # pin the selector to :10 regardless of step; epoch of 2024-01-01 00:10
+    at = int((T0 + timedelta(minutes=10)).timestamp())
+    t = T0 + timedelta(minutes=30)
+    out = fn_engine.query_range(spark, f"g @ {at}", t, t, 60).collect()
+    assert len(out) == 1 and out[0]["value"] == 110.0  # g at :10
+
+
+def test_time_and_scalar_vector(spark, fn_engine):
+    from datetime import timedelta
+
+    t = T0 + timedelta(minutes=30)
+    # time() - scalar start-time idiom: g started at epoch(T0)+... use
+    # time() * 0 + 7 == 7 at every step to keep it deterministic
+    out = fn_engine.query_range(spark, "time() * 0 + 7", t, t, 60).collect()
+    assert len(out) == 1 and out[0]["value"] == 7.0
+    # scalar() element-wise against a multi-series vector
+    out = fn_engine.query_range(spark, "c - scalar(g)", t, t, 60).collect()
+    got = {r["job"]: r["value"] for r in out}
+    assert got == {"a": 180.0 - 130.0, "b": 100.0 - 130.0}
+    # vector() literal
+    out = fn_engine.query_range(spark, "vector(42)", t, t, 60).collect()
+    assert len(out) == 1 and out[0]["value"] == 42.0
+    # scalar() of a multi-series vector is NaN
+    import math
+
+    out = fn_engine.query_range(spark, "scalar(c)", t, t, 60).collect()
+    assert len(out) == 1 and math.isnan(out[0]["value"])
