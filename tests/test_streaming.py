@@ -270,3 +270,78 @@ def test_otlp_ingest_end_to_end(spark, tmp_path):
     )
     out = compile_chart_config(spark, cfg).collect()
     assert out[0]["cnt"] == 3
+
+
+# ------------------------------------------------------- stateful operators
+
+def test_alert_state_stream_streak_survives_batches(spark, tmp_path):
+    """The PENDING->ALERT streak must carry across micro-batches: two seed
+    files stream one-at-a-time (maxFilesPerTrigger=1), each holding one
+    breaching window; with num_consecutive_windows=2 the ALERT fires only
+    in the SECOND micro-batch."""
+    import uuid
+    from datetime import datetime
+
+    from hyperdx_spark.alerts import AlertConfig
+    from hyperdx_spark.streaming.stateful import alert_state_stream
+
+    seed = str(tmp_path / "agg")
+    rows1 = [("svc", datetime(2024, 1, 1, 0, 0), 80.0)]
+    rows2 = [("svc", datetime(2024, 1, 1, 1, 0), 90.0),
+             ("svc", datetime(2024, 1, 1, 2, 0), 10.0)]
+    schema = "service string, __timestamp timestamp, value double"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(seed + "/f1")
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(seed + "/f2")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(seed)
+    )
+    out = alert_state_stream(
+        stream,
+        AlertConfig(threshold=50, num_consecutive_windows=2),
+        group_cols=["service"],
+    )
+    name = "alert_state_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    got = {
+        r["__timestamp"].hour: (r["streak"], r["state"])
+        for r in spark.table(name).collect()
+    }
+    assert got == {0: (1, "PENDING"), 1: (2, "ALERT"), 2: (0, "OK")}
+
+
+def test_dedup_stream_drops_duplicates_within_ttl(spark, tmp_path):
+    import uuid
+    from datetime import datetime
+
+    from hyperdx_spark.streaming.stateful import dedup_stream
+
+    seed = str(tmp_path / "events")
+    schema = "event_id long, ts timestamp, body string"
+    rows1 = [(1, datetime(2024, 1, 1, 0, 0), "a"),
+             (2, datetime(2024, 1, 1, 0, 1), "b")]
+    rows2 = [(1, datetime(2024, 1, 1, 0, 2), "a-dup"),   # dup within TTL
+             (3, datetime(2024, 1, 1, 0, 3), "c")]
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(seed + "/f1")
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(seed + "/f2")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(seed)
+    )
+    out = dedup_stream(stream, keys=["event_id"], ts_col="ts", within="10 minutes")
+    name = "dedup_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    ids = sorted(r["event_id"] for r in spark.table(name).collect())
+    assert ids == [1, 2, 3]
