@@ -959,6 +959,49 @@ class PromQLEngine:
         )
         return g.select("__step", *rest, value.alias("value"))
 
+    _REAGG = {"sum": F.sum, "min": F.min, "max": F.max}
+
+    def _eval_binop_sides(self, spark, node, start, end, step_s, lookback_s):
+        """Evaluate both sides of a vector binop, factoring the common
+        subplan when one side is a coarser re-aggregation of the other —
+        the share-of-total idiom `sum by (a,b) (X) / on(a) group_left
+        sum by (a) (X)` then scans X ONCE instead of twice (sum/min/max
+        re-aggregate exactly; count re-aggregates as sum of counts)."""
+        l, r = node.left, node.right
+        if (
+            isinstance(l, Agg)
+            and isinstance(r, Agg)
+            and l.arg == r.arg  # deep dataclass equality on the inner expr
+            and l.op == r.op
+            and l.op in ("sum", "min", "max", "count")
+            and l.by is not None
+            and r.by is not None
+            and set(l.by) != set(r.by)
+        ):
+            if set(r.by) < set(l.by):
+                fine_node, coarse_by, coarse_is_left = l, r.by, False
+            elif set(l.by) < set(r.by):
+                fine_node, coarse_by, coarse_is_left = r, l.by, True
+            else:
+                fine_node = None
+            if fine_node is not None:
+                fine = self._eval(spark, fine_node, start, end, step_s, lookback_s)
+                # materialize the fine vector once: plan-level exchange reuse
+                # does not fire across the two branches (column pruning
+                # specializes their copies), and the aggregated vector is
+                # small by construction (<= steps x series rows) — so one
+                # localCheckpoint turns two full scans of the raw samples
+                # into one (blocks are GC-reclaimed, no cache-entry leak)
+                fine = fine.localCheckpoint(eager=True)
+                reagg = self._REAGG.get(l.op, F.sum)  # count -> sum of counts
+                coarse = fine.groupBy("__step", *coarse_by).agg(
+                    reagg("value").alias("value")
+                )
+                return (coarse, fine) if coarse_is_left else (fine, coarse)
+        lv = self._eval(spark, l, start, end, step_s, lookback_s)
+        rv = self._eval(spark, r, start, end, step_s, lookback_s)
+        return lv, rv
+
     @staticmethod
     def _cmp_cond(op: str, a: Column, b) -> Column:
         return {
@@ -1296,8 +1339,9 @@ class PromQLEngine:
                 keep = [c for c in vec.columns if c != "value"]
                 return j.select(*keep, expr.alias("value"))
             if not lnum and not rnum:
-                lv = self._eval(spark, node.left, start, end, step_s, lookback_s)
-                rv = self._eval(spark, node.right, start, end, step_s, lookback_s)
+                lv, rv = self._eval_binop_sides(
+                    spark, node, start, end, step_s, lookback_s
+                )
                 return self._vector_binop(node, lv, rv)
             vec = self._eval(
                 spark, node.right if lnum else node.left, start, end, step_s, lookback_s

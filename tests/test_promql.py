@@ -543,3 +543,25 @@ def test_time_and_scalar_vector(spark, fn_engine):
 
     out = fn_engine.query_range(spark, "scalar(c)", t, t, 60).collect()
     assert len(out) == 1 and math.isnan(out[0]["value"])
+
+
+def test_binop_common_agg_factoring(spark):
+    """The share-of-total idiom factors: sum by (job,code)(X) / on(job)
+    group_left sum by (job)(X) evaluates the inner X once (localCheckpoint)
+    and the per-group shares must still sum to 1 — also for count, which
+    re-aggregates as SUM of fine counts."""
+    import collections
+
+    eng = PromQLEngine(_match_samples(spark), label_cols=["job", "code"])
+    t = datetime(2024, 1, 1, 0, 10)
+    for op in ("sum", "count"):
+        out = eng.query_range(
+            spark,
+            f"{op} by (job, code) (sum_over_time(errs[10m])) / on(job) "
+            f"group_left {op} by (job) (sum_over_time(errs[10m]))",
+            t, t, 60,
+        ).collect()
+        sums = collections.defaultdict(float)
+        for r in out:
+            sums[r["job"]] += r["value"]
+        assert sums and all(abs(s - 1.0) < 1e-9 for s in sums.values()), (op, sums)
