@@ -654,9 +654,16 @@ class _Parser:
             else:
                 self.next()
                 k, v = self.next()
-                if k != "num":
-                    raise ValueError("@ modifier needs a unix-epoch number")
-                sel.at_s = float(v)
+                if k == "id" and v in ("start", "end"):
+                    self.expect("(")
+                    self.expect(")")
+                    sel.at_s = f"__{v}__"  # resolved to the range bound at eval
+                elif k == "num":
+                    sel.at_s = float(v)
+                else:
+                    raise ValueError(
+                        "@ modifier needs a unix-epoch number or start()/end()"
+                    )
         return sel
 
 
@@ -719,14 +726,22 @@ class PromQLEngine:
         )
 
     @staticmethod
-    def _eff_step(sel: Selector) -> Column:
+    def _resolve_at(at_s, start, end):
+        """`@ start()` / `@ end()` resolve to the query-range bounds."""
+        if at_s == "__start__":
+            return start.timestamp()
+        if at_s == "__end__":
+            return end.timestamp()
+        return at_s
+
+    @staticmethod
+    def _eff_step(sel: Selector, start=None, end=None) -> Column:
         """Evaluation time for this selector: `offset` shifts it into the
         past, `@` pins it to a fixed epoch; results stay keyed by the
         original __step either way."""
+        at = PromQLEngine._resolve_at(sel.at_s, start, end)
         base = (
-            F.timestamp_seconds(F.lit(sel.at_s))
-            if sel.at_s is not None
-            else F.col("__step")
+            F.timestamp_seconds(F.lit(at)) if at is not None else F.col("__step")
         )
         if sel.offset_s:
             return base - F.expr(f"INTERVAL {int(sel.offset_s)} SECOND")
@@ -740,7 +755,7 @@ class PromQLEngine:
         df = self._filter(sel)
         steps = self._steps(spark, start, end, step_s)
         ts, val = F.col(self.ts_col), F.col(self.value_col)
-        eff = self._eff_step(sel)
+        eff = self._eff_step(sel, start, end)
         j = F.broadcast(steps).join(
             df,
             (ts > eff - F.expr(f"INTERVAL {lookback_s} SECOND")) & (ts <= eff),
@@ -777,7 +792,7 @@ class PromQLEngine:
         return self._range_over_samples(
             spark, fn, self._filter(sel), self.ts_col, self.value_col,
             self.label_cols, int(sel.window_s), sel.offset_s, start, end, step_s,
-            extra, sel.at_s,
+            extra, self._resolve_at(sel.at_s, start, end),
         )
 
     def _range_over_samples(

@@ -565,3 +565,14 @@ def test_binop_common_agg_factoring(spark):
         for r in out:
             sums[r["job"]] += r["value"]
         assert sums and all(abs(s - 1.0) < 1e-9 for s in sums.values()), (op, sums)
+
+
+def test_at_start_end(spark, fn_engine):
+    from datetime import timedelta
+
+    t0, t1 = T0 + timedelta(minutes=10), T0 + timedelta(minutes=30)
+    # @ start() pins g to :10 (110) at every step; @ end() to :30 (130)
+    out = fn_engine.query_range(spark, "g @ start()", t0, t1, 600).collect()
+    assert {r["value"] for r in out} == {110.0} and len(out) == 3
+    out = fn_engine.query_range(spark, "g @ end()", t0, t1, 600).collect()
+    assert {r["value"] for r in out} == {130.0} and len(out) == 3
