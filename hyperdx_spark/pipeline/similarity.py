@@ -246,6 +246,59 @@ def _assign(df: DataFrame, cents: DataFrame, vec: str, n: int) -> DataFrame:
     )
 
 
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    seed: int = 42,
+) -> None:
+    """Persist an IVF index: corpus vectors written as parquet PARTITIONED
+    BY their coarse-centroid list, plus the centroid table. This is the
+    build-once/query-many shape for a 100 TB corpus — a query later reads
+    ONLY its ``nprobe`` list partitions (partition pruning on ``cent_id``),
+    not the whole corpus."""
+    cents = _centroids(corpus, id_col=id_col, vec_col=vec_col, nlist=nlist, seed=seed)
+    c = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("vec"))
+    assigned = _assign(c, cents, "vec", 1)
+    assigned.write.mode("overwrite").partitionBy("cent_id").parquet(path + "/lists")
+    cents.write.mode("overwrite").parquet(path + "/centroids")
+
+
+def query_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Top-k over a persisted IVF index. The probed list ids are collected
+    driver-side (bounded: nprobe x |queries| ints) and pushed as an IN
+    filter on the partition column, so the scan prunes to the probed
+    partitions before any row is read."""
+    cents = spark.read.parquet(path + "/centroids")
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    ql = _assign(q, cents, "__qv", nprobe)  # _assign broadcasts the centroids
+    probed = [r["cent_id"] for r in ql.select("cent_id").distinct().collect()]
+    lists = spark.read.parquet(path + "/lists").where(F.col("cent_id").isin(probed))
+    cand = (
+        lists.join(F.broadcast(ql), on="cent_id")
+        .where(F.col("query_id") != F.col("match_id"))
+        .withColumn("cos", cosine(F.col("__qv"), F.col("vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("match_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "match_id", "cos", "rank")
+    )
+
+
 def cosine_topk_ivf(
     corpus: DataFrame,
     queries: DataFrame,

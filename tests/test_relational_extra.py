@@ -165,3 +165,21 @@ def test_ivf_recall_with_partial_probe(spark, sf_dir):
     i = {(r["query_id"], r["match_id"]) for r in ivf.collect()}
     recall = len(b & i) / len(b)
     assert recall >= 0.5, f"IVF nprobe=nlist/2 recall collapsed: {recall}"
+
+
+def test_ivf_persisted_index_matches_brute(spark, sf_dir, tmp_path):
+    from hyperdx_spark.io import load_table
+    from hyperdx_spark.pipeline import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 3)
+    path = str(tmp_path / "ivf")
+    similarity.build_ivf_index(emb, path, nlist=8)
+    out = similarity.query_ivf_index(spark, path, qs, k=5, nprobe=8)
+    got = norm([tuple(r) for r in out.collect()])
+    brute = norm([tuple(r) for r in similarity.cosine_topk(emb, qs, k=5).collect()])
+    assert got == brute and len(got) == 15
+    # partition pruning: the list scan must carry a cent_id partition filter
+    part = similarity.query_ivf_index(spark, path, qs, k=5, nprobe=2)
+    plan = part._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cent_id" in plan
