@@ -57,6 +57,37 @@ _RENAMES = {
     "lengthUTF8": "char_length",
     "countIf": "count_if",
     "formatDateTime": "date_format",
+    "toDateTime": "_todatetime",
+    "now": "current_timestamp",
+    "ifNull": "coalesce",
+    "assumeNotNull": "_assumenotnull",
+    "splitByChar": "_splitbychar",
+    "replaceRegexpAll": "_replaceregexpall",
+    "replaceAll": "replace",
+    "extractAll": "_extractall",
+    "startsWith": "startswith",
+    "endsWith": "endswith",
+    "dateDiff": "_datediff",
+    "toStartOfFiveMinutes": "_tostartoffiveminute",  # structural (not date_trunc)
+    "toStartOfFifteenMinutes": "_tostartoffifteenminute",
+    "toYYYYMM": "_toyyyymm",
+    "toHour": "hour",
+    "toMinute": "minute",
+    "toDayOfWeek": "_todayofweek",
+    "arrayDistinct": "array_distinct",
+    "arraySort": "sort_array",
+    "arrayReverse": "reverse",
+    "indexOf": "array_position",
+    "JSONExtractInt": "_jsonextractint",
+    "JSONExtractFloat": "_jsonextractfloat",
+    "JSONHas": "_jsonhas",
+    "isNull": "isnull",
+    "isNotNull": "isnotnull",
+    "least": "least",
+    "greatest": "greatest",
+    "substringUTF8": "substring",
+    "trimBoth": "trim",
+    "concatWithSeparator": "concat_ws",
 }
 
 _CALL_RE = re.compile(r"\b([A-Za-z_][A-Za-z0-9_]*)\s*\(")
@@ -159,6 +190,49 @@ def _rewrite_call(name: str, args: list[str]) -> str:
         return " ".join(parts)
     if low == "_tostartofinterval":
         return f"date_trunc({args[1]}, {args[0]})"  # limited: named units
+    if low == "_tostartoffiveminute":
+        return f"timestamp_seconds((unix_timestamp({args[0]}) div 300) * 300)"
+    if low == "_tostartoffifteenminute":
+        return f"timestamp_seconds((unix_timestamp({args[0]}) div 900) * 900)"
+    if low == "_todatetime":
+        return f"cast({args[0]} AS TIMESTAMP)"
+    if low == "_assumenotnull":
+        return args[0]
+    if low == "_splitbychar":
+        sep = args[0].strip()
+        if len(sep) >= 2 and sep[0] in "'\"" and sep[-1] == sep[0]:
+            lit = re.escape(sep[1:-1]).replace("\\", "\\\\")
+            return f"split({args[1]}, '{lit}', -1)"
+        return f"split({args[1]}, {args[0]}, -1)"
+    if low == "_replaceregexpall":
+        # CH backreferences are \1..\9; Spark (Java) uses $1..$9
+        repl = re.sub(r"\\\\?(\d)", r"$\1", args[2])
+        return f"regexp_replace({args[0]}, {args[1]}, {repl})"
+    if low == "_extractall":
+        # CH: whole match unless the pattern has a capture group
+        pat = args[1]
+        idx = 1 if "(" in pat.strip("'\"") else 0
+        return f"regexp_extract_all({args[0]}, {args[1]}, {idx})"
+    if low == "_datediff":
+        unit = args[0].strip().strip("'\"")
+        return f"timestampdiff({unit}, {args[1]}, {args[2]})"
+    if low == "_toyyyymm":
+        return f"cast(date_format({args[0]}, 'yyyyMM') AS INT)"
+    if low == "_todayofweek":
+        # CH: 1 = Monday; Spark dayofweek: 1 = Sunday
+        return f"((dayofweek({args[0]}) + 5) % 7 + 1)"
+    if low == "_jsonextractint":
+        col, keys = args[0], args[1:]
+        path = "$." + ".".join(k.strip().strip("'\"") for k in keys)
+        return f"try_cast(get_json_object({col}, '{path}') AS BIGINT)"
+    if low == "_jsonextractfloat":
+        col, keys = args[0], args[1:]
+        path = "$." + ".".join(k.strip().strip("'\"") for k in keys)
+        return f"try_cast(get_json_object({col}, '{path}') AS DOUBLE)"
+    if low == "_jsonhas":
+        col, keys = args[0], args[1:]
+        path = "$." + ".".join(k.strip().strip("'\"") for k in keys)
+        return f"(get_json_object({col}, '{path}') IS NOT NULL)"
     if low.startswith("_tostartof"):
         unit = low[len("_tostartof"):]
         return f"date_trunc('{unit}', {args[0]})"

@@ -510,3 +510,36 @@ def test_builder_to_raw_sql_errors(spark, sf_dir, events_source):
         )
     )
     assert t3.is_error
+
+
+def test_chcompat_round3_functions(spark):
+    """New CH-function rewrites evaluate correctly in a real Spark session."""
+    from hyperdx_spark.functions.chcompat import translate_expr
+
+    cases = [
+        # (ch expression, expected value)
+        ("splitByChar('.', 'a.b.c')", ["a", "b", "c"]),
+        ("replaceRegexpAll('ab12cd', '[0-9]+', 'X')", "abXcd"),
+        ("replaceRegexpAll('2024-01-02', '(\\\\d+)-(\\\\d+)', '\\\\2/\\\\1')", "01/2024-02"),
+        ("extractAll('a1b22c', '[0-9]+')", ["1", "22"]),
+        ("dateDiff('hour', TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-02')", 24),
+        ("toStartOfFiveMinutes(TIMESTAMP '2024-01-01 00:07:31')", "2024-01-01 00:05:00"),
+        ("toYYYYMM(TIMESTAMP '2024-03-15')", 202403),
+        ("toDayOfWeek(TIMESTAMP '2024-01-01')", 1),   # a Monday -> 1 in CH
+        ("toDayOfWeek(TIMESTAMP '2024-01-07')", 7),   # a Sunday -> 7 in CH
+        ("JSONExtractInt('{\"a\": 7}', 'a')", 7),
+        ("JSONExtractFloat('{\"a\": 1.5}', 'a')", 1.5),
+        ("JSONHas('{\"a\": 1}', 'b')", False),
+        ("ifNull(NULL, 5)", 5),
+        ("assumeNotNull(3)", 3),
+        ("startsWith('hello', 'he')", True),
+        ("indexOf(array(10, 20), 20)", 2),
+        ("toDateTime('2024-01-01 12:00:00')", "2024-01-01 12:00:00"),
+    ]
+    for ch, want in cases:
+        got = spark.sql(f"SELECT {translate_expr(ch)} AS v").collect()[0]["v"]
+        if hasattr(got, "strftime"):
+            got = got.strftime("%Y-%m-%d %H:%M:%S")
+        if isinstance(got, list):
+            got = list(got)
+        assert got == want, (ch, got, want)
