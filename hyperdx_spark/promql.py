@@ -77,6 +77,7 @@ _RANGE_FNS = {
     "stddev_over_time",
     "stdvar_over_time",
     "present_over_time",
+    "absent_over_time",
 }
 _AGG_OPS = {"sum", "avg", "min", "max", "count"}
 _TOPK_OPS = {"topk", "bottomk"}
@@ -920,6 +921,11 @@ class PromQLEngine:
             df,
             (ts > eff - F.expr(f"INTERVAL {w_s} SECOND")) & (ts <= eff),
         )
+        if fn == "absent_over_time":
+            present = j.select("__step").distinct()
+            return steps.join(present, on="__step", how="left_anti").select(
+                "__step", F.lit(1.0).alias("value")
+            )
         agg = {
             "avg_over_time": F.avg(val),
             "min_over_time": F.min(val),

@@ -576,3 +576,14 @@ def test_at_start_end(spark, fn_engine):
     assert {r["value"] for r in out} == {110.0} and len(out) == 3
     out = fn_engine.query_range(spark, "g @ end()", t0, t1, 600).collect()
     assert {r["value"] for r in out} == {130.0} and len(out) == 3
+
+
+def test_absent_over_time(spark, fn_engine):
+    from datetime import timedelta
+
+    t = T0 + timedelta(hours=2)  # samples end at :30 -> window (1:55, 2:00] empty
+    out = fn_engine.query_range(spark, "absent_over_time(g[5m])", t, t, 60).collect()
+    assert len(out) == 1 and out[0]["value"] == 1.0
+    t2 = T0 + timedelta(minutes=20)
+    out = fn_engine.query_range(spark, "absent_over_time(g[5m])", t2, t2, 60).collect()
+    assert out == []  # samples present -> empty vector
