@@ -219,6 +219,8 @@ class Compare:
     bool_mode: bool = False
     on: Optional[list[str]] = None
     ignoring: Optional[list[str]] = None
+    group: Optional[str] = None           # 'left' | 'right' (many-to-one)
+    group_labels: list[str] = field(default_factory=list)
 
 
 @dataclass
@@ -343,6 +345,7 @@ class _Parser:
             node = Compare(
                 op, node, self.expr(), bool_mode,
                 mods.get("on"), mods.get("ignoring"),
+                mods.get("group"), mods.get("group_labels", []),
             )
         return node
 
@@ -1073,22 +1076,47 @@ class PromQLEngine:
             ign = set(node.ignoring or [])
             keys = sorted((set(lv_labels) & set(rv_labels)) - ign)
         match_keys = ["__step"] + keys
-        rv2 = rv.select(*match_keys, F.col("value").alias("__rv"))
-        dup = rv2.groupBy(*match_keys).count().where(F.col("count") > 1).limit(1)
+        if node.group == "right":
+            # many side = right: compare right elements against the (unique)
+            # left value per group; output keeps the right side's labels
+            many, one, one_is_left = rv, lv, True
+        else:
+            many, one, one_is_left = lv, rv, False
+        one2 = one.select(*match_keys, F.col("value").alias("__ov"))
+        dup = one2.groupBy(*match_keys).count().where(F.col("count") > 1).limit(1)
         if dup.take(1):
+            side = "left" if one_is_left else "right"
+            hint = (
+                ""
+                if node.group
+                else "; use group_left/group_right for many-to-one matching"
+            )
             raise ValueError(
                 f"comparison matching is many-to-many: duplicate series on the "
-                f"right side for match group {keys}"
+                f"{side} side for match group {keys}{hint}"
             )
-        j = lv.join(rv2, on=match_keys, how="inner")
-        cond = self._cmp_cond(node.op, F.col("value"), F.col("__rv"))
+        if node.group is None:
+            # one-to-one: the many side must be unique too
+            lv2 = many.select(*match_keys, "value")
+            dup = lv2.groupBy(*match_keys).count().where(F.col("count") > 1).limit(1)
+            if dup.take(1):
+                raise ValueError(
+                    f"comparison matching is many-to-many: duplicate series on "
+                    f"the left side for match group {keys}; use "
+                    "group_left/group_right for many-to-one matching"
+                )
+        j = many.join(one2, on=match_keys, how="inner")
+        a = F.col("__ov") if one_is_left else F.col("value")
+        b = F.col("value") if one_is_left else F.col("__ov")
+        cond = self._cmp_cond(node.op, a, b)
+        many_labels = rv_labels if node.group == "right" else lv_labels
         if node.bool_mode:
             return j.select(
                 *match_keys,
-                *[c for c in lv_labels if c not in keys],
+                *[c for c in many_labels if c not in keys],
                 cond.cast("int").cast("double").alias("value"),
             )
-        return j.where(cond).drop("__rv")
+        return j.where(cond).drop("__ov")
 
     def _vector_binop(self, node: "BinOp", lv: DataFrame, rv: DataFrame) -> DataFrame:
         """Prometheus vector matching (operators: one-to-one and many-to-one).

@@ -587,3 +587,29 @@ def test_absent_over_time(spark, fn_engine):
     t2 = T0 + timedelta(minutes=20)
     out = fn_engine.query_range(spark, "absent_over_time(g[5m])", t2, t2, 60).collect()
     assert out == []  # samples present -> empty vector
+
+
+def test_comparison_group_left(spark):
+    # per-(job,code) error rates filtered against a per-job budget —
+    # the k8s alert idiom `errs > on(job) group_left budget`
+    rows = [
+        ("e", datetime(2024, 1, 1), 5.0, "a", "500"),
+        ("e", datetime(2024, 1, 1), 1.0, "a", "503"),
+        ("e", datetime(2024, 1, 1), 9.0, "b", "500"),
+        ("budget", datetime(2024, 1, 1), 3.0, "a", None),
+        ("budget", datetime(2024, 1, 1), 10.0, "b", None),
+    ]
+    eng = PromQLEngine(
+        spark.createDataFrame(
+            rows, "`__name__` string, ts timestamp, value double, job string, code string"
+        ),
+        label_cols=["job", "code"],
+    )
+    t = datetime(2024, 1, 1)
+    out = eng.query_range(spark, "e > on(job) group_left budget", t, t, 60).collect()
+    got = {(r["job"], r["code"]): r["value"] for r in out}
+    assert got == {("a", "500"): 5.0}  # only a/500 exceeds its budget
+    # bool mode keeps every matched element as 0/1
+    out = eng.query_range(spark, "e > bool on(job) group_left budget", t, t, 60).collect()
+    got = {(r["job"], r["code"]): r["value"] for r in out}
+    assert got == {("a", "500"): 1.0, ("a", "503"): 0.0, ("b", "500"): 0.0}
