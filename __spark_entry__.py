@@ -2794,6 +2794,112 @@ FROM g GROUP BY user_id, sid
 """
 
 
+def q_analytics_insights(spark, sf_dir):
+    """§2.11 log-pattern mining (Drain) + event-deltas property ranking,
+    tag-unioned into one analytics relation."""
+    pats = q_log_patterns(spark, sf_dir).select(
+        F.lit("patterns").alias("part"), F.col("pattern").alias("key"),
+        F.col("n").cast("double").alias("v1"), F.lit(0.0).alias("v2"),
+    )
+    dl = q_event_deltas(spark, sf_dir).select(
+        F.lit("deltas").alias("part"), "key",
+        F.col("base_score").alias("v1"), F.col("score").alias("v2"),
+    )
+    return pats.unionByName(dl)
+
+
+O_ANALYTICS_INSIGHTS = f"""
+SELECT 'patterns' AS part, pattern AS key, n::DOUBLE AS v1, 0.0 AS v2 FROM ({O_LOG_PATTERNS})
+UNION ALL
+SELECT 'deltas' AS part, key, base_score AS v1, score AS v2 FROM ({O_EVENT_DELTAS})
+"""
+
+
+def q_funnel_retention(spark, sf_dir):
+    """Product analytics: ClickHouse-windowFunnel parity (view -> click ->
+    purchase within 6 h, per user) + weekly cohort retention triangle
+    (analytics/funnel.py). The funnel fold keeps, per level, the latest
+    chain-start timestamp — provably equivalent to "exists an ordered chain
+    within the window", which is what the oracle checks with EXISTS joins."""
+    from hyperdx_spark.analytics.funnel import retention_cohorts, window_funnel
+
+    ev = load_table(spark, sf_dir, "events")
+    lv = window_funnel(
+        ev,
+        key_cols=["user_id"],
+        ts_col="ts",
+        step_conditions=[
+            F.col("event_type") == s for s in ("view", "click", "purchase")
+        ],
+        window_s=6 * 3600,
+    )
+    funnel = (
+        lv.groupBy("level")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("funnel").alias("part"),
+            F.lit(datetime(1970, 1, 1)).alias("cohort"),
+            F.col("level").cast("long").alias("bucket"),
+            F.col("n").cast("long").alias("n"),
+        )
+    )
+    ret = retention_cohorts(ev, key_col="user_id", ts_col="ts", period="week").select(
+        F.lit("retention").alias("part"),
+        F.col("cohort"),
+        F.col("offset").cast("long").alias("bucket"),
+        F.col("n_active").cast("long").alias("n"),
+    )
+    return funnel.unionByName(ret)
+
+
+O_FUNNEL_RETENTION = """
+WITH e AS (
+  SELECT user_id, epoch_ns(ts) // 1000 AS t,
+         CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+              WHEN 'purchase' THEN 3 ELSE 0 END AS s
+  FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')),
+u AS (SELECT DISTINCT user_id FROM e),
+l1 AS (SELECT DISTINCT user_id FROM e WHERE s = 1),
+l2 AS (
+  SELECT DISTINCT a.user_id
+  FROM e a JOIN e b ON a.user_id = b.user_id AND a.s = 1 AND b.s = 2
+                   AND b.t >= a.t AND b.t - a.t <= 21600000000),
+l3 AS (
+  SELECT DISTINCT a.user_id
+  FROM e a JOIN e b ON a.user_id = b.user_id AND a.s = 1 AND b.s = 2
+                   AND b.t >= a.t AND b.t - a.t <= 21600000000
+           JOIN e c ON c.user_id = a.user_id AND c.s = 3
+                   AND c.t >= b.t AND c.t - a.t <= 21600000000),
+lv AS (
+  SELECT u.user_id,
+         CASE WHEN l3.user_id IS NOT NULL THEN 3
+              WHEN l2.user_id IS NOT NULL THEN 2
+              WHEN l1.user_id IS NOT NULL THEN 1 ELSE 0 END AS level
+  FROM u
+  LEFT JOIN l1 USING (user_id)
+  LEFT JOIN l2 USING (user_id)
+  LEFT JOIN l3 USING (user_id)),
+funnel AS (
+  SELECT 'funnel' AS part, TIMESTAMP '1970-01-01' AS cohort,
+         level::BIGINT AS bucket, count(*)::BIGINT AS n
+  FROM lv GROUP BY 3),
+firsts AS (
+  SELECT user_id, min(date_trunc('week', ts)) AS cohort
+  FROM events GROUP BY 1),
+ret AS (
+  SELECT f.cohort::TIMESTAMP AS cohort,
+         ((epoch(date_trunc('week', e.ts))::BIGINT
+           - epoch(f.cohort)::BIGINT) // 604800)::BIGINT AS bucket,
+         count(DISTINCT e.user_id)::BIGINT AS n
+  FROM events e JOIN firsts f USING (user_id)
+  GROUP BY 1, 2)
+SELECT part, cohort, bucket, n FROM funnel
+UNION ALL
+SELECT 'retention' AS part, cohort, bucket, n FROM ret
+"""
+
+
 def q_lucene_dispatch2(spark, sf_dir):
     """§2.8 full term-kind dispatch in ONE query: JSON exists (`props.k:*`),
     numeric range, map field (`attrs.kind:sys`), array grouped syntax
@@ -2896,8 +3002,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_offset_pages": q_offset_pages,
         # -- alerting + analytics (SS2.10, 2.11) ----------------------------
         "q_alert_backtest": q_alert_backtest,
-        "q_log_patterns": q_log_patterns,
-        "q_event_deltas": q_event_deltas,
+        "q_analytics_insights": q_analytics_insights,
+        "q_funnel_retention": q_funnel_retention,
         # -- metadata / autocomplete (SS2.8) --------------------------------
         "q_metadata_keyvals": q_metadata_keyvals,
         "q_metadata_fields": q_metadata_fields,
@@ -2954,8 +3060,8 @@ def oracle_sql() -> dict[str, str]:
         "q_chunked_union": O_CHUNKED_UNION,
         "q_offset_pages": O_OFFSET_PAGES,
         "q_alert_backtest": O_ALERT_BACKTEST,
-        "q_log_patterns": O_LOG_PATTERNS,
-        "q_event_deltas": O_EVENT_DELTAS,
+        "q_analytics_insights": O_ANALYTICS_INSIGHTS,
+        "q_funnel_retention": O_FUNNEL_RETENTION,
         "q_metadata_keyvals": O_METADATA_KEYVALS,
         "q_metadata_fields": O_METADATA_FIELDS,
         "q_tpch_q1": O_TPCH_Q1,
