@@ -32,8 +32,9 @@ some):
 * ``@ epoch`` modifier; ``time()`` / ``scalar(v)`` / ``vector(s)`` with
   Prometheus scalar element-wise semantics in binary ops
 
-Not implemented: native histograms, ``sort/sort_desc`` (row order is
-presentation-only in a DataFrame result), ``start()/end()`` inside ``@``.
+* ``sort``/``sort_desc`` (presentation order on the result DataFrame)
+
+Not implemented: native histograms.
 
 Semantics notes (documented divergences from Prometheus):
 * ``rate``/``increase`` sum reset-adjusted deltas of consecutive samples
@@ -487,7 +488,7 @@ class _Parser:
             t_s = parse_duration(kv) if kk == "dur" else float(kv)
             self.expect(")")
             return PredictLinear(arg, t_s)
-        if v in _MATH_FNS and self.peek() and self.peek()[1] == "(":
+        if (v in _MATH_FNS or v in ("sort", "sort_desc")) and self.peek() and self.peek()[1] == "(":
             self.expect("(")
             arg = self.cmp()
             self.expect(")")
@@ -1253,6 +1254,13 @@ class PromQLEngine:
                 to = node.scalars[0] if node.scalars else 1.0
                 # prometheus round: nearest multiple, ties rounded up
                 newv = F.floor(v / F.lit(to) + F.lit(0.5)) * F.lit(to)
+            elif node.fn in ("sort", "sort_desc"):
+                # presentation-order only (prometheus sorts instant vectors
+                # by value); values/labels pass through untouched
+                return inner.orderBy(
+                    "__step",
+                    F.col("value").desc() if node.fn == "sort_desc" else F.col("value").asc(),
+                )
             else:
                 newv = F.expr(_MATH_FNS[node.fn].format(v="value"))
             return inner.withColumn("value", newv.cast("double"))

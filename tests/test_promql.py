@@ -613,3 +613,15 @@ def test_comparison_group_left(spark):
     out = eng.query_range(spark, "e > bool on(job) group_left budget", t, t, 60).collect()
     got = {(r["job"], r["code"]): r["value"] for r in out}
     assert got == {("a", "500"): 1.0, ("a", "503"): 0.0, ("b", "500"): 0.0}
+
+
+def test_sort_functions(spark, fn_engine):
+    from datetime import timedelta
+
+    t = T0 + timedelta(minutes=30)
+    # sort/sort_desc order the instant vector by value; labels/values intact
+    out = fn_engine.query_range(spark, "sort(c)", t, t, 60).collect()
+    assert [r["value"] for r in out] == [100.0, 180.0]
+    out = fn_engine.query_range(spark, "sort_desc(c)", t, t, 60).collect()
+    assert [r["value"] for r in out] == [180.0, 100.0]
+    assert {r["job"] for r in out} == {"a", "b"}
