@@ -410,6 +410,11 @@ def _mv_view(spark: SparkSession, mv: MVConfig, cfg: ChartConfig, name: str) -> 
     """Register the rollup parquet (partition-pruned to the config's aligned
     range) as a temp view and return its name."""
     mv_df = spark.read.parquet(mv.path)
+    if "__batch" in mv_df.columns:
+        # stream-maintained rollup (streaming/mv_maintain.py): parts keyed by
+        # micro-batch id; reads merge states across parts, so the part id is
+        # irrelevant here
+        mv_df = mv_df.drop("__batch")
     if "__bucket_date" in mv_df.columns:
         if cfg.date_range is not None:
             start, end = cfg.date_range
