@@ -1,0 +1,155 @@
+"""Property-based fuzz of the ChartConfig compiler (hypothesis): random
+builder configs — agg set, conditional aggs, group-by, granularity, having —
+must match an INDEPENDENTLY rendered DuckDB SQL oracle on the same parquet
+table, value for value.
+
+This is the generative analogue of the reference's renderChartConfig
+fixture tests (renderChartConfig.test.ts): instead of N hand-written
+configs, the strategy space covers the cross-product of builder features,
+and the oracle is a second from-scratch SQL rendering (not the compiler's
+own output), so a shared bug can't cancel out.
+
+Determinism: double sums/avgs are rounded to 4 decimals on both sides
+(order-independent at this scale); count/min/max/count_distinct are exact
+(EXACT settings disable approx sketches); rows and columns are compared as
+sorted sets, so ORDER BY never participates.
+"""
+
+import os
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from hyperdx_spark.compile import compile_chart_config
+from hyperdx_spark.model import ChartConfig, QuerySettings, SelectCol, Source
+
+from conftest import SF_DIR
+
+EXACT = QuerySettings(approx_quantiles=False, approx_count_distinct=False)
+EVENTS = os.path.join(SF_DIR, "events.parquet")
+
+AGG_FNS = ["count", "sum", "avg", "min", "max", "count_distinct"]
+CONDS = [
+    (None, None),
+    ("event_type = 'error'", "event_type = 'error'"),
+    ("value > 500", "value > 500"),
+]
+def _duck_agg(fn, cond):
+    flt = f" FILTER ({cond})" if cond else ""
+    if fn == "count":
+        return f"count(1){flt}" if cond else "count(*)"
+    if fn == "count_distinct":
+        return f"count(DISTINCT user_id){flt}"
+    if fn == "avg":
+        # sum/count (not avg()) mirrors the compiler's null-gated average;
+        # rounding happens in _canon on BOTH sides with the same Python
+        # round(), so SQL-vs-Python tie-breaking can't diverge
+        return f"sum(value){flt} / count(value){flt}"
+    return f"{fn}(value){flt}"
+
+
+@st.composite
+def config(draw):
+    idxs = draw(
+        st.lists(st.sampled_from(range(len(AGG_FNS))), min_size=1, max_size=3,
+                 unique=True)
+    )
+    conds = [draw(st.sampled_from(range(len(CONDS)))) for _ in idxs]
+    group = draw(st.booleans())
+    gran = draw(st.sampled_from([None, "1 day", "6 hour"]))
+    having = draw(st.booleans()) and AGG_FNS[idxs[0]] == "count"
+    return idxs, conds, group, gran, having
+
+
+def _spark_cfg(idxs, conds, group, gran, having):
+    select = [
+        SelectCol(
+            agg_fn=AGG_FNS[idx],
+            value_expression=(
+                None if AGG_FNS[idx] == "count"
+                else "user_id" if AGG_FNS[idx] == "count_distinct"
+                else "value"
+            ),
+            agg_condition_language="sql",
+            agg_condition=CONDS[cidx][0],
+            alias=f"a{i}",
+        )
+        for i, (idx, cidx) in enumerate(zip(idxs, conds))
+    ]
+    return ChartConfig(
+        source=Source(table="events", timestamp_value_expression="ts"),
+        select=select,
+        group_by=["event_type"] if group else [],
+        granularity=gran,
+        having="a0 > 3" if having else None,
+        having_language="sql",
+    )
+
+
+def _oracle_sql(idxs, conds, group, gran, having):
+    cols = [
+        f"{_duck_agg(AGG_FNS[idx], CONDS[cidx][1])} AS a{i}"
+        for i, (idx, cidx) in enumerate(zip(idxs, conds))
+    ]
+    keys = []
+    if gran:
+        step = {"1 day": 86400, "6 hour": 21600}[gran]
+        keys.append(
+            f"make_timestamp((floor(epoch(ts))::BIGINT // {step}) * {step}"
+            " * 1000000) AS __timestamp"
+        )
+    if group:
+        keys.append("event_type")
+    sql = f"SELECT {', '.join(keys + cols)} FROM events"
+    # OR-of-aggConditions pushdown parity (renderChartConfig.ts:1165-1193):
+    # when EVERY select carries a condition the compiler filters rows, so
+    # groups with no matching rows disappear from the result
+    pushed = [CONDS[c][1] for c in conds]
+    if all(pushed):
+        sql += " WHERE " + " OR ".join(f"({c})" for c in pushed)
+    if keys:
+        sql += f" GROUP BY {', '.join(str(i + 1) for i in range(len(keys)))}"
+    if having:
+        flt = f" FILTER ({CONDS[conds[0]][1]})" if CONDS[conds[0]][1] else ""
+        base = f"count(1){flt}" if flt else "count(*)"
+        sql += f" HAVING {base} > 3"
+    return sql
+
+
+def _canon(names, rows):
+    order = sorted(range(len(names)), key=lambda i: names[i])
+    out = []
+    for r in rows:
+        out.append(
+            tuple(
+                round(v, 4) if isinstance(v, float) else v
+                for v in (r[i] for i in order)
+            )
+        )
+    return sorted(out, key=repr)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{EVENTS}')")
+    yield con
+    con.close()
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(cfg=config())
+def test_compiled_config_matches_duckdb(spark, duck, cfg):
+    out = compile_chart_config(spark, _spark_cfg(*cfg), sf_dir=SF_DIR,
+                               settings=EXACT)
+    got = _canon(out.columns, [tuple(r) for r in out.collect()])
+    cur = duck.execute(_oracle_sql(*cfg))
+    want = _canon([d[0] for d in cur.description], cur.fetchall())
+    assert got == want, _oracle_sql(*cfg)
