@@ -2794,6 +2794,110 @@ FROM g GROUP BY user_id, sid
 """
 
 
+def q_dedup_all(spark, sf_dir):
+    """Dedup family, part-tagged: exact (normalized-hash groupBy) + the
+    connected-components clustering of near-dup pairs."""
+    exact = q_dedup_exact(spark, sf_dir).select(
+        F.lit("exact").alias("part"), F.col("fp").alias("k"),
+        F.col("keep_id").cast("long").alias("v1"),
+        F.col("n_copies").cast("long").alias("v2"),
+    )
+    groups = q_dedup_groups(spark, sf_dir).select(
+        F.lit("groups").alias("part"), F.col("id").cast("string").alias("k"),
+        F.col("group_id").cast("long").alias("v1"),
+        F.col("is_keeper").cast("long").alias("v2"),
+    )
+    return exact.unionByName(groups)
+
+
+def q_service_map(spark, sf_dir):
+    """APM service dependency graph (useServiceMap.tsx:28-192): spans are
+    derived deterministically from events (8-span traces, alternating
+    Client/Server kinds, service = s<id mod 5>), trace-sampled 1-in-4 by
+    plain modulo (the cityHash64-percent analogue, kept hash-free so the
+    DuckDB oracle reproduces it bit-for-bit), counts scaled back by the
+    sampling factor, edge + node rows from one GROUPING SETS pass."""
+    from hyperdx_spark.servicemap import service_map
+
+    ev = load_table(spark, sf_dir, "events")
+    spans = ev.select(
+        (F.col("event_id") / 8).cast("long").alias("trace_id"),
+        F.col("event_id").alias("span_id"),
+        F.when(F.col("event_id") % 8 > 0, F.col("event_id") - 1).alias(
+            "parent_span_id"
+        ),
+        F.concat(F.lit("s"), (F.col("event_id") % 5).cast("string")).alias(
+            "service"
+        ),
+        F.when(F.col("event_id") % 2 == 0, F.lit("Client"))
+        .otherwise(F.lit("Server"))
+        .alias("kind"),
+        F.when(F.col("event_type") == "error", F.lit("Error"))
+        .otherwise(F.lit("OK"))
+        .alias("status_code"),
+        F.col("value").alias("duration"),
+    )
+    out = service_map(
+        spans,
+        sampling_factor=4,
+        sample_predicate=F.col("trace_id") % 4 == 0,
+        exact=True,
+    )
+    return out.select(
+        "server_service",
+        F.coalesce("client_service", F.lit("")).alias("client_service"),
+        "is_node_level",
+        "request_count",
+        "error_count",
+        F.round("p50", 4).alias("p50"),
+        F.round("p95", 4).alias("p95"),
+        F.round("p99", 4).alias("p99"),
+    )
+
+
+O_SERVICE_MAP = """
+WITH spans AS (
+  SELECT event_id // 8 AS trace_id, event_id AS span_id,
+         CASE WHEN event_id % 8 > 0 THEN event_id - 1 END AS parent_span_id,
+         's' || (event_id % 5)::VARCHAR AS service,
+         CASE WHEN event_id % 2 = 0 THEN 'Client' ELSE 'Server' END AS kind,
+         CASE WHEN event_type = 'error' THEN 'Error' ELSE 'OK' END AS status_code,
+         value AS duration
+  FROM events
+  WHERE (event_id // 8) % 4 = 0),
+server AS (SELECT * FROM spans WHERE kind = 'Server'),
+client AS (
+  SELECT trace_id, span_id, service AS client_service
+  FROM spans WHERE kind = 'Client'),
+j AS (
+  SELECT s.service AS server_service, c.client_service, s.status_code,
+         s.duration
+  FROM server s
+  LEFT JOIN client c
+    ON s.trace_id = c.trace_id AND s.parent_span_id = c.span_id
+  WHERE c.client_service IS NULL OR s.service != c.client_service)
+SELECT server_service,
+       coalesce(client_service, '') AS client_service,
+       (GROUPING(client_service) = 1) AS is_node_level,
+       (count(*) * 4)::BIGINT AS request_count,
+       (count(*) FILTER (status_code = 'Error') * 4)::BIGINT AS error_count,
+       round(quantile_cont(duration, 0.5), 4) AS p50,
+       round(quantile_cont(duration, 0.95), 4) AS p95,
+       round(quantile_cont(duration, 0.99), 4) AS p99
+FROM j
+GROUP BY GROUPING SETS ((server_service, client_service), (server_service))
+"""
+
+O_DEDUP_ALL = f"""
+SELECT 'exact' AS part, fp AS k, keep_id::BIGINT AS v1, n_copies::BIGINT AS v2
+FROM ({O_DEDUP_EXACT})
+UNION ALL
+SELECT 'groups' AS part, id::VARCHAR AS k, group_id::BIGINT AS v1,
+       is_keeper::BIGINT AS v2
+FROM ({O_DEDUP_GROUPS})
+"""
+
+
 def q_analytics_insights(spark, sf_dir):
     """§2.11 log-pattern mining (Drain) + event-deltas property ranking,
     tag-unioned into one analytics relation."""
@@ -3011,9 +3115,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q1": q_tpch_q1,
         # -- training-data pipeline ----------------------------------------
         "q_text_stats": q_text_stats,
-        "q_dedup_exact": q_dedup_exact,
+        "q_dedup_all": q_dedup_all,
         "q_neardup_pairs": q_neardup_pairs,
-        "q_dedup_groups": q_dedup_groups,
+        "q_service_map": q_service_map,
         "q_ann_indexed": q_ann_indexed,
         "q_multimodal_features": q_multimodal_features,
     }
@@ -3066,9 +3170,9 @@ def oracle_sql() -> dict[str, str]:
         "q_metadata_fields": O_METADATA_FIELDS,
         "q_tpch_q1": O_TPCH_Q1,
         "q_text_stats": O_TEXT_STATS,
-        "q_dedup_exact": O_DEDUP_EXACT,
+        "q_dedup_all": O_DEDUP_ALL,
         "q_neardup_pairs": O_NEARDUP_PAIRS,
-        "q_dedup_groups": O_DEDUP_GROUPS,
+        "q_service_map": O_SERVICE_MAP,
         "q_ann_indexed": O_ANN_INDEXED,
         # q_multimodal_features: decode is not SQL-expressible (rows-only;
         # the entry self-checks features against the generator parameters)
