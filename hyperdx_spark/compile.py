@@ -290,7 +290,15 @@ def _where_clauses(ctx: _Ctx, df: DataFrame) -> list[Column]:
                 right_sql = str(right)
             conds.append(F.expr(f"({_xlate(ctx.source, flt.left)}) {flt.operator} {right_sql}"))
         elif isinstance(flt, SqlFilter):
-            conds.append(F.expr(_condition_sql(ctx, flt.condition, flt.type)))
+            cond_sql = _condition_sql(ctx, flt.condition, flt.type)
+            kv = getattr(ctx.source, "text_index_kv", None)
+            if kv and flt.type == "sql":
+                # rewriteSqlFilterWithKvItems (renderChartConfig.ts:1218-1222):
+                # only sql-typed filters entries are rewritten
+                from hyperdx_spark.functions.kvindex import rewrite_kv_filters
+
+                cond_sql = rewrite_kv_filters(cond_sql, kv)
+            conds.append(F.expr(cond_sql))
         else:
             raise TypeError(f"unknown filter {flt!r}")
     return conds

@@ -77,6 +77,11 @@ class Source:
     # Keys in any spelling: "props.k", "props['k']",
     # "JSONExtractString(props, 'k')", "get_json_object(props, '$.k')".
     materialized_fields: dict = field(default_factory=dict)
+    # Text-index kv-items rewrite (rewriteSqlFilterWithKvItems,
+    # core/renderChartConfig.ts:357-490): map column name ->
+    # functions.kvindex.KvItemsInfo describing the materialized
+    # "k<sep>v" items array; applied to `filters` entries of type "sql".
+    text_index_kv: dict = field(default_factory=dict)
 
 
 @dataclass
