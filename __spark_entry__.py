@@ -2507,7 +2507,12 @@ SELECT 'quantile' AS part, __timestamp, '' AS event_type, p AS v FROM ({O_EXP_HI
 
 
 def q_promql_features(spark, sf_dir):
-    """PromQL modifier/function coverage: histogram_quantile, offset, absent."""
+    """PromQL modifier/function coverage: histogram_quantile, offset, absent,
+    plus the aggregation-operator family (promql.py Agg eval): `without`,
+    population `stddev`, interpolated `quantile(phi, ...)`, and the
+    calendar-component fns (`day_of_week()` over step time). Reference: the
+    full language is passed through to a Prometheus API
+    (packages/api/src/routers/api/prometheus.ts:1-825)."""
     hq = q_promql_hist_quantile(spark, sf_dir).select(
         F.lit("histq").alias("part"), "__timestamp",
         F.lit("").alias("event_type"), "value",
@@ -2519,7 +2524,35 @@ def q_promql_features(spark, sf_dir):
         F.lit("absent").alias("part"), "__timestamp",
         F.lit("").alias("event_type"), "value",
     )
-    return hq.unionByName(off).unionByName(ab)
+    from hyperdx_spark.promql import PromQLEngine
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.lit("events_value").alias("__name__"),
+        F.col("ts"),
+        F.col("value").cast("double").alias("value"),
+        F.col("event_type"),
+        (F.col("user_id") % 3).cast("string").alias("umod"),
+    )
+    eng = PromQLEngine(ev)
+    t0, t1, step = datetime(2024, 1, 2), datetime(2024, 1, 8), 86400
+    inner = "sum by (event_type, umod) (sum_over_time(events_value[1d]))"
+
+    def _part(name, q, keep_event_type=True):
+        out = eng.query_range(spark, q, t0, t1, step)
+        return out.select(
+            F.lit(name).alias("part"),
+            F.col("__step").alias("__timestamp"),
+            (F.col("event_type") if keep_event_type else F.lit("")).alias("event_type"),
+            F.round("value", 4).alias("value"),
+        )
+
+    wo = _part("without", f"sum without (umod) ({inner})")
+    sd = _part("stddev", f"stddev by (event_type) ({inner})")
+    qt = _part("quantile", f"quantile by (event_type) (0.5, {inner})")
+    dw = _part("dow", "day_of_week()", keep_event_type=False)
+    return hq.unionByName(off).unionByName(ab).unionByName(wo).unionByName(
+        sd
+    ).unionByName(qt).unionByName(dw)
 
 
 O_PROMQL_FEATURES = f"""
@@ -2528,6 +2561,28 @@ UNION ALL
 SELECT 'offset' AS part, __timestamp, event_type, value FROM ({O_PROMQL_OFFSET})
 UNION ALL
 SELECT 'absent' AS part, __timestamp, '' AS event_type, value FROM ({O_PROMQL_ABSENT})
+UNION ALL
+SELECT part, __timestamp, event_type, value FROM (
+  WITH steps AS (
+    SELECT make_timestamp(e * 1000000) AS step
+    FROM (SELECT unnest(generate_series(epoch(TIMESTAMP '2024-01-02')::BIGINT,
+                                        epoch(TIMESTAMP '2024-01-08')::BIGINT,
+                                        86400)) AS e)),
+  l AS (
+    SELECT step, event_type, (user_id % 3)::VARCHAR AS umod, sum(value) AS lv
+    FROM steps JOIN events ON ts > step - INTERVAL 1 DAY AND ts <= step
+    GROUP BY 1, 2, 3)
+  SELECT 'without' AS part, step AS __timestamp, event_type,
+         round(sum(lv), 4) AS value FROM l GROUP BY step, event_type
+  UNION ALL
+  SELECT 'stddev', step, event_type, round(stddev_pop(lv), 4) FROM l
+  GROUP BY step, event_type
+  UNION ALL
+  SELECT 'quantile', step, event_type, round(quantile_cont(lv, 0.5), 4) FROM l
+  GROUP BY step, event_type
+  UNION ALL
+  SELECT 'dow', step, '', dayofweek(step)::DOUBLE FROM steps
+)
 """
 
 

@@ -57,7 +57,9 @@ def window_funnel(
         raise ValueError("window_funnel needs at least one step condition")
     events = df.select(
         *key_cols,
-        F.unix_micros(F.col(ts_col)).alias("__t"),
+        # cast: tolerate TIMESTAMP_NTZ inputs (NTZ->LTZ is a no-op in the
+        # engine's UTC session; unix_micros only accepts TIMESTAMP)
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__t"),
         _step_expr(step_conditions).alias("__s"),
     ).where(F.col("__s") > 0)
     per_key = events.groupBy(*key_cols).agg(

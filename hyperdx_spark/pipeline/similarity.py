@@ -217,16 +217,19 @@ def _centroids(
     smallest xxhash64(id, seed) — a uniform (hash-ordered) sample that is
     reproducible across runs and engines, no iterative k-means needed for a
     coarse quantizer. One pass + a tiny top-k."""
-    w = Window.orderBy(F.col("__h"), F.col("cent_id"))
     return (
         corpus.select(
             F.col(id_col).alias("cent_id"),
             F.col(vec_col).alias("cvec"),
             F.xxhash64(F.col(id_col), F.lit(seed)).alias("__h"),
         )
-        .withColumn("__rk", F.row_number().over(w))
-        .where(F.col("__rk") <= nlist)
-        .drop("__rk", "__h")
+        # global top-k via orderBy+limit = TakeOrderedAndProject: each
+        # partition keeps its own nlist smallest, the driver merges — no
+        # single-partition global window (which would funnel the whole
+        # corpus through one task at 100 TB)
+        .orderBy(F.col("__h"), F.col("cent_id"))
+        .limit(nlist)
+        .drop("__h")
     )
 
 

@@ -17,16 +17,24 @@ some):
   ``rate``, ``increase``, ``delta``, ``irate``, ``idelta``, ``changes``,
   ``resets``, ``deriv``, ``predict_linear``, ``avg/min/max/sum/count/
   last/stddev/stdvar/present/quantile_over_time``
-* aggregation: ``sum/avg/min/max/count [by (labels)] (expr)``
-* ``topk/bottomk(k, expr)``; ``histogram_quantile(phi, expr)`` over an
-  ``le``-labelled cumulative-bucket vector; ``absent(expr)``
+* aggregation: ``sum/avg/min/max/count/stddev/stdvar/group/
+  quantile(phi, ...)/count_values("label", ...)`` with ``by (labels)`` or
+  ``without (labels)`` (leading or trailing clause position)
+* ``topk/bottomk(k, expr)`` incl. per-group ``by``/``without``;
+  ``histogram_quantile(phi, expr)`` over an ``le``-labelled
+  cumulative-bucket vector; ``absent(expr)``
 * ``offset dur`` modifier on selectors (instant, range, subquery)
 * scalar arithmetic: ``expr op number`` / ``number op expr`` (+ - * /)
 * vector-vector arithmetic with full matching: default shared-label 1:1,
   ``on(...)/ignoring(...)``, ``group_left/group_right[(extra)]``
 * comparisons ``== != > < >= <=`` (filter semantics; ``bool`` for 0/1)
 * ``label_replace``/``label_join``; math fns ``abs ceil floor sqrt exp ln
-  log2 log10 sgn clamp clamp_min clamp_max round``
+  log2 log10 sgn deg rad clamp clamp_min clamp_max round``
+* ``holt_winters``/``double_exponential_smoothing(v[d], sf, tf)`` as a
+  JVM-side ``aggregate()`` fold over the window's sample array
+* calendar component fns (value-as-epoch, UTC): ``minute hour day_of_week
+  day_of_month day_of_year days_in_month month year`` (and the no-arg
+  step-time form, e.g. ``hour()``)
 
 * set operators ``and / or / unless`` with on/ignoring matching
 * ``@ epoch`` modifier; ``time()`` / ``scalar(v)`` / ``vector(s)`` with
@@ -80,7 +88,10 @@ _RANGE_FNS = {
     "present_over_time",
     "absent_over_time",
 }
-_AGG_OPS = {"sum", "avg", "min", "max", "count"}
+_AGG_OPS = {
+    "sum", "avg", "min", "max", "count",
+    "stddev", "stdvar", "group", "quantile", "count_values",
+}
 _TOPK_OPS = {"topk", "bottomk"}
 _MATH_FNS = {
     "abs": "abs({v})",
@@ -92,6 +103,20 @@ _MATH_FNS = {
     "log2": "log2({v})",
     "log10": "log10({v})",
     "sgn": "sign({v})",
+    "deg": "degrees({v})",
+    "rad": "radians({v})",
+}
+# value-as-epoch calendar components (prometheus functions.go dateWrapper:
+# the sample VALUE is interpreted as UTC epoch seconds, truncated to int)
+_TIME_COMPONENT_FNS = {
+    "minute": "minute({t})",
+    "hour": "hour({t})",
+    "day_of_month": "day({t})",
+    "day_of_week": "dayofweek({t}) - 1",  # prometheus: 0=Sunday..6
+    "day_of_year": "dayofyear({t})",
+    "days_in_month": "day(last_day({t}))",
+    "month": "month({t})",
+    "year": "year({t})",
 }
 _CMP_OPS = {"==", "!=", ">", "<", ">=", "<="}
 
@@ -143,6 +168,8 @@ class Agg:
     op: str
     by: Optional[list[str]]  # None = collapse all labels
     arg: "Expr"
+    without: Optional[list[str]] = None  # complement form of `by`
+    param: object = None  # quantile phi / count_values output label
 
 
 @dataclass
@@ -150,6 +177,8 @@ class TopK:
     op: str  # topk | bottomk
     k: int
     arg: "Expr"
+    by: Optional[list[str]] = None  # per-group top-k
+    without: Optional[list[str]] = None
 
 
 @dataclass
@@ -210,6 +239,15 @@ class QuantileOverTime:
 class PredictLinear:
     arg: "Expr"
     t_s: float
+
+
+@dataclass
+class HoltWinters:
+    """holt_winters / double_exponential_smoothing (v[d], sf, tf)."""
+
+    arg: "Expr"
+    sf: float  # smoothing factor
+    tf: float  # trend factor
 
 
 @dataclass
@@ -413,9 +451,10 @@ class _Parser:
             return node
         if kind != "id":
             raise ValueError(f"unexpected token {v!r}")
-        if v in _AGG_OPS and self.peek() and self.peek()[1] in ("(", "by"):
+        if v in _AGG_OPS and self.peek() and self.peek()[1] in ("(", "by", "without"):
             return self._agg(v)
-        if v in _TOPK_OPS and self.peek() and self.peek()[1] == "(":
+        if v in _TOPK_OPS and self.peek() and self.peek()[1] in ("(", "by", "without"):
+            g = self._grouping()
             self.expect("(")
             kk, kv = self.next()
             if kk != "num":
@@ -423,7 +462,11 @@ class _Parser:
             self.expect(",")
             arg = self.cmp()
             self.expect(")")
-            return TopK(v, int(float(kv)), arg)
+            if g is None:
+                g = self._grouping()
+            by = g[1] if g and g[0] == "by" else None
+            without = g[1] if g and g[0] == "without" else None
+            return TopK(v, int(float(kv)), arg, by=by, without=without)
         if v == "histogram_quantile" and self.peek() and self.peek()[1] == "(":
             self.expect("(")
             kk, kv = self.next()
@@ -488,8 +531,33 @@ class _Parser:
             t_s = parse_duration(kv) if kk == "dur" else float(kv)
             self.expect(")")
             return PredictLinear(arg, t_s)
-        if (v in _MATH_FNS or v in ("sort", "sort_desc")) and self.peek() and self.peek()[1] == "(":
+        if (
+            v in ("holt_winters", "double_exponential_smoothing")
+            and self.peek()
+            and self.peek()[1] == "("
+        ):
             self.expect("(")
+            arg = self._range_arg(v)
+            factors = []
+            for what in ("sf", "tf"):
+                self.expect(",")
+                sk, sv = self.next()
+                if sk != "num" or not (0.0 < float(sv) < 1.0):
+                    raise ValueError(
+                        f"{v}(v[d], sf, tf) needs {what} strictly between 0 and 1"
+                    )
+                factors.append(float(sv))
+            self.expect(")")
+            return HoltWinters(arg, factors[0], factors[1])
+        if (
+            (v in _MATH_FNS or v in _TIME_COMPONENT_FNS or v in ("sort", "sort_desc"))
+            and self.peek()
+            and self.peek()[1] == "("
+        ):
+            self.expect("(")
+            if v in _TIME_COMPONENT_FNS and self.peek() and self.peek()[1] == ")":
+                self.next()  # hour() == hour(vector(time()))
+                return MathFn(v, TimeFn())
             arg = self.cmp()
             self.expect(")")
             return MathFn(v, arg)
@@ -581,26 +649,54 @@ class _Parser:
             )
         return arg
 
-    def _agg(self, op: str):
-        by = None
-        if self.peek() and self.peek()[1] == "by":
-            self.next()
-            self.expect("(")
-            by = []
-            while True:
-                k, lbl = self.next()
-                if k != "id":
-                    raise ValueError(f"bad label in by(): {lbl!r}")
-                by.append(lbl)
-                t = self.next()[1]
-                if t == ")":
-                    break
-                if t != ",":
-                    raise ValueError("bad by() list")
+    def _grouping(self) -> Optional[tuple[str, list[str]]]:
+        """Optional `by (l1, ...)` / `without (l1, ...)` clause (either
+        before or after the aggregation's parenthesized body)."""
+        t = self.peek()
+        if not (t and t[0] == "id" and t[1] in ("by", "without")):
+            return None
+        kind = self.next()[1]
         self.expect("(")
+        labels: list[str] = []
+        while True:
+            tt = self.peek()
+            if tt and tt[1] == ")":  # empty or trailing-comma list
+                self.next()
+                break
+            k, lbl = self.next()
+            if k != "id":
+                raise ValueError(f"bad label in {kind}(): {lbl!r}")
+            labels.append(lbl)
+            t2 = self.next()[1]
+            if t2 == ")":
+                break
+            if t2 != ",":
+                raise ValueError(f"bad {kind}() list")
+        return kind, labels
+
+    def _agg(self, op: str):
+        g = self._grouping()
+        self.expect("(")
+        param = None
+        if op == "quantile":
+            kk, kv = self.next()
+            if kk != "num":
+                raise ValueError("quantile(phi, expr) needs a numeric phi")
+            param = float(kv)
+            self.expect(",")
+        elif op == "count_values":
+            kk, kv = self.next()
+            if kk != "str":
+                raise ValueError('count_values("label", expr) needs a quoted label')
+            param = kv[1:-1]
+            self.expect(",")
         arg = self.cmp()
         self.expect(")")
-        return Agg(op, by, arg)
+        if g is None:  # Prometheus also allows sum(x) by (l)
+            g = self._grouping()
+        by = g[1] if g and g[0] == "by" else None
+        without = g[1] if g and g[0] == "without" else None
+        return Agg(op, by, arg, without=without, param=param)
 
     def _selector(self, name: Optional[str] = None) -> Selector:
         if name is None:
@@ -930,6 +1026,40 @@ class PromQLEngine:
             return steps.join(present, on="__step", how="left_anti").select(
                 "__step", F.lit(1.0).alias("value")
             )
+        if fn == "holt_winters":
+            # double exponential smoothing (prometheus functions.go
+            # funcDoubleExponentialSmoothing): a sequential recurrence over
+            # the window's samples in time order — expressed as a JVM-side
+            # aggregate() fold over the per-(step, series) sample array, so
+            # no Python touches the hot path
+            sf_, tf_ = float(extra[0]), float(extra[1])
+            arr = F.transform(
+                F.array_sort(F.collect_list(F.struct(ts.alias("t"), val.alias("v")))),
+                lambda s: s["v"],
+            )
+            g = j.groupBy("__step", *label_cols).agg(arr.alias("__vals"))
+            trend = (
+                f"IF(st.i = 0, st.b, {tf_!r}D * (st.s1 - st.s0) "
+                f"+ (1.0D - {tf_!r}D) * st.b)"
+            )
+            fold = f"""
+              CASE WHEN size(__vals) >= 2 THEN
+                aggregate(
+                  slice(__vals, 2, size(__vals) - 1),
+                  named_struct(
+                    's0', CAST(0.0 AS DOUBLE), 's1', __vals[0],
+                    'b', __vals[1] - __vals[0], 'i', 0),
+                  (st, x) -> named_struct(
+                    's0', st.s1,
+                    's1', {sf_!r}D * x + (1.0D - {sf_!r}D) * (st.s1 + {trend}),
+                    'b', {trend},
+                    'i', st.i + 1),
+                  st -> st.s1)
+              END
+            """
+            return g.select(
+                "__step", *label_cols, F.expr(fold).alias("value")
+            ).where(F.col("value").isNotNull())
         agg = {
             "avg_over_time": F.avg(val),
             "min_over_time": F.min(val),
@@ -1236,6 +1366,11 @@ class PromQLEngine:
                 spark, "predict_linear", node.arg, start, end, step_s,
                 lookback_s, extra=node.t_s,
             )
+        if isinstance(node, HoltWinters):
+            return self._range_fn(
+                spark, "holt_winters", node.arg, start, end, step_s,
+                lookback_s, extra=(node.sf, node.tf),
+            )
         if isinstance(node, MathFn):
             inner = self._eval(spark, node.arg, start, end, step_s, lookback_s)
             v = F.col("value")
@@ -1261,6 +1396,9 @@ class PromQLEngine:
                     "__step",
                     F.col("value").desc() if node.fn == "sort_desc" else F.col("value").asc(),
                 )
+            elif node.fn in _TIME_COMPONENT_FNS:
+                t = "timestamp_seconds(CAST(value AS BIGINT))"
+                newv = F.expr(_TIME_COMPONENT_FNS[node.fn].format(t=t))
             else:
                 newv = F.expr(_MATH_FNS[node.fn].format(v="value"))
             return inner.withColumn("value", newv.cast("double"))
@@ -1314,13 +1452,49 @@ class PromQLEngine:
             return lv.unionByName(right_only, allowMissingColumns=True)
         if isinstance(node, Agg):
             inner = self._eval(spark, node.arg, start, end, step_s, lookback_s)
-            keep = node.by if node.by is not None else []
+            label_cols = [c for c in inner.columns if c not in ("__step", "value")]
+            if node.without is not None:
+                keep = [c for c in label_cols if c not in set(node.without)]
+            else:
+                keep = node.by if node.by is not None else []
+            if node.op == "count_values":
+                lbl = str(node.param)
+                # canonical value string: integral -> no fraction part
+                fmt = F.when(
+                    F.col("value").cast("bigint").cast("double") == F.col("value"),
+                    F.col("value").cast("bigint").cast("string"),
+                ).otherwise(F.col("value").cast("string"))
+                return (
+                    inner.withColumn(lbl, fmt)
+                    .groupBy("__step", *keep, lbl)
+                    .agg(F.count("value").cast("double").alias("value"))
+                )
+            if node.op == "quantile":
+                phi = float(node.param)
+                if not (0.0 <= phi <= 1.0):
+                    # Prometheus: out-of-range phi yields -Inf / +Inf
+                    const = float("-inf") if phi < 0 else float("inf")
+                    return (
+                        inner.groupBy("__step", *keep)
+                        .agg(F.first(F.lit(const)).alias("value"))
+                    )
+                return (
+                    inner.groupBy("__step", *keep)
+                    .agg(F.percentile("value", F.lit(phi)).alias("value"))
+                )
+            if node.op == "group":
+                return (
+                    inner.groupBy("__step", *keep)
+                    .agg(F.first(F.lit(1.0)).alias("value"))
+                )
             op = {
                 "sum": F.sum,
                 "avg": F.avg,
                 "min": F.min,
                 "max": F.max,
                 "count": F.count,
+                "stddev": F.stddev_pop,  # Prometheus stddev is population
+                "stdvar": F.var_pop,
             }[node.op]
             return inner.groupBy("__step", *keep).agg(op("value").alias("value"))
         if isinstance(node, HistogramQuantile):
@@ -1358,8 +1532,14 @@ class PromQLEngine:
         if isinstance(node, TopK):
             inner = self._eval(spark, node.arg, start, end, step_s, lookback_s)
             label_cols = [c for c in inner.columns if c not in ("__step", "value")]
+            if node.without is not None:
+                grp = [c for c in label_cols if c not in set(node.without)]
+            elif node.by is not None:
+                grp = [c for c in node.by if c in inner.columns]
+            else:
+                grp = []
             order = F.desc("value") if node.op == "topk" else F.asc("value")
-            w = Window.partitionBy("__step").orderBy(order, *[F.asc(c) for c in label_cols])
+            w = Window.partitionBy("__step", *grp).orderBy(order, *[F.asc(c) for c in label_cols])
             return (
                 inner.withColumn("__rk", F.row_number().over(w))
                 .where(F.col("__rk") <= node.k)

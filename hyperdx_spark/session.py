@@ -27,6 +27,10 @@ RUNTIME_CONFS = {
     # test parquet is written with INT64 TIMESTAMP(NANOS) which Spark cannot
     # read natively; read as long and convert in io.load_table
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # testdata may also be written as TIMESTAMP(MICROS) with
+    # isAdjustedToUTC=false; read it as plain TIMESTAMP in the UTC session
+    # (not TIMESTAMP_NTZ) so epoch fns (unix_micros & co) apply uniformly
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",

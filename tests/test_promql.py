@@ -625,3 +625,127 @@ def test_sort_functions(spark, fn_engine):
     out = fn_engine.query_range(spark, "sort_desc(c)", t, t, 60).collect()
     assert [r["value"] for r in out] == [180.0, 100.0]
     assert {r["job"] for r in out} == {"a", "b"}
+
+
+# ------------------------------------- aggregation operators + without()
+
+def test_parse_agg_grouping_shapes():
+    a = parse("sum without (job) (c)")
+    assert isinstance(a, Agg) and a.without == ["job"] and a.by is None
+    a = parse("sum(c) by (job)")  # trailing clause position
+    assert isinstance(a, Agg) and a.by == ["job"]
+    a = parse('count_values("ver", c)')
+    assert a.op == "count_values" and a.param == "ver"
+    a = parse("quantile(0.9, c) without (job)")
+    assert a.op == "quantile" and a.param == 0.9 and a.without == ["job"]
+    with pytest.raises(ValueError):
+        parse("quantile(c)")  # missing phi
+    with pytest.raises(ValueError):
+        parse("count_values(ver, c)")  # label must be quoted
+
+
+def test_stddev_stdvar_population(spark, fn_engine):
+    # c at :30 -> {a: 180, b: 100}; population stddev = 40, var = 1600
+    from datetime import timedelta
+
+    t = T0 + timedelta(minutes=30)
+    out = fn_engine.query_range(spark, "stddev(c)", t, t, 60).collect()
+    assert len(out) == 1 and abs(out[0]["value"] - 40.0) < 1e-9
+    out = fn_engine.query_range(spark, "stdvar(c)", t, t, 60).collect()
+    assert len(out) == 1 and abs(out[0]["value"] - 1600.0) < 1e-9
+
+
+def test_quantile_agg_linear_interp(spark, fn_engine):
+    from datetime import timedelta
+
+    t = T0 + timedelta(minutes=30)
+    out = fn_engine.query_range(spark, "quantile(0.5, c)", t, t, 60).collect()
+    assert len(out) == 1 and abs(out[0]["value"] - 140.0) < 1e-9
+    # out-of-range phi -> +/-Inf (Prometheus semantics)
+    out = fn_engine.query_range(spark, "quantile(1.5, c)", t, t, 60).collect()
+    assert out[0]["value"] == float("inf")
+
+
+def test_group_and_count_values(spark, fn_engine):
+    from datetime import timedelta
+
+    t = T0 + timedelta(minutes=30)
+    out = fn_engine.query_range(spark, "group(c)", t, t, 60).collect()
+    assert len(out) == 1 and out[0]["value"] == 1.0
+    assert set(out[0].asDict()) == {"__step", "value"}
+    out = fn_engine.query_range(spark, 'count_values("v", c)', t, t, 60).collect()
+    got = {r["v"]: r["value"] for r in out}
+    assert got == {"180": 1.0, "100": 1.0}
+
+
+def test_sum_without_and_trailing_by(spark, fn_engine):
+    from datetime import timedelta
+
+    t = T0 + timedelta(minutes=30)
+    out = fn_engine.query_range(spark, "sum without (job) (c)", t, t, 60).collect()
+    assert len(out) == 1 and out[0]["value"] == 280.0
+    out = fn_engine.query_range(spark, "sum(c) by (job)", t, t, 60).collect()
+    got = {r["job"]: r["value"] for r in out}
+    assert got == {"a": 180.0, "b": 100.0}
+
+
+def test_topk_by_group(spark, fn_engine):
+    from datetime import timedelta
+
+    t = T0 + timedelta(minutes=30)
+    # ungrouped: single winner
+    out = fn_engine.query_range(spark, "topk(1, c)", t, t, 60).collect()
+    assert len(out) == 1 and out[0]["job"] == "a"
+    # per-job groups: every series is its own group -> both survive
+    out = fn_engine.query_range(spark, "topk by (job) (1, c)", t, t, 60).collect()
+    assert {r["job"] for r in out} == {"a", "b"}
+
+
+# ---------------------------- holt_winters + calendar component functions
+
+def _holt_winters_ref(vals, sf, tf):
+    # prometheus functions.go funcDoubleExponentialSmoothing, verbatim
+    s0, s1, b = 0.0, vals[0], vals[1] - vals[0]
+    for i in range(1, len(vals)):
+        x = sf * vals[i]
+        b = b if (i - 1) == 0 else tf * (s1 - s0) + (1 - tf) * b
+        y = (1 - sf) * (s1 + b)
+        s0, s1 = s1, x + y
+    return s1
+
+
+def test_holt_winters(spark, fn_engine):
+    from datetime import timedelta
+
+    t = T0 + timedelta(minutes=30)
+    # window (25m, 30m] of c{job=a}: minutes 26..30 -> 156..180 step 6
+    expected = _holt_winters_ref([156.0, 162.0, 168.0, 174.0, 180.0], 0.5, 0.3)
+    out = fn_engine.query_range(
+        spark, "holt_winters(c[5m], 0.5, 0.3)", t, t, 60
+    ).collect()
+    got = {r["job"]: r["value"] for r in out}
+    assert abs(got["a"] - expected) < 1e-9
+    # alias name
+    out = fn_engine.query_range(
+        spark, "double_exponential_smoothing(c[5m], 0.5, 0.3)", t, t, 60
+    ).collect()
+    assert abs({r["job"]: r["value"] for r in out}["a"] - expected) < 1e-9
+    with pytest.raises(ValueError):
+        parse("holt_winters(c[5m], 1.5, 0.3)")  # sf must be in (0, 1)
+
+
+def test_time_component_functions(spark, fn_engine):
+    from datetime import timedelta
+
+    t = T0 + timedelta(minutes=30)
+    # value-as-epoch: g{job=a} at :30 = 130 -> 1970-01-01 00:02:10 UTC
+    assert _at30(spark, fn_engine, "minute(g)")["a"] == 2.0
+    assert _at30(spark, fn_engine, "hour(g)")["a"] == 0.0
+    assert _at30(spark, fn_engine, "year(g)")["a"] == 1970.0
+    assert _at30(spark, fn_engine, "day_of_week(g)")["a"] == 4.0  # Thursday
+    assert _at30(spark, fn_engine, "days_in_month(g)")["a"] == 31.0
+    # no-arg form: component of the evaluation step itself (2024-01-01 00:30)
+    out = fn_engine.query_range(spark, "minute()", t, t, 60).collect()
+    assert len(out) == 1 and out[0]["value"] == 30.0
+    out = fn_engine.query_range(spark, "year()", t, t, 60).collect()
+    assert out[0]["value"] == 2024.0
