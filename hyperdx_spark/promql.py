@@ -24,12 +24,16 @@ some):
   ``histogram_quantile(phi, expr)`` over an ``le``-labelled
   cumulative-bucket vector; ``absent(expr)``
 * ``offset dur`` modifier on selectors (instant, range, subquery)
-* scalar arithmetic: ``expr op number`` / ``number op expr`` (+ - * /)
+* scalar arithmetic: ``expr op number`` / ``number op expr``
+  (``+ - * / % ^ atan2``, Prometheus precedence incl. right-assoc ``^``;
+  literal-literal subexpressions constant-fold at parse time, so ``pi()``
+  composes as a scalar)
 * vector-vector arithmetic with full matching: default shared-label 1:1,
   ``on(...)/ignoring(...)``, ``group_left/group_right[(extra)]``
 * comparisons ``== != > < >= <=`` (filter semantics; ``bool`` for 0/1)
 * ``label_replace``/``label_join``; math fns ``abs ceil floor sqrt exp ln
-  log2 log10 sgn deg rad clamp clamp_min clamp_max round``
+  log2 log10 sgn deg rad clamp clamp_min clamp_max round`` + trig
+  ``sin cos tan asin acos atan sinh cosh tanh`` and ``pi()``
 * ``holt_winters``/``double_exponential_smoothing(v[d], sf, tf)`` as a
   JVM-side ``aggregate()`` fold over the window's sample array
 * calendar component fns (value-as-epoch, UTC): ``minute hour day_of_week
@@ -58,6 +62,7 @@ window join; every aggregation is a plain groupBy on (step, labels).
 
 from __future__ import annotations
 
+import math
 import re
 from dataclasses import dataclass, field
 from datetime import datetime
@@ -67,6 +72,28 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 DEFAULT_LOOKBACK_S = 300  # Prometheus staleness window
+
+
+def _binop_expr(op: str, a, b) -> Column:
+    """Arithmetic binary-operator element expression (shared by the
+    vector-vector, scalar-vector and literal paths). Division/modulo by zero
+    yields NULL (the element drops), a documented divergence from
+    Prometheus's IEEE ±Inf."""
+    if op == "+":
+        return a + b
+    if op == "-":
+        return a - b
+    if op == "*":
+        return a * b
+    if op == "/":
+        return F.when(b != 0, a / b)
+    if op == "%":
+        return F.when(b != 0, a % b)
+    if op == "^":
+        return F.pow(a, b)
+    if op == "atan2":
+        return F.atan2(a, b)
+    raise ValueError(f"unknown binary operator {op!r}")
 
 _RANGE_FNS = {
     "rate",
@@ -105,6 +132,15 @@ _MATH_FNS = {
     "sgn": "sign({v})",
     "deg": "degrees({v})",
     "rad": "radians({v})",
+    "sin": "sin({v})",
+    "cos": "cos({v})",
+    "tan": "tan({v})",
+    "asin": "asin({v})",
+    "acos": "acos({v})",
+    "atan": "atan({v})",
+    "sinh": "sinh({v})",
+    "cosh": "cosh({v})",
+    "tanh": "tanh({v})",
 }
 # value-as-epoch calendar components (prometheus functions.go dateWrapper:
 # the sample VALUE is interpreted as UTC epoch seconds, truncated to int)
@@ -306,7 +342,7 @@ _TOKEN_RE = re.compile(
     r"\s*(?:(?P<dur>\d+(?:ms|s|m|h|d|w|y)\b)"
     r"|(?P<num>\d+\.\d+|\.\d+|\d+(?!\w))|(?P<id>[a-zA-Z_:][a-zA-Z0-9_:]*)"
     r"|(?P<str>\"(?:[^\"\\]|\\.)*\"|'(?:[^'\\]|\\.)*')"
-    r"|(?P<op>=~|!~|!=|==|>=|<=|[{}()\[\],=+\-*/<>@]))"
+    r"|(?P<op>=~|!~|!=|==|>=|<=|[{}()\[\],=+\-*/<>@%^]))"
 )
 
 
@@ -389,20 +425,56 @@ class _Parser:
         return node
 
     # expr := term (('+'|'-') [matching] term)*
+    @staticmethod
+    def _fold_or_binop(op, left, right, mods):
+        """Constant-fold literal-literal arithmetic at parse time (so e.g.
+        ``pi() / 2`` is a plain scalar operand, like Prometheus scalars)."""
+        if (
+            not mods
+            and isinstance(left, NumberLit)
+            and isinstance(right, NumberLit)
+        ):
+            a, b = left.value, right.value
+            try:
+                val = {
+                    "+": lambda: a + b,
+                    "-": lambda: a - b,
+                    "*": lambda: a * b,
+                    "/": lambda: a / b if b != 0 else math.inf * (1 if a >= 0 else -1),
+                    "%": lambda: math.fmod(a, b) if b != 0 else math.nan,
+                    "^": lambda: a ** b,
+                    "atan2": lambda: math.atan2(a, b),
+                }[op]()
+            except (OverflowError, ValueError):
+                val = math.nan
+            return NumberLit(float(val))
+        return BinOp(op, left, right, **mods)
+
     def expr(self):
         node = self.term()
         while self.peek() and self.peek()[1] in ("+", "-"):
             op = self.next()[1]
             mods = self._match_modifiers()
-            node = BinOp(op, node, self.term(), **mods)
+            node = self._fold_or_binop(op, node, self.term(), mods)
         return node
 
     def term(self):
-        node = self.atom()
-        while self.peek() and self.peek()[1] in ("*", "/"):
+        node = self.power()
+        while self.peek() and (
+            self.peek()[1] in ("*", "/", "%") or self.peek() == ("id", "atan2")
+        ):
             op = self.next()[1]
             mods = self._match_modifiers()
-            node = BinOp(op, node, self.atom(), **mods)
+            node = self._fold_or_binop(op, node, self.power(), mods)
+        return node
+
+    def power(self):
+        # '^' binds tighter than * / % atan2 and is RIGHT-associative
+        node = self.atom()
+        if self.peek() and self.peek()[1] == "^":
+            self.next()
+            mods = self._match_modifiers()
+            node = self._fold_or_binop("^", node, self.power(), mods)
         return node
 
     def _label_list(self) -> list[str]:
@@ -565,6 +637,10 @@ class _Parser:
             self.expect("(")
             self.expect(")")
             return TimeFn()
+        if v == "pi" and self.peek() and self.peek()[1] == "(":
+            self.expect("(")
+            self.expect(")")
+            return NumberLit(math.pi)
         if v == "scalar" and self.peek() and self.peek()[1] == "(":
             self.expect("(")
             arg = self.cmp()
@@ -1291,12 +1367,7 @@ class PromQLEngine:
                 )
 
         a, b = F.col("value"), F.col("__rv")
-        op_expr = {
-            "+": a + b,
-            "-": a - b,
-            "*": a * b,
-            "/": F.when(b != 0, a / b),
-        }[node.op]
+        op_expr = _binop_expr(node.op, a, b)
 
         if node.group is None:
             lv2 = lv.select(*match_keys, "value")
@@ -1567,12 +1638,7 @@ class PromQLEngine:
                 j = vec.join(s2, on="__step", how="inner")
                 a = F.col("__sv") if scal_left else F.col("value")
                 b = F.col("value") if scal_left else F.col("__sv")
-                expr = {
-                    "+": a + b,
-                    "-": a - b,
-                    "*": a * b,
-                    "/": F.when(b != 0, a / b),
-                }[node.op]
+                expr = _binop_expr(node.op, a, b)
                 keep = [c for c in vec.columns if c != "value"]
                 return j.select(*keep, expr.alias("value"))
             if not lnum and not rnum:
@@ -1585,11 +1651,10 @@ class PromQLEngine:
             )
             k = (node.left if lnum else node.right).value
             v = F.col("value")
-            expr = {
-                "+": v + k,
-                "-": (k - v) if lnum else (v - k),
-                "*": v * k,
-                "/": (F.lit(k) / v) if lnum else (v / k),
-            }[node.op]
+            expr = (
+                _binop_expr(node.op, F.lit(k), v)
+                if lnum
+                else _binop_expr(node.op, v, F.lit(k))
+            )
             return vec.withColumn("value", expr)
         raise TypeError(f"unknown node {node!r}")

@@ -749,3 +749,20 @@ def test_time_component_functions(spark, fn_engine):
     assert len(out) == 1 and out[0]["value"] == 30.0
     out = fn_engine.query_range(spark, "year()", t, t, 60).collect()
     assert out[0]["value"] == 2024.0
+
+
+def test_modulo_power_atan2(spark, fn_engine):
+    import math
+
+    # g{job=a} at :30 = 130
+    assert _at30(spark, fn_engine, "g % 7")["a"] == 130.0 % 7
+    assert _at30(spark, fn_engine, "g ^ 2")["a"] == 130.0 ** 2
+    assert abs(_at30(spark, fn_engine, "g atan2 g")["a"] - math.pi / 4) < 1e-12
+    # precedence: ^ binds tighter than *; right-associative
+    assert _at30(spark, fn_engine, "2 * g ^ 2")["a"] == 2 * 130.0 ** 2
+    p = parse("g ^ 2 ^ 3")
+    # right-assoc: g ^ (2 ^ 3); the literal side constant-folds to 8
+    assert isinstance(p.right, NumberLit) and p.right.value == 8.0
+    # pi() is a scalar literal; trig fns elementwise
+    assert abs(_at30(spark, fn_engine, "sin(g * 0 + pi() / 2)")["a"] - 1.0) < 1e-12
+    assert abs(_at30(spark, fn_engine, "cosh(g * 0)")["a"] - 1.0) < 1e-12
