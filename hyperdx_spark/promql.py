@@ -1141,7 +1141,7 @@ class PromQLEngine:
             "min_over_time": F.min(val),
             "max_over_time": F.max(val),
             "sum_over_time": F.sum(val),
-            "count_over_time": F.count(val),
+            "count_over_time": F.count(val).cast("double"),
             "last_over_time": F.max_by(val, ts),
             "stddev_over_time": F.stddev_pop(val),
             "stdvar_over_time": F.var_pop(val),
@@ -1563,7 +1563,8 @@ class PromQLEngine:
                 "avg": F.avg,
                 "min": F.min,
                 "max": F.max,
-                "count": F.count,
+                # PromQL sample values are always float64, count included
+                "count": lambda c: F.count(c).cast("double"),
                 "stddev": F.stddev_pop,  # Prometheus stddev is population
                 "stdvar": F.var_pop,
             }[node.op]

@@ -1,0 +1,110 @@
+"""Property-based fuzz of the PromQL pipeline (hypothesis):
+
+1. arbitrary text never crashes the parser with anything but ValueError;
+2. grammar-generated valid expressions parse AND evaluate to a DataFrame
+   with the (__step, labels..., value) vector shape — evaluation may
+   legitimately reject some shapes (e.g. many-to-many matching) with
+   ValueError, but must never raise anything else or produce a frame
+   without the vector columns.
+"""
+
+from datetime import datetime, timedelta
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from hyperdx_spark.promql import PromQLEngine, parse
+
+T0 = datetime(2024, 1, 1)
+
+RANGE_FNS = [
+    "rate", "increase", "delta", "irate", "idelta", "changes", "resets",
+    "deriv", "avg_over_time", "min_over_time", "max_over_time",
+    "sum_over_time", "count_over_time", "last_over_time",
+    "stddev_over_time", "present_over_time",
+]
+AGG_OPS = ["sum", "avg", "min", "max", "count", "stddev", "stdvar", "group"]
+MATH_FNS = ["abs", "ceil", "floor", "sqrt", "exp", "sgn", "sin", "tanh"]
+BIN_OPS = ["+", "-", "*", "/", "%", "^"]
+
+
+@st.composite
+def promql_expr(draw, depth=0):
+    kind = draw(
+        st.sampled_from(
+            ["selector", "range_fn", "agg", "math", "binop_scalar", "topk"]
+            if depth < 2
+            else ["selector", "range_fn"]
+        )
+    )
+    metric = draw(st.sampled_from(["c", "g"]))
+    sel = draw(
+        st.sampled_from([metric, f'{metric}{{job="a"}}', f'{metric}{{job=~"a|b"}}'])
+    )
+    if kind == "selector":
+        return sel
+    if kind == "range_fn":
+        fn = draw(st.sampled_from(RANGE_FNS))
+        win = draw(st.sampled_from(["5m", "10m", "1h"]))
+        return f"{fn}({sel}[{win}])"
+    inner = draw(promql_expr(depth=depth + 1))
+    if kind == "agg":
+        op = draw(st.sampled_from(AGG_OPS))
+        clause = draw(st.sampled_from(["", " by (job)", " without (job)"]))
+        return f"{op}{clause} ({inner})"
+    if kind == "math":
+        return f"{draw(st.sampled_from(MATH_FNS))}({inner})"
+    if kind == "topk":
+        return f"topk({draw(st.integers(1, 3))}, {inner})"
+    op = draw(st.sampled_from(BIN_OPS))
+    k = draw(st.sampled_from(["2", "0.5", "7"]))
+    return draw(st.booleans()) and f"{inner} {op} {k}" or f"{k} {op} {inner}"
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=40))
+def test_parser_never_crashes_unexpectedly(s):
+    try:
+        parse(s)
+    except ValueError:
+        pass  # the only acceptable failure mode
+
+
+@settings(max_examples=150, deadline=None)
+@given(q=promql_expr())
+def test_generated_expressions_parse(q):
+    parse(q)  # grammar output must always be syntactically valid
+
+
+@pytest.fixture(scope="module")
+def fuzz_engine(spark):
+    rows = []
+    for m in range(0, 31):
+        ts = T0 + timedelta(minutes=m)
+        rows.append(("c", ts, float(m * 6), "a"))
+        rows.append(("c", ts, float(m * 10 if m < 20 else (m - 20) * 10), "b"))
+        rows.append(("g", ts, 100.0 + m, "a"))
+    return PromQLEngine(
+        spark.createDataFrame(
+            rows, "`__name__` string, ts timestamp, value double, job string"
+        )
+    )
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(q=promql_expr())
+def test_generated_expressions_evaluate_to_vectors(spark, fuzz_engine, q):
+    t = T0 + timedelta(minutes=30)
+    try:
+        out = fuzz_engine.query_range(spark, q, t, t, 60)
+    except ValueError:
+        return  # semantically rejected is fine; crashing is not
+    assert "__step" in out.columns and "value" in out.columns
+    rows = out.collect()
+    for r in rows:
+        assert r["value"] is None or isinstance(r["value"], float)
