@@ -51,7 +51,11 @@ Not implemented: native histograms.
 Semantics notes (documented divergences from Prometheus):
 * ``rate``/``increase`` sum reset-adjusted deltas of consecutive samples
   whose *both* endpoints fall inside the window — no boundary
-  extrapolation (Prometheus extrapolates to the window edges).
+  extrapolation by default. ``PromQLEngine(..., extrapolate=True)``
+  switches rate/increase/delta to Prometheus's exact extrapolatedRate
+  (edge extrapolation capped at 1.1x the mean sample spacing, counter
+  zero-crossing cap), verified against a verbatim port of
+  functions.go in tests.
 * instant selectors use a staleness lookback (default 5m) and take the
   latest sample per series at each step, like Prometheus.
 
@@ -866,6 +870,7 @@ class PromQLEngine:
         ts_col: str = "ts",
         value_col: str = "value",
         label_cols: Optional[Sequence[str]] = None,
+        extrapolate: bool = False,
     ):
         self.samples = samples
         self.name_col = name_col
@@ -878,6 +883,11 @@ class PromQLEngine:
                 if c not in (name_col, ts_col, value_col)
             ]
         self.label_cols = list(label_cols)
+        # extrapolate=True switches rate/increase/delta to Prometheus's exact
+        # boundary extrapolation (functions.go extrapolatedRate); the default
+        # keeps the engine's simpler documented no-extrapolation semantics
+        # (every gated oracle encodes that default)
+        self.extrapolate = extrapolate
 
     # -- selectors ---------------------------------------------------------
 
@@ -1078,8 +1088,15 @@ class PromQLEngine:
                 d = val - F.col("__prev_v")
             else:  # counter semantics: reset -> current value
                 d = F.when(val >= F.col("__prev_v"), val - F.col("__prev_v")).otherwise(val)
-            df = df.withColumn("__delta", d).where(F.col("__prev_ts").isNotNull())
+            df = df.withColumn("__delta", d)
             steps = self._steps(spark, start, end, step_s)
+            if self.extrapolate:
+                # keep rows with a null prev: a series' first-ever sample
+                # still counts toward the window's first/last/n stats
+                return self._extrapolated_rate(
+                    steps, df, fn, ts, val, eff, w_s, label_cols
+                )
+            df = df.where(F.col("__prev_ts").isNotNull())
             # a delta covers the interval (prev_ts, ts]; it contributes to a
             # step's window iff that interval lies within [step-w, step]
             j = F.broadcast(steps).join(
@@ -1093,6 +1110,59 @@ class PromQLEngine:
             return j.groupBy("__step", *label_cols).agg(total.alias("value"))
         # x_over_time family: plain window join + aggregate
         steps = self._steps(spark, start, end, step_s)
+        return self._over_time(steps, df, fn, ts, val, eff, w_s, label_cols, extra)
+
+    def _extrapolated_rate(
+        self, steps, df_all, fn, ts, val, eff, w_s, label_cols
+    ) -> DataFrame:
+        """Prometheus-exact rate/increase/delta (functions.go
+        extrapolatedRate): the reset-adjusted in-window delta is extrapolated
+        to the window edges, capped at 1.1x the average sample spacing (half
+        a spacing beyond that), and for counters no further back than the
+        point where the series would cross zero. One window join + one
+        aggregate — same shuffle shape as the default path."""
+        win_lo = eff - F.expr(f"INTERVAL {w_s} SECOND")
+        j = F.broadcast(steps).join(df_all, (ts > win_lo) & (ts <= eff))
+        is_counter = fn in ("rate", "increase")
+        # consecutive pairs fully inside the window sum to the
+        # reset-adjusted (last - first)
+        pair_in = F.col("__prev_ts") > win_lo
+        g = j.groupBy("__step", *label_cols).agg(
+            F.count(val).alias("__n"),
+            F.min_by(F.struct(val.alias("v"), ts.alias("t")), ts).alias("__first"),
+            F.max_by(F.struct(val.alias("v"), ts.alias("t")), ts).alias("__last"),
+            F.sum(F.when(pair_in, F.col("__delta"))).alias("__dsum"),
+        )
+
+        def ep(c):
+            return F.unix_micros(c).cast("double") / F.lit(1e6)
+
+        end_e = ep(eff)
+        start_e = end_e - F.lit(float(w_s))
+        first_t, last_t = ep(F.col("__first.t")), ep(F.col("__last.t"))
+        n = F.col("__n").cast("double")
+        sampled = last_t - first_t
+        avg_bt = sampled / (n - F.lit(1.0))
+        thr = avg_bt * F.lit(1.1)
+        result = F.col("__dsum")
+        dur_start = first_t - start_e
+        dur_end = end_e - last_t
+        if is_counter:
+            dur_zero = sampled * (F.col("__first.v") / result)
+            dur_start = F.when(
+                (result > 0) & (F.col("__first.v") >= 0) & (dur_zero < dur_start),
+                dur_zero,
+            ).otherwise(dur_start)
+        dur_start = F.when(dur_start >= thr, avg_bt / 2).otherwise(dur_start)
+        dur_end = F.when(dur_end >= thr, avg_bt / 2).otherwise(dur_end)
+        value = result * ((sampled + dur_start + dur_end) / sampled)
+        if fn == "rate":
+            value = value / F.lit(float(w_s))
+        return g.where((F.col("__n") >= 2) & (sampled > 0)).select(
+            "__step", *label_cols, value.alias("value")
+        )
+
+    def _over_time(self, steps, df, fn, ts, val, eff, w_s, label_cols, extra):
         j = F.broadcast(steps).join(
             df,
             (ts > eff - F.expr(f"INTERVAL {w_s} SECOND")) & (ts <= eff),

@@ -766,3 +766,96 @@ def test_modulo_power_atan2(spark, fn_engine):
     # pi() is a scalar literal; trig fns elementwise
     assert abs(_at30(spark, fn_engine, "sin(g * 0 + pi() / 2)")["a"] - 1.0) < 1e-12
     assert abs(_at30(spark, fn_engine, "cosh(g * 0)")["a"] - 1.0) < 1e-12
+
+
+# ----------------------------------- Prometheus-exact extrapolation mode
+
+def _extrapolated_ref(samples, range_start, range_end, is_counter, is_rate):
+    # prometheus promql/functions.go extrapolatedRate, verbatim; samples =
+    # [(epoch_s, value)] inside (range_start, range_end], time-ordered
+    if len(samples) < 2:
+        return None
+    first_t, first_v = samples[0]
+    last_t, last_v = samples[-1]
+    result = 0.0
+    prev = first_v
+    for _, v in samples[1:]:
+        if is_counter and v < prev:
+            result += v
+        else:
+            result += v - prev
+        prev = v
+    sampled = last_t - first_t
+    if sampled <= 0:
+        return None
+    avg = sampled / (len(samples) - 1)
+    threshold = avg * 1.1
+    dur_start = first_t - range_start
+    dur_end = range_end - last_t
+    if is_counter and result > 0 and first_v >= 0:
+        dur_zero = sampled * (first_v / result)
+        if dur_zero < dur_start:
+            dur_start = dur_zero
+    if dur_start >= threshold:
+        dur_start = avg / 2
+    if dur_end >= threshold:
+        dur_end = avg / 2
+    result *= (sampled + dur_start + dur_end) / sampled
+    if is_rate:
+        result /= range_end - range_start
+    return result
+
+
+@pytest.fixture(scope="module")
+def xp_engine(spark):
+    from datetime import timedelta
+
+    from hyperdx_spark.promql import PromQLEngine
+
+    # irregular spacing + a reset + a series starting mid-window
+    rows = []
+    for m, v in [(2, 5.0), (7, 23.0), (9, 41.0), (16, 11.0), (26, 30.0), (29, 57.0)]:
+        rows.append(("e", T0 + timedelta(minutes=m), v, "a"))
+    for m, v in [(22, 3.0), (27, 9.0)]:  # first-ever sample inside windows
+        rows.append(("e", T0 + timedelta(minutes=m), v, "b"))
+    return PromQLEngine(
+        spark.createDataFrame(
+            rows, "`__name__` string, ts timestamp, value double, job string"
+        ),
+        extrapolate=True,
+    ), rows
+
+
+@pytest.mark.parametrize(
+    "fn,is_counter,is_rate",
+    [("rate", True, True), ("increase", True, False), ("delta", False, False)],
+)
+def test_extrapolated_rate_matches_prometheus(spark, xp_engine, fn, is_counter, is_rate):
+    from datetime import timedelta
+
+    eng, rows = xp_engine
+    t = T0 + timedelta(minutes=30)
+    end_e = t.timestamp()
+    start_e = end_e - 1800  # [30m] window
+    out = eng.query_range(spark, f"{fn}(e[30m])", t, t, 60).collect()
+    got = {r["job"]: r["value"] for r in out}
+    for job in ("a", "b"):
+        samples = sorted(
+            (ts.timestamp(), v)
+            for name, ts, v, j in rows
+            if j == job and start_e < ts.timestamp() <= end_e
+        )
+        want = _extrapolated_ref(samples, start_e, end_e, is_counter, is_rate)
+        assert abs(got[job] - want) < 1e-9, (job, got[job], want)
+
+
+def test_extrapolate_off_by_default(spark, fn_engine):
+    from datetime import timedelta
+
+    # default engine keeps the documented no-extrapolation semantics
+    t = T0 + timedelta(minutes=30)
+    out = fn_engine.query_range(spark, "rate(c[5m])", t, t, 60).collect()
+    got = {r["job"]: r["value"] for r in out}
+    # window (25,30]: samples 26..30, prev endpoints 25..29 all >= window
+    # start (inclusive bound) -> 5 deltas of 6 over 300s
+    assert abs(got["a"] - 0.1) < 1e-9
