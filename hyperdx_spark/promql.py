@@ -42,7 +42,9 @@ some):
 
 * set operators ``and / or / unless`` with on/ignoring matching
 * ``@ epoch`` modifier; ``time()`` / ``scalar(v)`` / ``vector(s)`` with
-  Prometheus scalar element-wise semantics in binary ops
+  Prometheus scalar element-wise semantics in binary ops; ``timestamp(v)``
+  (original sample time for instant selectors, step time for derived
+  vectors)
 
 * ``sort``/``sort_desc`` (presentation order on the result DataFrame)
 
@@ -288,6 +290,13 @@ class HoltWinters:
     arg: "Expr"
     sf: float  # smoothing factor
     tf: float  # trend factor
+
+
+@dataclass
+class Timestamp:
+    """timestamp(v) — each element's sample time as epoch seconds."""
+
+    arg: "Expr"
 
 
 @dataclass
@@ -645,6 +654,11 @@ class _Parser:
             self.expect("(")
             self.expect(")")
             return NumberLit(math.pi)
+        if v == "timestamp" and self.peek() and self.peek()[1] == "(":
+            self.expect("(")
+            arg = self.cmp()
+            self.expect(")")
+            return Timestamp(arg)
         if v == "scalar" and self.peek() and self.peek()[1] == "(":
             self.expect("(")
             arg = self.cmp()
@@ -1511,6 +1525,30 @@ class PromQLEngine:
             return self._range_fn(
                 spark, "holt_winters", node.arg, start, end, step_s,
                 lookback_s, extra=(node.sf, node.tf),
+            )
+        if isinstance(node, Timestamp):
+            if isinstance(node.arg, Selector) and node.arg.window_s is None:
+                # instant selector: the ORIGINAL sample's time (the
+                # documented use-case — e.g. time() - timestamp(up))
+                sel = node.arg
+                df = self._filter(sel)
+                steps = self._steps(spark, start, end, step_s)
+                ts = F.col(self.ts_col)
+                eff = self._eff_step(sel, start, end)
+                j = F.broadcast(steps).join(
+                    df,
+                    (ts > eff - F.expr(f"INTERVAL {lookback_s} SECOND"))
+                    & (ts <= eff),
+                )
+                return j.groupBy("__step", *self.label_cols).agg(
+                    (F.unix_micros(F.max(ts)).cast("double") / F.lit(1e6)).alias(
+                        "value"
+                    )
+                )
+            # derived vectors carry the evaluation (step) time
+            inner = self._eval(spark, node.arg, start, end, step_s, lookback_s)
+            return inner.withColumn(
+                "value", F.unix_micros(F.col("__step")).cast("double") / F.lit(1e6)
             )
         if isinstance(node, MathFn):
             inner = self._eval(spark, node.arg, start, end, step_s, lookback_s)

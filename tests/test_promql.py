@@ -859,3 +859,20 @@ def test_extrapolate_off_by_default(spark, fn_engine):
     # window (25,30]: samples 26..30, prev endpoints 25..29 all >= window
     # start (inclusive bound) -> 5 deltas of 6 over 300s
     assert abs(got["a"] - 0.1) < 1e-9
+
+
+def test_timestamp_function(spark, fn_engine):
+    from datetime import timedelta
+
+    # instant selector: the original sample time, even at a later step
+    # (:30:30 step still sees the :30:00 sample within the lookback)
+    t = T0 + timedelta(minutes=30, seconds=30)
+    out = fn_engine.query_range(spark, "timestamp(g)", t, t, 60).collect()
+    want = (T0 + timedelta(minutes=30)).timestamp()
+    assert len(out) == 1 and out[0]["value"] == want
+    # derived vector: the evaluation step time
+    out = fn_engine.query_range(spark, "timestamp(sum(g))", t, t, 60).collect()
+    assert len(out) == 1 and out[0]["value"] == t.timestamp()
+    # the start-time idiom: time() - timestamp(g) = staleness age in seconds
+    out = fn_engine.query_range(spark, "time() - timestamp(g)", t, t, 60).collect()
+    assert len(out) == 1 and out[0]["value"] == 30.0
