@@ -453,9 +453,14 @@ class _Parser:
                     "+": lambda: a + b,
                     "-": lambda: a - b,
                     "*": lambda: a * b,
-                    "/": lambda: a / b if b != 0 else math.inf * (1 if a >= 0 else -1),
+                    # IEEE float semantics like Go: x/0 = ±Inf, 0/0 = NaN
+                    "/": lambda: a / b
+                    if b != 0
+                    else (math.nan if a == 0 else math.inf * (1 if a > 0 else -1)),
                     "%": lambda: math.fmod(a, b) if b != 0 else math.nan,
-                    "^": lambda: a ** b,
+                    # math.pow (not **): negative base w/ fractional exponent
+                    # must fold to NaN, not a Python complex
+                    "^": lambda: math.pow(a, b),
                     "atan2": lambda: math.atan2(a, b),
                 }[op]()
             except (OverflowError, ValueError):

@@ -763,6 +763,11 @@ def test_modulo_power_atan2(spark, fn_engine):
     p = parse("g ^ 2 ^ 3")
     # right-assoc: g ^ (2 ^ 3); the literal side constant-folds to 8
     assert isinstance(p.right, NumberLit) and p.right.value == 8.0
+    # literal folding edge cases: stay float, never Python-complex
+    import math as _m
+    assert _m.isnan(parse("(0 - 8) ^ 0.5").value)
+    assert _m.isnan(parse("0 / 0").value)
+    assert parse("1 / 0").value == float("inf")
     # pi() is a scalar literal; trig fns elementwise
     assert abs(_at30(spark, fn_engine, "sin(g * 0 + pi() / 2)")["a"] - 1.0) < 1e-12
     assert abs(_at30(spark, fn_engine, "cosh(g * 0)")["a"] - 1.0) < 1e-12
