@@ -164,3 +164,80 @@ TIME_RANGE_MACROS = (
 
 def has_macro(sql: str, name: str) -> bool:
     return re.search(rf"\$__{name}\b", sql) is not None
+
+
+# ---------------------------------------------------------------------------
+# Raw-SQL query params (rawSqlParams.ts parity)
+# ---------------------------------------------------------------------------
+
+# Which named params each display type binds (rawSqlParams.ts
+# QUERY_PARAMS_BY_DISPLAY_TYPE): time charts get the interval params too,
+# value/table charts only the range bounds, search/heatmap/markdown none.
+RAW_SQL_PARAMS_BY_DISPLAY_TYPE: dict[str, tuple[str, ...]] = {
+    "line": (
+        "startDateMilliseconds",
+        "endDateMilliseconds",
+        "intervalSeconds",
+        "intervalMilliseconds",
+    ),
+    "stacked_bar": (
+        "startDateMilliseconds",
+        "endDateMilliseconds",
+        "intervalSeconds",
+        "intervalMilliseconds",
+    ),
+    "table": ("startDateMilliseconds", "endDateMilliseconds"),
+    "pie": ("startDateMilliseconds", "endDateMilliseconds"),
+    "bar": ("startDateMilliseconds", "endDateMilliseconds"),
+    "number": ("startDateMilliseconds", "endDateMilliseconds"),
+    "search": (),
+    "heatmap": (),
+    "markdown": (),
+    "event_patterns": (),
+}
+
+_PARAM_RE = re.compile(r"\{(\w+)\s*:\s*\w+\}")  # {name:Int64} placeholders
+
+
+def raw_sql_params(
+    *,
+    display_type: str = "line",
+    date_range: Optional[tuple[datetime, datetime]] = None,
+    granularity: Optional[str] = None,
+) -> dict[str, int]:
+    """Compute the bound values for a raw-SQL tile's named query params
+    (rawSqlParams.ts QUERY_PARAMS): dashboard range bounds in epoch millis
+    and the effective bucket interval ('auto' resolves via the granularity
+    ladder against the date range)."""
+    from hyperdx_spark.granularity import auto_granularity, granularity_seconds
+
+    values: dict[str, int] = {}
+    if date_range is not None:
+        values["startDateMilliseconds"] = _ms(date_range[0])
+        values["endDateMilliseconds"] = _ms(date_range[1])
+    g = granularity or "auto"
+    if g == "auto":
+        interval = granularity_seconds(auto_granularity(date_range)) if date_range else 60
+    else:
+        interval = granularity_seconds(g)
+    values["intervalSeconds"] = interval
+    values["intervalMilliseconds"] = interval * 1000
+    wanted = RAW_SQL_PARAMS_BY_DISPLAY_TYPE.get(display_type.lower())
+    if wanted is None:
+        raise ValueError(f"unknown display type: {display_type!r}")
+    return {k: values[k] for k in wanted if k in values}
+
+
+def bind_raw_sql_params(sql: str, params: dict[str, int]) -> str:
+    """Substitute ClickHouse-style ``{name:Type}`` placeholders with their
+    bound integer values (the Spark analogue of CH server-side params —
+    values here are engine-computed ints, never user strings, so literal
+    splicing is injection-safe)."""
+
+    def sub(m: "re.Match[str]") -> str:
+        name = m.group(1)
+        if name not in params:
+            raise ValueError(f"unbound query param: {{{name}}}")
+        return str(int(params[name]))
+
+    return _PARAM_RE.sub(sub, sql)

@@ -164,3 +164,41 @@ def test_get_key_values_faceted(spark, sf_dir):
         for r in ev.where(F.col("value") >= 45).select("event_type").distinct().collect()
     )
     assert list(faceted) == expected
+
+
+# ------------------------------------ raw-SQL query params (rawSqlParams.ts)
+
+def test_raw_sql_params_by_display_type():
+    from datetime import datetime
+
+    from hyperdx_spark.macros import bind_raw_sql_params, raw_sql_params
+
+    rng = (datetime(2024, 1, 1), datetime(2024, 1, 2))
+    line = raw_sql_params(display_type="line", date_range=rng, granularity="5 minute")
+    assert line == {
+        "startDateMilliseconds": 1704067200000,
+        "endDateMilliseconds": 1704153600000,
+        "intervalSeconds": 300,
+        "intervalMilliseconds": 300000,
+    }
+    # value charts bind only the range bounds
+    num = raw_sql_params(display_type="number", date_range=rng)
+    assert set(num) == {"startDateMilliseconds", "endDateMilliseconds"}
+    # search binds nothing; auto granularity resolves via the ladder
+    assert raw_sql_params(display_type="search", date_range=rng) == {}
+    auto = raw_sql_params(display_type="line", date_range=rng)  # 1 day span
+    assert auto["intervalSeconds"] * 60 >= 86400  # <= 60 buckets
+
+    sql = (
+        "SELECT window(ts, {intervalSeconds:Int64}) FROM t "
+        "WHERE ts >= timestamp_millis({startDateMilliseconds:Int64})"
+    )
+    bound = bind_raw_sql_params(sql, line)
+    assert "{" not in bound and "300" in bound
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        bind_raw_sql_params("SELECT {nope:Int64}", line)
+    with _pt.raises(ValueError):
+        raw_sql_params(display_type="hologram", date_range=rng)
