@@ -46,7 +46,8 @@ some):
   (original sample time for instant selectors, step time for derived
   vectors)
 
-* ``sort``/``sort_desc`` (presentation order on the result DataFrame)
+* ``sort``/``sort_desc`` and ``sort_by_label[_desc](v, "lbl", ...)``
+  (presentation order on the result DataFrame)
 
 Not implemented: native histograms.
 
@@ -639,6 +640,24 @@ class _Parser:
                 factors.append(float(sv))
             self.expect(")")
             return HoltWinters(arg, factors[0], factors[1])
+        if (
+            v in ("sort_by_label", "sort_by_label_desc")
+            and self.peek()
+            and self.peek()[1] == "("
+        ):
+            self.expect("(")
+            arg = self.cmp()
+            labels = []
+            while self.peek() and self.peek()[1] == ",":
+                self.next()
+                sk, sv = self.next()
+                if sk != "str":
+                    raise ValueError(f"{v}(v, \"label\", ...) needs quoted labels")
+                labels.append(sv[1:-1])
+            self.expect(")")
+            if not labels:
+                raise ValueError(f"{v}(v, \"label\", ...) needs at least one label")
+            return MathFn(v, arg, scalars=labels)
         if (
             (v in _MATH_FNS or v in _TIME_COMPONENT_FNS or v in ("sort", "sort_desc"))
             and self.peek()
@@ -1579,6 +1598,21 @@ class PromQLEngine:
                 return inner.orderBy(
                     "__step",
                     F.col("value").desc() if node.fn == "sort_desc" else F.col("value").asc(),
+                )
+            elif node.fn in ("sort_by_label", "sort_by_label_desc"):
+                # presentation order by label values (missing label sorts
+                # as empty string, like an absent Prometheus label)
+                desc = node.fn.endswith("_desc")
+                keys = [
+                    (
+                        F.coalesce(F.col(l), F.lit(""))
+                        if l in inner.columns
+                        else F.lit("")
+                    )
+                    for l in node.scalars
+                ]
+                return inner.orderBy(
+                    "__step", *[(k.desc() if desc else k.asc()) for k in keys]
                 )
             elif node.fn in _TIME_COMPONENT_FNS:
                 t = "timestamp_seconds(CAST(value AS BIGINT))"

@@ -881,3 +881,17 @@ def test_timestamp_function(spark, fn_engine):
     # the start-time idiom: time() - timestamp(g) = staleness age in seconds
     out = fn_engine.query_range(spark, "time() - timestamp(g)", t, t, 60).collect()
     assert len(out) == 1 and out[0]["value"] == 30.0
+
+
+def test_sort_by_label(spark, fn_engine):
+    from datetime import timedelta
+
+    t = T0 + timedelta(minutes=30)
+    out = fn_engine.query_range(spark, 'sort_by_label(c, "job")', t, t, 60).collect()
+    assert [r["job"] for r in out] == ["a", "b"]
+    out = fn_engine.query_range(
+        spark, 'sort_by_label_desc(c, "job")', t, t, 60
+    ).collect()
+    assert [r["job"] for r in out] == ["b", "a"]
+    with pytest.raises(ValueError):
+        parse("sort_by_label(c)")  # needs at least one label
