@@ -1,0 +1,100 @@
+"""Deterministic sampling operators for training-data curation.
+
+A 100 TB-corpus pipeline needs *reproducible* subsampling: the same rows
+must be selected on every run, on any cluster, and the selection must be
+auditable by an independent engine. All operators here key off
+``md5(id ":" seed)`` — a uniform, engine-portable hash (the hex digest is
+bit-identical in Spark and DuckDB, so every operator is exactly
+SQL-oracle-checkable; same trick as the simhash md5 token-hash variant in
+``dedup.py``).
+
+Scale shapes:
+
+* ``hash_sample`` / ``train_holdout_split`` are pure row-local projections —
+  zero shuffles, fully pushdown-friendly.
+* ``stratified_sample`` is one ``row_number`` window shuffled on the strata
+  key. A pathologically hot stratum serializes only its own sort; pre-thin
+  giant strata with ``hash_sample`` first when n_per_stratum << stratum size.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# 15 hex digits = 60 bits: fits a signed long exactly, and fraction
+# thresholds stay integer-exact for any float fraction
+_KEY_DIGITS = 15
+_KEY_SPACE = 16 ** _KEY_DIGITS
+
+
+def sample_key(id_col: str, seed: int = 42) -> Column:
+    """Deterministic per-row sampling key: md5 of ``id ":" seed`` (hex).
+
+    Lexicographic order on the hex digest == numeric order on the hash, and
+    the digest is identical across engines — rank/threshold decisions made
+    on it are reproducible and independently verifiable.
+    """
+    return F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed))))
+
+
+def _key_bucket(key: Column) -> Column:
+    """First 60 bits of the key as a long in [0, 16^15)."""
+    return F.conv(F.substring(key, 1, _KEY_DIGITS), 16, 10).cast("long")
+
+
+def hash_sample(
+    df: DataFrame, fraction: float, *, id_col: str, seed: int = 42
+) -> DataFrame:
+    """Deterministic Bernoulli-by-hash sample: keeps a row iff its sampling
+    key falls below ``fraction`` of the key space. Row-local (no shuffle),
+    stable across runs/partitionings, and composable: a 0.5 sample of a
+    0.5 sample (different seeds) is an exact 0.25 sample."""
+    if not (0.0 <= fraction <= 1.0):
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    thr = int(fraction * _KEY_SPACE)
+    return df.where(_key_bucket(sample_key(id_col, seed)) < F.lit(thr))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: Sequence[str],
+    n_per_stratum: int,
+    *,
+    id_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Exactly ``min(n, |stratum|)`` rows per stratum, chosen by smallest
+    sampling key — a reproducible uniform draw without replacement per
+    group (e.g. balance languages/sources in a training mix)."""
+    if n_per_stratum < 1:
+        raise ValueError("n_per_stratum must be >= 1")
+    w = Window.partitionBy(*strata_cols).orderBy(F.col("__sk"), F.col(id_col))
+    return (
+        df.withColumn("__sk", sample_key(id_col, seed))
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= n_per_stratum)
+        .drop("__sk", "__rk")
+    )
+
+
+def train_holdout_split(
+    df: DataFrame,
+    holdout_fraction: float,
+    *,
+    id_col: str,
+    seed: int = 42,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/holdout assignment as a column — the same id
+    lands in the same split on every run and in every table it appears in
+    (join-free leakage guard across derived datasets)."""
+    if not (0.0 <= holdout_fraction <= 1.0):
+        raise ValueError(f"holdout_fraction must be in [0, 1], got {holdout_fraction}")
+    thr = int(holdout_fraction * _KEY_SPACE)
+    bucket = _key_bucket(sample_key(id_col, seed))
+    return df.withColumn(
+        split_col, F.when(bucket < F.lit(thr), F.lit("holdout")).otherwise(F.lit("train"))
+    )

@@ -317,3 +317,80 @@ def test_resize_and_frame_sample_real(spark, sf_dir):
         for f in frs:
             arr = codecs.decode_png(bytes(f["frame"]))
             assert arr.shape[:2] == (16, 16)
+
+
+# ------------------------- deterministic sampling (pipeline/sampling.py)
+
+def test_hash_sample_exact_oracle(spark, sf_dir):
+    import duckdb
+
+    from hyperdx_spark.io import load_table
+    from hyperdx_spark.pipeline import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = sampling.hash_sample(docs, 0.3, id_col="doc_id", seed=7)
+    got = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    thr = int(0.3 * 16**15)
+    con = duckdb.connect()
+    want = sorted(
+        r[0]
+        for r in con.execute(
+            f"""
+            SELECT doc_id FROM read_parquet('{sf_dir}/documents.parquet')
+            WHERE CAST(('0x' || substring(md5(doc_id::VARCHAR || ':7'), 1, 15)) AS BIGINT) < {thr}
+            """
+        ).fetchall()
+    )
+    assert got == want
+    n = len(got)
+    total = docs.count()
+    assert 0.15 * total < n < 0.45 * total  # roughly the asked fraction
+    # composability: sub-sampling with another seed intersects multiplicatively
+    sub = sampling.hash_sample(out, 0.5, id_col="doc_id", seed=8).count()
+    assert 0 < sub < n
+
+
+def test_stratified_sample_exact_oracle(spark, sf_dir):
+    import duckdb
+
+    from hyperdx_spark.io import load_table
+    from hyperdx_spark.pipeline import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = sampling.stratified_sample(docs, ["lang"], 5, id_col="doc_id", seed=42)
+    got = sorted((r["lang"], r["doc_id"]) for r in out.select("lang", "doc_id").collect())
+    con = duckdb.connect()
+    want = sorted(
+        (r[0], r[1])
+        for r in con.execute(
+            f"""
+            SELECT lang, doc_id FROM (
+              SELECT lang, doc_id,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(doc_id::VARCHAR || ':42'), doc_id) AS rk
+              FROM read_parquet('{sf_dir}/documents.parquet')) WHERE rk <= 5
+            """
+        ).fetchall()
+    )
+    assert got == want
+    counts = {}
+    for lang, _ in got:
+        counts[lang] = counts.get(lang, 0) + 1
+    assert all(c == 5 for c in counts.values())  # every stratum filled
+
+
+def test_train_holdout_split_stable(spark, sf_dir):
+    from hyperdx_spark.io import load_table
+    from hyperdx_spark.pipeline import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    s1 = sampling.train_holdout_split(docs, 0.2, id_col="doc_id")
+    s2 = sampling.train_holdout_split(docs.orderBy("n_chars"), 0.2, id_col="doc_id")
+    a = {(r["doc_id"], r["split"]) for r in s1.select("doc_id", "split").collect()}
+    b = {(r["doc_id"], r["split"]) for r in s2.select("doc_id", "split").collect()}
+    assert a == b  # assignment is row-order independent
+    holdout = sum(1 for _, s in a if s == "holdout")
+    assert 0.05 * len(a) < holdout < 0.4 * len(a)
+    with __import__("pytest").raises(ValueError):
+        sampling.train_holdout_split(docs, 1.5, id_col="doc_id")
