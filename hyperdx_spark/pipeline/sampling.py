@@ -98,3 +98,43 @@ def train_holdout_split(
     return df.withColumn(
         split_col, F.when(bucket < F.lit(thr), F.lit("holdout")).otherwise(F.lit("train"))
     )
+
+
+def token_budget_mix(
+    sources: dict[str, DataFrame],
+    weights: dict[str, float],
+    total_tokens: int,
+    *,
+    id_col: str,
+    token_count_col: str,
+    seed: int = 42,
+    max_oversample: float = 1.0,
+) -> DataFrame:
+    """Mix sources into one corpus hitting a total token budget split by
+    weight (the standard training-mix primitive: e.g. 60% web, 30% code,
+    10% reference).
+
+    Each source's share is ``total_tokens * weight / sum(weights)``; the
+    source is ``hash_sample``d at ``share / its_token_count`` (capped at
+    ``max_oversample`` — an undersized source contributes everything it
+    has rather than repeating rows). The only driver-side data is one
+    (count, sum) row per source; the sampling itself is the zero-shuffle
+    hash filter, so the mix is reproducible AND cheap at corpus scale.
+    Output adds a ``source`` column.
+    """
+    if sources.keys() != weights.keys():
+        raise ValueError("sources and weights must have the same keys")
+    wsum = float(sum(weights.values()))
+    if wsum <= 0:
+        raise ValueError("weights must sum to > 0")
+    parts = []
+    for name, df in sources.items():
+        have = df.agg(F.sum(F.col(token_count_col)).alias("t")).collect()[0]["t"] or 0
+        share = total_tokens * (weights[name] / wsum)
+        frac = min(share / have if have > 0 else 0.0, float(max_oversample))
+        picked = hash_sample(df, frac, id_col=id_col, seed=seed)
+        parts.append(picked.withColumn("source", F.lit(name)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -394,3 +394,53 @@ def test_train_holdout_split_stable(spark, sf_dir):
     assert 0.05 * len(a) < holdout < 0.4 * len(a)
     with __import__("pytest").raises(ValueError):
         sampling.train_holdout_split(docs, 1.5, id_col="doc_id")
+
+
+def test_token_budget_mix(spark, sf_dir):
+    from hyperdx_spark.io import load_table
+    from hyperdx_spark.pipeline import sampling, text
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tokens", text.token_count("text")
+    )
+    a = docs.where("doc_id % 2 = 0")
+    b = docs.where("doc_id % 2 = 1")
+    total = docs.agg({"n_tokens": "sum"}).collect()[0][0]
+    budget = int(total * 0.4)
+    out = sampling.token_budget_mix(
+        {"even": a, "odd": b},
+        {"even": 3.0, "odd": 1.0},
+        budget,
+        id_col="doc_id",
+        token_count_col="n_tokens",
+    )
+    got = (
+        out.groupBy("source")
+        .agg({"n_tokens": "sum"})
+        .collect()
+    )
+    sums = {r["source"]: r["sum(n_tokens)"] for r in got}
+    # even gets ~3x odd's budget; hash sampling is approximate but the
+    # ratio should be clearly ordered and both shares non-empty
+    assert sums["even"] > sums["odd"] > 0
+    # determinism: same inputs -> identical selection
+    out2 = sampling.token_budget_mix(
+        {"even": a, "odd": b},
+        {"even": 3.0, "odd": 1.0},
+        budget,
+        id_col="doc_id",
+        token_count_col="n_tokens",
+    )
+    ids = lambda d: sorted(r["doc_id"] for r in d.select("doc_id").collect())
+    assert ids(out) == ids(out2)
+    # an oversized budget caps at max_oversample=1.0 (no row repetition)
+    all_of_it = sampling.token_budget_mix(
+        {"even": a, "odd": b},
+        {"even": 1.0, "odd": 1.0},
+        int(total * 100),
+        id_col="doc_id",
+        token_count_col="n_tokens",
+    )
+    assert all_of_it.count() == docs.count()
+    with __import__("pytest").raises(ValueError):
+        sampling.token_budget_mix({"x": a}, {"y": 1.0}, 10, id_col="doc_id", token_count_col="n_tokens")
