@@ -18,8 +18,10 @@ Layout:
     metadata     field/key/value discovery              (ref: core/metadata.ts)
     analytics/   event deltas, Drain patterns, heatmap  (ref: core/eventDeltas.ts, drain/)
     alerts       threshold evaluation + state machine   (ref: tasks/checkAlerts)
-    macros       raw-SQL time macros                    (ref: macros.ts)
-    pipeline/    large-scale training-data ops (dedup, ANN, text, multimodal)
+    macros       raw-SQL time macros + named query params (ref: macros.ts, rawSqlParams.ts)
+    filters      dashboard FilterState -> predicates    (ref: filters.ts)
+    promql       native PromQL evaluator                (ref: routers/api/prometheus.ts)
+    pipeline/    large-scale training-data ops (dedup, ANN, text, multimodal, sampling)
 """
 
 from hyperdx_spark.session import get_spark, tune_session

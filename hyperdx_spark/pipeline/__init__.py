@@ -3,7 +3,8 @@
 Beyond the reference's own query surface: deduplication (exact / MinHash-LSH /
 SimHash / n-gram Jaccard / embedding cosine), similarity search (brute-force
 and LSH/IVF-bucketed ANN), text analysis (language-ID, quality scoring, token
-counting, fingerprinting) and multimodal column plumbing. All operators are
+counting, fingerprinting), deterministic sampling / train-mix curation, and
+multimodal column plumbing. All operators are
 DataFrame-native and designed for 100 TB inputs (inverted-index joins instead
 of pairwise cross joins, banding instead of all-pairs, broadcast for small
 sides).
