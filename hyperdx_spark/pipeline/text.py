@@ -139,3 +139,91 @@ def analyze(
         .withColumn("fp", fingerprint(text_col))
         .drop("__toks", "__n_chars", "__sw_hits")
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher-style quality rules; Rae et al. 2021, table A1)
+# ---------------------------------------------------------------------------
+
+
+def duplicate_line_fraction(col: Column | str) -> Column:
+    """Fraction of a document's non-empty lines that are duplicates of an
+    earlier line (row-local array math — no shuffle)."""
+    c = F.col(col) if isinstance(col, str) else col
+    lines = F.filter(F.split(c, "\n"), lambda l: F.trim(l) != "")
+    n = F.size(lines)
+    return F.when(
+        n > 0,
+        (n - F.size(F.array_distinct(lines))).cast("double") / n,
+    ).otherwise(F.lit(0.0))
+
+
+def repetition_stats(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 2,
+) -> DataFrame:
+    """Per-document repetition metrics: duplicate-line fraction plus the
+    character fraction covered by the single most frequent word n-gram
+    (the Gopher "top n-gram char fraction" rule — high values flag
+    boilerplate/spam).
+
+    Shape: one explode + one (doc, gram) aggregate + one doc aggregate —
+    two shuffles keyed by doc id, posting lists bounded per document, so
+    the plan is the same at 5k docs and at 100 TB.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("__text"),
+        F.length(text_col).alias("__chars"),
+        duplicate_line_fraction(text_col).alias("dup_line_frac"),
+    )
+    toks = base.withColumn("__toks", tokens("__text"))
+    grams = toks.select(
+        "id",
+        "__chars",
+        "dup_line_frac",
+        F.explode(
+            F.when(
+                F.size("__toks") >= ngram,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__toks") - ngram),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("__toks"), i + 1, ngram)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+    counts = grams.groupBy("id", "__chars", "dup_line_frac", "gram").agg(
+        F.count("*").alias("__n")
+    )
+    top = counts.groupBy("id", "__chars", "dup_line_frac").agg(
+        F.max_by(F.struct(F.col("__n"), F.col("gram")), F.struct(F.col("__n"), F.col("gram"))).alias("__top")
+    )
+    frac = F.when(
+        F.col("__chars") > 0,
+        (F.col("__top.__n") * F.length("__top.gram")).cast("double")
+        / F.col("__chars"),
+    ).otherwise(F.lit(0.0))
+    out = top.select(
+        F.col("id").alias(id_col),
+        "dup_line_frac",
+        F.col("__top.gram").alias("top_ngram"),
+        F.col("__top.__n").alias("top_ngram_count"),
+        F.least(frac, F.lit(1.0)).alias("top_ngram_char_frac"),
+    )
+    # documents with fewer than `ngram` tokens have no grams at all — they
+    # drop out of the aggregate; re-attach them with zero metrics
+    missing = base.join(
+        out.select(F.col(id_col).alias("id")), on="id", how="left_anti"
+    ).select(
+        F.col("id").alias(id_col),
+        "dup_line_frac",
+        F.lit(None).cast("string").alias("top_ngram"),
+        F.lit(0).cast("long").alias("top_ngram_count"),
+        F.lit(0.0).alias("top_ngram_char_frac"),
+    )
+    return out.unionByName(missing)

@@ -444,3 +444,60 @@ def test_token_budget_mix(spark, sf_dir):
     assert all_of_it.count() == docs.count()
     with __import__("pytest").raises(ValueError):
         sampling.token_budget_mix({"x": a}, {"y": 1.0}, 10, id_col="doc_id", token_count_col="n_tokens")
+
+
+# -------------------- repetition signals (Gopher rules, pipeline/text.py)
+
+def test_repetition_stats_vs_python_reference(spark, sf_dir):
+    import re
+    from collections import Counter
+
+    from hyperdx_spark.io import load_table
+    from hyperdx_spark.pipeline import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        r["doc_id"]: (
+            r["dup_line_frac"],
+            r["top_ngram"],
+            r["top_ngram_count"],
+            r["top_ngram_char_frac"],
+        )
+        for r in T.repetition_stats(docs, ngram=2).collect()
+    }
+    rows = docs.select("doc_id", "text").collect()
+    assert len(got) == len(rows)
+    for r in rows:
+        txt = r["text"]
+        lines = [l for l in txt.split("\n") if l.strip()]
+        dup = (len(lines) - len(set(lines))) / len(lines) if lines else 0.0
+        toks = [t for t in re.split(r"[^a-zA-Z0-9]+", txt.lower()) if t]
+        grams = [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+        gd, gg, gc, gf = got[r["doc_id"]]
+        assert abs(gd - dup) < 1e-12
+        if not grams:
+            assert gg is None and gc == 0 and gf == 0.0
+            continue
+        cnt = Counter(grams)
+        top_gram, top_n = max(cnt.items(), key=lambda kv: (kv[1], kv[0]))
+        frac = min(top_n * len(top_gram) / len(txt), 1.0) if txt else 0.0
+        assert (gg, gc) == (top_gram, top_n)
+        assert abs(gf - frac) < 1e-12
+
+
+def test_duplicate_line_fraction_crafted(spark):
+    from hyperdx_spark.pipeline import text as T
+
+    df = spark.createDataFrame(
+        [
+            (1, "a\nb\na\n\n  \nc"),   # 4 non-blank lines, 1 dup -> 0.25
+            (2, "x\nx\nx"),             # 3 lines, 2 dups -> 2/3
+            (3, ""),                     # no lines -> 0
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["f"] for r in df.select(
+        "doc_id", T.duplicate_line_fraction("text").alias("f")).collect()}
+    assert out[1] == 0.25
+    assert abs(out[2] - 2 / 3) < 1e-12
+    assert out[3] == 0.0
