@@ -183,3 +183,57 @@ def test_ivf_persisted_index_matches_brute(spark, sf_dir, tmp_path):
     part = similarity.query_ivf_index(spark, path, qs, k=5, nprobe=2)
     plan = part._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cent_id" in plan
+
+
+def test_pq_exact_when_refine_covers_corpus(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from hyperdx_spark.io import load_table
+    from hyperdx_spark.pipeline import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 3)
+    brute = sorted(
+        tuple(r)
+        for r in similarity.cosine_topk(emb, qs, k=5)
+        .select("query_id", "match_id", "rank")
+        .collect()
+    )
+    # refine >= |corpus| -> stage-2 re-ranks every row by exact cosine, so
+    # PQ quantization error cannot change the output: identical to brute
+    pq = sorted(
+        tuple(r)
+        for r in similarity.cosine_topk_pq(
+            emb, qs, k=5, m=8, codes=8, refine=10**6
+        )
+        .select("query_id", "match_id", "rank")
+        .collect()
+    )
+    assert pq == brute
+
+
+def test_pq_recall_with_small_refine(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from hyperdx_spark.io import load_table
+    from hyperdx_spark.pipeline import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 3)
+    brute = {
+        (r["query_id"], r["match_id"])
+        for r in similarity.cosine_topk(emb, qs, k=5).collect()
+    }
+    pq = {
+        (r["query_id"], r["match_id"])
+        for r in similarity.cosine_topk_pq(
+            emb, qs, k=5, m=8, codes=16, refine=50
+        ).collect()
+    }
+    recall = len(pq & brute) / len(brute)
+    assert recall >= 0.6, recall
+    # codes are attached deterministically
+    books = similarity.pq_codebooks(emb, m=8, codes=16)
+    enc1 = similarity.pq_encode(emb, books).select("vec_id", "pq_code").collect()
+    enc2 = similarity.pq_encode(emb, books).select("vec_id", "pq_code").collect()
+    assert sorted(map(tuple, enc1)) == sorted(map(tuple, enc2))
