@@ -227,3 +227,40 @@ def repetition_stats(
         F.lit(0.0).alias("top_ngram_char_frac"),
     )
     return out.unionByName(missing)
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (standard pretraining preprocessing)
+# ---------------------------------------------------------------------------
+
+# conservative, high-precision patterns (Java regex; no lookaround so the
+# same patterns run under RE2-style engines too). Insertion order IS the
+# application order: the most specific shapes first — card before phone, or
+# the phone pattern would eat a 16-digit card number's prefix
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "card": r"\b(?:\d[ -]?){13,16}\b",
+    "phone": r"\+?\d[\d .-]{7,14}\d",
+}
+
+
+def redact_pii(
+    col: Column | str, *, kinds: list[str] | None = None
+) -> Column:
+    """Replace matches of each PII pattern with ``<KIND>`` tokens —
+    row-local ``regexp_replace`` chain, JVM-side, zero shuffles. Patterns
+    apply in PII_PATTERNS insertion order (most specific first)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for kind in kinds or list(PII_PATTERNS):
+        c = F.regexp_replace(c, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return c
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """Per-kind match counts (audit metric for redaction runs)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        kind: F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
+        for kind, pat in PII_PATTERNS.items()
+    }

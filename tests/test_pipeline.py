@@ -501,3 +501,32 @@ def test_duplicate_line_fraction_crafted(spark):
     assert out[1] == 0.25
     assert abs(out[2] - 2 / 3) < 1e-12
     assert out[3] == 0.0
+
+
+def test_redact_pii_vs_python_reference(spark, sf_dir):
+    import re as _re
+
+    from hyperdx_spark.pipeline import text as T
+
+    crafted = [
+        (1, "mail me at jane.doe+x@corp.example.org or call +1 555-123-4567."),
+        (2, "server 192.168.0.17 responded; card 4111 1111 1111 1111 declined"),
+        (3, "no pii here, just text with numbers 42 and 3.5"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(crafted, "doc_id long, text string")
+    out = {r["doc_id"]: r["red"] for r in df.select(
+        "doc_id", T.redact_pii("text").alias("red")).collect()}
+    for doc_id, txt in crafted:
+        want = txt
+        for kind, pat in T.PII_PATTERNS.items():
+            want = _re.sub(pat, f"<{kind.upper()}>", want)
+        assert out[doc_id] == want, (doc_id, out[doc_id], want)
+    assert "<EMAIL>" in out[1] and "<PHONE>" in out[1]
+    assert "<IPV4>" in out[2] and "<CARD>" in out[2]
+    assert out[3] == crafted[2][1]
+    counts = df.select(
+        "doc_id", *[v.alias(k) for k, v in T.pii_counts("text").items()]
+    ).collect()
+    got = {r["doc_id"]: (r["email"], r["ipv4"]) for r in counts}
+    assert got[1] == (1, 0) and got[2] == (0, 1) and got[3] == (0, 0)
