@@ -264,3 +264,23 @@ def pii_counts(col: Column | str) -> dict[str, Column]:
         kind: F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
         for kind, pat in PII_PATTERNS.items()
     }
+
+
+def char_entropy(col: Column | str) -> Column:
+    """Shannon entropy (bits/char) of the document's character distribution
+    — a cheap perplexity proxy: very low entropy flags repetitive junk,
+    very high flags random/binary content. Row-local array math over the
+    distinct characters of the (lower-cased) text; no shuffle."""
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    chars = F.split(c, "")
+    n = F.size(chars).cast("double")
+    distinct = F.array_distinct(chars)
+    # p log2 p summed over the distinct characters; count via filter-size
+    def contrib(ch: Column) -> Column:
+        p = F.size(F.filter(chars, lambda x: x == ch)).cast("double") / n
+        return -p * F.log2(p)
+
+    ent = F.aggregate(
+        distinct, F.lit(0.0), lambda acc, ch: acc + contrib(ch)
+    )
+    return F.when(n > 0, ent).otherwise(F.lit(0.0))

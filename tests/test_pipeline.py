@@ -530,3 +530,31 @@ def test_redact_pii_vs_python_reference(spark, sf_dir):
     ).collect()
     got = {r["doc_id"]: (r["email"], r["ipv4"]) for r in counts}
     assert got[1] == (1, 0) and got[2] == (0, 1) and got[3] == (0, 0)
+
+
+def test_char_entropy_vs_python_reference(spark, sf_dir):
+    import math
+    from collections import Counter
+
+    from hyperdx_spark.io import load_table
+    from hyperdx_spark.pipeline import text as T
+
+    crafted = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["e"] for r in crafted.select(
+        "doc_id", T.char_entropy("text").alias("e")).collect()}
+    assert out[1] == 0.0            # single symbol
+    assert abs(out[2] - 1.0) < 1e-12  # two symbols, uniform
+    assert abs(out[3] - 2.0) < 1e-12  # four symbols, uniform
+    assert out[4] == 0.0
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    got = {r["doc_id"]: r["e"] for r in docs.select(
+        "doc_id", T.char_entropy("text").alias("e")).collect()}
+    for r in docs.select("doc_id", "text").collect():
+        cnt = Counter(r["text"].lower())
+        n = sum(cnt.values())
+        want = -sum(v / n * math.log2(v / n) for v in cnt.values()) if n else 0.0
+        assert abs(got[r["doc_id"]] - want) < 1e-9
