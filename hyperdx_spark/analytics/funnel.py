@@ -103,15 +103,18 @@ def retention_cohorts(
     """Retention triangle: (cohort, offset, n_active) where cohort is the
     key's first active period and offset counts periods since it.
 
-    One aggregation finds each key's cohort; a broadcast-joined second pass
-    buckets activity — both plain groupBys, no window functions over the
-    raw event table.
+    Each key's cohort is computed in the same pass as its activity via
+    ``min() OVER (PARTITION BY key)`` — a single shuffle keyed by ``key_col``.
+    (A broadcast of the per-key firsts table would OOM executors at 10^8+
+    distinct keys, so no broadcast hint here; the per-key frame scales with
+    the key cardinality, not the data size.)
     """
+    from pyspark.sql import Window
+
     pt = F.date_trunc(period, F.col(ts_col))
-    firsts = df.groupBy(key_col).agg(F.min(pt).alias("__cohort"))
     per = {"week": 7 * 86400, "day": 86400, "month": None}[period]
-    joined = df.select(key_col, pt.alias("__p")).join(
-        F.broadcast(firsts), on=key_col
+    joined = df.select(key_col, pt.alias("__p")).withColumn(
+        "__cohort", F.min("__p").over(Window.partitionBy(key_col))
     )
     if period == "month":
         offset = (F.month("__p") - F.month("__cohort")) + 12 * (
