@@ -1703,14 +1703,17 @@ SELECT id_a, id_b, round(cos, 4) AS cos FROM scored WHERE cos >= 0.5
 # --------------------------------------------------------------------------
 
 def q_multimodal_features(spark, sf_dir):
-    """REAL decode: documents rendered into actual PNG/WAV/Y4M payloads,
+    """REAL decode: documents rendered into actual PNG/JPEG/WAV/Y4M payloads,
     decoded by the pure-stdlib codecs (pipeline/codecs.py) and
     feature-extracted via Arrow-batched mapInPandas — no stub in this path.
 
-    SELF-CHECKING: the media generator's parameters are known functions of
-    octet_length(text) (media_from_documents), so the decoded dims / sample
-    counts / frame counts are asserted against their closed forms — a codec
-    regression makes this entry raise instead of silently passing rows-only."""
+    ORACLE-CHECKED: the media generator's parameters are pure functions of
+    the document's UTF-8 byte length (media_from_documents), so the decoded
+    dims / frame counts / sample rates project onto closed forms DuckDB can
+    compute from `documents` directly (O_MULTIMODAL_FEATURES). The returned
+    frame keeps only those deterministic integer/string columns; the float
+    feature slots (mean luma, rms, ...) stay in the internal self-check
+    below, which still raises on any codec regression."""
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.media_from_documents(docs)
     out = multimodal.decode_media(media, fake=False)
@@ -1739,13 +1742,38 @@ def q_multimodal_features(spark, sf_dir):
     bad = chk.where(~F.col("__ok")).limit(1).collect()
     if bad:
         raise RuntimeError(f"multimodal decode self-check failed: {bad[0]}")
-    # Serialize array/binary columns: the driver canonicalizes the result via
-    # pandas sort_values, which dies on unhashable ndarray cells.
-    for f in out.schema.fields:
-        dt = f.dataType.simpleString()
-        if dt.startswith("array") or dt == "binary":
-            out = out.withColumn(f.name, F.to_json(F.col(f.name)) if dt.startswith("array") else F.hex(F.col(f.name)))
-    return out
+    # Deterministic projection for the DuckDB oracle: every column is an
+    # exact small integer (safe in float32 feature slots) or a string.
+    return out.selectExpr(
+        "media_id",
+        "kind",
+        "width",
+        "height",
+        "CASE kind WHEN 'video' THEN CAST(features[0] AS INT) ELSE 0 END AS frames",
+        "CASE kind WHEN 'video' THEN CAST(features[1] AS INT) ELSE 0 END AS fps",
+        "CASE kind WHEN 'audio' THEN CAST(features[4] AS INT) ELSE 0 END AS rate",
+        # duration from the decoded ints (n samples / rate), not the float32
+        # duration slot — exact integer microseconds both sides
+        "CASE kind WHEN 'audio' THEN CAST(width AS BIGINT) * 1000000 DIV height ELSE CAST(0 AS BIGINT) END AS duration_us",
+        "CASE kind WHEN 'image' THEN CAST(features[6] AS INT) ELSE 0 END AS grayscale",
+    )
+
+
+O_MULTIMODAL_FEATURES = """
+WITH d AS (SELECT doc_id, strlen(text) AS L
+           FROM documents)
+SELECT doc_id AS media_id,
+  CASE doc_id % 4 WHEN 1 THEN 'audio' WHEN 2 THEN 'video' ELSE 'image' END AS kind,
+  CAST(CASE doc_id % 4 WHEN 1 THEN L WHEN 2 THEN 16 ELSE 32 END AS INT) AS width,
+  CAST(CASE doc_id % 4 WHEN 1 THEN 8000 WHEN 2 THEN 16
+       ELSE greatest((L + 31) // 32, 2) END AS INT) AS height,
+  CAST(CASE doc_id % 4 WHEN 2 THEN least(greatest(L // 256, 1), 4) ELSE 0 END AS INT) AS frames,
+  CAST(CASE doc_id % 4 WHEN 2 THEN 5 ELSE 0 END AS INT) AS fps,
+  CAST(CASE doc_id % 4 WHEN 1 THEN 8000 ELSE 0 END AS INT) AS rate,
+  CAST(CASE doc_id % 4 WHEN 1 THEN L * 1000000 // 8000 ELSE 0 END AS BIGINT) AS duration_us,
+  CAST(CASE doc_id % 4 WHEN 1 THEN 0 WHEN 2 THEN 0 ELSE 1 END AS INT) AS grayscale
+FROM d
+"""
 
 
 # --------------------------------------------------------------------------
@@ -3229,6 +3257,7 @@ def oracle_sql() -> dict[str, str]:
         "q_neardup_pairs": O_NEARDUP_PAIRS,
         "q_service_map": O_SERVICE_MAP,
         "q_ann_indexed": O_ANN_INDEXED,
-        # q_multimodal_features: decode is not SQL-expressible (rows-only;
-        # the entry self-checks features against the generator parameters)
+        # decode itself is not SQL-expressible, but the entry's projection is
+        # a closed form of the document byte length — full hash check:
+        "q_multimodal_features": O_MULTIMODAL_FEATURES,
     }
