@@ -102,6 +102,28 @@ def _binop_expr(op: str, a, b) -> Column:
         return F.atan2(a, b)
     raise ValueError(f"unknown binary operator {op!r}")
 
+
+def _guard_unique(
+    side: DataFrame, match_keys: list, value_col: str, msg: str
+) -> DataFrame:
+    """Lazy uniqueness guard: ride a `count over (partition by match_keys)`
+    window on the operand and `raise_error` on the value column when a match
+    group has >1 series. The semantically-required many-to-many check
+    (Prometheus errors on duplicate series per match group) thus executes
+    inside the main join plan — no eager `.take(1)` driver jobs per binop,
+    which previously cost 1-2 full passes over the samples table per vector
+    operator before the real query even ran. The window shuffle is keyed
+    identically to the downstream join, so the rows are co-partitioned.
+
+    The error surfaces at action time as a SparkRuntimeException whose
+    message carries the Prometheus-style many-to-many text."""
+    cnt = F.count(F.lit(1)).over(Window.partitionBy(*match_keys))
+    guarded = F.when(
+        cnt > 1, F.raise_error(F.lit(msg)).cast("double")
+    ).otherwise(F.col(value_col))
+    return side.withColumn(value_col, guarded)
+
+
 _RANGE_FNS = {
     "rate",
     "increase",
@@ -1397,29 +1419,29 @@ class PromQLEngine:
             many, one, one_is_left = rv, lv, True
         else:
             many, one, one_is_left = lv, rv, False
-        one2 = one.select(*match_keys, F.col("value").alias("__ov"))
-        dup = one2.groupBy(*match_keys).count().where(F.col("count") > 1).limit(1)
-        if dup.take(1):
-            side = "left" if one_is_left else "right"
-            hint = (
-                ""
-                if node.group
-                else "; use group_left/group_right for many-to-one matching"
-            )
-            raise ValueError(
-                f"comparison matching is many-to-many: duplicate series on the "
-                f"{side} side for match group {keys}{hint}"
-            )
+        side = "left" if one_is_left else "right"
+        hint = (
+            ""
+            if node.group
+            else "; use group_left/group_right for many-to-one matching"
+        )
+        one2 = _guard_unique(
+            one.select(*match_keys, F.col("value").alias("__ov")),
+            match_keys,
+            "__ov",
+            f"comparison matching is many-to-many: duplicate series on the "
+            f"{side} side for match group {keys}{hint}",
+        )
         if node.group is None:
             # one-to-one: the many side must be unique too
-            lv2 = many.select(*match_keys, "value")
-            dup = lv2.groupBy(*match_keys).count().where(F.col("count") > 1).limit(1)
-            if dup.take(1):
-                raise ValueError(
-                    f"comparison matching is many-to-many: duplicate series on "
-                    f"the left side for match group {keys}; use "
-                    "group_left/group_right for many-to-one matching"
-                )
+            many = _guard_unique(
+                many,
+                match_keys,
+                "value",
+                f"comparison matching is many-to-many: duplicate series on "
+                f"the left side for match group {keys}; use "
+                "group_left/group_right for many-to-one matching",
+            )
         j = many.join(one2, on=match_keys, how="inner")
         a = F.col("__ov") if one_is_left else F.col("value")
         b = F.col("value") if one_is_left else F.col("__ov")
@@ -1464,24 +1486,27 @@ class PromQLEngine:
             keys = sorted((set(lv_labels) & set(rv_labels)) - ign)
         match_keys = ["__step"] + keys
 
-        def _assert_unique(side: DataFrame, name: str) -> None:
-            dup = side.groupBy(*match_keys).count().where(F.col("count") > 1).limit(1)
-            if dup.take(1):
-                raise ValueError(
-                    f"vector matching is many-to-many: duplicate series in the "
-                    f"{name} side for match group {keys}; use "
-                    "group_left/group_right for many-to-one matching or "
-                    "aggregate each side first"
-                )
+        def _dup_msg(name: str) -> str:
+            return (
+                f"vector matching is many-to-many: duplicate series in the "
+                f"{name} side for match group {keys}; use "
+                "group_left/group_right for many-to-one matching or "
+                "aggregate each side first"
+            )
 
         a, b = F.col("value"), F.col("__rv")
         op_expr = _binop_expr(node.op, a, b)
 
         if node.group is None:
-            lv2 = lv.select(*match_keys, "value")
-            rv2 = rv.select(*match_keys, F.col("value").alias("__rv"))
-            _assert_unique(lv2, "left")
-            _assert_unique(rv2, "right")
+            lv2 = _guard_unique(
+                lv.select(*match_keys, "value"), match_keys, "value", _dup_msg("left")
+            )
+            rv2 = _guard_unique(
+                rv.select(*match_keys, F.col("value").alias("__rv")),
+                match_keys,
+                "__rv",
+                _dup_msg("right"),
+            )
             j = lv2.join(rv2, on=match_keys, how="inner")
             return j.select(*match_keys, op_expr.alias("value"))
 
@@ -1491,8 +1516,12 @@ class PromQLEngine:
         one_cols = [*match_keys, F.col("value").alias("__one_v")] + [
             F.col(g).alias(f"__x_{g}") for g in extras
         ]
-        one2 = one.select(*one_cols)
-        _assert_unique(one2, "one (group_" + node.group + ")")
+        one2 = _guard_unique(
+            one.select(*one_cols),
+            match_keys,
+            "__one_v",
+            _dup_msg("one (group_" + node.group + ")"),
+        )
         many_labels = lv_labels if node.group == "left" else rv_labels
         many2 = many.select(*match_keys, *[c for c in many_labels if c not in keys], "value")
         j = many2.join(one2, on=match_keys, how="inner")
@@ -1674,7 +1703,11 @@ class PromQLEngine:
             if node.without is not None:
                 keep = [c for c in label_cols if c not in set(node.without)]
             else:
-                keep = node.by if node.by is not None else []
+                # a grouping label absent from the operand matches as the
+                # empty/missing label (Prometheus drops it), same as TopK
+                keep = [
+                    c for c in (node.by or []) if c in inner.columns
+                ]
             if node.op == "count_values":
                 lbl = str(node.param)
                 # canonical value string: integral -> no fraction part

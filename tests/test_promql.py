@@ -260,7 +260,7 @@ def test_vector_vector_many_to_many_raises(spark):
         ),
         label_cols=["job", "extra"],
     )
-    with pytest.raises(ValueError, match="many-to-many"):
+    with pytest.raises(Exception, match="many-to-many"):
         eng.query_range(
             spark, "sum by (extra) (a_total) / sum by (job) (b_total)",
             datetime(2024, 1, 1), datetime(2024, 1, 1), 60,
@@ -333,7 +333,7 @@ def test_group_left_requires_unique_one_side(spark):
     eng = PromQLEngine(_match_samples(spark), label_cols=["job", "code"])
     t = datetime(2024, 1, 1, 0, 10)
     # the "one" side (right of group_left) has two code-series for job=a
-    with pytest.raises(ValueError, match="many-to-many"):
+    with pytest.raises(Exception, match="many-to-many"):
         eng.query_range(
             spark,
             "sum by (job, code) (increase(errs[10m])) / on(job) group_left "
@@ -895,3 +895,37 @@ def test_sort_by_label(spark, fn_engine):
     assert [r["job"] for r in out] == ["b", "a"]
     with pytest.raises(ValueError):
         parse("sort_by_label(c)")  # needs at least one label
+
+
+def test_vector_binop_plan_build_runs_no_jobs(spark):
+    """The many-to-many uniqueness check must ride the join plan (window +
+    raise_error), not eager .take(1) probes: building the binop DataFrame
+    may launch ZERO Spark jobs."""
+    eng = PromQLEngine(_match_samples(spark), label_cols=["job", "code"])
+    t = datetime(2024, 1, 1, 0, 10)
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None))
+    df = eng.query_range(
+        spark,
+        "sum by (job) (increase(errs[10m])) / sum by (job) (increase(total[10m]))",
+        t, t, 60,
+    )
+    cmp_df = eng.query_range(
+        spark,
+        "sum by (job) (increase(errs[10m])) > sum by (job) (increase(total[10m]))",
+        t, t, 60,
+    )
+    after = len(tracker.getJobIdsForGroup(None))
+    assert after == before, "plan construction launched eager Spark jobs"
+    assert df.collect() is not None and cmp_df.collect() is not None
+
+
+def test_agg_by_absent_label_matches_topk(spark):
+    """`sum by (nope)` over a vector without that label aggregates everything
+    into one group (absent label == empty label), instead of raising."""
+    eng = PromQLEngine(_match_samples(spark), label_cols=["job", "code"])
+    t = datetime(2024, 1, 1, 0, 10)
+    out = eng.query_range(
+        spark, "sum by (nonexistent_label) (increase(errs[10m]))", t, t, 60
+    ).collect()
+    assert len(out) == 1
