@@ -240,18 +240,53 @@ def _centroids(
 
 
 def _assign(df: DataFrame, cents: DataFrame, vec: str, n: int) -> DataFrame:
-    """Attach the top-n centroid ids by cosine to every row (centroids
-    broadcast — the quantizer is tiny by construction)."""
-    scored = df.crossJoin(F.broadcast(cents)).withColumn(
-        "__ccos", cosine(F.col(vec), F.col("cvec"))
+    """Attach the top-n centroid ids by cosine to every row, entirely
+    row-local: the quantizer (tiny by construction) is collected once
+    (bounded: nlist rows) and rides a broadcast one-row frame, and the
+    per-row top-n is an ``array_sort`` + ``slice`` over nlist scored
+    structs — NO shuffle. The previous shape (crossJoin + row_number over
+    ``partitionBy(*df.columns)``) shuffled nlist×-amplified rows keyed by
+    the full embedding vector, which at corpus scale is the dominant cost
+    of the index build."""
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    spark = df.sparkSession
+    rows = cents.collect()  # nlist rows — the coarse quantizer is small
+    inner = StructType(
+        [
+            StructField("id", cents.schema["cent_id"].dataType),
+            StructField("cvec", ArrayType(DoubleType())),
+        ]
     )
-    w = Window.partitionBy(*[c for c in df.columns]).orderBy(
-        F.desc("__ccos"), F.asc("cent_id")
+    data = [([(r["cent_id"], [float(x) for x in r["cvec"]]) for r in rows],)]
+    cbdf = F.broadcast(
+        spark.createDataFrame(
+            data, StructType([StructField("__cents", ArrayType(inner))])
+        )
+    )
+    scored = F.transform(
+        F.col("__cents"),
+        lambda c: F.struct(
+            cosine(F.col(vec), c["cvec"]).alias("c"), c["id"].alias("id")
+        ),
+    )
+    by_cos_desc_id_asc = F.array_sort(
+        scored,
+        lambda x, y: (
+            F.when(x["c"] > y["c"], -1)
+            .when(x["c"] < y["c"], 1)
+            .when(x["id"] < y["id"], -1)
+            .when(x["id"] > y["id"], 1)
+            .otherwise(0)
+        ),
     )
     return (
-        scored.withColumn("__crk", F.row_number().over(w))
-        .where(F.col("__crk") <= n)
-        .drop("cvec", "__ccos", "__crk")
+        df.crossJoin(cbdf)
+        .withColumn("__top", F.slice(by_cos_desc_id_asc, 1, n))
+        .drop("__cents")
+        .withColumn("__s", F.explode("__top"))
+        .withColumn("cent_id", F.col("__s")["id"])
+        .drop("__top", "__s")
     )
 
 
