@@ -49,7 +49,14 @@ some):
 * ``sort``/``sort_desc`` and ``sort_by_label[_desc](v, "lbl", ...)``
   (presentation order on the result DataFrame)
 
-Not implemented: native histograms.
+* native histograms: a nullable struct sample column (schema, zero
+  count/threshold, dense pos/neg offset+counts — OTel exp-histogram
+  layout) evaluated natively: instant selectors, ``rate``/``increase``/
+  ``delta`` over a window (bucket-wise, reset-aware, schema-aligned),
+  ``sum`` aggregation (scale-normalized merge), ``histogram_quantile``
+  (linear within bucket bounds, quantile.go parity) and
+  ``histogram_count/sum/avg``. See the "native histograms" section of
+  ``PromQLEngine`` for the documented divergences.
 
 Semantics notes (documented divergences from Prometheus):
 * ``rate``/``increase`` sum reset-adjusted deltas of consecutive samples
@@ -250,6 +257,17 @@ class TopK:
 class HistogramQuantile:
     phi: float
     arg: "Expr"  # vector carrying an `le` label (cumulative bucket counts)
+    # — or, when the engine has a native-histogram column, an expression
+    # yielding a native-histogram vector (selector / rate / sum)
+
+
+@dataclass
+class HistFn:
+    """histogram_count / histogram_sum / histogram_avg over a
+    native-histogram vector."""
+
+    fn: str  # 'count' | 'sum' | 'avg'
+    arg: "Expr"
 
 
 @dataclass
@@ -589,6 +607,13 @@ class _Parser:
             arg = self.cmp()
             self.expect(")")
             return HistogramQuantile(float(kv), arg)
+        if v in ("histogram_count", "histogram_sum", "histogram_avg") and (
+            self.peek() and self.peek()[1] == "("
+        ):
+            self.expect("(")
+            arg = self.cmp()
+            self.expect(")")
+            return HistFn(v[len("histogram_"):], arg)
         if v == "absent" and self.peek() and self.peek()[1] == "(":
             self.expect("(")
             arg = self.cmp()
@@ -931,16 +956,23 @@ class PromQLEngine:
         value_col: str = "value",
         label_cols: Optional[Sequence[str]] = None,
         extrapolate: bool = False,
+        hist_col: Optional[str] = None,
     ):
         self.samples = samples
         self.name_col = name_col
         self.ts_col = ts_col
         self.value_col = value_col
+        # native histograms: a nullable struct column (schema, zero_count,
+        # zero_threshold, count, sum, pos_offset, pos_counts, neg_offset,
+        # neg_counts) — auto-detected under the conventional name
+        if hist_col is None and "histogram" in samples.columns:
+            hist_col = "histogram"
+        self.hist_col = hist_col
         if label_cols is None:
             label_cols = [
                 c
                 for c in samples.columns
-                if c not in (name_col, ts_col, value_col)
+                if c not in (name_col, ts_col, value_col, hist_col)
             ]
         self.label_cols = list(label_cols)
         # extrapolate=True switches rate/increase/delta to Prometheus's exact
@@ -1319,6 +1351,395 @@ class PromQLEngine:
             )
         )
         return g.select("__step", *rest, value.alias("value"))
+
+    # -- native histograms -------------------------------------------------
+    #
+    # Sample model: a nullable struct column (engine `hist_col`) with fields
+    #   schema int          — Prometheus native-histogram schema; bucket
+    #                         boundaries are powers of base = 2^(2^-schema)
+    #   zero_count double   — observations in [-zero_threshold, zero_threshold]
+    #   zero_threshold double
+    #   count double, sum double
+    #   pos_offset int, pos_counts array<double>  — bucket j covers
+    #                         (base^(off+j), base^(off+j+1)]
+    #   neg_offset int, neg_counts array<double>  — mirrored negative range
+    # Dense offset+counts (the OTel exp-histogram layout, same convention as
+    # metrics.exp_histogram_quantile) — Prometheus's span/delta wire encoding
+    # is a transport detail, not a query-model one.
+    #
+    # Reference parity: the reference serves native histograms via Prometheus
+    # passthrough (packages/api/src/routers/api/prometheus.ts:1-825); here
+    # selector / rate|increase|delta / sum-aggregation / histogram_quantile|
+    # count|sum|avg evaluate natively as row-local HOF plans. Documented
+    # divergences: rate/increase take last-minus-first per window (window
+    # treated as reset — last taken absolute — if any bucket/count/zero
+    # decreased) instead of Prometheus's boundary extrapolation, matching
+    # this engine's no-extrapolation float semantics; NULL where Prometheus
+    # emits NaN.
+
+    @staticmethod
+    def _h_elem(cnt: Column, off: Column, i: Column) -> Column:
+        """counts[] lookup at absolute bucket index i (0.0 outside range)."""
+        return F.when(
+            (i >= off) & (i <= off + F.size(cnt) - 1),
+            F.element_at(cnt, (i - off + 1).cast("int")),
+        ).otherwise(F.lit(0.0))
+
+    @staticmethod
+    def _h_down(cnt: Column, off: Column, shift: Column) -> tuple:
+        """Downscale dense exponential buckets by `shift` schema steps: 2^shift
+        adjacent source buckets merge into one (metrics._downscale, double
+        counts). Returns (new_off, new_counts); shift 0 passes through."""
+        div = F.pow(F.lit(2.0), shift.cast("double"))
+        noff = F.floor(off.cast("double") / div).cast("long")
+        last = off.cast("long") + F.size(cnt) - 1
+        nlast = F.floor(last.cast("double") / div).cast("long")
+        merged = F.transform(
+            F.sequence(noff, nlast),
+            lambda j: F.aggregate(
+                F.zip_with(
+                    cnt,
+                    F.sequence(off.cast("long"), off.cast("long") + F.size(cnt) - 1),
+                    lambda c, i: F.when(
+                        F.floor(i.cast("double") / div).cast("long") == j, c
+                    ).otherwise(F.lit(0.0)),
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+        )
+        empty = F.array().cast("array<double>")
+        return (
+            F.when(F.size(cnt) == 0, F.lit(0).cast("long")).otherwise(
+                F.when(shift == 0, off.cast("long")).otherwise(noff)
+            ),
+            F.when(F.size(cnt) == 0, empty).otherwise(
+                F.when(shift == 0, cnt).otherwise(merged)
+            ),
+        )
+
+    @classmethod
+    def _h_pair(cls, a_off, a_cnt, b_off, b_cnt, op) -> tuple:
+        """Element-wise op over the union index range of two dense bucket
+        arrays (both already at the same schema). Returns (off, counts)."""
+        a_ne, b_ne = F.size(a_cnt) > 0, F.size(b_cnt) > 0
+        a_last = a_off + F.size(a_cnt) - 1
+        b_last = b_off + F.size(b_cnt) - 1
+        lo = (
+            F.when(a_ne & b_ne, F.least(a_off, b_off))
+            .when(a_ne, a_off)
+            .otherwise(b_off)
+        ).cast("long")
+        hi = (
+            F.when(a_ne & b_ne, F.greatest(a_last, b_last))
+            .when(a_ne, a_last)
+            .otherwise(b_last)
+        ).cast("long")
+        cnts = F.when(~a_ne & ~b_ne, F.array().cast("array<double>")).otherwise(
+            F.transform(
+                F.sequence(lo, hi),
+                lambda i: op(cls._h_elem(a_cnt, a_off, i), cls._h_elem(b_cnt, b_off, i)),
+            )
+        )
+        return F.when(~a_ne & ~b_ne, F.lit(0).cast("long")).otherwise(lo), cnts
+
+    @staticmethod
+    def _h_struct(schema, zc, zt, cnt, sm, poff, pcnt, noff, ncnt) -> Column:
+        return F.struct(
+            schema.cast("int").alias("schema"),
+            zc.cast("double").alias("zero_count"),
+            zt.cast("double").alias("zero_threshold"),
+            cnt.cast("double").alias("count"),
+            sm.cast("double").alias("sum"),
+            poff.cast("int").alias("pos_offset"),
+            pcnt.cast("array<double>").alias("pos_counts"),
+            noff.cast("int").alias("neg_offset"),
+            ncnt.cast("array<double>").alias("neg_counts"),
+        )
+
+    def _native_hist_shape(self, node) -> bool:
+        """True when `node` is an expression this engine can evaluate in
+        histogram space: instant selector, rate/increase/delta over a
+        selector window, or sum-aggregations thereof. Classic `le`-labelled
+        queries keep the bucket path: a `_bucket` metric name, an `le`
+        matcher, or `le` in a grouping clause all force classic."""
+        if self.hist_col is None:
+            return False
+        if isinstance(node, Selector):
+            return (
+                node.window_s is None
+                and not node.name.endswith("_bucket")
+                and not any(lbl == "le" for lbl, _, _ in node.matchers)
+            )
+        if (
+            isinstance(node, RangeFn)
+            and node.fn in ("rate", "increase", "delta")
+            and isinstance(node.arg, Selector)
+        ):
+            s = node.arg
+            return not s.name.endswith("_bucket") and not any(
+                lbl == "le" for lbl, _, _ in s.matchers
+            )
+        if isinstance(node, Agg) and node.op == "sum":
+            if node.by is not None and "le" in node.by:
+                return False
+            return self._native_hist_shape(node.arg)
+        return False
+
+    def _eval_hist(self, spark, node, start, end, step_s, lookback_s) -> DataFrame:
+        """Evaluate `node` to a histogram vector: (__step, labels..., __hist)."""
+        h = F.col(self.hist_col)
+        canon = self._h_struct(
+            h["schema"], h["zero_count"], h["zero_threshold"], h["count"],
+            h["sum"], h["pos_offset"], h["pos_counts"], h["neg_offset"],
+            h["neg_counts"],
+        )
+        if isinstance(node, Selector) and node.window_s is None:
+            df = self._filter(node).where(h.isNotNull())
+            steps = self._steps(spark, start, end, step_s)
+            ts = F.col(self.ts_col)
+            eff = self._eff_step(node, start, end)
+            j = F.broadcast(steps).join(
+                df,
+                (ts > eff - F.expr(f"INTERVAL {lookback_s} SECOND")) & (ts <= eff),
+            )
+            return j.groupBy("__step", *self.label_cols).agg(
+                F.max_by(canon, ts).alias("__hist")
+            )
+        if (
+            isinstance(node, RangeFn)
+            and node.fn in ("rate", "increase", "delta")
+            and isinstance(node.arg, Selector)
+        ):
+            sel = node.arg
+            w_s = int(sel.window_s)
+            df = self._filter(sel).where(h.isNotNull())
+            steps = self._steps(spark, start, end, step_s)
+            ts = F.col(self.ts_col)
+            at = self._resolve_at(sel.at_s, start, end)
+            eff = (
+                F.timestamp_seconds(F.lit(at)) if at is not None else F.col("__step")
+            )
+            if sel.offset_s:
+                eff = eff - F.expr(f"INTERVAL {int(sel.offset_s)} SECOND")
+            j = F.broadcast(steps).join(
+                df, (ts > eff - F.expr(f"INTERVAL {w_s} SECOND")) & (ts <= eff)
+            )
+            g = (
+                j.groupBy("__step", *self.label_cols)
+                .agg(
+                    F.min_by(canon, ts).alias("__f"),
+                    F.max_by(canon, ts).alias("__l"),
+                    F.count(ts).alias("__n"),
+                )
+                .where(F.col("__n") >= 2)
+            )
+            f_, l_ = F.col("__f"), F.col("__l")
+            tgt = F.least(f_["schema"], l_["schema"]).cast("int")
+            fp_off, fp_cnt = self._h_down(
+                f_["pos_counts"], f_["pos_offset"], f_["schema"] - tgt
+            )
+            fn_off, fn_cnt = self._h_down(
+                f_["neg_counts"], f_["neg_offset"], f_["schema"] - tgt
+            )
+            lp_off, lp_cnt = self._h_down(
+                l_["pos_counts"], l_["pos_offset"], l_["schema"] - tgt
+            )
+            ln_off, ln_cnt = self._h_down(
+                l_["neg_counts"], l_["neg_offset"], l_["schema"] - tgt
+            )
+            sub = lambda a, b: a - b  # noqa: E731
+            dp_off, dp_cnt = self._h_pair(lp_off, lp_cnt, fp_off, fp_cnt, sub)
+            dn_off, dn_cnt = self._h_pair(ln_off, ln_cnt, fn_off, fn_cnt, sub)
+            if node.fn == "delta":
+                reset = F.lit(False)
+            else:
+                neg_bucket = (
+                    F.coalesce(F.array_min(dp_cnt) < 0, F.lit(False))
+                    | F.coalesce(F.array_min(dn_cnt) < 0, F.lit(False))
+                )
+                reset = (
+                    (l_["count"] < f_["count"])
+                    | (l_["zero_count"] < f_["zero_count"])
+                    | neg_bucket
+                )
+            scale = (
+                F.lit(1.0) / F.lit(float(w_s)) if node.fn == "rate" else F.lit(1.0)
+            )
+
+            def pick(delta_c, abs_c):
+                return F.when(reset, abs_c).otherwise(delta_c) * scale
+
+            arr_scale = lambda dc, ac: F.transform(  # noqa: E731
+                F.when(reset, ac).otherwise(dc), lambda x: x * scale
+            )
+            out = self._h_struct(
+                tgt,
+                pick(l_["zero_count"] - f_["zero_count"], l_["zero_count"]),
+                F.greatest(f_["zero_threshold"], l_["zero_threshold"]),
+                pick(l_["count"] - f_["count"], l_["count"]),
+                pick(l_["sum"] - f_["sum"], l_["sum"]),
+                F.when(reset, lp_off).otherwise(dp_off),
+                arr_scale(dp_cnt, lp_cnt),
+                F.when(reset, ln_off).otherwise(dn_off),
+                arr_scale(dn_cnt, ln_cnt),
+            )
+            return g.select("__step", *self.label_cols, out.alias("__hist"))
+        if isinstance(node, Agg) and node.op == "sum":
+            inner = self._eval_hist(spark, node.arg, start, end, step_s, lookback_s)
+            labels = [c for c in inner.columns if c not in ("__step", "__hist")]
+            if node.without is not None:
+                keep = [c for c in labels if c not in set(node.without)]
+            else:
+                keep = [c for c in (node.by or []) if c in inner.columns]
+            ih = F.col("__hist")
+            g = inner.groupBy("__step", *keep).agg(
+                F.collect_list("__hist").alias("__hs")
+            )
+            hs = F.col("__hs")
+            tgt = F.array_min(F.transform(hs, lambda x: x["schema"]))
+            def _ssum(field: str) -> Column:
+                # (closure, not a default arg — pyspark counts lambda params
+                # to pick the HOF arity)
+                return F.aggregate(hs, F.lit(0.0), lambda a, x: a + x[field])
+
+            scalars = {
+                name: _ssum(name) for name in ("zero_count", "count", "sum")
+            }
+            zt = F.aggregate(
+                hs, F.lit(0.0), lambda a, x: F.greatest(a, x["zero_threshold"])
+            )
+
+            def side(off_f: str, cnt_f: str) -> tuple:
+                ds = F.transform(
+                    hs,
+                    lambda x: F.struct(
+                        self._h_down(x[cnt_f], x[off_f], x["schema"] - tgt)[0].alias(
+                            "off"
+                        ),
+                        self._h_down(x[cnt_f], x[off_f], x["schema"] - tgt)[1].alias(
+                            "cnt"
+                        ),
+                    ),
+                )
+                ne = F.filter(ds, lambda x: F.size(x["cnt"]) > 0)
+                lo = F.array_min(F.transform(ne, lambda x: x["off"]))
+                hi = F.array_max(
+                    F.transform(ne, lambda x: x["off"] + F.size(x["cnt"]) - 1)
+                )
+                cnts = F.when(F.size(ne) == 0, F.array().cast("array<double>")).otherwise(
+                    F.transform(
+                        F.sequence(lo, hi),
+                        lambda i: F.aggregate(
+                            ne,
+                            F.lit(0.0),
+                            lambda a, x: a + self._h_elem(x["cnt"], x["off"], i),
+                        ),
+                    )
+                )
+                return F.coalesce(lo, F.lit(0)).cast("long"), cnts
+
+            p_off, p_cnt = side("pos_offset", "pos_counts")
+            n_off, n_cnt = side("neg_offset", "neg_counts")
+            out = self._h_struct(
+                tgt, scalars["zero_count"], zt, scalars["count"], scalars["sum"],
+                p_off, p_cnt, n_off, n_cnt,
+            )
+            return g.select("__step", *keep, out.alias("__hist"))
+        raise ValueError(
+            "native-histogram evaluation supports instant selectors, "
+            "rate/increase/delta over a selector window, and sum "
+            f"aggregations; got {type(node).__name__}"
+        )
+
+    def _native_histogram_quantile(self, phi: float, hv: DataFrame) -> DataFrame:
+        """histogram_quantile over a native-histogram vector, row-local:
+        assemble ascending buckets [reversed negatives, zero, positives],
+        cumulate, pick the first bucket reaching rank = phi*total, linear-
+        interpolate between the bucket bounds (promql/quantile.go
+        histogramQuantile; the zero bucket's lower bound collapses to 0
+        when there are no negative buckets). NULL for empty histograms."""
+        labels = [c for c in hv.columns if c not in ("__step", "__hist")]
+        h = F.col("__hist")
+        if phi < 0 or phi > 1:
+            const = float("-inf") if phi < 0 else float("inf")
+            return hv.select(
+                "__step", *labels, F.lit(const).cast("double").alias("value")
+            )
+        invs = F.pow(F.lit(2.0), -h["schema"].cast("double"))
+
+        def bound(i: Column) -> Column:
+            return F.pow(F.lit(2.0), i.cast("double") * invs)
+
+        negs = F.when(
+            F.size(h["neg_counts"]) == 0,
+            F.array().cast("array<struct<lower:double,upper:double,cnt:double>>"),
+        ).otherwise(
+            F.transform(
+                F.sequence(
+                    h["neg_offset"].cast("long") + F.size(h["neg_counts"]) - 1,
+                    h["neg_offset"].cast("long"),
+                    F.lit(-1),
+                ),
+                lambda i: F.struct(
+                    (-bound(i + 1)).alias("lower"),
+                    (-bound(i)).alias("upper"),
+                    self._h_elem(h["neg_counts"], h["neg_offset"], i).alias("cnt"),
+                ),
+            )
+        )
+        zero = F.array(
+            F.struct(
+                F.when(F.size(h["neg_counts"]) > 0, -h["zero_threshold"])
+                .otherwise(F.lit(0.0))
+                .alias("lower"),
+                h["zero_threshold"].alias("upper"),
+                h["zero_count"].alias("cnt"),
+            )
+        )
+        poss = F.when(
+            F.size(h["pos_counts"]) == 0,
+            F.array().cast("array<struct<lower:double,upper:double,cnt:double>>"),
+        ).otherwise(
+            F.transform(
+                F.sequence(
+                    h["pos_offset"].cast("long"),
+                    h["pos_offset"].cast("long") + F.size(h["pos_counts"]) - 1,
+                ),
+                lambda i: F.struct(
+                    bound(i).alias("lower"),
+                    bound(i + 1).alias("upper"),
+                    self._h_elem(h["pos_counts"], h["pos_offset"], i).alias("cnt"),
+                ),
+            )
+        )
+        staged = hv.withColumn("__b", F.concat(negs, zero, poss))
+        cnts = F.transform(F.col("__b"), lambda x: x["cnt"])
+        staged = staged.withColumn("__cnts", cnts).withColumn(
+            "__cum",
+            F.expr(
+                "transform(__cnts, (x, i) -> aggregate(slice(__cnts, 1, i + 1),"
+                " CAST(0.0 AS DOUBLE), (a, c) -> a + c))"
+            ),
+        )
+        total = F.element_at("__cum", -1)
+        rank = F.lit(phi) * total
+        sel = F.expr(
+            f"array_position(zip_with(__cum, __cnts, (c, n) -> n > 0 AND c >= {phi} *"
+            " element_at(__cum, -1)), true)"
+        )
+        staged = staged.withColumn("__i", sel)
+        cur = F.element_at("__b", F.col("__i").cast("int"))
+        cum_before = F.when(F.col("__i") <= 1, F.lit(0.0)).otherwise(
+            F.element_at("__cum", (F.col("__i") - 1).cast("int"))
+        )
+        frac = (rank - cum_before) / cur["cnt"]
+        value = (
+            F.when((total.isNull()) | (total <= 0) | (F.col("__i") <= 0), F.lit(None))
+            .otherwise(cur["lower"] + (cur["upper"] - cur["lower"]) * frac)
+            .cast("double")
+        )
+        return staged.select("__step", *labels, value.alias("value"))
 
     _REAGG = {"sum": F.sum, "min": F.min, "max": F.max}
 
@@ -1750,10 +2171,25 @@ class PromQLEngine:
             }[node.op]
             return inner.groupBy("__step", *keep).agg(op("value").alias("value"))
         if isinstance(node, HistogramQuantile):
+            if self._native_hist_shape(node.arg):
+                hv = self._eval_hist(spark, node.arg, start, end, step_s, lookback_s)
+                return self._native_histogram_quantile(node.phi, hv)
             inner = self._eval(spark, node.arg, start, end, step_s, lookback_s)
             if "le" not in inner.columns:
                 raise ValueError("histogram_quantile needs an `le` label on its argument")
             return self._histogram_quantile(node.phi, inner)
+        if isinstance(node, HistFn):
+            hv = self._eval_hist(spark, node.arg, start, end, step_s, lookback_s)
+            labels = [c for c in hv.columns if c not in ("__step", "__hist")]
+            hh = F.col("__hist")
+            val = {
+                "count": hh["count"],
+                "sum": hh["sum"],
+                "avg": F.when(hh["count"] > 0, hh["sum"] / hh["count"]),
+            }[node.fn]
+            return hv.select(
+                "__step", *labels, val.cast("double").alias("value")
+            )
         if isinstance(node, Absent):
             inner = self._eval(spark, node.arg, start, end, step_s, lookback_s)
             steps = self._steps(spark, start, end, step_s)

@@ -1,0 +1,210 @@
+"""Native histograms: selector / rate / sum-merge / histogram_quantile|
+count|sum|avg over a struct sample column, with hand-computable fixtures.
+
+Bucket convention (OTel layout, engine docstring): at schema s, base =
+2^(2^-s); positive bucket j covers (base^(off+j), base^(off+j+1)].
+"""
+
+import math
+from datetime import datetime
+
+import pytest
+
+from hyperdx_spark.promql import PromQLEngine
+
+T0 = datetime(2024, 1, 1)
+
+HIST_DDL = (
+    "struct<schema:int, zero_count:double, zero_threshold:double, "
+    "count:double, sum:double, pos_offset:int, pos_counts:array<double>, "
+    "neg_offset:int, neg_counts:array<double>>"
+)
+SCHEMA_DDL = (
+    "`__name__` string, ts timestamp, value double, job string, "
+    f"histogram {HIST_DDL}"
+)
+
+
+def _h(schema, zc, cnt, sm, poff, pcnt, noff=0, ncnt=None, zt=2.0**-128):
+    return {
+        "schema": schema,
+        "zero_count": float(zc),
+        "zero_threshold": zt,
+        "count": float(cnt),
+        "sum": float(sm),
+        "pos_offset": poff,
+        "pos_counts": [float(x) for x in pcnt],
+        "neg_offset": noff,
+        "neg_counts": [float(x) for x in (ncnt or [])],
+    }
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(
+        [(n, ts, None, job, h) for (n, ts, job, h) in rows], SCHEMA_DDL
+    )
+
+
+@pytest.fixture(scope="module")
+def hist_engine(spark):
+    # latency: cumulative counter histogram at schema 0 (base 2), 1 series
+    # per job; job=a grows monotonically, job=b runs at schema 1 to test
+    # schema alignment during merges.
+    rows = []
+    for minute in range(0, 11):
+        ts = datetime(2024, 1, 1, 0, minute)
+        m = float(minute)
+        # schema 0, buckets at idx 0:(1,2], 1:(2,4]
+        rows.append(
+            ("latency", ts, "a", _h(0, m, 3 * m, 10.0 * m, 0, [m, 2 * m]))
+        )
+        # schema 1 (base sqrt(2)), buckets idx 0:(1,~1.41], 2:(2,~2.83]
+        rows.append(
+            ("latency", ts, "b", _h(1, 0, 2 * m, 8.0 * m, 0, [m, 0, m]))
+        )
+    return PromQLEngine(_mk(spark, rows))
+
+
+def test_hist_count_sum_avg_instant(spark, hist_engine):
+    t = datetime(2024, 1, 1, 0, 10)
+    for q, want in [
+        ('histogram_count(latency{job="a"})', 30.0),
+        ('histogram_sum(latency{job="a"})', 100.0),
+        ('histogram_avg(latency{job="a"})', 100.0 / 30.0),
+    ]:
+        out = hist_engine.query_range(spark, q, t, t, 60).collect()
+        assert len(out) == 1 and abs(out[0]["value"] - want) < 1e-9, q
+
+
+def test_hist_rate_count(spark, hist_engine):
+    # window (t-10m, t] excludes minute 0 (strict left edge, same as the
+    # float path): increase = minute10 - minute1 counts = 30 - 3 = 27
+    t = datetime(2024, 1, 1, 0, 10)
+    out = hist_engine.query_range(
+        spark, 'histogram_count(increase(latency{job="a"}[10m]))', t, t, 60
+    ).collect()
+    assert len(out) == 1 and abs(out[0]["value"] - 27.0) < 1e-9
+    out = hist_engine.query_range(
+        spark, 'histogram_sum(rate(latency{job="a"}[10m]))', t, t, 60
+    ).collect()
+    assert len(out) == 1 and abs(out[0]["value"] - 90.0 / 600.0) < 1e-9
+
+
+def test_hist_quantile_single_series(spark, hist_engine):
+    # job=a at minute 10: zero bucket 10, (1,2] 10, (2,4] 20 -> total 40.
+    # phi=0.5 -> rank 20, cum [10,20,40]: bucket (1,2] closes exactly at
+    # rank -> value = upper bound 2.0
+    t = datetime(2024, 1, 1, 0, 10)
+    out = hist_engine.query_range(
+        spark, 'histogram_quantile(0.5, latency{job="a"})', t, t, 60
+    ).collect()
+    assert len(out) == 1 and abs(out[0]["value"] - 2.0) < 1e-9
+    # phi=0.75 -> rank 30, lands mid (2,4]: frac=(30-20)/20=0.5 -> 3.0
+    out = hist_engine.query_range(
+        spark, 'histogram_quantile(0.75, latency{job="a"})', t, t, 60
+    ).collect()
+    assert len(out) == 1 and abs(out[0]["value"] - 3.0) < 1e-9
+
+
+def test_hist_sum_merges_schemas(spark, hist_engine):
+    # sum(latency) at minute 10 merges schema 1 (job=b) down to schema 0:
+    # b's buckets [10,0,10] at schema 1 -> idx0 (1,2]: 10+0=10, idx1 (2,4]:
+    # 10. Merged with a: zero 10, (1,2] 20, (2,4] 30 -> count 30+20=50
+    t = datetime(2024, 1, 1, 0, 10)
+    out = hist_engine.query_range(
+        spark, "histogram_count(sum(latency))", t, t, 60
+    ).collect()
+    assert len(out) == 1 and abs(out[0]["value"] - 50.0) < 1e-9
+    # quantile over the merged histogram: total 60 (zero 10 + 20 + 30),
+    # phi=0.5 -> rank 30, cum [10,30,60]: (1,2] closes at 30 -> 2.0
+    out = hist_engine.query_range(
+        spark, "histogram_quantile(0.5, sum(latency))", t, t, 60
+    ).collect()
+    assert len(out) == 1 and abs(out[0]["value"] - 2.0) < 1e-9
+
+
+def test_hist_sum_by_rate(spark, hist_engine):
+    # the canonical dashboard shape
+    t = datetime(2024, 1, 1, 0, 10)
+    out = hist_engine.query_range(
+        spark,
+        "histogram_quantile(0.75, sum by (job) (rate(latency[10m])))",
+        t, t, 60,
+    ).collect()
+    got = {r["job"]: r["value"] for r in out}
+    # job=a rate: zero 10/600, (1,2] 10/600, (2,4] 20/600 — same shape as
+    # the instant histogram, so the quantile matches the absolute one
+    assert abs(got["a"] - 3.0) < 1e-9
+
+
+def test_hist_rate_reset_takes_last(spark):
+    rows = []
+    # counter resets between minute 1 and 2 (all buckets shrink)
+    for minute, m in [(0, 5.0), (1, 8.0), (2, 2.0)]:
+        ts = datetime(2024, 1, 1, 0, minute)
+        rows.append(("lat", ts, "a", _h(0, 0, 2 * m, 3 * m, 0, [m, m])))
+    eng = PromQLEngine(_mk(spark, rows))
+    t = datetime(2024, 1, 1, 0, 2)
+    out = eng.query_range(spark, "histogram_count(increase(lat[2m]))", t, t, 60).collect()
+    # reset -> the last sample is the increase: count 4
+    assert len(out) == 1 and abs(out[0]["value"] - 4.0) < 1e-9
+
+
+def test_hist_quantile_negative_and_zero_buckets(spark):
+    # negatives: idx 0 covers (-2, -1]; zero bucket lower is -zt when
+    # negative buckets exist
+    ts = datetime(2024, 1, 1)
+    rows = [("m", ts, "a", _h(0, 4, 12, 0.0, 0, [4, 0], 0, [4]))]
+    eng = PromQLEngine(_mk(spark, rows))
+    # ascending: (-2,-1] 4, zero 4, (1,2] 4; phi=0.25 -> rank 3 in the
+    # negative bucket: -2 + (−1−(−2))*(3/4) = -1.25
+    out = eng.query_range(spark, "histogram_quantile(0.25, m)", ts, ts, 60).collect()
+    assert len(out) == 1 and abs(out[0]["value"] - (-1.25)) < 1e-9
+
+
+def test_hist_quantile_out_of_range_phi(spark, hist_engine):
+    t = datetime(2024, 1, 1, 0, 10)
+    out = hist_engine.query_range(
+        spark, 'histogram_quantile(1.5, latency{job="a"})', t, t, 60
+    ).collect()
+    assert all(r["value"] == math.inf for r in out)
+
+
+def test_classic_le_path_still_dispatches(spark):
+    # a _bucket metric keeps the classic cumulative-`le` path even when the
+    # engine has a histogram column configured
+    ts = datetime(2024, 1, 1)
+    rows = []
+    for le, v in [("1", 5.0), ("2", 10.0), ("+Inf", 10.0)]:
+        rows.append(("lat_bucket", ts, None, le, None))
+    df = spark.createDataFrame(
+        rows,
+        "`__name__` string, ts timestamp, value double, le string, "
+        f"histogram {HIST_DDL}",
+    )
+    # values live in the value column for classic series
+    from pyspark.sql import functions as F
+
+    df = df.withColumn(
+        "value",
+        F.when(F.col("le") == "1", 5.0).when(F.col("le") == "2", 10.0).otherwise(10.0),
+    )
+    eng = PromQLEngine(df)
+    out = eng.query_range(
+        spark, "histogram_quantile(0.5, lat_bucket)", ts, ts, 60
+    ).collect()
+    assert len(out) == 1 and abs(out[0]["value"] - 1.0) < 1e-9
+
+
+def test_hist_value_samples_unaffected(spark):
+    # float samples with a NULL histogram column still evaluate normally
+    rows = [("c", datetime(2024, 1, 1, 0, m), "a", None) for m in range(3)]
+    df = spark.createDataFrame(
+        [(n, ts, float(i), j, h) for i, (n, ts, j, h) in enumerate(rows)],
+        SCHEMA_DDL,
+    )
+    eng = PromQLEngine(df)
+    t = datetime(2024, 1, 1, 0, 2)
+    out = eng.query_range(spark, "increase(c[2m])", t, t, 60).collect()
+    assert len(out) == 1 and abs(out[0]["value"] - 2.0) < 1e-9
+    assert eng.label_cols == ["job"]  # histogram column is not a label
