@@ -2578,9 +2578,75 @@ def q_promql_features(spark, sf_dir):
     sd = _part("stddev", f"stddev by (event_type) ({inner})")
     qt = _part("quantile", f"quantile by (event_type) (0.5, {inner})")
     dw = _part("dow", "day_of_week()", keep_event_type=False)
+
+    # --- native histograms (promql.py _eval_hist): one gauge-histogram
+    # sample per (day, event_type) synthesized from events at schema 0
+    # (bucket idx i covers (2^i, 2^(i+1)], idx = ceil(log2(v)) - 1), stamped
+    # at day end so the daily step's instant lookback picks exactly it.
+    # Exercises selector eval, the sum-aggregation scale merge, and
+    # histogram_quantile's linear-within-bucket interpolation — all
+    # closed-form replayable from `events` by DuckDB (O_PROMQL_FEATURES).
+    evh = load_table(spark, sf_dir, "events").where(
+        (F.col("value") > 0)
+        & (F.col("ts") >= F.lit(datetime(2024, 1, 1)))
+        & (F.col("ts") < F.lit(datetime(2024, 1, 8)))
+    )
+    day = F.date_trunc("day", F.col("ts")) + F.expr("INTERVAL 1 DAY")
+    idx = (F.ceil(F.log2(F.col("value"))) - 1).cast("long")
+    per_bucket = evh.groupBy(
+        day.alias("__d"), "event_type", idx.alias("__i")
+    ).agg(F.count("*").cast("double").alias("__c"), F.sum("value").alias("__s"))
+    per_series = per_bucket.groupBy("__d", "event_type").agg(
+        F.collect_list(F.struct(F.col("__i").alias("i"), F.col("__c").alias("c"))).alias("__bs"),
+        F.sum("__c").alias("__cnt"),
+        F.sum("__s").alias("__sum"),
+    )
+    lo = F.array_min(F.transform("__bs", lambda x: x["i"]))
+    hi = F.array_max(F.transform("__bs", lambda x: x["i"]))
+    dense = F.transform(
+        F.sequence(lo, hi),
+        lambda i: F.coalesce(
+            F.element_at(F.filter("__bs", lambda x: x["i"] == i), 1)["c"],
+            F.lit(0.0),
+        ),
+    )
+    hist = F.struct(
+        F.lit(0).alias("schema"),
+        F.lit(0.0).alias("zero_count"),
+        F.lit(2.0 ** -128).alias("zero_threshold"),
+        F.col("__cnt").cast("double").alias("count"),
+        F.col("__sum").cast("double").alias("sum"),
+        lo.cast("int").alias("pos_offset"),
+        dense.alias("pos_counts"),
+        F.lit(0).alias("neg_offset"),
+        F.array().cast("array<double>").alias("neg_counts"),
+    )
+    nh_samples = per_series.select(
+        F.lit("nh").alias("__name__"),
+        F.col("__d").alias("ts"),
+        F.lit(None).cast("double").alias("value"),
+        F.col("event_type"),
+        hist.alias("histogram"),
+    )
+    nh_eng = PromQLEngine(nh_samples)
+
+    def _nh(name, q, keep_event_type):
+        out = nh_eng.query_range(spark, q, t0, datetime(2024, 1, 8), 86400)
+        return out.select(
+            F.lit(name).alias("part"),
+            F.col("__step").alias("__timestamp"),
+            (F.col("event_type") if keep_event_type else F.lit("")).alias("event_type"),
+            F.round("value", 4).alias("value"),
+        )
+
+    nhc = _nh("nh_count", "histogram_count(sum(nh))", False)
+    nhq = _nh("nh_q", "histogram_quantile(0.75, sum(nh))", False)
+    nhs = _nh("nh_sum", "histogram_sum(nh)", True)
     return hq.unionByName(off).unionByName(ab).unionByName(wo).unionByName(
         sd
-    ).unionByName(qt).unionByName(dw)
+    ).unionByName(qt).unionByName(dw).unionByName(nhc).unionByName(
+        nhq
+    ).unionByName(nhs)
 
 
 O_PROMQL_FEATURES = f"""
@@ -2610,6 +2676,31 @@ SELECT part, __timestamp, event_type, value FROM (
   GROUP BY step, event_type
   UNION ALL
   SELECT 'dow', step, '', dayofweek(step)::DOUBLE FROM steps
+)
+UNION ALL
+SELECT part, __timestamp, event_type, value FROM (
+  -- native histograms: replay the schema-0 synthesis from raw events; the
+  -- sample stamped at day end D covers events of day D-1, and the daily
+  -- instant step picks exactly that sample
+  WITH ev AS (
+    SELECT date_trunc('day', ts) + INTERVAL 1 DAY AS d, event_type,
+           value::DOUBLE AS v,
+           (ceil(log2(value::DOUBLE))::BIGINT - 1) AS idx
+    FROM events
+    WHERE value > 0 AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08')
+  SELECT 'nh_count' AS part, d AS __timestamp, '' AS event_type,
+         count(*)::DOUBLE AS value FROM ev GROUP BY d
+  UNION ALL
+  SELECT 'nh_sum', d, event_type, round(sum(v), 4) FROM ev GROUP BY d, event_type
+  UNION ALL
+  SELECT 'nh_q', d, '', round(2.0 ** idx + (2.0 ** (idx + 1) - 2.0 ** idx)
+           * (0.75 * total - cum_before) / cnt, 4) FROM (
+    SELECT d, idx, cnt,
+           sum(cnt) OVER (PARTITION BY d ORDER BY idx) - cnt AS cum_before,
+           sum(cnt) OVER (PARTITION BY d) AS total
+    FROM (SELECT d, idx, count(*)::DOUBLE AS cnt FROM ev GROUP BY d, idx))
+  WHERE cum_before + cnt >= 0.75 * total
+  QUALIFY row_number() OVER (PARTITION BY d ORDER BY idx) = 1
 )
 """
 
