@@ -1493,9 +1493,17 @@ GROUP BY 1, 2 ORDER BY total_spend DESC, c_custkey LIMIT 10
 # --------------------------------------------------------------------------
 
 def q_text_stats(spark, sf_dir):
+    """Corpus text signals per source: token/quality/language stats plus the
+    round-3 quality tier — char entropy (run-length fold), Gopher duplicate-
+    line fraction, and PII audit counts (email/ipv4 regex hits)."""
     docs = load_table(spark, sf_dir, "documents")
+    pii = text.pii_counts("text")
     out = (
         text.analyze(docs)
+        .withColumn("__ent", text.char_entropy("text"))
+        .withColumn("__dlf", text.duplicate_line_fraction("text"))
+        .withColumn("__n_email", pii["email"])
+        .withColumn("__n_ipv4", pii["ipv4"])
         .groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
@@ -1503,6 +1511,10 @@ def q_text_stats(spark, sf_dir):
             F.round(F.avg("quality"), 4).alias("avg_quality"),
             F.round(F.avg("stopword_ratio"), 4).alias("avg_sw_ratio"),
             F.count_if(F.col("lang_pred") == "en").alias("n_en"),
+            F.round(F.avg("__ent"), 4).alias("avg_entropy"),
+            F.round(F.avg("__dlf"), 4).alias("avg_dup_line"),
+            F.sum("__n_email").alias("n_email"),
+            F.sum("__n_ipv4").alias("n_ipv4"),
         )
     )
     return out
@@ -1524,13 +1536,35 @@ _QUALITY = (
     f" + (1.0 - least({_DIGIT}::DOUBLE / greatest({_N}, 1.0) * 5.0, 1.0))"
     f" + least({_SW_RATIO} * 4.0, 1.0)) / 4.0)"
 )
+# char entropy via H = log2(n) - sum_c cnt*log2(cnt) / n (the same identity
+# the Spark run-length fold uses; O(distinct x n) is fine at oracle doc sizes)
+_CHARS = "string_split_regex(lower(text), '')"
+_ENTROPY = (
+    f"(CASE WHEN length(text) > 0 THEN log2(len({_CHARS}))"
+    f" - list_sum(list_transform(list_distinct({_CHARS}),"
+    f" d -> len(list_filter({_CHARS}, c -> c = d))::DOUBLE"
+    f" * log2(len(list_filter({_CHARS}, c -> c = d))::DOUBLE)))"
+    f" / len({_CHARS}) ELSE 0.0 END)"
+)
+_LINES = "list_filter(string_split(text, chr(10)), l -> trim(l) != '')"
+_DUP_LINE = (
+    f"(CASE WHEN len({_LINES}) > 0 THEN"
+    f" (len({_LINES}) - len(list_distinct({_LINES})))::DOUBLE / len({_LINES})"
+    f" ELSE 0.0 END)"
+)
+_EMAIL_PAT = "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'"
+_IPV4_PAT = r"'\b(?:\d{1,3}\.){3}\d{1,3}\b'"
 O_TEXT_STATS = f"""
 SELECT source,
        count(*) AS n_docs,
        sum(len({_TOKS}))::BIGINT AS total_tokens,
        round(avg({_QUALITY}), 4) AS avg_quality,
        round(avg({_SW_RATIO}), 4) AS avg_sw_ratio,
-       count(*) FILTER ({_SW_RATIO} >= 0.08) AS n_en
+       count(*) FILTER ({_SW_RATIO} >= 0.08) AS n_en,
+       round(avg({_ENTROPY}), 4) AS avg_entropy,
+       round(avg({_DUP_LINE}), 4) AS avg_dup_line,
+       sum(len(regexp_extract_all(text, {_EMAIL_PAT})))::BIGINT AS n_email,
+       sum(len(regexp_extract_all(text, {_IPV4_PAT})))::BIGINT AS n_ipv4
 FROM documents GROUP BY 1
 """
 
@@ -1812,13 +1846,25 @@ ORDER BY ts, event_id LIMIT 300
 # --------------------------------------------------------------------------
 
 def q_sqlast_filters(spark, sf_dir):
+    """Filters array (sql_ast + raw sql) AND the dashboard filter-state
+    predicate path (filters.py filters_to_query/filter_state_to_predicate,
+    filters.ts:44-131 parity): the UI's include/exclude/range selections
+    compile to the same WHERE assembly as hand-written filters."""
+    from hyperdx_spark.filters import FilterSelection, filter_state_to_predicate
+
+    state_pred = filter_state_to_predicate(
+        {
+            "event_type": FilterSelection(excluded={"click"}),
+            "user_id": FilterSelection(range=(0, 10_000_000_000)),
+        }
+    )
     cfg = ChartConfig(
         source=_src(),
         select=[SelectCol(agg_fn="count", alias="cnt")],
         filters=[
             SqlAstFilter(operator=">=", left="value", right=25),
-            SqlAstFilter(operator="!=", left="event_type", right="click"),
             SqlFilter(condition="user_id % 2 = 0", type="sql"),
+            SqlFilter(condition=state_pred, type="sql"),
         ],
         granularity="1 day",
         date_range=RANGE,
@@ -1830,7 +1876,8 @@ O_SQLAST_FILTERS = f"""
 SELECT make_timestamp((floor(epoch(ts))::BIGINT // 86400) * 86400 * 1000000) AS __timestamp,
        count(*) AS cnt
 FROM events
-WHERE {TIME_WHERE} AND value >= 25 AND event_type != 'click' AND user_id % 2 = 0
+WHERE {TIME_WHERE} AND value >= 25 AND user_id % 2 = 0
+  AND event_type NOT IN ('click') AND user_id BETWEEN 0 AND 10000000000
 GROUP BY 1
 """
 
@@ -2902,17 +2949,23 @@ FROM reach GROUP BY id
 
 
 def q_ann_indexed(spark, sf_dir):
-    """ANN tiers over the same queries: brute-force (exact), LSH bands, and
-    IVF lists (nprobe=nlist -> provably exact) — all vs the exact oracle."""
+    """ANN tiers over the same queries: brute-force (exact), LSH bands, IVF
+    lists (nprobe=nlist -> provably exact), and PQ asymmetric-distance with
+    `refine` >= |corpus| so the exact-cosine re-rank provably recovers the
+    brute-force answer (the ADC candidate pass is still exercised end to
+    end: codebook build, row-local encode, broadcast distance tables) —
+    all four tiers vs the one exact oracle."""
     emb = load_table(spark, sf_dir, "embeddings")
     qs = emb.where(F.col("vec_id") < 3)
     brute = similarity.cosine_topk(emb, qs, k=5)
     lsh = similarity.cosine_topk_lsh(emb, qs, k=5, num_planes=16, bands=8)
     ivf = similarity.cosine_topk_ivf(emb, qs, k=5, nlist=8, nprobe=8)
+    pq = similarity.cosine_topk_pq(emb, qs, k=5, m=8, codes=16, refine=4096)
     out = (
         brute.select(F.lit("brute").alias("part"), "*")
         .unionByName(lsh.select(F.lit("lsh").alias("part"), "*"))
         .unionByName(ivf.select(F.lit("ivf").alias("part"), "*"))
+        .unionByName(pq.select(F.lit("pq").alias("part"), "*"))
     )
     return _round4(out)
 
@@ -2920,7 +2973,7 @@ def q_ann_indexed(spark, sf_dir):
 O_ANN_INDEXED = f"""
 SELECT p.part, t.query_id, t.match_id, t.cos, t.rank
 FROM ({O_ANN_COSINE}) t
-CROSS JOIN (VALUES ('brute'), ('lsh'), ('ivf')) p(part)
+CROSS JOIN (VALUES ('brute'), ('lsh'), ('ivf'), ('pq')) p(part)
 """
 
 
@@ -2969,8 +3022,13 @@ FROM g GROUP BY user_id, sid
 
 
 def q_dedup_all(spark, sf_dir):
-    """Dedup family, part-tagged: exact (normalized-hash groupBy) + the
-    connected-components clustering of near-dup pairs."""
+    """Dedup family + deterministic-sampling tier, part-tagged: exact dedup
+    (normalized-hash groupBy), connected-components clustering of near-dup
+    pairs, md5-keyed hash sampling (pipeline/sampling.py — the key is
+    engine-portable, so DuckDB replays membership bit-for-bit), and the
+    token-budget source mix built on it."""
+    from hyperdx_spark.pipeline import sampling
+
     exact = q_dedup_exact(spark, sf_dir).select(
         F.lit("exact").alias("part"), F.col("fp").alias("k"),
         F.col("keep_id").cast("long").alias("v1"),
@@ -2981,7 +3039,31 @@ def q_dedup_all(spark, sf_dir):
         F.col("group_id").cast("long").alias("v1"),
         F.col("is_keeper").cast("long").alias("v2"),
     )
-    return exact.unionByName(groups)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", text.token_count("text").alias("__nt")
+    )
+    samp = sampling.hash_sample(docs, 0.25, id_col="doc_id", seed=42).select(
+        F.lit("sample").alias("part"), F.col("doc_id").cast("string").alias("k"),
+        F.octet_length("text").cast("long").alias("v1"),
+        F.lit(0).cast("long").alias("v2"),
+    )
+    mix = sampling.token_budget_mix(
+        {
+            "even": docs.where(F.col("doc_id") % 2 == 0),
+            "odd": docs.where(F.col("doc_id") % 2 == 1),
+        },
+        {"even": 0.7, "odd": 0.3},
+        total_tokens=5000,
+        id_col="doc_id",
+        token_count_col="__nt",
+        seed=7,
+    ).select(
+        F.lit("mix").alias("part"),
+        F.concat_ws(":", "source", F.col("doc_id").cast("string")).alias("k"),
+        F.col("__nt").cast("long").alias("v1"),
+        F.lit(0).cast("long").alias("v2"),
+    )
+    return exact.unionByName(groups).unionByName(samp).unionByName(mix)
 
 
 def q_service_map(spark, sf_dir):
@@ -3069,6 +3151,31 @@ UNION ALL
 SELECT 'groups' AS part, id::VARCHAR AS k, group_id::BIGINT AS v1,
        is_keeper::BIGINT AS v2
 FROM ({O_DEDUP_GROUPS})
+UNION ALL
+-- md5 sampling key replay: first 60 bits of md5(id ':' seed) < frac * 16^15
+SELECT 'sample' AS part, doc_id::VARCHAR AS k, strlen(text)::BIGINT AS v1,
+       0::BIGINT AS v2
+FROM documents
+WHERE CAST(('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 15)) AS BIGINT)
+      < floor(0.25 * 16.0 ** 15)::BIGINT
+UNION ALL
+-- token-budget mix replay: per-source fraction = min(share/have, 1), same
+-- md5 threshold with seed 7
+SELECT 'mix' AS part, src || ':' || doc_id::VARCHAR AS k, nt AS v1, 0::BIGINT AS v2
+FROM (
+  WITH d AS (
+    SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 'even' ELSE 'odd' END AS src,
+           len({_TOKS})::BIGINT AS nt
+    FROM documents),
+  tot AS (SELECT src, sum(nt)::DOUBLE AS have FROM d GROUP BY 1),
+  fr AS (
+    SELECT src, least(5000.0 * (CASE src WHEN 'even' THEN 0.7 ELSE 0.3 END)
+                      / 1.0 / have, 1.0) AS frac
+    FROM tot)
+  SELECT d.src, d.doc_id, d.nt FROM d JOIN fr ON d.src = fr.src
+  WHERE CAST(('0x' || substr(md5(d.doc_id::VARCHAR || ':7'), 1, 15)) AS BIGINT)
+        < floor(fr.frac * 1152921504606846976.0)::BIGINT
+) t(src, doc_id, nt)
 """
 
 

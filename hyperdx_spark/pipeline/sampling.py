@@ -51,7 +51,9 @@ def hash_sample(
     """Deterministic Bernoulli-by-hash sample: keeps a row iff its sampling
     key falls below ``fraction`` of the key space. Row-local (no shuffle),
     stable across runs/partitionings, and composable: a 0.5 sample of a
-    0.5 sample (different seeds) is an exact 0.25 sample."""
+    0.5 sample with different seeds is a ~0.25 sample in expectation
+    (exact composition holds only when nesting thresholds under the SAME
+    seed — independent keys make the product exact only on average)."""
     if not (0.0 <= fraction <= 1.0):
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
     thr = int(fraction * _KEY_SPACE)
@@ -131,7 +133,10 @@ def token_budget_mix(
     for name, df in sources.items():
         have = df.agg(F.sum(F.col(token_count_col)).alias("t")).collect()[0]["t"] or 0
         share = total_tokens * (weights[name] / wsum)
-        frac = min(share / have if have > 0 else 0.0, float(max_oversample))
+        # clamp to 1.0 after the oversample cap: hash_sample rejects
+        # fractions > 1, and "contributes everything it has" is the
+        # documented ceiling for any max_oversample setting
+        frac = min(share / have if have > 0 else 0.0, float(max_oversample), 1.0)
         picked = hash_sample(df, frac, id_col=id_col, seed=seed)
         parts.append(picked.withColumn("source", F.lit(name)))
     out = parts[0]

@@ -544,9 +544,23 @@ def cosine_topk_pq(
         ]
         table_rows.append((r["query_id"], r["v"], tables))
     spark = corpus.sparkSession
-    qt = spark.createDataFrame(
-        table_rows, f"query_id long, __qv array<double>, __tables array<array<double>>"
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        StructField,
+        StructType,
     )
+
+    # id type follows the caller's id_col (string doc ids work like the
+    # other tiers), not a hardcoded long
+    qt_schema = StructType(
+        [
+            StructField("query_id", queries.schema[id_col].dataType),
+            StructField("__qv", ArrayType(DoubleType())),
+            StructField("__tables", ArrayType(ArrayType(DoubleType()))),
+        ]
+    )
+    qt = spark.createDataFrame(table_rows, qt_schema)
     adc = (
         enc.crossJoin(F.broadcast(qt))
         .where(F.col("query_id") != F.col("match_id"))

@@ -241,7 +241,13 @@ PII_PATTERNS: dict[str, str] = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
     "card": r"\b(?:\d[ -]?){13,16}\b",
-    "phone": r"\+?\d[\d .-]{7,14}\d",
+    # phone requires a real telephone shape — either E.164 (+ and 8-15
+    # digits) or a 3-3-4 grouping with optional country code / parens.
+    # A bare digit-run pattern (\+?\d[\d .-]{7,14}\d) matches ISO
+    # timestamps ('2024-01-02 03:..') and other benign numerics that
+    # log-style corpora are full of, so those shapes are deliberately
+    # NOT matched.
+    "phone": r"(?:\+\d{1,3}[ .-]?)?\(?\d{3}\)?[ .-]\d{3}[ .-]\d{4}\b|\+\d{8,15}\b",
 }
 
 

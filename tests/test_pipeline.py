@@ -614,3 +614,23 @@ def test_char_entropy_arrow_matches_column_path(spark, sf_dir):
     per_row = (time.time() - t0) / 64
     big.unpersist()
     assert per_row < 0.05, f"arrow entropy too slow: {per_row*1000:.0f} ms/row"
+
+
+def test_phone_pattern_skips_timestamps(spark):
+    from hyperdx_spark.pipeline import text as T
+
+    df = spark.createDataFrame(
+        [
+            (1, "call +14155551234 now"),
+            (2, "or (415) 555-1234 ext 9"),
+            (3, "2024-01-02 03:04:05 INFO started"),  # must NOT redact
+            (4, "span 1234.5678 took 12.5 ms"),       # must NOT redact
+            (5, "dial 415-555-1234."),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["red"] for r in df.select(
+        "doc_id", T.redact_pii("text", kinds=["phone"]).alias("red")).collect()}
+    assert "<PHONE>" in out[1] and "<PHONE>" in out[2] and "<PHONE>" in out[5]
+    assert out[3] == "2024-01-02 03:04:05 INFO started"
+    assert out[4] == "span 1234.5678 took 12.5 ms"
