@@ -6,10 +6,12 @@ library + numpy:
 * PNG  — full chunk parse, zlib inflate, all five scanline filters
          (none/sub/up/average/paeth), 8-bit gray/RGB/RGBA.
 * BMP  — uncompressed 24-bit BI_RGB.
-* JPEG — baseline sequential (SOF0) decoder: Huffman entropy decode,
-         dequantize, vectorized 8x8 iDCT, any chroma sampling, restart
-         markers; plus a minimal 4:4:4 encoder for fixtures. Progressive /
-         arithmetic / 12-bit raise a clear unsupported error.
+* JPEG — baseline sequential (SOF0) + progressive (SOF2, full Annex G:
+         spectral selection, successive approximation, EOB runs) decoder:
+         Huffman entropy decode, dequantize, vectorized 8x8 iDCT, any
+         chroma sampling, restart markers; plus minimal baseline and
+         progressive encoders for fixtures. Arithmetic / 12-bit /
+         hierarchical raise a clear unsupported error.
 * WAV  — PCM via the stdlib ``wave`` module.
 * Y4M  — YUV4MPEG2 uncompressed video (plain-text header + raw 4:2:0
          frames), the standard interchange format of the *mjpegtools*
@@ -297,12 +299,17 @@ def decode_y4m(data: bytes) -> tuple[np.ndarray, int]:
 # JPEG (baseline DCT, ITU-T T.81) — decoder + minimal encoder
 # --------------------------------------------------------------------------
 #
-# Baseline sequential profile only: 8-bit samples, Huffman entropy coding,
-# SOF0 frames, grayscale or YCbCr with any h/v sampling factors (4:4:4,
-# 4:2:2, 4:2:0), DRI/RSTn restart markers. Progressive (SOF2), arithmetic
-# coding, and 12-bit precision raise a clear unsupported error. The iDCT is
-# the exact orthonormal 8x8 DCT-III applied to ALL blocks of a component in
-# one numpy einsum — the per-block Python work is Huffman decoding only.
+# Baseline sequential (SOF0) and progressive (SOF2) profiles: 8-bit
+# samples, Huffman entropy coding, grayscale or YCbCr with any h/v sampling
+# factors (4:4:4, 4:2:2, 4:2:0), DRI/RSTn restart markers. Progressive
+# scans implement the full T.81 Annex G feature set — spectral selection,
+# successive approximation (DC + AC first/refinement passes), EOB runs —
+# accumulating into per-component coefficient stores so a k-scan file still
+# costs exactly one vectorized iDCT at the end. Arithmetic coding,
+# hierarchical (SOF3/5/6/7/...), and 12-bit precision raise a clear
+# unsupported error. The iDCT is the exact orthonormal 8x8 DCT-III applied
+# to ALL blocks of a component in one numpy einsum — the per-block Python
+# work is Huffman decoding only.
 
 _ZIGZAG = np.array([
      0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
@@ -434,18 +441,151 @@ def _extend(v: int, n: int) -> int:
     return v if v >= (1 << (n - 1)) else v - (1 << n) + 1
 
 
+def _jpeg_decode_block(reader, blk, comp, dc_t, ac_t, ss, se, ah, al,
+                       progressive, eobrun) -> None:
+    """Decode one 8x8 block's worth of entropy data into ``blk`` (a length-64
+    zigzag-order int64 view). Baseline decodes the full block; progressive
+    decodes only the (ss..se, ah/al) slice per T.81 Annex G."""
+    if not progressive:
+        t = reader.read_symbol(dc_t)
+        comp["pred"] += _extend(reader.read_bits(t), t)
+        blk[0] = comp["pred"]
+        k = 1
+        while k < 64:
+            rs = reader.read_symbol(ac_t)
+            r, s = rs >> 4, rs & 0xF
+            if rs == 0x00:  # EOB
+                return
+            if rs == 0xF0:  # ZRL
+                k += 16
+                continue
+            k += r
+            if k > 63:
+                raise ValueError("JPEG AC run overflow")
+            blk[k] = _extend(reader.read_bits(s), s)
+            k += 1
+        return
+    if ss == 0:  # DC scan (se == 0 per G.1.1.1.1)
+        if ah == 0:  # first pass: Huffman diff at reduced precision
+            t = reader.read_symbol(dc_t)
+            comp["pred"] += _extend(reader.read_bits(t), t)
+            blk[0] = comp["pred"] << al
+        elif reader.read_bit():  # refinement: one raw bit per block
+            blk[0] += 1 << al
+        return
+    if ah == 0:  # AC first pass for this band
+        if eobrun[0]:
+            eobrun[0] -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = reader.read_symbol(ac_t)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r != 15:  # EOBn: run of (1<<r)+bits blocks incl. this one
+                    eobrun[0] = (1 << r) - 1 + (reader.read_bits(r) if r else 0)
+                    return
+                k += 16  # ZRL
+                continue
+            k += r
+            if k > se:
+                raise ValueError("JPEG AC run overflow")
+            blk[k] = _extend(reader.read_bits(s), s) << al
+            k += 1
+        return
+    # AC refinement pass (G.2): correction bits ride runs and EOB spans
+    bit = 1 << al
+
+    def refine(k: int) -> None:
+        if reader.read_bit() and not (int(blk[k]) & bit):
+            blk[k] += bit if blk[k] > 0 else -bit
+
+    if eobrun[0]:  # block fully inside an EOB run: corrections only
+        eobrun[0] -= 1
+        for k in range(ss, se + 1):
+            if blk[k]:
+                refine(k)
+        return
+    k = ss
+    while k <= se:
+        rs = reader.read_symbol(ac_t)
+        r, s = rs >> 4, rs & 0xF
+        val = 0
+        if s == 0:
+            if r != 15:
+                eobrun[0] = (1 << r) - 1 + (reader.read_bits(r) if r else 0)
+                r = 64  # no placement; refine the rest of the band
+            # r == 15: ZRL skips 16 zero-history positions
+        elif s == 1:
+            val = bit if reader.read_bit() else -bit
+        else:
+            raise ValueError("bad JPEG AC-refinement code")
+        while k <= se:
+            if blk[k]:
+                refine(k)
+                k += 1
+            else:
+                if r == 0:
+                    blk[k] = val  # newly-significant coef (or ZRL's 16th zero)
+                    k += 1
+                    break
+                r -= 1
+                k += 1
+
+
+def _jpeg_decode_scan(ecs, scan, ss, se, ah, al, progressive, ri,
+                      mcux, mcuy) -> None:
+    """Decode one entropy-coded segment. Multi-component scans walk MCUs
+    interleaved; single-component scans walk the component's own block grid
+    (``nbw`` x ``nbh``, T.81 A.2.2) — the distinction matters for images
+    whose dimensions are not MCU-aligned."""
+    interleaved = len(scan) > 1
+    if interleaved:
+        n_units = mcux * mcuy
+    else:
+        c = scan[0][0]
+        n_units = c["nbw"] * c["nbh"]
+    intervals = re.split(b"\xff[\xd0-\xd7]", ecs) if ri else [ecs]
+    unit = 0
+    for chunk in intervals:
+        reader = _BitReader(chunk.replace(b"\xff\x00", b"\xff"))
+        for c, _, _ in scan:
+            c["pred"] = 0  # RSTn resets DC predictors and the EOB run
+        eobrun = [0]
+        limit = min(unit + ri, n_units) if ri else n_units
+        while unit < limit:
+            if interleaved:
+                my, mx = divmod(unit, mcux)
+                for comp, dc_t, ac_t in scan:
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            idx = ((my * comp["v"] + by) * comp["bw"]
+                                   + mx * comp["h"] + bx)
+                            _jpeg_decode_block(
+                                reader, comp["coef"][idx], comp, dc_t, ac_t,
+                                ss, se, ah, al, progressive, eobrun)
+            else:
+                comp, dc_t, ac_t = scan[0]
+                uy, ux = divmod(unit, comp["nbw"])
+                _jpeg_decode_block(
+                    reader, comp["coef"][uy * comp["bw"] + ux], comp,
+                    dc_t, ac_t, ss, se, ah, al, progressive, eobrun)
+            unit += 1
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """(h, w[, 3]) uint8 from a baseline-sequential JPEG (SOF0)."""
+    """(h, w[, 3]) uint8 from a baseline (SOF0) or progressive (SOF2) JPEG."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) -> table
-    frame = None
+    frame = None  # (h, w, nc, progressive)
     restart_interval = 0
     comps: list[dict] = []
-    scan_comps: list[tuple[dict, dict, dict]] = []
-    ecs = None
+    geom_ready = False
+    hmax = vmax = mcux = mcuy = 0
+    any_scan = False
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             pos += 1
@@ -467,13 +607,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     raise ValueError("16-bit JPEG quant tables not supported")
                 qt[tq] = np.frombuffer(body, np.uint8, 64, b + 1).astype(np.int64)
                 b += 65
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "only baseline JPEG (SOF0) is supported, got SOF marker "
-                f"0x{marker:02X} (progressive/arithmetic/lossless)"
+                "only baseline (SOF0) and progressive (SOF2) JPEG are "
+                f"supported, got SOF marker 0x{marker:02X} "
+                "(extended/arithmetic/lossless/hierarchical)"
             )
-        elif marker == 0xC0:  # SOF0
+        elif marker in (0xC0, 0xC2):  # SOF0 / SOF2
             prec, h, w, nc = body[0], *struct.unpack_from(">HH", body, 1), body[5]
             if prec != 8:
                 raise ValueError(f"unsupported JPEG precision {prec}")
@@ -483,7 +624,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 comps.append({
                     "id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq,
                 })
-            frame = (h, w, nc)
+            frame = (h, w, nc, marker == 0xC2)
         elif marker == 0xC4:  # DHT
             b = 0
             while b < len(body):
@@ -496,14 +637,35 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            if not geom_ready:
+                h, w = frame[0], frame[1]
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                mcux = (w + 8 * hmax - 1) // (8 * hmax)
+                mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+                for c in comps:
+                    c["bw"] = mcux * c["h"]  # MCU-padded block grid
+                    c["bh"] = mcuy * c["v"]
+                    cw = (w * c["h"] + hmax - 1) // hmax  # component dims
+                    ch_ = (h * c["v"] + vmax - 1) // vmax
+                    c["nbw"] = (cw + 7) // 8  # non-interleaved block grid
+                    c["nbh"] = (ch_ + 7) // 8
+                    c["coef"] = np.zeros((c["bh"] * c["bw"], 64), np.int64)
+                    c["pred"] = 0
+                geom_ready = True
             ns = body[0]
-            scan_comps = []
+            scan = []
             for i in range(ns):
                 cs, tdta = body[1 + 2 * i], body[2 + 2 * i]
                 comp = next(c for c in comps if c["id"] == cs)
-                scan_comps.append(
-                    (comp, huff[(0, tdta >> 4)], huff[(1, tdta & 0xF)])
-                )
+                # .get: DC-refinement scans need no DC table, AC scans no DC
+                scan.append((comp, huff.get((0, tdta >> 4)),
+                             huff.get((1, tdta & 0xF))))
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
             # entropy-coded segment runs to the next non-RST marker
             end = pos
             while end + 1 < len(data):
@@ -514,55 +676,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 end += 1
             ecs = data[pos:end]
             pos = end
-    if frame is None or ecs is None:
-        raise ValueError("JPEG missing SOF0/SOS")
-    h, w, nc = frame
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    # per-component coefficient stores (n_blocks, 64)
-    for c in comps:
-        c["bw"] = mcux * c["h"]
-        c["bh"] = mcuy * c["v"]
-        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), np.int64)
-        c["pred"] = 0
-    # split on restart markers; each interval resets DC predictors
-    intervals = re.split(b"\xff[\xd0-\xd7]", ecs) if restart_interval else [ecs]
-    mcu = 0
-    for chunk in intervals:
-        reader = _BitReader(chunk.replace(b"\xff\x00", b"\xff"))
-        for c in comps:
-            c["pred"] = 0
-        limit = mcu + restart_interval if restart_interval else mcuy * mcux
-        while mcu < min(limit, mcuy * mcux):
-            my, mx = divmod(mcu, mcux)
-            for comp, dc_t, ac_t in scan_comps:
-                for by in range(comp["v"]):
-                    for bx in range(comp["h"]):
-                        blk = np.zeros(64, np.int64)
-                        t = reader.read_symbol(dc_t)
-                        diff = _extend(reader.read_bits(t), t)
-                        comp["pred"] += diff
-                        blk[0] = comp["pred"]
-                        k = 1
-                        while k < 64:
-                            rs = reader.read_symbol(ac_t)
-                            r, s = rs >> 4, rs & 0xF
-                            if rs == 0x00:  # EOB
-                                break
-                            if rs == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            k += r
-                            if k > 63:
-                                raise ValueError("JPEG AC run overflow")
-                            blk[k] = _extend(reader.read_bits(s), s)
-                            k += 1
-                        row = my * comp["v"] + by
-                        col = mx * comp["h"] + bx
-                        comp["coef"][row * comp["bw"] + col] = blk
-            mcu += 1
+            progressive = frame[3]
+            if not progressive:
+                ss, se, ah, al = 0, 63, 0, 0  # baseline ignores the trailer
+            _jpeg_decode_scan(ecs, scan, ss, se, ah, al, progressive,
+                              restart_interval, mcux, mcuy)
+            any_scan = True
+    if frame is None or not any_scan:
+        raise ValueError("JPEG missing SOF/SOS")
+    h, w, nc = frame[0], frame[1], frame[2]
     # dequantize + dezigzag + one vectorized iDCT per component
     planes = []
     for c in comps:
@@ -720,6 +842,316 @@ def encode_jpeg(arr: np.ndarray) -> bytes:
     return bytes(out)
 
 
+# Flat 8-bit AC table for progressive scans: every (run<<4)|size symbol with
+# size 0..14 — covers EOBn (n<<4|0), ZRL (0xF0), and all magnitude codes.
+# Annex K's sequential AC tables lack the EOBn>0 symbols progressive needs.
+_HT_AC_FLAT = (
+    [0, 0, 0, 0, 0, 0, 0, 240, 0, 0, 0, 0, 0, 0, 0, 0],
+    [(r << 4) | s for r in range(16) for s in range(15)],
+)
+
+
+def _box2(p: np.ndarray) -> np.ndarray:
+    """2x2 box-mean downsample with edge extension to even dims."""
+    if p.shape[0] % 2:
+        p = np.vstack([p, p[-1:]])
+    if p.shape[1] % 2:
+        p = np.hstack([p, p[:, -1:]])
+    return (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0
+
+
+def _jpeg_plan(arr: np.ndarray, subsample: bool):
+    """Color-convert, (optionally 4:2:0) subsample, pad to the MCU grid, and
+    produce quantized zigzag coefficients per component. Returns
+    (h, w, gray, comps, mcux, mcuy) where each comp dict carries the padded
+    block grid (bw, bh), the non-interleaved grid (nbw, nbh), sampling
+    factors (fh, fv), quant-table id tq, and (nblocks, 64) int64 ``zz``."""
+    arr = np.ascontiguousarray(arr)
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    if gray:
+        planes = [arr.astype(np.float64)]
+        factors = [(1, 1)]
+    else:
+        r, g, b = (arr[..., i].astype(np.float64) for i in range(3))
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+        factors = [(2, 2), (1, 1), (1, 1)] if subsample else [(1, 1)] * 3
+        if subsample:
+            planes[1] = _box2(planes[1])
+            planes[2] = _box2(planes[2])
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    comps = []
+    for i, (plane, (fh, fv)) in enumerate(zip(planes, factors)):
+        q = _QT_LUMA if i == 0 else _QT_CHROMA
+        bw, bh = mcux * fh, mcuy * fv
+        ph, pw = plane.shape
+        padded = np.zeros((bh * 8, bw * 8), np.float64)
+        padded[:ph, :pw] = plane
+        padded[ph:, :pw] = plane[ph - 1 : ph, :]  # edge-extend
+        padded[:, pw:] = padded[:, pw - 1 : pw]
+        blocks = (
+            padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        ) - 128.0
+        coef = np.einsum("ux,nxy,vy->nuv", _DCT_T, blocks, _DCT_T).reshape(-1, 64)
+        zz = np.round(coef[:, _ZIGZAG] / q[_ZIGZAG][None, :]).astype(np.int64)
+        cw = (w * fh + hmax - 1) // hmax
+        ch_ = (h * fv + vmax - 1) // vmax
+        comps.append({
+            "fh": fh, "fv": fv, "tq": 0 if i == 0 else 1, "zz": zz,
+            "bw": bw, "bh": bh, "nbw": (cw + 7) // 8, "nbh": (ch_ + 7) // 8,
+        })
+    return h, w, gray, comps, mcux, mcuy
+
+
+def _emit_eobrun(wtr, enc_ac, eobrun: int) -> None:
+    n = eobrun.bit_length() - 1
+    code, ln = enc_ac[n << 4]
+    wtr.write(code, ln)
+    if n:
+        wtr.write(eobrun - (1 << n), n)
+
+
+class _ScanWriter:
+    """Bit-writer wrapper that inserts RSTn markers every ``ri`` units,
+    calling ``on_restart`` so the scan emitter can flush cross-block state
+    (EOB runs) and reset predictors before the marker."""
+
+    def __init__(self, out: bytearray, ri: int):
+        self.out = out
+        self.ri = ri
+        self.wtr = _BitWriter()
+        self.rst = 0
+        self.unit = 0
+
+    def next_unit(self, on_restart=None) -> None:
+        if self.ri and self.unit and self.unit % self.ri == 0:
+            if on_restart is not None:
+                on_restart()
+            self.out.extend(self.wtr.flush())
+            self.out.extend(bytes([0xFF, 0xD0 + self.rst]))
+            self.rst = (self.rst + 1) % 8
+            self.wtr = _BitWriter()
+        self.unit += 1
+
+    def write(self, code: int, length: int) -> None:
+        self.wtr.write(code, length)
+
+    def finish(self) -> None:
+        self.out.extend(self.wtr.flush())
+
+
+def _emit_dc_scan(out, comps, enc_dc, mcux, mcuy, ah, al, ri=0) -> None:
+    """Interleaved DC scan: first pass (ah=0) Huffman-codes diffs of
+    dc >> al; refinement passes emit one raw bit (dc >> al) & 1 per block."""
+    sw = _ScanWriter(out, ri)
+    preds = [0] * len(comps)
+
+    def reset() -> None:
+        preds[:] = [0] * len(comps)
+
+    for m in range(mcux * mcuy):
+        sw.next_unit(reset)
+        my, mx = divmod(m, mcux)
+        for ci, c in enumerate(comps):
+            for by in range(c["fv"]):
+                for bx in range(c["fh"]):
+                    idx = (my * c["fv"] + by) * c["bw"] + mx * c["fh"] + bx
+                    v = int(c["zz"][idx][0]) >> al
+                    if ah:
+                        sw.write(v & 1, 1)
+                        continue
+                    diff = v - preds[ci]
+                    preds[ci] = v
+                    n = abs(diff).bit_length()
+                    code, ln = enc_dc[ci][n]
+                    sw.write(code, ln)
+                    if n:
+                        sw.write(diff if diff > 0 else diff + (1 << n) - 1, n)
+    sw.finish()
+
+
+def _emit_ac_first(out, c, enc_ac, ss, se, al, ri=0) -> None:
+    """Non-interleaved AC first pass for band [ss, se] at precision al,
+    with cross-block EOB-run accumulation (T.81 G.1.2.2)."""
+    sw = _ScanWriter(out, ri)
+    eobrun = 0
+
+    def flush() -> None:
+        nonlocal eobrun
+        if eobrun:
+            _emit_eobrun(sw, enc_ac, eobrun)
+            eobrun = 0
+
+    for u in range(c["nbh"] * c["nbw"]):
+        sw.next_unit(flush)
+        uy, ux = divmod(u, c["nbw"])
+        blk = c["zz"][uy * c["bw"] + ux]
+        run = 0
+        for k in range(ss, se + 1):
+            v = int(blk[k])
+            t = abs(v) >> al
+            if t == 0:
+                run += 1
+                continue
+            flush()
+            while run > 15:
+                code, ln = enc_ac[0xF0]
+                sw.write(code, ln)
+                run -= 16
+            n = t.bit_length()
+            code, ln = enc_ac[(run << 4) | n]
+            sw.write(code, ln)
+            tv = t if v > 0 else -t
+            sw.write(tv if tv > 0 else tv + (1 << n) - 1, n)
+            run = 0
+        if run:  # band ended in zeros -> block joins the EOB run
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+    flush()
+    sw.finish()
+
+
+def _emit_ac_refine(out, c, enc_ac, ss, se, al, ri=0) -> None:
+    """Non-interleaved AC refinement (T.81 G.1.2.3). Mirrors the decoder's
+    walk exactly: correction bits for nonzero-history coefficients are
+    emitted in position order right after the symbol whose run/EOB span
+    covers them; EOB-run corrections are buffered until the EOBn flush."""
+    sw = _ScanWriter(out, ri)
+    eobrun = 0
+    pending: list[int] = []  # correction bits riding the open EOB run
+
+    def flush() -> None:
+        nonlocal eobrun, pending
+        if eobrun:
+            _emit_eobrun(sw, enc_ac, eobrun)
+            eobrun = 0
+        for b in pending:
+            sw.write(b, 1)
+        pending = []
+
+    for u in range(c["nbh"] * c["nbw"]):
+        sw.next_unit(flush)
+        uy, ux = divmod(u, c["nbw"])
+        blk = c["zz"][uy * c["bw"] + ux]
+        mag = [abs(int(blk[k])) >> al for k in range(64)]
+        k = ss
+        while k <= se:
+            # mag == 1 <=> newly significant this pass (history values >= 2)
+            target = next((j for j in range(k, se + 1) if mag[j] == 1), None)
+            if target is None:
+                # remainder is zeros/history -> block joins the EOB run
+                pending_bits = [mag[j] & 1 for j in range(k, se + 1)
+                                if mag[j] > 1]
+                eobrun += 1
+                pending.extend(pending_bits)
+                if eobrun == 0x7FFF:
+                    flush()
+                break
+            run = sum(1 for j in range(k, target) if mag[j] == 0)
+            while run > 15:
+                flush()
+                code, ln = enc_ac[0xF0]
+                sw.write(code, ln)
+                cnt = 0
+                while cnt < 16:  # ZRL covers 16 zero-history positions
+                    if mag[k] == 0:
+                        cnt += 1
+                    elif mag[k] > 1:
+                        sw.write(mag[k] & 1, 1)
+                    k += 1
+                run -= 16
+            flush()
+            run = sum(1 for j in range(k, target) if mag[j] == 0)
+            code, ln = enc_ac[(run << 4) | 1]
+            sw.write(code, ln)
+            sw.write(1 if int(blk[target]) > 0 else 0, 1)  # sign bit
+            for j in range(k, target):
+                if mag[j] > 1:
+                    sw.write(mag[j] & 1, 1)
+            k = target + 1
+    flush()
+    sw.finish()
+
+
+def encode_jpeg_progressive(arr: np.ndarray, subsample: bool = False,
+                            restart_interval: int = 0) -> bytes:
+    """Progressive JPEG (SOF2) encoder: spectral selection + successive
+    approximation, so the decoder's Annex G paths (DC/AC first+refinement,
+    EOB runs, non-interleaved partial-MCU geometry with ``subsample=True``)
+    have a self-contained fixture source. Quantized coefficients are
+    identical to :func:`encode_jpeg`'s (same tables), so baseline and
+    progressive round-trips of the same image decode pixel-identically.
+
+    Scan script (Al=1 then refinement to Al=0):
+      1. DC  all comps   Ss=0  Se=0  Ah=0 Al=1   (interleaved)
+      2. AC  per comp    Ss=1  Se=20 Ah=0 Al=1
+      3. AC  per comp    Ss=21 Se=63 Ah=0 Al=1
+      4. DC  all comps   Ss=0  Se=0  Ah=1 Al=0   (raw refinement bits)
+      5. AC  per comp    Ss=1  Se=20 Ah=1 Al=0
+      6. AC  per comp    Ss=21 Se=63 Ah=1 Al=0
+    """
+    h, w, gray, comps, mcux, mcuy = _jpeg_plan(arr, subsample)
+    nc = len(comps)
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, body: bytes) -> None:
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body)
+
+    seg(0xDB, bytes([0]) + bytes(_QT_LUMA[_ZIGZAG].astype(np.uint8)))
+    if not gray:
+        seg(0xDB, bytes([1]) + bytes(_QT_CHROMA[_ZIGZAG].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for i, c in enumerate(comps):
+        sof += bytes([i + 1, (c["fh"] << 4) | c["fv"], c["tq"]])
+    seg(0xC2, sof)
+    tabs = [(0, 0, _HT_DC_LUMA), (1, 0, _HT_AC_FLAT)]
+    if not gray:
+        tabs.append((0, 1, _HT_DC_CHROMA))
+    for tc, th, (bits, values) in tabs:
+        seg(0xC4, bytes([(tc << 4) | th] + bits) + bytes(values))
+    enc_dc = [_huff_encode_table(*(_HT_DC_LUMA if i == 0 else _HT_DC_CHROMA))
+              for i in range(nc)]
+    enc_ac = _huff_encode_table(*_HT_AC_FLAT)
+
+    def sos(comp_specs: list[tuple[int, int, int]], ss, se, ah, al) -> None:
+        body = bytes([len(comp_specs)])
+        for cid, td, ta in comp_specs:
+            body += bytes([cid, (td << 4) | ta])
+        body += bytes([ss, se, (ah << 4) | al])
+        seg(0xDA, body)
+
+    ri = restart_interval
+    if ri:
+        seg(0xDD, struct.pack(">H", ri))
+    all_specs = [(i + 1, 0 if i == 0 else 1, 0) for i in range(nc)]
+    # 1. DC first (interleaved)
+    sos(all_specs, 0, 0, 0, 1)
+    _emit_dc_scan(out, comps, enc_dc, mcux, mcuy, 0, 1, ri)
+    # 2-3. AC first passes, two spectral bands, one scan per component
+    for ss, se in ((1, 20), (21, 63)):
+        for i, c in enumerate(comps):
+            sos([all_specs[i]], ss, se, 0, 1)
+            _emit_ac_first(out, c, enc_ac, ss, se, 1, ri)
+    # 4. DC refinement (raw bits, interleaved)
+    sos(all_specs, 0, 0, 1, 0)
+    _emit_dc_scan(out, comps, enc_dc, mcux, mcuy, 1, 0, ri)
+    # 5-6. AC refinement passes
+    for ss, se in ((1, 20), (21, 63)):
+        for i, c in enumerate(comps):
+            sos([all_specs[i]], ss, se, 1, 0)
+            _emit_ac_refine(out, c, enc_ac, ss, se, 0, ri)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
 # --------------------------------------------------------------------------
 # sniffing + shared ops
 # --------------------------------------------------------------------------
@@ -736,6 +1168,36 @@ def sniff(data: bytes) -> str:
     if data[:3] == b"\xff\xd8\xff":
         return "jpeg"
     return "unknown"
+
+
+def jpeg_profile(data: bytes) -> str:
+    """Coding profile of a JPEG stream: walks the marker segments to the
+    first SOFn and reports ``baseline`` (SOF0), ``progressive`` (SOF2), or
+    ``sofN`` for the unsupported processes — so corpus audits can count
+    progressive files separately from decode failures."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker in (0xD9, 0xDA):  # EOI / SOS without a frame header
+            break
+        (seg_len,) = struct.unpack_from(">H", data, pos)
+        if marker == 0xC0:
+            return "baseline"
+        if marker == 0xC2:
+            return "progressive"
+        if marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                      0xCD, 0xCE, 0xCF):
+            return f"sof{marker - 0xC0}"
+        pos += seg_len
+    raise ValueError("JPEG missing SOF")
 
 
 def decode_image(data: bytes) -> np.ndarray:

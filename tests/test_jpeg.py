@@ -1,6 +1,9 @@
-"""Baseline JPEG codec: encoder<->decoder roundtrips plus hand-assembled
-streams that exercise decoder paths the minimal encoder never emits
-(4:2:0 chroma subsampling, DRI/RSTn restart intervals, error paths)."""
+"""JPEG codec: baseline + progressive encoder<->decoder roundtrips plus
+hand-assembled streams that exercise decoder paths the minimal encoders
+never emit (4:2:0 chroma subsampling, DRI/RSTn restart intervals, error
+paths). Progressive coverage: spectral-selection bands, DC+AC successive
+approximation refinement, EOB runs, ZRL in refinement, restart markers,
+non-interleaved partial-MCU block geometry."""
 
 import struct
 
@@ -137,13 +140,14 @@ def test_restart_interval_resets_dc_predictor():
     assert abs(left - 200) <= 3 and abs(right - 64) <= 3
 
 
-def test_progressive_rejected():
+def test_lossless_rejected():
     img = np.full((8, 8), 10, np.uint8)
     data = bytearray(codecs.encode_jpeg(img))
     i = data.find(b"\xff\xc0")
-    data[i + 1] = 0xC2  # pretend SOF2 (progressive)
-    with pytest.raises(ValueError, match="baseline"):
+    data[i + 1] = 0xC3  # pretend SOF3 (lossless)
+    with pytest.raises(ValueError, match="SOF0.*SOF2|supported"):
         codecs.decode_jpeg(bytes(data))
+    assert codecs.jpeg_profile(bytes(data)) == "sof3"
 
 
 def test_sniff_and_decode_image_route():
@@ -151,3 +155,74 @@ def test_sniff_and_decode_image_route():
     data = codecs.encode_jpeg(img)
     assert codecs.sniff(data) == "jpeg"
     assert codecs.decode_image(data).shape == (9, 11)
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2)
+# ---------------------------------------------------------------------------
+
+def _textured_rgb(h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    y, x = np.mgrid[:h, :w]
+    img = np.stack([(y * 7) % 256, (x * 5) % 256, ((x + y) * 3) % 256], -1)
+    return (img + rng.integers(0, 25, img.shape)).clip(0, 255).astype(np.uint8)
+
+
+def test_progressive_444_matches_baseline_exactly():
+    """Same quant tables -> identical coefficients -> the progressive
+    decode must be pixel-identical to the baseline decode."""
+    img = _textured_rgb(37, 29)
+    prog = codecs.encode_jpeg_progressive(img)
+    assert codecs.jpeg_profile(prog) == "progressive"
+    assert codecs.sniff(prog) == "jpeg"
+    assert np.array_equal(codecs.decode_jpeg(prog),
+                          codecs.decode_jpeg(codecs.encode_jpeg(img)))
+
+
+def test_progressive_gray_odd_dims():
+    y, x = np.mgrid[0:17, 0:23]
+    img = (128 + 60 * np.sin(x / 5.0) * np.cos(y / 4.0)).astype(np.uint8)
+    prog = codecs.encode_jpeg_progressive(img)
+    assert np.array_equal(codecs.decode_jpeg(prog),
+                          codecs.decode_jpeg(codecs.encode_jpeg(img)))
+
+
+def test_progressive_420_non_interleaved_geometry():
+    """4:2:0 progressive: AC scans walk the component's own block grid
+    (nbw x nbh), not the MCU-padded grid — odd dims exercise the
+    difference. Decode must land close to the source."""
+    img = _textured_rgb(33, 50, seed=3)
+    prog = codecs.encode_jpeg_progressive(img, subsample=True)
+    out = codecs.decode_jpeg(prog)
+    assert out.shape == img.shape
+    err = np.abs(out.astype(float) - img.astype(float))
+    assert err.mean() < 12  # chroma is box-averaged + quantized
+
+
+def test_progressive_restart_markers():
+    img = _textured_rgb(45, 37, seed=1)
+    base = codecs.decode_jpeg(codecs.encode_jpeg(img))
+    for ri in (1, 3, 7):
+        prog = codecs.encode_jpeg_progressive(img, restart_interval=ri)
+        assert np.array_equal(codecs.decode_jpeg(prog), base), ri
+
+
+def test_progressive_eob_runs_and_zrl():
+    # flat image -> every AC band is an EOB run spanning all blocks
+    flat = np.full((64, 64), 128, np.uint8)
+    assert np.array_equal(
+        codecs.decode_jpeg(codecs.encode_jpeg_progressive(flat)), flat)
+    # single bright pixel deep in a block -> long zero runs (ZRL) in both
+    # first and refinement AC passes
+    sp = np.zeros((32, 32), np.uint8)
+    sp[20, 25] = 255
+    assert np.array_equal(
+        codecs.decode_jpeg(codecs.encode_jpeg_progressive(sp)),
+        codecs.decode_jpeg(codecs.encode_jpeg(sp)))
+
+
+def test_jpeg_profile_baseline():
+    img = np.full((8, 8), 90, np.uint8)
+    assert codecs.jpeg_profile(codecs.encode_jpeg(img)) == "baseline"
+    with pytest.raises(ValueError, match="not a JPEG"):
+        codecs.jpeg_profile(b"\x00\x01")
