@@ -2307,21 +2307,88 @@ FROM pick
 # §2.3 session-replay correlation (sessions.ts:93-260)
 # --------------------------------------------------------------------------
 
-_SESSION_SPEC = None  # built lazily to avoid import order issues
+# rum.sessionId-shaped fixture (sessions.ts:93-199 parity): spans carry the
+# session id inside a map-typed resource_attributes column (keyed
+# 'rum.sessionId', a DOTTED key — exercises the serializer's longest-prefix
+# map resolution), with real span names ('record init', 'visibility',
+# 'pointer.click') and a component/status_code split. Session key is
+# (user, day), so unlike the old uniform per-user fixture most sessions MISS
+# some span role and the default view's HAVING does real filtering, on
+# realistic skew. Derived deterministically from `events` so the DuckDB
+# oracle can replay the same derivation as a CTE.
+
+def _rum_spans(spark, sf_dir):
+    """Register `rum_spans` + `rum_recordings` temp views derived from
+    events; returns nothing (views consumed via Source(table=...))."""
+    ev = load_table(spark, sf_dir, "events")
+    sid = (
+        "concat('sess-', cast(user_id AS string), '-', "
+        "cast(cast(ts AS date) AS string))"
+    )
+    rum = ev.selectExpr(
+        "ts",
+        """CASE event_type
+             WHEN 'purchase' THEN 'record init'
+             WHEN 'click' THEN 'pointer.click'
+             WHEN 'view' THEN
+               CASE WHEN value >= 150 THEN 'visibility' ELSE 'http.request' END
+             ELSE 'http.request' END AS span_name""",
+        "CASE WHEN event_type = 'click' THEN 'user-interaction' ELSE 'http' END"
+        " AS component",
+        "CASE WHEN event_type = 'error' THEN 'error' ELSE 'ok' END"
+        " AS status_code",
+        "value AS duration",
+        f"map('rum.sessionId', {sid}, 'service.name', "
+        "concat('svc-', cast(user_id % 3 AS string))) AS resource_attributes",
+    )
+    rum.createOrReplaceTempView("rum_spans")
+    # separate "session source" (recordings) table, as in the reference's
+    # dual-source correlation (sessions.ts:243-257)
+    rum.where("span_name = 'record init'").createOrReplaceTempView(
+        "rum_recordings"
+    )
+
+
+# shared DuckDB replay of the same derivation (|| propagates NULL user_id,
+# unlike DuckDB's NULL-skipping concat())
+O_RUM_CTE = f"""
+rum AS (
+  SELECT ts,
+         'sess-' || user_id || '-' || cast(ts AS DATE) AS sessionId,
+         CASE event_type WHEN 'purchase' THEN 'record init'
+              WHEN 'click' THEN 'pointer.click'
+              WHEN 'view' THEN CASE WHEN value >= 150 THEN 'visibility'
+                                    ELSE 'http.request' END
+              ELSE 'http.request' END AS span_name,
+         CASE WHEN event_type = 'click' THEN 'user-interaction'
+              ELSE 'http' END AS component,
+         CASE WHEN event_type = 'error' THEN 'error' ELSE 'ok' END
+           AS status_code,
+         value AS duration
+  FROM events
+  WHERE {TIME_WHERE} AND user_id IS NOT NULL)
+"""
+
+
+def _rum_src() -> Source:
+    return Source(
+        table="rum_spans",
+        timestamp_value_expression="ts",
+        implicit_column_expression=
+        "concat_ws(' ', span_name, component, status_code)",
+    )
 
 
 def _session_spec():
     from hyperdx_spark.sessions import SessionSpec
 
-    # user_id plays rum.sessionId; event types play span roles:
-    # click = user interaction, error = error span, purchase = record-init
     return SessionSpec(
-        session_id_expr="user_id",
-        exists_condition="user_id:*",
-        interaction_condition='event_type:"click"',
-        error_condition='event_type:"error"',
-        recording_condition='event_type:"purchase"',
-        activity_condition='event_type:"purchase" OR event_type:"view"',
+        session_id_expr="resource_attributes['rum.sessionId']",
+        exists_condition="resource_attributes.rum.sessionId:*",
+        interaction_condition='component:"user-interaction"',
+        error_condition="status_code:error",
+        recording_condition='span_name:"record init"',
+        activity_condition='span_name:"record init" OR span_name:"visibility"',
     )
 
 
@@ -2330,60 +2397,69 @@ def q_session_list(spark, sf_dir):
     HAVING user-activity-or-recording, newest last-activity first."""
     from hyperdx_spark.sessions import session_list
 
+    _rum_spans(spark, sf_dir)
     return session_list(
-        spark, _src(), _session_spec(), RANGE, sf_dir=sf_dir, limit=50
+        spark, _rum_src(), _session_spec(), RANGE, sf_dir=sf_dir, limit=50
     )
 
 
 O_SESSION_LIST = f"""
-WITH s AS (
-  SELECT user_id AS sessionId,
+WITH {O_RUM_CTE},
+s AS (
+  SELECT sessionId,
          min(ts) AS minTimestamp, max(ts) AS maxTimestamp,
          count(*) AS sessionCount,
-         count(*) FILTER (event_type = 'click') AS interactionCount,
-         count(*) FILTER (event_type = 'error') AS errorCount,
-         count(*) FILTER (event_type = 'purchase') AS recordingCount
-  FROM events
-  WHERE {TIME_WHERE} AND user_id IS NOT NULL
+         count(*) FILTER (component = 'user-interaction') AS interactionCount,
+         count(*) FILTER (status_code = 'error') AS errorCount,
+         count(*) FILTER (span_name = 'record init') AS recordingCount
+  FROM rum
   GROUP BY 1
-  HAVING count(*) FILTER (event_type = 'click') > 0
-      OR count(*) FILTER (event_type = 'purchase') > 0)
+  HAVING count(*) FILTER (component = 'user-interaction') > 0
+      OR count(*) FILTER (span_name = 'record init') > 0)
 SELECT * FROM s ORDER BY maxTimestamp DESC LIMIT 50
 """
 
 
 def q_session_filtered(spark, sf_dir):
     """User-search branch: sessions matching the search, kept only when the
-    session also shows real user activity (record-init/visibility analogue)."""
+    session also appears in the recordings source OR shows real user
+    activity (record-init/visibility spans) — both correlation branches."""
     from hyperdx_spark.sessions import session_list
 
+    _rum_spans(spark, sf_dir)
     return session_list(
         spark,
-        _src(),
+        _rum_src(),
         _session_spec(),
         RANGE,
-        where="value >= 95",
+        where="duration >= 95",
         where_language="sql",
+        session_source=Source(
+            table="rum_recordings", timestamp_value_expression="ts"
+        ),
         sf_dir=sf_dir,
         limit=50,
     )
 
 
 O_SESSION_FILTERED = f"""
-WITH s AS (
-  SELECT user_id AS sessionId,
+WITH {O_RUM_CTE},
+s AS (
+  SELECT sessionId,
          min(ts) AS minTimestamp, max(ts) AS maxTimestamp,
          count(*) AS sessionCount,
-         count(*) FILTER (event_type = 'click') AS interactionCount,
-         count(*) FILTER (event_type = 'error') AS errorCount,
-         count(*) FILTER (event_type = 'purchase') AS recordingCount
-  FROM events
-  WHERE {TIME_WHERE} AND user_id IS NOT NULL AND value >= 95
+         count(*) FILTER (component = 'user-interaction') AS interactionCount,
+         count(*) FILTER (status_code = 'error') AS errorCount,
+         count(*) FILTER (span_name = 'record init') AS recordingCount
+  FROM rum
+  WHERE duration >= 95
   GROUP BY 1
   ORDER BY maxTimestamp DESC LIMIT 50),
 act AS (
-  SELECT DISTINCT user_id AS sessionId FROM events
-  WHERE {TIME_WHERE} AND (event_type = 'purchase' OR event_type = 'view'))
+  SELECT DISTINCT sessionId FROM rum WHERE span_name = 'record init'
+  UNION
+  SELECT DISTINCT sessionId FROM rum
+  WHERE span_name IN ('record init', 'visibility'))
 SELECT * FROM s SEMI JOIN act USING (sessionId)
 """
 

@@ -34,6 +34,54 @@ def test_session_list_default_having(spark, sf_dir, events_source):
     assert all(r["minTimestamp"] <= r["maxTimestamp"] for r in rows)
 
 
+def test_session_list_rum_shaped_fixture(spark, sf_dir):
+    """rum.sessionId-shaped source: the session id lives in a map-typed
+    resource_attributes column under a DOTTED key, span roles are real span
+    names, and the (user, day) key gives skew where the default-view HAVING
+    genuinely filters (sessions.ts:93-199 shape)."""
+    import __spark_entry__ as entry
+    from hyperdx_spark.model import Source
+    from pyspark.sql import functions as F
+
+    entry._rum_spans(spark, sf_dir)
+    out = session_list(
+        spark, entry._rum_src(), entry._session_spec(), RANGE,
+        sf_dir=sf_dir, limit=10_000,
+    )
+    rows = out.collect()
+    assert rows
+    # HAVING holds on every kept row
+    assert all(r["interactionCount"] > 0 or r["recordingCount"] > 0 for r in rows)
+    # the fixture has skew: interaction-only AND recording-only sessions both
+    # exist, and some sessions were dropped by the HAVING
+    assert any(r["interactionCount"] > 0 and r["recordingCount"] == 0 for r in rows)
+    assert any(r["interactionCount"] == 0 and r["recordingCount"] > 0 for r in rows)
+    all_sessions = (
+        spark.table("rum_spans")
+        .where("ts >= timestamp'2024-01-01' AND ts <= timestamp'2024-02-01'")
+        .select(F.expr("resource_attributes['rum.sessionId']").alias("sid"))
+        .where("sid IS NOT NULL").distinct().count()
+    )
+    assert all_sessions > len(rows)  # HAVING dropped some sessions
+    # dual-branch search: recordings session-source + activity condition
+    filt = session_list(
+        spark, entry._rum_src(), entry._session_spec(), RANGE,
+        where="duration >= 95", where_language="sql",
+        session_source=Source(table="rum_recordings",
+                              timestamp_value_expression="ts"),
+        sf_dir=sf_dir, limit=10_000,
+    ).collect()
+    assert filt
+    keep_ok = {
+        r["sid"]
+        for r in spark.table("rum_spans")
+        .where("span_name IN ('record init', 'visibility')")
+        .select(F.expr("resource_attributes['rum.sessionId']").alias("sid"))
+        .distinct().collect()
+    }
+    assert all(r["sessionId"] in keep_ok for r in filt)
+
+
 def test_session_list_search_branch_semi_join(spark, sf_dir, events_source):
     # search branch drops HAVING and keeps only sessions with activity
     out = session_list(
