@@ -1,0 +1,115 @@
+"""Build a larger scale factor from the driver's sf0.1 parquet, for
+superlinearity checks (VERDICT r3 #9: prove the audited plans scale with
+data, empirically).
+
+Replicates every fact table N times with consistently shifted keys so join
+degrees, group cardinalities, and dup-cluster structure scale linearly —
+i.e. the data GROWS the way real data grows instead of producing
+pathological exact duplicates:
+
+* TPC-H keys (cust/supp/part/order) shift by a per-table stride per
+  replica, and foreign keys shift in lockstep, so every join fans out
+  exactly as at sf0.1 — just 10x more of them. region/nation stay fixed
+  (TPC-H dims don't scale).
+* events: 10x users, 10x event density over the SAME time range (how an
+  observability workload actually grows).
+* documents: replica text is passed through a per-replica consonant
+  rotation (translate), so intra-replica near-dup structure is preserved
+  while cross-replica similarity collapses — LSH/shingle workloads scale
+  ~linearly instead of quadratically in candidate pairs.
+* embeddings: per-replica epsilon shift so no exact-duplicate vectors.
+
+Usage: python tools/make_scale.py [N] [src_dir] [dst_dir]
+       (defaults: 10 /root/testdata/sf0.1 /root/repo/.scale/sf1)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+ROT = "etaoinsr"  # letters rotated per replica for document text
+
+
+def _perm(i: int) -> str:
+    return ROT[i % len(ROT):] + ROT[: i % len(ROT)]
+
+
+def build(n: int, src: str, dst: str) -> None:
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW reps AS SELECT unnest(range({n})) AS i")
+
+    def t(name: str) -> str:
+        return f"read_parquet('{src}/{name}.parquet')"
+
+    def stride(name: str, key: str) -> int:
+        return con.sql(f"SELECT max({key}) + 1 FROM {t(name)}").fetchone()[0]
+
+    s_c = stride("customer", "c_custkey")
+    s_s = stride("supplier", "s_suppkey")
+    s_p = stride("part", "p_partkey")
+    s_o = stride("orders", "o_orderkey")
+    s_e = stride("events", "event_id")
+    s_u = stride("events", "user_id")
+    s_d = stride("documents", "doc_id")
+    s_v = stride("embeddings", "vec_id")
+
+    def emit(name: str, select: str) -> None:
+        out = f"{dst}/{name}.parquet"
+        con.sql(f"COPY ({select}) TO '{out}' (FORMAT PARQUET)")
+        rows = con.sql(f"SELECT count(*) FROM read_parquet('{out}')").fetchone()[0]
+        print(f"{name}: {rows} rows")
+
+    for dim in ("region", "nation"):
+        emit(dim, f"SELECT * FROM {t(dim)}")
+    emit("customer", f"""
+        SELECT c_custkey + i * {s_c} AS c_custkey, c_name,
+               c_nationkey, c_acctbal, c_mktsegment
+        FROM {t('customer')} CROSS JOIN reps""")
+    emit("supplier", f"""
+        SELECT s_suppkey + i * {s_s} AS s_suppkey,
+               * EXCLUDE (s_suppkey)
+        FROM {t('supplier')} CROSS JOIN reps""")
+    emit("part", f"""
+        SELECT p_partkey + i * {s_p} AS p_partkey, * EXCLUDE (p_partkey)
+        FROM {t('part')} CROSS JOIN reps""")
+    emit("orders", f"""
+        SELECT o_orderkey + i * {s_o} AS o_orderkey,
+               o_custkey + i * {s_c} AS o_custkey,
+               o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        FROM {t('orders')} CROSS JOIN reps""")
+    emit("lineitem", f"""
+        SELECT l_orderkey + i * {s_o} AS l_orderkey,
+               l_partkey + i * {s_p} AS l_partkey,
+               l_suppkey + i * {s_s} AS l_suppkey,
+               l_linenumber, l_quantity, l_extendedprice, l_discount,
+               l_tax, l_returnflag, l_linestatus, l_shipdate
+        FROM {t('lineitem')} CROSS JOIN reps""")
+    emit("events", f"""
+        SELECT event_id + i * {s_e} AS event_id, ts,
+               user_id + i * {s_u} AS user_id, event_type, value, props
+        FROM {t('events')} CROSS JOIN reps""")
+    text_case = "CASE i WHEN 0 THEN text " + " ".join(
+        f"WHEN {i} THEN translate(text, '{ROT}', '{_perm(i)}')"
+        for i in range(1, n)
+    ) + " END"
+    emit("documents", f"""
+        SELECT doc_id + i * {s_d} AS doc_id, {text_case} AS text,
+               lang, source, n_chars
+        FROM {t('documents')} CROSS JOIN reps""")
+    emit("embeddings", f"""
+        SELECT vec_id + i * {s_v} AS vec_id,
+               CAST(list_transform(embedding, x -> x + i * 0.001e0)
+                    AS FLOAT[]) AS embedding,
+               label
+        FROM {t('embeddings')} CROSS JOIN reps""")
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    dst = sys.argv[3] if len(sys.argv) > 3 else "/root/repo/.scale/sf1"
+    build(n, src, dst)
