@@ -64,9 +64,18 @@ def get_spark(app_name: str = "hyperdx_spark", cpus: int | None = None) -> Spark
         .config("spark.sql.shuffle.partitions", str(max(cpus, 32)))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
-        # files: keep per-task input ~128MB so a 100 TB scan fans out to
-        # ~800k tasks instead of a handful of huge ones
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Split size trades scheduling overhead against parallelism. On a
+        # 1000-executor cluster reading 100 TB the Spark default (128 MB ->
+        # ~800k tasks) is right, and a deployment would leave it alone. This
+        # harness runs local[32] over sf<=1 parquet (tens of MB/table): at
+        # 128 MB a whole table is 1-2 splits and 30 cores idle through every
+        # scan-heavy query, so default to 8 MB here (sf1 documents -> 8
+        # tasks; measured 3-4x on the HOF-heavy text/codec queries).
+        # Env-overridable for cluster-profile runs.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "8388608"),
+        )
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
