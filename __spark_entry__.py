@@ -1505,6 +1505,7 @@ def q_text_stats(spark, sf_dir):
         # interpreted Catalyst fold; agrees to 1e-9 and the gated column is
         # round(avg, 4), so the DuckDB hash compare is unaffected)
         .withColumn("__ent", text.char_entropy("text", arrow=True))
+        .withColumn("__bpe", text.bpe_token_count("text"))
         .withColumn("__dlf", text.duplicate_line_fraction("text"))
         .withColumn("__n_email", pii["email"])
         .withColumn("__n_ipv4", pii["ipv4"])
@@ -1519,6 +1520,7 @@ def q_text_stats(spark, sf_dir):
             F.round(F.avg("__dlf"), 4).alias("avg_dup_line"),
             F.sum("__n_email").alias("n_email"),
             F.sum("__n_ipv4").alias("n_ipv4"),
+            F.sum("__bpe").alias("total_bpe_tokens"),
         )
     )
     return out
@@ -1558,6 +1560,13 @@ _DUP_LINE = (
 )
 _EMAIL_PAT = "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'"
 _IPV4_PAT = r"'\b(?:\d{1,3}\.){3}\d{1,3}\b'"
+# GPT-2 pre-tokenizer piece count (text.bpe_token_count replay): the pattern
+# splits identically under Java regex and RE2; whitespace-run pieces excluded
+_BPE_PAT_SQL = "'" + text.BPE_PRETOKEN_PATTERN.replace("'", "''") + "'"
+_BPE_COUNT = (
+    f"len(list_filter(regexp_extract_all(text, {_BPE_PAT_SQL}),"
+    " p -> trim(p) != ''))"
+)
 O_TEXT_STATS = f"""
 SELECT source,
        count(*) AS n_docs,
@@ -1568,7 +1577,8 @@ SELECT source,
        round(avg({_ENTROPY}), 4) AS avg_entropy,
        round(avg({_DUP_LINE}), 4) AS avg_dup_line,
        sum(len(regexp_extract_all(text, {_EMAIL_PAT})))::BIGINT AS n_email,
-       sum(len(regexp_extract_all(text, {_IPV4_PAT})))::BIGINT AS n_ipv4
+       sum(len(regexp_extract_all(text, {_IPV4_PAT})))::BIGINT AS n_ipv4,
+       sum({_BPE_COUNT})::BIGINT AS total_bpe_tokens
 FROM documents GROUP BY 1
 """
 
@@ -1612,6 +1622,42 @@ def q_ngram_jaccard(spark, sf_dir):
     df = _docs_with_near_dups(spark, sf_dir)
     out = dedup.ngram_jaccard_pairs(df, n=3, threshold=0.6)
     return _round4(out)
+
+
+def q_winnow_pairs(spark, sf_dir):
+    """Partial-copy pairs via winnowing fingerprints (Schleimer'03 / MOSS;
+    dedup.winnow_pairs): rolling md5-prefix k-gram hashes, per-window
+    minima, inverted-index join on shared fingerprints. The %5 subset
+    bounds the O(len*w) interpreted fingerprint cost in the gate while
+    keeping every mutated near-dup (doc_id%10==0 implies %5==0)."""
+    df = _docs_with_near_dups(spark, sf_dir).where(F.col("doc_id") % 5 == 0)
+    out = dedup.winnow_pairs(df, k=8, w=16, threshold=0.2)
+    return _round4(out)
+
+
+O_WINNOW_PAIRS = f"""
+WITH {O_DOCS_NEAR},
+nw AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t
+       FROM docs_near WHERE doc_id % 5 = 0),
+g AS (SELECT doc_id,
+        list_transform(generate_series(1, greatest(length(t) - 7, 1)),
+          i -> CAST(('0x' || substr(md5(substr(t, i::INT, 8)), 1, 15)) AS BIGINT)) AS gh
+      FROM nw WHERE length(t) > 0),
+fps AS (SELECT doc_id,
+        list_distinct(list_transform(
+            generate_series(1, greatest(len(gh) - 15, 1)),
+            j -> list_min(gh[j:least(j + 15, len(gh))]))) AS f_arr
+        FROM g),
+ex AS (SELECT doc_id, unnest(f_arr) AS f FROM fps),
+sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM ex a JOIN ex b USING (f) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(n_inter::DOUBLE / (sa.sz + sb.sz - n_inter), 4) AS overlap
+FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_inter::DOUBLE / (sa.sz + sb.sz - n_inter) >= 0.2
+"""
 
 
 O_NGRAM_JACCARD = f"""
@@ -2991,7 +3037,11 @@ def q_neardup_pairs(spark, sf_dir):
     em = q_embedding_dedup(spark, sf_dir).select(
         F.lit("embed").alias("part"), "id_a", "id_b", F.col("cos").alias("score")
     )
-    return jac.unionByName(mh).unionByName(sh).unionByName(em)
+    wn = q_winnow_pairs(spark, sf_dir).select(
+        F.lit("winnow").alias("part"), "id_a", "id_b",
+        F.col("overlap").alias("score"),
+    )
+    return jac.unionByName(mh).unionByName(sh).unionByName(em).unionByName(wn)
 
 
 O_NEARDUP_PAIRS = f"""
@@ -3002,6 +3052,8 @@ UNION ALL
 SELECT 'simhash' AS part, id_a, id_b, hamming::DOUBLE AS score FROM ({O_SIMHASH_PAIRS})
 UNION ALL
 SELECT 'embed' AS part, id_a, id_b, cos AS score FROM ({O_EMBEDDING_DEDUP})
+UNION ALL
+SELECT 'winnow' AS part, id_a, id_b, overlap AS score FROM ({O_WINNOW_PAIRS})
 """
 
 

@@ -207,6 +207,74 @@ def ngram_jaccard_pairs(
     return out
 
 
+# ---------------------------------------------------------------- winnowing
+
+def winnow_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 16,
+    threshold: float = 0.3,
+    max_fp_df: Optional[int] = None,
+) -> DataFrame:
+    """Partial-copy candidate pairs via winnowing fingerprints
+    (text.winnow_fingerprints; Schleimer'03). Same inverted-index shape as
+    :func:`ngram_jaccard_pairs` — explode fingerprints, group postings,
+    emit in-posting pairs, Jaccard over fingerprint SETS — but the
+    fingerprints are character-level rolling-hash minima, so two documents
+    sharing any >= w+k-1-char run are guaranteed a candidate pair even when
+    their word shingles barely overlap (boilerplate headers, quoted
+    passages, partial plagiarism).
+
+    ``max_fp_df`` drops fingerprints present in more than that many docs
+    (universal boilerplate) to bound join fan-out at corpus scale.
+    Returns (id_a, id_b, overlap) with id_a < id_b, overlap = fingerprint
+    Jaccard >= threshold.
+    """
+    from hyperdx_spark.pipeline.text import winnow_fingerprint_rows
+
+    # rows form: gram hashes evaluate once per doc, window minima slide via
+    # a codegen'd frame aggregate (the Column form re-evaluates the gram
+    # array per window — see winnow_fingerprints' cost warning)
+    fp = winnow_fingerprint_rows(
+        df, text_col=text_col, id_col=id_col, k=k, w=w
+    ).persist()
+    postings = fp.groupBy("f").agg(F.sort_array(F.collect_set("id")).alias("ids"))
+    if max_fp_df is not None:
+        postings = postings.where(F.size("ids") <= max_fp_df)
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
+        )
+    )
+    inter = (
+        postings.where(F.size("ids") > 1)
+        .select(pair.alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = fp.groupBy("id").agg(F.count("*").alias("sz"))
+    return (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), on="id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), on="id_b")
+        .withColumn(
+            "overlap",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .where(F.col("overlap") >= threshold)
+        .select("id_a", "id_b", "overlap")
+    )
+
+
 # ---------------------------------------------------------------- minhash
 
 def minhash_signature(text_col: str, num_hashes: int = 32, ngram: int = 3) -> Column:

@@ -87,6 +87,135 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(normalized)
 
 
+# GPT-2-style byte-pair-encoding pre-tokenizer pattern (the public pattern
+# from the GPT-2 release), minus its trailing-whitespace lookahead branch
+# `\s+(?!\S)` — RE2 (DuckDB) has no lookahead, and dropping it only changes
+# how runs of whitespace split, which the count below excludes anyway. The
+# remaining branches are identical: contractions, optionally space-prefixed
+# letter runs / digit runs / symbol runs, whitespace runs.
+BPE_PRETOKEN_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
+
+def bpe_pretokens(col: Column | str) -> Column:
+    """GPT-2-style pre-token pieces (whitespace-run matches excluded).
+
+    This is the splitting stage every byte-level BPE tokenizer runs before
+    its merge table; each piece maps to >= 1 BPE tokens, so `size()` of this
+    is a lower-bound token-count proxy for LLM budget estimation (multiply
+    by a corpus-calibrated ~1.1-1.4 for a merge-table-free estimate).
+    Verified to split identically under Java regex (Spark) and RE2 (DuckDB),
+    so pipelines keyed on it stay oracle-checkable."""
+    c = F.col(col) if isinstance(col, str) else col
+    pieces = F.regexp_extract_all(c, F.lit(BPE_PRETOKEN_PATTERN), F.lit(0))
+    return F.filter(pieces, lambda p: F.trim(p) != "")
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Count of BPE pre-token pieces — the ``token counting (BPE-ish
+    regex)`` tier next to the whitespace/alnum :func:`token_count`."""
+    return F.size(bpe_pretokens(col))
+
+
+def winnow_fingerprints(
+    col: Column | str, *, k: int = 8, w: int = 16
+) -> Column:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 — the MOSS local document-fingerprinting algorithm).
+
+    Rolling k-gram hashes over the normalized text; from every window of
+    ``w`` consecutive gram hashes keep the minimum. Guarantee: any substring
+    match of length >= w + k - 1 between two documents contributes at least
+    one SHARED fingerprint — so fingerprint-set overlap detects partial
+    copies (quote/boilerplate reuse) that whole-document hashing misses and
+    word-shingle Jaccard under-weights.
+
+    Hashes are the md5-prefix 60-bit integers used across the pipeline
+    (`sampling.py` keys) — bit-identical in DuckDB, so winnow joins stay
+    inside the oracle gate. Returns a sorted distinct array<long>; empty
+    array for empty/whitespace-only text.
+
+    COST WARNING — single-expression form, small inputs only: Catalyst
+    inlines the captured gram-hash array into the window lambda and
+    interpreted HOFs do no common-subexpression elimination, so the k-gram
+    hashes are re-evaluated once PER WINDOW — O(len^2) md5 calls (measured
+    ~2 s for a 300-char doc). Corpus pipelines must use
+    :func:`winnow_fingerprint_rows`, which evaluates the grams once and
+    slides the window with a codegen'd frame aggregate (~1000x).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    norm = F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+    n = F.length(norm)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1))),
+        lambda i: F.conv(
+            F.substring(F.md5(F.substring(norm, i, k)), 1, 15), 16, 10
+        ).cast("long"),
+    )
+    m = F.size(grams)
+    wins = F.transform(
+        F.sequence(F.lit(1), F.greatest(m - F.lit(w - 1), F.lit(1))),
+        lambda j: F.array_min(F.slice(grams, j, F.least(F.lit(w), m))),
+    )
+    return F.when(n > 0, F.array_sort(F.array_distinct(wins))).otherwise(
+        F.array().cast("array<long>")
+    )
+
+
+def winnow_fingerprint_rows(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 16,
+) -> DataFrame:
+    """(id, f) winnowing fingerprint rows — the corpus-scale form of
+    :func:`winnow_fingerprints` (same selected hashes, same DuckDB replay).
+
+    Plan shape: one projection evaluates the k-gram md5 hashes ONCE per
+    document (``posexplode`` of the gram array), then the w-window minimum
+    slides via a codegen'd frame aggregate
+    (``min(h) OVER (PARTITION BY id ORDER BY pos ROWS w-1 FOLLOWING)``) and
+    window starts beyond ``max(m-w+1, 1)`` are dropped. Everything after
+    the explode is whole-stage codegen; the per-document shuffle+sort
+    partitions by id, so documents process independently at any corpus
+    size. ~1000x the single-expression Column form (which re-evaluates the
+    gram array per window — see its docstring).
+    """
+    from pyspark.sql import Window
+
+    c = F.col(text_col)
+    norm = F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+    # gram hashes, evaluated once per document at the explode
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))),
+        lambda i: F.conv(
+            F.substring(F.md5(F.substring(norm, i, k)), 1, 15), 16, 10
+        ).cast("long"),
+    )
+    rows = (
+        df.where(F.length(norm) > 0)
+        .select(
+            F.col(id_col).alias("id"),
+            F.posexplode(grams).alias("pos", "h"),
+        )
+    )
+    win = (
+        Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
+    )
+    cnt = Window.partitionBy("id")
+    return (
+        rows.withColumn("f", F.min("h").over(win))
+        .withColumn("__m", F.count("*").over(cnt))
+        .where(F.col("pos") <= F.greatest(F.col("__m") - F.lit(w), F.lit(0)))
+        .select("id", "f")
+        .distinct()
+    )
+
+
 def analyze(
     df: DataFrame, text_col: str = "text", lang_threshold: float = 0.08
 ) -> DataFrame:

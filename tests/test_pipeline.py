@@ -634,3 +634,109 @@ def test_phone_pattern_skips_timestamps(spark):
     assert "<PHONE>" in out[1] and "<PHONE>" in out[2] and "<PHONE>" in out[5]
     assert out[3] == "2024-01-02 03:04:05 INFO started"
     assert out[4] == "span 1234.5678 took 12.5 ms"
+
+
+def test_bpe_token_count_vs_python_reference(spark, sf_dir):
+    """GPT-2 pre-tokenizer piece counts vs a pure-Python re reference (the
+    `regex` module pattern minus the RE2-incompatible lookahead branch)."""
+    import re
+
+    from hyperdx_spark.io import load_table
+    from hyperdx_spark.pipeline import text as T
+
+    # Python re lacks \p{L}; mirror with ASCII classes on ASCII fixtures
+    pat = re.compile(
+        r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+    )
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    rows = docs.select(
+        "doc_id", "text", T.bpe_token_count("text").alias("n")
+    ).collect()
+    assert rows
+    for r in rows:
+        expect = sum(1 for m in pat.finditer(r["text"]) if m.group().strip())
+        assert r["n"] == expect, (r["doc_id"], r["n"], expect)
+    # pieces lower-bound real BPE counts; sanity on the alnum tokenizer too
+    counts = docs.select(
+        T.token_count("text").alias("alnum"), T.bpe_token_count("text").alias("bpe")
+    ).collect()
+    assert all(c["bpe"] >= c["alnum"] for c in counts)  # punctuation adds pieces
+
+
+def test_winnow_fingerprints_guarantee(spark):
+    """Winnowing guarantee (Schleimer'03 thm): documents sharing a substring
+    of length >= w + k - 1 share at least one fingerprint."""
+    from hyperdx_spark.pipeline import text as T
+
+    k, w = 8, 16
+    shared = "x" * 0 + "this exact sentence is long enough to be guaranteed"
+    assert len(shared) >= w + k - 1
+    df = spark.createDataFrame(
+        [
+            (1, "prefix alpha " + shared + " suffix one"),
+            (2, "totally different start " + shared + " and another ending"),
+            (3, "no overlap with anything else at all, none whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {
+        r["doc_id"]: set(r["f"])
+        for r in df.select(
+            "doc_id", T.winnow_fingerprints("text", k=k, w=w).alias("f")
+        ).collect()
+    }
+    assert fps[1] & fps[2], "shared substring must share a fingerprint"
+    assert not (fps[1] & fps[3] or fps[2] & fps[3])
+    # deterministic: sorted distinct
+    one = df.where("doc_id = 1").select(
+        T.winnow_fingerprints("text", k=k, w=w).alias("f")
+    ).collect()[0]["f"]
+    assert one == sorted(set(one))
+
+
+def test_winnow_pairs_partial_copy(spark):
+    from hyperdx_spark.pipeline import dedup
+
+    quote = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [
+            (1, quote * 2),
+            (2, "completely unrelated document about query optimizers"),
+            (3, "a report that quotes: " + quote + " as its only overlap"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = dedup.winnow_pairs(df, threshold=0.05).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 3)]
+    # max_fp_df=1 drops every shared fingerprint -> no pairs survive
+    assert dedup.winnow_pairs(df, threshold=0.05, max_fp_df=1).count() == 0
+
+
+def test_winnow_rows_form_matches_column_form(spark, sf_dir):
+    """The corpus-scale rows form (posexplode + frame-aggregate sliding min)
+    must select exactly the fingerprints of the single-expression Column
+    form, which is the spec (and what the DuckDB oracle replays)."""
+    from pyspark.sql import functions as F
+
+    from hyperdx_spark.io import load_table
+    from hyperdx_spark.pipeline import text as T
+
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    col_form = {
+        r["doc_id"]: list(r["f"])
+        for r in docs.select(
+            "doc_id", T.winnow_fingerprints("text").alias("f")
+        ).collect()
+    }
+    rows_form = {
+        r["id"]: list(r["f"])
+        for r in T.winnow_fingerprint_rows(docs)
+        .groupBy("id").agg(F.sort_array(F.collect_set("f")).alias("f"))
+        .collect()
+    }
+    # rows form omits empty-text docs entirely; otherwise identical
+    assert set(col_form) - set(rows_form) == {
+        d for d, f in col_form.items() if not f
+    }
+    for d, f in rows_form.items():
+        assert f == col_form[d]
