@@ -1493,9 +1493,11 @@ GROUP BY 1, 2 ORDER BY total_spend DESC, c_custkey LIMIT 10
 # --------------------------------------------------------------------------
 
 def q_text_stats(spark, sf_dir):
-    """Corpus text signals per source: token/quality/language stats plus the
-    round-3 quality tier — char entropy (run-length fold), Gopher duplicate-
-    line fraction, and PII audit counts (email/ipv4 regex hits)."""
+    """Corpus text signals per source: token/quality/language stats, char
+    entropy (Arrow worker), Gopher duplicate-line fraction, PII audit counts
+    (email/ipv4 regex hits), GPT-2 pre-token counts (bpe_token_count), and
+    the paper filter tiers — Gopher quality conjunction (Rae'21 A1.1) and
+    C4 page-keep (Raffel'20 §2.2) — each DuckDB-replayed rule for rule."""
     docs = load_table(spark, sf_dir, "documents")
     pii = text.pii_counts("text")
     out = (
@@ -1506,6 +1508,9 @@ def q_text_stats(spark, sf_dir):
         # round(avg, 4), so the DuckDB hash compare is unaffected)
         .withColumn("__ent", text.char_entropy("text", arrow=True))
         .withColumn("__bpe", text.bpe_token_count("text"))
+        # staged filter forms (arrays evaluated once per row, not per rule)
+        .transform(text.gopher_filter)
+        .transform(text.c4_filter)
         .withColumn("__dlf", text.duplicate_line_fraction("text"))
         .withColumn("__n_email", pii["email"])
         .withColumn("__n_ipv4", pii["ipv4"])
@@ -1521,6 +1526,8 @@ def q_text_stats(spark, sf_dir):
             F.sum("__n_email").alias("n_email"),
             F.sum("__n_ipv4").alias("n_ipv4"),
             F.sum("__bpe").alias("total_bpe_tokens"),
+            F.count_if(F.col("gopher_pass")).alias("n_gopher_pass"),
+            F.count_if(F.col("c4_keep")).alias("n_c4_keep"),
         )
     )
     return out
@@ -1567,6 +1574,46 @@ _BPE_COUNT = (
     f"len(list_filter(regexp_extract_all(text, {_BPE_PAT_SQL}),"
     " p -> trim(p) != ''))"
 )
+
+# Gopher quality-filter conjunction (text.gopher_flags replay, paper
+# thresholds) and the C4 page-keep flag (text.c4_flags replay)
+_WORDS = r"list_filter(string_split_regex(trim(text), '\s+'), w -> w != '')"
+_LINES = "list_filter(string_split(text, chr(10)), l -> trim(l) != '')"
+_GOPHER_PASS = f"""(
+  len({_WORDS}) BETWEEN 50 AND 100000
+  AND (CASE WHEN len({_WORDS}) > 0 THEN
+        coalesce(list_sum(list_transform({_WORDS}, w -> length(w))), 0)::DOUBLE
+        / len({_WORDS}) ELSE 0.0 END) BETWEEN 3.0 AND 10.0
+  AND (CASE WHEN len({_WORDS}) > 0 THEN
+        (length(text) - length(replace(text, '#', ''))
+         + (length(text) - length(replace(text, '...', ''))) / 3.0)::DOUBLE
+        / len({_WORDS}) ELSE 0.0 END) <= 0.1
+  AND (CASE WHEN len({_LINES}) > 0 THEN
+        len(list_filter({_LINES}, l -> ltrim(l) LIKE '-%' OR ltrim(l) LIKE '*%'
+                                        OR ltrim(l) LIKE '•%'))::DOUBLE
+        / len({_LINES}) ELSE 0.0 END) <= 0.9
+  AND (CASE WHEN len({_LINES}) > 0 THEN
+        len(list_filter({_LINES}, l -> rtrim(l) LIKE '%...'
+                                        OR rtrim(l) LIKE '%…'))::DOUBLE
+        / len({_LINES}) ELSE 0.0 END) <= 0.3
+  AND (CASE WHEN len({_WORDS}) > 0 THEN
+        len(list_filter({_WORDS}, w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE
+        / len({_WORDS}) ELSE 0.0 END) >= 0.8
+  AND len(list_filter(['the','be','to','of','and','that','have','with'],
+                      s -> list_contains({_TOKS}, s))) >= 2
+)"""
+_C4_CLEANED = (
+    f"array_to_string(list_filter({_LINES},"
+    " l -> (rtrim(l) LIKE '%.' OR rtrim(l) LIKE '%!' OR rtrim(l) LIKE '%?'"
+    " OR rtrim(l) LIKE '%\"')"
+    r" AND len(list_filter(string_split_regex(trim(l), '\s+'), w -> w != ''))"
+    " >= 3), chr(10))"
+)
+_C4_KEEP = f"""(
+  NOT contains(lower(text), 'lorem ipsum') AND NOT contains(text, '{{')
+  AND len(list_filter(string_split_regex({_C4_CLEANED}, '[.!?]'),
+                      s -> trim(s) != '')) >= 5
+)"""
 O_TEXT_STATS = f"""
 SELECT source,
        count(*) AS n_docs,
@@ -1578,7 +1625,9 @@ SELECT source,
        round(avg({_DUP_LINE}), 4) AS avg_dup_line,
        sum(len(regexp_extract_all(text, {_EMAIL_PAT})))::BIGINT AS n_email,
        sum(len(regexp_extract_all(text, {_IPV4_PAT})))::BIGINT AS n_ipv4,
-       sum({_BPE_COUNT})::BIGINT AS total_bpe_tokens
+       sum({_BPE_COUNT})::BIGINT AS total_bpe_tokens,
+       count(*) FILTER ({_GOPHER_PASS}) AS n_gopher_pass,
+       count(*) FILTER ({_C4_KEEP}) AS n_c4_keep
 FROM documents GROUP BY 1
 """
 

@@ -164,6 +164,208 @@ def winnow_fingerprints(
     )
 
 
+# ---------------------------------------------------------------------------
+# Corpus filters — Gopher quality rules (Rae et al. 2021, A1.1) and C4
+# heuristics (Raffel et al. 2020, §2.2). Every rule is a built-in-function
+# Column (JVM-side, DuckDB-replayable); thresholds default to the papers'.
+# ---------------------------------------------------------------------------
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def words(col: Column | str) -> Column:
+    """Whitespace-delimited words (the unit Gopher/C4 rules count),
+    as opposed to :func:`tokens` (alphanumeric runs)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda x: x != "")
+
+
+def _nonempty_lines(c: Column) -> Column:
+    return F.filter(F.split(c, "\n"), lambda l: F.trim(l) != "")
+
+
+def gopher_flags(
+    col: Column | str,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+    _staged: tuple[Column, Column, Column] | None = None,
+) -> dict[str, Column]:
+    """Per-rule booleans of the Gopher quality filter (Rae et al. 2021,
+    Appendix A1.1) plus the ``pass`` conjunction. Returned keys:
+    word_count, mean_word_len, symbol_ratio, bullet_lines, ellipsis_lines,
+    alpha_words, stopwords, pass. (The paper's repetition rules live in
+    :func:`repetition_stats` / :func:`duplicate_line_fraction`.)
+
+    Single-expression form re-derives the word/line/token splits inside
+    each rule (no CSE across Column references) — fine for a few rules;
+    :func:`gopher_filter` stages the three arrays once per row first.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    if _staged is not None:
+        ws, lines_c, toks = _staged
+    else:
+        ws, lines_c, toks = words(c), _nonempty_lines(c), tokens(c)
+    n = F.size(ws)
+    nd = n.cast("double")
+    total_len = F.aggregate(ws, F.lit(0), lambda a, x: a + F.length(x))
+    mean_len = F.when(n > 0, total_len.cast("double") / nd).otherwise(F.lit(0.0))
+    hash_cnt = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    ell_cnt = (
+        F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    symbol_ratio = F.when(
+        n > 0, (hash_cnt + ell_cnt).cast("double") / nd
+    ).otherwise(F.lit(0.0))
+    lines = lines_c
+    nl = F.size(lines).cast("double")
+    bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: F.ltrim(l).startswith("-")
+            | F.ltrim(l).startswith("*")
+            | F.ltrim(l).startswith("•"),
+        )
+    )
+    ellipsis_l = F.size(
+        F.filter(
+            lines,
+            lambda l: F.rtrim(l).endswith("...") | F.rtrim(l).endswith("…"),
+        )
+    )
+    bullet_frac = F.when(nl > 0, bullet / nl).otherwise(F.lit(0.0))
+    ellipsis_frac = F.when(nl > 0, ellipsis_l / nl).otherwise(F.lit(0.0))
+    alpha_frac = F.when(
+        n > 0,
+        F.size(F.filter(ws, lambda x: x.rlike("[A-Za-z]"))).cast("double") / nd,
+    ).otherwise(F.lit(0.0))
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            lambda s: F.array_contains(toks, s),
+        )
+    )
+    flags = {
+        "word_count": (n >= min_words) & (n <= max_words),
+        "mean_word_len": (mean_len >= min_mean_word_len)
+        & (mean_len <= max_mean_word_len),
+        "symbol_ratio": symbol_ratio <= max_symbol_ratio,
+        "bullet_lines": bullet_frac <= max_bullet_line_frac,
+        "ellipsis_lines": ellipsis_frac <= max_ellipsis_line_frac,
+        "alpha_words": alpha_frac >= min_alpha_word_frac,
+        "stopwords": stop_hits >= min_stopword_hits,
+    }
+    acc = F.lit(True)
+    for v in flags.values():
+        acc = acc & v
+    flags["pass"] = acc
+    return flags
+
+
+def gopher_filter(
+    df: DataFrame, text_col: str = "text", *, keep_only: bool = False, **thresholds
+) -> DataFrame:
+    """Attach ``gopher_<rule>`` boolean columns + ``gopher_pass``;
+    ``keep_only=True`` filters to passing documents (the paper's action).
+
+    Stages the word/line/token arrays in one projection so every rule reads
+    the same evaluated arrays instead of re-running the splits (the
+    CollapseProject optimizer keeps the stage because the arrays are
+    non-cheap and multiply referenced)."""
+    staged = df.withColumns({
+        "__gf_ws": words(text_col),
+        "__gf_lines": _nonempty_lines(F.col(text_col)),
+        "__gf_toks": tokens(text_col),
+    })
+    flags = gopher_flags(
+        text_col,
+        _staged=(F.col("__gf_ws"), F.col("__gf_lines"), F.col("__gf_toks")),
+        **thresholds,
+    )
+    out = staged
+    for name, colv in flags.items():
+        out = out.withColumn(f"gopher_{name}", colv)
+    out = out.drop("__gf_ws", "__gf_lines", "__gf_toks")
+    return out.where(F.col("gopher_pass")) if keep_only else out
+
+
+def c4_clean_lines(
+    col: Column | str, *, min_words_per_line: int = 3
+) -> Column:
+    """C4's line filter (Raffel et al. 2020 §2.2): keep only lines that end
+    in terminal punctuation and have at least ``min_words_per_line`` words;
+    returns the retained lines re-joined with newlines."""
+    c = F.col(col) if isinstance(col, str) else col
+    kept = F.filter(
+        _nonempty_lines(c),
+        lambda l: (
+            F.rtrim(l).endswith(".")
+            | F.rtrim(l).endswith("!")
+            | F.rtrim(l).endswith("?")
+            | F.rtrim(l).endswith('"')
+        )
+        & (F.size(words(l)) >= min_words_per_line),
+    )
+    return F.array_join(kept, "\n")
+
+
+def c4_flags(
+    col: Column | str, *, min_sentences: int = 5
+) -> dict[str, Column]:
+    """C4 page-level keep/drop booleans: no 'lorem ipsum', no curly brace
+    (code), and >= min_sentences sentences AFTER the line filter; plus the
+    ``keep`` conjunction. (C4's bad-word list and its 3-sentence-span dedup
+    are policy/dedup-tier concerns — the hook is the same flag shape.)"""
+    c = F.col(col) if isinstance(col, str) else col
+    cleaned = c4_clean_lines(c)
+    sentences = F.size(
+        F.filter(F.split(cleaned, "[.!?]"), lambda s: F.trim(s) != "")
+    )
+    flags = {
+        "no_lorem": ~F.lower(c).contains("lorem ipsum"),
+        "no_brace": ~c.contains("{"),
+        "min_sentences": sentences >= min_sentences,
+    }
+    flags["keep"] = flags["no_lorem"] & flags["no_brace"] & flags["min_sentences"]
+    return flags
+
+
+def c4_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    keep_only: bool = False,
+    min_words_per_line: int = 3,
+    min_sentences: int = 5,
+) -> DataFrame:
+    """Attach ``text_c4`` (line-filtered text) + ``c4_<rule>`` booleans +
+    ``c4_keep``; ``keep_only=True`` drops failing pages."""
+    c = F.col(text_col)
+    out = df.withColumn(
+        "text_c4", c4_clean_lines(text_col, min_words_per_line=min_words_per_line)
+    )
+    # sentence rule reads the staged text_c4 column (line filter runs once)
+    sentences = F.size(
+        F.filter(F.split(F.col("text_c4"), "[.!?]"), lambda s: F.trim(s) != "")
+    )
+    flags = {
+        "no_lorem": ~F.lower(c).contains("lorem ipsum"),
+        "no_brace": ~c.contains("{"),
+        "min_sentences": sentences >= min_sentences,
+    }
+    flags["keep"] = flags["no_lorem"] & flags["no_brace"] & flags["min_sentences"]
+    for name, colv in flags.items():
+        out = out.withColumn(f"c4_{name}", colv)
+    return out.where(F.col("c4_keep")) if keep_only else out
+
+
 def winnow_fingerprint_rows(
     df: DataFrame,
     *,

@@ -740,3 +740,90 @@ def test_winnow_rows_form_matches_column_form(spark, sf_dir):
     }
     for d, f in rows_form.items():
         assert f == col_form[d]
+
+
+def test_gopher_and_c4_filters_vs_python_reference(spark, sf_dir):
+    """Gopher (Rae'21 A1.1) + C4 (Raffel'20 §2.2) filter flags vs a plain
+    Python re-implementation of the paper rules, over crafted docs + the
+    corpus sample."""
+    import re
+
+    from hyperdx_spark.io import load_table
+    from hyperdx_spark.pipeline import text as T
+
+    def py_gopher(t):
+        if t is None:
+            return None
+        ws = [w for w in re.split(r"\s+", t.strip()) if w]
+        n = len(ws)
+        mean = (sum(len(w) for w in ws) / n) if n else 0.0
+        sym = (t.count("#") + t.count("...")) / n if n else 0.0
+        lines = [l for l in t.split("\n") if l.strip()]
+        nl = len(lines)
+        bullets = sum(1 for l in lines if l.lstrip().startswith(("-", "*", "•")))
+        ells = sum(1 for l in lines if l.rstrip().endswith(("...", "…")))
+        alpha = sum(1 for w in ws if re.search("[A-Za-z]", w)) / n if n else 0.0
+        toks = [x for x in re.split("[^a-zA-Z0-9]+", t.lower()) if x]
+        stops = sum(1 for s in T.GOPHER_STOPWORDS if s in toks)
+        return (
+            50 <= n <= 100_000 and 3.0 <= mean <= 10.0 and sym <= 0.1
+            and (bullets / nl if nl else 0.0) <= 0.9
+            and (ells / nl if nl else 0.0) <= 0.3
+            and alpha >= 0.8 and stops >= 2
+        )
+
+    def py_c4(t):
+        if t is None:
+            return None
+        lines = [l for l in t.split("\n") if l.strip()]
+        kept = [
+            l for l in lines
+            if l.rstrip().endswith((".", "!", "?", '"'))
+            and len([w for w in re.split(r"\s+", l.strip()) if w]) >= 3
+        ]
+        cleaned = "\n".join(kept)
+        sents = len([s for s in re.split("[.!?]", cleaned) if s.strip()])
+        return (
+            "lorem ipsum" not in t.lower() and "{" not in t and sents >= 5
+        )
+
+    crafted = [
+        (101, "Short."),
+        (102, "A sensible paragraph of english prose with the usual words, "
+              "and it continues to ramble on with that familiar rhythm of "
+              "text that one would have expected to see in a web corpus. " * 3),
+        (103, "- a\n- b\n- c\n" * 30),
+        (104, "waiting... for more... always more...\n" * 40),
+        (105, "x { code(); }"),
+        (106, None),
+    ]
+    docs = (
+        load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(60)
+        .unionByName(spark.createDataFrame(crafted, "doc_id long, text string"))
+    )
+    out = T.c4_filter(T.gopher_filter(docs))
+    for r in out.select("doc_id", "text", "gopher_pass", "c4_keep").collect():
+        assert bool(r["gopher_pass"]) == bool(py_gopher(r["text"])), r["doc_id"]
+        # NULL text: SQL three-valued AND collapses to False via the
+        # sentence-count conjunct; the Python reference returns None -> both
+        # mean "not kept"
+        assert bool(r["c4_keep"]) == bool(py_c4(r["text"])), r["doc_id"]
+
+
+def test_gopher_c4_keep_only(spark):
+    from hyperdx_spark.pipeline import text as T
+
+    good = ("A sensible paragraph of english prose with the usual words, "
+            "and it continues on with that familiar rhythm of text that "
+            "one would have expected to see in a curated web corpus. ") * 6
+    df = spark.createDataFrame(
+        [(1, good), (2, "tiny"), (3, good + " {")],
+        "doc_id long, text string",
+    )
+    kept = T.gopher_filter(df, keep_only=True)
+    assert {r["doc_id"] for r in kept.select("doc_id").collect()} == {1, 3}
+    c4kept = T.c4_filter(df, keep_only=True)  # 6 sentences >= 5; '{' drops 3
+    assert {r["doc_id"] for r in c4kept.select("doc_id").collect()} == {1}
+    # cleaned text drops non-terminal lines
+    row = T.c4_filter(df).where("doc_id = 2").collect()[0]
+    assert row["text_c4"] == ""
