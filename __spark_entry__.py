@@ -3215,6 +3215,20 @@ def q_dedup_all(spark, sf_dir):
         F.col("keep_id").cast("long").alias("v1"),
         F.col("n_copies").cast("long").alias("v2"),
     )
+    # C4 3-sentence-span dedup over the near-dup corpus. The synthetic docs
+    # carry no punctuation (1 sentence each), so sentence boundaries are
+    # derived deterministically (a period after every ' table' token) —
+    # mutated docs then share all original sentences and duplicated spans
+    # genuinely occur (22 docs / 100 sentences dropped at sf0.01, so the
+    # hash pins real removal work, not an inert pipeline).
+    span_docs = _docs_with_near_dups(spark, sf_dir).withColumn(
+        "text", F.replace(F.col("text"), F.lit(" table"), F.lit(" table."))
+    )
+    span = dedup.duplicate_span_removal(span_docs).select(
+        F.lit("span").alias("part"), F.col("doc_id").cast("string").alias("k"),
+        F.octet_length("text_dedup").cast("long").alias("v1"),
+        F.col("n_dropped").cast("long").alias("v2"),
+    )
     groups = q_dedup_groups(spark, sf_dir).select(
         F.lit("groups").alias("part"), F.col("id").cast("string").alias("k"),
         F.col("group_id").cast("long").alias("v1"),
@@ -3244,7 +3258,10 @@ def q_dedup_all(spark, sf_dir):
         F.col("__nt").cast("long").alias("v1"),
         F.lit(0).cast("long").alias("v2"),
     )
-    return exact.unionByName(groups).unionByName(samp).unionByName(mix)
+    return (
+        exact.unionByName(groups).unionByName(samp).unionByName(mix)
+        .unionByName(span)
+    )
 
 
 def q_service_map(spark, sf_dir):
@@ -3325,9 +3342,50 @@ FROM j
 GROUP BY GROUPING SETS ((server_service, client_service), (server_service))
 """
 
+# C4 3-sentence-span dedup replay: same sentence partition (no lookaround,
+# RE2-safe), md5 span hashes, first-(doc,idx)-keeps via row_number
+O_SPAN_DEDUP = f"""
+WITH {O_DOCS_NEAR},
+punct AS (SELECT doc_id, replace(text, ' table', ' table.') AS text
+          FROM docs_near),
+d AS (SELECT doc_id,
+             regexp_extract_all(text, '[^.!?]+[.!?]+|[^.!?]+$') AS l
+      FROM punct),
+sent AS (SELECT doc_id, generate_subscripts(l, 1) - 1 AS idx, unnest(l) AS s
+         FROM d),
+sp AS (SELECT doc_id, unnest(range(0, greatest(len(l) - 2, 0))) AS idx, l
+       FROM d),
+sph AS (SELECT doc_id, idx,
+               md5(l[idx + 1] || l[idx + 2] || l[idx + 3]) AS h
+        FROM sp),
+ranked AS (SELECT doc_id, idx,
+                  row_number() OVER (PARTITION BY h ORDER BY doc_id, idx) AS rn,
+                  count(*) OVER (PARTITION BY h) AS n_occ
+           FROM sph),
+drops AS (SELECT DISTINCT doc_id, unnest(range(idx, idx + 3)) AS j
+          FROM ranked WHERE n_occ > 1 AND rn > 1),
+kept AS (SELECT s.* FROM sent s ANTI JOIN drops dr
+         ON s.doc_id = dr.doc_id AND s.idx = dr.j),
+rebuilt AS (SELECT doc_id, string_agg(s, '' ORDER BY idx) AS text_dedup,
+                   count(*) AS n_kept
+            FROM kept GROUP BY 1),
+totals AS (SELECT doc_id, count(*) AS n_sentences FROM sent GROUP BY 1)
+SELECT d0.doc_id,
+       coalesce(r.text_dedup, '') AS text_dedup,
+       coalesce(t.n_sentences, 0) AS n_sentences,
+       coalesce(t.n_sentences, 0) - coalesce(r.n_kept, 0) AS n_dropped
+FROM (SELECT doc_id FROM docs_near) d0
+LEFT JOIN totals t USING (doc_id)
+LEFT JOIN rebuilt r USING (doc_id)
+"""
+
 O_DEDUP_ALL = f"""
 SELECT 'exact' AS part, fp AS k, keep_id::BIGINT AS v1, n_copies::BIGINT AS v2
 FROM ({O_DEDUP_EXACT})
+UNION ALL
+SELECT 'span' AS part, doc_id::VARCHAR AS k,
+       strlen(text_dedup)::BIGINT AS v1, n_dropped::BIGINT AS v2
+FROM ({O_SPAN_DEDUP})
 UNION ALL
 SELECT 'groups' AS part, id::VARCHAR AS k, group_id::BIGINT AS v1,
        is_keeper::BIGINT AS v2

@@ -207,6 +207,102 @@ def ngram_jaccard_pairs(
     return out
 
 
+# ---------------------------------------------------------------- C4 span dedup
+
+# sentence segmentation without lookaround (RE2-replayable): runs of
+# non-terminators followed by terminator run, or the unterminated tail.
+# The matches concatenated reproduce the input exactly, so documents
+# rebuild byte-identical from kept sentences.
+SENTENCE_PATTERN = "[^.!?]+[.!?]+|[^.!?]+$"
+
+
+def duplicate_span_removal(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span: int = 3,
+) -> DataFrame:
+    """C4's three-sentence-span deduplication (Raffel et al. 2020 §2.2):
+    any ``span``-sentence window occurring in more than one place in the
+    corpus is removed from all but one occurrence (the lexicographically
+    first (doc, position) keeps it). Returns
+    (id, text_dedup, n_sentences, n_dropped) — ``text_dedup`` rebuilds
+    byte-exact from the kept sentences (the segmentation is a partition of
+    the input).
+
+    Plan: sentences explode once per doc; span texts assemble via a
+    codegen'd frame aggregate (``collect_list OVER ROWS span-1 FOLLOWING``,
+    the winnowing-rows pattern); occurrences group by md5(span) — one
+    shuffle keyed by span hash whose groups are occurrence lists (tiny);
+    dropped sentence indices explode from removed spans; the rebuild is one
+    per-doc sort. No step holds more than a document's sentences in one
+    task, so the shape survives any corpus size. Like C4, overlapping
+    duplicated spans drop the union of their sentences.
+    """
+    from pyspark.sql import Window
+
+    sent = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.regexp_extract_all(text_col, F.lit(SENTENCE_PATTERN), F.lit(0))
+        ).alias("idx", "s"),
+    )
+    w_doc = Window.partitionBy("id").orderBy("idx")
+    spans = (
+        sent.withColumn(
+            "span_txt",
+            F.array_join(
+                F.collect_list("s").over(w_doc.rowsBetween(0, span - 1)), ""
+            ),
+        )
+        .withColumn("__m", F.count("*").over(Window.partitionBy("id")))
+        .where(F.col("idx") <= F.col("__m") - span)
+        .select("id", "idx", F.md5("span_txt").alias("h"))
+    )
+    keepers = (
+        spans.groupBy("h")
+        .agg(
+            F.min(F.struct("id", "idx")).alias("k"),
+            F.count("*").alias("n_occ"),
+        )
+        .where(F.col("n_occ") > 1)
+    )
+    removed = spans.join(keepers, on="h").where(
+        ~((F.col("id") == F.col("k.id")) & (F.col("idx") == F.col("k.idx")))
+    )
+    drops = removed.select(
+        "id", F.explode(F.sequence(F.col("idx"), F.col("idx") + span - 1)).alias("idx")
+    ).distinct()
+    kept = sent.join(drops, on=["id", "idx"], how="left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "s"))),
+                lambda st: st["s"],
+            ),
+            "",
+        ).alias("text_dedup"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = sent.groupBy("id").agg(F.count("*").alias("n_sentences"))
+    out = (
+        df.select(F.col(id_col).alias("id"))
+        .join(totals, on="id", how="left")
+        .join(rebuilt, on="id", how="left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+            F.coalesce("n_sentences", F.lit(0)).alias("n_sentences"),
+            (
+                F.coalesce("n_sentences", F.lit(0))
+                - F.coalesce("n_kept", F.lit(0))
+            ).alias("n_dropped"),
+        )
+    )
+    return out
+
+
 # ---------------------------------------------------------------- winnowing
 
 def winnow_pairs(

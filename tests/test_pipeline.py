@@ -827,3 +827,33 @@ def test_gopher_c4_keep_only(spark):
     # cleaned text drops non-terminal lines
     row = T.c4_filter(df).where("doc_id = 2").collect()[0]
     assert row["text_c4"] == ""
+
+
+def test_c4_span_dedup(spark):
+    """C4 3-sentence-span dedup: duplicated spans removed from all but the
+    first (doc, position); untouched docs rebuild byte-exact."""
+    from hyperdx_spark.pipeline import dedup
+
+    shared = ("One common sentence here. Another shared line follows! "
+              "A third shared part? ")
+    rows = [
+        (1, "Unique opener for doc one. " + shared + "And a unique closer."),
+        (2, "Different start entirely. " + shared + "With its own ending."),
+        (3, "Totally unrelated content. No shared spans at all. Own text."),
+        (4, ""),
+        (5, "Short. Doc."),  # < span sentences -> untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup.duplicate_span_removal(df).collect()}
+    assert out[1]["n_dropped"] == 0  # first occurrence keeps the span
+    assert out[2]["n_dropped"] == 3
+    assert shared.rstrip() not in out[2]["text_dedup"]
+    for d in (1, 3, 5):
+        assert out[d]["text_dedup"] == rows[d - 1][1]  # byte-exact rebuild
+    assert out[4]["text_dedup"] == "" and out[4]["n_sentences"] == 0
+    # sentence segmentation is a partition of the input: concatenating the
+    # sentences of any doc reproduces it exactly even with odd spacing
+    tricky = "No terminal punctuation at the end... see?  double  spaces"
+    df2 = spark.createDataFrame([(9, tricky)], "doc_id long, text string")
+    r = dedup.duplicate_span_removal(df2).collect()[0]
+    assert r["text_dedup"] == tricky
