@@ -3349,7 +3349,7 @@ WITH {O_DOCS_NEAR},
 punct AS (SELECT doc_id, replace(text, ' table', ' table.') AS text
           FROM docs_near),
 d AS (SELECT doc_id,
-             regexp_extract_all(text, '[^.!?]+[.!?]+|[^.!?]+$') AS l
+             regexp_extract_all(text, '[^.!?]*[.!?]+|[^.!?]+$') AS l
       FROM punct),
 sent AS (SELECT doc_id, generate_subscripts(l, 1) - 1 AS idx, unnest(l) AS s
          FROM d),

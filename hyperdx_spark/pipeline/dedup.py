@@ -209,11 +209,13 @@ def ngram_jaccard_pairs(
 
 # ---------------------------------------------------------------- C4 span dedup
 
-# sentence segmentation without lookaround (RE2-replayable): runs of
-# non-terminators followed by terminator run, or the unterminated tail.
-# The matches concatenated reproduce the input exactly, so documents
-# rebuild byte-identical from kept sentences.
-SENTENCE_PATTERN = "[^.!?]+[.!?]+|[^.!?]+$"
+# sentence segmentation without lookaround (RE2-replayable): an optionally
+# empty run of non-terminators followed by a terminator run, or the
+# unterminated tail. The * prefix (not +) matters: it makes LEADING
+# terminator runs ('!!! Hi.') their own segment, so the matches always
+# form a partition of the input and documents rebuild byte-identical from
+# kept sentences (property-fuzzed).
+SENTENCE_PATTERN = "[^.!?]*[.!?]+|[^.!?]+$"
 
 
 def duplicate_span_removal(

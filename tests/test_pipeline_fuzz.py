@@ -1,0 +1,159 @@
+"""Property-based fuzz of the round-4 corpus operators (hypothesis).
+
+Each example generates a small BATCH of documents and runs ONE Spark job
+over it (per-example jobs would make hypothesis unusably slow), comparing
+against plain-Python reference implementations of the published algorithms:
+
+1. C4 span dedup: the engine output (rebuilt text, counts) must equal a
+   direct Python port on arbitrary punctuation-heavy text — this is what
+   caught the leading-terminator segmentation bug ('!!! Hi.' losing its
+   prefix) during development.
+2. Winnowing: the Schleimer'03 guarantee (shared substring of length
+   >= w + k - 1 implies a shared fingerprint) on randomly composed docs.
+3. Gopher/C4 flags equal the Python paper-rule ports on random text.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from hyperdx_spark.pipeline import dedup, text
+
+SENT_RE = re.compile(dedup.SENTENCE_PATTERN)
+
+# words plus heavy punctuation/edge chars; newlines and bullets for rules
+CHUNKS = st.sampled_from([
+    "alpha", "beta", "the", "of", "and", "x1", "42", ". ", "! ", "? ",
+    "...", "!!!", "#", " ", "\n", "- item", "• b", '"q"', "{", "end.",
+])
+DOC = st.lists(CHUNKS, min_size=0, max_size=30).map("".join)
+
+
+def ref_span_dedup(docs: list[tuple[int, str]], span: int = 3):
+    sents = {d: SENT_RE.findall(t) for d, t in docs}
+    occ: dict[str, list[tuple[int, int]]] = {}
+    for d in sorted(sents):
+        l = sents[d]
+        for i in range(len(l) - span + 1):
+            occ.setdefault("".join(l[i : i + span]), []).append((d, i))
+    drops: dict[int, set[int]] = {d: set() for d, _ in docs}
+    for lst in occ.values():
+        if len(lst) > 1:
+            keeper = min(lst)
+            for d, i in lst:
+                if (d, i) != keeper:
+                    drops[d].update(range(i, i + span))
+    out = {}
+    for d, _ in docs:
+        l = sents[d]
+        kept = [s for j, s in enumerate(l) if j not in drops[d]]
+        out[d] = ("".join(kept), len(l), len(l) - len(kept))
+    return out
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.lists(DOC, min_size=1, max_size=8))
+def test_fuzz_span_dedup_matches_reference(spark, texts):
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text_dedup"], r["n_sentences"], r["n_dropped"])
+        for r in dedup.duplicate_span_removal(df).collect()
+    }
+    assert got == ref_span_dedup(docs)
+
+
+def ref_winnow(t: str, k: int = 8, w: int = 16) -> set[int]:
+    norm = re.sub(r"\s+", " ", t.strip().lower())
+    if not norm:
+        return set()
+    n = len(norm)
+    grams = [
+        int(hashlib.md5(norm[i : i + k].encode()).hexdigest()[:15], 16)
+        for i in range(max(n - k + 1, 1))
+    ]
+    m = len(grams)
+    return {
+        min(grams[j : j + w]) for j in range(max(m - w + 1, 1))
+    }
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.text(alphabet="abcdefg hi.", min_size=0, max_size=60),
+             min_size=1, max_size=5),
+    st.text(alphabet="klmnop qr!", min_size=23, max_size=40),  # >= w+k-1
+)
+def test_fuzz_winnow_reference_and_guarantee(spark, texts, shared):
+    # append the shared run to the first two docs (when there are two)
+    docs = list(enumerate(texts))
+    if len(docs) >= 2:
+        docs[0] = (0, docs[0][1] + shared)
+        docs[1] = (1, shared + docs[1][1])
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["id"]: set(r["fs"])
+        for r in text.winnow_fingerprint_rows(df)
+        .groupBy("id")
+        .agg(__import__("pyspark.sql.functions", fromlist=["collect_set"])
+             .collect_set("f").alias("fs"))
+        .collect()
+    }
+    for d, t in docs:
+        expect = ref_winnow(t)
+        assert got.get(d, set()) == expect, d
+    if len(docs) >= 2:
+        # the shared block normalizes identically in both docs only when
+        # neither side glues extra non-space chars onto it; guarantee holds
+        # when the normalized shared run still appears in both
+        n0 = re.sub(r"\s+", " ", docs[0][1].strip().lower())
+        n1 = re.sub(r"\s+", " ", docs[1][1].strip().lower())
+        ns = re.sub(r"\s+", " ", shared.strip().lower())
+        if len(ns) >= 23 and ns in n0 and ns in n1:
+            assert got.get(0, set()) & got.get(1, set())
+
+
+def ref_gopher(t: str) -> bool:
+    ws = [x for x in re.split(r"\s+", t.strip()) if x]
+    n = len(ws)
+    mean = (sum(len(x) for x in ws) / n) if n else 0.0
+    sym = (t.count("#") + t.count("...")) / n if n else 0.0
+    lines = [l for l in t.split("\n") if l.strip()]
+    nl = len(lines)
+    bullets = sum(1 for l in lines if l.lstrip().startswith(("-", "*", "•")))
+    ells = sum(1 for l in lines if l.rstrip().endswith(("...", "…")))
+    alpha = sum(1 for x in ws if re.search("[A-Za-z]", x)) / n if n else 0.0
+    toks = [x for x in re.split("[^a-zA-Z0-9]+", t.lower()) if x]
+    stops = sum(1 for s in text.GOPHER_STOPWORDS if s in toks)
+    return (50 <= n <= 100_000 and 3.0 <= mean <= 10.0 and sym <= 0.1
+            and (bullets / nl if nl else 0.0) <= 0.9
+            and (ells / nl if nl else 0.0) <= 0.3
+            and alpha >= 0.8 and stops >= 2)
+
+
+def ref_c4(t: str) -> bool:
+    lines = [l for l in t.split("\n") if l.strip()]
+    kept = [l for l in lines
+            if l.rstrip().endswith((".", "!", "?", '"'))
+            and len([x for x in re.split(r"\s+", l.strip()) if x]) >= 3]
+    sents = len([s for s in re.split("[.!?]", "\n".join(kept)) if s.strip()])
+    return ("lorem ipsum" not in t.lower() and "{" not in t and sents >= 5)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.lists(DOC, min_size=1, max_size=10))
+def test_fuzz_gopher_c4_flags_match_reference(spark, texts):
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = text.c4_filter(text.gopher_filter(df))
+    for r in out.select("doc_id", "gopher_pass", "c4_keep").collect():
+        t = dict(docs)[r["doc_id"]]
+        assert bool(r["gopher_pass"]) == ref_gopher(t), (r["doc_id"], t)
+        assert bool(r["c4_keep"]) == ref_c4(t), (r["doc_id"], t)
