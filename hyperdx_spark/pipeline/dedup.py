@@ -244,12 +244,15 @@ def duplicate_span_removal(
     """
     from pyspark.sql import Window
 
+    # sent feeds four branches (span hashing, keeper lookup, rebuild,
+    # totals) — persist so the segmentation explode runs once, not per
+    # consumer (plan audit showed 4 Generates over the raw text otherwise)
     sent = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(
             F.regexp_extract_all(text_col, F.lit(SENTENCE_PATTERN), F.lit(0))
         ).alias("idx", "s"),
-    )
+    ).persist()
     w_doc = Window.partitionBy("id").orderBy("idx")
     spans = (
         sent.withColumn(
@@ -261,6 +264,7 @@ def duplicate_span_removal(
         .withColumn("__m", F.count("*").over(Window.partitionBy("id")))
         .where(F.col("idx") <= F.col("__m") - span)
         .select("id", "idx", F.md5("span_txt").alias("h"))
+        .persist()  # read twice: keeper aggregate + removed-occurrence join
     )
     keepers = (
         spans.groupBy("h")
