@@ -3131,22 +3131,35 @@ FROM reach GROUP BY id
 
 def q_ann_indexed(spark, sf_dir):
     """ANN tiers over the same queries: brute-force (exact), LSH bands, IVF
-    lists (nprobe=nlist -> provably exact), and PQ asymmetric-distance with
+    lists (nprobe=nlist -> provably exact), PQ asymmetric-distance with
     `refine` >= |corpus| so the exact-cosine re-rank provably recovers the
     brute-force answer (the ADC candidate pass is still exercised end to
-    end: codebook build, row-local encode, broadcast distance tables) —
-    all four tiers vs the one exact oracle."""
+    end: codebook build, row-local encode, broadcast distance tables), and
+    the composed IVF-PQ persisted index — all five tiers vs the one exact
+    oracle."""
     emb = load_table(spark, sf_dir, "embeddings")
     qs = emb.where(F.col("vec_id") < 3)
     brute = similarity.cosine_topk(emb, qs, k=5)
     lsh = similarity.cosine_topk_lsh(emb, qs, k=5, num_planes=16, bands=8)
     ivf = similarity.cosine_topk_ivf(emb, qs, k=5, nlist=8, nprobe=8)
     pq = similarity.cosine_topk_pq(emb, qs, k=5, m=8, codes=16, refine=4096)
+    # composed IVF-PQ persisted index (FAISS IVFPQ shape): build to a temp
+    # dir, query with nprobe=nlist + refine >= |corpus| -> provably exact,
+    # while exercising the full path (partitioned write, pruned scan, ADC
+    # over codes, re-rank)
+    import tempfile
+
+    ivfpq_path = tempfile.mkdtemp(prefix="ivfpq_") + "/idx"
+    similarity.build_ivfpq_index(emb, ivfpq_path, nlist=8, m=8, codes=16)
+    ivfpq = similarity.query_ivfpq_index(
+        spark, ivfpq_path, qs, k=5, nprobe=8, refine=4096
+    )
     out = (
         brute.select(F.lit("brute").alias("part"), "*")
         .unionByName(lsh.select(F.lit("lsh").alias("part"), "*"))
         .unionByName(ivf.select(F.lit("ivf").alias("part"), "*"))
         .unionByName(pq.select(F.lit("pq").alias("part"), "*"))
+        .unionByName(ivfpq.select(F.lit("ivfpq").alias("part"), "*"))
     )
     return _round4(out)
 
@@ -3154,7 +3167,7 @@ def q_ann_indexed(spark, sf_dir):
 O_ANN_INDEXED = f"""
 SELECT p.part, t.query_id, t.match_id, t.cos, t.rank
 FROM ({O_ANN_COSINE}) t
-CROSS JOIN (VALUES ('brute'), ('lsh'), ('ivf'), ('pq')) p(part)
+CROSS JOIN (VALUES ('brute'), ('lsh'), ('ivf'), ('pq'), ('ivfpq')) p(part)
 """
 
 

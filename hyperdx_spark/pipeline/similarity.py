@@ -497,6 +497,64 @@ def pq_encode(
     return staged.withColumn("pq_code", code).drop("__u", "__cb")
 
 
+def _adc_query_tables(
+    queries: DataFrame,
+    books: list[list[list[float]]],
+    *,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Per-query ADC distance tables (m × codes doubles), computed
+    driver-side over the (tiny) query rows and returned as a broadcastable
+    DataFrame (query_id, __qv, __tables). The id type follows the caller's
+    id_col (string doc ids work like the other tiers)."""
+    sub = len(books[0][0])
+    qrows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("v")
+    ).collect()
+    table_rows = []
+    for r in qrows:
+        v = [float(x) for x in r["v"]]
+        n = sum(x * x for x in v) ** 0.5 or 1.0
+        v = [x / n for x in v]
+        tables = [
+            [
+                sum((v[j * sub + i] - w[i]) ** 2 for i in range(sub))
+                for w in book
+            ]
+            for j, book in enumerate(books)
+        ]
+        table_rows.append((r["query_id"], r["v"], tables))
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        StructField,
+        StructType,
+    )
+
+    qt_schema = StructType(
+        [
+            StructField("query_id", queries.schema[id_col].dataType),
+            StructField("__qv", ArrayType(DoubleType())),
+            StructField("__tables", ArrayType(ArrayType(DoubleType()))),
+        ]
+    )
+    return queries.sparkSession.createDataFrame(table_rows, qt_schema)
+
+
+def _adc_score() -> Column:
+    """ADC distance of a row: sum over subspaces of the table entry at the
+    row's code — m array lookups, no vector math."""
+    return F.aggregate(
+        F.transform(
+            F.col("pq_code"),
+            lambda c, j: F.element_at(F.element_at("__tables", j + 1), c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def cosine_topk_pq(
     corpus: DataFrame,
     queries: DataFrame,
@@ -522,66 +580,108 @@ def cosine_topk_pq(
     books = pq_codebooks(
         corpus, id_col=id_col, vec_col=vec_col, m=m, codes=codes, seed=seed
     )
-    sub = len(books[0][0])
     enc = pq_encode(corpus, books, vec_col=vec_col).select(
         F.col(id_col).alias("match_id"), F.col(vec_col).alias("__cv"), "pq_code"
     )
-    # per-query ADC tables, computed driver-side on the (tiny) query rows
-    qrows = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("v")).collect()
-    table_rows = []
-    for r in qrows:
-        v = [float(x) for x in r["v"]]
-        n = sum(x * x for x in v) ** 0.5 or 1.0
-        v = [x / n for x in v]
-        tables = [
-            [
-                sum(
-                    (v[j * sub + i] - w[i]) ** 2 for i in range(sub)
-                )
-                for w in book
-            ]
-            for j, book in enumerate(books)
-        ]
-        table_rows.append((r["query_id"], r["v"], tables))
-    spark = corpus.sparkSession
-    from pyspark.sql.types import (
-        ArrayType,
-        DoubleType,
-        StructField,
-        StructType,
-    )
-
-    # id type follows the caller's id_col (string doc ids work like the
-    # other tiers), not a hardcoded long
-    qt_schema = StructType(
-        [
-            StructField("query_id", queries.schema[id_col].dataType),
-            StructField("__qv", ArrayType(DoubleType())),
-            StructField("__tables", ArrayType(ArrayType(DoubleType()))),
-        ]
-    )
-    qt = spark.createDataFrame(table_rows, qt_schema)
+    qt = _adc_query_tables(queries, books, id_col=id_col, vec_col=vec_col)
     adc = (
         enc.crossJoin(F.broadcast(qt))
         .where(F.col("query_id") != F.col("match_id"))
-        .withColumn(
-            "__adc",
-            F.aggregate(
-                F.sequence(F.lit(0), F.lit(len(books) - 1)),
-                F.lit(0.0),
-                lambda acc, j: acc
-                + F.element_at(
-                    F.element_at("__tables", j + 1),
-                    F.element_at("pq_code", j + 1) + 1,
-                ),
-            ),
-        )
+        .withColumn("__adc", _adc_score())
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("__adc"), F.asc("match_id"))
     cand = adc.withColumn("__crk", F.row_number().over(w)).where(
         F.col("__crk") <= max(refine, k)
     )
     rer = cand.withColumn("cos", cosine(F.col("__qv"), F.col("__cv")))
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("match_id"))
+    return (
+        rer.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "match_id", "cos", "rank")
+    )
+
+# ---------------------------------------------------------------------------
+# IVF-PQ — the composed billion-scale index (FAISS IndexIVFPQ shape)
+# ---------------------------------------------------------------------------
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    m: int = 8,
+    codes: int = 16,
+    seed: int = 42,
+) -> None:
+    """Persist an IVF-PQ index: every corpus vector is assigned to its
+    coarse-centroid list AND compressed to an m-byte PQ code; the lists are
+    written as parquet PARTITIONED BY ``cent_id`` carrying
+    (match_id, pq_code, vec), plus the centroid table and codebooks.
+
+    This composes the two scale levers: a query prunes the scan to its
+    ``nprobe`` list partitions (IVF), then ranks candidates by ADC table
+    lookups over the m-byte codes instead of full-dimension math (PQ), and
+    only the final ``refine`` rows per query touch the stored vector. At
+    true billion scale the ``vec`` column would live only in the primary
+    store (codes-only lists + a keyed re-rank fetch); it rides along here
+    so the refine stage is one read.
+    """
+    cents = _centroids(corpus, id_col=id_col, vec_col=vec_col, nlist=nlist, seed=seed)
+    books = pq_codebooks(
+        corpus, id_col=id_col, vec_col=vec_col, m=m, codes=codes, seed=seed
+    )
+    c = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("vec"))
+    assigned = _assign(c, cents, "vec", 1)
+    enc = pq_encode(assigned, books, vec_col="vec")
+    enc.select("match_id", "vec", "pq_code", "cent_id").write.mode(
+        "overwrite"
+    ).partitionBy("cent_id").parquet(path + "/lists")
+    cents.write.mode("overwrite").parquet(path + "/centroids")
+    spark = corpus.sparkSession
+    spark.createDataFrame([(books,)], "__cb array<array<array<double>>>").write.mode(
+        "overwrite"
+    ).parquet(path + "/codebooks")
+
+
+def query_ivfpq_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 4,
+    refine: int = 50,
+) -> DataFrame:
+    """Top-k over a persisted IVF-PQ index: partition-pruned list scan ->
+    ADC ranking over codes -> exact-cosine re-rank of the top ``refine``.
+    With nprobe=nlist and refine covering the probed lists this is exactly
+    the brute-force answer (the gate asserts that); at scale nprobe and
+    refine bound the scanned fraction and the exact work per query."""
+    cents = spark.read.parquet(path + "/centroids")
+    books_row = spark.read.parquet(path + "/codebooks").collect()[0]
+    books = [[list(cw) for cw in book] for book in books_row["__cb"]]
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    ql = _assign(q, cents, "__qv", nprobe).select("query_id", "cent_id")
+    probed = [r["cent_id"] for r in ql.select("cent_id").distinct().collect()]
+    lists = spark.read.parquet(path + "/lists").where(F.col("cent_id").isin(probed))
+    qt = _adc_query_tables(queries, books, id_col=id_col, vec_col=vec_col)
+    cand = (
+        lists.join(F.broadcast(ql), on="cent_id")
+        .join(F.broadcast(qt), on="query_id")
+        .where(F.col("query_id") != F.col("match_id"))
+        .withColumn("__adc", _adc_score())
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("__adc"), F.asc("match_id"))
+    top = cand.withColumn("__crk", F.row_number().over(w)).where(
+        F.col("__crk") <= max(refine, k)
+    )
+    rer = top.withColumn("cos", cosine(F.col("__qv"), F.col("vec")))
     w2 = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("match_id"))
     return (
         rer.withColumn("rank", F.row_number().over(w2))

@@ -237,3 +237,33 @@ def test_pq_recall_with_small_refine(spark, sf_dir):
     enc1 = similarity.pq_encode(emb, books).select("vec_id", "pq_code").collect()
     enc2 = similarity.pq_encode(emb, books).select("vec_id", "pq_code").collect()
     assert sorted(map(tuple, enc1)) == sorted(map(tuple, enc2))
+
+
+def test_ivfpq_persisted_index_matches_brute(spark, sf_dir, tmp_path):
+    """IVF-PQ composition: partition-pruned list scan + ADC code ranking +
+    exact re-rank. With nprobe=nlist and refine covering the corpus the
+    output is exactly brute force; with partial probing the plan must
+    still prune partitions."""
+    from hyperdx_spark.io import load_table
+    from hyperdx_spark.pipeline import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 3)
+    path = str(tmp_path / "ivfpq")
+    similarity.build_ivfpq_index(emb, path, nlist=8, m=8, codes=8)
+    out = similarity.query_ivfpq_index(
+        spark, path, qs, k=5, nprobe=8, refine=10**6
+    )
+    got = norm([tuple(r) for r in out.collect()])
+    brute = norm([tuple(r) for r in similarity.cosine_topk(emb, qs, k=5).collect()])
+    assert got == brute and len(got) == 15
+    # partial probe: pruned scan, and recall stays sane on the fixture
+    part = similarity.query_ivfpq_index(spark, path, qs, k=5, nprobe=2, refine=50)
+    plan = part._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cent_id" in plan
+    brute_pairs = {
+        (r["query_id"], r["match_id"])
+        for r in similarity.cosine_topk(emb, qs, k=5).collect()
+    }
+    part_pairs = {(r["query_id"], r["match_id"]) for r in part.collect()}
+    assert len(part_pairs & brute_pairs) >= len(brute_pairs) // 3
