@@ -1530,7 +1530,25 @@ def q_text_stats(spark, sf_dir):
             F.count_if(F.col("c4_keep")).alias("n_c4_keep"),
         )
     )
-    return out
+    # vocabulary tier: most frequent token per source (text.vocabulary's
+    # explode -> (token, group) aggregate shape, scoped per source)
+    from pyspark.sql import Window as _W
+
+    tt = (
+        docs.select("source", F.explode(text.tokens("text")).alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w_tt = _W.partitionBy("source").orderBy(F.desc("cnt"), F.asc("t"))
+    tt1 = (
+        tt.withColumn("rn", F.row_number().over(w_tt))
+        .where(F.col("rn") == 1)
+        .select(
+            "source", F.col("t").alias("top_term"),
+            F.col("cnt").alias("top_term_tf"),
+        )
+    )
+    return out.join(tt1, on="source")
 
 
 _TOKS = "list_filter(string_split_regex(lower(text), '[^a-zA-Z0-9]+'), t -> t != '')"
@@ -1615,7 +1633,8 @@ _C4_KEEP = f"""(
                       s -> trim(s) != '')) >= 5
 )"""
 O_TEXT_STATS = f"""
-SELECT source,
+WITH agg AS (
+  SELECT source,
        count(*) AS n_docs,
        sum(len({_TOKS}))::BIGINT AS total_tokens,
        round(avg({_QUALITY}), 4) AS avg_quality,
@@ -1628,7 +1647,15 @@ SELECT source,
        sum({_BPE_COUNT})::BIGINT AS total_bpe_tokens,
        count(*) FILTER ({_GOPHER_PASS}) AS n_gopher_pass,
        count(*) FILTER ({_C4_KEEP}) AS n_c4_keep
-FROM documents GROUP BY 1
+  FROM documents GROUP BY 1),
+tok AS (SELECT source, unnest({_TOKS}) AS t FROM documents),
+tcnt AS (SELECT source, t, count(*) AS cnt FROM tok GROUP BY 1, 2),
+tt AS (SELECT source, t AS top_term, cnt AS top_term_tf,
+              row_number() OVER (PARTITION BY source
+                                 ORDER BY cnt DESC, t) AS rn
+       FROM tcnt)
+SELECT agg.*, tt.top_term, tt.top_term_tf::BIGINT AS top_term_tf
+FROM agg JOIN tt USING (source) WHERE tt.rn = 1
 """
 
 # --------------------------------------------------------------------------

@@ -164,6 +164,86 @@ def winnow_fingerprints(
     )
 
 
+def vocabulary(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+    max_df_frac: float = 1.0,
+    limit: int | None = None,
+) -> DataFrame:
+    """Corpus vocabulary: one row per token with ``tf`` (total occurrences)
+    and ``df`` (documents containing it), filtered by ``min_df`` and
+    ``max_df_frac`` (the stop-word band — the same df-capping idea
+    ngram_jaccard's max_shingle_df uses for stop-shingles).
+
+    Plan: one token explode, one (token, doc) pre-aggregate (map-side
+    combinable), one token aggregate — two shuffles keyed by token, no
+    driver-side state; ``limit`` caps via TakeOrderedAndProject (per-
+    partition top-n, driver merges n rows). The standard vocabulary-build
+    shape for tokenizer training / stop-list discovery over a corpus.
+    """
+    n_docs = df.count()
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("t")
+    )
+    per_doc = toks.groupBy("t", "id").agg(F.count("*").alias("n"))
+    vocab = per_doc.groupBy("t").agg(
+        F.sum("n").alias("tf"), F.count("*").alias("df")
+    )
+    vocab = vocab.where(F.col("df") >= min_df)
+    if max_df_frac < 1.0:
+        vocab = vocab.where(F.col("df") <= int(max_df_frac * n_docs))
+    vocab = vocab.withColumn(
+        "idf",
+        F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0,
+    )
+    if limit is not None:
+        vocab = vocab.orderBy(F.desc("tf"), F.asc("t")).limit(limit)
+    return vocab
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top: int = 5,
+    min_df: int = 1,
+    max_df_frac: float = 1.0,
+) -> DataFrame:
+    """Per-document top characteristic terms by tf-idf (smoothed idf,
+    sklearn convention: ``ln((N+1)/(df+1)) + 1``). Returns
+    (id, term, tf, tfidf, rank) — the keyword-extraction primitive for
+    corpus exploration and topic-ish grouping.
+
+    Shape: the vocabulary aggregate joins back to the per-(doc, token)
+    counts on the token key (both sides partitioned by token — co-located
+    join), then a per-doc rank window. No broadcast of anything
+    corpus-sized."""
+    from pyspark.sql import Window
+
+    vocab = vocabulary(
+        df, text_col=text_col, id_col=id_col,
+        min_df=min_df, max_df_frac=max_df_frac,
+    ).select("t", "idf")
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("t")
+    )
+    per_doc = toks.groupBy("id", "t").agg(F.count("*").alias("tf"))
+    scored = per_doc.join(vocab, on="t").withColumn(
+        "tfidf", F.col("tf") * F.col("idf")
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("tfidf"), F.asc("t"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top)
+        .select(F.col("id").alias(id_col), F.col("t").alias("term"),
+                "tf", "tfidf", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Corpus filters — Gopher quality rules (Rae et al. 2021, A1.1) and C4
 # heuristics (Raffel et al. 2020, §2.2). Every rule is a built-in-function

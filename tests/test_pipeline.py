@@ -857,3 +857,49 @@ def test_c4_span_dedup(spark):
     df2 = spark.createDataFrame([(9, tricky)], "doc_id long, text string")
     r = dedup.duplicate_span_removal(df2).collect()[0]
     assert r["text_dedup"] == tricky
+
+
+def test_vocabulary_and_tfidf_vs_duckdb(spark, sf_dir):
+    """vocabulary (tf/df/idf with df band) and tfidf_top_terms replayed in
+    DuckDB over the corpus sample."""
+    import duckdb
+    import math
+
+    from hyperdx_spark.io import load_table
+    from hyperdx_spark.pipeline import text as T
+
+    docs = load_table(spark, sf_dir, "documents").limit(80).cache()
+    n = docs.count()
+    vocab = {
+        r["t"]: (r["tf"], r["df"], r["idf"])
+        for r in T.vocabulary(docs, min_df=2, max_df_frac=0.9).collect()
+    }
+    con = duckdb.connect()
+    con.register("docs", docs.select("doc_id", "text").toPandas())
+    ref = con.sql(f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(lower(text),
+                        '[^a-zA-Z0-9]+'), t -> t != '')) AS t
+          FROM docs),
+        pd AS (SELECT t, doc_id, count(*) AS c FROM tok GROUP BY 1, 2)
+        SELECT t, sum(c)::BIGINT AS tf, count(*)::BIGINT AS df
+        FROM pd GROUP BY 1
+        HAVING count(*) >= 2 AND count(*) <= {int(0.9 * n)}
+    """).fetchall()
+    assert vocab and len(ref) == len(vocab)
+    for t, tf, df in ref:
+        vtf, vdf, vidf = vocab[t]
+        assert (vtf, vdf) == (tf, df)
+        assert abs(vidf - (math.log((n + 1) / (df + 1)) + 1.0)) < 1e-12
+    # tf-idf top terms: rank-1 term per doc must maximize tf*idf
+    top = T.tfidf_top_terms(docs, top=3, min_df=1).collect()
+    by_doc = {}
+    for r in top:
+        by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["tfidf"]))
+    assert by_doc
+    for d, rows in by_doc.items():
+        rows.sort()
+        assert len(rows) <= 3
+        scores = [s for _, s in rows]
+        assert scores == sorted(scores, reverse=True)
