@@ -345,3 +345,57 @@ def test_dedup_stream_drops_duplicates_within_ttl(spark, tmp_path):
     q.awaitTermination(300)
     ids = sorted(r["event_id"] for r in spark.table(name).collect())
     assert ids == [1, 2, 3]
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """sessionize() runs unchanged on a stream: native session_window +
+    watermark emits a session in append mode once the watermark passes its
+    close, and the emitted sessions equal the batch answer on the same
+    rows. Two files stream one-at-a-time so sessions span micro-batches."""
+    import uuid
+    from datetime import datetime
+
+    from hyperdx_spark.analytics.sessionize import sessionize
+
+    seed = str(tmp_path / "sess")
+    schema = "user_id long, ts timestamp"
+    # user 1: two events 10 min apart (one session), then a 2h gap -> new
+    # session; user 2: single event. A far-future row advances the
+    # watermark so every session closes within availableNow processing.
+    rows1 = [(1, datetime(2024, 1, 1, 0, 0)), (1, datetime(2024, 1, 1, 0, 10)),
+             (2, datetime(2024, 1, 1, 0, 5))]
+    rows2 = [(1, datetime(2024, 1, 1, 2, 30)),
+             (99, datetime(2024, 1, 2, 0, 0))]  # watermark pusher
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(seed + "/f1")
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(seed + "/f2")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(seed)
+    )
+    out = sessionize(
+        stream, ts_col="ts", key_cols=("user_id",),
+        gap="30 minutes", watermark="0 seconds",
+    )
+    name = "sess_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    got = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.table(name).collect()
+    )
+    batch_df = spark.createDataFrame(rows1 + rows2, schema)
+    batch = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in sessionize(
+            batch_df, ts_col="ts", key_cols=("user_id",), gap="30 minutes"
+        ).collect()
+    )
+    # append mode only emits sessions the watermark has closed; the
+    # watermark-pusher row's own session may be withheld
+    assert [b for b in batch if b[0] != 99] == [g for g in got if g[0] != 99]
+    assert len([g for g in got if g[0] == 1]) == 2  # gap split into two
