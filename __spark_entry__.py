@@ -3459,8 +3459,12 @@ FROM (
 
 
 def q_analytics_insights(spark, sf_dir):
-    """§2.11 log-pattern mining (Drain) + event-deltas property ranking,
-    tag-unioned into one analytics relation."""
+    """§2.11 log-pattern mining (Drain) + event-deltas property ranking +
+    correlated-series search (related-metrics: top series by |Pearson| vs
+    the error-0 series, exact-decimal moments so the float result is
+    bit-identical across engines), tag-unioned into one relation."""
+    from hyperdx_spark.analytics.series_corr import correlated_series
+
     pats = q_log_patterns(spark, sf_dir).select(
         F.lit("patterns").alias("part"), F.col("pattern").alias("key"),
         F.col("n").cast("double").alias("v1"), F.lit(0.0).alias("v2"),
@@ -3469,13 +3473,53 @@ def q_analytics_insights(spark, sf_dir):
         F.lit("deltas").alias("part"), "key",
         F.col("base_score").alias("v1"), F.col("score").alias("v2"),
     )
-    return pats.unionByName(dl)
+    ev = load_table(spark, sf_dir, "events", time_filter=("ts", *RANGE))
+    corr = correlated_series(
+        ev,
+        key="concat(event_type, '-', cast(user_id % 10 AS string))",
+        query_key="error-0",
+        granularity="hour",
+        k=10,
+    ).select(
+        F.lit("corr").alias("part"), "key",
+        F.col("corr").alias("v1"),
+        F.col("n_buckets").cast("double").alias("v2"),
+    )
+    return pats.unionByName(dl).unionByName(corr)
 
+
+_CORR_EXPR = """(CAST(n AS DOUBLE) * sxy - sx * sy)
+             / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                    * (CAST(n AS DOUBLE) * syy - sy * sy))"""
+
+O_SERIES_CORR = f"""
+WITH b AS (
+  SELECT date_trunc('hour', ts) AS bk,
+         event_type || '-' || CAST(user_id % 10 AS VARCHAR) AS k,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS v
+  FROM events WHERE {TIME_WHERE}
+  GROUP BY 1, 2),
+q AS (SELECT bk, v AS qv FROM b WHERE k = 'error-0'),
+agg AS (SELECT b.k, count(*) AS n,
+        CAST(sum(b.v) AS DOUBLE) AS sx, CAST(sum(q.qv) AS DOUBLE) AS sy,
+        CAST(sum(b.v * q.qv) AS DOUBLE) AS sxy,
+        CAST(sum(b.v * b.v) AS DOUBLE) AS sxx,
+        CAST(sum(q.qv * q.qv) AS DOUBLE) AS syy
+        FROM b JOIN q USING (bk) WHERE b.k != 'error-0' GROUP BY 1)
+SELECT k AS key, round({_CORR_EXPR}, 4) AS corr, n AS n_buckets
+FROM agg
+WHERE n >= 3 AND (CAST(n AS DOUBLE) * sxx - sx * sx)
+                 * (CAST(n AS DOUBLE) * syy - sy * sy) > 0
+ORDER BY abs(round({_CORR_EXPR}, 4)) DESC, k
+LIMIT 10
+"""
 
 O_ANALYTICS_INSIGHTS = f"""
 SELECT 'patterns' AS part, pattern AS key, n::DOUBLE AS v1, 0.0 AS v2 FROM ({O_LOG_PATTERNS})
 UNION ALL
 SELECT 'deltas' AS part, key, base_score AS v1, score AS v2 FROM ({O_EVENT_DELTAS})
+UNION ALL
+SELECT 'corr' AS part, key, corr AS v1, n_buckets::DOUBLE AS v2 FROM ({O_SERIES_CORR})
 """
 
 

@@ -144,3 +144,30 @@ def test_rank_properties_id_denylist(spark):
     df = spark.createDataFrame(rows, "t boolean, props map<string,string>")
     out = ed.rank_properties(df, target=F.col("t"), properties=F.col("props")).collect()
     assert out[0]["hidden_reason"] == "denylist"
+
+
+def test_correlated_series_basic(spark):
+    """Pearson top-k: constructed series with known correlations — y=2x is
+    +1, y=-x is -1, constant series drops (zero variance), short series
+    drops (min_buckets)."""
+    from datetime import datetime, timedelta
+
+    from hyperdx_spark.analytics.series_corr import correlated_series
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    for h in range(6):
+        ts = t0 + timedelta(hours=h)
+        base = float(h + 1)
+        rows += [("q", ts, base), ("pos", ts, 2 * base), ("neg", ts, -base),
+                 ("flat", ts, 5.0)]
+    rows += [("short", t0, 1.0), ("short", t0 + timedelta(hours=1), 2.0)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    out = {
+        r["key"]: (r["corr"], r["n_buckets"])
+        for r in correlated_series(
+            df, key="k", query_key="q", granularity="hour", k=10
+        ).collect()
+    }
+    assert out["pos"] == (1.0, 6) and out["neg"] == (-1.0, 6)
+    assert "flat" not in out and "short" not in out and "q" not in out
