@@ -79,6 +79,85 @@ def detect_language(col: Column | str, threshold: float = 0.08) -> Column:
     )
 
 
+# Character-trigram profiles (space-padded, lowercase) of the highest-
+# frequency trigrams per language — the classic Cavnar-Trenkle n-gram
+# category profile, abbreviated to a compact discriminative set per
+# language (top trigrams from public frequency tables). Scoring is profile
+# overlap weighted by document trigram counts.
+LANG_TRIGRAM_PROFILES: dict[str, list[str]] = {
+    "en": [" th", "the", "he ", "ing", "ng ", " an", "and", "nd ", " of",
+           "of ", " to", "to ", "ed ", " in", "ion", "ent", "er ", "is ",
+           " co", "at "],
+    "de": ["er ", "en ", "ch ", "der", " de", "ein", "ich", "nde", " di",
+           "die", "sch", "ung", " un", "und", "ie ", "ne ", "che", " ei",
+           "er.", "ten"],
+    "fr": [" de", "de ", "es ", "le ", " le", "ent", "nt ", "et ", " et",
+           "la ", " la", "ion", "on ", "re ", " pa", "tio", " qu", "que",
+           "les", " co"],
+    "es": [" de", "de ", "os ", "la ", " la", "el ", " el", " co", "es ",
+           "as ", " en", "en ", "ent", "aci", "ion", "cio", " es", "que",
+           " qu", "ado"],
+    "it": [" di", "di ", " de", "to ", "la ", " la", "re ", "one", "ion",
+           "zio", " co", "che", " ch", "ell", "del", "ne ", "ato", " in",
+           "ta ", "li "],
+}
+
+
+def detect_language_ngram(
+    col: Column | str,
+    *,
+    profiles: dict[str, list[str]] | None = None,
+    min_score: float = 0.02,
+) -> Column:
+    """Character-trigram language ID (Cavnar-Trenkle style): slide a
+    3-char window over the lowercased space-collapsed text, count hits
+    against each language's trigram profile, and pick the language with
+    the highest hits-per-trigram rate (``unknown`` below ``min_score``).
+
+    Entirely built-in functions: ONE pass builds the document's trigram
+    multiset (frame of the token stream is unnecessary — trigram counts
+    come from substring transform), then each profile scores as a
+    filter-count over it. Complements :func:`detect_language` (stopword
+    density), which only separates English from non-English.
+    """
+    profs = profiles or LANG_TRIGRAM_PROFILES
+    c = F.col(col) if isinstance(col, str) else col
+    norm = F.concat(
+        F.lit(" "),
+        F.regexp_replace(F.trim(F.lower(c)), r"\s+", " "),
+        F.lit(" "),
+    )
+    n = F.length(norm)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - F.lit(2), F.lit(1))),
+        lambda i: F.substring(norm, i, 3),
+    )
+    total = F.size(grams).cast("double")
+    scored = F.array(
+        *[
+            F.struct(
+                (
+                    F.size(
+                        F.filter(
+                            grams,
+                            lambda g: F.array_contains(
+                                F.array(*[F.lit(t) for t in profs[lang]]), g
+                            ),
+                        )
+                    ).cast("double")
+                    / total
+                ).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang in sorted(profs)
+        ]
+    )
+    best = F.array_max(scored)
+    return F.when(
+        (n > 2) & (best["score"] >= min_score), best["lang"]
+    ).otherwise(F.lit("unknown"))
+
+
 def fingerprint(col: Column | str) -> Column:
     """Content fingerprint: md5 of NFC-ish normalized text (lower, collapsed
     whitespace). Stable across engines — usable as an exact-dedup key."""

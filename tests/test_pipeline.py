@@ -903,3 +903,36 @@ def test_vocabulary_and_tfidf_vs_duckdb(spark, sf_dir):
         assert len(rows) <= 3
         scores = [s for _, s in rows]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_detect_language_ngram(spark):
+    """Character-trigram language ID separates five languages on natural
+    sentences; degenerate inputs -> unknown."""
+    from hyperdx_spark.pipeline import text as T
+
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog and then goes "
+            "to the market in the morning.", "en"),
+        (2, "Der schnelle braune Fuchs springt über den faulen Hund und "
+            "die anderen Tiere in dem Wald.", "de"),
+        (3, "Le renard brun rapide saute par dessus le chien paresseux "
+            "et les autres animaux de la forêt.", "fr"),
+        (4, "El rápido zorro marrón salta sobre el perro perezoso y los "
+            "otros animales de la ciudad que están en el parque.", "es"),
+        (5, "La volpe marrone salta sopra il cane pigro e tutti gli "
+            "altri animali della città che sono nel parco.", "it"),
+        (6, "xqz", "unknown"),
+        (7, "", "unknown"),
+        (8, None, "unknown"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["lang"]
+        for r in df.select(
+            "doc_id", T.detect_language_ngram("text").alias("lang")
+        ).collect()
+    }
+    for i, _, want in rows:
+        assert got[i] == want, (i, got[i], want)
