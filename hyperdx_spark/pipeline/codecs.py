@@ -1217,3 +1217,74 @@ def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
     ys = (np.arange(height) * (h / height)).astype(np.int64).clip(0, h - 1)
     xs = (np.arange(width) * (w / width)).astype(np.int64).clip(0, w - 1)
     return arr[ys][:, xs]
+
+
+def resize_bilinear(arr: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Bilinear resize of (h, w[, c]) uint8 — vectorized numpy gather of
+    the four neighbors with edge clamping (align_corners=False pixel-center
+    convention, the default of the mainstream image libraries)."""
+    h, w = arr.shape[:2]
+    ys = (np.arange(height) + 0.5) * (h / height) - 0.5
+    xs = (np.arange(width) + 0.5) * (w / width) - 0.5
+    y0 = np.floor(ys).astype(np.int64)
+    x0 = np.floor(xs).astype(np.int64)
+    fy = (ys - y0)[:, None]
+    fx = (xs - x0)[None, :]
+    y0c = y0.clip(0, h - 1)
+    y1c = (y0 + 1).clip(0, h - 1)
+    x0c = x0.clip(0, w - 1)
+    x1c = (x0 + 1).clip(0, w - 1)
+    a = arr[y0c][:, x0c].astype(np.float64)
+    b = arr[y0c][:, x1c].astype(np.float64)
+    c = arr[y1c][:, x0c].astype(np.float64)
+    d = arr[y1c][:, x1c].astype(np.float64)
+    if arr.ndim == 3:
+        fy = fy[..., None]
+        fx = fx[..., None]
+    out = (a * (1 - fy) * (1 - fx) + b * (1 - fy) * fx
+           + c * fy * (1 - fx) + d * fy * fx)
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def spectral_features(
+    samples: np.ndarray, rate: int, *, n_fft: int = 512
+) -> dict[str, float]:
+    """Audio spectral summary via numpy rFFT over Hann-windowed frames:
+    dominant frequency (peak of the mean magnitude spectrum), spectral
+    centroid, 85% rolloff, and RMS level — the standard cheap audio
+    quality/content signals."""
+    x = samples.astype(np.float64)
+    if x.ndim > 1:
+        x = x.mean(axis=1)
+    if len(x) == 0:
+        return {"dominant_hz": 0.0, "centroid_hz": 0.0,
+                "rolloff_hz": 0.0, "rms": 0.0}
+    n = min(n_fft, len(x))
+    hop = max(n // 2, 1)
+    win = np.hanning(n)
+    frames = [x[i : i + n] * win for i in range(0, len(x) - n + 1, hop)] or [
+        np.pad(x, (0, n - len(x))) * win
+    ]
+    mag = np.abs(np.fft.rfft(np.stack(frames), n=n, axis=1)).mean(axis=0)
+    freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+    total = mag.sum()
+    if total <= 0:
+        return {"dominant_hz": 0.0, "centroid_hz": 0.0,
+                "rolloff_hz": 0.0, "rms": 0.0}
+    cum = np.cumsum(mag)
+    return {
+        "dominant_hz": float(freqs[int(mag.argmax())]),
+        "centroid_hz": float((freqs * mag).sum() / total),
+        "rolloff_hz": float(freqs[int(np.searchsorted(cum, 0.85 * total))]),
+        "rms": float(np.sqrt((x**2).mean())),
+    }
+
+
+def scene_changes(frames: np.ndarray, *, threshold: float = 20.0) -> list[int]:
+    """Indices i where frame i differs from frame i-1 by more than
+    ``threshold`` mean absolute luma — the cut-detection primitive for
+    video frame sampling (sample one frame per detected shot)."""
+    if len(frames) < 2:
+        return []
+    diffs = np.abs(np.diff(frames.astype(np.float64), axis=0)).mean(axis=(1, 2))
+    return [int(i) + 1 for i in np.nonzero(diffs > threshold)[0]]

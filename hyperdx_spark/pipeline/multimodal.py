@@ -220,10 +220,14 @@ def resize_images(
     id_col: str = "media_id",
     payload_col: str = "payload",
     fake: bool = False,
+    method: str = "nearest",
 ) -> DataFrame:
     """Resize a binary image column via Arrow-batched mapInPandas: decode
-    (PNG/BMP), nearest-neighbor resample, re-encode as PNG. ``fake=True``
-    keeps the old deterministic byte-downsample stand-in."""
+    (PNG/BMP/JPEG), resample (``method``: nearest | bilinear), re-encode
+    as PNG. ``fake=True`` keeps the deterministic byte-downsample
+    stand-in."""
+    if method not in ("nearest", "bilinear"):
+        raise ValueError(f"unknown resize method: {method}")
 
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -236,9 +240,12 @@ def resize_images(
                     out = data[::step][:target]
                 else:
                     arr = codecs.decode_image(data)
-                    out = codecs.encode_png(
-                        codecs.resize_nearest(arr, width, height)
+                    resampler = (
+                        codecs.resize_bilinear
+                        if method == "bilinear"
+                        else codecs.resize_nearest
                     )
+                    out = codecs.encode_png(resampler(arr, width, height))
                 rows.append(
                     {
                         "media_id": mid,

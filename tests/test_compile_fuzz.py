@@ -9,12 +9,18 @@ configs, the strategy space covers the cross-product of builder features,
 and the oracle is a second from-scratch SQL rendering (not the compiler's
 own output), so a shared bug can't cancel out.
 
-Determinism: double sums/avgs are rounded to 4 decimals on both sides
-(order-independent at this scale); count/min/max/count_distinct are exact
-(EXACT settings disable approx sketches); rows and columns are compared as
-sorted sets, so ORDER BY never participates.
+Determinism: double sums/avgs are compared with relative tolerance — float
+addition is not associative, and Spark's partial-aggregation order differs
+from DuckDB's sequential scan, so ANY fixed rounding has boundary cases
+(hypothesis found a day whose average straddled a .00005 edge: 42.5583 vs
+42.5582). count/min/max/count_distinct are exact (EXACT settings disable
+approx sketches); rows and columns are compared as sorted sets, so ORDER BY
+never participates. (The driver-gated entries avoid the problem at the
+source — exact decimal sums with one final double conversion; the generic
+compile path keeps the reference's double semantics, hence tolerance here.)
 """
 
+import math
 import os
 
 import duckdb
@@ -120,15 +126,30 @@ def _oracle_sql(idxs, conds, group, gran, having):
 
 def _canon(names, rows):
     order = sorted(range(len(names)), key=lambda i: names[i])
-    out = []
-    for r in rows:
-        out.append(
-            tuple(
-                round(v, 4) if isinstance(v, float) else v
-                for v in (r[i] for i in order)
-            )
-        )
-    return sorted(out, key=repr)
+    out = [tuple(r[i] for i in order) for r in rows]
+    # sort on a coarse float rounding so a last-ulp difference can't change
+    # row order; the time/group keys lead the tuple and decide in practice
+    return sorted(
+        out,
+        key=lambda t: tuple(
+            repr(round(v, 2)) if isinstance(v, float) else repr(v) for v in t
+        ),
+    )
+
+
+def _rows_equal(a, b):
+    if len(a) != len(b):
+        return False
+    for ra, rb in zip(a, b):
+        if len(ra) != len(rb):
+            return False
+        for va, vb in zip(ra, rb):
+            if isinstance(va, float) and isinstance(vb, float):
+                if not math.isclose(va, vb, rel_tol=1e-9, abs_tol=1e-9):
+                    return False
+            elif va != vb:
+                return False
+    return True
 
 
 @pytest.fixture(scope="module")
@@ -152,4 +173,4 @@ def test_compiled_config_matches_duckdb(spark, duck, cfg):
     got = _canon(out.columns, [tuple(r) for r in out.collect()])
     cur = duck.execute(_oracle_sql(*cfg))
     want = _canon([d[0] for d in cur.description], cur.fetchall())
-    assert got == want, _oracle_sql(*cfg)
+    assert _rows_equal(got, want), (_oracle_sql(*cfg), got[:3], want[:3])
