@@ -2,11 +2,11 @@
 metadata, processed with Arrow-batched ``mapInPandas``.
 
 Decoding is REAL for the formats implementable without external codec
-libraries (pipeline/codecs.py): PNG, 24-bit BMP, PCM WAV, and YUV4MPEG2
-(Y4M) uncompressed video. JPEG / compressed video raise a clear
-unsupported-codec error (no libjpeg/libav in this environment). The
-``fake=True`` paths remain as cheap deterministic stand-ins for tests that
-only exercise plumbing.
+libraries (pipeline/codecs.py): PNG, 24-bit BMP, JPEG (baseline SOF0 and
+progressive SOF2), PCM WAV, and YUV4MPEG2 (Y4M) uncompressed video.
+Compressed video raises a clear unsupported-codec error (no libav in this
+environment). The ``fake=True`` paths remain as cheap deterministic
+stand-ins for tests that only exercise plumbing.
 
 Scale notes: mapInPandas streams Arrow batches; per-batch memory is bounded
 by ``spark.sql.execution.arrow.maxRecordsPerBatch``. Binary payloads never
@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -320,3 +321,81 @@ def sample_frames(
             yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
 
     return df.mapInPandas(frame_batches, FRAME_SCHEMA)
+
+
+SPECTRAL_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("rate_hz", IntegerType()),
+        StructField("dominant_hz", DoubleType()),
+        StructField("centroid_hz", DoubleType()),
+        StructField("rolloff_hz", DoubleType()),
+        StructField("rms", DoubleType()),
+    ]
+)
+
+
+def audio_spectral(
+    df: DataFrame,
+    *,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    n_fft: int = 512,
+) -> DataFrame:
+    """Spectral features of a binary WAV column (codecs.spectral_features:
+    Hann-windowed rFFT -> dominant/centroid/rolloff frequency + RMS) via
+    Arrow-batched mapInPandas — the audio tier's content signals beyond
+    duration/rate."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload) if payload is not None else b""
+                samples, rate = codecs.decode_wav(data)
+                feats = codecs.spectral_features(samples, rate, n_fft=n_fft)
+                rows.append({"media_id": mid, "rate_hz": rate, **feats})
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in SPECTRAL_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(batches, SPECTRAL_SCHEMA)
+
+
+SCENE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_frames", IntegerType()),
+        StructField("cuts", ArrayType(IntegerType())),
+    ]
+)
+
+
+def video_scene_cuts(
+    df: DataFrame,
+    *,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    threshold: float = 20.0,
+) -> DataFrame:
+    """Shot-boundary detection over a binary Y4M column
+    (codecs.scene_changes: mean-abs-luma frame deltas over the threshold)
+    — feeds shot-aware frame sampling (one frame per detected shot instead
+    of fixed-interval sampling)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload) if payload is not None else b""
+                frames, _fps = codecs.decode_y4m(data)
+                rows.append({
+                    "media_id": mid,
+                    "n_frames": int(frames.shape[0]),
+                    "cuts": codecs.scene_changes(frames, threshold=threshold),
+                })
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in SCENE_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(batches, SCENE_SCHEMA)

@@ -936,3 +936,61 @@ def test_detect_language_ngram(spark):
     }
     for i, _, want in rows:
         assert got[i] == want, (i, got[i], want)
+
+
+def test_resize_bilinear_and_spectral_and_scenes(spark):
+    """Round out the multimodal tier: bilinear resampling preserves a
+    linear ramp exactly, FFT spectral features recover a pure tone's
+    frequency, and scene-cut detection finds an abrupt luma change."""
+    import numpy as np
+
+    from hyperdx_spark.pipeline import codecs, multimodal
+
+    # bilinear: upscaling a linear ramp stays linear (interior pixels
+    # interpolate exactly); nearest would produce staircase duplicates
+    ramp = np.tile(np.arange(0, 160, 10, dtype=np.uint8), (4, 1))  # 4x16
+    up = codecs.resize_bilinear(ramp, 31, 4)
+    diffs = np.diff(up[0, 1:-1].astype(int))
+    assert max(diffs) - min(diffs) <= 1  # even steps, no staircase
+    near = codecs.resize_nearest(ramp, 31, 4)
+    assert (np.diff(near[0].astype(int)) == 0).any()  # staircase present
+    # spark path
+    png = codecs.encode_png(ramp)
+    media = spark.createDataFrame(
+        [(1, bytearray(png))], "media_id long, payload binary"
+    )
+    out = multimodal.resize_images(
+        media, width=8, height=2, method="bilinear"
+    ).collect()
+    assert codecs.decode_png(bytes(out[0]["payload"])).shape[:2] == (2, 8)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="resize method"):
+        multimodal.resize_images(media, width=2, height=2, method="cubic")
+
+    # spectral: 440 Hz sine at 8 kHz -> dominant within one FFT bin
+    rate, freq = 8000, 440.0
+    t = np.arange(rate) / rate
+    samples = (np.sin(2 * np.pi * freq * t) * 20000).astype(np.int16)
+    wav = codecs.encode_wav(samples, rate=rate)
+    feats = codecs.spectral_features(samples, rate)
+    assert abs(feats["dominant_hz"] - freq) <= rate / 512
+    assert feats["rms"] > 10000
+    adf = spark.createDataFrame(
+        [(7, bytearray(wav))], "media_id long, payload binary"
+    )
+    row = multimodal.audio_spectral(adf).collect()[0]
+    assert row["rate_hz"] == rate
+    assert abs(row["dominant_hz"] - freq) <= rate / 512
+    assert row["centroid_hz"] > 0 and row["rolloff_hz"] >= row["dominant_hz"] / 2
+
+    # scene cuts: 3 dark frames then 3 bright frames -> one cut at index 3
+    frames = np.concatenate([
+        np.full((3, 16, 16), 20, np.uint8), np.full((3, 16, 16), 200, np.uint8)
+    ])
+    assert codecs.scene_changes(frames) == [3]
+    vdf = spark.createDataFrame(
+        [(9, bytearray(codecs.encode_y4m(frames, fps=5)))],
+        "media_id long, payload binary",
+    )
+    vrow = multimodal.video_scene_cuts(vdf).collect()[0]
+    assert vrow["n_frames"] == 6 and list(vrow["cuts"]) == [3]
