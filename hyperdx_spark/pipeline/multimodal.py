@@ -278,12 +278,19 @@ def sample_frames(
     id_col: str = "media_id",
     payload_col: str = "payload",
     fake: bool = False,
+    per_shot: bool = False,
+    shot_threshold: float = 20.0,
 ) -> DataFrame:
     """Video frame sampling: one input row (Y4M binary) fans out to
     <= max_frames rows (frame_idx, ts_ms, frame as PNG). A mapInPandas
     generator may yield more rows than it consumes — the explode shape and
     per-batch memory profile are the scale-relevant parts. ``fake=True``
-    slices byte windows instead of decoding."""
+    slices byte windows instead of decoding.
+
+    ``per_shot=True`` switches from fixed-interval to shot-aware sampling:
+    cut boundaries come from codecs.scene_changes and the MIDDLE frame of
+    each shot is emitted — one representative frame per shot instead of
+    interval frames that can all land in the same static scene."""
 
     def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -305,9 +312,20 @@ def sample_frames(
                     continue
                 frames, fps = codecs.decode_y4m(data)
                 n = frames.shape[0]
-                # sample one frame per every_ms of wall time
-                step = max(int(round(fps * every_ms / 1000.0)), 1)
-                for out_idx, src_idx in enumerate(range(0, n, step)):
+                if per_shot:
+                    bounds = [0] + codecs.scene_changes(
+                        frames, threshold=shot_threshold
+                    ) + [n]
+                    src_idxs = [
+                        (bounds[i] + bounds[i + 1] - 1) // 2
+                        for i in range(len(bounds) - 1)
+                        if bounds[i] < bounds[i + 1]
+                    ]
+                else:
+                    # sample one frame per every_ms of wall time
+                    step = max(int(round(fps * every_ms / 1000.0)), 1)
+                    src_idxs = list(range(0, n, step))
+                for out_idx, src_idx in enumerate(src_idxs):
                     if out_idx >= max_frames:
                         break
                     rows.append(

@@ -994,3 +994,27 @@ def test_resize_bilinear_and_spectral_and_scenes(spark):
     )
     vrow = multimodal.video_scene_cuts(vdf).collect()[0]
     assert vrow["n_frames"] == 6 and list(vrow["cuts"]) == [3]
+
+
+def test_sample_frames_per_shot(spark):
+    """Shot-aware sampling emits the middle frame of each detected shot."""
+    import numpy as np
+
+    from hyperdx_spark.pipeline import codecs, multimodal
+
+    frames = np.concatenate([
+        np.full((4, 16, 16), 20, np.uint8),   # shot 1: frames 0-3
+        np.full((6, 16, 16), 200, np.uint8),  # shot 2: frames 4-9
+    ])
+    vdf = spark.createDataFrame(
+        [(1, bytearray(codecs.encode_y4m(frames, fps=10)))],
+        "media_id long, payload binary",
+    )
+    out = sorted(
+        multimodal.sample_frames(vdf, per_shot=True).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    # middles: shot 1 -> frame 1 (ts 100ms), shot 2 -> frame 6 (ts 600ms)
+    assert [(r["frame_idx"], r["ts_ms"]) for r in out] == [(0, 100), (1, 600)]
+    lumas = [codecs.decode_png(bytes(r["frame"]))[0, 0] for r in out]
+    assert lumas == [20, 200]
