@@ -1,5 +1,5 @@
 """Deduplication operators — exact, MinHash+LSH, SimHash, n-gram Jaccard,
-embedding-cosine near-dup.
+embedding-cosine near-dup, winnowing partial-copy pairs, C4 span dedup.
 
 Scale design (the point of each algorithm):
 
@@ -16,6 +16,12 @@ Scale design (the point of each algorithm):
 * SimHash:        64-bit weighted-bit-vote fingerprint; near-dups differ in
                   <= k bits; blocking on rotated chunks finds candidates.
 * embedding:      delegated to similarity.cosine_pairs (LSH-bucketed).
+* winnowing:      Schleimer'03 selected-minima rolling-hash fingerprints;
+                  same inverted-index join — catches partial substring
+                  reuse (quotes/boilerplate) shingle Jaccard under-weights.
+* span dedup:     C4's 3-sentence-span removal; frame-aggregate span
+                  assembly, one shuffle keyed by span hash, byte-exact
+                  document rebuild.
 
 MinHash uses ``min(xxhash64(seed, shingle))`` — a min-wise family over
 64-bit ints. (An md5/lexicographic variant would be bit-identical across SQL
