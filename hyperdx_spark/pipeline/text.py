@@ -243,6 +243,57 @@ def winnow_fingerprints(
     )
 
 
+# common entities worth decoding without an HTML parser dependency
+_HTML_ENTITIES = [
+    ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"),
+]
+
+
+def strip_html(col: Column | str) -> Column:
+    """Plain text from an HTML-ish document: drop script/style/comment
+    blocks, remove tags, decode the common entities, collapse whitespace.
+    A regexp_replace chain (JVM-side, zero shuffles) — the pragmatic
+    web-corpus preprocessor, not a spec-complete HTML5 parser (CDATA and
+    exotic entities pass through; documented divergence)."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.regexp_replace(c, r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>", " ")
+    out = F.regexp_replace(out, r"(?s)<!--.*?-->", " ")
+    # block-level closers become newlines so line-based rules (C4, Gopher
+    # bullet/ellipsis fractions) still see document structure
+    out = F.regexp_replace(
+        out, r"(?i)</(p|div|li|h[1-6]|tr|table|ul|ol|blockquote)\s*>|<br\s*/?>",
+        "\n",
+    )
+    out = F.regexp_replace(out, r"(?s)<[^>]+>", " ")
+    for ent, rep in _HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    out = F.regexp_replace(out, r"[ \t]+", " ")
+    out = F.regexp_replace(out, r" ?\n ?", "\n")
+    # F.trim strips spaces only; block-closer newlines need the regex form
+    return F.regexp_replace(out, r"^\s+|\s+$", "")
+
+
+def link_density(col: Column | str) -> Column:
+    """Fraction of the visible text that sits inside <a> anchors — the
+    classic boilerplate/navigation signal (menus and footers are link-
+    dense, body prose is not). Computed pre-strip on the raw HTML; 0.0
+    for documents with no visible text."""
+    c = F.col(col) if isinstance(col, str) else col
+    anchors = F.regexp_extract_all(
+        c, F.lit(r"(?is)<a\b[^>]*>(.*?)</a\s*>"), F.lit(1)
+    )
+    anchor_text = F.aggregate(
+        F.transform(anchors, lambda a: F.length(strip_html(a))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    total = F.length(strip_html(c))
+    return F.when(
+        total > 0, anchor_text.cast("double") / total.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
 def vocabulary(
     df: DataFrame,
     *,

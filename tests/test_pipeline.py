@@ -1018,3 +1018,38 @@ def test_sample_frames_per_shot(spark):
     assert [(r["frame_idx"], r["ts_ms"]) for r in out] == [(0, 100), (1, 600)]
     lumas = [codecs.decode_png(bytes(r["frame"]))[0, 0] for r in out]
     assert lumas == [20, 200]
+
+
+def test_strip_html_and_link_density(spark):
+    from hyperdx_spark.pipeline import text as T
+
+    html = ('<html><head><style>body { color: red }</style>'
+            '<script>var x = "<p>not text</p>";</script></head>'
+            '<body><h1>Title here</h1><!-- comment -->'
+            '<p>First paragraph with a <a href="/x">link</a> inside.</p>'
+            '<ul><li>item one</li><li>item &amp; two</li></ul>'
+            '<div>Last&nbsp;bit &lt;tag&gt; &quot;quoted&quot;</div>'
+            '</body></html>')
+    nav = ('<div><a href="/">Home</a> | <a href="/a">About</a> | '
+           '<a href="/c">Contact</a></div>')
+    df = spark.createDataFrame(
+        [(1, html), (2, nav), (3, "no markup at all"), (4, ""), (5, None)],
+        "id long, t string",
+    )
+    rows = {
+        r["id"]: (r["s"], r["ld"])
+        for r in df.select(
+            "id", T.strip_html("t").alias("s"), T.link_density("t").alias("ld")
+        ).collect()
+    }
+    s1 = rows[1][0]
+    # script/style/comments gone, entities decoded, structure kept as lines
+    assert "color: red" not in s1 and "not text" not in s1
+    assert "item & two" in s1 and '<tag> "quoted"' in s1
+    assert s1.startswith("Title here") and "\nitem one\nitem & two" in s1
+    assert "<" not in s1.replace("<tag>", "")  # only the decoded literal
+    # link density separates nav boilerplate from prose
+    assert rows[1][1] < 0.1 and rows[2][1] > 0.6
+    assert rows[3] == ("no markup at all", 0.0)
+    assert rows[4] == ("", 0.0)
+    assert rows[5][0] is None and rows[5][1] == 0.0
