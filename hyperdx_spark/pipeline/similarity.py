@@ -688,3 +688,125 @@ def query_ivfpq_index(
         .where(F.col("rank") <= k)
         .select("query_id", "match_id", "cos", "rank")
     )
+
+# ---------------------------------------------------------------------------
+# PCA — embedding projection/whitening (dim reduction ahead of ANN tiers)
+# ---------------------------------------------------------------------------
+
+
+def pca_fit(
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    k: int | None = None,
+) -> dict:
+    """Fit PCA over an embedding column at corpus scale.
+
+    Moment collection is one ``mapInPandas`` pass producing a PARTIAL
+    (n, sum, X'X) per Arrow batch stream — each partial is d + d*d floats
+    regardless of partition size — combined driver-side and
+    eigendecomposed with numpy. No covariance shuffle, no driver-side
+    row collection; this is the standard tree-aggregated PCA shape.
+
+    Returns {"mean": [d], "components": [k][d], "explained_variance": [k]}
+    with components sorted by descending eigenvalue and sign-normalized
+    (largest-|coefficient| entry positive) so results are deterministic.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, StructField, StructType,
+    )
+
+    schema = StructType([
+        StructField("n", LongType()),
+        StructField("s", ArrayType(DoubleType())),
+        StructField("ss", ArrayType(DoubleType())),
+    ])
+
+    def partials(batches):
+        n, s, ss = 0, None, None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf.iloc[:, 0]])
+            n += X.shape[0]
+            s = X.sum(0) if s is None else s + X.sum(0)
+            g = X.T @ X
+            ss = g if ss is None else ss + g
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [list(s)], "ss": [list(ss.ravel())]}
+            )
+
+    parts = corpus.select(vec_col).mapInPandas(partials, schema).collect()
+    if not parts:
+        raise ValueError("empty corpus")
+    n = sum(r["n"] for r in parts)
+    d = len(parts[0]["s"])
+    s = np.zeros(d)
+    ss = np.zeros((d, d))
+    for r in parts:
+        s += np.asarray(r["s"])
+        ss += np.asarray(r["ss"]).reshape(d, d)
+    mean = s / n
+    cov = ss / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1]
+    evals, evecs = evals[order], evecs[:, order]
+    kk = k or d
+    comps = []
+    for j in range(kk):
+        v = evecs[:, j]
+        if v[np.abs(v).argmax()] < 0:  # deterministic sign convention
+            v = -v
+        comps.append([float(x) for x in v])
+    return {
+        "mean": [float(x) for x in mean],
+        "components": comps,
+        "explained_variance": [float(max(x, 0.0)) for x in evals[:kk]],
+    }
+
+
+def pca_project(
+    df: DataFrame,
+    model: dict,
+    *,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+    whiten: bool = False,
+) -> DataFrame:
+    """Project embeddings onto the fitted components — row-local: the
+    (mean, components) ride a broadcast one-row frame (the pq_encode
+    technique) and each output coordinate is one JVM dot product; zero
+    shuffles at any corpus size. ``whiten=True`` scales each coordinate by
+    1/sqrt(explained_variance) (unit-variance output)."""
+    spark = df.sparkSession
+    scale = [
+        1.0 / (ev ** 0.5) if (whiten and ev > 0) else 1.0
+        for ev in model["explained_variance"]
+    ]
+    mdf = F.broadcast(
+        spark.createDataFrame(
+            [(model["mean"], model["components"], scale)],
+            "__mean array<double>, __w array<array<double>>, __sc array<double>",
+        )
+    )
+    centered = F.zip_with(
+        F.col(vec_col), F.col("__mean"),
+        lambda x, m: x.cast("double") - m,
+    )
+    proj = F.zip_with(
+        F.col("__w"), F.col("__sc"),
+        lambda w, sc: sc * F.aggregate(
+            F.zip_with(w, F.col("__out_c"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return (
+        df.crossJoin(mdf)
+        .withColumn("__out_c", centered)
+        .withColumn(out_col, proj)
+        .drop("__mean", "__w", "__sc", "__out_c")
+    )

@@ -267,3 +267,39 @@ def test_ivfpq_persisted_index_matches_brute(spark, sf_dir, tmp_path):
     }
     part_pairs = {(r["query_id"], r["match_id"]) for r in part.collect()}
     assert len(part_pairs & brute_pairs) >= len(brute_pairs) // 3
+
+
+def test_pca_fit_project_whiten(spark):
+    """Distributed PCA: moments match numpy exactly, whitened projection
+    has unit variance and decorrelated coordinates, components are
+    deterministic under repartitioning."""
+    import numpy as np
+
+    from hyperdx_spark.pipeline import similarity
+
+    rng = np.random.default_rng(0)
+    Z = rng.normal(size=(400, 2)) @ np.array([[3.0, 0], [0, 1.0]])
+    W = rng.normal(size=(2, 8))
+    X = Z @ W + rng.normal(scale=0.01, size=(400, 8)) + 5.0
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    )
+    model = similarity.pca_fit(df, k=2)
+    assert np.allclose(model["mean"], X.mean(0), atol=1e-9)
+    cov = np.cov(X.T, bias=True)
+    evals = np.sort(np.linalg.eigvalsh(cov))[::-1]
+    assert np.allclose(model["explained_variance"], evals[:2], rtol=1e-8)
+    P = np.array([
+        r["pca"] for r in similarity.pca_project(df, model, whiten=True)
+        .select("pca").collect()
+    ])
+    assert np.allclose(P.var(0), [1.0, 1.0], atol=1e-6)
+    assert abs(np.corrcoef(P.T)[0, 1]) < 1e-6
+    # partitioning must not change the fitted model (float sums combine
+    # driver-side from per-stream partials; tolerance covers the order)
+    model2 = similarity.pca_fit(df.repartition(7), k=2)
+    assert np.allclose(model2["mean"], model["mean"], atol=1e-9)
+    assert np.allclose(
+        np.abs(model2["components"]), np.abs(model["components"]), atol=1e-6
+    )
