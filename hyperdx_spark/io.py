@@ -168,3 +168,30 @@ def register_tables(
         if time_filter is not None and time_filter[0] in _nanos_timestamp_cols(path):
             tf = time_filter
         load_table(spark, sf_dir, name, time_filter=tf).createOrReplaceTempView(name)
+
+
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    *,
+    buckets: int,
+    bucket_cols: list[str],
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a bucketed (+ optionally sorted) managed table — the
+    co-located-join layout for keys that get joined repeatedly.
+
+    Two tables bucketed the SAME way (column set + bucket count) join with
+    ZERO Exchange: each bucket pairs file-to-file, so the shuffle that
+    normally dominates a big-big join (e.g. trace<->log correlation, or a
+    fact table joined against per-key features every pipeline run) is paid
+    ONCE at write time instead of per query. ``sort_cols`` additionally
+    removes the per-bucket sort from sort-merge joins. This is the 100 TB
+    lever for repeated joins the ad-hoc ``repartition`` can't provide —
+    the layout persists across sessions (metastore-backed).
+    """
+    w = df.write.mode(mode).bucketBy(buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(name)

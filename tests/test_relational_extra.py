@@ -303,3 +303,39 @@ def test_pca_fit_project_whiten(spark):
     assert np.allclose(
         np.abs(model2["components"]), np.abs(model["components"]), atol=1e-6
     )
+
+
+def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path):
+    """Co-located join layout: two tables bucketed the same way join with
+    no Exchange in the physical plan (the write-once/join-many lever for
+    100 TB correlation joins). Broadcast is disabled so the test proves
+    bucketing, not broadcasting."""
+    from hyperdx_spark.io import load_table, write_bucketed
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.select("event_id", "user_id", "value")
+    right = (
+        ev.groupBy("user_id").count().withColumnRenamed("count", "n_events")
+    )
+    write_bucketed(left, "ev_bucketed", buckets=8, bucket_cols=["user_id"],
+                   sort_cols=["user_id"])
+    write_bucketed(right, "usr_bucketed", buckets=8, bucket_cols=["user_id"],
+                   sort_cols=["user_id"])
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("ev_bucketed").join(
+            spark.table("usr_bucketed"), on="user_id"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan  # buckets pair file-to-file
+        # the join is still correct
+        assert joined.count() == spark.table("ev_bucketed").count()
+        # a NON-bucketed copy of the same join needs two Exchanges
+        plain = left.join(right, on="user_id")
+        plan2 = plain._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plan2
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS ev_bucketed")
+        spark.sql("DROP TABLE IF EXISTS usr_bucketed")
