@@ -116,10 +116,32 @@ def _attr_map(attrs: Column) -> Column:
     ).otherwise(F.create_map().cast("map<string,string>"))
 
 
+def corrupt_otlp_lines(df: DataFrame, payload_col: str = "value") -> DataFrame:
+    """Dead-letter view: the raw lines ``parse_otlp_logs`` would silently
+    drop (unparseable JSON, or JSON without a resourceLogs envelope —
+    from_json's permissive mode nulls both and the explode swallows them).
+    Run it against the same source as the parser (file sources replay
+    cheaply) and sink it next to the parsed table so ingest loss is
+    OBSERVED, not silent: an exporter-version schema drift shows up as a
+    dead-letter rate, not a mystery gap in the charts."""
+    raw = F.col(payload_col).cast("string")
+    parsed = F.from_json(raw, OTLP_LOGS_SCHEMA)
+    return (
+        df.select(
+            raw.alias("raw_line"),
+            parsed["resourceLogs"].isNull().alias("__bad"),
+        )
+        .where(F.col("__bad") & (F.trim(F.col("raw_line")) != ""))
+        .drop("__bad")
+    )
+
+
 def parse_otlp_logs(df: DataFrame, payload_col: str = "value") -> DataFrame:
     """Parse OTLP/JSON ExportLogsServiceRequest lines into the storage
     schema (otel_logs analogue). Works on batch and streaming DataFrames —
-    every step is a built-in expression (from_json / explode / transform)."""
+    every step is a built-in expression (from_json / explode / transform).
+    Lines that don't parse vanish at the explode; pair with
+    :func:`corrupt_otlp_lines` for the dead-letter stream."""
     parsed = df.select(
         F.from_json(F.col(payload_col).cast("string"), OTLP_LOGS_SCHEMA).alias("r")
     )

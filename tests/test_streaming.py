@@ -399,3 +399,44 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
     # watermark-pusher row's own session may be withheld
     assert [b for b in batch if b[0] != 99] == [g for g in got if g[0] != 99]
     assert len([g for g in got if g[0] == 1]) == 2  # gap split into two
+
+
+def test_otlp_corrupt_lines_dead_letter(spark):
+    """parse_otlp_logs drops unparseable lines at the explode;
+    corrupt_otlp_lines must capture exactly those (and ignore blanks)."""
+    import json
+
+    from hyperdx_spark.streaming.ingest import (
+        corrupt_otlp_lines,
+        parse_otlp_logs,
+    )
+
+    good = json.dumps({
+        "resourceLogs": [{
+            "resource": {"attributes": [
+                {"key": "service.name", "value": {"stringValue": "svc"}}]},
+            "scopeLogs": [{
+                "scope": {"name": "s"},
+                "logRecords": [{
+                    "timeUnixNano": "1704067200000000000",
+                    "severityText": "INFO",
+                    "body": {"stringValue": "hello"},
+                }],
+            }],
+        }]
+    })
+    rows = [
+        (good,),
+        ("{not json at all",),          # unparseable
+        ('{"somethingElse": 1}',),      # parses, wrong envelope
+        ("",),                          # blank: neither parsed nor dead-letter
+        ("   ",),
+    ]
+    df = spark.createDataFrame(rows, "value string")
+    parsed = parse_otlp_logs(df).collect()
+    assert len(parsed) == 1 and parsed[0]["body"] == "hello"
+    dead = sorted(r["raw_line"] for r in corrupt_otlp_lines(df).collect())
+    assert dead == sorted(["{not json at all", '{"somethingElse": 1}'])
+    # conservation: every nonblank line is parsed or dead-lettered
+    nonblank = sum(1 for (v,) in rows if v.strip())
+    assert len(parsed) + len(dead) == nonblank
