@@ -53,6 +53,10 @@ class AlertConfig:
     threshold_max: Optional[float] = None
     window_minutes: int = 5            # granularity = alert interval
     num_consecutive_windows: int = 1   # M-of-M lookback
+    # silencing (checkAlerts/index.ts:1050-1066): while now < silenced_until
+    # the state machine still runs but notifications are suppressed —
+    # silencing mutes the channel, it does not pause evaluation
+    silenced_until: Optional[datetime] = None
 
 
 def does_exceed_threshold(cfg: AlertConfig, value: float) -> bool:
@@ -124,12 +128,16 @@ def evaluate(
     group_keys: Sequence[str] = (),
     previous: Optional[dict[str, GroupHistory]] = None,
     recent_states: Optional[dict[str, list[AlertState]]] = None,
+    now: Optional[datetime] = None,
 ) -> tuple[dict[str, GroupHistory], list[Notification]]:
     """Driver-side state machine over one evaluation's query rows.
 
     ``rows``: collected chart rows (dicts). ``recent_states``: per group the
     previous windows' states newest-first (for M-consecutive promotion).
     Returns the new per-group histories and the notifications that fired.
+    If the alert is silenced (cfg.silenced_until > ``now``), histories
+    still advance but the returned notification list is empty — reference
+    parity: silencing mutes the channel without pausing evaluation.
     """
     previous = previous or {}
     recent_states = recent_states or {}
@@ -219,6 +227,10 @@ def evaluate(
                 notifications.append(
                     Notification(AlertState.OK, g, 0.0, date_range[1])
                 )
+    if cfg.silenced_until is not None:
+        ref_now = now if now is not None else datetime.now()
+        if cfg.silenced_until > ref_now:
+            return histories, []  # muted channel; evaluation still advanced
     return histories, notifications
 
 

@@ -170,3 +170,27 @@ def test_notifications_to_webhook_messages():
     assert "42.0" in p["text"]
     doc = json.loads(generic_payload(msgs[0]))
     assert "ALERT" in doc["text"] and "api" in doc["text"]
+
+
+def test_silenced_alert_suppresses_notifications_not_state():
+    """Silencing parity (checkAlerts/index.ts:1050-1066): while silenced
+    the state machine advances (ALERT state reached) but no notification
+    fires; once the silence expires the same evaluation notifies."""
+    from datetime import datetime
+
+    from hyperdx_spark.alerts import AlertConfig, AlertState, evaluate
+
+    rows = [{"__timestamp": datetime(2024, 1, 1, 0, 0), "value": 100.0}]
+    rng = (datetime(2024, 1, 1), datetime(2024, 1, 1, 0, 5))
+    silenced = AlertConfig(threshold=50,
+                           silenced_until=datetime(2024, 6, 1))
+    hist, notes = evaluate(rows, silenced, date_range=rng,
+                           now=datetime(2024, 1, 2))
+    assert hist[""].state == AlertState.ALERT  # evaluation still ran
+    assert notes == []                          # channel muted
+    expired = AlertConfig(threshold=50,
+                          silenced_until=datetime(2024, 1, 1, 12))
+    hist2, notes2 = evaluate(rows, expired, date_range=rng,
+                             now=datetime(2024, 1, 2))
+    assert hist2[""].state == AlertState.ALERT
+    assert len(notes2) == 1 and notes2[0].state == AlertState.ALERT
