@@ -61,15 +61,31 @@ def build_title(
 
 
 def render_template(template: str, view: dict) -> str:
-    """Minimal Handlebars-subset renderer: ``{{var}}`` substitution only
-    (the reference compiles with noEscape over a pre-escaped view)."""
+    """Minimal Handlebars-subset renderer: ``{{var}}`` substitution plus the
+    one helper the reference registers — ``{{#if (eq var "val")}} ...
+    {{else}} ... {{/if}}`` (template.ts createHandlebarsWithHelpers:
+    ``hb.registerHelper('eq', (a, b) => a === b)``). Non-nested blocks
+    only; the reference compiles with noEscape over a pre-escaped view."""
+
+    def cond(m: re.Match) -> str:
+        var, val, body = m.group(1), m.group(2), m.group(3)
+        parts = body.split("{{else}}", 1)
+        hit = str(view.get(var, "")) == val
+        return parts[0] if hit else (parts[1] if len(parts) > 1 else "")
+
+    out = re.sub(
+        r'\{\{#if \(eq\s+(\w+)\s+"([^"]*)"\)\}\}(.*?)\{\{/if\}\}',
+        cond,
+        template,
+        flags=re.S,
+    )
 
     def sub(m: re.Match) -> str:
         key = m.group(1).strip()
         v = view.get(key, "")
         return "" if v is None else str(v)
 
-    return re.sub(r"\{\{([^}]+)\}\}", sub, template)
+    return re.sub(r"\{\{([^}]+)\}\}", sub, out)
 
 
 def slack_payload(message: Message) -> dict:

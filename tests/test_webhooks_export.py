@@ -91,3 +91,20 @@ def test_export_csv_roundtrip(spark, sf_dir, tmp_path):
         lines = fh.read().strip().splitlines()
     assert lines[0] == "event_id,event_type,value"
     assert len(lines) == 101
+
+
+def test_template_eq_helper_conditional():
+    """The reference registers exactly one Handlebars helper — eq — used
+    as {{#if (eq state "ALERT")}} in webhook bodies (template.ts
+    createHandlebarsWithHelpers). Both branches and the no-else form."""
+    from hyperdx_spark.webhooks import render_template
+
+    t = ('{"text": "{{#if (eq state "ALERT")}}FIRING: {{title}}'
+         '{{else}}resolved: {{title}}{{/if}}"}')
+    assert render_template(t, {"state": "ALERT", "title": "cpu"}) == \
+        '{"text": "FIRING: cpu"}'
+    assert render_template(t, {"state": "OK", "title": "cpu"}) == \
+        '{"text": "resolved: cpu"}'
+    no_else = '{{#if (eq state "OK")}}all clear{{/if}}-{{state}}'
+    assert render_template(no_else, {"state": "OK"}) == "all clear-OK"
+    assert render_template(no_else, {"state": "ALERT"}) == "-ALERT"
