@@ -111,18 +111,24 @@ def token_budget_mix(
     token_count_col: str,
     seed: int = 42,
     max_oversample: float = 1.0,
+    allow_repeats: bool = False,
 ) -> DataFrame:
     """Mix sources into one corpus hitting a total token budget split by
     weight (the standard training-mix primitive: e.g. 60% web, 30% code,
     10% reference).
 
     Each source's share is ``total_tokens * weight / sum(weights)``; the
-    source is ``hash_sample``d at ``share / its_token_count`` (capped at
-    ``max_oversample`` — an undersized source contributes everything it
-    has rather than repeating rows). The only driver-side data is one
-    (count, sum) row per source; the sampling itself is the zero-shuffle
-    hash filter, so the mix is reproducible AND cheap at corpus scale.
-    Output adds a ``source`` column.
+    source is ``hash_sample``d at ``share / its_token_count`` capped at
+    ``max_oversample``. With ``allow_repeats=False`` (default) the cap is
+    further clamped to 1.0 — an undersized source contributes everything
+    it has ONCE. With ``allow_repeats=True``, an undersized source is
+    EPOCHED the way real training mixes oversample small high-quality
+    sources: ``floor(frac)`` full copies plus a hash-sampled fractional
+    remainder, each copy tagged with an ``epoch`` column (0-based) so
+    downstream shuffling/accounting can tell repeats apart. The only
+    driver-side data is one (count, sum) row per source; every copy is
+    the zero-shuffle hash filter, so the mix stays reproducible and
+    cheap at corpus scale. Output adds ``source`` and ``epoch`` columns.
     """
     if sources.keys() != weights.keys():
         raise ValueError("sources and weights must have the same keys")
@@ -133,12 +139,30 @@ def token_budget_mix(
     for name, df in sources.items():
         have = df.agg(F.sum(F.col(token_count_col)).alias("t")).collect()[0]["t"] or 0
         share = total_tokens * (weights[name] / wsum)
-        # clamp to 1.0 after the oversample cap: hash_sample rejects
-        # fractions > 1, and "contributes everything it has" is the
-        # documented ceiling for any max_oversample setting
-        frac = min(share / have if have > 0 else 0.0, float(max_oversample), 1.0)
-        picked = hash_sample(df, frac, id_col=id_col, seed=seed)
-        parts.append(picked.withColumn("source", F.lit(name)))
+        frac = min(share / have if have > 0 else 0.0, float(max_oversample))
+        if not allow_repeats:
+            # hash_sample rejects fractions > 1; "contributes everything it
+            # has" is the documented ceiling when repeats are off
+            frac = min(frac, 1.0)
+        full_epochs = int(frac) if allow_repeats else 0
+        for ep in range(full_epochs):
+            parts.append(
+                df.withColumn("source", F.lit(name))
+                .withColumn("epoch", F.lit(ep))
+            )
+        remainder = frac - full_epochs
+        if remainder > 0:
+            # per-epoch seed: the fractional epoch draws an independent
+            # subset rather than always repeating the same prefix rows
+            picked = hash_sample(
+                df, remainder, id_col=id_col, seed=seed + full_epochs
+            )
+            parts.append(
+                picked.withColumn("source", F.lit(name))
+                .withColumn("epoch", F.lit(full_epochs))
+            )
+    if not parts:
+        raise ValueError("empty mix: every source sampled to zero")
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

@@ -1053,3 +1053,43 @@ def test_strip_html_and_link_density(spark):
     assert rows[3] == ("no markup at all", 0.0)
     assert rows[4] == ("", 0.0)
     assert rows[5][0] is None and rows[5][1] == 0.0
+
+
+def test_token_budget_mix_epoch_repeats(spark, sf_dir):
+    """allow_repeats=True epochs an undersized source: full copies tagged
+    epoch 0..k-1 plus an independent fractional draw; default stays
+    clamped to one copy."""
+    from hyperdx_spark.io import load_table
+    from hyperdx_spark.pipeline import sampling, text
+
+    docs = load_table(spark, sf_dir, "documents").limit(40).select(
+        "doc_id", "text", text.token_count("text").alias("nt")
+    ).cache()
+    total = docs.groupBy().sum("nt").collect()[0][0]
+    n = docs.count()
+    # budget ~2.5x the tiny source's tokens, all weight on it
+    out = sampling.token_budget_mix(
+        {"tiny": docs}, {"tiny": 1.0}, total_tokens=int(total * 2.5),
+        id_col="doc_id", token_count_col="nt", seed=11,
+        max_oversample=10.0, allow_repeats=True,
+    )
+    by_epoch = {r["epoch"]: r["c"] for r in
+                out.groupBy("epoch").agg(F.count("*").alias("c")).collect()}
+    assert by_epoch[0] == n and by_epoch[1] == n      # two full epochs
+    assert 0 < by_epoch.get(2, 0) < n                 # fractional remainder
+    # deterministic: same call gives the identical mix
+    out2 = sampling.token_budget_mix(
+        {"tiny": docs}, {"tiny": 1.0}, total_tokens=int(total * 2.5),
+        id_col="doc_id", token_count_col="nt", seed=11,
+        max_oversample=10.0, allow_repeats=True,
+    )
+    a = sorted((r["doc_id"], r["epoch"]) for r in out.collect())
+    b = sorted((r["doc_id"], r["epoch"]) for r in out2.collect())
+    assert a == b
+    # default (no repeats): exactly one copy of everything
+    clamped = sampling.token_budget_mix(
+        {"tiny": docs}, {"tiny": 1.0}, total_tokens=int(total * 2.5),
+        id_col="doc_id", token_count_col="nt", seed=11, max_oversample=10.0,
+    )
+    assert clamped.count() == n
+    assert {r["epoch"] for r in clamped.select("epoch").distinct().collect()} == {0}
