@@ -1590,7 +1590,7 @@ _IPV4_PAT = r"'\b(?:\d{1,3}\.){3}\d{1,3}\b'"
 _BPE_PAT_SQL = "'" + text.BPE_PRETOKEN_PATTERN.replace("'", "''") + "'"
 _BPE_COUNT = (
     f"len(list_filter(regexp_extract_all(text, {_BPE_PAT_SQL}),"
-    " p -> trim(p) != ''))"
+    r" p -> regexp_matches(p, '\S')))"
 )
 
 # Gopher quality-filter conjunction (text.gopher_flags replay, paper

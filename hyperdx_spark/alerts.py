@@ -228,7 +228,20 @@ def evaluate(
                     Notification(AlertState.OK, g, 0.0, date_range[1])
                 )
     if cfg.silenced_until is not None:
-        ref_now = now if now is not None else datetime.now()
+        if now is not None:
+            ref_now = now
+        elif cfg.silenced_until.tzinfo is not None:
+            # aware silenced_until -> aware now (naive datetime.now() would
+            # TypeError on comparison; local-time now would shift the
+            # silence window by the host's UTC offset)
+            from datetime import timezone
+
+            ref_now = datetime.now(timezone.utc)
+        else:
+            # the module's convention is UTC-naive timestamps throughout
+            from datetime import timezone
+
+            ref_now = datetime.now(timezone.utc).replace(tzinfo=None)
         if cfg.silenced_until > ref_now:
             return histories, []  # muted channel; evaluation still advanced
     return histories, notifications

@@ -189,7 +189,9 @@ def bpe_pretokens(col: Column | str) -> Column:
     so pipelines keyed on it stay oracle-checkable."""
     c = F.col(col) if isinstance(col, str) else col
     pieces = F.regexp_extract_all(c, F.lit(BPE_PRETOKEN_PATTERN), F.lit(0))
-    return F.filter(pieces, lambda p: F.trim(p) != "")
+    # rlike \S, not trim() != '': trim strips only 0x20, so tab/newline runs
+    # would otherwise count as tokens (newline-heavy text inflates budgets)
+    return F.filter(pieces, lambda p: p.rlike(r"\S"))
 
 
 def bpe_token_count(col: Column | str) -> Column:
@@ -243,10 +245,13 @@ def winnow_fingerprints(
     )
 
 
-# common entities worth decoding without an HTML parser dependency
+# common entities worth decoding without an HTML parser dependency.
+# ORDER MATTERS: '&amp;' must decode LAST or doubly-escaped markup like
+# '&amp;lt;' would double-decode ('&amp;lt;' -> '&lt;' -> '<'), corrupting
+# text that should render as a literal '&lt;'.
 _HTML_ENTITIES = [
-    ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
-    ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"),
+    ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"), ("&amp;", "&"),
 ]
 
 
@@ -527,14 +532,26 @@ def c4_clean_lines(
 
 
 def c4_flags(
-    col: Column | str, *, min_sentences: int = 5
+    col: Column | str,
+    *,
+    min_sentences: int = 5,
+    min_words_per_line: int = 3,
+    _cleaned: Column | None = None,
 ) -> dict[str, Column]:
     """C4 page-level keep/drop booleans: no 'lorem ipsum', no curly brace
     (code), and >= min_sentences sentences AFTER the line filter; plus the
     ``keep`` conjunction. (C4's bad-word list and its 3-sentence-span dedup
-    are policy/dedup-tier concerns — the hook is the same flag shape.)"""
+    are policy/dedup-tier concerns — the hook is the same flag shape.)
+
+    ``_cleaned`` lets :func:`c4_filter` pass its staged ``text_c4`` column
+    so the line filter runs once per row (the gopher_flags _staged
+    pattern); standalone use derives it inline."""
     c = F.col(col) if isinstance(col, str) else col
-    cleaned = c4_clean_lines(c)
+    cleaned = (
+        _cleaned
+        if _cleaned is not None
+        else c4_clean_lines(c, min_words_per_line=min_words_per_line)
+    )
     sentences = F.size(
         F.filter(F.split(cleaned, "[.!?]"), lambda s: F.trim(s) != "")
     )
@@ -557,20 +574,15 @@ def c4_filter(
 ) -> DataFrame:
     """Attach ``text_c4`` (line-filtered text) + ``c4_<rule>`` booleans +
     ``c4_keep``; ``keep_only=True`` drops failing pages."""
-    c = F.col(text_col)
     out = df.withColumn(
         "text_c4", c4_clean_lines(text_col, min_words_per_line=min_words_per_line)
     )
-    # sentence rule reads the staged text_c4 column (line filter runs once)
-    sentences = F.size(
-        F.filter(F.split(F.col("text_c4"), "[.!?]"), lambda s: F.trim(s) != "")
+    # one rule source (c4_flags); the staged text_c4 column keeps the line
+    # filter to one evaluation per row
+    flags = c4_flags(
+        text_col, min_sentences=min_sentences,
+        min_words_per_line=min_words_per_line, _cleaned=F.col("text_c4"),
     )
-    flags = {
-        "no_lorem": ~F.lower(c).contains("lorem ipsum"),
-        "no_brace": ~c.contains("{"),
-        "min_sentences": sentences >= min_sentences,
-    }
-    flags["keep"] = flags["no_lorem"] & flags["no_brace"] & flags["min_sentences"]
     for name, colv in flags.items():
         out = out.withColumn(f"c4_{name}", colv)
     return out.where(F.col("c4_keep")) if keep_only else out
@@ -863,8 +875,11 @@ def char_entropy(col: Column | str, *, arrow: bool = False) -> Column:
 def _char_entropy_arrow(c: Column) -> Column:
     """Arrow-batched entropy worker: np.unique over UTF-32 code points.
 
-    C-speed sort per document; the lowercase/NULL semantics match the
-    Column-expression path exactly (NULL text -> NULL, empty -> 0.0).
+    C-speed sort per document; lowercase/NULL semantics match the
+    Column-expression path exactly — NULL and empty text both yield 0.0
+    (the Column form's `when(n > 0, ...).otherwise(0.0)` sends NULL to the
+    otherwise branch, and the DuckDB oracle's CASE does the same, so the
+    aggregate avg() sees identical row sets in all three).
     The pandas_udf is built lazily — decorating at import time would
     require an active SparkSession just to parse the return-type DDL."""
 
@@ -872,9 +887,7 @@ def _char_entropy_arrow(c: Column) -> Column:
         import numpy as np
 
         def one(t):
-            if t is None:
-                return None
-            if not t:
+            if t is None or not t:
                 return 0.0
             cp = np.frombuffer(t.lower().encode("utf-32-le"), dtype=np.uint32)
             _, counts = np.unique(cp, return_counts=True)

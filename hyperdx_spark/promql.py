@@ -123,12 +123,23 @@ def _guard_unique(
     identically to the downstream join, so the rows are co-partitioned.
 
     The error surfaces at action time as a SparkRuntimeException whose
-    message carries the Prometheus-style many-to-many text."""
+    message carries the Prometheus-style many-to-many text.
+
+    The guard rides the JOIN KEY (``__step``), not the value column: whole-
+    stage codegen inlines an upstream projection into the join's consume
+    path, so a guarded VALUE only evaluates for rows that survive the
+    match — duplicates with no counterpart on the other side would pass
+    silently (Prometheus errors regardless of the other operand). Join
+    keys, by contrast, must be evaluated for EVERY row to build/probe the
+    hash relation (or sort), so the error fires for unmatched duplicates
+    too. (``value_col`` is kept in the signature for call-site clarity of
+    which operand is being guarded; the rewritten column is the key.)"""
     cnt = F.count(F.lit(1)).over(Window.partitionBy(*match_keys))
+    step_type = dict(side.dtypes)["__step"]
     guarded = F.when(
-        cnt > 1, F.raise_error(F.lit(msg)).cast("double")
-    ).otherwise(F.col(value_col))
-    return side.withColumn(value_col, guarded)
+        cnt > 1, F.raise_error(F.lit(msg)).cast(step_type)
+    ).otherwise(F.col("__step"))
+    return side.withColumn("__step", guarded)
 
 
 _RANGE_FNS = {
@@ -1462,7 +1473,15 @@ class PromQLEngine:
         histogram space: instant selector, rate/increase/delta over a
         selector window, or sum-aggregations thereof. Classic `le`-labelled
         queries keep the bucket path: a `_bucket` metric name, an `le`
-        matcher, or `le` in a grouping clause all force classic."""
+        matcher, or `le` in a grouping clause all force classic.
+
+        Known consequence: with a histogram column present,
+        histogram_quantile over a FLOAT metric whose name lacks `_bucket`
+        routes here and returns empty (every row's histogram is NULL)
+        instead of the classic path's "needs an `le` label" error. This
+        matches Prometheus, which silently ignores float series without
+        `le` in histogram_quantile (at most a warn annotation) — the old
+        eager ValueError was the divergence."""
         if self.hist_col is None:
             return False
         if isinstance(node, Selector):
@@ -1488,6 +1507,12 @@ class PromQLEngine:
 
     def _eval_hist(self, spark, node, start, end, step_s, lookback_s) -> DataFrame:
         """Evaluate `node` to a histogram vector: (__step, labels..., __hist)."""
+        if self.hist_col is None:
+            raise ValueError(
+                "native histograms are not available: this engine was built "
+                "without a histogram sample column (hist_col); "
+                "histogram_count/sum/avg need one"
+            )
         h = F.col(self.hist_col)
         canon = self._h_struct(
             h["schema"], h["zero_count"], h["zero_threshold"], h["count"],
@@ -1611,17 +1636,16 @@ class PromQLEngine:
             )
 
             def side(off_f: str, cnt_f: str) -> tuple:
-                ds = F.transform(
-                    hs,
-                    lambda x: F.struct(
-                        self._h_down(x[cnt_f], x[off_f], x["schema"] - tgt)[0].alias(
-                            "off"
-                        ),
-                        self._h_down(x[cnt_f], x[off_f], x["schema"] - tgt)[1].alias(
-                            "cnt"
-                        ),
-                    ),
-                )
+                def _down(x: Column) -> Column:
+                    # one _h_down call per element; only the selected tuple
+                    # fields enter the plan either way, this just makes the
+                    # single evaluation explicit
+                    noff, ncnt = self._h_down(
+                        x[cnt_f], x[off_f], x["schema"] - tgt
+                    )
+                    return F.struct(noff.alias("off"), ncnt.alias("cnt"))
+
+                ds = F.transform(hs, _down)
                 ne = F.filter(ds, lambda x: F.size(x["cnt"]) > 0)
                 lo = F.array_min(F.transform(ne, lambda x: x["off"]))
                 hi = F.array_max(

@@ -73,8 +73,11 @@ def render_template(template: str, view: dict) -> str:
         hit = str(view.get(var, "")) == val
         return parts[0] if hit else (parts[1] if len(parts) > 1 else "")
 
+    # [\w.]+ so dotted view paths don't fall through to the generic pass —
+    # which would strip the {{#if}}/{{/if}} markers as unknown vars and
+    # render the conditional body UNCONDITIONALLY
     out = re.sub(
-        r'\{\{#if \(eq\s+(\w+)\s+"([^"]*)"\)\}\}(.*?)\{\{/if\}\}',
+        r'\{\{#if \(eq\s+([\w.]+)\s+"([^"]*)"\)\}\}(.*?)\{\{/if\}\}',
         cond,
         template,
         flags=re.S,

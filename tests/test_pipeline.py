@@ -584,7 +584,9 @@ def test_char_entropy_arrow_matches_column_path(spark, sf_dir):
     nulls = spark.createDataFrame(
         [(1, None), (2, "")], "doc_id long, text string"
     ).select(T.char_entropy("text", arrow=True).alias("e")).collect()
-    assert nulls[0]["e"] is None and nulls[1]["e"] == 0.0
+    # NULL and empty both 0.0 — matching the Column path and the DuckDB
+    # oracle CASE, so avg() aggregates see identical row sets everywhere
+    assert nulls[0]["e"] == 0.0 and nulls[1]["e"] == 0.0
 
     # 1 MB docs synthesized executor-side (seed repeated 10k times) so the
     # measurement is the operator, not driver->executor shipping of a local
@@ -661,6 +663,9 @@ def test_bpe_token_count_vs_python_reference(spark, sf_dir):
         T.token_count("text").alias("alnum"), T.bpe_token_count("text").alias("bpe")
     ).collect()
     assert all(c["bpe"] >= c["alnum"] for c in counts)  # punctuation adds pieces
+    # tab/newline runs are NOT tokens (trim() would only strip spaces)
+    ws = spark.createDataFrame([(1, "a\n\nb\tword")], "doc_id long, text string")
+    assert ws.select(T.bpe_token_count("text").alias("n")).collect()[0]["n"] == 3
 
 
 def test_winnow_fingerprints_guarantee(spark):
@@ -1048,6 +1053,11 @@ def test_strip_html_and_link_density(spark):
     assert "item & two" in s1 and '<tag> "quoted"' in s1
     assert s1.startswith("Title here") and "\nitem one\nitem & two" in s1
     assert "<" not in s1.replace("<tag>", "")  # only the decoded literal
+    # doubly-escaped markup decodes ONE level (no &amp;-first double decode)
+    dd = spark.createDataFrame(
+        [(9, "use &amp;lt;b&amp;gt; to bold")], "id long, t string"
+    ).select(T.strip_html("t").alias("s")).collect()[0]["s"]
+    assert dd == "use &lt;b&gt; to bold"
     # link density separates nav boilerplate from prose
     assert rows[1][1] < 0.1 and rows[2][1] > 0.6
     assert rows[3] == ("no markup at all", 0.0)

@@ -929,3 +929,31 @@ def test_agg_by_absent_label_matches_topk(spark):
         spark, "sum by (nonexistent_label) (increase(errs[10m]))", t, t, 60
     ).collect()
     assert len(out) == 1
+
+
+def test_many_to_many_fires_for_unmatched_dup_group(spark):
+    """The lazy guard must error even when the duplicate match group has NO
+    counterpart on the other operand (whole-stage codegen defers a guarded
+    VALUE past the join's match check; the guard rides the join KEY, which
+    is evaluated for every row). Prometheus errors regardless of the other
+    side."""
+    ts = datetime(2024, 1, 1)
+    rows = [
+        ("a_total", ts, 1.0, "x", "i1"),
+        ("b_total", ts, 2.0, "y", "i1"),
+        ("b_total", ts, 3.0, "y", "i2"),  # dup group job=y, unmatched in a
+    ]
+    eng = PromQLEngine(
+        spark.createDataFrame(
+            rows,
+            "`__name__` string, ts timestamp, value double, job string, instance string",
+        ),
+        label_cols=["job", "instance"],
+    )
+    with pytest.raises(Exception, match="many-to-many"):
+        eng.query_range(
+            spark,
+            "sum by (job, instance) (a_total)"
+            " / on(job) sum by (job, instance) (b_total)",
+            ts, ts, 60,
+        ).collect()

@@ -108,3 +108,14 @@ def test_template_eq_helper_conditional():
     no_else = '{{#if (eq state "OK")}}all clear{{/if}}-{{state}}'
     assert render_template(no_else, {"state": "OK"}) == "all clear-OK"
     assert render_template(no_else, {"state": "ALERT"}) == "-ALERT"
+
+
+def test_template_eq_helper_dotted_path():
+    """Dotted view keys work in eq conditionals (reference views carry
+    nested paths); unmatched blocks must not render unconditionally."""
+    from hyperdx_spark.webhooks import render_template
+
+    t = '{{#if (eq alert.state "ALERT")}}secret{{/if}}'
+    assert render_template(t, {"alert.state": "ALERT"}) == "secret"
+    assert render_template(t, {"alert.state": "OK"}) == ""
+    assert render_template(t, {}) == ""
