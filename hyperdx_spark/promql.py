@@ -125,21 +125,24 @@ def _guard_unique(
     The error surfaces at action time as a SparkRuntimeException whose
     message carries the Prometheus-style many-to-many text.
 
-    The guard rides the JOIN KEY (``__step``), not the value column: whole-
+    The guard is a FILTER predicate, not a projected value column: whole-
     stage codegen inlines an upstream projection into the join's consume
     path, so a guarded VALUE only evaluates for rows that survive the
     match — duplicates with no counterpart on the other side would pass
-    silently (Prometheus errors regardless of the other operand). Join
-    keys, by contrast, must be evaluated for EVERY row to build/probe the
-    hash relation (or sort), so the error fires for unmatched duplicates
-    too. (``value_col`` is kept in the signature for call-site clarity of
-    which operand is being guarded; the rewritten column is the key.)"""
-    cnt = F.count(F.lit(1)).over(Window.partitionBy(*match_keys))
-    step_type = dict(side.dtypes)["__step"]
-    guarded = F.when(
-        cnt > 1, F.raise_error(F.lit(msg)).cast(step_type)
-    ).otherwise(F.col("__step"))
-    return side.withColumn("__step", guarded)
+    silently (Prometheus errors regardless of the other operand;
+    empirically reproduced). A filter must be evaluated for EVERY row to
+    decide survival, so the error always fires — and unlike guarding the
+    join key it doesn't turn ``__step`` into a computed column, so the
+    window's exchange stays reusable by the downstream join.
+    (``value_col`` is kept in the signature for call-site clarity of which
+    operand is being guarded.)"""
+    staged = side.withColumn(
+        "__dup_cnt", F.count(F.lit(1)).over(Window.partitionBy(*match_keys))
+    )
+    guard = F.when(
+        F.col("__dup_cnt") > 1, F.raise_error(F.lit(msg)).cast("boolean")
+    ).otherwise(F.lit(True))
+    return staged.where(guard).drop("__dup_cnt")
 
 
 _RANGE_FNS = {
