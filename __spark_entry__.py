@@ -3246,8 +3246,10 @@ def q_dedup_all(spark, sf_dir):
     """Dedup family + deterministic-sampling tier, part-tagged: exact dedup
     (normalized-hash groupBy), connected-components clustering of near-dup
     pairs, md5-keyed hash sampling (pipeline/sampling.py — the key is
-    engine-portable, so DuckDB replays membership bit-for-bit), and the
-    token-budget source mix built on it."""
+    engine-portable, so DuckDB replays membership bit-for-bit), the
+    token-budget source mix built on it, and 8-gram benchmark contamination
+    (GPT-3/PaLM decontamination rule; bench = first 200 chars of every
+    29th doc, so every benchmark source doc genuinely self-flags)."""
     from hyperdx_spark.pipeline import sampling
 
     exact = q_dedup_exact(spark, sf_dir).select(
@@ -3298,9 +3300,19 @@ def q_dedup_all(spark, sf_dir):
         F.col("__nt").cast("long").alias("v1"),
         F.lit(0).cast("long").alias("v2"),
     )
+    bench = docs.where(F.col("doc_id") % 29 == 0).select(
+        "doc_id", F.substring("text", 1, 200).alias("text")
+    )
+    contam = dedup.ngram_contamination(
+        docs.select("doc_id", "text"), bench, 8
+    ).select(
+        F.lit("contam").alias("part"), F.col("doc_id").cast("string").alias("k"),
+        F.col("n_grams_hit").cast("long").alias("v1"),
+        F.col("n_bench_docs").cast("long").alias("v2"),
+    )
     return (
         exact.unionByName(groups).unionByName(samp).unionByName(mix)
-        .unionByName(span)
+        .unionByName(span).unionByName(contam)
     )
 
 
@@ -3455,6 +3467,25 @@ FROM (
   WHERE CAST(('0x' || substr(md5(d.doc_id::VARCHAR || ':7'), 1, 15)) AS BIGINT)
         < floor(fr.frac * 1152921504606846976.0)::BIGINT
 ) t(src, doc_id, nt)
+UNION ALL
+-- 8-gram benchmark-contamination replay: bench = substr(text, 1, 200) of
+-- every doc_id % 29 = 0 row; a corpus doc is contaminated when it shares
+-- any lower-cased alphanumeric 8-gram with a bench doc
+SELECT 'contam' AS part, doc_id::VARCHAR AS k, ng::BIGINT AS v1, nb::BIGINT AS v2
+FROM (
+  WITH ct AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+  cg AS (SELECT doc_id, array_to_string(t[i:i+7], ' ') AS g
+         FROM ct, unnest(range(1, greatest(len(t) - 6, 1))) AS u(i)),
+  bt AS (SELECT doc_id AS bid,
+                list_filter(string_split_regex(lower(substr(text, 1, 200)),
+                                               '[^a-zA-Z0-9]+'),
+                            t -> t != '') AS t
+         FROM documents WHERE doc_id % 29 = 0),
+  bg AS (SELECT DISTINCT bid, array_to_string(t[i:i+7], ' ') AS g
+         FROM bt, unnest(range(1, greatest(len(t) - 6, 1))) AS u(i))
+  SELECT cg.doc_id, count(DISTINCT cg.g) AS ng, count(DISTINCT bg.bid) AS nb
+  FROM cg JOIN bg USING (g) GROUP BY 1
+) h
 """
 
 

@@ -698,3 +698,111 @@ def dedup_groups(
         F.col("lbl").alias("group_id"),
         (F.col("id") == F.col("lbl")).alias("is_keeper"),
     )
+
+
+# ---------------------------------------------------------------- contamination
+
+def ngram_rows_strict(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 8
+) -> DataFrame:
+    """(id, g) word n-gram rows — the strict variant of :func:`shingle_rows`:
+    documents with fewer than *n* tokens emit nothing (an n-gram rule cannot
+    fire on them), and rows are NOT deduplicated (consumers aggregate with
+    ``countDistinct`` or broadcast a ``.distinct()`` of the small side, so a
+    corpus-wide pre-dedup shuffle would be pure waste).
+
+    Same codegen-friendly formulation as ``shingle_rows``: posexplode the
+    token array once, assemble each gram from ``lead()`` windows — the only
+    shuffle is the window partition on the doc id.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+    base = base.repartition(spark.sparkContext.defaultParallelism, "id")
+    tokrows = base.select(
+        "id", F.posexplode(tokens("__text")).alias("__pos", "__tk")
+    )
+    w = Window.partitionBy("id").orderBy("__pos")
+    leads = [F.col("__tk")] + [F.lead("__tk", i).over(w) for i in range(1, n)]
+    return (
+        tokrows.select(
+            "id", F.concat_ws(" ", *leads).alias("g"), leads[-1].alias("__ok")
+        )
+        .where(F.col("__ok").isNotNull())
+        .drop("__ok")
+    )
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: Optional[str] = None,
+    bench_id_col: Optional[str] = None,
+) -> DataFrame:
+    """Benchmark-contamination report (the GPT-3 appendix-C / PaLM
+    decontamination rule): a corpus document is contaminated when it shares
+    at least one word *n*-gram (default 8, lower-cased alphanumeric tokens)
+    with any benchmark/eval document.
+
+    Returns one row per contaminated corpus document:
+    ``(id_col, n_grams_hit, n_bench_docs)`` — the number of distinct
+    contaminated n-grams and of distinct benchmark documents hit (the
+    provenance count an auditor wants before dropping training data).
+
+    Scale shape (100 TB corpus vs a few-MB eval suite): the benchmark side
+    is exploded to distinct (bench_id, gram) and **broadcast** — eval sets
+    are thousands of documents, so the gram table is small by construction.
+    The corpus side is exploded narrow (codegen'd lead-window grams, no
+    corpus-side distinct) and filtered by the broadcast hash join; the only
+    corpus-scale shuffle is the final groupBy on the doc id, which sees hit
+    rows only. No all-pairs work anywhere.
+    """
+    bench_text_col = bench_text_col or text_col
+    bench_id_col = bench_id_col or id_col
+    bench = (
+        ngram_rows_strict(benchmark, bench_text_col, bench_id_col, n)
+        .withColumnRenamed("id", "__bid")
+        .distinct()
+    )
+    hits = ngram_rows_strict(corpus, text_col, id_col, n).join(
+        F.broadcast(bench), on="g"
+    )
+    return (
+        hits.groupBy("id")
+        .agg(
+            F.countDistinct("g").alias("n_grams_hit"),
+            F.countDistinct("__bid").alias("n_bench_docs"),
+        )
+        .withColumnRenamed("id", id_col)
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: Optional[str] = None,
+    bench_id_col: Optional[str] = None,
+) -> DataFrame:
+    """Corpus minus contaminated documents (anti-join on the
+    :func:`ngram_contamination` report). The report side carries one row per
+    contaminated doc — small next to the corpus — so Spark's join planning
+    (AQE) broadcasts it in the common case."""
+    bad = ngram_contamination(
+        corpus,
+        benchmark,
+        n,
+        text_col=text_col,
+        id_col=id_col,
+        bench_text_col=bench_text_col,
+        bench_id_col=bench_id_col,
+    ).select(id_col)
+    return corpus.join(bad, on=id_col, how="left_anti")

@@ -1103,3 +1103,78 @@ def test_token_budget_mix_epoch_repeats(spark, sf_dir):
     )
     assert clamped.count() == n
     assert {r["epoch"] for r in clamped.select("epoch").distinct().collect()} == {0}
+
+
+# ---------------------------------------------------------------- contamination
+
+def _py_ngrams(s, n):
+    import re
+
+    toks = [t for t in re.split(r"[^a-zA-Z0-9]+", s.lower()) if t]
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_ngram_contamination_vs_python_reference(spark, documents, sf_dir):
+    n = 8
+    bench = documents.where(F.col("doc_id") % 29 == 0).select(
+        "doc_id", F.substring("text", 1, 200).alias("text")
+    )
+    got = {
+        r["doc_id"]: (r["n_grams_hit"], r["n_bench_docs"])
+        for r in dedup.ngram_contamination(documents, bench, n).collect()
+    }
+
+    rows = documents.select("doc_id", "text").collect()
+    bgrams = {}  # gram -> set of bench ids
+    for r in rows:
+        if r["doc_id"] % 29 == 0:
+            for g in _py_ngrams(r["text"][:200], n):
+                bgrams.setdefault(g, set()).add(r["doc_id"])
+    want = {}
+    for r in rows:
+        hit_g, hit_b = set(), set()
+        for g in _py_ngrams(r["text"], n):
+            if g in bgrams:
+                hit_g.add(g)
+                hit_b |= bgrams[g]
+        if hit_g:
+            want[r["doc_id"]] = (len(hit_g), len(hit_b))
+    assert got == want
+    assert want, "fixture produced no contamination — test is inert"
+    # every benchmark source doc must flag itself (its first 200 chars are
+    # verbatim in the corpus)
+    for r in rows:
+        if r["doc_id"] % 29 == 0 and len(_py_ngrams(r["text"][:200], n)) > 0:
+            assert r["doc_id"] in got
+
+
+def test_decontaminate_drops_exactly_the_report(spark, documents):
+    bench = documents.where(F.col("doc_id") % 29 == 0).select(
+        "doc_id", F.substring("text", 1, 200).alias("text")
+    )
+    bad = {
+        r["doc_id"]
+        for r in dedup.ngram_contamination(documents, bench, 8)
+        .select("doc_id")
+        .collect()
+    }
+    kept = {r["doc_id"] for r in dedup.decontaminate(documents, bench, 8).collect()}
+    allids = {r["doc_id"] for r in documents.select("doc_id").collect()}
+    assert kept == allids - bad
+
+
+def test_ngram_contamination_short_docs_emit_nothing(spark):
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "one two three four five six")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(10, "alpha beta gamma"), (11, "one two three four five six")],
+        "doc_id long, text string",
+    )
+    # n=4: doc 1 (3 tokens) can never fire; doc 2 shares 3 distinct 4-grams
+    out = {
+        r["doc_id"]: (r["n_grams_hit"], r["n_bench_docs"])
+        for r in dedup.ngram_contamination(corpus, bench, 4).collect()
+    }
+    assert out == {2: (3, 1)}
