@@ -806,3 +806,81 @@ def decontaminate(
         bench_id_col=bench_id_col,
     ).select(id_col)
     return corpus.join(bad, on=id_col, how="left_anti")
+
+
+def pick_keepers(
+    groups: DataFrame,
+    scored: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Re-select the kept document of each duplicate cluster by a quality
+    score (the CCNet / RefinedWeb policy: keep the best member, not the
+    lowest id). Ties break to the smallest id; members missing from
+    *scored* rank last.
+
+    Input: *groups* from :func:`dedup_groups` (id, group_id, is_keeper);
+    *scored* carries (id_col, score_col). Output has the same shape as
+    *groups* with ``is_keeper`` recomputed.
+
+    Scale shape: two ``groupBy(group_id)`` aggregations (max score, then
+    min id among the maximal members) — map-side partial aggregation makes
+    them robust to the one pathological mega-cluster (site boilerplate
+    duplicated across millions of pages) that would overload a
+    window-partition formulation.
+    """
+    j = groups.select("id", "group_id").join(
+        scored.select(
+            F.col(id_col).alias("id"), F.col(score_col).alias("__score")
+        ),
+        on="id",
+        how="left",
+    )
+    best = j.groupBy("group_id").agg(F.max("__score").alias("__best"))
+    keep = (
+        j.join(best, on="group_id")
+        .where(
+            F.col("__score").eqNullSafe(F.col("__best"))
+        )
+        .groupBy("group_id")
+        .agg(F.min("id").alias("__keep"))
+    )
+    return j.join(keep, on="group_id").select(
+        "id",
+        "group_id",
+        (F.col("id") == F.col("__keep")).alias("is_keeper"),
+    )
+
+
+def drop_near_duplicates(
+    corpus: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    score_col: Optional[str] = None,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """End-to-end near-dup removal: cluster the candidate *pairs*
+    (:func:`dedup_groups`), pick one keeper per cluster — by *score_col*
+    on the corpus when given (:func:`pick_keepers`), else lowest id — and
+    anti-join the losers out of *corpus*. Documents in no pair are
+    untouched (their own singleton cluster).
+
+    The dropped-id side is bounded by the number of clustered documents,
+    so the final anti-join broadcasts under AQE whenever near-dups are a
+    small fraction of the corpus.
+    """
+    groups = dedup_groups(
+        pairs, a_col=a_col, b_col=b_col, max_iterations=max_iterations
+    )
+    if score_col is not None:
+        groups = pick_keepers(
+            groups, corpus, id_col=id_col, score_col=score_col
+        )
+    losers = groups.where(~F.col("is_keeper")).select(
+        F.col("id").alias(id_col)
+    )
+    return corpus.join(losers, on=id_col, how="left_anti")

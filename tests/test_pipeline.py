@@ -1178,3 +1178,47 @@ def test_ngram_contamination_short_docs_emit_nothing(spark):
         for r in dedup.ngram_contamination(corpus, bench, 4).collect()
     }
     assert out == {2: (3, 1)}
+
+
+# ---------------------------------------------------------------- keeper policy
+
+def test_pick_keepers_by_score(spark):
+    # clusters: {1,2,3} and {10,11}; 7 unpaired
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    groups = dedup.dedup_groups(pairs)
+    scored = spark.createDataFrame(
+        [(1, 0.1), (2, 0.9), (3, 0.9), (10, 0.5)],  # 11 unscored -> ranks last
+        "doc_id long, score double",
+    )
+    out = {
+        r["id"]: r["is_keeper"]
+        for r in dedup.pick_keepers(groups, scored).collect()
+    }
+    # cluster 1: max score 0.9 tied between 2 and 3 -> min id 2 wins
+    assert out == {1: False, 2: True, 3: False, 10: True, 11: False}
+
+
+def test_drop_near_duplicates_end_to_end(spark):
+    corpus = spark.createDataFrame(
+        [(i, f"doc {i}", float(i % 4)) for i in range(12)],
+        "doc_id long, text string, score double",
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "id_a long, id_b long"
+    )
+    # lowest-id policy: keep 0 and 5
+    kept = {
+        r["doc_id"]
+        for r in dedup.drop_near_duplicates(corpus, pairs).collect()
+    }
+    assert kept == set(range(12)) - {1, 2, 6}
+    # score policy: cluster {0,1,2} -> doc 2 (score 2.0), {5,6} -> 6 (2.0)
+    kept_best = {
+        r["doc_id"]
+        for r in dedup.drop_near_duplicates(
+            corpus, pairs, score_col="score"
+        ).collect()
+    }
+    assert kept_best == set(range(12)) - {0, 1, 5}
