@@ -727,7 +727,10 @@ def ngram_rows_strict(
     leads = [F.col("__tk")] + [F.lead("__tk", i).over(w) for i in range(1, n)]
     return (
         tokrows.select(
-            "id", F.concat_ws(" ", *leads).alias("g"), leads[-1].alias("__ok")
+            "id",
+            "__pos",
+            F.concat_ws(" ", *leads).alias("g"),
+            leads[-1].alias("__ok"),
         )
         .where(F.col("__ok").isNotNull())
         .drop("__ok")
@@ -750,9 +753,13 @@ def ngram_contamination(
     with any benchmark/eval document.
 
     Returns one row per contaminated corpus document:
-    ``(id_col, n_grams_hit, n_bench_docs)`` — the number of distinct
-    contaminated n-grams and of distinct benchmark documents hit (the
-    provenance count an auditor wants before dropping training data).
+    ``(id_col, n_grams_hit, n_bench_docs, n_gram_occ_hit, n_grams_total,
+    contaminated_frac)`` — distinct contaminated n-grams, distinct
+    benchmark documents hit (the provenance count an auditor wants before
+    dropping training data), contaminated gram *positions*, the document's
+    total gram positions, and their ratio — the PaLM-style dial ("dirty
+    when ≥70% of 8-grams were seen") exposed as
+    ``decontaminate(threshold=...)``.
 
     Scale shape (100 TB corpus vs a few-MB eval suite): the benchmark side
     is exploded to distinct (bench_id, gram) and **broadcast** — eval sets
@@ -766,17 +773,30 @@ def ngram_contamination(
     bench_id_col = bench_id_col or id_col
     bench = (
         ngram_rows_strict(benchmark, bench_text_col, bench_id_col, n)
-        .withColumnRenamed("id", "__bid")
+        .select(F.col("id").alias("__bid"), "g")
         .distinct()
     )
     hits = ngram_rows_strict(corpus, text_col, id_col, n).join(
         F.broadcast(bench), on="g"
     )
+    report = hits.groupBy("id").agg(
+        F.countDistinct("g").alias("n_grams_hit"),
+        F.countDistinct("__bid").alias("n_bench_docs"),
+        F.countDistinct("__pos").alias("n_gram_occ_hit"),
+    )
+    # Per-doc total gram positions: row-local on the corpus scan; the
+    # (small) report side broadcasts under AQE, so no corpus-scale shuffle.
+    totals = corpus.select(
+        F.col(id_col).alias("id"),
+        F.greatest(
+            F.size(tokens(text_col)) - n + 1, F.lit(0)
+        ).cast("long").alias("n_grams_total"),
+    )
     return (
-        hits.groupBy("id")
-        .agg(
-            F.countDistinct("g").alias("n_grams_hit"),
-            F.countDistinct("__bid").alias("n_bench_docs"),
+        report.join(totals, on="id")
+        .withColumn(
+            "contaminated_frac",
+            F.col("n_gram_occ_hit") / F.col("n_grams_total"),
         )
         .withColumnRenamed("id", id_col)
     )
@@ -791,11 +811,15 @@ def decontaminate(
     id_col: str = "doc_id",
     bench_text_col: Optional[str] = None,
     bench_id_col: Optional[str] = None,
+    threshold: Optional[float] = None,
 ) -> DataFrame:
     """Corpus minus contaminated documents (anti-join on the
-    :func:`ngram_contamination` report). The report side carries one row per
-    contaminated doc — small next to the corpus — so Spark's join planning
-    (AQE) broadcasts it in the common case."""
+    :func:`ngram_contamination` report). With *threshold* (PaLM policy:
+    0.7 ≈ "drop when 70% of the document's n-grams were seen in an eval
+    set") only docs whose ``contaminated_frac`` reaches it are dropped;
+    the default drops on any shared n-gram (GPT-3 policy). The report side
+    carries one row per contaminated doc — small next to the corpus — so
+    Spark's join planning (AQE) broadcasts it in the common case."""
     bad = ngram_contamination(
         corpus,
         benchmark,
@@ -804,8 +828,10 @@ def decontaminate(
         id_col=id_col,
         bench_text_col=bench_text_col,
         bench_id_col=bench_id_col,
-    ).select(id_col)
-    return corpus.join(bad, on=id_col, how="left_anti")
+    )
+    if threshold is not None:
+        bad = bad.where(F.col("contaminated_frac") >= threshold)
+    return corpus.join(bad.select(id_col), on=id_col, how="left_anti")
 
 
 def pick_keepers(

@@ -1114,13 +1114,23 @@ def _py_ngrams(s, n):
     return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
 
 
+def _py_ngram_list(s, n):
+    import re as _re
+
+    toks = [t for t in _re.split(r"[^a-zA-Z0-9]+", s.lower()) if t]
+    return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+
 def test_ngram_contamination_vs_python_reference(spark, documents, sf_dir):
     n = 8
     bench = documents.where(F.col("doc_id") % 29 == 0).select(
         "doc_id", F.substring("text", 1, 200).alias("text")
     )
     got = {
-        r["doc_id"]: (r["n_grams_hit"], r["n_bench_docs"])
+        r["doc_id"]: (
+            r["n_grams_hit"], r["n_bench_docs"], r["n_gram_occ_hit"],
+            r["n_grams_total"], round(r["contaminated_frac"], 9),
+        )
         for r in dedup.ngram_contamination(documents, bench, n).collect()
     }
 
@@ -1132,13 +1142,18 @@ def test_ngram_contamination_vs_python_reference(spark, documents, sf_dir):
                 bgrams.setdefault(g, set()).add(r["doc_id"])
     want = {}
     for r in rows:
+        glist = _py_ngram_list(r["text"], n)
         hit_g, hit_b = set(), set()
-        for g in _py_ngrams(r["text"], n):
+        occ = sum(1 for g in glist if g in bgrams)
+        for g in glist:
             if g in bgrams:
                 hit_g.add(g)
                 hit_b |= bgrams[g]
         if hit_g:
-            want[r["doc_id"]] = (len(hit_g), len(hit_b))
+            want[r["doc_id"]] = (
+                len(hit_g), len(hit_b), occ, len(glist),
+                round(occ / len(glist), 9),
+            )
     assert got == want
     assert want, "fixture produced no contamination — test is inert"
     # every benchmark source doc must flag itself (its first 200 chars are
@@ -1174,10 +1189,34 @@ def test_ngram_contamination_short_docs_emit_nothing(spark):
     )
     # n=4: doc 1 (3 tokens) can never fire; doc 2 shares 3 distinct 4-grams
     out = {
-        r["doc_id"]: (r["n_grams_hit"], r["n_bench_docs"])
+        r["doc_id"]: (
+            r["n_grams_hit"], r["n_bench_docs"], r["n_gram_occ_hit"],
+            r["n_grams_total"], r["contaminated_frac"],
+        )
         for r in dedup.ngram_contamination(corpus, bench, 4).collect()
     }
-    assert out == {2: (3, 1)}
+    assert out == {2: (3, 1, 3, 3, 1.0)}
+
+
+def test_decontaminate_threshold(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h extra words not in any benchmark " * 3),
+            (2, "a b c d e f g h"),  # 100% of its single 8-gram is dirty
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(10, "a b c d e f g h")], "doc_id long, text string"
+    )
+    # both share the 8-gram -> GPT-3 policy drops both
+    assert dedup.decontaminate(corpus, bench, 8).count() == 0
+    # PaLM 70% policy: doc 1 is mostly clean, doc 2 fully dirty
+    kept = {
+        r["doc_id"]
+        for r in dedup.decontaminate(corpus, bench, 8, threshold=0.7).collect()
+    }
+    assert kept == {1}
 
 
 # ---------------------------------------------------------------- keeper policy
