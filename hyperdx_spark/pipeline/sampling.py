@@ -167,3 +167,42 @@ def token_budget_mix(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def top_fraction_per_source(
+    df: DataFrame,
+    frac: float,
+    *,
+    score_col: str = "score",
+    source_col: str = "source",
+    exact: bool = False,
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """Keep the best-scoring *frac* of each source/domain (the RefinedWeb /
+    FineWeb "top X% per domain by quality" curation step). Rows at or above
+    their source's (1 − frac) score quantile survive, so slightly more than
+    ``frac`` can be kept when scores tie at the cut.
+
+    Scale shape: one per-source aggregation computes the cut (default
+    ``percentile_approx`` — a fixed-size sketch per group, safe for a
+    source with 10⁹ documents), the tiny (source, cut) frame broadcasts
+    back onto the corpus scan, and the filter is row-local — no per-source
+    sort, no window, no corpus shuffle. ``exact=True`` switches to the
+    exact ``percentile`` aggregate (whole group materialized per source —
+    only for modest sources / oracle tests; it is what a SQL replay with
+    ``quantile_cont`` reproduces bit-for-bit).
+    """
+    if not 0.0 < frac <= 1.0:
+        raise ValueError(f"frac must be in (0, 1], got {frac}")
+    q = 1.0 - frac
+    if exact:
+        cut_agg = F.expr(f"percentile({score_col}, {q!r})")
+    else:
+        acc = max(2, int(round(1.0 / relative_error)))
+        cut_agg = F.percentile_approx(score_col, F.lit(q), F.lit(acc))
+    cuts = df.groupBy(source_col).agg(cut_agg.alias("__cut"))
+    return (
+        df.join(F.broadcast(cuts), on=source_col)
+        .where(F.col(score_col) >= F.col("__cut"))
+        .drop("__cut")
+    )

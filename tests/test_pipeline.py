@@ -1261,3 +1261,63 @@ def test_drop_near_duplicates_end_to_end(spark):
         ).collect()
     }
     assert kept_best == set(range(12)) - {0, 1, 5}
+
+
+# ---------------------------------------------------------------- per-source quality cut
+
+def test_top_fraction_per_source_exact_vs_duckdb(spark, documents, sf_dir):
+    from hyperdx_spark.pipeline import sampling
+
+    scored = documents.select(
+        "doc_id", "source", F.octet_length("text").cast("double").alias("score")
+    )
+    kept = sampling.top_fraction_per_source(
+        scored, 0.25, exact=True
+    )
+    got = sorted(r["doc_id"] for r in kept.collect())
+    want = sorted(
+        r[0]
+        for r in duck(
+            sf_dir,
+            """
+            WITH s AS (SELECT doc_id, source,
+                              strlen(text)::DOUBLE AS score
+                       FROM documents),
+            c AS (SELECT source, quantile_cont(score, 0.75) AS cut
+                  FROM s GROUP BY 1)
+            SELECT doc_id FROM s JOIN c USING (source) WHERE score >= cut
+            """,
+        )
+    )
+    assert got == want
+    assert 0 < len(got) < scored.count()
+
+
+def test_top_fraction_per_source_approx_close(spark, documents):
+    from hyperdx_spark.pipeline import sampling
+
+    scored = documents.select(
+        "doc_id", "source", F.octet_length("text").cast("double").alias("score")
+    )
+    n_by_src = {
+        r["source"]: r["n"]
+        for r in scored.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    kept = sampling.top_fraction_per_source(scored, 0.5)
+    kept_by_src = {
+        r["source"]: r["n"]
+        for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    for src, n in n_by_src.items():
+        k = kept_by_src.get(src, 0)
+        # at default accuracy the approx cut lands within a few ranks
+        assert abs(k - 0.5 * n) <= max(3, 0.05 * n), (src, k, n)
+
+
+def test_top_fraction_per_source_frac_validation(spark, documents):
+    from hyperdx_spark.pipeline import sampling
+
+    with pytest.raises(ValueError):
+        sampling.top_fraction_per_source(documents, 0.0, score_col="n_chars")
+    with pytest.raises(ValueError):
+        sampling.top_fraction_per_source(documents, 1.5, score_col="n_chars")
