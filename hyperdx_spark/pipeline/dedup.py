@@ -910,3 +910,51 @@ def drop_near_duplicates(
         F.col("id").alias(id_col)
     )
     return corpus.join(losers, on=id_col, how="left_anti")
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    embeddings: DataFrame,
+    *,
+    threshold: float = 0.9,
+    id_col: str = "doc_id",
+    emb_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_col: Optional[str] = None,
+    num_planes: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """SemDeDup (Abbas'23): drop documents whose *embeddings* are
+    near-duplicates (cosine ≥ *threshold*), keeping one representative per
+    semantic cluster — by *score_col* on the corpus when given, else the
+    lowest id.
+
+    Pure composition of the scale-audited pieces: LSH-banded cosine pairs
+    (``similarity.cosine_pairs`` — banded buckets, never all-pairs),
+    connected-components clustering, keeper selection, loser anti-join
+    (:func:`drop_near_duplicates`). *embeddings* rows are matched to
+    corpus rows by id (``emb_id_col`` ↔ ``id_col``); corpus docs without
+    an embedding are kept untouched.
+    """
+    from hyperdx_spark.pipeline.similarity import cosine_pairs
+
+    pairs = cosine_pairs(
+        embeddings,
+        id_col=emb_id_col,
+        vec_col=vec_col,
+        threshold=threshold,
+        num_planes=num_planes,
+        bands=bands,
+        dim=dim,
+        seed=seed,
+    )
+    return drop_near_duplicates(
+        corpus,
+        pairs,
+        id_col=id_col,
+        score_col=score_col,
+        max_iterations=max_iterations,
+    )

@@ -1321,3 +1321,34 @@ def test_top_fraction_per_source_frac_validation(spark, documents):
         sampling.top_fraction_per_source(documents, 0.0, score_col="n_chars")
     with pytest.raises(ValueError):
         sampling.top_fraction_per_source(documents, 1.5, score_col="n_chars")
+
+
+def test_semantic_dedup_identical_vectors(spark):
+    import random
+
+    rng = random.Random(7)
+    a = [rng.uniform(-1, 1) for _ in range(16)]
+    b = [rng.uniform(-1, 1) for _ in range(16)]
+    c = [rng.uniform(-1, 1) for _ in range(16)]
+    # clusters by embedding identity: {0,1}, {2,3,4}; 5 unique
+    emb = spark.createDataFrame(
+        [(0, a), (1, a), (2, b), (3, b), (4, b), (5, c)],
+        "vec_id long, embedding array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [(i, f"doc {i}", float(i)) for i in range(6)],
+        "doc_id long, text string, score double",
+    )
+    kept = {
+        r["doc_id"]
+        for r in dedup.semantic_dedup(corpus, emb, threshold=0.99, dim=16).collect()
+    }
+    assert kept == {0, 2, 5}
+    # keep-best policy: highest doc_id has the highest score here
+    kept_best = {
+        r["doc_id"]
+        for r in dedup.semantic_dedup(
+            corpus, emb, threshold=0.99, dim=16, score_col="score"
+        ).collect()
+    }
+    assert kept_best == {1, 4, 5}
