@@ -10,4 +10,11 @@ of pairwise cross joins, banding instead of all-pairs, broadcast for small
 sides).
 """
 
-from hyperdx_spark.pipeline import dedup, similarity, text, multimodal  # noqa: F401
+from hyperdx_spark.pipeline import (  # noqa: F401
+    codecs,
+    dedup,
+    multimodal,
+    sampling,
+    similarity,
+    text,
+)
