@@ -897,3 +897,36 @@ def _char_entropy_arrow(c: Column) -> Column:
         return texts.map(one)
 
     return F.pandas_udf(_worker, "double")(c)
+
+
+def top_ngrams(
+    df,
+    n: int = 5,
+    k: int = 100,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_doc_freq: int = 1,
+):
+    """Corpus-wide most-frequent word n-grams: (g, n_occurrences, n_docs),
+    ordered by occurrences desc (ties: gram asc), limited to *k* — the
+    boilerplate/contamination audit view ("which 5-grams dominate this
+    crawl?") that decides stop-gram caps and C4-style span-dedup targets.
+
+    Scale shape: gram assembly is the codegen'd lead-window form
+    (``dedup.ngram_rows_strict``), the count is ONE partial-aggregated
+    groupBy on the gram, and the top-k is ``orderBy().limit(k)`` =
+    TakeOrderedAndProject — per-partition heaps merged on the driver, never
+    a global sort of all distinct grams. ``min_doc_freq`` drops the
+    singleton-gram long tail before the ordering.
+    """
+    from hyperdx_spark.pipeline.dedup import ngram_rows_strict
+
+    grams = ngram_rows_strict(df, text_col, id_col, n)
+    agg = grams.groupBy("g").agg(
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct("id").alias("n_docs"),
+    )
+    if min_doc_freq > 1:
+        agg = agg.where(F.col("n_docs") >= min_doc_freq)
+    return agg.orderBy(F.desc("n_occurrences"), F.asc("g")).limit(k)

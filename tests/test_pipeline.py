@@ -1352,3 +1352,33 @@ def test_semantic_dedup_identical_vectors(spark):
         ).collect()
     }
     assert kept_best == {1, 4, 5}
+
+
+def test_top_ngrams_vs_duckdb(spark, documents, sf_dir):
+    got = [
+        (r["g"], r["n_occurrences"], r["n_docs"])
+        for r in text.top_ngrams(documents, n=3, k=25).collect()
+    ]
+    want = duck(
+        sf_dir,
+        """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '[^a-zA-Z0-9]+'),
+                             x -> x != '') AS tk
+          FROM documents),
+        g AS (
+          SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS g
+          FROM t, unnest(range(1, greatest(len(tk) - 1, 1))) AS u(i))
+        SELECT g, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+        FROM g GROUP BY 1
+        ORDER BY n_occurrences DESC, g ASC LIMIT 25
+        """,
+    )
+    assert got == [tuple(w) for w in want]
+
+
+def test_top_ngrams_plan_is_take_ordered(spark, documents):
+    df = text.top_ngrams(documents, n=4, k=10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
