@@ -35,10 +35,30 @@ from __future__ import annotations
 import warnings
 from typing import Optional
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from hyperdx_spark.pipeline.text import TOKEN_SPLIT, fingerprint, tokens
+
+
+def _register_cached(result: DataFrame, cached: list) -> DataFrame:
+    """Attach the intermediates an operator persisted on behalf of *result*
+    so callers can release them with :func:`release_cached` after the
+    terminal action. Long-lived sessions that call a persisting operator
+    repeatedly would otherwise accumulate cached blocks until executor
+    storage evicts them (ADVICE r4)."""
+    result._hyperdx_cached = list(cached)
+    return result
+
+
+def release_cached(result: DataFrame) -> None:
+    """Unpersist every intermediate a pipeline operator cached on behalf of
+    *result* (no-op for frames without registered intermediates). Call after
+    the terminal action on *result*; further actions on the same frame still
+    work — they just recompute the intermediate lineage."""
+    for cached in getattr(result, "_hyperdx_cached", ()):
+        cached.unpersist()
 
 
 # ---------------------------------------------------------------- exact
@@ -160,6 +180,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_shingle_df: Optional[int] = None,
+    storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
 ) -> DataFrame:
     """Exact n-gram Jaccard similar pairs via inverted-index join.
 
@@ -173,7 +194,9 @@ def ngram_jaccard_pairs(
     """
     # the shingle DAG feeds two plan branches (postings + set sizes);
     # persist it so the tokenize/window work runs once, not per branch
-    sh = shingle_rows(df, text_col, id_col, n).persist()
+    # (release with release_cached(result); storage_level=DISK_ONLY trades
+    # re-read cost for executor memory at corpus scale)
+    sh = shingle_rows(df, text_col, id_col, n).persist(storage_level)
     # Inverted index as ONE aggregation: group docs per shingle, generate
     # in-posting pairs (posting lists are short once stop-shingles are
     # dropped), count co-occurrences. Compared to the classic self-join this
@@ -210,7 +233,7 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return out
+    return _register_cached(out, [sh])
 
 
 # ---------------------------------------------------------------- C4 span dedup
@@ -230,6 +253,7 @@ def duplicate_span_removal(
     text_col: str = "text",
     id_col: str = "doc_id",
     span: int = 3,
+    storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
 ) -> DataFrame:
     """C4's three-sentence-span deduplication (Raffel et al. 2020 §2.2):
     any ``span``-sentence window occurring in more than one place in the
@@ -247,6 +271,11 @@ def duplicate_span_removal(
     per-doc sort. No step holds more than a document's sentences in one
     task, so the shape survives any corpus size. Like C4, overlapping
     duplicated spans drop the union of their sentences.
+
+    Peak storage is the persisted exploded-sentence table (~corpus bytes) +
+    the span-hash table; at corpus scale pass
+    ``storage_level=StorageLevel.DISK_ONLY`` to keep it off the executor
+    heap, and call :func:`release_cached` on the result after the action.
     """
     from pyspark.sql import Window
 
@@ -258,7 +287,7 @@ def duplicate_span_removal(
         F.posexplode(
             F.regexp_extract_all(text_col, F.lit(SENTENCE_PATTERN), F.lit(0))
         ).alias("idx", "s"),
-    ).persist()
+    ).persist(storage_level)
     w_doc = Window.partitionBy("id").orderBy("idx")
     spans = (
         sent.withColumn(
@@ -270,7 +299,8 @@ def duplicate_span_removal(
         .withColumn("__m", F.count("*").over(Window.partitionBy("id")))
         .where(F.col("idx") <= F.col("__m") - span)
         .select("id", "idx", F.md5("span_txt").alias("h"))
-        .persist()  # read twice: keeper aggregate + removed-occurrence join
+        # read twice: keeper aggregate + removed-occurrence join
+        .persist(storage_level)
     )
     keepers = (
         spans.groupBy("h")
@@ -312,7 +342,7 @@ def duplicate_span_removal(
             ).alias("n_dropped"),
         )
     )
-    return out
+    return _register_cached(out, [sent, spans])
 
 
 # ---------------------------------------------------------------- winnowing
@@ -326,6 +356,7 @@ def winnow_pairs(
     w: int = 16,
     threshold: float = 0.3,
     max_fp_df: Optional[int] = None,
+    storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
 ) -> DataFrame:
     """Partial-copy candidate pairs via winnowing fingerprints
     (text.winnow_fingerprints; Schleimer'03). Same inverted-index shape as
@@ -348,7 +379,7 @@ def winnow_pairs(
     # array per window — see winnow_fingerprints' cost warning)
     fp = winnow_fingerprint_rows(
         df, text_col=text_col, id_col=id_col, k=k, w=w
-    ).persist()
+    ).persist(storage_level)
     postings = fp.groupBy("f").agg(F.sort_array(F.collect_set("id")).alias("ids"))
     if max_fp_df is not None:
         postings = postings.where(F.size("ids") <= max_fp_df)
@@ -370,7 +401,7 @@ def winnow_pairs(
         .agg(F.count("*").alias("inter"))
     )
     sizes = fp.groupBy("id").agg(F.count("*").alias("sz"))
-    return (
+    out = (
         inter.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), on="id_a")
         .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), on="id_b")
         .withColumn(
@@ -381,6 +412,7 @@ def winnow_pairs(
         .where(F.col("overlap") >= threshold)
         .select("id_a", "id_b", "overlap")
     )
+    return _register_cached(out, [fp])
 
 
 # ---------------------------------------------------------------- minhash
@@ -408,6 +440,7 @@ def minhash_lsh_pairs(
     ngram: int = 3,
     verify_threshold: Optional[float] = 0.5,
     max_bucket_size: Optional[int] = None,
+    storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash banding.
 
@@ -432,8 +465,9 @@ def minhash_lsh_pairs(
     exploded = shingle_rows(df, text_col, id_col, ngram)
     if verify_threshold is not None:
         # three plan branches read the shingles (signatures + two verify
-        # joins) — persist so the expensive DAG runs once
-        exploded = exploded.persist()
+        # joins) — persist so the expensive DAG runs once (release with
+        # release_cached(result))
+        exploded = exploded.persist(storage_level)
     # seeds are EXPLODED into rows rather than emitted as num_hashes agg
     # columns: a 32-wide min-aggregate compiles into a huge codegen unit
     # (multi-second janino compile on first execution); the narrow
@@ -499,11 +533,12 @@ def minhash_lsh_pairs(
     ).join(shingle_sets.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), on="id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = (F.size("sh_a") + F.size("sh_b") - inter).cast("double")
-    return (
+    out = (
         cand.withColumn("jaccard", F.when(union > 0, inter / union).otherwise(F.lit(0.0)))
         .where(F.col("jaccard") >= verify_threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    return _register_cached(out, [exploded])
 
 
 # ---------------------------------------------------------------- simhash

@@ -196,7 +196,10 @@ def top_fraction_per_source(
         raise ValueError(f"frac must be in (0, 1], got {frac}")
     q = 1.0 - frac
     if exact:
-        cut_agg = F.expr(f"percentile({score_col}, {q!r})")
+        # backtick-quote the identifier so non-plain column names (spaces,
+        # dots, keywords) work and can't inject expression text (ADVICE r4)
+        quoted = "`" + score_col.replace("`", "``") + "`"
+        cut_agg = F.expr(f"percentile({quoted}, {q!r})")
     else:
         acc = max(2, int(round(1.0 / relative_error)))
         cut_agg = F.percentile_approx(score_col, F.lit(q), F.lit(acc))

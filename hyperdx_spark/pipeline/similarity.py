@@ -699,6 +699,8 @@ def pca_fit(
     *,
     vec_col: str = "embedding",
     k: int | None = None,
+    centered: bool = False,
+    ddof: int = 0,
 ) -> dict:
     """Fit PCA over an embedding column at corpus scale.
 
@@ -707,6 +709,14 @@ def pca_fit(
     regardless of partition size — combined driver-side and
     eigendecomposed with numpy. No covariance shuffle, no driver-side
     row collection; this is the standard tree-aggregated PCA shape.
+
+    Numerical caveat: the default single pass forms cov = E[xx'] − μμ'
+    (population divisor n). When ‖μ‖ is large relative to the variance the
+    subtraction is cancellation-prone; ``centered=True`` runs a second pass
+    accumulating (x−μ)'(x−μ) against the pass-1 mean — one more corpus scan,
+    but stable for corpus-scale embeddings with a big common offset.
+    ``ddof=1`` divides by n−1 (the sklearn convention) instead of n; the
+    eigenvectors are identical either way, only explained_variance scales.
 
     Returns {"mean": [d], "components": [k][d], "explained_variance": [k]}
     with components sorted by descending eigenvalue and sign-normalized
@@ -724,33 +734,57 @@ def pca_fit(
         StructField("ss", ArrayType(DoubleType())),
     ])
 
-    def partials(batches):
-        n, s, ss = 0, None, None
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf.iloc[:, 0]])
-            n += X.shape[0]
-            s = X.sum(0) if s is None else s + X.sum(0)
-            g = X.T @ X
-            ss = g if ss is None else ss + g
-        if n:
-            yield pd.DataFrame(
-                {"n": [n], "s": [list(s)], "ss": [list(ss.ravel())]}
-            )
+    def make_partials(shift):
+        shift_arr = None if shift is None else np.asarray(shift, dtype=np.float64)
 
-    parts = corpus.select(vec_col).mapInPandas(partials, schema).collect()
-    if not parts:
-        raise ValueError("empty corpus")
-    n = sum(r["n"] for r in parts)
-    d = len(parts[0]["s"])
-    s = np.zeros(d)
-    ss = np.zeros((d, d))
-    for r in parts:
-        s += np.asarray(r["s"])
-        ss += np.asarray(r["ss"]).reshape(d, d)
+        def partials(batches):
+            n, s, ss = 0, None, None
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf.iloc[:, 0]]
+                )
+                if shift_arr is not None:
+                    X = X - shift_arr
+                n += X.shape[0]
+                s = X.sum(0) if s is None else s + X.sum(0)
+                g = X.T @ X
+                ss = g if ss is None else ss + g
+            if n:
+                yield pd.DataFrame(
+                    {"n": [n], "s": [list(s)], "ss": [list(ss.ravel())]}
+                )
+
+        return partials
+
+    def collect_moments(shift=None):
+        parts = corpus.select(vec_col).mapInPandas(
+            make_partials(shift), schema
+        ).collect()
+        if not parts:
+            raise ValueError("empty corpus")
+        n = sum(r["n"] for r in parts)
+        d = len(parts[0]["s"])
+        s = np.zeros(d)
+        ss = np.zeros((d, d))
+        for r in parts:
+            s += np.asarray(r["s"])
+            ss += np.asarray(r["ss"]).reshape(d, d)
+        return n, s, ss
+
+    n, s, ss = collect_moments()
     mean = s / n
-    cov = ss / n - np.outer(mean, mean)
+    denom = max(n - ddof, 1)
+    if centered:
+        # pass 2: accumulate (x−μ)'(x−μ) directly — no μμ' cancellation.
+        # The residual per-partition mean drift `resid` is subtracted so the
+        # second-pass sum≈0 numerical noise doesn't bias the diagonal.
+        n2, s2, ss2 = collect_moments(shift=mean)
+        resid = s2 / n2
+        cov = ss2 / denom - (n2 / denom) * np.outer(resid, resid)
+    else:
+        cov = ss / denom - (n / denom) * np.outer(mean, mean)
     evals, evecs = np.linalg.eigh(cov)  # ascending
     order = np.argsort(evals)[::-1]
     evals, evecs = evals[order], evecs[:, order]

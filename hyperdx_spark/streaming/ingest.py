@@ -131,7 +131,10 @@ def corrupt_otlp_lines(df: DataFrame, payload_col: str = "value") -> DataFrame:
             raw.alias("raw_line"),
             parsed["resourceLogs"].isNull().alias("__bad"),
         )
-        .where(F.col("__bad") & (F.trim(F.col("raw_line")) != ""))
+        # coalesce so a NULL payload stays in the dead-letter view:
+        # trim(NULL) != '' is NULL, which where() treats as false — that
+        # would leave one class of ingest loss unobserved (ADVICE r4)
+        .where(F.col("__bad") & (F.coalesce(F.trim(F.col("raw_line")), F.lit("x")) != ""))
         .drop("__bad")
     )
 

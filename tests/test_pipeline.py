@@ -864,6 +864,43 @@ def test_c4_span_dedup(spark):
     assert r["text_dedup"] == tricky
 
 
+def test_span_dedup_storage_control(spark):
+    """VERDICT r4 #7 / ADVICE r4: the operator-internal persists accept a
+    StorageLevel (DISK_ONLY keeps the exploded sentence table off the heap
+    at corpus scale) and release_cached frees them after the action; the
+    result stays usable afterwards (lineage recompute)."""
+    from pyspark import StorageLevel
+
+    from hyperdx_spark.pipeline import dedup
+
+    rows = [
+        (1, "Alpha one. Beta two! Gamma three? Delta four. Epsilon five."),
+        (2, "Start here. Beta two! Gamma three? Delta four. End here."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.duplicate_span_removal(df, storage_level=StorageLevel.DISK_ONLY)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got[2]["n_dropped"] == 3
+    cached = out._hyperdx_cached
+    assert len(cached) == 2
+    for c in cached:
+        assert c.storageLevel.useDisk and not c.storageLevel.useMemory
+    dedup.release_cached(out)
+    for c in cached:
+        assert not c.storageLevel.useDisk and not c.storageLevel.useMemory
+    # further actions recompute from lineage, result unchanged
+    assert out.count() == 2
+    # release_cached is a no-op on frames without registered intermediates
+    dedup.release_cached(df)
+    # the other persisting operators accept the parameter too
+    pairs = dedup.minhash_lsh_pairs(
+        df, storage_level=StorageLevel.DISK_ONLY
+    )
+    pairs.collect()
+    assert all(c.storageLevel.useDisk for c in pairs._hyperdx_cached)
+    dedup.release_cached(pairs)
+
+
 def test_vocabulary_and_tfidf_vs_duckdb(spark, sf_dir):
     """vocabulary (tf/df/idf with df band) and tfidf_top_terms replayed in
     DuckDB over the corpus sample."""

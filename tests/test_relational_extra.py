@@ -303,6 +303,19 @@ def test_pca_fit_project_whiten(spark):
     assert np.allclose(
         np.abs(model2["components"]), np.abs(model["components"]), atol=1e-6
     )
+    # centered two-pass mode (ADVICE r4): same subspace, cancellation-safe
+    # even with a huge common offset; ddof=1 matches the sklearn convention
+    df_off = spark.createDataFrame(
+        [(i, [float(x + 1e7) for x in row]) for i, row in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    )
+    mc = similarity.pca_fit(df_off, k=2, centered=True, ddof=1)
+    cov1 = np.cov(X.T, bias=False)
+    evals1 = np.sort(np.linalg.eigvalsh(cov1))[::-1]
+    assert np.allclose(mc["explained_variance"], evals1[:2], rtol=1e-6)
+    assert np.allclose(
+        np.abs(mc["components"]), np.abs(model["components"]), atol=1e-5
+    )
 
 
 def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path):

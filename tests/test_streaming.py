@@ -431,12 +431,15 @@ def test_otlp_corrupt_lines_dead_letter(spark):
         ('{"somethingElse": 1}',),      # parses, wrong envelope
         ("",),                          # blank: neither parsed nor dead-letter
         ("   ",),
+        (None,),                        # NULL payload: dead-letter (ADVICE r4)
     ]
     df = spark.createDataFrame(rows, "value string")
     parsed = parse_otlp_logs(df).collect()
     assert len(parsed) == 1 and parsed[0]["body"] == "hello"
-    dead = sorted(r["raw_line"] for r in corrupt_otlp_lines(df).collect())
-    assert dead == sorted(["{not json at all", '{"somethingElse": 1}'])
-    # conservation: every nonblank line is parsed or dead-lettered
-    nonblank = sum(1 for (v,) in rows if v.strip())
-    assert len(parsed) + len(dead) == nonblank
+    dead = [r["raw_line"] for r in corrupt_otlp_lines(df).collect()]
+    assert sorted(d for d in dead if d is not None) == sorted(
+        ["{not json at all", '{"somethingElse": 1}'])
+    assert None in dead  # trim(NULL) != '' is NULL — must not hide the row
+    # conservation: every nonblank-or-NULL line is parsed or dead-lettered
+    accountable = sum(1 for (v,) in rows if v is None or v.strip())
+    assert len(parsed) + len(dead) == accountable

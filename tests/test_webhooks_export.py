@@ -119,3 +119,69 @@ def test_template_eq_helper_dotted_path():
     assert render_template(t, {"alert.state": "ALERT"}) == "secret"
     assert render_template(t, {"alert.state": "OK"}) == ""
     assert render_template(t, {}) == ""
+
+
+def test_template_eq_single_quotes_and_var_operand():
+    """ADVICE r4: Handlebars accepts single-quoted literals and variable
+    operands in (eq a b); the old regex let those fall through to the
+    plain-var pass, which stripped the block markers and rendered BOTH
+    branches unconditionally."""
+    t = "{{#if (eq state 'ALERT')}}F{{else}}R{{/if}}"
+    assert render_template(t, {"state": "ALERT"}) == "F"
+    assert render_template(t, {"state": "OK"}) == "R"
+    # variable-vs-variable comparison
+    tv = "{{#if (eq a b)}}same{{else}}diff{{/if}}"
+    assert render_template(tv, {"a": "x", "b": "x"}) == "same"
+    assert render_template(tv, {"a": "x", "b": "y"}) == "diff"
+
+
+def test_template_unknown_block_raises():
+    """An unsupported block helper must raise (as Handlebars.compile would),
+    not silently strip the markers and leak the body."""
+    import pytest
+
+    with pytest.raises(ValueError, match="Unsupported Handlebars block"):
+        render_template("{{#each items}}x{{/each}}", {"items": "z"})
+
+
+def test_incidentio_payload_rides_generic_path():
+    """incident.io service parity (template.ts:225-235): same body pipeline
+    as generic, same fallback default template."""
+    from hyperdx_spark.webhooks import incidentio_payload
+
+    m = _msg()
+    assert incidentio_payload(m) == generic_payload(m)
+    out = incidentio_payload(m, body_template='{"s": "{{state}}"}')
+    assert json.loads(out) == {"s": "ALERT"}
+
+
+def test_build_webhook_request_per_service():
+    """build_webhook_request mirrors the reference switch: slack gets the
+    block payload; generic/incidentio get the template body plus a stable
+    Idempotency-Key and merged query params (template.ts:330-363)."""
+    from hyperdx_spark.webhooks import build_webhook_request, idempotency_key
+
+    m = _msg()
+    url, hdrs, body = build_webhook_request("slack", "https://h/x", m)
+    assert json.loads(body)["blocks"][0]["type"] == "section"
+    assert "Idempotency-Key" not in hdrs
+
+    url, hdrs, body = build_webhook_request(
+        "incidentio",
+        "https://h/x?a=1",
+        m,
+        query_params={"b": "2"},
+        headers={"X-Custom": "v"},
+    )
+    assert url == "https://h/x?a=1&b=2"
+    assert hdrs["X-Custom"] == "v"
+    assert hdrs["Idempotency-Key"] == idempotency_key(m)
+    # key is stable and depends only on the four reference fields
+    assert idempotency_key(_msg(body="different body")) == idempotency_key(m)
+    assert idempotency_key(_msg(state="OK")) != idempotency_key(m)
+    assert json.loads(body)["text"].startswith('Alert for "prod errors"')
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        build_webhook_request("pagerduty", "https://h/x", m)
