@@ -1499,35 +1499,41 @@ def q_text_stats(spark, sf_dir):
     the paper filter tiers — Gopher quality conjunction (Rae'21 A1.1) and
     C4 page-keep (Raffel'20 §2.2) — each DuckDB-replayed rule for rule."""
     docs = load_table(spark, sf_dir, "documents")
+    # single-row-group parquet delivers 1-2 scan partitions regardless of
+    # maxPartitionBytes; widen once so the Arrow worker AND the top-term
+    # explode use every core (no-op when the scan already has enough tasks)
+    n_par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < n_par:
+        docs = docs.repartition(n_par)
     pii = text.pii_counts("text")
     out = (
-        text.analyze(docs)
-        # arrow=True: the corpus-wide signal pass is exactly the large-doc
-        # case the vectorized worker exists for (~300x per byte vs the
-        # interpreted Catalyst fold; agrees to 1e-9 and the gated column is
-        # round(avg, 4), so the DuckDB hash compare is unaffected)
-        .withColumn("__ent", text.char_entropy("text", arrow=True))
+        # FUSED pass (text.corpus_signals): all eight per-doc text signals —
+        # tokens/quality/language (analyze), entropy, duplicate-line
+        # fraction, Gopher conjunction, C4 keep — in ONE Arrow worker with
+        # one text decode per doc, bit-identical to the composed Column
+        # operators (pytest-asserted signal-by-signal). The composed form
+        # re-derived the token/word/line arrays per signal family through
+        # interpreted HOFs — ~5× this per byte (round-4 profile). The
+        # JVM-regex signals (PII counts, GPT-2 pre-token count) stay
+        # Column-side: they're single codegen'd regex passes.
+        text.corpus_signals(docs)
         .withColumn("__bpe", text.bpe_token_count("text"))
-        # staged filter forms (arrays evaluated once per row, not per rule)
-        .transform(text.gopher_filter)
-        .transform(text.c4_filter)
-        .withColumn("__dlf", text.duplicate_line_fraction("text"))
         .withColumn("__n_email", pii["email"])
         .withColumn("__n_ipv4", pii["ipv4"])
         .groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
-            F.sum("n_tokens").alias("total_tokens"),
-            F.round(F.avg("quality"), 4).alias("avg_quality"),
-            F.round(F.avg("stopword_ratio"), 4).alias("avg_sw_ratio"),
-            F.count_if(F.col("lang_pred") == "en").alias("n_en"),
-            F.round(F.avg("__ent"), 4).alias("avg_entropy"),
-            F.round(F.avg("__dlf"), 4).alias("avg_dup_line"),
+            F.sum("__sig.n_tokens").alias("total_tokens"),
+            F.round(F.avg("__sig.quality"), 4).alias("avg_quality"),
+            F.round(F.avg("__sig.stopword_ratio"), 4).alias("avg_sw_ratio"),
+            F.count_if(F.col("__sig.lang_pred") == "en").alias("n_en"),
+            F.round(F.avg("__sig.char_entropy"), 4).alias("avg_entropy"),
+            F.round(F.avg("__sig.dup_line_frac"), 4).alias("avg_dup_line"),
             F.sum("__n_email").alias("n_email"),
             F.sum("__n_ipv4").alias("n_ipv4"),
             F.sum("__bpe").alias("total_bpe_tokens"),
-            F.count_if(F.col("gopher_pass")).alias("n_gopher_pass"),
-            F.count_if(F.col("c4_keep")).alias("n_c4_keep"),
+            F.count_if(F.col("__sig.gopher_pass")).alias("n_gopher_pass"),
+            F.count_if(F.col("__sig.c4_keep")).alias("n_c4_keep"),
         )
     )
     # vocabulary tier: most frequent token per source (text.vocabulary's

@@ -1419,3 +1419,56 @@ def test_top_ngrams_plan_is_take_ordered(spark, documents):
     df = text.top_ngrams(documents, n=4, k=10)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_corpus_signals_fused_matches_composed(spark, sf_dir):
+    """The fused Arrow corpus-signal worker must reproduce each composed
+    Column operator bit-for-bit (VERDICT r4 #1: fuse the q_text_stats pass
+    without moving the hash): analyze()'s token/quality/language stats,
+    char_entropy, duplicate_line_fraction, gopher pass, c4 keep — over
+    crafted edge docs AND the sf documents corpus."""
+    from hyperdx_spark.io import load_table
+    from hyperdx_spark.pipeline import text as T
+
+    edge = spark.createDataFrame(
+        [
+            (1, "The quick brown fox jumps over the lazy dog. " * 20),
+            (2, ""),
+            (3, "   "),
+            (4, "- bullet one\n- bullet two\n* bullet three"),
+            (5, "trailing dots...\nmore dots...\nplain line here."),
+            (6, "## symbols ### everywhere ...... and more ### " * 5),
+            (7, "dup line\ndup line\ndup line\nother line"),
+            (8, "{ code block } lorem ipsum filler text."),
+            (9, "Tabs\tand\nnewlines \n \n  mixed   spacing."),
+            (10, "Short. Doc."),
+            (11, "A sentence that ends well. " * 30 + "\nNo terminal line\n"),
+            (12, "12345 67890 numeric 99 content 100 " * 10),
+        ],
+        "doc_id long, text string",
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    for df in (edge, docs):
+        composed = (
+            T.analyze(df)
+            .withColumn("__ent", T.char_entropy("text", arrow=True))
+            .transform(T.gopher_filter)
+            .transform(T.c4_filter)
+            .withColumn("__dlf", T.duplicate_line_fraction("text"))
+            .select(
+                "doc_id", "n_tokens", "stopword_ratio", "quality",
+                "lang_pred", "__ent", "__dlf", "gopher_pass", "c4_keep",
+            )
+        )
+        fused = T.corpus_signals(df).select("doc_id", "__sig.*")
+        got = {r["doc_id"]: r for r in fused.collect()}
+        for e in composed.collect():
+            g = got[e["doc_id"]]
+            assert g["n_tokens"] == e["n_tokens"], e
+            assert g["stopword_ratio"] == e["stopword_ratio"], e
+            assert g["quality"] == e["quality"], e
+            assert g["lang_pred"] == e["lang_pred"], e
+            assert g["char_entropy"] == e["__ent"], e
+            assert g["dup_line_frac"] == e["__dlf"], e
+            assert g["gopher_pass"] == e["gopher_pass"], e
+            assert g["c4_keep"] == e["c4_keep"], e
