@@ -3167,9 +3167,10 @@ def q_ann_indexed(spark, sf_dir):
     lists (nprobe=nlist -> provably exact), PQ asymmetric-distance with
     `refine` >= |corpus| so the exact-cosine re-rank provably recovers the
     brute-force answer (the ADC candidate pass is still exercised end to
-    end: codebook build, row-local encode, broadcast distance tables), and
-    the composed IVF-PQ persisted index — all five tiers vs the one exact
-    oracle."""
+    end: codebook build, row-local encode, broadcast distance tables), the
+    composed IVF-PQ persisted index — all five ANN tiers vs the one exact
+    oracle — plus a sixth distributed-PCA tier (exact-decimal moment
+    replay + raising rotation-invariance self-check on the projection)."""
     emb = load_table(spark, sf_dir, "embeddings")
     qs = emb.where(F.col("vec_id") < 3)
     brute = similarity.cosine_topk(emb, qs, k=5)
@@ -3194,13 +3195,87 @@ def q_ann_indexed(spark, sf_dir):
         .unionByName(pq.select(F.lit("pq").alias("part"), "*"))
         .unionByName(ivfpq.select(F.lit("ivfpq").alias("part"), "*"))
     )
-    return _round4(out)
+    out = _round4(out)
+    # 6th tier: distributed PCA (similarity.pca_fit/pca_project). The
+    # eigendecomposition is driver-side numpy (not SQL-expressible), so the
+    # gate splits multimodal-style: (a) the corpus moments the fit consumes
+    # ride as exact-decimal rows DuckDB replays bit-for-bit (float→DECIMAL
+    # can never tie at a rounding boundary — dyadic rationals are never
+    # half-multiples of 1e-6 — so both engines round identically), and
+    # (b) the fitted projection is verified by a RAISING rotation-invariance
+    # self-check: full-rank orthonormal components preserve the centered
+    # norm, ‖P(x−μ)‖² = ‖x−μ‖², for every row.
+    model = similarity.pca_fit(emb, vec_col="embedding")
+    proj = similarity.pca_project(emb, model, vec_col="embedding")
+    mean_lit = F.array(*[F.lit(m) for m in model["mean"]])
+    sq = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0.0), lambda a, x: a + x * x
+    )
+    chk = proj.select(
+        "vec_id",
+        sq(F.col("pca")).alias("__pn"),
+        sq(
+            F.zip_with(
+                F.col("embedding"), mean_lit,
+                lambda x, m: x.cast("double") - m,
+            )
+        ).alias("__cn"),
+    ).where(
+        F.abs(F.col("__pn") - F.col("__cn"))
+        > F.lit(1e-8) * (F.col("__cn") + F.lit(1.0))
+    )
+    bad = chk.limit(1).collect()
+    if bad:
+        raise RuntimeError(f"PCA rotation-invariance self-check failed: {bad[0]}")
+    dec = F.col("v").cast("decimal(18,6)")
+    mom = (
+        emb.select(F.posexplode("embedding").alias("i", "v"))
+        .groupBy("i")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec).alias("__s"),
+            F.sum(dec * dec).alias("__ss"),
+        )
+    )
+    pca_mu = mom.select(
+        F.lit("pca_mu").alias("part"), F.col("i").cast("long").alias("query_id"),
+        F.col("n").alias("match_id"), F.col("__s").cast("double").alias("cos"),
+        F.col("i").cast("int").alias("rank"),
+    )
+    pca_ss = mom.select(
+        F.lit("pca_ss").alias("part"), F.col("i").cast("long").alias("query_id"),
+        F.col("n").alias("match_id"), F.col("__ss").cast("double").alias("cos"),
+        F.col("i").cast("int").alias("rank"),
+    )
+    return out.unionByName(pca_mu).unionByName(pca_ss)
 
 
 O_ANN_INDEXED = f"""
 SELECT p.part, t.query_id, t.match_id, t.cos, t.rank
 FROM ({O_ANN_COSINE}) t
 CROSS JOIN (VALUES ('brute'), ('lsh'), ('ivf'), ('pq'), ('ivfpq')) p(part)
+UNION ALL
+-- distributed-PCA moment replay (exact decimals; the eigen tier is
+-- verified Spark-side by a raising rotation-invariance check). The
+-- FLOAT value is routed through DOUBLE before the decimal cast: DuckDB's
+-- direct float→decimal rounds the float's SHORTEST decimal repr while
+-- Spark rounds the exact binary expansion — via DOUBLE both engines
+-- round the same exact value (never a tie: dyadic rationals are never
+-- half-multiples of 1e-6)
+SELECT 'pca_mu' AS part, i - 1 AS query_id, count(*) AS match_id,
+       sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,6)))::DOUBLE AS cos,
+       i - 1 AS rank
+FROM (SELECT unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS i FROM embeddings) e
+GROUP BY i
+UNION ALL
+SELECT 'pca_ss' AS part, i - 1 AS query_id, count(*) AS match_id,
+       sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,6))
+           * CAST(CAST(v AS DOUBLE) AS DECIMAL(18,6)))::DOUBLE AS cos,
+       i - 1 AS rank
+FROM (SELECT unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS i FROM embeddings) e
+GROUP BY i
 """
 
 
@@ -3253,9 +3328,11 @@ def q_dedup_all(spark, sf_dir):
     (normalized-hash groupBy), connected-components clustering of near-dup
     pairs, md5-keyed hash sampling (pipeline/sampling.py — the key is
     engine-portable, so DuckDB replays membership bit-for-bit), the
-    token-budget source mix built on it, and 8-gram benchmark contamination
+    token-budget source mix built on it, 8-gram benchmark contamination
     (GPT-3/PaLM decontamination rule; bench = first 200 chars of every
-    29th doc, so every benchmark source doc genuinely self-flags)."""
+    29th doc, so every benchmark source doc genuinely self-flags),
+    SemDeDup + quality-aware keeper policy end to end (semkeep/semdedup
+    parts), and the per-source quality-percentile cut (srccut part)."""
     from hyperdx_spark.pipeline import sampling
 
     exact = q_dedup_exact(spark, sf_dir).select(
@@ -3316,9 +3393,57 @@ def q_dedup_all(spark, sf_dir):
         F.col("n_grams_hit").cast("long").alias("v1"),
         F.col("n_bench_docs").cast("long").alias("v2"),
     )
+    # SemDeDup (Abbas'23) + quality-aware keeper policy, end to end:
+    # embedding-cosine pairs (LSH-banded; full recall at this threshold —
+    # the O_EMBEDDING_DEDUP argument), connected components, keeper =
+    # best score then lowest id (pick_keepers), loser anti-join
+    # (semantic_dedup). Score = byte length: integer-valued, so the
+    # keeper argmax is engine-exact, and lengths tie often enough to
+    # exercise the min-id tie-break for real.
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs_src = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    scored = docs_src.withColumn(
+        "score", F.octet_length("text").cast("double")
+    )
+    sem_pairs = similarity.cosine_pairs(emb, threshold=0.5)
+    sem_keep_df = dedup.pick_keepers(
+        dedup.dedup_groups(sem_pairs), scored,
+        id_col="doc_id", score_col="score",
+    )
+    semkeep = sem_keep_df.select(
+        F.lit("semkeep").alias("part"), F.col("id").cast("string").alias("k"),
+        F.col("group_id").cast("long").alias("v1"),
+        F.col("is_keeper").cast("long").alias("v2"),
+    )
+    sem_kept = dedup.semantic_dedup(
+        scored, emb, threshold=0.5, score_col="score"
+    )
+    semdedup = sem_kept.select(
+        F.lit("semdedup").alias("part"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.octet_length("text").cast("long").alias("v1"),
+        F.lit(0).cast("long").alias("v2"),
+    )
+    # Per-source quality cut (RefinedWeb "top X% per domain"): keep the
+    # top 75% of each source by score; exact percentile so the DuckDB
+    # quantile_cont replay is bit-for-bit (q = 0.25 interpolates at exact
+    # binary quarters over integer scores — no float boundary risk)
+    from hyperdx_spark.pipeline import sampling as _sampling
+
+    srccut = _sampling.top_fraction_per_source(
+        scored, 0.75, score_col="score", source_col="source", exact=True
+    ).select(
+        F.lit("srccut").alias("part"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("score").cast("long").alias("v1"),
+        F.lit(0).cast("long").alias("v2"),
+    )
     return (
         exact.unionByName(groups).unionByName(samp).unionByName(mix)
-        .unionByName(span).unionByName(contam)
+        .unionByName(span).unionByName(contam).unionByName(semkeep)
+        .unionByName(semdedup).unionByName(srccut)
     )
 
 
@@ -3492,6 +3617,53 @@ FROM (
   SELECT cg.doc_id, count(DISTINCT cg.g) AS ng, count(DISTINCT bg.bid) AS nb
   FROM cg JOIN bg USING (g) GROUP BY 1
 ) h
+UNION ALL
+-- SemDeDup replay: exact-cosine pairs at the same threshold (LSH banding
+-- has full recall here — the O_EMBEDDING_DEDUP argument), recursive-CTE
+-- connected components, keeper = max score then min id, losers dropped
+SELECT part, k, v1, v2 FROM (
+  WITH RECURSIVE
+  sem_pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(range(1, len(a.embedding) + 1), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+           / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+              * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))) >= 0.5),
+  edges AS (SELECT id_a AS src, id_b AS dst FROM sem_pairs
+            UNION SELECT id_b, id_a FROM sem_pairs),
+  reach(id, lbl) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id),
+  sem_groups AS (SELECT id, min(lbl) AS group_id FROM reach GROUP BY id),
+  sc AS (SELECT doc_id AS id, strlen(text)::DOUBLE AS score FROM documents),
+  jg AS (SELECT g.id, g.group_id, s.score
+         FROM sem_groups g JOIN sc s USING (id)),
+  best AS (SELECT group_id, max(score) AS best FROM jg GROUP BY 1),
+  keepid AS (SELECT jg.group_id, min(jg.id) AS keep_id
+             FROM jg JOIN best ON jg.group_id = best.group_id
+                              AND jg.score = best.best
+             GROUP BY 1)
+  SELECT 'semkeep' AS part, jg.id::VARCHAR AS k, jg.group_id::BIGINT AS v1,
+         (jg.id = keepid.keep_id)::BIGINT AS v2
+  FROM jg JOIN keepid USING (group_id)
+  UNION ALL
+  SELECT 'semdedup' AS part, d.doc_id::VARCHAR AS k,
+         strlen(d.text)::BIGINT AS v1, 0::BIGINT AS v2
+  FROM documents d
+  WHERE d.doc_id NOT IN (
+    SELECT jg.id FROM jg JOIN keepid USING (group_id)
+    WHERE jg.id != keepid.keep_id)
+) sem
+UNION ALL
+-- per-source quality cut replay: exact percentile == quantile_cont at
+-- q = 0.25 (interpolation at binary quarters over integer scores)
+SELECT 'srccut' AS part, d.doc_id::VARCHAR AS k,
+       strlen(d.text)::BIGINT AS v1, 0::BIGINT AS v2
+FROM documents d JOIN (
+  SELECT source, quantile_cont(strlen(text)::DOUBLE, 0.25) AS cut
+  FROM documents GROUP BY 1) c USING (source)
+WHERE strlen(d.text)::DOUBLE >= c.cut
 """
 
 

@@ -774,6 +774,7 @@ def pca_fit(
         return n, s, ss
 
     n, s, ss = collect_moments()
+    d = len(s)
     mean = s / n
     denom = max(n - ddof, 1)
     if centered:
