@@ -2897,11 +2897,19 @@ def q_promql_features(spark, sf_dir):
     nhc = _nh("nh_count", "histogram_count(sum(nh))", False)
     nhq = _nh("nh_q", "histogram_quantile(0.75, sum(nh))", False)
     nhs = _nh("nh_sum", "histogram_sum(nh)", True)
+    # round-5 shapes: avg-of-histograms (merged sum scaled by 1/n),
+    # count() over histogram elements, and histogram_fraction — the bound
+    # 16 sits exactly on the idx-3/idx-4 bucket boundary, so the walk takes
+    # whole buckets (no interpolation float risk) and the DuckDB replay is
+    # a plain conditional count
+    nha = _nh("nh_avg", "histogram_count(avg(nh))", False)
+    nhn = _nh("nh_nser", "count(nh)", False)
+    nhf = _nh("nh_frac", "histogram_fraction(0, 16, sum(nh))", False)
     return hq.unionByName(off).unionByName(ab).unionByName(wo).unionByName(
         sd
     ).unionByName(qt).unionByName(dw).unionByName(nhc).unionByName(
         nhq
-    ).unionByName(nhs)
+    ).unionByName(nhs).unionByName(nha).unionByName(nhn).unionByName(nhf)
 
 
 O_PROMQL_FEATURES = f"""
@@ -2956,6 +2964,20 @@ SELECT part, __timestamp, event_type, value FROM (
     FROM (SELECT d, idx, count(*)::DOUBLE AS cnt FROM ev GROUP BY d, idx))
   WHERE cum_before + cnt >= 0.75 * total
   QUALIFY row_number() OVER (PARTITION BY d ORDER BY idx) = 1
+  UNION ALL
+  -- avg of histograms: merged count / number of merged series
+  SELECT 'nh_avg', d, '',
+         round(count(*)::DOUBLE / count(DISTINCT event_type), 4)
+  FROM ev GROUP BY d
+  UNION ALL
+  -- count() over histogram elements = series per step
+  SELECT 'nh_nser', d, '', count(DISTINCT event_type)::DOUBLE FROM ev GROUP BY d
+  UNION ALL
+  -- histogram_fraction(0, 16, ...): bucket idx covers (2^idx, 2^(idx+1)],
+  -- so v <= 16 <=> idx <= 3 and the walk takes whole buckets
+  SELECT 'nh_frac', d, '',
+         round((count(*) FILTER (idx <= 3))::DOUBLE / count(*), 4)
+  FROM ev GROUP BY d
 )
 """
 

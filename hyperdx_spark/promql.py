@@ -285,6 +285,17 @@ class HistFn:
 
 
 @dataclass
+class HistogramFraction:
+    """histogram_fraction(lower, upper, hv): estimated fraction of
+    observations in [lower, upper] of a native-histogram vector
+    (promql/quantile.go histogramFraction)."""
+
+    lower: float
+    upper: float
+    arg: "Expr"
+
+
+@dataclass
 class Absent:
     arg: "Expr"  # emits value=1 at steps where the vector is empty
 
@@ -628,6 +639,24 @@ class _Parser:
             arg = self.cmp()
             self.expect(")")
             return HistFn(v[len("histogram_"):], arg)
+        if v == "histogram_fraction" and self.peek() and self.peek()[1] == "(":
+            self.expect("(")
+            bounds = []
+            for _ in range(2):
+                neg = False
+                if self.peek() and self.peek()[1] == "-":
+                    self.next()
+                    neg = True
+                bk, bv = self.next()
+                if bk != "num":
+                    raise ValueError(
+                        "histogram_fraction(lower, upper, expr) needs numeric bounds"
+                    )
+                bounds.append(-float(bv) if neg else float(bv))
+                self.expect(",")
+            arg = self.cmp()
+            self.expect(")")
+            return HistogramFraction(bounds[0], bounds[1], arg)
         if v == "absent" and self.peek() and self.peek()[1] == "(":
             self.expect("(")
             arg = self.cmp()
@@ -1502,7 +1531,7 @@ class PromQLEngine:
             return not s.name.endswith("_bucket") and not any(
                 lbl == "le" for lbl, _, _ in s.matchers
             )
-        if isinstance(node, Agg) and node.op == "sum":
+        if isinstance(node, Agg) and node.op in ("sum", "avg"):
             if node.by is not None and "le" in node.by:
                 return False
             return self._native_hist_shape(node.arg)
@@ -1613,7 +1642,7 @@ class PromQLEngine:
                 arr_scale(dn_cnt, ln_cnt),
             )
             return g.select("__step", *self.label_cols, out.alias("__hist"))
-        if isinstance(node, Agg) and node.op == "sum":
+        if isinstance(node, Agg) and node.op in ("sum", "avg"):
             inner = self._eval_hist(spark, node.arg, start, end, step_s, lookback_s)
             labels = [c for c in inner.columns if c not in ("__step", "__hist")]
             if node.without is not None:
@@ -1668,6 +1697,14 @@ class PromQLEngine:
 
             p_off, p_cnt = side("pos_offset", "pos_counts")
             n_off, n_cnt = side("neg_offset", "neg_counts")
+            if node.op == "avg":
+                # avg of histograms = merged sum scaled by 1/n (Prometheus
+                # aggregations.md: every bucket and scalar divides by the
+                # number of merged histograms)
+                inv = F.lit(1.0) / F.size(hs).cast("double")
+                scalars = {k: v * inv for k, v in scalars.items()}
+                p_cnt = F.transform(p_cnt, lambda x: x * inv)
+                n_cnt = F.transform(n_cnt, lambda x: x * inv)
             out = self._h_struct(
                 tgt, scalars["zero_count"], zt, scalars["count"], scalars["sum"],
                 p_off, p_cnt, n_off, n_cnt,
@@ -1675,7 +1712,7 @@ class PromQLEngine:
             return g.select("__step", *keep, out.alias("__hist"))
         raise ValueError(
             "native-histogram evaluation supports instant selectors, "
-            "rate/increase/delta over a selector window, and sum "
+            "rate/increase/delta over a selector window, and sum/avg "
             f"aggregations; got {type(node).__name__}"
         )
 
@@ -1764,6 +1801,108 @@ class PromQLEngine:
         value = (
             F.when((total.isNull()) | (total <= 0) | (F.col("__i") <= 0), F.lit(None))
             .otherwise(cur["lower"] + (cur["upper"] - cur["lower"]) * frac)
+            .cast("double")
+        )
+        return staged.select("__step", *labels, value.alias("value"))
+
+    def _native_histogram_fraction(
+        self, lower: float, upper: float, hv: DataFrame
+    ) -> DataFrame:
+        """histogram_fraction(lower, upper, hv) over a native-histogram
+        vector, row-local (promql/quantile.go histogramFraction): assemble
+        the ascending bucket array (same layout as the quantile walk, plus
+        the symmetric zero-bucket upper collapse to 0 when there are only
+        negative buckets), compute rank(bound) = observations with value
+        < bound via linear interpolation inside the straddling bucket, and
+        return (rank(upper) − rank(lower)) / count. lower ≥ upper → 0;
+        empty histogram → NULL (this engine's convention where Prometheus
+        emits NaN — same divergence as the quantile path)."""
+        labels = [c for c in hv.columns if c not in ("__step", "__hist")]
+        h = F.col("__hist")
+        if lower >= upper:
+            return hv.select(
+                "__step", *labels, F.lit(0.0).cast("double").alias("value")
+            )
+        invs = F.pow(F.lit(2.0), -h["schema"].cast("double"))
+
+        def bound(i: Column) -> Column:
+            return F.pow(F.lit(2.0), i.cast("double") * invs)
+
+        negs = F.when(
+            F.size(h["neg_counts"]) == 0,
+            F.array().cast("array<struct<lower:double,upper:double,cnt:double>>"),
+        ).otherwise(
+            F.transform(
+                F.sequence(
+                    h["neg_offset"].cast("long") + F.size(h["neg_counts"]) - 1,
+                    h["neg_offset"].cast("long"),
+                    F.lit(-1),
+                ),
+                lambda i: F.struct(
+                    (-bound(i + 1)).alias("lower"),
+                    (-bound(i)).alias("upper"),
+                    self._h_elem(h["neg_counts"], h["neg_offset"], i).alias("cnt"),
+                ),
+            )
+        )
+        # zero bucket: lower collapses to 0 with no negative buckets, upper
+        # collapses to 0 with no positive buckets (histogramFraction applies
+        # both adjustments)
+        zero = F.array(
+            F.struct(
+                F.when(F.size(h["neg_counts"]) > 0, -h["zero_threshold"])
+                .otherwise(F.lit(0.0))
+                .alias("lower"),
+                F.when(
+                    (F.size(h["pos_counts"]) == 0) & (F.size(h["neg_counts"]) > 0),
+                    F.lit(0.0),
+                )
+                .otherwise(h["zero_threshold"])
+                .alias("upper"),
+                h["zero_count"].alias("cnt"),
+            )
+        )
+        poss = F.when(
+            F.size(h["pos_counts"]) == 0,
+            F.array().cast("array<struct<lower:double,upper:double,cnt:double>>"),
+        ).otherwise(
+            F.transform(
+                F.sequence(
+                    h["pos_offset"].cast("long"),
+                    h["pos_offset"].cast("long") + F.size(h["pos_counts"]) - 1,
+                ),
+                lambda i: F.struct(
+                    bound(i).alias("lower"),
+                    bound(i + 1).alias("upper"),
+                    self._h_elem(h["pos_counts"], h["pos_offset"], i).alias("cnt"),
+                ),
+            )
+        )
+        staged = hv.withColumn("__b", F.concat(negs, zero, poss))
+
+        def rank_of(x: float) -> Column:
+            # observations below x: full buckets under x plus the linear
+            # share of the straddling bucket — buckets starting at/after x
+            # contribute nothing (ascending order makes this the loop's
+            # "rank so far" in the reference walk)
+            xl = F.lit(float(x))
+            return F.aggregate(
+                F.col("__b"),
+                F.lit(0.0),
+                lambda a, b: a
+                + F.when(b["lower"] >= xl, F.lit(0.0))
+                .when(
+                    b["upper"] > xl,
+                    b["cnt"] * (xl - b["lower"]) / (b["upper"] - b["lower"]),
+                )
+                .otherwise(b["cnt"]),
+            )
+        cnt = h["count"]
+        lr = F.least(rank_of(lower), cnt)
+        ur = F.least(rank_of(upper), cnt)
+        value = (
+            F.when(cnt.isNull() | (cnt <= 0), F.lit(None))
+            .otherwise((ur - lr) / cnt)
             .cast("double")
         )
         return staged.select("__step", *labels, value.alias("value"))
@@ -2146,6 +2285,29 @@ class PromQLEngine:
             )
             return lv.unionByName(right_only, allowMissingColumns=True)
         if isinstance(node, Agg):
+            if node.op == "count" and self._native_hist_shape(node.arg):
+                # Prometheus count() counts elements of BOTH sample kinds:
+                # float elements via the regular path plus native-histogram
+                # elements (each side contributes zero rows when the metric
+                # carries only the other kind, so float-only metrics are
+                # unchanged by this branch)
+                hv = self._eval_hist(
+                    spark, node.arg, start, end, step_s, lookback_s
+                )
+                hl = [c for c in hv.columns if c not in ("__step", "__hist")]
+                fv = self._eval(
+                    spark, node.arg, start, end, step_s, lookback_s
+                ).where(F.col("value").isNotNull())
+                if node.without is not None:
+                    keep = [c for c in hl if c not in set(node.without)]
+                else:
+                    keep = [c for c in (node.by or []) if c in hv.columns]
+                ones = hv.select("__step", *keep).unionByName(
+                    fv.select("__step", *keep)
+                )
+                return ones.groupBy("__step", *keep).agg(
+                    F.count("*").cast("double").alias("value")
+                )
             inner = self._eval(spark, node.arg, start, end, step_s, lookback_s)
             label_cols = [c for c in inner.columns if c not in ("__step", "value")]
             if node.without is not None:
@@ -2217,6 +2379,9 @@ class PromQLEngine:
             return hv.select(
                 "__step", *labels, val.cast("double").alias("value")
             )
+        if isinstance(node, HistogramFraction):
+            hv = self._eval_hist(spark, node.arg, start, end, step_s, lookback_s)
+            return self._native_histogram_fraction(node.lower, node.upper, hv)
         if isinstance(node, Absent):
             inner = self._eval(spark, node.arg, start, end, step_s, lookback_s)
             steps = self._steps(spark, start, end, step_s)

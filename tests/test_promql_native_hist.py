@@ -208,3 +208,58 @@ def test_hist_value_samples_unaffected(spark):
     out = eng.query_range(spark, "increase(c[2m])", t, t, 60).collect()
     assert len(out) == 1 and abs(out[0]["value"] - 2.0) < 1e-9
     assert eng.label_cols == ["job"]  # histogram column is not a label
+
+
+def test_hist_avg_aggregation(spark, hist_engine):
+    """avg() of native-histogram vectors: merged sum scaled by 1/n. At
+    t=10: a@s0 buckets [10,20] zero 10 count 30 sum 100; b@s1 [10,0,10]
+    downscales to s0 [10,10] count 20 sum 80 -> avg count 25, sum 90."""
+    t = datetime(2024, 1, 1, 0, 10)
+    for q, want in [
+        ("histogram_count(avg(latency))", 25.0),
+        ("histogram_sum(avg(latency))", 90.0),
+        ("histogram_avg(avg(latency))", 90.0 / 25.0),
+    ]:
+        out = hist_engine.query_range(spark, q, t, t, 60).collect()
+        assert len(out) == 1 and abs(out[0]["value"] - want) < 1e-9, q
+    # avg by (job) over a single series reproduces the series itself
+    out = hist_engine.query_range(
+        spark, 'histogram_count(avg by (job) (latency{job="a"}))', t, t, 60
+    ).collect()
+    assert len(out) == 1 and out[0]["value"] == 30.0
+
+
+def test_hist_count_aggregation(spark, hist_engine):
+    """count() over native-histogram vectors counts elements (Prometheus
+    counts both sample kinds; these series are histogram-only)."""
+    t = datetime(2024, 1, 1, 0, 10)
+    out = hist_engine.query_range(spark, "count(latency)", t, t, 60).collect()
+    assert len(out) == 1 and out[0]["value"] == 2.0
+    out = hist_engine.query_range(
+        spark, "count by (job) (latency)", t, t, 60
+    ).collect()
+    assert sorted((r["job"], r["value"]) for r in out) == [("a", 1.0), ("b", 1.0)]
+
+
+def test_histogram_fraction(spark, hist_engine):
+    """histogram_fraction bucket walk (promql/quantile.go
+    histogramFraction): job=a at t=10 has zero[0,~0]:10, (1,2]:10,
+    (2,4]:20, count 30 (rank clamps to count)."""
+    t = datetime(2024, 1, 1, 0, 10)
+    cases = [
+        ("histogram_fraction(0, 2, " 'latency{job="a"})', 20.0 / 30.0),
+        ("histogram_fraction(1, 3, " 'latency{job="a"})', (30.0 - 10.0) / 30.0),
+        # lower >= upper -> 0
+        ("histogram_fraction(5, 2, " 'latency{job="a"})', 0.0),
+        # interpolated upper inside (2,4]: rank(3) = 10+10+20*(3-2)/2 = 30
+        ("histogram_fraction(0, 3, " 'latency{job="a"})', 1.0),
+    ]
+    for q, want in cases:
+        out = hist_engine.query_range(spark, q, t, t, 60).collect()
+        assert len(out) == 1 and abs(out[0]["value"] - want) < 1e-9, q
+    # composes with the aggregation tier like histogram_quantile
+    out = hist_engine.query_range(
+        spark, "histogram_fraction(0, 2, sum(latency))", t, t, 60
+    ).collect()
+    # sum buckets: zero 10, (1,2] 20, (2,4] 30, count 50 -> rank(2) = 30
+    assert len(out) == 1 and abs(out[0]["value"] - 30.0 / 50.0) < 1e-9
