@@ -682,6 +682,11 @@ def dedup_groups(
             pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
         )
         .distinct()
+        # every propagation round joins the edge list — persist it, or the
+        # UPSTREAM pair-finding DAG (LSH bands, self-join, verify) re-runs
+        # once per iteration (measured ~6x the whole semantic-dedup cost at
+        # sf1 before this). Released via release_cached on the result.
+        .persist()
     )
     labels = (
         edges.select(F.col("src").alias("id")).distinct()
@@ -728,11 +733,12 @@ def dedup_groups(
             RuntimeWarning,
             stacklevel=2,
         )
-    return labels.select(
+    out = labels.select(
         F.col("id"),
         F.col("lbl").alias("group_id"),
         (F.col("id") == F.col("lbl")).alias("is_keeper"),
     )
+    return _register_cached(out, [edges, labels])
 
 
 # ---------------------------------------------------------------- contamination

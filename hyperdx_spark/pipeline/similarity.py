@@ -177,12 +177,28 @@ def cosine_pairs(
     seed: int = 42,
 ) -> DataFrame:
     """Embedding near-duplicate pairs (cos >= threshold) via LSH banding —
-    the embedding-cosine member of the dedup family."""
+    the embedding-cosine member of the dedup family.
+
+    Plan shape (the minhash_lsh_pairs discipline): the signature frame is
+    persisted so the num_planes x dim hyperplane dot products evaluate ONCE
+    per row — the naive form captured the signature expression inside the
+    per-band lambda AND fed a self-join, re-evaluating it up to
+    2 x bands times per row (measured 6x the whole pair cost at 60
+    planes; HOFs are interpreted, no CSE). Only (id, band, bucket) rides
+    the candidate shuffle; vectors re-attach to the (much smaller)
+    deduplicated pair list for the exact-cosine verify. Release the cached
+    signature frame with ``dedup.release_cached(result)``."""
+    from hyperdx_spark.pipeline.dedup import _register_cached
+
     sig = lsh_signature(F.col(vec_col), num_planes=num_planes, dim=dim, seed=seed)
     rows_per_band = num_planes // bands
-    banded = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
+    # persist barrier: a cached narrow frame is the one formation Catalyst
+    # cannot collapse back into the band lambdas
+    sig_rows = df.select(
+        F.col(id_col).alias("id"), sig.alias("__sig")
+    ).persist()
+    banded = sig_rows.select(
+        "id",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -191,29 +207,32 @@ def cosine_pairs(
                     F.concat_ws(
                         ",",
                         F.transform(
-                            F.slice(sig, b * rows_per_band + 1, rows_per_band),
+                            F.slice(
+                                F.col("__sig"), b * rows_per_band + 1, rows_per_band
+                            ),
                             lambda x: x.cast("string"),
                         ),
                     ).alias("bucket"),
                 ),
             )
         ).alias("bb"),
-    ).select("id", "v", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     a, b = banded.alias("a"), banded.alias("b")
-    return (
+    cand = (
         a.join(b, on=["band", "bucket"])
         .where(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.v").alias("__va"),
-            F.col("b.v").alias("__vb"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    out = (
+        cand.join(vecs.withColumnsRenamed({"id": "id_a", "v": "__va"}), on="id_a")
+        .join(vecs.withColumnsRenamed({"id": "id_b", "v": "__vb"}), on="id_b")
         .withColumn("cos", cosine(F.col("__va"), F.col("__vb")))
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+    return _register_cached(out, [sig_rows])
 
 
 def _centroids(

@@ -174,3 +174,161 @@ def test_compiled_config_matches_duckdb(spark, duck, cfg):
     cur = duck.execute(_oracle_sql(*cfg))
     want = _canon([d[0] for d in cur.description], cur.fetchall())
     assert _rows_equal(got, want), (_oracle_sql(*cfg), got[:3], want[:3])
+
+
+# ---------------------------------------------------------------------------
+# Round-5 widened grammar (VERDICT r4 #8): CTEs, sample-weighted aggs,
+# series-limit, and ratio mode in the random space. The gated entries cover
+# fixed shapes; the fuzz is what catches interaction bugs between features.
+# ---------------------------------------------------------------------------
+
+from hyperdx_spark.model import SqlFilter  # noqa: E402
+from hyperdx_spark.post import compute_ratio  # noqa: E402
+
+W_EXPR = "1 + user_id % 3"
+W_SQL = f"greatest(coalesce(try_cast(({W_EXPR}) AS BIGINT), 0), 1)"
+EXT_AGGS = ["count", "sum", "avg"]
+EXT_COND = "event_type = 'error'"
+
+
+@st.composite
+def config_ext(draw):
+    use_cte = draw(st.booleans())
+    weighted = draw(st.booleans())
+    gran = draw(st.sampled_from([None, "1 day"]))
+    aggs = draw(
+        st.lists(st.sampled_from(EXT_AGGS), min_size=1, max_size=3)
+    )
+    cond1 = len(aggs) >= 2 and draw(st.booleans())
+    series_n = draw(st.sampled_from([None, 1, 2]))
+    ratio = None
+    if len(aggs) >= 2:
+        modes = [None, "per_group"] + (["share_of_total"] if gran else [])
+        ratio = draw(st.sampled_from(modes))
+    return use_cte, weighted, gran, aggs, cond1, series_n, ratio
+
+
+def _run_ext(spark, duck, use_cte, weighted, gran, aggs, cond1, series_n, ratio):
+    src = Source(
+        table="base" if use_cte else "events",
+        timestamp_value_expression="ts",
+        sample_rate_expression=W_EXPR if weighted else None,
+    )
+    ctes = []
+    if use_cte:
+        ctes = [(
+            "base",
+            ChartConfig(
+                source=Source(table="events", timestamp_value_expression="ts"),
+                select="ts, event_type, user_id, value",
+                filters=[SqlFilter(condition="value > 100", type="sql")],
+            ),
+        )]
+    select = [
+        SelectCol(
+            agg_fn=fn,
+            value_expression=None if fn == "count" else "value",
+            agg_condition=EXT_COND if (i == 1 and cond1) else None,
+            agg_condition_language="sql",
+            alias=f"a{i}",
+        )
+        for i, fn in enumerate(aggs)
+    ]
+    cfg = ChartConfig(
+        source=src, ctes=ctes, select=select, group_by=["event_type"],
+        granularity=gran, series_limit=series_n,
+    )
+    out = compile_chart_config(spark, cfg, sf_dir=SF_DIR, settings=EXACT)
+    if ratio:
+        out = compute_ratio(
+            out, numerator="a0", denominator="a1", mode=ratio,
+            bucket_col="__timestamp",
+        )
+    got = _canon(out.columns, [tuple(r) for r in out.collect()])
+
+    # --- independent DuckDB rendering
+    def agg_sql(i, fn):
+        cond = EXT_COND if (i == 1 and cond1) else None
+        flt = f" FILTER ({cond})" if cond else ""
+        if fn == "count":
+            inner = f"sum({W_SQL})" if weighted else (
+                "count(1)" if cond else "count(*)"
+            )
+            return f"{inner}{flt} AS a{i}" if weighted or cond else f"{inner} AS a{i}"
+        if fn == "sum":
+            x = f"value * ({W_SQL})" if weighted else "value"
+            return f"sum({x}){flt} AS a{i}"
+        if weighted:
+            return (
+                f"(sum(value * ({W_SQL})){flt} / sum({W_SQL}){flt}) AS a{i}"
+            )
+        return f"(sum(value){flt} / count(value){flt}) AS a{i}"
+
+    keys = []
+    if gran:
+        keys.append(
+            "make_timestamp((floor(epoch(ts))::BIGINT // 86400) * 86400"
+            " * 1000000) AS __timestamp"
+        )
+    keys.append("event_type")
+    cols = [agg_sql(i, fn) for i, fn in enumerate(aggs)]
+    frm = "base" if use_cte else "events"
+    inner_sql = (
+        f"SELECT {', '.join(keys + cols)} FROM {frm} GROUP BY "
+        + ", ".join(str(i + 1) for i in range(len(keys)))
+    )
+    withs = []
+    if use_cte:
+        withs.append(
+            "base AS (SELECT ts, event_type, user_id, value FROM events"
+            " WHERE value > 100)"
+        )
+    withs.append(f"agg AS ({inner_sql})")
+    sql = "WITH " + ", ".join(withs) + " SELECT * FROM agg"
+    if series_n:
+        sql += (
+            " WHERE event_type IN (SELECT event_type FROM agg"
+            " GROUP BY event_type ORDER BY max(a0) DESC NULLS LAST,"
+            f" event_type LIMIT {series_n})"
+        )
+    if ratio:
+        if ratio == "per_group":
+            den = "a1::DOUBLE"
+        else:
+            den = "sum(a1::DOUBLE) OVER (PARTITION BY __timestamp)"
+        sql = (
+            f"SELECT *, CASE WHEN {den} != 0 THEN a0::DOUBLE / {den} END"
+            f" AS ratio FROM ({sql})"
+        )
+    cur = duck.execute(sql)
+    want = _canon([d[0] for d in cur.description], cur.fetchall())
+    assert _rows_equal(got, want), (sql, got[:3], want[:3])
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(cfg=config_ext())
+def test_compiled_ext_matches_duckdb(spark, duck, cfg):
+    _run_ext(spark, duck, *cfg)
+
+
+# deterministic proof the widened space includes each feature (the fuzz
+# draws them randomly; these pin one case per feature through the same
+# harness): CTE, sample-weighted family, series-limit, both ratio modes,
+# and a kitchen-sink interaction case
+@pytest.mark.parametrize(
+    "case",
+    [
+        (True, False, "1 day", ["count", "sum"], False, None, None),
+        (False, True, None, ["count", "sum", "avg"], True, None, None),
+        (False, False, "1 day", ["count"], False, 2, None),
+        (False, False, "1 day", ["count", "sum"], False, None, "per_group"),
+        (False, False, "1 day", ["sum", "count"], False, None, "share_of_total"),
+        (True, True, "1 day", ["avg", "sum"], True, 1, "share_of_total"),
+    ],
+)
+def test_compiled_ext_pinned_features(spark, duck, case):
+    _run_ext(spark, duck, *case)

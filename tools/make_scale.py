@@ -108,8 +108,69 @@ def build(n: int, src: str, dst: str) -> None:
         FROM {t('embeddings')} CROSS JOIN reps""")
 
 
+def build_corpus(n: int, src: str, dst: str) -> None:
+    """One more decade for the adversarial-tier operators: documents and
+    embeddings ONLY (the dedup/similarity workloads), with transforms that
+    stay collision-free at ANY replica count — the full-table build's
+    8-letter rotation (and the embeddings' epsilon shift) collide once
+    replicas exceed the variant space, which would manufacture quadratic
+    cross-replica near-dup structure and invalidate the scaling read:
+
+    * documents: every alphanumeric token gets the replica id appended
+      (replica 0 verbatim). Token/shingle/k-gram/span identity collapses
+      across replicas while the intra-replica structure the near-dup
+      queries derive downstream is preserved exactly.
+    * embeddings: per-(replica, dim) deterministic sign flips (replica 0
+      verbatim). An isometry — intra-replica cosine geometry is EXACT —
+      while cross-replica cosines drop to ~N(0, 1/sqrt(d)): no manufactured
+      near-duplicates. (The epsilon-shift used for the full build keeps
+      cosine ~1 between copies of the same vector, which is quadratic in
+      replica count.)
+    """
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW reps AS SELECT unnest(range({n})) AS i")
+
+    def t(name: str) -> str:
+        return f"read_parquet('{src}/{name}.parquet')"
+
+    s_d = con.sql(f"SELECT max(doc_id) + 1 FROM {t('documents')}").fetchone()[0]
+    s_v = con.sql(f"SELECT max(vec_id) + 1 FROM {t('embeddings')}").fetchone()[0]
+
+    def emit(name: str, select: str) -> None:
+        out = f"{dst}/{name}.parquet"
+        con.sql(f"COPY ({select}) TO '{out}' (FORMAT PARQUET)")
+        rows = con.sql(f"SELECT count(*) FROM read_parquet('{out}')").fetchone()[0]
+        print(f"{name}: {rows} rows")
+
+    emit("documents", f"""
+        SELECT doc_id + i * {s_d} AS doc_id,
+               CASE WHEN i = 0 THEN text
+                    ELSE regexp_replace(text, '([A-Za-z0-9]+)',
+                                        '\\1' || i::VARCHAR, 'g')
+               END AS text,
+               lang, source, n_chars
+        FROM {t('documents')} CROSS JOIN reps""")
+    emit("embeddings", f"""
+        SELECT vec_id + i * {s_v} AS vec_id,
+               CASE WHEN i = 0 THEN embedding
+                    ELSE CAST(list_transform(embedding, (x, j) ->
+                         x * (CASE WHEN hash(i::VARCHAR || ':' || j::VARCHAR)
+                                        % 2 = 0
+                              THEN 1.0 ELSE -1.0 END)) AS FLOAT[])
+               END AS embedding,
+               label
+        FROM {t('embeddings')} CROSS JOIN reps""")
+
+
 if __name__ == "__main__":
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
-    dst = sys.argv[3] if len(sys.argv) > 3 else "/root/repo/.scale/sf1"
-    build(n, src, dst)
+    if len(sys.argv) > 1 and sys.argv[1] == "corpus":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+        src = sys.argv[3] if len(sys.argv) > 3 else "/root/repo/.scale/sf1"
+        dst = sys.argv[4] if len(sys.argv) > 4 else "/root/repo/.scale/sf10"
+        build_corpus(n, src, dst)
+    else:
+        n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+        src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+        dst = sys.argv[3] if len(sys.argv) > 3 else "/root/repo/.scale/sf1"
+        build(n, src, dst)
