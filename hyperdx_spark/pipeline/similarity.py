@@ -258,6 +258,42 @@ def _centroids(
     )
 
 
+def _assign_arrow(
+    df: DataFrame, cents: DataFrame, vec: str, n: int
+) -> DataFrame:
+    """Vectorized coarse assignment: one numpy matmul per Arrow batch
+    against the (tiny, driver-collected, id-sorted) centroid matrix —
+    ~100x the interpreted per-(row, centroid, dim) HOF walk of the Column
+    path. Ties break to the smaller centroid id (stable argsort over the
+    id-ascending matrix), mirroring the Column comparator; float rounding
+    of the cosine differs from the left-fold order only at the last ulp,
+    which full-probe / refine-covering queries are insensitive to."""
+    import numpy as np
+
+    rows = sorted(cents.collect(), key=lambda r: r["cent_id"])
+    ids = [r["cent_id"] for r in rows]
+    C = np.stack([np.asarray(r["cvec"], dtype=np.float64) for r in rows])
+    cn = np.linalg.norm(C, axis=1)
+    Cn = C / np.where(cn == 0, 1.0, cn)[:, None]
+    id_type = cents.schema["cent_id"].dataType.simpleString()
+
+    def topn(series):
+        import pandas as pd
+
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in series])
+        xn = np.linalg.norm(X, axis=1)
+        cos = (X @ Cn.T) / np.where(xn == 0, 1.0, xn)[:, None]
+        order = np.argsort(-cos, axis=1, kind="stable")[:, :n]
+        return pd.Series([[ids[j] for j in row] for row in order])
+
+    udf = F.pandas_udf(topn, f"array<{id_type}>")
+    return (
+        df.withColumn("__cents", udf(F.col(vec)))
+        .withColumn("cent_id", F.explode("__cents"))
+        .drop("__cents")
+    )
+
+
 def _assign(df: DataFrame, cents: DataFrame, vec: str, n: int) -> DataFrame:
     """Attach the top-n centroid ids by cosine to every row, entirely
     row-local: the quantizer (tiny by construction) is collected once
@@ -317,15 +353,17 @@ def build_ivf_index(
     vec_col: str = "embedding",
     nlist: int = 16,
     seed: int = 42,
+    arrow: bool = True,
 ) -> None:
     """Persist an IVF index: corpus vectors written as parquet PARTITIONED
     BY their coarse-centroid list, plus the centroid table. This is the
     build-once/query-many shape for a 100 TB corpus — a query later reads
     ONLY its ``nprobe`` list partitions (partition pruning on ``cent_id``),
-    not the whole corpus."""
+    not the whole corpus. ``arrow`` as in :func:`build_ivfpq_index`."""
     cents = _centroids(corpus, id_col=id_col, vec_col=vec_col, nlist=nlist, seed=seed)
     c = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("vec"))
-    assigned = _assign(c, cents, "vec", 1)
+    assign = _assign_arrow if arrow else _assign
+    assigned = assign(c, cents, "vec", 1)
     assigned.write.mode("overwrite").partitionBy("cent_id").parquet(path + "/lists")
     cents.write.mode("overwrite").parquet(path + "/centroids")
 
@@ -414,6 +452,7 @@ def pq_codebooks(
     codes: int = 16,
     seed: int = 42,
     refine_iters: int = 1,
+    arrow: bool = False,
 ) -> list[list[list[float]]]:
     """Deterministic PQ codebooks: split the vector into ``m`` subspaces and
     use the sub-vectors of the ``codes`` hash-top-k corpus rows as each
@@ -452,7 +491,8 @@ def pq_codebooks(
     # encode pass + one (subspace, code) aggregate; deterministic given the
     # deterministic init). Dead codewords keep their previous value.
     for _ in range(refine_iters):
-        enc = pq_encode(corpus, books, vec_col=vec_col).withColumn(
+        encode = pq_encode_arrow if arrow else pq_encode
+        enc = encode(corpus, books, vec_col=vec_col).withColumn(
             "__u", _unit(F.col(vec_col))
         )
         # materialize BEFORE the explode: the interpreted-HOF encode
@@ -479,6 +519,36 @@ def pq_codebooks(
 def _unit(vec: Column) -> Column:
     n = norm(vec)
     return F.transform(vec, lambda x: x.cast("double") / n)
+
+
+def pq_encode_arrow(
+    df: DataFrame, books: list[list[list[float]]], *, vec_col: str = "embedding"
+) -> DataFrame:
+    """Vectorized PQ encode: per Arrow batch, one (rows x codes x sub)
+    squared-distance broadcast per subspace over the codebook tensor —
+    ~100x the interpreted nested-HOF Column walk. Ties take the first
+    (lowest) code index, same as the Column path's array_position."""
+    import numpy as np
+
+    m = len(books)
+    sub = len(books[0][0])
+    B = np.asarray(books, dtype=np.float64)  # m x codes x sub
+
+    def enc(series):
+        import pandas as pd
+
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in series])
+        n = np.linalg.norm(X, axis=1)
+        U = X / np.where(n == 0, 1.0, n)[:, None]
+        out = np.empty((len(X), m), dtype=np.int64)
+        for j in range(m):
+            S = U[:, j * sub:(j + 1) * sub]
+            d2 = ((S[:, None, :] - B[j][None, :, :]) ** 2).sum(-1)
+            out[:, j] = d2.argmin(axis=1)
+        return pd.Series([[int(c) for c in row] for row in out])
+
+    udf = F.pandas_udf(enc, "array<int>")
+    return df.withColumn("pq_code", udf(F.col(vec_col)))
 
 
 def pq_encode(
@@ -635,11 +705,19 @@ def build_ivfpq_index(
     m: int = 8,
     codes: int = 16,
     seed: int = 42,
+    arrow: bool = True,
 ) -> None:
     """Persist an IVF-PQ index: every corpus vector is assigned to its
     coarse-centroid list AND compressed to an m-byte PQ code; the lists are
     written as parquet PARTITIONED BY ``cent_id`` carrying
     (match_id, pq_code, vec), plus the centroid table and codebooks.
+
+    ``arrow=True`` (default) runs the two row-local hot loops — coarse
+    assignment and PQ encode — as numpy batch math (~100x the interpreted
+    HOF walk; build measured 91 s -> seconds at 20k x 64). Queries are
+    unaffected at the result level whenever they re-rank (refine) or probe
+    every list; partial-probe recall can shift by last-ulp assignment
+    rounding. ``arrow=False`` keeps the pure-Column build.
 
     This composes the two scale levers: a query prunes the scan to its
     ``nprobe`` list partitions (IVF), then ranks candidates by ADC table
@@ -651,11 +729,14 @@ def build_ivfpq_index(
     """
     cents = _centroids(corpus, id_col=id_col, vec_col=vec_col, nlist=nlist, seed=seed)
     books = pq_codebooks(
-        corpus, id_col=id_col, vec_col=vec_col, m=m, codes=codes, seed=seed
+        corpus, id_col=id_col, vec_col=vec_col, m=m, codes=codes, seed=seed,
+        arrow=arrow,
     )
     c = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("vec"))
-    assigned = _assign(c, cents, "vec", 1)
-    enc = pq_encode(assigned, books, vec_col="vec")
+    assign = _assign_arrow if arrow else _assign
+    assigned = assign(c, cents, "vec", 1)
+    encode = pq_encode_arrow if arrow else pq_encode
+    enc = encode(assigned, books, vec_col="vec")
     enc.select("match_id", "vec", "pq_code", "cent_id").write.mode(
         "overwrite"
     ).partitionBy("cent_id").parquet(path + "/lists")
