@@ -3462,10 +3462,32 @@ def q_dedup_all(spark, sf_dir):
         F.col("score").cast("long").alias("v1"),
         F.lit(0).cast("long").alias("v2"),
     )
+    # corpus top-k n-grams (text.top_ngrams): partial-agg + TakeOrdered,
+    # never a global sort — the boilerplate/contamination audit view
+    topgram = text.top_ngrams(docs_src, n=3, k=25).select(
+        F.lit("topgram").alias("part"), F.col("g").alias("k"),
+        F.col("n_occurrences").cast("long").alias("v1"),
+        F.col("n_docs").cast("long").alias("v2"),
+    )
+    # Cavnar-Trenkle trigram language-ID: label counts + sum of labeled doc
+    # ids (pins the exact per-document assignment, not just the histogram)
+    langid = (
+        docs_src.select(
+            "doc_id", text.detect_language_ngram("text").alias("lang")
+        )
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"), F.sum("doc_id").alias("sid"))
+        .select(
+            F.lit("langid").alias("part"), F.col("lang").alias("k"),
+            F.col("n").cast("long").alias("v1"),
+            F.col("sid").cast("long").alias("v2"),
+        )
+    )
     return (
         exact.unionByName(groups).unionByName(samp).unionByName(mix)
         .unionByName(span).unionByName(contam).unionByName(semkeep)
-        .unionByName(semdedup).unionByName(srccut)
+        .unionByName(semdedup).unionByName(srccut).unionByName(topgram)
+        .unionByName(langid)
     )
 
 
@@ -3584,6 +3606,16 @@ LEFT JOIN totals t USING (doc_id)
 LEFT JOIN rebuilt r USING (doc_id)
 """
 
+# Cavnar-Trenkle trigram profiles spliced into the DuckDB replay — one
+# struct_pack(score, lang) per language, scored as profile-hit fraction
+# over the document's trigram multiset (text.detect_language_ngram parity)
+_LANGID_STRUCTS = ", ".join(
+    "struct_pack(score := len(list_filter(grams, x -> list_contains(["
+    + ", ".join("'" + t.replace("'", "''") + "'" for t in profile)
+    + "], x)))::DOUBLE / len(grams), lang := '" + lang + "')"
+    for lang, profile in sorted(text.LANG_TRIGRAM_PROFILES.items())
+)
+
 O_DEDUP_ALL = f"""
 SELECT 'exact' AS part, fp AS k, keep_id::BIGINT AS v1, n_copies::BIGINT AS v2
 FROM ({O_DEDUP_EXACT})
@@ -3686,6 +3718,42 @@ FROM documents d JOIN (
   SELECT source, quantile_cont(strlen(text)::DOUBLE, 0.25) AS cut
   FROM documents GROUP BY 1) c USING (source)
 WHERE strlen(d.text)::DOUBLE >= c.cut
+UNION ALL
+-- corpus top-k word trigrams (text.top_ngrams replay)
+SELECT 'topgram' AS part, g AS k, n_occurrences::BIGINT AS v1,
+       n_docs::BIGINT AS v2
+FROM (
+  WITH tt AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+  gg AS (SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS g
+         FROM tt, unnest(range(1, greatest(len(tk) - 1, 1))) AS u(i))
+  SELECT g, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+  FROM gg GROUP BY 1
+  ORDER BY n_occurrences DESC, g ASC LIMIT 25
+) tg
+UNION ALL
+-- trigram language-ID replay: space-padded lowercase trigrams, per-profile
+-- hit fraction, argmax by (score, lang) via sorted-struct-last, threshold
+-- 0.02, docs of <= 2 normalized chars are 'unknown'
+SELECT 'langid' AS part, k, v1, v2 FROM (
+  WITH nrm AS (
+    SELECT doc_id,
+           ' ' || regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') || ' ' AS s
+    FROM documents),
+  gr AS (
+    SELECT doc_id, length(s) AS n,
+           list_transform(range(1, greatest(length(s) - 2, 1) + 1),
+                          i -> s[i:i+2]) AS grams
+    FROM nrm),
+  sc AS (SELECT doc_id, n, [{_LANGID_STRUCTS}] AS ls FROM gr),
+  best AS (SELECT doc_id, n, list_sort(ls)[len(ls)] AS b FROM sc),
+  lab AS (
+    SELECT doc_id,
+           CASE WHEN n > 2 AND b.score >= 0.02 THEN b.lang
+                ELSE 'unknown' END AS lang
+    FROM best)
+  SELECT lang AS k, count(*)::BIGINT AS v1, sum(doc_id)::BIGINT AS v2
+  FROM lab GROUP BY 1
+) li
 """
 
 
