@@ -3483,11 +3483,35 @@ def q_dedup_all(spark, sf_dir):
             F.col("sid").cast("long").alias("v2"),
         )
     )
+    # HTML strip + link density over deterministically HTML-ified docs:
+    # script block, comment, entities, block-level closers, and one anchor —
+    # every branch of the strip chain fires. Link density is gated as
+    # floor(d * 10000) (exact int/int division both engines; DuckDB's
+    # ::BIGINT rounds where Spark's cast truncates, so floor() explicitly)
+    html = F.concat(
+        F.lit(
+            '<html><body><script type="text/js">var x = 1;</script>'
+            "<h1>Heading &amp; more</h1><!-- note --><p>"
+        ),
+        F.replace(F.col("text"), F.lit(". "), F.lit(".</p><p>")),
+        F.lit(
+            "</p><ul><li>item one</li></ul>"
+            '<a href="https://example.com">click &quot;here&quot;</a>'
+            "</body></html>"
+        ),
+    )
+    hdf = docs_src.withColumn("__html", html)
+    htmlstrip = hdf.select(
+        F.lit("htmlstrip").alias("part"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.length(text.strip_html("__html")).cast("long").alias("v1"),
+        F.floor(text.link_density("__html") * 10000).cast("long").alias("v2"),
+    )
     return (
         exact.unionByName(groups).unionByName(samp).unionByName(mix)
         .unionByName(span).unionByName(contam).unionByName(semkeep)
         .unionByName(semdedup).unionByName(srccut).unionByName(topgram)
-        .unionByName(langid)
+        .unionByName(langid).unionByName(htmlstrip)
     )
 
 
@@ -3605,6 +3629,47 @@ FROM (SELECT doc_id FROM docs_near) d0
 LEFT JOIN totals t USING (doc_id)
 LEFT JOIN rebuilt r USING (doc_id)
 """
+
+def _strip_html_sql(expr: str) -> str:
+    """DuckDB replay of text.strip_html's regexp chain. RE2 has no
+    backreferences, so the reference chain's ``<(script|style)...</\\1>``
+    becomes two explicit passes — identical on non-interleaved markup
+    (which the gate fixture is by construction)."""
+    out = expr
+    out = f"regexp_replace({out}, '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g')"
+    out = f"regexp_replace({out}, '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g')"
+    out = f"regexp_replace({out}, '(?s)<!--.*?-->', ' ', 'g')"
+    out = (
+        f"regexp_replace({out}, "
+        "'(?i)</(p|div|li|h[1-6]|tr|table|ul|ol|blockquote)\\s*>|<br\\s*/?>',"
+        " chr(10), 'g')"
+    )
+    out = f"regexp_replace({out}, '(?s)<[^>]+>', ' ', 'g')"
+    for ent, rep in [
+        ("&nbsp;", "' '"), ("&lt;", "'<'"), ("&gt;", "'>'"),
+        ("&quot;", "'\"'"), ("&#39;", "chr(39)"), ("&apos;", "chr(39)"),
+        ("&amp;", "'&'"),
+    ]:
+        out = f"replace({out}, '{ent}', {rep})"
+    out = f"regexp_replace({out}, '[ \\t]+', ' ', 'g')"
+    out = f"regexp_replace({out}, ' ?\\n ?', chr(10), 'g')"
+    out = f"regexp_replace({out}, '^\\s+|\\s+$', '', 'g')"
+    return out
+
+
+_HTML_EXPR = (
+    "'<html><body><script type=\"text/js\">var x = 1;</script>"
+    "<h1>Heading &amp; more</h1><!-- note --><p>'"
+    " || replace(text, '. ', '.</p><p>') || "
+    "'</p><ul><li>item one</li></ul>"
+    '<a href="https://example.com">click &quot;here&quot;</a>'
+    "</body></html>'"
+)
+_ANCHOR_LEN = (
+    "coalesce(list_sum(list_transform("
+    "regexp_extract_all(h, '(?is)<a\\b[^>]*>(.*?)</a\\s*>', 1),"
+    f" a -> length({_strip_html_sql('a')}))), 0)"
+)
 
 # Cavnar-Trenkle trigram profiles spliced into the DuckDB replay — one
 # struct_pack(score, lang) per language, scored as profile-hit fraction
@@ -3754,6 +3819,14 @@ SELECT 'langid' AS part, k, v1, v2 FROM (
   SELECT lang AS k, count(*)::BIGINT AS v1, sum(doc_id)::BIGINT AS v2
   FROM lab GROUP BY 1
 ) li
+UNION ALL
+-- HTML strip + link density replay over the same deterministic
+-- HTML-ification (strip chain via _strip_html_sql, RE2-safe)
+SELECT 'htmlstrip' AS part, doc_id::VARCHAR AS k,
+       length({_strip_html_sql('h')})::BIGINT AS v1,
+       floor(({_ANCHOR_LEN}::DOUBLE
+              / length({_strip_html_sql('h')})::DOUBLE) * 10000)::BIGINT AS v2
+FROM (SELECT doc_id, {_HTML_EXPR} AS h FROM documents) hh
 """
 
 
