@@ -66,9 +66,14 @@ def main() -> None:
 
     def run_winnow():
         # same 1-in-5 subset rule as the gate entry at every sf, so the
-        # ratio compares like with like (keeps all mutated near-dups)
+        # ratio compares like with like (keeps all mutated near-dups).
+        # max_fp_df is MANDATORY at scale: the synthetic corpus shares
+        # template phrasing, so without the stop-fingerprint cap the hot
+        # postings pair n² and OOM the executors at sf10 (measured — the
+        # cap is the documented boilerplate lever, not an optimization)
         pairs = dedup.winnow_pairs(
-            docs_nd.where(F.col("doc_id") % 5 == 0), k=8, w=16, threshold=0.3
+            docs_nd.where(F.col("doc_id") % 5 == 0), k=8, w=16,
+            threshold=0.3, max_fp_df=50,
         )
         n = pairs.count()
         dedup.release_cached(pairs)
