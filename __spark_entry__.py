@@ -2905,11 +2905,17 @@ def q_promql_features(spark, sf_dir):
     nha = _nh("nh_avg", "histogram_count(avg(nh))", False)
     nhn = _nh("nh_nser", "count(nh)", False)
     nhf = _nh("nh_frac", "histogram_fraction(0, 16, sum(nh))", False)
+    # per-series (not sum-merged): the merge folds float sums in
+    # collect_list order, which is partition-nondeterministic at the last
+    # ulp — per-series keeps the mean deterministic for the hash compare
+    nhv = _nh("nh_stdvar", "histogram_stdvar(nh)", True)
     return hq.unionByName(off).unionByName(ab).unionByName(wo).unionByName(
         sd
     ).unionByName(qt).unionByName(dw).unionByName(nhc).unionByName(
         nhq
-    ).unionByName(nhs).unionByName(nha).unionByName(nhn).unionByName(nhf)
+    ).unionByName(nhs).unionByName(nha).unionByName(nhn).unionByName(
+        nhf
+    ).unionByName(nhv)
 
 
 O_PROMQL_FEATURES = f"""
@@ -2978,6 +2984,20 @@ SELECT part, __timestamp, event_type, value FROM (
   SELECT 'nh_frac', d, '',
          round((count(*) FILTER (idx <= 3))::DOUBLE / count(*), 4)
   FROM ev GROUP BY d
+  UNION ALL
+  -- histogram_stdvar per series: geometric bucket midpoint
+  -- sqrt(2^(i+1) * 2^i) per event, mean = true sum / count,
+  -- variance over count (same IEEE ops: exact powers of two, correctly
+  -- rounded sqrt)
+  SELECT 'nh_stdvar', d, event_type,
+         round(sum(power(mid - mean, 2)) / count(*), 4)
+  FROM (
+    SELECT d, event_type,
+           sqrt(power(2.0, idx + 1) * power(2.0, idx)) AS mid,
+           sum(v) OVER (PARTITION BY d, event_type)
+             / count(*) OVER (PARTITION BY d, event_type) AS mean
+    FROM ev)
+  GROUP BY d, event_type
 )
 """
 

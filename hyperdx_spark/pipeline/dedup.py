@@ -967,6 +967,7 @@ def semantic_dedup(
     dim: int = 64,
     seed: int = 42,
     max_iterations: int = 20,
+    max_bucket_size: Optional[int] = None,
 ) -> DataFrame:
     """SemDeDup (Abbas'23): drop documents whose *embeddings* are
     near-duplicates (cosine ≥ *threshold*), keeping one representative per
@@ -991,6 +992,7 @@ def semantic_dedup(
         bands=bands,
         dim=dim,
         seed=seed,
+        max_bucket_size=max_bucket_size,
     )
     return drop_near_duplicates(
         corpus,

@@ -22,6 +22,8 @@ driver-side randomness shipped to executors.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -175,9 +177,16 @@ def cosine_pairs(
     bands: int = 4,
     dim: int = 64,
     seed: int = 42,
+    max_bucket_size: Optional[int] = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs (cos >= threshold) via LSH banding —
     the embedding-cosine member of the dedup family.
+
+    ``max_bucket_size`` drops degenerate mega-buckets (the embedding
+    analogue of boilerplate: all-zero vectors, a default embedding
+    stamped on millions of rows) whose n² candidate fan-out would
+    otherwise dominate — same mandatory-at-scale lever as
+    minhash_lsh_pairs' cap and winnow's max_fp_df.
 
     Plan shape (the minhash_lsh_pairs discipline): the signature frame is
     persisted so the num_planes x dim hyperplane dot products evaluate ONCE
@@ -217,6 +226,16 @@ def cosine_pairs(
             )
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    if max_bucket_size is not None:
+        # the window partitions on the same (band, bucket) keys the join
+        # shuffles on, so the exchange is shared, not an extra pass
+        banded = (
+            banded.withColumn(
+                "__bs", F.count("*").over(Window.partitionBy("band", "bucket"))
+            )
+            .where(F.col("__bs") <= max_bucket_size)
+            .drop("__bs")
+        )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b, on=["band", "bucket"])

@@ -277,10 +277,10 @@ class HistogramQuantile:
 
 @dataclass
 class HistFn:
-    """histogram_count / histogram_sum / histogram_avg over a
-    native-histogram vector."""
+    """histogram_count / histogram_sum / histogram_avg /
+    histogram_stddev / histogram_stdvar over a native-histogram vector."""
 
-    fn: str  # 'count' | 'sum' | 'avg'
+    fn: str  # 'count' | 'sum' | 'avg' | 'stddev' | 'stdvar'
     arg: "Expr"
 
 
@@ -632,7 +632,10 @@ class _Parser:
             arg = self.cmp()
             self.expect(")")
             return HistogramQuantile(float(kv), arg)
-        if v in ("histogram_count", "histogram_sum", "histogram_avg") and (
+        if v in (
+            "histogram_count", "histogram_sum", "histogram_avg",
+            "histogram_stddev", "histogram_stdvar",
+        ) and (
             self.peek() and self.peek()[1] == "("
         ):
             self.expect("(")
@@ -1805,6 +1808,86 @@ class PromQLEngine:
         )
         return staged.select("__step", *labels, value.alias("value"))
 
+    def _native_histogram_stdvar(
+        self, hv: DataFrame, *, sqrt: bool
+    ) -> DataFrame:
+        """histogram_stdvar / histogram_stddev over a native-histogram
+        vector, row-local (promql/quantile.go histogramStdDev/StdVar):
+        each bucket contributes count x (val − mean)² where val is the
+        GEOMETRIC bucket midpoint sqrt(upper x lower) (negated for
+        negative buckets, 0 for any bucket straddling zero), mean =
+        sum/count, variance divides by count. Plain left-fold sum where
+        the reference Kahan-compensates — documented divergence at the
+        last ulp. Empty histogram → NULL."""
+        labels = [c for c in hv.columns if c not in ("__step", "__hist")]
+        h = F.col("__hist")
+        invs = F.pow(F.lit(2.0), -h["schema"].cast("double"))
+
+        def bound(i: Column) -> Column:
+            return F.pow(F.lit(2.0), i.cast("double") * invs)
+
+        negs = F.when(
+            F.size(h["neg_counts"]) == 0,
+            F.array().cast("array<struct<lower:double,upper:double,cnt:double>>"),
+        ).otherwise(
+            F.transform(
+                F.sequence(
+                    h["neg_offset"].cast("long") + F.size(h["neg_counts"]) - 1,
+                    h["neg_offset"].cast("long"),
+                    F.lit(-1),
+                ),
+                lambda i: F.struct(
+                    (-bound(i + 1)).alias("lower"),
+                    (-bound(i)).alias("upper"),
+                    self._h_elem(h["neg_counts"], h["neg_offset"], i).alias("cnt"),
+                ),
+            )
+        )
+        zero = F.array(
+            F.struct(
+                (-h["zero_threshold"]).alias("lower"),
+                h["zero_threshold"].alias("upper"),
+                h["zero_count"].alias("cnt"),
+            )
+        )
+        poss = F.when(
+            F.size(h["pos_counts"]) == 0,
+            F.array().cast("array<struct<lower:double,upper:double,cnt:double>>"),
+        ).otherwise(
+            F.transform(
+                F.sequence(
+                    h["pos_offset"].cast("long"),
+                    h["pos_offset"].cast("long") + F.size(h["pos_counts"]) - 1,
+                ),
+                lambda i: F.struct(
+                    bound(i).alias("lower"),
+                    bound(i + 1).alias("upper"),
+                    self._h_elem(h["pos_counts"], h["pos_offset"], i).alias("cnt"),
+                ),
+            )
+        )
+        staged = hv.withColumn("__b", F.concat(negs, zero, poss))
+        mean = h["sum"] / h["count"]
+
+        def term(b: Column) -> Column:
+            mid = F.when(
+                (b["lower"] <= 0) & (b["upper"] >= 0), F.lit(0.0)
+            ).otherwise(
+                F.when(b["upper"] < 0, -F.sqrt(b["upper"] * b["lower"]))
+                .otherwise(F.sqrt(b["upper"] * b["lower"]))
+            )
+            d = mid - mean
+            return F.when(b["cnt"] > 0, b["cnt"] * d * d).otherwise(F.lit(0.0))
+
+        var = (
+            F.aggregate(F.col("__b"), F.lit(0.0), lambda a, b: a + term(b))
+            / h["count"]
+        )
+        value = F.when(
+            h["count"].isNull() | (h["count"] <= 0), F.lit(None)
+        ).otherwise(F.sqrt(var) if sqrt else var).cast("double")
+        return staged.select("__step", *labels, value.alias("value"))
+
     def _native_histogram_fraction(
         self, lower: float, upper: float, hv: DataFrame
     ) -> DataFrame:
@@ -2370,6 +2453,10 @@ class PromQLEngine:
         if isinstance(node, HistFn):
             hv = self._eval_hist(spark, node.arg, start, end, step_s, lookback_s)
             labels = [c for c in hv.columns if c not in ("__step", "__hist")]
+            if node.fn in ("stddev", "stdvar"):
+                return self._native_histogram_stdvar(
+                    hv, sqrt=(node.fn == "stddev")
+                )
             hh = F.col("__hist")
             val = {
                 "count": hh["count"],

@@ -263,3 +263,30 @@ def test_histogram_fraction(spark, hist_engine):
     ).collect()
     # sum buckets: zero 10, (1,2] 20, (2,4] 30, count 50 -> rank(2) = 30
     assert len(out) == 1 and abs(out[0]["value"] - 30.0 / 50.0) < 1e-9
+
+
+def test_histogram_stddev_stdvar(spark, hist_engine):
+    """histogram_stddev/stdvar bucket walk (promql/quantile.go): geometric
+    bucket midpoints, 0 for the zero bucket, variance over count. job=a at
+    t=10: zero:10 (val 0), (1,2]:10 (val sqrt(2)), (2,4]:20 (val sqrt(8)),
+    count 30, sum 100 -> mean 10/3."""
+    t = datetime(2024, 1, 1, 0, 10)
+    mean = 100.0 / 30.0
+    var = (
+        10 * (0.0 - mean) ** 2
+        + 10 * (math.sqrt(2.0) - mean) ** 2
+        + 20 * (math.sqrt(8.0) - mean) ** 2
+    ) / 30.0
+    out = hist_engine.query_range(
+        spark, 'histogram_stdvar(latency{job="a"})', t, t, 60
+    ).collect()
+    assert len(out) == 1 and abs(out[0]["value"] - var) < 1e-9
+    out = hist_engine.query_range(
+        spark, 'histogram_stddev(latency{job="a"})', t, t, 60
+    ).collect()
+    assert len(out) == 1 and abs(out[0]["value"] - math.sqrt(var)) < 1e-9
+    # composes with the hist-space aggregation tier
+    out = hist_engine.query_range(
+        spark, "histogram_stddev(sum(latency))", t, t, 60
+    ).collect()
+    assert len(out) == 1 and out[0]["value"] > 0

@@ -352,3 +352,38 @@ def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS ev_bucketed")
         spark.sql("DROP TABLE IF EXISTS usr_bucketed")
+
+
+def test_cosine_pairs_mega_bucket_cap(spark):
+    """max_bucket_size drops degenerate buckets (a default embedding
+    stamped on many rows — the embedding analogue of boilerplate) whose
+    n² fan-out dominates at scale, while normal near-dup pairs survive."""
+    import numpy as np
+
+    from hyperdx_spark.pipeline import dedup, similarity
+
+    rng = np.random.default_rng(3)
+    rows = []
+    stamp = [1.0] * 8  # 40 identical "default" vectors -> one mega bucket
+    for i in range(40):
+        rows.append((i, stamp))
+    base = rng.normal(size=8)
+    for i in range(2):  # one genuine near-dup pair, distinct bucket
+        rows.append((100 + i, [float(x) for x in base + i * 1e-4]))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<double>",
+    )
+    capped = similarity.cosine_pairs(
+        df, threshold=0.9, num_planes=16, bands=2, dim=8, max_bucket_size=10
+    )
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (100, 101) in got
+    assert not any(a < 100 and b < 100 for a, b in got)  # mega bucket dropped
+    dedup.release_cached(capped)
+    uncapped = similarity.cosine_pairs(
+        df, threshold=0.9, num_planes=16, bands=2, dim=8
+    )
+    n = uncapped.count()
+    assert n >= 40 * 39 // 2  # the fan-out the cap exists to prevent
+    dedup.release_cached(uncapped)
