@@ -299,6 +299,8 @@ def _assign_arrow(
     def topn(series):
         import pandas as pd
 
+        if len(series) == 0:
+            return pd.Series([], dtype=object)
         X = np.stack([np.asarray(v, dtype=np.float64) for v in series])
         xn = np.linalg.norm(X, axis=1)
         cos = (X @ Cn.T) / np.where(xn == 0, 1.0, xn)[:, None]
@@ -556,6 +558,8 @@ def pq_encode_arrow(
     def enc(series):
         import pandas as pd
 
+        if len(series) == 0:
+            return pd.Series([], dtype=object)
         X = np.stack([np.asarray(v, dtype=np.float64) for v in series])
         n = np.linalg.norm(X, axis=1)
         U = X / np.where(n == 0, 1.0, n)[:, None]
