@@ -621,22 +621,30 @@ def _adc_query_tables(
     DataFrame (query_id, __qv, __tables). The id type follows the caller's
     id_col (string doc ids work like the other tiers)."""
     sub = len(books[0][0])
+    m = len(books)
     qrows = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("v")
     ).collect()
-    table_rows = []
-    for r in qrows:
-        v = [float(x) for x in r["v"]]
-        n = sum(x * x for x in v) ** 0.5 or 1.0
-        v = [x / n for x in v]
-        tables = [
-            [
-                sum((v[j * sub + i] - w[i]) ** 2 for i in range(sub))
-                for w in book
-            ]
-            for j, book in enumerate(books)
+    # One numpy pass over all queries instead of a q*m*codes*sub Python
+    # loop nest: V (q, m, 1, sub) against the codebook tensor (m, codes,
+    # sub) broadcasts to the full (q, m, codes) table stack.  The collect
+    # is bounded (queries are tiny by construction); numpy removes the
+    # driver CPU constant when "tiny" is still thousands of rows.
+    if qrows:
+        import numpy as np
+
+        bk = np.asarray(books, dtype=np.float64)  # (m, codes, sub)
+        V = np.asarray([r["v"] for r in qrows], dtype=np.float64)
+        norms = np.sqrt(np.einsum("qd,qd->q", V, V))
+        norms[norms == 0.0] = 1.0
+        Vn = (V / norms[:, None]).reshape(len(qrows), m, 1, sub)
+        stack = ((Vn - bk[None]) ** 2).sum(axis=-1)  # (q, m, codes)
+        table_rows = [
+            (r["query_id"], r["v"], t.tolist())
+            for r, t in zip(qrows, stack)
         ]
-        table_rows.append((r["query_id"], r["v"], tables))
+    else:
+        table_rows = []
     from pyspark.sql.types import (
         ArrayType,
         DoubleType,
