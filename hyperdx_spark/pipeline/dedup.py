@@ -52,11 +52,55 @@ def _register_cached(result: DataFrame, cached: list) -> DataFrame:
     return result
 
 
+def _inherit_cached(*children) -> list:
+    """Collect the cached-intermediate registrations of *children* so a
+    composing operator can re-register them on ITS result — without this,
+    callers of a composed public API (drop_near_duplicates, semantic_dedup)
+    could never release blocks persisted by the inner operators, exactly
+    the long-lived-session accumulation release_cached exists to prevent
+    (ADVICE r5)."""
+    out: list = []
+    for child in children:
+        out.extend(getattr(child, "_hyperdx_cached", ()))
+    return out
+
+
+class _LocalCheckpointHandle:
+    """``unpersist()`` handle for a ``localCheckpoint``'d DataFrame.
+
+    ``DataFrame.unpersist()`` only uncaches through the cache manager and
+    does NOT free a local checkpoint's RDD blocks (ADVICE r5 — measured:
+    storage info keeps the block after ``unpersist()``), so the handle
+    reaches through the checkpointed Dataset's ``LogicalRDD`` to the
+    internal RDD and unpersists that. NOTE: freeing checkpoint blocks
+    destroys the (truncated) lineage — frames derived from the checkpoint
+    FAIL to recompute afterwards, so release only after the terminal
+    action (which is :func:`release_cached`'s documented call point).
+    """
+
+    def __init__(self, df: DataFrame):
+        try:
+            # analyzed plan of a freshly checkpointed Dataset is the
+            # LogicalRDD wrapping the persisted internal RDD
+            self._jrdd = df._jdf.queryExecution().analyzed().rdd()
+        except Exception:  # pragma: no cover - Connect / plan-shape drift
+            self._jrdd = None
+
+    def unpersist(self) -> None:
+        if self._jrdd is not None:
+            try:
+                self._jrdd.unpersist(False)
+            except Exception:  # pragma: no cover
+                pass
+
+
 def release_cached(result: DataFrame) -> None:
     """Unpersist every intermediate a pipeline operator cached on behalf of
     *result* (no-op for frames without registered intermediates). Call after
-    the terminal action on *result*; further actions on the same frame still
-    work — they just recompute the intermediate lineage."""
+    the terminal action on *result*. Plain cached intermediates recompute
+    their lineage on further actions; local-checkpoint intermediates
+    (``dedup_groups``'s lineage truncation) do NOT — their lineage is gone
+    once freed — so treat release as the end of the frame's life."""
     for cached in getattr(result, "_hyperdx_cached", ()):
         cached.unpersist()
 
@@ -355,7 +399,7 @@ def winnow_pairs(
     k: int = 8,
     w: int = 16,
     threshold: float = 0.3,
-    max_fp_df: Optional[int] = None,
+    max_fp_df: Optional[int] = 1000,
     storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
 ) -> DataFrame:
     """Partial-copy candidate pairs via winnowing fingerprints
@@ -368,7 +412,14 @@ def winnow_pairs(
     passages, partial plagiarism).
 
     ``max_fp_df`` drops fingerprints present in more than that many docs
-    (universal boilerplate) to bound join fan-out at corpus scale.
+    (universal boilerplate) to bound join fan-out at corpus scale. The
+    default (1000) is MANDATORY at scale, not an optimization: the
+    in-posting pair explode is quadratic in posting size, and the uncapped
+    path OOM'd a 48 GB heap on a boilerplate-heavy corpus in the sf10
+    scale run (SCALE.md r5) — a 1000-doc posting still emits ~500k pairs
+    from one fingerprint, well past where a shared run is boilerplate, not
+    plagiarism signal. Pass ``None`` to explicitly opt out (small corpora,
+    forensic all-pairs runs).
     Returns (id_a, id_b, overlap) with id_a < id_b, overlap = fingerprint
     Jaccard >= threshold.
     """
@@ -439,7 +490,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     ngram: int = 3,
     verify_threshold: Optional[float] = 0.5,
-    max_bucket_size: Optional[int] = None,
+    max_bucket_size: Optional[int] = 10_000,
     storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash banding.
@@ -454,7 +505,9 @@ def minhash_lsh_pairs(
     ``max_bucket_size`` drops degenerate mega-buckets (boilerplate docs) whose
     n² pair fan-out would otherwise dominate; near-dup pipelines at corpus
     scale always cap these (pairs in a dropped bucket usually also collide in
-    a healthier band).
+    a healthier band). Capped BY DEFAULT (10k — a single 10k bucket already
+    emits ~50M candidate pairs; the r5 sf10 scale run proved the uncapped
+    sibling path OOMs on boilerplate); pass ``None`` to opt out explicitly.
     """
     rows_per_band = num_hashes // bands
     # Signature via shingle rows + 32 min-aggregates (NOT a nested higher-
@@ -693,6 +746,7 @@ def dedup_groups(
         .withColumn("lbl", F.col("id"))
     )
     converged = False
+    cp_handles: list[_LocalCheckpointHandle] = []
     for it in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
@@ -711,6 +765,9 @@ def dedup_groups(
         # deep components.
         if it > 0 and it % 5 == 0:
             new_labels = new_labels.localCheckpoint(eager=True)
+            # DataFrame.unpersist() cannot free checkpoint blocks — keep a
+            # LogicalRDD handle so release_cached frees them (ADVICE r5)
+            cp_handles.append(_LocalCheckpointHandle(new_labels))
         else:
             new_labels = new_labels.persist()
         changed = (
@@ -738,7 +795,9 @@ def dedup_groups(
         F.col("lbl").alias("group_id"),
         (F.col("id") == F.col("lbl")).alias("is_keeper"),
     )
-    return _register_cached(out, [edges, labels])
+    # labels.unpersist() is a no-op when the loop ended on a checkpoint
+    # iteration — the cp_handles free those blocks
+    return _register_cached(out, [edges, labels, *cp_handles])
 
 
 # ---------------------------------------------------------------- contamination
@@ -939,10 +998,16 @@ def drop_near_duplicates(
     The dropped-id side is bounded by the number of clustered documents,
     so the final anti-join broadcasts under AQE whenever near-dups are a
     small fraction of the corpus.
+
+    Intermediates persisted by the inner operators — *pairs*' (when it came
+    from an LSH pair finder) and ``dedup_groups``' — are re-registered on
+    the returned frame, so one ``release_cached(result)`` frees the whole
+    composition (ADVICE r5).
     """
     groups = dedup_groups(
         pairs, a_col=a_col, b_col=b_col, max_iterations=max_iterations
     )
+    inherited = _inherit_cached(pairs, groups)
     if score_col is not None:
         groups = pick_keepers(
             groups, corpus, id_col=id_col, score_col=score_col
@@ -950,7 +1015,8 @@ def drop_near_duplicates(
     losers = groups.where(~F.col("is_keeper")).select(
         F.col("id").alias(id_col)
     )
-    return corpus.join(losers, on=id_col, how="left_anti")
+    out = corpus.join(losers, on=id_col, how="left_anti")
+    return _register_cached(out, inherited)
 
 
 def semantic_dedup(
@@ -967,7 +1033,7 @@ def semantic_dedup(
     dim: int = 64,
     seed: int = 42,
     max_iterations: int = 20,
-    max_bucket_size: Optional[int] = None,
+    max_bucket_size: Optional[int] = 10_000,
 ) -> DataFrame:
     """SemDeDup (Abbas'23): drop documents whose *embeddings* are
     near-duplicates (cosine ≥ *threshold*), keeping one representative per
@@ -980,6 +1046,12 @@ def semantic_dedup(
     (:func:`drop_near_duplicates`). *embeddings* rows are matched to
     corpus rows by id (``emb_id_col`` ↔ ``id_col``); corpus docs without
     an embedding are kept untouched.
+
+    ``max_bucket_size`` defaults to ``cosine_pairs``'s 10k cap (sf10-proven
+    mandatory at scale; ``None`` opts out). Blocks persisted by the inner
+    operators are registered on the result — one
+    ``dedup.release_cached(result)`` after the terminal action frees the
+    signature frame, edge list and checkpoint blocks (ADVICE r5).
     """
     from hyperdx_spark.pipeline.similarity import cosine_pairs
 

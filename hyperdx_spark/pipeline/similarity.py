@@ -177,7 +177,7 @@ def cosine_pairs(
     bands: int = 4,
     dim: int = 64,
     seed: int = 42,
-    max_bucket_size: Optional[int] = None,
+    max_bucket_size: Optional[int] = 10_000,
 ) -> DataFrame:
     """Embedding near-duplicate pairs (cos >= threshold) via LSH banding —
     the embedding-cosine member of the dedup family.
@@ -186,7 +186,9 @@ def cosine_pairs(
     analogue of boilerplate: all-zero vectors, a default embedding
     stamped on millions of rows) whose n² candidate fan-out would
     otherwise dominate — same mandatory-at-scale lever as
-    minhash_lsh_pairs' cap and winnow's max_fp_df.
+    minhash_lsh_pairs' cap and winnow's max_fp_df, and like them capped
+    BY DEFAULT at 10k since the r5 sf10 run proved the uncapped family
+    OOMs on degenerate inputs (``None`` opts out explicitly).
 
     Plan shape (the minhash_lsh_pairs discipline): the signature frame is
     persisted so the num_planes x dim hyperplane dot products evaluate ONCE

@@ -944,7 +944,11 @@ def corpus_signals(
     Divergence boundary: non-ASCII case folding uses Python's str.lower()
     (full Unicode simple case map) vs the JVM's — identical on ASCII and on
     all common scripts, may differ on locale-special forms (dotted-İ).
-    NULL text yields a NULL struct.
+    NULL text yields the composed operators' NULL row (ANSI-off session) —
+    n_tokens -1, stopword_ratio 0.0, quality 0.25, lang "unknown",
+    entropy 0.0, dup_line_frac 0.0, gopher_pass false, c4_keep false —
+    NOT an all-NULL struct, so aggregates over the signal fields see the
+    same row set as the composed Columns (ADVICE r5).
 
     ``min_parallelism``: repartition the input up to this width when the
     scan delivers fewer partitions (pass
@@ -987,7 +991,17 @@ def _corpus_signals_udf(lang_threshold: float):
 
         def one(t):
             if t is None:
-                return (None,) * 8
+                # Composed-operator NULL semantics under the engine's
+                # ANSI-off session (RUNTIME_CONFS re-asserts it), field by
+                # field (ADVICE r5 — an all-NULL row would drop out of
+                # avg() where the composed Columns and the DuckDB oracle's
+                # CASE contribute 0.0): size(tokens(NULL)) is -1 (legacy
+                # sizeOfNull); the when() guards send ratio/entropy/
+                # dup_line_frac to 0.0; quality's least() drops its NULL
+                # terms so (1.0+0+0+0)/4 = 0.25; `50 <= NULL` makes the
+                # Gopher conjunction false; C4's NULL-propagating contains
+                # is ANDed with the false sentence-count term → false.
+                return (-1, 0.0, 0.25, "unknown", 0.0, 0.0, False, False)
             # ---- one decode: numpy code points for char classes + entropy
             cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
             n = len(cp)

@@ -1928,13 +1928,17 @@ class PromQLEngine:
                 ),
             )
         )
-        # zero bucket: lower collapses to 0 with no negative buckets, upper
-        # collapses to 0 with no positive buckets (histogramFraction applies
-        # both adjustments)
+        # zero bucket: a bound collapses to 0 only when exactly one side has
+        # buckets (promql/quantile.go histogramFraction) — with neither pos
+        # nor neg buckets the zero bucket keeps [-zt, zt], so interpolated
+        # ranks inside (0, zt) stay symmetric (ADVICE r5)
         zero = F.array(
             F.struct(
-                F.when(F.size(h["neg_counts"]) > 0, -h["zero_threshold"])
-                .otherwise(F.lit(0.0))
+                F.when(
+                    (F.size(h["neg_counts"]) == 0) & (F.size(h["pos_counts"]) > 0),
+                    F.lit(0.0),
+                )
+                .otherwise(-h["zero_threshold"])
                 .alias("lower"),
                 F.when(
                     (F.size(h["pos_counts"]) == 0) & (F.size(h["neg_counts"]) > 0),

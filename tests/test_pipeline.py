@@ -901,6 +901,74 @@ def test_span_dedup_storage_control(spark):
     dedup.release_cached(pairs)
 
 
+def test_composed_release_frees_inner_blocks(spark):
+    """ADVICE r5 (medium): the composed public APIs — drop_near_duplicates /
+    semantic_dedup — must re-register the blocks their inner operators
+    persisted (LSH signature frame, CC edge list / labels), so ONE
+    release_cached on the composed result frees everything, including the
+    label-propagation localCheckpoint blocks DataFrame.unpersist() cannot
+    reach."""
+    from hyperdx_spark.pipeline import dedup
+
+    sc = spark.sparkContext
+
+    def n_blocks():
+        return len(sc._jsc.sc().getRDDStorageInfo())
+
+    # ---- chain graph: diameter 15 forces >5 propagation rounds, so the
+    # loop takes its it%5 localCheckpoint branch at least twice
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(16)], "id_a long, id_b long"
+    )
+    corpus = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(20)], "doc_id long, text string"
+    )
+    before = n_blocks()
+    out = dedup.drop_near_duplicates(corpus, pairs)
+    kept = out.count()
+    assert kept == 20 - 16  # one keeper (id 0) of the 17-node chain
+    assert len(out._hyperdx_cached) >= 3  # edges, labels, >=1 cp handle
+    assert any(
+        isinstance(c, dedup._LocalCheckpointHandle) for c in out._hyperdx_cached
+    )
+    assert n_blocks() > before
+    dedup.release_cached(out)
+    assert n_blocks() == before
+
+    # ---- semantic_dedup end to end: the cosine_pairs signature persist
+    # must ride through to the composed result too
+    emb = spark.createDataFrame(
+        [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    before = n_blocks()
+    sem = dedup.semantic_dedup(
+        corpus.limit(6), emb, threshold=0.9, num_planes=8, bands=2, dim=4
+    )
+    assert sem.count() == 3  # ids 1-3 are exact duplicates of id 0
+    assert len(sem._hyperdx_cached) >= 3  # sig_rows + edges + labels
+    dedup.release_cached(sem)
+    assert n_blocks() == before
+
+
+def test_scale_safety_caps_default_on():
+    """VERDICT r5 #1: the sf10-proven-mandatory caps are the DEFAULT, with
+    None as the explicit opt-out — a 100 TB user who takes defaults must
+    not hit the configuration that OOM'd the uncapped path."""
+    import inspect
+
+    from hyperdx_spark.pipeline import dedup, similarity
+
+    assert inspect.signature(dedup.winnow_pairs).parameters[
+        "max_fp_df"
+    ].default == 1000
+    for fn in (dedup.minhash_lsh_pairs, dedup.semantic_dedup,
+               similarity.cosine_pairs):
+        assert inspect.signature(fn).parameters[
+            "max_bucket_size"
+        ].default == 10_000, fn
+
+
 def test_vocabulary_and_tfidf_vs_duckdb(spark, sf_dir):
     """vocabulary (tf/df/idf with df band) and tfidf_top_terms replayed in
     DuckDB over the corpus sample."""
@@ -1444,6 +1512,7 @@ def test_corpus_signals_fused_matches_composed(spark, sf_dir):
             (10, "Short. Doc."),
             (11, "A sentence that ends well. " * 30 + "\nNo terminal line\n"),
             (12, "12345 67890 numeric 99 content 100 " * 10),
+            (13, None),  # ADVICE r5: NULL text must match composed semantics
         ],
         "doc_id long, text string",
     )

@@ -265,6 +265,29 @@ def test_histogram_fraction(spark, hist_engine):
     assert len(out) == 1 and abs(out[0]["value"] - 30.0 / 50.0) < 1e-9
 
 
+def test_histogram_fraction_zero_bucket_only(spark):
+    """A bound collapses to 0 only when exactly ONE side has buckets
+    (ADVICE r5): with only zero-bucket observations the bucket keeps
+    [-zt, zt], so fraction(0, zt/2) interpolates to 0.25 of the bucket,
+    not 0.5 (which the neg-empty→lower=0 collapse would give)."""
+    zt = 1.0
+    t = T0
+    eng = PromQLEngine(
+        _mk(spark, [("latency", t, "a", _h(0, 8, 8, 0.0, 0, [], zt=zt))])
+    )
+    cases = [
+        # rank(zt/2) = 8*(0.5-(-1))/2 = 6, rank(0) = 8*(0-(-1))/2 = 4
+        (f"histogram_fraction(0, {zt / 2}, latency)", 0.25),
+        # symmetric negative side
+        (f"histogram_fraction({-zt / 2}, 0, latency)", 0.25),
+        # whole bucket
+        (f"histogram_fraction({-zt}, {zt}, latency)", 1.0),
+    ]
+    for q, want in cases:
+        out = eng.query_range(spark, q, t, t, 60).collect()
+        assert len(out) == 1 and abs(out[0]["value"] - want) < 1e-9, q
+
+
 def test_histogram_stddev_stdvar(spark, hist_engine):
     """histogram_stddev/stdvar bucket walk (promql/quantile.go): geometric
     bucket midpoints, 0 for the zero bucket, variance over count. job=a at
