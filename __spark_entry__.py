@@ -2909,13 +2909,34 @@ def q_promql_features(spark, sf_dir):
     # collect_list order, which is partition-nondeterministic at the last
     # ulp — per-series keeps the mean deterministic for the hash compare
     nhv = _nh("nh_stdvar", "histogram_stdvar(nh)", True)
+    # round-6 shapes: native-histogram binary operators (promql.py
+    # _eval_hist_binop). The fraction bound 16 again sits on the idx-3
+    # boundary, so the add/sub results are validated at BUCKET level
+    # (whole-bucket walks over the merged/residual arrays, no
+    # interpolation float risk) — histogram_count alone would only check
+    # the scalar fields.
+    nh_add = _nh(
+        "nh_add",
+        'histogram_fraction(0, 16, nh{event_type="error"} '
+        '+ ignoring(event_type) nh{event_type="click"})',
+        False,
+    )
+    nh_sub = _nh(
+        "nh_sub",
+        'histogram_fraction(0, 16, sum(nh) - nh{event_type="error"})',
+        False,
+    )
+    nh_mul = _nh("nh_mul", "histogram_sum(3 * nh)", True)
+    nh_divc = _nh("nh_divc", "histogram_count(nh / 4)", True)
     return hq.unionByName(off).unionByName(ab).unionByName(wo).unionByName(
         sd
     ).unionByName(qt).unionByName(dw).unionByName(nhc).unionByName(
         nhq
     ).unionByName(nhs).unionByName(nha).unionByName(nhn).unionByName(
         nhf
-    ).unionByName(nhv)
+    ).unionByName(nhv).unionByName(nh_add).unionByName(nh_sub).unionByName(
+        nh_mul
+    ).unionByName(nh_divc)
 
 
 O_PROMQL_FEATURES = f"""
@@ -2998,6 +3019,25 @@ SELECT part, __timestamp, event_type, value FROM (
              / count(*) OVER (PARTITION BY d, event_type) AS mean
     FROM ev)
   GROUP BY d, event_type
+  UNION ALL
+  -- r6 histogram arithmetic: h+h merges buckets, so fraction(0,16) of
+  -- error+click = (events <= 16 in either) / (all events in either)
+  SELECT 'nh_add', d, '',
+         round((count(*) FILTER (idx <= 3))::DOUBLE / count(*), 4)
+  FROM ev WHERE event_type IN ('error', 'click') GROUP BY d
+  UNION ALL
+  -- sum(nh) - nh{{error}} leaves the non-error residual buckets
+  SELECT 'nh_sub', d, '',
+         round((count(*) FILTER (idx <= 3))::DOUBLE / count(*), 4)
+  FROM ev WHERE event_type <> 'error' GROUP BY d
+  UNION ALL
+  -- scalar multiply scales the sum field
+  SELECT 'nh_mul', d, event_type, round(3 * sum(v), 4)
+  FROM ev GROUP BY d, event_type
+  UNION ALL
+  -- scalar divide scales the count field
+  SELECT 'nh_divc', d, event_type, round(count(*)::DOUBLE / 4, 4)
+  FROM ev GROUP BY d, event_type
 )
 """
 

@@ -1538,6 +1538,28 @@ class PromQLEngine:
             if node.by is not None and "le" in node.by:
                 return False
             return self._native_hist_shape(node.arg)
+        if isinstance(node, BinOp):
+            # histogram arithmetic (Prometheus native-histogram operators):
+            # h + h / h - h (bucket merge), scalar * h / h * scalar and
+            # h / scalar (field scaling). Other operators and float-hist
+            # mixes stay on the float path.
+            if node.op in ("+", "-"):
+                return self._native_hist_shape(node.left) and self._native_hist_shape(
+                    node.right
+                )
+            if node.op == "*":
+                return (
+                    isinstance(node.left, NumberLit)
+                    and self._native_hist_shape(node.right)
+                ) or (
+                    isinstance(node.right, NumberLit)
+                    and self._native_hist_shape(node.left)
+                )
+            if node.op == "/":
+                return isinstance(node.right, NumberLit) and self._native_hist_shape(
+                    node.left
+                )
+            return False
         return False
 
     def _eval_hist(self, spark, node, start, end, step_s, lookback_s) -> DataFrame:
@@ -1713,11 +1735,135 @@ class PromQLEngine:
                 p_off, p_cnt, n_off, n_cnt,
             )
             return g.select("__step", *keep, out.alias("__hist"))
+        if isinstance(node, BinOp):
+            return self._eval_hist_binop(
+                spark, node, start, end, step_s, lookback_s
+            )
         raise ValueError(
             "native-histogram evaluation supports instant selectors, "
-            "rate/increase/delta over a selector window, and sum/avg "
-            f"aggregations; got {type(node).__name__}"
+            "rate/increase/delta over a selector window, sum/avg "
+            "aggregations, and histogram arithmetic (h+h, h-h, scalar*h, "
+            f"h/scalar); got {type(node).__name__}"
         )
+
+    def _eval_hist_binop(
+        self, spark, node: "BinOp", start, end, step_s, lookback_s
+    ) -> DataFrame:
+        """Histogram arithmetic (Prometheus native-histogram operators;
+        the reference reaches the same semantics via API passthrough,
+        packages/api/src/routers/api/prometheus.ts):
+
+        * ``h + h`` / ``h - h`` — one-to-one vector matching (same
+          on/ignoring key reduction as the float path; group_left/right is
+          a Prometheus error for histogram operands), operands aligned to
+          the coarser schema with the sum-aggregation downscale machinery,
+          then bucket-wise add/subtract over the union index range; count/
+          zero_count/sum combine with the same operator and
+          zero_threshold takes the max (the engine's merge convention, as
+          in the sum aggregation).
+        * ``scalar * h`` / ``h * scalar`` / ``h / scalar`` — every
+          observation-weight field (count, zero_count, buckets) and the
+          sum scale by the factor; schema/offsets/zero_threshold are
+          untouched. Division by zero scales by +Inf, matching float-path
+          division semantics.
+        """
+        lnum = isinstance(node.left, NumberLit)
+        rnum = isinstance(node.right, NumberLit)
+        if lnum or rnum:
+            inner = self._eval_hist(
+                spark, node.right if lnum else node.left, start, end, step_s,
+                lookback_s,
+            )
+            k = float((node.left if lnum else node.right).value)
+            if node.op == "*":
+                factor = k
+            else:  # "/" — shape check guarantees the scalar is on the right
+                factor = float("inf") if k == 0.0 else 1.0 / k
+            ih = F.col("__hist")
+            sc = F.lit(factor)
+            out = self._h_struct(
+                ih["schema"],
+                ih["zero_count"] * sc,
+                ih["zero_threshold"],
+                ih["count"] * sc,
+                ih["sum"] * sc,
+                ih["pos_offset"],
+                F.transform(ih["pos_counts"], lambda x: x * sc),
+                ih["neg_offset"],
+                F.transform(ih["neg_counts"], lambda x: x * sc),
+            )
+            labels = [c for c in inner.columns if c not in ("__step", "__hist")]
+            return inner.select("__step", *labels, out.alias("__hist"))
+        if node.group is not None:
+            raise ValueError(
+                "group_left/group_right is not allowed with histogram "
+                "operands (Prometheus: many-to-one matching is a float-"
+                "sample feature)"
+            )
+        lv = self._eval_hist(spark, node.left, start, end, step_s, lookback_s)
+        rv = self._eval_hist(spark, node.right, start, end, step_s, lookback_s)
+        lv_labels = [c for c in lv.columns if c not in ("__step", "__hist")]
+        rv_labels = [c for c in rv.columns if c not in ("__step", "__hist")]
+        if node.on is not None:
+            keys = list(dict.fromkeys(node.on))
+            for kcol in keys:
+                if kcol not in lv.columns:
+                    lv = lv.withColumn(kcol, F.lit(""))
+                if kcol not in rv.columns:
+                    rv = rv.withColumn(kcol, F.lit(""))
+        else:
+            ign = set(node.ignoring or [])
+            keys = sorted((set(lv_labels) & set(rv_labels)) - ign)
+        match_keys = ["__step"] + keys
+
+        def _dup(side: str) -> str:
+            return (
+                f"vector matching is many-to-many: duplicate histogram "
+                f"series in the {side} side for match group {keys}; "
+                "aggregate each side first"
+            )
+
+        lv2 = _guard_unique(
+            lv.select(*match_keys, "__hist"), match_keys, "__hist", _dup("left")
+        )
+        rv2 = _guard_unique(
+            rv.select(*match_keys, F.col("__hist").alias("__rh")),
+            match_keys,
+            "__rh",
+            _dup("right"),
+        )
+        j = lv2.join(rv2, on=match_keys, how="inner")
+        a, b = F.col("__hist"), F.col("__rh")
+        tgt = F.least(a["schema"], b["schema"]).cast("int")
+        ap_off, ap_cnt = self._h_down(
+            a["pos_counts"], a["pos_offset"], a["schema"] - tgt
+        )
+        an_off, an_cnt = self._h_down(
+            a["neg_counts"], a["neg_offset"], a["schema"] - tgt
+        )
+        bp_off, bp_cnt = self._h_down(
+            b["pos_counts"], b["pos_offset"], b["schema"] - tgt
+        )
+        bn_off, bn_cnt = self._h_down(
+            b["neg_counts"], b["neg_offset"], b["schema"] - tgt
+        )
+        op = (
+            (lambda x, y: x + y) if node.op == "+" else (lambda x, y: x - y)
+        )
+        p_off, p_cnt = self._h_pair(ap_off, ap_cnt, bp_off, bp_cnt, op)
+        n_off, n_cnt = self._h_pair(an_off, an_cnt, bn_off, bn_cnt, op)
+        out = self._h_struct(
+            tgt,
+            op(a["zero_count"], b["zero_count"]),
+            F.greatest(a["zero_threshold"], b["zero_threshold"]),
+            op(a["count"], b["count"]),
+            op(a["sum"], b["sum"]),
+            p_off,
+            p_cnt,
+            n_off,
+            n_cnt,
+        )
+        return j.select(*match_keys, out.alias("__hist"))
 
     def _native_histogram_quantile(self, phi: float, hv: DataFrame) -> DataFrame:
         """histogram_quantile over a native-histogram vector, row-local:

@@ -69,11 +69,13 @@ def main() -> None:
         # ratio compares like with like (keeps all mutated near-dups).
         # max_fp_df is MANDATORY at scale: the synthetic corpus shares
         # template phrasing, so without the stop-fingerprint cap the hot
-        # postings pair n² and OOM the executors at sf10 (measured — the
-        # cap is the documented boilerplate lever, not an optimization)
+        # postings pair n² and OOM the executors at sf10 (measured r5).
+        # Since r6 the cap is the DEFAULT (1000) — the harness takes the
+        # defaults on purpose, proving the out-of-the-box configuration
+        # survives the decade (it did not when the default was None).
         pairs = dedup.winnow_pairs(
             docs_nd.where(F.col("doc_id") % 5 == 0), k=8, w=16,
-            threshold=0.3, max_fp_df=50,
+            threshold=0.3,
         )
         n = pairs.count()
         dedup.release_cached(pairs)
