@@ -1034,6 +1034,7 @@ def semantic_dedup(
     seed: int = 42,
     max_iterations: int = 20,
     max_bucket_size: Optional[int] = 10_000,
+    min_expected_recall: Optional[float] = 0.5,
 ) -> DataFrame:
     """SemDeDup (Abbas'23): drop documents whose *embeddings* are
     near-duplicates (cosine ≥ *threshold*), keeping one representative per
@@ -1065,6 +1066,7 @@ def semantic_dedup(
         dim=dim,
         seed=seed,
         max_bucket_size=max_bucket_size,
+        min_expected_recall=min_expected_recall,
     )
     return drop_near_duplicates(
         corpus,

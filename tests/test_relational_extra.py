@@ -318,6 +318,44 @@ def test_pca_fit_project_whiten(spark):
     )
 
 
+def test_pca_auto_centering(spark):
+    """VERDICT r5 #7: centered="auto" (the default) escalates to the
+    two-pass branch exactly when ‖μ‖²/mean-variance crosses
+    PCA_AUTO_CENTER_RATIO, so large-common-offset corpora get the
+    cancellation-safe path without knowing the flag."""
+    import numpy as np
+
+    from hyperdx_spark.pipeline import similarity
+
+    rng = np.random.default_rng(1)
+    X = rng.normal(size=(300, 6))
+
+    def fit(offset, **kw):
+        df = spark.createDataFrame(
+            [(i, [float(x + offset) for x in row]) for i, row in enumerate(X)],
+            "vec_id long, embedding array<double>",
+        )
+        return df, similarity.pca_fit(df, k=2, **kw)
+
+    # benign corpus (‖μ‖² ≈ 0): auto stays on the cheap single pass
+    _, m0 = fit(0.0)
+    assert m0["centered"] is False
+    # adversarial large common offset: ratio ≈ 6*(1e7)²/6 = 1e14 >> 1e6 —
+    # auto takes the two-pass branch and recovers the true spectrum where
+    # the single pass has lost every significant digit
+    df_off, m_auto = fit(1e7)
+    assert m_auto["centered"] is True
+    evals = np.sort(np.linalg.eigvalsh(np.cov(X.T, bias=True)))[::-1]
+    assert np.allclose(m_auto["explained_variance"], evals[:2], rtol=1e-6)
+    m_forced = similarity.pca_fit(df_off, k=2, centered=True)
+    assert np.allclose(
+        m_auto["explained_variance"], m_forced["explained_variance"], rtol=0
+    )
+    # explicit False still means False (opt-out of the auto heuristic)
+    m_single = similarity.pca_fit(df_off, k=2, centered=False)
+    assert m_single["centered"] is False
+
+
 def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path):
     """Co-located join layout: two tables bucketed the same way join with
     no Exchange in the physical plan (the write-once/join-many lever for
@@ -382,8 +420,43 @@ def test_cosine_pairs_mega_bucket_cap(spark):
     assert not any(a < 100 and b < 100 for a, b in got)  # mega bucket dropped
     dedup.release_cached(capped)
     uncapped = similarity.cosine_pairs(
-        df, threshold=0.9, num_planes=16, bands=2, dim=8
+        df, threshold=0.9, num_planes=16, bands=2, dim=8, max_bucket_size=None
     )
     n = uncapped.count()
     assert n >= 40 * 39 // 2  # the fan-out the cap exists to prevent
     dedup.release_cached(uncapped)
+
+
+def test_cosine_pairs_recall_guard(spark):
+    """VERDICT r5 #5: recall-lossy (threshold, planes, bands) combinations
+    warn at plan time; the gated default config stays silent; None opts
+    out. Closed-form boundary: Charikar'02 collision probability."""
+    import math
+    import warnings as W
+
+    import pytest
+
+    from hyperdx_spark.pipeline import similarity
+
+    # closed-form spot checks
+    r = similarity.lsh_expected_recall
+    assert abs(r(0.5, 16, 4) - (1 - (1 - (2 / 3) ** 4) ** 4)) < 1e-12
+    assert r(1.0, 60, 3) == pytest.approx(1.0)
+    assert r(0.9, 60, 3) < 0.2  # the precision-heavy corpus config
+    p9 = 1 - math.acos(0.9) / math.pi
+    assert abs(r(0.9, 16, 2) - (1 - (1 - p9 ** 8) ** 2)) < 1e-12
+
+    df = spark.createDataFrame(
+        [(1, [1.0] * 8), (2, [1.0] * 8)], "vec_id long, embedding array<double>"
+    )
+    with pytest.warns(RuntimeWarning, match="banding recall"):
+        similarity.cosine_pairs(df, threshold=0.9, num_planes=16, bands=2, dim=8)
+    with W.catch_warnings():
+        W.simplefilter("error")  # any warning would now raise
+        # default gate config: recall 0.59 >= 0.5 floor -> silent
+        similarity.cosine_pairs(df, threshold=0.5, dim=8)
+        # explicit opt-out of the lossy config -> silent
+        similarity.cosine_pairs(
+            df, threshold=0.9, num_planes=16, bands=2, dim=8,
+            min_expected_recall=None,
+        )

@@ -99,11 +99,18 @@ def main() -> None:
 
     def run_semdedup():
         # banding sized for corpus scale: rows-per-band ~ log2(n) so random
-        # pairs don't collide (hyperplane LSH needs bits that grow with n)
+        # pairs don't collide (hyperplane LSH needs bits that grow with n).
+        # min_expected_recall=None: this is the precision-heavy cos≈1
+        # configuration the r6 recall guard exists to make explicit —
+        # at-threshold (0.9) recall is ~0.13 by design, true copies
+        # (cos≈1) still collide at ~0.78
         kept = dedup.semantic_dedup(
             docs, emb, threshold=0.9, num_planes=60, bands=3,
+            min_expected_recall=None,
         )
-        return f"{kept.count()} docs kept"
+        ret = f"{kept.count()} docs kept"
+        dedup.release_cached(kept)
+        return ret
 
     clock("semantic_dedup", run_semdedup)
 
