@@ -4092,10 +4092,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — one per operator family from SURVEY.md SS2 plus
     the training-data pipeline ops, all inside the driver's correctness
     gate. Same-family variants are tag-unioned (see the consolidated
-    section above); TPC-H q3/q5ish/top-customers live in tests only."""
+    section above); TPC-H q3/q5ish/top-customers live in tests only.
+
+    ROUND-6 ROTATION (VERDICT r5 #6, rot-proofing — rotate back in r7):
+    six long-stable slots whose logic is also exercised by sibling entries
+    (q_search, q_having, q_any_none, q_histogram, q_promql, q_fill_prev)
+    are swapped for their previously-unregistered standalone variants
+    (q_fill_zero, q_error_ratio, q_share_of_total, q_hist_count,
+    q_promql_offset, q_promql_absent) so every function in this file holds
+    a green driver row at least once per few rounds."""
     return {
         # -- search / select / filters (SS2.2, 2.6, 2.8) --------------------
-        "q_search": q_search,
+        "q_fill_zero": q_fill_zero,  # r6 rotation (was q_search)
         "q_timeseries_error_5m": q_timeseries_error_5m,
         "q_lucene_dispatch": q_lucene_dispatch2,
         "q_lucene_explain": q_lucene_explain,
@@ -4105,13 +4113,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- aggregation family (SS2.4) -------------------------------------
         "q_multi_agg": q_multi_agg,
         "q_conditional_agg": q_conditional_agg,
-        "q_having": q_having,
+        "q_error_ratio": q_error_ratio,  # r6 rotation (was q_having)
         "q_last_value": q_last_value,
-        "q_any_none": q_any_none,
+        "q_share_of_total": q_share_of_total,  # r6 rotation (was q_any_none)
         "q_sample_weighted": q_sample_weighted_all,
         # -- series shaping (SS2.3, 2.6, 2.11) ------------------------------
         "q_series_limit": q_series_limit,
-        "q_fill_prev": q_fill_prev,
         "q_ratio_series": q_ratio_series,
         "q_heatmap": q_heatmap,
         "q_csv_render": q_csv_render,
@@ -4123,7 +4130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_gauge": q_gauge,
         "q_counter_rate": q_counter_rate,
         "q_increase_top3": q_increase_top3,
-        "q_histogram": q_histogram,
+        "q_hist_count": q_hist_count,  # r6 rotation (was q_histogram)
         "q_exp_histogram": q_exp_histogram,
         # -- SQL surfaces (SS2.1, 2.12, SS4) --------------------------------
         "q_raw_sql_macros": q_raw_sql_macros,
@@ -4132,7 +4139,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_builder_sql": q_builder_sql,
         "q_mv_rollup": q_mv_rollups,
         # -- PromQL (SS2.1) -------------------------------------------------
-        "q_promql": q_promql,
+        "q_promql_offset": q_promql_offset,  # r6 rotation (was q_promql)
+        "q_promql_absent": q_promql_absent,  # r6 rotation (was q_fill_prev's slot)
         "q_promql_features": q_promql_features,
         "q_promql_vecmatch": q_promql_vecmatch,
         # -- streaming + windows (SS2.1, 2.10, 2.11) ------------------------
@@ -4161,7 +4169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
-        "q_search": O_SEARCH,
+        "q_fill_zero": O_FILL_ZERO,
         "q_timeseries_error_5m": O_TIMESERIES,
         "q_lucene_dispatch": O_LUCENE_DISPATCH2,
         "q_lucene_explain": O_LUCENE_EXPLAIN,
@@ -4170,12 +4178,11 @@ def oracle_sql() -> dict[str, str]:
         "q_materialized_col": O_MATERIALIZED_COL,
         "q_multi_agg": O_MULTI_AGG,
         "q_conditional_agg": O_CONDITIONAL,
-        "q_having": O_HAVING,
+        "q_error_ratio": O_ERROR_RATIO,
         "q_last_value": O_LAST_VALUE,
-        "q_any_none": O_ANY_NONE,
+        "q_share_of_total": O_SHARE,
         "q_sample_weighted": O_SAMPLE_WEIGHTED_ALL,
         "q_series_limit": O_SERIES_LIMIT,
-        "q_fill_prev": O_FILL_PREV,
         "q_ratio_series": O_RATIO_SERIES,
         "q_heatmap": O_HEATMAP,
         "q_csv_render": O_CSV_RENDER,
@@ -4185,14 +4192,15 @@ def oracle_sql() -> dict[str, str]:
         "q_gauge": O_GAUGE_M,
         "q_counter_rate": O_COUNTER_RATE,
         "q_increase_top3": O_INCREASE,
-        "q_histogram": O_HISTOGRAM,
+        "q_hist_count": O_HIST_COUNT,
         "q_exp_histogram": O_EXP_HISTOGRAM,
         "q_raw_sql_macros": O_RAW_SQL_MACROS,
         "q_cte_two_level": O_CTE_TWO_LEVEL,
         "q_chcompat": O_CHCOMPAT,
         "q_builder_sql": O_BUILDER_SQL,
         "q_mv_rollup": O_MV_ROLLUPS,
-        "q_promql": O_PROMQL,
+        "q_promql_offset": O_PROMQL_OFFSET,
+        "q_promql_absent": O_PROMQL_ABSENT,
         "q_promql_features": O_PROMQL_FEATURES,
         "q_promql_vecmatch": O_PROMQL_VECMATCH,
         "q_stream_tail": O_STREAM_TAIL,
