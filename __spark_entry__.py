@@ -1308,6 +1308,8 @@ FROM scored
 # --------------------------------------------------------------------------
 
 def q_tpch_q1(spark, sf_dir):
+    from hyperdx_spark.io import ensure_min_parallelism
+
     li = load_table(spark, sf_dir, "lineitem")
     dec = "decimal(38,6)"
     # Exact decimal sums, emitted as DOUBLE: decimal->double conversion is
@@ -1315,8 +1317,18 @@ def q_tpch_q1(spark, sf_dir):
     # both engines produce bit-identical doubles from the same exact sum.
     # Averages are derived from the exact sums (one IEEE division), never from
     # float-ordered avg() whose partial-sum order is nondeterministic.
+    # Decimal(38) aggregation is BigDecimal-backed (no codegen primitive),
+    # so the narrow projection is widened to full task parallelism when the
+    # scan under-partitions (small-file case only — no-op at scale; decimal
+    # addition is exactly associative, the sums are partition-invariant).
+    narrow = ensure_min_parallelism(
+        li.where(F.col("l_shipdate") <= F.lit(datetime(2000, 9, 2))).select(
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax",
+        )
+    )
     out = (
-        li.where(F.col("l_shipdate") <= F.lit(datetime(2000, 9, 2)))
+        narrow
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(F.col("l_quantity").cast(dec)).alias("_sum_qty"),

@@ -170,6 +170,25 @@ def register_tables(
         load_table(spark, sf_dir, name, time_filter=tf).createOrReplaceTempView(name)
 
 
+def ensure_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition *df* up to ``min_partitions`` (default: the session's
+    ``defaultParallelism``) ONLY when the scan delivered fewer partitions —
+    the small-file rescue rule (same pattern as ``corpus_signals``'
+    ``min_parallelism``). A compute-heavy narrow stage (e.g. five
+    decimal(38,6) aggregates, BigDecimal-backed above precision 18) is
+    bounded by task count, and a sub-split-size parquet file otherwise
+    funnels it through 2-3 cores while the rest idle (measured ~2x on
+    TPC-H Q1 at sf0.1). At real corpus scale the scan already has far
+    more partitions than cores and this is a NO-OP — it never inserts a
+    shuffle into a well-partitioned plan, where repartition-before-agg
+    would defeat map-side partial aggregation."""
+    if min_partitions is None:
+        min_partitions = df.sparkSession.sparkContext.defaultParallelism
+    if not df.isStreaming and df.rdd.getNumPartitions() < min_partitions:
+        return df.repartition(min_partitions)
+    return df
+
+
 def write_bucketed(
     df: DataFrame,
     name: str,
