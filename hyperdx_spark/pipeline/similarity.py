@@ -572,6 +572,8 @@ def pq_codebooks(
     # sub-vectors (k-means iterations over the corpus — each is one
     # encode pass + one (subspace, code) aggregate; deterministic given the
     # deterministic init). Dead codewords keep their previous value.
+    from hyperdx_spark.pipeline.dedup import _LocalCheckpointHandle
+
     for _ in range(refine_iters):
         encode = pq_encode_arrow if arrow else pq_encode
         enc = encode(corpus, books, vec_col=vec_col).withColumn(
@@ -581,6 +583,7 @@ def pq_codebooks(
         # expression would otherwise be re-evaluated per generated row
         # downstream (measured ~20x slower without this)
         enc = enc.select("pq_code", "__u").localCheckpoint(eager=True)
+        cp_handle = _LocalCheckpointHandle(enc)
         ex = enc.select(F.posexplode("pq_code").alias("j", "c"), "__u").select(
             "j", "c", F.expr(f"slice(__u, j * {sub} + 1, {sub})").alias("sv")
         )
@@ -593,6 +596,10 @@ def pq_codebooks(
             )
             .collect()
         )
+        # the collect above is this iteration's terminal action — free the
+        # checkpoint blocks now instead of waiting for JVM GC (at corpus
+        # scale each iteration's encode blocks are a full pass of codes)
+        cp_handle.unpersist()
         for r in means:
             books[r["j"]][r["c"]] = [float(x) for x in r["mean"]]
     return books

@@ -157,3 +157,49 @@ def test_fuzz_gopher_c4_flags_match_reference(spark, texts):
         t = dict(docs)[r["doc_id"]]
         assert bool(r["gopher_pass"]) == ref_gopher(t), (r["doc_id"], t)
         assert bool(r["c4_keep"]) == ref_c4(t), (r["doc_id"], t)
+
+
+# fused corpus-signal worker vs the composed Column operators (the r6
+# batch-vectorized worker must stay bit-exact under adversarial inputs,
+# not just the sf corpus): words + punctuation edges + safe non-ASCII
+# (scripts where Python's and the JVM's lower() agree; the documented
+# divergence boundary is locale-special forms like dotted-İ)
+SIG_CHUNKS = st.sampled_from([
+    "alpha", "beta", "the", "of", "and", "x1", "42", ". ", "! ", "? ",
+    "...", ".....", "!!!", "#", "##", " ", "\n", "\t", "- item", "• b",
+    '"q"', "{", "end.", "é", "ß…", "日本語", "\n\n", "   ", "a" * 60,
+])
+SIG_DOC = st.lists(SIG_CHUNKS, min_size=0, max_size=25).map("".join)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.lists(st.one_of(SIG_DOC, st.none()), min_size=1, max_size=12))
+def test_fuzz_corpus_signals_fused_matches_composed(spark, texts):
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    composed = (
+        text.analyze(df)
+        .withColumn("__ent", text.char_entropy("text", arrow=True))
+        .transform(text.gopher_filter)
+        .transform(text.c4_filter)
+        .withColumn("__dlf", text.duplicate_line_fraction("text"))
+        .select(
+            "doc_id", "n_tokens", "stopword_ratio", "quality", "lang_pred",
+            "__ent", "__dlf", "gopher_pass", "c4_keep",
+        )
+    )
+    fused = {
+        r["doc_id"]: r
+        for r in text.corpus_signals(df).select("doc_id", "__sig.*").collect()
+    }
+    for e in composed.collect():
+        g = fused[e["doc_id"]]
+        assert g["n_tokens"] == e["n_tokens"], e
+        assert g["stopword_ratio"] == e["stopword_ratio"], e
+        assert g["quality"] == e["quality"], e
+        assert g["lang_pred"] == e["lang_pred"], e
+        assert g["char_entropy"] == e["__ent"], e
+        assert g["dup_line_frac"] == e["__dlf"], e
+        assert g["gopher_pass"] == e["gopher_pass"], e
+        assert g["c4_keep"] == e["c4_keep"], e

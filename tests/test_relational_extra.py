@@ -460,3 +460,19 @@ def test_cosine_pairs_recall_guard(spark):
             df, threshold=0.9, num_planes=16, bands=2, dim=8,
             min_expected_recall=None,
         )
+
+
+def test_ensure_min_parallelism(spark):
+    """The small-file rescue rule (io.ensure_min_parallelism): widen an
+    under-partitioned frame to default parallelism, and — the part that
+    matters at 100 TB — return a well-partitioned frame UNTOUCHED, since
+    a repartition before an aggregation would defeat map-side combine."""
+    from hyperdx_spark.io import ensure_min_parallelism
+
+    par = spark.sparkContext.defaultParallelism
+    few = spark.range(1000).coalesce(2)
+    out = ensure_min_parallelism(few)
+    assert out.rdd.getNumPartitions() == par
+    assert out.count() == 1000
+    many = spark.range(1000).repartition(par + 4)
+    assert ensure_min_parallelism(many) is many  # no shuffle inserted
