@@ -437,6 +437,11 @@ def _tokenize(s: str) -> list[tuple[str, str]]:
         for kind in ("dur", "num", "id", "str", "op"):
             v = m.group(kind)
             if v is not None:
+                # Prometheus lexes inf/nan (any case) as FLOAT LITERALS,
+                # not metric names — without this `h > Inf` silently
+                # becomes a vector match against a metric called "Inf"
+                if kind == "id" and v.lower() in ("inf", "nan"):
+                    kind = "num"
                 out.append((kind, v))
                 break
     return out
@@ -543,22 +548,41 @@ class _Parser:
         return node
 
     def term(self):
-        node = self.power()
+        node = self.unary()
         while self.peek() and (
             self.peek()[1] in ("*", "/", "%") or self.peek() == ("id", "atan2")
         ):
             op = self.next()[1]
             mods = self._match_modifiers()
-            node = self._fold_or_binop(op, node, self.power(), mods)
+            node = self._fold_or_binop(op, node, self.unary(), mods)
         return node
 
+    def unary(self):
+        # Prometheus unary +/- binds at multiplication precedence (so
+        # `-2^2` is `-(2^2)`) and applies to any expression. `-x` on a
+        # literal folds; on a vector it lowers to `-1 * x`, which is
+        # element-wise negation for float vectors AND (via the r6
+        # histogram shape rules) field-wise negation for native-histogram
+        # vectors — exactly Prometheus's neg-histogram semantics.
+        if self.peek() and self.peek()[0] == "op" and self.peek()[1] in ("-", "+"):
+            sign = self.next()[1]
+            node = self.unary()
+            if sign == "+":
+                return node
+            if isinstance(node, NumberLit):
+                return NumberLit(-node.value)
+            return BinOp("*", NumberLit(-1.0), node)
+        return self.power()
+
     def power(self):
-        # '^' binds tighter than * / % atan2 and is RIGHT-associative
+        # '^' binds tighter than * / % atan2 and is RIGHT-associative; the
+        # right operand re-enters the unary level so `c ^ -3` parses (the
+        # Prometheus grammar allows a unary expression there)
         node = self.atom()
         if self.peek() and self.peek()[1] == "^":
             self.next()
             mods = self._match_modifiers()
-            node = self._fold_or_binop("^", node, self.power(), mods)
+            node = self._fold_or_binop("^", node, self.unary(), mods)
         return node
 
     def _label_list(self) -> list[str]:
@@ -647,9 +671,8 @@ class _Parser:
             bounds = []
             for _ in range(2):
                 neg = False
-                if self.peek() and self.peek()[1] == "-":
-                    self.next()
-                    neg = True
+                if self.peek() and self.peek()[1] in ("-", "+"):
+                    neg = self.next()[1] == "-"
                 bk, bv = self.next()
                 if bk != "num":
                     raise ValueError(

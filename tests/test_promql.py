@@ -957,3 +957,61 @@ def test_many_to_many_fires_for_unmatched_dup_group(spark):
             " / on(job) sum by (job, instance) (b_total)",
             ts, ts, 60,
         ).collect()
+
+
+def test_unary_minus_and_inf_nan_literals(spark, fn_engine):
+    """Prometheus lexes inf/nan (any case) as float literals and supports
+    unary +/- on any expression (r6 parity slice): `g > Inf` must compare
+    against the literal — previously it silently vector-matched a metric
+    named "Inf" — and `-g` negates element-wise via the -1 * g lowering."""
+    from datetime import timedelta
+
+    t = T0 + timedelta(minutes=30)
+
+    def vals(q):
+        return {
+            r["job"]: r["value"]
+            for r in fn_engine.query_range(spark, q, t, t, 60).collect()
+        }
+
+    # g at t=30 is 130 (job=a)
+    assert vals("-g") == {"a": -130.0}
+    assert vals("g * -1") == {"a": -130.0}
+    assert vals("- -g") == {"a": 130.0}
+    assert vals("g - -70") == {"a": 200.0}
+    # unary binds at multiplication precedence: -2^2 folds to -4
+    assert vals("g + -2^2") == {"a": 126.0}
+    # Inf/NaN literals in comparisons: nothing exceeds Inf, all exceed -Inf
+    assert vals("g > Inf") == {}
+    assert vals("g > -Inf") == {"a": 130.0}
+    assert vals("clamp_max(g, Inf)") == {"a": 130.0}
+    # NaN comparisons are always false (IEEE)
+    assert vals("g == NaN") == {}
+
+
+def test_unary_minus_on_native_histogram(spark):
+    """-h lowers to -1 * h, which the r6 histogram shape rules evaluate as
+    field-wise negation (Prometheus gauge-histogram negation)."""
+    from datetime import datetime
+
+    hist_ddl = (
+        "struct<schema:int, zero_count:double, zero_threshold:double, "
+        "count:double, sum:double, pos_offset:int, pos_counts:array<double>, "
+        "neg_offset:int, neg_counts:array<double>>"
+    )
+    t = datetime(2024, 1, 1)
+    h = {
+        "schema": 0, "zero_count": 2.0, "zero_threshold": 2.0 ** -128,
+        "count": 6.0, "sum": 9.0, "pos_offset": 0,
+        "pos_counts": [2.0, 2.0], "neg_offset": 0, "neg_counts": [],
+    }
+    eng = PromQLEngine(
+        spark.createDataFrame(
+            [("latency", t, None, "a", h)],
+            f"`__name__` string, ts timestamp, value double, job string, histogram {hist_ddl}",
+        )
+    )
+    out = eng.query_range(spark, "histogram_sum(-latency)", t, t, 60).collect()
+    assert len(out) == 1 and out[0]["value"] == -9.0
+    out = eng.query_range(spark, "histogram_count(-latency)", t, t, 60).collect()
+    assert out[0]["value"] == -6.0

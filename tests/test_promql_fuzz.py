@@ -58,8 +58,12 @@ def promql_expr(draw, depth=0):
     if kind == "topk":
         return f"topk({draw(st.integers(1, 3))}, {inner})"
     op = draw(st.sampled_from(BIN_OPS))
-    k = draw(st.sampled_from(["2", "0.5", "7"]))
-    return draw(st.booleans()) and f"{inner} {op} {k}" or f"{k} {op} {inner}"
+    # r6: negative and Inf literals exercise the unary / literal lexing
+    k = draw(st.sampled_from(["2", "0.5", "7", "-3", "Inf", "-Inf"]))
+    form = draw(st.sampled_from(["v_op_k", "k_op_v", "neg"]))
+    if form == "neg":
+        return f"-({inner})"
+    return f"{inner} {op} {k}" if form == "v_op_k" else f"{k} {op} {inner}"
 
 
 @settings(max_examples=300, deadline=None)
