@@ -206,15 +206,20 @@ _TIME_COMPONENT_FNS = {
 }
 _CMP_OPS = {"==", "!=", ">", "<", ">=", "<="}
 
-_DUR_RE = re.compile(r"^(\d+)(ms|s|m|h|d|w|y)$")
+_DUR_RE = re.compile(r"^(?:\d+(?:ms|s|m|h|d|w|y))+$")
+_DUR_PART_RE = re.compile(r"(\d+)(ms|s|m|h|d|w|y)")
 _DUR_S = {"ms": 0.001, "s": 1, "m": 60, "h": 3600, "d": 86400, "w": 604800, "y": 31536000}
 
 
 def parse_duration(s: str) -> float:
-    m = _DUR_RE.match(s.strip())
-    if not m:
+    """Prometheus duration, including the compound form (`1h30m`,
+    `1m30s`): the sum of each unit part. (Prometheus additionally requires
+    strictly descending units with no repeats; this accepts the superset —
+    every valid Prometheus duration parses identically.)"""
+    s = s.strip()
+    if not _DUR_RE.match(s):
         raise ValueError(f"bad PromQL duration: {s!r}")
-    return int(m.group(1)) * _DUR_S[m.group(2)]
+    return sum(int(n) * _DUR_S[u] for n, u in _DUR_PART_RE.findall(s))
 
 
 # --------------------------------------------------------------------------
@@ -418,8 +423,10 @@ Expr = object  # union of the above
 # --------------------------------------------------------------------------
 
 _TOKEN_RE = re.compile(
-    r"\s*(?:(?P<dur>\d+(?:ms|s|m|h|d|w|y)\b)"
-    r"|(?P<num>\d+\.\d+|\.\d+|\d+(?!\w))|(?P<id>[a-zA-Z_:][a-zA-Z0-9_:]*)"
+    r"\s*(?:(?P<dur>(?:\d+(?:ms|s|m|h|d|w|y))+\b)"
+    r"|(?P<num>0[xX][0-9a-fA-F]+\b"
+    r"|(?:\d+\.\d+|\.\d+|\d+)(?:[eE][+-]?\d+)?(?!\w))"
+    r"|(?P<id>[a-zA-Z_:][a-zA-Z0-9_:]*)"
     r"|(?P<str>\"(?:[^\"\\]|\\.)*\"|'(?:[^'\\]|\\.)*')"
     r"|(?P<op>=~|!~|!=|==|>=|<=|[{}()\[\],=+\-*/<>@%^]))"
 )
@@ -442,6 +449,10 @@ def _tokenize(s: str) -> list[tuple[str, str]]:
                 # becomes a vector match against a metric called "Inf"
                 if kind == "id" and v.lower() in ("inf", "nan"):
                     kind = "num"
+                # hex literals (0x1f) normalize to decimal here so every
+                # downstream float(v) site stays a plain float() call
+                if kind == "num" and v[:2].lower() == "0x":
+                    v = str(int(v, 16))
                 out.append((kind, v))
                 break
     return out
@@ -865,10 +876,14 @@ class _Parser:
             off = 0.0
             if self.peek() and self.peek() == ("id", "offset"):
                 self.next()
+                sign = 1.0
+                if self.peek() and self.peek() == ("op", "-"):
+                    self.next()
+                    sign = -1.0
                 k, dur = self.next()
                 if k != "dur":
                     raise ValueError(f"offset needs a duration, got {dur!r}")
-                off = parse_duration(dur)
+                off = sign * parse_duration(dur)
             arg = Subquery(arg, parse_duration(rng), parse_duration(res), off)
         if isinstance(arg, Selector) and arg.subquery_res_s is not None:
             # x[1h:5m] parsed inside the selector — lift to Subquery
@@ -982,10 +997,14 @@ class _Parser:
         while self.peek() and self.peek() in (("id", "offset"), ("op", "@")):
             if self.peek() == ("id", "offset"):
                 self.next()
+                sign = 1.0
+                if self.peek() and self.peek() == ("op", "-"):
+                    self.next()
+                    sign = -1.0  # negative offset looks INTO THE FUTURE
                 k, dur = self.next()
                 if k != "dur":
                     raise ValueError(f"offset needs a duration, got {dur!r}")
-                sel.offset_s = parse_duration(dur)
+                sel.offset_s = sign * parse_duration(dur)
             else:
                 self.next()
                 k, v = self.next()

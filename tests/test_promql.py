@@ -1015,3 +1015,31 @@ def test_unary_minus_on_native_histogram(spark):
     assert len(out) == 1 and out[0]["value"] == -9.0
     out = eng.query_range(spark, "histogram_count(-latency)", t, t, 60).collect()
     assert out[0]["value"] == -6.0
+
+
+def test_compound_durations_sci_hex_and_negative_offset(spark, fn_engine):
+    """r6 lexer parity: compound durations (1m30s), scientific and hex
+    number literals, and negative offsets (look INTO the future) — all
+    valid Prometheus the tokenizer previously rejected."""
+    from datetime import timedelta
+
+    t = T0 + timedelta(minutes=30)
+
+    def vals(q, at=t):
+        return {
+            r["job"]: r["value"]
+            for r in fn_engine.query_range(spark, q, at, at, 60).collect()
+        }
+
+    # compound == plain-seconds window (c grows 6/min for job=a)
+    assert vals("increase(c[1m30s])") == vals("increase(c[90s])")
+    # scientific / hex literals in comparisons: g at t=30 is 130
+    assert vals("g > 1.3e2") == {}
+    assert vals("g >= 1.3e2") == {"a": 130.0}
+    assert vals("g > 0x81") == {"a": 130.0}  # 0x81 = 129
+    # negative offset: evaluating 10 minutes in the past with offset -10m
+    # lands back on the current sample
+    t20 = T0 + timedelta(minutes=20)
+    assert vals("g offset -10m", at=t20) == vals("g", at=t)
+    # compound duration as offset
+    assert vals("g offset 1m30s", at=t) == vals("g", at=T0 + timedelta(minutes=28, seconds=30))
