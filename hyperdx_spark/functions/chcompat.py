@@ -88,6 +88,20 @@ _RENAMES = {
     "substringUTF8": "substring",
     "trimBoth": "trim",
     "concatWithSeparator": "concat_ws",
+    # r6: the remaining function families the reference's query generator
+    # emits (search path tokens, conditional aggregates, array HOFs)
+    "hasToken": "_hastoken",
+    "hasTokenCaseInsensitive": "_hastokenci",
+    "match": "regexp_like",
+    "sumIf": "_sumif",
+    "avgIf": "_avgif",
+    "minIf": "_minif",
+    "maxIf": "_maxif",
+    "hasAny": "arrays_overlap",
+    "hasAll": "_hasall",
+    "arrayExists": "_arrayexists",
+    "arrayMap": "_arraymap",
+    "arrayFilter": "_arrayfilter",
 }
 
 _CALL_RE = re.compile(r"\b([A-Za-z_][A-Za-z0-9_]*)\s*\(")
@@ -233,6 +247,42 @@ def _rewrite_call(name: str, args: list[str]) -> str:
         col, keys = args[0], args[1:]
         path = "$." + ".".join(k.strip().strip("'\"") for k in keys)
         return f"(get_json_object({col}, '{path}') IS NOT NULL)"
+    if low == "_hastoken":
+        # CH tokenizes the haystack on non-alphanumeric ASCII and checks
+        # exact (case-sensitive) token membership — the primitive the
+        # reference's search path compiles full-text terms into
+        return (
+            f"array_contains(split({args[0]}, '[^a-zA-Z0-9]+'), {args[1]})"
+        )
+    if low == "_hastokenci":
+        return (
+            f"array_contains(split(lower({args[0]}), '[^a-zA-Z0-9]+'), "
+            f"lower({args[1]}))"
+        )
+    if low == "_sumif":
+        # CH sumIf over zero matching rows is 0, not NULL
+        return f"coalesce(sum(CASE WHEN {args[1]} THEN {args[0]} END), 0)"
+    if low == "_avgif":
+        # CH avgIf over zero matching rows is NaN
+        return (
+            f"coalesce(avg(CASE WHEN {args[1]} THEN {args[0]} END), "
+            f"cast('NaN' AS DOUBLE))"
+        )
+    if low == "_minif":
+        return f"min(CASE WHEN {args[1]} THEN {args[0]} END)"
+    if low == "_maxif":
+        return f"max(CASE WHEN {args[1]} THEN {args[0]} END)"
+    if low == "_hasall":
+        # hasAll(a, b): a contains every element of b (empty b -> true)
+        return f"(size(array_except({args[1]}, {args[0]})) = 0)"
+    if low == "_arrayexists":
+        # CH array HOFs take the lambda FIRST; Spark takes it last. The
+        # `x -> expr` lambda syntax is identical in both dialects.
+        return f"exists({args[1]}, {args[0]})"
+    if low == "_arraymap":
+        return f"transform({args[1]}, {args[0]})"
+    if low == "_arrayfilter":
+        return f"filter({args[1]}, {args[0]})"
     if low.startswith("_tostartof"):
         unit = low[len("_tostartof"):]
         return f"date_trunc('{unit}', {args[0]})"

@@ -543,3 +543,52 @@ def test_chcompat_round3_functions(spark):
         if isinstance(got, list):
             got = list(got)
         assert got == want, (ch, got, want)
+
+
+def test_chcompat_round6_functions(spark):
+    """r6 CH-function rewrites: the remaining families the reference's
+    query generator emits — hasToken (the search-path primitive),
+    conditional aggregates (*If combinators), array set ops, and the
+    lambda HOFs with ClickHouse's lambda-first argument order."""
+    from hyperdx_spark.functions.chcompat import translate_expr
+
+    cases = [
+        ("hasToken('alpha beta-42', 'beta')", True),
+        ("hasToken('alpha beta-42', 'bet')", False),  # token, not substring
+        ("hasToken('alpha beta-42', '42')", True),
+        ("hasTokenCaseInsensitive('Alpha Beta', 'beta')", True),
+        ("match('abc123', '[0-9]+')", True),
+        ("match('abcdef', '^[0-9]+$')", False),
+        ("hasAny(array(1, 2), array(2, 3))", True),
+        ("hasAny(array(1, 2), array(3, 4))", False),
+        ("hasAll(array(1, 2, 3), array(1, 3))", True),
+        ("hasAll(array(1, 2), array(1, 4))", False),
+        ("hasAll(array(1, 2), array())", True),  # empty needle -> true
+        ("arrayExists(x -> x > 2, array(1, 3))", True),
+        ("arrayExists(x -> x > 5, array(1, 3))", False),
+        ("arrayMap(x -> x * 2, array(1, 2))", [2, 4]),
+        ("arrayFilter(x -> x % 2 = 0, array(1, 2, 3, 4))", [2, 4]),
+    ]
+    for ch, want in cases:
+        got = spark.sql(f"SELECT {translate_expr(ch)} AS v").collect()[0]["v"]
+        if isinstance(got, list):
+            got = list(got)
+        assert got == want, (ch, translate_expr(ch), got, want)
+    # conditional aggregates over a real frame (CH empty-set semantics:
+    # sumIf -> 0, avgIf -> NaN)
+    df = spark.createDataFrame([(1, 10.0), (2, 20.0), (3, 30.0)], "k int, v double")
+    df.createOrReplaceTempView("chc6")
+    row = spark.sql(
+        "SELECT "
+        + translate_expr("sumIf(v, k >= 2)") + " AS s, "
+        + translate_expr("avgIf(v, k >= 2)") + " AS a, "
+        + translate_expr("minIf(v, k >= 2)") + " AS mn, "
+        + translate_expr("maxIf(v, k >= 2)") + " AS mx, "
+        + translate_expr("sumIf(v, k > 99)") + " AS s0, "
+        + translate_expr("avgIf(v, k > 99)") + " AS a0 "
+        "FROM chc6"
+    ).collect()[0]
+    import math
+    assert row["s"] == 50.0 and row["a"] == 25.0
+    assert row["mn"] == 20.0 and row["mx"] == 30.0
+    assert row["s0"] == 0.0 and math.isnan(row["a0"])
