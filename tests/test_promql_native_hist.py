@@ -394,3 +394,26 @@ def test_histogram_stddev_stdvar(spark, hist_engine):
         spark, "histogram_stddev(sum(latency))", t, t, 60
     ).collect()
     assert len(out) == 1 and out[0]["value"] > 0
+
+
+def test_hist_binop_composes_with_rate(spark, hist_engine):
+    """Arithmetic accepts derived histogram vectors, not just selectors:
+    rate(h) + rate(h) doubles every field of the rate histogram."""
+    t = datetime(2024, 1, 1, 0, 10)
+    one = hist_engine.query_range(
+        spark, 'histogram_count(rate(latency{job="a"}[10m]))', t, t, 60
+    ).collect()[0]["value"]
+    two = hist_engine.query_range(
+        spark,
+        'histogram_count(rate(latency{job="a"}[10m]) '
+        '+ rate(latency{job="a"}[10m]))',
+        t, t, 60,
+    ).collect()[0]["value"]
+    assert abs(two - 2 * one) < 1e-9
+    # and with the scalar form: 2 * rate == rate + rate
+    twos = hist_engine.query_range(
+        spark,
+        'histogram_count(2 * rate(latency{job="a"}[10m]))',
+        t, t, 60,
+    ).collect()[0]["value"]
+    assert abs(twos - two) < 1e-12
