@@ -476,3 +476,48 @@ def test_ensure_min_parallelism(spark):
     assert out.count() == 1000
     many = spark.range(1000).repartition(par + 4)
     assert ensure_min_parallelism(many) is many  # no shuffle inserted
+
+
+def test_rotated_out_entries_still_match_oracles(spark):
+    """r6 registry-rotation safety net (VERDICT r5 #6): the six slots
+    rotated OUT of the 50-entry driver registry this round keep a strict
+    oracle check here — same canonicalization as the driver gate — so
+    they cannot rot while unregistered and can rotate back green in r7."""
+    import importlib.util
+    import os
+
+    import duckdb
+
+    import __spark_entry__ as e
+
+    spec = importlib.util.spec_from_file_location(
+        "check_correctness",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "tools", "check_correctness.py"),
+    )
+    cc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cc)
+
+    sf = "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in cc.TABLES:
+        p = os.path.join(sf, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    cases = {
+        "q_search": (e.q_search, e.O_SEARCH),
+        "q_having": (e.q_having, e.O_HAVING),
+        "q_any_none": (e.q_any_none, e.O_ANY_NONE),
+        "q_histogram": (e.q_histogram, e.O_HISTOGRAM),
+        "q_promql": (e.q_promql, e.O_PROMQL),
+        "q_fill_prev": (e.q_fill_prev, e.O_FILL_PREV),
+    }
+    for name, (fn, osql) in cases.items():
+        pdf = fn(spark, sf).toPandas()
+        ddf = con.execute(osql).df()
+        assert sorted(pdf.columns) == sorted(ddf.columns), name
+        a = cc.rows_to_canon(list(pdf.columns), cc.pdf_rows(pdf), cc.canon_strict)
+        b = cc.rows_to_canon(list(ddf.columns), cc.pdf_rows(ddf), cc.canon_strict)
+        assert len(a) > 0 and a == b, name
