@@ -479,10 +479,12 @@ def test_ensure_min_parallelism(spark):
 
 
 def test_rotated_out_entries_still_match_oracles(spark):
-    """r6 registry-rotation safety net (VERDICT r5 #6): the six slots
-    rotated OUT of the 50-entry driver registry this round keep a strict
-    oracle check here — same canonicalization as the driver gate — so
-    they cannot rot while unregistered and can rotate back green in r7."""
+    """Registry-rotation safety net (VERDICT r5 #6 / r6 #1): whichever
+    six slots are currently OUT of the 50-entry driver registry keep a
+    strict oracle check here — same canonicalization as the driver gate —
+    so they cannot rot while unregistered. r7 restored the canonical set,
+    so the net now covers the six standalone variants that held the r6
+    rows."""
     import importlib.util
     import os
 
@@ -507,12 +509,12 @@ def test_rotated_out_entries_still_match_oracles(spark):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     cases = {
-        "q_search": (e.q_search, e.O_SEARCH),
-        "q_having": (e.q_having, e.O_HAVING),
-        "q_any_none": (e.q_any_none, e.O_ANY_NONE),
-        "q_histogram": (e.q_histogram, e.O_HISTOGRAM),
-        "q_promql": (e.q_promql, e.O_PROMQL),
-        "q_fill_prev": (e.q_fill_prev, e.O_FILL_PREV),
+        "q_fill_zero": (e.q_fill_zero, e.O_FILL_ZERO),
+        "q_error_ratio": (e.q_error_ratio, e.O_ERROR_RATIO),
+        "q_share_of_total": (e.q_share_of_total, e.O_SHARE),
+        "q_hist_count": (e.q_hist_count, e.O_HIST_COUNT),
+        "q_promql_offset": (e.q_promql_offset, e.O_PROMQL_OFFSET),
+        "q_promql_absent": (e.q_promql_absent, e.O_PROMQL_ABSENT),
     }
     for name, (fn, osql) in cases.items():
         pdf = fn(spark, sf).toPandas()
