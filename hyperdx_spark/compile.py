@@ -493,7 +493,12 @@ def _fill_buckets(
     if group_names:
         groups = out.select(*group_names).distinct()
         spine = spine.crossJoin(F.broadcast(groups))
-    filled = F.broadcast(spine).join(out, on=[ts_alias] + group_names, how="left")
+    # Hint the AGGREGATED side: Spark can only broadcast the right side of
+    # a left-outer join (a build-left hint is silently ignored with a
+    # HintErrorLogger WARN — VERDICT r7 #5). `out` is post-aggregation and
+    # bounded by max_buckets x seriesLimit groups, so it is the scale-safe
+    # side to broadcast; the spine stays the streamed side.
+    filled = spine.join(F.broadcast(out), on=[ts_alias] + group_names, how="left")
     vals = [
         F.coalesce(F.col(a), F.lit(fill_value)).alias(a) for a in value_aliases
     ]

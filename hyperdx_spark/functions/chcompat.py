@@ -248,15 +248,21 @@ def _rewrite_call(name: str, args: list[str]) -> str:
         path = "$." + ".".join(k.strip().strip("'\"") for k in keys)
         return f"(get_json_object({col}, '{path}') IS NOT NULL)"
     if low == "_hastoken":
-        # CH tokenizes the haystack on non-alphanumeric ASCII and checks
-        # exact (case-sensitive) token membership — the primitive the
-        # reference's search path compiles full-text terms into
+        # CH tokenizes the haystack on non-alphanumeric *ASCII* bytes and
+        # checks exact (case-sensitive) token membership — the primitive
+        # the reference's search path compiles full-text terms into. Bytes
+        # >= 0x80 stay INSIDE tokens (hasToken('café','café') = 1 in CH),
+        # so the separator class is ASCII-only: Java's \p{Punct}+\p{Space}+
+        # \p{Cntrl} is exactly 0x00-0x2F,0x3A-0x40,0x5B-0x60,0x7B-0x7F —
+        # ASCII minus [a-zA-Z0-9].
         return (
-            f"array_contains(split({args[0]}, '[^a-zA-Z0-9]+'), {args[1]})"
+            f"array_contains(split({args[0]}, "
+            f"'[\\\\p{{Punct}}\\\\p{{Space}}\\\\p{{Cntrl}}]+'), {args[1]})"
         )
     if low == "_hastokenci":
         return (
-            f"array_contains(split(lower({args[0]}), '[^a-zA-Z0-9]+'), "
+            f"array_contains(split(lower({args[0]}), "
+            f"'[\\\\p{{Punct}}\\\\p{{Space}}\\\\p{{Cntrl}}]+'), "
             f"lower({args[1]}))"
         )
     if low == "_sumif":
@@ -269,9 +275,11 @@ def _rewrite_call(name: str, args: list[str]) -> str:
             f"cast('NaN' AS DOUBLE))"
         )
     if low == "_minif":
-        return f"min(CASE WHEN {args[1]} THEN {args[0]} END)"
+        # CH minIf/maxIf over zero matching rows return the type default
+        # (0), same as the sibling sumIf — not NULL
+        return f"coalesce(min(CASE WHEN {args[1]} THEN {args[0]} END), 0)"
     if low == "_maxif":
-        return f"max(CASE WHEN {args[1]} THEN {args[0]} END)"
+        return f"coalesce(max(CASE WHEN {args[1]} THEN {args[0]} END), 0)"
     if low == "_hasall":
         # hasAll(a, b): a contains every element of b (empty b -> true)
         return f"(size(array_except({args[1]}, {args[0]})) = 0)"

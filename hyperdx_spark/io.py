@@ -182,11 +182,32 @@ def ensure_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> 
     more partitions than cores and this is a NO-OP — it never inserts a
     shuffle into a well-partitioned plan, where repartition-before-agg
     would defeat map-side partial aggregation."""
+    if df.isStreaming:
+        return df
     if min_partitions is None:
-        min_partitions = df.sparkSession.sparkContext.defaultParallelism
-    if not df.isStreaming and df.rdd.getNumPartitions() < min_partitions:
+        try:
+            min_partitions = df.sparkSession.sparkContext.defaultParallelism
+        except Exception:  # Spark Connect has no SparkContext
+            return df
+    n = num_partitions(df)
+    if n is not None and n < min_partitions:
         return df.repartition(min_partitions)
     return df
+
+
+def num_partitions(df: DataFrame) -> int | None:
+    """Partition count of *df*'s physical plan, or None when it can't be
+    probed. The classic probe is ``df.rdd.getNumPartitions()``, but
+    ``df.rdd`` (a) raises under Spark Connect — there is no RDD API on the
+    client — and (b) converts the plan to an RDD on every call even when
+    the answer is "plenty of partitions, no-op". Guarded here so callers
+    (``ensure_min_parallelism``, ``corpus_signals``) degrade to "leave the
+    plan alone" instead of crashing, which is the right call at cluster
+    scale where the rescue is a no-op anyway (VERDICT r7 #4)."""
+    try:
+        return df.rdd.getNumPartitions()
+    except Exception:
+        return None
 
 
 def write_bucketed(

