@@ -170,6 +170,14 @@ _AGG_OPS = {
     "stddev", "stdvar", "group", "quantile", "count_values",
 }
 _TOPK_OPS = {"topk", "bottomk"}
+# experimental aggregations/functions behind Prometheus's
+# --enable-feature=promql-experimental-functions (parser-gated upstream in
+# promql/parser: limitk / limit_ratio / mad_over_time); the reference
+# reaches them only via passthrough to servers with the flag enabled
+# (packages/api/src/routers/api/prometheus.ts), so the engine mirrors the
+# opt-in: parse(..., experimental=True) / PromQLEngine(experimental=True)
+_EXP_LIMIT_OPS = {"limitk", "limit_ratio"}
+_EXP_RANGE_FNS = {"mad_over_time"}
 _MATH_FNS = {
     "abs": "abs({v})",
     "ceil": "ceil({v})",
@@ -269,6 +277,21 @@ class TopK:
     k: int
     arg: "Expr"
     by: Optional[list[str]] = None  # per-group top-k
+    without: Optional[list[str]] = None
+
+
+@dataclass
+class LimitK:
+    """Experimental ``limitk(k, v)`` / ``limit_ratio(r, v)``: a
+    deterministic hash-based subset of the input vector's series (upstream
+    samples by series-labels hash so the selection is stable for a given
+    series set; here the hash is md5 over the label tuple, which a SQL
+    oracle can replay)."""
+
+    op: str  # limitk | limit_ratio
+    param: float  # k (limitk) or r in [-1, 1] (limit_ratio)
+    arg: "Expr"
+    by: Optional[list[str]] = None
     without: Optional[list[str]] = None
 
 
@@ -459,9 +482,10 @@ def _tokenize(s: str) -> list[tuple[str, str]]:
 
 
 class _Parser:
-    def __init__(self, tokens: list[tuple[str, str]]):
+    def __init__(self, tokens: list[tuple[str, str]], experimental: bool = False):
         self.toks = tokens
         self.i = 0
+        self.experimental = experimental
 
     def peek(self) -> Optional[tuple[str, str]]:
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -658,6 +682,31 @@ class _Parser:
             by = g[1] if g and g[0] == "by" else None
             without = g[1] if g and g[0] == "without" else None
             return TopK(v, int(float(kv)), arg, by=by, without=without)
+        if v in _EXP_LIMIT_OPS and self.peek() and self.peek()[1] in ("(", "by", "without"):
+            if not self.experimental:
+                raise ValueError(
+                    f"{v} requires experimental=True "
+                    "(promql-experimental-functions)"
+                )
+            g = self._grouping()
+            self.expect("(")
+            neg = False
+            if self.peek() and self.peek()[1] in ("-", "+"):
+                neg = self.next()[1] == "-"
+            kk, kv = self.next()
+            if kk != "num":
+                raise ValueError(f"{v}(param, expr) needs a numeric param")
+            param = -float(kv) if neg else float(kv)
+            if v == "limit_ratio" and not (-1.0 <= param <= 1.0):
+                raise ValueError("limit_ratio param must be in [-1, 1]")
+            self.expect(",")
+            arg = self.cmp()
+            self.expect(")")
+            if g is None:
+                g = self._grouping()
+            by = g[1] if g and g[0] == "by" else None
+            without = g[1] if g and g[0] == "without" else None
+            return LimitK(v, param, arg, by=by, without=without)
         if v == "histogram_quantile" and self.peek() and self.peek()[1] == "(":
             self.expect("(")
             kk, kv = self.next()
@@ -726,6 +775,16 @@ class _Parser:
                 raise ValueError("label_join(v, dst, sep, src...) needs dst and sep")
             return LabelJoin(arg, strs[0], strs[1], strs[2:])
         if v in _RANGE_FNS and self.peek() and self.peek()[1] == "(":
+            self.expect("(")
+            arg = self._range_arg(v)
+            self.expect(")")
+            return RangeFn(v, arg)
+        if v in _EXP_RANGE_FNS and self.peek() and self.peek()[1] == "(":
+            if not self.experimental:
+                raise ValueError(
+                    f"{v} requires experimental=True "
+                    "(promql-experimental-functions)"
+                )
             self.expect("(")
             arg = self._range_arg(v)
             self.expect(")")
@@ -1021,8 +1080,8 @@ class _Parser:
         return sel
 
 
-def parse(query: str):
-    p = _Parser(_tokenize(query))
+def parse(query: str, experimental: bool = False):
+    p = _Parser(_tokenize(query), experimental=experimental)
     node = p.cmp()
     if p.peek() is not None:
         raise ValueError(f"trailing tokens: {p.toks[p.i:]}")
@@ -1045,6 +1104,7 @@ class PromQLEngine:
         label_cols: Optional[Sequence[str]] = None,
         extrapolate: bool = False,
         hist_col: Optional[str] = None,
+        experimental: bool = False,
     ):
         self.samples = samples
         self.name_col = name_col
@@ -1068,6 +1128,11 @@ class PromQLEngine:
         # keeps the engine's simpler documented no-extrapolation semantics
         # (every gated oracle encodes that default)
         self.extrapolate = extrapolate
+        # experimental=True enables limitk / limit_ratio / mad_over_time,
+        # mirroring Prometheus's promql-experimental-functions feature flag
+        # (parser-gated upstream; the reference reaches these only via
+        # passthrough to flag-enabled servers)
+        self.experimental = experimental
 
     # -- selectors ---------------------------------------------------------
 
@@ -1386,6 +1451,33 @@ class PromQLEngine:
             return g.select(
                 "__step", *label_cols, F.expr(fold).alias("value")
             ).where(F.col("value").isNotNull())
+        if fn == "mad_over_time":
+            # experimental: median absolute deviation of the window samples
+            # (functions.go funcMadOverTime): median(|x - median(x)|), both
+            # medians with Prometheus's linear-interpolated quantile. One
+            # sorted array per (step, series), medians as JVM-side array
+            # expressions — same single-shuffle shape as quantile_over_time.
+            def arr_median(a):
+                n = F.size(a)
+                rank = (n - F.lit(1)).cast("double") / F.lit(2.0)
+                lo = F.floor(rank).cast("int") + F.lit(1)  # 1-based
+                w = rank - F.floor(rank)
+                hi = F.least(lo + F.lit(1), n)
+                return (
+                    F.element_at(a, lo) * (F.lit(1.0) - w)
+                    + F.element_at(a, hi) * w
+                )
+
+            g = j.groupBy("__step", *label_cols).agg(
+                F.array_sort(F.collect_list(val)).alias("__vals")
+            )
+            med = arr_median(F.col("__vals"))
+            dev = F.array_sort(
+                F.transform(F.col("__vals"), lambda x: F.abs(x - med))
+            )
+            return g.select(
+                "__step", *label_cols, arr_median(dev).alias("value")
+            )
         agg = {
             "avg_over_time": F.avg(val),
             "min_over_time": F.min(val),
@@ -2414,7 +2506,7 @@ class PromQLEngine:
         lookback_s: int = DEFAULT_LOOKBACK_S,
     ) -> DataFrame:
         """Prometheus /query_range: rows (__step, labels..., value)."""
-        node = parse(query)
+        node = parse(query, experimental=self.experimental)
         return self._eval(spark, node, start, end, step_s, lookback_s)
 
     def _eval(self, spark, node, start, end, step_s, lookback_s) -> DataFrame:
@@ -2704,6 +2796,44 @@ class PromQLEngine:
                 .where(F.col("__rk") <= node.k)
                 .drop("__rk")
             )
+        if isinstance(node, LimitK):
+            # experimental limitk / limit_ratio: deterministic hash-based
+            # series subset (upstream selects by series-labels hash so the
+            # pick is stable for a given series set). Hash = md5 over the
+            # label tuple — replayable by a SQL oracle, uniform enough for
+            # the sampling semantics. limit_ratio(r) and limit_ratio(r-1)
+            # partition the vector exactly (complementary hash ranges).
+            inner = self._eval(spark, node.arg, start, end, step_s, lookback_s)
+            label_cols = [c for c in inner.columns if c not in ("__step", "value")]
+            if node.without is not None:
+                grp = [c for c in label_cols if c not in set(node.without)]
+            elif node.by is not None:
+                grp = [c for c in node.by if c in inner.columns]
+            else:
+                grp = []
+            key = F.md5(
+                F.concat_ws(
+                    "\x1f",
+                    *[F.coalesce(F.col(c), F.lit("")) for c in label_cols],
+                )
+            )
+            if node.op == "limitk":
+                w = Window.partitionBy("__step", *grp).orderBy(
+                    key.asc(), *[F.asc(c) for c in label_cols]
+                )
+                return (
+                    inner.withColumn("__rk", F.row_number().over(w))
+                    .where(F.col("__rk") <= int(node.param))
+                    .drop("__rk")
+                )
+            # limit_ratio: first 8 hex chars of the hash -> fraction in
+            # [0, 1); r >= 0 keeps frac < r, r < 0 keeps the complement
+            frac = F.conv(F.substring(key, 1, 8), 16, 10).cast("double") / F.lit(
+                4294967296.0
+            )
+            r = float(node.param)
+            keep = (frac < F.lit(r)) if r >= 0 else (frac >= F.lit(1.0 + r))
+            return inner.where(keep)
         if isinstance(node, BinOp):
             lnum = isinstance(node.left, NumberLit)
             rnum = isinstance(node.right, NumberLit)

@@ -139,3 +139,37 @@ def test_compaction_shrinks_parts_and_preserves_answers(spark, maintained):
     rollup = spark.read.parquet(mv.path)
     keys = rollup.select("bucket_ts", "event_type")
     assert keys.count() == keys.distinct().count()
+
+
+def test_stream_maintained_equals_batch_rollup(spark, maintained):
+    """VERDICT r7 #6: the stream-maintained rollup, re-merged across its
+    micro-batch parts, must equal running the batch rollup_dataframe over
+    the same raw rows DIRECTLY — state-level equivalence, not just equal
+    query answers. Doubles are compared at 1e-6 (partial-per-part then
+    merge reassociates IEEE sums); counts and quantile maps are exact."""
+    from hyperdx_spark.mv import rollup_dataframe
+    from hyperdx_spark.streaming.mv_maintain import merged_rollup
+
+    mv, raw = maintained
+
+    def canon(df):
+        rows = {}
+        for r in df.collect():
+            key = (r["bucket_ts"], r["event_type"])
+            assert key not in rows  # one state row per (bucket, dims)
+            rows[key] = (
+                r["cnt_state"],
+                round(r["sum_value"], 6),
+                round(r["avg_value"]["sum"], 6),
+                r["avg_value"]["cnt"],
+                tuple(sorted(r["q_value"].items())),
+            )
+        return rows
+
+    streamed = canon(
+        merged_rollup(
+            spark.read.parquet(mv.path).drop("__bucket_date", "__batch"), mv
+        )
+    )
+    batch = canon(rollup_dataframe(raw, mv, "ts"))
+    assert streamed == batch

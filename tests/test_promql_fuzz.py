@@ -30,14 +30,15 @@ BIN_OPS = ["+", "-", "*", "/", "%", "^"]
 
 
 @st.composite
-def promql_expr(draw, depth=0):
-    kind = draw(
-        st.sampled_from(
-            ["selector", "range_fn", "agg", "math", "binop_scalar", "topk"]
-            if depth < 2
-            else ["selector", "range_fn"]
-        )
+def promql_expr(draw, depth=0, experimental=False):
+    kinds = (
+        ["selector", "range_fn", "agg", "math", "binop_scalar", "topk"]
+        if depth < 2
+        else ["selector", "range_fn"]
     )
+    if experimental and depth < 2:
+        kinds = kinds + ["limitk", "limit_ratio"]
+    kind = draw(st.sampled_from(kinds))
     metric = draw(st.sampled_from(["c", "g"]))
     sel = draw(
         st.sampled_from([metric, f'{metric}{{job="a"}}', f'{metric}{{job=~"a|b"}}'])
@@ -45,10 +46,11 @@ def promql_expr(draw, depth=0):
     if kind == "selector":
         return sel
     if kind == "range_fn":
-        fn = draw(st.sampled_from(RANGE_FNS))
+        fns = RANGE_FNS + (["mad_over_time"] if experimental else [])
+        fn = draw(st.sampled_from(fns))
         win = draw(st.sampled_from(["5m", "10m", "1h"]))
         return f"{fn}({sel}[{win}])"
-    inner = draw(promql_expr(depth=depth + 1))
+    inner = draw(promql_expr(depth=depth + 1, experimental=experimental))
     if kind == "agg":
         op = draw(st.sampled_from(AGG_OPS))
         clause = draw(st.sampled_from(["", " by (job)", " without (job)"]))
@@ -57,6 +59,12 @@ def promql_expr(draw, depth=0):
         return f"{draw(st.sampled_from(MATH_FNS))}({inner})"
     if kind == "topk":
         return f"topk({draw(st.integers(1, 3))}, {inner})"
+    if kind == "limitk":
+        clause = draw(st.sampled_from(["", " by (job)"]))
+        return f"limitk{clause}({draw(st.integers(1, 3))}, {inner})"
+    if kind == "limit_ratio":
+        r = draw(st.sampled_from(["0.3", "0.5", "1.0", "-0.5", "-1.0"]))
+        return f"limit_ratio({r}, {inner})"
     op = draw(st.sampled_from(BIN_OPS))
     # r6: negative and Inf literals exercise the unary / literal lexing
     k = draw(st.sampled_from(["2", "0.5", "7", "-3", "Inf", "-Inf"]))
@@ -69,10 +77,11 @@ def promql_expr(draw, depth=0):
 @settings(max_examples=300, deadline=None)
 @given(st.text(max_size=40))
 def test_parser_never_crashes_unexpectedly(s):
-    try:
-        parse(s)
-    except ValueError:
-        pass  # the only acceptable failure mode
+    for experimental in (False, True):
+        try:
+            parse(s, experimental=experimental)
+        except ValueError:
+            pass  # the only acceptable failure mode
 
 
 @settings(max_examples=150, deadline=None)
@@ -112,6 +121,48 @@ def test_generated_expressions_evaluate_to_vectors(spark, fuzz_engine, q):
     rows = out.collect()
     for r in rows:
         assert r["value"] is None or isinstance(r["value"], float)
+
+
+# experimental grammar (limitk / limit_ratio / mad_over_time) under the
+# promql-experimental-functions opt-in (VERDICT r7 #7)
+
+@settings(max_examples=100, deadline=None)
+@given(q=promql_expr(experimental=True))
+def test_experimental_grammar_parses(q):
+    parse(q, experimental=True)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(q=promql_expr(experimental=True))
+def test_experimental_expressions_evaluate_to_vectors(spark, exp_fuzz_engine, q):
+    t = T0 + timedelta(minutes=30)
+    try:
+        out = exp_fuzz_engine.query_range(spark, q, t, t, 60)
+    except ValueError:
+        return
+    assert "__step" in out.columns and "value" in out.columns
+    for r in out.collect():
+        assert r["value"] is None or isinstance(r["value"], float)
+
+
+@pytest.fixture(scope="module")
+def exp_fuzz_engine(spark):
+    rows = []
+    for m in range(0, 31):
+        ts = T0 + timedelta(minutes=m)
+        rows.append(("c", ts, float(m * 6), "a"))
+        rows.append(("c", ts, float(m * 10 if m < 20 else (m - 20) * 10), "b"))
+        rows.append(("g", ts, 100.0 + m, "a"))
+    return PromQLEngine(
+        spark.createDataFrame(
+            rows, "`__name__` string, ts timestamp, value double, job string"
+        ),
+        experimental=True,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -163,8 +163,85 @@ def build_corpus(n: int, src: str, dst: str) -> None:
         FROM {t('embeddings')} CROSS JOIN reps""")
 
 
+def build_relational(n: int, src: str, dst: str, corpus_dir: str | None) -> None:
+    """The relational/metrics decade (VERDICT r7 #3): TPC-H tables + events
+    ONLY, scaled n x from *src* with the same consistently-shifted-key
+    transforms as the full build (join degrees and group cardinalities grow
+    linearly; events keep the SAME time range at 10x density — how an
+    observability workload actually grows). documents/embeddings are
+    symlinked from *corpus_dir* (the collision-free ``corpus`` build) so one
+    directory serves the whole 16-query bench set without rebuilding — or
+    duplicating — the 500k-doc corpus tier."""
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW reps AS SELECT unnest(range({n})) AS i")
+
+    def t(name: str) -> str:
+        return f"read_parquet('{src}/{name}.parquet')"
+
+    def stride(name: str, key: str) -> int:
+        return con.sql(f"SELECT max({key}) + 1 FROM {t(name)}").fetchone()[0]
+
+    s_c = stride("customer", "c_custkey")
+    s_s = stride("supplier", "s_suppkey")
+    s_p = stride("part", "p_partkey")
+    s_o = stride("orders", "o_orderkey")
+    s_e = stride("events", "event_id")
+    s_u = stride("events", "user_id")
+
+    def emit(name: str, select: str) -> None:
+        out = f"{dst}/{name}.parquet"
+        con.sql(f"COPY ({select}) TO '{out}' (FORMAT PARQUET)")
+        rows = con.sql(f"SELECT count(*) FROM read_parquet('{out}')").fetchone()[0]
+        print(f"{name}: {rows} rows")
+
+    for dim in ("region", "nation"):
+        emit(dim, f"SELECT * FROM {t(dim)}")
+    emit("customer", f"""
+        SELECT c_custkey + reps.i * {s_c} AS c_custkey, c_name,
+               c_nationkey, c_acctbal, c_mktsegment
+        FROM {t('customer')} CROSS JOIN reps""")
+    emit("supplier", f"""
+        SELECT s_suppkey + reps.i * {s_s} AS s_suppkey,
+               s_name, s_nationkey, s_acctbal
+        FROM {t('supplier')} CROSS JOIN reps""")
+    emit("part", f"""
+        SELECT p_partkey + reps.i * {s_p} AS p_partkey,
+               p_name, p_brand, p_type, p_size, p_retailprice
+        FROM {t('part')} CROSS JOIN reps""")
+    emit("orders", f"""
+        SELECT o_orderkey + reps.i * {s_o} AS o_orderkey,
+               o_custkey + reps.i * {s_c} AS o_custkey,
+               o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        FROM {t('orders')} CROSS JOIN reps""")
+    emit("lineitem", f"""
+        SELECT l_orderkey + reps.i * {s_o} AS l_orderkey,
+               l_partkey + reps.i * {s_p} AS l_partkey,
+               l_suppkey + reps.i * {s_s} AS l_suppkey,
+               l_linenumber, l_quantity, l_extendedprice, l_discount,
+               l_tax, l_returnflag, l_linestatus, l_shipdate
+        FROM {t('lineitem')} CROSS JOIN reps""")
+    emit("events", f"""
+        SELECT event_id + reps.i * {s_e} AS event_id, ts,
+               user_id + reps.i * {s_u} AS user_id, event_type, value, props
+        FROM {t('events')} CROSS JOIN reps""")
+    if corpus_dir:
+        for name in ("documents", "embeddings"):
+            link = f"{dst}/{name}.parquet"
+            target = os.path.abspath(f"{corpus_dir}/{name}.parquet")
+            if not os.path.exists(link) and os.path.exists(target):
+                os.symlink(target, link)
+                print(f"{name}: symlink -> {target}")
+
+
 if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] == "corpus":
+    if len(sys.argv) > 1 and sys.argv[1] == "relational":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+        src = sys.argv[3] if len(sys.argv) > 3 else "/root/repo/.scale/sf1"
+        dst = sys.argv[4] if len(sys.argv) > 4 else "/root/repo/.scale/rel/sf10"
+        corpus = sys.argv[5] if len(sys.argv) > 5 else "/root/repo/.scale/sf10"
+        build_relational(n, src, dst, corpus)
+    elif len(sys.argv) > 1 and sys.argv[1] == "corpus":
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 10
         src = sys.argv[3] if len(sys.argv) > 3 else "/root/repo/.scale/sf1"
         dst = sys.argv[4] if len(sys.argv) > 4 else "/root/repo/.scale/sf10"
