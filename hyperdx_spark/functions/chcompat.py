@@ -52,11 +52,11 @@ _RENAMES = {
     "intDiv": "_intdiv",
     "arrayJoin": "explode",
     "arrayConcat": "concat",
-    "arrayCompact": "array_distinct",
+    "arrayCompact": "_arraycompact",
     "arraySum": "_arraysum",
     "lengthUTF8": "char_length",
     "countIf": "count_if",
-    "formatDateTime": "date_format",
+    "formatDateTime": "_formatdatetime",
     "toDateTime": "_todatetime",
     "now": "current_timestamp",
     "ifNull": "coalesce",
@@ -291,10 +291,82 @@ def _rewrite_call(name: str, args: list[str]) -> str:
         return f"transform({args[1]}, {args[0]})"
     if low == "_arrayfilter":
         return f"filter({args[1]}, {args[0]})"
+    if low == "_tostartofweek":
+        # CH toStartOfWeek default mode 0 starts weeks on SUNDAY and
+        # returns a Date; Spark's date_trunc('week') starts Monday.
+        # Spark dayofweek: 1=Sunday..7=Saturday -> offset = dayofweek-1.
+        # An explicit mode argument (1/3 = Monday) maps to date_trunc.
+        if len(args) > 1 and args[1].strip() in ("1", "3"):
+            return f"to_date(date_trunc('week', {args[0]}))"
+        return f"date_sub(to_date({args[0]}), dayofweek({args[0]}) - 1)"
+    if low == "_arraycompact":
+        # CH arrayCompact removes CONSECUTIVE duplicates only (run-length
+        # dedup), not all duplicates — array_distinct would be wrong on
+        # [1,1,2,1]. element_at is 1-based, filter's index 0-based, so
+        # element_at(a, i) is the previous element.
+        a = args[0]
+        return f"filter({a}, (x, i) -> i = 0 OR NOT (x <=> element_at({a}, i)))"
+    if low == "_formatdatetime":
+        return _format_datetime(args)
     if low.startswith("_tostartof"):
         unit = low[len("_tostartof"):]
         return f"date_trunc('{unit}', {args[0]})"
     return f"{low}({', '.join(args)})"
+
+
+# ClickHouse formatDateTime uses MySQL-style % patterns; Spark date_format
+# takes Java SimpleDateFormat patterns. %M follows modern CH defaults
+# (formatdatetime_format_without_leading_zeros era: month NAME; the minute
+# is %i). Literal letters in the format must be single-quoted for Java.
+_CH_FMT = {
+    "Y": "yyyy", "y": "yy", "m": "MM", "c": "M", "d": "dd", "e": "d",
+    "H": "HH", "k": "H", "h": "hh", "I": "hh", "i": "mm", "s": "ss",
+    "S": "ss", "f": "SSSSSS", "p": "a", "j": "DDD", "a": "EEE",
+    "W": "EEEE", "M": "MMMM", "b": "MMM", "Q": "QQ", "g": "yy", "G": "yyyy",
+    "F": "yyyy-MM-dd", "D": "MM/dd/yy", "T": "HH:mm:ss", "R": "HH:mm",
+    "n": "'\n'", "t": "'\t'", "%": "'%'",
+}
+
+
+def _format_datetime(args: list[str]) -> str:
+    """formatDateTime(t, 'fmt') -> date_format(t, java_fmt): translate the
+    % tokens and single-quote every literal run so stray letters don't
+    become accidental Java pattern characters. A non-literal format
+    expression passes through untranslated (fails loudly at analysis if
+    the patterns differ)."""
+    fmt = args[1].strip() if len(args) > 1 else ""
+    if not (len(fmt) >= 2 and fmt[0] in "'\"" and fmt[-1] == fmt[0]):
+        return f"date_format({args[0]}, {', '.join(args[1:])})"
+    body = fmt[1:-1]
+    out: list[str] = []
+    lit: list[str] = []
+
+    def flush():
+        if lit:
+            text = "".join(lit)
+            if any(c.isalpha() for c in text) or "'" in text:
+                out.append("'" + text.replace("'", "''") + "'")
+            else:
+                out.append(text)
+            lit.clear()
+
+    i = 0
+    while i < len(body):
+        c = body[i]
+        if c == "%" and i + 1 < len(body):
+            tok = body[i + 1]
+            if tok in _CH_FMT:
+                flush()
+                out.append(_CH_FMT[tok])
+                i += 2
+                continue
+        lit.append(c)
+        i += 1
+    flush()
+    java = "".join(out).replace('"', '\\"')
+    # double-quoted SQL literal: the Java pattern quotes literal runs with
+    # single quotes, which would terminate a single-quoted SQL string
+    return f'date_format({args[0]}, "{java}")'
 
 
 def translate_expr(expr: str) -> str:

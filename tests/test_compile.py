@@ -603,3 +603,42 @@ def test_chcompat_round6_functions(spark):
     # CH minIf/maxIf over zero matching rows -> type default 0, not NULL
     # (VERDICT r7 What's-wrong #2)
     assert row["mn0"] == 0.0 and row["mx0"] == 0.0
+
+
+def test_chcompat_r8_semantics_audit(spark):
+    """r8 proactive CH-parity audit: three rewrites whose Spark near-
+    equivalents silently diverge from ClickHouse —
+    * toStartOfWeek: CH mode 0 starts weeks on SUNDAY (date_trunc('week')
+      is Monday); explicit mode 1/3 is Monday;
+    * arrayCompact: CH removes CONSECUTIVE duplicates only (run-length
+      dedup), array_distinct would collapse [1,1,2,1] wrongly;
+    * formatDateTime: CH takes MySQL-style % patterns, Spark takes Java
+      patterns — untranslated, '%Y-%m' renders literally."""
+    from hyperdx_spark.functions.chcompat import translate_expr
+
+    cases = [
+        # 2024-01-03 is a Wednesday -> preceding Sunday
+        ("toString(toStartOfWeek(toDateTime('2024-01-03 10:00:00')))",
+         "2023-12-31"),
+        # a Sunday maps to itself under mode 0
+        ("toString(toStartOfWeek(toDateTime('2024-01-07 00:00:00')))",
+         "2024-01-07"),
+        # explicit Monday-first mode
+        ("toString(toStartOfWeek(toDateTime('2024-01-03 10:00:00'), 1))",
+         "2024-01-01"),
+        ("arrayCompact(array(1, 1, 2, 2, 2, 1))", [1, 2, 1]),
+        ("arrayCompact(array(3, 3, 3))", [3]),
+        ("formatDateTime(toDateTime('2024-03-05 07:08:09'), "
+         "'%Y-%m-%d %H:%i:%s')", "2024-03-05 07:08:09"),
+        # literal letters must not become Java pattern chars; %M is the
+        # month NAME (modern CH default; minute is %i)
+        ("formatDateTime(toDateTime('2024-03-05 07:08:09'), "
+         "'day %d of %M')", "day 05 of March"),
+        ("formatDateTime(toDateTime('2024-03-05 07:08:09'), '%H%%')",
+         "07%"),
+    ]
+    for ch, want in cases:
+        got = spark.sql(f"SELECT {translate_expr(ch)} AS v").collect()[0]["v"]
+        if isinstance(got, list):
+            got = list(got)
+        assert got == want, (ch, translate_expr(ch), got, want)
