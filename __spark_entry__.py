@@ -1531,6 +1531,7 @@ def q_text_stats(spark, sf_dir):
     if docs.rdd.getNumPartitions() < n_par:
         docs = docs.repartition(n_par)
     pii = text.pii_counts("text")
+    docs = text.gopher_repetition_signals(docs)  # r8: Rae'21 A1.1 family
     out = (
         # FUSED pass (text.corpus_signals): all eight per-doc text signals —
         # tokens/quality/language (analyze), entropy, duplicate-line
@@ -1559,6 +1560,17 @@ def q_text_stats(spark, sf_dir):
             F.sum("__bpe").alias("total_bpe_tokens"),
             F.count_if(F.col("__sig.gopher_pass")).alias("n_gopher_pass"),
             F.count_if(F.col("__sig.c4_keep")).alias("n_c4_keep"),
+            # r8: the Gopher REPETITION family (gopher_repetition_signals)
+            # — paragraph dup fracs, top-2-gram and dup-5-gram character
+            # coverage, each DuckDB-replayed expression for expression (the
+            # full 13-signal conjunction is pytest-oracled vs an
+            # independent reference, test_pipeline_fuzz)
+            F.round(F.avg("__rep.dup_para_frac"), 4).alias("avg_dup_para"),
+            F.round(F.avg("__rep.dup_line_char_frac"), 4).alias(
+                "avg_dup_line_char"
+            ),
+            F.round(F.avg("__rep.top_2gram_char_frac"), 4).alias("avg_top2"),
+            F.round(F.avg("__rep.dup_5gram_char_frac"), 4).alias("avg_dup5"),
         )
     )
     # vocabulary tier: most frequent token per source (text.vocabulary's
@@ -1663,8 +1675,73 @@ _C4_KEEP = f"""(
   AND len(list_filter(string_split_regex({_C4_CLEANED}, '[.!?]'),
                       s -> trim(s) != '')) >= 5
 )"""
+# r8 Gopher repetition family (text.gopher_repetition_signals replay).
+# Space-only strip on line/paragraph elements (the worker's p.strip(' '));
+# words are ASCII-\\s runs; gram join is ' ' (injective — words carry no
+# whitespace); list slices are 1-based INCLUSIVE in DuckDB. Every list is
+# bound ONCE as a CTE column and the lambdas reference the column — the
+# naive inline-the-expression-in-every-lambda form recomputes the gram
+# list per element and goes combinatorial (>10 min at sf0.01; this runs
+# in seconds).
+_REP_CTE = r"""
+rep AS (
+  SELECT doc_id, source, coalesce(length(text), 0) AS nchars,
+         list_filter(string_split(text, chr(10) || chr(10)),
+                     p -> trim(p, ' ') != '') AS paras,
+         list_filter(string_split(text, chr(10)),
+                     l -> trim(l, ' ') != '') AS lns,
+         list_filter(string_split_regex(text, '\s+'), w -> w != '') AS ws
+  FROM documents),
+repg AS (
+  SELECT *,
+         list_transform(generate_series(1, len(ws) - 1),
+                        i -> ws[i] || ' ' || ws[i + 1]) AS g2,
+         list_transform(generate_series(1, len(ws) - 4),
+                        i -> array_to_string(ws[i:i + 4], ' ')) AS g5
+  FROM rep),
+repm AS (
+  SELECT *,
+         list_max(list_transform(list_distinct(g2),
+                  g -> len(list_filter(g2, x -> x = g)))) AS mx2
+  FROM repg),
+repsig AS (
+  SELECT doc_id, source,
+    CASE WHEN len(paras) > 0 THEN
+      (len(paras) - len(list_distinct(paras)))::DOUBLE / len(paras)
+      ELSE 0.0 END AS dup_para_frac,
+    CASE WHEN coalesce(list_sum(list_transform(lns, l -> length(l))), 0) > 0
+      THEN (list_sum(list_transform(lns, l -> length(l)))
+            - list_sum(list_transform(list_distinct(lns),
+                                      l -> length(l))))::DOUBLE
+           / list_sum(list_transform(lns, l -> length(l)))
+      ELSE 0.0 END AS dup_line_char_frac,
+    CASE WHEN len(g2) > 0 AND nchars > 0 AND mx2 >= 2 THEN
+      least(mx2 * length(list_min(list_filter(list_distinct(g2),
+              g -> len(list_filter(g2, x -> x = g)) = mx2)))::DOUBLE
+            / nchars, 1.0)
+      ELSE 0.0 END AS top2_frac,
+    CASE WHEN len(g5) > 0 AND nchars > 0 THEN
+      least(coalesce(list_sum(list_transform(
+              list_distinct(flatten(list_transform(
+                generate_series(1, len(g5)),
+                i -> CASE WHEN len(list_filter(g5, x -> x = g5[i])) >= 2
+                     THEN generate_series(i, i + 4)
+                     ELSE [] END))),
+              p -> length(ws[p]))), 0)::DOUBLE / nchars, 1.0)
+      ELSE 0.0 END AS dup5_frac
+  FROM repm),
+repagg AS (
+  SELECT source,
+         round(avg(dup_para_frac), 4) AS avg_dup_para,
+         round(avg(dup_line_char_frac), 4) AS avg_dup_line_char,
+         round(avg(top2_frac), 4) AS avg_top2,
+         round(avg(dup5_frac), 4) AS avg_dup5
+  FROM repsig GROUP BY 1)
+"""
+
 O_TEXT_STATS = f"""
-WITH agg AS (
+WITH {_REP_CTE},
+agg AS (
   SELECT source,
        count(*) AS n_docs,
        sum(len({_TOKS}))::BIGINT AS total_tokens,
@@ -1685,8 +1762,10 @@ tt AS (SELECT source, t AS top_term, cnt AS top_term_tf,
               row_number() OVER (PARTITION BY source
                                  ORDER BY cnt DESC, t) AS rn
        FROM tcnt)
-SELECT agg.*, tt.top_term, tt.top_term_tf::BIGINT AS top_term_tf
-FROM agg JOIN tt USING (source) WHERE tt.rn = 1
+SELECT agg.*, repagg.avg_dup_para, repagg.avg_dup_line_char,
+       repagg.avg_top2, repagg.avg_dup5,
+       tt.top_term, tt.top_term_tf::BIGINT AS top_term_tf
+FROM agg JOIN repagg USING (source) JOIN tt USING (source) WHERE tt.rn = 1
 """
 
 # --------------------------------------------------------------------------

@@ -9,6 +9,8 @@ semantics and corpus statistics agree.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -780,6 +782,184 @@ def repetition_stats(
         F.lit(0.0).alias("top_ngram_char_frac"),
     )
     return out.unionByName(missing)
+
+
+GOPHER_REPETITION_SCHEMA = (
+    "dup_line_frac double, dup_para_frac double, "
+    "dup_line_char_frac double, dup_para_char_frac double, "
+    "top_2gram_char_frac double, top_3gram_char_frac double, "
+    "top_4gram_char_frac double, "
+    "dup_5gram_char_frac double, dup_6gram_char_frac double, "
+    "dup_7gram_char_frac double, dup_8gram_char_frac double, "
+    "dup_9gram_char_frac double, dup_10gram_char_frac double, "
+    "repetition_pass boolean"
+)
+
+# Rae et al. 2021 (Gopher), Table A1 "repetition" thresholds: a document
+# fails when ANY signal exceeds its cap
+GOPHER_REPETITION_THRESHOLDS = {
+    "dup_line_frac": 0.30,
+    "dup_para_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "dup_para_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20,
+    "top_3gram_char_frac": 0.18,
+    "top_4gram_char_frac": 0.16,
+    "dup_5gram_char_frac": 0.15,
+    "dup_6gram_char_frac": 0.14,
+    "dup_7gram_char_frac": 0.13,
+    "dup_8gram_char_frac": 0.12,
+    "dup_9gram_char_frac": 0.11,
+    "dup_10gram_char_frac": 0.10,
+}
+
+
+def gopher_repetition_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    out_col: str = "__rep",
+    chunk_chars: int | None = None,
+) -> DataFrame:
+    """The full Gopher repetition-filter family (Rae'21 A1.1) in one
+    Arrow-batched pass — the 13 signals every large-corpus pipeline cuts
+    boilerplate/spam with, plus the paper-threshold conjunction:
+
+    * ``dup_line_frac`` / ``dup_para_frac`` — fraction of non-empty lines /
+      paragraphs (split on ``\\n`` / ``\\n\\n``, space-stripped) that repeat
+      an earlier element;
+    * ``dup_line_char_frac`` / ``dup_para_char_frac`` — characters in the
+      repeated occurrences (every occurrence after the first of each
+      distinct element) over the characters of all elements;
+    * ``top_{2,3,4}gram_char_frac`` — characters covered by the single most
+      frequent word n-gram (count × gram char length, gram length = word
+      chars + n-1 separators; ties break to the lexicographically smallest
+      gram) over the document length — 0.0 unless the top gram occurs at
+      least twice (a document of all-unique grams has no repetition; the
+      Dolma convention);
+    * ``dup_{5..10}gram_char_frac`` — characters of words covered by ANY
+      occurrence of an n-gram that appears more than once (overlapping
+      occurrences counted once) over the document length.
+
+    Words are maximal non-whitespace runs (ASCII ``\\s``, the engine's Java
+    convention). NULL text yields all-zero signals with
+    ``repetition_pass = false`` (conservative, same style as
+    :func:`corpus_signals`' Gopher conjunction). Definitions follow the
+    common open reimplementation of the paper's Table A1 (Dolma/datatrove
+    formulation); the pytest oracle re-derives every signal independently.
+
+    Scale shape: row-local (no shuffle) pandas UDF; Arrow batches are split
+    into ``chunk_chars`` code-point chunks (default ``_CHUNK_CHAR_BUDGET``)
+    so peak worker memory is byte-bounded exactly like
+    :func:`corpus_signals`. Per-doc work is O(words × 6) dict counting —
+    C-level, no quadratic scans.
+    """
+    sig = _gopher_repetition_udf(chunk_chars)
+    return df.withColumn(out_col, sig(F.col(text_col)))
+
+
+_WS_SPLIT = re.compile(r"\s+", re.ASCII)  # Java \s = ASCII whitespace class
+
+
+def _gopher_repetition_udf(chunk_chars: int | None = None):
+    budget = _CHUNK_CHAR_BUDGET if chunk_chars is None else int(chunk_chars)
+    thresholds = GOPHER_REPETITION_THRESHOLDS
+
+    def _one(t):
+        if t is None:
+            return (0.0,) * 13 + (False,)
+        n_chars = len(t)
+
+        def dup_fracs(parts):
+            parts = [p for p in parts if p.strip(" ")]
+            if not parts:
+                return 0.0, 0.0
+            seen = set()
+            dup_n = 0
+            dup_c = 0
+            total_c = 0
+            for p in parts:
+                total_c += len(p)
+                if p in seen:
+                    dup_n += 1
+                    dup_c += len(p)
+                else:
+                    seen.add(p)
+            return dup_n / len(parts), (dup_c / total_c if total_c else 0.0)
+
+        dlf, dlcf = dup_fracs(t.split("\n"))
+        dpf, dpcf = dup_fracs(t.split("\n\n"))
+
+        words = [w for w in _WS_SPLIT.split(t) if w]  # ASCII \s, Java conv.
+        wlens = [len(w) for w in words]
+        nw = len(words)
+        tops = []
+        for n in (2, 3, 4):
+            if nw < n or n_chars == 0:
+                tops.append(0.0)
+                continue
+            counts: dict = {}
+            for i in range(nw - n + 1):
+                g = " ".join(words[i:i + n])
+                counts[g] = counts.get(g, 0) + 1
+            mx = max(counts.values())
+            if mx < 2:  # the top gram must actually REPEAT (Dolma conv.;
+                tops.append(0.0)  # else short unique docs fail trivially)
+                continue
+            top_g = min(g for g, c in counts.items() if c == mx)
+            frac = mx * len(top_g) / n_chars
+            tops.append(min(frac, 1.0))
+        dups = []
+        for n in (5, 6, 7, 8, 9, 10):
+            if nw < n or n_chars == 0:
+                dups.append(0.0)
+                continue
+            counts = {}
+            occ: dict = {}
+            for i in range(nw - n + 1):
+                g = " ".join(words[i:i + n])
+                counts[g] = counts.get(g, 0) + 1
+                occ.setdefault(g, []).append(i)
+            covered = bytearray(nw)
+            for g, c in counts.items():
+                if c >= 2:
+                    for i in occ[g]:
+                        for k in range(i, i + n):
+                            covered[k] = 1
+            dup_chars = sum(wl for wl, m in zip(wlens, covered) if m)
+            dups.append(min(dup_chars / n_chars, 1.0))
+
+        vals = (dlf, dpf, dlcf, dpcf, *tops, *dups)
+        keys = list(thresholds)
+        ok = all(v <= thresholds[k] for v, k in zip(vals, keys, strict=True))
+        return (*vals, bool(ok))
+
+    def _worker(texts):
+        import pandas as pd
+
+        tlist = texts.tolist()
+        char_lens = [len(t) if t is not None else 0 for t in tlist]
+        rows = []
+        for s, e in _chunk_bounds(char_lens, budget):
+            rows.extend(_one(t) for t in tlist[s:e])
+        return pd.DataFrame(
+            rows,
+            columns=list(GOPHER_REPETITION_THRESHOLDS) + ["repetition_pass"],
+        )
+
+    return F.pandas_udf(_worker, GOPHER_REPETITION_SCHEMA)
+
+
+def gopher_repetition_filter(
+    df: DataFrame, text_col: str = "text", *, keep_only: bool = True
+) -> DataFrame:
+    """Apply the Gopher repetition cut (Rae'21 A1.1 paper thresholds):
+    keep documents whose 13 repetition signals all sit under their caps.
+    ``keep_only=False`` returns every row with the signals attached."""
+    out = gopher_repetition_signals(df, text_col)
+    if keep_only:
+        return out.where(F.col("__rep.repetition_pass")).drop("__rep")
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -1608,3 +1608,68 @@ def test_corpus_signals_chunking_invariant_and_bounded(spark):
     # measured ~21 MB (15 MB fixed 0x110000-length tables + ~45 B/char x
     # 100 K budget); unchunked the same batch peaks ~240 MB
     assert peak < 60_000_000, f"peak {peak} not bounded by chunk budget"
+
+
+def test_gopher_repetition_signals_hand_computed(spark):
+    """Full Gopher repetition family (Rae'21 A1.1): hand-derived values on
+    a crafted doc — words: a b a b a b a b c d e f (12), 23 chars;
+    'a b a b' line repeats (dup_line 1/3, dup chars 7/21); top 2-gram
+    'a b' x4 covers 12/23 chars; the duplicated 5-grams cover words 0-7
+    (8 chars) -> 8/23."""
+    from hyperdx_spark.pipeline import text as T
+
+    doc = "a b a b\na b a b\nc d e f"
+    df = spark.createDataFrame([(1, doc), (2, None), (3, "")],
+                               "doc_id long, text string")
+    rows = {
+        r["doc_id"]: r
+        for r in T.gopher_repetition_signals(df).select("doc_id", "__rep.*").collect()
+    }
+    r = rows[1]
+    assert abs(r["dup_line_frac"] - 1 / 3) < 1e-12
+    assert abs(r["dup_line_char_frac"] - 7 / 21) < 1e-12
+    assert r["dup_para_frac"] == 0.0 and r["dup_para_char_frac"] == 0.0
+    assert abs(r["top_2gram_char_frac"] - 12 / 23) < 1e-12
+    assert abs(r["dup_5gram_char_frac"] - 8 / 23) < 1e-12
+    assert r["repetition_pass"] is False  # top-2gram 0.52 > 0.20 cap
+    # NULL -> zeros + fail (conservative, corpus_signals convention)
+    assert rows[2]["dup_line_frac"] == 0.0 and rows[2]["repetition_pass"] is False
+    # empty doc -> zeros, passes every cap
+    assert rows[3]["repetition_pass"] is True
+    # a clean doc passes
+    clean = spark.createDataFrame(
+        [(1, "The quick brown fox jumps over the lazy dog near a river bank.")],
+        "doc_id long, text string",
+    )
+    out = T.gopher_repetition_signals(clean).select("__rep.repetition_pass").collect()
+    assert out[0][0] is True
+    # filter applies the paper thresholds
+    both = spark.createDataFrame([(1, doc), (2, "unique words only here")],
+                                 "doc_id long, text string")
+    kept = [r["doc_id"] for r in T.gopher_repetition_filter(both).collect()]
+    assert kept == [2]
+
+
+def test_gopher_repetition_chunking_invariant(spark):
+    """Chunked (tiny char budget) and unchunked runs are bit-identical —
+    the signals are per-doc, so the byte-bound split must be invisible."""
+    from hyperdx_spark.pipeline import text as T
+
+    docs = [
+        (1, "spam spam spam spam spam ham " * 40),
+        (2, None),
+        (3, "para one\n\npara one\n\npara two"),
+        (4, "a b c d e f g h i j k l m n o p " * 10),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    a = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in T.gopher_repetition_signals(df).select("doc_id", "__rep.*").collect()
+    }
+    b = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in T.gopher_repetition_signals(df, chunk_chars=25)
+        .select("doc_id", "__rep.*")
+        .collect()
+    }
+    assert a == b

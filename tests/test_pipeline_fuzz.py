@@ -203,3 +203,86 @@ def test_fuzz_corpus_signals_fused_matches_composed(spark, texts):
         assert g["dup_line_frac"] == e["__dlf"], e
         assert g["gopher_pass"] == e["gopher_pass"], e
         assert g["c4_keep"] == e["c4_keep"], e
+
+
+# Gopher repetition family (r8): an INDEPENDENT Counter-based reference
+# re-derives all 13 signals; the Arrow worker must match exactly on
+# adversarial docs (repeated chunks, line/paragraph structure, unicode)
+
+REP_CHUNKS = st.sampled_from([
+    "spam ", "ham ", "a b ", "a b a b ", "x1 y2 ", "the of and ",
+    "\n", "\n\n", "  ", "line one\n", "line one\nline one\n",
+    "p q r s t u v w x y z ", "é ß ", "word " * 12,
+])
+
+
+def _ref_repetition(t):
+    from collections import Counter
+    import re as _re
+
+    if t is None:
+        return (0.0,) * 13
+    n_chars = len(t)
+
+    def dup(parts):
+        parts = [p for p in parts if p.strip(" ")]
+        if not parts:
+            return 0.0, 0.0
+        c = Counter(parts)
+        extra = sum(v - 1 for v in c.values())
+        extra_chars = sum((v - 1) * len(k) for k, v in c.items())
+        total = sum(len(p) for p in parts)
+        return extra / len(parts), (extra_chars / total if total else 0.0)
+
+    dlf, dlcf = dup(t.split("\n"))
+    dpf, dpcf = dup(t.split("\n\n"))
+    words = [w for w in _re.split(r"\s+", t, flags=_re.ASCII) if w]
+    out = [dlf, dpf, dlcf, dpcf]
+    for n in (2, 3, 4):
+        grams = Counter(
+            " ".join(words[i:i + n]) for i in range(len(words) - n + 1)
+        )
+        if not grams or n_chars == 0 or max(grams.values()) < 2:
+            out.append(0.0)
+            continue
+        mx = max(grams.values())
+        g = min(k for k, v in grams.items() if v == mx)
+        out.append(min(mx * len(g) / n_chars, 1.0))
+    for n in (5, 6, 7, 8, 9, 10):
+        grams = [
+            tuple(words[i:i + n]) for i in range(len(words) - n + 1)
+        ]
+        c = Counter(grams)
+        covered = set()
+        for i, g in enumerate(grams):
+            if c[g] >= 2:
+                covered.update(range(i, i + n))
+        if not grams or n_chars == 0:
+            out.append(0.0)
+            continue
+        out.append(
+            min(sum(len(words[i]) for i in covered) / n_chars, 1.0)
+        )
+    return tuple(out)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.lists(
+    st.one_of(st.lists(REP_CHUNKS, min_size=0, max_size=20).map("".join),
+              st.none()),
+    min_size=1, max_size=8,
+))
+def test_fuzz_gopher_repetition_matches_reference(spark, texts):
+    from hyperdx_spark.pipeline import text as text_mod
+
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: tuple(r)[1:-1]  # drop doc_id front, pass flag back
+        for r in text_mod.gopher_repetition_signals(df, chunk_chars=64)
+        .select("doc_id", "__rep.*")
+        .collect()
+    }
+    for d, t in docs:
+        assert got[d] == _ref_repetition(t), (d, t)
