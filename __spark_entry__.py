@@ -1527,9 +1527,9 @@ def q_text_stats(spark, sf_dir):
     # single-row-group parquet delivers 1-2 scan partitions regardless of
     # maxPartitionBytes; widen once so the Arrow worker AND the top-term
     # explode use every core (no-op when the scan already has enough tasks)
-    n_par = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < n_par:
-        docs = docs.repartition(n_par)
+    from hyperdx_spark.io import ensure_min_parallelism
+
+    docs = ensure_min_parallelism(docs)  # guarded probe (VERDICT r7 #4)
     pii = text.pii_counts("text")
     docs = text.gopher_repetition_signals(docs)  # r8: Rae'21 A1.1 family
     out = (
