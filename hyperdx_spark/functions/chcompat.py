@@ -260,10 +260,17 @@ def _rewrite_call(name: str, args: list[str]) -> str:
             f"'[\\\\p{{Punct}}\\\\p{{Space}}\\\\p{{Cntrl}}]+'), {args[1]})"
         )
     if low == "_hastokenci":
+        # CH folds case ASCII-only here (byte-level tokenizer + tolower):
+        # hasTokenCaseInsensitive('CAFÉ','café') is 0 in CH because É is
+        # not folded. translate() over A-Z/a-z reproduces the ASCII fold
+        # exactly; a full-Unicode lower() would over-match.
+        upper = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+        lower_ = "abcdefghijklmnopqrstuvwxyz"
+        fold = "translate({}, '" + upper + "', '" + lower_ + "')"
         return (
-            f"array_contains(split(lower({args[0]}), "
+            f"array_contains(split({fold.format(args[0])}, "
             f"'[\\\\p{{Punct}}\\\\p{{Space}}\\\\p{{Cntrl}}]+'), "
-            f"lower({args[1]}))"
+            f"{fold.format(args[1])})"
         )
     if low == "_sumif":
         # CH sumIf over zero matching rows is 0, not NULL
