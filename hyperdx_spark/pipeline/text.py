@@ -890,51 +890,96 @@ def _gopher_repetition_udf(chunk_chars: int | None = None):
         dlf, dlcf = dup_fracs(t.split("\n"))
         dpf, dpcf = dup_fracs(t.split("\n\n"))
 
-        # grams are counted as TUPLES of word refs — hashing a tuple is
-        # O(n) small ints vs building a joined string per position (O(gram
-        # chars) allocation; measured ~10 GB of string churn per 1k-doc
-        # batch of 100 KB docs). The join is materialized only for the
-        # single winning top-gram (its length = word chars + n-1 anyway,
-        # and tuple equality == joined-string equality since words carry
-        # no whitespace).
+        # grams are counted as id-sequences, never joined strings (the
+        # joined-string form churned ~10 GB of strings per 1k-doc batch of
+        # 100 KB docs); the join is materialized only for the winning
+        # top-gram candidates. Two exact-identical paths: small docs use
+        # tuple-keyed dict counting (numpy call overhead dominates there —
+        # the r5 finding); large docs map words to dense ids once, then
+        # grow gram ids incrementally — pack (prev-gram id, next word id)
+        # into one int64 and np.unique it per level (collision-free: both
+        # halves are dense ids < 2^31, no hashing) — so all nine n values
+        # cost nine int64 sorts instead of nine python passes. Both paths
+        # produce the same exact integers and apply the same float ops, so
+        # results are bit-identical (hypothesis-fuzzed across the 128-word
+        # cutover).
         words = [w for w in _WS_SPLIT.split(t) if w]  # ASCII \s, Java conv.
         wlens = [len(w) for w in words]
         nw = len(words)
+        use_np = nw >= 128
+        pos_cnts: dict = {}  # n -> per-start occurrence count of its gram
+        if use_np and n_chars > 0:
+            import numpy as np
+
+            word_id: dict = {}
+            ids = np.empty(nw, np.int64)
+            for i, w in enumerate(words):
+                ids[i] = word_id.setdefault(w, len(word_id))
+            wlens_np = np.fromiter(wlens, np.int64, nw)
+            g = ids  # dense ids of 1-grams
+            for n in range(2, 11):
+                if nw < n:
+                    break
+                key = (g[:-1] << 32) | ids[n - 1:]
+                _, inv, cnt = np.unique(
+                    key, return_inverse=True, return_counts=True
+                )
+                g = inv.astype(np.int64)  # dense ids of n-grams
+                pos_cnts[n] = cnt[inv]
+        elif n_chars > 0:
+            for n in range(2, 11):
+                if nw < n:
+                    break
+                counts: dict = {}
+                for i in range(nw - n + 1):
+                    gt = tuple(words[i:i + n])
+                    counts[gt] = counts.get(gt, 0) + 1
+                pos_cnts[n] = [
+                    counts[tuple(words[i:i + n])] for i in range(nw - n + 1)
+                ]
+
         tops = []
         for n in (2, 3, 4):
-            if nw < n or n_chars == 0:
+            pos_cnt = pos_cnts.get(n)
+            if pos_cnt is None:
                 tops.append(0.0)
                 continue
-            counts: dict = {}
-            for i in range(nw - n + 1):
-                g = tuple(words[i:i + n])
-                counts[g] = counts.get(g, 0) + 1
-            mx = max(counts.values())
+            mx = int(max(pos_cnt))
             if mx < 2:  # the top gram must actually REPEAT (Dolma conv.;
                 tops.append(0.0)  # else short unique docs fail trivially)
                 continue
-            top_g = min(
-                " ".join(g) for g, c in counts.items() if c == mx
-            )
+            # materialize strings only for the max-count candidates
+            if use_np:
+                import numpy as np
+
+                idxs = np.flatnonzero(np.asarray(pos_cnt) == mx)
+            else:
+                idxs = [i for i, c in enumerate(pos_cnt) if c == mx]
+            top_g = min(" ".join(words[i:i + n]) for i in idxs)
             frac = mx * len(top_g) / n_chars
             tops.append(min(frac, 1.0))
         dups = []
         for n in (5, 6, 7, 8, 9, 10):
-            if nw < n or n_chars == 0:
+            pos_cnt = pos_cnts.get(n)
+            if pos_cnt is None:
                 dups.append(0.0)
                 continue
-            counts = {}
-            occ: dict = {}
-            for i in range(nw - n + 1):
-                g = tuple(words[i:i + n])
-                counts[g] = counts.get(g, 0) + 1
-                occ.setdefault(g, []).append(i)
-            covered = bytearray(nw)
-            for g, c in counts.items():
-                if c >= 2:
-                    for i in occ[g]:
+            if use_np:
+                import numpy as np
+
+                starts = np.flatnonzero(np.asarray(pos_cnt) >= 2)
+                d = (
+                    np.bincount(starts, minlength=nw + 1)
+                    - np.bincount(starts + n, minlength=nw + 1)
+                )
+                covered_mask = np.cumsum(d[:nw]) > 0
+                dup_chars = int(wlens_np[covered_mask].sum())
+            else:
+                covered = bytearray(nw)
+                for i, c in enumerate(pos_cnt):
+                    if c >= 2:
                         covered[i:i + n] = b"\x01" * n
-            dup_chars = sum(wl for wl, m in zip(wlens, covered) if m)
+                dup_chars = sum(wl for wl, m in zip(wlens, covered) if m)
             dups.append(min(dup_chars / n_chars, 1.0))
 
         vals = (dlf, dpf, dlcf, dpcf, *tops, *dups)
