@@ -130,7 +130,7 @@ SELECT make_timestamp((floor(epoch(ts))::BIGINT // 300) * 300 * 1000000) AS __ti
        event_type, count(*) AS cnt
 FROM events
 WHERE {TIME_WHERE}
-  AND list_contains(list_filter(string_split_regex(lower(concat_ws(' ', event_type, props)), '[^a-z0-9]+'), t -> t != ''), 'error')
+  AND list_contains(list_filter(string_split_regex(lower(concat_ws(' ', event_type, props)), '[[:punct:][:space:][:cntrl:]]+'), t -> t != ''), 'error')
 GROUP BY 1, 2
 """
 
@@ -811,7 +811,7 @@ SELECT make_timestamp((floor(epoch(ts))::BIGINT // 86400) * 86400 * 1000000) AS 
        event_type, count(*) AS cnt
 FROM events
 WHERE {TIME_WHERE}
-  AND list_contains(list_filter(string_split_regex(lower(concat_ws(' ', event_type, props)), '[^a-z0-9]+'), t -> t != ''), 'error')
+  AND list_contains(list_filter(string_split_regex(lower(concat_ws(' ', event_type, props)), '[[:punct:][:space:][:cntrl:]]+'), t -> t != ''), 'error')
 GROUP BY 1, 2
 """
 
@@ -1041,7 +1041,7 @@ WITH hourly AS (
          event_type, count(*) AS cnt
   FROM events
   WHERE {TIME_WHERE}
-    AND list_contains(list_filter(string_split_regex(lower(concat_ws(' ', event_type, props)), '[^a-z0-9]+'), t -> t != ''), 'error')
+    AND list_contains(list_filter(string_split_regex(lower(concat_ws(' ', event_type, props)), '[[:punct:][:space:][:cntrl:]]+'), t -> t != ''), 'error')
   GROUP BY 1, 2)
 SELECT make_timestamp((floor(epoch(h))::BIGINT // 86400) * 86400 * 1000000) AS __timestamp,
        event_type, max(cnt)::DOUBLE AS peak_hourly
@@ -2470,7 +2470,7 @@ SELECT make_timestamp((floor(epoch(ts))::BIGINT // 86400) * 86400 * 1000000) AS 
        event_type, count(*) AS cnt, round(avg({_NUMV}), 4) AS avg_v
 FROM events
 WHERE {TIME_WHERE}
-  AND list_contains(list_filter(string_split_regex(lower(concat_ws(' ', event_type, props)), '[^a-z0-9]+'), t -> t != ''), 'error')
+  AND list_contains(list_filter(string_split_regex(lower(concat_ws(' ', event_type, props)), '[[:punct:][:space:][:cntrl:]]+'), t -> t != ''), 'error')
 GROUP BY 1, 2
 """
 

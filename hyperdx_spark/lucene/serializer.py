@@ -44,7 +44,16 @@ from pyspark.sql.types import (
 from hyperdx_spark.lucene.ast import BoolOp, Group, MatchAll, Node, Not, Range, Term
 from hyperdx_spark.lucene.parser import parse
 
-_TOKEN_SPLIT_RE = "[^a-z0-9]+"  # tokenizer: split on non-alphanumeric ASCII (queryParser.ts:709-715)
+# Needle tokenizer — the reference's tokenizeTerm regex verbatim
+# (queryParser.ts:709-715): ASCII separator ranges only, so non-ASCII
+# characters stay INSIDE tokens ('café' is one token, not 'caf').
+_NEEDLE_SPLIT_RE = r"[ -/:-@\[-`{-~\t\n\r]+"
+# Haystack tokenizer — ClickHouse HasTokenImpl::isTokenSeparator (any
+# ASCII byte that is not alphanumeric; the function the reference's
+# hasToken(lower(col), token) calls into). Java's \p{Punct}+\p{Space}+
+# \p{Cntrl} is exactly 0x00-0x2F,0x3A-0x40,0x5B-0x60,0x7B-0x7F. Doubled
+# backslashes survive the Spark SQL string literal.
+_HAYSTACK_SPLIT_SQL = "[\\\\p{Punct}\\\\p{Space}\\\\p{Cntrl}]+"
 _NUM_RE = re.compile(r"[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?")
 
 
@@ -332,13 +341,15 @@ class SearchQueryBuilder:
             return f"lower({body}) LIKE {_sql_str('%' + _like_escape(value.lower()) + '%')}"
         if "*" in value:
             return f"lower({body}) LIKE {_sql_str(_wildcard_to_like(value.lower()))}"
-        tokens = [tok for tok in re.split(_TOKEN_SPLIT_RE, value.lower()) if tok]
+        tokens = [tok for tok in re.split(_NEEDLE_SPLIT_RE, value.lower()) if tok]
         conds = [
-            f"array_contains(split(lower({body}), {_sql_str(_TOKEN_SPLIT_RE)}), {_sql_str(tok)})"
+            f"array_contains(split(lower({body}), '{_HAYSTACK_SPLIT_SQL}'), {_sql_str(tok)})"
             for tok in tokens
         ]
-        if len(tokens) != 1 or not re.fullmatch(r"[a-zA-Z0-9]+", value):
+        if re.search(_NEEDLE_SPLIT_RE, value):
             # separators present -> exact whole-term substring too
+            # (queryParser.ts:1581-1593; a separator-free term is
+            # token-only, :1596-1599 — 'café' searches as ONE token)
             conds.append(
                 f"lower({body}) LIKE {_sql_str('%' + _like_escape(value.lower()) + '%')}"
             )

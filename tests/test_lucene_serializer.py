@@ -131,9 +131,21 @@ def test_grouped_field_inherits():
 
 def test_bare_term_token_search():
     got = build("click")
+    # haystack tokenized with the CH HasTokenImpl separator class (ASCII
+    # non-alnum only — bytes >= 0x80 stay inside tokens, r8)
     assert got == (
-        "array_contains(split(lower(coalesce(props, '')), '[^a-z0-9]+'), 'click')"
+        "array_contains(split(lower(coalesce(props, '')), "
+        "'[\\\\p{Punct}\\\\p{Space}\\\\p{Cntrl}]+'), 'click')"
     )
+
+
+def test_bare_term_non_ascii_single_token():
+    # the reference's tokenizeTerm splits on ASCII separators only
+    # (queryParser.ts:709-715): 'café' is ONE token, searched via
+    # hasToken alone with no substring fallback (ts:1596-1599)
+    got = build("café")
+    assert "'café'" in got and "LIKE" not in got
+    assert got.count("array_contains") == 1
 
 
 def test_bare_term_with_separator():
