@@ -33,7 +33,7 @@ _RENAMES = {
     "mapContains": "map_contains_key",
     "argMax": "max_by",
     "argMin": "min_by",
-    "anyLast": "last",
+    "anyLast": "_anylast",
     "cityHash64": "xxhash64",  # identity use only — hash values differ from CH
     "farmFingerprint64": "xxhash64",
     "position": "instr",
@@ -83,8 +83,8 @@ _RENAMES = {
     "JSONHas": "_jsonhas",
     "isNull": "isnull",
     "isNotNull": "isnotnull",
-    "least": "least",
-    "greatest": "greatest",
+    "least": "_least",
+    "greatest": "_greatest",
     "substringUTF8": "substring",
     "trimBoth": "trim",
     "concatWithSeparator": "concat_ws",
@@ -315,6 +315,19 @@ def _rewrite_call(name: str, args: list[str]) -> str:
         return f"filter({a}, (x, i) -> i = 0 OR NOT (x <=> element_at({a}, i)))"
     if low == "_formatdatetime":
         return _format_datetime(args)
+    if low == "_anylast":
+        # CH aggregate functions skip NULLs; Spark's last() keeps them by
+        # default — pass ignoreNulls explicitly
+        return f"last({args[0]}, true)"
+    if low in ("_least", "_greatest"):
+        # CH least/greatest propagate NULL (any NULL argument -> NULL);
+        # Spark's skip NULLs and return the least/greatest NON-NULL value
+        fn = low[1:]
+        null_any = " OR ".join(f"({a}) IS NULL" for a in args)
+        return (
+            f"(CASE WHEN {null_any} THEN NULL"
+            f" ELSE {fn}({', '.join(args)}) END)"
+        )
     if low.startswith("_tostartof"):
         unit = low[len("_tostartof"):]
         return f"date_trunc('{unit}', {args[0]})"

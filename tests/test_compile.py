@@ -639,9 +639,22 @@ def test_chcompat_r8_semantics_audit(spark):
          "'day %d of %M')", "day 05 of March"),
         ("formatDateTime(toDateTime('2024-03-05 07:08:09'), '%H%%')",
          "07%"),
+        # CH least/greatest propagate NULL; Spark's skip NULLs
+        ("least(3, 1)", 1),
+        ("least(3, NULL)", None),
+        ("greatest(NULL, 7)", None),
     ]
     for ch, want in cases:
         got = spark.sql(f"SELECT {translate_expr(ch)} AS v").collect()[0]["v"]
         if isinstance(got, list):
             got = list(got)
         assert got == want, (ch, translate_expr(ch), got, want)
+    # CH anyLast skips NULLs (aggregate NULL-skipping semantics)
+    spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b"), (4, None)], "k int, v string"
+    ).createOrReplaceTempView("chc8")
+    row = spark.sql(
+        "SELECT " + translate_expr("anyLast(v)") + " AS lv "
+        "FROM (SELECT * FROM chc8 ORDER BY k)"
+    ).collect()[0]
+    assert row["lv"] == "b"
