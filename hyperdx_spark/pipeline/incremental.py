@@ -1,0 +1,273 @@
+"""Incremental deduplication — a new batch against a persisted corpus
+index (the production loop: today's crawl vs. the historical store).
+
+Re-deduplicating the full corpus per crawl is O(corpus) every day; the
+incremental loop is O(batch) + one co-located join against the store:
+
+* **Exact**: the store is a bucketed table of content fingerprints
+  (``fp, keep_id``), bucketed AND sorted by ``fp``
+  (:func:`hyperdx_spark.io.write_bucketed` layout). The new batch is
+  fingerprinted, deduped in-batch, then anti/left-joined against the
+  store — Spark's bucketed-join rule shuffles ONLY the batch side into
+  the store's bucket layout; the (100 TB-scale) store is read in place,
+  file-per-bucket, with NO Exchange on its side of the plan (pytest
+  asserts the plan shape). Novel fingerprints append to the store through
+  the same bucket spec, so the layout — and the no-shuffle property —
+  survives every ingestion cycle.
+* **Near-dup (MinHash)**: the store keeps one row per (band, bucket, id)
+  plus the full signature, bucketed by ``bucket``. A new batch's band
+  buckets join the store's co-located layout; collisions are scored by
+  signature agreement (matching minhash coordinates / num_hashes — the
+  standard unbiased Jaccard estimate), so no shingle re-verification
+  against historical text is needed and the store never stores text.
+
+Reference context: the reference engine has no incremental dedup (it is
+an observability store); this is part of the training-data tier this
+repo adds on top (SURVEY §2 pipeline extensions), following the
+MinHash-LSH design of ``pipeline/dedup.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hyperdx_spark.io import write_bucketed
+from hyperdx_spark.pipeline.dedup import fingerprint
+
+DEFAULT_BUCKETS = 256
+
+
+# ------------------------------------------------------------------ exact
+
+def build_exact_store(
+    df: DataFrame,
+    table: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = DEFAULT_BUCKETS,
+) -> None:
+    """Seed the exact-fingerprint store from a corpus: one row per distinct
+    content (``fp, keep_id``), bucketed+sorted by ``fp``."""
+    fps = (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"))
+    )
+    write_bucketed(
+        fps, table, buckets=buckets, bucket_cols=["fp"], sort_cols=["fp"]
+    )
+
+
+def dedup_exact_against_store(
+    new_df: DataFrame,
+    spark: SparkSession,
+    table: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Classify a new batch against the store: one row per batch document
+    with ``(id, fp, status, dup_of)`` where status is ``novel`` (first
+    sighting anywhere), ``batch_dup`` (repeats an earlier doc of THIS
+    batch; dup_of = that doc) or ``store_dup`` (already in the corpus;
+    dup_of = the store's keeper id)."""
+    store = spark.table(table)
+    batch = new_df.select(F.col(id_col).alias("id"), fingerprint(text_col).alias("fp"))
+    batch = batch.withColumn(
+        "__first", F.min("id").over(Window.partitionBy("fp"))
+    )
+    j = batch.join(
+        store.select("fp", F.col("keep_id").alias("__store_id")),
+        on="fp",
+        how="left",
+    )
+    status = (
+        F.when(F.col("__store_id").isNotNull(), F.lit("store_dup"))
+        .when(F.col("id") != F.col("__first"), F.lit("batch_dup"))
+        .otherwise(F.lit("novel"))
+    )
+    dup_of = (
+        F.when(F.col("__store_id").isNotNull(), F.col("__store_id"))
+        .when(F.col("id") != F.col("__first"), F.col("__first"))
+    )
+    return j.select(
+        F.col("id").alias(id_col),
+        "fp",
+        status.alias("status"),
+        dup_of.alias("dup_of"),
+    )
+
+
+def _table_buckets(spark: SparkSession, table: str) -> int:
+    """Bucket count of an existing table, from the catalog (append writers
+    must re-declare the exact bucket spec or Spark refuses the write)."""
+    for row in spark.sql(f"DESCRIBE FORMATTED {table}").collect():
+        if row["col_name"].strip() == "Num Buckets":
+            return int(row["data_type"])
+    raise ValueError(f"table {table!r} is not bucketed")
+
+
+def append_novel_to_store(
+    classified: DataFrame, table: str, *, id_col: str = "doc_id"
+) -> None:
+    """Append the batch's novel fingerprints to the store, re-declaring
+    the store's bucket spec (required by the append writer) so the
+    co-located-join property survives the ingestion cycle."""
+    spark = classified.sparkSession
+    novel = (
+        classified.where(F.col("status") == "novel")
+        .select("fp", F.col(id_col).alias("keep_id"))
+    )
+    (
+        novel.write.mode("append")
+        .bucketBy(_table_buckets(spark, table), "fp")
+        .sortBy("fp")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+# ---------------------------------------------------------------- minhash
+
+def build_minhash_store(
+    df: DataFrame,
+    table: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    ngram: int = 3,
+    buckets: int = DEFAULT_BUCKETS,
+) -> None:
+    """Seed the near-dup store: one row per (band, bucket) per document,
+    carrying the full signature for collision scoring; bucketed by the
+    LSH bucket so incremental probes are co-located."""
+    sig = _signatures(df, text_col, id_col, num_hashes, ngram)
+    banded = _banded(sig, num_hashes, bands)
+    write_bucketed(
+        banded,
+        table,
+        buckets=buckets,
+        bucket_cols=["bucket"],
+        sort_cols=["bucket"],
+    )
+
+
+def neardup_against_store(
+    new_df: DataFrame,
+    spark: SparkSession,
+    table: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    ngram: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Probe a new batch against the near-dup store. Returns one row per
+    (new doc, store doc) whose estimated Jaccard — matching minhash
+    coordinates / num_hashes over the full signatures — clears
+    ``threshold``: ``(id, store_id, est_jaccard)``. Docs colliding in any
+    band are scored once (band collisions are deduped before scoring)."""
+    sig = _signatures(new_df, text_col, id_col, num_hashes, ngram)
+    probes = _banded(sig, num_hashes, bands)
+    store = spark.table(table)
+    cand = (
+        probes.select("band", "bucket", F.col("id"), F.col("sig"))
+        .join(
+            store.select(
+                "band",
+                "bucket",
+                F.col("id").alias("store_id"),
+                F.col("sig").alias("store_sig"),
+            ),
+            on=["band", "bucket"],
+            how="inner",
+        )
+        .where(F.col("id") != F.col("store_id"))
+        .select("id", "store_id", "sig", "store_sig")
+        .dropDuplicates(["id", "store_id"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(
+                    F.col("sig"), F.col("store_sig"), lambda a, b: a == b
+                ),
+                lambda x: x,
+            )
+        ).cast("double")
+        / F.lit(float(num_hashes))
+    )
+    return (
+        cand.withColumn("est_jaccard", est)
+        .where(F.col("est_jaccard") >= F.lit(float(threshold)))
+        .select("id", "store_id", "est_jaccard")
+    )
+
+
+def append_minhash_to_store(
+    new_df: DataFrame,
+    table: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    ngram: int = 3,
+) -> None:
+    """Add a batch's band rows to the near-dup store (same bucket spec)."""
+    spark = new_df.sparkSession
+    sig = _signatures(new_df, text_col, id_col, num_hashes, ngram)
+    (
+        _banded(sig, num_hashes, bands)
+        .write.mode("append")
+        .bucketBy(_table_buckets(spark, table), "bucket")
+        .sortBy("bucket")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+# ------------------------------------------------------------- internals
+
+def _signatures(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int, ngram: int
+) -> DataFrame:
+    """(id, sig array<long>) — the dedup.py signature shape (seed-exploded
+    min-agg, map-side combined; see minhash_lsh_pairs for why not a nested
+    transform)."""
+    from hyperdx_spark.pipeline.dedup import shingle_rows
+
+    exploded = shingle_rows(df, text_col, id_col, ngram)
+    seeded = exploded.select(
+        "id",
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
+        "s",
+    )
+    minh = seeded.groupBy("id", "seed").agg(
+        F.min(F.xxhash64("seed", "s")).alias("h")
+    )
+    return (
+        minh.groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("seed", "h"))).alias("__sh"))
+        .select("id", F.col("__sh.h").alias("sig"))
+    )
+
+
+def _banded(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    rows_per_band = num_hashes // bands
+    return sig.select(
+        "id",
+        "sig",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+    ).withColumn(
+        "bucket",
+        F.xxhash64(
+            "band", F.slice("sig", F.col("band") * rows_per_band + 1, rows_per_band)
+        ),
+    )
