@@ -1,10 +1,12 @@
 """Large-scale training-data pipeline operators.
 
 Beyond the reference's own query surface: deduplication (exact / MinHash-LSH /
-SimHash / n-gram Jaccard / embedding cosine), similarity search (brute-force
-and LSH/IVF-bucketed ANN), text analysis (language-ID, quality scoring, token
-counting, fingerprinting), deterministic sampling / train-mix curation, and
-multimodal column plumbing. All operators are
+SimHash / n-gram Jaccard / embedding cosine — batch and incremental against a
+persisted bucketed store), similarity search (brute-force and LSH/IVF-bucketed
+ANN), text analysis (language-ID, quality scoring, token counting,
+fingerprinting, the Gopher repetition family), deterministic sampling /
+train-mix curation, sequence packing (concat-and-chunk and whole-doc FFD),
+and multimodal column plumbing. All operators are
 DataFrame-native and designed for 100 TB inputs (inverted-index joins instead
 of pairwise cross joins, banding instead of all-pairs, broadcast for small
 sides).
@@ -13,7 +15,9 @@ sides).
 from hyperdx_spark.pipeline import (  # noqa: F401
     codecs,
     dedup,
+    incremental,
     multimodal,
+    packing,
     sampling,
     similarity,
     text,

@@ -129,6 +129,30 @@ def append_novel_to_store(
     )
 
 
+def compact_exact_store(spark: SparkSession, table: str) -> None:
+    """Store hygiene after many append cycles (the ``OPTIMIZE FINAL``
+    analogue of :func:`hyperdx_spark.streaming.mv_maintain.compact_rollup`):
+    re-aggregate to one row per fingerprint (min keep_id — idempotent even
+    if out-of-band writers ever double-inserted a fp) and rewrite the
+    bucketed layout in one pass, collapsing the per-append small files.
+    Sequential with the ingestion loop, like the appends themselves."""
+    buckets = _table_buckets(spark, table)
+    staging = f"{table}__compacting"
+    compacted = (
+        spark.table(table)
+        .groupBy("fp")
+        .agg(F.min("keep_id").alias("keep_id"))
+        .localCheckpoint()  # sever lineage from the table being replaced
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {staging}")
+    write_bucketed(
+        compacted, staging, buckets=buckets, bucket_cols=["fp"],
+        sort_cols=["fp"],
+    )
+    spark.sql(f"DROP TABLE {table}")
+    spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+
+
 # ---------------------------------------------------------------- minhash
 
 def build_minhash_store(

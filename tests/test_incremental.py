@@ -133,3 +133,32 @@ def test_minhash_incremental_probe_and_append(spark, minhash_store):
         ).collect()
     }
     assert {1, 10} <= hits
+
+
+def test_compact_exact_store(spark, exact_store):
+    """Compaction collapses per-append files to one row per fp and keeps
+    answers identical (keeper attribution preserved through the rewrite)."""
+    b1 = _df(spark, [(11, "brand new document")])
+    inc.append_novel_to_store(
+        inc.dedup_exact_against_store(b1, spark, "inc_store"), "inc_store"
+    )
+    before = sorted(map(tuple, spark.table("inc_store").collect()))
+    inc.compact_exact_store(spark, "inc_store")
+    after = sorted(map(tuple, spark.table("inc_store").collect()))
+    assert after == before  # one row per fp already; content unchanged
+    # the compacted table still classifies and still accepts appends
+    got = {
+        r["doc_id"]: (r["status"], r["dup_of"])
+        for r in inc.dedup_exact_against_store(
+            _df(spark, [(30, "brand new document"), (31, "even newer")]),
+            spark, "inc_store",
+        ).collect()
+    }
+    assert got == {30: ("store_dup", 11), 31: ("novel", None)}
+    inc.append_novel_to_store(
+        inc.dedup_exact_against_store(
+            _df(spark, [(31, "even newer")]), spark, "inc_store"
+        ),
+        "inc_store",
+    )
+    assert spark.table("inc_store").where("keep_id = 31").count() == 1
