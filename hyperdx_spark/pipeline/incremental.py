@@ -1,8 +1,11 @@
 """Incremental deduplication — a new batch against a persisted corpus
 index (the production loop: today's crawl vs. the historical store).
 
-Re-deduplicating the full corpus per crawl is O(corpus) every day; the
-incremental loop is O(batch) + one co-located join against the store:
+Re-deduplicating the full corpus per crawl re-reads and re-hashes every
+byte of text every day. The incremental loop hashes only the BATCH; the
+historical side is a fingerprint table (~50 B/doc — a 1 B-doc corpus is
+~50 GB of fingerprints, vs the corpus's ~100 TB of text) that the probe
+join scans shuffle-free in its persisted bucket layout:
 
 * **Exact**: the store is a bucketed table of content fingerprints
   (``fp, keep_id``), bucketed AND sorted by ``fp``
