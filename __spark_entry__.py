@@ -4148,7 +4148,10 @@ def q_lucene_dispatch2(spark, sf_dir):
     """§2.8 full term-kind dispatch in ONE query: JSON exists (`props.k:*`),
     numeric range, map field (`attrs.kind:sys`), array grouped syntax
     (`tags:(purchase OR error)`), negation, wildcard + quoted exact eq
-    (queryParser.ts:546-588, 1685-1709, 821-908, 2035-2055)."""
+    (queryParser.ts:546-588, 1685-1709, 821-908, 2035-2055), and — r9 —
+    the encodeSpecialTokens pre-pass (queryParser.ts:32-48): bare
+    `localhost:3000` token-searches the implicit body instead of
+    compiling a nonexistent-column reference (VERDICT r8 #1)."""
     ev = load_table(spark, sf_dir, "events", time_filter=("ts", *RANGE))
     df = ev.withColumn(
         "attrs",
@@ -4159,14 +4162,30 @@ def q_lucene_dispatch2(spark, sf_dir):
     ).withColumn(
         "tags",
         F.array(F.col("event_type"), F.concat(F.lit("u"), (F.col("user_id") % 5).cast("string"))),
+    ).withColumn(
+        "msg",
+        F.concat(
+            F.lit("conn localhost:"),
+            (F.lit(3000) + F.col("user_id") % 3).cast("string"),
+            F.lit(" via http://gw:8080/y"),
+        ),
+    )
+    src = Source(
+        table="events",
+        kind="log",
+        timestamp_value_expression="ts",
+        implicit_column_expression=["event_type", "msg"],
+        severity_text_expression="event_type",
+        service_name_expression="event_type",
     )
     cfg = ChartConfig(
-        source=_src(),
+        source=src,
         select="event_id, ts, event_type, value",
         where=(
             'props.k:* AND props.k:>=20 AND value:[10 TO 90] AND '
             'attrs.kind:sys AND tags:(purchase OR error) AND '
-            'NOT event_type:click AND (event_type:err* OR event_type:"purchase")'
+            'NOT event_type:click AND (event_type:err* OR event_type:"purchase") '
+            'AND localhost:3000'
         ),
         where_language="lucene",
         order_by="ts ASC, event_id ASC",
@@ -4188,6 +4207,23 @@ WHERE {TIME_WHERE}
        OR lower('u' || (user_id % 5)::VARCHAR) LIKE '%error%')
   AND NOT (lower(event_type) LIKE '%click%')
   AND (lower(event_type) LIKE 'err%' OR event_type = 'purchase')
+  AND len(list_filter(
+        regexp_split_to_array(
+          lower(concat_ws(';', coalesce(event_type, ''),
+                'conn localhost:' || (3000 + user_id % 3)::VARCHAR
+                || ' via http://gw:8080/y')),
+          '[[:punct:][:space:][:cntrl:]]+'),
+        x -> x = 'localhost')) > 0
+  AND len(list_filter(
+        regexp_split_to_array(
+          lower(concat_ws(';', coalesce(event_type, ''),
+                'conn localhost:' || (3000 + user_id % 3)::VARCHAR
+                || ' via http://gw:8080/y')),
+          '[[:punct:][:space:][:cntrl:]]+'),
+        x -> x = '3000')) > 0
+  AND lower(concat_ws(';', coalesce(event_type, ''),
+        'conn localhost:' || (3000 + user_id % 3)::VARCHAR
+        || ' via http://gw:8080/y')) LIKE '%localhost:3000%'
 ORDER BY ts, event_id LIMIT 300
 """
 

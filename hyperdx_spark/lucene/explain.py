@@ -8,8 +8,10 @@ from the syntax alone)."""
 
 from __future__ import annotations
 
+from dataclasses import replace as _replace
+
 from hyperdx_spark.lucene.ast import BoolOp, Group, MatchAll, Node, Not, Range, Term
-from hyperdx_spark.lucene.parser import parse
+from hyperdx_spark.lucene.parser import decode_special_tokens, parse
 
 _CMP_PHRASE = {
     ">": "is greater than",
@@ -32,6 +34,10 @@ def explain_node(node: Node, implicit_name: str = "event") -> str:
     if isinstance(node, MatchAll):
         return "anything"
     if isinstance(node, Term):
+        # show 'localhost:3000', not the protected placeholder (our SQL
+        # serializer decodes at queryParser.ts:1949 parity; the reference's
+        # EnglishSerializer skips this — a cosmetic fix, noted deviation)
+        node = _replace(node, value=decode_special_tokens(node.value))
         f = _field(node.field, implicit_name)
         neg = node.negated
         if node.value == "*" and not node.quoted:

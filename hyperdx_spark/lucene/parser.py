@@ -13,9 +13,13 @@ Grammar (mirrors @hyperdx/lucene as used by the reference,
     value   := '"..."' | '[a TO b]' | '{a TO b}' | ('>='|'<='|'>'|'<')? word
              | '(' or ')'                           # grouped, inherits field
 
-Special-token handling: URLs and other colon-bearing words are kept whole
-unless the prefix looks like a field name (the reference encodes them as
-special tokens instead — queryParser.ts:32-48).
+Special-token handling mirrors the reference's ``encodeSpecialTokens`` /
+``decodeSpecialTokens`` pair (queryParser.ts:32-48): before tokenizing,
+``\\\\``, ``http://`` / ``https://`` scheme colons, ``localhost:<port>``
+and escaped ``\\:`` are rewritten into protected placeholder tokens so the
+field-split never fires on them; the serializer decodes term text back at
+dispatch time (queryParser.ts:1949). A ``//``-lookahead additionally keeps
+other URL-shaped words whole.
 """
 
 from __future__ import annotations
@@ -28,6 +32,38 @@ from hyperdx_spark.lucene.ast import BoolOp, Group, MatchAll, Node, Not, Range, 
 
 _FIELD_RE = re.compile(r"[A-Za-z_@#][\w.@#\-]*")
 _CMP_PREFIXES = (">=", "<=", ">", "<")
+
+# --- special-token encode/decode (queryParser.ts:32-48, verbatim order) ---
+_LOCALHOST_ENC_RE = re.compile(r"localhost:(\d{1,5})")
+_LOCALHOST_DEC_RE = re.compile(r"localhost_COLON_(\d{1,5})")
+
+
+def encode_special_tokens(query: str) -> str:
+    """Protect colon-bearing literals from the field-split pass.
+
+    Mirrors ``encodeSpecialTokens`` (queryParser.ts:32-38): literal ``\\\\``,
+    URL scheme colons, ``localhost:<1-5 digit port>`` and escaped ``\\:``
+    become placeholder tokens that contain no separator characters.
+    """
+    query = query.replace("\\\\", "HDX_BACKSLASH_LITERAL")
+    query = query.replace("http://", "http_COLON_//")
+    query = query.replace("https://", "https_COLON_//")
+    query = _LOCALHOST_ENC_RE.sub(r"localhost_COLON_\1", query)
+    query = query.replace("\\:", "HDX_COLON")
+    return query
+
+
+def decode_special_tokens(text: str) -> str:
+    """Restore placeholder tokens inside a term value
+    (``decodeSpecialTokens``, queryParser.ts:40-48, same replacement order;
+    the ``\\"`` step is handled by the quote tokenizer here)."""
+    text = text.replace('\\"', '"')
+    text = text.replace("HDX_BACKSLASH_LITERAL", "\\")
+    text = text.replace("http_COLON_//", "http://")
+    text = text.replace("https_COLON_//", "https://")
+    text = _LOCALHOST_DEC_RE.sub(r"localhost:\1", text)
+    text = text.replace("HDX_COLON", ":")
+    return text
 
 
 @dataclass
@@ -214,7 +250,10 @@ def parse(query: str) -> Node:
     query = (query or "").strip()
     if not query:
         return MatchAll()
-    toks = _tokenize(query)
+    # encode BEFORE tokenizing (queryParser.ts:51) so 'localhost:3000' and
+    # friends never reach the field-split branch; term values are decoded
+    # back by the serializer at dispatch time.
+    toks = _tokenize(encode_special_tokens(query))
     if not toks:
         return MatchAll()
     p = _Parser(toks)

