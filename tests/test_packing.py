@@ -178,3 +178,56 @@ def test_fuzz_packing_invariants(spark, tokens):
     assert {r["doc_id"] for r in ffd} == {
         i for i, t in enumerate(tokens) if t > 0
     }
+
+
+def test_first_fit_tree_equals_linear_scan():
+    """_FirstFitTree must pick EXACTLY the pack a naive linear first-fit
+    scan picks, across thousands of random placements (the r8 'weak'
+    rewrite changes cost, never output)."""
+    import random
+
+    from hyperdx_spark.pipeline.packing import _FirstFitTree
+
+    rng = random.Random(7)
+    for trial in range(20):
+        cap = rng.randint(50, 4000)
+        sizes = sorted(
+            (rng.randint(1, cap) for _ in range(rng.randint(1, 3000))),
+            reverse=True,
+        )
+        tree = _FirstFitTree()
+        naive: list = []
+        for s in sizes:
+            want = next((i for i, r in enumerate(naive) if r >= s), -1)
+            got = tree.find_first(s)
+            assert got == want, (trial, s)
+            if want >= 0:
+                naive[want] -= s
+                tree.take(want, s)
+            else:
+                naive.append(cap - s)
+                assert tree.add_bin(cap - s) == len(naive) - 1
+
+
+def test_pack_ffd_string_ids(spark):
+    df = spark.createDataFrame(
+        [(f"doc-{i:03d}", t) for i, t in enumerate([100, 28, 120, 8, 200, 64])],
+        "doc_id string, n_tokens long",
+    )
+    rows = pack_ffd(df, SEQ, num_shards=2).collect()
+    assert {r["doc_id"] for r in rows} == {f"doc-{i:03d}" for i in range(6)}
+    assert all(isinstance(r["doc_id"], str) for r in rows)
+    over = {r["doc_id"]: r["oversize"] for r in rows}
+    assert over["doc-004"] and not over["doc-000"]
+
+
+def test_pack_ffd_auto_shards(spark):
+    # default num_shards derives from corpus size (floor 64): a small
+    # corpus spreads over 64 hash shards, output covers every doc once
+    df = spark.createDataFrame(
+        [(i, 10 + i % 50) for i in range(500)], "doc_id long, n_tokens long"
+    )
+    rows = pack_ffd(df, SEQ).collect()
+    assert len(rows) == 500
+    assert len({r["shard"] for r in rows}) > 1
+    assert max(r["shard"] for r in rows) < 64
