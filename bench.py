@@ -64,23 +64,43 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Box-load context (VERDICT r8 #4): two rounds of driver-bench drift
+    # (+23% cumulative) that same-session replays contradicted — record
+    # load average + wall timestamps + per-query cold runs so a drifted
+    # number can be attributed to box contention instead of relitigated.
+    env = {
+        "ts_start": time.strftime("%Y-%m-%dT%H:%M:%S%z"),
+        "loadavg_start": [round(x, 2) for x in os.getloadavg()],
+        "cpus": int(cpus),
+    }
+
     # HEADLINE names bind to module-level functions (not the consolidated
     # registry) so per-query timings stay comparable across rounds even as
-    # registry entries merge/rename.
+    # registry entries merge/rename. One throwaway warm-up query first
+    # (JVM/codegen/page-cache warm) — its time is recorded, not counted.
+    t0 = time.perf_counter()
     materialize(entrymod.q_tpch_q1(spark, sf_dir).limit(1))
+    env["warmup_s"] = round(time.perf_counter() - t0, 3)
 
     # best-of-3: this box's run-to-run noise is ±50%+ (documented in
     # SCALE.md); single bad runs have shown 10x outliers on the
     # shuffle-heavy queries, and two samples are not enough to shed them
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in HEADLINE:
         fn = getattr(entrymod, name)
         best = float("inf")
-        for _ in range(3):
+        for i in range(3):
             t0 = time.perf_counter()
             materialize(fn(spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            if i == 0:
+                cold[name] = round(dt, 3)
+            best = min(best, dt)
         timings[name] = round(best, 3)
+
+    env["ts_end"] = time.strftime("%Y-%m-%dT%H:%M:%S%z")
+    env["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
 
     total = round(sum(timings.values()), 3)
     print(
@@ -90,6 +110,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_cold": cold,
+                "cold_total": round(sum(cold.values()), 3),
+                "env": env,
                 "sf": sf,
             }
         )
