@@ -3671,11 +3671,65 @@ def q_dedup_all(spark, sf_dir):
         F.length(text.strip_html("__html")).cast("long").alias("v1"),
         F.floor(text.link_density("__html") * 10000).cast("long").alias("v2"),
     )
+    # -- r9: driver-gate coverage for the r8 operator families (VERDICT
+    # r8 #6). pack: concat-and-chunk spans with ONE shard so the DuckDB
+    # window replay is engine-exact (the xxhash64 shard assignment is not
+    # SQL-replayable; the multi-shard path is pytest-oracled with the
+    # shard map fetched from Spark). Token counts are arithmetic
+    # (length % 97 + 1) — packing arithmetic is what's pinned, not a
+    # tokenizer. storeprobe: incremental exact-dedup classification of a
+    # 1-in-10 batch against a store seeded from the other 9/10
+    # (fingerprint = md5 of normalized text, so DuckDB replays the whole
+    # classification; localCheckpoint decouples the returned frame from
+    # the managed table so later overwrites can't invalidate it).
+    from hyperdx_spark.pipeline import incremental as _inc
+    from hyperdx_spark.pipeline import packing as _packing
+
+    pdocs = docs.select(
+        "doc_id", (F.length("text") % 97 + 1).cast("long").alias("nt")
+    )
+    packpart = _packing.pack_sequences(
+        pdocs, 64, id_col="doc_id", token_count_col="nt", num_shards=1
+    ).select(
+        F.lit("pack").alias("part"),
+        F.concat_ws(
+            ":", F.col("doc_id").cast("string"), F.col("seq_id").cast("string")
+        ).alias("k"),
+        (F.col("doc_tok_begin") * 1000 + F.col("doc_tok_end"))
+        .cast("long").alias("v1"),
+        F.col("seq_off").cast("long").alias("v2"),
+    )
+    # a previous session may have left the managed-table directory behind
+    # without a catalog entry (fresh derby per session) — clear both
+    import os as _os
+    import shutil as _shutil
+
+    spark.sql("DROP TABLE IF EXISTS gate_inc_store")
+    _wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    _wh = _wh[len("file:"):] if _wh.startswith("file:") else _wh
+    _shutil.rmtree(_os.path.join(_wh, "gate_inc_store"), ignore_errors=True)
+    _inc.build_exact_store(
+        docs.where(F.col("doc_id") % 10 != 0), "gate_inc_store", buckets=8
+    )
+    stat_code = (
+        F.when(F.col("status") == "store_dup", 2)
+        .when(F.col("status") == "batch_dup", 1)
+        .otherwise(0)
+    )
+    storeprobe = _inc.dedup_exact_against_store(
+        docs.where(F.col("doc_id") % 10 == 0), spark, "gate_inc_store"
+    ).select(
+        F.lit("storeprobe").alias("part"),
+        F.col("doc_id").cast("string").alias("k"),
+        stat_code.cast("long").alias("v1"),
+        F.coalesce(F.col("dup_of"), F.lit(-1)).cast("long").alias("v2"),
+    ).localCheckpoint()
     return (
         exact.unionByName(groups).unionByName(samp).unionByName(mix)
         .unionByName(span).unionByName(contam).unionByName(semkeep)
         .unionByName(semdedup).unionByName(srccut).unionByName(topgram)
-        .unionByName(langid).unionByName(htmlstrip)
+        .unionByName(langid).unionByName(htmlstrip).unionByName(packpart)
+        .unionByName(storeprobe)
     )
 
 
@@ -3991,6 +4045,47 @@ SELECT 'htmlstrip' AS part, doc_id::VARCHAR AS k,
        floor(({_ANCHOR_LEN}::DOUBLE
               / length({_strip_html_sql('h')})::DOUBLE) * 10000)::BIGINT AS v2
 FROM (SELECT doc_id, {_HTML_EXPR} AS h FROM documents) hh
+UNION ALL
+-- concat-and-chunk packing replay: one shard, ascending doc_id, running
+-- sum cut into 64-token windows (same spans as pack_sequences)
+SELECT 'pack' AS part, doc_id::VARCHAR || ':' || seq_id::VARCHAR AS k,
+       ((gb - lo) * 1000 + (le - lo))::BIGINT AS v1,
+       (gb - seq_id * 64)::BIGINT AS v2
+FROM (
+  WITH pd AS (SELECT doc_id, (length(text) % 97 + 1)::BIGINT AS t
+              FROM documents),
+  pc AS (SELECT doc_id, t,
+                sum(t) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS e
+         FROM pd),
+  ps AS (SELECT doc_id, e - t AS lo, e FROM pc),
+  px AS (SELECT doc_id, lo, e,
+                unnest(range((lo // 64)::BIGINT,
+                             ((e - 1) // 64 + 1)::BIGINT)) AS seq_id
+         FROM ps)
+  SELECT doc_id, seq_id, lo, greatest(lo, seq_id * 64) AS gb,
+         least(e, (seq_id + 1) * 64) AS le
+  FROM px
+) pk
+UNION ALL
+-- incremental exact-store probe replay: history = 9/10 of docs grouped
+-- to (fp, min keep_id); batch rows classify store_dup(2) / batch_dup(1)
+-- / novel(0) with dup_of attribution
+SELECT 'storeprobe' AS part, doc_id::VARCHAR AS k,
+       (CASE WHEN keep_id IS NOT NULL THEN 2
+             WHEN doc_id != first_id THEN 1 ELSE 0 END)::BIGINT AS v1,
+       coalesce(CASE WHEN keep_id IS NOT NULL THEN keep_id
+                     WHEN doc_id != first_id THEN first_id END, -1)::BIGINT AS v2
+FROM (
+  WITH fpt AS (SELECT doc_id,
+                      md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+               FROM documents),
+  hst AS (SELECT fp, min(doc_id) AS keep_id FROM fpt
+          WHERE doc_id % 10 != 0 GROUP BY 1),
+  bt AS (SELECT doc_id, fp, min(doc_id) OVER (PARTITION BY fp) AS first_id
+         FROM fpt WHERE doc_id % 10 = 0)
+  SELECT bt.doc_id, bt.first_id, hst.keep_id
+  FROM bt LEFT JOIN hst USING (fp)
+) sp
 """
 
 
