@@ -182,17 +182,34 @@ def _rewrite_call(name: str, args: list[str]) -> str:
     if low == "_touint64orzero":
         return f"coalesce(try_cast({args[0]} AS BIGINT), 0)"
     if low == "_intdiv":
-        return f"({args[0]} div {args[1]})"
+        # CH intDiv rounds DOWN (toward -inf, per its docs); Spark's `div`
+        # truncates toward zero — subtract 1 when signs differ and the
+        # division is inexact (intDiv(-7, 2) = -4, not -3)
+        a, b = args[0], args[1]
+        return (
+            f"((({a}) div ({b})) - CASE WHEN (({a}) % ({b})) != 0 "
+            f"AND ((({a}) < 0) != (({b}) < 0)) THEN 1 ELSE 0 END)"
+        )
     if low == "_empty":
         return f"({args[0]} IS NULL OR {args[0]} = '')"
     if low == "_notempty":
         return f"({args[0]} IS NOT NULL AND {args[0]} != '')"
     if low == "_arraysum":
-        return f"aggregate({args[0]}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+        # CH skips NULL elements (arraySum([1, NULL, 2]) = 3); a bare
+        # acc + x would poison the whole sum
+        return (
+            f"aggregate({args[0]}, CAST(0 AS DOUBLE), "
+            f"(acc, x) -> acc + coalesce(x, CAST(0 AS DOUBLE)))"
+        )
     if low == "_jsonextractstring":
+        # CH JSONExtract* return the TYPE DEFAULT on a missing key ('' /
+        # 0 / 0.0), not NULL; NULL input still propagates
         col, keys = args[0], args[1:]
         path = "$." + ".".join(k.strip().strip("'\"") for k in keys)
-        return f"get_json_object({col}, '{path}')"
+        return (
+            f"if({col} IS NULL, NULL, "
+            f"coalesce(get_json_object({col}, '{path}'), ''))"
+        )
     if low == "_multiif":
         # multiIf(c1, v1, c2, v2, ..., else) -> CASE WHEN
         parts = ["CASE"]
@@ -203,7 +220,39 @@ def _rewrite_call(name: str, args: list[str]) -> str:
         parts.append(f"ELSE {args[-1]} END")
         return " ".join(parts)
     if low == "_tostartofinterval":
-        return f"date_trunc({args[1]}, {args[0]})"  # limited: named units
+        # CH's bucketing workhorse: toStartOfInterval(t, INTERVAL n unit).
+        # Sub-day intervals align to the epoch (unix div); week to the
+        # first epoch Monday 1970-01-05; month/quarter/year to 1970-01.
+        m = re.fullmatch(
+            r"(?i)INTERVAL\s+(\d+)\s+"
+            r"(second|minute|hour|day|week|month|quarter|year)s?",
+            args[1].strip(),
+        )
+        if m:
+            n, unit = int(m.group(1)), m.group(2).lower()
+            if unit in ("second", "minute", "hour", "day"):
+                secs = n * {"second": 1, "minute": 60, "hour": 3600,
+                            "day": 86400}[unit]
+                return (
+                    f"timestamp_seconds((unix_timestamp({args[0]}) "
+                    f"div {secs}) * {secs})"
+                )
+            if n == 1:
+                # CH returns Date for week/month/quarter/year intervals
+                return f"to_date(date_trunc('{unit}', {args[0]}))"
+            if unit == "week":
+                step = 7 * n
+                return (
+                    f"date_add(DATE'1970-01-05', cast(((datediff(to_date("
+                    f"{args[0]}), DATE'1970-01-05')) div {step}) * {step} "
+                    f"AS INT))"
+                )
+            months = n * {"month": 1, "quarter": 3, "year": 12}[unit]
+            return (
+                f"add_months(DATE'1970-01-01', (((year({args[0]}) - 1970) "
+                f"* 12 + month({args[0]}) - 1) div {months}) * {months})"
+            )
+        return f"date_trunc({args[1]}, {args[0]})"  # named-unit string form
     if low == "_tostartoffiveminute":
         return f"timestamp_seconds((unix_timestamp({args[0]}) div 300) * 300)"
     if low == "_tostartoffifteenminute":
@@ -228,8 +277,16 @@ def _rewrite_call(name: str, args: list[str]) -> str:
         idx = 1 if "(" in pat.strip("'\"") else 0
         return f"regexp_extract_all({args[0]}, {args[1]}, {idx})"
     if low == "_datediff":
-        unit = args[0].strip().strip("'\"")
-        return f"timestampdiff({unit}, {args[1]}, {args[2]})"
+        # CH dateDiff counts UNIT-BOUNDARY CROSSINGS, not complete units:
+        # dateDiff('day', '...23:00', next-day '...01:00') = 1 where a raw
+        # timestampdiff says 0. Truncate both endpoints to the unit first
+        # (exact on truncated values for every supported unit; 'week'
+        # truncates to Monday, matching CH's Monday-based week diff).
+        unit = args[0].strip().strip("'\"").lower()
+        return (
+            f"timestampdiff({unit}, date_trunc('{unit}', {args[1]}), "
+            f"date_trunc('{unit}', {args[2]}))"
+        )
     if low == "_toyyyymm":
         return f"cast(date_format({args[0]}, 'yyyyMM') AS INT)"
     if low == "_todayofweek":
@@ -238,11 +295,17 @@ def _rewrite_call(name: str, args: list[str]) -> str:
     if low == "_jsonextractint":
         col, keys = args[0], args[1:]
         path = "$." + ".".join(k.strip().strip("'\"") for k in keys)
-        return f"try_cast(get_json_object({col}, '{path}') AS BIGINT)"
+        return (
+            f"if({col} IS NULL, NULL, coalesce(try_cast("
+            f"get_json_object({col}, '{path}') AS BIGINT), 0))"
+        )
     if low == "_jsonextractfloat":
         col, keys = args[0], args[1:]
         path = "$." + ".".join(k.strip().strip("'\"") for k in keys)
-        return f"try_cast(get_json_object({col}, '{path}') AS DOUBLE)"
+        return (
+            f"if({col} IS NULL, NULL, coalesce(try_cast("
+            f"get_json_object({col}, '{path}') AS DOUBLE), 0.0))"
+        )
     if low == "_jsonhas":
         col, keys = args[0], args[1:]
         path = "$." + ".".join(k.strip().strip("'\"") for k in keys)
@@ -339,13 +402,17 @@ def _rewrite_call(name: str, args: list[str]) -> str:
 # (formatdatetime_format_without_leading_zeros era: month NAME; the minute
 # is %i). Literal letters in the format must be single-quoted for Java.
 _CH_FMT = {
-    "Y": "yyyy", "y": "yy", "m": "MM", "c": "M", "d": "dd", "e": "d",
-    "H": "HH", "k": "H", "h": "hh", "I": "hh", "i": "mm", "s": "ss",
+    "Y": "yyyy", "y": "yy", "m": "MM", "c": "M", "d": "dd",
+    "H": "HH", "h": "hh", "I": "hh", "i": "mm", "s": "ss",
     "S": "ss", "f": "SSSSSS", "p": "a", "j": "DDD", "a": "EEE",
-    "W": "EEEE", "M": "MMMM", "b": "MMM", "Q": "QQ", "g": "yy", "G": "yyyy",
+    "W": "EEEE", "M": "MMMM", "b": "MMM", "Q": "Q", "g": "yy", "G": "yyyy",
     "F": "yyyy-MM-dd", "D": "MM/dd/yy", "T": "HH:mm:ss", "R": "HH:mm",
     "n": "'\n'", "t": "'\t'", "%": "'%'",
 }
+# CH %e / %k are SPACE-padded day / hour — Java has no space-padded
+# pattern, so these render as lpad(date_format(t, 'd'|'H'), 2, ' ')
+# segments concatenated around the plain date_format pieces
+_CH_FMT_PAD = {"e": "d", "k": "H"}
 
 
 def _format_datetime(args: list[str]) -> str:
@@ -370,6 +437,7 @@ def _format_datetime(args: list[str]) -> str:
                 out.append(text)
             lit.clear()
 
+    pads: list[tuple[int, str]] = []  # (position in out, java pattern)
     i = 0
     while i < len(body):
         c = body[i]
@@ -380,13 +448,38 @@ def _format_datetime(args: list[str]) -> str:
                 out.append(_CH_FMT[tok])
                 i += 2
                 continue
+            if tok in _CH_FMT_PAD:
+                flush()
+                pads.append((len(out), _CH_FMT_PAD[tok]))
+                out.append("")  # placeholder: splits the format here
+                i += 2
+                continue
         lit.append(c)
         i += 1
     flush()
-    java = "".join(out).replace('"', '\\"')
-    # double-quoted SQL literal: the Java pattern quotes literal runs with
-    # single quotes, which would terminate a single-quoted SQL string
-    return f'date_format({args[0]}, "{java}")'
+
+    def _fmt(java: str) -> str:
+        # double-quoted SQL literal: the Java pattern quotes literal runs
+        # with single quotes, which would end a single-quoted SQL string
+        return f'date_format({args[0]}, "{java}")'
+
+    if not pads:
+        return _fmt("".join(out).replace('"', '\\"'))
+    # space-padded tokens: concat plain segments with lpad'd ones
+    pieces: list[str] = []
+    pad_at = dict(pads)
+    seg: list[str] = []
+    for idx, part in enumerate(out):
+        if idx in pad_at:
+            if seg:
+                pieces.append(_fmt("".join(seg).replace('"', '\\"')))
+                seg = []
+            pieces.append(f"lpad({_fmt(pad_at[idx])}, 2, ' ')")
+        else:
+            seg.append(part)
+    if seg:
+        pieces.append(_fmt("".join(seg).replace('"', '\\"')))
+    return "concat(" + ", ".join(pieces) + ")"
 
 
 def translate_expr(expr: str) -> str:

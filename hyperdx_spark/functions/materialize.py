@@ -35,7 +35,33 @@ _ELEM_RE = re.compile(r"element_at\(\s*`?(\w+)`?\s*,\s*'([^']+)'\s*\)")
 _SUBSCRIPT_RE = re.compile(r"`?(\w+)`?\[\s*'([^']+)'\s*\]")
 _DOTPATH_RE = re.compile(r"\w+(?:\.\w+)+")
 
-_ACCESSOR_RES = (_GJO_RE, _ELEM_RE, _SUBSCRIPT_RE)
+# chcompat's JSONExtract* rewrites wrap get_json_object in the CH
+# missing-key default (if(col IS NULL, NULL, coalesce(..., '' | 0 | 0.0)))
+# — match the WHOLE wrapper so substitution removes every reference to the
+# JSON blob, not just the inner accessor (column pruning depends on it)
+_GJO_STR_WRAP_RE = re.compile(
+    r"if\(\s*`?(?:\w+)`?\s+IS\s+NULL\s*,\s*NULL\s*,\s*coalesce\(\s*"
+    r"get_json_object\(\s*`?(\w+)`?\s*,\s*'\$\.([^']+)'\s*\)\s*,\s*''\s*\)\s*\)"
+)
+_GJO_INT_WRAP_RE = re.compile(
+    r"if\(\s*`?(?:\w+)`?\s+IS\s+NULL\s*,\s*NULL\s*,\s*coalesce\(\s*try_cast\(\s*"
+    r"get_json_object\(\s*`?(\w+)`?\s*,\s*'\$\.([^']+)'\s*\)\s+AS\s+BIGINT\s*\)"
+    r"\s*,\s*0\s*\)\s*\)"
+)
+_GJO_FLT_WRAP_RE = re.compile(
+    r"if\(\s*`?(?:\w+)`?\s+IS\s+NULL\s*,\s*NULL\s*,\s*coalesce\(\s*try_cast\(\s*"
+    r"get_json_object\(\s*`?(\w+)`?\s*,\s*'\$\.([^']+)'\s*\)\s+AS\s+DOUBLE\s*\)"
+    r"\s*,\s*0\.0\s*\)\s*\)"
+)
+
+_ACCESSOR_RES = (
+    _GJO_STR_WRAP_RE,
+    _GJO_INT_WRAP_RE,
+    _GJO_FLT_WRAP_RE,
+    _GJO_RE,
+    _ELEM_RE,
+    _SUBSCRIPT_RE,
+)
 
 
 def canonical_key(key: str) -> str:

@@ -699,6 +699,12 @@ class _Parser:
             param = -float(kv) if neg else float(kv)
             if v == "limit_ratio" and not (-1.0 <= param <= 1.0):
                 raise ValueError("limit_ratio param must be in [-1, 1]")
+            if v == "limitk" and (param < 0 or param != int(param)):
+                # upstream rejects fractional / negative k at parse time;
+                # silently truncating limitk(2.9, v) to 2 hid user errors
+                raise ValueError(
+                    "limitk param must be a non-negative integer"
+                )
             self.expect(",")
             arg = self.cmp()
             self.expect(")")
@@ -1477,7 +1483,7 @@ class PromQLEngine:
             )
             return g.select(
                 "__step", *label_cols, arr_median(dev).alias("value")
-            )
+            ).where(F.col("value").isNotNull())  # all-NULL window: no row
         agg = {
             "avg_over_time": F.avg(val),
             "min_over_time": F.min(val),

@@ -1081,6 +1081,27 @@ def test_experimental_functions_are_gated(spark, fn_engine):
         parse(q, experimental=True)
     with pytest.raises(ValueError):
         parse("limit_ratio(1.5, c)", experimental=True)  # r outside [-1, 1]
+    # limitk k must be a non-negative integer (upstream parse-time check);
+    # truncating 2.9 -> 2 or treating -1 as empty hid user errors
+    with pytest.raises(ValueError, match="non-negative integer"):
+        parse("limitk(2.9, c)", experimental=True)
+    with pytest.raises(ValueError, match="non-negative integer"):
+        parse("limitk(-1, c)", experimental=True)
+
+
+def test_mad_over_time_all_null_window_emits_no_row(spark, exp_engine):
+    """A window whose samples are all NULL must yield NO row, matching the
+    quantile_over_time guard (ADVICE r8)."""
+    import math
+    from datetime import timedelta
+
+    t = T0 + timedelta(minutes=30)
+    rows = exp_engine.query_range(
+        spark, "mad_over_time(c[5m])", t, t, 60
+    ).collect()
+    assert all(
+        r["value"] is not None and not math.isnan(r["value"]) for r in rows
+    )
 
 
 def test_mad_over_time(spark, exp_engine):
