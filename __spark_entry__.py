@@ -2347,13 +2347,23 @@ WHERE {TIME_WHERE} ORDER BY event_id LIMIT 100
 # --------------------------------------------------------------------------
 
 def q_chcompat(spark, sf_dir):
+    """§2.12 shim in a raw select passthrough. r9 adds the audit-fixed
+    semantics so the driver gate pins them: dateDiff boundary-crossing
+    counts (DuckDB's date_diff natively counts crossings, like CH),
+    toStartOfInterval INTERVAL grids, floor-rounding intDiv on negatives
+    (emulated in the oracle — DuckDB // truncates), and the JSONExtract
+    missing-key '' default."""
     cfg = ChartConfig(
         source=_src(),
         select=(
             "event_id, toStartOfDay(ts) AS day, toString(event_id) AS id_str, "
             "toFloat64OrDefault(JSONExtractString(props, 'k'), -1.0) AS k_num, "
             "multiIf(value >= 50, 'hi', value >= 20, 'mid', 'lo') AS band, "
-            "intDiv(user_id, 10) AS cohort"
+            "intDiv(user_id, 10) AS cohort, "
+            "dateDiff('day', toDateTime('2024-01-01 12:00:00'), ts) AS dd, "
+            "toStartOfInterval(ts, INTERVAL 10 minute) AS tsi, "
+            "intDiv(user_id - 5000, 7) AS idiv_neg, "
+            "JSONExtractString(props, 'nope') AS missing_key"
         ),
         order_by="event_id ASC",
         limit=100,
@@ -2366,7 +2376,13 @@ O_CHCOMPAT = f"""
 SELECT event_id, date_trunc('day', ts) AS day, event_id::VARCHAR AS id_str,
        coalesce(try_cast(json_extract_string(props, '$.k') AS DOUBLE), -1.0) AS k_num,
        CASE WHEN value >= 50 THEN 'hi' WHEN value >= 20 THEN 'mid' ELSE 'lo' END AS band,
-       user_id // 10 AS cohort
+       user_id // 10 AS cohort,
+       date_diff('day', TIMESTAMP '2024-01-01 12:00:00', ts) AS dd,
+       make_timestamp((floor(epoch(ts))::BIGINT // 600) * 600 * 1000000) AS tsi,
+       (CASE WHEN (user_id - 5000) % 7 != 0 AND (user_id - 5000) < 0
+             THEN (user_id - 5000) // 7 - 1
+             ELSE (user_id - 5000) // 7 END) AS idiv_neg,
+       coalesce(json_extract_string(props, '$.nope'), '') AS missing_key
 FROM events WHERE {TIME_WHERE}
 ORDER BY event_id LIMIT 100
 """
