@@ -160,13 +160,43 @@ def compact_exact_store(spark: SparkSession, table: str) -> None:
         compacted, staging, buckets=buckets, bucket_cols=["fp"],
         sort_cols=["fp"],
     )
+    _swap_in_staging(spark, table)
+
+
+def _swap_in_staging(spark: SparkSession, table: str) -> None:
+    """Rename-aside swap shared by the store compactions: live table to
+    ``__old``, staging in, old dropped — every statement boundary leaves
+    the full data under a deterministic name (recover_exact_store)."""
+    staging, old = f"{table}__compacting", f"{table}__old"
     spark.sql(f"ALTER TABLE {table} RENAME TO {old}")
     spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
     spark.sql(f"DROP TABLE {old}")
 
 
+def compact_minhash_store(spark: SparkSession, table: str) -> None:
+    """Near-dup-store hygiene, the :func:`compact_exact_store` sibling:
+    collapse the per-append files back into one bucketed write (dropping
+    exact duplicate (band, bucket, id) rows if an append was ever
+    replayed) via the same crash-safe rename-aside swap; recovery is
+    :func:`recover_exact_store` with this table name."""
+    buckets = _table_buckets(spark, table)
+    staging, old = f"{table}__compacting", f"{table}__old"
+    compacted = spark.table(table).dropDuplicates(
+        ["band", "bucket", "id"]
+    ).localCheckpoint()
+    spark.sql(f"DROP TABLE IF EXISTS {staging}")
+    spark.sql(f"DROP TABLE IF EXISTS {old}")
+    write_bucketed(
+        compacted, staging, buckets=buckets, bucket_cols=["bucket"],
+        sort_cols=["bucket"],
+    )
+    _swap_in_staging(spark, table)
+
+
 def recover_exact_store(spark: SparkSession, table: str) -> str:
-    """Restore the canonical store name after a crash mid-compaction.
+    """Restore the canonical store name after a crash mid-compaction
+    (works for both the exact and the minhash store — the name protocol
+    is shared).
 
     Every :func:`compact_exact_store` failure point leaves the complete
     store under exactly one of three names; this inspects them and

@@ -310,3 +310,40 @@ def test_minhash_store_side_no_exchange_with_cap(spark, minhash_store):
         assert "Exchange" not in plan[store_scan:], plan[store_scan:]
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_compact_minhash_store(spark, minhash_store):
+    """Compaction collapses the near-dup store's per-append files and
+    leaves probe results identical; the shared recovery protocol covers
+    the minhash table name too."""
+    base = minhash_store
+    batch = _df(spark, [(10, base + " with a tiny mutated tail")])
+    inc.append_minhash_to_store(batch, "inc_mh")
+    b2 = _df(spark, [(20, base + " with a tiny mutated tail also")])
+    before = sorted(
+        (r["id"], r["store_id"], round(r["est_jaccard"], 9))
+        for r in inc.neardup_against_store(b2, spark, "inc_mh",
+                                           threshold=0.5).collect()
+    )
+    n_files_before = len(spark.table("inc_mh").inputFiles())
+    inc.compact_minhash_store(spark, "inc_mh")
+    n_files_after = len(spark.table("inc_mh").inputFiles())
+    after = sorted(
+        (r["id"], r["store_id"], round(r["est_jaccard"], 9))
+        for r in inc.neardup_against_store(b2, spark, "inc_mh",
+                                           threshold=0.5).collect()
+    )
+    assert after == before and len(before) >= 2  # hits both 1 and 10
+    assert n_files_after < n_files_before
+    # appends still work against the compacted layout
+    inc.append_minhash_to_store(b2, "inc_mh")
+    assert spark.table("inc_mh").where("id = 20").count() > 0
+    # crash between the renames -> recovery restores the minhash store
+    rows = sorted(map(tuple, spark.table("inc_mh").collect()))
+    spark.sql("DROP TABLE IF EXISTS inc_mh__compacting")
+    spark.table("inc_mh").localCheckpoint().write.mode("overwrite") \
+        .bucketBy(4, "bucket").sortBy("bucket").format("parquet") \
+        .saveAsTable("inc_mh__compacting")
+    spark.sql("ALTER TABLE inc_mh RENAME TO inc_mh__old")
+    assert inc.recover_exact_store(spark, "inc_mh") == "restored_from_staging"
+    assert sorted(map(tuple, spark.table("inc_mh").collect())) == rows
