@@ -3740,12 +3740,41 @@ def q_dedup_all(spark, sf_dir):
         stat_code.cast("long").alias("v1"),
         F.coalesce(F.col("dup_of"), F.lit(-1)).cast("long").alias("v2"),
     ).localCheckpoint()
+    # URL curation (r9): synthesized crawl URLs where (host, page, id
+    # param) repeat under varying tracking params / fragments — urldedup
+    # pins the canonicalization (v1 = canonical length) + min-id keeper,
+    # urlcap pins the md5-ranked per-host cap (the hash_sample key family,
+    # so DuckDB replays membership bit-for-bit).
+    from hyperdx_spark.pipeline import urls as _urls
+
+    url_docs = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://www.host"), (F.col("doc_id") % 3).cast("string"),
+            F.lit(".com/page/"), (F.col("doc_id") % 10).cast("string"),
+            F.lit("?utm_source=s"), F.col("doc_id").cast("string"),
+            F.lit("&id="), (F.col("doc_id") % 10).cast("string"),
+            F.lit("#sec"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    urldedup = _urls.dedup_by_url(url_docs).select(
+        F.lit("urldedup").alias("part"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.length(_urls.canonicalize_url("url")).cast("long").alias("v1"),
+        F.lit(0).cast("long").alias("v2"),
+    )
+    urlcap = _urls.cap_per_host(url_docs, 7).select(
+        F.lit("urlcap").alias("part"),
+        F.col("doc_id").cast("string").alias("k"),
+        (F.col("doc_id") % 3).cast("long").alias("v1"),
+        F.lit(0).cast("long").alias("v2"),
+    )
     return (
         exact.unionByName(groups).unionByName(samp).unionByName(mix)
         .unionByName(span).unionByName(contam).unionByName(semkeep)
         .unionByName(semdedup).unionByName(srccut).unionByName(topgram)
         .unionByName(langid).unionByName(htmlstrip).unionByName(packpart)
-        .unionByName(storeprobe)
+        .unionByName(storeprobe).unionByName(urldedup).unionByName(urlcap)
     )
 
 
@@ -4102,6 +4131,26 @@ FROM (
   SELECT bt.doc_id, bt.first_id, hst.keep_id
   FROM bt LEFT JOIN hst USING (fp)
 ) sp
+UNION ALL
+-- URL canonical dedup replay: keeper = min doc_id per (host, page, id
+-- param) class; v1 = canonical-form length pins the regex chain
+SELECT 'urldedup' AS part, doc_id::VARCHAR AS k,
+       length('host' || (doc_id % 3)::VARCHAR || '.com/page/'
+              || (doc_id % 10)::VARCHAR || '?id='
+              || (doc_id % 10)::VARCHAR)::BIGINT AS v1,
+       0::BIGINT AS v2
+FROM (SELECT min(doc_id) AS doc_id FROM documents
+      GROUP BY doc_id % 3, doc_id % 10) ud
+UNION ALL
+-- per-host cap replay: md5(id ':42') rank within host, keep 7
+SELECT 'urlcap' AS part, doc_id::VARCHAR AS k,
+       (doc_id % 3)::BIGINT AS v1, 0::BIGINT AS v2
+FROM (
+  SELECT doc_id, row_number() OVER (
+           PARTITION BY doc_id % 3
+           ORDER BY md5(doc_id::VARCHAR || ':42') ASC, doc_id ASC) AS rn
+  FROM documents) uc
+WHERE rn <= 7
 """
 
 

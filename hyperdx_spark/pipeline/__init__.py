@@ -21,4 +21,5 @@ from hyperdx_spark.pipeline import (  # noqa: F401
     sampling,
     similarity,
     text,
+    urls,
 )
