@@ -92,6 +92,11 @@ _RENAMES = {
     # emits (search path tokens, conditional aggregates, array HOFs)
     "hasToken": "_hastoken",
     "hasTokenCaseInsensitive": "_hastokenci",
+    # the reference's text-index tier emits these (queryParser.ts:1520-1529
+    # batches hasAllTokens at 50 tokens for CH's 64-token cap; Spark's
+    # forall has no such cap, so one call covers any batch)
+    "hasAllTokens": "_hasalltokens",
+    "hasAnyTokens": "_hasanytokens",
     "match": "regexp_like",
     "sumIf": "_sumif",
     "avgIf": "_avgif",
@@ -321,6 +326,18 @@ def _rewrite_call(name: str, args: list[str]) -> str:
         return (
             f"array_contains(split({args[0]}, "
             f"'[\\\\p{{Punct}}\\\\p{{Space}}\\\\p{{Cntrl}}]+'), {args[1]})"
+        )
+    if low in ("_hasalltokens", "_hasanytokens"):
+        # hasAllTokens/hasAnyTokens(haystack, ['a', 'b']): every/any token
+        # present under the same ASCII separator class as hasToken. CH's
+        # bracket array literal becomes Spark's array(...)
+        arr = args[1].strip()
+        if arr.startswith("[") and arr.endswith("]"):
+            arr = f"array({arr[1:-1]})"
+        hof = "forall" if low == "_hasalltokens" else "exists"
+        return (
+            f"{hof}({arr}, t -> array_contains(split({args[0]}, "
+            f"'[\\\\p{{Punct}}\\\\p{{Space}}\\\\p{{Cntrl}}]+'), t))"
         )
     if low == "_hastokenci":
         # CH folds case ASCII-only here (byte-level tokenizer + tolower):

@@ -133,6 +133,13 @@ SCALAR_CASES = [
     ("hasToken", "hasToken('x café y', 'café')", True),  # non-ASCII intact
     ("hasTokenCaseInsensitive",
      "hasTokenCaseInsensitive('x LOCALHOST y', 'localhost')", True),
+    # token-set functions the reference's text-index tier emits; CH's
+    # bracket array literal is accepted (one call, no 64-token cap)
+    ("hasAllTokens", "hasAllTokens('a,b localhost', ['a', 'localhost'])",
+     True),
+    ("hasAllTokens", "hasAllTokens('a,b', ['a', 'z'])", False),
+    ("hasAnyTokens", "hasAnyTokens('a,b', ['z', 'b'])", True),
+    ("hasAnyTokens", "hasAnyTokens('a,b', ['z'])", False),
     # ASCII-only fold: É is NOT folded (CH byte-level tolower)
     ("hasTokenCaseInsensitive",
      "hasTokenCaseInsensitive('x CAFÉ y', 'café')", False),
