@@ -100,6 +100,31 @@ def pack_sequences(
     )
 
 
+def sequence_manifest(
+    packed: DataFrame, *, id_col: str = "doc_id"
+) -> DataFrame:
+    """Trainer-facing view of :func:`pack_sequences` output: one row per
+    (shard, seq_id) with the ordered span list — exactly what a data
+    loader needs to build the sequence and its attention-mask boundaries.
+
+    ``spans`` is sorted by in-sequence offset; each element carries the
+    source document id, the token slice of that document, and where it
+    lands in the sequence. One map-side-combined groupBy — the manifest
+    is a reshaping of the packing output, no re-scan of the corpus.
+    """
+    span = F.struct(
+        F.col("seq_off").alias("off"),
+        F.col(id_col).alias("id"),
+        F.col("doc_tok_begin").alias("begin"),
+        F.col("doc_tok_end").alias("end"),
+    )
+    frag = F.col("doc_tok_end") - F.col("doc_tok_begin")
+    return packed.groupBy("shard", "seq_id").agg(
+        F.array_sort(F.collect_list(span)).alias("spans"),
+        F.sum(frag).alias("n_tokens"),
+    )
+
+
 def pack_stats(packed: DataFrame, seq_len: int) -> DataFrame:
     """Per-(shard, seq_id) fill metrics over :func:`pack_sequences` output:
     token fill, fill fraction, number of documents touching the sequence,

@@ -231,3 +231,25 @@ def test_pack_ffd_auto_shards(spark):
     assert len(rows) == 500
     assert len({r["shard"] for r in rows}) > 1
     assert max(r["shard"] for r in rows) < 64
+
+
+def test_sequence_manifest(spark):
+    """Manifest rows reassemble each sequence exactly: contiguous offsets,
+    full coverage, spans ordered by in-sequence position."""
+    tokens = [37, 500, 1, 128, 129, 127, 64, 64, 64, 300, 12, 1000, 5]
+    df, shards = _docs_df(spark, tokens)
+    packed = pack_sequences(df, SEQ, num_shards=shards)
+    from hyperdx_spark.pipeline.packing import sequence_manifest
+
+    man = sequence_manifest(packed).collect()
+    assert sum(r["n_tokens"] for r in man) == sum(tokens)
+    for r in man:
+        spans = r["spans"]
+        # offsets start at 0 and tile the sequence contiguously
+        assert spans[0]["off"] == 0
+        pos = 0
+        for s in spans:
+            assert s["off"] == pos
+            assert 0 <= s["begin"] < s["end"]
+            pos += s["end"] - s["begin"]
+        assert pos == r["n_tokens"] <= SEQ
