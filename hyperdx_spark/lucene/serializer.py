@@ -79,6 +79,18 @@ def _is_number(v: str) -> bool:
     return bool(_NUM_RE.fullmatch(v))
 
 
+def _ts_lit(v: str) -> str:
+    """Timestamp literal for a date-typed field. The reference searches
+    Date columns as NUMBERS (convertCHTypeToLuceneSearchType,
+    clickhouse/index.ts:139-146: Date -> Number), and CH compares
+    DateTime to a number as epoch seconds — so a numeric term becomes
+    timestamp_seconds(v) (constant-folded, still pushdown-eligible);
+    a datetime string keeps the CAST."""
+    if _is_number(v):
+        return f"timestamp_seconds({v})"
+    return f"CAST({_sql_str(v)} AS TIMESTAMP)"
+
+
 def _num_lit(v: str) -> str:
     return v  # validated by _is_number
 
@@ -279,7 +291,7 @@ class SearchQueryBuilder:
         if f.kind == "bool":
             return self._bool_eq(f, v)
         if f.kind == "date":
-            return f"{f.expr} = CAST({_sql_str(v)} AS TIMESTAMP)"
+            return f"{f.expr} = {_ts_lit(v)}"
         if f.kind == "json" and _is_number(v):
             # numeric compare on JSON value, guarded cast (queryParser.ts:1710-1726)
             return f"(try_cast({f.expr} AS DOUBLE) = {_num_lit(v)} OR lower({f.expr}) LIKE {_sql_str('%' + _like_escape(v.lower()) + '%')})"
@@ -298,7 +310,7 @@ class SearchQueryBuilder:
         if f.kind == "bool":
             return self._bool_eq(f, v)
         if f.kind == "date":
-            return f"{f.expr} = CAST({_sql_str(v)} AS TIMESTAMP)"
+            return f"{f.expr} = {_ts_lit(v)}"
         if f.kind == "array":
             return f"array_contains({f.expr}, {_sql_str(v)})"
         return f"{f.expr} = {_sql_str(v)}"
@@ -327,7 +339,7 @@ class SearchQueryBuilder:
     def _cast_side(self, f: _Field, v: str) -> tuple[str, str]:
         """lhs/rhs for ordered comparison with type dispatch."""
         if f.kind == "date":
-            return f.expr, f"CAST({_sql_str(v)} AS TIMESTAMP)"
+            return f.expr, _ts_lit(v)
         if f.kind == "number":
             return f.expr, _num_lit(v) if _is_number(v) else "NULL"
         if _is_number(v):

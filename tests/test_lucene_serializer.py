@@ -235,3 +235,30 @@ def test_localhost_search_executes(spark, events, events_source):
     ).fetchone()[0]
     con.close()
     assert got == want and got > 0
+
+
+def test_date_field_numeric_epoch_compare():
+    """Date fields are searched as NUMBERS (clickhouse/index.ts:139-146:
+    Date -> JSDataType.Number; CH compares DateTime to epoch seconds) —
+    'ts:>=1704067200' must compile to an epoch comparison, not a doomed
+    string-to-timestamp cast."""
+    got = build("ts:>=1704067200")
+    assert "timestamp_seconds(1704067200)" in got and "CAST" not in got
+    got = build("ts:[1704067200 TO 1704070800}")
+    assert got.count("timestamp_seconds") == 2
+    # datetime strings still cast
+    got = build('ts:"2024-01-01 00:00:00"')
+    assert "CAST('2024-01-01 00:00:00' AS TIMESTAMP)" in got
+
+
+def test_date_field_numeric_executes(spark, events):
+    from pyspark.sql import functions as F
+
+    from hyperdx_spark.lucene.serializer import SearchQueryBuilder
+
+    df = events.limit(200)
+    lo = df.agg(F.min(F.unix_timestamp("ts"))).first()[0] + 1
+    pred = SearchQueryBuilder(df.schema, None).build(f"ts:>={lo}")
+    got = df.filter(F.expr(pred)).count()
+    want = df.filter(F.unix_timestamp("ts") >= lo).count()
+    assert got == want and 0 < got < 200
