@@ -76,16 +76,21 @@ def dedup_exact_against_store(
     sighting anywhere), ``batch_dup`` (repeats an earlier doc of THIS
     batch; dup_of = that doc) or ``store_dup`` (already in the corpus;
     dup_of = the store's keeper id)."""
-    store = spark.table(table)
+    # min-aggregate the store side: an at-least-once writer (the streaming
+    # loop's foreachBatch replay) may have appended the same fp twice, and
+    # a raw join would then duplicate batch rows. The groupBy rides the
+    # store's bucketed-by-fp layout — HashAggregate, NO Exchange (the plan
+    # assertion in test_store_side_never_reshuffles still holds).
+    store = (
+        spark.table(table)
+        .groupBy("fp")
+        .agg(F.min("keep_id").alias("__store_id"))
+    )
     batch = new_df.select(F.col(id_col).alias("id"), fingerprint(text_col).alias("fp"))
     batch = batch.withColumn(
         "__first", F.min("id").over(Window.partitionBy("fp"))
     )
-    j = batch.join(
-        store.select("fp", F.col("keep_id").alias("__store_id")),
-        on="fp",
-        how="left",
-    )
+    j = batch.join(store, on="fp", how="left")
     status = (
         F.when(F.col("__store_id").isNotNull(), F.lit("store_dup"))
         .when(F.col("id") != F.col("__first"), F.lit("batch_dup"))

@@ -491,3 +491,59 @@ def test_otlp_corrupt_lines_dead_letter(spark):
     # conservation: every nonblank-or-NULL line is parsed or dead-lettered
     accountable = sum(1 for (v,) in rows if v is None or v.strip())
     assert len(parsed) + len(dead) == accountable
+
+
+def test_incremental_dedup_stream_matches_sequential_loop(spark, tmp_path):
+    """Streaming classify-sink-append loop (streaming/dedup_stream.py):
+    two micro-batches (maxFilesPerTrigger=1) must classify exactly like
+    running the batch loop sequentially, and the store must end bucketed
+    with every novel fingerprint appended."""
+    import json as _json
+
+    from hyperdx_spark.pipeline import incremental as inc
+    from hyperdx_spark.streaming.dedup_stream import start_incremental_dedup
+
+    src = tmp_path / "in"
+    src.mkdir()
+    batch1 = [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha beta")]
+    batch2 = [(10, "alpha beta"), (11, "epsilon zeta"), (12, "epsilon zeta")]
+    for name, rows in (("b1.json", batch1), ("b2.json", batch2)):
+        (src / name).write_text(
+            "\n".join(_json.dumps({"doc_id": i, "text": t}) for i, t in rows)
+        )
+    seed = spark.createDataFrame([], "doc_id long, text string")
+    inc.build_exact_store(seed, "stream_store", buckets=4)
+    try:
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .json(str(src))
+        )
+        q = start_incremental_dedup(
+            stream, "stream_store", str(tmp_path / "out"),
+            str(tmp_path / "ckpt"), available_now=True,
+        )
+        q.awaitTermination(120)
+        out = spark.read.parquet(str(tmp_path / "out"))
+        got = {
+            r["doc_id"]: (r["status"], r["dup_of"]) for r in out.collect()
+        }
+        # file order is lexicographic (b1 then b2): batch2's 'alpha beta'
+        # must be a STORE dup of batch1's keeper, proving the append
+        # happened between micro-batches
+        assert got[1] == ("novel", None)
+        assert got[3] == ("batch_dup", 1)
+        assert got[10] == ("store_dup", 1)
+        assert got[11] == ("novel", None)
+        assert got[12] == ("batch_dup", 11)
+        assert out.count() == 6
+        # store holds exactly the three distinct contents, keyed to the
+        # first sighting
+        store = {
+            r["keep_id"] for r in spark.table("stream_store").collect()
+        }
+        assert store == {1, 2, 11}
+        # epochs are partition dirs -> a replayed epoch overwrites itself
+        assert out.select("__epoch").distinct().count() == 2
+    finally:
+        spark.sql("DROP TABLE IF EXISTS stream_store")
