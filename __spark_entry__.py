@@ -2771,6 +2771,8 @@ _EXPLAIN_CASES = [
     "event_type:err* AND NOT value:<10",
     "props.k:* AND -event_type:click",
     '"timed out" OR (value:>100 AND event_type:err*)',
+    # r9: special-token decode in the explanation (queryParser.ts:32-48)
+    "error localhost:3000",
 ]
 
 
@@ -2788,7 +2790,9 @@ SELECT * FROM (VALUES
   ('props.k:* AND -event_type:click',
    e'\\'props.k\\' is not null AND \\'event_type\\' does not contain click'),
   ('"timed out" OR (value:>100 AND event_type:err*)',
-   e'event is \\'timed out\\' OR (\\'value\\' is greater than 100 AND \\'event_type\\' starts with err)')
+   e'event is \\'timed out\\' OR (\\'value\\' is greater than 100 AND \\'event_type\\' starts with err)'),
+  ('error localhost:3000',
+   'event contains error AND event contains localhost:3000')
 ) AS t(query, explanation)
 """
 
