@@ -97,3 +97,36 @@ def test_valid_queries_serialize_to_analyzable_sql(builder, q):
     # the serialized predicate must be analyzable Spark SQL — injection via
     # quotes/backslashes in values must never break out of the literal
     spark.sql(f"SELECT count(*) FROM fuzz_events WHERE {cond}").collect()
+
+
+# colon/backslash/URL-heavy bare terms: the encodeSpecialTokens pre-pass
+# (queryParser.ts:32-48, r9) must keep every one of these compiling to an
+# analyzable body search — never an unknown-column reference
+_COLONISH = st.one_of(
+    st.sampled_from([
+        "localhost:3000", "localhost:123456", "http://x:8080/y",
+        "https://a.b/c?d=1", r"foo\:bar", r"a\\b", "svc:api:retry",
+        "10.0.0.1:53", "err:code:5", r"\:lead", "trail:",
+    ]),
+    st.from_regex(r"[a-z]{1,6}:[0-9]{1,6}", fullmatch=True),
+    st.from_regex(r"https?://[a-z]{1,5}(:[0-9]{1,4})?/[a-z]{0,4}",
+                  fullmatch=True),
+)
+
+
+@settings(
+    max_examples=80,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(t=_COLONISH)
+def test_colon_terms_always_compile_and_run(builder, t):
+    b, spark = builder
+    try:
+        cond = b.build(t)
+    except ValueError:
+        # structurally malformed (e.g. 'trail:' — a field with no value)
+        # may reject like the reference's lucene grammar; never crash,
+        # never emit unanalyzable SQL
+        return
+    spark.sql(f"SELECT count(*) FROM fuzz_events WHERE {cond}").collect()
