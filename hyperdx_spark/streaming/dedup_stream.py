@@ -29,6 +29,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from hyperdx_spark.pipeline.incremental import (
     append_novel_to_store,
+    compact_exact_store,
     dedup_exact_against_store,
 )
 
@@ -42,11 +43,17 @@ def start_incremental_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     available_now: bool = False,
+    compact_every: int | None = None,
 ) -> StreamingQuery:
     """Run the classify-sink-append loop over a streaming DataFrame of
     documents. The store table must already exist (seed it with
     ``build_exact_store``; an empty seed is fine). Returns the started
-    query — callers own awaitTermination/stop."""
+    query — callers own awaitTermination/stop.
+
+    ``compact_every=N`` folds store maintenance into the loop: after
+    every Nth processed epoch the per-append files are collapsed by
+    ``compact_exact_store`` (crash-safe rename-aside swap) — sequential
+    with the epoch, so no reader ever races the rewrite."""
 
     def _epoch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -63,6 +70,8 @@ def start_incremental_dedup(
             .parquet(out_path)
         )
         append_novel_to_store(classified, table, id_col=id_col)
+        if compact_every and (int(epoch_id) + 1) % compact_every == 0:
+            compact_exact_store(spark, table)
 
     writer = (
         stream.writeStream.foreachBatch(_epoch)

@@ -521,7 +521,7 @@ def test_incremental_dedup_stream_matches_sequential_loop(spark, tmp_path):
         )
         q = start_incremental_dedup(
             stream, "stream_store", str(tmp_path / "out"),
-            str(tmp_path / "ckpt"), available_now=True,
+            str(tmp_path / "ckpt"), available_now=True, compact_every=2,
         )
         q.awaitTermination(120)
         out = spark.read.parquet(str(tmp_path / "out"))
@@ -545,5 +545,11 @@ def test_incremental_dedup_stream_matches_sequential_loop(spark, tmp_path):
         assert store == {1, 2, 11}
         # epochs are partition dirs -> a replayed epoch overwrites itself
         assert out.select("__epoch").distinct().count() == 2
+        # compact_every=2 fired after the 2nd epoch: the store collapsed
+        # to a single compacted write (one file per non-empty bucket, no
+        # per-append leftovers) and no staging/old table remains
+        assert len(spark.table("stream_store").inputFiles()) <= 4
+        assert not spark.catalog.tableExists("stream_store__compacting")
+        assert not spark.catalog.tableExists("stream_store__old")
     finally:
         spark.sql("DROP TABLE IF EXISTS stream_store")
