@@ -8,8 +8,10 @@ resolution 1620-1760, implicit column 1873-1911, term dispatch 1937-2033).
 Semantics preserved:
 * unquoted term on a string field  -> case-insensitive substring (ILIKE %v%)
 * quoted term                      -> exact equality
-* wildcards '*'                    -> LIKE with '%' substitution, no implicit
-                                      surrounding '%'
+* wildcards                        -> ONE leading/trailing '*' anchors the
+                                      LIKE (starts-with / ends-with);
+                                      inner '*' is a literal character
+                                      (queryParser.ts:1996-2005, 54-56)
 * bare term (no field)             -> token search on the implicit column
                                       (word-boundary), plus whole-term
                                       substring when the term has separators
@@ -71,8 +73,23 @@ def _like_escape(v: str) -> str:
 
 
 def _wildcard_to_like(v: str) -> str:
-    """term with '*' wildcards -> LIKE pattern ('*' -> '%', rest escaped)."""
-    return "%".join(_like_escape(p) for p in v.split("*"))
+    """Edge wildcards -> LIKE pattern. The reference strips ONE leading
+    and ONE trailing '*' (queryParser.ts:1996-2005) and its
+    escapeLikePattern leaves '*' untouched (ts:54-56) — so INNER
+    asterisks are literal characters ('e*r' matches the 3-char string),
+    never wildcards. Deviation kept deliberately: edge wildcards are
+    honored on explicit fields too (anchored LIKE), where the reference's
+    fieldSearch ignores the flags and falls back to substring — honoring
+    what the user typed beats silently widening it."""
+    prefix = v.startswith("*")
+    core = v[1:] if prefix else v
+    suffix = core.endswith("*")
+    core = core[:-1] if suffix else core
+    return ("%" if prefix else "") + _like_escape(core) + ("%" if suffix else "")
+
+
+def _has_edge_wildcard(v: str) -> bool:
+    return len(v) > 1 and (v.startswith("*") or v.endswith("*"))
 
 
 def _is_number(v: str) -> bool:
@@ -278,7 +295,7 @@ class SearchQueryBuilder:
             return self._exists(f)
         if t.quoted:
             return self._eq(f, value)
-        if "*" in value:
+        if _has_edge_wildcard(value):
             return self._wildcard(f, value)
         return self._contains(f, value)
 
@@ -375,7 +392,7 @@ class SearchQueryBuilder:
         if quoted:
             # quoted phrase -> case-insensitive substring
             return f"lower({body}) LIKE {_sql_str('%' + _like_escape(value.lower()) + '%')}"
-        if "*" in value:
+        if _has_edge_wildcard(value):
             return f"lower({body}) LIKE {_sql_str(_wildcard_to_like(value.lower()))}"
         tokens = [tok for tok in re.split(_NEEDLE_SPLIT_RE, value.lower()) if tok]
         conds = [

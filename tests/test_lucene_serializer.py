@@ -81,7 +81,12 @@ def test_range():
 def test_wildcards():
     assert build("event_type:err*") == "lower(`event_type`) LIKE 'err%'"
     assert build("event_type:*ror") == "lower(`event_type`) LIKE '%ror'"
-    assert build("event_type:e*r") == "lower(`event_type`) LIKE 'e%r'"
+    # INNER asterisks are literal (reference escapeLikePattern leaves '*'
+    # untouched and only edge wildcards are stripped, ts:1996-2005): the
+    # term goes down the plain substring path with a literal star
+    assert build("event_type:e*r") == "lower(`event_type`) LIKE '%e*r%'"
+    # edge + inner: edges anchor, the inner star stays literal
+    assert build("event_type:*e*r") == "lower(`event_type`) LIKE '%e*r'"
 
 
 def test_exists():
