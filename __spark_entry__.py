@@ -4349,7 +4349,7 @@ def q_lucene_dispatch2(spark, sf_dir):
             'props.k:* AND props.k:>=20 AND value:[10 TO 90] AND '
             'attrs.kind:sys AND tags:(purchase OR error) AND '
             'NOT event_type:click AND (event_type:err* OR event_type:"purchase") '
-            'AND localhost:3000'
+            'AND localhost:3000 AND NOT event_type:pur*chase'
         ),
         where_language="lucene",
         order_by="ts ASC, event_id ASC",
@@ -4388,6 +4388,9 @@ WHERE {TIME_WHERE}
   AND lower(concat_ws(';', coalesce(event_type, ''),
         'conn localhost:' || (3000 + user_id % 3)::VARCHAR
         || ' via http://gw:8080/y')) LIKE '%localhost:3000%'
+  -- inner '*' is a LITERAL char (r9): were it a wildcard, this NOT
+  -- would wrongly exclude every purchase row
+  AND NOT (lower(event_type) LIKE '%pur*chase%')
 ORDER BY ts, event_id LIMIT 300
 """
 
