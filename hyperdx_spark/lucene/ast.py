@@ -21,6 +21,11 @@ class Term:
     # comparison prefix: one of '>', '>=', '<', '<=' or None
     prefix: Optional[str] = None
     negated: bool = False  # '-term' / NOT
+    # True when the field arrived via grouped syntax f:(...) — the
+    # reference's lucene AST keeps such terms <implicit>, so the quoted-
+    # exact-equality shortcut (queryParser.ts:1962-1966) never fires for
+    # them: f:("x y") is a substring search, f:"x y" is exact equality
+    grouped: bool = False
 
 
 @dataclass

@@ -7,7 +7,10 @@ resolution 1620-1760, implicit column 1873-1911, term dispatch 1937-2033).
 
 Semantics preserved:
 * unquoted term on a string field  -> case-insensitive substring (ILIKE %v%)
-* quoted term                      -> exact equality
+* quoted term on an explicit field -> exact equality; via grouped syntax
+                                      f:("...") or on the implicit column
+                                      it stays a contains / token search
+                                      (ts:1962-1966 isImplicitField guard)
 * wildcards                        -> ONE leading/trailing '*' anchors the
                                       LIKE (starts-with / ends-with);
                                       inner '*' is a literal character
@@ -294,7 +297,10 @@ class SearchQueryBuilder:
         if not t.quoted and value == "*":
             return self._exists(f)
         if t.quoted:
-            return self._eq(f, value)
+            # grouped syntax keeps terms <implicit> in the reference's AST,
+            # so f:("x y") never reaches the exact-equality shortcut
+            # (queryParser.ts:1962-1966) — it is a substring search
+            return self._contains(f, value) if t.grouped else self._eq(f, value)
         if _has_edge_wildcard(value):
             return self._wildcard(f, value)
         return self._contains(f, value)
@@ -390,10 +396,21 @@ class SearchQueryBuilder:
             lhs = f"try_cast({body} AS DOUBLE)"
             return f"{lhs} {prefix} {_num_lit(value) if _is_number(value) else 'NULL'}"
         if quoted:
-            # quoted phrase -> case-insensitive substring
-            return f"lower({body}) LIKE {_sql_str('%' + _like_escape(value.lower()) + '%')}"
+            # a quoted implicit phrase is NOT a plain substring: the
+            # reference's quoted-exact shortcut applies only to explicit
+            # fields (ts:1962-1966 isImplicitField guard), so "abc def"
+            # takes the same token-search path as a bare term — hasToken
+            # per token plus the whole-phrase substring when separators
+            # are present (reference test: '"foo bar baz"' compiles to 3
+            # hasTokens AND the LIKE). Wildcards never fire inside quotes
+            # (the strip checks !quoted, ts:1996-2005), hence the direct
+            # jump to the token path.
+            return self._implicit_tokens(value, body)
         if _has_edge_wildcard(value):
             return f"lower({body}) LIKE {_sql_str(_wildcard_to_like(value.lower()))}"
+        return self._implicit_tokens(value, body)
+
+    def _implicit_tokens(self, value: str, body: str) -> str:
         tokens = [tok for tok in re.split(_NEEDLE_SPLIT_RE, value.lower()) if tok]
         conds = [
             f"array_contains(split(lower({body}), '{_HAYSTACK_SPLIT_SQL}'), {_sql_str(tok)})"
@@ -415,7 +432,10 @@ def _push_field(node: Node, field: str) -> Node:
     """field:(a OR b) — inner implicit terms inherit the field (queryParser.ts:2035)."""
     if isinstance(node, Term):
         if node.field is None:
-            return Term(node.value, field=field, quoted=node.quoted, prefix=node.prefix)
+            return Term(
+                node.value, field=field, quoted=node.quoted,
+                prefix=node.prefix, grouped=True,
+            )
         return node
     if isinstance(node, Range):
         if node.field is None:

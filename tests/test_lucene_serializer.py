@@ -160,8 +160,22 @@ def test_bare_term_with_separator():
 
 
 def test_bare_quoted_phrase():
+    # the quoted-exact shortcut is explicit-field-only (ts:1962-1966): an
+    # implicit quoted phrase is tokens AND whole-phrase substring, exactly
+    # like a bare separator term (reference test '"foo bar baz"')
     got = build('"hello world"')
-    assert got == "lower(coalesce(props, '')) LIKE '%hello world%'"
+    assert "'hello'" in got and "'world'" in got
+    assert "LIKE '%hello world%'" in got
+    assert got.count("array_contains") == 2
+
+
+def test_grouped_quoted_is_contains_not_eq():
+    # reference test: ServiceName:("foo bar baz") -> ILIKE substring,
+    # while ServiceName:"foo bar baz" -> exact equality (the grouped AST
+    # keeps terms <implicit>, so the quoted shortcut never fires)
+    assert build('event_type:("foo bar")') == \
+        "lower(`event_type`) LIKE '%foo bar%'"
+    assert build('event_type:"foo bar"') == "`event_type` = 'foo bar'"
 
 
 def test_unknown_field_falls_back_to_body_search():
