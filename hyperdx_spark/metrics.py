@@ -28,6 +28,25 @@ def series_hash(*cols: Column) -> Column:
     return F.xxhash64(*cols)
 
 
+def metric_name_filter(
+    metric_name: str,
+    metric_name_sql: Optional[str] = None,
+    *,
+    name_col: str = "MetricName",
+) -> Column:
+    """``createMetricNameFilter`` (renderChartConfig.ts:67-75): the k8s
+    semantic-convention migration path passes ``metricNameSql`` — a
+    condition matching BOTH the old and the new metric name via OR — and
+    every metric query uses it over the plain equality when present.
+    The SQL goes through the CH-compat shim, so conditions written in
+    ClickHouse idiom keep working."""
+    if metric_name_sql:
+        from hyperdx_spark.functions.chcompat import translate_expr
+
+        return F.expr(translate_expr(metric_name_sql))
+    return F.col(name_col) == metric_name
+
+
 def _bucket(ts: Column, step: int) -> Column:
     return F.timestamp_seconds((F.unix_timestamp(ts) / step).cast("long") * step)
 

@@ -413,3 +413,23 @@ def test_unsupported_metric_type_raises():
     assert require_supported_metric_type("Gauge") == "gauge"
     with _pytest.raises(ValueError, match="Unsupported metric type"):
         require_supported_metric_type("summary")
+
+
+def test_metric_name_filter_migration_sql(spark):
+    """createMetricNameFilter parity (renderChartConfig.ts:67-75): the
+    semantic-convention migration SQL matches old AND new names; plain
+    configs fall back to exact equality."""
+    from hyperdx_spark.metrics import metric_name_filter
+
+    df = spark.createDataFrame(
+        [("k8s.pod.cpu.utilization", 1.0), ("k8s.pod.cpu.usage", 2.0),
+         ("other.metric", 3.0)],
+        "MetricName string, Value double",
+    )
+    mig = metric_name_filter(
+        "k8s.pod.cpu.utilization",
+        "MetricName IN ('k8s.pod.cpu.utilization', 'k8s.pod.cpu.usage')",
+    )
+    assert {r["Value"] for r in df.filter(mig).collect()} == {1.0, 2.0}
+    eq = metric_name_filter("k8s.pod.cpu.utilization")
+    assert {r["Value"] for r in df.filter(eq).collect()} == {1.0}
