@@ -4349,7 +4349,12 @@ def q_lucene_dispatch2(spark, sf_dir):
             'props.k:* AND props.k:>=20 AND value:[10 TO 90] AND '
             'attrs.kind:sys AND tags:(purchase OR error) AND '
             'NOT event_type:click AND (event_type:err* OR event_type:"purchase") '
-            'AND localhost:3000 AND NOT event_type:pur*chase'
+            'AND localhost:3000 AND NOT event_type:pur*chase '
+            # r9: implicit QUOTED phrase = tokens AND substring (ts:1962-66
+            # guard). '%onn localhost%' substring-matches 'conn localhost'
+            # but token 'onn' never exists — a substring-only (pre-r9)
+            # implementation would wrongly drop every row here.
+            'AND NOT "onn localhost"'
         ),
         where_language="lucene",
         order_by="ts ASC, event_id ASC",
@@ -4391,6 +4396,28 @@ WHERE {TIME_WHERE}
   -- inner '*' is a LITERAL char (r9): were it a wildcard, this NOT
   -- would wrongly exclude every purchase row
   AND NOT (lower(event_type) LIKE '%pur*chase%')
+  -- implicit quoted phrase = tokens AND substring: token 'onn' never
+  -- exists, so the NOT keeps every row (a substring-only compile would
+  -- drop them all)
+  AND NOT (
+    len(list_filter(
+      regexp_split_to_array(
+        lower(concat_ws(';', coalesce(event_type, ''),
+              'conn localhost:' || (3000 + user_id % 3)::VARCHAR
+              || ' via http://gw:8080/y')),
+        '[[:punct:][:space:][:cntrl:]]+'),
+      x -> x = 'onn')) > 0
+    AND len(list_filter(
+      regexp_split_to_array(
+        lower(concat_ws(';', coalesce(event_type, ''),
+              'conn localhost:' || (3000 + user_id % 3)::VARCHAR
+              || ' via http://gw:8080/y')),
+        '[[:punct:][:space:][:cntrl:]]+'),
+      x -> x = 'localhost')) > 0
+    AND lower(concat_ws(';', coalesce(event_type, ''),
+          'conn localhost:' || (3000 + user_id % 3)::VARCHAR
+          || ' via http://gw:8080/y')) LIKE '%onn localhost%'
+  )
 ORDER BY ts, event_id LIMIT 300
 """
 
