@@ -13,6 +13,7 @@ sides).
 """
 
 from hyperdx_spark.pipeline import (  # noqa: F401
+    bpe,
     codecs,
     dedup,
     incremental,

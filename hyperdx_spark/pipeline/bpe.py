@@ -1,0 +1,190 @@
+"""Trainable byte-pair encoding — vocab training and encoding as corpus
+operators.
+
+Architecture follows how production tokenizer trainers actually scale
+(e.g. the HuggingFace tokenizers pipeline): the 100 TB-shaped work is ONE
+distributed pass that reduces the corpus to a (word, frequency) table —
+every later step operates on that bounded table, never on raw text again.
+
+* :func:`train_bpe` — distributed pre-token counting (explode + map-side
+  combined groupBy over :data:`~hyperdx_spark.pipeline.text.BPE_PRETOKEN_PATTERN`
+  pieces), then classic merge selection over the collected word-frequency
+  table. The merge loop is O(vocab_size x distinct words) LOCAL work on a
+  table capped by ``max_words`` (top by frequency) — the standard
+  corpus-scale trick: distinct pre-tokens plateau in the low millions no
+  matter how many petabytes feed them.
+* :func:`encode_token_count` — distributed encoding with a trained merge
+  list via an Arrow-batched worker; per-word results are memoized per
+  batch, so the common Zipf-shaped batch does a few thousand real encodes
+  for millions of words.
+
+Determinism: merge ties break on (pair lexicographic) after frequency, so
+the same corpus always yields the same vocab — the property that makes the
+pure-Python oracle in tests exact.
+
+The reference engine has no tokenizer training (observability store);
+this extends the training-data tier (SURVEY §2 pipeline extensions)
+alongside the BPE-ish regex counter in ``pipeline/text.py:177-205``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hyperdx_spark.pipeline.text import BPE_PRETOKEN_PATTERN
+
+# Python-`re` twin of BPE_PRETOKEN_PATTERN (no \p{..} classes in stdlib
+# re): letters = [^\W\d_] (unicode-aware), numbers = \d, symbols =
+# non-word-or-underscore. Identical on ASCII and ordinary unicode text;
+# the only drift is \p{N}'s Nl/No characters (Roman numerals etc.),
+# which \d excludes — negligible for token-count estimation and pinned
+# nowhere else (training words come from the JVM pattern).
+PY_BPE_PRETOKEN_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?[^\W\d_]+| ?\d+| ?(?:[^\w\s]|_)+|\s+"
+)
+
+
+def word_frequencies(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    lowercase: bool = False,
+) -> DataFrame:
+    """(word, freq) over the corpus — the one distributed pass BPE
+    training needs. Explode + groupBy = map-side partial counts; the
+    result is bounded by distinct pre-tokens, not corpus size."""
+    c = F.col(text_col)
+    if lowercase:
+        c = F.lower(c)
+    pieces = F.regexp_extract_all(c, F.lit(BPE_PRETOKEN_PATTERN), F.lit(0))
+    return (
+        df.select(F.explode(pieces).alias("word"))
+        .where(F.trim("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def _merge_word(sym: tuple, pair: tuple) -> tuple:
+    out = []
+    i = 0
+    while i < len(sym):
+        if i + 1 < len(sym) and (sym[i], sym[i + 1]) == pair:
+            out.append(sym[i] + sym[i + 1])
+            i += 2
+        else:
+            out.append(sym[i])
+            i += 1
+    return tuple(out)
+
+
+def train_bpe(
+    df: DataFrame,
+    num_merges: int,
+    *,
+    text_col: str = "text",
+    lowercase: bool = False,
+    min_word_freq: int = 1,
+    max_words: int = 1_000_000,
+    min_pair_freq: int = 2,
+) -> list[tuple[str, str]]:
+    """Learn ``num_merges`` BPE merges from the corpus. Returns the merge
+    list in rank order (the entire trained state — encoding needs nothing
+    else). ``max_words`` caps the driver-side table at the most frequent
+    pre-tokens (rare-tail words contribute negligibly to pair counts);
+    the cap is a TopK aggregation, never a global sort.
+    """
+    wf = word_frequencies(df, text_col=text_col, lowercase=lowercase)
+    if min_word_freq > 1:
+        wf = wf.where(F.col("freq") >= min_word_freq)
+    rows = (
+        wf.orderBy(F.col("freq").desc(), F.col("word"))
+        .limit(int(max_words))  # TakeOrdered — no full sort/shuffle of the tail
+        .collect()
+    )
+    words: dict[tuple, int] = {}
+    for r in rows:
+        words[tuple(r["word"])] = words.get(tuple(r["word"]), 0) + int(r["freq"])
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(int(num_merges)):
+        pair_freq: dict[tuple, int] = {}
+        for sym, freq in words.items():
+            for a, b in zip(sym, sym[1:]):
+                pair_freq[(a, b)] = pair_freq.get((a, b), 0) + freq
+        if not pair_freq:
+            break
+        # deterministic: max frequency, ties -> lexicographically smallest
+        best = min(pair_freq.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_pair_freq:
+            break
+        pair = best[0]
+        merges.append(pair)
+        words = {
+            _merge_word(sym, pair) if pair[0] in sym else sym: freq
+            for sym, freq in words.items()
+        }
+    return merges
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Encode ONE pre-token with a trained merge-rank table (the standard
+    lowest-rank-first merge loop)."""
+    sym = tuple(word)
+    while len(sym) > 1:
+        best_rank, best_pair = None, None
+        for a, b in zip(sym, sym[1:]):
+            r = ranks.get((a, b))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, (a, b)
+        if best_pair is None:
+            break
+        sym = _merge_word(sym, best_pair)
+    return list(sym)
+
+
+def encode_token_count(
+    col: Column | str,
+    merges: list[tuple[str, str]],
+    *,
+    lowercase: bool = False,
+) -> Column:
+    """Per-document token count under a trained BPE vocab — the real
+    counterpart of the regex approximation in ``text.bpe_token_count``.
+
+    Arrow-batched worker; a per-batch word cache turns the Zipf-shaped
+    word stream into a few thousand real encodes per million words.
+    """
+    import re as _re
+
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    pat = _re.compile(PY_BPE_PRETOKEN_PATTERN)
+
+    def _count(s: pd.Series) -> pd.Series:
+        cache: dict[str, int] = {}
+
+        def doc_tokens(text) -> int:
+            if text is None:
+                return 0
+            if lowercase:
+                text = text.lower()
+            n = 0
+            for w in pat.findall(text):
+                hit = cache.get(w)
+                if hit is None:
+                    hit = len(encode_word(w, ranks))
+                    cache[w] = hit
+                n += hit
+            return n
+
+        return s.map(doc_tokens)
+
+    c = F.col(col) if isinstance(col, str) else col
+    return pandas_udf(_count, "long")(c)

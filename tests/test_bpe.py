@@ -1,0 +1,107 @@
+"""Trainable BPE (pipeline/bpe.py): merge selection must equal an
+independent pure-Python reference on the same corpus, encoding must obey
+BPE invariants, and the distributed count must equal driver-side
+re-encoding."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from hyperdx_spark.pipeline import bpe
+from hyperdx_spark.pipeline.bpe import PY_BPE_PRETOKEN_PATTERN as BPE_PRETOKEN_PATTERN
+
+CORPUS = [
+    "low low low low low",
+    "lower lower newest newest newest newest newest newest",
+    "widest widest widest newest lowest",
+    "the quick brown fox the quick brown fox the the the",
+]
+
+
+def _ref_train(texts, num_merges):
+    """Independent reference: textbook BPE over word frequencies."""
+    pat = re.compile(BPE_PRETOKEN_PATTERN)
+    words = {}
+    for t in texts:
+        for w in pat.findall(t):
+            if w.strip():
+                words[tuple(w)] = words.get(tuple(w), 0) + 1
+    merges = []
+    for _ in range(num_merges):
+        pairs = {}
+        for sym, f in words.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + f
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < 2:
+            break
+        merges.append(best[0])
+        out = {}
+        for sym, f in words.items():
+            new = []
+            i = 0
+            while i < len(sym):
+                if i + 1 < len(sym) and (sym[i], sym[i + 1]) == best[0]:
+                    new.append(sym[i] + sym[i + 1])
+                    i += 2
+                else:
+                    new.append(sym[i])
+                    i += 1
+            out[tuple(new)] = out.get(tuple(new), 0) + f
+        words = out
+    return merges
+
+
+def test_train_matches_reference(spark):
+    df = spark.createDataFrame([(t,) for t in CORPUS], "text string")
+    got = bpe.train_bpe(df, 12)
+    assert got == _ref_train(CORPUS, 12)
+    assert len(got) > 4  # the corpus genuinely supports merges
+
+
+def test_encode_invariants(spark):
+    df = spark.createDataFrame([(t,) for t in CORPUS], "text string")
+    merges = bpe.train_bpe(df, 10)
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    # a fully-merged training word round-trips to fewer symbols
+    assert len(bpe.encode_word("newest", ranks)) < len("newest")
+    # concatenation of encoded symbols reconstructs the word exactly
+    for w in ("newest", "lowest", "quick", "zebra"):
+        assert "".join(bpe.encode_word(w, ranks)) == w
+    # more merges never increase a word's token count
+    fewer = {tuple(p): i for i, p in enumerate(merges[:3])}
+    for w in ("newest", "widest", "brown"):
+        assert len(bpe.encode_word(w, ranks)) <= len(bpe.encode_word(w, fewer))
+
+
+def test_distributed_count_equals_driver_encoding(spark):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(CORPUS)],
+                               "doc_id long, text string")
+    merges = bpe.train_bpe(df, 8)
+    got = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", bpe.encode_token_count("text", merges).alias("n")
+        ).collect()
+    }
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    pat = re.compile(BPE_PRETOKEN_PATTERN)
+    want = {
+        i: sum(len(bpe.encode_word(w, ranks)) for w in pat.findall(t))
+        for i, t in enumerate(CORPUS)
+    }
+    assert got == want
+    # NULL text counts 0
+    ndf = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    assert ndf.select(bpe.encode_token_count("text", merges).alias("n")) \
+        .first()["n"] == 0
+
+
+def test_word_frequencies_is_bounded_aggregation(spark):
+    df = spark.createDataFrame([(t,) for t in CORPUS], "text string")
+    wf = {r["word"]: r["freq"] for r in bpe.word_frequencies(df).collect()}
+    assert wf[" low"] == 4 and wf["low"] == 1  # GPT-2 space-prefixed pieces
+    assert wf[" the"] == 4 and wf["the"] == 1
