@@ -171,3 +171,34 @@ def test_correlated_series_basic(spark):
     }
     assert out["pos"] == (1.0, 6) and out["neg"] == (-1.0, 6)
     assert "flat" not in out and "short" not in out and "q" not in out
+
+
+def test_drain_reference_sshd_sequence_verbatim():
+    """The reference's own drain.test.ts 'test_add_log_message' case,
+    replayed line-for-line: per-entry templates and total cluster size
+    must match its expected output exactly."""
+    from hyperdx_spark.analytics.drain import Drain
+
+    entries = [
+        "Dec 10 07:07:38 LabSZ sshd[24206]: input_userauth_request: invalid user test9 [preauth]",
+        "Dec 10 07:08:28 LabSZ sshd[24208]: input_userauth_request: invalid user webmaster [preauth]",
+        "Dec 10 09:12:32 LabSZ sshd[24490]: Failed password for invalid user ftpuser from 0.0.0.0 port 62891 ssh2",
+        "Dec 10 09:12:35 LabSZ sshd[24492]: Failed password for invalid user pi from 0.0.0.0 port 49289 ssh2",
+        "Dec 10 09:12:44 LabSZ sshd[24501]: Failed password for invalid user ftpuser from 0.0.0.0 port 60836 ssh2",
+        "Dec 10 07:28:03 LabSZ sshd[24245]: input_userauth_request: invalid user pgadmin [preauth]",
+    ]
+    expected = [
+        "Dec 10 07:07:38 LabSZ sshd[24206]: input_userauth_request: invalid user test9 [preauth]",
+        "Dec 10 <*> LabSZ <*> input_userauth_request: invalid user <*> [preauth]",
+        "Dec 10 09:12:32 LabSZ sshd[24490]: Failed password for invalid user ftpuser from 0.0.0.0 port 62891 ssh2",
+        "Dec 10 <*> LabSZ <*> Failed password for invalid user <*> from 0.0.0.0 port <*> ssh2",
+        "Dec 10 <*> LabSZ <*> Failed password for invalid user <*> from 0.0.0.0 port <*> ssh2",
+        "Dec 10 <*> LabSZ <*> input_userauth_request: invalid user <*> [preauth]",
+    ]
+    model = Drain()
+    got = []
+    for e in entries:
+        cluster, _change = model.add_log_message(e)
+        got.append(" ".join(cluster.template_tokens))
+    assert got == expected
+    assert sum(c.size for c in model.clusters.values()) == 6
