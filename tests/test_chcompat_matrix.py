@@ -266,3 +266,28 @@ def test_every_map_entry_is_covered():
     covered |= {n for n, _, _ in AGG_CASES}
     missing = set(_RENAMES) - covered
     assert not missing, f"chcompat map entries without a parity case: {sorted(missing)}"
+
+
+def test_split_args_matches_reference_bracket_split():
+    """_split_args replays every splitAndTrimWithBracket case from the
+    reference's utils.test.ts verbatim (select-list splitting parity)."""
+    from hyperdx_spark.functions.chcompat import _split_args
+
+    cases = [
+        ("column1, column2, column3", ["column1", "column2", "column3"]),
+        ("Timestamp, ServiceName, JSONExtractString(Body, 'c'), "
+         "JSONExtractString(Body, 'msg')",
+         ["Timestamp", "ServiceName", "JSONExtractString(Body, 'c')",
+          "JSONExtractString(Body, 'msg')"]),
+        ("col1, func1(a, b), col2, func2(c, func3(d, e)), col3",
+         ["col1", "func1(a, b)", "col2", "func2(c, func3(d, e))", "col3"]),
+        ("col1, array[1, 2, 3], jsonb_path_query(data, '$[*]')",
+         ["col1", "array[1, 2, 3]", "jsonb_path_query(data, '$[*]')"]),
+        ("col1, func(array[1, 2], obj['key']), col2['nested'][0]",
+         ["col1", "func(array[1, 2], obj['key'])", "col2['nested'][0]"]),
+        ("  col1  ,   func(a, b)  ,  col2  ",
+         ["col1", "func(a, b)", "col2"]),
+        ("", []),
+    ]
+    for inp, want in cases:
+        assert _split_args(inp) == want, inp
