@@ -46,7 +46,7 @@ SCALAR_CASES = [
     ("toUInt64OrZero", "toUInt64OrZero('x')", 0),
     ("toUInt64OrZero", "toUInt64OrZero(NULL)", 0),
     ("intDiv", "intDiv(7, 2)", 3),
-    ("intDiv", "intDiv(-7, 2)", -4),  # CH floors like integer div? see note
+    ("intDiv", "intDiv(-7, 2)", -4),  # CH docs: quotient rounded DOWN (r9 fix)
     ("assumeNotNull", "assumeNotNull(5)", 5),
     # ---- date/time ---------------------------------------------------
     ("toDateTime", "toString(toDateTime('2024-03-05 07:08:09'))",
