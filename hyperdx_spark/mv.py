@@ -109,6 +109,106 @@ class MVExplanation:
 
 
 # --------------------------------------------------------------------------
+# Granularity inference from the MV's SELECT SQL
+# --------------------------------------------------------------------------
+
+# CH named bucketing functions -> granularity (materializedViews.ts:31-39)
+_NAMED_BUCKETS = {
+    "toStartOfSecond": "1 second",
+    "toStartOfMinute": "1 minute",
+    "toStartOfFiveMinutes": "5 minute",
+    "toStartOfTenMinutes": "10 minute",
+    "toStartOfFifteenMinutes": "15 minute",
+    "toStartOfHour": "1 hour",
+    "toStartOfDay": "1 day",
+}
+_INTERVAL_UNITS = {"second", "minute", "hour", "day"}
+_IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+_INTERVAL_LIT_RE = re.compile(r"(?is)^INTERVAL\s+(\d+)\s+([a-z]+)$")
+
+
+def _skip_quoted(s: str, start: int) -> int:
+    """Index just past the region quoted at ``s[start]`` (', \" or `),
+    honoring backslash escapes."""
+    quote = s[start]
+    i = start + 1
+    while i < len(s):
+        if s[i] == "\\" and i + 1 < len(s):
+            i += 2
+            continue
+        if s[i] == quote:
+            return i + 1
+        i += 1
+    return len(s)
+
+
+def _to_start_of_calls(s: str) -> list[tuple[str, str]]:
+    """(function, inner-args) for every top-level ``toStartOf*`` CALL in
+    *s*, in order — skipping quoted strings and backticked identifiers so
+    literals mentioning the token never count (materializedViews.ts
+    findToStartOfCalls behavior)."""
+    from hyperdx_spark.functions.chcompat import _find_close
+
+    out: list[tuple[str, str]] = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c in "'\"`":
+            i = _skip_quoted(s, i)
+            continue
+        if i > 0 and (s[i - 1].isalnum() or s[i - 1] == "_"):
+            i += 1
+            continue
+        m = _IDENT_RE.match(s, i)
+        if not m:
+            i += 1
+            continue
+        ident, j = m.group(0), m.end()
+        if ident.startswith("toStartOf"):
+            k = j
+            while k < n and s[k] in " \t\r\n":
+                k += 1
+            if k < n and s[k] == "(":
+                try:
+                    close = _find_close(s, k)
+                except ValueError:
+                    break  # unterminated call — stop scanning
+                out.append((ident, s[k + 1 : close]))
+                i = close + 1
+                continue
+        i = j
+    return out
+
+
+def infer_granularity_from_mv_select(as_select: str) -> Optional[str]:
+    """Granularity of a rollup, read off its defining SELECT
+    (``inferGranularityFromMVSelect``, materializedViews.ts:160-178):
+    the first recognized bucketing call wins — a named ``toStartOfX`` maps
+    directly; ``toStartOfInterval(col, INTERVAL n unit[, ...])`` parses
+    the literal (plural units accepted, unknown units skipped). Returns
+    None when the select contains no recognizable bucketing — callers
+    then declare ``MVConfig.min_granularity`` by hand as before."""
+    from hyperdx_spark.functions.chcompat import _split_args
+
+    for fn, inner in _to_start_of_calls(as_select):
+        if fn in _NAMED_BUCKETS:
+            return _NAMED_BUCKETS[fn]
+        if fn == "toStartOfInterval":
+            args = _split_args(inner)
+            if len(args) < 2:
+                continue
+            m = _INTERVAL_LIT_RE.match(args[1].strip())
+            if not m:
+                continue
+            num, unit = int(m.group(1)), m.group(2).lower()
+            if unit.endswith("s"):
+                unit = unit[:-1]  # one plural 's' only, like the reference
+            if num > 0 and unit in _INTERVAL_UNITS:
+                return f"{num} {unit}"
+    return None
+
+
+# --------------------------------------------------------------------------
 # Rollup construction
 # --------------------------------------------------------------------------
 

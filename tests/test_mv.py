@@ -318,3 +318,46 @@ def test_quantile_state_is_bounded(spark, mv_q):
     ).collect()[0]
     # value in [0,100] at scale 100 -> at most ~10001 keys ever
     assert stats["mx"] <= 10001
+
+
+def test_infer_granularity_from_mv_select():
+    """inferGranularityFromMVSelect parity (materializedViews.ts:160-178
+    + its test matrix): named buckets, INTERVAL literals (plural units,
+    extra origin/tz args, inner whitespace), first-recognized-call-wins,
+    quoted-literal and backtick skipping, unknowns -> None."""
+    from hyperdx_spark.mv import infer_granularity_from_mv_select as infer
+
+    sel = ("SELECT toStartOfInterval(Timestamp, INTERVAL 15 minute) AS ts, "
+           "ServiceName, count() FROM otel_logs GROUP BY 1, 2")
+    assert infer(sel) == "15 minute"
+    assert infer("SELECT ServiceName, count() FROM t GROUP BY 1") is None
+    # plural unit + extra args + whitespace/newlines inside the call
+    assert infer("toStartOfInterval(ts, INTERVAL 5 MINUTES)") == "5 minute"
+    assert infer(
+        "toStartOfInterval(ts, INTERVAL 1 hour, 'UTC')"
+    ) == "1 hour"
+    assert infer(
+        "toStartOfInterval(\n  ts ,\n  INTERVAL  10\n  second\n)"
+    ) == "10 second"
+    # unknown interval unit -> keep scanning / None
+    assert infer("toStartOfInterval(ts, INTERVAL 2 fortnight)") is None
+    # unrecognized named toStartOf* -> None
+    assert infer("toStartOfYear(ts)") is None
+    # named buckets
+    assert infer("SELECT toStartOfFifteenMinutes(ts) FROM t") == "15 minute"
+    assert infer("toStartOfDay(ts)") == "1 day"
+    # first recognized call wins
+    assert infer(
+        "toStartOfHour(ts), toStartOfMinute(ts)"
+    ) == "1 hour"
+    assert infer(
+        "toStartOfInterval(ts, INTERVAL 5 minute), toStartOfDay(ts)"
+    ) == "5 minute"
+    # tokens inside string literals / backticked identifiers don't count
+    assert infer("SELECT 'toStartOfHour(x)' AS s FROM t") is None
+    assert infer("SELECT `toStartOfHour` FROM t") is None
+    assert infer(
+        "SELECT 'toStartOfHour(x)', toStartOfMinute(ts) FROM t"
+    ) == "1 minute"
+    # a bare identifier (no call parens) is not a bucketing call
+    assert infer("SELECT toStartOfHour FROM t") is None
