@@ -107,3 +107,13 @@ def test_cap_per_host_invariants(spark):
     assert urls.cap_per_host(df, 1000).count() == df.count()
     with pytest.raises(ValueError):
         urls.cap_per_host(df, 0)
+
+
+def test_url_ops_single_exchange_plans(spark):
+    """Scale shape: both URL operators are exactly ONE hash shuffle (on
+    the canonical URL / the host) — the canonicalization itself is a
+    row-local column program."""
+    df = _url_corpus(spark)
+    for out in (urls.dedup_by_url(df), urls.cap_per_host(df, 5)):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1, plan
