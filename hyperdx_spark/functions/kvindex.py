@@ -100,3 +100,68 @@ def rewrite_kv_filters(
     expr = _IN_RE.sub(in_repl, expr)
     expr = _EQ_RE.sub(eq_repl, expr)
     return expr
+
+
+# --------------------------------------------------------------------------
+# KV-items column discovery from table DDL
+# --------------------------------------------------------------------------
+
+# arrayMap((x) -> concat(x.1, '<sep>', x.2), ... — both parenthesized and
+# bare lambda forms; the backreference forces the SAME variable in both
+# tuple accessors (queryParser.ts parseArrayMapConcatPrefix behavior)
+_KV_LAMBDA = (
+    r"\s*arrayMap\s*\(\s*\(?\s*(?P<v>\w+)\s*\)?\s*->\s*concat\s*\(\s*"
+    r"(?P=v)\s*\.\s*1\s*,\s*'(?P<sep>[^']*)'\s*,\s*(?P=v)\s*\.\s*2\s*\)\s*,\s*"
+)
+_KV_INLINE_RE = re.compile(
+    _KV_LAMBDA
+    + r"`?(?P<col>\w+)`?\s*::\s*Array\s*\(\s*Tuple\s*\(\s*String\s*,"
+    + r"\s*String\s*\)\s*\)\s*\)\s*$"
+)
+_KV_CAST_RE = re.compile(
+    _KV_LAMBDA
+    + r"CAST\s*\(\s*`?(?P<col>\w+)`?\s*,\s*'(?P<type>[^']*)'\s*\)\s*\)\s*$"
+)
+
+
+def parse_kv_items_expression(default_expression: str) -> Optional[tuple[str, str]]:
+    """(source map column, separator) parsed from a kv-items column's
+    ``default_expression`` — the discovery step that turns table metadata
+    into a :func:`rewrite_kv_filters` lookup without any manual config.
+
+    Mirrors the reference's two strategies, tried in order
+    (``parseKvItemsExpression`` inline-cast form then
+    ``parseKvItemsCastExpression``, queryParser.ts:1059-1141):
+
+    * ``arrayMap((x) -> concat(x.1, '=', x.2), X::Array(Tuple(String, String)))``
+    * ``arrayMap(x -> concat(x.1, '=', x.2), CAST(X, 'Array(Tuple(String, String))'))``
+
+    Both accept bare or parenthesized lambda params and arbitrary
+    whitespace; anything else (different body shape, a second lambda var,
+    a non-``Array(Tuple(String, String))`` type, trailing tokens) returns
+    None — the same conservative full-match bail-out as the reference.
+    """
+    m = _KV_INLINE_RE.fullmatch(default_expression)
+    if m:
+        return m.group("col"), m.group("sep")
+    m = _KV_CAST_RE.fullmatch(default_expression)
+    if m and re.sub(r"\s+", "", m.group("type")) == "Array(Tuple(String,String))":
+        return m.group("col"), m.group("sep")
+    return None
+
+
+def kv_items_lookup(
+    columns: Mapping[str, str], *, use_has_any: bool = True
+) -> dict[str, KvItemsInfo]:
+    """Build the map-column -> :class:`KvItemsInfo` lookup from
+    ``{items_column_name: default_expression}`` table metadata (the
+    ``KV_ITEMS_STRATEGIES`` scan over system.columns in the reference)."""
+    out: dict[str, KvItemsInfo] = {}
+    for items_col, expr in columns.items():
+        parsed = parse_kv_items_expression(expr or "")
+        if parsed:
+            map_col, sep = parsed
+            out[map_col] = KvItemsInfo(
+                column_name=items_col, separator=sep, use_has_any=use_has_any
+            )
+    return out

@@ -125,3 +125,48 @@ def test_end_to_end_filter_path(spark):
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "attrs_items" in plan
     assert "element_at" not in plan  # map never touched
+
+
+def test_parse_kv_items_expression_both_forms():
+    """Discovery parity (parseKvItemsExpression / ...CastExpression,
+    queryParser.ts:1059-1141): both DDL forms, bare and parenthesized
+    lambda vars, strict full-match bail-outs."""
+    from hyperdx_spark.functions.kvindex import parse_kv_items_expression as p
+
+    assert p(
+        "arrayMap((arr) -> concat(arr.1, '=', arr.2), "
+        "LogAttributes::Array(Tuple(String, String)))"
+    ) == ("LogAttributes", "=")
+    assert p(
+        "arrayMap(x -> concat(x.1, ':', x.2), "
+        "CAST(M, 'Array(Tuple(String, String))'))"
+    ) == ("M", ":")
+    # type string is whitespace-insensitive (the reference normalizes)
+    assert p(
+        "arrayMap(x -> concat(x.1, '=', x.2), "
+        "CAST(M, 'Array( Tuple(String , String) )'))"
+    ) == ("M", "=")
+    # bail-outs: lambda-var mismatch, wrong tuple type, trailing tokens
+    assert p("arrayMap((a) -> concat(b.1, '=', a.2), "
+             "M::Array(Tuple(String, String)))") is None
+    assert p("arrayMap((a) -> concat(a.1, '=', a.2), "
+             "CAST(M, 'Array(Tuple(String, Int64))'))") is None
+    assert p("arrayMap((a) -> concat(a.1, '=', a.2), "
+             "M::Array(Tuple(String, String))) AND 1") is None
+    assert p("") is None
+
+
+def test_kv_items_lookup_end_to_end():
+    from hyperdx_spark.functions.kvindex import (
+        kv_items_lookup,
+        rewrite_kv_filters,
+    )
+
+    lookup = kv_items_lookup({
+        "_kv_items": "arrayMap((arr) -> concat(arr.1, '=', arr.2), "
+                     "LogAttributes::Array(Tuple(String, String)))",
+        "not_kv": "upper(x)",
+    })
+    assert set(lookup) == {"LogAttributes"}
+    got = rewrite_kv_filters("LogAttributes['env'] = 'prod'", lookup)
+    assert got == "array_contains(`_kv_items`, 'env=prod')"
