@@ -29,7 +29,6 @@ alongside the BPE-ish regex counter in ``pipeline/text.py:177-205``.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame
