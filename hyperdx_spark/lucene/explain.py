@@ -48,6 +48,11 @@ def explain_node(node: Node, implicit_name: str = "event") -> str:
             base = f"{f} {phrase} {node.value}"
             return f"NOT ({base})" if neg else base
         if node.quoted:
+            if getattr(node, "grouped", False):
+                # grouped f:("x y") is a contains search, phrased like the
+                # reference's english ('(ServiceName contains "foo bar")')
+                verb = "does not contain" if neg else "contains"
+                return f'{f} {verb} "{node.value}"'
             verb = "is not" if neg else "is"
             return f"{f} {verb} '{node.value}'"
         has_wild = node.value.startswith("*") or node.value.endswith("*")
@@ -80,6 +85,15 @@ def explain_node(node: Node, implicit_name: str = "event") -> str:
             return explain_node(replace(child, negated=True), implicit_name)
         return f"NOT ({explain_node(child, implicit_name)})"
     if isinstance(node, Group):
+        if node.field is not None:
+            # push the field into inner terms (grouped flag set) so the
+            # quoted-contains phrasing matches the SQL dispatch
+            from hyperdx_spark.lucene.serializer import _push_field
+
+            inner = explain_node(
+                _push_field(node.child, node.field), implicit_name
+            )
+            return f"NOT ({inner})" if node.negated else f"({inner})"
         inner_name = f"'{node.field}'" if node.field else implicit_name
         inner = explain_node(node.child, inner_name)
         body = f"({inner})"
