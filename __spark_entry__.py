@@ -3486,7 +3486,18 @@ GROUP BY i
 
 
 def q_csv_render(spark, sf_dir):
-    """§2.1 CSV export round-trip + §2.11 client render cap (top-by-peak)."""
+    """§2.1 CSV export round-trip + §2.11 client render cap (top-by-peak)
+    + the display-shape config conversions (core/utils.ts:811-900): a
+    granular builder config rewritten for pie/bar (seriesLimit -> LIMIT with
+    the injected first-aggregate-DESC + group-ASC default ordering), number
+    (granularity+groupBy dropped) and table (default row limit + stable
+    group ordering) tiles."""
+    from hyperdx_spark.display import (
+        convert_to_categorical_chart_config,
+        convert_to_number_chart_config,
+        convert_to_table_chart_config,
+    )
+
     csv = q_csv_export(spark, sf_dir).select(
         F.lit("csv").alias("part"), F.col("day_s").alias("ts_s"),
         F.col("event_type").alias("series"), F.col("cnt").cast("double").alias("value"),
@@ -3494,13 +3505,62 @@ def q_csv_render(spark, sf_dir):
     cap = q_render_cap(spark, sf_dir).select(
         F.lit("render").alias("part"), "ts_s", "series", "value"
     )
-    return csv.unionByName(cap)
+    # one granular tile config, rendered through each display-shape rewrite
+    tile = ChartConfig(
+        source=_src(),
+        select=[SelectCol(agg_fn="count")],  # unnamed -> aliased "Value"
+        group_by=["event_type"],
+        granularity="1 day",  # dropped by every conversion
+        series_limit=2,       # pie/bar: keeps the 2 largest slices
+        date_range=RANGE,
+    )
+    cat = compile_chart_config(
+        spark, convert_to_categorical_chart_config(tile), sf_dir=sf_dir
+    ).select(
+        F.lit("cat").alias("part"), F.lit(None).cast("bigint").alias("ts_s"),
+        F.col("event_type").alias("series"), F.col("Value").cast("double").alias("value"),
+    )
+    # number/table keep the user's aliases untouched (only the categorical
+    # rewrite injects "Value", and only when it synthesizes the ordering)
+    named = ChartConfig(
+        source=_src(),
+        select=[SelectCol(agg_fn="count", alias="Value")],
+        group_by=["event_type"],
+        granularity="1 day",
+        series_limit=2,
+        date_range=RANGE,
+    )
+    num = compile_chart_config(
+        spark, convert_to_number_chart_config(named), sf_dir=sf_dir
+    ).select(
+        F.lit("num").alias("part"), F.lit(None).cast("bigint").alias("ts_s"),
+        F.lit(None).cast("string").alias("series"),
+        F.col("Value").cast("double").alias("value"),
+    )
+    tab = compile_chart_config(
+        spark, convert_to_table_chart_config(named), sf_dir=sf_dir
+    ).select(
+        F.lit("tab").alias("part"), F.lit(None).cast("bigint").alias("ts_s"),
+        F.col("event_type").alias("series"), F.col("Value").cast("double").alias("value"),
+    )
+    return csv.unionByName(cap).unionByName(cat).unionByName(num).unionByName(tab)
 
 
 O_CSV_RENDER = f"""
 SELECT 'csv' AS part, day_s AS ts_s, event_type AS series, cnt::DOUBLE AS value FROM ({O_CSV_EXPORT})
 UNION ALL
 SELECT 'render' AS part, ts_s, series, value FROM ({O_RENDER_CAP})
+UNION ALL
+SELECT 'cat' AS part, NULL::BIGINT AS ts_s, event_type AS series, cnt::DOUBLE AS value
+FROM (SELECT event_type, count(*) AS cnt FROM events WHERE {TIME_WHERE}
+      GROUP BY 1 ORDER BY cnt DESC, event_type ASC LIMIT 2)
+UNION ALL
+SELECT 'num' AS part, NULL::BIGINT AS ts_s, NULL::VARCHAR AS series,
+       count(*)::DOUBLE AS value FROM events WHERE {TIME_WHERE}
+UNION ALL
+SELECT 'tab' AS part, NULL::BIGINT AS ts_s, event_type AS series,
+       count(*)::DOUBLE AS value
+FROM events WHERE {TIME_WHERE} GROUP BY event_type
 """
 
 

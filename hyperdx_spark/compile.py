@@ -24,6 +24,7 @@ from typing import Optional, Sequence
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hyperdx_spark.display import has_positive_series_limit
 from hyperdx_spark.functions.chcompat import _split_args, translate_expr
 from hyperdx_spark.granularity import auto_granularity, granularity_seconds
 from hyperdx_spark.lucene.serializer import SearchQueryBuilder, _sql_str
@@ -419,7 +420,18 @@ def compile_chart_config(
         group_names = [n for n in key_names if n != ts_alias]
         if config.having:
             out = out.where(F.expr(_condition_sql(ctx, config.having, config.having_language)))
-        if config.series_limit and group_names:
+        # Gates mirror renderSeriesLimitCte (renderChartConfig.ts:1317-1333):
+        # a positive INTEGER seriesLimit (0 = unlimited, null = unset, floats
+        # rejected), a group-by, a granularity (non-granular charts never cap
+        # — pie/bar tiles reinterpret seriesLimit as a plain LIMIT via
+        # display.convert_to_categorical_chart_config instead), and group
+        # columns present in the output (selectGroupBy !== false).
+        if (
+            has_positive_series_limit(config.series_limit)
+            and group_names
+            and bucket_seconds is not None
+            and config.select_group_by
+        ):
             out = _apply_series_limit(out, group_names, value_alias, config.series_limit)
         if config.fill_nulls is not None and bucket_seconds is not None and config.date_range:
             out = _fill_buckets(

@@ -1,0 +1,138 @@
+"""Display-shape config conversions (pie / bar / number / table tiles).
+
+Every non-time-series dashboard tile rewrites its ChartConfig before the
+compiler sees it (ref: packages/common-utils/src/core/utils.ts:811-900,
+``convertToCategoricalChartConfig`` / ``convertToNumberChartConfig`` /
+``convertToTableChartConfig``; spec in src/__tests__/utils.test.ts:294-713):
+
+* **Categorical (pie/bar)** — no time dimension, so ``granularity`` is
+  dropped and the per-tile ``seriesLimit`` is reinterpreted as a plain SQL
+  LIMIT on the number of slices/bars (the ``__hdx_series_limit`` ranking CTE
+  it drives on time charts is gated on granularity, which categorical charts
+  never set).  When a limit applies and the user supplied no ORDER BY, a
+  first-aggregate-DESC + group-ASC ordering is injected so the limit
+  deterministically keeps the largest slices.
+* **Number** — collapses to one value: drop granularity AND groupBy.
+* **Table** — drop granularity; default a row limit (200) and a
+  group-ascending ordering so the set of rows within the limit is stable.
+
+Dialect note: the reference quotes the injected ORDER BY alias as a
+ClickHouse double-quoted identifier (``"Value"``, embedded ``"`` doubled —
+utils.ts:845-848).  Our expression language is Spark SQL, where the
+identifier quote is the backtick (double quotes would parse as a string
+*literal* with ANSI off), so :func:`quote_identifier` emits backticks and
+doubles embedded backticks — same escaping rule, Spark spelling.
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Optional, Sequence, Union
+
+from hyperdx_spark.model import ChartConfig, SelectCol, SortSpec
+
+
+def has_positive_series_limit(series_limit: object) -> bool:
+    """Whether a tile's ``seriesLimit`` should apply an actual limit
+    (ref core/utils.ts:52-58, ``hasPositiveSeriesLimit``).
+
+    A positive *integer* caps the series; ``0`` means unlimited and ``None``
+    means unset — both apply no limit.  Non-integers (a float smuggled in
+    through an untyped tiles field) are rejected rather than passed to SQL,
+    matching the reference's ``Number.isInteger`` guard.
+    """
+    return (
+        series_limit is not None
+        and not isinstance(series_limit, bool)
+        and isinstance(series_limit, int)
+        and series_limit > 0
+    )
+
+
+def has_non_empty_order_by(
+    order_by: Union[str, Sequence[SortSpec], None],
+) -> bool:
+    """True when the user supplied a usable ORDER BY (ref utils.ts:781-790):
+    a non-blank string or a non-empty sort-spec list."""
+    if order_by is None:
+        return False
+    if isinstance(order_by, str):
+        return len(order_by.strip()) > 0
+    return len(order_by) > 0
+
+
+def quote_identifier(name: str) -> str:
+    """Quote *name* as a Spark SQL identifier (backticks, embedded backticks
+    doubled) — the Spark spelling of the reference's double-quote-and-double
+    escaping (utils.ts:845-848)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def convert_to_categorical_chart_config(config: ChartConfig) -> ChartConfig:
+    """Normalize a builder config for categorical (pie/bar) rendering
+    (ref core/utils.ts:811-881, ``convertToCategoricalChartConfig``).
+
+    The input is not mutated.  ``granularity`` is dropped; a positive
+    ``series_limit`` becomes ``limit`` unless an explicit limit is already
+    set; ``series_limit`` is always cleared (it has no meaning past this
+    conversion).  A user-supplied ORDER BY always wins; otherwise, when a
+    limit applies and a group-by is present, order by the first aggregate
+    descending (aliasing it ``Value`` if unnamed) with the group columns as
+    an ascending tiebreak.
+    """
+    cfg = copy.deepcopy(config)
+    cfg.granularity = None
+
+    if has_positive_series_limit(cfg.series_limit) and cfg.limit is None:
+        cfg.limit = cfg.series_limit
+    cfg.series_limit = None
+
+    # Only inject the default ordering when we have something to order by:
+    # a limit to make deterministic, at least one derived select column to
+    # rank on, and a group-by (a groupless categorical chart is one slice —
+    # the reference's `typeof groupBy === 'string'` guard, utils.ts:838).
+    if (
+        not has_non_empty_order_by(cfg.order_by)
+        and cfg.limit is not None
+        and isinstance(cfg.select, (list, tuple))
+        and len(cfg.select) > 0
+        and len(cfg.group_by) > 0
+    ):
+        first: SelectCol = cfg.select[0]
+        if not (first.alias or "").strip():
+            first.alias = "Value"
+        cfg.order_by = [
+            SortSpec(quote_identifier(first.alias.strip()), "DESC"),
+            *[SortSpec(g, "ASC") for g in cfg.group_by if g.strip()],
+        ]
+    return cfg
+
+
+def convert_to_number_chart_config(config: ChartConfig) -> ChartConfig:
+    """Number charts collapse to a single aggregate value: drop the time
+    bucket (granularity) and any group-by (ref core/utils.ts:868-874)."""
+    cfg = copy.deepcopy(config)
+    cfg.granularity = None
+    cfg.group_by = []
+    return cfg
+
+
+def convert_to_table_chart_config(config: ChartConfig) -> ChartConfig:
+    """Table charts drop the time bucket and, so the set of rows kept within
+    the limit is stable, default a row limit (200) and a group-by ordering
+    when the user hasn't set them (ref core/utils.ts:876-900).
+
+    The ordering default is gated on the *reference's* falsy check
+    (``!convertedConfig.orderBy``): an unset or empty-string ORDER BY gets
+    the default, but an explicitly empty list does not.
+    """
+    cfg = copy.deepcopy(config)
+    cfg.granularity = None
+
+    if cfg.limit is None:
+        cfg.limit = 200
+
+    order_falsy = cfg.order_by is None or cfg.order_by == ""
+    if cfg.group_by and order_falsy:
+        cfg.order_by = [SortSpec(g, "ASC") for g in cfg.group_by if g.strip()]
+    return cfg

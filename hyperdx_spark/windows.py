@@ -149,7 +149,9 @@ def _pin_series_limit(
     from hyperdx_spark.compile import compile_chart_config
     from hyperdx_spark.model import SqlFilter
 
-    if not cfg.series_limit or not cfg.group_by:
+    from hyperdx_spark.display import has_positive_series_limit
+
+    if not has_positive_series_limit(cfg.series_limit) or not cfg.group_by:
         return cfg, None
     full = compile_chart_config(spark, cfg, sf_dir=sf_dir)
     group_cols = [c for c in full.columns if c in cfg.group_by or c.startswith("__group_")]

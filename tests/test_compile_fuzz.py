@@ -285,7 +285,9 @@ def _run_ext(spark, duck, use_cte, weighted, gran, aggs, cond1, series_n, ratio)
         )
     withs.append(f"agg AS ({inner_sql})")
     sql = "WITH " + ", ".join(withs) + " SELECT * FROM agg"
-    if series_n:
+    # the series cap only applies to granular charts (renderSeriesLimitCte
+    # gates on isUsingGranularity, renderChartConfig.ts:1317-1333)
+    if series_n and gran:
         sql += (
             " WHERE event_type IN (SELECT event_type FROM agg"
             " GROUP BY event_type ORDER BY max(a0) DESC NULLS LAST,"

@@ -1,0 +1,406 @@
+"""Display-shape config conversions — pytest twins of the reference's spec
+(packages/common-utils/src/__tests__/utils.test.ts:294-713) plus end-to-end
+compile checks over the events table."""
+
+from datetime import datetime
+
+import pytest
+
+from hyperdx_spark.display import (
+    convert_to_categorical_chart_config,
+    convert_to_number_chart_config,
+    convert_to_table_chart_config,
+    has_non_empty_order_by,
+    has_positive_series_limit,
+    quote_identifier,
+)
+from hyperdx_spark.model import ChartConfig, SelectCol, SortSpec, Source
+
+DATE_RANGE = (datetime(2024, 1, 1), datetime(2024, 2, 1))
+
+
+def _cfg(**kw):
+    kw.setdefault("source", Source(table="events"))
+    kw.setdefault("date_range", DATE_RANGE)
+    return ChartConfig(**kw)
+
+
+# ---- hasPositiveSeriesLimit (utils.test.ts:294-309) ----------------------
+
+
+def test_has_positive_series_limit_positive_ints():
+    assert has_positive_series_limit(1)
+    assert has_positive_series_limit(250)
+
+
+def test_has_positive_series_limit_zero_and_unset():
+    # 0 = unlimited, None = unset — both apply no limit
+    assert not has_positive_series_limit(0)
+    assert not has_positive_series_limit(None)
+
+
+def test_has_positive_series_limit_negative():
+    assert not has_positive_series_limit(-5)
+
+
+def test_has_positive_series_limit_non_integer():
+    # Number.isInteger guard (utils.ts:52-58): a float from an untyped tiles
+    # field must not bind as a LIMIT
+    assert not has_positive_series_limit(0.5)
+    assert not has_positive_series_limit(float("nan"))
+    assert not has_positive_series_limit(True)  # bool is not a tile limit
+
+
+# ---- hasNonEmptyOrderBy (utils.test.ts:520-553) ---------------------------
+
+
+def test_has_non_empty_order_by():
+    assert not has_non_empty_order_by(None)
+    assert not has_non_empty_order_by("")
+    assert not has_non_empty_order_by("   ")
+    assert has_non_empty_order_by("ServiceName ASC")
+    assert not has_non_empty_order_by([])
+    assert has_non_empty_order_by([SortSpec("ServiceName", "DESC")])
+
+
+# ---- convertToCategoricalChartConfig (utils.test.ts:311-510) ---------------
+
+
+def test_categorical_removes_granularity_keeps_group_by():
+    cfg = _cfg(granularity="5 minute", group_by=["event_type"])
+    out = convert_to_categorical_chart_config(cfg)
+    assert out.granularity is None
+    assert out.group_by == ["event_type"]
+
+
+def test_categorical_no_series_limit_no_injection():
+    cfg = _cfg(select=[SelectCol(agg_fn="count")], group_by=["event_type"])
+    out = convert_to_categorical_chart_config(cfg)
+    assert out.order_by is None
+    assert out.limit is None
+
+
+def test_categorical_series_limit_becomes_limit_with_value_desc_order():
+    cfg = _cfg(
+        select=[SelectCol(agg_fn="count")],
+        group_by=["event_type"],
+        series_limit=5,
+    )
+    out = convert_to_categorical_chart_config(cfg)
+    assert out.select[0].alias == "Value"
+    assert out.order_by == [
+        SortSpec("`Value`", "DESC"),
+        SortSpec("event_type", "ASC"),
+    ]
+    assert out.limit == 5
+    assert out.series_limit is None
+
+
+def test_categorical_orders_by_existing_alias_with_identifier_escaping():
+    # Reference escapes embedded double quotes by doubling (utils.ts:845-848);
+    # the Spark spelling is backticks with embedded backticks doubled.
+    cfg = _cfg(
+        select=[SelectCol(agg_fn="count", alias="Request `Count`")],
+        group_by=["event_type"],
+        series_limit=3,
+    )
+    out = convert_to_categorical_chart_config(cfg)
+    assert out.select[0].alias == "Request `Count`"
+    assert out.order_by == [
+        SortSpec("`Request ``Count```", "DESC"),
+        SortSpec("event_type", "ASC"),
+    ]
+    assert out.limit == 3
+
+
+def test_categorical_preserves_user_string_order_by():
+    cfg = _cfg(
+        select=[SelectCol(agg_fn="count")],
+        group_by=["event_type"],
+        series_limit=5,
+        order_by="event_type ASC",
+    )
+    out = convert_to_categorical_chart_config(cfg)
+    # The user's explicit ORDER BY wins; the limit keeps the top rows per
+    # that ordering. No default alias is injected either.
+    assert out.order_by == "event_type ASC"
+    assert out.limit == 5
+    assert out.select[0].alias is None
+
+
+def test_categorical_preserves_user_sortspec_order_by():
+    cfg = _cfg(
+        select=[SelectCol(agg_fn="count")],
+        group_by=["event_type"],
+        series_limit=5,
+        order_by=[SortSpec("event_type", "DESC")],
+    )
+    out = convert_to_categorical_chart_config(cfg)
+    assert out.order_by == [SortSpec("event_type", "DESC")]
+    assert out.limit == 5
+
+
+def test_categorical_preserves_user_order_by_without_limit():
+    cfg = _cfg(
+        select=[SelectCol(agg_fn="count")],
+        group_by=["event_type"],
+        order_by="event_type ASC",
+    )
+    out = convert_to_categorical_chart_config(cfg)
+    assert out.order_by == "event_type ASC"
+    assert out.limit is None
+
+
+def test_categorical_empty_string_order_by_gets_default():
+    cfg = _cfg(
+        select=[SelectCol(agg_fn="count")],
+        group_by=["event_type"],
+        series_limit=5,
+        order_by="",
+    )
+    out = convert_to_categorical_chart_config(cfg)
+    assert out.order_by == [
+        SortSpec("`Value`", "DESC"),
+        SortSpec("event_type", "ASC"),
+    ]
+    assert out.limit == 5
+
+
+def test_categorical_explicit_limit_wins_over_series_limit():
+    cfg = _cfg(
+        select=[SelectCol(agg_fn="count")],
+        group_by=["event_type"],
+        series_limit=5,
+        limit=2,
+    )
+    out = convert_to_categorical_chart_config(cfg)
+    assert out.limit == 2
+
+
+def test_categorical_zero_series_limit_is_unlimited():
+    cfg = _cfg(
+        select=[SelectCol(agg_fn="count")],
+        group_by=["event_type"],
+        series_limit=0,
+    )
+    out = convert_to_categorical_chart_config(cfg)
+    assert out.limit is None
+    assert out.order_by is None
+    assert out.series_limit is None
+
+
+def test_categorical_no_group_by_no_order_injection():
+    cfg = _cfg(select=[SelectCol(agg_fn="count")], series_limit=5)
+    out = convert_to_categorical_chart_config(cfg)
+    assert out.order_by is None
+
+
+def test_categorical_does_not_mutate_input():
+    cfg = _cfg(
+        select=[SelectCol(agg_fn="count")],
+        group_by=["event_type"],
+        series_limit=5,
+    )
+    convert_to_categorical_chart_config(cfg)
+    assert cfg.select[0].alias is None
+    assert cfg.order_by is None
+    assert cfg.limit is None
+    assert cfg.series_limit == 5
+    assert cfg.granularity is None
+
+
+def test_quote_identifier():
+    assert quote_identifier("Value") == "`Value`"
+    assert quote_identifier("a`b") == "`a``b`"
+
+
+# ---- convertToNumberChartConfig (utils.ts:868-874) -------------------------
+
+
+def test_number_drops_granularity_and_group_by():
+    cfg = _cfg(
+        select=[SelectCol(agg_fn="count")],
+        granularity="1 hour",
+        group_by=["event_type"],
+        limit=7,
+    )
+    out = convert_to_number_chart_config(cfg)
+    assert out.granularity is None
+    assert out.group_by == []
+    assert out.limit == 7  # everything else untouched
+    assert cfg.group_by == ["event_type"]  # input not mutated
+
+
+# ---- convertToTableChartConfig (utils.ts:876-900) --------------------------
+
+
+def test_table_defaults_limit_and_group_order():
+    cfg = _cfg(
+        select=[SelectCol(agg_fn="count")],
+        granularity="1 hour",
+        group_by=["event_type"],
+    )
+    out = convert_to_table_chart_config(cfg)
+    assert out.granularity is None
+    assert out.limit == 200
+    assert out.order_by == [SortSpec("event_type", "ASC")]
+
+
+def test_table_keeps_explicit_limit_and_order():
+    cfg = _cfg(
+        select=[SelectCol(agg_fn="count")],
+        group_by=["event_type"],
+        limit=10,
+        order_by="event_type DESC",
+    )
+    out = convert_to_table_chart_config(cfg)
+    assert out.limit == 10
+    assert out.order_by == "event_type DESC"
+
+
+def test_table_no_group_by_no_order_default():
+    cfg = _cfg(select=[SelectCol(agg_fn="count")])
+    out = convert_to_table_chart_config(cfg)
+    assert out.limit == 200
+    assert out.order_by is None
+
+
+def test_table_empty_list_order_by_not_defaulted():
+    # the reference gate is the FALSY check (!orderBy): '' gets the default,
+    # an explicitly empty array does not (utils.ts:893)
+    out_empty_str = convert_to_table_chart_config(
+        _cfg(group_by=["event_type"], order_by="")
+    )
+    assert out_empty_str.order_by == [SortSpec("event_type", "ASC")]
+    out_empty_list = convert_to_table_chart_config(
+        _cfg(group_by=["event_type"], order_by=[])
+    )
+    assert out_empty_list.order_by == []
+
+
+# ---- end-to-end: converted configs compile and behave ----------------------
+
+
+@pytest.fixture(scope="module")
+def ev_source():
+    return Source(table="events", kind="log", timestamp_value_expression="ts")
+
+
+def test_categorical_compile_keeps_largest_slices(spark, sf_dir, ev_source):
+    from hyperdx_spark.compile import compile_chart_config
+
+    cfg = _cfg(
+        source=ev_source,
+        select=[SelectCol(agg_fn="count")],
+        group_by=["event_type"],
+        granularity="1 hour",  # dropped by the conversion
+        series_limit=2,
+    )
+    out = compile_chart_config(
+        spark, convert_to_categorical_chart_config(cfg), sf_dir=sf_dir
+    )
+    rows = out.collect()
+    assert len(rows) == 2
+    # the kept slices are the 2 largest by count, value-descending
+    full = (
+        compile_chart_config(
+            spark,
+            _cfg(
+                source=ev_source,
+                select=[SelectCol(agg_fn="count", alias="Value")],
+                group_by=["event_type"],
+            ),
+            sf_dir=sf_dir,
+        )
+        .orderBy("Value", ascending=False)
+        .collect()
+    )
+    expected = sorted(
+        [(r["event_type"], r["Value"]) for r in full[:2]],
+        key=lambda t: (-t[1], t[0]),
+    )
+    assert [(r["event_type"], r["Value"]) for r in rows] == expected
+
+
+def test_number_compile_single_row(spark, sf_dir, ev_source):
+    from hyperdx_spark.compile import compile_chart_config
+
+    cfg = _cfg(
+        source=ev_source,
+        select=[SelectCol(agg_fn="count", alias="n")],
+        group_by=["event_type"],
+        granularity="1 hour",
+    )
+    rows = compile_chart_config(
+        spark, convert_to_number_chart_config(cfg), sf_dir=sf_dir
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["n"] == 1000
+
+
+def test_table_compile_stable_ordering(spark, sf_dir, ev_source):
+    from hyperdx_spark.compile import compile_chart_config
+
+    cfg = _cfg(
+        source=ev_source,
+        select=[SelectCol(agg_fn="count", alias="n")],
+        group_by=["event_type"],
+        granularity="1 hour",
+    )
+    rows = compile_chart_config(
+        spark, convert_to_table_chart_config(cfg), sf_dir=sf_dir
+    ).collect()
+    types = [r["event_type"] for r in rows]
+    assert types == sorted(types)  # group-ascending default ordering
+    assert len(rows) <= 200
+
+
+# ---- renderSeriesLimitCte gates now mirrored in compile (ts:1317-1333) ------
+
+
+def test_series_limit_skipped_without_granularity(spark, sf_dir, ev_source):
+    # a non-granular chart never applies the series cap — pie/bar tiles get
+    # their LIMIT through the categorical conversion instead
+    from hyperdx_spark.compile import compile_chart_config
+
+    cfg = _cfg(
+        source=ev_source,
+        select=[SelectCol(agg_fn="count", alias="cnt")],
+        group_by=["event_type"],
+        series_limit=2,
+    )
+    rows = compile_chart_config(spark, cfg, sf_dir=sf_dir).collect()
+    assert len(rows) > 2  # all groups kept
+
+
+def test_series_limit_skipped_when_group_not_selected(spark, sf_dir, ev_source):
+    # selectGroupBy === false skips the CTE in the reference; previously this
+    # crashed (join keys dropped from the output) — now it's a clean skip
+    from hyperdx_spark.compile import compile_chart_config
+
+    cfg = _cfg(
+        source=ev_source,
+        select=[SelectCol(agg_fn="count", alias="cnt")],
+        group_by=["event_type"],
+        granularity="1 day",
+        series_limit=2,
+        select_group_by=False,
+    )
+    rows = compile_chart_config(spark, cfg, sf_dir=sf_dir).collect()
+    assert len(rows) > 0
+    assert set(rows[0].asDict()) == {"cnt"}
+
+
+def test_series_limit_rejects_non_integer(spark, sf_dir, ev_source):
+    # Number.isInteger guard: a float seriesLimit must not bind as a LIMIT
+    from hyperdx_spark.compile import compile_chart_config
+
+    cfg = _cfg(
+        source=ev_source,
+        select=[SelectCol(agg_fn="count", alias="cnt")],
+        group_by=["event_type"],
+        granularity="1 day",
+        series_limit=2.5,
+    )
+    df = compile_chart_config(spark, cfg, sf_dir=sf_dir)
+    assert df.select("event_type").distinct().count() > 2
