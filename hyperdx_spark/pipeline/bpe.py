@@ -106,28 +106,91 @@ def train_bpe(
         .limit(int(max_words))  # TakeOrdered — no full sort/shuffle of the tail
         .collect()
     )
-    words: dict[tuple, int] = {}
-    for r in rows:
-        words[tuple(r["word"])] = words.get(tuple(r["word"]), 0) + int(r["freq"])
+    return _train_merges(
+        [(r["word"], int(r["freq"])) for r in rows],
+        int(num_merges),
+        min_pair_freq=min_pair_freq,
+    )
+
+
+def _train_merges(
+    word_freqs: list[tuple[str, int]],
+    num_merges: int,
+    *,
+    min_pair_freq: int = 2,
+) -> list[tuple[str, str]]:
+    """The merge-selection loop over a (word, freq) table, with INCREMENTAL
+    pair-count maintenance — the standard trick production BPE trainers use
+    (e.g. subword-nmt's learn_bpe): build the pair-frequency table and a
+    pair -> {words containing it} inverted index ONCE, then per merge update
+    counts only for the words the merged pair touches. Selection rides a
+    max-heap with lazy invalidation (an entry is live iff its frequency
+    matches the authoritative table; every count change pushes a fresh
+    entry). A full recount per merge is O(merges x words x word-len) — days
+    at a real 32k-merge vocab over the 1M-word cap; this is
+    O(total-updates), dominated by the Zipf head's few thousand hot words.
+
+    Selection order is EXACTLY the naive loop's: max frequency, ties ->
+    lexicographically smallest pair (the heap key (-freq, pair) pops in that
+    order). Distinct input words stay distinct under merging (a word's
+    symbol tuple concatenates back to the word string), so per-word state
+    never collides.
+    """
+    import heapq
+    from collections import Counter, defaultdict
+
+    # accumulate defensively (the distributed pass already emits distinct
+    # words, so this is a straight copy)
+    acc: dict[str, int] = {}
+    for w, f in word_freqs:
+        acc[w] = acc.get(w, 0) + f
+    syms: list[tuple] = [tuple(w) for w in acc]
+    freqs: list[int] = list(acc.values())
+
+    pair_freq: dict[tuple, int] = {}
+    where: defaultdict[tuple, set] = defaultdict(set)  # pair -> word ids
+    for wid, (sym, f) in enumerate(zip(syms, freqs)):
+        for p, c in Counter(zip(sym, sym[1:])).items():
+            pair_freq[p] = pair_freq.get(p, 0) + c * f
+            where[p].add(wid)
+
+    heap = [(-f, p) for p, f in pair_freq.items()]
+    heapq.heapify(heap)
 
     merges: list[tuple[str, str]] = []
-    for _ in range(int(num_merges)):
-        pair_freq: dict[tuple, int] = {}
-        for sym, freq in words.items():
-            for a, b in zip(sym, sym[1:]):
-                pair_freq[(a, b)] = pair_freq.get((a, b), 0) + freq
-        if not pair_freq:
-            break
-        # deterministic: max frequency, ties -> lexicographically smallest
-        best = min(pair_freq.items(), key=lambda kv: (-kv[1], kv[0]))
-        if best[1] < min_pair_freq:
-            break
-        pair = best[0]
+    while len(merges) < num_merges and heap:
+        neg, pair = heapq.heappop(heap)
+        cur = pair_freq.get(pair, 0)
+        if -neg != cur:
+            continue  # stale: a fresher entry was pushed when cur changed
+        if cur < min_pair_freq:
+            break  # live max is below the floor -> nothing better remains
         merges.append(pair)
-        words = {
-            _merge_word(sym, pair) if pair[0] in sym else sym: freq
-            for sym, freq in words.items()
-        }
+        changed: set = set()
+        for wid in where.pop(pair, ()):
+            sym, f = syms[wid], freqs[wid]
+            old = Counter(zip(sym, sym[1:]))
+            new_sym = _merge_word(sym, pair)
+            syms[wid] = new_sym
+            new = Counter(zip(new_sym, new_sym[1:]))
+            for p in old.keys() | new.keys():
+                d = new.get(p, 0) - old.get(p, 0)
+                if d:
+                    pair_freq[p] = pair_freq.get(p, 0) + d * f
+                    changed.add(p)
+                if new.get(p, 0):
+                    where[p].add(wid)
+                elif old.get(p, 0):
+                    where[p].discard(wid)
+        pair_freq.pop(pair, None)
+        changed.discard(pair)
+        for p in changed:
+            cur_p = pair_freq.get(p, 0)
+            if cur_p > 0:
+                heapq.heappush(heap, (-cur_p, p))
+            else:
+                pair_freq.pop(p, None)
+                where.pop(p, None)
     return merges
 
 

@@ -105,3 +105,61 @@ def test_word_frequencies_is_bounded_aggregation(spark):
     wf = {r["word"]: r["freq"] for r in bpe.word_frequencies(df).collect()}
     assert wf[" low"] == 4 and wf["low"] == 1  # GPT-2 space-prefixed pieces
     assert wf[" the"] == 4 and wf["the"] == 1
+
+
+def _naive_merges(word_freqs, num_merges, min_pair_freq=2):
+    """The full-recount loop the incremental trainer must replicate exactly."""
+    words = {}
+    for w, f in word_freqs:
+        words[tuple(w)] = words.get(tuple(w), 0) + f
+    merges = []
+    for _ in range(num_merges):
+        pairs = {}
+        for sym, f in words.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + f
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_pair_freq:
+            break
+        merges.append(best[0])
+        words = {
+            bpe._merge_word(sym, best[0]): f for sym, f in words.items()
+        }
+    return merges
+
+
+def test_incremental_merge_loop_equals_naive_randomized():
+    """Seeded random corpora, heavy tie pressure (tiny alphabet), several
+    merge budgets and pair-frequency floors: the incremental heap loop must
+    produce the exact naive merge list, including tie-breaks and the
+    early-stop point."""
+    import random
+
+    rng = random.Random(20260815)
+    for trial in range(8):
+        alpha = "abcd" if trial % 2 == 0 else "abcdefgh"
+        n_words = rng.randint(30, 200)
+        wf = [
+            (
+                "".join(rng.choice(alpha) for _ in range(rng.randint(1, 12))),
+                rng.randint(1, 50),
+            )
+            for _ in range(n_words)
+        ]
+        for num_merges in (1, 7, 40, 10_000):
+            for floor in (1, 2, 5):
+                got = bpe._train_merges(wf, num_merges, min_pair_freq=floor)
+                want = _naive_merges(wf, num_merges, min_pair_freq=floor)
+                assert got == want, (trial, num_merges, floor)
+
+
+def test_incremental_merge_loop_exhausts_cleanly():
+    # merge budget far past exhaustion: every word collapses to one symbol
+    wf = [("aaab", 10), ("ab", 3)]
+    got = bpe._train_merges(wf, 100, min_pair_freq=1)
+    assert got == _naive_merges(wf, 100, min_pair_freq=1)
+    # all pairs consumed -> further merges impossible
+    ranks = {p: i for i, p in enumerate(got)}
+    assert bpe.encode_word("aaab", ranks) == ["aaab"]
