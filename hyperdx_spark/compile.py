@@ -357,6 +357,16 @@ def compile_chart_config(
                 end_inclusive=config.date_range_end_inclusive,
             )
 
+    # Scalar expression aliases (`with` + isSubquery:false — renderWith,
+    # renderChartConfig.ts:1606-1608 emits `(sql) AS name`): a ClickHouse
+    # expression alias is visible anywhere in the query, so project it onto
+    # the source BEFORE filters — a WHERE referencing a select alias then
+    # resolves (Event Patterns alias threading, HDX-1879). Without an alias
+    # map threaded, such a filter fails analysis — same failure the
+    # reference pins ("Unknown identifier").
+    for alias_name, alias_sql in config.with_aliases:
+        df = df.withColumn(alias_name, F.expr(_xlate(source, alias_sql)))
+
     ts_expr, ts_filter_exprs = pick_bucket_timestamp_expr(
         source.timestamp_value_expression, df
     )

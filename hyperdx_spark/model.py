@@ -132,6 +132,15 @@ class ChartConfig:
     # the outer query (or another CTE) references it by table name.
     # The reference nests one level; we allow CTEs referencing earlier CTEs.
     ctes: "Sequence[tuple[str, ChartConfig]]" = field(default_factory=list)
+    # Scalar expression aliases — the reference's `with` entries with
+    # isSubquery: false (renderWith, renderChartConfig.ts:1606-1608 renders
+    # `(sql) AS name`): name -> SQL expression, projected onto the source
+    # before filters/selects so a WHERE can reference a select alias.
+    # This is how Event Patterns threads the source's alias map (HDX-1879,
+    # renderChartConfig.test.ts:1272-1326) so a filter like
+    # `service = 'api'` resolves when the source only exposes
+    # `ServiceName as service`.
+    with_aliases: Sequence[tuple[str, str]] = field(default_factory=list)
     # str = raw select-list SQL passthrough; list = derived columns
     select: Union[str, Sequence[SelectCol]] = ""
     where: str = ""

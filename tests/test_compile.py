@@ -658,3 +658,72 @@ def test_chcompat_r8_semantics_audit(spark):
         "FROM (SELECT * FROM chc8 ORDER BY k)"
     ).collect()[0]
     assert row["lv"] == "b"
+
+
+# ---- Event-Patterns select-alias filter (HDX-1879) -------------------------
+# Twin of renderChartConfig.test.ts:1272-1326: the Event Patterns view
+# rebuilds the SELECT, so a filter referencing a source-level select alias
+# only resolves when the alias map is threaded through `with` (scalar
+# expression aliases, isSubquery: false).
+
+
+def _pattern_cfg(events_source, with_aliases):
+    return ChartConfig(
+        source=events_source,
+        with_aliases=with_aliases,
+        select="props as __hdx_pattern_field, ts as __hdx_timestamp",
+        where="service = 'error'",
+        where_language="sql",
+        limit=10000,
+        date_range=RANGE,
+    )
+
+
+def test_pattern_filter_resolves_with_threaded_alias(spark, sf_dir, events_source):
+    cfg = _pattern_cfg(events_source, [("service", "event_type")])
+    df = compile_chart_config(spark, cfg, sf_dir=sf_dir)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"__hdx_pattern_field", "__hdx_timestamp"}
+    # the filter genuinely applied through the alias
+    want = duck(
+        sf_dir,
+        "SELECT count(*) FROM events WHERE event_type = 'error'"
+        " AND ts >= TIMESTAMP '2024-01-01' AND ts <= TIMESTAMP '2024-02-01'",
+    )[0][0]
+    assert len(rows) == want
+
+
+def test_pattern_filter_fails_without_alias_map(spark, sf_dir, events_source):
+    # the bug the reference pins: no threaded alias map -> the filter
+    # references a column that does not exist in the rebuilt SELECT
+    # (ClickHouse: "Unknown identifier"; Spark: UNRESOLVED_COLUMN)
+    from pyspark.errors import AnalysisException
+
+    cfg = _pattern_cfg(events_source, [])
+    with pytest.raises(AnalysisException):
+        compile_chart_config(spark, cfg, sf_dir=sf_dir).collect()
+
+
+def test_with_alias_visible_to_select_and_group_by(spark, sf_dir, events_source):
+    # CH expression aliases are visible anywhere in the query — selects and
+    # group-bys included
+    cfg = ChartConfig(
+        source=events_source,
+        with_aliases=[("service", "event_type")],
+        select=[SelectCol(agg_fn="count", alias="cnt")],
+        group_by=["service"],
+        date_range=RANGE,
+    )
+    df = compile_chart_config(spark, cfg, sf_dir=sf_dir)
+    got = sorted((r["service"], r["cnt"]) for r in df.collect())
+    want = sorted(
+        tuple(r)
+        for r in duck(
+            sf_dir,
+            "SELECT event_type, count(*) FROM events"
+            " WHERE ts >= TIMESTAMP '2024-01-01' AND ts <= TIMESTAMP '2024-02-01'"
+            " GROUP BY 1",
+        )
+    )
+    assert got == want
