@@ -29,13 +29,22 @@ from pyspark.sql import functions as F
 _TRACKING_RE = r"(utm_[a-z]+|gclid|fbclid|msclkid|mc_[a-z]+|ref|igshid)"
 
 
-def canonicalize_url(col: Column | str) -> Column:
+def canonicalize_url(col: Column | str, *, sort_query: bool = False) -> Column:
     """Canonical form of a URL for identity comparisons.
 
-    Lower-cases scheme+host, drops the scheme, a leading ``www.``, default
-    ports, the fragment, tracking query params (``utm_*``, ``gclid``,
-    ``fbclid``, ...), an empty leftover ``?`` and a trailing slash — so
-    ``HTTP://WWW.Site.com:80/a/?utm_source=x#top`` equals ``site.com/a``.
+    Lower-cases scheme+host, drops the scheme, a leading ``www.``, the
+    scheme's OWN default port (``:80`` under http / no scheme, ``:443``
+    under https — stripped before the scheme so ``http://site:443/x`` stays
+    distinct from the plain page), the fragment, tracking query params
+    (``utm_*``, ``gclid``, ``fbclid``, ...), an empty leftover ``?`` and a
+    trailing slash — so ``HTTP://WWW.Site.com:80/a/?utm_source=x#top``
+    equals ``site.com/a``.
+
+    ``sort_query=True`` additionally orders the remaining query params
+    byte-wise (``a?y=2&x=1`` == ``a?x=1&y=2`` — the same page under
+    reordered params). Off by default: param order is occasionally
+    significant to badly-behaved endpoints, and flipping it changes
+    dedup identity, so callers opt in.
     """
     c = F.col(col) if isinstance(col, str) else col
     u = F.trim(c)
@@ -44,15 +53,29 @@ def canonicalize_url(col: Column | str) -> Column:
         F.lower(F.regexp_extract(u, r"^([^/?#]*//)?[^/?#]*", 0)),
         F.regexp_replace(u, r"^([^/?#]*//)?[^/?#]*", ""),
     )
+    # default-port strip BEFORE the scheme drop, matched to the scheme: a
+    # bare `:(80|443)` strip after the scheme is gone would wrongly equate
+    # http://site:443/x (nonstandard) with the plain page
+    u = F.regexp_replace(u, r"^(http://[^/?#]*):80(?=[/?#]|$)", r"$1")
+    u = F.regexp_replace(u, r"^(https://[^/?#]*):443(?=[/?#]|$)", r"$1")
+    u = F.regexp_replace(u, r"^([^/?#:]+):80(?=[/?#]|$)", r"$1")  # schemeless -> http default
     u = F.regexp_replace(u, r"^https?://", "")
     u = F.regexp_replace(u, r"^www\.", "")
-    u = F.regexp_replace(u, r"^([^/?#]+):(80|443)(?=[/?#]|$)", r"$1")
     u = F.regexp_replace(u, r"#.*$", "")
     u = F.regexp_replace(u, r"([?&])" + _TRACKING_RE + r"=[^&#]*", r"$1")
     u = F.regexp_replace(u, r"[?&]+$", "")
     u = F.regexp_replace(u, r"\?&+", "?")
     u = F.regexp_replace(u, r"&&+", "&")
     u = F.regexp_replace(u, r"/+$", "")
+    if sort_query:
+        qs = F.regexp_extract(u, r"\?(.*)$", 1)
+        u = F.when(qs == "", u).otherwise(
+            F.concat(
+                F.regexp_extract(u, r"^([^?]*)", 1),
+                F.lit("?"),
+                F.array_join(F.array_sort(F.split(qs, "&")), "&"),
+            )
+        )
     return u
 
 

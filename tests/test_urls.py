@@ -21,7 +21,31 @@ CANON_CASES = [
     ("https://sub.site.com:8080/x", "sub.site.com:8080/x"),  # non-default port kept
     ("https://site.com", "site.com"),
     ("https://site.com/", "site.com"),
+    # default-port strip is scheme-matched (strip runs BEFORE the scheme
+    # drop): :443 under http / :80 under https are NONSTANDARD and kept
+    ("http://site.com:443/x", "site.com:443/x"),
+    ("https://site.com:80/x", "site.com:80/x"),
+    ("http://site.com:80/x", "site.com/x"),
+    ("site.com:80/x", "site.com/x"),    # schemeless defaults to http
+    ("site.com:443/x", "site.com:443/x"),
 ]
+
+SORTED_QUERY_CASES = [
+    ("https://site.com/a?y=2&x=1", "site.com/a?x=1&y=2"),
+    ("https://site.com/a?x=1&y=2", "site.com/a?x=1&y=2"),
+    ("https://site.com/a?b=2&utm_source=s&a=1#f", "site.com/a?a=1&b=2"),
+    ("https://site.com/a", "site.com/a"),  # no query -> untouched
+]
+
+
+@pytest.mark.parametrize("raw,want", SORTED_QUERY_CASES)
+def test_canonicalize_url_sorted_query(spark, raw, want):
+    got = (
+        spark.createDataFrame([(raw,)], "url string")
+        .select(urls.canonicalize_url("url", sort_query=True).alias("c"))
+        .first()["c"]
+    )
+    assert got == want, (raw, got, want)
 
 HOST_CASES = [
     ("https://www.Site.com:8080/a/b?q=1", "site.com"),
