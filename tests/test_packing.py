@@ -253,3 +253,22 @@ def test_sequence_manifest(spark):
             assert 0 <= s["begin"] < s["end"]
             pos += s["end"] - s["begin"]
         assert pos == r["n_tokens"] <= SEQ
+
+
+def test_sequence_manifest_adds_no_exchange(spark):
+    """The manifest's groupBy(shard, seq_id) rides pack_sequences' window
+    partitioning (hashpartitioning on shard) — zero Exchanges beyond the
+    packing chain's own one (SCALE.md-audited; pinned here so a future
+    edit that breaks the partitioning reuse regresses loudly)."""
+    from hyperdx_spark.pipeline.packing import pack_sequences, sequence_manifest
+
+    df = spark.createDataFrame(
+        [(i, 1 + i % 7) for i in range(200)], "doc_id long, n_tokens long"
+    )
+    packed = pack_sequences(df, 16, num_shards=8)
+    base_plan = packed._jdf.queryExecution().executedPlan().toString()
+    man_plan = (
+        sequence_manifest(packed)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert base_plan.count("Exchange") == 1, base_plan
+    assert man_plan.count("Exchange") == base_plan.count("Exchange"), man_plan
