@@ -1530,6 +1530,8 @@ def q_text_stats(spark, sf_dir):
     from hyperdx_spark.io import ensure_min_parallelism
 
     docs = ensure_min_parallelism(docs)  # guarded probe (VERDICT r7 #4)
+    from hyperdx_spark.pipeline import bpe as _bpe
+
     pii = text.pii_counts("text")
     docs = text.gopher_repetition_signals(docs)  # r8: Rae'21 A1.1 family
     out = (
@@ -1544,6 +1546,17 @@ def q_text_stats(spark, sf_dir):
         # Column-side: they're single codegen'd regex passes.
         text.corpus_signals(docs)
         .withColumn("__bpe", text.bpe_token_count("text"))
+        # trained-vocab encoding (bpe.encode_token_count, the Arrow worker):
+        # the merge pairs use pairwise-DISJOINT character sets, so each
+        # pair's greedy merge count equals an independent left-to-right
+        # replace on the original pre-token piece — which makes the count
+        # exactly SQL-replayable: tokens = len(piece) - sum_p occ(p, piece)
+        .withColumn(
+            "__bpev",
+            _bpe.encode_token_count(
+                "text", [("e", "r"), ("t", "h"), ("i", "n"), ("o", "u")]
+            ),
+        )
         .withColumn("__n_email", pii["email"])
         .withColumn("__n_ipv4", pii["ipv4"])
         .groupBy("source")
@@ -1558,6 +1571,7 @@ def q_text_stats(spark, sf_dir):
             F.sum("__n_email").alias("n_email"),
             F.sum("__n_ipv4").alias("n_ipv4"),
             F.sum("__bpe").alias("total_bpe_tokens"),
+            F.sum("__bpev").alias("total_vocab_tokens"),
             F.count_if(F.col("__sig.gopher_pass")).alias("n_gopher_pass"),
             F.count_if(F.col("__sig.c4_keep")).alias("n_c4_keep"),
             # r8: the Gopher REPETITION family (gopher_repetition_signals)
@@ -1634,6 +1648,22 @@ _BPE_PAT_SQL = "'" + text.BPE_PRETOKEN_PATTERN.replace("'", "''") + "'"
 _BPE_COUNT = (
     f"len(list_filter(regexp_extract_all(text, {_BPE_PAT_SQL}),"
     r" p -> regexp_matches(p, '\S')))"
+)
+
+# trained-vocab token count (bpe.encode_token_count with the disjoint-pair
+# merge list [er, th, in, ou]): every piece starts as per-char tokens, each
+# merge application removes one token, and with pairwise-disjoint character
+# sets each pair's greedy application count equals an independent
+# left-to-right replace on the original piece — tokens = len - sum_p occ(p)
+_BPEV_PAIRS = ["er", "th", "in", "ou"]
+_BPEV_COUNT = (
+    f"coalesce(list_sum(list_transform(regexp_extract_all(text, {_BPE_PAT_SQL}),"
+    " p -> length(p)"
+    + "".join(
+        f" - (length(p) - length(replace(p, '{pr}', ''))) // 2"
+        for pr in _BPEV_PAIRS
+    )
+    + ")), 0)"
 )
 
 # Gopher quality-filter conjunction (text.gopher_flags replay, paper
@@ -1753,6 +1783,7 @@ agg AS (
        sum(len(regexp_extract_all(text, {_EMAIL_PAT})))::BIGINT AS n_email,
        sum(len(regexp_extract_all(text, {_IPV4_PAT})))::BIGINT AS n_ipv4,
        sum({_BPE_COUNT})::BIGINT AS total_bpe_tokens,
+       sum({_BPEV_COUNT})::BIGINT AS total_vocab_tokens,
        count(*) FILTER ({_GOPHER_PASS}) AS n_gopher_pass,
        count(*) FILTER ({_C4_KEEP}) AS n_c4_keep
   FROM documents GROUP BY 1),
