@@ -470,17 +470,43 @@ def _project(ctx: _Ctx, df: DataFrame) -> DataFrame:
 
 
 def _apply_series_limit(
-    out: DataFrame, group_names: list[str], value_alias: Optional[str], n: int
+    out: DataFrame,
+    group_names: list[str],
+    value_alias: Optional[str],
+    n: int,
+    *,
+    finite_guard: bool = False,
 ) -> DataFrame:
     """Top-N series semi-join (__hdx_series_limit CTE,
     renderChartConfig.ts:1308-1431): rank groups by max of the plotted value,
     keep top N. The ranking side is <= N rows -> broadcast semi-join, the big
-    side never reshuffles."""
+    side never reshuffles.
+
+    Groups with a NULL component are excluded from the RANKING (the CTE's
+    per-column ``IS NOT NULL`` filter, ts:1406-1410) — without it a NULL
+    group could win a top-N slot and then be dropped by the semi-join,
+    returning fewer than N real series. Empty-string groups are kept (no
+    ``!= ''`` check — pinned by the reference's seriesLimit tests).
+
+    ``finite_guard`` is the ratio-mode rank ``max(if(isFinite(r), r, -inf))``
+    (ts:1398-1403): a ratio bucket with a zero denominator yields ±inf/NaN,
+    which would otherwise hand top-N slots to whichever groups hit a sparse
+    bucket.
+    """
     if value_alias is None:
         return out
-    peak = F.max(F.when(F.isnan(F.col(value_alias)), None).otherwise(F.col(value_alias)))
+    v = F.col(value_alias)
+    if finite_guard:
+        ranked_v = F.when(
+            ~(F.isnan(v) | (v == float("inf")) | (v == float("-inf"))), v
+        ).otherwise(F.lit(float("-inf")))
+    else:
+        ranked_v = F.when(F.isnan(v), None).otherwise(v)
+    peak = F.max(ranked_v)
+    not_null = reduce_and([F.col(g).isNotNull() for g in group_names])
     ranking = (
-        out.groupBy(*[F.col(g) for g in group_names])
+        out.where(not_null)
+        .groupBy(*[F.col(g) for g in group_names])
         .agg(peak.alias("__peak"))
         .orderBy(F.desc_nulls_last("__peak"), *[F.asc(g) for g in group_names])
         .limit(n)
@@ -488,6 +514,13 @@ def _apply_series_limit(
     )
     cols = out.columns
     return out.join(F.broadcast(ranking), on=group_names, how="left_semi").select(*cols)
+
+
+def reduce_and(conds: list[Column]) -> Column:
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
 
 
 def _fill_buckets(

@@ -69,6 +69,28 @@ def compute_ratio(
     return df.withColumn(alias, ratio)
 
 
+def limit_ratio_series(
+    df: DataFrame,
+    n: int,
+    *,
+    group_cols: Sequence[str],
+    ratio_col: str = "ratio",
+) -> DataFrame:
+    """Series cap for RATIO charts: rank by the ratio the chart plots with
+    the finite guard (``max(if(isFinite(r), r, -inf))`` —
+    renderSeriesLimitCte, renderChartConfig.ts:1393-1403). A ratio bucket
+    whose denominator is 0 yields ±inf (0/0 -> NaN); unguarded, those
+    sparse-bucket groups grab the top-N slots from genuinely high-ratio
+    series. Applied after :func:`compute_ratio` (the reference collapses
+    the two selects into ``divide(a, b)`` inside the CTE instead —
+    mergeRatio, ts:1385-1391 — same ranking value)."""
+    from hyperdx_spark.compile import _apply_series_limit
+
+    return _apply_series_limit(
+        df, list(group_cols), ratio_col, n, finite_guard=True
+    )
+
+
 def previous_period(
     df: DataFrame, *, bucket_col: str = "__timestamp", offset_seconds: int = 0
 ) -> DataFrame:

@@ -727,3 +727,53 @@ def test_with_alias_visible_to_select_and_group_by(spark, sf_dir, events_source)
         )
     )
     assert got == want
+
+
+# ---- seriesLimit parity (renderChartConfig.test.ts:499-650 + ts:1345-1431) --
+
+
+def test_series_limit_excludes_null_groups_from_ranking(spark, events_source):
+    # Groups with a NULL component are dropped from the RANKING (the CTE's
+    # IS NOT NULL filter): a NULL group with the highest peak must not eat a
+    # top-N slot — all N slots go to real series.
+    from pyspark.sql import functions as F
+
+    from hyperdx_spark.compile import _apply_series_limit
+
+    df = spark.createDataFrame(
+        [(None, 100.0), ("a", 5.0), ("b", 3.0), ("c", 1.0)],
+        "g string, v double",
+    )
+    out = _apply_series_limit(df, ["g"], "v", 2)
+    assert sorted(r["g"] for r in out.collect()) == ["a", "b"]
+
+
+def test_series_limit_keeps_empty_string_groups(spark):
+    # empty-string groups are kept — the reference pins the ABSENCE of a
+    # toString(col) != '' check
+    from hyperdx_spark.compile import _apply_series_limit
+
+    df = spark.createDataFrame(
+        [("", 100.0), ("a", 5.0), ("b", 3.0)], "g string, v double"
+    )
+    out = _apply_series_limit(df, ["g"], "v", 2)
+    assert sorted(r["g"] for r in out.collect()) == ["", "a"]
+
+
+def test_ratio_series_limit_finite_guard(spark):
+    # ratio rank is max(if(isFinite(r), r, -inf)): a group whose only
+    # buckets are inf/NaN (sparse-bucket division) must lose to real ratios
+    from hyperdx_spark.post import limit_ratio_series
+
+    df = spark.createDataFrame(
+        [
+            ("sparse", float("inf")),
+            ("sparse", float("nan")),
+            ("hot", 0.9),
+            ("warm", 0.5),
+            ("cold", 0.1),
+        ],
+        "g string, ratio double",
+    )
+    out = limit_ratio_series(df, 2, group_cols=["g"])
+    assert sorted({r["g"] for r in out.collect()}) == ["hot", "warm"]
