@@ -108,3 +108,375 @@ def filter_state_to_predicate(
     if not conditions:
         return None
     return " AND ".join(f"({c})" for c in conditions)
+
+
+def serialize_filter_state(state: FilterState) -> str:
+    """Stable string form of a FilterState for cache keys
+    (filters.ts:143-157 ``serializeFilterState``): plain JSON of the sets
+    would flatten them to ``{}`` and collide; this sorts keys and members
+    so equal selections — regardless of insertion order — serialize
+    identically, and include/exclude/range differences don't."""
+    import json
+
+    def members(values: set) -> list[str]:
+        return sorted(
+            "true" if v is True else "false" if v is False else str(v)
+            for v in values
+        )
+
+    return json.dumps(
+        [
+            [k, members(sel.included), members(sel.excluded),
+             list(sel.range) if sel.range is not None else None]
+            for k, sel in sorted(state.items())
+        ]
+    )
+
+
+# --- pinned-filter inversion (filters.ts:181-565): SQL conditions in the
+# --- exact form filters_to_query emits parse back into facet state for the
+# --- search sidebar; everything else is left alone (lenient extraction).
+
+
+def _is_quote_boundary(s: str, i: int) -> bool:
+    """True when the quote at *i* is a real string delimiter: an odd number
+    of preceding backslashes means it's escaped (filters.ts:181-192)."""
+    if s[i] != "'":
+        return False
+    backslashes = 0
+    j = i - 1
+    while j >= 0 and s[j] == "\\":
+        backslashes += 1
+        j -= 1
+    return backslashes % 2 == 0
+
+
+def _quote_escape_skip(s: str, i: int) -> bool:
+    """Inside a string, a doubled quote ('') is an escape, not a boundary."""
+    return i + 1 < len(s) and s[i + 1] == "'"
+
+
+def _scan_outside_quotes(text: str):
+    """Yield (index, char) for positions outside single-quoted strings."""
+    in_string = False
+    i = 0
+    while i < len(text):
+        if _is_quote_boundary(text, i):
+            if in_string and _quote_escape_skip(text, i):
+                i += 2
+                continue
+            in_string = not in_string
+            i += 1
+            continue
+        if not in_string:
+            yield i, text[i]
+        i += 1
+
+
+def _contains_outside_quotes(text: str, targets: list[str]) -> bool:
+    up = text.upper()
+    for i, _ in _scan_outside_quotes(text):
+        for t in targets:
+            if len(t) == 1:
+                if text[i] == t:
+                    return True
+            elif up[i : i + len(t)] == t:
+                return True
+    return False
+
+
+def _split_first_outside_quotes(text: str, delim: str) -> Optional[tuple]:
+    up = text.upper()
+    d = delim.upper()
+    for i, _ in _scan_outside_quotes(text):
+        if up[i : i + len(d)] == d:
+            return text[:i], text[i + len(d):]
+    return None
+
+
+def _split_on_and_outside_quotes(text: str) -> list[str]:
+    parts: list[str] = []
+    prev = 0
+    up = text.upper()
+    skip_to = 0
+    for i, _ in _scan_outside_quotes(text):
+        if i < skip_to:
+            continue
+        if up[i : i + 5] == " AND ":
+            if text[prev:i].strip():
+                parts.append(text[prev:i].strip())
+            prev = i + 5
+            skip_to = i + 5
+    if text[prev:].strip():
+        parts.append(text[prev:].strip())
+    return parts
+
+
+def count_top_level_and(condition: str) -> int:
+    """Top-level ``AND`` separators outside quoted strings — detects
+    conjuncts the pinned-filter parser silently drops (filters.ts:471-494)."""
+    n = 0
+    up = condition.upper()
+    skip_to = 0
+    for i, _ in _scan_outside_quotes(condition):
+        if i < skip_to:
+            continue
+        if up[i : i + 5] == " AND ":
+            n += 1
+            skip_to = i + 5
+    return n
+
+
+def _unquote_value(value: str) -> Value:
+    """Reverse ``_fmt_value``: booleans back to bool; quoted literals get
+    ``_sql_str``'s escapes undone (``\\\\`` -> ``\\`` first so the
+    following quote-unescape can't mistake content for an escape —
+    filters.ts:159-174 adapted to our backslash escaping)."""
+    t = value.strip()
+    if t.lower() in ("true", "false"):
+        return t.lower() == "true"
+    if t.startswith("'") and t.endswith("'") and len(t) >= 2:
+        inner = t[1:-1]
+        out = []
+        i = 0
+        while i < len(inner):
+            if inner[i] == "\\" and i + 1 < len(inner) and inner[i + 1] in ("\\", "'"):
+                out.append(inner[i + 1])
+                i += 2
+            elif inner[i] == "'" and i + 1 < len(inner) and inner[i + 1] == "'":
+                out.append("'")
+                i += 2
+            else:
+                out.append(inner[i])
+                i += 1
+        return "".join(out)
+    return t
+
+
+def _split_values_on_comma(values_str: str) -> list[Value]:
+    values: list[Value] = []
+    cur: list[str] = []
+    in_string = False
+    i = 0
+    while i < len(values_str):
+        ch = values_str[i]
+        if _is_quote_boundary(values_str, i):
+            if in_string and _quote_escape_skip(values_str, i):
+                cur.append("''")
+                i += 2
+                continue
+            in_string = not in_string
+            cur.append(ch)
+            i += 1
+            continue
+        if not in_string and ch == ",":
+            if "".join(cur).strip():
+                values.append(_unquote_value("".join(cur)))
+            cur = []
+            i += 1
+            continue
+        cur.append(ch)
+        i += 1
+    if "".join(cur).strip():
+        values.append(_unquote_value("".join(cur)))
+    return values
+
+
+# The date-value wrappers _fmt_value emits (to_timestamp / to_date), unwrapped
+# back to the plain quoted literal before comma-splitting (the reference
+# unwraps its parseDateTime*BestEffort/toDate* producers — filters.ts:395-410)
+_DATE_WRAP_RE = None
+
+
+def _unwrap_date_values(s: str) -> str:
+    global _DATE_WRAP_RE
+    import re
+
+    if _DATE_WRAP_RE is None:
+        _DATE_WRAP_RE = re.compile(
+            r"(?:to_timestamp|to_date)\(('(?:[^'\\]|\\.)*')\)"
+        )
+    return _DATE_WRAP_RE.sub(r"\1", s)
+
+
+def _extract_in_clauses(condition: str) -> list[tuple[str, list[Value], bool]]:
+    """(key, values, is_exclude) for every simple IN / NOT IN clause in the
+    condition; parts containing OR or comparison operators (outside quotes)
+    are skipped — lenient extraction (filters.ts:320-421)."""
+    results = []
+    for part in _split_on_and_outside_quotes(condition):
+        if _contains_outside_quotes(part, ["=", "<", ">", " OR "]):
+            continue
+        is_exclude = _contains_outside_quotes(part, [" NOT IN "])
+        if not (is_exclude or _contains_outside_quotes(part, [" IN "])):
+            continue
+        split = _split_first_outside_quotes(
+            part, " NOT IN " if is_exclude else " IN "
+        )
+        if split is None:
+            continue
+        key, values = split
+        trimmed = values.strip()
+        if trimmed.startswith("(") and trimmed.endswith(")"):
+            trimmed = trimmed[1:-1]
+        results.append(
+            (key.strip(), _split_values_on_comma(_unwrap_date_values(trimmed)),
+             is_exclude)
+        )
+    return results
+
+
+def parse_query(filters) -> dict[str, FilterSelection]:
+    """Invert ``filters_to_query``: a list of :class:`SqlFilter` conditions
+    back into FilterState for the sidebar facets (filters.ts:423-491).
+    Non-sql filters are ignored; BETWEEN bounds must be ENTIRELY numeric
+    (quoted/date operands or compound-clause residue contribute nothing
+    rather than emitting a NaN range); simple IN / NOT IN clauses are
+    extracted even from compound AND conditions."""
+    import math
+    import re
+
+    state: dict[str, FilterSelection] = {}
+    for flt in filters:
+        if getattr(flt, "type", None) != "sql":
+            continue
+        condition = flt.condition
+        if _contains_outside_quotes(condition, [" BETWEEN "]):
+            m = re.match(
+                r"^(.+?)\s+BETWEEN\s+(.+?)\s+AND\s+(.+?)$",
+                condition,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if m:
+                key = m.group(1).strip()
+                try:
+                    lo, hi = float(m.group(2)), float(m.group(3))
+                except ValueError:
+                    continue
+                if math.isfinite(lo) and math.isfinite(hi):
+                    sel = state.setdefault(key, FilterSelection())
+                    sel.range = (lo, hi)
+                continue
+        for key, values, is_exclude in _extract_in_clauses(condition):
+            sel = state.setdefault(key, FilterSelection())
+            (sel.excluded if is_exclude else sel.included).update(values)
+    return state
+
+
+def is_renderable_pinned_filter(flt) -> bool:
+    """Whether a filter renders FULLY as a single sidebar facet
+    (filters.ts:539-565): exactly one column, exactly one clause, no
+    conjuncts the lenient parser dropped (a single IN has no top-level AND;
+    a BETWEEN has exactly the one its ``min AND max`` carries), and no
+    boolean keyword folded into the key (``col NOT BETWEEN``'s inverse
+    would execute while the facet displays the non-inverted form)."""
+    import re
+
+    if getattr(flt, "type", None) == "sql_ast":
+        return False
+    state = parse_query([flt])
+    if len(state) != 1:
+        return False
+    key = next(iter(state))
+    if re.search(r"\b(?:NOT|AND|OR)\b", key, re.IGNORECASE):
+        return False
+    if len(filters_to_query(state)) != 1:
+        return False
+    expected_ands = 1 if state[key].range is not None else 0
+    return count_top_level_and(flt.condition) == expected_ands
+
+
+# --- saved-filter / saved-query static validation (filters.ts:567-727):
+# --- lucene via our parser, sql via a parse-only DuckDB round (structural
+# --- check; ClickHouse map/array accesses swapped for literals first).
+
+_MAP_OR_ARRAY_ACCESS_RE = None
+
+
+def _is_parseable_lucene(condition: str) -> bool:
+    from hyperdx_spark.lucene.parser import parse
+
+    try:
+        parse(condition)
+        return True
+    except Exception:
+        return False
+
+
+def _is_parseable_sql(condition: str) -> bool:
+    global _MAP_OR_ARRAY_ACCESS_RE
+    import re
+
+    import duckdb
+
+    if _MAP_OR_ARRAY_ACCESS_RE is None:
+        _MAP_OR_ARRAY_ACCESS_RE = re.compile(
+            r"\b[a-zA-Z0-9_]+\[([0-9]+|'[^']*')\]"
+        )
+    sanitized = _MAP_OR_ARRAY_ACCESS_RE.sub("''", condition)
+    stmt = f"SELECT 1 FROM t WHERE {sanitized}"
+    try:
+        # json_serialize_sql requires a CONSTANT varchar (no param binding):
+        # inline with doubled quotes. Parse-only — nothing executes.
+        lit = stmt.replace("'", "''")
+        row = duckdb.connect().execute(
+            f"SELECT json_serialize_sql('{lit}')"
+        ).fetchone()
+        import json
+
+        return not json.loads(row[0]).get("error", True)
+    except Exception:
+        return False
+
+
+def is_valid_filter_condition(condition: str, language: str) -> bool:
+    """Whether *condition* parses as *language*. Empty / whitespace-only
+    conditions are valid no-ops; promql is not statically validated."""
+    if not condition or not condition.strip():
+        return True
+    if language == "lucene":
+        return _is_parseable_lucene(condition)
+    if language == "sql":
+        return _is_parseable_sql(condition)
+    return True
+
+
+def validate_saved_filter_values(
+    values, language: str = "lucene"
+) -> list[dict]:
+    """Issues ({index, language, condition}) for every saved-filter value
+    that fails to parse (filters.ts:632-666); valid input -> []."""
+    issues = []
+    for i, condition in enumerate(values):
+        if not is_valid_filter_condition(condition, language):
+            issues.append(
+                {"index": i, "language": language, "condition": condition}
+            )
+    return issues
+
+
+def validate_saved_query(query: Optional[str], language: Optional[str] = None):
+    """None for a valid (or empty) saved search query, else an issue dict;
+    a missing language defaults to lucene (filters.ts:668-701)."""
+    if not query or not query.strip():
+        return None
+    lang = language or "lucene"
+    if is_valid_filter_condition(query, lang):
+        return None
+    return {"language": lang, "condition": query}
+
+
+def validate_dashboard_filter_queries(filters) -> list[dict]:
+    """Issues for dashboard filters whose where clause fails to parse
+    (filters.ts:703-727); filters with no / blank where are valid."""
+    issues = []
+    for i, flt in enumerate(filters):
+        where = getattr(flt, "where", None) or (
+            flt.get("where") if isinstance(flt, dict) else None
+        )
+        lang = getattr(flt, "where_language", None) or (
+            flt.get("whereLanguage") if isinstance(flt, dict) else None
+        ) or "lucene"
+        if where and not is_valid_filter_condition(where, lang):
+            issues.append({"index": i, "language": lang, "condition": where})
+    return issues

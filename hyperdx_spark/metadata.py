@@ -99,22 +99,34 @@ def get_key_values(
     keys: Sequence[str],
     *,
     max_values_per_key: int = MAX_VALUES_PER_KEY,
-    sample_rows: Optional[int] = None,
+    sample_rows: Optional[int] = DEFAULT_MAX_ROWS,
     facet_condition: Optional[str] = None,
 ) -> DataFrame:
     """Per-key distinct value arrays in ONE aggregation (metadata.ts:2431
     ``groupUniqArray(N)(expr)`` batched over ≤100 keys). ``keys`` are SQL
     expressions; values are stringified, sorted, and capped so the result
     is deterministic across engines. Returns one row with one array column
-    per key (aliased key0, key1, ... in input order).
+    per key (aliased key0, key1, ... in input order); zero keys -> an
+    empty result without touching the table (metadata.ts:2480).
+
+    The row cap applies BY DEFAULT (the reference's sampledData CTE with
+    max_rows_to_read, metadata.ts:2520-2546); pass ``sample_rows=None``
+    for the disableRowLimit path filter dropdowns use. Null and
+    empty-string values are dropped from every key's list — the
+    reference's response filter ``v != null && v !== ''``
+    (metadata.ts:2585-2588), applied here pre-aggregation so empty
+    strings never consume a value slot.
 
     ``facet_condition`` (the faceted ``groupUniqArrayIf`` variant): a SQL
     predicate — values are collected only from matching rows, so filter
     panels show values consistent with the active search."""
+    if not keys:
+        return df.sparkSession.createDataFrame([], T.StructType([]))
     src = _capped(df, sample_rows)
 
     def value_of(k: str):
         v = F.expr(k).cast("string")
+        v = F.when(v != F.lit(""), v)  # '' dropped; NULLs fall out of collect_set
         if facet_condition is not None:
             v = F.when(F.expr(facet_condition), v)
         return v

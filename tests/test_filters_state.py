@@ -107,3 +107,181 @@ def test_filter_state_rides_compile_where(spark, sf_dir):
         ).fetchall()
     )
     assert got == want and len(got) > 0
+
+
+# ---- parseQuery / pinned-filter inversion (filters.test.ts:728-830) ---------
+
+from hyperdx_spark.filters import (  # noqa: E402
+    is_renderable_pinned_filter,
+    parse_query,
+    serialize_filter_state,
+    validate_dashboard_filter_queries,
+    validate_saved_filter_values,
+    validate_saved_query,
+)
+from hyperdx_spark.model import SqlAstFilter, SqlFilter  # noqa: E402
+
+
+def test_parse_query_numeric_between():
+    state = parse_query([SqlFilter(condition="value BETWEEN 1 AND 2.5")])
+    assert state["value"].range == (1.0, 2.5)
+    assert not state["value"].included and not state["value"].excluded
+
+
+def test_parse_query_drops_non_numeric_between():
+    # quoted / date operands -> no NaN range emitted
+    state = parse_query(
+        [SqlFilter(condition="d BETWEEN '2024-01-01' AND '2024-02-01'")]
+    )
+    assert state == {}
+
+
+def test_parse_query_drops_compound_between():
+    # the greedy regex would swallow "2 AND other IN ('x')" as the max bound;
+    # entirely-numeric bounds reject it instead of emitting a broken range
+    state = parse_query(
+        [SqlFilter(condition="v BETWEEN 1 AND 2 AND other IN ('x')")]
+    )
+    assert "v" not in state
+
+
+def test_parse_query_extracts_in_clauses_from_compound():
+    state = parse_query(
+        [SqlFilter(condition="a IN ('x', 'y') AND b NOT IN ('z') AND c = 1")]
+    )
+    assert state["a"].included == {"x", "y"}
+    assert state["b"].excluded == {"z"}
+    assert "c" not in state  # comparison operators skipped
+
+
+def test_parse_query_ignores_non_sql_filters():
+    assert parse_query([SqlFilter(condition="a:x", type="lucene")]) == {}
+    assert (
+        parse_query([SqlAstFilter(operator="=", left="a", right="x")]) == {}
+    )
+
+
+def test_parse_query_round_trips_escaped_values():
+    # values with quotes/backslashes survive emit -> parse exactly
+    vals = {"o'brien", "back\\slash", "it's \\' mixed", "plain", True}
+    emitted = filters_to_query({"col": FilterSelection(included=set(vals))})
+    assert len(emitted) == 1
+    state = parse_query(emitted)
+    assert state["col"].included == vals
+
+
+def test_parse_query_unwraps_date_values():
+    dt = {"col": "DateTime64(9)"}
+    emitted = filters_to_query(
+        {"col": FilterSelection(included={"2024-01-01 00:00:00"})},
+        datetime_columns=dt,
+    )
+    state = parse_query(emitted)
+    assert state["col"].included == {"2024-01-01 00:00:00"}
+
+
+def test_is_renderable_accepts_exactly_what_filters_to_query_emits():
+    for sel in (
+        FilterSelection(included={"x", "o'brien"}),
+        FilterSelection(excluded={"y"}),
+        FilterSelection(range=(1.0, 2.0)),
+    ):
+        for f in filters_to_query({"col": sel}):
+            assert is_renderable_pinned_filter(f), f.condition
+
+
+def test_is_renderable_rejects_divergent_shapes():
+    # compound: the IN facet would display while AND foo = 1 still executes
+    assert not is_renderable_pinned_filter(
+        SqlFilter(condition="col IN ('x') AND foo = 1")
+    )
+    # inverted BETWEEN: key captures 'col NOT' -> displayed facet inverts
+    assert not is_renderable_pinned_filter(
+        SqlFilter(condition="col NOT BETWEEN 1 AND 2")
+    )
+    # two clauses on one column
+    assert not is_renderable_pinned_filter(
+        SqlFilter(condition="col IN ('x') AND col NOT IN ('y')")
+    )
+    # non-sql shapes
+    assert not is_renderable_pinned_filter(SqlFilter(condition="a:x", type="lucene"))
+    assert not is_renderable_pinned_filter(
+        SqlAstFilter(operator="=", left="a", right="x")
+    )
+
+
+def test_serialize_filter_state():
+    a = {"colA": FilterSelection(included={"x"})}
+    b = {"colA": FilterSelection(included={"y"})}
+    assert serialize_filter_state(a) != serialize_filter_state(b)
+    # include vs exclude differ
+    assert serialize_filter_state(
+        {"colA": FilterSelection(included={"x"})}
+    ) != serialize_filter_state({"colA": FilterSelection(excluded={"x"})})
+    # stable across key/member order
+    assert serialize_filter_state(
+        {"colA": FilterSelection(included={"x", "y"}),
+         "colB": FilterSelection(included={"z"})}
+    ) == serialize_filter_state(
+        {"colB": FilterSelection(included={"z"}),
+         "colA": FilterSelection(included={"y", "x"})}
+    )
+    # range bounds included
+    assert serialize_filter_state(
+        {"colA": FilterSelection(range=(1.0, 2.0))}
+    ) != serialize_filter_state({"colA": FilterSelection(range=(1.0, 3.0))})
+
+
+# ---- saved-filter / saved-query validation (filters.test.ts:476-727) --------
+
+
+def test_validate_saved_filter_values():
+    assert validate_saved_filter_values([]) == []
+    assert validate_saved_filter_values(["level:error"]) == []
+    assert validate_saved_filter_values(["level:(error OR warn)"]) == []
+    assert validate_saved_filter_values(["attrs.k:v"]) == []
+    assert validate_saved_filter_values(["col IN ('a', 'b')"], "sql") == []
+    assert validate_saved_filter_values(["m['k'] = 'v'"], "sql") == []
+    assert validate_saved_filter_values(["", "   "]) == []  # no-ops
+    bad = validate_saved_filter_values(['level:"unclosed'])
+    assert bad == [
+        {"index": 0, "language": "lucene", "condition": 'level:"unclosed'}
+    ]
+    assert validate_saved_filter_values(["col IN IN"], "sql") == [
+        {"index": 0, "language": "sql", "condition": "col IN IN"}
+    ]
+    mixed = validate_saved_filter_values(
+        ["level:error", 'bad:"x', "ok:y", 'worse:"z'], "lucene"
+    )
+    assert [i["index"] for i in mixed] == [1, 3]
+
+
+def test_validate_saved_query():
+    assert validate_saved_query(None) is None
+    assert validate_saved_query("") is None
+    assert validate_saved_query("level:error") is None
+    assert validate_saved_query("col = 'x'", "sql") is None
+    assert validate_saved_query("level:error")  is None
+    assert validate_saved_query("up == 1", "promql") is None  # not validated
+    assert validate_saved_query('level:"unclosed') == {
+        "language": "lucene", "condition": 'level:"unclosed'
+    }
+    # missing language defaults to lucene
+    assert validate_saved_query('a:"b') is not None
+
+
+def test_validate_dashboard_filter_queries():
+    assert validate_dashboard_filter_queries([]) == []
+    ok = [
+        {"where": None},
+        {"where": "   ", "whereLanguage": "lucene"},
+        {"where": "level:error", "whereLanguage": "lucene"},
+        {"where": "col = 1", "whereLanguage": "sql"},
+    ]
+    assert validate_dashboard_filter_queries(ok) == []
+    mixed = ok + [
+        {"where": 'level:"x', "whereLanguage": "lucene"},
+        {"where": "col = = 1", "whereLanguage": "sql"},
+    ]
+    issues = validate_dashboard_filter_queries(mixed)
+    assert [i["index"] for i in issues] == [4, 5]

@@ -202,3 +202,40 @@ def test_raw_sql_params_by_display_type():
         bind_raw_sql_params("SELECT {nope:Int64}", line)
     with _pt.raises(ValueError):
         raw_sql_params(display_type="hologram", date_range=rng)
+
+
+def test_key_values_filters_empty_and_null(spark):
+    """Twin of metadata.test.ts:734 — nulls and empty strings are removed
+    from every key's value list; falsy-but-real values ('0') are kept."""
+    from hyperdx_spark import metadata
+
+    df = spark.createDataFrame(
+        [("value1",), (None,), ("",), ("value2",), ("0",)], "c string"
+    )
+    vals = metadata.get_key_values(df, ["c"]).collect()[0]["key0"]
+    assert vals == ["0", "value1", "value2"]
+
+
+def test_key_values_empty_keys_returns_empty(spark):
+    """Twin of metadata.test.ts:758 — zero keys: empty result, no scan."""
+    from hyperdx_spark import metadata
+
+    df = spark.createDataFrame([("x",)], "c string")
+    out = metadata.get_key_values(df, [])
+    assert out.columns == [] and out.count() == 0
+
+
+def test_key_values_row_cap_applies_by_default(spark):
+    """The sampling row cap is the DEFAULT (metadata.ts sampledData CTE);
+    sample_rows=None is the disableRowLimit path and sees every row."""
+    from hyperdx_spark import metadata
+
+    df = spark.createDataFrame([(f"v{i:03d}",) for i in range(30)], "c string")
+    capped = metadata.get_key_values(
+        df, ["c"], sample_rows=5, max_values_per_key=50
+    ).collect()[0]["key0"]
+    assert len(capped) == 5
+    full = metadata.get_key_values(
+        df, ["c"], sample_rows=None, max_values_per_key=50
+    ).collect()[0]["key0"]
+    assert len(full) == 30
