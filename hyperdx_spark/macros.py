@@ -161,9 +161,218 @@ TIME_RANGE_MACROS = (
     "fromTime", "toTime", "fromTime_ms", "toTime_ms",
 )
 
+# Macros that only resolve against a selected source (macros.ts:175)
+SOURCE_DEPENDENT_MACROS = ("filters", "sourceTable")
+
+INTERVAL_MACROS = ("timeInterval", "timeInterval_ms", "interval_s")
+
 
 def has_macro(sql: str, name: str) -> bool:
     return re.search(rf"\$__{name}\b", sql) is not None
+
+
+def _find_macros(sql: str, name: str) -> list[list[str]]:
+    """Arg lists for every ``$__name[(args)]`` occurrence (macros.ts
+    findMacros); raises on malformed (unbalanced) argument lists."""
+    out = []
+    for m in re.finditer(rf"\$__{name}\b", sql):
+        args, _ = _parse_args(sql[m.end():])
+        out.append(args)
+    return out
+
+
+def get_source_dependent_macros_used(sql_template: str) -> list[str]:
+    """Which of SOURCE_DEPENDENT_MACROS the SQL references (macros.ts:252);
+    callers warn/error when these are used without a source to resolve."""
+    return [m for m in SOURCE_DEPENDENT_MACROS if has_macro(sql_template, m)]
+
+
+def get_source_table_macro_arg_counts(sql_template: str) -> list[int]:
+    """Argument count per ``$__sourceTable`` usage — 0 bare, 1 with a
+    metricType (macros.ts:263)."""
+    return [len(a) for a in _find_macros(sql_template, "sourceTable")]
+
+
+# ---------------------------------------------------------------------------
+# Raw-SQL chart validation (core/utils.ts:1353-1535 parity)
+# ---------------------------------------------------------------------------
+
+TIME_SERIES_DISPLAY_TYPES = ("line", "stacked_bar")
+RAW_SQL_ALERT_DISPLAY_TYPES = ("line", "stacked_bar", "number")
+
+_VALIDATION_RANGE = (datetime(1970, 1, 2), datetime(1970, 1, 3))
+
+
+def display_type_supports_raw_sql_alerts(display_type: Optional[str]) -> bool:
+    return (display_type or "").lower() in RAW_SQL_ALERT_DISPLAY_TYPES
+
+
+def _raw_sql_time_range_status(
+    sql_template: str,
+    *,
+    display_type: Optional[str],
+    table: Optional[str],
+    metric_tables: Optional[dict],
+    has_source: bool = True,
+) -> Optional[dict]:
+    """Which time-range/interval bindings the resolved SQL carries
+    (core/utils.ts:1390-1418 getRawSqlTimeRangeStatus). ``None`` when macro
+    resolution fails — expansion throws frequently while a user is still
+    typing (unbalanced args, source mismatches), and the per-macro
+    validators below report those specifically.
+
+    Repo spelling: the reference's expansions emit ``{param:Type}``
+    references, so it string-checks the resolved SQL for the param names;
+    ours splice concrete values, so interval/time-filter presence checks
+    the TEMPLATE's macros plus any literal ``{param:...}`` placeholders
+    (bound later by :func:`bind_raw_sql_params`) — same verdict.
+    """
+    try:
+        # resolve with the config's own source bindings: no source means
+        # $__sourceTable fails to resolve, so the status degrades to None
+        # exactly as the reference's replaceMacros-throws path does
+        resolved_table = table
+        if not has_source:
+            resolved_table, metric_tables = None, None
+        elif resolved_table is None and not metric_tables:
+            resolved_table = "__t"
+        replace_macros(
+            sql_template,
+            date_range=_VALIDATION_RANGE,
+            table=resolved_table,
+            metric_tables=metric_tables,
+        )
+    except ValueError:
+        return None
+    has_param = lambda p: re.search(r"\{\s*" + p + r"\s*:", sql_template) is not None
+    return {
+        "is_time_series": (display_type or "").lower() in TIME_SERIES_DISPLAY_TYPES,
+        "has_interval": (
+            any(has_macro(sql_template, m) for m in INTERVAL_MACROS)
+            or has_param("intervalSeconds")
+            or has_param("intervalMilliseconds")
+        ),
+        "has_time_filter": (
+            any(has_macro(sql_template, m) for m in TIME_RANGE_MACROS)
+            or (has_param("startDateMilliseconds") and has_param("endDateMilliseconds"))
+        ),
+    }
+
+
+def validate_raw_sql_chart_config(
+    sql_template: str,
+    *,
+    display_type: Optional[str] = "table",
+    is_dashboard_tile: bool = False,
+    has_source: bool = True,
+    table: Optional[str] = None,
+    metric_tables: Optional[dict] = None,
+) -> dict:
+    """Chart-editor lint for raw-SQL tiles (core/utils.ts:1461-1535
+    ``validateRawSqlChartConfig``): returns {"errors": [...], "warnings":
+    [...]}. Time-series display types must carry an interval binding; every
+    raw-SQL chart should carry the date-range binding; dashboard tiles
+    should reference $__sourceTable and $__filters; source-dependent macros
+    without a source are errors; $__sourceTable's metricType argument must
+    match whether the source is a metrics source. Malformed macro args
+    degrade to whatever was accumulated rather than throwing (the user is
+    still typing)."""
+    errors: list[str] = []
+    warnings: list[str] = []
+    try:
+        status = _raw_sql_time_range_status(
+            sql_template,
+            display_type=display_type,
+            table=table,
+            metric_tables=metric_tables,
+            has_source=has_source,
+        )
+        if status:
+            if status["is_time_series"] and not status["has_interval"]:
+                errors.append(
+                    "SQL must include an interval parameter or macro"
+                    " (e.g. $__interval_s) for this display type."
+                )
+            if not status["has_time_filter"]:
+                warnings.append(
+                    "SQL should include start and end date parameters or"
+                    " macros (e.g. $__timeFilter) so this chart respects"
+                    " the selected time range."
+                )
+        if is_dashboard_tile:
+            if not has_macro(sql_template, "sourceTable"):
+                warnings.append(
+                    "SQL should include the $__sourceTable macro so this"
+                    " tile queries its configured source."
+                )
+            if not has_macro(sql_template, "filters"):
+                warnings.append(
+                    "SQL should include the $__filters macro so dashboard"
+                    " filters apply to this tile."
+                )
+        if not has_source:
+            used = get_source_dependent_macros_used(sql_template)
+            if used:
+                names = " and ".join(f"$__{m}" for m in used)
+                which = "these macros" if len(used) > 1 else "this macro"
+                errors.append(
+                    f"SQL uses {names} but no source is selected — select a"
+                    f" source so {which} can resolve correctly."
+                )
+        else:
+            arg_counts = get_source_table_macro_arg_counts(sql_template)
+            is_metrics_source = bool(metric_tables)
+            if any(c > 0 for c in arg_counts) and not is_metrics_source:
+                errors.append(
+                    "SQL uses $__sourceTable(<metricType>) but the selected"
+                    " source is not a metrics source — use a bare"
+                    " $__sourceTable instead."
+                )
+            if any(c == 0 for c in arg_counts) and is_metrics_source:
+                errors.append(
+                    "SQL uses a bare $__sourceTable but the selected source"
+                    " is a metrics source — specify a metric type, e.g."
+                    " $__sourceTable(gauge)."
+                )
+    except ValueError:
+        # malformed macro args while typing — keep what was accumulated
+        pass
+    return {"errors": errors, "warnings": warnings}
+
+
+def validate_raw_sql_for_alert(
+    sql_template: str,
+    *,
+    display_type: Optional[str] = None,
+    table: Optional[str] = None,
+    metric_tables: Optional[dict] = None,
+) -> dict:
+    """Alert-specific raw-SQL lint (core/utils.ts:1420-1455): the display
+    type must support raw-SQL alerts; time-series alerts need an interval
+    binding; a missing date-range binding is a warning."""
+    errors: list[str] = []
+    warnings: list[str] = []
+    if not display_type_supports_raw_sql_alerts(display_type):
+        errors.append(
+            f"Display type {display_type} does not support raw SQL alerts."
+        )
+    status = _raw_sql_time_range_status(
+        sql_template,
+        display_type=display_type,
+        table=table,
+        metric_tables=metric_tables,
+    )
+    if status:
+        if status["is_time_series"] and not status["has_interval"]:
+            errors.append(
+                "SQL used for alerts must include an interval parameter or macro."
+            )
+        if not status["has_time_filter"]:
+            warnings.append(
+                "SQL used for alerts should include start and end date"
+                " parameters or macros."
+            )
+    return {"errors": errors, "warnings": warnings}
 
 
 # ---------------------------------------------------------------------------

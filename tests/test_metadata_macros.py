@@ -239,3 +239,171 @@ def test_key_values_row_cap_applies_by_default(spark):
         df, ["c"], sample_rows=None, max_values_per_key=50
     ).collect()[0]["key0"]
     assert len(full) == 30
+
+
+# ---- raw-SQL chart validation (validateRawSqlChartConfig.test.ts) -----------
+
+from hyperdx_spark.macros import (  # noqa: E402
+    get_source_dependent_macros_used,
+    get_source_table_macro_arg_counts,
+    validate_raw_sql_chart_config,
+    validate_raw_sql_for_alert,
+)
+
+
+def test_source_dependent_macros_used():
+    assert get_source_dependent_macros_used("SELECT 1") == []
+    assert get_source_dependent_macros_used("WHERE $__filters") == ["filters"]
+    assert get_source_dependent_macros_used(
+        "FROM $__sourceTable WHERE $__filters"
+    ) == ["filters", "sourceTable"]
+    # word boundary: $__filtersExtra is not $__filters
+    assert get_source_dependent_macros_used("SELECT $__filtersExtra") == []
+
+
+def test_validate_rawsql_interval_required_for_time_series():
+    out = validate_raw_sql_chart_config(
+        "SELECT count(*) FROM t WHERE $__timeFilter(ts)", display_type="line"
+    )
+    assert any("interval" in e for e in out["errors"])
+    # non-time-series display types don't need it
+    out = validate_raw_sql_chart_config(
+        "SELECT count(*) FROM t WHERE $__timeFilter(ts)", display_type="table"
+    )
+    assert out["errors"] == []
+    # interval macro present -> no error
+    out = validate_raw_sql_chart_config(
+        "SELECT $__timeInterval(ts), count(*) FROM t WHERE $__timeFilter(ts)",
+        display_type="line",
+    )
+    assert out["errors"] == []
+    # a literal {intervalSeconds:Int64} param also counts
+    out = validate_raw_sql_chart_config(
+        "SELECT ts div {intervalSeconds:Int64}, count(*) FROM t"
+        " WHERE $__timeFilter(ts)",
+        display_type="line",
+    )
+    assert out["errors"] == []
+
+
+def test_validate_rawsql_time_filter_warning():
+    out = validate_raw_sql_chart_config("SELECT count(*) FROM t")
+    assert any("time range" in w for w in out["warnings"])
+    out = validate_raw_sql_chart_config(
+        "SELECT count(*) FROM t WHERE $__timeFilter(ts)"
+    )
+    assert not any("time range" in w for w in out["warnings"])
+    # direct {param} references count too
+    out = validate_raw_sql_chart_config(
+        "SELECT count(*) FROM t WHERE ts >= {startDateMilliseconds:Int64}"
+        " AND ts <= {endDateMilliseconds:Int64}"
+    )
+    assert not any("time range" in w for w in out["warnings"])
+
+
+def test_validate_rawsql_dashboard_tile_macros():
+    sql = "SELECT count(*) FROM t WHERE $__timeFilter(ts)"
+    out = validate_raw_sql_chart_config(sql, is_dashboard_tile=False)
+    assert out["warnings"] == []
+    out = validate_raw_sql_chart_config(sql, is_dashboard_tile=True)
+    assert any("$__sourceTable" in w for w in out["warnings"])
+    assert any("$__filters" in w for w in out["warnings"])
+    full = (
+        "SELECT count(*) FROM $__sourceTable"
+        " WHERE $__timeFilter(ts) AND $__filters"
+    )
+    out = validate_raw_sql_chart_config(full, is_dashboard_tile=True)
+    assert out["warnings"] == []
+
+
+def test_validate_rawsql_no_source_errors():
+    out = validate_raw_sql_chart_config(
+        "SELECT * FROM $__sourceTable WHERE $__timeFilter(ts)",
+        has_source=False,
+    )
+    assert any("no source is selected" in e for e in out["errors"])
+    # both macros named when both are used
+    out = validate_raw_sql_chart_config(
+        "SELECT * FROM $__sourceTable WHERE $__filters", has_source=False
+    )
+    assert any(
+        "$__filters and $__sourceTable" in e for e in out["errors"]
+    )
+    # no source-dependent macros -> no error
+    out = validate_raw_sql_chart_config(
+        "SELECT 1 WHERE $__timeFilter(ts)", has_source=False
+    )
+    assert out["errors"] == []
+
+
+def test_validate_rawsql_metrics_source_mismatch():
+    # non-metrics source + $__sourceTable(<metricType>) -> error
+    out = validate_raw_sql_chart_config(
+        "SELECT * FROM $__sourceTable(gauge) WHERE $__timeFilter(ts)",
+        table="events",
+    )
+    assert any("not a metrics source" in e for e in out["errors"])
+    # metrics source + bare $__sourceTable -> error
+    out = validate_raw_sql_chart_config(
+        "SELECT * FROM $__sourceTable WHERE $__timeFilter(ts)",
+        metric_tables={"gauge": "metrics_gauge"},
+    )
+    assert any("specify a metric type" in e for e in out["errors"])
+    # matched usages are clean
+    assert validate_raw_sql_chart_config(
+        "SELECT * FROM $__sourceTable WHERE $__timeFilter(ts)", table="events"
+    )["errors"] == []
+    assert validate_raw_sql_chart_config(
+        "SELECT $__timeInterval(ts) FROM $__sourceTable(gauge)"
+        " WHERE $__timeFilter(ts)",
+        display_type="line",
+        metric_tables={"gauge": "metrics_gauge"},
+    )["errors"] == []
+
+
+def test_validate_rawsql_metric_interval_interplay():
+    # metricTables provided -> macros resolve -> missing-interval error fires
+    sql = "SELECT * FROM $__sourceTable(gauge) WHERE $__timeFilter(ts)"
+    out = validate_raw_sql_chart_config(
+        sql, display_type="line", metric_tables={"gauge": "mg"}
+    )
+    assert any("interval" in e for e in out["errors"])
+    # metricTables missing -> resolution fails -> interval error silently
+    # skipped, but the source-type mismatch still reports
+    out = validate_raw_sql_chart_config(sql, display_type="line", table="t")
+    assert not any("interval" in e for e in out["errors"])
+    assert any("not a metrics source" in e for e in out["errors"])
+
+
+def test_validate_rawsql_degrades_on_malformed_macros():
+    # unmatched parens while typing: no exception, degraded output
+    for sql, kw in (
+        ("SELECT * FROM $__sourceTable( WHERE x", dict(table="t")),
+        ("SELECT * WHERE $__filters(", dict(table="t")),
+        ("SELECT * FROM $__sourceTable(", dict(has_source=False)),
+    ):
+        out = validate_raw_sql_chart_config(sql, **kw)
+        assert isinstance(out["errors"], list)
+
+
+def test_validate_rawsql_for_alert():
+    out = validate_raw_sql_for_alert(
+        "SELECT count(*) FROM t", display_type="search"
+    )
+    assert any("does not support raw SQL alerts" in e for e in out["errors"])
+    out = validate_raw_sql_for_alert(
+        "SELECT count(*) FROM t WHERE $__timeFilter(ts)", display_type="number"
+    )
+    assert out["errors"] == [] and out["warnings"] == []
+    out = validate_raw_sql_for_alert(
+        "SELECT count(*) FROM t", display_type="line"
+    )
+    assert any("interval" in e for e in out["errors"])
+    assert any("start and end date" in w for w in out["warnings"])
+
+
+def test_source_table_macro_arg_counts():
+    assert get_source_table_macro_arg_counts("SELECT 1") == []
+    assert get_source_table_macro_arg_counts(
+        "FROM $__sourceTable JOIN $__sourceTable(gauge)"
+    ) == [0, 1]
