@@ -54,12 +54,25 @@ def compute_ratio(
 
     per_group:       ratio = num / den row-wise.
     share_of_total:  denominator = per-bucket total of *denominator* across
-                     all groups (window sum partitioned by bucket).
+                     all groups (window sum partitioned by bucket; Spark sum
+                     skips NULLs, so a group missing its denominator doesn't
+                     poison the bucket total — index.ts test parity). With no
+                     bucket column (Table/Number ratio) every row shares one
+                     bucket, so the share is of the grand total.
+
+    A group absent from the (filtered) numerator result contributes ZERO,
+    not "no data" (index.ts:437 ``row[numerator] ?? 0``) — a zero-error
+    group reads 0%, not N/A. An undefined ratio (zero or missing
+    denominator) is NULL here where the reference yields NaN — Spark's
+    NULL is the engine-side spelling of the client's N/A rendering.
     """
-    num = F.col(numerator).cast("double")
+    num = F.coalesce(F.col(numerator).cast("double"), F.lit(0.0))
     if mode == "share_of_total":
+        bucket = (
+            F.col(bucket_col) if bucket_col in df.columns else F.lit("__all__")
+        )
         den = F.sum(F.col(denominator).cast("double")).over(
-            Window.partitionBy(bucket_col)
+            Window.partitionBy(bucket)
         )
     elif mode == "per_group":
         den = F.col(denominator).cast("double")

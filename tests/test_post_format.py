@@ -125,3 +125,55 @@ def test_merge_result_sets_alias_collision(spark):
     assert m.columns == ["__timestamp", "cnt", "cnt_2"]
     row = m.collect()[0]
     assert row["cnt"] == 1.0 and row["cnt_2"] == 2.0
+
+
+def test_ratio_merged_result_sets_semantics(spark):
+    """Twins of clickhouse/index.ts computeResultSetRatio tests over a real
+    merged (full-outer) pair: zero-numerator group reads 0 not NULL; a group
+    missing its denominator doesn't poison the share_of_total bucket total;
+    its own per_group ratio is NULL (the reference's NaN/N-A); grand-total
+    share applies when there is no timestamp column."""
+    from hyperdx_spark.post import compute_ratio, merge_result_sets
+
+    errors = spark.createDataFrame(
+        [("t0", "acme", 20.0), ("t0", "globex", 5.0)],
+        "__timestamp string, tenant string, errors double",
+    )
+    total = spark.createDataFrame(
+        [("t0", "acme", 100.0), ("t0", "initech", 100.0)],
+        "__timestamp string, tenant string, total double",
+    )
+    merged = merge_result_sets([errors, total], on=["__timestamp", "tenant"])
+
+    share = {
+        r["tenant"]: r["ratio"]
+        for r in compute_ratio(
+            merged, numerator="errors", denominator="total",
+            mode="share_of_total",
+        ).collect()
+    }
+    # bucket total = 200 (globex's missing denominator is skipped, not NaN)
+    assert share["acme"] == 20.0 / 200.0
+    assert share["initech"] == 0.0  # zero-error group reads 0%, not N/A
+    assert share["globex"] == 5.0 / 200.0
+
+    per_group = {
+        r["tenant"]: r["ratio"]
+        for r in compute_ratio(
+            merged, numerator="errors", denominator="total", mode="per_group"
+        ).collect()
+    }
+    assert per_group["acme"] == 0.2
+    assert per_group["initech"] == 0.0
+    assert per_group["globex"] is None  # missing own denominator -> undefined
+
+    # no timestamp column -> grand total (Table/Number ratio)
+    flat = merged.drop("__timestamp")
+    grand = {
+        r["tenant"]: r["ratio"]
+        for r in compute_ratio(
+            flat, numerator="errors", denominator="total",
+            mode="share_of_total",
+        ).collect()
+    }
+    assert grand["acme"] == 0.1
