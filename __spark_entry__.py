@@ -2509,16 +2509,52 @@ def q_builder_sql(spark, sf_dir):
         tpl.sql, date_range=RANGE, interval_seconds=86400, table="events"
     )
     register_tables(spark, sf_dir, ("events",), time_filter=("ts", *RANGE))
-    return _round4(spark.sql(sql))
+    base = spark.sql(sql).select(
+        F.lit("tpl").alias("part"), "__timestamp", "event_type", "cnt", "avg_v"
+    )
+    # r10: the series-limit ranking CTE is macro-ized into the template
+    # (builderToRawSql.test.ts:197) — execute it and pin membership+values
+    sl_cfg = ChartConfig(
+        source=_src(),
+        select=[SelectCol(agg_fn="count", alias="cnt")],
+        granularity="1 day",
+        group_by=["event_type"],
+        series_limit=2,
+        date_range=RANGE,
+    )
+    sl_tpl = builder_to_raw_sql(sl_cfg, schema=ev.schema)
+    if sl_tpl.is_error:
+        raise RuntimeError(sl_tpl.error)
+    assert "__hdx_series_limit" in sl_tpl.sql
+    sl = spark.sql(
+        replace_macros(sl_tpl.sql, date_range=RANGE, interval_seconds=86400, table="events")
+    ).select(
+        F.lit("slcte").alias("part"), "__timestamp", "event_type", "cnt",
+        F.lit(None).cast("double").alias("avg_v"),
+    )
+    return _round4(base.unionByName(sl))
 
 
 O_BUILDER_SQL = f"""
-SELECT make_timestamp((floor(epoch(ts))::BIGINT // 86400) * 86400 * 1000000) AS __timestamp,
+SELECT 'tpl' AS part,
+       make_timestamp((floor(epoch(ts))::BIGINT // 86400) * 86400 * 1000000) AS __timestamp,
        event_type, count(*) AS cnt, round(avg({_NUMV}), 4) AS avg_v
 FROM events
 WHERE {TIME_WHERE}
   AND list_contains(list_filter(string_split_regex(lower(concat_ws(' ', event_type, props)), '[[:punct:][:space:][:cntrl:]]+'), t -> t != ''), 'error')
-GROUP BY 1, 2
+GROUP BY 2, 3
+UNION ALL
+SELECT 'slcte' AS part, __timestamp, event_type, cnt, NULL::DOUBLE AS avg_v
+FROM (
+  WITH d AS (
+    SELECT make_timestamp((floor(epoch(ts))::BIGINT // 86400) * 86400 * 1000000) AS __timestamp,
+           event_type, count(*) AS cnt
+    FROM events WHERE {TIME_WHERE} GROUP BY 1, 2),
+  top AS (
+    SELECT event_type FROM d GROUP BY 1
+    ORDER BY max(cnt) DESC, event_type LIMIT 2)
+  SELECT d.* FROM d SEMI JOIN top USING (event_type)
+) s
 """
 
 

@@ -500,16 +500,103 @@ def test_builder_to_raw_sql_errors(spark, sf_dir, events_source):
         )
     )
     assert t2.is_error and "schema" in t2.error
-    # series limit is a client feature
+    # unsupported display types are rejected (RAW_SQL_DISPLAY_TYPES)
     t3 = builder_to_raw_sql(
         ChartConfig(
             source=events_source,
             select=[SelectCol(agg_fn="count", alias="c")],
-            series_limit=5,
-            group_by=["event_type"],
-        )
+        ),
+        display_type="search",
     )
-    assert t3.is_error
+    assert t3.is_error and "cannot be auto-converted" in t3.error
+
+
+def test_builder_to_raw_sql_series_limit_cte(spark, sf_dir, events_source):
+    """builderToRawSql.test.ts:197 — a time-series seriesLimit macro-izes
+    the __hdx_series_limit ranking CTE with the LIMIT inlined, and the
+    executed template equals the compiled config."""
+    from hyperdx_spark.builder_sql import builder_to_raw_sql
+    from hyperdx_spark.io import register_tables
+    from hyperdx_spark.macros import replace_macros
+
+    cfg = ChartConfig(
+        source=events_source,
+        select=[SelectCol(agg_fn="count", alias="cnt")],
+        granularity="1 day",
+        group_by=["event_type"],
+        series_limit=2,
+        date_range=RANGE,
+    )
+    tpl = builder_to_raw_sql(cfg)
+    assert not tpl.is_error
+    assert "__hdx_series_limit" in tpl.sql
+    assert "LIMIT 2" in tpl.sql
+    assert "$__timeInterval" in tpl.sql
+    sql = replace_macros(tpl.sql, date_range=RANGE, interval_seconds=86400, table="events")
+    register_tables(spark, sf_dir, ("events",), time_filter=("ts", *RANGE))
+    got = sorted(map(tuple, spark.sql(sql).collect()))
+    want = sorted(
+        map(tuple, compile_chart_config(spark, cfg, sf_dir=sf_dir).collect())
+    )
+    assert got == want
+    # non-time-series display: the conversion drops granularity, so the
+    # seriesLimit never caps and no CTE is emitted (renderSeriesLimitCte gate)
+    tpl_table = builder_to_raw_sql(cfg, display_type="table")
+    assert not tpl_table.is_error
+    assert "__hdx_series_limit" not in tpl_table.sql
+
+
+def test_builder_to_raw_sql_display_shapes(spark, sf_dir, events_source):
+    """builderToRawSql display-type conversions: table strips granularity
+    and inlines the default LIMIT; pie applies seriesLimit as LIMIT with
+    the injected ordering; number drops groupBy; executed templates match
+    the converted compiled configs."""
+    from hyperdx_spark.builder_sql import builder_to_raw_sql
+    from hyperdx_spark.display import (
+        convert_to_categorical_chart_config,
+        convert_to_number_chart_config,
+        convert_to_table_chart_config,
+    )
+    from hyperdx_spark.io import register_tables
+    from hyperdx_spark.macros import replace_macros
+
+    register_tables(spark, sf_dir, ("events",), time_filter=("ts", *RANGE))
+    cfg = ChartConfig(
+        source=events_source,
+        select=[SelectCol(agg_fn="count")],
+        granularity="1 day",
+        group_by=["event_type"],
+        series_limit=2,
+        date_range=RANGE,
+    )
+    # table: granularity stripped even though the form carries one
+    tpl = builder_to_raw_sql(cfg, display_type="table")
+    assert "$__timeInterval" not in tpl.sql
+    assert "LIMIT 200" in tpl.sql
+    # pie: seriesLimit -> LIMIT 2 + value-desc ordering
+    tpl_pie = builder_to_raw_sql(cfg, display_type="pie")
+    assert "LIMIT 2" in tpl_pie.sql and "`Value` DESC" in tpl_pie.sql
+    got = sorted(map(tuple, spark.sql(
+        replace_macros(tpl_pie.sql, date_range=RANGE, table="events")
+    ).collect()))
+    want = sorted(map(tuple, compile_chart_config(
+        spark, convert_to_categorical_chart_config(cfg), sf_dir=sf_dir
+    ).collect()))
+    assert got == want
+    # pie without a seriesLimit: no LIMIT at all
+    no_cap = ChartConfig(
+        source=events_source,
+        select=[SelectCol(agg_fn="count")],
+        group_by=["event_type"],
+        date_range=RANGE,
+    )
+    assert "LIMIT" not in builder_to_raw_sql(no_cap, display_type="pie").sql
+    # number: groupBy dropped -> single row
+    tpl_num = builder_to_raw_sql(cfg, display_type="number")
+    rows = spark.sql(
+        replace_macros(tpl_num.sql, date_range=RANGE, table="events")
+    ).collect()
+    assert len(rows) == 1
 
 
 def test_chcompat_round3_functions(spark):
