@@ -251,22 +251,47 @@ def mine_patterns(
     ts_col: Optional[str] = None,
     sample_size: int = DENOISE_SAMPLE_SIZE,
     total_count: Optional[int] = None,
+    date_range: Optional[tuple] = None,
+    trend_buckets: int = 24,
     bucket_seconds: int = 3600,
     max_samples: int = 5,
     noise_threshold: Optional[float] = None,
 ) -> list[PatternGroup]:
-    """Reference-shaped sampled mining (mine-patterns.ts:91-204): collect a
-    bounded sample, Drain it on the driver, estimate totals with
-    totalCount/sampleCount, attach per-bucket trends and up to
-    ``max_samples`` example rows. ``noise_threshold`` drops patterns
-    covering more than that fraction of the sample (denoise, 10% default in
-    the reference's denoise path)."""
+    """Reference-shaped sampled mining (drain/mine-patterns.ts:91-204):
+    collect a bounded sample, Drain it on the driver, estimate totals with
+    totalCount/sampleCount (``sampleMultiplier`` is 1 when totalCount is 0
+    — ts:175-176), attach per-bucket trends and up to ``max_samples``
+    example rows.
+
+    With ``date_range`` the trend follows the reference exactly: the bucket
+    step comes from the auto-granularity ladder targeting ``trend_buckets``
+    buckets, the spine zero-fills EVERY bucket from the grid-aligned start
+    to the range end (timeBucketByGranularity, core/utils.ts:540-557), and
+    rows with a null timestamp fall back to the range start (ts:134).
+    Without it, only observed ``bucket_seconds`` buckets are emitted (the
+    pre-r10 shape, kept for trend-agnostic callers).
+
+    ``noise_threshold`` drops patterns covering more than that fraction of
+    the sample (denoise, 10% default in the reference's denoise path)."""
     if total_count is None:
         total_count = df.count()
     cols = [text_col] + ([ts_col] if ts_col else [])
     rows = df.select(*cols).limit(sample_size).collect()
     if not rows:
         return []
+
+    step = bucket_seconds
+    spine: Optional[list[int]] = None
+    start_epoch: Optional[int] = None
+    if date_range is not None:
+        from hyperdx_spark.granularity import auto_granularity, granularity_seconds
+
+        step = granularity_seconds(auto_granularity(date_range, trend_buckets))
+        start_epoch = int(date_range[0].timestamp())
+        end_epoch = date_range[1].timestamp()
+        aligned = (start_epoch // step) * step
+        spine = list(range(aligned, int(end_epoch), step))
+
     miner = Drain()
     clustered = []
     for r in rows:
@@ -274,7 +299,7 @@ def mine_patterns(
         cluster, _ = miner.add_log_message(body)
         ts = r[ts_col] if ts_col else None
         clustered.append((cluster.cluster_id, body, ts, r))
-    multiplier = total_count / len(rows) if rows else 1.0
+    multiplier = total_count / len(rows) if total_count > 0 else 1.0
 
     groups: dict[int, dict] = {}
     for cid, body, ts, row in clustered:
@@ -282,8 +307,12 @@ def mine_patterns(
         g["n"] += 1
         if len(g["samples"]) < max_samples:
             g["samples"].append(row)
-        if ts is not None:
-            b = int(ts.timestamp() // bucket_seconds) * bucket_seconds
+        epoch = (
+            ts.timestamp() if ts is not None
+            else (start_epoch if start_epoch is not None else None)
+        )
+        if epoch is not None:
+            b = int(epoch // step) * step
             g["buckets"][b] = g["buckets"].get(b, 0) + 1
 
     out = []
@@ -292,6 +321,12 @@ def mine_patterns(
         template = matched.template() if matched else g["first"]
         if noise_threshold is not None and g["n"] / len(rows) > noise_threshold:
             continue
+        if spine is not None:
+            trend = [(b, round(g["buckets"].get(b, 0) * multiplier)) for b in spine]
+        else:
+            trend = sorted(
+                (b, round(c * multiplier)) for b, c in g["buckets"].items()
+            )
         out.append(
             PatternGroup(
                 id=str(cid),
@@ -299,9 +334,7 @@ def mine_patterns(
                 sample_count=g["n"],
                 estimated_count=max(round(g["n"] * multiplier), 1),
                 samples=g["samples"],
-                trend=sorted(
-                    (b, round(c * multiplier)) for b, c in g["buckets"].items()
-                ),
+                trend=trend,
             )
         )
     out.sort(key=lambda p: -p.estimated_count)

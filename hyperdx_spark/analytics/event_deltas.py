@@ -37,6 +37,102 @@ BOOSTED_ATTRIBUTE_SUFFIXES = [
 _ID_SUFFIX = re.compile(r"(Id|ID)$")
 
 
+def flatten_data(data: dict) -> dict:
+    """Flatten a nested row object into dot-path keys, arrays with bracket
+    notation (``arr[0]``), preserving empty objects/arrays as sentinel
+    entries (eventDeltas.ts:23-44) — the shape the property statistics and
+    the ``properties`` map column expect."""
+    result: dict = {}
+
+    def recurse(cur, prop: str) -> None:
+        if isinstance(cur, list):
+            for i, item in enumerate(cur):
+                recurse(item, f"{prop}[{i}]")
+            if not cur:
+                result[prop] = []
+        elif isinstance(cur, dict):
+            if not cur and prop:
+                result[prop] = {}
+            for k, v in cur.items():
+                recurse(v, f"{prop}.{k}" if prop else k)
+        else:
+            result[prop] = cur
+
+    recurse(data, "")
+    return result
+
+
+def strip_type_wrappers(type_str: str) -> str:
+    """Strip LowCardinality(...)/Nullable(...) wrappers from a ClickHouse
+    type string (eventDeltas.ts:116-130)."""
+    t = type_str.strip()
+    changed = True
+    while changed:
+        changed = False
+        for w in ("LowCardinality(", "Nullable("):
+            if t.startswith(w) and t.endswith(")"):
+                t = t[len(w):-1].strip()
+                changed = True
+    return t
+
+
+def get_base_column_name(key: str) -> Optional[str]:
+    """Physical column behind a flattened key: ``Events.Timestamp[0]`` ->
+    ``Events.Timestamp``; ``None`` for deeper paths after array indices
+    (eventDeltas.ts:137-140)."""
+    m = re.match(r"^([^\[]+)\[(\d+)\]$", key)
+    if m:
+        return m.group(1)
+    return None if "[" in key else key
+
+
+def is_id_field(key: str, column_meta: list) -> bool:
+    """Top-level String columns or Array(String) elements ending in Id/ID
+    (eventDeltas.ts:143-159). *column_meta*: [(name, ch_type), ...] or
+    [{"name":..., "type":...}, ...]."""
+    col_name = get_base_column_name(key)
+    if not col_name or not _ID_SUFFIX.search(col_name):
+        return False
+    t = _meta_type(col_name, column_meta)
+    if t is None:
+        return False
+    base = strip_type_wrappers(t)
+    if base == "String":
+        return True
+    if base.startswith("Array("):
+        return strip_type_wrappers(base[len("Array("):-1]) == "String"
+    return False
+
+
+def is_timestamp_array_field(key: str, column_meta: list) -> bool:
+    """Per-index timestamp array elements — ``Events.Timestamp[N]`` of an
+    ``Array(DateTime64)`` column (eventDeltas.ts:161-175)."""
+    col_name = get_base_column_name(key)
+    if not col_name:
+        return False
+    t = _meta_type(col_name, column_meta)
+    if t is None:
+        return False
+    base = strip_type_wrappers(t)
+    if not base.startswith("Array("):
+        return False
+    return strip_type_wrappers(base[len("Array("):-1]).startswith("DateTime64(")
+
+
+def is_denylisted(key: str, column_meta: list) -> bool:
+    """Hide-by-default fields: IDs + per-index timestamps
+    (eventDeltas.ts:177-183)."""
+    return is_id_field(key, column_meta) or is_timestamp_array_field(key, column_meta)
+
+
+def _meta_type(col_name: str, column_meta: list) -> Optional[str]:
+    for c in column_meta:
+        name = c["name"] if isinstance(c, dict) else c[0]
+        if name == col_name:
+            return c["type"] if isinstance(c, dict) else c[1]
+    return None
+
+
 def semantic_boost(key: str) -> int:
     lk = key.lower()
     return int(any(lk == s or lk.endswith("." + s) for s in BOOSTED_ATTRIBUTE_SUFFIXES))

@@ -202,3 +202,98 @@ def test_drain_reference_sshd_sequence_verbatim():
         got.append(" ".join(cluster.template_tokens))
     assert got == expected
     assert sum(c.size for c in model.clusters.values()) == 6
+
+
+# ---- eventDeltas helper twins (eventDeltas.test.ts:12-108) -------------------
+
+
+def test_flatten_data():
+    from hyperdx_spark.analytics.event_deltas import flatten_data
+
+    assert flatten_data({"a": {"b": {"c": 1}}}) == {"a.b.c": 1}
+    assert flatten_data({"arr": ["x", "y"]}) == {"arr[0]": "x", "arr[1]": "y"}
+    out = flatten_data({"empty": {}})
+    assert out["empty"] == {}
+    assert flatten_data({"e": []}) == {"e": []}
+    assert flatten_data({"a": [{"b": 1}]}) == {"a[0].b": 1}
+
+
+def test_is_denylisted_type_aware():
+    from hyperdx_spark.analytics.event_deltas import (
+        get_base_column_name,
+        is_denylisted,
+        strip_type_wrappers,
+    )
+
+    cols = [
+        ("TraceId", "String"),
+        ("Body", "String"),
+        ("Events.Timestamp", "Array(DateTime64(9))"),
+        ("CountId", "UInt64"),
+        ("SpanIds", "Array(LowCardinality(String))"),
+    ]
+    assert is_denylisted("TraceId", cols)
+    assert not is_denylisted("Body", cols)  # non-Id String column
+    assert is_denylisted("Events.Timestamp[0]", cols)  # per-index timestamp
+    assert not is_denylisted("CountId", cols)  # Id suffix but numeric type
+    assert not is_denylisted("Unknown.Id", cols)  # no meta entry
+    # Array(String) elements ending in Id are flagged... when named *Id
+    assert not is_denylisted("SpanIds", cols)  # 'Ids' doesn't match (Id|ID)$
+    assert strip_type_wrappers("LowCardinality(Nullable(String))") == "String"
+    assert get_base_column_name("Events.Attributes[0].spanId") is None
+    assert get_base_column_name("a.b[3]") == "a.b"
+    assert get_base_column_name("a.b") == "a.b"
+
+
+def test_mine_patterns_zero_total_multiplier_one(spark):
+    # mine-patterns.ts:175-176: totalCount 0 -> sampleMultiplier 1
+    df = spark.createDataFrame([("worker 1 started",)] * 10, "body string")
+    patterns = drain_mod.mine_patterns(df, text_col="body", total_count=0)
+    assert patterns[0].sample_count == 10
+    assert patterns[0].estimated_count == 10  # x1, not x0
+
+
+def test_mine_patterns_trend_spine(spark):
+    """mine-patterns.test.ts:212-267: with a date range, trend buckets
+    zero-fill the whole range, stay within [start, end), scale by the
+    multiplier, and null timestamps fall back to the range start."""
+    from datetime import datetime
+
+    start = datetime(2024, 1, 1, 0, 0, 0)
+    end = datetime(2024, 1, 1, 1, 0, 0)
+    df = spark.createDataFrame(
+        [("event", datetime(2024, 1, 1, 0, 15)), ("event", datetime(2024, 1, 1, 0, 45))],
+        "body string, ts timestamp",
+    )
+    patterns = drain_mod.mine_patterns(
+        df, text_col="body", ts_col="ts", total_count=2,
+        date_range=(start, end), trend_buckets=4,
+    )
+    assert len(patterns) == 1
+    trend = patterns[0].trend
+    assert len(trend) > 0
+    for b, _c in trend:
+        assert start.timestamp() <= b < end.timestamp()
+    assert sum(c for _b, c in trend) == 2
+    assert any(c == 0 for _b, c in trend)  # zero-filled spine
+
+    # multiplier scales the bucket counts (1 sample, totalCount 100)
+    one = spark.createDataFrame(
+        [("event", datetime(2024, 1, 1, 0, 15))], "body string, ts timestamp"
+    )
+    p = drain_mod.mine_patterns(
+        one, text_col="body", ts_col="ts", total_count=100,
+        date_range=(start, end), trend_buckets=4,
+    )[0]
+    assert max(c for _b, c in p.trend) == 100
+
+    # null timestamp falls back to the range start
+    nulls = spark.createDataFrame(
+        [("no timestamp", None)], "body string, ts timestamp"
+    )
+    p = drain_mod.mine_patterns(
+        nulls, text_col="body", ts_col="ts", total_count=1,
+        date_range=(start, end), trend_buckets=4,
+    )[0]
+    first_bucket = p.trend[0]
+    assert first_bucket[1] == 1
