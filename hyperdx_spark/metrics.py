@@ -688,3 +688,93 @@ def require_supported_metric_type(metric_type: str) -> str:
             + ", ".join(SUPPORTED_METRIC_TYPES)
         )
     return t
+
+
+def metric_to_raw_sql(
+    metric_type: str,
+    *,
+    ts: str = "ts",
+    value: str = "value",
+    series_cols: Sequence[str],
+    agg: str = "avg",
+    metric_name: Optional[str] = None,
+    metric_name_sql: Optional[str] = None,
+    name_col: str = "MetricName",
+    where_sql: Optional[str] = None,
+    bucket_alias: str = "__timestamp",
+    value_alias: Optional[str] = None,
+) -> str:
+    """Single-series metric chart -> editable raw-SQL template
+    (builderToRawSql.ts:93-132 + its metric test family,
+    builderToRawSql.test.ts:211-350): gauge and sum (counter-rate) metric
+    line charts render as one macro-templated SQL statement using
+    $__timeInterval / $__timeFilter / $__sourceTable(metricType) /
+    $__filters; the executed template must equal :func:`gauge_bucket` /
+    :func:`counter_rate` on the same data (pytest-asserted).
+
+    Multi-series and non-time-series metric charts are not convertible —
+    same user-facing errors as the reference. Histogram metric charts are
+    a documented deviation: the reference's histogram SQL is a ClickHouse
+    window pipeline its own engine executes, while ours is a DataFrame
+    plan (histogram_quantile) with no single-statement SQL twin — callers
+    get a loud error instead of a silently-different template.
+    """
+    mt = metric_type.lower()
+    if mt == "histogram":
+        raise ValueError(
+            "Histogram metric charts cannot be auto-converted to SQL in"
+            " this engine (DataFrame-only pipeline); use"
+            " metrics.histogram_quantile."
+        )
+    if mt not in ("gauge", "sum"):
+        raise ValueError(f"unsupported metric type for SQL conversion: {metric_type!r}")
+    if agg not in ("avg", "sum", "min", "max", "count"):
+        raise ValueError(f"unsupported aggregation: {agg!r}")
+
+    from hyperdx_spark.functions.chcompat import translate_expr
+    from hyperdx_spark.lucene.serializer import _sql_str
+
+    where_parts = [f"$__timeFilter({ts})"]
+    if metric_name_sql:
+        where_parts.append(f"({translate_expr(metric_name_sql)})")
+    elif metric_name is not None:
+        where_parts.append(f"`{name_col}` = {_sql_str(metric_name)}")
+    if where_sql:
+        where_parts.append(f"({where_sql})")
+    where_parts.append("$__filters")
+    where = "\n  AND ".join(where_parts)
+    series = ", ".join(f"`{c}`" for c in series_cols)
+    v = f"CAST(`{value}` AS DOUBLE)"
+
+    if mt == "gauge":
+        alias = value_alias or "value"
+        # per (series, bucket) last sample, then the user agg across series
+        return (
+            f"SELECT `{bucket_alias}`, {agg}(`__last`) AS `{alias}`\n"
+            "FROM (\n"
+            f"  SELECT $__timeInterval({ts}) AS `{bucket_alias}`, {series},\n"
+            f"         max_by({v}, `{ts}`) AS `__last`\n"
+            "  FROM $__sourceTable(gauge)\n"
+            f"  WHERE {where}\n"
+            f"  GROUP BY {', '.join(str(i + 1) for i in range(1 + len(series_cols)))}\n"
+            ")\n"
+            f"GROUP BY `{bucket_alias}`\n"
+            f"ORDER BY `{bucket_alias}`"
+        )
+
+    # sum: reset-clamped per-series lag delta, summed per bucket. The first
+    # sample of a series has no previous row and contributes nothing.
+    alias = value_alias or "rate"
+    lag_v = f"lag({v}) OVER (PARTITION BY {series} ORDER BY `{ts}`)"
+    return (
+        f"SELECT `{bucket_alias}`, sum(`__rate`) AS `{alias}`\n"
+        "FROM (\n"
+        f"  SELECT $__timeInterval({ts}) AS `{bucket_alias}`,\n"
+        f"         CASE WHEN {lag_v} IS NULL THEN NULL\n"
+        f"              ELSE greatest({v} - {lag_v}, 0.0) END AS `__rate`\n"
+        "  FROM $__sourceTable(sum)\n"
+        f"  WHERE {where}\n"
+        ")\n"
+        f"GROUP BY `{bucket_alias}`\n"
+        f"ORDER BY `{bucket_alias}`"
+    )

@@ -433,3 +433,80 @@ def test_metric_name_filter_migration_sql(spark):
     assert {r["Value"] for r in df.filter(mig).collect()} == {1.0, 2.0}
     eq = metric_name_filter("k8s.pod.cpu.utilization")
     assert {r["Value"] for r in df.filter(eq).collect()} == {1.0}
+
+
+def test_metric_to_raw_sql_equals_dataframe_path(spark, sf_dir):
+    """builderToRawSql metric templates (test family :211-350): the executed
+    gauge/sum templates equal gauge_bucket/counter_rate on the same data."""
+    from datetime import datetime
+
+    from hyperdx_spark.io import load_table
+    from hyperdx_spark.macros import replace_macros
+    from hyperdx_spark.metrics import counter_rate, gauge_bucket, metric_to_raw_sql
+
+    rng = (datetime(2024, 1, 1), datetime(2024, 2, 1))
+    ev = load_table(spark, sf_dir, "events", time_filter=("ts", *rng))
+    ev.createOrReplaceTempView("gauge_view")
+    step = 86400
+
+    gauge_tpl = metric_to_raw_sql(
+        "gauge", ts="ts", value="value", series_cols=["user_id"], agg="avg"
+    )
+    assert "$__sourceTable(gauge)" in gauge_tpl and "$__timeInterval" in gauge_tpl
+    got = spark.sql(
+        replace_macros(
+            gauge_tpl, date_range=rng, interval_seconds=step,
+            metric_tables={"gauge": "gauge_view", "sum": "gauge_view"},
+        )
+    ).collect()
+    want = (
+        gauge_bucket(
+            ev, ts="ts", value="value", series_cols=["user_id"],
+            bucket_seconds=step, agg="avg",
+        )
+        .orderBy("__timestamp")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    sum_tpl = metric_to_raw_sql(
+        "sum", ts="ts", value="value", series_cols=["user_id"]
+    )
+    got = spark.sql(
+        replace_macros(
+            sum_tpl, date_range=rng, interval_seconds=step,
+            metric_tables={"gauge": "gauge_view", "sum": "gauge_view"},
+        )
+    ).collect()
+    want = (
+        counter_rate(
+            ev, ts="ts", value="value", series_cols=["user_id"],
+            bucket_seconds=step,
+        )
+        .orderBy("__timestamp")
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_metric_to_raw_sql_filters_and_errors():
+    from hyperdx_spark.metrics import metric_to_raw_sql
+
+    tpl = metric_to_raw_sql(
+        "gauge", series_cols=["s"], metric_name="k8s.pod.cpu.utilization",
+    )
+    assert "`MetricName` = 'k8s.pod.cpu.utilization'" in tpl
+    # metricNameSql (k8s migration) wins over the plain equality
+    tpl = metric_to_raw_sql(
+        "gauge", series_cols=["s"], metric_name="x",
+        metric_name_sql="MetricName IN ('old.name', 'new.name')",
+    )
+    assert "MetricName IN ('old.name', 'new.name')" in tpl
+    assert "`MetricName` = 'x'" not in tpl
+    # histogram: loud deviation, not a silently-different template
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="[Hh]istogram"):
+        metric_to_raw_sql("histogram", series_cols=["s"])
+    with _pytest.raises(ValueError):
+        metric_to_raw_sql("gauge", series_cols=["s"], agg="median")
