@@ -230,9 +230,16 @@ class SearchQueryBuilder:
         exprs = None
         if src is not None:
             exprs = getattr(src, "implicit_column_expression", None)
+            if not exprs:
+                # symmetric fallback (HDX-4376, queryParser.test.ts:515): a
+                # source with a Body Expression but no Implicit Column
+                # Expression still supports bare-text search; implicit wins
+                # when both are set
+                exprs = getattr(src, "body_expression", None)
         if not exprs:
             raise ValueError(
                 "bare-term search requires source.implicit_column_expression"
+                " (or body_expression)"
             )
         if isinstance(exprs, str):
             exprs = [exprs]

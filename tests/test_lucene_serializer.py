@@ -281,3 +281,31 @@ def test_date_field_numeric_executes(spark, events):
     got = df.filter(F.expr(pred)).count()
     want = df.filter(F.unix_timestamp("ts") >= lo).count()
     assert got == want and 0 < got < 200
+
+
+def test_implicit_falls_back_to_body_expression(spark):
+    """HDX-4376 (queryParser.test.ts:515-563): a source with a Body
+    Expression but no Implicit Column Expression still supports bare-text
+    search; implicit wins when both are set; neither -> error."""
+    from hyperdx_spark.lucene.serializer import SearchQueryBuilder
+    from hyperdx_spark.model import Source
+
+    df = spark.createDataFrame([("hello prometheus", "other text")],
+                               "message string, indexed_message string")
+    body_only = Source(table="t", implicit_column_expression=None,
+                       body_expression="message")
+    sql = SearchQueryBuilder(df.schema, body_only).build("Prometheus")
+    assert "message" in sql
+    # executes and matches
+    assert df.where(sql).count() == 1
+
+    both = Source(table="t", implicit_column_expression="indexed_message",
+                  body_expression="message")
+    sql = SearchQueryBuilder(df.schema, both).build("Prometheus")
+    assert "indexed_message" in sql and "(message" not in sql
+
+    neither = Source(table="t", implicit_column_expression=None)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        SearchQueryBuilder(df.schema, neither).build("Prometheus")
