@@ -864,3 +864,22 @@ def test_ratio_series_limit_finite_guard(spark):
     )
     out = limit_ratio_series(df, 2, group_cols=["g"])
     assert sorted({r["g"] for r in out.collect()}) == ["hot", "warm"]
+
+
+def test_series_limit_multi_column_group(spark, events_source):
+    # ts:648-695: multi-column group-by ranks as a tuple with per-column
+    # null checks — any NULL component excludes the group from ranking
+    from hyperdx_spark.compile import _apply_series_limit
+
+    df = spark.createDataFrame(
+        [
+            ("a", "x", 9.0),
+            ("a", None, 100.0),  # NULL second component: excluded
+            ("b", "y", 5.0),
+            ("c", "z", 1.0),
+        ],
+        "g1 string, g2 string, v double",
+    )
+    out = _apply_series_limit(df, ["g1", "g2"], "v", 2)
+    kept = sorted((r["g1"], r["g2"]) for r in out.collect())
+    assert kept == [("a", "x"), ("b", "y")]
