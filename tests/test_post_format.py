@@ -177,3 +177,28 @@ def test_ratio_merged_result_sets_semantics(spark):
         ).collect()
     }
     assert grand["acme"] == 0.1
+
+
+def test_ratio_series_cap_int_cases(spark):
+    """queryChartConfig.int.test.ts:568-744 twins: the cap keeps the
+    highest-RATIO groups (not highest-numerator); non-finite ratios rank
+    below every finite one but survive when the limit exceeds the group
+    count."""
+    from hyperdx_spark.post import compute_ratio, limit_ratio_series
+
+    df = spark.createDataFrame(
+        [
+            # group, numerator, denominator: big numerator but low ratio
+            ("bulk", 1000.0, 100000.0),   # ratio 0.01
+            ("hot", 9.0, 10.0),           # ratio 0.9
+            ("warm", 5.0, 10.0),          # ratio 0.5
+            ("sparse", 3.0, 0.0),         # zero denominator -> undefined
+        ],
+        "g string, num double, den double",
+    )
+    rated = compute_ratio(df, numerator="num", denominator="den")
+    top2 = {r["g"] for r in limit_ratio_series(rated, 2, group_cols=["g"]).collect()}
+    assert top2 == {"hot", "warm"}  # ratio ranking, not numerator ranking
+    # limit exceeding the group count keeps even the undefined-ratio group
+    top10 = {r["g"] for r in limit_ratio_series(rated, 10, group_cols=["g"]).collect()}
+    assert top10 == {"bulk", "hot", "warm", "sparse"}
