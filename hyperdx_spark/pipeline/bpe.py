@@ -250,3 +250,83 @@ def encode_token_count(
 
     c = F.col(col) if isinstance(col, str) else col
     return pandas_udf(_count, "long")(c)
+
+
+def corpus_alphabet(df: DataFrame, *, text_col: str = "text") -> list[str]:
+    """Distinct characters of the corpus — the base-symbol tier of the
+    vocab. One explode+distinct over single chars; bounded by the alphabet
+    (hundreds-to-thousands of rows), not corpus size."""
+    chars = (
+        df.select(F.explode(F.split(F.col(text_col), "")).alias("c"))
+        .where(F.col("c") != "")
+        .distinct()
+        .collect()
+    )
+    return sorted(r["c"] for r in chars)
+
+
+def build_vocab(
+    merges: list[tuple[str, str]],
+    alphabet: "list[str] | None" = None,
+) -> dict[str, int]:
+    """Token -> id table for a trained merge list: base singletons first
+    (the supplied *alphabet* — from :func:`corpus_alphabet` — unioned with
+    every char of the merge parts; sorted, stable), then one merged token
+    per rank in merge order — the standard BPE vocab construction. With an
+    alphabet that covers the corpus, every encoded token has an id."""
+    singles = {c for pair in merges for part in pair for c in part}
+    if alphabet:
+        singles |= set(alphabet)
+    vocab: dict[str, int] = {c: i for i, c in enumerate(sorted(singles))}
+    for a, b in merges:
+        tok = a + b
+        if tok not in vocab:
+            vocab[tok] = len(vocab)
+    return vocab
+
+
+def encode_token_ids(
+    col: Column | str,
+    merges: list[tuple[str, str]],
+    *,
+    alphabet: "list[str] | None" = None,
+    lowercase: bool = False,
+    unk_id: int = -1,
+) -> Column:
+    """Per-document token-id arrays under a trained vocab — the trainer-
+    facing output (`array<int>`), one Arrow-batched pass with the same
+    per-batch word memoization as :func:`encode_token_count`. Characters
+    outside the trained alphabet map to ``unk_id``.
+
+    Scale shape: row-local (no shuffle); the vocab + merge ranks broadcast
+    with the serialized UDF (a 32k-merge vocab is ~1 MB)."""
+    import re as _re
+
+    import pandas as pd  # noqa: F401  (pandas_udf type hints)
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    vocab = build_vocab(merges, alphabet)
+    pat = _re.compile(PY_BPE_PRETOKEN_PATTERN)
+
+    def _ids(s: "pd.Series") -> "pd.Series":
+        cache: dict[str, list[int]] = {}
+
+        def doc_ids(text):
+            if text is None:
+                return []
+            if lowercase:
+                text = text.lower()
+            out: list[int] = []
+            for w in pat.findall(text):
+                hit = cache.get(w)
+                if hit is None:
+                    hit = [vocab.get(t, unk_id) for t in encode_word(w, ranks)]
+                    cache[w] = hit
+                out.extend(hit)
+            return out
+
+        return s.map(doc_ids)
+
+    c = F.col(col) if isinstance(col, str) else col
+    return pandas_udf(_ids, "array<int>")(c)

@@ -163,3 +163,36 @@ def test_incremental_merge_loop_exhausts_cleanly():
     # all pairs consumed -> further merges impossible
     ranks = {p: i for i, p in enumerate(got)}
     assert bpe.encode_word("aaab", ranks) == ["aaab"]
+
+
+def test_build_vocab_and_encode_ids(spark):
+    df = spark.createDataFrame([(t,) for t in CORPUS], "text string")
+    merges = bpe.train_bpe(df, 8)
+    alphabet = bpe.corpus_alphabet(df)
+    vocab = bpe.build_vocab(merges, alphabet)
+    # singletons first, then one merged token per rank; ids dense from 0
+    assert sorted(vocab.values()) == list(range(len(vocab)))
+    for a, b in merges:
+        assert a + b in vocab
+    # ids round-trip to the encoded tokens, and their count matches
+    # encode_token_count exactly
+    inv = {i: t for t, i in vocab.items()}
+    out = df.select(
+        "text",
+        bpe.encode_token_ids("text", merges, alphabet=alphabet).alias("ids"),
+        bpe.encode_token_count("text", merges).alias("n"),
+    ).collect()
+    import re
+
+    pat = re.compile(bpe.PY_BPE_PRETOKEN_PATTERN)
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    for r in out:
+        assert len(r["ids"]) == r["n"]
+        toks = [t for w in pat.findall(r["text"]) for t in bpe.encode_word(w, ranks)]
+        decoded = [inv.get(i, "<unk>") for i in r["ids"]]
+        assert decoded == toks
+        assert "".join(decoded) == r["text"]  # lossless reconstruction
+    # unknown characters map to unk_id
+    zdf = spark.createDataFrame([("éxotic",)], "text string")
+    ids = zdf.select(bpe.encode_token_ids("text", merges, unk_id=-1).alias("i")).first()["i"]
+    assert -1 in ids
