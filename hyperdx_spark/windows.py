@@ -259,12 +259,66 @@ def run_chunked(
     return out
 
 
+def get_first_ordering_item(order_by):
+    """First ORDER BY entry (core/utils.ts:905-912): the bracket-aware first
+    element of a comma string, or the first SortSpec of a list; None when
+    unset/empty."""
+    if not order_by:
+        return None
+    if isinstance(order_by, str):
+        from hyperdx_spark.functions.chcompat import _split_args
+
+        parts = _split_args(order_by)
+        return parts[0] if parts else None
+    return order_by[0]
+
+
+def remove_trailing_direction(s: str) -> str:
+    """Strip a trailing ASC/DESC keyword (core/utils.ts:914-922)."""
+    upper = s.strip().upper()
+    for kw in ("DESC", "ASC"):
+        if upper.endswith(kw):
+            return s[: upper.rindex(kw)].strip()
+    return s.strip()
+
+
+def is_timestamp_expression_in_first_order_by(cfg: ChartConfig) -> bool:
+    """Whether the FIRST ordering rides the timestamp expression
+    (core/utils.ts:925-944): any component of the (possibly multi-column)
+    timestamp expression appearing in the first ordering expression.
+    Time-windowed pagination is only order-preserving when this holds."""
+    from hyperdx_spark.functions.chcompat import _split_args
+    from hyperdx_spark.model import SortSpec
+
+    first = get_first_ordering_item(cfg.order_by)
+    ts = cfg.source.timestamp_value_expression if cfg.source else None
+    if first is None or not ts:
+        return False
+    expr = (
+        remove_trailing_direction(first)
+        if isinstance(first, str)
+        else first.value_expression
+    )
+    return any(tve in expr for tve in _split_args(ts))
+
+
+def is_first_order_by_ascending(order_by) -> bool:
+    """Whether the first ordering is ascending (core/utils.ts:946-959):
+    explicit or implied ASC; False when unset."""
+    first = get_first_ordering_item(order_by)
+    if first is None:
+        return False
+    if isinstance(first, str):
+        return not first.strip().upper().endswith("DESC")
+    return first.order != "DESC"
+
+
 def offset_paginated_search(
     spark: SparkSession,
     cfg: ChartConfig,
     sf_dir: Optional[str] = None,
     page_size: int = 200,
-    direction: str = "DESC",
+    direction: Optional[str] = None,
     durations: Sequence[int] = DEFAULT_TIME_WINDOWS_SECONDS,
     max_pages_per_window: int = 1000,
 ) -> Iterator[list]:
@@ -273,11 +327,28 @@ def offset_paginated_search(
 
     Yields lists of Rows; stops a window when a short page arrives. Each
     page is LIMIT/OFFSET over one small time window, so the scan cost is
-    bounded by the window, not the full range."""
+    bounded by the window, not the full range.
+
+    Windowing is gated exactly as the reference's pagination hook
+    (useOffsetPaginatedQuery.tsx:152-198): it only applies when the FIRST
+    ordering rides the timestamp expression — any other primary ordering
+    would make per-window pages globally mis-ordered, so those queries run
+    as ONE whole-range window. An unset ``order_by`` defaults to timestamp
+    ordering in *direction* (DESC unless specified); an explicit ordering
+    drives the window direction (``isFirstOrderByAscending``)."""
     from hyperdx_spark.compile import compile_chart_config
 
     assert cfg.date_range is not None, "offset pagination requires a date range"
     start, end = cfg.date_range
+    if cfg.order_by:
+        windowed = is_timestamp_expression_in_first_order_by(cfg)
+        if direction is None:
+            direction = "ASC" if is_first_order_by_ascending(cfg.order_by) else "DESC"
+    else:
+        windowed = True  # the injected default IS a timestamp ordering
+        direction = direction or "DESC"
+    if not windowed:
+        durations = [int((end - start).total_seconds()) + 1]
     gen = (
         generate_time_windows_descending
         if direction == "DESC"

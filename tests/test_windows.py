@@ -170,3 +170,87 @@ def test_chunked_preserves_fill_nulls(spark, sf_dir):
     assert ck == wk
     # the spine actually filled empty buckets with zeros
     assert any(v == 0.0 for _, _, v in ck)
+
+
+# ---- ordering helpers + windowing gate (utils.test.ts:548-747,
+# ---- useOffsetPaginatedQuery.tsx:152-198) ------------------------------------
+
+
+def test_ordering_helpers():
+    from hyperdx_spark.model import ChartConfig, SortSpec, Source
+    from hyperdx_spark.windows import (
+        get_first_ordering_item,
+        is_first_order_by_ascending,
+        is_timestamp_expression_in_first_order_by,
+        remove_trailing_direction,
+    )
+
+    assert get_first_ordering_item(None) is None
+    assert get_first_ordering_item("column1 DESC") == "column1 DESC"
+    assert get_first_ordering_item("column1, column2 DESC") == "column1"
+    assert get_first_ordering_item(
+        [SortSpec("c1", "ASC"), SortSpec("c2", "ASC")]
+    ) == SortSpec("c1", "ASC")
+    assert remove_trailing_direction("Timestamp DESC") == "Timestamp"
+    assert remove_trailing_direction(" col asc ") == "col"
+    assert remove_trailing_direction("col") == "col"
+
+    def cfg(ts, order):
+        return ChartConfig(
+            source=Source(table="t", timestamp_value_expression=ts),
+            order_by=order,
+        )
+
+    f = is_timestamp_expression_in_first_order_by
+    assert not f(cfg("Timestamp", None))
+    assert not f(cfg("Timestamp", ""))
+    assert not f(cfg("Timestamp", "ServiceName"))
+    assert not f(cfg("Timestamp", "ServiceName ASC, Timestamp"))
+    assert f(cfg("Timestamp", "Timestamp"))
+    assert f(cfg("Timestamp", "Timestamp DESC, ServiceName"))
+    assert f(cfg("Timestamp", "Timestamp desc, ServiceName"))
+    assert f(cfg("Timestamp", [SortSpec("Timestamp", "ASC"), SortSpec("S", "ASC")]))
+    # toStartOf()/tuple forms (substring containment of any ts component)
+    assert f(cfg("toStartOfDay(Timestamp), Timestamp",
+                 "(toStartOfDay(Timestamp)) DESC, Timestamp"))
+    assert f(cfg("toStartOfDay(Timestamp), Timestamp",
+                 "(toStartOfHour(TimestampTime), TimestampTime) DESC"))
+    assert f(cfg("toStartOfInterval(TimestampTime, INTERVAL 1 DAY)",
+                 "toStartOfInterval(TimestampTime, INTERVAL 1 DAY) DESC"))
+
+    g = is_first_order_by_ascending
+    assert g("column1 ASC, column2 DESC")
+    assert g(" column1 asc , column2 DESC")
+    assert g("column1, column2 DESC")
+    assert not g("column1 DESC, column2 ASC")
+    assert not g(" column1 desc , column2 ASC")
+    assert g([SortSpec("c1", "ASC"), SortSpec("c2", "DESC")])
+    assert not g([SortSpec("c1", "DESC")])
+    assert not g(None)
+
+
+def test_offset_pagination_non_timestamp_order_single_window(spark, sf_dir):
+    """A primary ordering NOT on the timestamp must not be time-windowed —
+    the pages must follow the GLOBAL ordering across the whole range."""
+    from hyperdx_spark.windows import offset_paginated_search
+
+    cfg = ChartConfig(
+        source=_src(),
+        select="event_id, value",
+        order_by="value DESC, event_id ASC",
+        date_range=RANGE,
+    )
+    from dataclasses import replace
+
+    got = [
+        (r["event_id"], r["value"])
+        for page in offset_paginated_search(spark, cfg, sf_dir=sf_dir, page_size=50)
+        for r in page
+    ]
+    want = [
+        (r["event_id"], r["value"])
+        for r in compile_chart_config(
+            spark, replace(cfg, limit=None), sf_dir=sf_dir
+        ).collect()
+    ]
+    assert got == want  # global order, not per-window order
