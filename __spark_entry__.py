@@ -2136,16 +2136,44 @@ def q_sqlast_filters(spark, sf_dir):
         granularity="1 day",
         date_range=RANGE,
     )
-    return compile_chart_config(spark, cfg, sf_dir=sf_dir)
+    base = compile_chart_config(spark, cfg, sf_dir=sf_dir).select(
+        F.lit("filters").alias("part"), "__timestamp", "cnt"
+    )
+    # r10: Event-Patterns select-alias threading (HDX-1879) — the alias map
+    # extracted from a raw select string rides `with_aliases`, so a filter
+    # naming the alias resolves (aliasmap.sql_to_alias_map -> ChartConfig)
+    from hyperdx_spark.aliasmap import alias_map_to_with_aliases, sql_to_alias_map
+
+    amap = sql_to_alias_map("SELECT event_type as service, ts FROM events")
+    alias_cfg = ChartConfig(
+        source=_src(),
+        with_aliases=alias_map_to_with_aliases(amap),
+        select=[SelectCol(agg_fn="count", alias="cnt")],
+        filters=[SqlFilter(condition="service = 'error'", type="sql")],
+        granularity="1 day",
+        date_range=RANGE,
+    )
+    alias_part = compile_chart_config(spark, alias_cfg, sf_dir=sf_dir).select(
+        F.lit("alias").alias("part"), "__timestamp", "cnt"
+    )
+    return base.unionByName(alias_part)
 
 
 O_SQLAST_FILTERS = f"""
-SELECT make_timestamp((floor(epoch(ts))::BIGINT // 86400) * 86400 * 1000000) AS __timestamp,
+SELECT 'filters' AS part,
+       make_timestamp((floor(epoch(ts))::BIGINT // 86400) * 86400 * 1000000) AS __timestamp,
        count(*) AS cnt
 FROM events
 WHERE {TIME_WHERE} AND value >= 25 AND user_id % 2 = 0
   AND event_type NOT IN ('click') AND user_id BETWEEN 0 AND 10000000000
-GROUP BY 1
+GROUP BY 2
+UNION ALL
+SELECT 'alias' AS part,
+       make_timestamp((floor(epoch(ts))::BIGINT // 86400) * 86400 * 1000000) AS __timestamp,
+       count(*) AS cnt
+FROM events
+WHERE {TIME_WHERE} AND event_type = 'error'
+GROUP BY 2
 """
 
 # --------------------------------------------------------------------------
@@ -2903,22 +2931,41 @@ SELECT period AS part, __timestamp, cnt::DOUBLE AS cnt FROM ({O_PREV_PERIOD})
 
 
 def q_ratio_series(spark, sf_dir):
-    """§2.3 ratio series: error-ratio (per-bucket division) + share-of-total."""
+    """§2.3 ratio series: error-ratio (per-bucket division) + share-of-total
+    + the ratio-ranked series cap (r10: limit_ratio_series — rank by the
+    plotted ratio with the finite guard, renderSeriesLimitCte's mergeRatio
+    path)."""
+    from hyperdx_spark.post import limit_ratio_series
+
     err = q_error_ratio(spark, sf_dir).select(
         F.lit("error_ratio").alias("part"), "__timestamp",
         F.lit("").alias("event_type"), F.col("ratio").alias("v"),
     )
-    share = q_share_of_total(spark, sf_dir).select(
+    share_df = q_share_of_total(spark, sf_dir)
+    share = share_df.select(
         F.lit("share").alias("part"), "__timestamp", "event_type",
         F.col("share").alias("v"),
     )
-    return err.unionByName(share)
+    capped = limit_ratio_series(
+        share_df, 2, group_cols=["event_type"], ratio_col="share"
+    ).select(
+        F.lit("sharecap").alias("part"), "__timestamp", "event_type",
+        F.col("share").alias("v"),
+    )
+    return err.unionByName(share).unionByName(capped)
 
 
 O_RATIO_SERIES = f"""
 SELECT 'error_ratio' AS part, __timestamp, '' AS event_type, ratio AS v FROM ({O_ERROR_RATIO})
 UNION ALL
 SELECT 'share' AS part, __timestamp, event_type, share AS v FROM ({O_SHARE})
+UNION ALL
+SELECT 'sharecap' AS part, __timestamp, event_type, share AS v FROM (
+  WITH s AS ({O_SHARE}),
+  top AS (SELECT event_type FROM s GROUP BY 1
+          ORDER BY max(share) DESC NULLS LAST, event_type LIMIT 2)
+  SELECT s.* FROM s SEMI JOIN top USING (event_type)
+) c
 """
 
 
