@@ -703,6 +703,9 @@ def metric_to_raw_sql(
     where_sql: Optional[str] = None,
     bucket_alias: str = "__timestamp",
     value_alias: Optional[str] = None,
+    bucket_counts: str = "BucketCounts",
+    explicit_bounds: str = "ExplicitBounds",
+    level: float = 0.5,
 ) -> str:
     """Single-series metric chart -> editable raw-SQL template
     (builderToRawSql.ts:93-132 + its metric test family,
@@ -710,23 +713,18 @@ def metric_to_raw_sql(
     line charts render as one macro-templated SQL statement using
     $__timeInterval / $__timeFilter / $__sourceTable(metricType) /
     $__filters; the executed template must equal :func:`gauge_bucket` /
-    :func:`counter_rate` on the same data (pytest-asserted).
+    :func:`counter_rate` / :func:`histogram_quantile` on the same data
+    (pytest-asserted). Histogram templates (r10) express the full pipeline
+    — reset-detected element-wise deltas, cross-series element sums,
+    cumulative rank + linear interpolation — as one statement of Spark SQL
+    higher-order functions (zip_with/exists/transform/aggregate), the same
+    JVM expressions the DataFrame path compiles to.
 
     Multi-series and non-time-series metric charts are not convertible —
-    same user-facing errors as the reference. Histogram metric charts are
-    a documented deviation: the reference's histogram SQL is a ClickHouse
-    window pipeline its own engine executes, while ours is a DataFrame
-    plan (histogram_quantile) with no single-statement SQL twin — callers
-    get a loud error instead of a silently-different template.
+    same user-facing errors as the reference.
     """
     mt = metric_type.lower()
-    if mt == "histogram":
-        raise ValueError(
-            "Histogram metric charts cannot be auto-converted to SQL in"
-            " this engine (DataFrame-only pipeline); use"
-            " metrics.histogram_quantile."
-        )
-    if mt not in ("gauge", "sum"):
+    if mt not in ("gauge", "sum", "histogram"):
         raise ValueError(f"unsupported metric type for SQL conversion: {metric_type!r}")
     if agg not in ("avg", "sum", "min", "max", "count"):
         raise ValueError(f"unsupported aggregation: {agg!r}")
@@ -762,19 +760,87 @@ def metric_to_raw_sql(
             f"ORDER BY `{bucket_alias}`"
         )
 
-    # sum: reset-clamped per-series lag delta, summed per bucket. The first
-    # sample of a series has no previous row and contributes nothing.
-    alias = value_alias or "rate"
-    lag_v = f"lag({v}) OVER (PARTITION BY {series} ORDER BY `{ts}`)"
-    return (
-        f"SELECT `{bucket_alias}`, sum(`__rate`) AS `{alias}`\n"
-        "FROM (\n"
-        f"  SELECT $__timeInterval({ts}) AS `{bucket_alias}`,\n"
-        f"         CASE WHEN {lag_v} IS NULL THEN NULL\n"
-        f"              ELSE greatest({v} - {lag_v}, 0.0) END AS `__rate`\n"
-        "  FROM $__sourceTable(sum)\n"
-        f"  WHERE {where}\n"
-        ")\n"
-        f"GROUP BY `{bucket_alias}`\n"
-        f"ORDER BY `{bucket_alias}`"
-    )
+    if mt == "sum":
+        # reset-clamped per-series lag delta, summed per bucket. The first
+        # sample of a series has no previous row and contributes nothing.
+        alias = value_alias or "rate"
+        lag_v = f"lag({v}) OVER (PARTITION BY {series} ORDER BY `{ts}`)"
+        return (
+            f"SELECT `{bucket_alias}`, sum(`__rate`) AS `{alias}`\n"
+            "FROM (\n"
+            f"  SELECT $__timeInterval({ts}) AS `{bucket_alias}`,\n"
+            f"         CASE WHEN {lag_v} IS NULL THEN NULL\n"
+            f"              ELSE greatest({v} - {lag_v}, 0.0) END AS `__rate`\n"
+            "  FROM $__sourceTable(sum)\n"
+            f"  WHERE {where}\n"
+            ")\n"
+            f"GROUP BY `{bucket_alias}`\n"
+            f"ORDER BY `{bucket_alias}`"
+        )
+
+    # histogram quantile (core/histogram.ts:137-250 as one SQL statement):
+    # reset-detected element-wise deltas over a per-series WINDOW, explode +
+    # per-index sums across series, reassembled counts -> cumulative
+    # distribution -> rank -> linear interpolation. Same higher-order
+    # expressions the DataFrame path (histogram_quantile) compiles to.
+    alias = value_alias or "p"
+    bc, eb = f"`{bucket_counts}`", f"`{explicit_bounds}`"
+    lag_bc = f"lag({bc}) OVER w"
+    lag_eb = f"lag({eb}) OVER w"
+    lvl = float(level)
+    return f"""WITH deltas AS (
+  SELECT $__timeInterval({ts}) AS `{bucket_alias}`, {eb} AS __bounds,
+         CASE WHEN {lag_bc} IS NULL
+                OR size({bc}) != size({lag_bc})
+                OR {lag_eb} != {eb}
+                OR exists(zip_with({bc}, {lag_bc}, (a, b) -> a < b), x -> x)
+              THEN CAST({bc} AS ARRAY<DOUBLE>)
+              ELSE zip_with({bc}, {lag_bc}, (a, b) -> CAST(a - b AS DOUBLE))
+         END AS __delta
+  FROM $__sourceTable(histogram)
+  WHERE {where}
+  WINDOW w AS (PARTITION BY {series} ORDER BY `{ts}`)
+),
+summed AS (
+  SELECT `{bucket_alias}`, __bounds, pe.pos AS __idx, sum(pe.col) AS __cnt
+  FROM deltas LATERAL VIEW posexplode(__delta) pe
+  GROUP BY 1, 2, 3
+),
+assembled AS (
+  SELECT `{bucket_alias}`, __bounds,
+         transform(array_sort(collect_list(struct(__idx, __cnt))),
+                   s -> s.__cnt) AS __counts
+  FROM summed GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *,
+         CAST({lvl!r} AS DOUBLE)
+           * aggregate(__counts, CAST(0.0 AS DOUBLE), (a, b) -> a + b) AS __rank,
+         transform(__counts, (x, i) ->
+           aggregate(slice(__counts, 1, i + 1), CAST(0.0 AS DOUBLE),
+                     (a, b) -> a + b)) AS __cum
+  FROM assembled
+),
+located AS (
+  SELECT *,
+         array_position(transform(__cum, c -> c >= __rank), true) AS __i
+  FROM ranked
+)
+SELECT `{bucket_alias}`,
+       CASE WHEN __i = 0 THEN NULL
+            WHEN __i > size(__bounds) THEN
+              CASE WHEN __i <= 1 THEN CAST(0.0 AS DOUBLE)
+                   ELSE element_at(__bounds, int(__i) - 1) END
+            ELSE (CASE WHEN __i <= 1 THEN CAST(0.0 AS DOUBLE)
+                       ELSE element_at(__bounds, int(__i) - 1) END)
+                 + (element_at(__bounds, int(__i))
+                    - (CASE WHEN __i <= 1 THEN CAST(0.0 AS DOUBLE)
+                            ELSE element_at(__bounds, int(__i) - 1) END))
+                 * (CASE WHEN element_at(__counts, int(__i)) > 0
+                         THEN (__rank - (CASE WHEN __i <= 1 THEN CAST(0.0 AS DOUBLE)
+                                              ELSE element_at(__cum, int(__i) - 1) END))
+                              / element_at(__counts, int(__i))
+                         ELSE CAST(0.0 AS DOUBLE) END)
+       END AS `{alias}`
+FROM located
+ORDER BY `{bucket_alias}`"""

@@ -503,10 +503,65 @@ def test_metric_to_raw_sql_filters_and_errors():
     )
     assert "MetricName IN ('old.name', 'new.name')" in tpl
     assert "`MetricName` = 'x'" not in tpl
-    # histogram: loud deviation, not a silently-different template
     import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="[Hh]istogram"):
-        metric_to_raw_sql("histogram", series_cols=["s"])
     with _pytest.raises(ValueError):
         metric_to_raw_sql("gauge", series_cols=["s"], agg="median")
+    with _pytest.raises(ValueError):
+        metric_to_raw_sql("summary", series_cols=["s"])
+
+
+def test_metric_to_raw_sql_histogram_equals_dataframe_path(spark):
+    """r10: the histogram-quantile template (one statement of higher-order
+    SQL) equals metrics.histogram_quantile — resets, multi-series element
+    sums, unbounded last bucket and interpolation included."""
+    from datetime import datetime
+
+    from hyperdx_spark.macros import replace_macros
+    from hyperdx_spark.metrics import histogram_quantile, metric_to_raw_sql
+
+    rows = [
+        # series 1: normal growth then a RESET (counts decrease)
+        ("s1", datetime(2024, 1, 1, 0, 0), [0, 0, 0, 0], [1.0, 5.0, 10.0]),
+        ("s1", datetime(2024, 1, 1, 0, 20), [2, 4, 6, 8], [1.0, 5.0, 10.0]),
+        ("s1", datetime(2024, 1, 1, 1, 0), [1, 1, 1, 1], [1.0, 5.0, 10.0]),
+        ("s1", datetime(2024, 1, 1, 1, 30), [3, 2, 5, 2], [1.0, 5.0, 10.0]),
+        # series 2: contributes element-wise in the same buckets
+        ("s2", datetime(2024, 1, 1, 0, 10), [1, 0, 0, 0], [1.0, 5.0, 10.0]),
+        ("s2", datetime(2024, 1, 1, 0, 40), [5, 2, 1, 0], [1.0, 5.0, 10.0]),
+        ("s2", datetime(2024, 1, 1, 1, 20), [6, 2, 1, 9], [1.0, 5.0, 10.0]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "series string, ts timestamp, BucketCounts array<bigint>,"
+        " ExplicitBounds array<double>",
+    )
+    df.createOrReplaceTempView("hist_view")
+    rng = (datetime(2024, 1, 1), datetime(2024, 1, 2))
+
+    tpl = metric_to_raw_sql(
+        "histogram", ts="ts", series_cols=["series"], level=0.5
+    )
+    assert "$__sourceTable(histogram)" in tpl and "zip_with" in tpl
+    got = spark.sql(
+        replace_macros(
+            tpl, date_range=rng, interval_seconds=3600,
+            metric_tables={"histogram": "hist_view"},
+        )
+    ).collect()
+    want = (
+        histogram_quantile(
+            df.where("ts >= timestamp'2024-01-01' AND ts <= timestamp'2024-01-02'"),
+            ts="ts", bucket_counts="BucketCounts",
+            explicit_bounds="ExplicitBounds", series_cols=["series"],
+            bucket_seconds=3600, level=0.5, value_alias="p",
+        )
+        .orderBy("__timestamp")
+        .collect()
+    )
+    assert len(got) == len(want) > 0
+    for g, w in zip(got, want):
+        assert g["__timestamp"] == w["__timestamp"]
+        assert (g["p"] is None) == (w["p"] is None)
+        if g["p"] is not None:
+            assert abs(g["p"] - w["p"]) < 1e-9
