@@ -883,3 +883,23 @@ def test_series_limit_multi_column_group(spark, events_source):
     out = _apply_series_limit(df, ["g1", "g2"], "v", 2)
     kept = sorted((r["g1"], r["g2"]) for r in out.collect())
     assert kept == [("a", "x"), ("b", "y")]
+
+
+def test_with_alias_filter_pushes_to_scan(spark, sf_dir, events_source):
+    """Scale property: a filter on a scalar `with` alias collapses through
+    the projection and reaches the parquet scan as a pushed predicate —
+    alias threading costs nothing at 100 TB."""
+    from hyperdx_spark.model import SqlFilter
+
+    cfg = ChartConfig(
+        source=events_source,
+        with_aliases=[("service", "event_type")],
+        select=[SelectCol(agg_fn="count", alias="cnt")],
+        filters=[SqlFilter(condition="service = 'error'", type="sql")],
+        granularity="1 day",
+        date_range=RANGE,
+    )
+    df = compile_chart_config(spark, cfg, sf_dir=sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "EqualTo(event_type,error)" in plan, plan
