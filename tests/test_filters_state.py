@@ -285,3 +285,53 @@ def test_validate_dashboard_filter_queries():
     ]
     issues = validate_dashboard_filter_queries(mixed)
     assert [i["index"] for i in issues] == [4, 5]
+
+
+# ---- property fuzz: emit -> parse -> emit is a fixed point -------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_vals = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0x2FF),
+    min_size=1,
+    max_size=12,
+).filter(lambda s: s.strip())
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    included=st.sets(_vals, max_size=4),
+    excluded=st.sets(_vals, max_size=3),
+    rng=st.one_of(
+        st.none(),
+        st.tuples(
+            st.floats(-1e6, 1e6, allow_nan=False),
+            st.floats(-1e6, 1e6, allow_nan=False),
+        ),
+    ),
+)
+def test_filters_round_trip_fixed_point(included, excluded, rng):
+    """filters_to_query -> parse_query recovers the exact selection (values
+    with quotes/backslashes included), and re-emitting yields identical SQL
+    — the sidebar's display always matches the executed predicate."""
+    sel = FilterSelection(included=set(included), excluded=set(excluded), range=rng)
+    if not (sel.included or sel.excluded or sel.range is not None):
+        return
+    emitted = filters_to_query({"col": sel})
+    state = parse_query(emitted)
+    assert state["col"].included == sel.included
+    assert state["col"].excluded == sel.excluded
+    if rng is not None:
+        assert state["col"].range == (rng[0], rng[1])
+    re_emitted = filters_to_query(
+        {"col": FilterSelection(**{
+            "included": state["col"].included,
+            "excluded": state["col"].excluded,
+            "range": state["col"].range,
+        })}
+    )
+    assert [f.condition for f in re_emitted] == [f.condition for f in emitted]
+    # every emitted single clause is a renderable pinned filter
+    for f in emitted:
+        assert is_renderable_pinned_filter(f), f.condition
