@@ -26,8 +26,13 @@ Layout:
 
 from hyperdx_spark.session import get_spark, tune_session
 from hyperdx_spark.io import load_table, register_tables
-from hyperdx_spark.model import ChartConfig, Source, SelectCol, SqlFilter, SqlAstFilter
+from hyperdx_spark.model import ChartConfig, Source, SelectCol, SortSpec, SqlFilter, SqlAstFilter
 from hyperdx_spark.compile import compile_chart_config
+from hyperdx_spark.display import (
+    convert_to_categorical_chart_config,
+    convert_to_number_chart_config,
+    convert_to_table_chart_config,
+)
 
 __all__ = [
     "get_spark",
@@ -37,9 +42,13 @@ __all__ = [
     "ChartConfig",
     "Source",
     "SelectCol",
+    "SortSpec",
     "SqlFilter",
     "SqlAstFilter",
     "compile_chart_config",
+    "convert_to_categorical_chart_config",
+    "convert_to_number_chart_config",
+    "convert_to_table_chart_config",
 ]
 
 __version__ = "0.1.0"
