@@ -41,6 +41,26 @@ def flatten_body(s: str) -> str:
     return _WS.sub(" ", s.replace("\n", " ")).strip()
 
 
+def apply_masking(
+    content: str,
+    instructions: "Sequence[tuple[str, str]]",
+    *,
+    mask_prefix: str = "<",
+    mask_suffix: str = ">",
+) -> str:
+    """Pre-clustering masking (drain/masking.ts LogMasker + the
+    TemplateMiner's masker pass): each (pattern, mask_with) instruction
+    replaces every regex match with ``<mask_with>``, applied in order —
+    masked values (IPs, UUIDs, emails, ...) cluster as one token instead of
+    exploding the template space. The default config carries NO
+    instructions (config.ts:14), matching the reference."""
+    import re as _re
+
+    for pattern, mask_with in instructions:
+        content = _re.sub(pattern, f"{mask_prefix}{mask_with}{mask_suffix}", content)
+    return content
+
+
 @dataclass
 class LogCluster:
     cluster_id: int
@@ -256,6 +276,7 @@ def mine_patterns(
     bucket_seconds: int = 3600,
     max_samples: int = 5,
     noise_threshold: Optional[float] = None,
+    masking: "Sequence[tuple[str, str]]" = (),
 ) -> list[PatternGroup]:
     """Reference-shaped sampled mining (drain/mine-patterns.ts:91-204):
     collect a bounded sample, Drain it on the driver, estimate totals with
@@ -296,6 +317,8 @@ def mine_patterns(
     clustered = []
     for r in rows:
         body = flatten_body(str(r[text_col]) if r[text_col] is not None else "")
+        if masking:
+            body = apply_masking(body, masking)
         cluster, _ = miner.add_log_message(body)
         ts = r[ts_col] if ts_col else None
         clustered.append((cluster.cluster_id, body, ts, r))

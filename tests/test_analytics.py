@@ -297,3 +297,26 @@ def test_mine_patterns_trend_spine(spark):
     )[0]
     first_bucket = p.trend[0]
     assert first_bucket[1] == 1
+
+
+def test_mine_patterns_masking(spark):
+    """drain/masking.ts LogMasker semantics: masked values cluster as one
+    token; default = no instructions."""
+    from hyperdx_spark.analytics.drain import apply_masking
+
+    assert apply_masking("ip 10.0.0.1 here", [(r"\d+\.\d+\.\d+\.\d+", "IP")]) \
+        == "ip <IP> here"
+    # ordered application
+    assert apply_masking(
+        "user a@b.com from 10.0.0.1",
+        [(r"[\w.]+@[\w.]+", "EMAIL"), (r"\d+\.\d+\.\d+\.\d+", "IP")],
+    ) == "user <EMAIL> from <IP>"
+    rows = [(f"conn from 10.0.0.{i} accepted",) for i in range(1, 30)]
+    df = spark.createDataFrame(rows, "body string")
+    # without masking the numeric-token parametrizer already collapses these
+    # (digit tokens); with an IP mask the template names the mask instead
+    masked = drain_mod.mine_patterns(
+        df, text_col="body", masking=[(r"\d+\.\d+\.\d+\.\d+", "IP")]
+    )
+    assert masked[0].pattern == "conn from <IP> accepted"
+    assert masked[0].sample_count == 29
