@@ -72,6 +72,12 @@ class Source:
     duration_precision: int = 3
     sample_rate_expression: Optional[str] = None  # enables sample-weighted aggs
     default_table_select_expression: Optional[str] = None
+    # DEPRECATED application-side row predicate (types.ts logs sources;
+    # honored for backward compatibility by build_search_chart_config, which
+    # prepends it as a SQL filter so every consumer of the source sees the
+    # same row set — searchChartConfig.ts:124-137). Not real tenant
+    # isolation; use storage-level access control for that.
+    table_filter_expression: Optional[str] = None
     # Materialized-column substitution (fastifySQL,
     # core/renderChartConfig.ts:209-341): logical accessor -> physical column.
     # Keys in any spelling: "props.k", "props['k']",
