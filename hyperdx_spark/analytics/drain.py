@@ -369,6 +369,7 @@ def mine_patterns_distributed(
     *,
     text_col: str = "body",
     min_count: int = 1,
+    masking: "Sequence[tuple[str, str]]" = (),
 ) -> list[PatternGroup]:
     """Scale path: Drain each partition locally (mapInPandas), ship only the
     per-partition (template, count) summaries, merge on the driver by
@@ -378,11 +379,16 @@ def mine_patterns_distributed(
     """
     import pandas as pd
 
+    mask_rules = list(masking)
+
     def mine_part(batches: Iterable["pd.DataFrame"]):
         miner = Drain()
         for pdf in batches:
             for body in pdf[text_col]:
-                miner.add_log_message(flatten_body(str(body) if body is not None else ""))
+                b = flatten_body(str(body) if body is not None else "")
+                if mask_rules:
+                    b = apply_masking(b, mask_rules)
+                miner.add_log_message(b)
         if miner.clusters:
             yield pd.DataFrame(
                 {

@@ -320,3 +320,13 @@ def test_mine_patterns_masking(spark):
     )
     assert masked[0].pattern == "conn from <IP> accepted"
     assert masked[0].sample_count == 29
+
+
+def test_mine_patterns_distributed_masking(spark):
+    rows = [(f"conn from 10.0.0.{i} accepted",) for i in range(1, 40)]
+    df = spark.createDataFrame(rows, "body string").repartition(4)
+    out = drain_mod.mine_patterns_distributed(
+        df, text_col="body", masking=[(r"\d+\.\d+\.\d+\.\d+", "IP")]
+    )
+    assert out[0].pattern == "conn from <IP> accepted"
+    assert out[0].sample_count == 39
