@@ -19,8 +19,11 @@ defaults granularity to 'auto'), and a seriesLimit macro-izes the
 
 The generated template is executable by this engine's own macro path
 (``macros.replace_macros`` + ``spark.sql`` over ``io.register_tables``) and
-must produce the same result as compiling the config directly — the driver
-entry asserts exactly that.
+must produce the same result as compiling the DISPLAY-CONVERTED config —
+the driver entry asserts exactly that. For time-series display types that
+means granularity defaults to 'auto' (a line chart ALWAYS buckets, even if
+the builder config carried no granularity — builderToRawSql.ts:159), with
+the concrete interval bound at replace_macros time.
 """
 
 from __future__ import annotations
@@ -47,9 +50,10 @@ from hyperdx_spark.model import (
     SqlFilter,
 )
 
+from hyperdx_spark.macros import TIME_SERIES_DISPLAY_TYPES
+
 # Display types that support raw-SQL chart configs (builderToRawSql.ts:19-26)
 RAW_SQL_DISPLAY_TYPES = ("table", "line", "stacked_bar", "pie", "bar", "number")
-TIME_SERIES_DISPLAY_TYPES = ("line", "stacked_bar")
 
 
 @dataclass

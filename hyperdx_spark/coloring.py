@@ -167,7 +167,13 @@ def conditional_color_column(
     """The same resolution as a Spark Column over a numeric or string
     column — per-row table-tile coloring without collecting. Last matching
     rule wins, so the CASE is built back-to-front (the final wrap is the
-    first rule checked... the LAST rule)."""
+    first rule checked... the LAST rule).
+
+    Caveats vs the scalar evaluator: comparisons follow the COLUMN's SQL
+    type (apply numeric rules to numeric columns — a string column would
+    be implicitly cast rather than cross-type-false), and regex rules run
+    under Java regex (a Python-only construct like ``(?P<g>...)`` passes
+    validation but fails at execution)."""
     from pyspark.sql import Column, functions as F
 
     c = F.col(col) if isinstance(col, str) else col

@@ -493,7 +493,7 @@ def _apply_series_limit(
     which would otherwise hand top-N slots to whichever groups hit a sparse
     bucket.
     """
-    if value_alias is None:
+    if value_alias is None or not group_names:
         return out
     v = F.col(value_alias)
     if finite_guard:

@@ -119,8 +119,11 @@ def serialize_filter_state(state: FilterState) -> str:
     import json
 
     def members(values: set) -> list[str]:
+        # type-tagged so the boolean True and the string 'true' (different
+        # predicates: IN (TRUE) vs IN ('true')) never share a cache key —
+        # the reference's String() mapping collides them
         return sorted(
-            "true" if v is True else "false" if v is False else str(v)
+            ("b:true" if v else "b:false") if isinstance(v, bool) else f"s:{v}"
             for v in values
         )
 
@@ -332,7 +335,11 @@ def parse_query(filters) -> dict[str, FilterSelection]:
     Non-sql filters are ignored; BETWEEN bounds must be ENTIRELY numeric
     (quoted/date operands or compound-clause residue contribute nothing
     rather than emitting a NaN range); simple IN / NOT IN clauses are
-    extracted even from compound AND conditions."""
+    extracted even from compound AND conditions — EXCEPT when the compound
+    contains a BETWEEN, which short-circuits the whole condition exactly as
+    the reference's regex does (parseQuery, filters.ts:440-470; such
+    conditions are rejected by :func:`is_renderable_pinned_filter`, so the
+    divergent facet never renders)."""
     import math
     import re
 
@@ -391,6 +398,7 @@ def is_renderable_pinned_filter(flt) -> bool:
 # --- check; ClickHouse map/array accesses swapped for literals first).
 
 _MAP_OR_ARRAY_ACCESS_RE = None
+_VALIDATION_CON = None
 
 
 def _is_parseable_lucene(condition: str) -> bool:
@@ -417,9 +425,13 @@ def _is_parseable_sql(condition: str) -> bool:
     stmt = f"SELECT 1 FROM t WHERE {sanitized}"
     try:
         # json_serialize_sql requires a CONSTANT varchar (no param binding):
-        # inline with doubled quotes. Parse-only — nothing executes.
+        # inline with doubled quotes. Parse-only — nothing executes. One
+        # module-cached connection serves every validation call.
+        global _VALIDATION_CON
+        if _VALIDATION_CON is None:
+            _VALIDATION_CON = duckdb.connect()
         lit = stmt.replace("'", "''")
-        row = duckdb.connect().execute(
+        row = _VALIDATION_CON.execute(
             f"SELECT json_serialize_sql('{lit}')"
         ).fetchone()
         import json

@@ -151,7 +151,14 @@ def _pin_series_limit(
 
     from hyperdx_spark.display import has_positive_series_limit
 
-    if not has_positive_series_limit(cfg.series_limit) or not cfg.group_by:
+    # same gates as compile._apply_series_limit (renderSeriesLimitCte):
+    # positive integer, group-by, granularity, group columns in the output
+    if (
+        not has_positive_series_limit(cfg.series_limit)
+        or not cfg.group_by
+        or cfg.granularity is None
+        or not cfg.select_group_by
+    ):
         return cfg, None
     full = compile_chart_config(spark, cfg, sf_dir=sf_dir)
     group_cols = [c for c in full.columns if c in cfg.group_by or c.startswith("__group_")]
@@ -254,7 +261,9 @@ def run_chunked(
             spark, out, cfg.timestamp_alias, group_names, value_aliases,
             cfg.date_range, granularity_seconds(gran), cfg.fill_nulls,
         )
-    if cfg.granularity:
+    # select_group_by=False drops the bucket column from the projection, so
+    # only sort the union when the column is actually present
+    if cfg.granularity and cfg.timestamp_alias in out.columns:
         out = out.orderBy(F.col(cfg.timestamp_alias).asc())
     return out
 
@@ -294,12 +303,23 @@ def is_timestamp_expression_in_first_order_by(cfg: ChartConfig) -> bool:
     ts = cfg.source.timestamp_value_expression if cfg.source else None
     if first is None or not ts:
         return False
+    import re as _re
+
     expr = (
         remove_trailing_direction(first)
         if isinstance(first, str)
         else first.value_expression
     )
-    return any(tve in expr for tve in _split_args(ts))
+    # The reference matches by substring containment (utils.ts:941-943); we
+    # additionally require a LEFT identifier boundary so a short timestamp
+    # name ('ts') cannot match inside an unrelated column ('counts') and
+    # wrongly enable time-windowed pagination. Right side stays unbounded —
+    # the reference's own tuple case relies on 'Timestamp' matching inside
+    # 'TimestampTime'.
+    return any(
+        _re.search(r"(?<![A-Za-z0-9_])" + _re.escape(tve), expr)
+        for tve in _split_args(ts)
+    )
 
 
 def is_first_order_by_ascending(order_by) -> bool:

@@ -335,3 +335,22 @@ def test_filters_round_trip_fixed_point(included, excluded, rng):
     # every emitted single clause is a renderable pinned filter
     for f in emitted:
         assert is_renderable_pinned_filter(f), f.condition
+
+
+def test_serialize_distinguishes_bool_from_string():
+    # r10 review fix: True and 'true' emit different predicates
+    # (IN (TRUE) vs IN ('true')) so they must not share a cache key
+    assert serialize_filter_state(
+        {"c": FilterSelection(included={True})}
+    ) != serialize_filter_state({"c": FilterSelection(included={"true"})})
+
+
+def test_parse_query_compound_between_short_circuits():
+    """Reference-faithful wart (parseQuery, filters.ts:440-470): a compound
+    condition CONTAINING a BETWEEN short-circuits the whole condition (the
+    regex key swallows the leading clauses); is_renderable_pinned_filter
+    rejects such filters so the divergent facet never renders."""
+    f = SqlFilter(condition="a IN ('x') AND v BETWEEN 1 AND 2")
+    state = parse_query([f])
+    assert "a" not in state  # the IN clause is NOT extracted (as reference)
+    assert not is_renderable_pinned_filter(f)

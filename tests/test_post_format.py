@@ -202,3 +202,11 @@ def test_ratio_series_cap_int_cases(spark):
     # limit exceeding the group count keeps even the undefined-ratio group
     top10 = {r["g"] for r in limit_ratio_series(rated, 10, group_cols=["g"]).collect()}
     assert top10 == {"bulk", "hot", "warm", "sparse"}
+
+
+def test_ratio_series_cap_no_groups_is_noop(spark):
+    # r10 review fix: a non-grouped ratio has nothing to cap — clean no-op
+    from hyperdx_spark.post import limit_ratio_series
+
+    df = spark.createDataFrame([("t0", 0.5)], "__timestamp string, ratio double")
+    assert limit_ratio_series(df, 2, group_cols=[]).count() == 1

@@ -254,3 +254,41 @@ def test_offset_pagination_non_timestamp_order_single_window(spark, sf_dir):
         ).collect()
     ]
     assert got == want  # global order, not per-window order
+
+
+def test_short_ts_name_does_not_false_match(spark, sf_dir):
+    """r10 review fix: a 2-char timestamp name ('ts') inside an unrelated
+    column name ('counts') must not enable time-windowed pagination — the
+    match requires a left identifier boundary."""
+    from hyperdx_spark.model import Source
+    from hyperdx_spark.windows import is_timestamp_expression_in_first_order_by
+
+    def cfg(order):
+        return ChartConfig(
+            source=Source(table="t", timestamp_value_expression="ts"),
+            order_by=order,
+        )
+
+    assert not is_timestamp_expression_in_first_order_by(cfg("counts DESC"))
+    assert not is_timestamp_expression_in_first_order_by(cfg("hits"))
+    assert is_timestamp_expression_in_first_order_by(cfg("ts DESC"))
+    assert is_timestamp_expression_in_first_order_by(cfg("toDate(ts) DESC"))
+
+
+def test_pin_series_limit_skips_unselected_groups(spark, sf_dir):
+    """r10 review fix: chunked execution mirrors compile's series-limit
+    gates — selectGroupBy=false means no pin (previously an analysis
+    crash on the zero-column pin view)."""
+    cfg = ChartConfig(
+        source=_src(),
+        select=[SelectCol(agg_fn="count", alias="cnt")],
+        granularity="1 day",
+        group_by=["event_type"],
+        series_limit=2,
+        select_group_by=False,
+        date_range=RANGE,
+    )
+    out = run_chunked(spark, cfg, sf_dir=sf_dir)
+    assert out.count() > 0
+    whole = compile_chart_config(spark, cfg, sf_dir=sf_dir)
+    assert out.count() == whole.count()
