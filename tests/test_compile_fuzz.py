@@ -205,10 +205,15 @@ def config_ext(draw):
     if len(aggs) >= 2:
         modes = [None, "per_group"] + (["share_of_total"] if gran else [])
         ratio = draw(st.sampled_from(modes))
-    return use_cte, weighted, gran, aggs, cond1, series_n, ratio
+    # display-shape rewrite (r10): pie reinterprets seriesLimit as LIMIT with
+    # the injected first-value-DESC ordering; table drops granularity. Ratio
+    # stays on the unconverted shape (the client computes it pre-conversion).
+    display = None if ratio else draw(st.sampled_from([None, None, "table", "pie"]))
+    return use_cte, weighted, gran, aggs, cond1, series_n, ratio, display
 
 
-def _run_ext(spark, duck, use_cte, weighted, gran, aggs, cond1, series_n, ratio):
+def _run_ext(spark, duck, use_cte, weighted, gran, aggs, cond1, series_n, ratio,
+             display=None):
     src = Source(
         table="base" if use_cte else "events",
         timestamp_value_expression="ts",
@@ -238,6 +243,14 @@ def _run_ext(spark, duck, use_cte, weighted, gran, aggs, cond1, series_n, ratio)
         source=src, ctes=ctes, select=select, group_by=["event_type"],
         granularity=gran, series_limit=series_n,
     )
+    if display == "pie":
+        from hyperdx_spark.display import convert_to_categorical_chart_config
+
+        cfg = convert_to_categorical_chart_config(cfg)
+    elif display == "table":
+        from hyperdx_spark.display import convert_to_table_chart_config
+
+        cfg = convert_to_table_chart_config(cfg)
     out = compile_chart_config(spark, cfg, sf_dir=SF_DIR, settings=EXACT)
     if ratio:
         out = compute_ratio(
@@ -265,7 +278,7 @@ def _run_ext(spark, duck, use_cte, weighted, gran, aggs, cond1, series_n, ratio)
         return f"(sum(value){flt} / count(value){flt}) AS a{i}"
 
     keys = []
-    if gran:
+    if gran and display is None:  # every display conversion drops granularity
         keys.append(
             "make_timestamp((floor(epoch(ts))::BIGINT // 86400) * 86400"
             " * 1000000) AS __timestamp"
@@ -286,8 +299,12 @@ def _run_ext(spark, duck, use_cte, weighted, gran, aggs, cond1, series_n, ratio)
     withs.append(f"agg AS ({inner_sql})")
     sql = "WITH " + ", ".join(withs) + " SELECT * FROM agg"
     # the series cap only applies to granular charts (renderSeriesLimitCte
-    # gates on isUsingGranularity, renderChartConfig.ts:1317-1333)
-    if series_n and gran:
+    # gates on isUsingGranularity, renderChartConfig.ts:1317-1333); the pie
+    # conversion reinterprets it as a plain LIMIT with the injected
+    # first-value-DESC + group-ASC ordering instead
+    if display == "pie" and series_n:
+        sql += f" ORDER BY a0 DESC NULLS LAST, event_type LIMIT {series_n}"
+    elif display is None and series_n and gran:
         sql += (
             " WHERE event_type IN (SELECT event_type FROM agg"
             " GROUP BY event_type ORDER BY max(a0) DESC NULLS LAST,"
@@ -330,6 +347,11 @@ def test_compiled_ext_matches_duckdb(spark, duck, cfg):
         (False, False, "1 day", ["count", "sum"], False, None, "per_group"),
         (False, False, "1 day", ["sum", "count"], False, None, "share_of_total"),
         (True, True, "1 day", ["avg", "sum"], True, 1, "share_of_total"),
+        # r10 display conversions: pie seriesLimit->LIMIT w/ injected
+        # ordering (weighted + conditional first agg), table drops gran
+        (False, True, "1 day", ["count", "sum"], True, 2, None, "pie"),
+        (True, False, "1 day", ["sum"], False, 1, None, "pie"),
+        (False, False, "1 day", ["count", "avg"], False, None, None, "table"),
     ],
 )
 def test_compiled_ext_pinned_features(spark, duck, case):
