@@ -19,7 +19,7 @@ Scale shapes:
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -209,3 +209,26 @@ def top_fraction_per_source(
         .where(F.col(score_col) >= F.col("__cut"))
         .drop("__cut")
     )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Reproducible global training-order shuffle: sort by the md5 sampling
+    key (``sample_key``), so the same (corpus, seed) always yields the same
+    example order and a different seed reshuffles — the step a training
+    pipeline runs after packing. ONE range-partitioned sort (Spark samples
+    split points, so the output partitions are balanced regardless of id
+    skew); rank/order decisions are replayable by any engine that can md5.
+
+    ``num_partitions`` pins the output file count for a subsequent write
+    (e.g. shard files for a data loader); default leaves AQE in charge.
+    """
+    key = sample_key(id_col, seed)
+    if num_partitions:
+        return df.repartitionByRange(num_partitions, key).sortWithinPartitions(key)
+    return df.orderBy(key)

@@ -1673,3 +1673,33 @@ def test_gopher_repetition_chunking_invariant(spark):
         .collect()
     }
     assert a == b
+
+
+def test_deterministic_shuffle(spark, sf_dir):
+    """Training-order shuffle: same seed -> identical order (DuckDB md5
+    replay); different seed -> different order; membership unchanged."""
+    import duckdb
+
+    from hyperdx_spark.pipeline.sampling import deterministic_shuffle
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    order1 = [r["doc_id"] for r in deterministic_shuffle(docs, seed=7).collect()]
+    order1b = [r["doc_id"] for r in deterministic_shuffle(docs, seed=7).collect()]
+    order2 = [r["doc_id"] for r in deterministic_shuffle(docs, seed=8).collect()]
+    assert order1 == order1b          # reproducible
+    assert order1 != order2           # seed reshuffles
+    assert sorted(order1) == sorted(order2)  # membership preserved
+    # independently verifiable: DuckDB replays the exact order
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW d AS SELECT doc_id FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = [
+        r[0] for r in con.execute(
+            "SELECT doc_id FROM d ORDER BY md5(doc_id::VARCHAR || ':7')"
+        ).fetchall()
+    ]
+    assert order1 == want
+    # partition-pinned variant keeps the global order within range splits
+    sharded = deterministic_shuffle(docs, seed=7, num_partitions=4)
+    assert sorted(r["doc_id"] for r in sharded.collect()) == sorted(order1)
