@@ -337,3 +337,54 @@ def notification_messages(
             )
         )
     return out
+
+
+def get_scheduled_window_start(
+    now: datetime,
+    window_size_mins: int,
+    schedule_offset_mins: int = 0,
+    schedule_start_at: Optional[datetime] = None,
+) -> datetime:
+    """The evaluation window a scheduled check at *now* covers
+    (checkAlerts/index.ts:326-348): floor to the window grid, optionally
+    shifted by ``schedule_offset_mins``; an explicit ``schedule_start_at``
+    anchors the grid absolutely (seconds preserved) and takes priority
+    over the offset."""
+    step = window_size_mins * 60
+
+    def _floor(ts: float) -> datetime:
+        return datetime.fromtimestamp(int(ts // step) * step, tz=now.tzinfo)
+
+    if schedule_start_at is not None:
+        elapsed = max(0.0, now.timestamp() - schedule_start_at.timestamp())
+        n = int(elapsed // step)
+        return datetime.fromtimestamp(
+            schedule_start_at.timestamp() + n * step, tz=now.tzinfo
+        )
+    if schedule_offset_mins <= 0:
+        return _floor(now.timestamp())
+    off = schedule_offset_mins * 60
+    shifted = _floor(now.timestamp() - off)
+    return datetime.fromtimestamp(shifted.timestamp() + off, tz=now.tzinfo)
+
+
+MAX_BACKTEST_WINDOWS = 50          # tasks/util.ts:44
+_MAX_LOOKBACK_HOURS = (6, 24)      # < 15-minute windows get 6h, else 24h
+
+
+def calc_alert_date_range(
+    start: datetime, end: datetime, window_size_mins: int
+) -> tuple[datetime, datetime]:
+    """Clamp an alert-history range (tasks/util.ts:47-85): at most 50
+    windows and at most 6h (sub-15-minute windows) / 24h of lookback —
+    evaluation cost stays bounded no matter how old the requested start."""
+    start_s, end_s = start.timestamp(), end.timestamp()
+    step = window_size_mins * 60
+    if (end_s - start_s) / step > MAX_BACKTEST_WINDOWS:
+        start_s = end_s - MAX_BACKTEST_WINDOWS * step
+    max_lookback = 3600 * (
+        _MAX_LOOKBACK_HOURS[0] if window_size_mins < 15 else _MAX_LOOKBACK_HOURS[1]
+    )
+    if end_s - start_s > max_lookback:
+        start_s = end_s - max_lookback
+    return datetime.fromtimestamp(start_s, tz=start.tzinfo), end

@@ -194,3 +194,45 @@ def test_silenced_alert_suppresses_notifications_not_state():
                              now=datetime(2024, 1, 2))
     assert hist2[""].state == AlertState.ALERT
     assert len(notes2) == 1 and notes2[0].state == AlertState.ALERT
+
+
+def test_get_scheduled_window_start():
+    """Twins of checkAlerts.int.test.ts:1063-1101."""
+    from datetime import datetime, timezone
+
+    from hyperdx_spark.alerts import get_scheduled_window_start as f
+
+    utc = timezone.utc
+    now = datetime(2024, 1, 1, 12, 13, 45, tzinfo=utc)
+    assert f(now, 5, 0) == datetime(2024, 1, 1, 12, 10, tzinfo=utc)
+    assert f(now, 5, 2) == datetime(2024, 1, 1, 12, 12, tzinfo=utc)
+    assert f(datetime(2024, 1, 1, 12, 11, 59, tzinfo=utc), 5, 2) == datetime(
+        2024, 1, 1, 12, 7, tzinfo=utc
+    )
+    anchor = datetime(2024, 1, 1, 12, 2, 30, tzinfo=utc)
+    assert f(now, 5, 0, anchor) == datetime(2024, 1, 1, 12, 12, 30, tzinfo=utc)
+    # scheduleStartAt wins over offset alignment
+    assert f(now, 5, 2, anchor) == datetime(2024, 1, 1, 12, 12, 30, tzinfo=utc)
+
+
+def test_calc_alert_date_range():
+    from datetime import datetime, timedelta, timezone
+
+    from hyperdx_spark.alerts import calc_alert_date_range
+
+    utc = timezone.utc
+    end = datetime(2024, 1, 2, tzinfo=utc)
+    # 50-window cap: 5-minute windows over 10 hours -> clipped to 250 min
+    start, end2 = calc_alert_date_range(end - timedelta(hours=10), end, 5)
+    assert end2 == end
+    assert (end - start) == timedelta(minutes=50 * 5)
+    # lookback cap: 60-minute windows over 3 days -> clipped to 24h... the
+    # 50-window cap (50h) applies first, then the 24h lookback wins
+    start, _ = calc_alert_date_range(end - timedelta(days=3), end, 60)
+    assert (end - start) == timedelta(hours=24)
+    # sub-15-minute windows cap at 6h
+    start, _ = calc_alert_date_range(end - timedelta(hours=10), end, 10)
+    assert (end - start) == timedelta(hours=6)
+    # in-bounds ranges pass through untouched
+    start, _ = calc_alert_date_range(end - timedelta(hours=2), end, 15)
+    assert (end - start) == timedelta(hours=2)
