@@ -388,3 +388,30 @@ def calc_alert_date_range(
     if end_s - start_s > max_lookback:
         start_s = end_s - max_lookback
     return datetime.fromtimestamp(start_s, tz=start.tzinfo), end
+
+
+def parse_alert_data(
+    row,
+    *,
+    value_cols: "set[str]",
+    timestamp_col: Optional[str] = None,
+) -> tuple[Optional[float], list]:
+    """(value, ordered [key, value] field pairs) from one result row
+    (checkAlerts parseAlertData; spec checkAlerts.int.test.ts:972-1061):
+    column order is preserved, the timestamp column (when the result is a
+    time series) and the value columns are excluded from the fields, and
+    field values are coerced to strings. The legacy group string is
+    ``", ".join(f"{k}:{v}")`` over the pairs; attributes are
+    ``dict(pairs)`` — values containing colons survive both."""
+    mapping = row.asDict() if hasattr(row, "asDict") else dict(row)
+    value = None
+    extra = []
+    for k, v in mapping.items():
+        if k in value_cols:
+            if value is None:
+                value = v
+            continue
+        if timestamp_col is not None and k == timestamp_col:
+            continue
+        extra.append((k, str(v)))
+    return value, extra

@@ -236,3 +236,34 @@ def test_calc_alert_date_range():
     # in-bounds ranges pass through untouched
     start, _ = calc_alert_date_range(end - timedelta(hours=2), end, 15)
     assert (end - start) == timedelta(hours=2)
+
+
+def test_parse_alert_data():
+    """Twins of checkAlerts.int.test.ts:972-1061."""
+    from hyperdx_spark.alerts import parse_alert_data
+
+    row = {"ts": "2023-11-16T22:12:00.000Z", "ServiceName": "web",
+           "SeverityText": "error", "cnt": 5}
+    value, fields = parse_alert_data(row, value_cols={"cnt"}, timestamp_col="ts")
+    assert value == 5
+    assert fields == [("ServiceName", "web"), ("SeverityText", "error")]
+    # legacy "k:v, k:v" group string is byte-identical
+    assert ", ".join(f"{k}:{v}" for k, v in fields) == \
+        "ServiceName:web, SeverityText:error"
+    # colon-bearing values survive the attribute dict
+    row2 = {"ts": "t", "url": "https://example.com/path", "cnt": 5}
+    _, f2 = parse_alert_data(row2, value_cols={"cnt"}, timestamp_col="ts")
+    assert dict(f2) == {"url": "https://example.com/path"}
+    # numeric field values coerce to strings
+    _, f3 = parse_alert_data(
+        {"ts": "t", "StatusCode": 500, "cnt": 5},
+        value_cols={"cnt"}, timestamp_col="ts",
+    )
+    assert f3 == [("StatusCode", "500")]
+    # no group columns -> no fields
+    v, f4 = parse_alert_data({"ts": "t", "cnt": 5}, value_cols={"cnt"},
+                             timestamp_col="ts")
+    assert v == 5 and f4 == []
+    # single_value results keep the timestamp as a field
+    v, f5 = parse_alert_data({"ts": "t", "cnt": 5}, value_cols={"cnt"})
+    assert v == 5 and f5 == [("ts", "t")]
