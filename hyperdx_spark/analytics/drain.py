@@ -204,16 +204,24 @@ class Drain:
             depth += 1
 
     # -- public -------------------------------------------------------------
+    def total_cluster_size(self) -> int:
+        """Sum of sizes of LIVE clusters (drain.ts:58-66
+        getTotalClusterSize) — evicted clusters drop out of the total."""
+        return sum(c.size for c in self.clusters.values())
+
     def add_log_message(self, content: str, weight: int = 1) -> tuple[LogCluster, str]:
         tokens = self.tokenize(content)
         match_id = self._tree_search(tokens, self.sim_th, include_params=False)
         if match_id is None:
             self._counter += 1
             cluster = LogCluster(self._counter, tokens, size=weight)
+            # LruCache.put evicts the tail BEFORE inserting when at capacity
+            # (lru-cache.ts:48-62); python dict insertion order + touch-on-
+            # match below makes next(iter(...)) the true LRU head.
+            if self.max_clusters is not None and len(self.clusters) >= self.max_clusters:
+                lru = next(iter(self.clusters))
+                del self.clusters[lru]
             self.clusters[self._counter] = cluster
-            if self.max_clusters is not None and len(self.clusters) > self.max_clusters:
-                oldest = next(iter(self.clusters))
-                del self.clusters[oldest]
             self._add_to_tree(cluster.cluster_id, tokens)
             return cluster, "cluster_created"
         cluster = self.clusters[match_id]
@@ -224,6 +232,13 @@ class Drain:
         changed = new_template != cluster.template_tokens
         cluster.template_tokens = new_template
         cluster.size += weight
+        # Touch to update LRU recency on every match (drain.ts:311
+        # clusterGet -> lru-cache.ts moveToHead). The reference only
+        # reorders in the capacity-limited store; reads via peek
+        # (_fast_match, match()) never touch.
+        if self.max_clusters is not None:
+            del self.clusters[match_id]
+            self.clusters[match_id] = cluster
         return cluster, ("cluster_template_changed" if changed else "none")
 
     def match(self, content: str, full_search: str = "never") -> Optional[LogCluster]:

@@ -204,6 +204,66 @@ def test_drain_reference_sshd_sequence_verbatim():
     assert sum(c.size for c in model.clusters.values()) == 6
 
 
+def _drain_run(model, entries):
+    got = []
+    for e in entries:
+        cluster, _change = model.add_log_message(e)
+        got.append(" ".join(cluster.template_tokens))
+    return got
+
+
+def test_drain_max_clusters_reference_twin():
+    """drain.test.ts 'test_max_clusters': cap 1 — every new format evicts
+    the previous cluster, so the final live total size is 1."""
+    from hyperdx_spark.analytics.drain import Drain
+
+    model = Drain(4, 0.4, 100, max_clusters=1)
+    entries = ["A format 1", "A format 2", "B format 1", "B format 2", "A format 3"]
+    expected = ["A format 1", "A format <*>", "B format 1", "B format <*>", "A format 3"]
+    assert _drain_run(model, entries) == expected
+    assert model.total_cluster_size() == 1
+
+
+def test_drain_max_clusters_lru_multiple_leaf_nodes_reference_twin():
+    """drain.test.ts 'test_max_clusters_lru_multiple_leaf_nodes': cap 2
+    with touch-on-match LRU. The final total_cluster_size discriminates
+    LRU-with-touch (4: clusters 'B A *' size 3 + 'A A A' size 1 survive)
+    from insertion-order FIFO (3: the touched 'B A *' would be evicted)."""
+    from hyperdx_spark.analytics.drain import Drain
+
+    model = Drain(4, 0.4, 100, max_clusters=2, param_str="*")
+    entries = ["A A A", "A A B", "B A A", "B A B", "C A A", "C A B", "B A A", "A A A"]
+    expected = ["A A A", "A A *", "B A A", "B A *", "C A A", "C A *", "B A *", "A A A"]
+    assert _drain_run(model, entries) == expected
+    assert model.total_cluster_size() == 4
+
+
+def test_drain_max_clusters_lru_single_leaf_node_reference_twin():
+    """drain.test.ts 'test_max_clusters_lru_single_leaf_node': same LRU
+    sequence but all entries share the first-token tree path."""
+    from hyperdx_spark.analytics.drain import Drain
+
+    model = Drain(4, 0.4, 100, max_clusters=2, param_str="*")
+    entries = ["A A A", "A A B", "A B A", "A B B", "A C A", "A C B", "A B A", "A A A"]
+    expected = ["A A A", "A A *", "A B A", "A B *", "A C A", "A C *", "A B *", "A A A"]
+    assert _drain_run(model, entries) == expected
+
+
+def test_drain_match_never_touches_lru():
+    """Reads go through peek (lru-cache.ts:33-38; drain.ts:352,361): a
+    match() hit must NOT refresh recency — the peeked cluster is still the
+    LRU head and gets evicted by the next insert."""
+    from hyperdx_spark.analytics.drain import Drain
+
+    model = Drain(4, 0.4, 100, max_clusters=2, param_str="*")
+    model.add_log_message("A A A")  # cluster 1
+    model.add_log_message("B B B")  # cluster 2
+    assert model.match("A A A").cluster_id == 1  # peek only
+    model.add_log_message("C C C")  # evicts cluster 1 despite the match()
+    assert model.match("A A A") is None
+    assert model.match("B B B").cluster_id == 2
+
+
 # ---- eventDeltas helper twins (eventDeltas.test.ts:12-108) -------------------
 
 
