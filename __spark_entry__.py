@@ -1557,6 +1557,17 @@ def q_text_stats(spark, sf_dir):
                 "text", [("e", "r"), ("t", "h"), ("i", "n"), ("o", "u")]
             ),
         )
+        # r11: id-level encoding (bpe.encode_token_ids over bpe.build_vocab).
+        # With the disjoint-pair merge list the token STREAM is exactly a
+        # leftmost-first regex scan '(er|th|in|ou|.)' per pre-token piece,
+        # so the oracle replays the ids as a CASE lookup over that scan;
+        # chars outside the 12-token vocab map to unk_id=-1.
+        .withColumn(
+            "__bpeids",
+            _bpe.encode_token_ids(
+                "text", [("e", "r"), ("t", "h"), ("i", "n"), ("o", "u")]
+            ),
+        )
         .withColumn("__n_email", pii["email"])
         .withColumn("__n_ipv4", pii["ipv4"])
         .groupBy("source")
@@ -1572,6 +1583,14 @@ def q_text_stats(spark, sf_dir):
             F.sum("__n_ipv4").alias("n_ipv4"),
             F.sum("__bpe").alias("total_bpe_tokens"),
             F.sum("__bpev").alias("total_vocab_tokens"),
+            F.sum(
+                F.aggregate(
+                    "__bpeids", F.lit(0).cast("long"), lambda a, x: a + x
+                )
+            ).alias("vocab_id_sum"),
+            F.sum(F.size(F.filter("__bpeids", lambda x: x == -1))).alias(
+                "n_unk_ids"
+            ),
             F.count_if(F.col("__sig.gopher_pass")).alias("n_gopher_pass"),
             F.count_if(F.col("__sig.c4_keep")).alias("n_c4_keep"),
             # r8: the Gopher REPETITION family (gopher_repetition_signals)
@@ -1656,6 +1675,20 @@ _BPE_COUNT = (
 # sets each pair's greedy application count equals an independent
 # left-to-right replace on the original piece — tokens = len - sum_p occ(p)
 _BPEV_PAIRS = ["er", "th", "in", "ou"]
+# r11: id replay of bpe.encode_token_ids. The token stream per pre-token
+# piece is a leftmost-first RE2 scan (pairs before the single-char '.');
+# ids hardcoded to the expected build_vocab output (sorted merge-part chars
+# then merge-order tokens), unknown chars -> -1.
+_BPEV_TOKENS = (
+    f"flatten(list_transform(regexp_extract_all(text, {_BPE_PAT_SQL}),"
+    " p -> regexp_extract_all(p, '(?s)er|th|in|ou|.')))"
+)
+_BPEV_ID = (
+    "CASE t WHEN 'e' THEN 0 WHEN 'h' THEN 1 WHEN 'i' THEN 2 WHEN 'n' THEN 3"
+    " WHEN 'o' THEN 4 WHEN 'r' THEN 5 WHEN 't' THEN 6 WHEN 'u' THEN 7"
+    " WHEN 'er' THEN 8 WHEN 'th' THEN 9 WHEN 'in' THEN 10 WHEN 'ou' THEN 11"
+    " ELSE -1 END"
+)
 _BPEV_COUNT = (
     f"coalesce(list_sum(list_transform(regexp_extract_all(text, {_BPE_PAT_SQL}),"
     " p -> length(p)"
@@ -1784,6 +1817,10 @@ agg AS (
        sum(len(regexp_extract_all(text, {_IPV4_PAT})))::BIGINT AS n_ipv4,
        sum({_BPE_COUNT})::BIGINT AS total_bpe_tokens,
        sum({_BPEV_COUNT})::BIGINT AS total_vocab_tokens,
+       sum(coalesce(list_sum(list_transform({_BPEV_TOKENS},
+           t -> {_BPEV_ID})), 0))::BIGINT AS vocab_id_sum,
+       sum(coalesce(len(list_filter({_BPEV_TOKENS},
+           t -> {_BPEV_ID} = -1)), 0))::BIGINT AS n_unk_ids,
        count(*) FILTER ({_GOPHER_PASS}) AS n_gopher_pass,
        count(*) FILTER ({_C4_KEEP}) AS n_c4_keep
   FROM documents GROUP BY 1),
@@ -2969,26 +3006,90 @@ SELECT 'sharecap' AS part, __timestamp, event_type, share AS v FROM (
 """
 
 
+_TPL_RANGE = (datetime(2024, 1, 1), datetime(2026, 1, 1))
+
+
 def q_gauge(spark, sf_dir):
-    """§2.9 gauge semantics: last-per-series-bucket + isDelta extrapolation."""
+    """§2.9 gauge semantics: last-per-series-bucket + isDelta extrapolation.
+    r11 adds tplgauge/tplrate: the user-editable raw-SQL templates
+    (metrics.metric_to_raw_sql, builderToRawSql.ts:93-132) EXECUTED through
+    replace_macros + spark.sql — the gate now value-checks the template
+    text itself, not just its pytest equality to the DataFrame path."""
+    from hyperdx_spark.macros import replace_macros
+    from hyperdx_spark.metrics import metric_to_raw_sql
+
     last = q_gauge_last(spark, sf_dir).select(
         F.lit("last").alias("part"), "__timestamp", "event_type", F.col("v").alias("v")
     )
     delta = q_gauge_delta(spark, sf_dir).select(
         F.lit("delta").alias("part"), "__timestamp", "event_type", F.col("value").alias("v")
     )
-    return last.unionByName(delta)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("metric_tpl_events")
+    tables = {"gauge": "metric_tpl_events", "sum": "metric_tpl_events"}
+    gauge_tpl = metric_to_raw_sql(
+        "gauge", ts="ts", value="value",
+        series_cols=["user_id", "event_type"], agg="avg", value_alias="v",
+    )
+    tplgauge = spark.sql(
+        replace_macros(gauge_tpl, date_range=_TPL_RANGE,
+                       interval_seconds=86400, metric_tables=tables)
+    ).select(
+        F.lit("tplgauge").alias("part"), "__timestamp",
+        F.lit("").alias("event_type"), F.round("v", 4).alias("v"),
+    )
+    sum_tpl = metric_to_raw_sql(
+        "sum", ts="ts", value="value", series_cols=["event_type"],
+        value_alias="v",
+    )
+    tplrate = spark.sql(
+        replace_macros(sum_tpl, date_range=_TPL_RANGE,
+                       interval_seconds=86400, metric_tables=tables)
+    ).select(
+        F.lit("tplrate").alias("part"), "__timestamp",
+        F.lit("").alias("event_type"), F.round("v", 4).alias("v"),
+    )
+    return last.unionByName(delta).unionByName(tplgauge).unionByName(tplrate)
 
 
 O_GAUGE_M = f"""
 SELECT 'last' AS part, __timestamp, event_type, v FROM ({O_GAUGE})
 UNION ALL
 SELECT 'delta' AS part, __timestamp, event_type, value AS v FROM ({O_GAUGE_DELTA})
+UNION ALL
+SELECT 'tplgauge' AS part, __timestamp, '' AS event_type, round(avg(lastv), 4) AS v FROM (
+  SELECT make_timestamp((floor(epoch(ts))::BIGINT // 86400) * 86400 * 1000000) AS __timestamp,
+         user_id, event_type, arg_max(value, ts) AS lastv
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-01' AND ts <= TIMESTAMP '2026-01-01'
+  GROUP BY 1, 2, 3
+) GROUP BY __timestamp
+UNION ALL
+SELECT 'tplrate' AS part, __timestamp, '' AS event_type, round(sum(r), 4) AS v FROM (
+  SELECT make_timestamp((floor(epoch(ts))::BIGINT // 86400) * 86400 * 1000000) AS __timestamp,
+         CASE WHEN prev IS NULL THEN NULL ELSE greatest(value - prev, 0) END AS r
+  FROM (
+    SELECT ts, value,
+           lag(value) OVER (PARTITION BY event_type ORDER BY ts) AS prev
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-01' AND ts <= TIMESTAMP '2026-01-01'
+  )
+) GROUP BY __timestamp
 """
 
 
 def q_histogram(spark, sf_dir):
-    """§2.9 explicit-bounds histograms: count series + linear-interp quantile."""
+    """§2.9 explicit-bounds histograms: count series + linear-interp quantile.
+    r11 adds tplq: the histogram raw-SQL template (one statement of
+    higher-order SQL, metrics.metric_to_raw_sql) EXECUTED via
+    replace_macros + spark.sql over a CUMULATIVE per-series fixture built
+    from the same hourly count arrays as q_hist_quantile — the template's
+    lag-window delta recovery must reproduce the hourly deltas exactly, so
+    its day-level p51.7 equals the direct oracle."""
+    from pyspark.sql import Window
+
+    from hyperdx_spark.macros import replace_macros
+    from hyperdx_spark.metrics import metric_to_raw_sql
+
     cnt = q_hist_count(spark, sf_dir).select(
         F.lit("count").alias("part"), "__timestamp", "event_type",
         F.col("total").cast("double").alias("v"),
@@ -2997,13 +3098,64 @@ def q_histogram(spark, sf_dir):
         F.lit("quantile").alias("part"), "__timestamp",
         F.lit("").alias("event_type"), F.col("p50").alias("v"),
     )
-    return cnt.unionByName(qt)
+    # cumulative (never-resetting) per-series bucket counts from the hourly
+    # delta arrays: explode -> running sum per (series, index) -> reassemble
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.timestamp_seconds(
+        (F.unix_timestamp("ts") / 3600).cast("long") * 3600
+    ).alias("h")
+    idx = F.least(F.floor(F.col("value") / 50), F.lit(9)).cast("int").alias("i")
+    counts = ev.groupBy(hour, F.col("event_type"), idx).agg(F.count("*").alias("c"))
+    hourly = (
+        counts.groupBy("h", "event_type")
+        .agg(F.map_from_entries(F.collect_list(F.struct("i", "c"))).alias("m"))
+        .select(
+            "h", "event_type",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(9)),
+                    lambda j: F.coalesce(
+                        F.element_at(F.col("m"), j.cast("int")), F.lit(0)
+                    ),
+                )
+            ).alias("i", "c"),
+        )
+    )
+    cum = hourly.withColumn(
+        "cc", F.sum("c").over(Window.partitionBy("event_type", "i").orderBy("h"))
+    )
+    cdf = (
+        cum.groupBy("h", "event_type")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "cc"))), lambda s: s["cc"]
+            ).alias("BucketCounts")
+        )
+        .withColumn(
+            "ExplicitBounds", F.array(*[F.lit(50.0 * k) for k in range(1, 10)])
+        )
+    )
+    cdf.createOrReplaceTempView("hist_tpl_view")
+    tpl = metric_to_raw_sql(
+        "histogram", ts="h", series_cols=["event_type"], level=0.517,
+        value_alias="v",
+    )
+    tplq = spark.sql(
+        replace_macros(tpl, date_range=_TPL_RANGE, interval_seconds=86400,
+                       metric_tables={"histogram": "hist_tpl_view"})
+    ).select(
+        F.lit("tplq").alias("part"), "__timestamp",
+        F.lit("").alias("event_type"), F.round("v", 4).alias("v"),
+    )
+    return cnt.unionByName(qt).unionByName(tplq)
 
 
 O_HISTOGRAM = f"""
 SELECT 'count' AS part, __timestamp, event_type, total::DOUBLE AS v FROM ({O_HIST_COUNT})
 UNION ALL
 SELECT 'quantile' AS part, __timestamp, '' AS event_type, p50 AS v FROM ({O_HIST_QUANTILE})
+UNION ALL
+SELECT 'tplq' AS part, __timestamp, '' AS event_type, p50 AS v FROM ({O_HIST_QUANTILE})
 """
 
 
