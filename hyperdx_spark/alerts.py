@@ -80,6 +80,55 @@ def does_exceed_threshold(cfg: AlertConfig, value: float) -> bool:
     return inside if tt == ThresholdType.BETWEEN else not inside
 
 
+_VIOLATION_TEXT = {
+    ThresholdType.ABOVE: "meets or exceeds",
+    ThresholdType.ABOVE_EXCLUSIVE: "exceeds",
+    ThresholdType.BELOW: "falls below",
+    ThresholdType.BELOW_OR_EQUAL: "falls to or below",
+    ThresholdType.EQUAL: "equals",
+    ThresholdType.NOT_EQUAL: "does not equal",
+    ThresholdType.BETWEEN: "falls between",
+    ThresholdType.NOT_BETWEEN: "falls outside",
+}
+
+_RESOLUTION_TEXT = {
+    ThresholdType.ABOVE: "falls below",
+    ThresholdType.ABOVE_EXCLUSIVE: "falls to or below",
+    ThresholdType.BELOW: "meets or exceeds",
+    ThresholdType.BELOW_OR_EQUAL: "exceeds",
+    ThresholdType.EQUAL: "does not equal",
+    ThresholdType.NOT_EQUAL: "equals",
+    ThresholdType.BETWEEN: "falls outside",
+    ThresholdType.NOT_BETWEEN: "falls between",
+}
+
+
+def describe_threshold_violation(tt: ThresholdType) -> str:
+    """checkAlerts/template.ts describeThresholdViolation (:80-101)."""
+    return _VIOLATION_TEXT[ThresholdType(tt)]
+
+
+def describe_threshold_resolution(tt: ThresholdType) -> str:
+    """checkAlerts/template.ts describeThresholdResolution (:104-125)."""
+    return _RESOLUTION_TEXT[ThresholdType(tt)]
+
+
+def _js_num(x) -> str:
+    """A number the way a JS template literal prints it: no trailing .0."""
+    if isinstance(x, float) and x.is_integer():
+        return str(int(x))
+    return str(x)
+
+
+def describe_threshold(cfg: AlertConfig) -> str:
+    """checkAlerts/template.ts describeThreshold (:127-131): range types
+    render '<min> and <max>' ('?' when thresholdMax is unset)."""
+    if cfg.threshold_type in (ThresholdType.BETWEEN, ThresholdType.NOT_BETWEEN):
+        tmax = "?" if cfg.threshold_max is None else _js_num(cfg.threshold_max)
+        return f"{_js_num(cfg.threshold)} and {tmax}"
+    return _js_num(cfg.threshold)
+
+
 def threshold_column(cfg: AlertConfig, value: Column) -> Column:
     """The same predicate as a Column expression (for distributed backtest)."""
     t = F.lit(cfg.threshold)
@@ -339,6 +388,27 @@ def notification_messages(
     return out
 
 
+def _epoch(dt: datetime) -> float:
+    """Epoch seconds, with NAIVE datetimes read as UTC — the reference works
+    in epoch ms throughout (checkAlerts/index.ts, tasks/util.ts), so a naive
+    caller in a non-UTC process zone must not shift the grid (r10 verdict
+    finding #2). Aware datetimes are taken at face value."""
+    from datetime import timezone as _tz
+
+    if dt.tzinfo is None:
+        return dt.replace(tzinfo=_tz.utc).timestamp()
+    return dt.timestamp()
+
+
+def _from_epoch(ts: float, *, like: datetime) -> datetime:
+    """Inverse of :func:`_epoch`: naive-UTC out when *like* is naive."""
+    from datetime import timezone as _tz
+
+    if like.tzinfo is None:
+        return datetime.fromtimestamp(ts, tz=_tz.utc).replace(tzinfo=None)
+    return datetime.fromtimestamp(ts, tz=like.tzinfo)
+
+
 def get_scheduled_window_start(
     now: datetime,
     window_size_mins: int,
@@ -353,19 +423,17 @@ def get_scheduled_window_start(
     step = window_size_mins * 60
 
     def _floor(ts: float) -> datetime:
-        return datetime.fromtimestamp(int(ts // step) * step, tz=now.tzinfo)
+        return _from_epoch(int(ts // step) * step, like=now)
 
     if schedule_start_at is not None:
-        elapsed = max(0.0, now.timestamp() - schedule_start_at.timestamp())
+        elapsed = max(0.0, _epoch(now) - _epoch(schedule_start_at))
         n = int(elapsed // step)
-        return datetime.fromtimestamp(
-            schedule_start_at.timestamp() + n * step, tz=now.tzinfo
-        )
+        return _from_epoch(_epoch(schedule_start_at) + n * step, like=now)
     if schedule_offset_mins <= 0:
-        return _floor(now.timestamp())
+        return _floor(_epoch(now))
     off = schedule_offset_mins * 60
-    shifted = _floor(now.timestamp() - off)
-    return datetime.fromtimestamp(shifted.timestamp() + off, tz=now.tzinfo)
+    shifted = _floor(_epoch(now) - off)
+    return _from_epoch(_epoch(shifted) + off, like=now)
 
 
 MAX_BACKTEST_WINDOWS = 50          # tasks/util.ts:44
@@ -378,7 +446,7 @@ def calc_alert_date_range(
     """Clamp an alert-history range (tasks/util.ts:47-85): at most 50
     windows and at most 6h (sub-15-minute windows) / 24h of lookback —
     evaluation cost stays bounded no matter how old the requested start."""
-    start_s, end_s = start.timestamp(), end.timestamp()
+    start_s, end_s = _epoch(start), _epoch(end)
     step = window_size_mins * 60
     if (end_s - start_s) / step > MAX_BACKTEST_WINDOWS:
         start_s = end_s - MAX_BACKTEST_WINDOWS * step
@@ -387,7 +455,7 @@ def calc_alert_date_range(
     )
     if end_s - start_s > max_lookback:
         start_s = end_s - max_lookback
-    return datetime.fromtimestamp(start_s, tz=start.tzinfo), end
+    return _from_epoch(start_s, like=start), end
 
 
 def parse_alert_data(

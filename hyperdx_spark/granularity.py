@@ -48,6 +48,38 @@ def granularity_seconds(granularity: str) -> int:
     return int(m.group(1)) * _UNIT_SECONDS[m.group(2).lower()]
 
 
+# api/src/utils/common.ts convertMsToGranularityString thresholds — note it
+# includes the 10-minute step the chart ladder above deliberately skips
+_MS_LADDER: tuple[tuple[int, str], ...] = (
+    (30, "30 second"),
+    (60, "1 minute"),
+    (5 * 60, "5 minute"),
+    (10 * 60, "10 minute"),
+    (15 * 60, "15 minute"),
+    (30 * 60, "30 minute"),
+    (3600, "1 hour"),
+    (2 * 3600, "2 hour"),
+    (6 * 3600, "6 hour"),
+    (12 * 3600, "12 hour"),
+    (86400, "1 day"),
+    (2 * 86400, "2 day"),
+    (7 * 86400, "7 day"),
+    (30 * 86400, "30 day"),
+)
+
+
+def convert_ms_to_granularity_string(ms: int) -> str:
+    """api/src/utils/common.ts:44-79 convertMsToGranularityString: smallest
+    granularity whose seconds cover ceil(ms/1000); saturates at 30 day."""
+    import math
+
+    secs = math.ceil(ms / 1000)
+    for cap, name in _MS_LADDER:
+        if secs <= cap:
+            return name
+    return _MS_LADDER[-1][1]
+
+
 def auto_granularity(
     date_range: tuple[datetime, datetime], max_buckets: int = 60
 ) -> str:

@@ -54,39 +54,145 @@ def build_title(
     state, default '<name> - <value> lines found' body."""
     emoji = "✅ " if state == "OK" else "\U0001f6a8 "
     if template:
-        base = render_template(template, view or {})
+        base = render_template(template, view or {}, no_escape=False)
     else:
-        base = f'Alert for "{name}" - {value} lines found'
+        base = f'Alert for "{name}" - {_js_num_str(value)} lines found'
     return emoji + base
 
 
-def render_template(template: str, view: dict) -> str:
-    """Minimal Handlebars-subset renderer: ``{{var}}`` substitution plus the
-    one helper the reference registers — ``{{#if (eq a b)}} ... {{else}} ...
-    {{/if}}`` (template.ts createHandlebarsWithHelpers:
-    ``hb.registerHelper('eq', (a, b) => a === b)``). Each ``eq`` operand is
-    a single- or double-quoted literal or a view path. Non-nested blocks
-    only; the reference compiles with noEscape over a pre-escaped view."""
+_OPERAND = r"""('[^']*'|"[^"]*"|[\w.]+)"""
+_IF_EQ_RE = re.compile(
+    r"\{\{#if \(eq\s+" + _OPERAND + r"\s+" + _OPERAND + r"\)\}\}(.*?)\{\{/if\}\}",
+    re.S,
+)
+_IF_VAR_RE = re.compile(r"\{\{#if\s+([\w.]+)\s*\}\}(.*?)\{\{/if\}\}", re.S)
+_IS_MATCH_RE = re.compile(
+    r"\{\{#is_match\s+" + _OPERAND + r"\s+" + _OPERAND + r"\s*\}\}(.*?)\{\{/is_match\}\}",
+    re.S,
+)
+_NOTIFY_RE = re.compile(
+    r"\{\{\s*__hdx_notify_channel__\s+channel=(\"[^\"]*\"|'[^']*')"
+    r"\s+id=(\"[^\"]*\"|'[^']*')\s*\}\}"
+)
 
-    def operand(tok: str) -> str:
+# Handlebars escapeExpression table (applied to {{var}} unless no_escape;
+# {{{var}}} never escapes)
+_HB_ESCAPES = {
+    "&": "&amp;", "<": "&lt;", ">": "&gt;", '"': "&quot;",
+    "'": "&#x27;", "`": "&#x60;", "=": "&#x3D;",
+}
+
+
+def _hb_escape(s: str) -> str:
+    return re.sub(r"[&<>\"'`=]", lambda m: _HB_ESCAPES[m.group(0)], s)
+
+
+def _get_path(view: dict, path: str):
+    """lodash _.get over dotted paths; returns (value, found). A flat key
+    containing dots wins over traversal (unflattenObject handles nesting
+    upstream in the reference)."""
+    if isinstance(view, dict) and path in view:
+        return view[path], True
+    cur = view
+    for part in path.split("."):
+        if isinstance(cur, dict) and part in cur:
+            cur = cur[part]
+        else:
+            return None, False
+    return cur, True
+
+
+def _hb_str(v) -> str:
+    """A view value the way Handlebars/JS prints it into text."""
+    if v is None:
+        return ""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float) and v.is_integer():
+        return str(int(v))
+    return str(v)
+
+
+def _hb_truthy(v) -> bool:
+    """Handlebars #if truthiness: false/0/''/null/undefined/[] are falsy."""
+    if v is None or v is False:
+        return False
+    if isinstance(v, (int, float)) and not isinstance(v, bool) and v == 0:
+        return False
+    if isinstance(v, (str, list, tuple, dict)) and len(v) == 0:
+        return False
+    return True
+
+
+def render_template(
+    template: str,
+    view: dict,
+    *,
+    no_escape: bool = True,
+    render_is_match: bool = True,
+) -> str:
+    """Handlebars-subset renderer covering exactly what the reference's
+    alert templating registers (template.ts createHandlebarsWithHelpers +
+    renderAlertTemplate): ``{{var}}`` / ``{{{var}}}`` substitution over
+    dotted paths, ``{{#if (eq a b)}}..{{else}}..{{/if}}``,
+    plain-truthiness ``{{#if var}}..{{/if}}``, ``{{#is_match "key"
+    "value"}}..{{/is_match}}`` (strict-equality string match; the outer
+    notify pass registers it non-rendering — template.ts:602-616), and
+    ``{{__hdx_notify_channel__ ...}}`` rendering to nothing (helper returns
+    null). ``no_escape=False`` applies Handlebars' escapeExpression to
+    ``{{var}}`` (the title/body compiles omit noEscape; the generic-webhook
+    body compile sets it).
+
+    Substitution happens in ONE pass so spliced view values are never
+    re-parsed as template syntax — the reference's untrusted-input
+    guarantee (renderAlertTemplate.int.test.ts:250-292)."""
+
+    def operand(tok: str):
+        """(value, is_literal) for an eq/is_match argument."""
         if len(tok) >= 2 and tok[0] == tok[-1] and tok[0] in "'\"":
-            return tok[1:-1]
-        v = view.get(tok, "")
-        return "" if v is None else str(v)
+            return tok[1:-1], True
+        v, _found = _get_path(view, tok)
+        return v, False
 
-    def cond(m: re.Match) -> str:
-        a, b, body = m.group(1), m.group(2), m.group(3)
-        parts = body.split("{{else}}", 1)
-        hit = operand(a) == operand(b)
+    def cond_eq(m: re.Match) -> str:
+        (a, a_lit), (b, b_lit) = operand(m.group(1)), operand(m.group(2))
+        # JS ===: literals are strings; compare a path value to a string
+        # literal as strings only when the value IS a string
+        av = a if a_lit else ("" if a is None else a)
+        bv = b if b_lit else ("" if b is None else b)
+        hit = _hb_str(av) == _hb_str(bv) if not (a_lit or b_lit) else av == bv
+        if (a_lit != b_lit):
+            lit, val = (a, b) if a_lit else (b, a)
+            hit = isinstance(val, str) and val == lit
+        parts = m.group(3).split("{{else}}", 1)
         return parts[0] if hit else (parts[1] if len(parts) > 1 else "")
 
-    _OPERAND = r"""('[^']*'|"[^"]*"|[\w.]+)"""
-    out = re.sub(
-        r"\{\{#if \(eq\s+" + _OPERAND + r"\s+" + _OPERAND + r"\)\}\}(.*?)\{\{/if\}\}",
-        cond,
-        template,
-        flags=re.S,
-    )
+    def cond_var(m: re.Match) -> str:
+        v, _found = _get_path(view, m.group(1))
+        parts = m.group(2).split("{{else}}", 1)
+        return (
+            parts[0] if _hb_truthy(v) else (parts[1] if len(parts) > 1 else "")
+        )
+
+    def cond_is_match(m: re.Match) -> str:
+        key = m.group(1).strip("'\"")
+        target = m.group(2).strip("'\"")
+        v, found = _get_path(view, key)
+        hit = found and isinstance(v, str) and v == target
+        # outer pass (render_is_match=False): matched bodies execute for
+        # their notify side effects but render nothing (isMatchFn(false))
+        return m.group(3) if (hit and render_is_match) else ""
+
+    out = template
+    for _ in range(8):  # sequential, non-nested blocks; few levels suffice
+        nxt = _IF_EQ_RE.sub(cond_eq, out)
+        nxt = _IS_MATCH_RE.sub(cond_is_match, nxt)
+        nxt = _IF_VAR_RE.sub(cond_var, nxt)
+        if nxt == out:
+            break
+        out = nxt
+
+    out = _NOTIFY_RE.sub("", out)
 
     # A block helper this subset doesn't understand must NOT fall through to
     # the plain-var pass (which would strip the markers and render both
@@ -98,11 +204,359 @@ def render_template(template: str, view: dict) -> str:
         )
 
     def sub(m: re.Match) -> str:
-        key = m.group(1).strip()
-        v = view.get(key, "")
-        return "" if v is None else str(v)
+        if m.group(1) is not None:  # {{{var}}} — never escaped
+            v, _f = _get_path(view, m.group(1).strip())
+            return _hb_str(v)
+        key = m.group(2).strip()
+        v, _f = _get_path(view, key)
+        s = _hb_str(v)
+        return s if no_escape else _hb_escape(s)
 
-    return re.sub(r"\{\{([^}]+)\}\}", sub, out)
+    # ONE combined pass: inserted values are never rescanned
+    return re.sub(r"\{\{\{([^{}]+)\}\}\}|\{\{([^{}]+)\}\}", sub, out)
+
+
+NOTIFY_FN_NAME = "__hdx_notify_channel__"
+
+
+def get_default_external_action(
+    channel_type: Optional[str], webhook_id: Optional[str]
+) -> Optional[str]:
+    """template.ts getDefaultExternalAction (:491-498): '@webhook-<id>' for
+    a webhook channel with an id, else None."""
+    if channel_type == "webhook" and webhook_id is not None:
+        return f"@{channel_type}-{webhook_id}"
+    return None
+
+
+def translate_external_actions(template: str) -> str:
+    """template.ts translateExternalActionsToInternal (:500-511):
+    '@webhook-1234' -> '{{__hdx_notify_channel__ channel="webhook"
+    id="1234"}}'. The id may itself be a template
+    ('@webhook-{{attributes.webhookId}}'); only a single-space prefix is
+    restored, exactly like the reference regex."""
+
+    def repl(m: re.Match) -> str:
+        prefix = " " if m.group(0).startswith(" ") else ""
+        parts = m.group(1).split("-")
+        channel, id_ = parts[0], "-".join(parts[1:])
+        return f'{prefix}{{{{{NOTIFY_FN_NAME} channel="{channel}" id="{id_}"}}}}'
+
+    return re.sub(r"(?:^|\s)@([a-zA-Z0-9.{}@_-]+)", repl, template)
+
+
+def extract_notify_directives(
+    template: str, view: Optional[dict] = None
+) -> list:
+    """The notifications a rendered template would FIRE: every
+    '{{__hdx_notify_channel__ channel=".." id=".."}}' marker whose
+    enclosing {{#is_match}} block (if any) matches the view — the helper
+    side-effect protocol of renderAlertTemplate (template.ts:602-668).
+    Each id is itself rendered against the view (it may be a template like
+    '{{attributes.webhookId}}'). Returns [(channel, rendered_id), ...]."""
+    view = view or {}
+
+    def im(m: re.Match) -> str:
+        key = m.group(1).strip("'\"")
+        target = m.group(2).strip("'\"")
+        v, found = _get_path(view, key)
+        return m.group(3) if (found and isinstance(v, str) and v == target) else ""
+
+    t = _IS_MATCH_RE.sub(im, template)
+    out = []
+    for m in _NOTIFY_RE.finditer(t):
+        channel = m.group(1)[1:-1]
+        id_tpl = m.group(2)[1:-1]
+        out.append((channel, render_template(id_tpl, view)))
+    return out
+
+
+def find_webhook(id_or_name_prefix: str, webhooks_by_id: dict):
+    """template.ts getPopulatedChannel (:513-545): resolve by id, else the
+    first webhook whose NAME starts with the given string (insertion
+    order), else the reference's user-facing error."""
+    wh = webhooks_by_id.get(id_or_name_prefix)
+    if wh is None:
+        for w in webhooks_by_id.values():
+            name = w.get("name", "") if isinstance(w, dict) else getattr(w, "name", "")
+            if str(name).startswith(id_or_name_prefix):
+                wh = w
+                break
+    if wh is None:
+        raise KeyError(
+            "Webhook not found. The webhook may have been deleted — update"
+            " the alert's notification channel."
+        )
+    return wh
+
+
+def alert_event_id(
+    alert_id: str,
+    channel_id: str,
+    *,
+    channel_type: str = "webhook",
+    is_grouped: bool = False,
+    group: Optional[str] = None,
+) -> str:
+    """Stable notification event id (template.ts:640-648: objectHash over
+    alertId/channel/isGrouped[+groupId]); deterministic sha256 of the same
+    fields in the same construction order."""
+    import hashlib
+
+    obj: dict = {
+        "alertId": alert_id,
+        "channel": {"type": channel_type, "id": channel_id},
+        "isGrouped": is_grouped,
+    }
+    if is_grouped and group:
+        obj["groupId"] = group
+    canon = json.dumps(obj, sort_keys=False, separators=(",", ":"))
+    return hashlib.sha256(canon.encode("utf-8")).hexdigest()
+
+
+def format_value_to_match_threshold(value: float, threshold: float) -> str:
+    """template.ts formatValueToMatchThreshold (:193-215): the value is
+    rendered with exactly the threshold's decimal places (threshold 1.5 ->
+    one decimal; integer threshold -> rounded integer), round-half-away
+    like Intl's default halfExpand."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    ts = _js_num_str(threshold)
+    decimals = len(ts.split(".")[1]) if "." in ts else 0
+    q = Decimal(1).scaleb(-decimals)
+    d = Decimal(str(value)).quantize(q, rounding=ROUND_HALF_UP)
+    return f"{d:.{decimals}f}" if decimals else str(int(d))
+
+
+def _js_num_str(x) -> str:
+    """A number as a JS template literal prints it (no trailing .0)."""
+    if isinstance(x, float) and x.is_integer():
+        return str(int(x))
+    return str(x)
+
+
+def truncate_string(s: str, length: int) -> str:
+    """api/src/utils/common.ts truncateString (:38-43): hard cut + '...'."""
+    return s[:length] + "..." if len(s) > length else s
+
+
+_MONTH_ABBR = [
+    "Jan", "Feb", "Mar", "Apr", "May", "Jun",
+    "Jul", "Aug", "Sep", "Oct", "Nov", "Dec",
+]
+
+
+def format_date(
+    dt, *, is_utc: bool = False, fmt: str = "normal", clock: str = "12h"
+) -> str:
+    """core/utils.ts formatDate (:600-617) with its TIME_TOKENS table
+    (:577-598). Naive datetimes are treated as UTC when is_utc (the
+    reference works in epoch instants)."""
+    from datetime import timezone as _tz
+
+    if is_utc:
+        dt = (
+            dt.astimezone(_tz.utc)
+            if dt.tzinfo is not None
+            else dt.replace(tzinfo=_tz.utc)
+        )
+    mon, day = _MONTH_ABBR[dt.month - 1], dt.day
+    h12 = (dt.hour % 12) or 12
+    ampm = "AM" if dt.hour < 12 else "PM"
+    mm, ss = f"{dt.minute:02d}", f"{dt.second:02d}"
+    hh = f"{dt.hour:02d}"
+    ms3 = f"{dt.microsecond // 1000:03d}"
+    table = {
+        ("normal", "12h"): f"{mon} {day} {h12}:{mm}:{ss} {ampm}",
+        ("normal", "24h"): f"{mon} {day} {hh}:{mm}:{ss}",
+        ("short", "12h"): f"{mon} {day} {h12}:{mm}{ampm}",
+        ("short", "24h"): f"{mon} {day} {hh}:{mm}",
+        ("withMs", "12h"): f"{mon} {day} {h12}:{mm}:{ss}.{ms3} {ampm}",
+        ("withMs", "24h"): f"{mon} {day} {hh}:{mm}:{ss}.{ms3}",
+        ("withYear", "12h"): f"{mon} {day} {dt.year} {h12}:{mm}:{ss} {ampm}",
+        ("withYear", "24h"): f"{mon} {day} {dt.year} {hh}:{mm}:{ss}",
+        ("time", "12h"): f"{h12}:{mm}:{ss} {ampm}",
+        ("time", "24h"): f"{hh}:{mm}:{ss}",
+    }
+    try:
+        return table[(fmt, clock)]
+    except KeyError:
+        raise ValueError(f"unsupported format/clock: {fmt!r}/{clock!r}")
+
+
+MAX_MESSAGE_LENGTH = 500   # template.ts:133 per-result-line cap
+MAX_RESULTS_LENGTH = 2500  # template.ts:757 total sample cap
+
+
+def time_range_message(start_time, end_time) -> str:
+    """template.ts:671-675: half-open UTC window line."""
+    return (
+        f"Time Range (UTC): [{format_date(start_time, is_utc=True)}"
+        f" - {format_date(end_time, is_utc=True)})"
+    )
+
+
+def build_alert_body(
+    *,
+    cfg,
+    state: str,
+    value: float,
+    start_time,
+    end_time,
+    source: str = "saved_search",
+    group: Optional[str] = None,
+    template: Optional[str] = None,
+    default_external_action: Optional[str] = None,
+    query_results: str = "",
+    view: Optional[dict] = None,
+) -> str:
+    """renderAlertTemplate's body assembly (template.ts:669-763): the
+    resolved / saved-search / tile raw bodies, '@'-action translation,
+    per-line 500 + total 2500 sample truncation, and the single-pass
+    Handlebars render that keeps untrusted group/sample values literal.
+    The sample CSV itself comes from the caller (compile_chart_config +
+    CSV render — the Spark side of the reference's ClickHouse fetch).
+
+    ``source`` in {"saved_search", "tile"}; ``cfg`` an
+    :class:`hyperdx_spark.alerts.AlertConfig`."""
+    from hyperdx_spark.alerts import (
+        describe_threshold,
+        describe_threshold_resolution,
+        describe_threshold_violation,
+        does_exceed_threshold,
+    )
+
+    t = template or ""
+    if default_external_action is not None:
+        target = translate_external_actions(f"{t} {default_external_action}").strip()
+    else:
+        target = translate_external_actions(t)
+    trange = time_range_message(start_time, end_time)
+
+    if state == "OK":
+        raw = (
+            '{{#if group}}Group: "{{{group}}}" - {{/if}}'
+            f"The alert has been resolved.\n{trange}\n{target}"
+        )
+        results = ""
+    elif source == "saved_search":
+        viol = describe_threshold_violation(cfg.threshold_type)
+        raw = (
+            '{{#if group}}Group: "{{{group}}}"{{/if}}\n'
+            f"{_js_num_str(value)} lines found, which {viol} the threshold"
+            f" of {describe_threshold(cfg)} lines\n{trange}\n{target}\n"
+            "```\n{{{__hdx_query_results__}}}\n```"
+        )
+        lines = query_results.split("\n") if query_results else []
+        results = truncate_string(
+            "\n".join(truncate_string(ln, MAX_MESSAGE_LENGTH) for ln in lines),
+            MAX_RESULTS_LENGTH,
+        )
+    elif source == "tile":
+        fv = format_value_to_match_threshold(value, cfg.threshold)
+        desc = (
+            describe_threshold_violation(cfg.threshold_type)
+            if does_exceed_threshold(cfg, value)
+            else describe_threshold_resolution(cfg.threshold_type)
+        )
+        raw = (
+            '{{#if group}}Group: "{{{group}}}"{{/if}}\n'
+            f"{fv} {desc} {describe_threshold(cfg)}\n{trange}\n{target}"
+        )
+        results = ""
+    else:
+        raise ValueError(f"Unsupported alert source: {source!r}")
+
+    full_view = {
+        **(view or {}),
+        "group": group,
+        "value": value,
+        "__hdx_query_results__": results,
+    }
+    # outer pass: is_match blocks execute for side effects but render
+    # nothing; notify markers render to nothing (template.ts:602-616)
+    return render_template(
+        raw, full_view, no_escape=False, render_is_match=False
+    )
+
+
+def build_tile_title(
+    tile_name: str,
+    dashboard_name: str,
+    cfg,
+    value: float,
+    state: str = "ALERT",
+    template: Optional[str] = None,
+    view: Optional[dict] = None,
+) -> str:
+    """buildAlertMessageTemplateTitle's TILE branch (template.ts:466-485):
+    threshold-precision value + violation/resolution wording."""
+    from hyperdx_spark.alerts import (
+        describe_threshold,
+        describe_threshold_resolution,
+        describe_threshold_violation,
+        does_exceed_threshold,
+    )
+
+    emoji = "✅ " if state == "OK" else "\U0001f6a8 "
+    if template:
+        return emoji + render_template(template, view or {}, no_escape=False)
+    fv = format_value_to_match_threshold(value, cfg.threshold)
+    desc = (
+        describe_threshold_violation(cfg.threshold_type)
+        if does_exceed_threshold(cfg, value)
+        else describe_threshold_resolution(cfg.threshold_type)
+    )
+    return (
+        f'{emoji}Alert for "{tile_name}" in "{dashboard_name}"'
+        f" - {fv} {desc} {describe_threshold(cfg)}"
+    )
+
+
+def _epoch_ms(dt) -> int:
+    from datetime import timezone as _tz
+
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=_tz.utc)
+    return int(dt.timestamp() * 1000)
+
+
+def build_log_search_link(
+    frontend_url: str, saved_search_id: str, start_time, end_time
+) -> str:
+    """providers/default.ts buildLogSearchLink (:318-334)."""
+    return (
+        f"{frontend_url}/search/{saved_search_id}"
+        f"?from={_epoch_ms(start_time)}&to={_epoch_ms(end_time)}&isLive=false"
+    )
+
+
+def build_chart_link(
+    frontend_url: str,
+    dashboard_id: str,
+    granularity_seconds: int,
+    start_time,
+    end_time,
+    tile_id: Optional[str] = None,
+) -> str:
+    """providers/default.ts buildChartLink (:336-362): range extended by
+    7x granularity on both sides; granularity snapped to the
+    convertMsToGranularityString ladder; tileId highlights."""
+    from urllib.parse import quote
+
+    from hyperdx_spark.granularity import convert_ms_to_granularity_string
+
+    gms = granularity_seconds * 1000
+    from_ = _epoch_ms(start_time) - gms * 7
+    to = _epoch_ms(end_time) + gms * 7
+    gran = quote(convert_ms_to_granularity_string(gms))
+    url = (
+        f"{frontend_url}/dashboards/{dashboard_id}"
+        f"?from={from_}&granularity={gran}&to={to}"
+    )
+    if tile_id:
+        url += f"&highlightedTileId={quote(str(tile_id))}"
+    return url
 
 
 def slack_payload(message: Message) -> dict:

@@ -167,7 +167,8 @@ def test_notifications_to_webhook_messages():
     assert msgs[1].title.startswith("✅ ")
     assert "from=1704103200000" in msgs[0].hdx_link
     p = slack_payload(msgs[0])
-    assert "42.0" in p["text"]
+    # JS prints the number 42.0 as "42" (template.ts `${value} lines found`)
+    assert "42 lines found" in p["text"]
     doc = json.loads(generic_payload(msgs[0]))
     assert "ALERT" in doc["text"] and "api" in doc["text"]
 
