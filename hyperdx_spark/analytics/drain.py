@@ -279,6 +279,25 @@ class PatternGroup:
     trend: list = field(default_factory=list)  # [(bucket_epoch_s, est_count)]
 
 
+def _trend_spine(
+    date_range: Optional[tuple], trend_buckets: int, bucket_seconds: int
+) -> tuple[int, Optional[int], Optional[list]]:
+    """(bucket step, null-ts fallback epoch, zero-fill spine) shared by
+    both miners: with a date_range the step comes from the auto-granularity
+    ladder and the spine zero-fills every grid-aligned bucket
+    (timeBucketByGranularity, core/utils.ts:540-557; null-ts -> range start,
+    mine-patterns.ts:134)."""
+    if date_range is None:
+        return bucket_seconds, None, None
+    from hyperdx_spark.granularity import auto_granularity, granularity_seconds
+
+    step = granularity_seconds(auto_granularity(date_range, trend_buckets))
+    start_epoch = int(date_range[0].timestamp())
+    end_epoch = date_range[1].timestamp()
+    aligned = (start_epoch // step) * step
+    return step, start_epoch, list(range(aligned, int(end_epoch), step))
+
+
 def mine_patterns(
     df: DataFrame,
     *,
@@ -316,17 +335,7 @@ def mine_patterns(
     if not rows:
         return []
 
-    step = bucket_seconds
-    spine: Optional[list[int]] = None
-    start_epoch: Optional[int] = None
-    if date_range is not None:
-        from hyperdx_spark.granularity import auto_granularity, granularity_seconds
-
-        step = granularity_seconds(auto_granularity(date_range, trend_buckets))
-        start_epoch = int(date_range[0].timestamp())
-        end_epoch = date_range[1].timestamp()
-        aligned = (start_epoch // step) * step
-        spine = list(range(aligned, int(end_epoch), step))
+    step, start_epoch, spine = _trend_spine(date_range, trend_buckets, bucket_seconds)
 
     miner = Drain()
     clustered = []
@@ -383,48 +392,134 @@ def mine_patterns_distributed(
     df: DataFrame,
     *,
     text_col: str = "body",
+    ts_col: Optional[str] = None,
     min_count: int = 1,
     masking: "Sequence[tuple[str, str]]" = (),
+    date_range: Optional[tuple] = None,
+    trend_buckets: int = 24,
+    bucket_seconds: int = 3600,
+    max_samples: int = 5,
+    noise_threshold: Optional[float] = None,
 ) -> list[PatternGroup]:
-    """Scale path: Drain each partition locally (mapInPandas), ship only the
-    per-partition (template, count) summaries, merge on the driver by
-    replaying templates (count-weighted) through a global Drain. Exact row
-    counts, approximate cluster identity across partitions — the standard
-    two-phase distributed formulation of a sequential clustering algorithm.
-    """
+    """Scale path with the sampled miner's full output shape (r11): Drain
+    each partition locally (mapInPandas) and ship per-cluster summaries —
+    one totals row (template, count, up to ``max_samples`` raw sample
+    lines) plus one (template, bucket, count) row per observed trend bucket
+    — then merge on the driver by replaying templates (count-weighted)
+    through a global Drain, summing bucket counts and concatenating bounded
+    samples per merged cluster. Exact row counts, approximate cluster
+    identity across partitions — the standard two-phase distributed
+    formulation of a sequential clustering algorithm.
+
+    Trend semantics mirror :func:`mine_patterns` (zero-filled
+    auto-granularity spine under ``date_range``, observed
+    ``bucket_seconds`` buckets otherwise, null timestamps fall back to the
+    range start); ``noise_threshold`` drops clusters covering more than
+    that fraction of ALL rows (the exact-count analogue of the sampled
+    denoise rule). At 100 TB only templates × buckets (thousands) cross
+    the wire — the heavy clustering pass stays embarrassingly parallel."""
     import pandas as pd
 
     mask_rules = list(masking)
+    step, start_epoch, spine = _trend_spine(date_range, trend_buckets, bucket_seconds)
+    want_trend = ts_col is not None or date_range is not None
 
     def mine_part(batches: Iterable["pd.DataFrame"]):
         miner = Drain()
+        buckets: dict[int, dict[int, int]] = {}
+        samples: dict[int, list[str]] = {}
         for pdf in batches:
-            for body in pdf[text_col]:
-                b = flatten_body(str(body) if body is not None else "")
+            ts_vals = pdf[ts_col] if ts_col else None
+            for i, body in enumerate(pdf[text_col]):
+                raw = str(body) if body is not None else ""
+                b = flatten_body(raw)
                 if mask_rules:
                     b = apply_masking(b, mask_rules)
-                miner.add_log_message(b)
+                cluster, _ = miner.add_log_message(b)
+                cid = cluster.cluster_id
+                ss = samples.setdefault(cid, [])
+                if len(ss) < max_samples:
+                    ss.append(raw)
+                if not want_trend:
+                    continue
+                epoch = None
+                if ts_vals is not None:
+                    t = ts_vals.iloc[i]
+                    if not pd.isnull(t):
+                        epoch = t.timestamp()
+                if epoch is None:
+                    epoch = start_epoch
+                if epoch is not None:
+                    bk = int(epoch // step) * step
+                    d = buckets.setdefault(cid, {})
+                    d[bk] = d.get(bk, 0) + 1
         if miner.clusters:
+            data = []
+            for cid, c in miner.clusters.items():
+                data.append((c.template(), None, c.size, samples.get(cid, [])))
+                for bk, n in (buckets.get(cid) or {}).items():
+                    data.append((c.template(), bk, n, []))
             yield pd.DataFrame(
-                {
-                    "template": [c.template() for c in miner.clusters.values()],
-                    "count": [c.size for c in miner.clusters.values()],
-                }
+                data, columns=["template", "bucket", "count", "samples"]
             )
 
-    partial = df.select(text_col).mapInPandas(mine_part, "template string, count long")
-    merged = Drain()
+    cols = [text_col] + ([ts_col] if ts_col else [])
+    partial = df.select(*cols).mapInPandas(
+        mine_part, "template string, bucket long, count long, samples array<string>"
+    )
+
+    # group partition summaries by template string (totals row carries the
+    # weight and samples; bucket rows carry the trend detail)
+    per_tpl: dict[str, dict] = {}
     for row in partial.collect():
-        merged.add_log_message(row["template"], weight=int(row["count"]))
-    out = [
-        PatternGroup(
-            id=str(c.cluster_id),
-            pattern=c.template(),
-            sample_count=c.size,
-            estimated_count=c.size,
+        e = per_tpl.setdefault(
+            row["template"], {"total": 0, "buckets": {}, "samples": []}
         )
-        for c in merged.clusters.values()
-        if c.size >= min_count
-    ]
+        if row["bucket"] is None:
+            e["total"] += int(row["count"])
+            for s in row["samples"] or []:
+                if len(e["samples"]) < max_samples:
+                    e["samples"].append(s)
+        else:
+            b = int(row["bucket"])
+            e["buckets"][b] = e["buckets"].get(b, 0) + int(row["count"])
+
+    merged = Drain()
+    stats: dict[int, dict] = {}
+    for tpl, e in per_tpl.items():
+        cluster, _ = merged.add_log_message(tpl, weight=e["total"])
+        st = stats.setdefault(cluster.cluster_id, {"buckets": {}, "samples": []})
+        for b, n in e["buckets"].items():
+            st["buckets"][b] = st["buckets"].get(b, 0) + n
+        for s in e["samples"]:
+            if len(st["samples"]) < max_samples:
+                st["samples"].append(s)
+
+    grand_total = sum(c.size for c in merged.clusters.values())
+    out = []
+    for c in merged.clusters.values():
+        if c.size < min_count:
+            continue
+        if (
+            noise_threshold is not None
+            and grand_total > 0
+            and c.size / grand_total > noise_threshold
+        ):
+            continue
+        st = stats.get(c.cluster_id, {"buckets": {}, "samples": []})
+        if spine is not None:
+            trend = [(b, st["buckets"].get(b, 0)) for b in spine]
+        else:
+            trend = sorted(st["buckets"].items())
+        out.append(
+            PatternGroup(
+                id=str(c.cluster_id),
+                pattern=c.template(),
+                sample_count=c.size,
+                estimated_count=c.size,
+                samples=st["samples"],
+                trend=trend,
+            )
+        )
     out.sort(key=lambda p: -p.estimated_count)
     return out

@@ -382,6 +382,64 @@ def test_mine_patterns_masking(spark):
     assert masked[0].sample_count == 29
 
 
+def test_mine_patterns_distributed_trends_and_samples_match_driver(spark):
+    """r11: the scale path emits the sampled miner's full output shape.
+    On ONE partition with the sample covering every row (multiplier 1) the
+    distributed result must equal mine_patterns exactly — templates,
+    counts, zero-filled trend spines, and bounded sample lines."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    for i in range(120):
+        rows.append((f"request {i} served in {i % 7} ms", base + timedelta(minutes=7 * i)))
+    for i in range(30):
+        rows.append(("disk failure on /dev/sda", base + timedelta(hours=9, minutes=i)))
+    rows.append(("orphan line without timestamp", None))
+    df = spark.createDataFrame(rows, "body string, ts timestamp").coalesce(1)
+    rng = (base, base + timedelta(days=1))
+
+    driver = drain_mod.mine_patterns(
+        df, text_col="body", ts_col="ts", total_count=len(rows),
+        sample_size=10_000, date_range=rng, max_samples=3,
+    )
+    dist = drain_mod.mine_patterns_distributed(
+        df, text_col="body", ts_col="ts", date_range=rng, max_samples=3,
+    )
+    assert [p.pattern for p in dist] == [p.pattern for p in driver]
+    assert [p.sample_count for p in dist] == [p.sample_count for p in driver]
+    assert [p.estimated_count for p in dist] == [p.estimated_count for p in driver]
+    assert [p.trend for p in dist] == [p.trend for p in driver]
+    for d, v in zip(dist, driver):
+        assert d.samples == [r["body"] for r in v.samples]
+    # the null-ts row landed in the range-start bucket of its cluster
+    orphan = next(p for p in dist if "orphan" in p.pattern)
+    assert orphan.trend[0][1] == 1
+
+
+def test_mine_patterns_distributed_trend_sums_across_partitions(spark):
+    """Bucket counts shipped per partition must sum exactly: per-cluster
+    trend totals equal the cluster count regardless of partitioning."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (f"request {i} served in {i % 7} ms", base + timedelta(minutes=11 * i))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "body string, ts timestamp").repartition(8)
+    out = drain_mod.mine_patterns_distributed(df, text_col="body", ts_col="ts")
+    assert sum(p.sample_count for p in out) == 200
+    for p in out:
+        assert sum(n for _b, n in p.trend) == p.sample_count
+        assert 0 < len(p.samples) <= 5
+    # noise_threshold drops the dominant cluster on exact fractions
+    quiet = drain_mod.mine_patterns_distributed(
+        df, text_col="body", ts_col="ts", noise_threshold=0.5
+    )
+    assert all(p.sample_count / 200 <= 0.5 for p in quiet)
+
+
 def test_mine_patterns_distributed_masking(spark):
     rows = [(f"conn from 10.0.0.{i} accepted",) for i in range(1, 40)]
     df = spark.createDataFrame(rows, "body string").repartition(4)
