@@ -93,6 +93,7 @@ class Drain:
         sim_th: float = 0.4,
         max_children: int = 100,
         max_clusters: Optional[int] = None,
+        extra_delimiters: "Sequence[str]" = (),
         param_str: str = PARAM,
         parametrize_numeric_tokens: bool = True,
     ) -> None:
@@ -102,6 +103,7 @@ class Drain:
         self.sim_th = sim_th
         self.max_children = max_children
         self.max_clusters = max_clusters
+        self.extra_delimiters = list(extra_delimiters)
         self.param_str = param_str
         self.parametrize_numeric_tokens = parametrize_numeric_tokens
         self.root = _Node()
@@ -111,6 +113,8 @@ class Drain:
     # -- tokenization -------------------------------------------------------
     def tokenize(self, content: str) -> list[str]:
         c = content.strip()
+        for delim in self.extra_delimiters:
+            c = c.replace(delim, " ")
         if not c:
             return []
         return _WS.split(c)
@@ -204,6 +208,18 @@ class Drain:
             depth += 1
 
     # -- public -------------------------------------------------------------
+    def create_template(self, seq1: list[str], seq2: list[str]) -> list[str]:
+        """Position-wise merge (drain.ts:138-143): equal tokens survive,
+        diverging positions become the param token; unequal lengths raise."""
+        if len(seq1) != len(seq2):
+            raise ValueError("seq1 and seq2 must have equal length")
+        return [a if a == b else self.param_str for a, b in zip(seq1, seq2)]
+
+    @property
+    def cluster_count(self) -> int:
+        """Live cluster count (drain.ts:53-56)."""
+        return len(self.clusters)
+
     def total_cluster_size(self) -> int:
         """Sum of sizes of LIVE clusters (drain.ts:58-66
         getTotalClusterSize) — evicted clusters drop out of the total."""
@@ -225,10 +241,7 @@ class Drain:
             self._add_to_tree(cluster.cluster_id, tokens)
             return cluster, "cluster_created"
         cluster = self.clusters[match_id]
-        new_template = [
-            t if t == x else self.param_str
-            for t, x in zip(tokens, cluster.template_tokens)
-        ]
+        new_template = self.create_template(tokens, cluster.template_tokens)
         changed = new_template != cluster.template_tokens
         cluster.template_tokens = new_template
         cluster.size += weight
@@ -267,6 +280,154 @@ class Drain:
         if mid is not None:
             return self.clusters.get(mid)
         return _full() if full_search == "fallback" else None
+
+
+def _escape_regex(s: str) -> str:
+    """template-miner.ts escapeRegex: the JS char set (note '-' included,
+    spaces NOT — so the later '\\ ' -> '\\s+' rewrite is a kept-for-parity
+    no-op, exactly as in the reference)."""
+    return re.sub(r"[.*+?^${}()|\[\]\\\-]", lambda m: "\\" + m.group(0), s)
+
+
+class TemplateMiner:
+    """drain/template-miner.ts: masking + Drain + template-parameter
+    extraction. Config fields mirror TemplateMinerConfig (config.ts:6-17):
+    masking instructions are (pattern, mask_with) pairs applied in order
+    before clustering; the Drain param token is ``mask_prefix + '*' +
+    mask_suffix``.
+
+    ``extract_parameters`` ports getTemplateParameterExtractionRegex
+    (template-miner.ts:77-170): the mined template is regex-escaped, every
+    ``<maskName>`` occurrence becomes a named capture group (instruction
+    patterns under exact matching, lazy ``.+?`` otherwise or for ``*``),
+    and extracted values are returned left-to-right by position in the
+    message. Compiled extraction regexes are LRU-cached."""
+
+    def __init__(
+        self,
+        *,
+        depth: int = 4,
+        sim_th: float = 0.4,
+        max_children: int = 100,
+        max_clusters: Optional[int] = None,
+        extra_delimiters: "Sequence[str]" = (),
+        mask_prefix: str = "<",
+        mask_suffix: str = ">",
+        masking_instructions: "Sequence[tuple[str, str]]" = (),
+        parametrize_numeric_tokens: bool = True,
+        parameter_extraction_cache_capacity: int = 3000,
+    ) -> None:
+        self.mask_prefix = mask_prefix
+        self.mask_suffix = mask_suffix
+        self.masking_instructions = list(masking_instructions)
+        self.drain = Drain(
+            depth,
+            sim_th,
+            max_children,
+            max_clusters,
+            extra_delimiters,
+            mask_prefix + "*" + mask_suffix,
+            parametrize_numeric_tokens,
+        )
+        self._extra_delimiters = list(extra_delimiters)
+        self._cache_capacity = parameter_extraction_cache_capacity
+        self._extraction_cache: "dict[tuple, tuple]" = {}
+
+    def _mask(self, content: str) -> str:
+        return apply_masking(
+            content,
+            self.masking_instructions,
+            mask_prefix=self.mask_prefix,
+            mask_suffix=self.mask_suffix,
+        )
+
+    def add_log_message(self, log_message: str) -> dict:
+        """AddLogMessageResult (template-miner.ts:56-67) as a dict."""
+        cluster, change_type = self.drain.add_log_message(self._mask(log_message))
+        return {
+            "change_type": change_type,
+            "cluster_id": cluster.cluster_id,
+            "cluster_size": cluster.size,
+            "template_mined": cluster.template(),
+            "cluster_count": self.drain.cluster_count,
+        }
+
+    def match(
+        self, log_message: str, full_search_strategy: str = "never"
+    ) -> Optional[LogCluster]:
+        return self.drain.match(self._mask(log_message), full_search_strategy)
+
+    def _mask_names(self) -> list[str]:
+        out: list[str] = []
+        for _p, name in self.masking_instructions:
+            if name not in out:
+                out.append(name)
+        return out
+
+    def _extraction_regex(
+        self, log_template: str, exact_matching: bool
+    ) -> tuple:
+        key = (log_template, exact_matching)
+        hit = self._extraction_cache.get(key)
+        if hit is not None:
+            return hit
+        param_map: list[tuple[str, str]] = []
+        counter = 0
+        mask_names = self._mask_names() + ["*"]
+        prefix = _escape_regex(self.mask_prefix)
+        suffix = _escape_regex(self.mask_suffix)
+        template_regex = _escape_regex(log_template)
+        for mask_name in mask_names:
+            search = prefix + _escape_regex(mask_name) + suffix
+            while True:
+                allowed: list[str] = []
+                if exact_matching and mask_name != "*":
+                    allowed.extend(
+                        p for p, n in self.masking_instructions if n == mask_name
+                    )
+                if not exact_matching or mask_name == "*":
+                    allowed.append(".+?")
+                group = f"p_{counter}"
+                counter += 1
+                # the reference records the group name even on the iteration
+                # that finds no further occurrence; absent groups are simply
+                # skipped at extraction time
+                param_map.append((group, mask_name))
+                capture = f"(?P<{group}>{'|'.join(allowed)})"
+                if search in template_regex:
+                    template_regex = template_regex.replace(search, capture, 1)
+                else:
+                    break
+        template_regex = template_regex.replace("\\ ", "\\s+")
+        result = (re.compile("^" + template_regex + "$"), param_map)
+        if len(self._extraction_cache) >= self._cache_capacity:
+            self._extraction_cache.pop(next(iter(self._extraction_cache)))
+        self._extraction_cache[key] = result
+        return result
+
+    def extract_parameters(
+        self,
+        log_template: str,
+        log_message: str,
+        exact_matching: bool = True,
+    ) -> Optional[list]:
+        """[(value, mask_name), ...] left-to-right, or None when the
+        message does not fit the template (template-miner.ts:77-116)."""
+        message = log_message
+        for delim in self._extra_delimiters:
+            message = message.replace(delim, " ")
+        regex, param_map = self._extraction_regex(log_template, exact_matching)
+        m = regex.match(message)
+        if m is None:
+            return None
+        groups = m.groupdict()
+        extracted = [
+            (groups[g], name)
+            for g, name in param_map
+            if groups.get(g) is not None
+        ]
+        extracted.sort(key=lambda vn: message.index(vn[0]))
+        return extracted
 
 
 @dataclass

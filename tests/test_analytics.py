@@ -249,6 +249,146 @@ def test_drain_max_clusters_lru_single_leaf_node_reference_twin():
     assert _drain_run(model, entries) == expected
 
 
+def test_drain_add_shorter_than_depth_message_reference_twin():
+    """drain.test.ts 'test_add_shorter_than_depth_message'."""
+    from hyperdx_spark.analytics.drain import Drain
+
+    model = Drain(4)
+    _c, change = model.add_log_message("hello")
+    assert change == "cluster_created"
+    _c, change = model.add_log_message("hello")
+    assert change == "none"
+    _c, change = model.add_log_message("otherword")
+    assert change == "cluster_created"
+    assert model.cluster_count == 2
+
+
+def test_drain_sim_75_reference_twin():
+    """drain.test.ts 'test_add_log_message_sim_75': at 0.75 similarity the
+    two input_userauth templates stay separate."""
+    from hyperdx_spark.analytics.drain import Drain
+
+    entries = [
+        "Dec 10 07:07:38 LabSZ sshd[24206]: input_userauth_request: invalid user test9 [preauth]",
+        "Dec 10 07:08:28 LabSZ sshd[24208]: input_userauth_request: invalid user webmaster [preauth]",
+        "Dec 10 09:12:32 LabSZ sshd[24490]: Failed password for invalid user ftpuser from 0.0.0.0 port 62891 ssh2",
+        "Dec 10 09:12:35 LabSZ sshd[24492]: Failed password for invalid user pi from 0.0.0.0 port 49289 ssh2",
+        "Dec 10 09:12:44 LabSZ sshd[24501]: Failed password for invalid user ftpuser from 0.0.0.0 port 60836 ssh2",
+        "Dec 10 07:28:03 LabSZ sshd[24245]: input_userauth_request: invalid user pgadmin [preauth]",
+    ]
+    expected = [
+        entries[0],
+        entries[1],
+        entries[2],
+        "Dec 10 <*> LabSZ <*> Failed password for invalid user <*> from 0.0.0.0 port <*> ssh2",
+        "Dec 10 <*> LabSZ <*> Failed password for invalid user <*> from 0.0.0.0 port <*> ssh2",
+        entries[5],
+    ]
+    model = Drain(4, 0.75, 100)
+    assert _drain_run(model, entries) == expected
+
+
+def test_drain_match_only_reference_twin():
+    """drain.test.ts 'test_match_only': exact-template match with params
+    wildcarded; non-trained shapes return None."""
+    from hyperdx_spark.analytics.drain import Drain
+
+    model = Drain()
+    model.add_log_message("aa aa aa")
+    model.add_log_message("aa aa bb")
+    model.add_log_message("aa aa cc")
+    model.add_log_message("xx yy zz")
+    assert model.match("aa aa tt").cluster_id == 1
+    assert model.match("xx yy zz").cluster_id == 2
+    assert model.match("xx yy rr") is None
+    assert model.match("nothing") is None
+
+
+def test_drain_create_template_reference_twin():
+    """drain.test.ts 'test_create_template'."""
+    import pytest as _pytest
+
+    from hyperdx_spark.analytics.drain import Drain
+
+    model = Drain(4, 0.4, 100, None, [], "*")
+    assert model.create_template(["aa", "bb", "dd"], ["aa", "bb", "cc"]) == [
+        "aa", "bb", "*",
+    ]
+    assert model.create_template(["aa", "bb", "dd"], ["aa", "bb", "dd"]) == [
+        "aa", "bb", "dd",
+    ]
+    with _pytest.raises(ValueError):
+        model.create_template(["aa", "bb", "dd"], ["aa"])
+
+
+def test_template_miner_masking_reference_twin():
+    """drain.test.ts TemplateMiner 'add_log_message with masking': custom
+    mask prefix/suffix and IP/NUM instructions cluster both connects."""
+    from hyperdx_spark.analytics.drain import TemplateMiner
+
+    miner = TemplateMiner(
+        masking_instructions=[
+            (
+                r"((?<=[^A-Za-z0-9])|^)(\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3})((?=[^A-Za-z0-9])|$)",
+                "IP",
+            ),
+            (r"((?<=[^A-Za-z0-9])|^)([\-\+]?\d+)((?=[^A-Za-z0-9])|$)", "NUM"),
+        ],
+        mask_prefix="<:",
+        mask_suffix=":>",
+    )
+    result = miner.add_log_message("connected to 10.0.0.1")
+    assert result["change_type"] == "cluster_created"
+    assert result["cluster_id"] == 1
+    assert "<:IP:>" in result["template_mined"]
+    result = miner.add_log_message("connected to 192.168.0.1")
+    assert result["change_type"] == "none"
+    assert result["cluster_id"] == 1
+
+
+def test_template_miner_match_after_training_reference_twin():
+    """drain.test.ts TemplateMiner 'match after training'."""
+    from hyperdx_spark.analytics.drain import TemplateMiner
+
+    miner = TemplateMiner()
+    miner.add_log_message("user alice logged in")
+    miner.add_log_message("user bob logged in")
+    assert miner.match("user charlie logged in").cluster_id == 1
+    assert miner.match("something completely different") is None
+
+
+def test_template_miner_extract_parameters_reference_twin():
+    """drain.test.ts TemplateMiner 'extract_parameters' + value checks."""
+    from hyperdx_spark.analytics.drain import TemplateMiner
+
+    miner = TemplateMiner(
+        masking_instructions=[
+            (r"((?<=[^A-Za-z0-9])|^)([\-\+]?\d+)((?=[^A-Za-z0-9])|$)", "NUM"),
+        ]
+    )
+    miner.add_log_message("user johndoe logged in 11 minutes ago")
+    miner.add_log_message("user janedoe logged in 5 minutes ago")
+    result = miner.add_log_message("user bob logged in 3 minutes ago")
+    params = miner.extract_parameters(
+        result["template_mined"], "user bob logged in 3 minutes ago", False
+    )
+    assert params is not None and len(params) > 0
+    # left-to-right order with values: the wildcarded user then the number
+    assert ("bob", "*") in params and ("3", "NUM") in params
+    assert params.index(("bob", "*")) < params.index(("3", "NUM"))
+    # exact matching: the NUM slot must satisfy the instruction pattern
+    exact = miner.extract_parameters(
+        result["template_mined"], "user eve logged in 7 minutes ago", True
+    )
+    assert ("7", "NUM") in exact
+    assert (
+        miner.extract_parameters(
+            result["template_mined"], "completely different text", True
+        )
+        is None
+    )
+
+
 def test_drain_match_never_touches_lru():
     """Reads go through peek (lru-cache.ts:33-38; drain.ts:352,361): a
     match() hit must NOT refresh recency — the peeked cluster is still the
