@@ -28,6 +28,22 @@ def series_hash(*cols: Column) -> Column:
     return F.xxhash64(*cols)
 
 
+def default_metric_alias(
+    agg_fn: str, metric_name: str, *, is_delta: bool = False
+) -> str:
+    """setChartSelectsAlias (renderChartConfig.ts:128-147): the value-column
+    alias a metric select gets when the user left it unset —
+    ``increase(name)``, ``agg(delta(name))`` for isDelta gauges, else
+    ``agg(name)``. These aliases head the joined meta when a multi-metric
+    select splits into per-metric queries (splitChartConfigs ts:149-167 +
+    mergeResultSets seeding; see post.merge_result_sets)."""
+    if agg_fn == "increase":
+        return f"increase({metric_name})"
+    if is_delta:
+        return f"{agg_fn}(delta({metric_name}))"
+    return f"{agg_fn}({metric_name})"
+
+
 def metric_name_filter(
     metric_name: str,
     metric_name_sql: Optional[str] = None,

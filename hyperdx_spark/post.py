@@ -16,28 +16,52 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+_NUMERIC_PREFIXES = (
+    "double", "float", "int", "bigint", "smallint", "tinyint", "decimal",
+)
+
+
 def merge_result_sets(dfs: Sequence[DataFrame], on: Sequence[str]) -> DataFrame:
     """Client-side bucket merge (clickhouse/index.ts:496-610): N per-series
     result sets merged on (time bucket + group dims) — a full outer join on
     the bucket keys. Spark equivalent of the reference's hash-key merge.
 
-    Alias collisions (the reference's mergeResultSets disambiguates repeated
-    value-column names): a non-key column already present from an earlier
-    result set is suffixed ``_2``, ``_3``, … in arrival order."""
+    Alias collisions: a non-key column already present from an earlier
+    result set is suffixed ``__<splitIdx>`` exactly like mergeResultSets
+    (index.ts:529-533 — e.g. a same-alias ratio of ``count(x)`` filtered /
+    unfiltered becomes ``count(x)`` and ``count(x)__1``).
+
+    Column order mirrors the joined meta
+    (queryChartConfig.int.test.ts:108-174): each split's VALUE column
+    (its first numeric non-key column) comes first, in split order, then
+    the bucket/group columns — the order useChartNumberFormats indexes
+    config.select into."""
     keys = list(on)
-    seen: dict[str, int] = {}
+    seen: set = set()
     renamed = []
-    for df in dfs:
+    value_cols: list[str] = []
+    for idx, df in enumerate(dfs):
         mapping = {}
         for c in df.columns:
             if c in keys:
                 continue
-            n = seen.get(c, 0) + 1
-            seen[c] = n
-            if n > 1:
-                mapping[c] = f"{c}_{n}"
-        renamed.append(df.withColumnsRenamed(mapping) if mapping else df)
-    return reduce(lambda a, b: a.join(b, on=keys, how="full_outer"), renamed)
+            if c in seen:
+                mapping[c] = f"{c}__{idx}"
+            else:
+                seen.add(c)
+        d2 = df.withColumnsRenamed(mapping) if mapping else df
+        renamed.append(d2)
+        dtypes = dict(d2.dtypes)
+        for c in d2.columns:
+            if c in keys:
+                continue
+            if dtypes[c].startswith(_NUMERIC_PREFIXES):
+                value_cols.append(c)
+                break
+    out = reduce(lambda a, b: a.join(b, on=keys, how="full_outer"), renamed)
+    ordered = value_cols + [c for c in out.columns if c not in value_cols]
+    # backtick-quote: metric aliases like `avg(metric.alpha)` contain dots
+    return out.select(*[F.col(f"`{c}`") for c in ordered])
 
 
 def compute_ratio(

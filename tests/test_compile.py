@@ -866,6 +866,113 @@ def test_ratio_series_limit_finite_guard(spark):
     assert sorted({r["g"] for r in out.collect()}) == ["hot", "warm"]
 
 
+# ---- queryChartConfig.int.test.ts:812-900 twins (r11) ------------------------
+
+
+def _ratio_cap_fixture(spark):
+    """The int-test's service table: inf_group divides by zero, noisy has
+    the biggest totals, broken/flaky have the top finite ratios; errors sum
+    17 / totals sum 68 (queryChartConfig.int.test.ts baseRatioConfig)."""
+    rows = [
+        (datetime(2024, 1, 1, 0, 10), "inf_group", "us-east", 5.0, 0.0),
+        (datetime(2024, 1, 1, 0, 20), "noisy", "us-west", 6.0, 57.0),
+        (datetime(2024, 1, 1, 0, 30), "broken", "eu-1", 4.0, 5.0),
+        (datetime(2024, 1, 1, 0, 40), "flaky", "eu-2", 2.0, 6.0),
+    ]
+    return spark.createDataFrame(
+        rows, "ts timestamp, service string, region string,"
+        " errors double, total double"
+    )
+
+
+def _ratio_cap_cfg(select, group_by, series_limit=2):
+    from hyperdx_spark.model import Source
+
+    src = Source(table="svc", timestamp_value_expression="ts")
+    return ChartConfig(
+        source=src, select=select, group_by=group_by,
+        granularity="1 day", date_range=RANGE, series_limit=series_limit,
+    )
+
+
+def test_series_limit_two_select_non_ratio_ranks_by_first_select(spark):
+    """:812 'ranks a two-select non-ratio config by its first select only':
+    top 2 by sum(errors) is {noisy, inf_group}; ranking by the second
+    select would keep {noisy, flaky}, a ratio collapse {broken, flaky}."""
+    df = _ratio_cap_fixture(spark)
+    cfg = _ratio_cap_cfg(
+        [
+            SelectCol(agg_fn="sum", value_expression="errors", alias="e"),
+            SelectCol(agg_fn="sum", value_expression="total", alias="t"),
+        ],
+        ["service"],
+    )
+    out = compile_chart_config(spark, cfg, df=df)
+    assert sorted({r["service"] for r in out.collect()}) == ["inf_group", "noisy"]
+
+
+def test_series_limit_three_select_ratio_mode_falls_back_to_first(spark):
+    """:855 'ranks by the first select when ratio mode has other than two
+    selects': a ratio needs exactly two selects, so three render as plain
+    multi-series and the rank stays sum(errors) — the repo's explicit
+    compute_ratio construction makes the collapse impossible, and the
+    compiler rank is pinned to the FIRST alias."""
+    df = _ratio_cap_fixture(spark)
+    cfg = _ratio_cap_cfg(
+        [
+            SelectCol(agg_fn="sum", value_expression="errors", alias="e"),
+            SelectCol(agg_fn="sum", value_expression="total", alias="t"),
+            SelectCol(agg_fn="max", value_expression="total", alias="m"),
+        ],
+        ["service"],
+    )
+    out = compile_chart_config(spark, cfg, df=df)
+    assert sorted({r["service"] for r in out.collect()}) == ["inf_group", "noisy"]
+
+
+def test_ratio_cap_two_column_group_keeps_both_key_columns(spark):
+    """:832 'groups by two columns without merging them into a ratio': the
+    regression collapsed a two-item groupBy into divide(ServiceName,
+    Region). Both key columns must survive as outputs and the finite-guard
+    ranking still picks the top finite ratios {broken, flaky} with their
+    own regions."""
+    from pyspark.sql import functions as F
+
+    from hyperdx_spark.post import compute_ratio, limit_ratio_series
+
+    df = _ratio_cap_fixture(spark).groupBy("service", "region").agg(
+        F.sum("errors").alias("errors"), F.sum("total").alias("total")
+    )
+    rated = compute_ratio(df, numerator="errors", denominator="total")
+    out = limit_ratio_series(rated, 2, group_cols=["service", "region"])
+    rows = out.collect()
+    assert {"service", "region"}.issubset(set(out.columns))
+    assert sorted(r["service"] for r in rows) == ["broken", "flaky"]
+    assert sorted(r["region"] for r in rows) == ["eu-1", "eu-2"]
+
+
+def test_ratio_no_group_by_aggregates_every_row(spark):
+    """:873 'aggregates every row when there is no group-by to cap': the
+    cap is gated on a non-empty group-by, so with seriesLimit set and no
+    groups the single ratio row still covers ALL rows — 17/68."""
+    from hyperdx_spark.post import compute_ratio, limit_ratio_series
+
+    df = _ratio_cap_fixture(spark)
+    cfg = _ratio_cap_cfg(
+        [
+            SelectCol(agg_fn="sum", value_expression="errors", alias="errors"),
+            SelectCol(agg_fn="sum", value_expression="total", alias="total"),
+        ],
+        [],
+    )
+    agg = compile_chart_config(spark, cfg, df=df).drop("__timestamp")
+    rated = compute_ratio(agg, numerator="errors", denominator="total")
+    rated = limit_ratio_series(rated, 2, group_cols=[])  # no-op without groups
+    rows = rated.collect()
+    assert len(rows) == 1
+    assert abs(rows[0]["ratio"] - 17.0 / 68.0) < 1e-9
+
+
 def test_series_limit_multi_column_group(spark, events_source):
     # ts:648-695: multi-column group-by ranks as a tuple with per-column
     # null checks — any NULL component excludes the group from ranking

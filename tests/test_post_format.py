@@ -122,9 +122,43 @@ def test_merge_result_sets_alias_collision(spark):
         [(datetime(2024, 1, 1), 2.0)], "`__timestamp` timestamp, cnt double"
     )
     m = merge_result_sets([a, b], on=["__timestamp"])
-    assert m.columns == ["__timestamp", "cnt", "cnt_2"]
+    # mergeResultSets collision suffix is __<splitIdx> (index.ts:529-533)
+    # and value columns head the joined meta in split order
+    assert m.columns == ["cnt", "cnt__1", "__timestamp"]
     row = m.collect()[0]
-    assert row["cnt"] == 1.0 and row["cnt_2"] == 2.0
+    assert row["cnt"] == 1.0 and row["cnt__1"] == 2.0
+
+
+def test_merge_result_sets_value_columns_first(spark):
+    """queryChartConfig.int.test.ts:108-174 twin: splitting a three-metric
+    select yields per-metric results whose value columns (aliased
+    `agg(metricName)` by setChartSelectsAlias) head the joined meta in
+    select order, with the time bucket after them."""
+    from hyperdx_spark.metrics import default_metric_alias
+
+    t = datetime(2025, 4, 14, 12)
+    dfs = [
+        spark.createDataFrame(
+            [(t, float(i + 1))],
+            f"`__timestamp` timestamp, `{default_metric_alias('avg', name)}` double",
+        )
+        for i, name in enumerate(["metric.alpha", "metric.beta", "metric.gamma"])
+    ]
+    m = merge_result_sets(dfs, on=["__timestamp"])
+    assert m.columns[:3] == [
+        "avg(metric.alpha)", "avg(metric.beta)", "avg(metric.gamma)",
+    ]
+    assert m.columns.index("__timestamp") >= 3
+    row = m.collect()[0]
+    assert [row[c] for c in m.columns[:3]] == [1.0, 2.0, 3.0]
+
+
+def test_default_metric_alias_rules():
+    from hyperdx_spark.metrics import default_metric_alias
+
+    assert default_metric_alias("avg", "m.cpu") == "avg(m.cpu)"
+    assert default_metric_alias("increase", "m.req") == "increase(m.req)"
+    assert default_metric_alias("sum", "m.g", is_delta=True) == "sum(delta(m.g))"
 
 
 def test_ratio_merged_result_sets_semantics(spark):
