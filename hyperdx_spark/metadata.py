@@ -170,6 +170,118 @@ def get_values_distribution(
     )
 
 
+def get_aligned_date_range(date_range, granularity: str):
+    """core/utils.ts:1043-1058 getAlignedDateRange: start floored to the
+    granularity grid, end rounded UP to the next boundary (kept as-is when
+    already aligned) — an MV rolled up at this granularity then covers the
+    whole requested window."""
+    from datetime import datetime
+
+    from hyperdx_spark.granularity import granularity_seconds
+
+    step = granularity_seconds(granularity)
+    start, end = date_range
+    s = int(start.timestamp() // step) * step
+    e = int(end.timestamp() // step) * step
+    if e < end.timestamp():
+        e += step
+    return (
+        datetime.fromtimestamp(s, tz=start.tzinfo),
+        datetime.fromtimestamp(e, tz=end.tzinfo),
+    )
+
+
+def get_metadata_mv_key_values(
+    mv_df: DataFrame,
+    requests: "dict[str, Sequence[str]]",
+    *,
+    date_range,
+    granularity: str,
+    max_values_per_key: int = MAX_VALUES_PER_KEY,
+    ts_col: str = "Timestamp",
+) -> DataFrame:
+    """Autocomplete over a metadata rollup MV (metadata.ts:1319-1430
+    getMetadataMVKeyValues): the MV holds (Timestamp bucket,
+    ColumnIdentifier, Key, Value) rows; fetch distinct non-empty values per
+    requested (ColumnIdentifier, Key) inside the granularity-ALIGNED window
+    (inclusive both ends — the reference compares against
+    start-of-bucket expressions of the aligned endpoints), capped like
+    groupUniqArray(N) and ordered by (ColumnIdentifier, Key)."""
+    start, end = get_aligned_date_range(date_range, granularity)
+    pred = None
+    for column, keys in requests.items():
+        p = (F.col("ColumnIdentifier") == column) & F.col("Key").isin(list(keys))
+        pred = p if pred is None else (pred | p)
+    if pred is None:
+        return mv_df.sparkSession.createDataFrame(
+            [], "ColumnIdentifier string, Key string, Values array<string>"
+        )
+    return (
+        mv_df.where(pred)
+        .where((F.col(ts_col) >= F.lit(start)) & (F.col(ts_col) <= F.lit(end)))
+        .where(F.col("Value").isNotNull() & (F.col("Value") != ""))
+        .groupBy("ColumnIdentifier", "Key")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_set(F.col("Value").cast("string"))),
+                1,
+                max_values_per_key,
+            ).alias("Values")
+        )
+        .orderBy("ColumnIdentifier", "Key")
+    )
+
+
+def get_key_values_with_mvs(
+    df: DataFrame,
+    keys: Sequence[str],
+    *,
+    mv_df: Optional[DataFrame] = None,
+    mv_routes: "Optional[dict[str, tuple[str, str]]]" = None,
+    date_range=None,
+    granularity: str = "1 hour",
+    max_values_per_key: int = MAX_VALUES_PER_KEY,
+    sample_rows: Optional[int] = DEFAULT_MAX_ROWS,
+    mv_ts_col: str = "Timestamp",
+) -> "dict[str, list[str]]":
+    """Strategy routing for key-value fetches (metadata.ts:2255-2430
+    getAllKeyValues + the getKeyValuesWithMVs int tests): keys whose
+    column the metadata MV materializes (``mv_routes`` maps key expression
+    -> (ColumnIdentifier, rollup Key)) are served from the MV over the
+    aligned window; everything else — and everything when the MV or the
+    source is absent — falls back to the base table via
+    :func:`get_key_values`. Empty ``keys`` -> {} without touching either
+    table. The repo's text-index tiers collapse by design (SURVEY §2.8
+    row 44), so the two index strategies route to the same base-table
+    scan Catalyst would run anyway."""
+    if not keys:
+        return {}
+    routes = mv_routes or {}
+    mv_keys = [k for k in keys if mv_df is not None and k in routes and date_range]
+    raw_keys = [k for k in keys if k not in mv_keys]
+    out: dict[str, list[str]] = {}
+    if mv_keys:
+        requests: dict[str, list[str]] = {}
+        for k in mv_keys:
+            col, rollup_key = routes[k]
+            requests.setdefault(col, []).append(rollup_key)
+        rows = get_metadata_mv_key_values(
+            mv_df, requests, date_range=date_range, granularity=granularity,
+            max_values_per_key=max_values_per_key, ts_col=mv_ts_col,
+        ).collect()
+        by_pair = {(r["ColumnIdentifier"], r["Key"]): list(r["Values"]) for r in rows}
+        for k in mv_keys:
+            out[k] = by_pair.get(routes[k], [])
+    if raw_keys:
+        row = get_key_values(
+            df, raw_keys, max_values_per_key=max_values_per_key,
+            sample_rows=sample_rows,
+        ).collect()[0]
+        for i, k in enumerate(raw_keys):
+            out[k] = list(row[f"key{i}"])
+    return out
+
+
 GET_ALL_KEY_VALUES_CHUNK_SIZE = 100  # metadata.ts:60
 
 

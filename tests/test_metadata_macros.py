@@ -130,6 +130,114 @@ def test_get_all_key_values_batched(spark, sf_dir):
     assert len(out["event_type"]) >= 3
 
 
+def _mv_fixture(spark):
+    """The getKeyValuesWithMVs int-test shape: a base table with
+    environment/service/status_code/region and a metadata rollup MV that
+    materializes the first three only."""
+    from datetime import datetime
+
+    base = spark.createDataFrame(
+        [
+            (datetime(2025, 1, 1, 0, 1), "production", "api", "200", "us-east"),
+            (datetime(2025, 1, 1, 0, 2), "staging", "web", "404", "us-west"),
+            (datetime(2025, 1, 1, 0, 3), "production", "worker", "500", "eu-west"),
+        ],
+        "Timestamp timestamp, environment string, service string,"
+        " status_code string, region string",
+    )
+    mv_rows = []
+    for r in base.collect():
+        for col in ("environment", "service", "status_code"):
+            mv_rows.append((r["Timestamp"], col, col, r[col]))
+    mv = spark.createDataFrame(
+        mv_rows,
+        "Timestamp timestamp, ColumnIdentifier string, Key string, Value string",
+    )
+    return base, mv
+
+
+def test_get_key_values_with_mvs_routing(spark):
+    """metadata.int.test.ts:299-433 twins: MV-materialized keys come from
+    the rollup, unmaterialized keys fall back to the base table, no-MV and
+    no-source route everything raw, and empty keys return {}."""
+    from datetime import datetime
+
+    from hyperdx_spark.metadata import get_key_values_with_mvs
+
+    base, mv = _mv_fixture(spark)
+    rng = (datetime(2025, 1, 1), datetime(2025, 1, 2))
+    routes = {k: (k, k) for k in ("environment", "service", "status_code")}
+
+    out = get_key_values_with_mvs(
+        base, ["environment", "service", "status_code"],
+        mv_df=mv, mv_routes=routes, date_range=rng,
+    )
+    assert set(out["environment"]) == {"production", "staging"}
+    assert set(out["service"]) == {"api", "web", "worker"}
+    assert set(out["status_code"]) == {"200", "404", "500"}
+
+    # 'region' is NOT in the MV -> base-table fallback alongside an MV key
+    out = get_key_values_with_mvs(
+        base, ["environment", "region"], mv_df=mv, mv_routes=routes,
+        date_range=rng,
+    )
+    assert set(out["environment"]) == {"production", "staging"}
+    assert set(out["region"]) == {"us-east", "us-west", "eu-west"}
+
+    # no MV / no source -> everything raw
+    for kwargs in ({"mv_df": None}, {"mv_df": mv, "mv_routes": None}):
+        out = get_key_values_with_mvs(
+            base, ["environment", "service"], date_range=rng, **kwargs
+        )
+        assert set(out["environment"]) == {"production", "staging"}
+        assert set(out["service"]) == {"api", "web", "worker"}
+
+    assert get_key_values_with_mvs(base, [], mv_df=mv, mv_routes=routes) == {}
+
+
+def test_metadata_mv_key_values_window_and_cap(spark):
+    """getMetadataMVKeyValues semantics: empty values dropped, the window
+    is granularity-ALIGNED (end rounded up covers a partial bucket), and
+    values cap like groupUniqArray(N)."""
+    from datetime import datetime
+
+    from hyperdx_spark.metadata import (
+        get_aligned_date_range,
+        get_metadata_mv_key_values,
+    )
+
+    assert get_aligned_date_range(
+        (datetime(2025, 1, 1, 0, 0, 30), datetime(2025, 1, 1, 0, 2, 30)),
+        "1 minute",
+    ) == (datetime(2025, 1, 1, 0, 0), datetime(2025, 1, 1, 0, 3))
+    # already-aligned end stays put
+    assert get_aligned_date_range(
+        (datetime(2025, 1, 1), datetime(2025, 1, 2)), "1 hour"
+    ) == (datetime(2025, 1, 1), datetime(2025, 1, 2))
+
+    mv = spark.createDataFrame(
+        [
+            (datetime(2025, 1, 1, 0, 0), "env", "env", "a"),
+            (datetime(2025, 1, 1, 0, 2, 10), "env", "env", "b"),  # partial bucket
+            (datetime(2025, 1, 1, 0, 0), "env", "env", ""),       # dropped
+            (datetime(2025, 1, 2, 5, 0), "env", "env", "late"),   # outside
+        ],
+        "Timestamp timestamp, ColumnIdentifier string, Key string, Value string",
+    )
+    out = get_metadata_mv_key_values(
+        mv, {"env": ["env"]},
+        date_range=(datetime(2025, 1, 1, 0, 0, 30), datetime(2025, 1, 1, 0, 2, 30)),
+        granularity="1 minute",
+    ).collect()
+    assert len(out) == 1 and out[0]["Values"] == ["a", "b"]
+    capped = get_metadata_mv_key_values(
+        mv, {"env": ["env"]},
+        date_range=(datetime(2025, 1, 1), datetime(2025, 1, 2)),
+        granularity="1 minute", max_values_per_key=1,
+    ).collect()
+    assert len(capped[0]["Values"]) == 1
+
+
 def test_lucene_explain():
     from hyperdx_spark.lucene.explain import explain_query
 
