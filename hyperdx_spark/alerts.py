@@ -114,10 +114,11 @@ def describe_threshold_resolution(tt: ThresholdType) -> str:
 
 
 def _js_num(x) -> str:
-    """A number the way a JS template literal prints it: no trailing .0."""
-    if isinstance(x, float) and x.is_integer():
-        return str(int(x))
-    return str(x)
+    """A number the way a JS template literal prints it: no trailing .0
+    (single implementation lives with the other template formatters)."""
+    from hyperdx_spark.webhooks import _js_num_str
+
+    return _js_num_str(x)
 
 
 def describe_threshold(cfg: AlertConfig) -> str:

@@ -163,7 +163,13 @@ class Drain:
         if node is None:
             return None
         if not tokens:
-            return node.cluster_ids[0] if node.cluster_ids else None
+            # first LIVE id: an evicted cluster's id can dangle in the tree
+            # (drain.ts:190-193 would crash on a stale head; Drain3's
+            # LRUCache.get-returns-None degrade is the intended behavior —
+            # same liveness rule _fast_match applies)
+            return next(
+                (cid for cid in node.cluster_ids if cid in self.clusters), None
+            )
         depth = 1
         for token in tokens:
             if depth >= self.max_node_depth or depth >= len(tokens):
@@ -400,6 +406,9 @@ class TemplateMiner:
                     break
         template_regex = template_regex.replace("\\ ", "\\s+")
         result = (re.compile("^" + template_regex + "$"), param_map)
+        # insertion-order eviction is the REFERENCE behavior here: reads go
+        # through LruCache.peek (template-miner.ts:120), which never touches
+        # recency, so its "LRU" degenerates to FIFO for this cache
         if len(self._extraction_cache) >= self._cache_capacity:
             self._extraction_cache.pop(next(iter(self._extraction_cache)))
         self._extraction_cache[key] = result
@@ -426,6 +435,10 @@ class TemplateMiner:
             for g, name in param_map
             if groups.get(g) is not None
         ]
+        # sort by FIRST occurrence of the value string — deliberately the
+        # reference's message.indexOf(a.value) (template-miner.ts:104-110,
+        # itself mirroring Drain3's set-iteration quirk), which can misorder
+        # repeated values; m.start(group) would differ from the reference
         extracted.sort(key=lambda vn: message.index(vn[0]))
         return extracted
 
@@ -607,7 +620,12 @@ def mine_patterns_distributed(
                 if ts_vals is not None:
                     t = ts_vals.iloc[i]
                     if not pd.isnull(t):
-                        epoch = t.timestamp()
+                        # via datetime, not pandas Timestamp.timestamp():
+                        # pandas reads naive as UTC, datetime as process-
+                        # local — the spine and the sampled miner use the
+                        # datetime convention, and mixing them shifts every
+                        # bucket by the session UTC offset on non-UTC hosts
+                        epoch = t.to_pydatetime().timestamp()
                 if epoch is None:
                     epoch = start_epoch
                 if epoch is not None:

@@ -175,20 +175,19 @@ def get_aligned_date_range(date_range, granularity: str):
     granularity grid, end rounded UP to the next boundary (kept as-is when
     already aligned) — an MV rolled up at this granularity then covers the
     whole requested window."""
-    from datetime import datetime
-
+    # naive datetimes align on the UTC epoch grid (alerts._epoch rule) —
+    # the reference works in epoch ms, so a naive caller in a non-UTC
+    # process zone must not shift the bucket boundaries
+    from hyperdx_spark.alerts import _epoch, _from_epoch
     from hyperdx_spark.granularity import granularity_seconds
 
     step = granularity_seconds(granularity)
     start, end = date_range
-    s = int(start.timestamp() // step) * step
-    e = int(end.timestamp() // step) * step
-    if e < end.timestamp():
+    s = int(_epoch(start) // step) * step
+    e = int(_epoch(end) // step) * step
+    if e < _epoch(end):
         e += step
-    return (
-        datetime.fromtimestamp(s, tz=start.tzinfo),
-        datetime.fromtimestamp(e, tz=end.tzinfo),
-    )
+    return _from_epoch(s, like=start), _from_epoch(e, like=end)
 
 
 def get_metadata_mv_key_values(

@@ -114,58 +114,66 @@ def _hb_str(v) -> str:
 
 
 def _hb_truthy(v) -> bool:
-    """Handlebars #if truthiness: false/0/''/null/undefined/[] are falsy."""
+    """Handlebars #if truthiness: false/0/''/null/undefined/[] are falsy.
+    An empty OBJECT is truthy (Utils.isEmpty only special-cases arrays)."""
     if v is None or v is False:
         return False
     if isinstance(v, (int, float)) and not isinstance(v, bool) and v == 0:
         return False
-    if isinstance(v, (str, list, tuple, dict)) and len(v) == 0:
+    if isinstance(v, (str, list, tuple)) and len(v) == 0:
         return False
     return True
 
 
-def render_template(
-    template: str,
-    view: dict,
-    *,
-    no_escape: bool = True,
-    render_is_match: bool = True,
-) -> str:
-    """Handlebars-subset renderer covering exactly what the reference's
-    alert templating registers (template.ts createHandlebarsWithHelpers +
-    renderAlertTemplate): ``{{var}}`` / ``{{{var}}}`` substitution over
-    dotted paths, ``{{#if (eq a b)}}..{{else}}..{{/if}}``,
-    plain-truthiness ``{{#if var}}..{{/if}}``, ``{{#is_match "key"
-    "value"}}..{{/is_match}}`` (strict-equality string match; the outer
-    notify pass registers it non-rendering — template.ts:602-616), and
-    ``{{__hdx_notify_channel__ ...}}`` rendering to nothing (helper returns
-    null). ``no_escape=False`` applies Handlebars' escapeExpression to
-    ``{{var}}`` (the title/body compiles omit noEscape; the generic-webhook
-    body compile sets it).
+def _parse_operand(tok: str, view: dict):
+    """(value, is_literal) for an eq/is_match argument — Handlebars parses
+    quoted strings, numbers, and booleans as literals; bare words are
+    view paths."""
+    if len(tok) >= 2 and tok[0] == tok[-1] and tok[0] in "'\"":
+        return tok[1:-1], True
+    if tok == "true":
+        return True, True
+    if tok == "false":
+        return False, True
+    try:
+        return (float(tok) if "." in tok else int(tok)), True
+    except ValueError:
+        pass
+    v, _found = _get_path(view, tok)
+    return v, False
 
-    Substitution happens in ONE pass so spliced view values are never
-    re-parsed as template syntax — the reference's untrusted-input
-    guarantee (renderAlertTemplate.int.test.ts:250-292)."""
 
-    def operand(tok: str):
-        """(value, is_literal) for an eq/is_match argument."""
-        if len(tok) >= 2 and tok[0] == tok[-1] and tok[0] in "'\"":
-            return tok[1:-1], True
-        v, _found = _get_path(view, tok)
-        return v, False
+def _strict_eq(a, b) -> bool:
+    """JS === over the value kinds a template can produce: same-type
+    comparisons only (number vs string is false), undefined === undefined
+    is true."""
+    if isinstance(a, bool) or isinstance(b, bool):
+        return (a is True and b is True) or (a is False and b is False)
+    if isinstance(a, str) and isinstance(b, str):
+        return a == b
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        return a == b
+    if a is None and b is None:
+        return True
+    return False
+
+
+def _resolve_blocks(template: str, view: dict, *, render_is_match: bool) -> str:
+    """Resolve the block helpers ({{#if (eq ..)}}, {{#if var}},
+    {{#is_match}}) against the view, returning template text with only
+    surviving branch bodies — shared by rendering AND notify extraction so
+    a directive inside a falsy block never fires (Handlebars never
+    executes helpers in unrendered branches)."""
 
     def cond_eq(m: re.Match) -> str:
-        (a, a_lit), (b, b_lit) = operand(m.group(1)), operand(m.group(2))
-        # JS ===: literals are strings; compare a path value to a string
-        # literal as strings only when the value IS a string
-        av = a if a_lit else ("" if a is None else a)
-        bv = b if b_lit else ("" if b is None else b)
-        hit = _hb_str(av) == _hb_str(bv) if not (a_lit or b_lit) else av == bv
-        if (a_lit != b_lit):
-            lit, val = (a, b) if a_lit else (b, a)
-            hit = isinstance(val, str) and val == lit
+        a, _al = _parse_operand(m.group(1), view)
+        b, _bl = _parse_operand(m.group(2), view)
         parts = m.group(3).split("{{else}}", 1)
-        return parts[0] if hit else (parts[1] if len(parts) > 1 else "")
+        return (
+            parts[0]
+            if _strict_eq(a, b)
+            else (parts[1] if len(parts) > 1 else "")
+        )
 
     def cond_var(m: re.Match) -> str:
         v, _found = _get_path(view, m.group(1))
@@ -191,7 +199,32 @@ def render_template(
         if nxt == out:
             break
         out = nxt
+    return out
 
+
+def render_template(
+    template: str,
+    view: dict,
+    *,
+    no_escape: bool = True,
+    render_is_match: bool = True,
+) -> str:
+    """Handlebars-subset renderer covering exactly what the reference's
+    alert templating registers (template.ts createHandlebarsWithHelpers +
+    renderAlertTemplate): ``{{var}}`` / ``{{{var}}}`` substitution over
+    dotted paths, ``{{#if (eq a b)}}..{{else}}..{{/if}}``,
+    plain-truthiness ``{{#if var}}..{{/if}}``, ``{{#is_match "key"
+    "value"}}..{{/is_match}}`` (strict-equality string match; the outer
+    notify pass registers it non-rendering — template.ts:602-616), and
+    ``{{__hdx_notify_channel__ ...}}`` rendering to nothing (helper returns
+    null). ``no_escape=False`` applies Handlebars' escapeExpression to
+    ``{{var}}`` (the title/body compiles omit noEscape; the generic-webhook
+    body compile sets it).
+
+    Substitution happens in ONE pass so spliced view values are never
+    re-parsed as template syntax — the reference's untrusted-input
+    guarantee (renderAlertTemplate.int.test.ts:250-292)."""
+    out = _resolve_blocks(template, view, render_is_match=render_is_match)
     out = _NOTIFY_RE.sub("", out)
 
     # A block helper this subset doesn't understand must NOT fall through to
@@ -250,19 +283,16 @@ def extract_notify_directives(
 ) -> list:
     """The notifications a rendered template would FIRE: every
     '{{__hdx_notify_channel__ channel=".." id=".."}}' marker whose
-    enclosing {{#is_match}} block (if any) matches the view — the helper
-    side-effect protocol of renderAlertTemplate (template.ts:602-668).
-    Each id is itself rendered against the view (it may be a template like
-    '{{attributes.webhookId}}'). Returns [(channel, rendered_id), ...]."""
+    enclosing block helpers ({{#if}}, {{#if (eq ..)}}, {{#is_match}})
+    all match the view — Handlebars never executes helpers inside an
+    unrendered branch, so a directive a template conditioned away must
+    not fire (template.ts:602-668). Each id is itself rendered against
+    the view (it may be a template like '{{attributes.webhookId}}').
+    Returns [(channel, rendered_id), ...]."""
     view = view or {}
-
-    def im(m: re.Match) -> str:
-        key = m.group(1).strip("'\"")
-        target = m.group(2).strip("'\"")
-        v, found = _get_path(view, key)
-        return m.group(3) if (found and isinstance(v, str) and v == target) else ""
-
-    t = _IS_MATCH_RE.sub(im, template)
+    # matched is_match bodies DO fire their notifies (isMatchFn executes
+    # options.fn even in the non-rendering outer pass)
+    t = _resolve_blocks(template, view, render_is_match=True)
     out = []
     for m in _NOTIFY_RE.finditer(t):
         channel = m.group(1)[1:-1]
@@ -514,11 +544,10 @@ def build_tile_title(
 
 
 def _epoch_ms(dt) -> int:
-    from datetime import timezone as _tz
+    # single naive-as-UTC rule: alerts._epoch
+    from hyperdx_spark.alerts import _epoch
 
-    if dt.tzinfo is None:
-        dt = dt.replace(tzinfo=_tz.utc)
-    return int(dt.timestamp() * 1000)
+    return int(_epoch(dt) * 1000)
 
 
 def build_log_search_link(

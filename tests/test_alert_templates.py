@@ -382,6 +382,44 @@ def test_is_match_render_variants():
     assert render_template(t, {"k": "v"}, render_is_match=False) == "rest"
 
 
+def test_eq_numeric_and_boolean_literals():
+    """Handlebars parses bare numbers/booleans in subexpressions as
+    literals with JS === semantics: number matches number, never string."""
+    t = "{{#if (eq count 5)}}high{{else}}low{{/if}}"
+    assert render_template(t, {"count": 5}) == "high"
+    assert render_template(t, {"count": 5.0}) == "high"
+    assert render_template(t, {"count": "5"}) == "low"  # string !== number
+    assert render_template(t, {}) == "low"
+    t2 = "{{#if (eq ok true)}}y{{else}}n{{/if}}"
+    assert render_template(t2, {"ok": True}) == "y"
+    assert render_template(t2, {"ok": 1}) == "n"  # 1 !== true under ===
+
+
+def test_empty_dict_is_truthy_in_if():
+    # Handlebars Utils.isEmpty only special-cases ARRAYS; {} is truthy
+    t = "{{#if attributes}}has{{else}}none{{/if}}"
+    assert render_template(t, {"attributes": {}}) == "has"
+    assert render_template(t, {"attributes": []}) == "none"
+
+
+def test_extract_notify_directives_respects_if_blocks():
+    """A notify directive inside a falsy {{#if}} (or non-matching eq)
+    block must NOT fire — Handlebars never executes helpers in an
+    unrendered branch."""
+    t = translate_external_actions("{{#if group}} @webhook-grouped {{/if}}")
+    assert extract_notify_directives(t, {"group": "http"}) == [
+        ("webhook", "grouped")
+    ]
+    assert extract_notify_directives(t, {"group": None}) == []
+    t2 = translate_external_actions(
+        '{{#if (eq state "ALERT")}} @webhook-firing {{/if}}'
+    )
+    assert extract_notify_directives(t2, {"state": "ALERT"}) == [
+        ("webhook", "firing")
+    ]
+    assert extract_notify_directives(t2, {"state": "OK"}) == []
+
+
 def test_dotted_path_substitution():
     assert (
         render_template("{{attributes.pod}}", {"attributes": {"pod": "p1"}})

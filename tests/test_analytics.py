@@ -389,6 +389,18 @@ def test_template_miner_extract_parameters_reference_twin():
     )
 
 
+def test_drain_evicted_empty_token_cluster_does_not_crash():
+    """A stale evicted id dangling in the empty-token tree node must
+    degrade to no-match (Drain3 LRUCache.get-None semantics), not raise."""
+    from hyperdx_spark.analytics.drain import Drain
+
+    model = Drain(4, 0.4, 100, max_clusters=1)
+    model.add_log_message("")               # cluster 1 at root['0']
+    model.add_log_message("alpha beta gamma")  # evicts cluster 1
+    cluster, change = model.add_log_message("")  # stale id 1 in the tree
+    assert change == "cluster_created" and cluster.cluster_id == 3
+
+
 def test_drain_match_never_touches_lru():
     """Reads go through peek (lru-cache.ts:33-38; drain.ts:352,361): a
     match() hit must NOT refresh recency — the peeked cluster is still the
