@@ -477,10 +477,76 @@ def parse_alert_data(
     extra = []
     for k, v in mapping.items():
         if k in value_cols:
-            if value is None:
-                value = v
+            # the LAST value column wins (checkAlerts/index.ts:767-773
+            # overwrites `value` per hit; pinned by the raw-SQL int test
+            # 'alert is evaluated using the last numeric column'), and
+            # stringified 64-bit ints parse back (parseInt parity)
+            value = int(v) if isinstance(v, str) else v
             continue
         if timestamp_col is not None and k == timestamp_col:
             continue
         extra.append((k, str(v)))
     return value, extra
+
+
+def get_response_metadata(df, *, display_type: str = "line", is_raw_sql: bool = False):
+    """Result-shape inference (checkAlerts/index.ts:706-751
+    getResponseMetadata): value columns = every numeric column; raw-SQL
+    Number charts are ``single_value`` (no timestamp required, first row
+    only); everything else is ``time_series`` keyed on the first
+    Date-typed column. Returns ``None`` (the reference's logged-error
+    degrade) when no value column — or, for time series, no timestamp
+    column — exists.
+
+    Takes the alert query's result DataFrame (schema only, nothing runs)."""
+    from pyspark.sql import types as T
+
+    value_cols = {
+        f.name for f in df.schema.fields if isinstance(f.dataType, T.NumericType)
+    }
+    if not value_cols:
+        return None
+    if is_raw_sql and display_type == "number":
+        return {"type": "single_value", "value_cols": value_cols,
+                "timestamp_col": None}
+    ts = next(
+        (
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (T.TimestampType, T.DateType, T.TimestampNTZType))
+        ),
+        None,
+    )
+    if ts is None:
+        return None
+    return {"type": "time_series", "value_cols": value_cols, "timestamp_col": ts}
+
+
+def parse_single_value(rows, meta) -> float:
+    """Raw-SQL Number chart evaluation value (checkAlerts/index.ts:
+    1162-1180): the FIRST row only, its last-numeric-column value, 0 when
+    the result is empty or the value is null."""
+    if not rows:
+        return 0
+    value, _extra = parse_alert_data(
+        rows[0], value_cols=meta["value_cols"], timestamp_col=None
+    )
+    return 0 if value is None else value
+
+
+def alert_has_group_by(
+    *,
+    alert_group_by: Optional[str] = None,
+    tile_group_by: "Optional[Sequence[str]]" = None,
+    is_raw_sql: bool = False,
+    display_type: str = "line",
+) -> bool:
+    """checkAlerts/index.ts:118-143 alertHasGroupBy: the alert's own
+    groupBy wins; builder tiles check the tile config's; raw-SQL tiles
+    can't be parsed reliably, so time-series display types are ASSUMED
+    grouped and Number charts assumed not."""
+    if alert_group_by:
+        return True
+    if is_raw_sql:
+        return display_type != "number"
+    return bool(tile_group_by)

@@ -268,3 +268,57 @@ def test_parse_alert_data():
     # single_value results keep the timestamp as a field
     v, f5 = parse_alert_data({"ts": "t", "cnt": 5}, value_cols={"cnt"})
     assert v == 5 and f5 == [("ts", "t")]
+    # the LAST value column wins (checkAlerts.int.test.ts:4302 'alert is
+    # evaluated using the last numeric column')
+    v, _ = parse_alert_data(
+        {"ts": "t", "first": 1.0, "second": 9.0},
+        value_cols={"first", "second"}, timestamp_col="ts",
+    )
+    assert v == 9.0
+    # stringified 64-bit ints parse back (output_format_json_quote_64bit)
+    v, _ = parse_alert_data({"ts": "t", "cnt": "42"}, value_cols={"cnt"},
+                            timestamp_col="ts")
+    assert v == 42
+
+
+def test_get_response_metadata_and_single_value(spark):
+    """checkAlerts/index.ts:706-751 + the raw-SQL Number int tests: value
+    columns = numeric columns, single_value for raw-SQL Number charts
+    (first row only, 0 on empty/null), time_series keyed on the first
+    date column, None degrades on missing columns."""
+    from hyperdx_spark.alerts import (
+        alert_has_group_by,
+        get_response_metadata,
+        parse_single_value,
+    )
+
+    df = spark.createDataFrame(
+        [(datetime(2024, 1, 1), "api", 2.0, 7.0)],
+        "ts timestamp, svc string, a double, b double",
+    )
+    meta = get_response_metadata(df)
+    assert meta["type"] == "time_series" and meta["timestamp_col"] == "ts"
+    assert meta["value_cols"] == {"a", "b"}
+
+    nmeta = get_response_metadata(df, display_type="number", is_raw_sql=True)
+    assert nmeta["type"] == "single_value" and nmeta["timestamp_col"] is None
+    rows = df.collect()
+    # first row only; value = LAST numeric column
+    assert parse_single_value(rows, nmeta) == 7.0
+    assert parse_single_value([], nmeta) == 0
+
+    # no numeric column -> None; time series without a date column -> None
+    assert get_response_metadata(df.select("svc")) is None
+    assert get_response_metadata(df.select("a")) is None
+    assert (
+        get_response_metadata(df.select("a"), display_type="number",
+                              is_raw_sql=True)["type"] == "single_value"
+    )
+
+    # alertHasGroupBy (index.ts:118-143)
+    assert alert_has_group_by(alert_group_by="svc")
+    assert not alert_has_group_by()
+    assert alert_has_group_by(tile_group_by=["svc"])
+    assert not alert_has_group_by(tile_group_by=[])
+    assert alert_has_group_by(is_raw_sql=True, display_type="line")
+    assert not alert_has_group_by(is_raw_sql=True, display_type="number")
