@@ -534,6 +534,92 @@ def parse_single_value(rows, meta) -> float:
     return 0 if value is None else value
 
 
+ALERT_GROUP_DELIMITER = "||"  # checkAlerts/index.ts:483-488
+
+
+def compute_history_map_key(alert_id: str, group_key: str = "") -> str:
+    """checkAlerts/index.ts:486-488: 'alertId||group' for grouped alerts,
+    the bare alertId otherwise ('||' is delimiter-safe for ObjectIds)."""
+    return f"{alert_id}{ALERT_GROUP_DELIMITER}{group_key}" if group_key else alert_id
+
+
+def extract_group_key_from_map_key(map_key: str, alert_id: str) -> str:
+    """checkAlerts/index.ts:495-500: prefix-split so group names containing
+    colons or delimiters survive."""
+    prefix = alert_id + ALERT_GROUP_DELIMITER
+    return map_key[len(prefix):] if map_key.startswith(prefix) else ""
+
+
+def _history_created_at(history):
+    if isinstance(history, dict):
+        return history.get("created_at") or history.get("createdAt")
+    return getattr(history, "created_at", None) or getattr(history, "createdAt", None)
+
+
+def should_skip_alert_check(
+    alert_id: str,
+    previous_map: dict,
+    *,
+    has_group_by: bool,
+    now_rounded: datetime,
+) -> bool:
+    """checkAlerts/index.ts:503-525: skip when ANY matching previous
+    history was created in the current window — for grouped alerts any
+    'alertId||*' key (or the bare alertId for the empty-group case)
+    matches; non-grouped alerts match the exact alertId only. One group
+    having current-window history skips the whole alert (pinned by the
+    'skip if ONE group has history' int test)."""
+    prefix = alert_id + ALERT_GROUP_DELIMITER
+    for key, history in previous_map.items():
+        matches = (
+            (key == alert_id or key.startswith(prefix))
+            if has_group_by
+            else key == alert_id
+        )
+        created = _history_created_at(history)
+        if matches and created is not None and _epoch(created) == _epoch(now_rounded):
+            return True
+    return False
+
+
+def get_alert_evaluation_date_range(
+    alert_id: str,
+    previous_map: dict,
+    *,
+    has_group_by: bool,
+    now_rounded: datetime,
+    window_size_mins: int,
+    schedule_start_at: Optional[datetime] = None,
+) -> tuple[datetime, datetime]:
+    """checkAlerts/index.ts:528-568: start from the latest previous
+    evaluation (across all of a grouped alert's keys), else one window
+    back; clamp to schedule_start_at when anchored; then the
+    calc_alert_date_range 50-window/6h/24h caps."""
+    prefix = alert_id + ALERT_GROUP_DELIMITER
+    previous_created: Optional[datetime] = None
+    if has_group_by:
+        for key, history in previous_map.items():
+            if key == alert_id or key.startswith(prefix):
+                created = _history_created_at(history)
+                if created is not None and (
+                    previous_created is None or _epoch(created) > _epoch(previous_created)
+                ):
+                    previous_created = created
+    else:
+        h = previous_map.get(alert_id)
+        previous_created = _history_created_at(h) if h is not None else None
+
+    if previous_created is not None:
+        raw_start = _epoch(previous_created)
+    else:
+        raw_start = _epoch(now_rounded) - window_size_mins * 60
+    if schedule_start_at is not None:
+        raw_start = max(raw_start, _epoch(schedule_start_at))
+    return calc_alert_date_range(
+        _from_epoch(raw_start, like=now_rounded), now_rounded, window_size_mins
+    )
+
+
 def alert_has_group_by(
     *,
     alert_group_by: Optional[str] = None,

@@ -281,6 +281,70 @@ def test_parse_alert_data():
     assert v == 42
 
 
+def test_alert_skip_logic_and_evaluation_range():
+    """checkAlerts/index.ts:475-568 twins (+ the group-by skip int tests):
+    key composition survives delimiter-bearing groups; ONE group with
+    current-window history skips the whole grouped alert; the evaluation
+    range starts at the latest previous evaluation (else one window back)
+    and clamps to schedule_start_at."""
+    from hyperdx_spark.alerts import (
+        compute_history_map_key,
+        extract_group_key_from_map_key,
+        get_alert_evaluation_date_range,
+        should_skip_alert_check,
+    )
+
+    assert compute_history_map_key("a1") == "a1"
+    assert compute_history_map_key("a1", "svc:web") == "a1||svc:web"
+    assert extract_group_key_from_map_key("a1||svc:web", "a1") == "svc:web"
+    assert extract_group_key_from_map_key("a1", "a1") == ""
+    assert extract_group_key_from_map_key("other||g", "a1") == ""
+
+    now = datetime(2024, 1, 1, 10, 0)
+    prev = {
+        "a1||g1": {"created_at": datetime(2024, 1, 1, 9, 59)},  # older window
+        "a1||g2": {"created_at": now},                           # current
+    }
+    assert should_skip_alert_check("a1", prev, has_group_by=True, now_rounded=now)
+    # non-grouped: only the exact alertId key counts
+    assert not should_skip_alert_check("a1", prev, has_group_by=False, now_rounded=now)
+    assert should_skip_alert_check(
+        "a1", {"a1": {"created_at": now}}, has_group_by=False, now_rounded=now
+    )
+    assert not should_skip_alert_check(
+        "a1", {"a1": {"created_at": datetime(2024, 1, 1, 9, 55)}},
+        has_group_by=False, now_rounded=now,
+    )
+
+    # range: latest previous across the grouped keys wins
+    s, e = get_alert_evaluation_date_range(
+        "a1",
+        {
+            "a1||g1": {"created_at": datetime(2024, 1, 1, 9, 40)},
+            "a1||g2": {"created_at": datetime(2024, 1, 1, 9, 50)},
+        },
+        has_group_by=True, now_rounded=now, window_size_mins=5,
+    )
+    assert (s, e) == (datetime(2024, 1, 1, 9, 50), now)
+    # no history -> one window back
+    s, e = get_alert_evaluation_date_range(
+        "a1", {}, has_group_by=False, now_rounded=now, window_size_mins=5
+    )
+    assert (s, e) == (datetime(2024, 1, 1, 9, 55), now)
+    # schedule_start_at clamps forward
+    s, _e = get_alert_evaluation_date_range(
+        "a1", {}, has_group_by=False, now_rounded=now, window_size_mins=5,
+        schedule_start_at=datetime(2024, 1, 1, 9, 58),
+    )
+    assert s == datetime(2024, 1, 1, 9, 58)
+    # stale history still rides the calc_alert_date_range lookback clamps
+    s, _e = get_alert_evaluation_date_range(
+        "a1", {"a1": {"created_at": datetime(2023, 12, 1)}},
+        has_group_by=False, now_rounded=now, window_size_mins=5,
+    )
+    assert s == datetime(2024, 1, 1, 5, 50)  # 50-window cap: 50 x 5min back
+
+
 def test_get_response_metadata_and_single_value(spark):
     """checkAlerts/index.ts:706-751 + the raw-SQL Number int tests: value
     columns = numeric columns, single_value for raw-SQL Number charts
