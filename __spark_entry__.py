@@ -1546,28 +1546,22 @@ def q_text_stats(spark, sf_dir):
         # Column-side: they're single codegen'd regex passes.
         text.corpus_signals(docs)
         .withColumn("__bpe", text.bpe_token_count("text"))
-        # trained-vocab encoding (bpe.encode_token_count, the Arrow worker):
-        # the merge pairs use pairwise-DISJOINT character sets, so each
-        # pair's greedy merge count equals an independent left-to-right
-        # replace on the original pre-token piece — which makes the count
-        # exactly SQL-replayable: tokens = len(piece) - sum_p occ(p, piece)
-        .withColumn(
-            "__bpev",
-            _bpe.encode_token_count(
-                "text", [("e", "r"), ("t", "h"), ("i", "n"), ("o", "u")]
-            ),
-        )
-        # r11: id-level encoding (bpe.encode_token_ids over bpe.build_vocab).
-        # With the disjoint-pair merge list the token STREAM is exactly a
-        # leftmost-first regex scan '(er|th|in|ou|.)' per pre-token piece,
-        # so the oracle replays the ids as a CASE lookup over that scan;
-        # chars outside the 12-token vocab map to unk_id=-1.
+        # trained-vocab encoding: ONE Arrow pass (bpe.encode_token_ids over
+        # bpe.build_vocab) serves BOTH gate columns — the token count is
+        # size(ids) by construction, so the r10 encode_token_count pass is
+        # subsumed rather than run alongside (keeps the text tier at the
+        # same pass count at sf10). The merge pairs use pairwise-DISJOINT
+        # character sets, so the token STREAM is exactly a leftmost-first
+        # regex scan '(er|th|in|ou|.)' per pre-token piece: counts replay
+        # as len(piece) - per-pair greedy replace counts, ids as a CASE
+        # lookup over the scan; chars outside the 12-token vocab -> -1.
         .withColumn(
             "__bpeids",
             _bpe.encode_token_ids(
                 "text", [("e", "r"), ("t", "h"), ("i", "n"), ("o", "u")]
             ),
         )
+        .withColumn("__bpev", F.size("__bpeids").cast("long"))
         .withColumn("__n_email", pii["email"])
         .withColumn("__n_ipv4", pii["ipv4"])
         .groupBy("source")
