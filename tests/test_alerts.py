@@ -345,6 +345,38 @@ def test_alert_skip_logic_and_evaluation_range():
     assert s == datetime(2024, 1, 1, 5, 50)  # 50-window cap: 50 x 5min back
 
 
+def test_alert_catches_up_on_multiple_missed_windows():
+    """checkAlerts int ':4523 catches up on multiple missed windows' as a
+    composition twin: a previous evaluation three windows ago widens the
+    evaluation range to all missed windows, and evaluate() walks EVERY
+    expected bucket in it — including empty ones — in one pass."""
+    from hyperdx_spark.alerts import (
+        AlertConfig,
+        AlertState,
+        evaluate,
+        get_alert_evaluation_date_range,
+    )
+
+    now = datetime(2024, 1, 1, 10, 0)
+    rng = get_alert_evaluation_date_range(
+        "a1", {"a1": {"created_at": datetime(2024, 1, 1, 9, 45)}},
+        has_group_by=False, now_rounded=now, window_size_mins=5,
+    )
+    assert rng == (datetime(2024, 1, 1, 9, 45), now)  # 3 missed windows
+
+    cfg = AlertConfig(threshold=5, window_minutes=5)
+    rows = [
+        {"__timestamp": datetime(2024, 1, 1, 9, 45), "value": 9.0},
+        # 9:50 missing entirely -> empty bucket evaluates as 0
+        {"__timestamp": datetime(2024, 1, 1, 9, 55), "value": 7.0},
+    ]
+    histories, notes = evaluate(rows, cfg, date_range=rng)
+    assert histories[""].state == AlertState.ALERT
+    # both above-threshold catch-up buckets fired; the empty one did not
+    fired = sorted(n.bucket_start for n in notes)
+    assert fired == [datetime(2024, 1, 1, 9, 45), datetime(2024, 1, 1, 9, 55)]
+
+
 def test_get_response_metadata_and_single_value(spark):
     """checkAlerts/index.ts:706-751 + the raw-SQL Number int tests: value
     columns = numeric columns, single_value for raw-SQL Number charts
