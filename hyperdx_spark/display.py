@@ -108,6 +108,52 @@ def convert_to_categorical_chart_config(config: ChartConfig) -> ChartConfig:
     return cfg
 
 
+MAX_RENDERED_TIME_CHART_SERIES = 250  # app defaults.ts:16
+
+
+def resolve_rendered_series_cap(series_limit) -> float:
+    """Client-side render cap resolution (app defaults.ts:44-58): ``0`` is
+    the explicit load-all escape hatch (infinity); unset, non-integer, or
+    negative values fall back to the default cap — malformed input must
+    never DISABLE the guard."""
+    if series_limit == 0 and isinstance(series_limit, int) and not isinstance(series_limit, bool):
+        return float("inf")
+    if (
+        series_limit is None
+        or isinstance(series_limit, bool)
+        or not isinstance(series_limit, int)
+        or series_limit < 0
+    ):
+        return MAX_RENDERED_TIME_CHART_SERIES
+    return series_limit
+
+
+def convert_to_time_chart_config(
+    config: ChartConfig, *, align_date_range_to_granularity: bool = True
+) -> ChartConfig:
+    """Line/bar TIME chart rewrite (app ChartUtils.tsx:115-165
+    convertToTimeChartConfig): 'auto'/unset granularity resolves from the
+    date range (80-bucket target); the range aligns to the granularity
+    grid unless alignment is off, and an aligned range turns END-EXCLUSIVE
+    (the aligned end is the next bucket's start — inclusive would
+    double-count boundary events); a non-positive seriesLimit is
+    normalized AWAY (a cleared null must not be carried over), and the row
+    limit pins to 100000."""
+    from hyperdx_spark.granularity import auto_granularity
+    from hyperdx_spark.metadata import get_aligned_date_range
+
+    cfg = copy.deepcopy(config)
+    if not has_positive_series_limit(cfg.series_limit):
+        cfg.series_limit = None
+    if cfg.granularity in (None, "auto") and cfg.date_range:
+        cfg.granularity = auto_granularity(cfg.date_range, 80)
+    if align_date_range_to_granularity and cfg.date_range and cfg.granularity:
+        cfg.date_range = get_aligned_date_range(cfg.date_range, cfg.granularity)
+        cfg.date_range_end_inclusive = False
+    cfg.limit = 100_000
+    return cfg
+
+
 def convert_to_number_chart_config(config: ChartConfig) -> ChartConfig:
     """Number charts collapse to a single aggregate value: drop the time
     bucket (granularity) and any group-by (ref core/utils.ts:868-874)."""

@@ -404,3 +404,65 @@ def test_series_limit_rejects_non_integer(spark, sf_dir, ev_source):
     )
     df = compile_chart_config(spark, cfg, sf_dir=sf_dir)
     assert df.select("event_type").distinct().count() > 2
+
+
+# ---- convertToTimeChartConfig + resolveRenderedSeriesCap twins (r11) ---------
+# (app ChartUtils.test.ts:1153-1260 + defaults.ts:44-58)
+
+
+def test_resolve_rendered_series_cap():
+    from hyperdx_spark.display import (
+        MAX_RENDERED_TIME_CHART_SERIES,
+        resolve_rendered_series_cap,
+    )
+
+    assert resolve_rendered_series_cap(None) == MAX_RENDERED_TIME_CHART_SERIES
+    assert resolve_rendered_series_cap(0) == float("inf")  # load-all escape
+    assert resolve_rendered_series_cap(5) == 5
+    # malformed values fall back to the default — never disable the guard
+    assert resolve_rendered_series_cap(-1) == MAX_RENDERED_TIME_CHART_SERIES
+    assert resolve_rendered_series_cap(1.5) == MAX_RENDERED_TIME_CHART_SERIES
+    assert resolve_rendered_series_cap(True) == MAX_RENDERED_TIME_CHART_SERIES
+
+
+def test_convert_to_time_chart_config():
+    from datetime import datetime
+
+    from hyperdx_spark.display import convert_to_time_chart_config
+
+    rng = (datetime(2025, 11, 26), datetime(2025, 11, 27))
+
+    def conv(**kw):
+        kw.setdefault("date_range", rng)
+        return convert_to_time_chart_config(
+            _cfg(select=[SelectCol(agg_fn="count", alias="cnt")], **kw)
+        )
+
+    # 'auto' and unset granularity resolve from the range (80-bucket target)
+    assert conv(granularity="auto").granularity == "30 minute"
+    assert conv(granularity=None).granularity == "30 minute"
+    assert conv(granularity="5 minute").granularity == "5 minute"
+
+    # seriesLimit normalization: unset/cleared/zero -> None; positive kept
+    assert conv(granularity="5 minute").series_limit is None
+    assert conv(granularity="5 minute", series_limit=None).series_limit is None
+    assert conv(granularity="5 minute", series_limit=0).series_limit is None
+    assert conv(granularity="5 minute", series_limit=5).series_limit == 5
+    assert conv(granularity="5 minute", series_limit=100000).series_limit == 100000
+
+    # aligned range turns end-exclusive; the row limit pins to 100000
+    out = conv(granularity="1 hour",
+               date_range=(datetime(2025, 11, 26, 0, 10),
+                           datetime(2025, 11, 26, 22, 40)))
+    assert out.date_range == (datetime(2025, 11, 26, 0, 0),
+                              datetime(2025, 11, 26, 23, 0))
+    assert out.date_range_end_inclusive is False
+    assert out.limit == 100000
+
+    # alignment off keeps the caller's exact range
+    cfg = _cfg(select=[SelectCol(agg_fn="count", alias="cnt")],
+               date_range=(datetime(2025, 11, 26, 0, 10),
+                           datetime(2025, 11, 26, 22, 40)),
+               granularity="1 hour")
+    out = convert_to_time_chart_config(cfg, align_date_range_to_granularity=False)
+    assert out.date_range == cfg.date_range
