@@ -32,6 +32,8 @@ from hyperdx_spark.display import (
     convert_to_categorical_chart_config,
     convert_to_number_chart_config,
     convert_to_table_chart_config,
+    convert_to_time_chart_config,
+    resolve_rendered_series_cap,
 )
 
 __all__ = [
@@ -49,6 +51,8 @@ __all__ = [
     "convert_to_categorical_chart_config",
     "convert_to_number_chart_config",
     "convert_to_table_chart_config",
+    "convert_to_time_chart_config",
+    "resolve_rendered_series_cap",
 ]
 
 __version__ = "0.1.0"
