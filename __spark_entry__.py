@@ -4093,12 +4093,33 @@ def q_dedup_all(spark, sf_dir):
         (F.col("doc_id") % 3).cast("long").alias("v1"),
         F.lit(0).cast("long").alias("v2"),
     )
+    # r11: trainable quality classifier's SERVING path (pipeline/quality.py
+    # linear_quality_score + quality_filter) under the gate. Weights are
+    # the pinned integer-valued formula w(b) = (b*37) % 21 - 10 over the
+    # k=64 md5-prefix buckets, bias 0, threshold 0.5: sigmoid is monotone,
+    # so the keep decision is exactly "integer weight-sum >= 0" — the
+    # DuckDB replay recomputes the same buckets and weights per token with
+    # no float-boundary risk, while Spark runs the real sigmoid Column.
+    # (Training itself is deterministic numpy over bounded samples and is
+    # pytest-oracled — not SQL-expressible.)
+    from hyperdx_spark.pipeline import quality as _quality
+
+    qscore = _quality.quality_filter(
+        docs, [float((b * 37) % 21 - 10) for b in range(64)], 0.0,
+        text_col="text", threshold=0.5, score_col="qs",
+    ).select(
+        F.lit("qscore").alias("part"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("__nt").cast("long").alias("v1"),
+        F.lit(0).cast("long").alias("v2"),
+    )
     return (
         exact.unionByName(groups).unionByName(samp).unionByName(mix)
         .unionByName(span).unionByName(contam).unionByName(semkeep)
         .unionByName(semdedup).unionByName(srccut).unionByName(topgram)
         .unionByName(langid).unionByName(htmlstrip).unionByName(packpart)
         .unionByName(storeprobe).unionByName(urldedup).unionByName(urlcap)
+        .unionByName(qscore)
     )
 
 
@@ -4475,6 +4496,16 @@ FROM (
            ORDER BY md5(doc_id::VARCHAR || ':42') ASC, doc_id ASC) AS rn
   FROM documents) uc
 WHERE rn <= 7
+UNION ALL
+-- quality-filter replay: md5-prefix bucket hash, pinned integer weights
+-- w(b) = (b*37) mod 21 - 10, keep iff weight sum >= 0 (sigmoid(z) >= 0.5
+-- <=> z >= 0; bias 0) — empty-token docs keep (score exactly 0.5)
+SELECT 'qscore' AS part, doc_id::VARCHAR AS k,
+       len({_TOKS})::BIGINT AS v1, 0::BIGINT AS v2
+FROM documents
+WHERE coalesce(list_sum(list_transform({_TOKS},
+        t -> ((('0x' || substr(md5(t), 1, 4))::INTEGER % 64) * 37) % 21 - 10
+      )), 0) >= 0
 """
 
 
