@@ -4106,7 +4106,7 @@ def q_dedup_all(spark, sf_dir):
 
     qscore = _quality.quality_filter(
         docs, [float((b * 37) % 21 - 10) for b in range(64)], 0.0,
-        text_col="text", threshold=0.5, score_col="qs",
+        text_col="text", threshold=0.5, score_col="qs", method="column",
     ).select(
         F.lit("qscore").alias("part"),
         F.col("doc_id").cast("string").alias("k"),

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from hyperdx_spark.pipeline.text import tokens
 
 # above this many features the folded-literal lookup array stops being a
-# reasonable plan constant and scoring moves into an Arrow worker
+# reasonable plan constant; the column path refuses and callers use arrow
 _COLUMN_PATH_MAX_FEATURES = 1024
 
 
@@ -54,6 +54,8 @@ def linear_quality_score(
     col: Column | str,
     weights: Sequence[float],
     bias: float,
+    *,
+    method: str = "auto",
 ) -> Column:
     """sigmoid(bias + mean token-bucket weight) as a row-local Column.
 
@@ -61,12 +63,26 @@ def linear_quality_score(
     by token count), so a long document is not automatically "higher
     quality". Empty documents score ``sigmoid(bias)``.
 
-    Small weight vectors fold into the plan as an array literal; above
-    ``_COLUMN_PATH_MAX_FEATURES`` the lookup runs in an Arrow worker with
-    the numpy weight vector shipped in the closure."""
+    ``method``: ``"arrow"`` scores in an Arrow worker with the numpy
+    weight vector shipped in the closure — the measured fast path (the
+    ``"column"`` spelling's per-token HOF aggregate is interpreted, not
+    codegen'd: 9x slower at sf10 even with a 64-weight folded literal,
+    tools/bench_quality_scale.py). ``"column"`` is pure Spark SQL over
+    the engine-portable md5 buckets — the spelling any SQL engine (and
+    the driver's DuckDB oracle) can replay verbatim. ``"auto"`` picks
+    arrow except for weight vectors too large to fold when a caller
+    explicitly asked for column. Both paths are value-equal
+    (pytest-pinned to 1e-12)."""
     c = F.col(col) if isinstance(col, str) else col
     k = len(weights)
-    if k <= _COLUMN_PATH_MAX_FEATURES:
+    if method not in ("auto", "arrow", "column"):
+        raise ValueError(f"unknown scoring method: {method!r}")
+    if method == "column" and k > _COLUMN_PATH_MAX_FEATURES:
+        raise ValueError(
+            f"column path folds the weights into the plan; {k} features"
+            f" exceed the {_COLUMN_PATH_MAX_FEATURES} cap — use arrow"
+        )
+    if method == "column":
         w = F.array(*[F.lit(float(x)) for x in weights])
         buckets = hashed_feature_buckets(c, num_features=k)
         total = F.aggregate(
@@ -177,11 +193,13 @@ def quality_filter(
     text_col: str = "text",
     threshold: float = 0.5,
     score_col: Optional[str] = "quality_score",
+    method: str = "auto",
 ) -> DataFrame:
     """Keep documents scoring >= *threshold*; optionally retain the score
     column. Row-local — composes with dedup/sampling without a shuffle."""
     scored = df.withColumn(
-        score_col or "__q", linear_quality_score(text_col, weights, bias)
+        score_col or "__q",
+        linear_quality_score(text_col, weights, bias, method=method),
     )
     out = scored.where(F.col(score_col or "__q") >= F.lit(float(threshold)))
     return out if score_col else out.drop("__q")

@@ -54,7 +54,9 @@ def test_linear_score_column_path_matches_reference(spark):
     got = [
         r["s"]
         for r in df.select(
-            quality.linear_quality_score("text", weights, -0.25).alias("s")
+            quality.linear_quality_score(
+                "text", weights, -0.25, method="column"
+            ).alias("s")
         ).collect()
     ]
     for g, (text,) in zip(got, rows):
@@ -66,8 +68,8 @@ def test_linear_score_column_path_matches_reference(spark):
 
 
 def test_linear_score_arrow_path_equals_column_semantics(spark):
-    # k > 1024 routes through the Arrow worker; values must match the
-    # driver-side reference exactly (same hash, same mean, same sigmoid)
+    # the default (arrow) worker must match the driver-side reference
+    # exactly (same hash, same mean, same sigmoid) at any k
     k = 2048
     weights = [float((b * 13) % 9 - 4) for b in range(k)]
     rows = [("some text with tokens",), ("zzz qqq",), ("",)]
@@ -80,6 +82,26 @@ def test_linear_score_arrow_path_equals_column_semantics(spark):
     ]
     for g, (text,) in zip(got, rows):
         assert abs(g - _py_score(text, weights, 0.5)) < 1e-12
+
+
+def test_score_method_dispatch(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([("a b",)], "text string")
+    w64 = [float(i % 5 - 2) for i in range(64)]
+    # column and arrow agree bit-for-bit at small k
+    col_v = df.select(
+        quality.linear_quality_score("text", w64, 0.1, method="column").alias("s")
+    ).collect()[0]["s"]
+    arr_v = df.select(
+        quality.linear_quality_score("text", w64, 0.1, method="arrow").alias("s")
+    ).collect()[0]["s"]
+    assert abs(col_v - arr_v) < 1e-12
+    # the column spelling refuses weight vectors too large to fold
+    with _pytest.raises(ValueError):
+        quality.linear_quality_score("text", [0.0] * 2048, 0.0, method="column")
+    with _pytest.raises(ValueError):
+        quality.linear_quality_score("text", w64, 0.0, method="nope")
 
 
 def test_train_separates_synthetic_classes(spark):
