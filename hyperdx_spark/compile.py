@@ -17,6 +17,7 @@ by construction, so no shuffle of the big side at any scale).
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 from datetime import datetime
 from typing import Optional, Sequence
@@ -69,6 +70,112 @@ class _Ctx:
     # filter is emitted on ALL of them (partition pruning on the coarse
     # Date column + precision on the DateTime one), bucketing on ts_expr
     ts_filter_exprs: Sequence[str] = ()
+
+
+def split_and_trim_with_bracket(s: str) -> list[str]:
+    """Top-level comma split, bracket/quote aware — exact
+    splitAndTrimWithBracket port (core/utils.ts:84-134) including its
+    quirks: blank segments are dropped, bracket counters may go negative,
+    and an input left unbalanced at the end yields NO trailing segment
+    (the flush only happens on a top-level comma)."""
+
+    def escaped(i: int) -> bool:
+        n = 0
+        j = i - 1
+        while j >= 0 and s[j] == "\\":
+            n += 1
+            j -= 1
+        return n % 2 == 1
+
+    paren = square = 0
+    in_s = in_d = False
+    res: list[str] = []
+    cur = ""
+    for i in range(len(s) + 1):
+        c = "," if i == len(s) else s[i]
+        if c == '"' and not in_s and not escaped(i):
+            in_d = not in_d
+            cur += c
+            continue
+        if c == "'" and not in_d and not escaped(i):
+            in_s = not in_s
+            cur += c
+            continue
+        if not in_s and not in_d:
+            if c == "(":
+                paren += 1
+            elif c == ")":
+                paren -= 1
+            elif c == "[":
+                square += 1
+            elif c == "]":
+                square -= 1
+        if c == "," and paren == 0 and square == 0 and not in_s and not in_d:
+            t = cur.strip()
+            if t:
+                res.append(t)
+            cur = ""
+        else:
+            cur += c
+    return res
+
+
+_TO_START_OF_RE = re.compile(r"(toStartOf\w+)\s*\(")
+
+
+def parse_to_start_of_function(expr: str) -> Optional[tuple[str, str, str]]:
+    """core/utils.ts:966-1003 parseToStartOfFunction: a single top-level
+    ``toStartOfX(...)`` call (nothing before it, one expression) parsed to
+    ``(function, column_argument, formatted_remaining_args)``; anything
+    else — wrapped, negated, multi-expression, unbalanced — is None."""
+    parts = split_and_trim_with_bracket(expr)
+    if len(parts) != 1:
+        return None
+    m = _TO_START_OF_RE.search(expr)
+    if not m:
+        return None
+    if expr[: m.start()].strip() != "":
+        return None
+    args_start = expr.index(m.group(0)) + len(m.group(0))
+    args_end = expr.rfind(")")
+    if args_end < args_start:
+        return None
+    args = split_and_trim_with_bracket(expr[args_start:args_end])
+    if not args:
+        return None
+    remaining = f", {', '.join(args[1:])}" if len(args) > 1 else ""
+    return m.group(1).strip(), args[0], remaining
+
+
+def optimize_timestamp_value_expression(
+    timestamp_value_expression: str, primary_key: Optional[str]
+) -> str:
+    """core/utils.ts:1012-1042 optimizeTimestampValueExpression: when the
+    table's sort key leads with a rollup of the timestamp
+    (``toStartOfHour(ts), ..., ts``), append that rollup to the timestamp
+    expression so range filters also constrain the COARSE prefix of the
+    key — in ClickHouse that is primary-index pruning; in this engine the
+    multi-column timestamp machinery (pick_bucket_timestamp_expr) turns
+    every listed expression into a pushed scan filter, which is the same
+    partition/row-group pruning win. Collection stops at the first key
+    expression that IS the timestamp (raw, toUnixTimestamp* or
+    toDateTime*-wrapped) — rollups listed after the exact column add no
+    pruning."""
+    if not primary_key or not timestamp_value_expression:
+        return timestamp_value_expression
+    out = [timestamp_value_expression]
+    ts = timestamp_value_expression.strip()
+    for pk_expr in split_and_trim_with_bracket(primary_key):
+        parsed = parse_to_start_of_function(pk_expr)
+        if (
+            pk_expr == ts
+            or (pk_expr.startswith("toUnixTimestamp") and ts in pk_expr)
+            or (pk_expr.startswith("toDateTime") and ts in pk_expr)
+        ):
+            break
+        if parsed is not None and parsed[1] == ts:
+            out.append(pk_expr)
+    return ", ".join(out)
 
 
 def pick_bucket_timestamp_expr(

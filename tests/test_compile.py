@@ -1014,3 +1014,130 @@ def test_with_alias_filter_pushes_to_scan(spark, sf_dir, events_source):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan
     assert re.search(r"event_type#\d+ = error", plan), plan
+
+
+# ---- optimizeTimestampValueExpression twins (utils.test.ts:2185-2397, r11) ---
+
+
+def test_parse_to_start_of_function_reference_cases():
+    from hyperdx_spark.compile import parse_to_start_of_function as p
+
+    assert p("toStartOfDay(a.date)") == ("toStartOfDay", "a.date", "")
+    assert p("toStartOfMinute(toDate(ResourceAttributes['timestamp']))") == (
+        "toStartOfMinute", "toDate(ResourceAttributes['timestamp'])", "",
+    )
+    assert p("toStartOfMonth(timestamp, 'America/Los_Angeles')") == (
+        "toStartOfMonth", "timestamp", ", 'America/Los_Angeles'",
+    )
+    assert p("toStartOfMonth(`time stamp`)") == (
+        "toStartOfMonth", "`time stamp`", "",
+    )
+    assert p("toStartOfInterval(timestamp, INTERVAL 1 DAY)") == (
+        "toStartOfInterval", "timestamp", ", INTERVAL 1 DAY",
+    )
+    assert p(
+        "toStartOfInterval(timestamp, INTERVAL 1 DAY,"
+        " toDateTime('2025-01-01'), 'America/Los_Angeles')"
+    ) == (
+        "toStartOfInterval", "timestamp",
+        ", INTERVAL 1 DAY, toDateTime('2025-01-01'), 'America/Los_Angeles'",
+    )
+    # whitespace-soup variant keeps inner spacing of each arg
+    assert p(
+        "    toStartOfInterval ( timestamp,   INTERVAL  10 DAY,"
+        "   toDateTime('2025-01-01' ),  'America/Los_Angeles' )   "
+    ) == (
+        "toStartOfInterval", "timestamp",
+        ", INTERVAL  10 DAY, toDateTime('2025-01-01' ), 'America/Los_Angeles'",
+    )
+    for bad in [
+        "timestamp", "toDate(timestamp)", "toDate(toStartOfDay(timestamp))",
+        "toStartOfDay(timestamp), toDate(timestamp)",
+        "toDate(timestamp), toStartOfDay(timestamp)", "",
+        "(toStartOfDay(timestamp))", "toStartOfDay(",
+        "-toInt64(toStartOfInterval(timestamp, toIntervalMinute(15)))",
+        "negate(toStartOfMinute(timestamp))",
+    ]:
+        assert p(bad) is None, bad
+
+
+def test_optimize_timestamp_value_expression_reference_cases():
+    from hyperdx_spark.compile import optimize_timestamp_value_expression as o
+
+    cases = [
+        ("Timestamp", "Timestamp", "Timestamp"),
+        ("Timestamp", None, "Timestamp"),
+        ("Timestamp", "", "Timestamp"),
+        ("Timestamp", "ServiceName, SpanName, toDateTime(Timestamp)",
+         "Timestamp"),
+        ("Timestamp",
+         "toStartOfHour(Timestamp), ServiceName, SpanName, toDateTime(Timestamp)",
+         "Timestamp, toStartOfHour(Timestamp)"),
+        ("Timestamp", "toDateTime(Timestamp), ServiceName, SpanName, Timestamp",
+         "Timestamp"),
+        ("Timestamp",
+         "ServiceName, toDateTime(Timestamp), SeverityText, toStartOfHour(Timestamp)",
+         "Timestamp"),
+        ("Timestamp", "toStartOfHour(Timestamp), other_column, Timestamp",
+         "Timestamp, toStartOfHour(Timestamp)"),
+        # user already configured a multi-column expression: unchanged
+        (" toStartOfHour(Timestamp), Timestamp",
+         "toStartOfHour(Timestamp), other_column, Timestamp",
+         " toStartOfHour(Timestamp), Timestamp"),
+        ("Timestamp",
+         "toStartOfInterval(Timestamp, INTERVAL 1 HOUR), other_column, Timestamp",
+         "Timestamp, toStartOfInterval(Timestamp, INTERVAL 1 HOUR)"),
+        ("Timestamp",
+         "toStartOfMinute(Timestamp), user_id, status, toUnixTimestamp64Nano(Timestamp)",
+         "Timestamp, toStartOfMinute(Timestamp)"),
+        ("Timestamp",
+         "toStartOfMinute(TimestampTime), user_id, status, Timestamp",
+         "Timestamp"),
+        # garbage key segments (unbalanced brackets) are skipped, the
+        # matching rollup still found
+        ("Timestamp",
+         "909]`23`9082eh[928e1p92e81hp92, d81p92d817h1p-93287dh129d7812hgpd91832h,"
+         " toStartOfMinute(Timestamp), other_column, Timestamp",
+         "Timestamp, toStartOfMinute(Timestamp)"),
+        ("`Time stamp`",
+         "toStartOfMinute(`Time stamp`), other_column, `Time stamp`",
+         "`Time stamp`, toStartOfMinute(`Time stamp`)"),
+        ("Timestamp",
+         "-toInt64(toStartOfInterval(Timestamp, toIntervalMinute(15))),"
+         " service_id, Timestamp",
+         "Timestamp"),
+    ]
+    for ts, pk, want in cases:
+        assert o(ts, pk) == want, (ts, pk)
+
+
+def test_split_and_trim_with_bracket_quirks():
+    from hyperdx_spark.compile import split_and_trim_with_bracket as s
+
+    assert s("a, f(b, c), d") == ["a", "f(b, c)", "d"]
+    assert s("a, 'x, y', b") == ["a", "'x, y'", "b"]
+    assert s("") == []
+    assert s("a,,b") == ["a", "b"]          # blank segments dropped
+    assert s("toStartOfDay(") == []          # unbalanced: no trailing flush
+    assert s('f("a\\"b", c)') == ['f("a\\"b", c)']  # escaped quote stays inside
+
+
+def test_optimized_ts_expression_feeds_multi_column_filter(spark, sf_dir):
+    """End-to-end: the optimized expression drops into the existing
+    multi-column timestamp machinery — the rollup becomes an extra pushed
+    filter, the raw column stays the bucket."""
+    from hyperdx_spark.compile import (
+        optimize_timestamp_value_expression,
+        pick_bucket_timestamp_expr,
+    )
+    from hyperdx_spark.io import load_table
+
+    opt = optimize_timestamp_value_expression(
+        "ts", "toStartOfHour(ts), event_type, ts"
+    )
+    assert opt == "ts, toStartOfHour(ts)"
+    ev = load_table(spark, sf_dir, "events")
+    bucket, all_exprs = pick_bucket_timestamp_expr(opt, ev)
+    assert bucket == "ts"
+    assert len(all_exprs) == 2 and any("date_trunc" in e or "toStartOfHour" in e
+                                       or "hour" in e.lower() for e in all_exprs)
