@@ -4104,6 +4104,17 @@ def q_dedup_all(spark, sf_dir):
     # pytest-oracled — not SQL-expressible.)
     from hyperdx_spark.pipeline import quality as _quality
 
+    # r11: exact-substring (token-window) dedup, Lee et al. 2021 — the
+    # mutated near-dup docs share every 5-token window of their original,
+    # so real cross-doc substring removal happens at gate scale
+    windowed = dedup.duplicate_window_removal(
+        _docs_with_near_dups(spark, sf_dir), window=5
+    ).select(
+        F.lit("window").alias("part"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.octet_length("text_dedup").cast("long").alias("v1"),
+        F.col("n_dropped").cast("long").alias("v2"),
+    )
     qscore = _quality.quality_filter(
         docs, [float((b * 37) % 21 - 10) for b in range(64)], 0.0,
         text_col="text", threshold=0.5, score_col="qs", method="column",
@@ -4119,7 +4130,7 @@ def q_dedup_all(spark, sf_dir):
         .unionByName(semdedup).unionByName(srccut).unionByName(topgram)
         .unionByName(langid).unionByName(htmlstrip).unionByName(packpart)
         .unionByName(storeprobe).unionByName(urldedup).unionByName(urlcap)
-        .unionByName(qscore)
+        .unionByName(qscore).unionByName(windowed)
     )
 
 
@@ -4237,6 +4248,41 @@ FROM (SELECT doc_id FROM docs_near) d0
 LEFT JOIN totals t USING (doc_id)
 LEFT JOIN rebuilt r USING (doc_id)
 """
+
+O_WINDOW_DEDUP = f"""
+WITH {O_DOCS_NEAR},
+d AS (SELECT doc_id,
+             regexp_extract_all(text, '\\S+\\s*|\\s+') AS l
+      FROM docs_near),
+tok AS (SELECT doc_id, generate_subscripts(l, 1) - 1 AS idx, unnest(l) AS s
+        FROM d),
+wins AS (SELECT doc_id, unnest(range(0, greatest(len(l) - 4, 0))) AS idx, l
+         FROM d),
+wh AS (SELECT doc_id, idx,
+              md5(l[idx + 1] || l[idx + 2] || l[idx + 3]
+                  || l[idx + 4] || l[idx + 5]) AS h
+       FROM wins),
+ranked AS (SELECT doc_id, idx,
+                  row_number() OVER (PARTITION BY h ORDER BY doc_id, idx) AS rn,
+                  count(*) OVER (PARTITION BY h) AS n_occ
+           FROM wh),
+drops AS (SELECT DISTINCT doc_id, unnest(range(idx, idx + 5)) AS j
+          FROM ranked WHERE n_occ > 1 AND rn > 1),
+kept AS (SELECT t.* FROM tok t ANTI JOIN drops dr
+         ON t.doc_id = dr.doc_id AND t.idx = dr.j),
+rebuilt AS (SELECT doc_id, string_agg(s, '' ORDER BY idx) AS text_dedup,
+                   count(*) AS n_kept
+            FROM kept GROUP BY 1),
+totals AS (SELECT doc_id, count(*) AS n_tokens FROM tok GROUP BY 1)
+SELECT d0.doc_id,
+       coalesce(r.text_dedup, '') AS text_dedup,
+       coalesce(t.n_tokens, 0) AS n_tokens,
+       coalesce(t.n_tokens, 0) - coalesce(r.n_kept, 0) AS n_dropped
+FROM (SELECT doc_id FROM docs_near) d0
+LEFT JOIN totals t USING (doc_id)
+LEFT JOIN rebuilt r USING (doc_id)
+"""
+
 
 def _strip_html_sql(expr: str) -> str:
     """DuckDB replay of text.strip_html's regexp chain. RE2 has no
@@ -4506,6 +4552,11 @@ FROM documents
 WHERE coalesce(list_sum(list_transform({_TOKS},
         t -> ((('0x' || substr(md5(t), 1, 4))::INTEGER % 64) * 37) % 21 - 10
       )), 0) >= 0
+UNION ALL
+-- exact-substring window dedup replay (token units incl. whitespace)
+SELECT 'window' AS part, doc_id::VARCHAR AS k,
+       strlen(text_dedup)::BIGINT AS v1, n_dropped::BIGINT AS v2
+FROM ({O_WINDOW_DEDUP})
 """
 
 

@@ -291,6 +291,11 @@ def ngram_jaccard_pairs(
 SENTENCE_PATTERN = "[^.!?]*[.!?]+|[^.!?]+$"
 
 
+# a PARTITION of the text into token units (token + trailing whitespace;
+# a leading/stray whitespace run is its own unit) — rebuilds byte-exact
+TOKEN_UNIT_PATTERN = r"\S+\s*|\s+"
+
+
 def duplicate_span_removal(
     df: DataFrame,
     *,
@@ -321,6 +326,53 @@ def duplicate_span_removal(
     ``storage_level=StorageLevel.DISK_ONLY`` to keep it off the executor
     heap, and call :func:`release_cached` on the result after the action.
     """
+    return _duplicate_unit_removal(
+        df, unit_pattern=SENTENCE_PATTERN, span=span, text_col=text_col,
+        id_col=id_col, storage_level=storage_level,
+        n_units_alias="n_sentences",
+    )
+
+
+def duplicate_window_removal(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 50,
+    storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+) -> DataFrame:
+    """Exact-substring deduplication at token-window granularity (Lee et
+    al. 2021, "Deduplicating Training Data Makes Language Models Better"
+    §3.1 ExactSubstr): any ``window``-token sequence occurring more than
+    once in the corpus is removed from all but its first (doc, position)
+    occurrence; overlapping duplicated windows drop the UNION of their
+    tokens, so a long repeated passage disappears in one pass. Returns
+    (id, text_dedup, n_tokens, n_dropped), byte-exact rebuild.
+
+    The reference method builds a corpus suffix array (single-machine);
+    this is the shuffle formulation — every length-``window`` token
+    window hashes once (stride 1, EXACT: no duplicated window escapes),
+    duplicates group on the hash, and no task ever holds more than one
+    document's tokens. Same scale shape as
+    :func:`duplicate_span_removal`, just token units
+    (``TOKEN_UNIT_PATTERN``, a partition of the text) and the paper's
+    50-token default."""
+    return _duplicate_unit_removal(
+        df, unit_pattern=TOKEN_UNIT_PATTERN, span=window, text_col=text_col,
+        id_col=id_col, storage_level=storage_level, n_units_alias="n_tokens",
+    )
+
+
+def _duplicate_unit_removal(
+    df: DataFrame,
+    *,
+    unit_pattern: str,
+    span: int,
+    text_col: str,
+    id_col: str,
+    storage_level: StorageLevel,
+    n_units_alias: str,
+) -> DataFrame:
     from pyspark.sql import Window
 
     # sent feeds four branches (span hashing, keeper lookup, rebuild,
@@ -329,7 +381,7 @@ def duplicate_span_removal(
     sent = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(
-            F.regexp_extract_all(text_col, F.lit(SENTENCE_PATTERN), F.lit(0))
+            F.regexp_extract_all(text_col, F.lit(unit_pattern), F.lit(0))
         ).alias("idx", "s"),
     ).persist(storage_level)
     w_doc = Window.partitionBy("id").orderBy("idx")
@@ -371,7 +423,7 @@ def duplicate_span_removal(
         ).alias("text_dedup"),
         F.count("*").alias("n_kept"),
     )
-    totals = sent.groupBy("id").agg(F.count("*").alias("n_sentences"))
+    totals = sent.groupBy("id").agg(F.count("*").alias("__n_units"))
     out = (
         df.select(F.col(id_col).alias("id"))
         .join(totals, on="id", how="left")
@@ -379,9 +431,9 @@ def duplicate_span_removal(
         .select(
             F.col("id").alias(id_col),
             F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
-            F.coalesce("n_sentences", F.lit(0)).alias("n_sentences"),
+            F.coalesce("__n_units", F.lit(0)).alias(n_units_alias),
             (
-                F.coalesce("n_sentences", F.lit(0))
+                F.coalesce("__n_units", F.lit(0))
                 - F.coalesce("n_kept", F.lit(0))
             ).alias("n_dropped"),
         )

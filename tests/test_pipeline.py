@@ -864,6 +864,58 @@ def test_c4_span_dedup(spark):
     assert r["text_dedup"] == tricky
 
 
+def test_exact_substring_window_dedup_vs_reference(spark):
+    """duplicate_window_removal == an independent brute-force ExactSubstr
+    reference (Lee et al. 2021 §3.1 at token-unit granularity): all
+    duplicated k-token windows found, keeper = min (doc, pos), overlapping
+    duplicates drop their union, untouched docs rebuild byte-exact."""
+    import re as _re
+
+    from hyperdx_spark.pipeline import dedup
+
+    boiler = "all rights reserved contact us terms of service apply now "
+    rows = [
+        (1, "first page intro " + boiler + "unique tail one"),
+        (2, "second page other intro " + boiler + "different tail"),
+        (3, boiler + boiler.rstrip()),  # self-repeat inside one doc
+        (4, "no duplication in this document at all whatsoever truly"),
+        (5, ""),
+        (6, "short doc"),
+    ]
+    k = 5
+
+    def units(text):
+        return _re.findall(r"\S+\s*|\s+", text)
+
+    # brute-force reference
+    occ = {}
+    for doc_id, text in rows:
+        u = units(text)
+        for i in range(len(u) - k + 1):
+            occ.setdefault("".join(u[i : i + k]), []).append((doc_id, i))
+    drops = {doc_id: set() for doc_id, _ in rows}
+    for _w, places in occ.items():
+        if len(places) > 1:
+            keeper = min(places)
+            for doc_id, i in places:
+                if (doc_id, i) != keeper:
+                    drops[doc_id].update(range(i, i + k))
+    want = {}
+    for doc_id, text in rows:
+        u = units(text)
+        kept = "".join(s for i, s in enumerate(u) if i not in drops[doc_id])
+        want[doc_id] = (kept, len(u), len(drops[doc_id]))
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text_dedup"], r["n_tokens"], r["n_dropped"])
+        for r in dedup.duplicate_window_removal(df, window=k).collect()
+    }
+    assert got == want
+    assert got[1][2] == 0 and got[2][2] > 0  # first occurrence kept
+    assert got[4][0] == rows[3][1]           # byte-exact rebuild
+
+
 def test_span_dedup_storage_control(spark):
     """VERDICT r4 #7 / ADVICE r4: the operator-internal persists accept a
     StorageLevel (DISK_ONLY keeps the exploded sentence table off the heap
