@@ -4252,7 +4252,7 @@ LEFT JOIN rebuilt r USING (doc_id)
 O_WINDOW_DEDUP = f"""
 WITH {O_DOCS_NEAR},
 d AS (SELECT doc_id,
-             regexp_extract_all(text, '\\S+\\s*|\\s+') AS l
+             regexp_extract_all(text, '[^ \\t\\n\\r\\f]+[ \\t\\n\\r\\f]*|[ \\t\\n\\r\\f]+') AS l
       FROM docs_near),
 tok AS (SELECT doc_id, generate_subscripts(l, 1) - 1 AS idx, unnest(l) AS s
         FROM d),

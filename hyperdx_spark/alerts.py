@@ -459,6 +459,15 @@ def calc_alert_date_range(
     return _from_epoch(start_s, like=start), end
 
 
+def _parse_int(s: str):
+    """JS parseInt: longest leading [+-]?digits prefix, NaN otherwise —
+    '42.5' -> 42, 'abc' -> NaN; never raises."""
+    import re as _re
+
+    m = _re.match(r"\s*([+-]?\d+)", s)
+    return int(m.group(1)) if m else float("nan")
+
+
 def parse_alert_data(
     row,
     *,
@@ -480,8 +489,9 @@ def parse_alert_data(
             # the LAST value column wins (checkAlerts/index.ts:767-773
             # overwrites `value` per hit; pinned by the raw-SQL int test
             # 'alert is evaluated using the last numeric column'), and
-            # stringified 64-bit ints parse back (parseInt parity)
-            value = int(v) if isinstance(v, str) else v
+            # stringified 64-bit ints parse back with parseInt semantics:
+            # leading-integer prefix, NaN (not an exception) otherwise
+            value = _parse_int(v) if isinstance(v, str) else v
             continue
         if timestamp_col is not None and k == timestamp_col:
             continue

@@ -118,14 +118,10 @@ def resolve_rendered_series_cap(series_limit) -> float:
     never DISABLE the guard."""
     if series_limit == 0 and isinstance(series_limit, int) and not isinstance(series_limit, bool):
         return float("inf")
-    if (
-        series_limit is None
-        or isinstance(series_limit, bool)
-        or not isinstance(series_limit, int)
-        or series_limit < 0
-    ):
-        return MAX_RENDERED_TIME_CHART_SERIES
-    return series_limit
+    # same usable-positive-integer rule as the CTE gate (Number.isInteger)
+    if has_positive_series_limit(series_limit):
+        return series_limit
+    return MAX_RENDERED_TIME_CHART_SERIES
 
 
 def convert_to_time_chart_config(

@@ -292,8 +292,13 @@ SENTENCE_PATTERN = "[^.!?]*[.!?]+|[^.!?]+$"
 
 
 # a PARTITION of the text into token units (token + trailing whitespace;
-# a leading/stray whitespace run is its own unit) — rebuilds byte-exact
-TOKEN_UNIT_PATTERN = r"\S+\s*|\s+"
+# a leading/stray whitespace run is its own unit) — rebuilds byte-exact.
+# The whitespace class is EXPLICIT because \s differs per dialect (Java
+# includes \x0B, RE2 does not, Python re adds Unicode spaces): this exact
+# class means Spark, the DuckDB gate replay, and the pytest reference
+# tokenize identically on any input.
+_WS_CLASS = " \\t\\n\\r\\f"
+TOKEN_UNIT_PATTERN = f"[^{_WS_CLASS}]+[{_WS_CLASS}]*|[{_WS_CLASS}]+"
 
 
 def duplicate_span_removal(

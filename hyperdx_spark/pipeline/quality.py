@@ -33,6 +33,19 @@ from hyperdx_spark.pipeline.text import tokens
 _COLUMN_PATH_MAX_FEATURES = 1024
 
 
+# the engine-portable hash reads 4 hex chars = 16 bits; more features than
+# that would leave buckets silently unreachable, so refuse loudly
+MAX_NUM_FEATURES = 1 << 16
+
+
+def _check_num_features(k: int) -> None:
+    if not 1 <= k <= MAX_NUM_FEATURES:
+        raise ValueError(
+            f"num_features must be in [1, {MAX_NUM_FEATURES}] (the 16-bit"
+            f" md5-prefix hash cannot reach buckets past that), got {k}"
+        )
+
+
 def _bucket(token: Column, num_features: int) -> Column:
     """md5-prefix hash bucket, identical in Spark and DuckDB:
     ``conv(substring(md5(t), 1, 4), 16, 10) % k`` == DuckDB
@@ -46,6 +59,7 @@ def hashed_feature_buckets(
 ) -> Column:
     """Per-document array of hashed token buckets (one entry per token,
     duplicates preserved — the count information lives in repetition)."""
+    _check_num_features(num_features)
     c = F.col(col) if isinstance(col, str) else col
     return F.transform(tokens(c), lambda t: _bucket(t, num_features))
 
@@ -105,6 +119,18 @@ def linear_quality_score(
         import re as _re
 
         split = _re.compile(r"[^a-z0-9]+")
+        # Zipf-shaped token streams: the per-batch weight cache turns a
+        # million md5 calls into a few thousand (the bpe worker pattern)
+        cache: dict = {}
+        k = len(wv)
+
+        def weight_of(t: str) -> float:
+            w = cache.get(t)
+            if w is None:
+                h = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:4], 16)
+                w = wv[h % k]
+                cache[t] = w
+            return w
 
         def one(text) -> float:
             if text is None:
@@ -114,11 +140,7 @@ def linear_quality_score(
                 if not toks:
                     z = b0
                 else:
-                    acc = 0.0
-                    for t in toks:
-                        h = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:4], 16)
-                        acc += wv[h % len(wv)]
-                    z = b0 + acc / len(toks)
+                    z = b0 + sum(map(weight_of, toks)) / len(toks)
             return 1.0 / (1.0 + np.exp(-z))
 
         return s.map(one)
@@ -142,10 +164,12 @@ def train_quality_classifier(
     computed IN SPARK (the exact serving featurizer), then full-batch
     logistic regression in numpy. Returns ``(weights, bias)``.
 
-    Scale shape: the distributed work is one bounded scan per class; the
-    driver holds ``sample_per_class × 2`` count rows of a k-wide sparse
-    matrix — seed-filter training is small by design, the 100 TB pass is
-    the SCORING."""
+    Scale shape: the distributed work is one LINEAR scan per class (the
+    deterministic sample is a TakeOrdered top-K by content hash — no
+    shuffle, but the scan itself grows with the class corpus; seed
+    corpora are small by construction). The driver then holds
+    ``sample_per_class × 2`` rows of a k-wide matrix and the numpy fit is
+    constant-time in the corpus — the 100 TB pass is the SCORING."""
     import numpy as np
 
     def _sample(df: DataFrame):

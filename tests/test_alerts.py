@@ -418,3 +418,18 @@ def test_get_response_metadata_and_single_value(spark):
     assert not alert_has_group_by(tile_group_by=[])
     assert alert_has_group_by(is_raw_sql=True, display_type="line")
     assert not alert_has_group_by(is_raw_sql=True, display_type="number")
+
+
+def test_parse_alert_data_parseint_semantics():
+    """parseInt parity: '42.5' -> 42 (leading-integer prefix), non-numeric
+    strings -> NaN, never an exception (r11 review fix)."""
+    import math
+
+    from hyperdx_spark.alerts import parse_alert_data
+
+    v, _ = parse_alert_data({"cnt": "42.5"}, value_cols={"cnt"})
+    assert v == 42
+    v, _ = parse_alert_data({"cnt": "abc"}, value_cols={"cnt"})
+    assert isinstance(v, float) and math.isnan(v)
+    v, _ = parse_alert_data({"cnt": " -7rest"}, value_cols={"cnt"})
+    assert v == -7

@@ -885,7 +885,10 @@ def test_exact_substring_window_dedup_vs_reference(spark):
     k = 5
 
     def units(text):
-        return _re.findall(r"\S+\s*|\s+", text)
+        # the operator's EXPLICIT whitespace class (dialect-identical)
+        return _re.findall(
+            r"[^ \t\n\r\f]+[ \t\n\r\f]*|[ \t\n\r\f]+", text
+        )
 
     # brute-force reference
     occ = {}

@@ -159,3 +159,14 @@ def test_quality_filter_plan_is_row_local(spark):
     out = quality.quality_filter(df, [1.0] * 64, 0.0, score_col=None)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_num_features_hash_range_guard(spark):
+    # the 16-bit md5-prefix hash can't reach buckets past 65536 — refuse
+    import pytest as _pytest
+
+    df = spark.createDataFrame([("a",)], "text string")
+    with _pytest.raises(ValueError, match="16-bit"):
+        quality.hashed_feature_buckets("text", num_features=1 << 17)
+    # the boundary itself is fine
+    quality.hashed_feature_buckets("text", num_features=1 << 16)
