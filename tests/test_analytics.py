@@ -465,6 +465,25 @@ def test_mine_patterns_zero_total_multiplier_one(spark):
     assert patterns[0].estimated_count == 10  # x1, not x0
 
 
+def test_mine_patterns_estimated_count_floor_and_max_samples_default(spark):
+    """mine-patterns.test.ts:159-211,302-324: estimatedCount floors at 1
+    via Math.max even when the multiplier rounds it to 0, and maxSamples
+    defaults to 5."""
+    df = spark.createDataFrame(
+        [(f"job {i} finished",) for i in range(8)], "body string"
+    )
+    # a rare cluster under a FRACTIONAL multiplier (< 0.5 per sample)
+    # still reports at least 1 estimated occurrence
+    one = spark.createDataFrame([("solo line here",)], "body string")
+    patterns = drain_mod.mine_patterns(
+        one.unionByName(df), text_col="body", total_count=0, sample_size=9
+    )
+    assert all(p.estimated_count >= 1 for p in patterns)
+    # default samples cap is 5 (mine-patterns.ts maxSamples default)
+    patterns = drain_mod.mine_patterns(df, text_col="body", total_count=8)
+    assert len(patterns[0].samples) == 5
+
+
 def test_mine_patterns_trend_spine(spark):
     """mine-patterns.test.ts:212-267: with a date range, trend buckets
     zero-fill the whole range, stay within [start, end), scale by the
