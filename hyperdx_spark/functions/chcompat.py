@@ -525,3 +525,52 @@ def translate_expr(expr: str) -> str:
             out.append(f"{mapped}({', '.join(args)})")
         i = close_idx + 1
     return "".join(out)
+
+
+# ---- ClickHouse type-string classification (clickhouse/index.ts:40-117) ----
+
+# JSDataType values, spelled as the reference's enum strings
+JS_DATA_TYPES = (
+    "array", "date", "map", "number", "string", "tuple", "bool", "json",
+    "dynamic",
+)
+
+
+def convert_ch_data_type_to_js_type(data_type: str) -> "str | None":
+    """clickhouse/index.ts:60-104 convertCHDataTypeToJSType: classify a
+    ClickHouse type STRING into the client's JS type family — prefix
+    matched in the reference's exact order (``Date*`` wins before the
+    wrappers; ``LowCardinality(...)`` and ``Nullable(...)`` recurse),
+    None for unknowns. Used wherever column metadata arrives as CH type
+    text rather than a Spark schema (e.g. imported Source definitions)."""
+    dt = data_type
+    if dt.startswith("Date"):
+        return "date"
+    if dt.startswith("Tuple"):
+        return "tuple"
+    if dt.startswith("Map"):
+        return "map"
+    if dt.startswith("Array"):
+        return "array"
+    if dt.startswith(("Int", "UInt", "Float",
+                      "Nullable(Int", "Nullable(UInt", "Nullable(Float")):
+        return "number"
+    if dt.startswith(("String", "Nullable(String)", "FixedString", "Enum",
+                      "UUID", "IPv4", "IPv6")):
+        return "string"
+    if dt == "Bool":
+        return "bool"
+    if dt.startswith("JSON"):
+        return "json"
+    if dt.startswith("Dynamic"):
+        return "dynamic"
+    if dt.startswith("LowCardinality"):
+        return convert_ch_data_type_to_js_type(dt[15:-1])
+    if dt.startswith("Nullable("):
+        return convert_ch_data_type_to_js_type(dt[9:-1])
+    return None
+
+
+def is_js_data_type_json_stringifiable(js_type: "str | None") -> bool:
+    """clickhouse/index.ts:106-117: container-ish families render as JSON."""
+    return js_type in ("map", "array", "json", "tuple", "dynamic")

@@ -291,3 +291,32 @@ def test_split_args_matches_reference_bracket_split():
     ]
     for inp, want in cases:
         assert _split_args(inp) == want, inp
+
+
+def test_convert_ch_data_type_to_js_type_reference_twins():
+    """clickhouse.test.ts:16-148 'convertCHDataTypeToJSType' cases."""
+    from hyperdx_spark.functions.chcompat import (
+        convert_ch_data_type_to_js_type as c,
+        is_js_data_type_json_stringifiable as j,
+    )
+
+    assert c("Date") == "date" and c("DateTime64(9)") == "date"
+    assert c("Map(String, String)") == "map"
+    assert c("Array(String)") == "array"
+    assert c("Tuple(String, Int64)") == "tuple"
+    for t in ("Int64", "UInt8", "Float32", "Nullable(Int64)",
+              "Nullable(UInt8)", "Nullable(Float64)"):
+        assert c(t) == "number", t
+    for t in ("String", "FixedString(16)", "Enum8('a' = 1)", "UUID",
+              "IPv4", "IPv6", "Nullable(String)"):
+        assert c(t) == "string", t
+    assert c("Bool") == "bool"
+    assert c("JSON") == "json"
+    assert c("Dynamic") == "dynamic"
+    # LowCardinality unwraps recursively (index.ts:97-98)
+    assert c("LowCardinality(Date)") == "date"
+    assert c("LowCardinality(UInt8)") == "number"
+    assert c("LowCardinality(String)") == "string"
+    assert c("SomethingElse") is None
+    assert j("map") and j("array") and j("json") and j("tuple") and j("dynamic")
+    assert not j("number") and not j(None)
