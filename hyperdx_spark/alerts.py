@@ -308,7 +308,14 @@ def backtest(
     """Distributed alert backtest: per (group, bucket) compute exceeds, the
     running exceed-streak, and the resulting state (ALERT once the streak
     reaches num_consecutive_windows, PENDING while shorter, OK otherwise) —
-    one window pass, shuffles once on the group key."""
+    one window pass, shuffles once on the group key.
+
+    Scale note: an UNGROUPED backtest deliberately runs its streak window
+    in one partition (Spark logs ``WindowExec: No Partition Defined``) —
+    the streak is a sequential recurrence over ONE alert's time series,
+    and the input here is the chart query's already-aggregated output
+    (one row per bucket: years of minute buckets ≈ 10^6 rows), never raw
+    events. Grouped backtests partition by the group key."""
     exceeds = threshold_column(cfg, F.col(value_col))
     w = (
         Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(F.col(ts_col))
