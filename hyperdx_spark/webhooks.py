@@ -426,7 +426,7 @@ def time_range_message(start_time, end_time) -> str:
     )
 
 
-def build_alert_body(
+def _assemble_alert_body(
     *,
     cfg,
     state: str,
@@ -439,7 +439,7 @@ def build_alert_body(
     default_external_action: Optional[str] = None,
     query_results: str = "",
     view: Optional[dict] = None,
-) -> str:
+) -> tuple[str, dict]:
     """renderAlertTemplate's body assembly (template.ts:669-763): the
     resolved / saved-search / tile raw bodies, '@'-action translation,
     per-line 500 + total 2500 sample truncation, and the single-pass
@@ -503,11 +503,95 @@ def build_alert_body(
         "value": value,
         "__hdx_query_results__": results,
     }
-    # outer pass: is_match blocks execute for side effects but render
-    # nothing; notify markers render to nothing (template.ts:602-616)
+    return raw, full_view
+
+
+def build_alert_body(**kwargs) -> str:
+    """renderAlertTemplate's RETURNED body text (the outer Handlebars
+    pass: is_match blocks execute for side effects but render nothing;
+    notify markers render to nothing — template.ts:602-616, 765-768).
+    See :func:`_assemble_alert_body` for the raw-template assembly and
+    :func:`render_alert_notifications` for the full delivery flow."""
+    raw, full_view = _assemble_alert_body(**kwargs)
     return render_template(
         raw, full_view, no_escape=False, render_is_match=False
     )
+
+
+def render_alert_notifications(
+    *,
+    title: str,
+    hdx_link: str = "",
+    alert_id: str = "",
+    is_grouped: bool = False,
+    webhooks_by_id: Optional[dict] = None,
+    channel_type: Optional[str] = None,
+    webhook_id: Optional[str] = None,
+    **body_kwargs,
+) -> tuple[str, list]:
+    """The full renderAlertTemplate notify flow (template.ts:556-768) as
+    data: assemble the raw body ONCE (default '@'-action appended when the
+    alert has a webhook channel), extract the directives that actually
+    fire (block-gated), resolve each webhook by id-or-name-prefix, render
+    the PER-CHANNEL body with the inner Handlebars pass (is_match bodies
+    render — isMatchFn(true)), and build one ready-to-send request per
+    directive with the reference's eventId and Idempotency-Key.
+
+    Returns ``(rendered_text, requests)`` where ``rendered_text`` is the
+    outer-pass render the reference returns to its caller and each request
+    is ``(webhook, (url, headers, body))`` from
+    :func:`build_webhook_request`. Unknown webhooks raise the reference's
+    user-facing error. ``body_kwargs`` are :func:`build_alert_body`'s."""
+    default_action = get_default_external_action(channel_type, webhook_id)
+    raw, full_view = _assemble_alert_body(
+        default_external_action=default_action, **body_kwargs
+    )
+    rendered = render_template(
+        raw, full_view, no_escape=False, render_is_match=False
+    )
+    directives = extract_notify_directives(raw, full_view)
+    if not directives:
+        return rendered, []
+    inner_body = render_template(
+        raw, full_view, no_escape=False, render_is_match=True
+    )
+    state = body_kwargs.get("state", "ALERT")
+    start_ms = _epoch_ms(body_kwargs["start_time"])
+    end_ms = _epoch_ms(body_kwargs["end_time"])
+    group = body_kwargs.get("group")
+    requests = []
+    for channel, id_or_prefix in directives:
+        if channel != "webhook":
+            raise ValueError(f"Unsupported alert destination: {channel!r}")
+        wh = find_webhook(id_or_prefix, webhooks_by_id or {})
+        wh_id = wh.get("id", id_or_prefix) if isinstance(wh, dict) else id_or_prefix
+        event_id = alert_event_id(
+            alert_id, str(wh_id), is_grouped=is_grouped, group=group
+        )
+        message = Message(
+            title=title,
+            body=inner_body,
+            hdx_link=hdx_link,
+            state=state,
+            start_time=str(start_ms),
+            end_time=str(end_ms),
+            event_id=event_id,
+        )
+        service = (wh.get("service", "generic") if isinstance(wh, dict) else "generic")
+        requests.append(
+            (
+                wh,
+                build_webhook_request(
+                    service,
+                    wh.get("url", "") if isinstance(wh, dict) else "",
+                    message,
+                    body_template=wh.get("body") if isinstance(wh, dict) else None,
+                    headers=wh.get("headers") if isinstance(wh, dict) else None,
+                    query_params=wh.get("query_params") if isinstance(wh, dict) else None,
+                ),
+            )
+        )
+    return rendered, requests
 
 
 def build_tile_title(

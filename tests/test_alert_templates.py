@@ -517,3 +517,68 @@ def test_scheduler_helpers_naive_means_utc(monkeypatch):
         else:
             os.environ["TZ"] = old
         time.tzset()
+
+
+def test_render_alert_notifications_end_to_end():
+    """renderAlertTemplate's full notify flow (template.ts:556-768): the
+    default '@webhook-<id>' action fires against the resolved webhook, the
+    channel body comes from the INNER render (is_match bodies render),
+    block-gated directives stay silent, and the request carries the
+    idempotency header + a stable event id."""
+    import json
+
+    from hyperdx_spark.webhooks import render_alert_notifications
+
+    whs = {
+        "w1": {"id": "w1", "name": "alerts-prod", "service": "generic",
+               "url": "https://hooks.example.com/a"},
+        "w2": {"id": "w2", "name": "alerts-regional", "service": "slack",
+               "url": "https://hooks.example.com/b"},
+    }
+    cfg = _cfg(ThresholdType.ABOVE, 5)
+    common = dict(
+        cfg=cfg, state="ALERT", value=10, start_time=START, end_time=END,
+        source="saved_search", title="Test Alert Title",
+        hdx_link="https://app/search/x", alert_id="a1",
+        webhooks_by_id=whs,
+    )
+
+    rendered, reqs = render_alert_notifications(
+        channel_type="webhook", webhook_id="w1", **common
+    )
+    # outer render: the notify marker is gone from the returned text
+    assert "__hdx_notify_channel__" not in rendered and "@webhook" not in rendered
+    assert len(reqs) == 1
+    wh, (url, headers, body) = reqs[0]
+    assert wh["id"] == "w1" and url == "https://hooks.example.com/a"
+    assert "Idempotency-Key" in headers
+    doc = json.loads(body)  # default generic template is valid JSON
+    assert "10 lines found" in doc["text"]  # {"text": "{{title}} | {{body}} | ..."}
+    # deterministic event id: same inputs -> same id (via the same header)
+    _r2, reqs2 = render_alert_notifications(
+        channel_type="webhook", webhook_id="w1", **common
+    )
+    assert reqs2[0][1][1]["Idempotency-Key"] == headers["Idempotency-Key"]
+
+    # custom template: name-prefix resolution + is_match gating; the
+    # matched block's notify fires, the unmatched one does not
+    rendered, reqs = render_alert_notifications(
+        template=(
+            '{{#is_match "group" "http"}} @webhook-alerts-reg {{/is_match}}'
+            '{{#is_match "group" "grpc"}} @webhook-alerts-prod {{/is_match}}'
+        ),
+        group="http",
+        **common,
+    )
+    assert [r[0]["id"] for r in reqs] == ["w2"]  # name prefix 'alerts-reg'
+    assert reqs[0][1][2]  # slack request body built
+
+    # no channel, no actions -> text only
+    rendered, reqs = render_alert_notifications(**common)
+    assert reqs == [] and "10 lines found" in rendered
+
+    # unknown webhook -> the reference's user-facing error
+    with pytest.raises(KeyError, match="Webhook not found"):
+        render_alert_notifications(
+            channel_type="webhook", webhook_id="missing", **common
+        )
