@@ -46,6 +46,60 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# --- load guard (VERDICT r11 #1) -------------------------------------------
+# BENCH_r11 recorded 57.2 s on a box whose loadavg rose 3.4→10.9 during the
+# run; the same checkout replayed 11.97 s idle. Refuse to record while the
+# box is busy: wait (bounded) for the 1-min loadavg to drop below cpus/4,
+# and re-run any query whose best-of-3 spread exceeds the documented ±50%
+# noise band.
+
+LOAD_GUARD_MAX_WAIT_S = 600.0
+LOAD_GUARD_POLL_S = 15.0
+SPREAD_BAND = 0.5  # documented run-to-run noise band (SCALE.md): ±50%
+SPREAD_EXTRA_RUNS = 2
+
+
+def load_guard_threshold(cpus: int) -> float:
+    """Busy-box cutoff: 1-min loadavg above cpus/4 (floor 1.0) means some
+    other workload owns a meaningful slice of the box."""
+    return max(cpus / 4.0, 1.0)
+
+
+def wait_for_quiet_box(
+    threshold: float,
+    max_wait_s: float = LOAD_GUARD_MAX_WAIT_S,
+    poll_s: float = LOAD_GUARD_POLL_S,
+    *,
+    getloadavg=os.getloadavg,
+    sleep=time.sleep,
+    monotonic=time.monotonic,
+) -> dict:
+    """Sleep-and-retry until the 1-min loadavg drops to ``threshold`` or
+    ``max_wait_s`` elapses. Returns an env block recording what happened —
+    a ``gave_up: true`` artifact is explicitly marked as contaminated
+    rather than silently recorded."""
+    start = monotonic()
+    load = getloadavg()[0]
+    while load > threshold and (monotonic() - start) < max_wait_s:
+        remaining = max_wait_s - (monotonic() - start)
+        sleep(min(poll_s, max(remaining, 0.0)))
+        load = getloadavg()[0]
+    return {
+        "threshold": round(threshold, 2),
+        "waited_s": round(monotonic() - start, 1),
+        "loadavg_after_wait": round(load, 2),
+        "gave_up": load > threshold,
+    }
+
+
+def spread_exceeds_band(samples, band: float = SPREAD_BAND) -> bool:
+    """True when (max-min)/min over the per-query samples exceeds the noise
+    band — the signal that one run hit contention and more samples are
+    needed before the min is trustworthy."""
+    lo, hi = min(samples), max(samples)
+    return lo > 0 and (hi - lo) / lo > band
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -68,10 +122,14 @@ def main() -> None:
     # (+23% cumulative) that same-session replays contradicted — record
     # load average + wall timestamps + per-query cold runs so a drifted
     # number can be attributed to box contention instead of relitigated.
+    # Load guard BEFORE recording loadavg_start: wait (bounded) for a quiet
+    # box so the artifact measures the code, not the neighbours.
+    guard = wait_for_quiet_box(load_guard_threshold(int(cpus)))
     env = {
         "ts_start": time.strftime("%Y-%m-%dT%H:%M:%S%z"),
         "loadavg_start": [round(x, 2) for x in os.getloadavg()],
         "cpus": int(cpus),
+        "load_guard": guard,
     }
 
     # HEADLINE names bind to module-level functions (not the consolidated
@@ -87,17 +145,28 @@ def main() -> None:
     # shuffle-heavy queries, and two samples are not enough to shed them
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    spread_reruns: dict[str, int] = {}
     for name in HEADLINE:
         fn = getattr(entrymod, name)
-        best = float("inf")
+        samples: list[float] = []
         for i in range(3):
             t0 = time.perf_counter()
             materialize(fn(spark, sf_dir))
             dt = time.perf_counter() - t0
             if i == 0:
                 cold[name] = round(dt, 3)
-            best = min(best, dt)
-        timings[name] = round(best, 3)
+            samples.append(dt)
+        # best-of-3 spread beyond the ±50% band = a contended sample slipped
+        # in; take extra runs so the min reflects steady state (r11 finding)
+        if spread_exceeds_band(samples):
+            for _ in range(SPREAD_EXTRA_RUNS):
+                t0 = time.perf_counter()
+                materialize(fn(spark, sf_dir))
+                samples.append(time.perf_counter() - t0)
+            spread_reruns[name] = SPREAD_EXTRA_RUNS
+        timings[name] = round(min(samples), 3)
+    if spread_reruns:
+        env["spread_reruns"] = spread_reruns
 
     env["ts_end"] = time.strftime("%Y-%m-%dT%H:%M:%S%z")
     env["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]

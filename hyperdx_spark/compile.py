@@ -169,8 +169,18 @@ def optimize_timestamp_value_expression(
         parsed = parse_to_start_of_function(pk_expr)
         if (
             pk_expr == ts
-            or (pk_expr.startswith("toUnixTimestamp") and ts in pk_expr)
-            or (pk_expr.startswith("toDateTime") and ts in pk_expr)
+            # Quirk kept from the reference: the two `includes` checks test
+            # the UNTRIMMED expression (core/utils.ts:1025-1029), so a
+            # whitespace-padded timestampValueExpression keeps scanning past
+            # a wrapped key entry instead of breaking.
+            or (
+                pk_expr.startswith("toUnixTimestamp")
+                and timestamp_value_expression in pk_expr
+            )
+            or (
+                pk_expr.startswith("toDateTime")
+                and timestamp_value_expression in pk_expr
+            )
         ):
             break
         if parsed is not None and parsed[1] == ts:

@@ -1,0 +1,117 @@
+"""bench.py load guard (VERDICT r11 #1): refuse to record a contaminated
+artifact — bounded sleep-and-retry while the box is busy, extra samples when
+the best-of-3 spread exceeds the documented ±50% noise band.
+
+Pure-function tests: clock/loadavg/sleep are injected, no Spark session.
+"""
+
+from __future__ import annotations
+
+import bench
+
+
+class FakeClock:
+    """monotonic() advances only when sleep() is called."""
+
+    def __init__(self, loads):
+        self.loads = list(loads)  # successive 1-min loadavg readings
+        self.t = 0.0
+        self.sleeps: list[float] = []
+
+    def monotonic(self) -> float:
+        return self.t
+
+    def sleep(self, s: float) -> None:
+        self.sleeps.append(s)
+        self.t += s
+
+    def getloadavg(self):
+        load = self.loads.pop(0) if len(self.loads) > 1 else self.loads[0]
+        return (load, load, load)
+
+
+def _wait(loads, threshold, max_wait_s=600.0, poll_s=15.0):
+    clk = FakeClock(loads)
+    out = bench.wait_for_quiet_box(
+        threshold,
+        max_wait_s,
+        poll_s,
+        getloadavg=clk.getloadavg,
+        sleep=clk.sleep,
+        monotonic=clk.monotonic,
+    )
+    return out, clk
+
+
+def test_quiet_box_passes_immediately():
+    out, clk = _wait([2.0], threshold=8.0)
+    assert out == {
+        "threshold": 8.0,
+        "waited_s": 0.0,
+        "loadavg_after_wait": 2.0,
+        "gave_up": False,
+    }
+    assert clk.sleeps == []
+
+
+def test_busy_box_waits_until_load_drops():
+    # 3 busy readings, then quiet — guard polls through them and succeeds
+    out, clk = _wait([12.0, 11.0, 9.5, 3.0], threshold=8.0)
+    assert out["gave_up"] is False
+    assert out["loadavg_after_wait"] == 3.0
+    assert out["waited_s"] == 45.0  # three 15 s polls
+    assert clk.sleeps == [15.0, 15.0, 15.0]
+
+
+def test_busy_box_gives_up_after_max_wait_and_says_so():
+    out, clk = _wait([20.0], threshold=8.0, max_wait_s=60.0)
+    assert out["gave_up"] is True
+    assert out["loadavg_after_wait"] == 20.0
+    # bounded: total sleep never exceeds max_wait_s
+    assert sum(clk.sleeps) <= 60.0 + 1e-9
+    assert out["waited_s"] >= 60.0
+
+
+def test_final_poll_is_clamped_to_remaining_budget():
+    # max_wait 20 s, poll 15 s: second sleep must be clamped to ~5 s
+    out, clk = _wait([20.0], threshold=8.0, max_wait_s=20.0)
+    assert out["gave_up"] is True
+    assert clk.sleeps == [15.0, 5.0]
+
+
+def test_threshold_is_quarter_of_cpus_with_floor():
+    assert bench.load_guard_threshold(32) == 8.0
+    assert bench.load_guard_threshold(2) == 1.0  # floor: never below 1
+
+
+def test_spread_band():
+    # ±50% band: (max-min)/min > 0.5 triggers
+    assert bench.spread_exceeds_band([1.0, 1.2, 1.4]) is False  # 0.4
+    assert bench.spread_exceeds_band([1.0, 1.2, 1.6]) is True   # 0.6
+    assert bench.spread_exceeds_band([0.283, 0.29, 0.31]) is False
+    # a 10x outlier (the r11 failure mode) always triggers
+    assert bench.spread_exceeds_band([1.9, 2.0, 19.9]) is True
+    # degenerate zero min never divides by zero
+    assert bench.spread_exceeds_band([0.0, 0.0, 5.0]) is False
+
+
+def test_headline_set_unchanged_since_r2():
+    # the judged per-query series must stay comparable across rounds
+    assert bench.HEADLINE == [
+        "q_search",
+        "q_timeseries_error_5m",
+        "q_multi_agg",
+        "q_conditional_agg",
+        "q_series_limit",
+        "q_gauge_last",
+        "q_counter_rate",
+        "q_heatmap",
+        "q_tpch_q1",
+        "q_tpch_q3",
+        "q_tpch_q5ish",
+        "q_top_customers",
+        "q_text_stats",
+        "q_dedup_exact",
+        "q_minhash_lsh",
+        "q_ann_cosine",
+    ]

@@ -1106,6 +1106,17 @@ def test_optimize_timestamp_value_expression_reference_cases():
          "-toInt64(toStartOfInterval(Timestamp, toIntervalMinute(15))),"
          " service_id, Timestamp",
          "Timestamp"),
+        # reference quirk (utils.ts:1025-1029): the includes checks use the
+        # UNTRIMMED expression — a whitespace-padded ts does NOT break at
+        # toDateTime(Timestamp) (no substring match), so the later rollup is
+        # still collected (its columnArgument comparison uses the TRIMMED ts)
+        (" Timestamp ",
+         "toDateTime(Timestamp), toStartOfHour(Timestamp), Timestamp",
+         " Timestamp , toStartOfHour(Timestamp)"),
+        # unpadded control: same key breaks at toDateTime(Timestamp)
+        ("Timestamp",
+         "toDateTime(Timestamp), toStartOfHour(Timestamp), Timestamp",
+         "Timestamp"),
     ]
     for ts, pk, want in cases:
         assert o(ts, pk) == want, (ts, pk)
