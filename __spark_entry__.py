@@ -4560,11 +4560,68 @@ FROM ({O_WINDOW_DEDUP})
 """
 
 
+def _tmparam_rows(spark, sf_dir):
+    """TemplateMiner parameter extraction under the gate (VERDICT r12 #3):
+    deterministic log bodies built from modular arithmetic (bounded distinct
+    set), masked with IP-then-NUM instructions, mined, then
+    ``extract_parameters`` run in BOTH modes — exact matching (instruction
+    patterns as capture groups, mode 'x') and lazy wildcard (``.+?``, mode
+    'z') — plus the Drain-introduced ``<*>`` family. Emitted as
+    (mode|template|mask|value, total count, sort position) rows the DuckDB
+    oracle reproduces from the same construction
+    (template-miner.ts:77-170 getTemplateParameterExtractionRegex)."""
+    from hyperdx_spark.analytics.drain import TemplateMiner
+
+    ev = load_table(spark, sf_dir, "events")
+    fam_a = ev.select(
+        F.concat(
+            F.col("event_type"), F.lit(" conn user "),
+            (F.col("user_id") % 7).cast("string"),
+            F.lit(" from ip 10.0."), (F.col("user_id") % 3).cast("string"),
+            F.lit("."), (F.col("user_id") % 13).cast("string"),
+        ).alias("body")
+    )
+    fam_b = ev.select(
+        F.concat(
+            F.col("event_type"), F.lit(" job "),
+            F.element_at(
+                F.array(F.lit("alpha"), F.lit("beta"), F.lit("gamma")),
+                ((F.col("user_id") % 3) + 1).cast("int"),
+            ),
+            F.lit(" done"),
+        ).alias("body")
+    )
+    counts = (
+        fam_a.unionByName(fam_b).groupBy("body").agg(F.count("*").alias("cnt"))
+    )
+    # bounded collect: distinct bodies <= |event_type| * (7*3*13 + 3) by
+    # construction; sorted so mining insertion order is deterministic
+    rows = sorted((r["body"], r["cnt"]) for r in counts.collect())
+    miner = TemplateMiner(
+        masking_instructions=[(r"10\.0\.\d+\.\d+", "IP"), (r"\d+", "NUM")]
+    )
+    for body, _ in rows:
+        miner.add_log_message(body)
+    out = []
+    for body, cnt in rows:
+        tpl = miner.match(body).template()
+        for mode, exact in (("x", True), ("z", False)):
+            for pos, (val, mask) in enumerate(
+                miner.extract_parameters(tpl, body, exact_matching=exact)
+            ):
+                out.append((f"{mode}|{tpl}|{mask}|{val}", float(cnt), float(pos)))
+    df = spark.createDataFrame(out, "key string, v1 double, v2 double")
+    return df.groupBy("key", "v2").agg(F.sum("v1").alias("v1")).select(
+        F.lit("tmparam").alias("part"), "key", "v1", "v2"
+    )
+
+
 def q_analytics_insights(spark, sf_dir):
     """§2.11 log-pattern mining (Drain) + event-deltas property ranking +
     correlated-series search (related-metrics: top series by |Pearson| vs
     the error-0 series, exact-decimal moments so the float result is
-    bit-identical across engines), tag-unioned into one relation."""
+    bit-identical across engines) + TemplateMiner parameter extraction,
+    tag-unioned into one relation."""
     from hyperdx_spark.analytics.series_corr import correlated_series
 
     pats = q_log_patterns(spark, sf_dir).select(
@@ -4587,7 +4644,11 @@ def q_analytics_insights(spark, sf_dir):
         F.col("corr").alias("v1"),
         F.col("n_buckets").cast("double").alias("v2"),
     )
-    return pats.unionByName(dl).unionByName(corr)
+    return (
+        pats.unionByName(dl)
+        .unionByName(corr)
+        .unionByName(_tmparam_rows(spark, sf_dir))
+    )
 
 
 _CORR_EXPR = """(CAST(n AS DOUBLE) * sxy - sx * sy)
@@ -4616,12 +4677,38 @@ ORDER BY abs(round({_CORR_EXPR}, 4)) DESC, k
 LIMIT 10
 """
 
+O_TMPARAM = """
+WITH a AS (
+  SELECT event_type AS et, (user_id % 7)::VARCHAR AS num,
+         '10.0.' || (user_id % 3)::VARCHAR || '.' || (user_id % 13)::VARCHAR AS ip
+  FROM events),
+b AS (
+  SELECT event_type AS et,
+         CASE user_id % 3 WHEN 0 THEN 'alpha' WHEN 1 THEN 'beta'
+              ELSE 'gamma' END AS w
+  FROM events),
+allrows AS (
+  SELECT et || ' conn user <NUM> from ip <IP>' AS tpl, 'NUM' AS mask,
+         num AS val, 0 AS pos FROM a
+  UNION ALL
+  SELECT et || ' conn user <NUM> from ip <IP>', 'IP', ip, 1 FROM a
+  UNION ALL
+  SELECT et || ' job <*> done', '*', w, 0 FROM b),
+modes AS (SELECT 'x' AS mode UNION ALL SELECT 'z')
+SELECT mode || '|' || tpl || '|' || mask || '|' || val AS key,
+       count(*)::DOUBLE AS v1, pos::DOUBLE AS v2
+FROM allrows CROSS JOIN modes
+GROUP BY mode, tpl, mask, val, pos
+"""
+
 O_ANALYTICS_INSIGHTS = f"""
 SELECT 'patterns' AS part, pattern AS key, n::DOUBLE AS v1, 0.0 AS v2 FROM ({O_LOG_PATTERNS})
 UNION ALL
 SELECT 'deltas' AS part, key, base_score AS v1, score AS v2 FROM ({O_EVENT_DELTAS})
 UNION ALL
 SELECT 'corr' AS part, key, corr AS v1, n_buckets::DOUBLE AS v2 FROM ({O_SERIES_CORR})
+UNION ALL
+SELECT 'tmparam' AS part, key, v1, v2 FROM ({O_TMPARAM})
 """
 
 

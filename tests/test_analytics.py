@@ -389,6 +389,24 @@ def test_template_miner_extract_parameters_reference_twin():
     )
 
 
+def test_template_miner_exact_vs_lazy_discriminates():
+    """The two extraction modes genuinely differ (template-miner.ts:138-146):
+    exact matching compiles the INSTRUCTION pattern into the capture group,
+    so a slot value that doesn't satisfy it is a non-match (None); lazy
+    wildcard mode (`.+?`) extracts it anyway. This is the pair the gate's
+    tmparam part runs in both modes ('x'/'z')."""
+    from hyperdx_spark.analytics.drain import TemplateMiner
+
+    miner = TemplateMiner(masking_instructions=[(r"\d+", "NUM")])
+    miner.add_log_message("request took 11 ms")
+    tpl = miner.match("request took 42 ms").template()
+    assert tpl == "request took <NUM> ms"
+    # non-numeric slot: exact mode refuses, lazy mode extracts
+    assert miner.extract_parameters(tpl, "request took fast ms", True) is None
+    lazy = miner.extract_parameters(tpl, "request took fast ms", False)
+    assert lazy == [("fast", "NUM")]
+
+
 def test_drain_evicted_empty_token_cluster_does_not_crash():
     """A stale evicted id dangling in the empty-token tree node must
     degrade to no-match (Drain3 LRUCache.get-None semantics), not raise."""
