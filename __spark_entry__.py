@@ -1184,6 +1184,74 @@ GROUP BY 1
 # §2.10 alert evaluation — distributed backtest over daily error counts
 # --------------------------------------------------------------------------
 
+_NTFY_WEBHOOKS = {
+    "wh-slack-1": {"id": "wh-slack-1", "name": "slack-alerts", "service": "slack",
+                   "url": "https://hooks.example/slack"},
+    "wh-gen-1": {"id": "wh-gen-1", "name": "generic-alerts", "service": "generic",
+                 "url": "https://hooks.example/gen"},
+}
+# exercises eq (strict ===), is_match (fires its notify only on view match),
+# '@webhook-<name-prefix>' resolution, and the appended default action
+_NTFY_TEMPLATE = (
+    '{{#if (eq state "ALERT")}}sev:high{{/if}}'
+    '{{#is_match "service" "error-search"}} svc-match @webhook-generic '
+    "{{/is_match}}"
+)
+
+
+def _notify_rows(spark, bt, cfg):
+    """Notify flow under the gate (VERDICT r12 #4): for every fired ALERT
+    bucket, run the full ``render_alert_notifications`` pipeline — outer
+    render, directive extraction (default '@'-action + is_match-gated
+    name-prefix action), webhook resolution, per-channel inner render,
+    slack/generic request building — and emit md5 hashes of the pure string
+    outputs as extra backtest rows (state = 'ntfy|<kind>|<hex>') that the
+    DuckDB oracle rebuilds from the same deterministic inputs
+    (template.ts:556-768)."""
+    import hashlib
+    from datetime import timedelta
+
+    from hyperdx_spark import webhooks
+
+    # bounded collect: one row per fired DAILY bucket
+    fired = bt.where(F.col("state") == "ALERT").collect()
+    rows = []
+    for r in fired:
+        start = r["__timestamp"]
+        end = start + timedelta(days=1)
+        title = webhooks.build_title("errors", r["value"])
+        rendered, reqs = webhooks.render_alert_notifications(
+            title=title,
+            hdx_link="https://hdx.example/s/1",
+            alert_id="alert-1",
+            webhooks_by_id=_NTFY_WEBHOOKS,
+            channel_type="webhook",
+            webhook_id="wh-slack-1",
+            cfg=cfg,
+            state="ALERT",
+            value=r["value"],
+            start_time=start,
+            end_time=end,
+            source="saved_search",
+            template=_NTFY_TEMPLATE,
+            view={"state": "ALERT", "service": "error-search"},
+        )
+
+        def h(s: str) -> str:
+            return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+        pay = [("title", h(title)), ("rendered", h(rendered))]
+        for wh, (_url, hdrs, body) in reqs:
+            pay.append((wh["service"], h(body)))
+            if "Idempotency-Key" in hdrs:
+                pay.append(("gidem", hdrs["Idempotency-Key"]))
+        rows.extend(
+            (start, r["value"], True, r["streak"], f"ntfy|{kind}|{hx}")
+            for kind, hx in pay
+        )
+    return spark.createDataFrame(rows, bt.schema)
+
+
 def q_alert_backtest(spark, sf_dir):
     from hyperdx_spark import alerts
 
@@ -1198,10 +1266,11 @@ def q_alert_backtest(spark, sf_dir):
         .agg(F.count("*").cast("double").alias("value"))
     )
     cfg = alerts.AlertConfig(threshold=65, num_consecutive_windows=2)
-    return alerts.backtest(daily, cfg)
+    bt = alerts.backtest(daily, cfg)
+    return bt.unionByName(_notify_rows(spark, bt, cfg))
 
 
-O_ALERT_BACKTEST = """
+O_ALERT_BACKTEST = r"""
 WITH v AS (
   SELECT make_timestamp((floor(epoch(ts))::BIGINT // 86400) * 86400 * 1000000) AS __timestamp,
          count(*)::DOUBLE AS value
@@ -1214,12 +1283,63 @@ s AS (
       row_number() OVER (PARTITION BY grp ORDER BY __timestamp)
       - (CASE WHEN first_value(exceeds) OVER (PARTITION BY grp ORDER BY __timestamp) THEN 0 ELSE 1 END)
     ELSE 0 END AS streak
-  FROM g)
-SELECT __timestamp, value, exceeds, streak,
-       CASE WHEN NOT exceeds THEN 'OK'
-            WHEN streak >= 2 THEN 'ALERT'
-            ELSE 'PENDING' END AS state
-FROM s
+  FROM g),
+bt AS (
+  SELECT __timestamp, value, exceeds, streak,
+         CASE WHEN NOT exceeds THEN 'OK'
+              WHEN streak >= 2 THEN 'ALERT'
+              ELSE 'PENDING' END AS state
+  FROM s),
+-- notify flow twin (template.ts:556-768): rebuild the exact rendered
+-- strings for every fired daily bucket and hash them like the Spark side
+fired AS (
+  SELECT __timestamp, value, streak,
+         value::BIGINT::VARCHAR AS vs,
+         strftime(__timestamp, '%b') || ' ' || day(__timestamp)::VARCHAR
+           || ' 12:00:00 AM' AS d1,
+         strftime(__timestamp + INTERVAL 1 DAY, '%b') || ' '
+           || day(__timestamp + INTERVAL 1 DAY)::VARCHAR || ' 12:00:00 AM' AS d2,
+         (floor(epoch(__timestamp))::BIGINT * 1000)::VARCHAR AS stms,
+         (floor(epoch(__timestamp + INTERVAL 1 DAY))::BIGINT * 1000)::VARCHAR AS etms
+  FROM bt WHERE state = 'ALERT'),
+strs AS (
+  SELECT __timestamp, value, streak, stms, etms,
+    '🚨 Alert for "errors" - ' || vs || ' lines found' AS title,
+    chr(10) || vs || ' lines found, which meets or exceeds the threshold of 65 lines'
+      || chr(10) || 'Time Range (UTC): [' || d1 || ' - ' || d2 || ')'
+      || chr(10) || 'sev:high ' || chr(10) || '```' || chr(10) || chr(10) || '```' AS rendered,
+    '\ud83d\udea8 Alert for \"errors\" - ' || vs || ' lines found' AS etitle,
+    '\n' || vs || ' lines found, which meets or exceeds the threshold of 65 lines'
+      || '\nTime Range (UTC): [' || d1 || ' - ' || d2 || ')'
+      || '\nsev:high svc-match   \n```\n\n```' AS ebody,
+    sha256('{"alertId":"alert-1","channel":{"type":"webhook","id":"wh-gen-1"},"isGrouped":false}') AS eid
+  FROM fired),
+pay AS (
+  SELECT __timestamp, value, streak, 'title' AS kind, md5(title) AS hx FROM strs
+  UNION ALL
+  SELECT __timestamp, value, streak, 'rendered', md5(rendered) FROM strs
+  UNION ALL
+  SELECT __timestamp, value, streak, 'slack',
+    md5('{"text": "' || etitle || '", "blocks": [{"type": "section", "text":'
+        || ' {"type": "mrkdwn", "text": "*<https://hdx.example/s/1 | '
+        || etitle || '>*\n' || ebody || '"}}]}')
+  FROM strs
+  UNION ALL
+  SELECT __timestamp, value, streak, 'generic',
+    md5('{"text": "' || etitle || ' | ' || ebody
+        || ' | https://hdx.example/s/1 | ALERT | ' || stms || ' | ' || etms
+        || ' | ' || eid || '"}')
+  FROM strs
+  UNION ALL
+  SELECT __timestamp, value, streak, 'gidem',
+    sha256('{"eventId":"' || eid || '","startTime":"' || stms
+           || '","endTime":"' || etms || '","state":"ALERT"}')
+  FROM strs)
+SELECT __timestamp, value, exceeds, streak, state FROM bt
+UNION ALL
+SELECT __timestamp, value, true AS exceeds, streak,
+       'ntfy|' || kind || '|' || hx AS state
+FROM pay
 """
 
 # --------------------------------------------------------------------------
