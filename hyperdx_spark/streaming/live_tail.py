@@ -153,3 +153,99 @@ def stream_alert(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_alert_notifications(
+    agg_stream: DataFrame,
+    alert_cfg,
+    *,
+    on_notify: Callable[[dict], None],
+    notify_kwargs: dict,
+    bucket_duration,
+    group_cols: Sequence[str] = (),
+    ts_col: str = "__timestamp",
+    value_col: str = "value",
+    query_name: str = "hdx_alert_notify",
+    checkpoint: Optional[str] = None,
+    trigger_available_now: bool = False,
+):
+    """The reference's cron loop (tasks/checkAlerts/index.ts:1110-1420) as
+    ONE Structured Streaming job: each closed (watermark-passed) bucket from
+    a :func:`windowed_agg` stream is run through the alert state machine
+    (streak carried across micro-batches per group, the same transitions as
+    ``alerts.backtest``), and every ALERT evaluation renders its
+    notifications and builds the ready-to-send webhook requests via
+    :func:`hyperdx_spark.webhooks.render_alert_notifications`.
+
+    ``on_notify`` receives one dict per fired bucket:
+    ``{ts, group, value, streak, rendered, requests}``. ``notify_kwargs``
+    are the render call's kwargs minus state/value/start_time/end_time/group
+    (title may be a callable ``value -> str``). The per-group streak lives
+    driver-side — bounded by the alert's group cardinality, exactly like the
+    reference's per-(alert, group) history rows; Spark cannot chain
+    ``applyInPandasWithState`` after a streaming aggregation, and the bucket
+    volume here is already one row per closed window per group.
+
+    Returns the StreamingQuery.
+    """
+    from hyperdx_spark.alerts import does_exceed_threshold
+    from hyperdx_spark.webhooks import build_title, render_alert_notifications
+
+    group_cols = list(group_cols)
+    streaks: dict[tuple, int] = {}
+    n_consecutive = alert_cfg.num_consecutive_windows
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        # one row per closed window per group: tiny by construction
+        rows = sorted(
+            batch_df.collect(),
+            key=lambda r: (tuple(str(r[g]) for g in group_cols), r[ts_col]),
+        )
+        for r in rows:
+            key = tuple(r[g] for g in group_cols)
+            v = float(r[value_col])
+            streak = streaks.get(key, 0) + 1 if does_exceed_threshold(
+                alert_cfg, v
+            ) else 0
+            streaks[key] = streak
+            if streak < n_consecutive or not streak:
+                continue
+            group = ", ".join(str(k) for k in key) if key else None
+            kwargs = dict(notify_kwargs)
+            title = kwargs.pop("title", None)
+            if callable(title):
+                title = title(v)
+            elif title is None:
+                title = build_title("alert", v)
+            rendered, requests = render_alert_notifications(
+                title=title,
+                cfg=alert_cfg,
+                state="ALERT",
+                value=v,
+                start_time=r[ts_col],
+                end_time=r[ts_col] + bucket_duration,
+                group=group,
+                is_grouped=bool(group_cols),
+                **kwargs,
+            )
+            on_notify(
+                {
+                    "ts": r[ts_col],
+                    "group": group,
+                    "value": v,
+                    "streak": streak,
+                    "rendered": rendered,
+                    "requests": requests,
+                }
+            )
+
+    writer = (
+        agg_stream.writeStream.outputMode("append")
+        .queryName(query_name)
+        .foreachBatch(process)
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

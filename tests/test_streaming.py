@@ -316,6 +316,135 @@ def test_alert_state_stream_streak_survives_batches(spark, tmp_path):
     assert got == {0: (1, "PENDING"), 1: (2, "ALERT"), 2: (0, "OK")}
 
 
+def test_streaming_alert_to_notify_flow_end_to_end(spark, tmp_path):
+    """The reference's cron loop (checkAlerts/index.ts:1110-1420) as ONE
+    Structured Streaming pipeline: raw events stream -> watermarked windowed
+    agg -> per-bucket state-machine evaluation -> notification rendering ->
+    webhook request building (stream_alert_notifications). Every streamed
+    ALERT bucket's rendered Slack/generic payloads must be BYTE-equal to
+    the batch path (alerts.backtest over the same data + the same render),
+    with the PENDING->ALERT streak crossing a micro-batch boundary."""
+    from datetime import datetime, timedelta
+
+    from hyperdx_spark import webhooks
+    from hyperdx_spark.alerts import AlertConfig, backtest
+    from hyperdx_spark.streaming import stream_alert_notifications
+
+    cfg = AlertConfig(threshold=5, num_consecutive_windows=2)
+    whs = {
+        "wh-slack-1": {"id": "wh-slack-1", "name": "slack-alerts",
+                       "service": "slack", "url": "https://hooks.example/slack"},
+        "wh-gen-1": {"id": "wh-gen-1", "name": "generic-alerts",
+                     "service": "generic", "url": "https://hooks.example/gen"},
+    }
+    tpl = ('{{#if (eq state "ALERT")}}sev:high{{/if}}'
+           '{{#is_match "service" "error-search"}} svc @webhook-generic '
+           "{{/is_match}}")
+    notify_kwargs = dict(
+        title=lambda v: webhooks.build_title("errors", v),
+        hdx_link="https://hdx.example/s/1",
+        alert_id="alert-1",
+        webhooks_by_id=whs,
+        channel_type="webhook",
+        webhook_id="wh-slack-1",
+        source="saved_search",
+        template=tpl,
+        view={"state": "ALERT", "service": "error-search"},
+    )
+
+    # hourly row counts 1,9,6,1,7,8,9,1 -> OK,PENDING,ALERT,OK,PENDING,
+    # ALERT,ALERT,OK at threshold 5 / 2 consecutive windows; hour 9 is a
+    # watermark sentinel (its own bucket stays open and is excluded). The
+    # file split puts hours 0-5 in micro-batch 1 (watermark 05:07 closes
+    # buckets 0-4, leaving the hour-4 PENDING streak=1 in driver state) and
+    # hours 6-9 in micro-batch 2 (closes 5-7): the hour-5 ALERT fires only
+    # because the streak carried across the batch boundary.
+    counts = [1, 9, 6, 1, 7, 8, 9, 1]
+    rows = [
+        (datetime(2024, 1, 1, h, i % 60),)
+        for h, c in enumerate(counts)
+        for i in range(c)
+    ]
+    assert len(rows[:32]) == sum(counts[:6])
+    seed = str(tmp_path / "raw")
+    spark.createDataFrame(rows[:32], "ts timestamp").coalesce(1).write.parquet(
+        seed + "/f1"
+    )
+    spark.createDataFrame(
+        rows[32:] + [(datetime(2024, 1, 1, 9, 0),)], "ts timestamp"
+    ).coalesce(1).write.parquet(seed + "/f2")
+
+    stream = (
+        spark.readStream.schema("ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(seed)
+    )
+    agg = windowed_agg(
+        stream,
+        Source(table="events", timestamp_value_expression="ts"),
+        select=[SelectCol(agg_fn="count", alias="value")],
+        window="1 hour",
+        watermark="0 seconds",
+        group_by=[],
+    )
+    fired: list[dict] = []
+    q = stream_alert_notifications(
+        agg,
+        cfg,
+        on_notify=fired.append,
+        notify_kwargs=notify_kwargs,
+        bucket_duration=timedelta(hours=1),
+        checkpoint=str(tmp_path / "ckpt"),
+        trigger_available_now=True,
+    )
+    q.awaitTermination(300)
+
+    # batch twin over the same parquet
+    hourly = (
+        spark.read.option("recursiveFileLookup", "true").parquet(seed)
+        .where(F.col("ts") < datetime(2024, 1, 1, 8))
+        .groupBy(
+            F.timestamp_seconds(
+                (F.unix_timestamp("ts") / 3600).cast("long") * 3600
+            ).alias("__timestamp")
+        )
+        .agg(F.count("*").cast("double").alias("value"))
+    )
+    batch_alerts = [
+        r for r in sorted(
+            backtest(hourly, cfg).collect(), key=lambda r: r["__timestamp"]
+        )
+        if r["state"] == "ALERT"
+    ]
+    assert [r["__timestamp"].hour for r in batch_alerts] == [2, 5, 6]
+
+    fired.sort(key=lambda d: d["ts"])
+    assert [(d["ts"].hour, d["streak"]) for d in fired] == [(2, 2), (5, 2), (6, 3)]
+    for d, b in zip(fired, batch_alerts):
+        assert d["ts"] == b["__timestamp"] and d["value"] == b["value"]
+        assert d["streak"] == b["streak"]
+        # batch path renders the same bucket with the same kwargs
+        kwargs = dict(notify_kwargs)
+        title = kwargs.pop("title")(b["value"])
+        rendered_b, reqs_b = webhooks.render_alert_notifications(
+            title=title, cfg=cfg, state="ALERT", value=b["value"],
+            start_time=b["__timestamp"],
+            end_time=b["__timestamp"] + timedelta(hours=1),
+            group=None, is_grouped=False, **kwargs,
+        )
+        assert d["rendered"] == rendered_b  # byte-equal outer render
+        assert d["requests"] == reqs_b      # byte-equal urls/headers/bodies
+        assert "sev:high" in d["rendered"] and "svc" not in d["rendered"]
+        v_str = str(int(d["value"]))
+        assert f"{v_str} lines found" in d["rendered"]
+        # directive order: is_match-gated generic fires before the default
+        # slack action appended at the end; generic carries Idempotency-Key
+        urls = [u for _wh, (u, _h, _b2) in d["requests"]]
+        assert urls == ["https://hooks.example/gen", "https://hooks.example/slack"]
+        assert "Idempotency-Key" in d["requests"][0][1][1]
+
+
 def test_dedup_stream_drops_duplicates_within_ttl(spark, tmp_path):
     import uuid
     from datetime import datetime
