@@ -27,6 +27,7 @@ from dataclasses import dataclass, field
 from typing import Callable, Iterable, Optional
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 PARAM = "<*>"
 _WS = re.compile(r"\s+")
@@ -574,6 +575,7 @@ def mine_patterns_distributed(
     bucket_seconds: int = 3600,
     max_samples: int = 5,
     noise_threshold: Optional[float] = None,
+    merge_stats: Optional[dict] = None,
 ) -> list[PatternGroup]:
     """Scale path with the sampled miner's full output shape (r11): Drain
     each partition locally (mapInPandas) and ship per-cluster summaries —
@@ -646,22 +648,54 @@ def mine_patterns_distributed(
     partial = df.select(*cols).mapInPandas(
         mine_part, "template string, bucket long, count long, samples array<string>"
     )
+    # pre-aggregate the partition summaries by (template, bucket) BEFORE the
+    # driver collect: one shuffle of clusters x buckets rows caps the driver
+    # fan-in at templates x (1 + buckets) regardless of cluster width (at
+    # 1000 executors the unaggregated form would ship executors x that).
+    # NULL bucket = the totals row; samples stay bounded via slice-of-flatten
+    partial = partial.groupBy("template", "bucket").agg(
+        F.sum("count").alias("count"),
+        F.slice(
+            F.flatten(F.collect_list("samples")), 1, max_samples
+        ).alias("samples"),
+    )
 
     # group partition summaries by template string (totals row carries the
     # weight and samples; bucket rows carry the trend detail)
     per_tpl: dict[str, dict] = {}
+    totals_rows = bucket_rows = 0
     for row in partial.collect():
         e = per_tpl.setdefault(
             row["template"], {"total": 0, "buckets": {}, "samples": []}
         )
         if row["bucket"] is None:
+            totals_rows += 1
             e["total"] += int(row["count"])
             for s in row["samples"] or []:
                 if len(e["samples"]) < max_samples:
                     e["samples"].append(s)
         else:
+            bucket_rows += 1
             b = int(row["bucket"])
             e["buckets"][b] = e["buckets"].get(b, 0) + int(row["count"])
+
+    if merge_stats is not None:
+        # what the driver fan-in actually received, so callers (and the
+        # scale harness) can ASSERT the clusters x buckets bound instead of
+        # assuming it: after the (template, bucket) pre-aggregation,
+        # totals_rows = distinct templates and
+        # bucket_rows <= totals_rows x distinct trend buckets
+        merge_stats.update(
+            {
+                "merge_rows": totals_rows + bucket_rows,
+                "totals_rows": totals_rows,
+                "bucket_rows": bucket_rows,
+                "distinct_templates": len(per_tpl),
+                "distinct_buckets": len(
+                    {b for e in per_tpl.values() for b in e["buckets"]}
+                ),
+            }
+        )
 
     merged = Drain()
     stats: dict[int, dict] = {}

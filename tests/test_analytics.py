@@ -389,6 +389,36 @@ def test_template_miner_extract_parameters_reference_twin():
     )
 
 
+def test_mine_patterns_distributed_merge_input_is_bounded(spark):
+    """The driver fan-in is templates x (1 + trend buckets) — the
+    (template, bucket) pre-aggregation folds partition multiplicity before
+    the collect (r12; the 100 TB property the scale harness re-asserts)."""
+    from datetime import datetime, timedelta
+
+    from hyperdx_spark.analytics.drain import mine_patterns_distributed
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (f"job j{i % 4} finished in {i} ms", base + timedelta(hours=i % 6))
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "body string, ts timestamp").repartition(8)
+    stats: dict = {}
+    groups = mine_patterns_distributed(
+        df, text_col="body", ts_col="ts", merge_stats=stats
+    )
+    assert sum(g.estimated_count for g in groups) == 600
+    assert stats["totals_rows"] == stats["distinct_templates"]
+    assert stats["bucket_rows"] <= stats["totals_rows"] * stats["distinct_buckets"]
+    assert stats["merge_rows"] <= stats["distinct_templates"] * (
+        1 + stats["distinct_buckets"]
+    )
+    # 8 partitions never multiply the fan-in: with one merged template and
+    # 6 observed hourly buckets the input is a handful of rows, not 8x
+    assert stats["distinct_buckets"] == 6
+    assert stats["merge_rows"] <= stats["distinct_templates"] * 7
+
+
 def test_template_miner_exact_vs_lazy_discriminates():
     """The two extraction modes genuinely differ (template-miner.ts:138-146):
     exact matching compiles the INSTRUCTION pattern into the capture group,
