@@ -193,6 +193,11 @@ def evaluate(
     recent_states = recent_states or {}
     histories: dict[str, GroupHistory] = {}
     notifications: list[Notification] = []
+    # one ALERT notification per group per RUN, carrying the LATEST breach
+    # context — the reference overwrites latestAlertContext per bucket and
+    # sends once in the transitions loop (checkAlerts/index.ts:1316-1324,
+    # 1385-1407), never once per breaching bucket
+    latest_ctx: dict[str, tuple[float, datetime]] = {}
     m = cfg.num_consecutive_windows
 
     def get_history(g: str) -> GroupHistory:
@@ -219,6 +224,10 @@ def evaluate(
         by_bucket.setdefault(r[ts_key], []).append(r)
 
     has_group_by = bool(group_keys)
+    has_alerts_in_previous = any(
+        h.state in (AlertState.ALERT, AlertState.PENDING)
+        for h in previous.values()
+    )
     for bucket in buckets:
         data = by_bucket.get(bucket)
         if not data:
@@ -230,11 +239,13 @@ def evaluate(
                 if consecutive_ok(""):
                     h.state = AlertState.ALERT
                     h.fired = True
-                    notifications.append(Notification(AlertState.ALERT, "", 0.0, bucket))
+                    latest_ctx[""] = (0.0, bucket)
                 else:
                     h.state = AlertState.PENDING
                     h.fired = previous.get("", GroupHistory()).fired
-            elif not has_group_by:
+            elif not has_group_by or not has_alerts_in_previous:
+                # grouped alerts with previously-alerting groups defer to
+                # the missing-group auto-resolve below (index.ts:1271-1276)
                 get_history("").last_values.append((bucket, 0.0))
             continue
         # worst-case value per group within the bucket
@@ -255,7 +266,7 @@ def evaluate(
                 if consecutive_ok(g):
                     h.state = AlertState.ALERT
                     h.fired = True
-                    notifications.append(Notification(AlertState.ALERT, g, value, bucket))
+                    latest_ctx[g] = (value, bucket)
                 else:
                     h.state = AlertState.PENDING
                     h.fired = previous.get(g, GroupHistory()).fired
@@ -264,19 +275,52 @@ def evaluate(
                 h.counts = 0
             h.last_values.append((bucket, value))
 
-    # auto-resolve: previously firing groups that are now OK / missing
-    for g, prev_h in previous.items():
-        if prev_h.state in (AlertState.ALERT, AlertState.PENDING) and prev_h.fired:
-            now = histories.get(g)
-            if now is not None and now.state == AlertState.OK:
-                lv = now.last_values[-1] if now.last_values else (date_range[1], 0.0)
-                notifications.append(Notification(AlertState.OK, g, lv[1], lv[0]))
-            elif now is None and not does_exceed_threshold(cfg, 0):
+    # missing groups (index.ts:1345-1370): a previously ALERT/PENDING group
+    # absent from the current data gets an OK history (zero at the range
+    # start) when a 0 value would resolve it — creation is NOT gated on
+    # fired; only the notification below is
+    if has_group_by and previous:
+        for g, prev_h in previous.items():
+            if (
+                prev_h.state in (AlertState.ALERT, AlertState.PENDING)
+                and g not in histories
+                and not does_exceed_threshold(cfg, 0)
+            ):
                 h = get_history(g)
-                h.state = AlertState.OK
-                notifications.append(
-                    Notification(AlertState.OK, g, 0.0, date_range[1])
+                h.last_values.append(
+                    (buckets[0] if buckets else date_range[0], 0.0)
                 )
+
+    # no data and no previously-alerting groups: default OK history
+    # (index.ts:1372-1375) — an ungrouped previous ALERT resolves through it
+    if not histories:
+        get_history("")
+
+    # transitions (index.ts:1377-1407): ALERT sends with the latest context;
+    # a run that breached then resolved ALSO sends the OK (mock previous
+    # with fired=true); resolution requires previous fired !== false
+    for g, h in histories.items():
+        prev_h = previous.get(g)
+        prev_state = prev_h.state if prev_h is not None else None
+        prev_fired = prev_h.fired if prev_h is not None else None
+        if g in latest_ctx:
+            value, bucket = latest_ctx[g]
+            notifications.append(Notification(AlertState.ALERT, g, value, bucket))
+            prev_state, prev_fired = AlertState.ALERT, True
+        if (
+            prev_state in (AlertState.ALERT, AlertState.PENDING)
+            and prev_fired is not False
+            and h.state == AlertState.OK
+        ):
+            lv = h.last_values[-1] if h.last_values else None
+            notifications.append(
+                Notification(
+                    AlertState.OK,
+                    g,
+                    lv[1] if lv else 0.0,
+                    lv[0] if lv else date_range[1],
+                )
+            )
     if cfg.silenced_until is not None:
         if now is not None:
             ref_now = now

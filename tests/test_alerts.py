@@ -40,6 +40,134 @@ def test_threshold_operators():
         does_exceed_threshold(cfg(threshold_type=ThresholdType.BETWEEN), 5)
 
 
+# Full doesExceedThreshold matrix from checkAlerts.int.test.ts:72-970 —
+# every zero / negative / decimal / boundary expectation, transcribed.
+# Tuples: (type, threshold, threshold_max, value, expected).
+_TT = ThresholdType
+_THRESHOLD_MATRIX = [
+    # ABOVE (>=): basic + zero + negative + decimal
+    (_TT.ABOVE, 10, None, 11, True), (_TT.ABOVE, 10, None, 10, True),
+    (_TT.ABOVE, 10, None, 9, False),
+    (_TT.ABOVE, 0, None, 1, True), (_TT.ABOVE, 0, None, 0, True),
+    (_TT.ABOVE, 0, None, -1, False),
+    (_TT.ABOVE, -5, None, -3, True), (_TT.ABOVE, -5, None, -5, True),
+    (_TT.ABOVE, -5, None, -7, False),
+    (_TT.ABOVE, 10.5, None, 11.0, True), (_TT.ABOVE, 10.5, None, 10.5, True),
+    (_TT.ABOVE, 10.5, None, 10.0, False),
+    # BELOW (<)
+    (_TT.BELOW, 10, None, 9, True), (_TT.BELOW, 10, None, 10, False),
+    (_TT.BELOW, 10, None, 11, False),
+    (_TT.BELOW, 0, None, -1, True), (_TT.BELOW, 0, None, 0, False),
+    (_TT.BELOW, 0, None, 1, False),
+    (_TT.BELOW, -5, None, -7, True), (_TT.BELOW, -5, None, -5, False),
+    (_TT.BELOW, -5, None, -3, False),
+    (_TT.BELOW, 10.5, None, 10.0, True), (_TT.BELOW, 10.5, None, 10.5, False),
+    (_TT.BELOW, 10.5, None, 11.0, False),
+    # ABOVE_EXCLUSIVE (>)
+    (_TT.ABOVE_EXCLUSIVE, 10, None, 11, True),
+    (_TT.ABOVE_EXCLUSIVE, 10, None, 10, False),
+    (_TT.ABOVE_EXCLUSIVE, 10, None, 9, False),
+    (_TT.ABOVE_EXCLUSIVE, 0, None, 1, True),
+    (_TT.ABOVE_EXCLUSIVE, 0, None, 0, False),
+    (_TT.ABOVE_EXCLUSIVE, 0, None, -1, False),
+    (_TT.ABOVE_EXCLUSIVE, -5, None, -3, True),
+    (_TT.ABOVE_EXCLUSIVE, -5, None, -5, False),
+    (_TT.ABOVE_EXCLUSIVE, -5, None, -7, False),
+    (_TT.ABOVE_EXCLUSIVE, 10.5, None, 11.0, True),
+    (_TT.ABOVE_EXCLUSIVE, 10.5, None, 10.5, False),
+    (_TT.ABOVE_EXCLUSIVE, 10.5, None, 10.0, False),
+    # BELOW_OR_EQUAL (<=)
+    (_TT.BELOW_OR_EQUAL, 10, None, 9, True),
+    (_TT.BELOW_OR_EQUAL, 10, None, 10, True),
+    (_TT.BELOW_OR_EQUAL, 10, None, 11, False),
+    (_TT.BELOW_OR_EQUAL, 0, None, -1, True),
+    (_TT.BELOW_OR_EQUAL, 0, None, 0, True),
+    (_TT.BELOW_OR_EQUAL, 0, None, 1, False),
+    (_TT.BELOW_OR_EQUAL, -5, None, -7, True),
+    (_TT.BELOW_OR_EQUAL, -5, None, -5, True),
+    (_TT.BELOW_OR_EQUAL, -5, None, -3, False),
+    (_TT.BELOW_OR_EQUAL, 10.5, None, 10.0, True),
+    (_TT.BELOW_OR_EQUAL, 10.5, None, 10.5, True),
+    (_TT.BELOW_OR_EQUAL, 10.5, None, 11.0, False),
+    # EQUAL / NOT_EQUAL
+    (_TT.EQUAL, 10, None, 10, True), (_TT.EQUAL, 10, None, 11, False),
+    (_TT.EQUAL, 10, None, 9, False),
+    (_TT.EQUAL, 0, None, 0, True), (_TT.EQUAL, 0, None, 1, False),
+    (_TT.EQUAL, 0, None, -1, False),
+    (_TT.EQUAL, -5, None, -5, True), (_TT.EQUAL, -5, None, -3, False),
+    (_TT.EQUAL, 10.5, None, 10.5, True), (_TT.EQUAL, 10.5, None, 10.0, False),
+    (_TT.NOT_EQUAL, 10, None, 11, True), (_TT.NOT_EQUAL, 10, None, 10, False),
+    (_TT.NOT_EQUAL, 0, None, 1, True), (_TT.NOT_EQUAL, 0, None, 0, False),
+    (_TT.NOT_EQUAL, -5, None, -3, True), (_TT.NOT_EQUAL, -5, None, -5, False),
+    (_TT.NOT_EQUAL, 10.5, None, 10.0, True),
+    (_TT.NOT_EQUAL, 10.5, None, 10.5, False),
+    # BETWEEN (bounds inclusive)
+    (_TT.BETWEEN, 10, 20, 15, True), (_TT.BETWEEN, 10, 20, 10, True),
+    (_TT.BETWEEN, 10, 20, 20, True), (_TT.BETWEEN, 10, 20, 9, False),
+    (_TT.BETWEEN, 10, 20, 21, False),
+    (_TT.BETWEEN, -1, 1, 0, True), (_TT.BETWEEN, 0, 0, 0, True),
+    (_TT.BETWEEN, 1, 5, 0, False),
+    (_TT.BETWEEN, -10, -5, -7, True), (_TT.BETWEEN, -10, -5, -10, True),
+    (_TT.BETWEEN, -10, -5, -5, True), (_TT.BETWEEN, -10, -5, -11, False),
+    (_TT.BETWEEN, 10.0, 11.0, 10.5, True),
+    (_TT.BETWEEN, 10.0, 11.0, 9.9, False),
+    (_TT.BETWEEN, 5, 5, 5, True),  # threshold == thresholdMax == value
+    # NOT_BETWEEN (bounds inclusive on the inside)
+    (_TT.NOT_BETWEEN, 10, 20, 9, True), (_TT.NOT_BETWEEN, 10, 20, 21, True),
+    (_TT.NOT_BETWEEN, 10, 20, 15, False),
+    (_TT.NOT_BETWEEN, 10, 20, 10, False),
+    (_TT.NOT_BETWEEN, 10, 20, 20, False),
+    (_TT.NOT_BETWEEN, -1, 1, 0, False), (_TT.NOT_BETWEEN, 1, 5, 0, True),
+    (_TT.NOT_BETWEEN, -5, -1, 0, True),
+    (_TT.NOT_BETWEEN, -10, -5, -11, True),
+    (_TT.NOT_BETWEEN, -10, -5, -4, True),
+    (_TT.NOT_BETWEEN, -10, -5, -7, False),
+    (_TT.NOT_BETWEEN, 10.0, 11.0, 9.9, True),
+    (_TT.NOT_BETWEEN, 10.0, 11.0, 10.5, False),
+]
+
+
+def test_threshold_matrix_reference_twin():
+    """checkAlerts.int.test.ts doesExceedThreshold — full transcription."""
+    for tt, t, tmax, v, want in _THRESHOLD_MATRIX:
+        c = AlertConfig(threshold=t, threshold_type=tt, threshold_max=tmax)
+        assert does_exceed_threshold(c, v) is want, (tt, t, tmax, v)
+
+
+def test_threshold_matrix_column_variant_agrees(spark):
+    """threshold_column (the distributed predicate) must decide every
+    matrix case identically to the scalar path."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from hyperdx_spark.alerts import threshold_column
+
+    by_cfg = defaultdict(list)
+    for tt, t, tmax, v, want in _THRESHOLD_MATRIX:
+        by_cfg[(tt, t, tmax)].append((float(v), want))
+    for (tt, t, tmax), cases in by_cfg.items():
+        c = AlertConfig(threshold=t, threshold_type=tt, threshold_max=tmax)
+        got = {
+            r["v"]: r["hit"]
+            for r in spark.createDataFrame(
+                [(v,) for v, _ in cases], "v double"
+            ).select("v", threshold_column(c, F.col("v")).alias("hit")).collect()
+        }
+        for v, want in cases:
+            assert got[v] is want, (tt, t, tmax, v)
+
+
+def test_threshold_max_required_message():
+    """The throw matches /thresholdMax is required/ (int.test.ts:798-808,
+    962-970) for BOTH range types."""
+    for tt in (_TT.BETWEEN, _TT.NOT_BETWEEN):
+        with pytest.raises(ValueError, match="thresholdMax is required"):
+            does_exceed_threshold(
+                AlertConfig(threshold=5, threshold_type=tt), 7
+            )
+
+
 def test_evaluate_fires_and_resolves():
     c = cfg(window_minutes=1)
     rows = [
@@ -50,7 +178,13 @@ def test_evaluate_fires_and_resolves():
     hist, notes = evaluate(
         rows, c, date_range=(T(2024, 1, 1, 0, 0), T(2024, 1, 1, 0, 3))
     )
-    assert [n.state for n in notes] == [AlertState.ALERT]
+    # breach-then-resolve WITHIN one run sends BOTH notifications — the
+    # reference injects a mock fired previous after an in-run ALERT so the
+    # resolve check catches it (index.ts:1396-1404; int test :6057 pins
+    # postMessageToWebhook called exactly twice)
+    assert [n.state for n in notes] == [AlertState.ALERT, AlertState.OK]
+    assert notes[0].value == 50 and notes[0].bucket_start == T(2024, 1, 1, 0, 1)
+    assert notes[1].value == 3 and notes[1].bucket_start == T(2024, 1, 1, 0, 2)
     assert hist[""].state == AlertState.OK  # last bucket resolved it
 
     # a previously-fired group that is now OK emits a resolve notification
@@ -88,7 +222,149 @@ def test_evaluate_empty_bucket_zero_semantics():
         [], c, date_range=(T(2024, 1, 1, 0, 0), T(2024, 1, 1, 0, 2))
     )
     assert hist[""].state == AlertState.ALERT
-    assert len(notes) == 2  # both empty buckets fire
+    # ONE notification per group per run, latest breach context (the
+    # reference's latestAlertContext is overwritten per bucket and sent
+    # once in the transitions loop — index.ts:1316-1324, 1385-1407)
+    assert len(notes) == 1
+    assert notes[0].state == AlertState.ALERT
+    assert notes[0].bucket_start == T(2024, 1, 1, 0, 1)
+    # both zero-filled buckets still land in the history
+    assert [v for _b, v in hist[""].last_values] == [0.0, 0.0]
+
+
+def test_zero_fill_below_threshold_ungrouped():
+    """int.test.ts:6457 — non-grouped BELOW alert: a period WITH data at the
+    threshold stays OK; the next, empty period zero-fills and fires."""
+    c = AlertConfig(threshold=1, threshold_type=ThresholdType.BELOW,
+                    window_minutes=1)
+    rng1 = (T(2024, 1, 1, 0, 0), T(2024, 1, 1, 0, 1))
+    hist1, notes1 = evaluate(
+        [{"__timestamp": T(2024, 1, 1, 0, 0), "value": 1}], c, date_range=rng1
+    )
+    assert hist1[""].state == AlertState.OK and notes1 == []
+    rng2 = (T(2024, 1, 1, 0, 1), T(2024, 1, 1, 0, 2))
+    hist2, notes2 = evaluate([], c, date_range=rng2, previous=hist1)
+    assert hist2[""].state == AlertState.ALERT
+    assert [(n.state, n.value) for n in notes2] == [(AlertState.ALERT, 0.0)]
+
+
+def test_zero_fill_auto_resolves_above_alert_ungrouped():
+    """int.test.ts:6705 — ABOVE alert fired in period 1; period 2 has no
+    data, zero does not breach, the zero-filled OK history auto-resolves
+    (exactly two notifications across both runs)."""
+    c = AlertConfig(threshold=1, window_minutes=1)
+    rng1 = (T(2024, 1, 1, 0, 0), T(2024, 1, 1, 0, 1))
+    hist1, notes1 = evaluate(
+        [{"__timestamp": T(2024, 1, 1, 0, 0), "value": 2}], c, date_range=rng1
+    )
+    assert hist1[""].state == AlertState.ALERT
+    assert hist1[""].counts == 1 and hist1[""].last_values == [(rng1[0], 2.0)]
+    assert [n.state for n in notes1] == [AlertState.ALERT]
+    rng2 = (T(2024, 1, 1, 0, 1), T(2024, 1, 1, 0, 2))
+    hist2, notes2 = evaluate([], c, date_range=rng2, previous=hist1)
+    assert hist2[""].state == AlertState.OK and hist2[""].counts == 0
+    # the zero-filled bucket lands in lastValues (count 0 at bucket start)
+    assert hist2[""].last_values == [(rng2[0], 0.0)]
+    assert [(n.state, n.value, n.bucket_start) for n in notes2] == [
+        (AlertState.OK, 0.0, rng2[0])
+    ]
+
+
+def test_zero_fill_auto_resolves_grouped_above_alerts():
+    """int.test.ts:6824 — grouped ABOVE alerts fired for two groups; the
+    next period has no data at all: the empty bucket creates NO zero
+    history (previously-alerting groups defer to missing-group handling),
+    each group gets an OK history at the range start and resolves."""
+    c = AlertConfig(threshold=1, window_minutes=1)
+    rng1 = (T(2024, 1, 1, 0, 0), T(2024, 1, 1, 0, 1))
+    rows = [
+        {"__timestamp": rng1[0], "value": 3, "svc": "api"},
+        {"__timestamp": rng1[0], "value": 2, "svc": "app"},
+    ]
+    hist1, notes1 = evaluate(rows, c, date_range=rng1, group_keys=["svc"])
+    assert {g: h.state for g, h in hist1.items()} == {
+        "svc:api": AlertState.ALERT, "svc:app": AlertState.ALERT,
+    }
+    assert sorted(n.group for n in notes1) == ["svc:api", "svc:app"]
+    rng2 = (T(2024, 1, 1, 0, 1), T(2024, 1, 1, 0, 2))
+    hist2, notes2 = evaluate(
+        [], c, date_range=rng2, group_keys=["svc"], previous=hist1
+    )
+    # no '' zero history — only the two resolved groups
+    assert sorted(hist2) == ["svc:api", "svc:app"]
+    for g in ("svc:api", "svc:app"):
+        assert hist2[g].state == AlertState.OK
+        assert hist2[g].last_values == [(rng2[0], 0.0)]
+    assert sorted((n.state, n.group) for n in notes2) == [
+        (AlertState.OK, "svc:api"), (AlertState.OK, "svc:app"),
+    ]
+
+
+def test_zero_fill_grouped_below_no_alert_when_some_groups_present():
+    """int.test.ts:7034 — a grouped BELOW alert must NOT fire off zero-fill
+    when the period has data for some groups (the bucket is not empty, so
+    no '' zero history exists)."""
+    c = AlertConfig(threshold=1, threshold_type=ThresholdType.BELOW,
+                    window_minutes=1)
+    rng = (T(2024, 1, 1, 0, 0), T(2024, 1, 1, 0, 1))
+    rows = [
+        {"__timestamp": rng[0], "value": 1, "svc": "api"},
+        {"__timestamp": rng[0], "value": 1, "svc": "app"},
+    ]
+    hist, notes = evaluate(rows, c, date_range=rng, group_keys=["svc"])
+    assert sorted(hist) == ["svc:api", "svc:app"] and notes == []
+    assert all(h.state == AlertState.OK for h in hist.values())
+
+
+def test_zero_fill_grouped_below_alerts_when_no_data_for_any_group():
+    """int.test.ts:7169 — same grouped BELOW alert DOES fire (one ungrouped
+    notification) when the period has no data for any group."""
+    c = AlertConfig(threshold=1, threshold_type=ThresholdType.BELOW,
+                    window_minutes=1)
+    rng = (T(2024, 1, 1, 0, 0), T(2024, 1, 1, 0, 1))
+    hist, notes = evaluate([], c, date_range=rng, group_keys=["svc"])
+    assert sorted(hist) == [""] and hist[""].state == AlertState.ALERT
+    assert [(n.state, n.group, n.value) for n in notes] == [
+        (AlertState.ALERT, "", 0.0)
+    ]
+
+
+def test_grouped_mixed_transitions_renotifies_and_resolves():
+    """int.test.ts:5529 — one group stays ALERT (re-notifies every tick it
+    keeps breaching), the other resolves to OK."""
+    c = AlertConfig(threshold=1, window_minutes=1)
+    prev = {
+        "svc:api": GroupHistory(state=AlertState.ALERT, fired=True),
+        "svc:app": GroupHistory(state=AlertState.ALERT, fired=True),
+    }
+    rng = (T(2024, 1, 1, 0, 0), T(2024, 1, 1, 0, 1))
+    rows = [
+        {"__timestamp": rng[0], "value": 5, "svc": "api"},
+        {"__timestamp": rng[0], "value": 0, "svc": "app"},
+    ]
+    hist, notes = evaluate(
+        rows, c, date_range=rng, group_keys=["svc"], previous=prev
+    )
+    assert hist["svc:api"].state == AlertState.ALERT
+    assert hist["svc:app"].state == AlertState.OK
+    assert sorted((n.state, n.group) for n in notes) == [
+        (AlertState.ALERT, "svc:api"), (AlertState.OK, "svc:app"),
+    ]
+
+
+def test_missing_group_history_created_even_when_not_fired():
+    """index.ts:1345-1370 — the OK history for a missing group is created
+    whenever it was ALERT/PENDING (regardless of fired); only the
+    NOTIFICATION requires previous fired !== false."""
+    c = AlertConfig(threshold=1, window_minutes=1)
+    prev = {"svc:api": GroupHistory(state=AlertState.PENDING, fired=False)}
+    rng = (T(2024, 1, 1, 0, 0), T(2024, 1, 1, 0, 1))
+    hist, notes = evaluate(
+        [], c, date_range=rng, group_keys=["svc"], previous=prev
+    )
+    assert hist["svc:api"].state == AlertState.OK
+    assert hist["svc:api"].last_values == [(rng[0], 0.0)]
+    assert notes == []  # not fired before -> no resolve notification
 
 
 def test_evaluate_grouped_worst_case_in_bucket():
@@ -372,9 +648,13 @@ def test_alert_catches_up_on_multiple_missed_windows():
     ]
     histories, notes = evaluate(rows, cfg, date_range=rng)
     assert histories[""].state == AlertState.ALERT
-    # both above-threshold catch-up buckets fired; the empty one did not
-    fired = sorted(n.bucket_start for n in notes)
-    assert fired == [datetime(2024, 1, 1, 9, 45), datetime(2024, 1, 1, 9, 55)]
+    # every expected bucket lands in the history — including the empty one
+    assert [v for _b, v in histories[""].last_values] == [9.0, 0.0, 7.0]
+    # ONE notification per group per run, latest breach context
+    # (index.ts:1316-1324, 1385-1407)
+    assert [(n.state, n.value, n.bucket_start) for n in notes] == [
+        (AlertState.ALERT, 7.0, datetime(2024, 1, 1, 9, 55))
+    ]
 
 
 def test_get_response_metadata_and_single_value(spark):
