@@ -64,12 +64,15 @@ def explain_node(node: Node, implicit_name: str = "event") -> str:
             verb = "does not end with" if neg else "ends with"
         return f"{f} {verb} {shown}"
     if isinstance(node, Range):
+        # EnglishSerializer.range (queryParser.ts:396-414): per-BOUND
+        # '(exclusive)' suffixes, negation reads 'is not between'
         f = _field(node.field, implicit_name)
         lo = "-infinity" if node.low == "*" else node.low
         hi = "infinity" if node.high == "*" else node.high
-        incl = "inclusive" if (node.include_low and node.include_high) else "exclusive"
-        base = f"{f} is between {lo} and {hi} ({incl})"
-        return f"NOT ({base})" if node.negated else base
+        lo_b = lo if node.include_low else f"{lo} (exclusive)"
+        hi_b = hi if node.include_high else f"{hi} (exclusive)"
+        verb = "is not" if node.negated else "is"
+        return f"{f} {verb} between {lo_b} and {hi_b}"
     if isinstance(node, BoolOp):
         return (
             f"{explain_node(node.left, implicit_name)} {node.op} "

@@ -392,7 +392,10 @@ class SearchQueryBuilder:
             lhs, rhs = self._cast_side(f, r.high)
             conds.append(f"{lhs} {'<=' if r.include_high else '<'} {rhs}")
         if not conds:
-            return f"{f.expr} IS NOT NULL"
+            # field:[* TO *] == exists — the reference compiles it to the
+            # same notEmpty check as field:* (queryParser.test.ts:762
+            # 'ServiceName:[* TO *]' -> notEmpty(ServiceName) = 1)
+            return self._exists(f)
         return "(" + " AND ".join(conds) + ")"
 
     # bare term -> implicit column token search (queryParser.ts:1578-1600)

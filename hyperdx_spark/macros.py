@@ -410,14 +410,19 @@ _PARAM_RE = re.compile(r"\{(\w+)\s*:\s*\w+\}")  # {name:Int64} placeholders
 
 def raw_sql_params(
     *,
-    display_type: str = "line",
+    display_type: str = "table",
     date_range: Optional[tuple[datetime, datetime]] = None,
     granularity: Optional[str] = None,
 ) -> dict[str, int]:
     """Compute the bound values for a raw-SQL tile's named query params
     (rawSqlParams.ts QUERY_PARAMS): dashboard range bounds in epoch millis
     and the effective bucket interval ('auto' resolves via the granularity
-    ladder against the date range)."""
+    ladder against the date range). Defaults mirror the reference:
+    displayType falls back to Table (renderChartConfig.ts
+    renderRawSqlChartConfig; rawSqlParams.test.ts:138), and 'auto' with NO
+    date range stays the literal string 'auto', whose
+    convertGranularityToSeconds parse yields 0 (core/utils.ts:471-485;
+    rawSqlParams.test.ts:57-74 pins intervalSeconds 0)."""
     from hyperdx_spark.granularity import auto_granularity, granularity_seconds
 
     values: dict[str, int] = {}
@@ -426,7 +431,7 @@ def raw_sql_params(
         values["endDateMilliseconds"] = _ms(date_range[1])
     g = granularity or "auto"
     if g == "auto":
-        interval = granularity_seconds(auto_granularity(date_range)) if date_range else 60
+        interval = granularity_seconds(auto_granularity(date_range)) if date_range else 0
     else:
         interval = granularity_seconds(g)
     values["intervalSeconds"] = interval

@@ -78,6 +78,52 @@ def test_range():
     assert build("value:[* TO 10]") == "(`value` <= 10)"
 
 
+def test_range_bounds_reference_matrix():
+    """queryParser.test.ts:668-755 range-bounds cases (Spark spelling):
+    mixed brackets, unbounded ends, negation wrapping, [* TO *] == exists."""
+    assert build("value:[100 TO *]") == "(`value` >= 100)"
+    # mixed brackets: [a TO b} and {a TO b]
+    assert build("value:[100 TO 500}") == "(`value` >= 100 AND `value` < 500)"
+    assert build("value:{100 TO 500]") == "(`value` > 100 AND `value` <= 500)"
+    # negated ranges wrap in NOT(...)
+    assert build("-value:[* TO 500]") == "(NOT (`value` <= 500))"
+    assert (
+        build("-value:{100 TO 500}")
+        == "(NOT (`value` > 100 AND `value` < 500))"
+    )
+    # [* TO *] compiles to the exists check (notEmpty for strings)
+    assert (
+        build("event_type:[* TO *]")
+        == "(`event_type` IS NOT NULL AND `event_type` != '')"
+    )
+    assert build("value:[* TO *]") == "`value` IS NOT NULL"
+    # map-field range subscripts the key
+    got = build("attrs.duration_ms:{100 TO 500}")
+    assert "attrs" in got and "> 100" in got and "< 500" in got
+    # timestamp range keeps string bounds comparable to the ts column
+    got = build("ts:[2024-01-01 TO 2024-06-01]")
+    assert "ts" in got and "2024-01-01" in got and "2024-06-01" in got
+
+
+def test_like_metacharacters_escaped():
+    """queryParser.test.ts:623-667 — '_' and '%' in search terms are LIKE
+    metacharacters and must be escaped in every LIKE/ILIKE pattern; the
+    tokens of the implicit fallback stay raw while its LIKE is escaped."""
+    assert build("event_type:user_service") == (
+        "lower(`event_type`) LIKE '%user\\\\_service%'"
+    )
+    assert build("event_type:100%") == "lower(`event_type`) LIKE '%100\\\\%%'"
+    assert build("-event_type:user_service") == (
+        "(NOT lower(`event_type`) LIKE '%user\\\\_service%')"
+    )
+    # edge wildcard around a metacharacter: '*' becomes %, '_' is escaped
+    assert build("event_type:user_*") == "lower(`event_type`) LIKE 'user\\\\_%'"
+    # implicit bare term: raw tokens, escaped LIKE fallback
+    got = build("user_service")
+    assert "'%user\\\\_service%'" in got
+    assert "user" in got and "service" in got
+
+
 def test_wildcards():
     assert build("event_type:err*") == "lower(`event_type`) LIKE 'err%'"
     assert build("event_type:*ror") == "lower(`event_type`) LIKE '%ror'"

@@ -247,7 +247,25 @@ def test_lucene_explain():
     assert explain_query("level:err*") == "'level' starts with err"
     assert explain_query("duration:>=100") == "'duration' is greater than or equal to 100"
     assert explain_query("level:*") == "'level' is not null"
-    assert explain_query("duration:[1 TO 5]") == "'duration' is between 1 and 5 (inclusive)"
+    # range wording: queryParser.test.ts:757-775 english cases — per-bound
+    # (exclusive) suffixes, negation reads 'is not between'
+    assert explain_query("duration:[1 TO 5]") == "'duration' is between 1 and 5"
+    assert (
+        explain_query("duration:{100 TO 500}")
+        == "'duration' is between 100 (exclusive) and 500 (exclusive)"
+    )
+    assert (
+        explain_query("duration:[100 TO 500}")
+        == "'duration' is between 100 and 500 (exclusive)"
+    )
+    assert (
+        explain_query("duration:{100 TO 500]")
+        == "'duration' is between 100 (exclusive) and 500"
+    )
+    assert (
+        explain_query("-duration:{100 TO 500}")
+        == "'duration' is not between 100 (exclusive) and 500 (exclusive)"
+    )
     assert (
         explain_query("foo bar", implicit_name="event")
         == "event contains foo AND event contains bar"
@@ -296,6 +314,25 @@ def test_raw_sql_params_by_display_type():
     assert raw_sql_params(display_type="search", date_range=rng) == {}
     auto = raw_sql_params(display_type="line", date_range=rng)  # 1 day span
     assert auto["intervalSeconds"] * 60 >= 86400  # <= 60 buckets
+
+    # rawSqlParams.test.ts edge bindings walked (r12):
+    # :117 — 1-hour range, auto -> 60s / 60000ms
+    hour = (datetime(2024, 1, 1), datetime(2024, 1, 1, 1))
+    a = raw_sql_params(display_type="line", date_range=hour)
+    assert (a["intervalSeconds"], a["intervalMilliseconds"]) == (60, 60000)
+    # :98 — explicit granularity wins over the ladder
+    g = raw_sql_params(display_type="line", date_range=hour, granularity="5 minute")
+    assert (g["intervalSeconds"], g["intervalMilliseconds"]) == (300, 300000)
+    # :57 — Line with NO dateRange: interval params bind 0 (the literal
+    # 'auto' string parses to 0 in convertGranularityToSeconds), range
+    # bounds stay unbound (undefined)
+    none_line = raw_sql_params(display_type="line")
+    assert none_line == {"intervalSeconds": 0, "intervalMilliseconds": 0}
+    # :16 — Table with no dateRange binds nothing
+    assert raw_sql_params(display_type="table") == {}
+    # :138 — displayType defaults to Table: range bounds only
+    d = raw_sql_params(date_range=rng)
+    assert set(d) == {"startDateMilliseconds", "endDateMilliseconds"}
 
     sql = (
         "SELECT window(ts, {intervalSeconds:Int64}) FROM t "
