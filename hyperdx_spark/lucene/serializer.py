@@ -118,9 +118,19 @@ def _num_lit(v: str) -> str:
 class _Field:
     """A resolved field: a SQL expression + search kind."""
 
-    def __init__(self, expr: str, kind: str, unknown: bool = False):
+    def __init__(
+        self,
+        expr: str,
+        kind: str,
+        unknown: bool = False,
+        elem_kind: "Optional[str]" = None,
+    ):
         self.expr = expr
         self.kind = kind  # 'string' | 'number' | 'bool' | 'date' | 'json' | 'array' | 'map' | 'expr'
+        # for kind == 'array': the element search kind (drives the exact
+        # numeric/boolean membership dispatch, queryParser.ts:252-257
+        # extractInnerCHArrayJSType)
+        self.elem_kind = elem_kind
         # True only when resolution fell through every schema / source /
         # materialized lookup — i.e. a plain identifier that names nothing
         self.unknown = unknown
@@ -170,7 +180,13 @@ class SearchQueryBuilder:
         # exact match (then case-insensitive)
         name = field if field in self._fields else self._fields_lower.get(field.lower())
         if name is not None:
-            return _Field(f"`{name}`", self._kind_of(self._fields[name]))
+            dt = self._fields[name]
+            elem = (
+                self._kind_of(dt.elementType)
+                if isinstance(dt, ArrayType)
+                else None
+            )
+            return _Field(f"`{name}`", self._kind_of(dt), elem_kind=elem)
         # longest-prefix match over dot-path (queryParser.ts:126-155)
         parts = field.split(".")
         for cut in range(len(parts) - 1, 0, -1):
@@ -221,7 +237,10 @@ class SearchQueryBuilder:
                     "json",
                 )
             if isinstance(dt, ArrayType):
-                return _Field(f"`{name}`", "array")
+                return _Field(
+                    f"`{name}`", "array",
+                    elem_kind=self._kind_of(dt.elementType),
+                )
         # unknown: pass through as a raw expression (queryParser.ts:1752-1759)
         return _Field(field, "expr", unknown=True)
 
@@ -326,7 +345,19 @@ class SearchQueryBuilder:
             # numeric compare on JSON value, guarded cast (queryParser.ts:1710-1726)
             return f"(try_cast({f.expr} AS DOUBLE) = {_num_lit(v)} OR lower({f.expr}) LIKE {_sql_str('%' + _like_escape(v.lower()) + '%')})"
         if f.kind == "array":
-            # substring match on any element (queryParser.ts:821-908)
+            # numeric/boolean element arrays are EXACT membership even for
+            # unquoted terms — the reference casts to the inner type and
+            # emits has() (queryParser.test.ts:2124-2162 'Events.Count:5'
+            # -> has(Events.Count, CAST('5','Float64')))
+            if f.elem_kind == "number":
+                if _is_number(v):
+                    return f"exists({f.expr}, x -> x = {_num_lit(v)})"
+                return "FALSE"
+            if f.elem_kind == "bool":
+                truthy = v.lower() in ("true", "1")
+                return f"array_contains({f.expr}, {'TRUE' if truthy else 'FALSE'})"
+            # string elements: substring match on any element
+            # (queryParser.ts:821-908)
             pat = _sql_str("%" + _like_escape(v.lower()) + "%")
             return f"exists({f.expr}, x -> lower(cast(x AS STRING)) LIKE {pat})"
         return f"lower({f.expr}) LIKE {_sql_str('%' + _like_escape(v.lower()) + '%')}"
@@ -342,6 +373,13 @@ class SearchQueryBuilder:
         if f.kind == "date":
             return f"{f.expr} = {_ts_lit(v)}"
         if f.kind == "array":
+            if f.elem_kind == "number":
+                if _is_number(v):
+                    return f"exists({f.expr}, x -> x = {_num_lit(v)})"
+                return "FALSE"
+            if f.elem_kind == "bool":
+                truthy = v.lower() in ("true", "1")
+                return f"array_contains({f.expr}, {'TRUE' if truthy else 'FALSE'})"
             return f"array_contains({f.expr}, {_sql_str(v)})"
         return f"{f.expr} = {_sql_str(v)}"
 
@@ -352,6 +390,10 @@ class SearchQueryBuilder:
     def _wildcard(self, f: _Field, v: str) -> str:
         pat = _sql_str(_wildcard_to_like(v.lower()))
         if f.kind == "array":
+            # deviation shared with scalar fields (see _wildcard_to_like):
+            # the reference ignores edge wildcards on array fields too
+            # (queryParser.test.ts:2108-2121 'Events.Name:foo*' compiles to
+            # plain substring) — we honor the anchors the user typed
             return f"exists({f.expr}, x -> lower(cast(x AS STRING)) LIKE {pat})"
         expr = f.expr if f.kind in ("string", "json", "expr") else f"cast({f.expr} AS STRING)"
         return f"lower({expr}) LIKE {pat}"
@@ -377,6 +419,12 @@ class SearchQueryBuilder:
         return f.expr, _sql_str(v)
 
     def _cmp(self, f: _Field, op: str, v: str) -> str:
+        if f.kind == "array":
+            # queryParser.test.ts:2018-2048: ordered comparisons on
+            # Array-type fields are a loud user-facing error
+            raise ValueError(
+                f"{op} comparison is not supported for Array-type fields"
+            )
         lhs, rhs = self._cast_side(f, v)
         return f"{lhs} {op} {rhs}"
 
@@ -384,6 +432,12 @@ class SearchQueryBuilder:
         if r.field is None:
             raise ValueError("range query requires a field")
         f = self.resolve(r.field)
+        if f.kind == "array" and (r.low != "*" or r.high != "*"):
+            # queryParser.test.ts:2050-2057; [* TO *] still degrades to the
+            # exists check below, which is well-defined for arrays
+            raise ValueError(
+                "range comparison is not supported for Array-type fields"
+            )
         conds = []
         if r.low != "*":
             lhs, rhs = self._cast_side(f, r.low)

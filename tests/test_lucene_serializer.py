@@ -26,6 +26,8 @@ SCHEMA = StructType(
         StructField("props", StringType()),  # JSON-in-string
         StructField("attrs", MapType(StringType(), StringType())),
         StructField("tags", ArrayType(StringType())),
+        StructField("nums", ArrayType(LongType())),
+        StructField("flags", ArrayType(BooleanType())),
         StructField("ok", BooleanType()),
     ]
 )
@@ -162,6 +164,38 @@ def test_array_contains():
     assert build('tags:"prod"') == "array_contains(`tags`, 'prod')"
     got = build("tags:pro")
     assert got == "exists(`tags`, x -> lower(cast(x AS STRING)) LIKE '%pro%')"
+
+
+def test_array_numeric_and_bool_membership():
+    """queryParser.test.ts:2124-2196 — numeric/boolean element arrays are
+    EXACT membership for BOTH quoted and unquoted terms (the reference
+    casts to the inner type and emits has()); non-numeric terms against a
+    numeric array are FALSE."""
+    assert build("nums:5") == "exists(`nums`, x -> x = 5)"
+    assert build('nums:"4"') == "exists(`nums`, x -> x = 4)"
+    assert build("-nums:5") == "(NOT exists(`nums`, x -> x = 5))"
+    assert build("nums:abc") == "FALSE"
+    assert build("flags:true") == "array_contains(`flags`, TRUE)"
+    assert build("flags:false") == "array_contains(`flags`, FALSE)"
+    assert build('flags:"true"') == "array_contains(`flags`, TRUE)"
+    assert build("-flags:true") == "(NOT array_contains(`flags`, TRUE))"
+
+
+def test_array_comparisons_and_ranges_raise():
+    """queryParser.test.ts:2018-2057 — ordered comparisons and ranges on
+    Array-type fields are loud user-facing errors; [* TO *] still works
+    (it is the exists check, well-defined for arrays)."""
+    for q, frag in [
+        ("tags:>=2", ">= comparison is not supported for Array-type fields"),
+        ("tags:<=2", "<= comparison is not supported for Array-type fields"),
+        ("nums:>2", "> comparison is not supported for Array-type fields"),
+        ("nums:<2", "< comparison is not supported for Array-type fields"),
+        ("tags:[2 TO 5]", "range comparison is not supported for Array-type fields"),
+        ("nums:{2 TO 5}", "range comparison is not supported for Array-type fields"),
+    ]:
+        with pytest.raises(ValueError, match=frag.replace("[", "\\[")):
+            build(q)
+    assert build("tags:[* TO *]") == "(`tags` IS NOT NULL AND size(`tags`) > 0)"
 
 
 def test_severity_alias():
