@@ -124,6 +124,7 @@ class _Field:
         kind: str,
         unknown: bool = False,
         elem_kind: "Optional[str]" = None,
+        sub: "Optional[str]" = None,
     ):
         self.expr = expr
         self.kind = kind  # 'string' | 'number' | 'bool' | 'date' | 'json' | 'array' | 'map' | 'expr'
@@ -131,9 +132,25 @@ class _Field:
         # numeric/boolean membership dispatch, queryParser.ts:252-257
         # extractInnerCHArrayJSType)
         self.elem_kind = elem_kind
+        # for kind == 'array' with a dotted postfix (array-of-maps /
+        # array-of-JSON, queryParser.ts:305-392): the key path applied to
+        # each ELEMENT inside the arrayExists lambda
+        self.sub = sub
         # True only when resolution fell through every schema / source /
         # materialized lookup — i.e. a plain identifier that names nothing
         self.unknown = unknown
+
+    def elem_expr(self) -> str:
+        """The per-element accessor inside an exists() lambda."""
+        if self.sub is None:
+            return "x"
+        if self.elem_kind == "map":
+            # single dotted key, like the reference's el['message.subkey']
+            return f"element_at(x, {_sql_str(self.sub)})"
+        if self.elem_kind == "struct":
+            return "x" + "".join(f".`{p}`" for p in self.sub.split("."))
+        # array of JSON strings
+        return f"get_json_object(x, {_sql_str('$.' + self.sub)})"
 
 
 class SearchQueryBuilder:
@@ -237,9 +254,21 @@ class SearchQueryBuilder:
                     "json",
                 )
             if isinstance(dt, ArrayType):
+                # array-of-maps / array-of-structs / array-of-JSON with a
+                # key postfix: the key applies per ELEMENT inside the
+                # arrayExists lambda (queryParser.ts:305-392)
+                et = dt.elementType
+                sub = ".".join(rest)
+                if isinstance(et, MapType):
+                    return _Field(f"`{name}`", "array", elem_kind="map", sub=sub)
+                if isinstance(et, StructType):
+                    return _Field(
+                        f"`{name}`", "array", elem_kind="struct", sub=sub
+                    )
+                if isinstance(et, StringType):
+                    return _Field(f"`{name}`", "array", elem_kind="json", sub=sub)
                 return _Field(
-                    f"`{name}`", "array",
-                    elem_kind=self._kind_of(dt.elementType),
+                    f"`{name}`", "array", elem_kind=self._kind_of(et)
                 )
         # unknown: pass through as a raw expression (queryParser.ts:1752-1759)
         return _Field(field, "expr", unknown=True)
@@ -345,6 +374,16 @@ class SearchQueryBuilder:
             # numeric compare on JSON value, guarded cast (queryParser.ts:1710-1726)
             return f"(try_cast({f.expr} AS DOUBLE) = {_num_lit(v)} OR lower({f.expr}) LIKE {_sql_str('%' + _like_escape(v.lower()) + '%')})"
         if f.kind == "array":
+            if f.sub is not None:
+                # per-element key probe (queryParser.test.ts:2166-2251
+                # 'Events.Attributes.message:key1' -> arrayExists over
+                # el['message'])
+                e = f.elem_expr()
+                pat = _sql_str("%" + _like_escape(v.lower()) + "%")
+                return (
+                    f"exists({f.expr}, x -> lower(cast({e} AS STRING))"
+                    f" LIKE {pat})"
+                )
             # numeric/boolean element arrays are EXACT membership even for
             # unquoted terms — the reference casts to the inner type and
             # emits has() (queryParser.test.ts:2124-2162 'Events.Count:5'
@@ -373,6 +412,10 @@ class SearchQueryBuilder:
         if f.kind == "date":
             return f"{f.expr} = {_ts_lit(v)}"
         if f.kind == "array":
+            if f.sub is not None:
+                # arrayExists(el -> el['k'] = 'v') / toString(el.`k`) = 'v'
+                e = f.elem_expr()
+                return f"exists({f.expr}, x -> cast({e} AS STRING) = {_sql_str(v)})"
             if f.elem_kind == "number":
                 if _is_number(v):
                     return f"exists({f.expr}, x -> x = {_num_lit(v)})"
@@ -380,6 +423,10 @@ class SearchQueryBuilder:
             if f.elem_kind == "bool":
                 truthy = v.lower() in ("true", "1")
                 return f"array_contains({f.expr}, {'TRUE' if truthy else 'FALSE'})"
+            if f.elem_kind == "date":
+                # reference: arrayExists(el -> toString(el) = '...') —
+                # string comparison on the stringified element
+                return f"exists({f.expr}, x -> cast(x AS STRING) = {_sql_str(v)})"
             return f"array_contains({f.expr}, {_sql_str(v)})"
         return f"{f.expr} = {_sql_str(v)}"
 
@@ -394,7 +441,8 @@ class SearchQueryBuilder:
             # the reference ignores edge wildcards on array fields too
             # (queryParser.test.ts:2108-2121 'Events.Name:foo*' compiles to
             # plain substring) — we honor the anchors the user typed
-            return f"exists({f.expr}, x -> lower(cast(x AS STRING)) LIKE {pat})"
+            e = f.elem_expr()
+            return f"exists({f.expr}, x -> lower(cast({e} AS STRING)) LIKE {pat})"
         expr = f.expr if f.kind in ("string", "json", "expr") else f"cast({f.expr} AS STRING)"
         return f"lower({expr}) LIKE {pat}"
 
@@ -403,6 +451,15 @@ class SearchQueryBuilder:
         if f.kind in ("string", "json", "expr"):
             return f"({f.expr} IS NOT NULL AND {f.expr} != '')"
         if f.kind == "array":
+            if f.sub is not None:
+                # 'arr.key:*': any element with a non-empty value at the key
+                # (queryParser.test.ts:2199 arrayExists(el ->
+                # notEmpty(toString(el['message']))))
+                e = f.elem_expr()
+                return (
+                    f"exists({f.expr}, x -> {e} IS NOT NULL"
+                    f" AND cast({e} AS STRING) != '')"
+                )
             return f"({f.expr} IS NOT NULL AND size({f.expr}) > 0)"
         if f.kind == "map":
             return f"({f.expr} IS NOT NULL AND cardinality({f.expr}) > 0)"

@@ -198,6 +198,103 @@ def test_array_comparisons_and_ranges_raise():
     assert build("tags:[* TO *]") == "(`tags` IS NOT NULL AND size(`tags`) > 0)"
 
 
+ARR_SCHEMA = StructType(
+    [
+        StructField("attrs_arr", ArrayType(MapType(StringType(), StringType()))),
+        StructField("jsons", ArrayType(StringType())),
+        StructField("ts_arr", ArrayType(TimestampType())),
+    ]
+)
+
+
+def build_arr(q: str) -> str:
+    return SearchQueryBuilder(
+        ARR_SCHEMA, Source(table="t", implicit_column_expression="jsons")
+    ).build(q)
+
+
+def test_array_of_maps_key_probe():
+    """queryParser.test.ts:2166-2251 — a dotted postfix on an array-of-maps
+    probes the key on each ELEMENT inside the exists() lambda; the dotted
+    remainder is ONE map key ('message.subkey'), and 'arr.key:*' means any
+    element with a non-empty value at the key."""
+    assert build_arr("attrs_arr.message:key1") == (
+        "exists(`attrs_arr`, x -> lower(cast(element_at(x, 'message')"
+        " AS STRING)) LIKE '%key1%')"
+    )
+    assert build_arr('attrs_arr.message:"key1"') == (
+        "exists(`attrs_arr`, x -> cast(element_at(x, 'message')"
+        " AS STRING) = 'key1')"
+    )
+    assert build_arr('attrs_arr.message.subkey:"key1"') == (
+        "exists(`attrs_arr`, x -> cast(element_at(x, 'message.subkey')"
+        " AS STRING) = 'key1')"
+    )
+    assert build_arr("attrs_arr.message:*") == (
+        "exists(`attrs_arr`, x -> element_at(x, 'message') IS NOT NULL"
+        " AND cast(element_at(x, 'message') AS STRING) != '')"
+    )
+    # whole-array exists stays the plain notEmpty check
+    assert build_arr("attrs_arr:*") == (
+        "(`attrs_arr` IS NOT NULL AND size(`attrs_arr`) > 0)"
+    )
+    # array of JSON strings: per-element JSON path (JSONAttributes twin)
+    assert build_arr("jsons.message:key1") == (
+        "exists(`jsons`, x -> lower(cast(get_json_object(x, '$.message')"
+        " AS STRING)) LIKE '%key1%')"
+    )
+    # date-element arrays: quoted eq is a STRING comparison on the
+    # stringified element (toString(el) = '...')
+    assert build_arr('ts_arr:"2025-01-01"') == (
+        "exists(`ts_arr`, x -> cast(x AS STRING) = '2025-01-01')"
+    )
+
+
+def test_array_probes_execute(spark):
+    """The compiled array probes must RUN — the pre-r12 array-of-map eq
+    compiled to array_contains(array<map>, string), a runtime type error."""
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [
+            Row(
+                attrs_arr=[{"message": "key1"}, {"other": "x"}],
+                jsons=['{"message": "key1"}'],
+                ts_arr=[datetime(2025, 1, 1)],
+                nums=[4, 5],
+                flags=[True],
+            ),
+            Row(attrs_arr=[{"other": "y"}], jsons=["{}"],
+                ts_arr=[], nums=[7], flags=[False]),
+        ],
+        "attrs_arr array<map<string,string>>, jsons array<string>,"
+        " ts_arr array<timestamp>, nums array<long>, flags array<boolean>",
+    )
+    df.createOrReplaceTempView("arrprobe")
+    full = StructType(ARR_SCHEMA.fields + [
+        StructField("nums", ArrayType(LongType())),
+        StructField("flags", ArrayType(BooleanType())),
+    ])
+    b = SearchQueryBuilder(full, Source(table="t", implicit_column_expression="jsons"))
+    for q, want in [
+        ('attrs_arr.message:"key1"', 1),
+        ("attrs_arr.message:key1", 1),
+        ("attrs_arr.message:*", 1),
+        ("jsons.message:key1", 1),
+        ("nums:5", 1),
+        ('nums:"7"', 1),
+        ("flags:true", 1),
+        ("tags_none:xyz", None),  # unknown field: just must not crash build
+    ]:
+        if want is None:
+            b.build(q)
+            continue
+        n = spark.sql(f"SELECT count(*) c FROM arrprobe WHERE {b.build(q)}").collect()[0]["c"]
+        assert n == want, (q, b.build(q), n)
+
+
 def test_severity_alias():
     assert build("level:error") == "lower(event_type) LIKE '%error%'"
 
