@@ -3030,15 +3030,15 @@ def q_lucene_explain(spark, sf_dir):
 O_LUCENE_EXPLAIN = """
 SELECT * FROM (VALUES
   ('error web',
-   'event contains error AND event contains web'),
+   'event has whole word error AND event has whole word web'),
   ('event_type:err* AND NOT value:<10',
    e'\\'event_type\\' starts with err AND NOT (\\'value\\' is less than 10)'),
   ('props.k:* AND -event_type:click',
    e'\\'props.k\\' is not null AND \\'event_type\\' does not contain click'),
   ('"timed out" OR (value:>100 AND event_type:err*)',
-   e'event is \\'timed out\\' OR (\\'value\\' is greater than 100 AND \\'event_type\\' starts with err)'),
+   e'event has whole word "timed out" OR (\\'value\\' is greater than 100 AND \\'event_type\\' starts with err)'),
   ('error localhost:3000',
-   'event contains error AND event contains localhost:3000')
+   'event has whole word error AND event has whole word localhost:3000')
 ) AS t(query, explanation)
 """
 

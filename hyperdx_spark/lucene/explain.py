@@ -8,6 +8,7 @@ from the syntax alone)."""
 
 from __future__ import annotations
 
+import re
 from dataclasses import replace as _replace
 
 from hyperdx_spark.lucene.ast import BoolOp, Group, MatchAll, Node, Not, Range, Term
@@ -21,16 +22,27 @@ _CMP_PHRASE = {
 }
 
 
-def explain_query(query: str, implicit_name: str = "event") -> str:
-    """Parse *query* and render the reference's English explanation."""
-    return explain_node(parse(query), implicit_name)
+def explain_query(query: str, implicit_name: "str | None" = None) -> str:
+    """Parse *query* and render the reference's English explanation.
+
+    ``implicit_name`` mirrors ``context.implicitColumnExpression``
+    (queryParser.ts:223-227 translateField): None (the
+    genEnglishExplanation default) shows implicit terms as 'event' with
+    token-search phrasing ('has whole word', ts:349-370); a provided
+    expression is shown verbatim with 'contains' phrasing. A query that
+    fails to parse degrades to the reference's fallback line
+    (ts:2181-2201)."""
+    try:
+        return explain_node(parse(query), implicit_name)
+    except Exception:
+        return f"Message containing {query}"
 
 
-def _field(term_field, implicit_name: str) -> str:
-    return f"'{term_field}'" if term_field else implicit_name
+def _field(term_field, implicit_name: "str | None") -> str:
+    return f"'{term_field}'" if term_field else (implicit_name or "event")
 
 
-def explain_node(node: Node, implicit_name: str = "event") -> str:
+def explain_node(node: Node, implicit_name: "str | None" = None) -> str:
     if isinstance(node, MatchAll):
         return "anything"
     if isinstance(node, Term):
@@ -47,21 +59,41 @@ def explain_node(node: Node, implicit_name: str = "event") -> str:
             phrase = _CMP_PHRASE[node.prefix]
             base = f"{f} {phrase} {node.value}"
             return f"NOT ({base})" if neg else base
-        if node.quoted:
-            if getattr(node, "grouped", False):
-                # grouped f:("x y") is a contains search, phrased like the
-                # reference's english ('(ServiceName contains "foo bar")')
-                verb = "does not contain" if neg else "contains"
-                return f'{f} {verb} "{node.value}"'
+        if node.quoted and node.field and not getattr(node, "grouped", False):
+            # explicit-field quoted = the eq path (ts:281-296): raw term,
+            # no quotes around it
             verb = "is not" if neg else "is"
-            return f"{f} {verb} '{node.value}'"
-        has_wild = node.value.startswith("*") or node.value.endswith("*")
-        verb = "does not contain" if neg else "contains"
-        shown = node.value.strip("*") if has_wild else node.value
-        if node.value.endswith("*") and not node.value.startswith("*"):
+            return f"{f} {verb} {node.value}"
+        if node.quoted and getattr(node, "grouped", False):
+            # grouped f:("x y") is a contains search, phrased like the
+            # reference's english ('(ServiceName contains "foo bar")')
+            verb = "does not contain" if neg else "contains"
+            return f'{f} {verb} "{node.value}"'
+        # fieldSearch phrasing (ts:338-370): a term with whitespace is
+        # shown quoted; implicit terms without a per-context implicit
+        # expression are token searches ('has whole word')
+        quoted_wilds = node.quoted  # wildcards never fire inside quotes
+        prefix_w = (not quoted_wilds) and node.value.startswith("*")
+        suffix_w = (
+            not quoted_wilds
+        ) and node.value.endswith("*") and len(node.value) > 1
+        shown = node.value
+        if prefix_w:
+            shown = shown[1:]
+        if suffix_w and shown.endswith("*"):
+            shown = shown[:-1]
+        if re.search(r"\s", shown.strip()):
+            shown = f'"{shown}"'
+        if prefix_w and suffix_w:
+            verb = "does not contain" if neg else "contains"
+        elif suffix_w:
             verb = "does not start with" if neg else "starts with"
-        elif node.value.startswith("*") and not node.value.endswith("*"):
+        elif prefix_w:
             verb = "does not end with" if neg else "ends with"
+        elif not node.field and implicit_name is None:
+            verb = "does not have whole word" if neg else "has whole word"
+        else:
+            verb = "does not contain" if neg else "contains"
         return f"{f} {verb} {shown}"
     if isinstance(node, Range):
         # EnglishSerializer.range (queryParser.ts:396-414): per-BOUND

@@ -241,12 +241,20 @@ def test_metadata_mv_key_values_window_and_cap(spark):
 def test_lucene_explain():
     from hyperdx_spark.lucene.explain import explain_query
 
-    assert explain_query('level:"error"') == "'level' is 'error'"
+    # explicit quoted = the eq path (queryParser.ts:281-296): raw term
+    assert explain_query('level:"error"') == "'level' is error"
     assert explain_query("level:err") == "'level' contains err"
     assert explain_query("-level:err") == "'level' does not contain err"
     assert explain_query("level:err*") == "'level' starts with err"
     assert explain_query("duration:>=100") == "'duration' is greater than or equal to 100"
     assert explain_query("level:*") == "'level' is not null"
+    # implicit bare terms without a per-context implicit expression are
+    # token searches (genEnglishExplanation int cases, ts:349-370)
+    assert explain_query("bar") == "event has whole word bar"
+    assert explain_query('"timed out"') == 'event has whole word "timed out"'
+    assert explain_query("*bar*") == "event contains bar"
+    # unparseable query -> the reference's fallback line (ts:2181-2201)
+    assert explain_query("a AND (") == "Message containing a AND ("
     # range wording: queryParser.test.ts:757-775 english cases — per-bound
     # (exclusive) suffixes, negation reads 'is not between'
     assert explain_query("duration:[1 TO 5]") == "'duration' is between 1 and 5"
