@@ -154,6 +154,37 @@ def test_parse_kv_items_expression_both_forms():
     assert p("arrayMap((a) -> concat(a.1, '=', a.2), "
              "M::Array(Tuple(String, String))) AND 1") is None
     assert p("") is None
+    # queryParser.test.ts:2376-2505 remaining cases (r12 walk):
+    # multi-char and EMPTY separators parse
+    assert p(
+        "arrayMap((arr) -> concat(arr.1, ' = ', arr.2), "
+        "LogAttributes::Array(Tuple(String, String)))"
+    ) == ("LogAttributes", " = ")
+    assert p(
+        "arrayMap((arr) -> concat(arr.1, '', arr.2), "
+        "LogAttributes::Array(Tuple(String, String)))"
+    ) == ("LogAttributes", "")
+    # non-matching shapes
+    assert p("LogAttributes") is None
+    assert p("mapKeys(LogAttributes)") is None
+    assert p(
+        "arrayMap((k, v) -> concat(k, '=', v), mapKeys(LogAttributes), "
+        "mapValues(LogAttributes))"
+    ) is None
+    # unrecognized characters in the column name bail out
+    assert p(
+        "arrayMap((arr) -> concat(arr.1, '=', arr.2), "
+        "Log@Attributes::Array(Tuple(String, String)))"
+    ) is None
+    # CAST form: whitespace-free spelling, wrong type bails
+    assert p(
+        "arrayMap((arr)->concat(arr.1,'=',arr.2),"
+        "CAST(LogAttributes,'Array(Tuple(String,String))'))"
+    ) == ("LogAttributes", "=")
+    assert p(
+        "arrayMap((arr) -> concat(arr.1, '=', arr.2), "
+        "CAST(LogAttributes, 'Array(String)'))"
+    ) is None
 
 
 def test_kv_items_lookup_end_to_end():
