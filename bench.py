@@ -93,10 +93,14 @@ def wait_for_quiet_box(
 
 
 def spread_exceeds_band(samples, band: float = SPREAD_BAND) -> bool:
-    """True when (max-min)/min over the per-query samples exceeds the noise
-    band — the signal that one run hit contention and more samples are
-    needed before the min is trustworthy."""
-    lo, hi = min(samples), max(samples)
+    """True when (max-min)/min over the per-query WARM samples exceeds the
+    noise band — the signal that one run hit contention and more samples
+    are needed before the min is trustworthy. The first sample is the cold
+    run: it is EXPECTED to exceed warm by more than the band (codegen +
+    page cache), so it is excluded — otherwise every query re-runs and the
+    guard degenerates into a fixed 5-sample benchmark."""
+    warm = samples[1:] if len(samples) > 2 else samples
+    lo, hi = min(warm), max(warm)
     return lo > 0 and (hi - lo) / lo > band
 
 

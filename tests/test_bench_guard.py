@@ -85,12 +85,16 @@ def test_threshold_is_quarter_of_cpus_with_floor():
 
 
 def test_spread_band():
-    # ±50% band: (max-min)/min > 0.5 triggers
-    assert bench.spread_exceeds_band([1.0, 1.2, 1.4]) is False  # 0.4
-    assert bench.spread_exceeds_band([1.0, 1.2, 1.6]) is True   # 0.6
+    # ±50% band over the WARM samples: (max-min)/min > 0.5 triggers
+    assert bench.spread_exceeds_band([1.0, 1.2, 1.4]) is False  # warm 0.17
+    assert bench.spread_exceeds_band([1.0, 1.2, 1.9]) is True   # warm 0.58
     assert bench.spread_exceeds_band([0.283, 0.29, 0.31]) is False
-    # a 10x outlier (the r11 failure mode) always triggers
+    # the cold first run legitimately exceeds warm by >band: NOT a trigger
+    assert bench.spread_exceeds_band([3.0, 1.0, 1.1]) is False
+    # a warm outlier (the r11 contention failure mode) triggers
     assert bench.spread_exceeds_band([1.9, 2.0, 19.9]) is True
+    # two samples: no cold to exclude, judge as-is
+    assert bench.spread_exceeds_band([1.0, 1.6]) is True
     # degenerate zero min never divides by zero
     assert bench.spread_exceeds_band([0.0, 0.0, 5.0]) is False
 
