@@ -231,6 +231,80 @@ def parse_duration(s: str) -> float:
 
 
 # --------------------------------------------------------------------------
+# Prometheus-compatible HTTP-API parameter parsing (routers/api/
+# prometheus.ts:49-84, 155-157) — distinct from the PromQL-EXPRESSION
+# duration above: the API accepts raw numbers, bare numeric strings, and
+# fractional single-unit durations ('1.5h'), and /query_range rejects
+# resolutions above 11k points per series.
+# --------------------------------------------------------------------------
+
+PROMETHEUS_MAX_RESOLUTION = 11_000
+
+_API_DUR_RE = re.compile(r"^(\d+(?:\.\d+)?)(ms|s|m|h|d|w|y)$")
+
+
+def _js_number(s: str) -> Optional[float]:
+    """JS ``Number(str)`` for the inputs the API sees: '' is 0, numeric
+    (incl. exponent / Infinity) parses, anything else is NaN (None)."""
+    t = s.strip()
+    if t == "":
+        return 0.0
+    try:
+        v = float(t)
+    except ValueError:
+        return None
+    return None if v != v else v  # NaN string -> JS NaN -> not a number
+
+
+def parse_api_timestamp(value) -> float:
+    """prometheus.ts parseTimestamp: numbers pass through, numeric strings
+    are unix seconds, anything else must parse as a date (RFC3339) and is
+    returned as unix seconds; unparseable input raises the reference's
+    user-facing error."""
+    if isinstance(value, (int, float)) and not isinstance(value, bool):
+        return float(value)
+    num = _js_number(str(value))
+    if num is not None:
+        return num
+    from datetime import timezone as _tz
+
+    t = str(value).strip()
+    try:
+        dt = datetime.fromisoformat(t.replace("Z", "+00:00"))
+    except ValueError:
+        raise ValueError(f"Invalid timestamp: {value}")
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=_tz.utc)
+    return dt.timestamp()
+
+
+def parse_api_duration(value) -> float:
+    """prometheus.ts parseDuration: numbers pass through, bare numeric
+    strings are seconds, else a SINGLE fractional unit ('500ms', '1.5h');
+    invalid input raises the reference's user-facing error."""
+    if isinstance(value, (int, float)) and not isinstance(value, bool):
+        return float(value)
+    num = _js_number(str(value))
+    if num is not None:
+        return num
+    m = _API_DUR_RE.match(str(value).strip())
+    if not m:
+        raise ValueError(f"Invalid duration: {value}")
+    return float(m.group(1)) * _DUR_S[m.group(2)]
+
+
+def validate_range_resolution(start_s: float, end_s: float, step_s: float) -> None:
+    """/query_range's resolution guard (prometheus.ts:393-399): step must
+    be positive and the range must stay under 11,000 points per series."""
+    if step_s <= 0 or (end_s - start_s) / step_s > PROMETHEUS_MAX_RESOLUTION:
+        raise ValueError(
+            f"exceeded maximum resolution of {PROMETHEUS_MAX_RESOLUTION:,}"
+            " points per timeseries. Try decreasing the query resolution"
+            " (?step=XX)"
+        )
+
+
+# --------------------------------------------------------------------------
 # AST
 # --------------------------------------------------------------------------
 

@@ -1212,3 +1212,45 @@ def test_limit_selection_is_oracle_replayable(spark, exp_engine):
         ).collect()
     }
     assert got_r == want_r
+
+
+def test_prometheus_api_param_parsing():
+    """Twins of routers/api/prometheus.test.ts:21-70 (parseTimestamp /
+    parseDuration — the HTTP-API parameter parsers, distinct from the
+    PromQL-expression duration) plus the /query_range resolution guard."""
+    import pytest
+
+    from hyperdx_spark.promql import (
+        PROMETHEUS_MAX_RESOLUTION,
+        parse_api_duration,
+        parse_api_timestamp,
+        validate_range_resolution,
+    )
+
+    # numbers pass through; numeric strings are unix seconds
+    assert parse_api_timestamp(1700000000) == 1700000000
+    assert parse_api_timestamp(1700000000.5) == 1700000000.5
+    assert parse_api_timestamp("1700000000") == 1700000000
+    assert parse_api_timestamp("1700000000.5") == 1700000000.5
+    # RFC3339 -> unix seconds
+    assert parse_api_timestamp("2023-11-14T22:13:20.000Z") == 1700000000
+    with pytest.raises(ValueError, match="Invalid timestamp"):
+        parse_api_timestamp("not-a-date")
+
+    assert parse_api_duration(60) == 60
+    assert parse_api_duration("60") == 60
+    for s, want in [("500ms", 0.5), ("30s", 30), ("5m", 300), ("2h", 7200),
+                    ("1d", 86400), ("1w", 604800), ("1y", 31536000),
+                    ("1.5h", 5400)]:
+        assert parse_api_duration(s) == want, s
+    with pytest.raises(ValueError, match="Invalid duration"):
+        parse_api_duration("5x")
+    with pytest.raises(ValueError, match="Invalid duration"):
+        parse_api_duration("garbage")
+
+    assert PROMETHEUS_MAX_RESOLUTION == 11_000
+    validate_range_resolution(0, 11_000 * 60, 60)  # exactly at the cap: ok
+    with pytest.raises(ValueError, match="exceeded maximum resolution of 11,000"):
+        validate_range_resolution(0, 11_000 * 60 + 60, 60)
+    with pytest.raises(ValueError, match="exceeded maximum"):
+        validate_range_resolution(0, 600, 0)  # non-positive step
