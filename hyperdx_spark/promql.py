@@ -304,6 +304,74 @@ def validate_range_resolution(start_s: float, end_s: float, step_s: float) -> No
         )
 
 
+PROMETHEUS_MAX_RESULT_ROWS = 100_000  # prometheus.ts:156 max_result_rows
+
+
+def _prom_num_str(v) -> str:
+    """A sample value as Prometheus's JSON emits it (JS String(number))."""
+    f = float(v)
+    if f != f:
+        return "NaN"
+    if f == float("inf"):
+        return "Infinity"
+    if f == float("-inf"):
+        return "-Infinity"
+    if f.is_integer() and abs(f) < 1e21:
+        return str(int(f))
+    return repr(f)
+
+
+def _prom_rows(df, ts_col: str = "__step"):
+    rows = df.limit(PROMETHEUS_MAX_RESULT_ROWS + 1).collect()
+    if len(rows) > PROMETHEUS_MAX_RESULT_ROWS:
+        raise ValueError(
+            f"result exceeds max_result_rows ({PROMETHEUS_MAX_RESULT_ROWS})"
+        )
+    label_cols = [c for c in df.columns if c not in (ts_col, "value")]
+    return rows, label_cols
+
+
+def to_prometheus_matrix(df, ts_col: str = "__step") -> list:
+    """A ``query_range`` result DataFrame (ts, labels..., value) as the
+    Prometheus /query_range ``matrix`` result body
+    (prometheus.ts:112-131 formatMatrixResponse): one entry per label set,
+    ``values`` = chronological [unix_seconds, "value"] pairs. The collect
+    is the API response itself (client-facing JSON), capped at the
+    reference's max_result_rows."""
+    rows, label_cols = _prom_rows(df, ts_col)
+    series: dict = {}
+    for r in rows:
+        metric = {
+            k: str(r[k]) for k in label_cols if r[k] is not None
+        }
+        key = tuple(sorted(metric.items()))
+        e = series.setdefault(key, {"metric": metric, "values": []})
+        e["values"].append(
+            [r[ts_col].timestamp(), _prom_num_str(r["value"])]
+        )
+    out = list(series.values())
+    for e in out:
+        e["values"].sort(key=lambda p: p[0])
+    out.sort(key=lambda e: tuple(sorted(e["metric"].items())))
+    return out
+
+
+def to_prometheus_vector(df, ts_col: str = "__step") -> list:
+    """An instant-query result as the Prometheus ``vector`` body
+    (prometheus.ts:133-147 formatVectorResponse): one
+    ``value: [unix_seconds, "value"]`` per label set."""
+    rows, label_cols = _prom_rows(df, ts_col)
+    out = [
+        {
+            "metric": {k: str(r[k]) for k in label_cols if r[k] is not None},
+            "value": [r[ts_col].timestamp(), _prom_num_str(r["value"])],
+        }
+        for r in rows
+    ]
+    out.sort(key=lambda e: tuple(sorted(e["metric"].items())))
+    return out
+
+
 # --------------------------------------------------------------------------
 # AST
 # --------------------------------------------------------------------------

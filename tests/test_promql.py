@@ -1254,3 +1254,47 @@ def test_prometheus_api_param_parsing():
         validate_range_resolution(0, 11_000 * 60 + 60, 60)
     with pytest.raises(ValueError, match="exceeded maximum"):
         validate_range_resolution(0, 600, 0)  # non-positive step
+
+
+def test_prometheus_response_formatters(spark, exp_engine):
+    """formatMatrixResponse / formatVectorResponse twins
+    (prometheus.ts:112-147): metric = label map, values = chronological
+    [unix_seconds, "stringified value"] pairs, one entry per label set."""
+    from datetime import datetime, timezone
+
+    from hyperdx_spark.promql import to_prometheus_matrix, to_prometheus_vector
+
+    t0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    t1 = datetime(2024, 1, 1, 0, 1, tzinfo=timezone.utc)
+    df = spark.createDataFrame(
+        [
+            (t1, "api", 2.5),
+            (t0, "api", 42.0),
+            (t0, "web", 0.5),
+        ],
+        "__step timestamp, service string, value double",
+    )
+    matrix = to_prometheus_matrix(df)
+    assert matrix == [
+        {
+            "metric": {"service": "api"},
+            "values": [[t0.timestamp(), "42"], [t1.timestamp(), "2.5"]],
+        },
+        {"metric": {"service": "web"}, "values": [[t0.timestamp(), "0.5"]]},
+    ]
+    vector = to_prometheus_vector(df.where("__step = timestamp'2024-01-01 00:00:00'"))
+    assert vector == [
+        {"metric": {"service": "api"}, "value": [t0.timestamp(), "42"]},
+        {"metric": {"service": "web"}, "value": [t0.timestamp(), "0.5"]},
+    ]
+    # end-to-end: a real query_range result round-trips through the shape
+    got = to_prometheus_matrix(
+        exp_engine.query_range(
+            spark, "c", datetime(2024, 1, 1), datetime(2024, 1, 1, 0, 5), 60
+        )
+    )
+    assert got and all(
+        isinstance(e["metric"], dict)
+        and all(isinstance(p[1], str) for p in e["values"])
+        for e in got
+    )
