@@ -306,6 +306,9 @@ def validate_range_resolution(start_s: float, end_s: float, step_s: float) -> No
 
 PROMETHEUS_MAX_RESULT_ROWS = 100_000  # prometheus.ts:156 max_result_rows
 
+# Prometheus label-name grammar (prometheus.ts:721)
+_PROM_LABEL_NAME_RE = re.compile(r"^[a-zA-Z_:][a-zA-Z0-9_:]*$")
+
 
 def _prom_num_str(v) -> str:
     """A sample value as Prometheus's JSON emits it (JS String(number))."""
@@ -2643,6 +2646,30 @@ class PromQLEngine:
         )
 
     # -- public ------------------------------------------------------------
+
+    def label_values(self, name: str) -> list:
+        """GET /label/:name/values (prometheus.ts:713-810): the label-name
+        grammar is validated first ('Invalid label name'); '__name__' lists
+        distinct metric names, any other label lists its distinct non-null
+        values, both sorted; an unknown label is an empty list (the
+        reference's mapContains filter matches nothing). The collect is the
+        API response itself, bounded by label cardinality."""
+        if not _PROM_LABEL_NAME_RE.match(name):
+            raise ValueError("Invalid label name")
+        if name == "__name__":
+            col = self.name_col
+        elif name in self.label_cols:
+            col = name
+        else:
+            return []
+        rows = (
+            self.samples.select(F.col(col).alias("val"))
+            .where(F.col("val").isNotNull())
+            .distinct()
+            .orderBy("val")
+            .collect()
+        )
+        return [r["val"] for r in rows]
 
     def query_range(
         self,

@@ -1298,3 +1298,15 @@ def test_prometheus_response_formatters(spark, exp_engine):
         and all(isinstance(p[1], str) for p in e["values"])
         for e in got
     )
+
+
+def test_prometheus_label_values(spark, exp_engine):
+    """GET /label/:name/values twins (prometheus.ts:713-810): grammar
+    validation, '__name__' = metric names, sorted distinct values, unknown
+    label = empty."""
+    assert exp_engine.label_values("__name__") == ["c", "g"]
+    assert exp_engine.label_values("job") == ["a", "b"]
+    assert exp_engine.label_values("nope") == []
+    for bad in ("../evil", "a b", "9lead", "x?y", ""):
+        with pytest.raises(ValueError, match="Invalid label name"):
+            exp_engine.label_values(bad)
