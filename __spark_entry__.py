@@ -3432,6 +3432,17 @@ def q_promql_features(spark, sf_dir):
     )
     nh_mul = _nh("nh_mul", "histogram_sum(3 * nh)", True)
     nh_divc = _nh("nh_divc", "histogram_count(nh / 4)", True)
+    # r12: the /label/:name/values endpoint (prometheus.ts:713-810) —
+    # sorted distinct values for a label, metric names for '__name__'
+    label_rows = [
+        ("labels", datetime(1970, 1, 1), f"{name}={v}", 0.0)
+        for name in ("__name__", "event_type", "umod")
+        for v in eng.label_values(name)
+    ]
+    lv = spark.createDataFrame(
+        label_rows,
+        "part string, __timestamp timestamp, event_type string, value double",
+    )
     return hq.unionByName(off).unionByName(ab).unionByName(wo).unionByName(
         sd
     ).unionByName(qt).unionByName(dw).unionByName(nhc).unionByName(
@@ -3440,10 +3451,20 @@ def q_promql_features(spark, sf_dir):
         nhf
     ).unionByName(nhv).unionByName(nh_add).unionByName(nh_sub).unionByName(
         nh_mul
-    ).unionByName(nh_divc)
+    ).unionByName(nh_divc).unionByName(lv)
 
 
 O_PROMQL_FEATURES = f"""
+SELECT 'labels' AS part, TIMESTAMP '1970-01-01' AS __timestamp,
+       '__name__=events_value' AS event_type, 0.0 AS value
+UNION ALL
+SELECT 'labels', TIMESTAMP '1970-01-01', 'event_type=' || event_type, 0.0
+FROM (SELECT DISTINCT event_type FROM events)
+UNION ALL
+SELECT 'labels', TIMESTAMP '1970-01-01',
+       'umod=' || (user_id % 3)::VARCHAR, 0.0
+FROM (SELECT DISTINCT user_id % 3 AS user_id FROM events)
+UNION ALL
 SELECT 'histq' AS part, __timestamp, '' AS event_type, value FROM ({O_PROMQL_HIST_QUANTILE})
 UNION ALL
 SELECT 'offset' AS part, __timestamp, event_type, value FROM ({O_PROMQL_OFFSET})
