@@ -306,6 +306,31 @@ def validate_range_resolution(start_s: float, end_s: float, step_s: float) -> No
 
 PROMETHEUS_MAX_RESULT_ROWS = 100_000  # prometheus.ts:156 max_result_rows
 
+# widest window /query_exemplars accepts (prometheus.ts:161)
+PROMETHEUS_MAX_EXEMPLAR_WINDOW_SEC = 7 * 24 * 60 * 60
+
+
+def resolve_exemplar_window(
+    raw_start, raw_end, max_window_sec: float = PROMETHEUS_MAX_EXEMPLAR_WINDOW_SEC
+):
+    """prometheus.ts:581-600 resolveExemplarWindow: both bounds must parse
+    to FINITE timestamps with end >= start, and the window is clamped to
+    the newest ``max_window_sec`` — the only result-size lever the exemplar
+    API has. Returns (start, end) or raises the user-facing error."""
+    def _p(v):
+        if v is None or v == "":
+            return None
+        try:
+            t = parse_api_timestamp(v)
+        except ValueError:
+            return None
+        return t if t == t and abs(t) != float("inf") else None
+
+    start, end = _p(raw_start), _p(raw_end)
+    if start is None or end is None or end < start:
+        raise ValueError("invalid or missing start/end parameters")
+    return max(start, end - max_window_sec), end
+
 # Prometheus label-name grammar (prometheus.ts:721)
 _PROM_LABEL_NAME_RE = re.compile(r"^[a-zA-Z_:][a-zA-Z0-9_:]*$")
 

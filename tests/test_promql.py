@@ -1310,3 +1310,26 @@ def test_prometheus_label_values(spark, exp_engine):
     for bad in ("../evil", "a b", "9lead", "x?y", ""):
         with pytest.raises(ValueError, match="Invalid label name"):
             exp_engine.label_values(bad)
+
+
+def test_resolve_exemplar_window():
+    """Twins of prometheus.test.ts:150-208 resolveExemplarWindow."""
+    from hyperdx_spark.promql import resolve_exemplar_window as w
+
+    DAY = 86400
+    end = 1_700_000_000
+    # inside the cap: untouched
+    assert w(str(end - DAY), str(end)) == (end - DAY, end)
+    # over-wide windows NARROW (keeping the requested end), never reject
+    assert w(str(end - 30 * DAY), str(end)) == (end - 7 * DAY, end)
+    # inverted / missing / unparseable bounds reject with the exact error
+    for s, e in [(str(end), str(end - DAY)), (None, str(end)),
+                 (str(end - DAY), None), ("", str(end)),
+                 ("not-a-time", str(end))]:
+        with pytest.raises(ValueError, match="invalid or missing start/end"):
+            w(s, e)
+    # ISO timestamps parse like parseTimestamp
+    s, e = w("2023-11-14T22:13:20Z", "2023-11-14T22:14:20Z")
+    assert e - s == 60
+    # explicit cap honoured
+    assert w(str(end - 100), str(end), 10) == (end - 10, end)
