@@ -421,7 +421,11 @@ def _is_parseable_sql(condition: str) -> bool:
         _MAP_OR_ARRAY_ACCESS_RE = re.compile(
             r"\b[a-zA-Z0-9_]+\[([0-9]+|'[^']*')\]"
         )
-    sanitized = _MAP_OR_ARRAY_ACCESS_RE.sub("''", condition)
+    # the engine's literals use backslash-quote escaping (Spark/CH style,
+    # same as the reference's SqlString.escape); DuckDB's parser only takes
+    # doubled quotes — normalize so engine-produced conditions validate
+    # (the reference's node-sql-parser accepts \' natively)
+    sanitized = _MAP_OR_ARRAY_ACCESS_RE.sub("''", condition.replace("\\'", "''"))
     stmt = f"SELECT 1 FROM t WHERE {sanitized}"
     try:
         # json_serialize_sql requires a CONSTANT varchar (no param binding):
