@@ -284,3 +284,106 @@ def stable_sample(
         n = min(5000, max(500, -(-total // 100)))
     key = F.xxhash64(F.col(id_col)) if id_col else F.rand(42)
     return df.orderBy(key).limit(n)
+
+
+# ---------------------------------------------------------------------------
+# Delta-chart client-side helpers (app deltaChartUtils.ts — the UI half of
+# event deltas; pure functions over already-aggregated value statistics)
+# ---------------------------------------------------------------------------
+
+MAX_CHART_VALUES = 6
+MAX_CHART_VALUES_UPPER = 8
+
+
+def merge_value_statistics_maps(
+    outlier_values: dict, inlier_values: dict
+) -> list[dict]:
+    """deltaChartUtils.ts:54-79 mergeValueStatisticsMaps: the union of value
+    names, sorted (so timestamps order), with per-side counts defaulted 0."""
+    names = sorted(set(outlier_values) | set(inlier_values))
+    return [
+        {
+            "name": v,
+            "outlierCount": outlier_values.get(v, 0),
+            "inlierCount": inlier_values.get(v, 0),
+        }
+        for v in names
+    ]
+
+
+def apply_top_n_aggregation(data: list[dict]) -> list[dict]:
+    """deltaChartUtils.ts:84-119 applyTopNAggregation: adaptive top-N — at
+    most MAX_CHART_VALUES_UPPER distinct values render in full (avoids the
+    awkward 'Other (1)' cases); beyond that, the top MAX_CHART_VALUES by
+    combined count are kept and the rest collapse into one
+    'Other (N)' entry accumulating both counts."""
+    if len(data) <= MAX_CHART_VALUES_UPPER:
+        return data
+    ordered = sorted(
+        data, key=lambda d: -(d["outlierCount"] + d["inlierCount"])
+    )
+    top, rest = ordered[:MAX_CHART_VALUES], ordered[MAX_CHART_VALUES:]
+    return top + [
+        {
+            "name": f"Other ({len(rest)})",
+            "outlierCount": sum(d["outlierCount"] for d in rest),
+            "inlierCount": sum(d["inlierCount"] for d in rest),
+            "isOther": True,
+        }
+    ]
+
+
+def flattened_key_to_sql_expression(key: str, column_meta: list) -> str:
+    """deltaChartUtils.ts:131-171 flattenedKeyToSqlExpression: a flattened
+    dot-notation key from flatten_data back to a valid SQL accessor —
+    ``Map.sub.key`` -> ``Map['sub.key']``, ``ArrOfMap[0].k`` ->
+    ``ArrOfMap[1]['k']`` (JS 0-based -> CH 1-based); unmatched keys pass
+    through."""
+    for col in column_meta:
+        name = col["name"] if isinstance(col, dict) else col[0]
+        ctype = col["type"] if isinstance(col, dict) else col[1]
+        base = strip_type_wrappers(ctype)
+        if base.startswith("Map("):
+            if key.startswith(name + "."):
+                map_key = key[len(name) + 1:].replace("'", "''")
+                return f"{name}['{map_key}']"
+        elif base.startswith("Array("):
+            inner = strip_type_wrappers(base[len("Array("):-1])
+            if inner.startswith("Map("):
+                m = re.match(
+                    rf"^{re.escape(name)}\[(\d+)\]\.(.+)$", key
+                )
+                if m:
+                    ch_index = int(m.group(1)) + 1
+                    map_key = m.group(2).replace("'", "''")
+                    return f"{name}[{ch_index}]['{map_key}']"
+    return key
+
+
+def flattened_key_to_filter_key(key: str, column_meta: list) -> str:
+    """deltaChartUtils.ts:177-188: currently identical to the SQL
+    expression form (kept separate upstream for future divergence)."""
+    return flattened_key_to_sql_expression(key, column_meta)
+
+
+def compute_entropy_score(value_percentages: dict) -> float:
+    """deltaChartUtils.ts:204-230 computeEntropyScore: 1 - normalized
+    Shannon entropy over the value distribution; 0 for degenerate
+    (single-value / empty / zero-total) inputs."""
+    import math
+
+    n = len(value_percentages)
+    if n <= 1:
+        return 0.0
+    total = sum(value_percentages.values())
+    if total == 0:
+        return 0.0
+    entropy = 0.0
+    for pct in value_percentages.values():
+        p = pct / total
+        if p > 0:
+            entropy -= p * math.log2(p)
+    max_entropy = math.log2(n)
+    if max_entropy == 0:
+        return 0.0
+    return 1 - entropy / max_entropy

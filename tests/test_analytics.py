@@ -667,3 +667,101 @@ def test_mine_patterns_distributed_masking(spark):
     )
     assert out[0].pattern == "conn from <IP> accepted"
     assert out[0].sample_count == 39
+
+
+def test_delta_chart_top_n_aggregation_reference_twin():
+    """deltaChartUtils.test.ts applyTopNAggregation — the adaptive Other
+    bucket (at most 8 shown in full; beyond that, top 6 + 'Other (N)')."""
+    from hyperdx_spark.analytics.event_deltas import (
+        MAX_CHART_VALUES,
+        MAX_CHART_VALUES_UPPER,
+        apply_top_n_aggregation,
+        merge_value_statistics_maps,
+    )
+
+    def make(names):
+        return [
+            {"name": n, "outlierCount": 100 - i, "inlierCount": 5}
+            for i, n in enumerate(names)
+        ]
+
+    assert (MAX_CHART_VALUES, MAX_CHART_VALUES_UPPER) == (6, 8)
+    assert apply_top_n_aggregation(make("abc")) == make("abc")
+    assert apply_top_n_aggregation(make("abcdef")) == make("abcdef")
+    # adaptive window: 7 and 8 values render in full, no Other bucket
+    assert apply_top_n_aggregation(make("abcdefg")) == make("abcdefg")
+    assert not any(
+        d.get("isOther") for d in apply_top_n_aggregation(make("abcdefgh"))
+    )
+    # 9 values: top 6 + Other (3)
+    out = apply_top_n_aggregation(make("abcdefghi"))
+    assert len(out) == 7 and out[-1]["isOther"] and out[-1]["name"] == "Other (3)"
+    top = [d["name"] for d in out[:6]]
+    assert "a" in top and "b" in top and "i" not in top
+    # Other accumulates BOTH counts from every dropped value
+    data = [
+        {"name": "a", "outlierCount": 50, "inlierCount": 50},
+        {"name": "b", "outlierCount": 40, "inlierCount": 40},
+        {"name": "c", "outlierCount": 30, "inlierCount": 30},
+        {"name": "d", "outlierCount": 20, "inlierCount": 20},
+        {"name": "e", "outlierCount": 10, "inlierCount": 10},
+        {"name": "f", "outlierCount": 5, "inlierCount": 5},
+        {"name": "g", "outlierCount": 4, "inlierCount": 4},
+        {"name": "h", "outlierCount": 3, "inlierCount": 3},
+        {"name": "i", "outlierCount": 3, "inlierCount": 2},
+        {"name": "j", "outlierCount": 1, "inlierCount": 1},
+        {"name": "k", "outlierCount": 0, "inlierCount": 1},
+        {"name": "l", "outlierCount": 0, "inlierCount": 0},
+    ]
+    other = apply_top_n_aggregation(data)[-1]
+    assert (other["outlierCount"], other["inlierCount"]) == (11, 11)
+    assert apply_top_n_aggregation(make("abcdefghijk"))[-1]["name"] == "Other (5)"
+    # merge: union of names sorted, missing sides default 0
+    merged = merge_value_statistics_maps({"b": 2, "a": 1}, {"b": 3, "c": 4})
+    assert merged == [
+        {"name": "a", "outlierCount": 1, "inlierCount": 0},
+        {"name": "b", "outlierCount": 2, "inlierCount": 3},
+        {"name": "c", "outlierCount": 0, "inlierCount": 4},
+    ]
+
+
+def test_flattened_key_to_sql_expression():
+    """deltaChartUtils.ts:131-188 — flattened keys back to SQL accessors,
+    0-based JS array indices to 1-based."""
+    from hyperdx_spark.analytics.event_deltas import (
+        flattened_key_to_filter_key,
+        flattened_key_to_sql_expression as f,
+    )
+
+    meta = [
+        {"name": "ResourceAttributes", "type": "Map(String, String)"},
+        {"name": "Events.Attributes", "type": "Array(Map(String, String))"},
+        {"name": "Body", "type": "String"},
+    ]
+    assert f("ResourceAttributes.service.name", meta) == (
+        "ResourceAttributes['service.name']"
+    )
+    assert f("Events.Attributes[0].message.type", meta) == (
+        "Events.Attributes[1]['message.type']"
+    )
+    assert f("Body", meta) == "Body"
+    assert f("Unknown.key", meta) == "Unknown.key"
+    # quotes in the key are doubled for the SQL literal
+    assert f("ResourceAttributes.o'brien", meta) == (
+        "ResourceAttributes['o''brien']"
+    )
+    assert flattened_key_to_filter_key(
+        "ResourceAttributes.k8s.pod.name", meta
+    ) == "ResourceAttributes['k8s.pod.name']"
+
+
+def test_compute_entropy_score():
+    """deltaChartUtils.ts:204-230 — 1 - normalized Shannon entropy."""
+    from hyperdx_spark.analytics.event_deltas import compute_entropy_score as e
+
+    assert e({}) == 0.0
+    assert e({"a": 100}) == 0.0
+    assert e({"a": 50, "b": 50}) == 0.0          # perfectly uniform
+    assert e({"a": 0, "b": 0}) == 0.0            # zero total
+    assert 0 < e({"a": 90, "b": 10}) < 1          # dominant value among few
+    assert e({"a": 99, "b": 0.5, "c": 0.5}) > e({"a": 50, "b": 25, "c": 25})
