@@ -765,3 +765,41 @@ def test_compute_entropy_score():
     assert e({"a": 0, "b": 0}) == 0.0            # zero total
     assert 0 < e({"a": 90, "b": 10}) < 1          # dominant value among few
     assert e({"a": 99, "b": 0.5, "c": 0.5}) > e({"a": 50, "b": 25, "c": 25})
+
+
+def test_infra_correlations_reference_twin():
+    """infraCorrelations.test.ts — detect-attribute gating (non-null, not
+    truthy), render order, built-in identity."""
+    from hyperdx_spark.analytics.infra import (
+        INFRA_CORRELATIONS,
+        get_active_infra_correlations as g,
+        infra_metric_query,
+    )
+
+    assert [c.title for c in g({"k8s.pod.uid": "pod-abc"})] == ["Pod"]
+    assert [c.title for c in g({"k8s.node.name": "node-1"})] == ["Node"]
+    assert [c.title for c in g(
+        {"k8s.pod.uid": "pod-abc", "k8s.node.name": "node-1"}
+    )] == ["Pod", "Node"]
+    assert g({}) == []
+    assert g({"host.name": "web-1", "service.name": "api"}) == []
+    assert g(None) == []
+    # != null, not truthiness: explicit None is absent, '' / 0 are present
+    assert g({"k8s.pod.uid": None}) == []
+    assert [c.title for c in g({"k8s.pod.uid": ""})] == ["Pod"]
+
+    pod, node = INFRA_CORRELATIONS
+    assert (pod.detect_attribute, pod.correlate_attribute,
+            pod.field_prefix) == ("k8s.pod.uid", "k8s.pod.uid", "k8s.pod.")
+    assert pod.timeline_query_attribute == "k8s.pod.uid"
+    assert node.timeline_query_attribute is None  # timeline is Pod-only
+    for c in INFRA_CORRELATIONS:
+        assert [(ch.card_test_id, ch.field) for ch in c.charts] == [
+            ("cpu-usage-card", "cpu.utilization"),
+            ("memory-usage-card", "memory.usage"),
+            ("disk-usage-card", "filesystem.available"),
+        ]
+    # the metric query pair DBInfraPanel issues
+    metric, where = infra_metric_query(pod, pod.charts[0], "pod-abc")
+    assert metric == "k8s.pod.cpu.utilization - Gauge"
+    assert where == 'k8s.pod.uid:"pod-abc"'
