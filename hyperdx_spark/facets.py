@@ -221,6 +221,26 @@ def unescape_filter_state_keys(filters: Mapping):
     return {clean_clickhouse_expression(k): v for k, v in filters.items()}
 
 
+def retain_filters_by_columns(
+    filter_state: Mapping, allowed_column_names: "set[str]"
+) -> tuple[dict, list[str]]:
+    """searchFilters.tsx:281-303 retainFiltersByColumns: on a source
+    switch, keep only filters whose ROOT column exists on the new source
+    (exact key match first — a flat column with dots in its name — then
+    the dot-root); returns (kept, dropped keys) so callers can surface a
+    notice for thrown-away state."""
+    kept: dict = {}
+    dropped: list[str] = []
+    for key, value in filter_state.items():
+        dot = key.find(".")
+        root = key[:dot] if dot > 0 else key
+        if key in allowed_column_names or root in allowed_column_names:
+            kept[key] = value
+        else:
+            dropped.append(key)
+    return kept, dropped
+
+
 def build_json_extract_query(
     key_path: Sequence[str],
     parsed_json_root_path: Sequence[str],

@@ -223,3 +223,33 @@ def test_escape_unescape_round_trip():
         {"`service-name`": FilterSelection(included={"x"})}
     )
     assert list(back) == ["service-name"]
+
+
+def test_retain_filters_by_columns():
+    """searchFilters.test.ts retainFiltersByColumns describes: exact and
+    dot-root retention, nested JSON/Map keys kept via root, mixed drops."""
+    from hyperdx_spark.facets import retain_filters_by_columns as r
+
+    e = FilterSelection(included={"x"})
+    # empty state: nothing dropped
+    assert r({}, {"ServiceName"}) == ({}, [])
+    # roots exist -> all kept
+    st = {"ServiceName": e, "SeverityText": e}
+    kept, dropped = r(st, {"ServiceName", "SeverityText", "Timestamp"})
+    assert kept == st and dropped == []
+    # nested JSON/Map keys retained via their root column
+    kept, dropped = r({"LogAttributes.user": e}, {"LogAttributes"})
+    assert list(kept) == ["LogAttributes.user"] and dropped == []
+    # missing roots drop and are reported
+    kept, dropped = r({"OldColumn": e, "Gone.sub": e}, {"ServiceName"})
+    assert kept == {} and sorted(dropped) == ["Gone.sub", "OldColumn"]
+    # mixed input keeps matches and drops the rest
+    kept, dropped = r(
+        {"ServiceName": e, "Gone.sub": e, "LogAttributes.k": e},
+        {"ServiceName", "LogAttributes"},
+    )
+    assert sorted(kept) == ["LogAttributes.k", "ServiceName"]
+    assert dropped == ["Gone.sub"]
+    # exact match wins for a flat column whose NAME contains dots
+    kept, dropped = r({"k8s.cluster.name": e}, {"k8s.cluster.name"})
+    assert list(kept) == ["k8s.cluster.name"] and dropped == []
