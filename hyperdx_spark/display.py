@@ -125,11 +125,16 @@ def resolve_rendered_series_cap(series_limit) -> float:
 
 
 def convert_to_time_chart_config(
-    config: ChartConfig, *, align_date_range_to_granularity: bool = True
+    config: ChartConfig,
+    *,
+    align_date_range_to_granularity: bool = True,
+    max_buckets: int = 80,
 ) -> ChartConfig:
     """Line/bar TIME chart rewrite (app ChartUtils.tsx:115-165
-    convertToTimeChartConfig): 'auto'/unset granularity resolves from the
-    date range (80-bucket target); the range aligns to the granularity
+    convertToTimeChartConfig; ``max_buckets`` generalizes the 80-bucket
+    target like the reference CLI's terminal-width cap,
+    cli/shared/tileConfig.ts:261-296): 'auto'/unset granularity resolves
+    from the date range; the range aligns to the granularity
     grid unless alignment is off, and an aligned range turns END-EXCLUSIVE
     (the aligned end is the next bucket's start — inclusive would
     double-count boundary events); a non-positive seriesLimit is
@@ -142,7 +147,7 @@ def convert_to_time_chart_config(
     if not has_positive_series_limit(cfg.series_limit):
         cfg.series_limit = None
     if cfg.granularity in (None, "auto") and cfg.date_range:
-        cfg.granularity = auto_granularity(cfg.date_range, 80)
+        cfg.granularity = auto_granularity(cfg.date_range, max_buckets)
     if align_date_range_to_granularity and cfg.date_range and cfg.granularity:
         cfg.date_range = get_aligned_date_range(cfg.date_range, cfg.granularity)
         cfg.date_range_end_inclusive = False

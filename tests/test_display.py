@@ -466,3 +466,25 @@ def test_convert_to_time_chart_config():
                granularity="1 hour")
     out = convert_to_time_chart_config(cfg, align_date_range_to_granularity=False)
     assert out.date_range == cfg.date_range
+
+
+def test_time_chart_config_max_buckets_cap():
+    """cli/shared/tileConfig.ts:261-296 — maxBuckets generalizes the
+    80-bucket auto-granularity target (1 bucket ~ 1 terminal column)."""
+    from datetime import datetime
+
+    from hyperdx_spark.display import convert_to_time_chart_config
+    from hyperdx_spark.granularity import granularity_seconds
+    from hyperdx_spark.model import ChartConfig, Source
+
+    cfg = ChartConfig(
+        source=Source(table="events", timestamp_value_expression="ts"),
+        granularity="auto",
+        date_range=(datetime(2024, 1, 1), datetime(2024, 1, 1, 1)),
+    )
+    web = convert_to_time_chart_config(cfg)
+    narrow = convert_to_time_chart_config(cfg, max_buckets=20)
+    # 1h/80 -> 1 minute; 1h/20 -> coarser ladder rung
+    assert granularity_seconds(web.granularity) == 60
+    assert granularity_seconds(narrow.granularity) > 60
+    assert granularity_seconds(narrow.granularity) * 20 >= 3600
