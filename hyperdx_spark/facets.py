@@ -68,14 +68,12 @@ def merge_path(
     if key in map_columns:
         return key + "".join(f"['{_escape_sql_single_quoted(v)}']" for v in rest)
 
+    from hyperdx_spark.jsnum import js_number
+
     def seg(v: str) -> str:
-        # JS Number(v): '' is 0, whitespace trims, non-numeric is NaN
-        t = v.strip()
-        try:
-            n = float(t) if t else 0.0
-        except ValueError:
-            n = float("nan")
-        if n == n and n.is_integer() and n >= 0:
+        # JS Number(v) semantics (shared emulation: '1_0' is NaN, not 10)
+        n = js_number(v)
+        if n is not None and n.is_integer() and n >= 0:
             # ClickHouse arrays are 1-based; flattened data is 0-based
             return f"[{int(n) + 1}]"
         return f"['{_escape_sql_single_quoted(v)}']"

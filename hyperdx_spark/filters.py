@@ -421,11 +421,15 @@ def _is_parseable_sql(condition: str) -> bool:
         _MAP_OR_ARRAY_ACCESS_RE = re.compile(
             r"\b[a-zA-Z0-9_]+\[([0-9]+|'[^']*')\]"
         )
-    # the engine's literals use backslash-quote escaping (Spark/CH style,
-    # same as the reference's SqlString.escape); DuckDB's parser only takes
-    # doubled quotes — normalize so engine-produced conditions validate
-    # (the reference's node-sql-parser accepts \' natively)
-    sanitized = _MAP_OR_ARRAY_ACCESS_RE.sub("''", condition.replace("\\'", "''"))
+    # the engine's literals use backslash escaping (Spark/CH style, same as
+    # the reference's SqlString.escape); DuckDB's parser only takes doubled
+    # quotes — normalize so engine-produced conditions validate (the
+    # reference's node-sql-parser accepts \' natively). Escaped backslashes
+    # are consumed FIRST so a literal ending in \\ (a Windows path) doesn't
+    # have its second backslash misread as escaping the closing quote —
+    # validation is parse-only, so dropping the pair's content is safe.
+    normalized = condition.replace("\\\\", "").replace("\\'", "''")
+    sanitized = _MAP_OR_ARRAY_ACCESS_RE.sub("''", normalized)
     stmt = f"SELECT 1 FROM t WHERE {sanitized}"
     try:
         # json_serialize_sql requires a CONSTANT varchar (no param binding):

@@ -244,16 +244,11 @@ _API_DUR_RE = re.compile(r"^(\d+(?:\.\d+)?)(ms|s|m|h|d|w|y)$")
 
 
 def _js_number(s: str) -> Optional[float]:
-    """JS ``Number(str)`` for the inputs the API sees: '' is 0, numeric
-    (incl. exponent / Infinity) parses, anything else is NaN (None)."""
-    t = s.strip()
-    if t == "":
-        return 0.0
-    try:
-        v = float(t)
-    except ValueError:
-        return None
-    return None if v != v else v  # NaN string -> JS NaN -> not a number
+    """JS ``Number(str)`` (shared quirk emulation — hex literals parse,
+    underscore separators and 'nan' do not)."""
+    from hyperdx_spark.jsnum import js_number
+
+    return js_number(s)
 
 
 def parse_api_timestamp(value) -> float:
@@ -336,17 +331,13 @@ _PROM_LABEL_NAME_RE = re.compile(r"^[a-zA-Z_:][a-zA-Z0-9_:]*$")
 
 
 def _prom_num_str(v) -> str:
-    """A sample value as Prometheus's JSON emits it (JS String(number))."""
-    f = float(v)
-    if f != f:
-        return "NaN"
-    if f == float("inf"):
-        return "Infinity"
-    if f == float("-inf"):
-        return "-Infinity"
-    if f.is_integer() and abs(f) < 1e21:
-        return str(int(f))
-    return repr(f)
+    """A sample value as the reference's JSON emits it — JS
+    ``String(number)`` exactly, including the decimal-vs-exponential band
+    (rate() values in the 1e-6..1e-4 range print as decimals, not
+    Python-style '1.5e-05')."""
+    from hyperdx_spark.jsnum import js_number_str
+
+    return js_number_str(v)
 
 
 def _prom_rows(df, ts_col: str = "__step"):

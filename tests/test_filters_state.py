@@ -354,3 +354,15 @@ def test_parse_query_compound_between_short_circuits():
     state = parse_query([f])
     assert "a" not in state  # the IN clause is NOT extracted (as reference)
     assert not is_renderable_pinned_filter(f)
+
+
+def test_validator_survives_trailing_escaped_backslash():
+    """r12 review finding: a literal ending in an escaped backslash (a
+    Windows path) must still validate — \\\\ is consumed before \\' so the
+    closing quote survives normalization."""
+    from hyperdx_spark.filters import is_valid_filter_condition
+
+    assert is_valid_filter_condition("col = 'C:\\\\'", "sql")
+    assert is_valid_filter_condition("col = 'O\\'Brien'", "sql")
+    assert is_valid_filter_condition("col = 'a\\\\b\\'c'", "sql")
+    assert not is_valid_filter_condition("col = 'unterminated", "sql")
