@@ -19,8 +19,7 @@ def js_number(s: str) -> Optional[float]:
     t = s.strip()
     if t == "":
         return 0.0
-    low = t.lower()
-    if "_" in t or low in ("nan", "+nan", "-nan"):
+    if "_" in t:
         return None
     body = t[1:] if t[:1] in "+-" else t
     if body[:2].lower() in ("0x", "0o", "0b"):
@@ -30,11 +29,21 @@ def js_number(s: str) -> Optional[float]:
             return float(int(t, 0))
         except ValueError:
             return None
+        except OverflowError:
+            return _INF  # JS: an over-wide radix literal is Infinity
     try:
         v = float(t)
     except ValueError:
         return None
-    return None if v != v else v
+    if v != v:
+        return None  # 'nan' strings: Python parses, JS Number() does not
+    if v in (_INF, -_INF) and body != "Infinity" and not (
+        body[:1].isdigit() or body[:1] == "."
+    ):
+        # Python float() accepts 'inf'/'INFINITY'; JS only exact 'Infinity'
+        # (numeric overflow like '1e999' IS Infinity in both)
+        return None
+    return v
 
 
 def js_number_str(v: float) -> str:
@@ -50,17 +59,21 @@ def js_number_str(v: float) -> str:
         return "Infinity"
     if f == -_INF:
         return "-Infinity"
-    if f.is_integer() and abs(f) < 1e21:
-        return str(int(f))
+    if f == 0:
+        return "0"  # JS String(-0) is '0'
+    # everything derives from repr — Python's shortest-round-trip digits
+    # are the SAME digits JS's shortest-round-trip printer picks (above
+    # 2^53 the exact integer digits differ from the shortest ones:
+    # String(123456789123456789) is '123456789123456780', not the exact
+    # double value '...784')
     r = repr(f)
     if "e" not in r and "E" not in r:
-        return r
+        return r[:-2] if r.endswith(".0") else r
     from decimal import Decimal
 
     mantissa, _, exp_s = r.lower().partition("e")
     exp = int(exp_s)
     if -7 < exp < 21:
-        out = format(Decimal(r), "f")
-        return out
+        return format(Decimal(r), "f")
     sign = "+" if exp >= 0 else "-"
     return f"{mantissa}e{sign}{abs(exp)}"

@@ -169,6 +169,7 @@ def stream_alert_notifications(
     checkpoint: Optional[str] = None,
     trigger_available_now: bool = False,
     initial_streaks: Optional[dict] = None,
+    state_out: Optional[dict] = None,
 ):
     """The reference's cron loop (tasks/checkAlerts/index.ts:1110-1420) as
     ONE Structured Streaming job: each closed (watermark-passed) bucket from
@@ -187,13 +188,15 @@ def stream_alert_notifications(
     ``applyInPandasWithState`` after a streaming aggregation, and the bucket
     volume here is already one row per closed window per group.
 
-    Delivery/state caveats (the same envelope as the reference's cron
-    loop, whose per-tick history lives in its DB): a foreachBatch REPLAY
-    of the same batch id is detected and skipped, so a mid-batch failure
-    cannot double-count a bucket's streak or double-send; a full query
-    RESTART starts the in-memory streaks from ``initial_streaks`` (pass
-    the previously observed streaks to resume an M-of-M run mid-flight —
-    without it, a restart re-arms PENDING groups, trading a late first
+    Delivery/state caveats: foreachBatch is AT-LEAST-ONCE — after a
+    restart from the checkpoint, the last uncommitted batch replays into a
+    fresh closure, so a bucket already notified before the crash notifies
+    again. That is the reference's own envelope: every request carries the
+    deterministic eventId and Idempotency-Key (template.ts:356-363), and
+    receivers dedupe on them. A restart also starts the in-memory streaks
+    from ``initial_streaks`` (pass the previously observed streaks —
+    exposed via ``state_out`` — to resume an M-of-M run mid-flight;
+    without them a restart re-arms PENDING groups, trading a late first
     notification for never a false one).
 
     Returns the StreamingQuery.
@@ -203,15 +206,11 @@ def stream_alert_notifications(
 
     group_cols = list(group_cols)
     streaks: dict[tuple, int] = dict(initial_streaks or {})
-    seen_batches: set[int] = set()
+    if state_out is not None:
+        state_out["streaks"] = streaks
     n_consecutive = alert_cfg.num_consecutive_windows
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        # foreachBatch is at-least-once: a re-executed batch id must not
-        # advance streaks or re-fire notifications
-        if batch_id in seen_batches:
-            return
-        seen_batches.add(batch_id)
         # one row per closed window per group: tiny by construction
         rows = sorted(
             batch_df.collect(),
@@ -220,8 +219,9 @@ def stream_alert_notifications(
         for r in rows:
             key = tuple(r[g] for g in group_cols)
             if r[value_col] is None:
-                # NULL aggregate (e.g. avg over an all-NULL window): no
-                # evaluation, matching stream_alert's guard
+                # a NULL value row carries no evaluation — the reference's
+                # cron loop skips null parseAlertData values the same way
+                # (checkAlerts/index.ts:1289-1293 'value == null continue')
                 continue
             v = float(r[value_col])
             streak = streaks.get(key, 0) + 1 if does_exceed_threshold(

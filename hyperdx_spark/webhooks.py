@@ -108,8 +108,10 @@ def _hb_str(v) -> str:
         return ""
     if isinstance(v, bool):
         return "true" if v else "false"
-    if isinstance(v, float) and v.is_integer():
-        return str(int(v))
+    if isinstance(v, float):
+        from hyperdx_spark.jsnum import js_number_str
+
+        return js_number_str(v)
     return str(v)
 
 
@@ -359,9 +361,14 @@ def format_value_to_match_threshold(value: float, threshold: float) -> str:
 
 
 def _js_num_str(x) -> str:
-    """A number as a JS template literal prints it (no trailing .0)."""
-    if isinstance(x, float) and x.is_integer():
-        return str(int(x))
+    """A number as a JS template literal prints it (String(number) — no
+    trailing .0, decimal band down to 1e-6, shortest-round-trip digits;
+    shared emulation in jsnum.py). Python ints print exactly (they only
+    arrive from engine-side counts)."""
+    if isinstance(x, float):
+        from hyperdx_spark.jsnum import js_number_str
+
+        return js_number_str(x)
     return str(x)
 
 

@@ -21,6 +21,12 @@ def test_js_number_quirks():
     assert js_number("1_0") is None
     assert js_number("nan") is None
     assert js_number("not-a-number") is None
+    # r12 review: JS only accepts EXACT 'Infinity'; numeric overflow IS inf
+    assert js_number("inf") is None
+    assert js_number("INFINITY") is None
+    assert js_number("1e999") == float("inf")
+    # an over-wide radix literal is Infinity, not an OverflowError crash
+    assert js_number("0x" + "f" * 300) == float("inf")
 
 
 def test_js_number_str_bands():
@@ -39,6 +45,9 @@ def test_js_number_str_bands():
     # big numbers keep the plus sign
     assert js_number_str(1e21) == "1e+21"
     assert js_number_str(1.5e21) == "1.5e+21"
+    # shortest-round-trip digits above 2^53, like JS String(number)
+    assert js_number_str(123456789123456789.0) == "123456789123456780"
+    assert js_number_str(-0.0) == "0"
     assert js_number_str(float("nan")) == "NaN"
     assert js_number_str(float("inf")) == "Infinity"
     assert js_number_str(float("-inf")) == "-Infinity"

@@ -42,9 +42,9 @@ WEBHOOKS = {
 
 def run(spark, n_groups: int) -> dict:
     base = datetime(2024, 1, 1)
-    # every group breaches on even buckets -> with 2 consecutive windows
-    # required, no fire; odd/even alternation... use two consecutive
-    # breaches per 4-window cycle so ~W/4 ALERTs fire per group
+    # two consecutive breaching buckets per 4-window cycle (w%4 in 1,2):
+    # with num_consecutive_windows=2 the second breach fires, so each
+    # group fires exactly WINDOWS/4 ALERTs
     rows = [
         (f"svc-{g}", base + timedelta(hours=w),
          100.0 if w % 4 in (1, 2) else 1.0)
@@ -62,11 +62,13 @@ def run(spark, n_groups: int) -> dict:
     )
     cfg = AlertConfig(threshold=50, num_consecutive_windows=2)
     fired: list = []
+    state: dict = {}
     t0 = time.monotonic()
     q = stream_alert_notifications(
         stream,
         cfg,
         on_notify=fired.append,
+        state_out=state,
         notify_kwargs=dict(
             title=lambda v: build_title("errors", v),
             hdx_link="https://hdx.example/s/1",
@@ -87,6 +89,8 @@ def run(spark, n_groups: int) -> dict:
     expected = n_groups * (WINDOWS // 4)
     assert len(fired) == expected, (len(fired), expected)
     assert all(len(d["requests"]) == 2 for d in fired[:100])
+    # claim 1: driver state is exactly one streak per group, never rows
+    assert len(state["streaks"]) == n_groups, len(state["streaks"])
     return {
         "groups": n_groups,
         "windows": WINDOWS,
