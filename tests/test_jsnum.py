@@ -68,3 +68,53 @@ def test_shared_by_prom_and_facets():
         parse_api_timestamp("1_0")
     # hex parses like JS Number
     assert parse_api_timestamp("0x10") == 16.0
+
+
+def test_js_number_str_round_trip_property():
+    """String(number) is a shortest-ROUND-TRIP printer: parsing the printed
+    form must recover the exact double, for every finite float."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(st.floats(allow_nan=False, allow_infinity=False))
+    @settings(max_examples=400, deadline=None)
+    def check(x):
+        printed = js_number_str(x)
+        assert float(printed) == x or (x == 0 and printed == "0")
+        # the printed form is also JS-Number-parseable (no locale artifacts)
+        assert js_number(printed) == (0.0 if x == 0 else x)
+
+    check()
+
+
+def test_facets_quoting_idempotent_property():
+    """to_quoted_clickhouse_key_expression is idempotent for ANY key: a
+    second pass over its own output never changes it (the reference pins
+    one case; the property holds generally because quoted/bracket/function
+    forms all short-circuit)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from hyperdx_spark.facets import to_quoted_clickhouse_key_expression as f
+
+    ident = st.text(
+        alphabet=st.characters(
+            whitelist_categories=("Ll", "Lu", "Nd"),
+            whitelist_characters="_-. ",
+        ),
+        min_size=1,
+        max_size=20,
+    )
+
+    @given(
+        key=ident,
+        known=st.sets(ident, max_size=3),
+        also_known=st.booleans(),
+    )
+    @settings(max_examples=300, deadline=None)
+    def check(key, known, also_known):
+        cols = set(known) | ({key} if also_known else set())
+        once = f(key, cols)
+        assert f(once, cols) == once
+
+    check()
