@@ -4769,6 +4769,27 @@ def q_analytics_insights(spark, sf_dir):
         F.lit("patterns").alias("part"), F.col("pattern").alias("key"),
         F.col("n").cast("double").alias("v1"), F.lit(0.0).alias("v2"),
     )
+    # r12: the SCALE-path miner under the same oracle — its per-partition
+    # Drain + (template,bucket) pre-aggregated merge keeps counts EXACT,
+    # so the sampled miner's GROUP BY oracle applies verbatim
+    from hyperdx_spark.analytics.drain import mine_patterns_distributed
+
+    ev_bodies = load_table(spark, sf_dir, "events").select(
+        F.concat(
+            F.col("event_type"), F.lit(" user "),
+            (F.col("user_id") % 7).cast("string"),
+            F.lit(" took "), F.floor("value").cast("string"), F.lit(" ms"),
+        ).alias("body")
+    )
+    dist = spark.createDataFrame(
+        [
+            (p.pattern, float(p.estimated_count))
+            for p in mine_patterns_distributed(ev_bodies, text_col="body")
+        ],
+        "key string, v1 double",
+    ).select(
+        F.lit("distpat").alias("part"), "key", "v1", F.lit(0.0).alias("v2")
+    )
     dl = q_event_deltas(spark, sf_dir).select(
         F.lit("deltas").alias("part"), "key",
         F.col("base_score").alias("v1"), F.col("score").alias("v2"),
@@ -4786,7 +4807,8 @@ def q_analytics_insights(spark, sf_dir):
         F.col("n_buckets").cast("double").alias("v2"),
     )
     return (
-        pats.unionByName(dl)
+        pats.unionByName(dist)
+        .unionByName(dl)
         .unionByName(corr)
         .unionByName(_tmparam_rows(spark, sf_dir))
     )
@@ -4844,6 +4866,8 @@ GROUP BY mode, tpl, mask, val, pos
 
 O_ANALYTICS_INSIGHTS = f"""
 SELECT 'patterns' AS part, pattern AS key, n::DOUBLE AS v1, 0.0 AS v2 FROM ({O_LOG_PATTERNS})
+UNION ALL
+SELECT 'distpat' AS part, pattern AS key, n::DOUBLE AS v1, 0.0 AS v2 FROM ({O_LOG_PATTERNS})
 UNION ALL
 SELECT 'deltas' AS part, key, base_score AS v1, score AS v2 FROM ({O_EVENT_DELTAS})
 UNION ALL
