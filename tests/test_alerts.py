@@ -713,3 +713,55 @@ def test_parse_alert_data_parseint_semantics():
     assert isinstance(v, float) and math.isnan(v)
     v, _ = parse_alert_data({"cnt": " -7rest"}, value_cols={"cnt"})
     assert v == -7
+
+
+def test_evaluate_and_backtest_agree_on_randomized_sequences(spark):
+    """The cron operation (evaluate() once per closed bucket, previous
+    histories + recent states fed forward — exactly how the reference
+    consults recentHistoryMap, which holds PRIOR runs only,
+    index.ts:1112-1131) must assign the same per-bucket states as the
+    analytical backtest() over the whole sequence. NOTE the counterpart
+    non-property: within ONE catch-up run, same-run buckets do NOT count
+    toward the M-of-M lookback (reference-exact; pinned below)."""
+    import random
+
+    rng_src = random.Random(1207)
+    c = AlertConfig(threshold=50, num_consecutive_windows=2, window_minutes=1)
+    for trial in range(8):
+        n = rng_src.randint(3, 12)
+        vals = [float(rng_src.choice([1, 49, 50, 51, 100])) for _ in range(n)]
+        buckets = [T(2024, 1, 1, 0, m) for m in range(n)]
+        df = spark.createDataFrame(
+            list(zip(buckets, vals)), "__timestamp timestamp, value double"
+        )
+        bt = {r["__timestamp"]: r["state"] for r in backtest(df, c).collect()}
+
+        prev: dict = {}
+        recent: list = []
+        for b, v in zip(buckets, vals):
+            hist, _ = evaluate(
+                [{"__timestamp": b, "value": v}], c,
+                date_range=(b, T(2024, 1, 1, 0, b.minute + 1)),
+                previous=prev,
+                recent_states={"": list(recent)},
+            )
+            assert hist[""].state.value == bt[b], (trial, vals, b, bt[b])
+            prev = hist
+            recent.insert(0, hist[""].state)
+
+
+def test_same_run_buckets_do_not_count_toward_lookback():
+    """Reference-exact quirk (index.ts:1112-1131): the M-of-M lookback
+    consults recentHistoryMap — histories persisted by PRIOR runs — so a
+    catch-up run over [49, 51, 51] with 2 consecutive windows required
+    ends PENDING, not ALERT (the two same-run breaches don't chain)."""
+    c = AlertConfig(threshold=50, num_consecutive_windows=2, window_minutes=1)
+    rows = [
+        {"__timestamp": T(2024, 1, 1, 0, m), "value": v}
+        for m, v in enumerate([49.0, 51.0, 51.0])
+    ]
+    hist, notes = evaluate(
+        rows, c, date_range=(T(2024, 1, 1, 0, 0), T(2024, 1, 1, 0, 3))
+    )
+    assert hist[""].state == AlertState.PENDING
+    assert notes == []
