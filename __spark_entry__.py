@@ -2307,7 +2307,32 @@ def q_sqlast_filters(spark, sf_dir):
     alias_part = compile_chart_config(spark, alias_cfg, sf_dir=sf_dir).select(
         F.lit("alias").alias("part"), "__timestamp", "cnt"
     )
-    return base.unionByName(alias_part)
+    # r12: facet key coercion under the gate (facets.py, the app's
+    # add-to-filters path) — input=>output pairs encoded into the part
+    # column, hash-compared against the reference-pinned expectations
+    from hyperdx_spark.facets import to_quoted_clickhouse_key_expression
+
+    known = {"LogAttributes", "my-map", "service-name",
+             "__hdx_materialized_k8s.cluster.name", "Body"}
+    fk_inputs = [
+        "LogAttributes.host",
+        "LogAttributes.1",
+        "my-map['k']",
+        "service-name",
+        "__hdx_materialized_k8s.cluster.name",
+        "JSONExtractString(Body, 'app.user.currency')",
+        "Body.`json`.`field`",
+        "ResourceAttributes.host.name",
+    ]
+    fk = spark.createDataFrame(
+        [
+            (f"fk|{k}=>{to_quoted_clickhouse_key_expression(k, known)}",
+             datetime(1970, 1, 1), 0)
+            for k in fk_inputs
+        ],
+        "part string, __timestamp timestamp, cnt long",
+    )
+    return base.unionByName(alias_part).unionByName(fk)
 
 
 O_SQLAST_FILTERS = f"""
@@ -2325,6 +2350,17 @@ SELECT 'alias' AS part,
 FROM events
 WHERE {TIME_WHERE} AND event_type = 'error'
 GROUP BY 2
+UNION ALL
+SELECT part, TIMESTAMP '1970-01-01' AS __timestamp, 0 AS cnt FROM (VALUES
+  ('fk|LogAttributes.host=>LogAttributes[''host'']'),
+  ('fk|LogAttributes.1=>LogAttributes[''1'']'),
+  ('fk|my-map[''k'']=>`my-map`[''k'']'),
+  ('fk|service-name=>`service-name`'),
+  ('fk|__hdx_materialized_k8s.cluster.name=>`__hdx_materialized_k8s.cluster.name`'),
+  ('fk|JSONExtractString(Body, ''app.user.currency'')=>JSONExtractString(Body, ''app.user.currency'')'),
+  ('fk|Body.`json`.`field`=>Body.`json`.`field`'),
+  ('fk|ResourceAttributes.host.name=>ResourceAttributes[''host.name'']')
+) AS t(part)
 """
 
 # --------------------------------------------------------------------------
