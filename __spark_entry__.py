@@ -602,18 +602,57 @@ FROM t JOIN pick ON t.d = pick.d AND t.side = pick.side AND t.i = pick.i
 # --------------------------------------------------------------------------
 
 def q_heatmap(spark, sf_dir):
+    """Reference heatmap bounds algorithm (DBHeatmapChart.tsx:409-510):
+    part 'log' = quantile(0.01) lower + true-max upper + effectiveMin cap +
+    widthBucket over ln; part 'lin' = quantile(0.001) lower, raw min, linear
+    widthBucket.  Oracle re-derives the full algorithm in SQL."""
+    from pyspark.sql import functions as F
+
     from hyperdx_spark.analytics.heatmap import heatmap
 
     ev = load_table(spark, sf_dir, "events")
-    return heatmap(ev, ts="ts", value="value", bucket_seconds=86400, y_buckets=20)
+    log_part = heatmap(
+        ev, ts="ts", value="value", bucket_seconds=86400, n_buckets=80,
+        scale="log",
+    ).withColumn("part", F.lit("log"))
+    lin_part = heatmap(
+        ev, ts="ts", value="value", bucket_seconds=86400, n_buckets=80,
+        scale="linear",
+    ).withColumn("part", F.lit("lin"))
+    return log_part.unionByName(lin_part)
 
 
 O_HEATMAP = """
-WITH bounds AS (SELECT min(value) lo, max(value) hi FROM events)
+WITH bounds AS (
+  SELECT quantile_disc(CASE WHEN value >= 0 THEN value END, 0.01) AS mn_log,
+         quantile_disc(CASE WHEN value >= 0 THEN value END, 0.001) AS mn_lin,
+         max(value) AS mx
+  FROM events
+), eff AS (
+  SELECT mx, mn_lin,
+         greatest(mn_log,
+                  CASE WHEN mx * 1e-4 = 0 OR isnan(mx * 1e-4)
+                       THEN 1e-4 ELSE mx * 1e-4 END) AS em
+  FROM bounds
+)
 SELECT make_timestamp((floor(epoch(ts))::BIGINT // 86400) * 86400 * 1000000) AS __timestamp,
-       least(floor((value - lo) / (hi - lo) * 20), 19)::INT AS ybucket,
-       count(*) AS cnt
-FROM events, bounds GROUP BY 1, 2
+       CASE WHEN ln(greatest(value, em)) < ln(em) THEN 0
+            WHEN ln(greatest(value, em)) >= ln(mx) THEN 81
+            ELSE (floor((ln(greatest(value, em)) - ln(em))
+                        / (ln(mx) - ln(em)) * 80) + 1)::INT
+       END AS x_bucket,
+       count(*) AS count,
+       'log' AS part
+FROM events, eff WHERE mx > em GROUP BY 1, 2
+UNION ALL
+SELECT make_timestamp((floor(epoch(ts))::BIGINT // 86400) * 86400 * 1000000) AS __timestamp,
+       CASE WHEN value < mn_lin THEN 0
+            WHEN value >= mx THEN 81
+            ELSE (floor((value - mn_lin) / (mx - mn_lin) * 80) + 1)::INT
+       END AS x_bucket,
+       count(*) AS count,
+       'lin' AS part
+FROM events, eff WHERE mx > mn_lin GROUP BY 1, 2
 """
 
 # --------------------------------------------------------------------------

@@ -1,19 +1,132 @@
 """Heatmap bucketing (ref: packages/app/src/components/DBHeatmapChart.tsx
-:484-560): value → y-bucket over a log or linear scale between min/max
-bounds (bounds from a separate min/max aggregation, broadcast), count per
-(x = time bucket, y = bucket).
+:406-560 and :600-710; spec tests: components/__tests__/heatmapBuckets.test.ts
+and DBHeatmapChart.test.ts).
 
-Scale shape: the bounds side is one row (broadcast); the bucketing is a
-pure projection inside codegen; the only shuffle is the final (x, y)
-count aggregation — cardinality ≤ time_buckets × y_buckets.
+Two-phase design, reference-exact:
+
+1. **Bounds** (``buildHeatmapBoundsConfig``, DBHeatmapChart.tsx:409-476): the
+   LOWER bound is ``quantile(0.01)`` (log scale) / ``quantile(0.001)``
+   (linear) over the *non-negative* values; the UPPER bound is the true
+   ``max()`` over ALL values.  heatmapBuckets.test.ts:1-13 documents why the
+   upper bound is max() and not a quantile: a p99 upper bound crammed rare
+   (<1%) latency spikes into one invisible overflow bucket.
+2. **effectiveMin** (DBHeatmapChart.tsx:768-773): for log scale
+   ``max(min, max*1e-4 || 1e-4)`` — caps the axis to ~4 orders of magnitude
+   so near-zero outliers don't stretch it; the JS ``||`` kicks in when
+   ``max*1e-4`` is 0 or NaN.  Linear scale uses the raw quantile min.
+3. **Bucketing** (DBHeatmapChart.tsx:503-510): ClickHouse
+   ``widthBucket(log(greatest(v, effectiveMin)), log(effectiveMin),
+   log(max), n)`` for log scale, ``widthBucket(v, effectiveMin, max, n)``
+   for linear.  widthBucket returns 0 for underflow, n+1 for v >= hi, else
+   ``floor((v-lo)/(hi-lo)*n)+1``.  The bucket query only runs when
+   ``max > effectiveMin`` (the ``enabled`` gate, tsx:786).
+
+Quantile semantics: ClickHouse ``quantile`` is modelled by the reference
+spec test as nearest-rank (heatmapBuckets.test.ts:31-38); Spark's
+``percentile_disc`` and DuckDB's ``quantile_disc`` are both exactly
+nearest-rank, so the Spark plan and the SQL oracle agree bit-for-bit.
+
+Scale shape: the bounds side is ONE row (broadcast cross join — no driver
+action needed); the bucketing is a pure projection inside codegen; the only
+shuffle is the final (time, x_bucket) count aggregation with cardinality
+<= time_buckets x (n_buckets+2).  ``percentile_disc`` is an exact aggregate
+(per-value counts); at 100 TB pass ``exact_bounds=False`` to bound memory
+with ``approx_percentile`` — the reference's ClickHouse ``quantile`` is
+itself sampling-based, so approximate bounds are within its contract.
 """
 
 from __future__ import annotations
 
-from typing import Optional
+import math
+from typing import Iterable, Mapping, Optional, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+#: ref HEATMAP_N_BUCKETS, DBHeatmapChart.tsx:406
+HEATMAP_N_BUCKETS = 80
+
+
+def get_quantile_lo(scale: str) -> float:
+    """Quantile level for the LOWER bound (ref tsx:420, spec test
+    heatmapBuckets.test.ts:24-28): log scale p1, linear p0.1.  The upper
+    bound uses the actual max() — no quantile."""
+    _check_scale(scale)
+    return 0.01 if scale == "log" else 0.001
+
+
+def _check_scale(scale: str) -> None:
+    if scale not in ("log", "linear"):
+        raise ValueError(f"unknown heatmap scale {scale!r}")
+
+
+def compute_effective_min(min_v: float, max_v: float, scale: str) -> float:
+    """ref DBHeatmapChart.tsx:768-773 / heatmapBuckets.test.ts:43-50:
+    ``scaleType === 'log' ? Math.max(min, max*1e-4 || 1e-4) : min``.
+
+    The JS ``||`` falls back to 1e-4 when ``max*1e-4`` is falsy (0, -0 or
+    NaN); Math.max propagates NaN, matched here.
+    """
+    _check_scale(scale)
+    if scale != "log":
+        return min_v
+    cap = max_v * 1e-4
+    if cap == 0 or math.isnan(cap):
+        cap = 1e-4
+    if math.isnan(min_v) or math.isnan(cap):
+        return float("nan")
+    return max(min_v, cap)
+
+
+def bucket_to_y_value(
+    j: float, n_buckets: int, effective_min: float, max_v: float, scale: str
+) -> float:
+    """y-axis value of bucket index ``j`` (ref tsx:629-640): log scale
+    returns ln of the geometric bucket boundary (uniform spacing in log
+    space for the renderer); linear returns ``min + j*step``."""
+    if scale == "log" and effective_min > 0 and max_v > effective_min:
+        actual = effective_min * (max_v / effective_min) ** (j / n_buckets)
+        return math.log(actual)
+    return effective_min + j * ((max_v - effective_min) / n_buckets)
+
+
+def width_bucket(v: Column, lo: Column, hi: Column, n_buckets: int) -> Column:
+    """ClickHouse ``widthBucket(v, lo, hi, n)`` (spec:
+    heatmapBuckets.test.ts:66-80): 0 for v < lo, n+1 for v >= hi, else
+    ``floor((v-lo)/(hi-lo)*n)+1``."""
+    return (
+        F.when(v < lo, F.lit(0))
+        .when(v >= hi, F.lit(n_buckets + 1))
+        .otherwise((F.floor((v - lo) / (hi - lo) * n_buckets) + 1).cast("int"))
+        .cast("int")
+    )
+
+
+def heatmap_bounds(
+    df: DataFrame,
+    *,
+    value: str = "value",
+    scale: str = "log",
+    exact: bool = True,
+) -> DataFrame:
+    """The FIRST query (ref ``buildHeatmapBoundsConfig``, tsx:411-476): one
+    row ``(min, max)`` where min = nearest-rank quantile of the non-negative
+    values (aggCondition ``value >= 0``, tsx:432/465) and max = true max
+    over ALL values.  ``exact=False`` swaps ``percentile_disc`` for
+    ``approx_percentile`` (the 100 TB path; CH quantile is itself
+    approximate)."""
+    q_lo = get_quantile_lo(scale)
+    v = F.col(value).cast("double")
+    nonneg = F.when(v >= 0, v)
+    if exact:
+        min_agg = F.expr(
+            f"percentile_disc({q_lo!r}) WITHIN GROUP "
+            f"(ORDER BY CASE WHEN CAST({value} AS DOUBLE) >= 0 "
+            f"THEN CAST({value} AS DOUBLE) END)"
+        )
+    else:
+        min_agg = F.percentile_approx(nonneg, F.lit(q_lo), F.lit(100000))
+    return df.agg(min_agg.alias("min"), F.max(v).alias("max"))
 
 
 def heatmap(
@@ -22,45 +135,148 @@ def heatmap(
     ts: str = "ts",
     value: str = "value",
     bucket_seconds: int = 86400,
-    y_buckets: int = 20,
-    scale: str = "linear",
+    n_buckets: int = HEATMAP_N_BUCKETS,
+    scale: str = "log",
     bounds: Optional[tuple[float, float]] = None,
     ts_alias: str = "__timestamp",
+    exact_bounds: bool = True,
 ) -> DataFrame:
-    """(x time bucket, ybucket 0..y_buckets-1, cnt) heatmap cells.
+    """(time bucket, x_bucket 0..n_buckets+1, count) heatmap cells — the
+    SECOND query (ref ``buildHeatmapBucketConfig``, tsx:484-560) composed
+    with the bounds query in one plan via a broadcast single-row join.
 
-    ``scale='log'`` buckets on log10 of the (positive-clamped) value, the
-    reference's log mode; bounds default to the observed min/max via a
-    broadcast single-row aggregate, or pass them to pin a fixed axis.
+    ``bounds`` pins ``(effective_min, max)`` directly (the reference's
+    editor-preview path, tsx:481-483); otherwise they derive from
+    :func:`heatmap_bounds` + the effectiveMin cap, computed in-plan.
+    Rows are produced only when ``max > effective_min`` (the reference's
+    ``enabled`` gate, tsx:786) — degenerate ranges yield an empty result.
     """
+    _check_scale(scale)
     v = F.col(value).cast("double")
-    if scale == "log":
-        x = F.log10(F.greatest(v, F.lit(1e-12)))
-    elif scale == "linear":
-        x = v
-    else:
-        raise ValueError(f"unknown heatmap scale {scale!r}")
-    src = df.withColumn("__x", x)
-    if bounds is None:
-        b = src.agg(F.min("__x").alias("lo"), F.max("__x").alias("hi"))
-        src = src.crossJoin(F.broadcast(b))
-    else:
-        src = src.withColumn("lo", F.lit(float(bounds[0]))).withColumn(
-            "hi", F.lit(float(bounds[1]))
+
+    if bounds is not None:
+        src = df.withColumn("__eff", F.lit(float(bounds[0]))).withColumn(
+            "__hi", F.lit(float(bounds[1]))
         )
-    span = F.col("hi") - F.col("lo")
-    ybucket = F.when(span > 0, F.least(
-        F.floor((F.col("__x") - F.col("lo")) / span * y_buckets),
-        F.lit(y_buckets - 1),
-    )).otherwise(F.lit(0)).cast("int")
+    else:
+        b = heatmap_bounds(df, value=value, scale=scale, exact=exact_bounds)
+        if scale == "log":
+            cap = F.col("max") * F.lit(1e-4)
+            cap = F.when(
+                cap.isNull() | F.isnan(cap) | (cap == 0), F.lit(1e-4)
+            ).otherwise(cap)
+            eff = F.greatest(F.col("min"), cap)
+        else:
+            eff = F.col("min")
+        b = b.select(eff.alias("__eff"), F.col("max").alias("__hi"))
+        src = df.crossJoin(F.broadcast(b))
+
+    if scale == "log":
+        x = F.log(F.greatest(v, F.col("__eff")))
+        lo = F.log(F.col("__eff"))
+        hi = F.log(F.col("__hi"))
+    else:
+        x = v
+        lo = F.col("__eff")
+        hi = F.col("__hi")
+
     return (
-        src.withColumn("ybucket", ybucket)
+        src.where(F.col("__hi") > F.col("__eff"))
+        .withColumn("x_bucket", width_bucket(x, lo, hi, n_buckets))
         .groupBy(
             F.timestamp_seconds(
                 (F.unix_timestamp(F.col(ts)) / bucket_seconds).cast("long")
                 * bucket_seconds
             ).alias(ts_alias),
-            "ybucket",
+            "x_bucket",
         )
-        .agg(F.count("*").alias("cnt"))
+        .agg(F.count("*").alias("count"))
     )
+
+
+def format_data_for_heatmap(
+    data: Sequence[Mapping],
+    *,
+    timestamp_column: str,
+    generated_ts_buckets: Sequence,
+    scale: str,
+    effective_min: float,
+    max_v: float,
+    n_buckets: int,
+) -> tuple[list, list, list]:
+    """Dense ``[time, bucket, count]`` grid for the renderer (ref
+    ``formatDataForHeatmap``, tsx:602-677): every (time bucket, 0..n+1)
+    cell gets a row, missing cells zero-filled, duplicate (time, x_bucket)
+    groups from unmerged distributed results dropped (first wins).  Rows
+    must arrive sorted by (time, x_bucket) — the reference walks the grid
+    and its data cursor in lockstep.
+
+    ``generated_ts_buckets`` holds epoch-ms ints (or datetimes, converted);
+    counts may be strings (CH returns UInt64 as string — parsed base-10).
+    """
+    times: list = []
+    buckets: list = []
+    counts: list = []
+
+    def _ms(t) -> int:
+        if hasattr(t, "timestamp"):
+            return int(t.timestamp() * 1000)
+        return int(t)
+
+    data_index = 0
+    n_rows = len(data)
+    for tb in generated_ts_buckets:
+        generated_ms = _ms(tb)
+        for j in range(n_buckets + 2):
+            row = data[data_index] if data_index < n_rows else None
+            if (
+                row is not None
+                and _ms(row[timestamp_column]) == generated_ms
+                and row["x_bucket"] == j
+            ):
+                times.append(_ms(row[timestamp_column]))
+                buckets.append(
+                    bucket_to_y_value(
+                        row["x_bucket"], n_buckets, effective_min, max_v, scale
+                    )
+                )
+                counts.append(int(str(row["count"]), 10))
+                while (
+                    data_index < n_rows
+                    and _ms(data[data_index][timestamp_column]) == generated_ms
+                    and data[data_index]["x_bucket"] == j
+                ):
+                    data_index += 1
+            else:
+                times.append(generated_ms)
+                buckets.append(
+                    bucket_to_y_value(j, n_buckets, effective_min, max_v, scale)
+                )
+                counts.append(0)
+
+    return times, buckets, counts
+
+
+def compute_bucket_percentiles(
+    data: tuple[Iterable, Iterable, Iterable]
+) -> dict[float, float]:
+    """Cumulative share (0-100) of events at or below each y-bucket, keyed
+    by that bucket's y-value and accumulated in ascending y order (ref
+    ``computeBucketPercentiles``, tsx:683-707).  Empty grid → empty map
+    (the tooltip omits the percentile rather than dividing by zero)."""
+    _, ys, cnts = data
+    ys = list(ys)
+    cnts = list(cnts)
+    bucket_totals: dict[float, float] = {}
+    total = 0
+    for y, c in zip(ys, cnts):
+        bucket_totals[y] = bucket_totals.get(y, 0) + c
+        total += c
+    if total == 0:
+        return {}
+    percentiles: dict[float, float] = {}
+    cumulative = 0
+    for y in sorted(bucket_totals):
+        cumulative += bucket_totals[y]
+        percentiles[y] = (cumulative / total) * 100
+    return percentiles
