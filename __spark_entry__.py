@@ -2371,7 +2371,67 @@ def q_sqlast_filters(spark, sf_dir):
         ],
         "part string, __timestamp timestamp, cnt long",
     )
-    return base.unionByName(alias_part).unionByName(fk)
+    # r13: row -> exact-row WHERE (useRowWhere.tsx:35-195) — the dispatch
+    # branches pinned as input=>output pairs, PLUS the generated WHERE
+    # EXECUTED against events through the chcompat shim
+    # (parseDateTime64BestEffort / MD5 / leftUTF8 mappings added r13)
+    from hyperdx_spark.functions.chcompat import translate_expr
+    from hyperdx_spark.rowwhere import process_row_to_where_clause, row_where
+
+    def _cm1(name, ch_type, js_type, expr=None):
+        return {name: {"name": name, "type": ch_type, "js_type": js_type,
+                       "value_expr": expr or name}}
+
+    rw_cases = [
+        ("str", {"name": "o'brien"}, _cm1("name", "String", "string")),
+        ("date", {"created_at": "2024-01-01T00:00:00Z"},
+         _cm1("created_at", "DateTime64", "date")),
+        ("arr", {"tags": ["tag1", "tag2"]},
+         _cm1("tags", "Array(String)", "array")),
+        ("map", {"attributes": {"key": "value"}},
+         _cm1("attributes", "Map(String, String)", "map")),
+        ("tuple", {"coordinates": '{"s": "city", "i": 123}'},
+         _cm1("coordinates", "Tuple(String, Int32)", "tuple")),
+        ("json", {"data": '{"key": "value"}'}, _cm1("data", "JSON", "json")),
+        ("dyn", {"dynamic_field": "null"},
+         _cm1("dynamic_field", "Dynamic", "dynamic")),
+    ]
+    rw_rows = [
+        (f"rw|{case}=>{process_row_to_where_clause(row, cm)}",
+         datetime(1970, 1, 1), 0)
+        for case, row, cm in rw_cases
+    ]
+    ev2 = load_table(spark, sf_dir, "events")
+    anchor = ev2.orderBy("event_id").limit(1).collect()[0]
+    fn_full = row_where(meta=[
+        {"name": "ts", "type": "DateTime64(9, 'UTC')"},
+        {"name": "event_type", "type": "String"},
+        {"name": "value", "type": "Float64"},
+        {"name": "user_id", "type": "Int64"},
+    ])
+    iso = anchor["ts"].strftime("%Y-%m-%dT%H:%M:%S.%f") + "Z"
+    w_full = fn_full({
+        "ts": iso, "event_type": anchor["event_type"],
+        "value": anchor["value"], "user_id": anchor["user_id"],
+    })["where"]
+    c_full = ev2.where(F.expr(translate_expr(w_full))).count()
+    w_null = process_row_to_where_clause(
+        {"props": None}, _cm1("props", "String", "string"))
+    c_null = ev2.where(F.expr(translate_expr(w_null))).count()
+    # >512-char value over an expression alias exercises the md5/leftUTF8
+    # truncation branch end-to-end
+    fn_big = row_where(meta=[{"name": "big", "type": "String"}],
+                       alias_map={"big": "repeat(props, 150)"})
+    w_big = fn_big({"big": anchor["props"] * 150})["where"]
+    c_big = ev2.where(F.expr(translate_expr(w_big))).count()
+    rw_rows += [
+        ("rwexec|full", datetime(1970, 1, 1), c_full),
+        ("rwexec|isnull", datetime(1970, 1, 1), c_null),
+        ("rwexec|md5", datetime(1970, 1, 1), c_big),
+    ]
+    rw = spark.createDataFrame(
+        rw_rows, "part string, __timestamp timestamp, cnt long")
+    return base.unionByName(alias_part).unionByName(fk).unionByName(rw)
 
 
 O_SQLAST_FILTERS = f"""
@@ -2400,6 +2460,32 @@ SELECT part, TIMESTAMP '1970-01-01' AS __timestamp, 0 AS cnt FROM (VALUES
   ('fk|Body.`json`.`field`=>Body.`json`.`field`'),
   ('fk|ResourceAttributes.host.name=>ResourceAttributes[''host.name'']')
 ) AS t(part)
+UNION ALL
+SELECT part, TIMESTAMP '1970-01-01' AS __timestamp, 0 AS cnt FROM (VALUES
+  ('rw|str=>name=''o\\''brien'''),
+  ('rw|date=>created_at=parseDateTime64BestEffort(''2024-01-01T00:00:00Z'', 9)'),
+  ('rw|arr=>tags=JSONExtract(''tag1'', ''tag2'', ''Array(String)'')'),
+  ('rw|map=>attributes=JSONExtract(`key` = ''value'', ''Map(String, String)'')'),
+  ('rw|tuple=>toJSONString(coordinates)=''{{\\"s\\": \\"city\\", \\"i\\": 123}}'''),
+  ('rw|json=>lower(hex(MD5(toString(data))))=''' || md5('{{"key": "value"}}') || ''''),
+  ('rw|dyn=>isNull(`dynamic_field`)')
+) AS t(part)
+UNION ALL
+SELECT 'rwexec|full' AS part, TIMESTAMP '1970-01-01' AS __timestamp,
+  (SELECT count(*) FROM events e,
+     (SELECT ts, event_type, value, user_id FROM events
+      WHERE event_id = (SELECT min(event_id) FROM events)) a
+   WHERE e.ts = a.ts AND e.event_type = a.event_type
+     AND e.value = a.value AND e.user_id = a.user_id) AS cnt
+UNION ALL
+SELECT 'rwexec|isnull' AS part, TIMESTAMP '1970-01-01' AS __timestamp,
+  (SELECT count(*) FROM events WHERE props IS NULL) AS cnt
+UNION ALL
+SELECT 'rwexec|md5' AS part, TIMESTAMP '1970-01-01' AS __timestamp,
+  (SELECT count(*) FROM events
+   WHERE md5(left(repeat(props, 150), 1000)) =
+     (SELECT md5(left(repeat(props, 150), 1000)) FROM events
+      WHERE event_id = (SELECT min(event_id) FROM events))) AS cnt
 """
 
 # --------------------------------------------------------------------------

@@ -107,6 +107,11 @@ _RENAMES = {
     "arrayExists": "_arrayexists",
     "arrayMap": "_arraymap",
     "arrayFilter": "_arrayfilter",
+    # r13: the row side-panel's exact-row WHERE (useRowWhere.tsx:35-130)
+    # emits these three
+    "parseDateTime64BestEffort": "_parsedt64be",
+    "MD5": "_md5bin",
+    "leftUTF8": "_leftutf8",
 }
 
 _CALL_RE = re.compile(r"\b([A-Za-z_][A-Za-z0-9_]*)\s*\(")
@@ -195,6 +200,21 @@ def _rewrite_call(name: str, args: list[str]) -> str:
             f"((({a}) div ({b})) - CASE WHEN (({a}) % ({b})) != 0 "
             f"AND ((({a}) < 0) != (({b}) < 0)) THEN 1 ELSE 0 END)"
         )
+    if low == "_parsedt64be":
+        # parseDateTime64BestEffort(s[, precision[, tz]]): best-effort ISO
+        # parse; Spark's timestamp cast covers the ISO-8601 family incl.
+        # 'T' and 'Z' (the shapes the row panel renders). Precision arg
+        # dropped — Spark timestamps are micros.
+        return f"cast({args[0]} AS TIMESTAMP)"
+    if low == "_md5bin":
+        # CH MD5() returns BINARY (FixedString(16)); Spark md5() returns
+        # lowercase hex. unhex() restores the binary so the reference's
+        # lower(hex(MD5(x))) composition lands on the same lowercase hex.
+        return f"unhex(md5({args[0]}))"
+    if low == "_leftutf8":
+        # leftUTF8(s, n): first n code points — Spark substring on strings
+        # is code-point based.
+        return f"substring({args[0]}, 1, {args[1]})"
     if low == "_empty":
         return f"({args[0]} IS NULL OR {args[0]} = '')"
     if low == "_notempty":

@@ -149,6 +149,12 @@ SCALAR_CASES = [
     ("ifNull", "ifNull(NULL, 5)", 5),
     ("ifNull", "ifNull(3, 5)", 3),
     ("isNull", "isNull(NULL)", True),
+    # ---- r13: row side-panel WHERE functions (useRowWhere.tsx) --------
+    ("parseDateTime64BestEffort",
+     "toString(parseDateTime64BestEffort('2024-03-05T07:08:09Z', 9))",
+     "2024-03-05 07:08:09"),
+    ("MD5", "lower(hex(MD5('abc')))", "900150983cd24fb0d6963f7d28e17f72"),
+    ("leftUTF8", "leftUTF8('héllo world', 4)", "héll"),
     ("isNotNull", "isNotNull(1)", True),
     # CH least/greatest PROPAGATE NULL (the r8 divergence fix)
     ("least", "least(3, 1)", 1),
