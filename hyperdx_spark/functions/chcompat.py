@@ -594,3 +594,25 @@ def convert_ch_data_type_to_js_type(data_type: str) -> "str | None":
 def is_js_data_type_json_stringifiable(js_type: "str | None") -> bool:
     """clickhouse/index.ts:106-117: container-ish families render as JSON."""
     return js_type in ("map", "array", "json", "tuple", "dynamic")
+
+
+_DT64_RE = re.compile(r"^DateTime64\(\s*(\d+)\s*(?:,[^)]*)?\)$", re.IGNORECASE)
+_NULLABLE_RE = re.compile(r"^Nullable\((.*)\)$", re.IGNORECASE)
+
+
+def classify_timestamp_type(type_str: "str | None"):
+    """core/utils.ts:153-174 classifyTimestampType: a CH timestamp type
+    string → ``{"kind", "precision"}`` (Date/Date32 = day precision -1,
+    DateTime = 0, DateTime64(p) = p), None for non-timestamp types.  One
+    Nullable() wrapper is looked through; timezone arguments ignored."""
+    if not type_str:
+        return None
+    inner = _NULLABLE_RE.sub(r"\1", type_str).strip()
+    if re.fullmatch(r"Date(?:32)?", inner, re.IGNORECASE):
+        return {"kind": "date", "precision": -1}
+    if re.fullmatch(r"DateTime|DateTime\('[^']*'\)", inner, re.IGNORECASE):
+        return {"kind": "datetime", "precision": 0}
+    m = _DT64_RE.match(inner)
+    if m:
+        return {"kind": "datetime64", "precision": int(m.group(1))}
+    return None

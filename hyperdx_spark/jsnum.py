@@ -5,9 +5,59 @@ rendering). One implementation so a fidelity fix lands everywhere."""
 
 from __future__ import annotations
 
+import re
 from typing import Optional
 
 _INF = float("inf")
+
+_ISO_DATE_RE = re.compile(
+    r"^(\d{4})(?:-(\d{2})(?:-(\d{2}))?)?"
+    r"(?:[T ](\d{2}):(\d{2})(?::(\d{2}))?(?:\.(\d+))?"
+    r"(Z|[+-]\d{2}:?\d{2})?)?$"
+)
+
+
+def js_date_ms(value: str) -> Optional[float]:
+    """``new Date(string).getTime()`` — epoch milliseconds, or None where
+    JS yields NaN.  Covers the ISO-8601 family (date-only, date-time with
+    ``T`` or space separator, any-length fraction truncated to JS's
+    millisecond precision, ``Z``/offset designators) plus RFC 2822 via the
+    stdlib email parser.  Deviations, documented: a designator-less
+    date-time is treated as UTC (the engine's naive-=-UTC convention; JS
+    uses the host's local zone), and V8's looser legacy forms ('Jan 1
+    2024', 'May 2024') do not parse."""
+    from datetime import datetime, timedelta, timezone
+
+    s = str(value).strip()
+    if not s:
+        return None  # Date('') is NaN
+    m = _ISO_DATE_RE.match(s)
+    if m:
+        y, mo, d, hh, mi, ss, frac, off = m.groups()
+        try:
+            dt = datetime(
+                int(y), int(mo or 1), int(d or 1),
+                int(hh or 0), int(mi or 0), int(ss or 0),
+                tzinfo=timezone.utc,
+            )
+        except ValueError:
+            return None  # out-of-range component: JS also yields NaN
+        ms = int((frac or "")[:3].ljust(3, "0") or 0)
+        if off and off != "Z":
+            sign = 1 if off[0] == "+" else -1
+            dt -= sign * timedelta(
+                hours=int(off[1:3]), minutes=int(off[-2:])
+            )
+        return dt.timestamp() * 1000 + ms
+    try:
+        from email.utils import parsedate_to_datetime
+
+        dt = parsedate_to_datetime(s)
+    except (ValueError, TypeError):
+        return None
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return dt.timestamp() * 1000
 
 
 def js_number(s: str) -> Optional[float]:

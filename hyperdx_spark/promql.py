@@ -261,16 +261,14 @@ def parse_api_timestamp(value) -> float:
     num = _js_number(str(value))
     if num is not None:
         return num
-    from datetime import timezone as _tz
+    # new Date(value) fallback — the shared JS Date emulation (ISO-8601 +
+    # RFC 2822; V8's looser legacy forms stay unsupported, documented there)
+    from .jsnum import js_date_ms
 
-    t = str(value).strip()
-    try:
-        dt = datetime.fromisoformat(t.replace("Z", "+00:00"))
-    except ValueError:
+    ms = js_date_ms(str(value))
+    if ms is None:
         raise ValueError(f"Invalid timestamp: {value}")
-    if dt.tzinfo is None:
-        dt = dt.replace(tzinfo=_tz.utc)
-    return dt.timestamp()
+    return ms / 1000
 
 
 def parse_api_duration(value) -> float:
