@@ -736,3 +736,28 @@ def mine_patterns_distributed(
         )
     out.sort(key=lambda p: -p.estimated_count)
     return out
+
+
+_TOKEN_OR_SEPARATOR = re.compile(r"([A-Za-z0-9]+)|([^A-Za-z0-9]+)")
+
+
+def reconstruct_template(original_log: str, template_mined: str) -> str:
+    """Re-inject mined template tokens into the original log's separator
+    structure (ref: app components/Patterns/reconstructTemplate.ts:1-22) —
+    the patterns-UI rendering of Drain output.  The original is
+    whitespace-collapsed, then each alphanumeric run is replaced by the
+    next template token (kept verbatim when the template runs short);
+    separator runs pass through unchanged."""
+    normalized = re.sub(r"\s+", " ", original_log)
+    tokens = [t for t in template_mined.split(" ") if t]
+    if not tokens:
+        return normalized
+    out = []
+    token_idx = 0
+    for m in _TOKEN_OR_SEPARATOR.finditer(normalized):
+        if m.group(1) is not None:
+            out.append(tokens[token_idx] if token_idx < len(tokens) else m.group(1))
+            token_idx += 1
+        else:
+            out.append(m.group(2))
+    return "".join(out)

@@ -803,3 +803,86 @@ def test_infra_correlations_reference_twin():
     metric, where = infra_metric_query(pod, pod.charts[0], "pod-abc")
     assert metric == "k8s.pod.cpu.utilization - Gauge"
     assert where == 'k8s.pod.uid:"pod-abc"'
+
+
+# ---------------------------------------------------------------------------
+# reconstructTemplate twins (app Patterns/__tests__/reconstructTemplate.test.ts)
+# ---------------------------------------------------------------------------
+
+def test_reconstruct_template_empty_template_returns_original():
+    from hyperdx_spark.analytics.drain import reconstruct_template
+
+    assert reconstruct_template("hello world", "") == "hello world"
+
+
+def test_reconstruct_template_json_separators():
+    from hyperdx_spark.analytics.drain import reconstruct_template
+
+    assert reconstruct_template(
+        '{"hostname":"foo","pid":12345,"time":1700000000}',
+        "hostname foo pid <*> time <*>",
+    ) == '{"hostname":"foo","pid":<*>,"time":<*>}'
+
+
+def test_reconstruct_template_ch_map_separators():
+    from hyperdx_spark.analytics.drain import reconstruct_template
+
+    assert reconstruct_template(
+        "{'hostname':'Aarons-MacBook-Pro.local','pid':12345,'time':1700000000}",
+        "hostname Aarons MacBook Pro local pid <*> time <*>",
+    ) == "{'hostname':'Aarons-MacBook-Pro.local','pid':<*>,'time':<*>}"
+
+
+def test_reconstruct_template_key_value_separators():
+    from hyperdx_spark.analytics.drain import reconstruct_template
+
+    assert reconstruct_template(
+        "level=info msg=hello user_id=42", "level info msg hello user id <*>"
+    ) == "level=info msg=hello user_id=<*>"
+
+
+def test_reconstruct_template_keeps_original_when_template_short():
+    from hyperdx_spark.analytics.drain import reconstruct_template
+
+    assert reconstruct_template(
+        "alpha beta gamma delta", "alpha beta"
+    ) == "alpha beta gamma delta"
+
+
+def test_reconstruct_template_preserves_edge_separators():
+    from hyperdx_spark.analytics.drain import reconstruct_template
+
+    assert reconstruct_template(
+        "[INFO] hello world", "INFO hello world"
+    ) == "[INFO] hello world"
+
+
+def test_reconstruct_template_collapses_whitespace():
+    from hyperdx_spark.analytics.drain import reconstruct_template
+
+    assert reconstruct_template(
+        'Error:\n  message: "failed"\n  code: 500',
+        "Error message failed code <*>",
+    ) == 'Error: message: "failed" code: <*>'
+    assert reconstruct_template("foo\n\n\nbar", "foo bar") == "foo bar"
+    assert reconstruct_template("foo\tbar", "foo bar") == "foo bar"
+
+
+def test_reconstruct_template_pairs_with_miner():
+    """End-to-end with the ported miner configured like the patterns UI
+    (usePatterns.tsx:55-65: drain_extra_delimiters = punctuation): a mined
+    template re-injected into one of its own sample rows restores the
+    original separators."""
+    import string
+
+    from hyperdx_spark.analytics.drain import TemplateMiner, reconstruct_template
+
+    logs = [f"level=info msg=hello user_id={i}" for i in (11, 22, 33)]
+    tm = TemplateMiner(extra_delimiters=list(string.punctuation))
+    result = None
+    for line in logs:
+        result = tm.add_log_message(line)
+    assert result["template_mined"] == "level info msg hello user id <*>"
+    assert reconstruct_template(
+        logs[-1], result["template_mined"]
+    ) == "level=info msg=hello user_id=<*>"
