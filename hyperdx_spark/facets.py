@@ -68,14 +68,17 @@ def merge_path(
     if key in map_columns:
         return key + "".join(f"['{_escape_sql_single_quoted(v)}']" for v in rest)
 
-    from hyperdx_spark.jsnum import js_number
+    from hyperdx_spark.jsnum import js_number, js_number_str
 
     def seg(v: str) -> str:
         # JS Number(v) semantics (shared emulation: '1_0' is NaN, not 10)
         n = js_number(v)
         if n is not None and n.is_integer() and n >= 0:
-            # ClickHouse arrays are 1-based; flattened data is 0-based
-            return f"[{int(n) + 1}]"
+            # ClickHouse arrays are 1-based; flattened data is 0-based.
+            # Rendered via String(number) like the JS template literal, so
+            # degenerate indices keep JS fidelity ('1e30' -> '[1e+30]',
+            # not the exact-integer digit string)
+            return f"[{js_number_str(n + 1)}]"
         return f"['{_escape_sql_single_quoted(v)}']"
 
     return key + "".join(seg(v) for v in rest)

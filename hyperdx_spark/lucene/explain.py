@@ -12,7 +12,11 @@ import re
 from dataclasses import replace as _replace
 
 from hyperdx_spark.lucene.ast import BoolOp, Group, MatchAll, Node, Not, Range, Term
-from hyperdx_spark.lucene.parser import decode_special_tokens, parse
+from hyperdx_spark.lucene.parser import (
+    LuceneSyntaxError,
+    decode_special_tokens,
+    parse,
+)
 
 _CMP_PHRASE = {
     ">": "is greater than",
@@ -33,9 +37,12 @@ def explain_query(query: str, implicit_name: "str | None" = None) -> str:
     fails to parse degrades to the reference's fallback line
     (ts:2181-2201)."""
     try:
-        return explain_node(parse(query), implicit_name)
-    except Exception:
+        node = parse(query)
+    except LuceneSyntaxError:
+        # only a PARSE failure degrades to the reference's fallback line
+        # (ts:2181-2201); an explain_node bug must surface, not be masked
         return f"Message containing {query}"
+    return explain_node(node, implicit_name)
 
 
 def _field(term_field, implicit_name: "str | None") -> str:
