@@ -169,6 +169,7 @@ def stream_alert_notifications(
     checkpoint: Optional[str] = None,
     trigger_available_now: bool = False,
     initial_streaks: Optional[dict] = None,
+    initial_fired: Optional[set] = None,
     state_out: Optional[dict] = None,
 ):
     """The reference's cron loop (tasks/checkAlerts/index.ts:1110-1420) as
@@ -177,12 +178,21 @@ def stream_alert_notifications(
     (streak carried across micro-batches per group, the same transitions as
     ``alerts.backtest``), and every ALERT evaluation renders its
     notifications and builds the ready-to-send webhook requests via
-    :func:`hyperdx_spark.webhooks.render_alert_notifications`.
+    :func:`hyperdx_spark.webhooks.render_alert_notifications`. When a group
+    that previously NOTIFIED resolves (its streak resets), the OK
+    notification is rendered and delivered the same way — the streaming twin
+    of the cron loop's resolution send (checkAlerts/index.ts:1318-1343,
+    gated on the previous history's ``fired !== false`` exactly like
+    ``alerts.evaluate``).
 
     ``on_notify`` receives one dict per fired bucket:
-    ``{ts, group, value, streak, rendered, requests}``. ``notify_kwargs``
-    are the render call's kwargs minus state/value/start_time/end_time/group
-    (title may be a callable ``value -> str``). The per-group streak lives
+    ``{ts, group, value, streak, state, rendered, requests}`` with ``state``
+    'ALERT' or 'OK'. ``notify_kwargs`` are the render call's kwargs minus
+    state/value/start_time/end_time/group (title may be a callable —
+    ``value -> str``, or ``(value, state) -> str`` to phrase resolutions;
+    if ``view`` contains a ``state`` key it is overridden per notification
+    with the current state, as the reference rebuilds the template view per
+    send). The per-group streak lives
     driver-side — bounded by the alert's group cardinality, exactly like the
     reference's per-(alert, group) history rows; Spark cannot chain
     ``applyInPandasWithState`` after a streaming aggregation, and the bucket
@@ -197,18 +207,64 @@ def stream_alert_notifications(
     from ``initial_streaks`` (pass the previously observed streaks —
     exposed via ``state_out`` — to resume an M-of-M run mid-flight;
     without them a restart re-arms PENDING groups, trading a late first
-    notification for never a false one).
+    notification for never a false one; ``initial_fired`` likewise restores
+    the previously-notified groups so a post-restart resolution still sends
+    its OK).
 
     Returns the StreamingQuery.
     """
+    import inspect
+
     from hyperdx_spark.alerts import does_exceed_threshold
     from hyperdx_spark.webhooks import build_title, render_alert_notifications
 
     group_cols = list(group_cols)
     streaks: dict[tuple, int] = dict(initial_streaks or {})
+    fired_groups: set[tuple] = set(initial_fired or ())
     if state_out is not None:
         state_out["streaks"] = streaks
+        state_out["fired"] = fired_groups
     n_consecutive = alert_cfg.num_consecutive_windows
+
+    def notify(r, key, v: float, streak: int, state: str) -> None:
+        group = ", ".join(str(k) for k in key) if key else None
+        kwargs = dict(notify_kwargs)
+        title = kwargs.pop("title", None)
+        if callable(title):
+            try:
+                two_arg = len(inspect.signature(title).parameters) >= 2
+            except (TypeError, ValueError):
+                two_arg = False
+            title = title(v, state) if two_arg else title(v)
+        elif title is None:
+            title = build_title("alert", v, state=state)
+        view = kwargs.get("view")
+        if isinstance(view, dict) and "state" in view:
+            # the reference rebuilds the template view per notification
+            # with the current alert state (template.ts:556+)
+            kwargs["view"] = {**view, "state": state}
+        rendered, requests = render_alert_notifications(
+            title=title,
+            cfg=alert_cfg,
+            state=state,
+            value=v,
+            start_time=r[ts_col],
+            end_time=r[ts_col] + bucket_duration,
+            group=group,
+            is_grouped=bool(group_cols),
+            **kwargs,
+        )
+        on_notify(
+            {
+                "ts": r[ts_col],
+                "group": group,
+                "value": v,
+                "streak": streak,
+                "state": state,
+                "rendered": rendered,
+                "requests": requests,
+            }
+        )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         # one row per closed window per group: tiny by construction
@@ -228,36 +284,17 @@ def stream_alert_notifications(
                 alert_cfg, v
             ) else 0
             streaks[key] = streak
+            if not streak and key in fired_groups:
+                # previously-notified group resolved: send the OK
+                # (checkAlerts/index.ts:1318-1343; gated on a prior SENT
+                # notification, the evaluate() 'fired is not False' twin)
+                fired_groups.discard(key)
+                notify(r, key, v, streak, "OK")
+                continue
             if streak < n_consecutive or not streak:
                 continue
-            group = ", ".join(str(k) for k in key) if key else None
-            kwargs = dict(notify_kwargs)
-            title = kwargs.pop("title", None)
-            if callable(title):
-                title = title(v)
-            elif title is None:
-                title = build_title("alert", v)
-            rendered, requests = render_alert_notifications(
-                title=title,
-                cfg=alert_cfg,
-                state="ALERT",
-                value=v,
-                start_time=r[ts_col],
-                end_time=r[ts_col] + bucket_duration,
-                group=group,
-                is_grouped=bool(group_cols),
-                **kwargs,
-            )
-            on_notify(
-                {
-                    "ts": r[ts_col],
-                    "group": group,
-                    "value": v,
-                    "streak": streak,
-                    "rendered": rendered,
-                    "requests": requests,
-                }
-            )
+            fired_groups.add(key)
+            notify(r, key, v, streak, "ALERT")
 
     writer = (
         agg_stream.writeStream.outputMode("append")

@@ -323,7 +323,10 @@ def test_streaming_alert_to_notify_flow_end_to_end(spark, tmp_path):
     webhook request building (stream_alert_notifications). Every streamed
     ALERT bucket's rendered Slack/generic payloads must be BYTE-equal to
     the batch path (alerts.backtest over the same data + the same render),
-    with the PENDING->ALERT streak crossing a micro-batch boundary."""
+    with the PENDING->ALERT streak crossing a micro-batch boundary; a
+    previously-fired group's first non-breaching bucket sends the OK
+    resolution (checkAlerts/index.ts:1318-1343), byte-equal to the batch
+    render with state='OK'."""
     from datetime import datetime, timedelta
 
     from hyperdx_spark import webhooks
@@ -341,7 +344,7 @@ def test_streaming_alert_to_notify_flow_end_to_end(spark, tmp_path):
            '{{#is_match "service" "error-search"}} svc @webhook-generic '
            "{{/is_match}}")
     notify_kwargs = dict(
-        title=lambda v: webhooks.build_title("errors", v),
+        title=lambda v, s: webhooks.build_title("errors", v, state=s),
         hdx_link="https://hdx.example/s/1",
         alert_id="alert-1",
         webhooks_by_id=whs,
@@ -420,29 +423,107 @@ def test_streaming_alert_to_notify_flow_end_to_end(spark, tmp_path):
     assert [r["__timestamp"].hour for r in batch_alerts] == [2, 5, 6]
 
     fired.sort(key=lambda d: d["ts"])
-    assert [(d["ts"].hour, d["streak"]) for d in fired] == [(2, 2), (5, 2), (6, 3)]
-    for d, b in zip(fired, batch_alerts):
+    # the first non-breaching bucket after each fired run resolves with an
+    # OK send: hours 3 (after the hour-2 ALERT) and 7 (after hour-6)
+    assert [(d["ts"].hour, d["streak"], d["state"]) for d in fired] == [
+        (2, 2, "ALERT"), (3, 0, "OK"), (5, 2, "ALERT"),
+        (6, 3, "ALERT"), (7, 0, "OK"),
+    ]
+    alerts_fired = [d for d in fired if d["state"] == "ALERT"]
+    for d, b in zip(alerts_fired, batch_alerts):
         assert d["ts"] == b["__timestamp"] and d["value"] == b["value"]
         assert d["streak"] == b["streak"]
+
+    def batch_render(state, ts, value):
         # batch path renders the same bucket with the same kwargs
         kwargs = dict(notify_kwargs)
-        title = kwargs.pop("title")(b["value"])
-        rendered_b, reqs_b = webhooks.render_alert_notifications(
-            title=title, cfg=cfg, state="ALERT", value=b["value"],
-            start_time=b["__timestamp"],
-            end_time=b["__timestamp"] + timedelta(hours=1),
+        title = kwargs.pop("title")(value, state)
+        kwargs["view"] = {**kwargs["view"], "state": state}
+        return webhooks.render_alert_notifications(
+            title=title, cfg=cfg, state=state, value=value,
+            start_time=ts, end_time=ts + timedelta(hours=1),
             group=None, is_grouped=False, **kwargs,
         )
+
+    for d in fired:
+        rendered_b, reqs_b = batch_render(d["state"], d["ts"], d["value"])
         assert d["rendered"] == rendered_b  # byte-equal outer render
         assert d["requests"] == reqs_b      # byte-equal urls/headers/bodies
-        assert "sev:high" in d["rendered"] and "svc" not in d["rendered"]
         v_str = str(int(d["value"]))
-        assert f"{v_str} lines found" in d["rendered"]
+        if d["state"] == "ALERT":
+            assert "sev:high" in d["rendered"] and "svc" not in d["rendered"]
+            assert f"{v_str} lines found" in d["rendered"]
+        else:
+            # the eq-state block renders empty for OK (per-send view state)
+            assert "sev:high" not in d["rendered"]
+            assert "The alert has been resolved." in d["rendered"]
         # directive order: is_match-gated generic fires before the default
         # slack action appended at the end; generic carries Idempotency-Key
         urls = [u for _wh, (u, _h, _b2) in d["requests"]]
         assert urls == ["https://hooks.example/gen", "https://hooks.example/slack"]
         assert "Idempotency-Key" in d["requests"][0][1][1]
+
+
+def test_stream_notify_resume_state_carries_streak_and_fired(spark, tmp_path):
+    """Restart contract: ``state_out`` exposes the per-group streak AND the
+    previously-notified (fired) groups; feeding both back via
+    ``initial_streaks``/``initial_fired`` makes a two-job split behave like
+    one run — the M-of-M streak completes across the restart and a fired
+    group's resolution still sends its OK (checkAlerts/index.ts:1318-1343,
+    where 'previous' is the DB history surviving the process)."""
+    from datetime import datetime, timedelta
+
+    from hyperdx_spark.alerts import AlertConfig
+    from hyperdx_spark.streaming import stream_alert_notifications
+
+    cfg = AlertConfig(threshold=5, num_consecutive_windows=2)
+    schema = "__timestamp timestamp, value double"
+
+    def run(rows, path, initial=None):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(path)
+        stream = spark.readStream.schema(schema).parquet(path)
+        got, state = [], {}
+        q = stream_alert_notifications(
+            stream,
+            cfg,
+            on_notify=got.append,
+            notify_kwargs={},
+            bucket_duration=timedelta(hours=1),
+            trigger_available_now=True,
+            initial_streaks=(initial or {}).get("streaks"),
+            initial_fired=(initial or {}).get("fired"),
+            state_out=state,
+        )
+        q.awaitTermination(300)
+        return got, state
+
+    # job A: hours 0-1 breach once then twice -> ALERT fires at h1
+    a, state_a = run(
+        [(datetime(2024, 1, 1, 0), 9.0), (datetime(2024, 1, 1, 1), 9.0)],
+        str(tmp_path / "a"),
+    )
+    assert [(d["ts"].hour, d["state"]) for d in a] == [(1, "ALERT")]
+    assert state_a["streaks"] == {(): 2} and state_a["fired"] == {()}
+
+    # job B resumes: h2 breaches (streak 3 rides the restored state),
+    # h3 resolves -> the OK sends because the fired set was restored
+    b, state_b = run(
+        [(datetime(2024, 1, 1, 2), 9.0), (datetime(2024, 1, 1, 3), 1.0)],
+        str(tmp_path / "b"),
+        initial=state_a,
+    )
+    assert [(d["ts"].hour, d["streak"], d["state"]) for d in b] == [
+        (2, 3, "ALERT"), (3, 0, "OK"),
+    ]
+    assert state_b["fired"] == set()
+
+    # without the restored state the same job B re-arms: no ALERT (streak
+    # restarts at 1 < 2) and no OK (group never notified in-process)
+    c, _ = run(
+        [(datetime(2024, 1, 1, 2), 9.0), (datetime(2024, 1, 1, 3), 1.0)],
+        str(tmp_path / "c"),
+    )
+    assert c == []
 
 
 def test_dedup_stream_drops_duplicates_within_ttl(spark, tmp_path):
