@@ -1309,7 +1309,11 @@ def q_alert_backtest(spark, sf_dir):
     return bt.unionByName(_notify_rows(spark, bt, cfg))
 
 
-O_ALERT_BACKTEST = r"""
+# shared CTE prefix: daily error counts -> backtest state machine -> fired
+# buckets -> exact rendered strings -> ntfy hash rows. O_ALERT_BACKTEST and
+# O_STREAM_NOTIFY both ride it (the streaming entry must produce the SAME
+# notification hashes the batch path does).
+_O_BT_CTES = r"""
 WITH v AS (
   SELECT make_timestamp((floor(epoch(ts))::BIGINT // 86400) * 86400 * 1000000) AS __timestamp,
          count(*)::DOUBLE AS value
@@ -1374,12 +1378,171 @@ pay AS (
     sha256('{"eventId":"' || eid || '","startTime":"' || stms
            || '","endTime":"' || etms || '","state":"ALERT"}')
   FROM strs)
+"""
+
+O_ALERT_BACKTEST = _O_BT_CTES + r"""
 SELECT __timestamp, value, exceeds, streak, state FROM bt
 UNION ALL
 SELECT __timestamp, value, true AS exceeds, streak,
        'ntfy|' || kind || '|' || hx AS state
 FROM pay
 """
+
+# the streaming composition's oracle: the ALERT hashes are the SAME pay
+# rows; the OK resolution rows (first non-breach bucket after a run whose
+# latest state was ALERT — checkAlerts/index.ts:1318-1343) rebuild the
+# state='OK' strings (template.ts:669-700 resolved body, ✅ title, per-send
+# view state so the eq-"ALERT" block renders empty)
+O_STREAM_NOTIFY = _O_BT_CTES.rstrip() + r""",
+res0 AS (
+  SELECT __timestamp, value, exceeds,
+         lag(state) OVER (ORDER BY __timestamp) AS prev_state
+  FROM bt),
+res AS (
+  SELECT __timestamp, value,
+         value::BIGINT::VARCHAR AS vs,
+         strftime(__timestamp, '%b') || ' ' || day(__timestamp)::VARCHAR
+           || ' 12:00:00 AM' AS d1,
+         strftime(__timestamp + INTERVAL 1 DAY, '%b') || ' '
+           || day(__timestamp + INTERVAL 1 DAY)::VARCHAR || ' 12:00:00 AM' AS d2,
+         (floor(epoch(__timestamp))::BIGINT * 1000)::VARCHAR AS stms,
+         (floor(epoch(__timestamp + INTERVAL 1 DAY))::BIGINT * 1000)::VARCHAR AS etms
+  FROM res0 WHERE NOT exceeds AND prev_state = 'ALERT'),
+okstrs AS (
+  SELECT __timestamp, value, stms, etms,
+    '✅ Alert for "errors" - ' || vs || ' lines found' AS title,
+    'The alert has been resolved.' || chr(10) || 'Time Range (UTC): ['
+      || d1 || ' - ' || d2 || ')' || chr(10) || ' ' AS rendered,
+    '\u2705 Alert for \"errors\" - ' || vs || ' lines found' AS etitle,
+    'The alert has been resolved.\nTime Range (UTC): [' || d1 || ' - '
+      || d2 || ')\n svc-match   ' AS ebody,
+    sha256('{"alertId":"alert-1","channel":{"type":"webhook","id":"wh-gen-1"},"isGrouped":false}') AS eid
+  FROM res),
+okpay AS (
+  SELECT __timestamp, value, 'title' AS kind, md5(title) AS hx FROM okstrs
+  UNION ALL
+  SELECT __timestamp, value, 'rendered', md5(rendered) FROM okstrs
+  UNION ALL
+  SELECT __timestamp, value, 'slack',
+    md5('{"text": "' || etitle || '", "blocks": [{"type": "section", "text":'
+        || ' {"type": "mrkdwn", "text": "*<https://hdx.example/s/1 | '
+        || etitle || '>*\n' || ebody || '"}}]}')
+  FROM okstrs
+  UNION ALL
+  SELECT __timestamp, value, 'generic',
+    md5('{"text": "' || etitle || ' | ' || ebody
+        || ' | https://hdx.example/s/1 | OK | ' || stms || ' | ' || etms
+        || ' | ' || eid || '"}')
+  FROM okstrs
+  UNION ALL
+  SELECT __timestamp, value, 'gidem',
+    sha256('{"eventId":"' || eid || '","startTime":"' || stms
+           || '","endTime":"' || etms || '","state":"OK"}')
+  FROM okstrs)
+SELECT __timestamp, value, true AS exceeds, streak,
+       'ntfy|' || kind || '|' || hx AS state
+FROM pay
+UNION ALL
+SELECT __timestamp, value, false AS exceeds, 0::BIGINT AS streak,
+       'okntfy|' || kind || '|' || hx AS state
+FROM okpay
+"""
+
+
+def q_stream_notify(spark, sf_dir):
+    """The streaming alert→notify composition under the gate (VERDICT r12
+    task #6): the reference's cron loop (checkAlerts/index.ts:1110-1420)
+    run as ONE Structured Streaming job over a seeded copy of the error
+    events — readStream → 1-day watermarked windowed count → per-bucket
+    streak state machine → full notification render + webhook request
+    building — and every delivered notification (ALERT and the OK
+    resolutions, index.ts:1318-1343) emitted as the same md5 rows the
+    batch ``ntfy`` part produces. The oracle rebuilds the exact strings in
+    SQL, so a green row proves streamed == batch == reference templates.
+
+    A sentinel error event 40 days past the data advances the final
+    watermark so every real daily bucket closes and emits; the sentinel's
+    own bucket never closes and is never evaluated."""
+    import hashlib
+    import tempfile
+    from datetime import timedelta
+
+    from hyperdx_spark import alerts, webhooks
+    from hyperdx_spark.streaming import (
+        live_tail,
+        stream_alert_notifications,
+        windowed_agg,
+    )
+
+    seed = tempfile.mkdtemp(prefix="hdx_ntfy_seed_")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "error")
+        .select("ts")
+    )
+    mx = ev.agg(F.max("ts")).first()[0]
+    sentinel = datetime(mx.year, mx.month, mx.day) + timedelta(days=40)
+    ev.unionByName(
+        spark.createDataFrame([(sentinel,)], "ts timestamp")
+    ).coalesce(1).write.mode("overwrite").parquet(seed)
+
+    src = Source(table="events", timestamp_value_expression="ts")
+    agg = windowed_agg(
+        live_tail(spark, seed, src),
+        src,
+        select=[SelectCol(agg_fn="count", alias="value")],
+        window="1 day",
+        watermark="0 seconds",
+        group_by=[],
+    )
+    cfg = alerts.AlertConfig(threshold=65, num_consecutive_windows=2)
+    notes: list[dict] = []
+    q = stream_alert_notifications(
+        agg,
+        cfg,
+        on_notify=notes.append,
+        notify_kwargs=dict(
+            title=lambda v, s: webhooks.build_title("errors", v, state=s),
+            hdx_link="https://hdx.example/s/1",
+            alert_id="alert-1",
+            webhooks_by_id=_NTFY_WEBHOOKS,
+            channel_type="webhook",
+            webhook_id="wh-slack-1",
+            source="saved_search",
+            template=_NTFY_TEMPLATE,
+            view={"state": "ALERT", "service": "error-search"},
+        ),
+        bucket_duration=timedelta(days=1),
+        trigger_available_now=True,
+    )
+    q.awaitTermination(600)
+
+    def h(s: str) -> str:
+        return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+    rows = []
+    for d in notes:
+        pre = "ntfy" if d["state"] == "ALERT" else "okntfy"
+        pay = [("title", h(d["title"])), ("rendered", h(d["rendered"]))]
+        for wh, (_url, hdrs, body) in d["requests"]:
+            pay.append((wh["service"], h(body)))
+            if "Idempotency-Key" in hdrs:
+                pay.append(("gidem", hdrs["Idempotency-Key"]))
+        rows.extend(
+            (
+                d["ts"],
+                d["value"],
+                d["state"] == "ALERT",
+                d["streak"],
+                f"{pre}|{kind}|{hx}",
+            )
+            for kind, hx in pay
+        )
+    return spark.createDataFrame(
+        rows,
+        "__timestamp timestamp, value double, exceeds boolean,"
+        " streak long, state string",
+    )
 
 # --------------------------------------------------------------------------
 # §2.11 Drain pattern mining + event deltas
@@ -5238,9 +5401,10 @@ ORDER BY ts, event_id LIMIT 300
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Exactly 50 entries — one per operator family from SURVEY.md SS2 plus
+    """Exactly 51 entries — one per operator family from SURVEY.md SS2 plus
     the training-data pipeline ops, all inside the driver's correctness
-    gate. Same-family variants are tag-unioned (see the consolidated
+    gate (r13 adds q_stream_notify: the streaming alert→notify composition
+    proven hash-equal to the batch render under the oracle). Same-family variants are tag-unioned (see the consolidated
     section above); TPC-H q3/q5ish/top-customers live in tests only.
 
     ROUND-7: the canonical set is restored (VERDICT r6 #1). The r6
@@ -5299,6 +5463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_offset_pages": q_offset_pages,
         # -- alerting + analytics (SS2.10, 2.11) ----------------------------
         "q_alert_backtest": q_alert_backtest,
+        "q_stream_notify": q_stream_notify,
         "q_analytics_insights": q_analytics_insights,
         "q_funnel_retention": q_funnel_retention,
         # -- metadata / autocomplete (SS2.8) --------------------------------
@@ -5357,6 +5522,7 @@ def oracle_sql() -> dict[str, str]:
         "q_chunked_union": O_CHUNKED_UNION,
         "q_offset_pages": O_OFFSET_PAGES,
         "q_alert_backtest": O_ALERT_BACKTEST,
+        "q_stream_notify": O_STREAM_NOTIFY,
         "q_analytics_insights": O_ANALYTICS_INSIGHTS,
         "q_funnel_retention": O_FUNNEL_RETENTION,
         "q_metadata_keyvals": O_METADATA_KEYVALS,

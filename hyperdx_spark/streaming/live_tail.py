@@ -186,8 +186,8 @@ def stream_alert_notifications(
     ``alerts.evaluate``).
 
     ``on_notify`` receives one dict per fired bucket:
-    ``{ts, group, value, streak, state, rendered, requests}`` with ``state``
-    'ALERT' or 'OK'. ``notify_kwargs`` are the render call's kwargs minus
+    ``{ts, group, value, streak, state, title, rendered, requests}`` with
+    ``state`` 'ALERT' or 'OK'. ``notify_kwargs`` are the render call's kwargs minus
     state/value/start_time/end_time/group (title may be a callable —
     ``value -> str``, or ``(value, state) -> str`` to phrase resolutions;
     if ``view`` contains a ``state`` key it is overridden per notification
@@ -261,6 +261,7 @@ def stream_alert_notifications(
                 "value": v,
                 "streak": streak,
                 "state": state,
+                "title": title,
                 "rendered": rendered,
                 "requests": requests,
             }
