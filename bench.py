@@ -92,6 +92,26 @@ def wait_for_quiet_box(
     }
 
 
+def contention_annotation(loads, threshold: float) -> dict:
+    """Per-query contention marks (VERDICT r12 task #7): the r12 artifact
+    started quiet but ended at loadavg 8.99, +15% over an idle replay — a
+    start-of-run guard cannot bound END-of-run contention. ``loads`` maps
+    query name -> 1-min loadavg samples taken at that query's run
+    boundaries; any query whose max sample exceeds the guard threshold is
+    annotated (NOT blocked) so the artifact self-describes which numbers
+    were measured contended and the driver can discount them without a
+    judge replay. Caveat: 1-min loadavg includes the bench's own Spark
+    threads, so a long tail query can mark itself on a busy-enough run —
+    the marks are advisory (the raw per-query max is always recorded in
+    ``loadavg_per_query``); the spread-rerun guard remains the mechanism
+    that actually repairs a contended min."""
+    return {
+        name: round(max(samples), 2)
+        for name, samples in loads.items()
+        if samples and max(samples) > threshold
+    }
+
+
 def spread_exceeds_band(samples, band: float = SPREAD_BAND) -> bool:
     """True when (max-min)/min over the per-query WARM samples exceeds the
     noise band — the signal that one run hit contention and more samples
@@ -150,9 +170,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     spread_reruns: dict[str, int] = {}
+    loads: dict[str, list[float]] = {}
+    threshold = load_guard_threshold(int(cpus))
     for name in HEADLINE:
         fn = getattr(entrymod, name)
         samples: list[float] = []
+        loads[name] = [os.getloadavg()[0]]
         for i in range(3):
             t0 = time.perf_counter()
             materialize(fn(spark, sf_dir))
@@ -160,6 +183,7 @@ def main() -> None:
             if i == 0:
                 cold[name] = round(dt, 3)
             samples.append(dt)
+            loads[name].append(os.getloadavg()[0])
         # best-of-3 spread beyond the ±50% band = a contended sample slipped
         # in; take extra runs so the min reflects steady state (r11 finding)
         if spread_exceeds_band(samples):
@@ -167,10 +191,15 @@ def main() -> None:
                 t0 = time.perf_counter()
                 materialize(fn(spark, sf_dir))
                 samples.append(time.perf_counter() - t0)
+                loads[name].append(os.getloadavg()[0])
             spread_reruns[name] = SPREAD_EXTRA_RUNS
         timings[name] = round(min(samples), 3)
     if spread_reruns:
         env["spread_reruns"] = spread_reruns
+    env["loadavg_per_query"] = {n: round(max(ls), 2) for n, ls in loads.items()}
+    contended = contention_annotation(loads, threshold)
+    if contended:
+        env["contended_queries"] = contended
 
     env["ts_end"] = time.strftime("%Y-%m-%dT%H:%M:%S%z")
     env["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]

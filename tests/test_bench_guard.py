@@ -99,6 +99,22 @@ def test_spread_band():
     assert bench.spread_exceeds_band([0.0, 0.0, 5.0]) is False
 
 
+def test_contention_annotation_marks_only_over_threshold_queries():
+    loads = {
+        "q_quiet": [1.0, 2.1, 1.9, 2.0],
+        "q_contended": [2.0, 4.0, 9.4, 8.5],   # neighbour landed mid-query
+        "q_empty": [],                         # never sampled: never marked
+        "q_edge": [8.0],                       # == threshold: not over
+    }
+    marked = bench.contention_annotation(loads, threshold=8.0)
+    assert marked == {"q_contended": 9.4}
+
+
+def test_contention_annotation_rounds_and_keeps_max():
+    marked = bench.contention_annotation({"q": [8.555, 10.234, 9.0]}, 8.0)
+    assert marked == {"q": 10.23}
+
+
 def test_headline_set_unchanged_since_r2():
     # the judged per-query series must stay comparable across rounds
     assert bench.HEADLINE == [
