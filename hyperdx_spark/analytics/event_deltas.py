@@ -125,12 +125,157 @@ def is_denylisted(key: str, column_meta: list) -> bool:
     return is_id_field(key, column_meta) or is_timestamp_array_field(key, column_meta)
 
 
+def is_high_cardinality(
+    key: str,
+    outlier_value_occurrences: dict,
+    inlier_value_occurrences: dict,
+    outlier_property_occurrences: dict,
+    inlier_property_occurrences: dict,
+) -> bool:
+    """Pure-function twin of eventDeltas.ts:189-223 isHighCardinality (the
+    distributed :func:`rank_properties` expression implements the same
+    rule JVM-side): a field is hidden when the MIN of the two groups'
+    uniqueness (unique values / occurrences) exceeds 0.9 over > 20
+    combined samples; a group with no data defers to the other, and a
+    field absent from both is never hidden. The value-occurrence dicts
+    map key -> {value: count}; the property-occurrence dicts map
+    key -> total occurrences."""
+    outlier_total = outlier_property_occurrences.get(key, 0)
+    inlier_total = inlier_property_occurrences.get(key, 0)
+    if outlier_total + inlier_total <= HIGH_CARDINALITY_MIN_SAMPLES:
+        return False
+    out_unique = len(outlier_value_occurrences.get(key, ()))
+    in_unique = len(inlier_value_occurrences.get(key, ()))
+    out_u = out_unique / outlier_total if outlier_total > 0 else None
+    in_u = in_unique / inlier_total if inlier_total > 0 else None
+    if out_u is not None and in_u is not None:
+        effective = min(out_u, in_u)
+    elif out_u is not None:
+        effective = out_u
+    elif in_u is not None:
+        effective = in_u
+    else:
+        return False
+    return effective > HIGH_CARDINALITY_UNIQUENESS
+
+
 def _meta_type(col_name: str, column_meta: list) -> Optional[str]:
     for c in column_meta:
         name = c["name"] if isinstance(c, dict) else c[0]
         if name == col_name:
             return c["type"] if isinstance(c, dict) else c[1]
     return None
+
+
+def _js_value_str(v) -> str:
+    """JS ``String(value)`` for the flattened leaf values
+    getPropertyStatistics stringifies (eventDeltas.ts:89-91): null/undefined
+    -> '' (special-cased upstream), numbers via the shared
+    shortest-round-trip digits, booleans lowercase, arrays join to '' when
+    empty, plain objects -> '[object Object]'."""
+    from hyperdx_spark.jsnum import js_number_str
+
+    if v is None:
+        return ""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        return js_number_str(float(v))
+    if isinstance(v, dict):
+        return "[object Object]"
+    if isinstance(v, list):
+        return ",".join(_js_value_str(x) for x in v)
+    return str(v)
+
+
+def get_property_statistics(rows: list) -> dict:
+    """Pure twin of eventDeltas.ts:62-114 getPropertyStatistics (the MCP
+    server runs this same algorithm driver-side; :func:`rank_properties`
+    is the distributed form): flatten every row, count per-key occurrences,
+    and keep per-value counts/percentages only for keys reaching
+    MIN_PROPERTY_OCCURENCES — the SECOND pass recounts all rows, so a
+    common key's value counts include the pre-threshold occurrences.
+
+    Returns ``{"percentage_occurrences", "property_occurrences",
+    "value_occurrences"}`` with dict-of-dict shapes mirroring the Maps."""
+    flattened = [flatten_data(r) for r in rows]
+    property_occurrences: dict[str, int] = {}
+    common: set[str] = set()
+    for item in flattened:
+        for key in item:
+            n = property_occurrences.get(key, 0) + 1
+            property_occurrences[key] = n
+            if n >= MIN_PROPERTY_OCCURRENCES:
+                common.add(key)
+    value_occurrences: dict[str, dict[str, int]] = {}
+    for item in flattened:
+        for key, value in item.items():
+            if key in common:
+                vs = _js_value_str(value)
+                m = value_occurrences.setdefault(key, {})
+                m[vs] = m.get(vs, 0) + 1
+    percentage_occurrences = {
+        prop: {
+            v: c / property_occurrences.get(prop, 1) * 100
+            for v, c in values.items()
+        }
+        for prop, values in value_occurrences.items()
+    }
+    return {
+        "percentage_occurrences": percentage_occurrences,
+        "property_occurrences": property_occurrences,
+        "value_occurrences": value_occurrences,
+    }
+
+
+def rank_properties_rows(
+    target_rows: list, baseline_rows: list, column_meta: list
+) -> dict:
+    """Pure twin of eventDeltas.ts:354-409 rankProperties — the driver-side
+    composition over already-collected row samples (the distributed
+    :func:`rank_properties` computes the same ranking JVM-side from a
+    DataFrame). Returns ``{"ranked", "target_stats", "baseline_stats"}``;
+    each ranked entry carries key/score/base_score/semantic_boost/hidden/
+    hidden_reason with the boost applied only when the base score is
+    positive."""
+    target_stats = get_property_statistics(target_rows)
+    baseline_stats = get_property_statistics(baseline_rows)
+    keys = set(target_stats["value_occurrences"]) | set(
+        baseline_stats["value_occurrences"]
+    )
+    ranked = []
+    for key in keys:
+        tvals = target_stats["value_occurrences"].get(key, {})
+        bvals = baseline_stats["value_occurrences"].get(key, {})
+        base_score = compute_comparison_score(tvals, bvals)
+        boost = semantic_boost(key) if base_score > 0 else 0
+        hidden_reason = None
+        if is_denylisted(key, column_meta):
+            hidden_reason = "denylist"
+        elif is_high_cardinality(
+            key,
+            target_stats["value_occurrences"],
+            baseline_stats["value_occurrences"],
+            target_stats["property_occurrences"],
+            baseline_stats["property_occurrences"],
+        ):
+            hidden_reason = "high_cardinality"
+        ranked.append(
+            {
+                "key": key,
+                "score": base_score + boost * 0.1,
+                "base_score": base_score,
+                "semantic_boost": boost,
+                "hidden": hidden_reason is not None,
+                "hidden_reason": hidden_reason,
+            }
+        )
+    ranked.sort(key=lambda p: -p["score"])
+    return {
+        "ranked": ranked,
+        "target_stats": target_stats,
+        "baseline_stats": baseline_stats,
+    }
 
 
 def semantic_boost(key: str) -> int:
@@ -273,15 +418,51 @@ def compute_comparison_score(
     )
 
 
+SAMPLE_SIZE = 1000
+MIN_SAMPLE_SIZE = 500
+MAX_SAMPLE_SIZE = 5000
+SAMPLE_RATIO = 0.01
+
+
+def get_stable_sample_expression(span_id_expression: Optional[str] = None) -> str:
+    """eventDeltas.ts:304-309 getStableSampleExpression twin — the
+    ClickHouse-dialect ordering expression the reference embeds in its
+    sampling query (``cityHash64(<expr>)``, falling back to ``rand()``).
+    The Spark-side :func:`stable_sample` uses ``xxhash64`` for the same
+    stable-identity ordering (chcompat translates cityHash64 the same way;
+    hash VALUES differ from ClickHouse, ordering stability is what
+    matters)."""
+    if span_id_expression:
+        return f"cityHash64({span_id_expression})"
+    return "rand()"
+
+
+def compute_effective_sample_size(total_count: int) -> int:
+    """eventDeltas.ts:311-317 computeEffectiveSampleSize twin: 1% of total
+    clamped to [500, 5000]; non-positive totals fall back to the default
+    SAMPLE_SIZE (1000). The 1% is the reference's IEEE-754 product
+    (``Math.ceil(totalCount * 0.01)``), not integer ceil-division — e.g.
+    2900 * 0.01 rounds to 29.000000000000004 and ceils to 30."""
+    import math
+
+    if total_count <= 0:
+        return SAMPLE_SIZE
+    return min(
+        MAX_SAMPLE_SIZE,
+        max(MIN_SAMPLE_SIZE, math.ceil(total_count * SAMPLE_RATIO)),
+    )
+
+
 def stable_sample(
     df: DataFrame, id_col: Optional[str], n: int, total: Optional[int] = None
 ) -> DataFrame:
     """Reference sampling policy (eventDeltas.ts:299-317): 1% of total
-    clamped to [500, 5000], ordered by a stable hash of the row id."""
+    clamped to [500, 5000] (default 1000 when the total is unknown-zero),
+    ordered by a stable hash of the row id."""
     if total is None:
         total = df.count()
     if total > 0:
-        n = min(5000, max(500, -(-total // 100)))
+        n = compute_effective_sample_size(total)
     key = F.xxhash64(F.col(id_col)) if id_col else F.rand(42)
     return df.orderBy(key).limit(n)
 

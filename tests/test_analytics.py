@@ -505,6 +505,280 @@ def test_is_denylisted_type_aware():
     assert get_base_column_name("a.b") == "a.b"
 
 
+_TRACE_COLUMN_META = [
+    ("Timestamp", "DateTime64(9)"),
+    ("TraceId", "String"),
+    ("SpanId", "String"),
+    ("ParentSpanId", "String"),
+    ("ResourceAttributes", "Map(String, String)"),
+    ("SpanAttributes", "Map(String, String)"),
+    ("Events.Timestamp", "Array(DateTime64(9))"),
+    ("Events.Name", "Array(String)"),
+    ("Events.Attributes", "Array(Map(String, String))"),
+    ("Links.TraceId", "Array(String)"),
+    ("Links.SpanId", "Array(String)"),
+    ("Links.Timestamp", "Array(DateTime64(9))"),
+    ("Links.Attributes", "Array(Map(String, String))"),
+]
+
+
+def test_field_classification_reference_matrix():
+    """deltaChartFieldClassification.test.ts walked case by case against the
+    eventDeltas.ts:137-183 twins (the describes not already pinned by
+    test_is_denylisted_type_aware)."""
+    from hyperdx_spark.analytics.event_deltas import (
+        get_base_column_name,
+        is_denylisted,
+        is_id_field,
+        is_timestamp_array_field,
+        strip_type_wrappers,
+    )
+
+    meta = _TRACE_COLUMN_META
+    # getBaseColumnName
+    assert get_base_column_name("TraceId") == "TraceId"
+    assert (
+        get_base_column_name("SpanAttributes.http.method")
+        == "SpanAttributes.http.method"
+    )
+    assert get_base_column_name("Events.Name[0]") == "Events.Name"
+    assert get_base_column_name("Links.TraceId[5]") == "Links.TraceId"
+    assert get_base_column_name("Events[0][1]") is None  # malformed
+    # stripTypeWrappers
+    assert strip_type_wrappers("LowCardinality(String)") == "String"
+    assert strip_type_wrappers("Nullable(String)") == "String"
+    assert strip_type_wrappers("String") == "String"
+    assert strip_type_wrappers("Array(String)") == "Array(String)"
+    # isIdField: String and Array(String) elements/references ending Id/ID
+    assert is_id_field("TraceId", meta)
+    assert is_id_field("SpanId", meta)
+    assert is_id_field("ParentSpanId", meta)
+    assert is_id_field("Links.TraceId[0]", meta)
+    assert is_id_field("Links.SpanId[0]", meta)
+    assert is_id_field("Links.TraceId[5]", meta)
+    assert is_id_field("Links.TraceId", meta)  # plain array reference
+    assert not is_id_field("Timestamp", meta)
+    assert not is_id_field("Events.Name[0]", meta)
+    assert not is_id_field("MyMapId", [("MyMapId", "Map(String, String)")])
+    assert not is_id_field("Events.Attributes[0].spanId", meta)  # sub-key
+    assert not is_id_field("UnknownId", meta)
+    assert not is_id_field("TraceId", [])
+    # isTimestampArrayField
+    assert is_timestamp_array_field("Events.Timestamp[0]", meta)
+    assert is_timestamp_array_field("Events.Timestamp[23]", meta)
+    assert is_timestamp_array_field("Links.Timestamp[0]", meta)
+    assert is_timestamp_array_field("Events.Timestamp", meta)  # plain ref
+    assert not is_timestamp_array_field("Events.Name[0]", meta)
+    assert not is_timestamp_array_field("Links.TraceId[0]", meta)
+    assert not is_timestamp_array_field("Timestamp", meta)  # non-array
+    assert not is_timestamp_array_field("Unknown.Timestamp[0]", meta)
+    assert is_timestamp_array_field(
+        "MyTimestamps[0]", [("MyTimestamps", "Array(DateTime64(9, 'UTC'))")]
+    )
+    # isDenylisted composition
+    assert is_denylisted("TraceId", meta)
+    assert is_denylisted("Links.TraceId[0]", meta)
+    assert is_denylisted("Events.Timestamp[0]", meta)
+    assert is_denylisted("Links.Timestamp[3]", meta)
+    assert not is_denylisted("ResourceAttributes.service.name", meta)
+    assert not is_denylisted("SpanAttributes.http.method", meta)
+    assert not is_denylisted("Events.Name[0]", meta)
+
+
+def test_is_high_cardinality_reference_matrix():
+    """deltaChartFieldClassification.test.ts isHighCardinality describe —
+    the pure twin of eventDeltas.ts:189-223 (min-of-groups uniqueness,
+    <=20 combined samples always visible, single-group fallback)."""
+    from hyperdx_spark.analytics.event_deltas import is_high_cardinality
+
+    # all-unique outliers, no inliers -> hidden
+    hc = {f"value-{i}": 0.1 for i in range(1000)}
+    assert is_high_cardinality("TraceId", {"TraceId": hc}, {}, {"TraceId": 1000}, {})
+    # low cardinality -> visible
+    lo = {"GET": 80, "POST": 20}
+    assert not is_high_cardinality(
+        "http.method", {"http.method": lo}, {}, {"http.method": 1000}, {}
+    )
+    # min of both groups: low-card outliers keep the field visible even
+    # when the inlier side is all-unique
+    hi_in = {f"v{i}": 0.2 for i in range(500)}
+    assert not is_high_cardinality(
+        "method", {"method": lo}, {"method": hi_in},
+        {"method": 1000}, {"method": 500},
+    )
+    # BOTH groups high-cardinality -> hidden
+    mk = lambda n: {f"v{i}": 100 / n for i in range(n)}
+    assert is_high_cardinality(
+        "url", {"url": mk(500)}, {"url": mk(400)}, {"url": 500}, {"url": 400}
+    )
+    # combined sample size <= 20 -> always visible
+    small = {f"v{i}": 10 for i in range(10)}
+    assert not is_high_cardinality(
+        "field", {"field": small}, {}, {"field": 10}, {"field": 10}
+    )
+    # single-group uniqueness when the other group has no data
+    uniq = {f"v{i}": 1 for i in range(100)}
+    assert is_high_cardinality("id", {"id": uniq}, {}, {"id": 100}, {})
+    # absent from both groups -> never hidden
+    assert not is_high_cardinality("unknownField", {}, {}, {}, {})
+
+
+def test_property_statistics_and_pure_rank_reference_twin():
+    """common-utils eventDeltas.test.ts getPropertyStatistics +
+    rankProperties describes — the pure driver-side composition
+    (eventDeltas.ts:62-114, 354-409)."""
+    from hyperdx_spark.analytics.event_deltas import (
+        get_property_statistics,
+        rank_properties_rows,
+    )
+
+    # only keys reaching MIN_PROPERTY_OCCURENCES (5) get value stats
+    data = [
+        {"always": "yes", "sometimes": "present"} if i < 4 else {"always": "yes"}
+        for i in range(10)
+    ]
+    stats = get_property_statistics(data)
+    assert "always" in stats["value_occurrences"]
+    assert "sometimes" not in stats["value_occurrences"]
+    # per-value counts (second pass recounts ALL rows)
+    stats = get_property_statistics(
+        [{"kind": "A" if i < 6 else "B"} for i in range(10)]
+    )
+    assert stats["value_occurrences"]["kind"] == {"A": 6, "B": 4}
+    assert stats["property_occurrences"]["kind"] == 10
+    assert stats["percentage_occurrences"]["kind"]["A"] == 60.0
+
+    # rankProperties: most differentiating property first
+    target = [
+        {"Severity": "ERROR", "Region": ["us", "eu", "ap"][i % 3]}
+        for i in range(50)
+    ]
+    baseline = [
+        {"Severity": "INFO", "Region": ["us", "eu", "ap"][i % 3]}
+        for i in range(50)
+    ]
+    meta = [("Severity", "String"), ("Region", "String")]
+    result = rank_properties_rows(target, baseline, meta)
+    assert result["ranked"][0]["key"] == "Severity"
+    assert result["ranked"][0]["score"] > 50
+
+    # Id columns hidden via denylist
+    target = [
+        {"TraceId": f"t{i}", "Service": "a" if i % 2 == 0 else "b"}
+        for i in range(30)
+    ]
+    baseline = [
+        {"TraceId": f"t{100 + i}", "Service": "a" if i % 4 == 0 else "b"}
+        for i in range(30)
+    ]
+    meta = [("TraceId", "String"), ("Service", "String")]
+    result = rank_properties_rows(target, baseline, meta)
+    entry = next(p for p in result["ranked"] if p["key"] == "TraceId")
+    assert entry["hidden"] and entry["hidden_reason"] == "denylist"
+
+
+def test_pure_rank_matches_distributed_rank(spark):
+    """The pure rank_properties_rows and the distributed rank_properties
+    must agree on scores/hidden for the same data — the reference runs ONE
+    algorithm in two places (MCP server vs app); the repo runs the pure
+    twin driver-side and the JVM expression engine-side."""
+    from hyperdx_spark.analytics.event_deltas import (
+        rank_properties,
+        rank_properties_rows,
+    )
+
+    rows = [
+        (i < 40, {"Severity": "ERROR" if i < 40 else "INFO",
+                  "Region": ["us", "eu", "ap"][i % 3]})
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "t boolean, props map<string,string>")
+    dist = {
+        r["key"]: (round(r["base_score"], 6), r["hidden"])
+        for r in rank_properties(
+            df, target=F.col("t"), properties=F.col("props")
+        ).collect()
+    }
+    pure = rank_properties_rows(
+        [p for t, p in rows if t],
+        [p for t, p in rows if not t],
+        [("Severity", "String"), ("Region", "String")],
+    )
+    pure_m = {
+        p["key"]: (round(p["base_score"], 6), p["hidden"])
+        for p in pure["ranked"]
+    }
+    assert dist == pure_m
+
+
+def test_sampling_helpers_reference_matrix():
+    """deltaChartSampling.test.ts walked case by case
+    (eventDeltas.ts:296-317 twins)."""
+    from hyperdx_spark.analytics.event_deltas import (
+        MAX_SAMPLE_SIZE,
+        MIN_SAMPLE_SIZE,
+        SAMPLE_RATIO,
+        SAMPLE_SIZE,
+        compute_effective_sample_size as cess,
+        get_stable_sample_expression as gsse,
+    )
+
+    assert gsse("SpanId") == "cityHash64(SpanId)"
+    assert gsse("my_span_id") == "cityHash64(my_span_id)"
+    assert gsse(None) == "rand()"
+    assert gsse("") == "rand()"  # empty string is falsy, like undefined
+
+    assert cess(0) == SAMPLE_SIZE        # fallback
+    assert cess(-1) == SAMPLE_SIZE
+    assert cess(100) == MIN_SAMPLE_SIZE  # small datasets
+    r = cess(200_000)
+    assert r == 2000 and MIN_SAMPLE_SIZE < r < MAX_SAMPLE_SIZE
+    assert cess(10_000_000) == MAX_SAMPLE_SIZE
+    assert cess(100_000) == 1000         # exact 1% in the valid range
+    # IEEE-754 parity: Math.ceil(2900 * 0.01) is 30, not 29
+    import math
+
+    assert cess(2_900 * 100) == math.ceil(290_000 * SAMPLE_RATIO)
+
+
+def test_scoring_reference_matrix():
+    """deltaChartScoring.test.ts cases not already pinned by
+    test_compute_comparison_score / test_compute_entropy_score /
+    test_semantic_boost."""
+    from hyperdx_spark.analytics.event_deltas import (
+        compute_comparison_score as ccs,
+        compute_entropy_score as e,
+        semantic_boost as sb,
+    )
+
+    # identical proportions at different sample sizes -> ~0
+    assert abs(ccs({"GET": 80, "POST": 20}, {"GET": 40, "POST": 10})) < 1e-9
+    # strongly different proportions -> high
+    assert ccs({"error": 90, "ok": 10}, {"error": 10, "ok": 90}) > 70
+    # multi-value with no comparison group IS informative: max normalized pct
+    assert ccs({"error": 80, "ok": 20}, {}) == 80
+    # normalization by group sum: sample size does not change the score
+    s_small = ccs({"GET": 8, "POST": 2}, {"GET": 50, "POST": 50})
+    s_large = ccs({"GET": 800, "POST": 200}, {"GET": 50, "POST": 50})
+    assert abs(s_small - s_large) < 0.05
+    # entropy corners from the reference file
+    assert e({"only": 100}) == 0
+    assert abs(e({"a": 33.33, "b": 33.33, "c": 33.34})) < 0.01
+    assert e({"ok": 99, "error": 1}) > 0.5
+    assert e({"a": 95, "b": 5}) > e({"a": 60, "b": 40})
+    power = {"v1": 50, "v2": 25, "v3": 12, "v4": 6, "v5": 4, "v6": 2, "v7": 1}
+    assert 0.1 < e(power) < 1
+    # semanticBoost: well-known OTel attrs, case-insensitive
+    assert sb("ResourceAttributes.service.name") == 1
+    assert sb("SpanAttributes.http.method") == 1
+    assert sb("SpanAttributes.http.status_code") == 1
+    assert sb("SpanAttributes.error") == 1
+    assert sb("SpanAttributes.custom.field") == 0
+    assert sb("TraceId") == 0
+    assert sb("ResourceAttributes.Service.Name") == 1
+    assert sb("SpanAttributes.HTTP.METHOD") == 1
+
+
 def test_mine_patterns_zero_total_multiplier_one(spark):
     # mine-patterns.ts:175-176: totalCount 0 -> sampleMultiplier 1
     df = spark.createDataFrame([("worker 1 started",)] * 10, "body string")
@@ -753,6 +1027,28 @@ def test_flattened_key_to_sql_expression():
     assert flattened_key_to_filter_key(
         "ResourceAttributes.k8s.pod.name", meta
     ) == "ResourceAttributes['k8s.pod.name']"
+    # deltaChartFilterKeys.test.ts remainder: 1-based increment on any
+    # index, non-map nested columns unchanged, wrapped Map types, empty
+    # meta, Array(Map) quote escaping, non-Map filter keys unchanged
+    meta2 = meta + [{"name": "Events.Name", "type": "Array(String)"},
+                    {"name": "Timestamp", "type": "DateTime64(9)"}]
+    assert f("Events.Attributes[4].key", meta2) == "Events.Attributes[5]['key']"
+    assert f("Events.Name[0]", meta2) == "Events.Name[0]"
+    assert f(
+        "LogAttributes.level",
+        [{"name": "LogAttributes", "type": "LowCardinality(Map(String, String))"}],
+    ) == "LogAttributes['level']"
+    assert f("ResourceAttributes.service.name", []) == (
+        "ResourceAttributes.service.name"
+    )
+    assert f("Events.Attributes[0].it's.key", meta2) == (
+        "Events.Attributes[1]['it''s.key']"
+    )
+    assert flattened_key_to_filter_key(
+        "ResourceAttributes.service.instance.id", meta2
+    ) == "ResourceAttributes['service.instance.id']"
+    assert flattened_key_to_filter_key("Timestamp", meta2) == "Timestamp"
+    assert flattened_key_to_filter_key("Body", meta2) == "Body"
 
 
 def test_compute_entropy_score():
