@@ -72,6 +72,12 @@ class Source:
     duration_precision: int = 3
     sample_rate_expression: Optional[str] = None  # enables sample-weighted aggs
     default_table_select_expression: Optional[str] = None
+    # Row side-panel roles (ref types.ts log/trace sources; consumed by
+    # rowdata.build_row_lookup_config — DBRowDataPanel.tsx:43-190)
+    displayed_timestamp_value_expression: Optional[str] = None
+    known_columns_list_expression: Optional[str] = None  # SELECT-* fallback
+    status_code_expression: Optional[str] = None  # trace severity role
+    span_name_expression: Optional[str] = None  # trace body role
     # DEPRECATED application-side row predicate (types.ts logs sources;
     # honored for backward compatibility by build_search_chart_config, which
     # prepends it as a SQL filter so every consumer of the source sees the
