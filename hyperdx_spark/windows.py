@@ -268,6 +268,26 @@ def run_chunked(
     return out
 
 
+def append_chunk(accumulated: Optional[dict], chunk: dict, is_complete: bool) -> dict:
+    """Client-side incremental chunk merge (useChartConfig.tsx:254-273
+    appendChunk): later (older-window) chunk rows land AHEAD of the
+    accumulated rows so the merged list stays ordered the way the
+    descending chunk ladder delivers it — and the first/only chunk reuses
+    its row list instead of copying (raw SQL is never chunked, so that
+    fast path is the common one; avoids an O(rows) copy of a 100k+ list).
+    ``accumulated``/``chunk``: {data, meta, rows}; returns the merged dict
+    with ``is_complete``."""
+    chunk_data = chunk.get("data") or []
+    acc_data = (accumulated or {}).get("data") or []
+    data = chunk_data if not acc_data else [*chunk_data, *acc_data]
+    return {
+        "data": data,
+        "meta": chunk.get("meta"),
+        "rows": ((accumulated or {}).get("rows") or 0) + (chunk.get("rows") or 0),
+        "is_complete": is_complete,
+    }
+
+
 def get_first_ordering_item(order_by):
     """First ORDER BY entry (core/utils.ts:905-912): the bracket-aware first
     element of a comma string, or the first SortSpec of a list; None when

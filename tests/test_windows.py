@@ -71,6 +71,103 @@ def test_aligned_windows_cover_range_once():
         assert int(w.start.timestamp()) % 3600 == 0
 
 
+def _aligned(dr, gran, durations, end_inclusive=True):
+    cfg = ChartConfig(
+        source=_src(),
+        select=[SelectCol(agg_fn="count", alias="cnt")],
+        granularity=gran,
+        date_range=dr,
+        date_range_end_inclusive=end_inclusive,
+    )
+    return granularity_aligned_windows(cfg, durations=durations)
+
+
+def test_aligned_windows_reference_cases():
+    """useChartConfig.test.tsx getGranularityAlignedTimeWindows — the six
+    numeric cases twinned verbatim (auto granularity, expansion past a
+    too-small window, double-query skip, shortening to the overall range,
+    end-inclusive propagation, start clamp, empty range)."""
+    d = datetime
+
+    # auto granularity (1h range -> 1 minute), durations 30s/5m/1h
+    ws = _aligned((d(2023, 1, 10, 0, 0), d(2023, 1, 10, 1, 0)), "auto",
+                  [30, 5 * 60, 60 * 60])
+    assert [(w.start, w.end) for w in ws] == [
+        (d(2023, 1, 10, 0, 59), d(2023, 1, 10, 1, 0)),
+        (d(2023, 1, 10, 0, 54), d(2023, 1, 10, 0, 59)),
+        (d(2023, 1, 10, 0, 0), d(2023, 1, 10, 0, 54)),
+    ]
+    assert [w.end_inclusive for w in ws[1:]] == [False, False]
+
+    # granularity larger than the first window: expanded to align
+    ws = _aligned((d(2023, 1, 10, 0, 0), d(2023, 1, 10, 0, 10)), "1 minute",
+                  [30, 60, 5 * 60])
+    assert [(w.start, w.end) for w in ws] == [
+        (d(2023, 1, 10, 0, 9), d(2023, 1, 10, 0, 10)),
+        (d(2023, 1, 10, 0, 8), d(2023, 1, 10, 0, 9)),
+        (d(2023, 1, 10, 0, 3), d(2023, 1, 10, 0, 8)),
+        (d(2023, 1, 10, 0, 0), d(2023, 1, 10, 0, 3)),
+    ]
+
+    # windows swallowed by alignment are skipped, not double-queried
+    ws = _aligned((d(2023, 1, 10, 0, 8), d(2023, 1, 10, 0, 10)), "1 minute",
+                  [15])
+    assert [(w.start, w.end) for w in ws] == [
+        (d(2023, 1, 10, 0, 9), d(2023, 1, 10, 0, 10)),
+        (d(2023, 1, 10, 0, 8), d(2023, 1, 10, 0, 9)),
+    ]
+
+    # granularity smaller than the window; dateRangeEndInclusive propagates
+    # to the FIRST window only
+    ws = _aligned((d(2023, 1, 9, 22, 0, 40), d(2023, 1, 10, 0, 0, 30)),
+                  "1 minute", [15 * 60, 30 * 60], end_inclusive=True)
+    assert [(w.start, w.end) for w in ws] == [
+        (d(2023, 1, 9, 23, 45), d(2023, 1, 10, 0, 0, 30)),
+        (d(2023, 1, 9, 23, 15), d(2023, 1, 9, 23, 45)),
+        (d(2023, 1, 9, 22, 45), d(2023, 1, 9, 23, 15)),
+        (d(2023, 1, 9, 22, 15), d(2023, 1, 9, 22, 45)),
+        (d(2023, 1, 9, 22, 0, 40), d(2023, 1, 9, 22, 15)),
+    ]
+    assert ws[0].end_inclusive is True
+    assert [w.end_inclusive for w in ws[1:]] == [False] * 4
+
+    # never a window starting before the overall start date
+    ws = _aligned((d(2023, 1, 10, 0, 0, 30), d(2023, 1, 10, 0, 2)),
+                  "1 minute", [60])
+    assert [(w.start, w.end) for w in ws] == [
+        (d(2023, 1, 10, 0, 1), d(2023, 1, 10, 0, 2)),
+        (d(2023, 1, 10, 0, 0, 30), d(2023, 1, 10, 0, 1)),
+    ]
+
+    # empty input range: a single window matching it
+    t = d(2023, 1, 10, 0, 0, 30)
+    ws = _aligned((t, t), "1 minute", [60, 5 * 60])
+    assert [(w.start, w.end) for w in ws] == [(t, t)]
+
+
+def test_append_chunk_reference_twin():
+    """useChartConfig.test.tsx appendChunk describe: the first/only chunk
+    REUSES the row list (no O(rows) copy); later chunks prepend ahead of
+    the accumulated rows with summed counts."""
+    from hyperdx_spark.windows import append_chunk
+
+    empty = {"data": [], "meta": [], "rows": 0, "is_complete": False}
+    chunk_data = [{"a": 1}, {"a": 2}]
+    meta = [{"name": "a", "type": "UInt64"}]
+    out = append_chunk(empty, {"data": chunk_data, "meta": meta, "rows": 2},
+                       is_complete=True)
+    assert out["data"] is chunk_data  # same list object — copy skipped
+    assert out["meta"] is meta
+    assert out["rows"] == 2 and out["is_complete"] is True
+
+    older = {"data": [{"a": 3}], "meta": meta, "rows": 1, "is_complete": False}
+    out = append_chunk(older, {"data": chunk_data, "meta": meta, "rows": 2},
+                       is_complete=True)
+    assert out["data"] == [{"a": 1}, {"a": 2}, {"a": 3}]
+    assert out["data"] is not chunk_data  # fresh list when merging
+    assert out["rows"] == 3
+
+
 def test_should_use_chunking():
     cfg = ChartConfig(source=_src(), select=[SelectCol(agg_fn="count")])
     assert not should_use_chunking(cfg)
