@@ -23,6 +23,11 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 MIN_PROPERTY_OCCURRENCES = 5   # eventDeltas.ts:60
+# eventDeltas.ts:299-302 sampling configuration
+SAMPLE_SIZE = 1000
+MIN_SAMPLE_SIZE = 500
+MAX_SAMPLE_SIZE = 5000
+SAMPLE_RATIO = 0.01
 HIGH_CARDINALITY_UNIQUENESS = 0.9
 HIGH_CARDINALITY_MIN_SAMPLES = 20
 
@@ -278,6 +283,147 @@ def rank_properties_rows(
     }
 
 
+# ChartUtils.tsx:273-380 isAggregateFunction's function list (ClickHouse
+# aggregate names; matching is case-insensitive substring of 'name(')
+_AGGREGATE_FN_NAMES = [
+    "count", "countIf", "countDistinct", "sum", "sumIf", "avg", "avgIf",
+    "min", "max", "any", "anyLast", "groupArray", "groupArrayInsertAt",
+    "groupArrayMovingAvg", "groupArraySample", "groupUniqArray",
+    "groupUniqArrayIf", "groupArrayIntersect", "groupArrayIntersectIf",
+    "groupArrayReduce", "groupBitmap", "groupBitmapIf", "groupBitmapOr",
+    "groupBitmapXor",
+    "quantile", "quantileIf", "quantileExact", "quantileExactWeighted",
+    "quantileTiming", "quantileTimingWeighted", "quantileTDigest",
+    "quantileTDigestWeighted", "quantileBFloat16",
+    "quantileBFloat16Weighted", "quantiles", "median", "medianExact",
+    "medianTDigest", "medianBFloat16",
+    "stddevPop", "stddevPopIf", "stddevSamp", "stddevSampIf", "varPop",
+    "varPopIf", "varSamp", "varSampIf", "covarPop", "covarSamp", "corr",
+    "uniq", "uniqExact", "uniqCombined", "uniqCombined64", "uniqHLL12",
+    "uniqTheta",
+    "groupBitAnd", "groupBitOr", "groupBitXor",
+    "groupArrayMap", "groupArrayTuple", "groupArraySorted", "topK",
+    "topKIf", "topKWeighted",
+    "argMin", "argMax", "minMap", "maxMap",
+    "runningDifference", "retention", "sequenceCount", "sequenceMatch",
+    "histogram", "simpleLinearRegression", "stochasticLinearRegression",
+    "categoricalInformationValue", "sumMap", "sumMapFiltered",
+    "sumWithOverflow", "entropy", "skewPop", "skewSamp", "kurtPop",
+    "kurtSamp",
+]
+
+
+def is_aggregate_function(value: str) -> bool:
+    """ChartUtils.tsx:273-380 isAggregateFunction twin: does the expression
+    contain a known ClickHouse aggregate call? Case-insensitive substring
+    of ``name(`` — the reference's exact (permissive) rule."""
+    lower = value.lower()
+    return any(fn.lower() + "(" in lower for fn in _AGGREGATE_FN_NAMES)
+
+
+def selection_split_condition(
+    timestamp_expr: str,
+    value_expr: str,
+    box: tuple,
+    *,
+    is_outlier: bool,
+    is_aggregate: Optional[bool] = None,
+) -> str:
+    """The heatmap-selection SQL condition DBDeltaChart builds for its
+    outlier/inlier queries (DBDeltaChart.tsx:129-196 buildSqlCondition):
+    ``box`` is (x_min, x_max, y_min, y_max). Non-aggregate value
+    expressions filter on timestamp AND value directly; aggregate ones
+    filter on the timestamp range only (the y-range is applied as a HAVING
+    over per-timestamp groups — see :func:`delta_selection_split`); the
+    inlier side is the outer negation of the SAME condition so the two
+    sets partition the data exactly."""
+    x_min, x_max, y_min, y_max = box
+    if is_aggregate is None:
+        is_aggregate = is_aggregate_function(value_expr)
+    ts_cond = f"{timestamp_expr} >= {x_min} AND {timestamp_expr} <= {x_max}"
+    if is_aggregate:
+        cond = ts_cond
+    else:
+        cond = (
+            f"({value_expr}) >= {y_min} AND ({value_expr}) <= {y_max}"
+            f" AND {ts_cond}"
+        )
+    return cond if is_outlier else f"NOT ({cond})"
+
+
+def has_heatmap_selection(x_min, x_max, y_min, y_max) -> bool:
+    """DBDeltaChart.tsx:68-70: a selection exists only when ALL FOUR
+    coordinates are set — partial-null coordinates mean distribution mode
+    (one all-spans query, no outlier/inlier split)."""
+    return (
+        x_min is not None and x_max is not None
+        and y_min is not None and y_max is not None
+    )
+
+
+def delta_selection_split(
+    df: DataFrame,
+    *,
+    timestamp_expr: str,
+    value_expr: str,
+    box: tuple,
+    id_col: Optional[str] = None,
+    sample_size: int = SAMPLE_SIZE,
+):
+    """Engine-side twin of DBDeltaChart's outlier/inlier query pair
+    (DBDeltaChart.tsx:89-245): given a heatmap selection box
+    (x = timestamp range as unix seconds, y = value range), return
+    (outlier_df, inlier_df) — rows inside vs outside the box, each
+    stable-sampled to ``sample_size`` (the reference's PartIds CTE +
+    ``indexHint((_part, _part_offset) IN PartIds)`` is a ClickHouse part-
+    pruning device for the same sample; Spark's analogue is the pushed
+    filter itself + the hash-ordered LIMIT of :func:`stable_sample`).
+
+    Aggregate ``value_expr`` (per isAggregateFunction) switches to the
+    AggregatedTimestamps plan: timestamps whose in-x-range aggregate lands
+    inside the y-range (GROUP BY timestamp HAVING value BETWEEN y) select
+    the outliers via IN, the inliers via NOT-between AND NOT IN — a
+    broadcast semi/anti join here, bounded by the distinct timestamps
+    inside the box."""
+    from hyperdx_spark.functions.chcompat import translate_expr
+
+    x_min, x_max, y_min, y_max = box
+    ts = F.expr(translate_expr(timestamp_expr))
+    is_agg = is_aggregate_function(value_expr)
+    ts_in_x = (ts >= F.lit(x_min)) & (ts <= F.lit(x_max))
+    if not is_agg:
+        val = F.expr(translate_expr(value_expr))
+        cond = (val >= F.lit(y_min)) & (val <= F.lit(y_max)) & ts_in_x
+        outlier, inlier = df.where(cond), df.where(~cond)
+    else:
+        agg = F.expr(translate_expr(value_expr))
+        agg_ts = (
+            df.where(ts_in_x)
+            .groupBy(ts.alias("__sel_ts"))
+            .agg(agg.alias("__sel_v"))
+            .where(
+                (F.col("__sel_v") >= F.lit(y_min))
+                & (F.col("__sel_v") <= F.lit(y_max))
+            )
+            .select("__sel_ts")
+        )
+        keyed = df.withColumn("__sel_ts", ts)
+        outlier = keyed.where(ts_in_x).join(
+            F.broadcast(agg_ts), on="__sel_ts", how="left_semi"
+        )
+        inlier = keyed.where(~ts_in_x).join(
+            F.broadcast(agg_ts), on="__sel_ts", how="left_anti"
+        )
+        outlier, inlier = outlier.drop("__sel_ts"), inlier.drop("__sel_ts")
+    def sample(d: DataFrame) -> DataFrame:
+        # the reference's PartIds CTE is a FIXED LIMIT SAMPLE_SIZE ordered
+        # by the stable hash (no effective-size clamp there)
+        key = F.xxhash64(F.col(id_col)) if id_col else F.rand(42)
+        return d.orderBy(key).limit(sample_size)
+
+    return sample(outlier), sample(inlier)
+
+
 def semantic_boost(key: str) -> int:
     lk = key.lower()
     return int(any(lk == s or lk.endswith("." + s) for s in BOOSTED_ATTRIBUTE_SUFFIXES))
@@ -416,12 +562,6 @@ def compute_comparison_score(
         )
         for v in all_values
     )
-
-
-SAMPLE_SIZE = 1000
-MIN_SAMPLE_SIZE = 500
-MAX_SAMPLE_SIZE = 5000
-SAMPLE_RATIO = 0.01
 
 
 def get_stable_sample_expression(span_id_expression: Optional[str] = None) -> str:

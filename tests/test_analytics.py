@@ -711,6 +711,83 @@ def test_pure_rank_matches_distributed_rank(spark):
     assert dist == pure_m
 
 
+def test_is_aggregate_function_reference_rule():
+    """ChartUtils.tsx:273-380: case-insensitive 'name(' substring over the
+    ClickHouse aggregate list."""
+    from hyperdx_spark.analytics.event_deltas import is_aggregate_function as a
+
+    assert a("avg(duration)") and a("AVG(duration)") and a("quantile(0.5)(d)")
+    assert a("toFloat64(countIf(x > 1))")  # nested call still matches
+    assert not a("duration") and not a("Duration + 1")
+    assert not a("counter")     # no paren -> not a call
+    assert not a("counter(x)")  # 'count(' is NOT a substring of 'counter('
+    # the reference's permissive substring rule matches inside longer
+    # names ('myavg(' contains 'avg('); pin it so the port never "fixes" it
+    assert a("myavg(x)")
+
+
+def test_selection_split_condition_and_gating():
+    """DBDeltaChart.tsx:68-196 — selection-mode gating (all four coords)
+    and the outlier/inlier SQL condition pair."""
+    from hyperdx_spark.analytics.event_deltas import (
+        has_heatmap_selection,
+        selection_split_condition,
+    )
+
+    assert has_heatmap_selection(1, 2, 3, 4)
+    assert not has_heatmap_selection(None, 2, 3, 4)
+    assert not has_heatmap_selection(1, 2, None, 4)
+    assert not has_heatmap_selection(None, None, None, None)
+
+    box = (100, 200, 5, 50)
+    out = selection_split_condition("ts", "duration", box, is_outlier=True)
+    assert out == "(duration) >= 5 AND (duration) <= 50 AND ts >= 100 AND ts <= 200"
+    inl = selection_split_condition("ts", "duration", box, is_outlier=False)
+    assert inl == f"NOT ({out})"
+    # aggregate value expressions filter on the timestamp range only
+    aout = selection_split_condition("ts", "avg(duration)", box, is_outlier=True)
+    assert aout == "ts >= 100 AND ts <= 200"
+    ainl = selection_split_condition("ts", "avg(duration)", box, is_outlier=False)
+    assert ainl == "NOT (ts >= 100 AND ts <= 200)"
+
+
+def test_delta_selection_split_executed(spark):
+    """delta_selection_split over a synthetic frame: the non-aggregate box
+    partitions rows exactly; the aggregate variant selects WHOLE
+    timestamps whose in-range aggregate lands in the y-range (a ts with
+    values 10 and 90 averages 50: both rows are outliers even though
+    neither value is individually in range — the AggregatedTimestamps
+    HAVING semantics)."""
+    from datetime import datetime as dt
+
+    from hyperdx_spark.analytics.event_deltas import delta_selection_split
+
+    rows = [
+        (1, dt(2024, 1, 1, 0, 0), 10.0),
+        (2, dt(2024, 1, 1, 0, 0), 90.0),   # same ts as row 1: avg 50
+        (3, dt(2024, 1, 1, 0, 5), 45.0),   # alone: avg 45, in range
+        (4, dt(2024, 1, 1, 0, 10), 90.0),  # alone: avg 90, out of range
+        (5, dt(2024, 1, 2, 0, 0), 45.0),   # outside the x range
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp, value double")
+    box = (dt(2024, 1, 1), dt(2024, 1, 1, 12), 40.0, 60.0)
+
+    out, inl = delta_selection_split(
+        df, timestamp_expr="ts", value_expr="value", box=box, id_col="id"
+    )
+    assert {r["id"] for r in out.collect()} == {3}
+    assert {r["id"] for r in inl.collect()} == {1, 2, 4, 5}
+
+    out, inl = delta_selection_split(
+        df, timestamp_expr="ts", value_expr="avg(value)", box=box, id_col="id"
+    )
+    assert {r["id"] for r in out.collect()} == {1, 2, 3}
+    assert {r["id"] for r in inl.collect()} == {5}
+    # row 4's ts is in the x-range but its aggregate misses the y-range:
+    # excluded from BOTH sides, exactly like the reference's
+    # ts-NOT-between AND ts-NOT-IN inlier condition
+
+
 def test_sampling_helpers_reference_matrix():
     """deltaChartSampling.test.ts walked case by case
     (eventDeltas.ts:296-317 twins)."""
