@@ -183,3 +183,57 @@ def convert_to_table_chart_config(config: ChartConfig) -> ChartConfig:
     if cfg.group_by and order_falsy:
         cfg.order_by = [SortSpec(g, "ASC") for g in cfg.group_by if g.strip()]
     return cfg
+
+
+def chart_drilldown_filters(
+    group_filters=(),
+    value_range_filter=None,
+) -> list:
+    """Chart-point → search drill-down filter derivation
+    (app ChartUtils.tsx:1173-1203 buildEventsSearchUrl's additionalFilters):
+    clicking a series point opens search scoped to that point.
+
+    - each (column, value) group filter becomes ``col IN (<escaped>)``
+      (skipped when the column is empty or the value null — the
+      reference's ``value != null`` gate);
+    - ``value_range_filter`` ({expression, value, threshold=0.05}) adds a
+      ±threshold BETWEEN on the Y expression — but ONLY for
+      non-aggregate expressions (an aggregate's value is a property of
+      the bucket, not of any single row, so no row filter can reproduce
+      it).
+
+    Values are escaped with the sqlstring semantics the reference uses
+    (``SqlString.escape``); returns ``[{"type": "sql", "condition": ...}]``
+    entries that compose with ``filters_to_query``.
+    """
+    from hyperdx_spark.analytics.event_deltas import is_aggregate_function
+    from hyperdx_spark.rowwhere import sqlstring_escape
+
+    out = []
+    for gf in group_filters or ():
+        column = gf.get("column") if isinstance(gf, dict) else gf[0]
+        value = gf.get("value") if isinstance(gf, dict) else gf[1]
+        if column and value is not None:
+            out.append(
+                {
+                    "type": "sql",
+                    "condition": f"{column} IN ({sqlstring_escape(value)})",
+                }
+            )
+    if value_range_filter:
+        expression = value_range_filter["expression"]
+        value = value_range_filter["value"]
+        threshold = value_range_filter.get("threshold", 0.05)
+        if not is_aggregate_function(expression):
+            lo = value * (1 - threshold)
+            hi = value * (1 + threshold)
+            out.append(
+                {
+                    "type": "sql",
+                    "condition": (
+                        f"{expression} BETWEEN {sqlstring_escape(lo)}"
+                        f" AND {sqlstring_escape(hi)}"
+                    ),
+                }
+            )
+    return out

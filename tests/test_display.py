@@ -488,3 +488,37 @@ def test_time_chart_config_max_buckets_cap():
     assert granularity_seconds(web.granularity) == 60
     assert granularity_seconds(narrow.granularity) > 60
     assert granularity_seconds(narrow.granularity) * 20 >= 3600
+
+
+def test_chart_drilldown_filters():
+    """ChartUtils.tsx:1173-1203 — chart-point drill-down filter derivation:
+    group IN filters, the ±5% value-range BETWEEN for non-aggregate Y
+    expressions only, sqlstring escaping, null/empty gates."""
+    from hyperdx_spark.display import chart_drilldown_filters as c
+
+    assert c([{"column": "service", "value": "api"}]) == [
+        {"type": "sql", "condition": "service IN ('api')"}
+    ]
+    # sqlstring escaping guards injection; numbers via String(number)
+    assert c([{"column": "s", "value": "a'b"}]) == [
+        {"type": "sql", "condition": "s IN ('a\\'b')"}
+    ]
+    assert c([{"column": "uid", "value": 7}]) == [
+        {"type": "sql", "condition": "uid IN (7)"}
+    ]
+    # null value / empty column skipped (the reference's `value != null`)
+    assert c([{"column": "level", "value": None}, {"column": "", "value": "x"}]) == []
+    # ±threshold BETWEEN, default 0.05, non-aggregate only
+    assert c([], {"expression": "duration", "value": 100.0}) == [
+        {"type": "sql", "condition": "duration BETWEEN 95 AND 105"}
+    ]
+    assert c([], {"expression": "duration", "value": 100.0, "threshold": 0.5}) == [
+        {"type": "sql", "condition": "duration BETWEEN 50 AND 150"}
+    ]
+    assert c([], {"expression": "avg(duration)", "value": 100.0}) == []
+    # composes: group filters first, then the range filter
+    got = c([{"column": "service", "value": "api"}],
+            {"expression": "duration", "value": 100.0})
+    assert [f["condition"] for f in got] == [
+        "service IN ('api')", "duration BETWEEN 95 AND 105",
+    ]
