@@ -128,6 +128,19 @@ def limit_ratio_series(
     )
 
 
+def get_previous_date_range(current_range) -> tuple:
+    """ChartUtils.tsx:482-489 getPreviousDateRange: the window immediately
+    before the current one — both bounds shifted back by the range length
+    in WHOLE seconds (differenceInSeconds truncates sub-second remainders,
+    so a 90.7 s window shifts by 90 s; pinned, not 'fixed')."""
+    from datetime import timedelta
+
+    start, end = current_range
+    offset_seconds = int((end - start).total_seconds())
+    d = timedelta(seconds=offset_seconds)
+    return (start - d, end - d)
+
+
 def previous_period(
     df: DataFrame, *, bucket_col: str = "__timestamp", offset_seconds: int = 0
 ) -> DataFrame:

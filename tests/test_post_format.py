@@ -244,3 +244,21 @@ def test_ratio_series_cap_no_groups_is_noop(spark):
 
     df = spark.createDataFrame([("t0", 0.5)], "__timestamp string, ratio double")
     assert limit_ratio_series(df, 2, group_cols=[]).count() == 1
+
+
+def test_get_previous_date_range_truncates_to_seconds():
+    """ChartUtils.tsx:482-489: shift back by the WHOLE-second range length
+    (date-fns differenceInSeconds truncation)."""
+    from datetime import datetime
+
+    from hyperdx_spark.post import get_previous_date_range
+
+    r = get_previous_date_range((datetime(2024, 1, 2), datetime(2024, 1, 3)))
+    assert r == (datetime(2024, 1, 1), datetime(2024, 1, 2))
+    # sub-second remainder truncates: 90.7s window shifts by 90s
+    cur = (datetime(2024, 1, 1, 0, 0, 0), datetime(2024, 1, 1, 0, 1, 30, 700000))
+    prev = get_previous_date_range(cur)
+    assert prev == (
+        datetime(2023, 12, 31, 23, 58, 30),
+        datetime(2024, 1, 1, 0, 0, 0, 700000),
+    )
