@@ -27,6 +27,7 @@ doubles embedded backticks — same escaping rule, Spark spelling.
 from __future__ import annotations
 
 import copy
+import re
 from typing import Optional, Sequence, Union
 
 from hyperdx_spark.model import ChartConfig, SelectCol, SortSpec
@@ -237,3 +238,75 @@ def chart_drilldown_filters(
                 }
             )
     return out
+
+
+# source.ts:477-494 — aggregate functions whose output preserves the unit
+# of the input value (count/count_distinct are dimensionless)
+DURATION_PRESERVING_AGG_FNS = {
+    "avg", "min", "max", "sum", "any", "last_value",
+    "quantile", "quantileMerge",
+    "p50", "p90", "p95", "p99",
+    "heatmap", "histogram", "histogramMerge",
+}
+
+_COMBINATOR_SUFFIX_RE = re.compile(r"If(State|Merge)?$")
+
+
+def is_duration_preserving_agg_fn(agg_fn) -> bool:
+    """source.ts:496-501: no aggFn means a raw expression (unit preserved);
+    combinator forms strip their If/IfState/IfMerge suffix first."""
+    if not agg_fn:
+        return True
+    return _COMBINATOR_SUFFIX_RE.sub("", agg_fn) in DURATION_PRESERVING_AGG_FNS
+
+
+def get_trace_duration_number_format(source, select_expression):
+    """source.ts:515-536 getTraceDurationNumberFormat: a duration
+    NumberFormat when a trace chart's select EXACTLY equals the source's
+    duration expression (arbitrary SQL — substring matching would be
+    fragile) under a unit-preserving aggregate; None otherwise.
+    ``select_expression``: {"value_expression", "agg_fn"} (a SelectCol
+    works too)."""
+    if (
+        source is None
+        or getattr(source, "kind", None) != "trace"
+        or not getattr(source, "duration_expression", None)
+    ):
+        return None
+    ve = (
+        select_expression.get("value_expression")
+        if isinstance(select_expression, dict)
+        else getattr(select_expression, "value_expression", None)
+    )
+    agg = (
+        select_expression.get("agg_fn")
+        if isinstance(select_expression, dict)
+        else getattr(select_expression, "agg_fn", None)
+    )
+    if not ve or not is_duration_preserving_agg_fn(agg):
+        return None
+    if ve == source.duration_expression:
+        return {
+            "output": "duration",
+            "factor": 10 ** -source.duration_precision,
+        }
+    return None
+
+
+def get_first_series_number_format(select_items, source):
+    """source.ts:545-561: the first series-specific numberFormat wins; else
+    the first inferred duration format from a trace source's duration
+    expression; else None."""
+    for series in select_items:
+        nf = (
+            series.get("number_format")
+            if isinstance(series, dict)
+            else getattr(series, "number_format", None)
+        )
+        if nf:
+            return nf
+    for series in select_items:
+        fmt = get_trace_duration_number_format(source, series)
+        if fmt:
+            return fmt
+    return None

@@ -75,6 +75,19 @@ def get_event_body(source: Source) -> Optional[str]:
     return expression if len(multi) == 1 else (multi[0] if multi else None)
 
 
+def get_duration_ms_expression(source: Source) -> str:
+    """source.ts:467-469: the trace duration scaled to milliseconds —
+    ``(<expr>)/1e<precision-3>`` (precision = decimal digits of a second;
+    the repo Source defaults precision to 3 i.e. ms-native, where the
+    reference's helper falls back to 9/nanos when unset)."""
+    return f"({source.duration_expression})/1e{source.duration_precision - 3}"
+
+
+def get_duration_seconds_expression(source: Source) -> str:
+    """source.ts:471-473: the trace duration scaled to seconds."""
+    return f"({source.duration_expression})/1e{source.duration_precision}"
+
+
 def build_row_lookup_config(
     source: Source,
     row_id: Optional[str],
@@ -114,12 +127,18 @@ def build_row_lookup_config(
         *get_timestamp_value_selects(ts_expr),
     ]
     body = get_event_body(source)
+    duration_ms = (
+        get_duration_ms_expression(source)
+        if source.kind == "trace" and source.duration_expression
+        else None
+    )
     for expr, alias in (
         (body, "BODY"),
         (source.trace_id_expression, "TRACE_ID"),
         (source.span_id_expression, "SPAN_ID"),
         (severity_expr, "SEVERITY_TEXT"),
         (source.service_name_expression, "SERVICE_NAME"),
+        (duration_ms, "DURATION_MS"),
     ):
         if expr:
             select.append(

@@ -522,3 +522,78 @@ def test_chart_drilldown_filters():
     assert [f["condition"] for f in got] == [
         "service IN ('api')", "duration BETWEEN 95 AND 105",
     ]
+
+
+def test_trace_duration_number_format_reference_matrix():
+    """source.test.ts getTraceDurationNumberFormat describe walked: exact
+    expression match only, unit-preserving aggFns, combinator stripping,
+    count/count_distinct dimensionless."""
+    from hyperdx_spark.display import (
+        get_first_series_number_format,
+        get_trace_duration_number_format as g,
+    )
+    from hyperdx_spark.model import Source
+
+    trace = Source(
+        table="t", kind="trace", timestamp_value_expression="ts",
+        duration_expression="Duration", duration_precision=9,
+    )
+    log = Source(table="l", kind="log", timestamp_value_expression="ts",
+                 duration_expression="Duration")
+    dur_fmt = {"output": "duration", "factor": 1e-9}
+
+    assert g(log, {"value_expression": "Duration", "agg_fn": "avg"}) is None
+    assert g(None, {"value_expression": "Duration"}) is None
+    assert g(trace, {"value_expression": "other", "agg_fn": "avg"}) is None
+    # exact match with unit-preserving aggFn
+    assert g(trace, {"value_expression": "Duration", "agg_fn": "avg"}) == dur_fmt
+    # raw expression (no aggFn) preserves the unit
+    assert g(trace, {"value_expression": "Duration"}) == dur_fmt
+    # only-contains is not a match (arbitrary SQL; substring is fragile)
+    assert g(trace, {"value_expression": "Duration/1000", "agg_fn": "avg"}) is None
+    # dimensionless aggregates never inherit the format
+    assert g(trace, {"value_expression": "Duration", "agg_fn": "count"}) is None
+    assert g(trace, {"value_expression": "Duration",
+                     "agg_fn": "count_distinct"}) is None
+    # combinator forms strip If/IfState/IfMerge
+    assert g(trace, {"value_expression": "Duration", "agg_fn": "avgIf"}) == dur_fmt
+    assert g(trace, {"value_expression": "Duration",
+                     "agg_fn": "quantileIfState"}) == dur_fmt
+    # series priority: explicit numberFormat beats the inferred duration
+    explicit = {"value_expression": "x", "number_format": {"output": "number"}}
+    got = get_first_series_number_format(
+        [explicit, {"value_expression": "Duration", "agg_fn": "avg"}], trace
+    )
+    assert got == {"output": "number"}
+    got = get_first_series_number_format(
+        [{"value_expression": "cnt", "agg_fn": "count"},
+         {"value_expression": "Duration", "agg_fn": "avg"}], trace
+    )
+    assert got == dur_fmt
+    assert get_first_series_number_format(
+        [{"value_expression": "cnt", "agg_fn": "count"}], trace
+    ) is None
+
+
+def test_duration_expressions():
+    from hyperdx_spark.model import Source
+    from hyperdx_spark.rowdata import (
+        build_row_lookup_config,
+        get_duration_ms_expression,
+        get_duration_seconds_expression,
+    )
+
+    trace = Source(
+        table="t", kind="trace", timestamp_value_expression="ts",
+        duration_expression="Duration", duration_precision=9,
+    )
+    assert get_duration_ms_expression(trace) == "(Duration)/1e6"
+    assert get_duration_seconds_expression(trace) == "(Duration)/1e9"
+    cfg = build_row_lookup_config(trace, "id=1")
+    assert {"value_expression": "(Duration)/1e6",
+            "alias": "__hdx_duration_ms"} in cfg["select"]
+    # log sources never project the duration alias
+    log = Source(table="l", kind="log", timestamp_value_expression="ts",
+                 duration_expression="Duration")
+    cfg = build_row_lookup_config(log, "id=1")
+    assert not any(s.get("alias") == "__hdx_duration_ms" for s in cfg["select"])
