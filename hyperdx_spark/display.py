@@ -310,3 +310,76 @@ def get_first_series_number_format(select_items, source):
         if fmt:
             return fmt
     return None
+
+
+def promote_series_condition(config: ChartConfig) -> tuple:
+    """buildEventsSearchUrl's where-promotion (ChartUtils.tsx:1160-1171):
+    when the global where is empty and there is exactly ONE series, that
+    series' aggCondition becomes the search query. Returns
+    (where, where_language)."""
+    where = config.where or ""
+    language = config.where_language or "lucene"
+    if len(where) == 0 and len(config.select) == 1:
+        sc = config.select[0]
+        where = sc.agg_condition or ""
+        language = sc.agg_condition_language or "lucene"
+    return where, language
+
+
+def can_replay_dashboard_search(config: ChartConfig) -> bool:
+    """buildDashboardReplaySearchUrl's gating (ChartUtils.tsx:1256-1270):
+    per-series aggConditions can be replayed only when there is exactly
+    one series AND no global where — buildEventsSearchUrl can promote one
+    condition into the event query but cannot faithfully replay several,
+    or combine one with a global query."""
+    has_per_series = any(
+        sc.agg_condition is not None and sc.agg_condition.strip()
+        for sc in config.select
+    )
+    can_promote = len(config.select) == 1 and len(config.where or "") == 0
+    return not has_per_series or can_promote
+
+
+def extract_group_columns(group_by) -> list:
+    """ChartUtils.tsx:1283-1296 extractGroupColumns: both the string form
+    ('col1, col2') and the array form ([{valueExpression}, ...] or
+    ['col1', ...])."""
+    if not group_by:
+        return []
+    if isinstance(group_by, str):
+        return [v.strip() for v in group_by.split(",")]
+    return [
+        g if isinstance(g, str) else (
+            g.get("value_expression") if isinstance(g, dict)
+            else getattr(g, "value_expression", g)
+        )
+        for g in group_by
+    ]
+
+
+def build_search_replay_params(
+    config: ChartConfig,
+    *,
+    group_filters=(),
+    value_range_filter=None,
+    require_replayable: bool = False,
+):
+    """The semantic core of buildEventsSearchUrl /
+    buildDashboardReplaySearchUrl (ChartUtils.tsx:1130-1277): the search
+    page state a chart click (or dashboard replay) opens — promoted
+    where + language, the config's filters plus the drill-down filters,
+    and the range in epoch ms. Returns None when ``require_replayable``
+    and the per-series conditions cannot be faithfully replayed. URL
+    serialization and metric-source remapping are UI plumbing and stay
+    client-side."""
+    if require_replayable and not can_replay_dashboard_search(config):
+        return None
+    where, language = promote_series_condition(config)
+    filters = list(config.filters or []) + chart_drilldown_filters(
+        group_filters, value_range_filter
+    )
+    out = {"where": where, "where_language": language, "filters": filters}
+    if config.date_range is not None:
+        out["from_ms"] = int(config.date_range[0].timestamp() * 1000)
+        out["to_ms"] = int(config.date_range[1].timestamp() * 1000)
+    return out

@@ -597,3 +597,76 @@ def test_duration_expressions():
                  duration_expression="Duration")
     cfg = build_row_lookup_config(log, "id=1")
     assert not any(s.get("alias") == "__hdx_duration_ms" for s in cfg["select"])
+
+
+def test_search_replay_params_reference_twin():
+    """dashboardReplaySearch.test.ts semantics: preserved query/filters/
+    range, single-series condition promotion, rejection of conditions
+    that cannot be faithfully replayed (ChartUtils.tsx:1130-1277)."""
+    from datetime import datetime
+
+    from hyperdx_spark.display import (
+        build_search_replay_params,
+        can_replay_dashboard_search,
+        extract_group_columns,
+        promote_series_condition,
+    )
+    from hyperdx_spark.model import ChartConfig, SelectCol, Source, SqlFilter
+
+    src = Source(table="events", timestamp_value_expression="ts")
+    rng = (datetime(2024, 1, 1), datetime(2024, 1, 2))
+
+    # preserved where/filters/range
+    cfg = ChartConfig(
+        source=src, select=[SelectCol(agg_fn="count")], where="level:error",
+        filters=[SqlFilter(condition="value > 1")], date_range=rng,
+    )
+    p = build_search_replay_params(cfg, require_replayable=True)
+    assert p["where"] == "level:error" and p["where_language"] == "lucene"
+    assert p["filters"][0].condition == "value > 1"
+    assert p["from_ms"] == 1704067200000 and p["to_ms"] == 1704153600000
+
+    # single per-series condition, no global where -> promoted
+    cfg = ChartConfig(
+        source=src, where="",
+        select=[SelectCol(agg_fn="count", agg_condition="status:500",
+                          agg_condition_language="lucene")],
+        date_range=rng,
+    )
+    assert promote_series_condition(cfg) == ("status:500", "lucene")
+    assert can_replay_dashboard_search(cfg)
+    assert build_search_replay_params(cfg, require_replayable=True)[
+        "where"
+    ] == "status:500"
+
+    # multiple per-series conditions cannot be faithfully replayed
+    cfg = ChartConfig(
+        source=src, where="",
+        select=[
+            SelectCol(agg_fn="count", agg_condition="status:500"),
+            SelectCol(agg_fn="count", agg_condition="status:200"),
+        ],
+        date_range=rng,
+    )
+    assert not can_replay_dashboard_search(cfg)
+    assert build_search_replay_params(cfg, require_replayable=True) is None
+    # ...as can't a series condition combined with a global where
+    cfg = ChartConfig(
+        source=src, where="svc:api",
+        select=[SelectCol(agg_fn="count", agg_condition="status:500")],
+        date_range=rng,
+    )
+    assert not can_replay_dashboard_search(cfg)
+    # but with promotion impossible the global where still replays alone
+    cfg = ChartConfig(
+        source=src, where="svc:api",
+        select=[SelectCol(agg_fn="count")], date_range=rng,
+    )
+    assert build_search_replay_params(cfg, require_replayable=True)[
+        "where"
+    ] == "svc:api"
+
+    # group-by extraction: string and array forms
+    assert extract_group_columns("col1, col2") == ["col1", "col2"]
+    assert extract_group_columns(["a", {"value_expression": "b"}]) == ["a", "b"]
+    assert extract_group_columns(None) == []
