@@ -383,3 +383,51 @@ def build_search_replay_params(
         out["from_ms"] = int(config.date_range[0].timestamp() * 1000)
         out["to_ms"] = int(config.date_range[1].timestamp() * 1000)
     return out
+
+
+# ChartUtils.tsx:54-72 — aggregate functions whose per-row values can be
+# "attributed" back to individual rows for a ±range drill-down (count/sum/
+# count_distinct/increase are totals no single row reproduces). Unknown
+# aggFns default to attributable (`?.isAttributable !== false`).
+NON_ATTRIBUTABLE_AGG_FNS = {"count", "sum", "count_distinct", "increase"}
+
+
+def table_row_drilldown(config: ChartConfig, row) -> dict:
+    """buildTableRowSearchUrl's row → drill inputs derivation
+    (ChartUtils.tsx:1301-1368): the group filters come from the row's
+    values of the config's group columns (nulls skipped); the value-range
+    filter comes from the FIRST select column — only when its aggFn is
+    attributable, and only when the row's first non-group column holds a
+    number. Returns {"group_filters", "value_range_filter"} ready for
+    :func:`chart_drilldown_filters` / :func:`build_search_replay_params`."""
+    group_columns = extract_group_columns(config.group_by)
+    group_filters = [
+        {"column": col, "value": row[col]}
+        for col in group_columns
+        if row.get(col) is not None
+    ]
+    value_range_filter = None
+    first = config.select[0] if config.select else None
+    if first is not None:
+        agg_fn = None if isinstance(first, str) else first.agg_fn
+        attributable = agg_fn not in NON_ATTRIBUTABLE_AGG_FNS
+        if attributable:
+            value_expression = (
+                first if isinstance(first, str) else first.value_expression
+            )
+            group_set = set(group_columns)
+            value_column = next(
+                (k for k in row if k not in group_set), None
+            )
+            row_value = row.get(value_column) if value_column else None
+            if row_value is not None and isinstance(
+                row_value, (int, float)
+            ) and not isinstance(row_value, bool):
+                value_range_filter = {
+                    "expression": value_expression,
+                    "value": row_value,
+                }
+    return {
+        "group_filters": group_filters,
+        "value_range_filter": value_range_filter,
+    }

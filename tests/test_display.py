@@ -670,3 +670,44 @@ def test_search_replay_params_reference_twin():
     assert extract_group_columns("col1, col2") == ["col1", "col2"]
     assert extract_group_columns(["a", {"value_expression": "b"}]) == ["a", "b"]
     assert extract_group_columns(None) == []
+
+
+def test_table_row_drilldown_reference_twin():
+    """ChartUtils.tsx:1301-1368 buildTableRowSearchUrl's derivation: group
+    filters from row values of group columns, value-range from the first
+    select only when attributable and numeric."""
+    from hyperdx_spark.display import (
+        build_search_replay_params,
+        table_row_drilldown,
+    )
+    from hyperdx_spark.model import ChartConfig, SelectCol, Source
+
+    src = Source(table="events", timestamp_value_expression="ts")
+    cfg = ChartConfig(
+        source=src, group_by=["service"],
+        select=[SelectCol(agg_fn="avg", value_expression="duration")],
+    )
+    d = table_row_drilldown(cfg, {"service": "api", "avg_d": 120.0})
+    assert d["group_filters"] == [{"column": "service", "value": "api"}]
+    assert d["value_range_filter"] == {"expression": "duration", "value": 120.0}
+    # null group value skipped
+    d = table_row_drilldown(cfg, {"service": None, "avg_d": 120.0})
+    assert d["group_filters"] == []
+    # non-attributable aggFns (count/sum/count_distinct/increase): no range
+    for fn in ("count", "sum", "count_distinct", "increase"):
+        cfg2 = ChartConfig(
+            source=src, group_by=["service"],
+            select=[SelectCol(agg_fn=fn, value_expression="duration")],
+        )
+        assert table_row_drilldown(
+            cfg2, {"service": "api", "v": 5.0}
+        )["value_range_filter"] is None
+    # non-numeric first value column: no range filter
+    d = table_row_drilldown(cfg, {"service": "api", "name": "x"})
+    assert d["value_range_filter"] is None
+    # composes into the replay params with the ±5% BETWEEN
+    d = table_row_drilldown(cfg, {"service": "api", "avg_d": 100.0})
+    p = build_search_replay_params(cfg, **d)
+    assert [f["condition"] for f in p["filters"]] == [
+        "service IN ('api')", "duration BETWEEN 95 AND 105",
+    ]
