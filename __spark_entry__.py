@@ -4599,6 +4599,172 @@ def q_dedup_all(spark, sf_dir):
     )
 
 
+def q_trace_waterfall(spark, sf_dir):
+    """Trace waterfall + breakdown under the gate (mcp/tools/trace/
+    waterfall.ts + breakdown.ts): a deterministic span forest is derived
+    from events (trace = user_id % 50; spans form a binary-heap tree per
+    trace with parent idx = idx // 2; synthetic per-span timestamps make
+    sibling ordering unique), then
+
+    - ``wf`` rows: the FULL pre-order DFS of one trace — the oracle
+      rebuilds the tree with a recursive CTE and orders by the DFS path
+      (list of sibling timestamps), proving depth + execution order;
+    - ``pick`` rows: the slowest / first_error / most_recent trace
+      pickers (grouped max/min aggregates, LIMIT 1);
+    - ``bd`` rows: the top-time-consuming-operations breakdown (distinct
+      parent traces -> semi join -> (service, operation) aggregate with
+      parent rows excluded), one row per metric.
+    """
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from hyperdx_spark import traces
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("trace").orderBy("event_id")
+    base = (
+        ev.select(
+            (F.col("user_id") % 50).cast("long").alias("trace"),
+            "event_id", "value", "event_type",
+        )
+        .withColumn("idx", F.row_number().over(w).cast("long"))
+    )
+    spans = base.select(
+        F.concat(F.col("trace").cast("string"), F.lit("-"),
+                 F.col("idx").cast("string")).alias("span_id"),
+        F.when(F.col("idx") == 1, F.lit("")).otherwise(
+            F.concat(F.col("trace").cast("string"), F.lit("-"),
+                     (F.col("idx") / 2).cast("long").cast("string"))
+        ).alias("parent_span_id"),
+        F.col("trace").cast("string").alias("trace_id"),
+        (F.lit(datetime(2024, 1, 1)).cast("timestamp")
+         + F.make_interval(secs=(F.col("trace") * 100000 + F.col("idx"))
+                           .cast("double"))).alias("ts"),
+        F.floor("value").cast("double").alias("dur"),
+        F.col("event_type").alias("service"),
+        F.concat(F.lit("op"), (F.col("idx") % 5).cast("string")).alias("name"),
+        F.when(F.col("event_type") == "error",
+               F.lit("STATUS_CODE_ERROR")).otherwise(
+            F.lit("STATUS_CODE_OK")).alias("status_code"),
+    )
+    tmp = tempfile.mkdtemp(prefix="hdx_spans_")
+    spans.coalesce(2).write.mode("overwrite").parquet(f"{tmp}/spans.parquet")
+    src = Source(
+        table="spans", kind="trace", timestamp_value_expression="ts",
+        trace_id_expression="trace_id", span_id_expression="span_id",
+        parent_span_id_expression="parent_span_id",
+        span_name_expression="name", service_name_expression="service",
+        duration_expression="dur", duration_precision=3,
+        status_code_expression="status_code",
+    )
+    rng = (datetime(2024, 1, 1), datetime(2024, 7, 1))
+    rows = []
+
+    wf = traces.trace_waterfall(spark, src, tmp, trace_id="7", max_spans=2000)
+    rows += [
+        ("wf", i, f"{s['spanId']}|{s['parentSpanId']}|{s['depth']}",
+         s["durationMs"])
+        for i, s in enumerate(wf["spans"])
+    ]
+    for mode in ("slowest", "first_error", "most_recent"):
+        picked = traces.pick_trace(
+            spark, src, tmp, date_range=rng, pick_by=mode
+        )
+        rows.append((f"pick|{mode}", 0, picked, 0.0))
+    bd = traces.trace_breakdown(
+        spark, src, tmp, parent_filter_sql="name = 'op1'", date_range=rng,
+        min_parent_duration_ms=50, top_n=10,
+    ).collect()
+    for r in bd:
+        key = f"{r['service']}|{r['operation']}"
+        rows += [
+            ("bd|total", 0, key, round(r["total_time_ms"], 4)),
+            ("bd|calls", 0, key, float(r["calls"])),
+            ("bd|inpar", 0, key, float(r["in_parents"])),
+            ("bd|p50", 0, key, round(r["p50_ms"], 4)),
+            ("bd|p99", 0, key, round(r["p99_ms"], 4)),
+        ]
+    return spark.createDataFrame(
+        rows, "part string, k long, s string, v double"
+    )
+
+
+O_TRACE_WATERFALL = r"""
+WITH RECURSIVE base AS (
+  SELECT user_id % 50 AS trace,
+         row_number() OVER (PARTITION BY user_id % 50 ORDER BY event_id) AS idx,
+         value, event_type
+  FROM events),
+spans AS (
+  SELECT trace, idx,
+         trace::VARCHAR || '-' || idx::VARCHAR AS span_id,
+         CASE WHEN idx = 1 THEN ''
+              ELSE trace::VARCHAR || '-' || (idx // 2)::VARCHAR END AS parent,
+         TIMESTAMP '2024-01-01' + to_seconds(trace * 100000 + idx) AS ts,
+         floor(value) AS dur,
+         event_type AS service,
+         'op' || (idx % 5)::VARCHAR AS name,
+         CASE WHEN event_type = 'error' THEN 'STATUS_CODE_ERROR'
+              ELSE 'STATUS_CODE_OK' END AS status_code
+  FROM base),
+t AS (SELECT * FROM spans WHERE trace = 7),
+tree AS (
+  SELECT span_id, parent, dur, 0 AS depth, [ts] AS path
+  FROM t WHERE parent = ''
+  UNION ALL
+  SELECT c.span_id, c.parent, c.dur, tree.depth + 1,
+         list_append(tree.path, c.ts)
+  FROM t c JOIN tree ON c.parent = tree.span_id),
+wf AS (
+  SELECT 'wf' AS part,
+         row_number() OVER (ORDER BY path) - 1 AS k,
+         span_id || '|' || parent || '|' || depth::VARCHAR AS s,
+         dur AS v
+  FROM tree),
+picks AS (
+  SELECT 'pick|slowest' AS part, 0::BIGINT AS k,
+         (SELECT trace::VARCHAR FROM spans GROUP BY trace
+          ORDER BY max(dur) DESC LIMIT 1) AS s, 0.0 AS v
+  UNION ALL
+  SELECT 'pick|first_error', 0,
+         (SELECT trace::VARCHAR FROM spans
+          WHERE status_code = 'STATUS_CODE_ERROR'
+          GROUP BY trace ORDER BY min(ts) ASC LIMIT 1), 0.0
+  UNION ALL
+  SELECT 'pick|most_recent', 0,
+         (SELECT trace::VARCHAR FROM spans GROUP BY trace
+          ORDER BY max(ts) DESC LIMIT 1), 0.0),
+parents AS (
+  SELECT DISTINCT trace FROM spans
+  WHERE name = 'op1' AND dur >= 50),
+children AS (
+  SELECT * FROM spans
+  WHERE NOT (name = 'op1') AND trace IN (SELECT trace FROM parents)),
+bd AS (
+  SELECT service, name,
+         sum(dur) AS total, count(*)::DOUBLE AS calls,
+         count(DISTINCT trace)::DOUBLE AS inpar,
+         quantile_cont(dur, 0.5) AS p50, quantile_cont(dur, 0.99) AS p99
+  FROM children GROUP BY 1, 2
+  ORDER BY total DESC LIMIT 10),
+bdrows AS (
+  SELECT 'bd|total' AS part, 0::BIGINT AS k, service || '|' || name AS s,
+         round(total, 4) AS v FROM bd
+  UNION ALL
+  SELECT 'bd|calls', 0, service || '|' || name, calls FROM bd
+  UNION ALL
+  SELECT 'bd|inpar', 0, service || '|' || name, inpar FROM bd
+  UNION ALL
+  SELECT 'bd|p50', 0, service || '|' || name, round(p50, 4) FROM bd
+  UNION ALL
+  SELECT 'bd|p99', 0, service || '|' || name, round(p99, 4) FROM bd)
+SELECT * FROM wf
+UNION ALL SELECT * FROM picks
+UNION ALL SELECT * FROM bdrows
+"""
+
+
 def q_service_map(spark, sf_dir):
     """APM service dependency graph (useServiceMap.tsx:28-192): spans are
     derived deterministically from events (8-span traces, alternating
@@ -5401,10 +5567,11 @@ ORDER BY ts, event_id LIMIT 300
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Exactly 51 entries — one per operator family from SURVEY.md SS2 plus
+    """Exactly 52 entries — one per operator family from SURVEY.md SS2 plus
     the training-data pipeline ops, all inside the driver's correctness
-    gate (r13 adds q_stream_notify: the streaming alert→notify composition
-    proven hash-equal to the batch render under the oracle). Same-family variants are tag-unioned (see the consolidated
+    gate (r13 adds q_stream_notify — the streaming alert→notify composition
+    proven hash-equal to the batch render — and q_trace_waterfall — the
+    MCP trace tools with a recursive-CTE DFS oracle). Same-family variants are tag-unioned (see the consolidated
     section above); TPC-H q3/q5ish/top-customers live in tests only.
 
     ROUND-7: the canonical set is restored (VERDICT r6 #1). The r6
@@ -5476,6 +5643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_all": q_dedup_all,
         "q_neardup_pairs": q_neardup_pairs,
         "q_service_map": q_service_map,
+        "q_trace_waterfall": q_trace_waterfall,
         "q_ann_indexed": q_ann_indexed,
         "q_multimodal_features": q_multimodal_features,
     }
@@ -5532,6 +5700,7 @@ def oracle_sql() -> dict[str, str]:
         "q_dedup_all": O_DEDUP_ALL,
         "q_neardup_pairs": O_NEARDUP_PAIRS,
         "q_service_map": O_SERVICE_MAP,
+        "q_trace_waterfall": O_TRACE_WATERFALL,
         "q_ann_indexed": O_ANN_INDEXED,
         # decode itself is not SQL-expressible, but the entry's projection is
         # a closed form of the document byte length — full hash check:

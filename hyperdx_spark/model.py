@@ -78,6 +78,11 @@ class Source:
     known_columns_list_expression: Optional[str] = None  # SELECT-* fallback
     status_code_expression: Optional[str] = None  # trace severity role
     span_name_expression: Optional[str] = None  # trace body role
+    # Trace waterfall/breakdown roles (mcp/tools/trace/*.ts)
+    parent_span_id_expression: Optional[str] = None
+    span_kind_expression: Optional[str] = None
+    status_message_expression: Optional[str] = None
+    event_attributes_expression: Optional[str] = None
     # DEPRECATED application-side row predicate (types.ts logs sources;
     # honored for backward compatibility by build_search_chart_config, which
     # prepends it as a SQL filter so every consumer of the source sees the
