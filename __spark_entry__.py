@@ -4599,6 +4599,90 @@ def q_dedup_all(spark, sf_dir):
     )
 
 
+def q_emerging_signals(spark, sf_dir):
+    """Emerging & disappeared signals under the gate
+    (mcp/tools/query/emergingSignals.ts): bodies synthesized from events
+    (current-window error events become a brand-new 'newsvc crashed'
+    template; everything else keeps the per-event-type template), both
+    windows fully covered by the mining sample so shares are EXACT, and
+    the DuckDB oracle recomputes the template shares + the classifyShift
+    rule (cross-multiplied ratio with the 1e-9 relative tolerance,
+    brand-new floor = 2/sampled) + the JS share rounding."""
+    from hyperdx_spark.analytics import signals
+
+    split = datetime(2024, 1, 16)
+    ev = load_table(spark, sf_dir, "events")
+    body = F.when(
+        (F.col("ts") >= F.lit(split)) & (F.col("event_type") == "error"),
+        F.concat(F.lit("newsvc crashed at "),
+                 F.floor("value").cast("string"), F.lit(" ms")),
+    ).otherwise(
+        F.concat(F.col("event_type"), F.lit(" user "),
+                 (F.col("user_id") % 7).cast("string"), F.lit(" took "),
+                 F.floor("value").cast("string"), F.lit(" ms"))
+    )
+    df = ev.select("ts", body.alias("body"))
+    out = signals.emerging_signals(
+        df.where(F.col("ts") >= F.lit(split)),
+        df.where(F.col("ts") < F.lit(split)),
+        text_col="body",
+        sample_size=50_000,
+        current_range=(split, datetime(2024, 2, 1)),
+        baseline_range=(datetime(2024, 1, 1), split),
+    )
+    rows = [
+        (part, e["pattern"], e["current_share"], e["baseline_share"],
+         float(e["current_estimated_count"]),
+         float(e["baseline_estimated_count"]), e["status"])
+        for part, lst in (("em", out["emerging"]), ("dis", out["disappeared"]))
+        for e in lst
+    ]
+    rows.append((
+        "sampled", "", float(out["summary"]["current"]["sampled"]),
+        float(out["summary"]["baseline"]["sampled"]), 0.0, 0.0, "",
+    ))
+    return spark.createDataFrame(
+        rows,
+        "part string, pattern string, cur double, base double,"
+        " cur_n double, base_n double, status string",
+    )
+
+
+O_EMERGING_SIGNALS = r"""
+WITH b AS (
+  SELECT CASE WHEN ts >= TIMESTAMP '2024-01-16' AND event_type = 'error'
+              THEN 'newsvc crashed at <*> ms'
+              ELSE event_type || ' user <*> took <*> ms' END AS pattern,
+         (ts >= TIMESTAMP '2024-01-16') AS is_cur
+  FROM events),
+counts AS (
+  SELECT pattern,
+         count(*) FILTER (is_cur)::DOUBLE AS cn,
+         count(*) FILTER (NOT is_cur)::DOUBLE AS bn
+  FROM b GROUP BY 1),
+tot AS (SELECT sum(cn) AS ct, sum(bn) AS bt FROM counts),
+shares AS (
+  SELECT pattern, cn, bn, cn / ct AS cs, bn / bt AS bs FROM counts, tot),
+cls AS (
+  SELECT *, CASE
+      WHEN bs = 0 THEN (CASE WHEN cs >= 2.0 / (SELECT ct FROM tot)
+                             THEN 'em' END)
+      WHEN cs > bs AND cs >= 3 * bs * (1 - 1e-9) THEN 'em'
+      WHEN cs = 0 OR (bs > cs AND bs >= 3 * cs * (1 - 1e-9)) THEN 'dis'
+      END AS part
+  FROM shares)
+SELECT part, pattern,
+       floor(cs * 10000 + 0.5) / 10000 AS cur,
+       floor(bs * 10000 + 0.5) / 10000 AS base,
+       cn AS cur_n, bn AS base_n,
+       CASE WHEN bs = 0 THEN 'new' WHEN cs = 0 THEN 'gone'
+            ELSE 'shifted' END AS status
+FROM cls WHERE part IS NOT NULL
+UNION ALL
+SELECT 'sampled', '', ct, bt, 0.0, 0.0, '' FROM tot
+"""
+
+
 def q_trace_waterfall(spark, sf_dir):
     """Trace waterfall + breakdown under the gate (mcp/tools/trace/
     waterfall.ts + breakdown.ts): a deterministic span forest is derived
@@ -5567,7 +5651,7 @@ ORDER BY ts, event_id LIMIT 300
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Exactly 52 entries — one per operator family from SURVEY.md SS2 plus
+    """Exactly 53 entries — one per operator family from SURVEY.md SS2 plus
     the training-data pipeline ops, all inside the driver's correctness
     gate (r13 adds q_stream_notify — the streaming alert→notify composition
     proven hash-equal to the batch render — and q_trace_waterfall — the
@@ -5644,6 +5728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_neardup_pairs": q_neardup_pairs,
         "q_service_map": q_service_map,
         "q_trace_waterfall": q_trace_waterfall,
+        "q_emerging_signals": q_emerging_signals,
         "q_ann_indexed": q_ann_indexed,
         "q_multimodal_features": q_multimodal_features,
     }
@@ -5701,6 +5786,7 @@ def oracle_sql() -> dict[str, str]:
         "q_neardup_pairs": O_NEARDUP_PAIRS,
         "q_service_map": O_SERVICE_MAP,
         "q_trace_waterfall": O_TRACE_WATERFALL,
+        "q_emerging_signals": O_EMERGING_SIGNALS,
         "q_ann_indexed": O_ANN_INDEXED,
         # decode itself is not SQL-expressible, but the entry's projection is
         # a closed form of the document byte length — full hash check:
