@@ -761,3 +761,90 @@ def reconstruct_template(original_log: str, template_mined: str) -> str:
         else:
             out.append(m.group(2))
     return "".join(out)
+
+
+def denoise_search_results(
+    rows: list,
+    sample_rows: list,
+    *,
+    body_column: str,
+    total_count: int,
+    noise_threshold: float = DENOISE_NOISE_THRESHOLD,
+) -> dict:
+    """mcp/tools/query/denoise.ts denoiseSearchResults: mine patterns from
+    a SAMPLE, mark templates covering more than ``noise_threshold`` (10%)
+    of it as noisy, train a matching miner on the same sample, and drop
+    result rows whose matched template is noisy. Rows with a null body or
+    no template match are KEPT; the body column resolves case-
+    insensitively against the result keys (ClickHouse may return the
+    expression under a simplified alias). Noisy templates key by TEMPLATE
+    STRING, not cluster id — ids are miner-local.
+
+    ``rows``/``sample_rows`` are driver-side dicts (the search results,
+    bounded by the search limit — the reference's own shape). Returns
+    ``{rows, removed_patterns, skipped?}``."""
+
+    def body_of(row) -> str:
+        raw = row.get("__hdx_pattern_body")
+        return str(raw) if raw is not None else ""
+
+    if not sample_rows:
+        return {"rows": rows, "removed_patterns": [],
+                "skipped": "no_sample_data"}
+
+    # mine over the sample bodies (driver Drain, maxSamples minimized)
+    miner0 = Drain()
+    counts: dict[int, int] = {}
+    for r in sample_rows:
+        cluster, _ = miner0.add_log_message(flatten_body(body_of(r)))
+        counts[cluster.cluster_id] = counts.get(cluster.cluster_id, 0) + 1
+    sampled = len(sample_rows)
+    multiplier = total_count / sampled if total_count > 0 else 1.0
+    noisy: set[str] = set()
+    removed = []
+    for c in miner0.clusters.values():
+        n = counts.get(c.cluster_id, 0)
+        if n / sampled > noise_threshold:
+            tpl = c.template()
+            noisy.add(tpl)
+            removed.append({
+                "pattern": tpl,
+                "estimated_count": round(n * multiplier),
+                "sample_count": n,
+            })
+    if not noisy:
+        return {"rows": rows, "removed_patterns": []}
+
+    # a fresh miner trained on the same sample does the row matching
+    miner = TemplateMiner()
+    for r in sample_rows:
+        miner.add_log_message(flatten_body(body_of(r)))
+
+    if not rows:
+        return {"rows": rows, "removed_patterns": removed}
+    key = _find_body_column_key(rows[0], body_column)
+    if key is None:
+        return {"rows": rows, "removed_patterns": [],
+                "skipped": "body_column_not_in_results"}
+
+    kept = []
+    for row in rows:
+        v = row.get(key)
+        if v is None:
+            kept.append(row)  # no body: keep
+            continue
+        m = miner.match(flatten_body(str(v)), "fallback")
+        if m is None or m.template() not in noisy:
+            kept.append(row)
+    return {"rows": kept, "removed_patterns": removed}
+
+
+def _find_body_column_key(row: dict, body_column: str):
+    """denoise.ts findBodyColumnKey: direct, then case-insensitive."""
+    if body_column in row:
+        return body_column
+    lower = body_column.lower()
+    for k in row:
+        if k.lower() == lower:
+            return k
+    return None

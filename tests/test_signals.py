@@ -106,3 +106,98 @@ def test_emerging_signals_rejects_overlapping_windows(spark):
         baseline_range=(datetime(2024, 1, 1, 0), datetime(2024, 1, 1, 1)),
     )
     assert out["summary"]["emerging_count"] == 0
+
+
+def test_denoise_search_results_reference_twin():
+    """mcp/tools/query/denoise.ts: templates over 10% of the sample are
+    noisy; matching rows drop; null-body and unmatched rows are kept;
+    the body column resolves case-insensitively; template-string keying."""
+    from hyperdx_spark.analytics.drain import denoise_search_results
+
+    sample = [
+        {"__hdx_pattern_body": f"heartbeat from node {i % 3}"}
+        for i in range(90)
+    ] + [{"__hdx_pattern_body": f"user {i} logged in"} for i in range(5)] + [
+        {"__hdx_pattern_body": f"db query took {i} ms"} for i in range(5)
+    ]
+    rows = [
+        {"Body": "heartbeat from node 7", "x": 1},   # noisy -> dropped
+        {"Body": "user 99 logged in", "x": 2},       # 5% share -> kept
+        {"Body": None, "x": 3},                      # null body -> kept
+        {"Body": "completely novel line", "x": 4},   # no match -> kept
+    ]
+    out = denoise_search_results(
+        rows, sample, body_column="body", total_count=1000
+    )
+    assert [r["x"] for r in out["rows"]] == [2, 3, 4]
+    assert out["removed_patterns"] == [{
+        "pattern": "heartbeat from node <*>",
+        "estimated_count": 900, "sample_count": 90,
+    }]
+    # empty sample short-circuits; nothing noisy returns rows untouched
+    assert denoise_search_results(rows, [], body_column="Body",
+                                  total_count=0)["skipped"] == "no_sample_data"
+    # 20 distinct ALPHABETIC leading tokens x 5 rows: every template at 5%
+    # < 10% (digit-bearing first tokens would wildcard in the Drain tree
+    # and collapse into one cluster)
+    quiet = [
+        {"__hdx_pattern_body":
+         f"{'abcdefghijklmnopqrst'[i % 20]}svc handled request {i}"}
+        for i in range(100)
+    ]
+    out = denoise_search_results(rows, quiet, body_column="Body",
+                                 total_count=100)
+    assert len(out["rows"]) == 4 and out["removed_patterns"] == []
+    # unknown body column: skipped, rows untouched
+    out = denoise_search_results(
+        rows, sample, body_column="NoSuchCol", total_count=100
+    )
+    assert out["skipped"] == "body_column_not_in_results"
+
+
+def test_tool_helpers_reference_twins():
+    """helpers.ts:52-271 — where-merge matrix, time-range parsing, body
+    expression guard."""
+    from datetime import datetime
+
+    from hyperdx_spark.toolhelpers import (
+        is_safe_body_expression,
+        merge_where_into_select_items as m,
+        parse_time_range,
+    )
+
+    items = [
+        {"agg_fn": "count", "where": "a:1", "where_language": "lucene"},
+        {"agg_fn": "count"},
+        {"agg_fn": "count", "where": "x = 1", "where_language": "sql"},
+    ]
+    merged, warnings = m(items, "svc:api", "lucene")
+    assert merged[0]["where"] == "(svc:api) AND (a:1)"
+    assert merged[1]["where"] == "svc:api"
+    assert merged[1]["where_language"] == "lucene"
+    assert merged[2]["where"] == "x = 1"  # language mismatch: untouched
+    assert len(warnings) == 1 and "select[2]" in warnings[0]
+    assert m(items, "", "lucene") == (items, [])
+
+    now = datetime(2024, 1, 1, 12, 0)
+    r = parse_time_range("2024-01-01T10:00:00Z", "2024-01-01T11:00:00Z",
+                         now=now)
+    assert r == {"start_date": datetime(2024, 1, 1, 10),
+                 "end_date": datetime(2024, 1, 1, 11)}
+    # missing end -> now; missing start -> end - 15m
+    r = parse_time_range(None, None, now=now)
+    assert r["end_date"] == now
+    assert r["start_date"] == datetime(2024, 1, 1, 11, 45)
+    assert "error" in parse_time_range("garbage", None, now=now)
+    assert "error" in parse_time_range(
+        "2024-01-01T11:00:00Z", "2024-01-01T10:00:00Z", now=now
+    )
+    assert "error" in parse_time_range(
+        "2024-01-01T10:00:00Z", "2024-01-01T10:00:00Z", now=now
+    )
+
+    assert is_safe_body_expression("Body")
+    assert is_safe_body_expression("SpanAttributes['http.url']")
+    assert is_safe_body_expression("Events.Name")
+    assert not is_safe_body_expression("concat(a, b)")
+    assert not is_safe_body_expression("Body; DROP TABLE x")
