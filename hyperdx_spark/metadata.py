@@ -304,3 +304,118 @@ def get_all_key_values(
         for j, k in enumerate(chunk):
             out[k] = list(row[f"key{j}"])
     return out
+
+
+# ---------------------------------------------------------------------------
+# Metric catalog listing (mcp/tools/sources/listMetrics.ts)
+# ---------------------------------------------------------------------------
+
+#: listMetrics.ts — the kinds a catalog page iterates, in order (summary is
+#: not queryable)
+QUERYABLE_METRIC_KINDS = ("gauge", "sum", "histogram", "exponential histogram")
+
+
+def encode_metrics_cursor(kind: str, last_name: str) -> str:
+    """listMetrics.ts:41-43 encodeCursor: base64(JSON({kind, lastName}))."""
+    import base64
+    import json
+
+    return base64.b64encode(
+        json.dumps({"kind": kind, "lastName": last_name}).encode("utf-8")
+    ).decode("ascii")
+
+
+def decode_metrics_cursor(raw: str):
+    """listMetrics.ts:46-66 decodeCursor: None (never an exception) for
+    malformed base64/JSON, missing fields, or an unknown kind."""
+    import base64
+    import json
+
+    try:
+        parsed = json.loads(base64.b64decode(raw).decode("utf-8"))
+        if (
+            isinstance(parsed, dict)
+            and isinstance(parsed.get("kind"), str)
+            and isinstance(parsed.get("lastName"), str)
+            and parsed["kind"] in QUERYABLE_METRIC_KINDS
+        ):
+            return {"kind": parsed["kind"], "lastName": parsed["lastName"]}
+    except Exception:
+        pass
+    return None
+
+
+def list_metrics(
+    tables,
+    *,
+    date_range=None,
+    kind: Optional[str] = None,
+    name_pattern: Optional[str] = None,
+    cursor: Optional[str] = None,
+    limit: int = 50,
+    name_col: str = "MetricName",
+    ts_col: str = "TimeUnix",
+    unit_col: str = "MetricUnit",
+    desc_col: str = "MetricDescription",
+) -> dict:
+    """Keyset-paginated metric catalog (listMetrics.ts:140-460): iterate
+    the queryable kinds in order (resuming at the cursor's kind), page
+    each kind's table by ``MetricName > lastName`` ordered ASC, ILIKE
+    name filter, one DISTINCT name per row with anyLast unit/description
+    when those columns exist; fetch one extra row per kind to detect
+    more-data-available and emit the next cursor at the page cap.
+
+    ``tables``: {kind: DataFrame}. Returns {"metrics": [...],
+    "next_cursor": str | None}. Scale: every page is a pushed-filter scan
+    + one partial-aggregated groupBy + TakeOrdered(limit+1) — never a
+    full catalog materialization."""
+    cur = decode_metrics_cursor(cursor) if cursor else None
+    requested = [kind] if kind else list(QUERYABLE_METRIC_KINDS)
+    start_idx = 0
+    if cur and cur["kind"] in requested:
+        start_idx = requested.index(cur["kind"])
+
+    metrics: list[dict] = []
+    next_cursor = None
+    for i in range(start_idx, len(requested)):
+        k = requested[i]
+        df = tables.get(k)
+        if df is None:
+            continue
+        after = cur["lastName"] if (cur and cur["kind"] == k and i == start_idx) else None
+        remaining = limit - len(metrics)
+        if remaining <= 0:
+            break
+        d = df
+        if date_range is not None and ts_col in d.columns:
+            d = d.where(
+                (F.col(ts_col) >= F.lit(date_range[0]))
+                & (F.col(ts_col) <= F.lit(date_range[1]))
+            )
+        if after is not None:
+            d = d.where(F.col(name_col) > F.lit(after))
+        if name_pattern:
+            d = d.where(F.col(name_col).ilike(name_pattern))
+        aggs = []
+        if unit_col in d.columns:
+            aggs.append(F.last(unit_col, ignorenulls=True).alias("__unit"))
+        if desc_col in d.columns:
+            aggs.append(F.last(desc_col, ignorenulls=True).alias("__desc"))
+        g = d.groupBy(F.col(name_col).alias("__name"))
+        page = (g.agg(*aggs) if aggs else g.count().drop("count"))
+        rows = page.orderBy("__name").limit(remaining + 1).collect()
+        entries = []
+        for r in rows:
+            e = {"name": r["__name"], "kind": k}
+            if "__unit" in r.asDict() and r["__unit"]:
+                e["unit"] = r["__unit"]
+            if "__desc" in r.asDict() and r["__desc"]:
+                e["description"] = r["__desc"]
+            entries.append(e)
+        if len(entries) > remaining:
+            truncated = entries[:remaining]
+            metrics.extend(truncated)
+            next_cursor = encode_metrics_cursor(k, truncated[-1]["name"])
+            break
+        metrics.extend(entries)
+    return {"metrics": metrics, "next_cursor": next_cursor}

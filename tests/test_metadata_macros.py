@@ -560,3 +560,90 @@ def test_source_table_macro_arg_counts():
     assert get_source_table_macro_arg_counts(
         "FROM $__sourceTable JOIN $__sourceTable(gauge)"
     ) == [0, 1]
+
+
+def test_list_metrics_cursor_roundtrip():
+    """listMetricsCursor.test.ts: base64 round-trips for every queryable
+    kind incl. unicode names; decode rejects malformed input, missing
+    fields, and unknown kinds (None, never an exception)."""
+    from hyperdx_spark.metadata import (
+        decode_metrics_cursor as dec,
+        encode_metrics_cursor as enc,
+    )
+
+    for kind in ("gauge", "sum", "histogram", "exponential histogram"):
+        c = enc(kind, "http.server.request.duration")
+        assert dec(c) == {"kind": kind,
+                          "lastName": "http.server.request.duration"}
+    c = enc("gauge", "system.cpu.utilization-µ.naïve")
+    assert dec(c)["lastName"] == "system.cpu.utilization-µ.naïve"
+    assert dec("!!!not base64!!!") is None
+    assert dec("") is None
+    import base64
+
+    assert dec(base64.b64encode(b"[1,2]").decode()) is None
+    assert dec(base64.b64encode(b'{"kind":"summary","lastName":"x"}').decode()) is None
+    assert dec(base64.b64encode(b'{"kind":"gauge"}').decode()) is None
+
+
+def test_list_metrics_keyset_pagination(spark):
+    """listMetrics.ts paging loop: kind order, MetricName keyset cursor,
+    ILIKE pattern, unit/description projection when present, the +1-row
+    more-data probe, cross-kind page fill."""
+    from datetime import datetime
+
+    from hyperdx_spark.metadata import decode_metrics_cursor, list_metrics
+
+    gauge = spark.createDataFrame(
+        [(f"g.metric.{i:02d}", datetime(2024, 1, 1, i), f"u{i}", f"d{i}")
+         for i in range(6)],
+        "MetricName string, TimeUnix timestamp, MetricUnit string,"
+        " MetricDescription string",
+    )
+    # sum table without the optional OTel columns
+    summ = spark.createDataFrame(
+        [(f"s.metric.{i}", datetime(2024, 1, 1, i)) for i in range(3)],
+        "MetricName string, TimeUnix timestamp",
+    )
+    tables = {"gauge": gauge, "sum": summ}
+
+    # page 1: limit 4 -> 4 gauge entries + a cursor into gauge
+    out = list_metrics(tables, limit=4)
+    assert [m["name"] for m in out["metrics"]] == [
+        "g.metric.00", "g.metric.01", "g.metric.02", "g.metric.03",
+    ]
+    assert out["metrics"][0] == {
+        "name": "g.metric.00", "kind": "gauge", "unit": "u0",
+        "description": "d0",
+    }
+    c = decode_metrics_cursor(out["next_cursor"])
+    assert c == {"kind": "gauge", "lastName": "g.metric.03"}
+
+    # page 2 resumes mid-gauge and fills across kinds (sum rows lack
+    # unit/description and omit the keys)
+    out = list_metrics(tables, cursor=out["next_cursor"], limit=4)
+    assert [(m["name"], m["kind"]) for m in out["metrics"]] == [
+        ("g.metric.04", "gauge"), ("g.metric.05", "gauge"),
+        ("s.metric.0", "sum"), ("s.metric.1", "sum"),
+    ]
+    assert "unit" not in out["metrics"][2]
+    c = decode_metrics_cursor(out["next_cursor"])
+    assert c == {"kind": "sum", "lastName": "s.metric.1"}
+
+    # final page: no more-data probe hit -> no cursor
+    out = list_metrics(tables, cursor=out["next_cursor"], limit=4)
+    assert [m["name"] for m in out["metrics"]] == ["s.metric.2"]
+    assert out["next_cursor"] is None
+
+    # kind pin + ILIKE pattern + time window
+    out = list_metrics(tables, kind="gauge", name_pattern="%METRIC.0[12]%")
+    assert out["metrics"] == []  # ILIKE is not regex: brackets literal
+    out = list_metrics(tables, kind="gauge", name_pattern="%metric.0_%")
+    assert len(out["metrics"]) == 6
+    out = list_metrics(
+        tables, kind="gauge",
+        date_range=(datetime(2024, 1, 1, 2), datetime(2024, 1, 1, 4)),
+    )
+    assert [m["name"] for m in out["metrics"]] == [
+        "g.metric.02", "g.metric.03", "g.metric.04",
+    ]
