@@ -201,3 +201,141 @@ def test_tool_helpers_reference_twins():
     assert is_safe_body_expression("Events.Name")
     assert not is_safe_body_expression("concat(a, b)")
     assert not is_safe_body_expression("Body; DROP TABLE x")
+
+
+def test_resolve_order_by_reference_matrix():
+    """query.test.ts resolveOrderBy describe walked verbatim."""
+    from hyperdx_spark.toolhelpers import resolve_order_by as r
+
+    assert r(None, [{"agg_fn": "count"}]) is None
+    assert r("SpanName", [{"agg_fn": "count"}]) == "SpanName"
+    assert r("Total", [{"agg_fn": "count", "alias": "Total"}]) == "Total"
+    # canonical alias case for case-insensitive matches, direction kept
+    assert r("total", [{"agg_fn": "count", "alias": "Total"}]) == "Total"
+    assert r("TOTAL DESC", [{"agg_fn": "count", "alias": "Total"}]) == "Total DESC"
+    assert r("count", [{"agg_fn": "count"}]) == "count()"
+    assert r("avg", [{"agg_fn": "avg", "value_expression": "Duration"}]) == "avg(Duration)"
+    assert r("quantile", [{"agg_fn": "quantile", "value_expression": "Duration",
+                           "level": 0.99}]) == "quantile(0.99)(Duration)"
+    # alias beats synthesis; multi-word aliases quote (either match path)
+    assert r("count", [{"agg_fn": "count", "alias": "Total"}]) == "Total"
+    assert r("count", [{"agg_fn": "count", "alias": "Total Rows"}]) == '"Total Rows"'
+    q = [{"agg_fn": "quantile", "value_expression": "Duration",
+          "alias": "P95 Latency"}]
+    assert r("P95 Latency", q) == '"P95 Latency"'
+    assert r("p95 latency DESC", q) == '"P95 Latency" DESC'
+    assert r('"P95 Latency" DESC', q) == '"P95 Latency" DESC'
+    assert r("`P95 Latency`", q) == '"P95 Latency"'
+    # aggFn matching is case-insensitive; count_distinct synthesizes DISTINCT
+    assert r("Count", [{"agg_fn": "count"}]) == "count()"
+    assert r("AVG", [{"agg_fn": "avg", "value_expression": "Duration"}]) == "avg(Duration)"
+    assert r("count_distinct", [{"agg_fn": "count_distinct",
+                                 "value_expression": "UserId"}]) == "count(DISTINCT UserId)"
+    assert r("count_distinct DESC", [{"agg_fn": "count_distinct",
+                                      "value_expression": "UserId"}]) == "count(DISTINCT UserId) DESC"
+    # none / increase / level-less quantile pass through untouched
+    assert r("none", [{"agg_fn": "none", "value_expression": "Duration / 1e6"}]) == "none"
+    assert r("increase", [{"agg_fn": "increase", "value_expression": "Value"}]) == "increase"
+    assert r("quantile", [{"agg_fn": "quantile", "value_expression": "Duration"}]) == "quantile"
+    assert r("count DESC", [{"agg_fn": "count"}]) == "count() DESC"
+    assert r("avg ASC", [{"agg_fn": "avg", "value_expression": "Duration"}]) == "avg(Duration) ASC"
+
+
+def test_metric_select_validation_reference_matrix():
+    """query.test.ts getMetricSelectIssues / validateMetricSelectItems /
+    applyMetricSelectDefaults describes walked."""
+    from hyperdx_spark.toolhelpers import (
+        apply_metric_select_defaults,
+        assert_source_kind_matches_select,
+        get_metric_select_issues as g,
+        validate_metric_select_items,
+    )
+
+    assert g({"agg_fn": "count"}) == []
+    assert g({"agg_fn": "avg", "value_expression": "Duration"}) == []
+    issues = g({"agg_fn": "avg"})
+    assert len(issues) == 1 and issues[0]["path"] == ["valueExpression"]
+    assert "required for non-count" in issues[0]["message"]
+    assert g({"agg_fn": "avg", "metric_type": "gauge",
+              "metric_name": "cpu"}) == []
+    issues = g({"agg_fn": "count", "value_expression": "x"})
+    assert len(issues) == 1 and issues[0]["path"] == ["valueExpression"]
+    assert any(i["path"][0] == "metricName"
+               for i in g({"agg_fn": "avg", "metric_type": "gauge",
+                           "value_expression": "Value"}))
+    assert any(i["path"][0] == "metricType"
+               for i in g({"agg_fn": "avg", "metric_name": "cpu",
+                           "value_expression": "Value"}))
+    assert any(i["path"][0] == "aggFn"
+               for i in g({"agg_fn": "increase", "metric_type": "gauge",
+                           "metric_name": "cpu"}))
+    assert g({"agg_fn": "increase", "metric_type": "sum",
+              "metric_name": "reqs"}) == []
+    assert any(i["path"][0] == "aggFn"
+               for i in g({"agg_fn": "avg", "metric_type": "histogram",
+                           "metric_name": "d"}))
+    assert g({"agg_fn": "count", "metric_type": "histogram",
+              "metric_name": "d"}) == []
+    assert any(i["path"][0] == "level"
+               for i in g({"agg_fn": "quantile", "metric_type": "histogram",
+                           "metric_name": "d"}))
+    assert g({"agg_fn": "quantile", "metric_type": "histogram",
+              "metric_name": "d", "level": 0.95}) == []
+    assert any(i["path"][0] == "aggFn"
+               for i in g({"agg_fn": "avg",
+                           "metric_type": "exponential histogram",
+                           "metric_name": "d"}))
+    assert g({"agg_fn": "count", "metric_type": "exponential histogram",
+              "metric_name": "d"}) == []
+    assert any(i["path"][0] == "level"
+               for i in g({"agg_fn": "quantile",
+                           "metric_type": "exponential histogram",
+                           "metric_name": "d"}))
+    assert g({"agg_fn": "quantile", "metric_type": "exponential histogram",
+              "metric_name": "d", "level": 0.99}) == []
+    assert any(i["path"][0] == "isDelta"
+               for i in g({"agg_fn": "sum", "metric_type": "sum",
+                           "metric_name": "x", "is_delta": True}))
+    assert g({"agg_fn": "avg", "metric_type": "gauge", "metric_name": "x",
+              "is_delta": True}) == []
+    assert any(i["path"][0] == "level"
+               for i in g({"agg_fn": "avg", "value_expression": "d",
+                           "level": 0.5}))
+
+    # validateMetricSelectItems: None when valid; select[idx].<path> labels
+    assert validate_metric_select_items(
+        [{"agg_fn": "count"},
+         {"agg_fn": "avg", "value_expression": "Duration"}]
+    ) is None
+    errors = validate_metric_select_items(
+        [{"agg_fn": "avg"},
+         {"agg_fn": "increase", "metric_type": "gauge", "metric_name": "x"}]
+    )
+    assert any(e.startswith("select[0].valueExpression") for e in errors)
+    assert any(e.startswith("select[1].aggFn") for e in errors)
+
+    # applyMetricSelectDefaults: metric items default to Value; explicit
+    # expressions and count items pass through unchanged (same object)
+    out = apply_metric_select_defaults(
+        [{"agg_fn": "avg", "metric_type": "gauge", "metric_name": "c"}]
+    )
+    assert out[0]["value_expression"] == "Value"
+    out = apply_metric_select_defaults(
+        [{"agg_fn": "avg", "metric_type": "gauge", "metric_name": "c",
+          "value_expression": "Value * 100"}]
+    )
+    assert out[0]["value_expression"] == "Value * 100"
+    item = {"agg_fn": "count", "metric_type": "histogram", "metric_name": "d"}
+    assert apply_metric_select_defaults([item])[0] is item
+
+    # source-kind x select-annotation cross checks
+    assert assert_source_kind_matches_select("metric", "Value") is None
+    assert assert_source_kind_matches_select(
+        "metric", [{"agg_fn": "avg", "metric_type": "gauge",
+                    "metric_name": "c"}]) is None
+    assert "metric" in assert_source_kind_matches_select(
+        "metric", [{"agg_fn": "count"}])
+    assert "not metric" in assert_source_kind_matches_select(
+        "log", [{"agg_fn": "avg", "metric_type": "gauge",
+                 "metric_name": "c"}])
+    assert assert_source_kind_matches_select("log", [{"agg_fn": "count"}]) is None
