@@ -419,3 +419,110 @@ def list_metrics(
             break
         metrics.extend(entries)
     return {"metrics": metrics, "next_cursor": next_cursor}
+
+
+# ---------------------------------------------------------------------------
+# Per-metric description (mcp/tools/sources/describeMetric.ts)
+# ---------------------------------------------------------------------------
+
+METRIC_ATTR_KEYS_SAMPLE_SIZE = 100_000  # describeMetric.ts:36
+MAX_ATTR_VALUES = 10                    # :40 — distinct values per key
+MAX_ATTR_KEYS_TO_SAMPLE = 12            # :43 — keys sampled per metric
+
+
+def describe_metric(
+    df: DataFrame,
+    metric_name: str,
+    *,
+    date_range=None,
+    sample_size: int = METRIC_ATTR_KEYS_SAMPLE_SIZE,
+    max_attr_keys: int = MAX_ATTR_KEYS_TO_SAMPLE,
+    max_attr_values: int = MAX_ATTR_VALUES,
+    name_col: str = "MetricName",
+    ts_col: str = "TimeUnix",
+    unit_col: str = "MetricUnit",
+    desc_col: str = "MetricDescription",
+) -> dict:
+    """describeMetric.ts:163-480 as DataFrame plans: per-metric unit /
+    description (anyLast over a bounded sample, only when the OTel
+    columns exist), attribute KEYS per Map column (distinct flattened
+    mapKeys over the same bounded sample), and sampled distinct VALUES
+    per key — capped at ``max_attr_values`` per key and
+    ``max_attr_keys`` keys total, the skipped keys recorded as
+    ``truncated_keys`` so callers can tell "not sampled" from "sampled
+    but empty". Every pass aggregates a LIMIT-bounded sample (the
+    reference's inner-LIMIT pattern), so a hot metric cannot starve the
+    scan."""
+    d = df.where(F.col(name_col) == F.lit(metric_name))
+    if date_range is not None and ts_col in df.columns:
+        d = d.where(
+            (F.col(ts_col) >= F.lit(date_range[0]))
+            & (F.col(ts_col) <= F.lit(date_range[1]))
+        )
+    sample = d.limit(sample_size)
+
+    out: dict = {"name": metric_name}
+    ud_aggs = []
+    if unit_col in df.columns:
+        ud_aggs.append(F.last(unit_col, ignorenulls=True).alias("__unit"))
+    if desc_col in df.columns:
+        ud_aggs.append(F.last(desc_col, ignorenulls=True).alias("__desc"))
+    if ud_aggs:
+        row = sample.agg(*ud_aggs).collect()[0].asDict()
+        if row.get("__unit"):
+            out["unit"] = row["__unit"]
+        if row.get("__desc"):
+            out["description"] = row["__desc"]
+
+    map_columns = [
+        name for name, t in df.dtypes if t.startswith("map<string")
+    ]
+    attribute_keys: dict[str, list] = {}
+    if map_columns:
+        row = sample.agg(
+            *[
+                F.array_distinct(
+                    F.flatten(F.collect_list(F.map_keys(F.col(c))))
+                ).alias(c)
+                for c in map_columns
+            ]
+        ).collect()[0]
+        for c in map_columns:
+            keys = [k for k in (row[c] or []) if k]
+            if keys:
+                attribute_keys[c] = keys
+    out["attribute_keys"] = attribute_keys
+
+    flat: list[tuple[str, str, str]] = []  # (display, map column, key)
+    truncated: list[str] = []
+    for c, keys in attribute_keys.items():
+        for k in keys:
+            display = f"{c}['{k}']"
+            if len(flat) >= max_attr_keys:
+                truncated.append(display)
+            else:
+                flat.append((display, c, k))
+    values: dict[str, list] = {}
+    if flat:
+        row = sample.agg(
+            *[
+                F.slice(
+                    F.array_distinct(
+                        F.collect_list(F.col(c).getItem(k))
+                    ),
+                    1,
+                    max_attr_values,
+                ).alias(f"param{i}")
+                for i, (_d, c, k) in enumerate(flat)
+            ]
+        ).collect()[0]
+        for i, (display, _c, _k) in enumerate(flat):
+            sample_vals = [v for v in (row[f"param{i}"] or []) if v != ""]
+            if sample_vals:
+                values[display] = sample_vals
+    out["attribute_values"] = values
+    out["attribute_values_meta"] = {
+        "sampled_keys": [d_ for d_, _c, _k in flat],
+        "truncated_keys": truncated,
+    }
+    return out

@@ -647,3 +647,56 @@ def test_list_metrics_keyset_pagination(spark):
     assert [m["name"] for m in out["metrics"]] == [
         "g.metric.02", "g.metric.03", "g.metric.04",
     ]
+
+
+def test_describe_metric_reference_twin(spark):
+    """describeMetric.ts:163-480: unit/description anyLast (only when the
+    OTel columns exist), per-Map-column attribute keys, per-key sampled
+    distinct values (null-map-miss '' filtered AFTER the distinct cap),
+    the 12-key sampling cap with truncated_keys recorded."""
+    from datetime import datetime
+
+    from hyperdx_spark.metadata import describe_metric
+
+    rows = [
+        ("cpu", datetime(2024, 1, 1, i % 5), "s", "CPU time",
+         {"host": f"h{i % 3}", "env": "prod" if i % 2 else "stage"},
+         {f"k{j}": "v" for j in range(11)})
+        for i in range(20)
+    ] + [("other", datetime(2024, 1, 1), "x", "other metric",
+          {"host": "zz"}, {})]
+    df = spark.createDataFrame(
+        rows,
+        "MetricName string, TimeUnix timestamp, MetricUnit string,"
+        " MetricDescription string, ResourceAttributes map<string,string>,"
+        " Attributes map<string,string>",
+    )
+    out = describe_metric(df, "cpu")
+    assert out["unit"] == "s" and out["description"] == "CPU time"
+    assert sorted(out["attribute_keys"]["ResourceAttributes"]) == ["env", "host"]
+    assert len(out["attribute_keys"]["Attributes"]) == 11
+    # 13 keys total, cap 12: one key lands in truncated_keys
+    meta = out["attribute_values_meta"]
+    assert len(meta["sampled_keys"]) == 12 and len(meta["truncated_keys"]) == 1
+    assert set(out["attribute_values"]["ResourceAttributes['host']"]) == {
+        "h0", "h1", "h2",
+    }
+    assert set(out["attribute_values"]["ResourceAttributes['env']"]) == {
+        "prod", "stage",
+    }
+    # the other metric's rows never leak in
+    assert "zz" not in out["attribute_values"]["ResourceAttributes['host']"]
+
+    # without the OTel columns: no unit/description keys at all
+    slim = df.select("MetricName", "TimeUnix", "ResourceAttributes")
+    out = describe_metric(slim, "cpu")
+    assert "unit" not in out and "description" not in out
+    assert "host" in out["attribute_keys"]["ResourceAttributes"]
+
+    # value cap: >10 distinct values trims per key
+    many = spark.createDataFrame(
+        [("m", {"k": f"val{i}"}) for i in range(25)],
+        "MetricName string, Attributes map<string,string>",
+    )
+    out = describe_metric(many, "m")
+    assert len(out["attribute_values"]["Attributes['k']"]) == 10
