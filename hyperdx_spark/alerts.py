@@ -697,3 +697,56 @@ def alert_has_group_by(
     if is_raw_sql:
         return display_type != "number"
     return bool(tile_group_by)
+
+
+def _lodash_set(obj: dict, path: list, value) -> None:
+    if not path:
+        return
+    cur = obj
+    for p in path[:-1]:
+        nxt = cur.get(p)
+        if not isinstance(nxt, dict):
+            nxt = {}
+            cur[p] = nxt
+        cur = nxt
+    cur[path[-1]] = value
+
+
+def unflatten_object(obj: dict, separator: str = ".", max_depth: int = 10) -> dict:
+    """tasks/util.ts:7-26 unflattenObject: dotted attribute keys to a
+    nested dict for the notification template view ({'a.b': 'c'} →
+    {'a': {'b': 'c'}}). Lodash-set semantics: a later shorter key
+    REPLACES the subtree; paths deeper than ``max_depth`` truncate with
+    an empty-object leaf; any empty level ('foo..bar', leading/trailing
+    separator) raises."""
+    result: dict = {}
+    for key, value in obj.items():
+        keys = key.split(separator)
+        if any(len(k) == 0 for k in keys):
+            raise ValueError(f"Invalid key format: {key} contains empty level")
+        within = len(keys) <= max_depth
+        _lodash_set(
+            result,
+            keys if within else keys[:max_depth],
+            value if within else {},
+        )
+    return result
+
+
+def round_down_to(round_to_ms: int):
+    """tasks/util.ts:28-37 roundDownTo/roundDownToXMinutes: floor a
+    datetime to the interval grid (epoch ms); non-positive intervals
+    raise."""
+    if round_to_ms <= 0:
+        raise ValueError("roundTo must be greater than zero")
+
+    def f(dt: datetime) -> datetime:
+        ms = int(_epoch(dt) * 1000)
+        return _from_epoch((ms // round_to_ms) * round_to_ms / 1000, like=dt)
+
+    return f
+
+
+def round_down_to_x_minutes(x: int):
+    """tasks/util.ts:40 roundDownToXMinutes."""
+    return round_down_to(1000 * 60 * x)

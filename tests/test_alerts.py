@@ -765,3 +765,61 @@ def test_same_run_buckets_do_not_count_toward_lookback():
     )
     assert hist[""].state == AlertState.PENDING
     assert notes == []
+
+
+def test_unflatten_object_reference_matrix():
+    """tasks/util.test.ts unflattenObject describe walked."""
+    import pytest as _pytest
+
+    from hyperdx_spark.alerts import unflatten_object as u
+
+    assert u({}) == {}
+    assert u({"a": "b"}) == {"a": "b"}
+    assert u({"a.b": "c", "d.e.f": "g"}) == {
+        "a": {"b": "c"}, "d": {"e": {"f": "g"}},
+    }
+    assert u({"a": "x", "b.c": "y", "b.d": "z"}) == {
+        "a": "x", "b": {"c": "y", "d": "z"},
+    }
+    # later shorter key REPLACES the subtree (lodash set)
+    assert u({"foo.bar.baz": "qux", "foo.bar": "quuz"}) == {
+        "foo": {"bar": "quuz"},
+    }
+    # maxDepth truncation leaves an empty-object leaf
+    assert u({"foo.bar.baz.qux.quuz.quux": "qux"}, ".", 3) == {
+        "foo": {"bar": {"baz": {}}},
+    }
+    assert u({"foo:bar": "baz"}, ":") == {"foo": {"bar": "baz"}}
+    assert u({"foo.bar": ""}) == {"foo": {"bar": ""}}
+    assert u({"foo.bar": None}) == {"foo": {"bar": None}}
+    assert u({"foo.bar.baz": "qux"}, ".", 0) == {}
+    assert u({"foo.bar.baz": "qux"}, ".", 1) == {"foo": {}}
+    assert u(
+        {"foo.bar.baz": "qux", "foo.bar.quux": "quuz",
+         "foo.bar.qux.quuz": "quux"},
+        ".", 3,
+    ) == {"foo": {"bar": {"baz": "qux", "quux": "quuz", "qux": {}}}}
+    for bad in ("foo..bar", ".foo.bar", "foo.bar."):
+        with _pytest.raises(ValueError):
+            u({bad: "baz"})
+    assert u({"foo|bar|baz": "qux"}, "|") == {"foo": {"bar": {"baz": "qux"}}}
+
+
+def test_round_down_to_reference():
+    """tasks/util.test.ts roundDownTo / roundDownToXMinutes."""
+    from datetime import datetime
+
+    import pytest as _pytest
+
+    from hyperdx_spark.alerts import round_down_to, round_down_to_x_minutes
+
+    dt = datetime(2024, 1, 1, 12, 34, 56, 789000)
+    assert round_down_to(60_000)(dt) == datetime(2024, 1, 1, 12, 34)
+    assert round_down_to(1000)(dt) == datetime(2024, 1, 1, 12, 34, 56)
+    assert round_down_to_x_minutes(5)(dt) == datetime(2024, 1, 1, 12, 30)
+    assert round_down_to_x_minutes(15)(dt) == datetime(2024, 1, 1, 12, 30)
+    assert round_down_to_x_minutes(60)(dt) == datetime(2024, 1, 1, 12, 0)
+    with _pytest.raises(ValueError):
+        round_down_to(0)
+    with _pytest.raises(ValueError):
+        round_down_to(-5)
