@@ -260,3 +260,25 @@ def build_json_extract_query(
     base = merge_path(parsed_json_root_path, json_columns, map_columns)
     args = ", ".join(f"'{p}'" for p in nested)
     return f"{json_extract_fn}({base}, {args})"
+
+
+def get_field_expression(
+    column: str,
+    key: str,
+    json_columns: Sequence[str] = (),
+    convert_fn: str = "toString",
+) -> str:
+    """app hooks/useFieldExpressionGenerator.tsx:16-47: the SQL accessor
+    for a Map or JSON column key — JSON columns render
+    ``toString(`col`.`key`)`` (sqlstring ``??.??`` identifier escaping,
+    dots qualify), Map columns render ``\\`col\\`['key']`` (``??[?]``).
+    The ``convert_fn`` converts a Dynamic JSON field to a concrete type
+    (default toString)."""
+    from hyperdx_spark.rowwhere import sqlstring_escape, sqlstring_escape_id
+
+    if column in json_columns:
+        return (
+            f"{convert_fn}({sqlstring_escape_id(column)}."
+            f"{sqlstring_escape_id(key)})"
+        )
+    return f"{sqlstring_escape_id(column)}[{sqlstring_escape(key)}]"

@@ -455,3 +455,69 @@ def bind_raw_sql_params(sql: str, params: dict[str, int]) -> str:
         return str(int(params[name]))
 
     return _PARAM_RE.sub(sub, sql)
+
+
+def detect_double_quotes(text: str) -> bool:
+    """app hooks/useSqlSuggestions.tsx DoubleQuoteSuggestion.detect: a
+    double quote OUTSIDE single-quoted strings (backslash-escaped single
+    quotes don't close the string)."""
+    in_single = False
+    escaped = False
+    for ch in text:
+        if ch == "'":
+            if escaped:
+                escaped = False
+            else:
+                in_single = not in_single
+        elif ch == '"':
+            if in_single:
+                continue
+            return True
+        elif ch == "\\":
+            escaped = True
+    return False
+
+
+def correct_double_quotes(text: str) -> str:
+    """DoubleQuoteSuggestion.correct, ported VERBATIM including its
+    single-quote state handling (which differs from detect(): an
+    UNESCAPED quote does not toggle the in-string state there — the
+    corrector only ever runs on inputs detect() fired on, where the
+    pinned reference cases all behave as users expect)."""
+    in_single = False
+    escaped = False
+    out = []
+    for ch in text:
+        if ch == "'":
+            if escaped:
+                in_single = not in_single
+            else:
+                escaped = False
+            out.append(ch)
+        elif ch == '"':
+            out.append('"' if in_single else "'")
+        elif ch == "\\":
+            escaped = True
+            out.append(ch)
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def sql_suggestions(text: str):
+    """useSqlSuggestions: run every suggestion engine; None when nothing
+    fires. Each suggestion carries the user message builder and the
+    corrected text."""
+    out = []
+    if detect_double_quotes(text):
+        out.append(
+            {
+                "user_message": lambda key: (
+                    "ClickHouse does not support double quotes (\") but"
+                    f" they were detected in {key.upper()}. Switch to"
+                    " single quotes?"
+                ),
+                "corrected": correct_double_quotes(text),
+            }
+        )
+    return out or None

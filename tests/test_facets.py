@@ -253,3 +253,20 @@ def test_retain_filters_by_columns():
     # exact match wins for a flat column whose NAME contains dots
     kept, dropped = r({"k8s.cluster.name": e}, {"k8s.cluster.name"})
     assert list(kept) == ["k8s.cluster.name"] and dropped == []
+
+
+def test_get_field_expression_reference_twin():
+    """useFieldExpressionGenerator.tsx: JSON columns -> toString(`c`.`k`)
+    (sqlstring ??.?? identifier escaping, dots qualify); Map columns ->
+    `c`['k'] (??[?]); custom convertFn."""
+    from hyperdx_spark.facets import get_field_expression as f
+
+    assert f("LogAttributes", "http.method") == "`LogAttributes`['http.method']"
+    assert f("Body", "user.name", json_columns=["Body"]) == (
+        "toString(`Body`.`user`.`name`)"
+    )
+    assert f("Body", "lvl", json_columns=["Body"],
+             convert_fn="toInt64OrNull") == "toInt64OrNull(`Body`.`lvl`)"
+    # sqlstring escaping guards hostile keys in both forms
+    assert f("Attrs", "k'x") == "`Attrs`['k\\'x']"
+    assert f("Bo`dy", "k", json_columns=["Bo`dy"]) == "toString(`Bo``dy`.`k`)"

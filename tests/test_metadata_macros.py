@@ -700,3 +700,41 @@ def test_describe_metric_reference_twin(spark):
     )
     out = describe_metric(many, "m")
     assert len(out["attribute_values"]["Attributes['k']"]) == 10
+
+
+def test_sql_suggestions_reference_twin():
+    """useSqlSuggestions.test.tsx: double-quote detection outside
+    single-quoted strings, the corrected rewrite (verbatim port incl. its
+    quote-state quirk), message wording."""
+    from hyperdx_spark.macros import (
+        correct_double_quotes as c,
+        detect_double_quotes as d,
+        sql_suggestions,
+    )
+
+    assert d('SeverityText = "error"')
+    assert not d("SeverityText = 'John \"Doe\"'")  # inside single quotes
+    assert not d("SeverityText = 'err'")
+    assert not d("")
+    assert c('SeverityText = "error"') == "SeverityText = 'error'"
+    assert c(
+        'SeverityText = "error" OR SeverityText = "info" OR'
+        ' SeverityText = "debug" OR SeverityText = "warn"'
+    ) == (
+        "SeverityText = 'error' OR SeverityText = 'info' OR"
+        " SeverityText = 'debug' OR SeverityText = 'warn'"
+    )
+    assert c("SeverityText = 'O\\'Reilly' AND company = \"Acme\"") == (
+        "SeverityText = 'O\\'Reilly' AND company = 'Acme'"
+    )
+    assert c("SeverityText = 'single' OR SeverityText = \"double\"") == (
+        "SeverityText = 'single' OR SeverityText = 'double'"
+    )
+    s = sql_suggestions('a = "x"')
+    assert len(s) == 1
+    assert s[0]["user_message"]("where") == (
+        'ClickHouse does not support double quotes (") but they were'
+        " detected in WHERE. Switch to single quotes?"
+    )
+    assert s[0]["corrected"] == "a = 'x'"
+    assert sql_suggestions("a = 'x'") is None
