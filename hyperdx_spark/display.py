@@ -319,7 +319,12 @@ def promote_series_condition(config: ChartConfig) -> tuple:
     (where, where_language)."""
     where = config.where or ""
     language = config.where_language or "lucene"
-    if len(where) == 0 and len(config.select) == 1:
+    # a raw-string select has no per-series conditions to promote
+    if (
+        len(where) == 0
+        and not isinstance(config.select, str)
+        and len(config.select) == 1
+    ):
         sc = config.select[0]
         where = sc.agg_condition or ""
         language = sc.agg_condition_language or "lucene"
@@ -332,6 +337,9 @@ def can_replay_dashboard_search(config: ChartConfig) -> bool:
     one series AND no global where — buildEventsSearchUrl can promote one
     condition into the event query but cannot faithfully replay several,
     or combine one with a global query."""
+    if isinstance(config.select, str):
+        # raw-string selects carry no per-series conditions
+        return True
     has_per_series = any(
         sc.agg_condition is not None and sc.agg_condition.strip()
         for sc in config.select

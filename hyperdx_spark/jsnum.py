@@ -10,10 +10,14 @@ from typing import Optional
 
 _INF = float("inf")
 
+# ECMA-262 date-time forms: a time part requires the FULL YYYY-MM-DD
+# before the designator (new Date('2024-01T10:00') is NaN), so the
+# date-only and date-time alternatives are spelled separately
 _ISO_DATE_RE = re.compile(
-    r"^(\d{4})(?:-(\d{2})(?:-(\d{2}))?)?"
-    r"(?:[T ](\d{2}):(\d{2})(?::(\d{2}))?(?:\.(\d+))?"
-    r"(Z|[+-]\d{2}:?\d{2})?)?$"
+    r"^(\d{4})(?:-(\d{2})(?:-(\d{2}))?)?\Z"
+    r"|^(\d{4})-(\d{2})-(\d{2})"
+    r"[T ](\d{2}):(\d{2})(?::(\d{2}))?(?:\.(\d+))?"
+    r"(Z|[+-]\d{2}:?\d{2})?\Z"
 )
 
 
@@ -33,7 +37,12 @@ def js_date_ms(value: str) -> Optional[float]:
         return None  # Date('') is NaN
     m = _ISO_DATE_RE.match(s)
     if m:
-        y, mo, d, hh, mi, ss, frac, off = m.groups()
+        g = m.groups()
+        if g[0] is not None:  # date-only branch
+            y, mo, d = g[0], g[1], g[2]
+            hh = mi = ss = frac = off = None
+        else:  # full date-time branch
+            y, mo, d, hh, mi, ss, frac, off = g[3:]
         try:
             dt = datetime(
                 int(y), int(mo or 1), int(d or 1),

@@ -38,9 +38,10 @@ def explain_query(query: str, implicit_name: "str | None" = None) -> str:
     (ts:2181-2201)."""
     try:
         node = parse(query)
-    except LuceneSyntaxError:
+    except (LuceneSyntaxError, RecursionError):
         # only a PARSE failure degrades to the reference's fallback line
-        # (ts:2181-2201); an explain_node bug must surface, not be masked
+        # (ts:2181-2201) — incl. a pathologically nested query blowing the
+        # recursive-descent parser; an explain_node bug must surface
         return f"Message containing {query}"
     return explain_node(node, implicit_name)
 

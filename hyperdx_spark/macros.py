@@ -460,7 +460,11 @@ def bind_raw_sql_params(sql: str, params: dict[str, int]) -> str:
 def detect_double_quotes(text: str) -> bool:
     """app hooks/useSqlSuggestions.tsx DoubleQuoteSuggestion.detect: a
     double quote OUTSIDE single-quoted strings (backslash-escaped single
-    quotes don't close the string)."""
+    quotes don't close the string). Reference-faithful quirk, pinned: the
+    escaped flag is NOT reset by ordinary characters (the JS has the same
+    behavior), so a backslash earlier in the text makes the next single
+    quote read as escaped — e.g. a '\\\\' path literal desyncs the
+    in-string state and can suppress detection."""
     in_single = False
     escaped = False
     for ch in text:

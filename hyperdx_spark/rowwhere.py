@@ -93,7 +93,12 @@ def sqlstring_escape(val) -> str:
             for k, v in val.items()
         )
     if hasattr(val, "strftime"):  # datetime — sqlstring dateToString shape
-        return _escape_string(val.strftime("%Y-%m-%d %H:%M:%S.") + f"{val.microsecond // 1000:03d}")
+        # a date-typed cell (no time component) renders at midnight, the
+        # way a JS Date built from 'YYYY-MM-DD' stringifies
+        micros = getattr(val, "microsecond", 0)
+        if not hasattr(val, "hour"):
+            return _escape_string(val.strftime("%Y-%m-%d 00:00:00.000"))
+        return _escape_string(val.strftime("%Y-%m-%d %H:%M:%S.") + f"{micros // 1000:03d}")
     return _escape_string(str(val))
 
 

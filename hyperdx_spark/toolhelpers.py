@@ -12,7 +12,9 @@ from datetime import datetime, timedelta, timezone
 from typing import Optional, Sequence
 
 #: helpers.ts:68 — reject bodyExpression values with SQL-unsafe characters
-SAFE_BODY_EXPR_CHARS = re.compile(r"^[\w.':\[\]\-]+$")
+#: (\Z not $: Python $ matches before a trailing newline, JS $ does not;
+#: ASCII \w to match the JS character class)
+SAFE_BODY_EXPR_CHARS = re.compile(r"^[\w.':\[\]\-]+\Z", re.ASCII)
 
 #: helpers.ts:96 — the metric renderer's group cap for aggFn 'increase'
 #: (mirrors INCREASE_MAX_NUM_GROUPS; metrics.py implements the cap)

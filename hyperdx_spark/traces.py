@@ -62,14 +62,14 @@ def build_pre_order_tree(spans: Sequence[dict]) -> list[dict]:
         lst.sort(key=ts_key)
 
     ordered: list[dict] = []
-
-    def visit(span: dict, depth: int) -> None:
+    # iterative pre-order DFS: a 2000-span linear retry chain must not
+    # blow Python's recursion limit
+    stack = [(r, 0) for r in reversed(roots)]
+    while stack:
+        span, depth = stack.pop()
         ordered.append({**span, "depth": depth})
-        for c in children_by_parent.get(span["spanId"], ()):
-            visit(c, depth + 1)
-
-    for r in roots:
-        visit(r, 0)
+        for c in reversed(children_by_parent.get(span["spanId"], ())):
+            stack.append((c, depth + 1))
     return ordered
 
 
@@ -232,7 +232,11 @@ def trace_waterfall(
             "span_count": len(tree),
             "root_span": root["spanName"],
             "root_service": root["serviceName"],
-            "total_duration_ms": max(s["durationMs"] for s in spans),
+            # JS Math.max coerces a null duration to 0 — match it rather
+            # than letting one malformed span crash the summary
+            "total_duration_ms": max(
+                (s["durationMs"] or 0.0) for s in spans
+            ),
         },
     }
     if log_source is not None and log_source.trace_id_expression:

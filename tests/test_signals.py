@@ -339,3 +339,62 @@ def test_metric_select_validation_reference_matrix():
         "log", [{"agg_fn": "avg", "metric_type": "gauge",
                  "metric_name": "c"}])
     assert assert_source_kind_matches_select("log", [{"agg_fn": "count"}]) is None
+
+
+def test_code_review_regressions_r13():
+    """r13 /code-review findings pinned: raw-string selects, newline-armored
+    body-expression guard, ISO partial-date+time rejection, RecursionError
+    fallback in explain, deep-chain DFS, date-cell sqlstring escape."""
+    import datetime as dtm
+
+    from hyperdx_spark.display import (
+        build_search_replay_params,
+        can_replay_dashboard_search,
+        promote_series_condition,
+    )
+    from hyperdx_spark.jsnum import js_date_ms
+    from hyperdx_spark.lucene.explain import explain_query
+    from hyperdx_spark.model import ChartConfig, Source
+    from hyperdx_spark.rowwhere import sqlstring_escape
+    from hyperdx_spark.toolhelpers import is_safe_body_expression
+    from hyperdx_spark.traces import build_pre_order_tree
+
+    # raw-string selects carry no per-series conditions
+    cfg = ChartConfig(
+        source=Source(table="events", timestamp_value_expression="ts"),
+        select="count() AS total", where="x:1",
+    )
+    assert promote_series_condition(cfg) == ("x:1", "lucene")
+    assert can_replay_dashboard_search(cfg)
+    assert build_search_replay_params(cfg, require_replayable=True)[
+        "where"
+    ] == "x:1"
+    cfg.select = "*"  # length-1 string must not index into SelectCol attrs
+    cfg.where = ""
+    assert promote_series_condition(cfg) == ("", "lucene")
+
+    # trailing newline fails the JS-anchored whitelist; unicode words too
+    assert not is_safe_body_expression("Body\n")
+    assert not is_safe_body_expression("Bödy")
+
+    # a time part requires the FULL date (new Date('2024-01T10:00') is NaN)
+    assert js_date_ms("2024-01T10:00") is None
+    assert js_date_ms("2024T10:00") is None
+    assert js_date_ms("2024-01-01T10:00") == 1704103200000.0
+
+    # pathological nesting degrades to the parse-failure fallback line
+    q = "(" * 4000 + "a" + ")" * 4000
+    assert explain_query(q) == f"Message containing {q}"
+
+    # a 1500-span linear chain builds without recursion
+    spans = [
+        {"spanId": f"s{i}", "parentSpanId": f"s{i-1}" if i else "",
+         "timestamp": f"2024-01-01T00:00:{i:02d}", "durationMs": 1.0,
+         "serviceName": "x", "spanName": "y"}
+        for i in range(1500)
+    ]
+    tree = build_pre_order_tree(spans)
+    assert len(tree) == 1500 and tree[-1]["depth"] == 1499
+
+    # date-typed cells escape at midnight instead of crashing
+    assert sqlstring_escape(dtm.date(2024, 1, 2)) == "'2024-01-02 00:00:00.000'"
