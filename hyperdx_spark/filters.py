@@ -500,3 +500,52 @@ def validate_dashboard_filter_queries(filters) -> list[dict]:
         if where and not is_valid_filter_condition(where, lang):
             issues.append({"index": i, "language": lang, "condition": where})
     return issues
+
+
+def dashboard_filter_constraints(filters, filter_values):
+    """app hooks/useDashboardFilterValues.tsx:65-92 — the cross-filter
+    (faceting) constraint each dashboard filter's VALUE LIST loads under:
+    the ACTIVE selections of its sibling filters on the same
+    (source, sourceMetricType), EXCLUDING the filter's own expression (a
+    facet's own selection must not narrow its own options). A selection
+    is active when it includes/excludes values or carries a range.
+    ``filters``: dicts with id/source/source_metric_type/expression;
+    ``filter_values``: {expression: FilterSelection}. Returns
+    {filter_id: pruned {expression: FilterSelection} or None}."""
+    out = {}
+    for f in filters:
+        pruned = {}
+        for sibling in filters:
+            if (
+                sibling.get("source") != f.get("source")
+                or sibling.get("source_metric_type")
+                != f.get("source_metric_type")
+                or sibling.get("expression") == f.get("expression")
+            ):
+                continue
+            sel = filter_values.get(sibling["expression"])
+            if sel is not None and (
+                len(sel.included) > 0
+                or len(sel.excluded) > 0
+                or sel.range is not None
+            ):
+                pruned[sibling["expression"]] = sel
+        out[f["id"]] = pruned or None
+    return out
+
+
+def group_filters_for_key_values(filters):
+    """useDashboardFilterValues.tsx:95-110 + filterToKey: dashboard
+    filters sharing (source, sourceMetricType, where, whereLanguage) load
+    their value lists in ONE batched key-values call — returns the groups
+    in first-seen order (each a list of filter dicts)."""
+    groups: dict[tuple, list] = {}
+    for f in filters:
+        key = (
+            f.get("source"),
+            f.get("source_metric_type"),
+            f.get("where") or "",
+            f.get("where_language") or "sql",
+        )
+        groups.setdefault(key, []).append(f)
+    return list(groups.values())

@@ -366,3 +366,48 @@ def test_validator_survives_trailing_escaped_backslash():
     assert is_valid_filter_condition("col = 'O\\'Brien'", "sql")
     assert is_valid_filter_condition("col = 'a\\\\b\\'c'", "sql")
     assert not is_valid_filter_condition("col = 'unterminated", "sql")
+
+
+def test_dashboard_filter_constraints_and_grouping():
+    """useDashboardFilterValues.tsx: a facet's own selection never narrows
+    its own options; only ACTIVE sibling selections on the same
+    (source, metricType) constrain; batch groups key on
+    (source, metricType, where, whereLanguage)."""
+    from hyperdx_spark.filters import (
+        FilterSelection,
+        dashboard_filter_constraints,
+        group_filters_for_key_values,
+    )
+
+    filters = [
+        {"id": "f1", "source": "s1", "source_metric_type": None,
+         "expression": "service"},
+        {"id": "f2", "source": "s1", "source_metric_type": None,
+         "expression": "level"},
+        {"id": "f3", "source": "s2", "source_metric_type": None,
+         "expression": "region"},
+    ]
+    values = {
+        "service": FilterSelection(included={"api"}),
+        "level": FilterSelection(),               # inactive: no constraint
+        "region": FilterSelection(excluded={"eu"}),
+    }
+    c = dashboard_filter_constraints(filters, values)
+    # f1 is constrained by nothing (its own selection excluded; level is
+    # inactive); f2 by f1's service selection; f3 by nothing (other source)
+    assert c["f1"] is None
+    assert set(c["f2"]) == {"service"}
+    assert c["f3"] is None
+    # a range counts as active
+    values["level"] = FilterSelection(range=(1.0, 5.0))
+    c = dashboard_filter_constraints(filters, values)
+    assert set(c["f1"]) == {"level"}
+
+    groups = group_filters_for_key_values(
+        filters + [{"id": "f4", "source": "s1", "source_metric_type": None,
+                    "expression": "host", "where": "env:prod",
+                    "where_language": "lucene"}]
+    )
+    assert [[f["id"] for f in g] for g in groups] == [
+        ["f1", "f2"], ["f3"], ["f4"],
+    ]
