@@ -599,3 +599,90 @@ def compile_with_mv(
         compile_chart_config(spark, cfg, sf_dir=sf_dir, df=df, settings=settings),
         explanations,
     )
+
+
+_TO_INTERVAL_FN_RE = re.compile(r"toInterval(Second|Minute|Hour|Day)\((\d+)\)")
+_SUMMING_ENGINE_RE = re.compile(r"SummingMergeTree\((\(?[^(]*)\)")
+
+
+def infer_timestamp_column_granularity(
+    select_expressions: "Sequence[str]", timestamp_column: str
+) -> Optional[str]:
+    """app utils/materializedViews.ts:185-246
+    inferTimestampColumnGranularity: among an MV's select expressions,
+    the one bucketing *timestamp_column* decides the rollup granularity —
+    the named toStartOfX table extended with ``toDate`` (1 day) and
+    ``toDateTime`` (1 second), and ``toStartOfInterval`` accepting BOTH
+    the ``INTERVAL n unit`` literal and the ``toIntervalX(n)`` function
+    form. None when no expression matches (the setup form then asks)."""
+    expr = next(
+        (
+            e
+            for e in select_expressions
+            if re.search(r"toStartOf|toDate", e) and timestamp_column in e
+        ),
+        None,
+    )
+    if expr is None:
+        return None
+    named = {**_NAMED_BUCKETS, "toDate": "1 day", "toDateTime": "1 second"}
+    for fn, granularity in named.items():
+        if f"{fn}(" in expr:
+            return granularity
+    if "toStartOfInterval(" in expr:
+        m = re.search(r"(?i)INTERVAL\s+(\d+)\s+(SECOND|MINUTE|HOUR|DAY)S?\)", expr)
+        if m:
+            return f"{m.group(1)} {m.group(2).lower()}"
+        m = _TO_INTERVAL_FN_RE.search(expr)
+        if m:
+            return f"{m.group(2)} {m.group(1).lower()}"
+    return None
+
+
+def parse_summed_columns(engine_full: Optional[str]) -> Optional[set]:
+    """app utils/materializedViews.ts:248-265 parseSummedColumns: the
+    column set a SummingMergeTree engine declares for summing — the
+    engine params (optionally one paren layer deep), split with bracket
+    awareness. None for other engines or a param-less declaration (which
+    sums every numeric column)."""
+    if not engine_full or not engine_full.startswith("SummingMergeTree"):
+        return None
+    m = _SUMMING_ENGINE_RE.search(engine_full)
+    if not m:
+        return None
+    params = m.group(1)
+    if params.startswith("(") and params.endswith(")"):
+        params = params[1:-1]
+    if not params:
+        return None
+    from hyperdx_spark.compile import split_and_trim_with_bracket
+
+    return set(split_and_trim_with_bracket(params))
+
+
+def get_source_table_column(
+    agg_fn: str,
+    target_column_name: str,
+    source_table_columns: "Sequence[str]",
+    select_expressions: "Sequence[str]" = (),
+) -> Optional[str]:
+    """app utils/materializedViews.ts:275-330 getSourceTableColumn: map a
+    rollup TARGET column back to its SOURCE column — count aggregates
+    read no column (''), a ``prefix__suffix`` target resolves when the
+    suffix IS a source column, else the MV select expression ENDING with
+    the target name is word-searched for a source column."""
+    if agg_fn == "count":
+        return ""
+    parts = target_column_name.split("__")
+    suffix = parts[1] if len(parts) > 1 else None
+    if suffix and suffix in source_table_columns:
+        return suffix
+    matching = next(
+        (e for e in select_expressions if e.endswith(target_column_name)),
+        None,
+    )
+    if matching:
+        for col in source_table_columns:
+            if re.search(rf"\b{re.escape(col)}\b", matching):
+                return col
+    return None

@@ -361,3 +361,48 @@ def test_infer_granularity_from_mv_select():
     ) == "1 minute"
     # a bare identifier (no call parens) is not a bucketing call
     assert infer("SELECT toStartOfHour FROM t") is None
+
+
+def test_app_mv_inference_utils():
+    """app utils/materializedViews.test.ts — the setup-form inference
+    helpers: timestamp granularity (named table + toDate/toDateTime +
+    both toStartOfInterval forms, non-standard rejected), SummingMergeTree
+    summed-column parsing, target→source column resolution."""
+    from hyperdx_spark.mv import (
+        get_source_table_column,
+        infer_timestamp_column_granularity as g,
+        parse_summed_columns,
+    )
+
+    assert g(["toStartOfHour(Timestamp) AS h", "count() AS c"],
+             "Timestamp") == "1 hour"
+    assert g(["toStartOfFiveMinutes(Timestamp) AS b"], "Timestamp") == "5 minute"
+    assert g(["toDate(Timestamp) AS d"], "Timestamp") == "1 day"
+    assert g(["toDateTime(Timestamp) AS d"], "Timestamp") == "1 second"
+    assert g(["toStartOfInterval(Timestamp, INTERVAL 5 MINUTES) AS b"],
+             "Timestamp") == "5 minute"
+    assert g(["toStartOfInterval(Timestamp, toIntervalMinute(15)) AS b"],
+             "Timestamp") == "15 minute"
+    # non-standard / non-matching expressions return None
+    assert g(["toStartOfInterval(Timestamp, INTERVAL 7 MINUTES) AS b",
+              ][:0] or ["sum(x) AS s"], "Timestamp") is None
+    assert g(["toStartOfHour(Other) AS h"], "Timestamp") is None
+
+    assert parse_summed_columns(
+        "SummingMergeTree((col_a, col_b)) ORDER BY (x)"
+    ) == {"col_a", "col_b"}
+    assert parse_summed_columns("SummingMergeTree(col_a) ORDER BY x") == {
+        "col_a"
+    }
+    assert parse_summed_columns("SummingMergeTree() ORDER BY x") is None
+    assert parse_summed_columns("AggregatingMergeTree() ORDER BY x") is None
+    assert parse_summed_columns(None) is None
+
+    assert get_source_table_column("count", "cnt", ["a"]) == ""
+    assert get_source_table_column(
+        "sum", "sum__duration", ["duration", "x"]
+    ) == "duration"
+    assert get_source_table_column(
+        "avg", "avg_dur", ["Duration"], ["avg(Duration) AS avg_dur"]
+    ) == "Duration"
+    assert get_source_table_column("avg", "zzz", ["a"], []) is None
