@@ -89,3 +89,17 @@ def infra_metric_query(
     metric = f"{correlation.field_prefix}{chart.field} - Gauge"
     where = f'{correlation.correlate_attribute}:"{attr_value}"'
     return metric, where
+
+
+def strip_field_clause(query: str, resource_attr: str, field: str) -> str:
+    """app components/KubernetesFilters.tsx:62-75 stripFieldClause: drop
+    the ``<resourceAttr>.<field>:"..."`` clause from a Lucene query,
+    leaving every other clause and the free text intact — used to build
+    each k8s dropdown's FACETED where (its own selection must not narrow
+    its own options) and to rewrite the query on selection change. Dots
+    and regex metacharacters in the attribute are literal; removing a
+    mid-query clause collapses the leftover whitespace."""
+    import re
+
+    pattern = re.escape(f"{resource_attr}.{field}") + r':"[^"]*"'
+    return re.sub(r"\s+", " ", re.sub(pattern, " ", query)).strip()

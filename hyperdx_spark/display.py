@@ -439,3 +439,16 @@ def table_row_drilldown(config: ChartConfig, row) -> dict:
         "group_filters": group_filters,
         "value_range_filter": value_range_filter,
     }
+
+
+def resolve_comparison_click(label, rows, selected):
+    """app components/PropertyComparisonChart.tsx resolveComparisonClick:
+    the comparison bar chart's selection toggle — clicking the selected
+    bar deselects, the aggregated 'Other' bucket and unknown labels never
+    select. Rows are dicts with 'name' and optional 'isOther'."""
+    if not label:
+        return None
+    row = next((r for r in rows if r.get("name") == label), None)
+    if row is None or row.get("isOther"):
+        return None
+    return None if label == selected else label

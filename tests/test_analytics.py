@@ -1259,3 +1259,41 @@ def test_reconstruct_template_pairs_with_miner():
     assert reconstruct_template(
         logs[-1], result["template_mined"]
     ) == "level=info msg=hello user_id=<*>"
+
+
+def test_strip_field_clause_reference_matrix():
+    """KubernetesFilters.test.ts stripFieldClause walked."""
+    from hyperdx_spark.analytics.infra import strip_field_clause as s
+
+    ra = "ResourceAttributes"
+    q = ('ResourceAttributes.k8s.cluster.name:"prod"'
+         ' ResourceAttributes.k8s.namespace.name:"api" error')
+    assert s(q, ra, "k8s.namespace.name") == (
+        'ResourceAttributes.k8s.cluster.name:"prod" error'
+    )
+    assert s('ResourceAttributes.k8s.cluster.name:"prod"', ra,
+             "k8s.cluster.name") == ""
+    q = 'ResourceAttributes.k8s.cluster.name:"prod"'
+    assert s(q, ra, "k8s.namespace.name") == q
+    # a sibling field sharing a path prefix is untouched
+    q = ('ResourceAttributes.k8s.pod.name:"a"'
+         ' ResourceAttributes.k8s.pod.uid:"b"')
+    assert s(q, ra, "k8s.pod.name") == 'ResourceAttributes.k8s.pod.uid:"b"'
+    # dots are literal, not regex wildcards; metacharacters never throw
+    q = 'ResourceAttributesXk8sXpodXname:"a"'
+    assert s(q, ra, "k8s.pod.name") == q
+    assert s("foo", "attr(", "k8s.pod.name") == "foo"
+
+
+def test_resolve_comparison_click_reference_matrix():
+    """PropertyComparisonChart.test.ts resolveComparisonClick walked."""
+    from hyperdx_spark.display import resolve_comparison_click as r
+
+    rows = [{"name": "GET /a"}, {"name": "GET /b"},
+            {"name": "Other", "isOther": True}]
+    assert r("GET /a", rows, None) == "GET /a"
+    assert r(None, rows, "GET /a") is None
+    assert r("Other", rows, None) is None
+    assert r("missing", rows, None) is None
+    assert r("GET /a", rows, "GET /a") is None  # toggle off
+    assert r("GET /b", rows, "GET /a") == "GET /b"
