@@ -4611,14 +4611,19 @@ def q_emerging_signals(spark, sf_dir):
     from hyperdx_spark.analytics import signals
 
     split = datetime(2024, 1, 16)
-    ev = load_table(spark, sf_dir, "events")
+    # a deterministic 10% user slice keeps BOTH windows inside the mining
+    # sample at any sf the driver runs (full coverage = exact shares)
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") % 10 == 7)
     body = F.when(
         (F.col("ts") >= F.lit(split)) & (F.col("event_type") == "error"),
         F.concat(F.lit("newsvc crashed at "),
                  F.floor("value").cast("string"), F.lit(" ms")),
     ).otherwise(
+        # event_id varies on EVERY row, so the user slot wildcards even in
+        # the tiny sf0.001 slice (a constant slot would stay literal and
+        # diverge from the oracle's <*> template)
         F.concat(F.col("event_type"), F.lit(" user "),
-                 (F.col("user_id") % 7).cast("string"), F.lit(" took "),
+                 (F.col("event_id") % 1000).cast("string"), F.lit(" took "),
                  F.floor("value").cast("string"), F.lit(" ms"))
     )
     df = ev.select("ts", body.alias("body"))
@@ -4626,7 +4631,7 @@ def q_emerging_signals(spark, sf_dir):
         df.where(F.col("ts") >= F.lit(split)),
         df.where(F.col("ts") < F.lit(split)),
         text_col="body",
-        sample_size=50_000,
+        sample_size=200_000,
         current_range=(split, datetime(2024, 2, 1)),
         baseline_range=(datetime(2024, 1, 1), split),
     )
@@ -4654,7 +4659,7 @@ WITH b AS (
               THEN 'newsvc crashed at <*> ms'
               ELSE event_type || ' user <*> took <*> ms' END AS pattern,
          (ts >= TIMESTAMP '2024-01-16') AS is_cur
-  FROM events),
+  FROM events WHERE user_id % 10 = 7),
 counts AS (
   SELECT pattern,
          count(*) FILTER (is_cur)::DOUBLE AS cn,
@@ -4714,6 +4719,9 @@ def q_trace_waterfall(spark, sf_dir):
         )
         .withColumn("idx", F.row_number().over(w).cast("long"))
     )
+    # idx <= 64 bounds every trace (and the collected waterfall) at ANY
+    # sf; the pinned 99999 duration makes the 'slowest' picker unique
+    base = base.where(F.col("idx") <= 64)
     spans = base.select(
         F.concat(F.col("trace").cast("string"), F.lit("-"),
                  F.col("idx").cast("string")).alias("span_id"),
@@ -4725,7 +4733,9 @@ def q_trace_waterfall(spark, sf_dir):
         (F.lit(datetime(2024, 1, 1)).cast("timestamp")
          + F.make_interval(secs=(F.col("trace") * 100000 + F.col("idx"))
                            .cast("double"))).alias("ts"),
-        F.floor("value").cast("double").alias("dur"),
+        F.when((F.col("trace") == 7) & (F.col("idx") == 1),
+               F.lit(99999.0)).otherwise(
+            F.floor("value").cast("double")).alias("dur"),
         F.col("event_type").alias("service"),
         F.concat(F.lit("op"), (F.col("idx") % 5).cast("string")).alias("name"),
         F.when(F.col("event_type") == "error",
@@ -4786,12 +4796,13 @@ spans AS (
          CASE WHEN idx = 1 THEN ''
               ELSE trace::VARCHAR || '-' || (idx // 2)::VARCHAR END AS parent,
          TIMESTAMP '2024-01-01' + to_seconds(trace * 100000 + idx) AS ts,
-         floor(value) AS dur,
+         CASE WHEN trace = 7 AND idx = 1 THEN 99999.0
+              ELSE floor(value) END AS dur,
          event_type AS service,
          'op' || (idx % 5)::VARCHAR AS name,
          CASE WHEN event_type = 'error' THEN 'STATUS_CODE_ERROR'
               ELSE 'STATUS_CODE_OK' END AS status_code
-  FROM base),
+  FROM base WHERE idx <= 64),
 t AS (SELECT * FROM spans WHERE trace = 7),
 tree AS (
   SELECT span_id, parent, dur, 0 AS depth, [ts] AS path
