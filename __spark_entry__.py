@@ -5661,13 +5661,154 @@ ORDER BY ts, event_id LIMIT 300
 """
 
 
+# ==========================================================================
+# ROUND-14 consolidations (VERDICT r13 "Next round" #1): the driver's
+# correctness gate covers the first 50 registry rows but the dict had grown
+# to 53, so q_emerging_signals / q_ann_indexed / q_multimodal_features rode
+# outside the checked window.  Four family merges bring the registry to 49
+# entries (one slot of headroom), with every part still hash-checked against
+# a UNION ALL oracle.  The component functions stay callable for tests.
+# ==========================================================================
+
+def q_metadata(spark, sf_dir):
+    """SS2.8 metadata family consolidated: autocomplete key-values + value
+    distribution (q_metadata_keyvals) + the field/type catalog
+    (q_metadata_fields) in one part-tagged entry."""
+    kv = q_metadata_keyvals(spark, sf_dir)
+    fields = q_metadata_fields(spark, sf_dir).select(
+        F.lit("fields").alias("part"), F.col("field").alias("key"),
+        F.col("type").alias("value"),
+        F.lit(0.0).alias("cnt"), F.lit(0.0).alias("pct"),
+    )
+    return kv.unionByName(fields)
+
+
+O_METADATA = f"""
+SELECT * FROM ({O_METADATA_KEYVALS})
+UNION ALL
+SELECT 'fields' AS part, field AS key, type AS value, 0.0 AS cnt, 0.0 AS pct
+FROM ({O_METADATA_FIELDS})
+"""
+
+
+def q_sessions_all(spark, sf_dir):
+    """SS2.3 sessions consolidated: session-replay correlation (all +
+    filtered branches) + gap-based sessionization (native session_window)
+    reshaped onto the same session-list schema as a 'gap' part."""
+    s = q_sessions(spark, sf_dir)
+    gap = q_sessionize(spark, sf_dir).select(
+        F.lit("gap").alias("part"),
+        F.col("user_id").cast("string").alias("sessionId"),
+        F.col("session_start").alias("minTimestamp"),
+        F.col("session_end").alias("maxTimestamp"),
+        F.col("n_events").alias("sessionCount"),
+        F.lit(0).cast("long").alias("interactionCount"),
+        F.lit(0).cast("long").alias("errorCount"),
+        F.lit(0).cast("long").alias("recordingCount"),
+    )
+    return s.unionByName(gap)
+
+
+O_SESSIONS_ALL = f"""
+SELECT * FROM ({O_SESSIONS})
+UNION ALL
+SELECT user_id::VARCHAR AS sessionId, session_start AS minTimestamp,
+       session_end AS maxTimestamp, n_events AS sessionCount,
+       0::BIGINT AS interactionCount, 0::BIGINT AS errorCount,
+       0::BIGINT AS recordingCount, 'gap' AS part
+FROM ({O_SESSIONIZE})
+"""
+
+
+def q_mcp_tools(spark, sf_dir):
+    """MCP tool family consolidated: trace waterfall / pickers / breakdown
+    (already (part,k,s,v)-shaped) + emerging & disappeared signals
+    (q_emerging_signals — which had never been driver-verified) reshaped
+    into the same narrow schema, one row per (signal, metric)."""
+    tw = q_trace_waterfall(spark, sf_dir)
+    es = q_emerging_signals(spark, sf_dir)
+    key = F.concat_ws("|", F.col("pattern"), F.col("status"))
+    sig_parts = [
+        es.select(
+            F.concat(F.lit("sig|"), F.col("part"), F.lit("|" + metric)).alias("part"),
+            F.lit(0).cast("long").alias("k"),
+            key.alias("s"),
+            F.col(col).alias("v"),
+        )
+        for metric, col in (
+            ("cur", "cur"), ("base", "base"),
+            ("curn", "cur_n"), ("basen", "base_n"),
+        )
+    ]
+    out = tw
+    for p in sig_parts:
+        out = out.unionByName(p)
+    return out
+
+
+O_MCP_TOOLS = f"""
+SELECT * FROM ({O_TRACE_WATERFALL})
+UNION ALL
+SELECT 'sig|' || part || '|cur' AS part, 0::BIGINT AS k,
+       pattern || '|' || status AS s, cur AS v FROM ({O_EMERGING_SIGNALS})
+UNION ALL
+SELECT 'sig|' || part || '|base' AS part, 0::BIGINT AS k,
+       pattern || '|' || status AS s, base AS v FROM ({O_EMERGING_SIGNALS})
+UNION ALL
+SELECT 'sig|' || part || '|curn' AS part, 0::BIGINT AS k,
+       pattern || '|' || status AS s, cur_n AS v FROM ({O_EMERGING_SIGNALS})
+UNION ALL
+SELECT 'sig|' || part || '|basen' AS part, 0::BIGINT AS k,
+       pattern || '|' || status AS s, base_n AS v FROM ({O_EMERGING_SIGNALS})
+"""
+
+
+def q_ann_multimodal(spark, sf_dir):
+    """Pipeline consolidation: the six ANN/PCA tiers (q_ann_indexed) + the
+    multimodal decode features (q_multimodal_features) — the two entries
+    that silently dropped out of the driver window in r13 — in one entry.
+    The multimodal metric columns unpivot onto the ANN schema (one
+    'mm|<metric>' part per column, kind carried in a new string slot)."""
+    ann = q_ann_indexed(spark, sf_dir).withColumn("s", F.lit(""))
+    mm = q_multimodal_features(spark, sf_dir)
+    sch = {f.name: f.dataType for f in ann.schema.fields}
+    out = ann
+    for metric in ("width", "height", "frames", "fps", "rate",
+                   "duration_us", "grayscale"):
+        out = out.unionByName(mm.select(
+            F.lit(f"mm|{metric}").alias("part"),
+            F.col("media_id").cast(sch["query_id"]).alias("query_id"),
+            F.lit(0).cast(sch["match_id"]).alias("match_id"),
+            F.col(metric).cast("double").alias("cos"),
+            F.lit(0).cast(sch["rank"]).alias("rank"),
+            F.col("kind").alias("s"),
+        ))
+    return out
+
+
+_O_MM_UNPIVOT = "\nUNION ALL\n".join(
+    f"SELECT 'mm|{m}' AS part, media_id AS query_id, 0 AS match_id,\n"
+    f"       {m}::DOUBLE AS cos, 0 AS rank, kind AS s\n"
+    f"FROM ({O_MULTIMODAL_FEATURES})"
+    for m in ("width", "height", "frames", "fps", "rate",
+              "duration_us", "grayscale")
+)
+
+O_ANN_MULTIMODAL = f"""
+SELECT *, '' AS s FROM ({O_ANN_INDEXED})
+UNION ALL
+{_O_MM_UNPIVOT}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Exactly 53 entries — one per operator family from SURVEY.md SS2 plus
-    the training-data pipeline ops, all inside the driver's correctness
-    gate (r13 adds q_stream_notify — the streaming alert→notify composition
-    proven hash-equal to the batch render — and q_trace_waterfall — the
-    MCP trace tools with a recursive-CTE DFS oracle). Same-family variants are tag-unioned (see the consolidated
-    section above); TPC-H q3/q5ish/top-customers live in tests only.
+    """Exactly 49 entries — one per operator family from SURVEY.md SS2 plus
+    the training-data pipeline ops, ALL inside the driver's 50-entry
+    correctness window (VERDICT r13 #1: the r13 dict had 53 entries and
+    the last three rode unchecked; r14 merges metadata, sessions, the MCP
+    tools, and ann+multimodal down to 49 with one slot of headroom).
+    Same-family variants are tag-unioned (see the consolidated sections
+    above); TPC-H q3/q5ish/top-customers live in tests only.
 
     ROUND-7: the canonical set is restored (VERDICT r6 #1). The r6
     rotation (q_search/q_having/q_any_none/q_histogram/q_promql/
@@ -5699,8 +5840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_csv_render": q_csv_render,
         # -- correlation + sessions (SS2.3) ---------------------------------
         "q_correlated_semi_join": q_correlated_semi_join,
-        "q_sessions": q_sessions,
-        "q_sessionize": q_sessionize,
+        "q_sessions": q_sessions_all,  # r14: + sessionize 'gap' part
         # -- OTel metric semantics (SS2.9) ----------------------------------
         "q_gauge": q_gauge,
         "q_counter_rate": q_counter_rate,
@@ -5729,8 +5869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_analytics_insights": q_analytics_insights,
         "q_funnel_retention": q_funnel_retention,
         # -- metadata / autocomplete (SS2.8) --------------------------------
-        "q_metadata_keyvals": q_metadata_keyvals,
-        "q_metadata_fields": q_metadata_fields,
+        "q_metadata": q_metadata,  # r14: keyvals + fields merged
         # -- relational analytics ------------------------------------------
         "q_tpch_q1": q_tpch_q1,
         # -- training-data pipeline ----------------------------------------
@@ -5738,10 +5877,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_all": q_dedup_all,
         "q_neardup_pairs": q_neardup_pairs,
         "q_service_map": q_service_map,
-        "q_trace_waterfall": q_trace_waterfall,
-        "q_emerging_signals": q_emerging_signals,
-        "q_ann_indexed": q_ann_indexed,
-        "q_multimodal_features": q_multimodal_features,
+        "q_mcp_tools": q_mcp_tools,  # r14: trace tools + emerging signals
+        "q_ann_multimodal": q_ann_multimodal,  # r14: ann tiers + multimodal
     }
 
 
@@ -5765,8 +5902,7 @@ def oracle_sql() -> dict[str, str]:
         "q_heatmap": O_HEATMAP,
         "q_csv_render": O_CSV_RENDER,
         "q_correlated_semi_join": O_CORRELATED_SEMI,
-        "q_sessions": O_SESSIONS,
-        "q_sessionize": O_SESSIONIZE,
+        "q_sessions": O_SESSIONS_ALL,
         "q_gauge": O_GAUGE_M,
         "q_counter_rate": O_COUNTER_RATE,
         "q_increase_top3": O_INCREASE,
@@ -5789,17 +5925,15 @@ def oracle_sql() -> dict[str, str]:
         "q_stream_notify": O_STREAM_NOTIFY,
         "q_analytics_insights": O_ANALYTICS_INSIGHTS,
         "q_funnel_retention": O_FUNNEL_RETENTION,
-        "q_metadata_keyvals": O_METADATA_KEYVALS,
-        "q_metadata_fields": O_METADATA_FIELDS,
+        "q_metadata": O_METADATA,
         "q_tpch_q1": O_TPCH_Q1,
         "q_text_stats": O_TEXT_STATS,
         "q_dedup_all": O_DEDUP_ALL,
         "q_neardup_pairs": O_NEARDUP_PAIRS,
         "q_service_map": O_SERVICE_MAP,
-        "q_trace_waterfall": O_TRACE_WATERFALL,
-        "q_emerging_signals": O_EMERGING_SIGNALS,
-        "q_ann_indexed": O_ANN_INDEXED,
-        # decode itself is not SQL-expressible, but the entry's projection is
-        # a closed form of the document byte length — full hash check:
-        "q_multimodal_features": O_MULTIMODAL_FEATURES,
+        "q_mcp_tools": O_MCP_TOOLS,
+        # decode itself is not SQL-expressible, but the multimodal parts'
+        # projection is a closed form of the document byte length, so the
+        # merged entry keeps the full hash check:
+        "q_ann_multimodal": O_ANN_MULTIMODAL,
     }
