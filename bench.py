@@ -92,6 +92,78 @@ def wait_for_quiet_box(
     }
 
 
+# --- ambient-CPU guard (VERDICT r13 #3) ------------------------------------
+# Both the r12 and r13 artifacts were recorded under ambient load 2.6-3.6
+# while idle-box judge replays ran 13-18% faster — the cpus/4 loadavg guard
+# never fires at that level, and 1-min loadavg cannot distinguish the bench's
+# own JVM from the neighbours (it decays over a minute, so it stays elevated
+# between queries even on an otherwise-idle box).  /proc/stat deltas over a
+# sub-second window DO decay instantly: between queries the bench's executor
+# threads are parked, so the delta measures the neighbours alone.  Gate each
+# query on ambient busy cores <= 2.0 (bounded wait), and re-run any query
+# whose pre-sample was contended once the box quiets, budget permitting.
+
+AMBIENT_THRESHOLD_CORES = 2.0
+AMBIENT_PROBE_S = 0.25
+AMBIENT_MAX_WAIT_S = 20.0       # per query
+AMBIENT_TOTAL_BUDGET_S = 180.0  # whole run
+AMBIENT_RERUN_BUDGET_S = 120.0  # post-loop contended reruns
+
+
+def _read_proc_stat():
+    with open("/proc/stat") as f:
+        vals = [int(x) for x in f.readline().split()[1:]]
+    # busy = everything except idle + iowait
+    return sum(vals), vals[3] + (vals[4] if len(vals) > 4 else 0)
+
+
+def ambient_busy_cores(
+    interval: float = AMBIENT_PROBE_S,
+    *,
+    read_stat=_read_proc_stat,
+    sleep=time.sleep,
+    ncpus: int | None = None,
+) -> float:
+    """Whole-box CPU busy cores over ``interval`` seconds from /proc/stat
+    deltas.  Returns 0.0 when /proc/stat is unavailable (never blocks the
+    bench on an exotic platform)."""
+    try:
+        t0, i0 = read_stat()
+        sleep(interval)
+        t1, i1 = read_stat()
+    except OSError:
+        return 0.0
+    dt, di = t1 - t0, i1 - i0
+    if dt <= 0:
+        return 0.0
+    return (dt - di) / dt * (ncpus or os.cpu_count() or 1)
+
+
+def wait_for_quiet_cpu(
+    threshold_cores: float = AMBIENT_THRESHOLD_CORES,
+    max_wait_s: float = AMBIENT_MAX_WAIT_S,
+    poll_s: float = 2.0,
+    *,
+    busy=ambient_busy_cores,
+    sleep=time.sleep,
+    monotonic=time.monotonic,
+) -> dict:
+    """Bounded wait for ambient busy cores to drop to ``threshold_cores``.
+    Returns {busy_cores, waited_s, gave_up} — a gave_up sample marks the
+    query as measured-contended rather than silently recording it."""
+    start = monotonic()
+    b = busy()
+    while b > threshold_cores and (monotonic() - start) < max_wait_s:
+        remaining = max_wait_s - (monotonic() - start)
+        sleep(min(poll_s, max(remaining, 0.0)))
+        b = busy()
+    return {
+        "busy_cores": round(b, 2),
+        "waited_s": round(monotonic() - start, 1),
+        "gave_up": b > threshold_cores,
+    }
+
+
 def contention_annotation(loads, threshold: float) -> dict:
     """Per-query contention marks (VERDICT r12 task #7): the r12 artifact
     started quiet but ended at loadavg 8.99, +15% over an idle replay — a
@@ -171,9 +243,21 @@ def main() -> None:
     cold: dict[str, float] = {}
     spread_reruns: dict[str, int] = {}
     loads: dict[str, list[float]] = {}
+    ambient: dict[str, float] = {}
     threshold = load_guard_threshold(int(cpus))
+    ambient_wait_budget = AMBIENT_TOTAL_BUDGET_S
     for name in HEADLINE:
         fn = getattr(entrymod, name)
+        # between-query ambient gate (VERDICT r13 #3): /proc/stat deltas see
+        # only the neighbours while our executors are parked
+        if ambient_wait_budget > 0:
+            g = wait_for_quiet_cpu(
+                max_wait_s=min(AMBIENT_MAX_WAIT_S, ambient_wait_budget)
+            )
+            ambient_wait_budget -= g["waited_s"]
+            ambient[name] = g["busy_cores"]
+        else:
+            ambient[name] = round(ambient_busy_cores(), 2)
         samples: list[float] = []
         loads[name] = [os.getloadavg()[0]]
         for i in range(3):
@@ -200,6 +284,34 @@ def main() -> None:
     contended = contention_annotation(loads, threshold)
     if contended:
         env["contended_queries"] = contended
+    env["ambient_busy_per_query"] = ambient
+
+    # post-loop: queries whose pre-sample was ambient-contended get one more
+    # run once the box quiets, budget permitting — min() repairs the timing
+    ambient_contended = {
+        n: b for n, b in ambient.items() if b > AMBIENT_THRESHOLD_CORES
+    }
+    if ambient_contended:
+        env["ambient_contended"] = ambient_contended
+        rerun_start = time.monotonic()
+        reruns: dict[str, float] = {}
+        for name in ambient_contended:
+            spent = time.monotonic() - rerun_start
+            if spent >= AMBIENT_RERUN_BUDGET_S:
+                break
+            g = wait_for_quiet_cpu(
+                max_wait_s=min(AMBIENT_MAX_WAIT_S,
+                               AMBIENT_RERUN_BUDGET_S - spent)
+            )
+            if g["gave_up"]:
+                continue
+            t0 = time.perf_counter()
+            materialize(getattr(entrymod, name)(spark, sf_dir))
+            dt = time.perf_counter() - t0
+            reruns[name] = round(dt, 3)
+            timings[name] = min(timings[name], round(dt, 3))
+        if reruns:
+            env["ambient_reruns"] = reruns
 
     env["ts_end"] = time.strftime("%Y-%m-%dT%H:%M:%S%z")
     env["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]

@@ -280,6 +280,7 @@ def trace_breakdown(
     top_n: int = 20,
     max_parent_traces: int = 100_000,
     widen_seconds: int = 60,
+    exact: bool = True,
 ) -> DataFrame:
     """breakdown.ts's two-stage plan as DataFrames: (1) DISTINCT parent
     TraceIds matching ``parent_filter_sql`` in the window (optionally
@@ -292,7 +293,18 @@ def trace_breakdown(
     Scale: stage 1 is one distinct over the pushed filter; stage 2 is a
     semi join on the trace id (broadcast when the parent set is small, the
     common triage case) + one partial-aggregated groupBy whose state is
-    the (service, operation) domain."""
+    the (service, operation) domain.
+
+    ``exact``: Spark's exact ``percentile`` buffers a per-group map of
+    DISTINCT duration values; with ns-precision durations nearly every
+    value is distinct, so the p50/p99 state grows with input size.  The
+    reference's ClickHouse ``quantile`` (breakdown.ts:229-230) is itself
+    reservoir-SAMPLING-based, so approximate percentiles are within its
+    contract — pass ``exact=False`` at 100 TB to switch to
+    ``percentile_approx`` (bounded t-digest-style state per group), the
+    same escape hatch as ``heatmap.exact_bounds``.  The default stays
+    exact so the small-sf DuckDB gate oracle (``quantile_cont``) matches
+    bit-for-bit."""
     from datetime import timedelta
 
     e = translate_expr
@@ -326,6 +338,7 @@ def trace_breakdown(
         .withColumn("_trace_id", tid)
         .join(F.broadcast(parent_traces), on="_trace_id", how="left_semi")
     )
+    pct = "percentile" if exact else "percentile_approx"
     return (
         children.groupBy(
             F.expr(e(source.service_name_expression or "''")).alias("service"),
@@ -336,10 +349,10 @@ def trace_breakdown(
             F.count("*").alias("calls"),
             F.count_distinct(tid).alias("in_parents"),
             (F.expr(
-                f"percentile({e(source.duration_expression)}, 0.5)"
+                f"{pct}({e(source.duration_expression)}, 0.5)"
             ) / F.lit(divisor)).alias("p50_ms"),
             (F.expr(
-                f"percentile({e(source.duration_expression)}, 0.99)"
+                f"{pct}({e(source.duration_expression)}, 0.99)"
             ) / F.lit(divisor)).alias("p99_ms"),
         )
         .orderBy(F.desc("total_time_ms"))

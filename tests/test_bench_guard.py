@@ -115,6 +115,63 @@ def test_contention_annotation_rounds_and_keeps_max():
     assert marked == {"q": 10.23}
 
 
+def test_ambient_busy_cores_from_proc_stat_deltas():
+    # two readings 1000 jiffies apart, 600 of them idle+iowait -> 40% busy
+    reads = [(10_000, 7_000), (11_000, 7_600)]
+    busy = bench.ambient_busy_cores(
+        interval=0.0, read_stat=lambda: reads.pop(0),
+        sleep=lambda s: None, ncpus=32,
+    )
+    assert busy == (400 / 1000) * 32
+
+
+def test_ambient_busy_cores_degenerate_delta_is_zero():
+    reads = [(10_000, 7_000), (10_000, 7_000)]
+    assert bench.ambient_busy_cores(
+        interval=0.0, read_stat=lambda: reads.pop(0),
+        sleep=lambda s: None, ncpus=32,
+    ) == 0.0
+
+
+def test_ambient_busy_cores_unreadable_proc_stat_never_blocks():
+    def boom():
+        raise OSError("no /proc/stat")
+    assert bench.ambient_busy_cores(
+        interval=0.0, read_stat=boom, sleep=lambda s: None, ncpus=32,
+    ) == 0.0
+
+
+def test_wait_for_quiet_cpu_passes_when_ambient_low():
+    clk = FakeClock([0.0])
+    out = bench.wait_for_quiet_cpu(
+        threshold_cores=2.0, max_wait_s=20.0, poll_s=2.0,
+        busy=lambda: 0.5, sleep=clk.sleep, monotonic=clk.monotonic,
+    )
+    assert out == {"busy_cores": 0.5, "waited_s": 0.0, "gave_up": False}
+    assert clk.sleeps == []
+
+
+def test_wait_for_quiet_cpu_waits_then_succeeds():
+    vals = [6.0, 5.0, 1.0]
+    clk = FakeClock([0.0])
+    out = bench.wait_for_quiet_cpu(
+        threshold_cores=2.0, max_wait_s=20.0, poll_s=2.0,
+        busy=lambda: vals.pop(0), sleep=clk.sleep, monotonic=clk.monotonic,
+    )
+    assert out["gave_up"] is False and out["busy_cores"] == 1.0
+    assert clk.sleeps == [2.0, 2.0]
+
+
+def test_wait_for_quiet_cpu_bounded_and_marks_gave_up():
+    clk = FakeClock([0.0])
+    out = bench.wait_for_quiet_cpu(
+        threshold_cores=2.0, max_wait_s=5.0, poll_s=2.0,
+        busy=lambda: 9.9, sleep=clk.sleep, monotonic=clk.monotonic,
+    )
+    assert out["gave_up"] is True
+    assert sum(clk.sleeps) <= 5.0 + 1e-9
+
+
 def test_headline_set_unchanged_since_r2():
     # the judged per-query series must stay comparable across rounds
     assert bench.HEADLINE == [

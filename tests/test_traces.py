@@ -215,3 +215,36 @@ def test_trace_breakdown(spark, span_dir):
         date_range=RANGE, top_n=1,
     ).collect()
     assert [r["operation"] for r in out] == ["SELECT"]
+
+
+def test_trace_breakdown_approx_path(spark, span_dir):
+    """exact=False swaps percentile -> percentile_approx (the 100 TB path;
+    reference parity — breakdown.ts:229 uses CH's SAMPLING quantile).  On
+    this tiny fixture approx == exact, and the plan must carry
+    percentile_approx (bounded state), not the distinct-value-map
+    percentile."""
+    src = _src()
+    kw = dict(
+        parent_filter_sql="service = 'api' AND name = 'GET /x'",
+        date_range=RANGE,
+    )
+    exact = trace_breakdown(spark, src, span_dir, exact=True, **kw)
+    approx = trace_breakdown(spark, src, span_dir, exact=False, **kw)
+    plan = approx._jdf.queryExecution().optimizedPlan().toString()
+    assert "approx" in plan.lower()
+    erows = {(r["service"], r["operation"]): r for r in exact.collect()}
+    arows = {(r["service"], r["operation"]): r for r in approx.collect()}
+    assert set(erows) == set(arows)
+    for k, er in erows.items():
+        ar = arows[k]
+        # non-percentile columns identical
+        assert (er["total_time_ms"], er["calls"], er["in_parents"]) == (
+            ar["total_time_ms"], ar["calls"], ar["in_parents"]
+        )
+    # exact percentile INTERPOLATES (db SELECT: {150, 300} -> p50 = 225);
+    # percentile_approx returns an actual element of the group, like CH's
+    # sampling quantile family returns observed values at small n
+    assert arows[("db", "SELECT")]["p50_ms"] in (150.0, 300.0)
+    assert arows[("db", "SELECT")]["p99_ms"] == 300.0
+    assert arows[("cache", "GET")]["p50_ms"] == 100.0
+    assert arows[("cache", "GET")]["p99_ms"] == 100.0

@@ -8,6 +8,11 @@ Claims to pin:
 2. ``trace_waterfall`` for ONE trace stays flat: the pushed trace-id
    filter prunes the scan, and the driver only ever holds that trace's
    spans (<= max_spans).
+3. (r14, VERDICT r13 #2) With ns-precision ALL-DISTINCT durations the
+   ``exact=False`` path (``percentile_approx``, bounded t-digest-style
+   state) stays scan-linear across the decade, while the exact
+   ``percentile`` path's per-group distinct-value map grows with input —
+   both are timed on a ``dur_hc`` column that is unique per span.
 
 The span forest derives from events exactly like the q_trace_waterfall
 gate fixture (trace = user_id % K, binary-heap parent tree), written
@@ -58,6 +63,10 @@ def build_spans(spark, sf_dir: str, out_dir: str) -> None:
          + F.make_interval(secs=(F.col("trace") * 100 + F.col("idx"))
                            .cast("double"))).alias("ts"),
         F.floor("value").cast("double").alias("dur"),
+        # ns-precision all-distinct durations: value in ms + a unique
+        # event_id epsilon — no two spans share a dur_hc, the worst case
+        # for exact-percentile aggregation state
+        (F.col("value") * 1e6 + F.col("event_id")).alias("dur_hc"),
         F.col("event_type").alias("service"),
         F.concat(F.lit("op"), (F.col("idx") % 5).cast("string")).alias("name"),
         F.lit("STATUS_CODE_OK").alias("status_code"),
@@ -95,12 +104,32 @@ def main() -> None:
             spark, src, out_dir, trace_id="7", max_spans=2000
         )
         wf_s = round(time.monotonic() - t0, 2)
+
+        # high-cardinality durations: exact vs approx percentile state
+        import dataclasses
+
+        src_hc = dataclasses.replace(src, duration_expression="dur_hc")
+        t0 = time.monotonic()
+        traces.trace_breakdown(
+            spark, src_hc, out_dir, parent_filter_sql="name = 'op1'",
+            date_range=rng, top_n=20, exact=True,
+        ).collect()
+        hc_exact_s = round(time.monotonic() - t0, 2)
+        t0 = time.monotonic()
+        traces.trace_breakdown(
+            spark, src_hc, out_dir, parent_filter_sql="name = 'op1'",
+            date_range=rng, top_n=20, exact=False,
+        ).collect()
+        hc_approx_s = round(time.monotonic() - t0, 2)
+
         res[tag] = {
             "spans": n,
             "breakdown_s": bd_s,
             "breakdown_rows": len(bd),
             "waterfall_s": wf_s,
             "waterfall_spans": len(wf["spans"]) if wf else 0,
+            "hc_exact_s": hc_exact_s,
+            "hc_approx_s": hc_approx_s,
         }
     print(json.dumps({"trace_tools": res}))
 
