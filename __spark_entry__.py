@@ -4268,7 +4268,46 @@ def q_csv_render(spark, sf_dir):
         F.lit("tab").alias("part"), F.lit(None).cast("bigint").alias("ts_s"),
         F.col("event_type").alias("series"), F.col("Value").cast("double").alias("value"),
     )
-    return csv.unionByName(cap).unionByName(cat).unionByName(num).unionByName(tab)
+    # r14 (VERDICT r13 #5): the external API v2 series dialect under the
+    # gate — a two-series /api/v2/charts/series request (count + gated
+    # integral sum, '1d' token, shared groupBy) through
+    # external_series_to_chart_config -> compile -> format_ch_result; the
+    # zipped records unpivot one row per (record, series) so the oracle
+    # hashes the epoch-ms bucket, group, and each series_<i>.data value.
+    from hyperdx_spark.externalapi import run_chart_series
+
+    ext_src = _src()
+    recs = run_chart_series(
+        spark,
+        [
+            {"agg_fn": "count", "group_by": ["event_type"]},
+            # integral sum (floor) keeps the gated aggregate float-exact;
+            # the lucene where threads through as the aggCondition
+            {"agg_fn": "sum", "field": "floor(value)",
+             "where": "value:>=50", "group_by": ["event_type"]},
+        ],
+        [ext_src, ext_src],
+        sf_dir=sf_dir,
+        start_time_ms=1704067200000,   # 2024-01-01 UTC (== RANGE)
+        end_time_ms=1706745600000,     # 2024-02-01 UTC
+        granularity="1d",
+    )
+    ext_rows = []
+    for r in recs:
+        grp = "|".join(str(g) for g in r["group"])
+        for i in ("0", "1"):
+            v = r.get(f"series_{i}.data")
+            ext_rows.append((
+                f"extapi|s{i}", int(r["ts_bucket"]), grp,
+                float(v) if v is not None else None,
+            ))
+    ext = spark.createDataFrame(
+        ext_rows, "part string, ts_s bigint, series string, value double"
+    )
+    return (
+        csv.unionByName(cap).unionByName(cat).unionByName(num)
+        .unionByName(tab).unionByName(ext)
+    )
 
 
 O_CSV_RENDER = f"""
@@ -4286,6 +4325,17 @@ UNION ALL
 SELECT 'tab' AS part, NULL::BIGINT AS ts_s, event_type AS series,
        count(*)::DOUBLE AS value
 FROM events WHERE {TIME_WHERE} GROUP BY event_type
+UNION ALL
+SELECT 'extapi|s0' AS part,
+       (floor(epoch(ts))::BIGINT // 86400) * 86400000 AS ts_s,
+       event_type AS series, count(*)::DOUBLE AS value
+FROM events WHERE {TIME_WHERE} GROUP BY 2, 3
+UNION ALL
+SELECT 'extapi|s1' AS part,
+       (floor(epoch(ts))::BIGINT // 86400) * 86400000 AS ts_s,
+       event_type AS series,
+       (sum(floor(value)) FILTER (value >= 50))::DOUBLE AS value
+FROM events WHERE {TIME_WHERE} GROUP BY 2, 3
 """
 
 
