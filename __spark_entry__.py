@@ -2337,8 +2337,16 @@ def q_ann_lsh(spark, sf_dir):
 
 
 def q_embedding_dedup(spark, sf_dir):
+    """r14: `exhaustive=True` — the gate's provably-recall-1 config (the
+    pairs analogue of nprobe=nlist / refine>=corpus), after sf0.1 showed
+    the default banding's ~0.58 boundary recall missing pairs at
+    cosine≈0.5 against the exhaustive oracle. The LSH path stays the
+    scale path (recall-guarded; SCALE.md sf10 rows) and keeps its own
+    pytest coverage."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return _round4(similarity.cosine_pairs(emb, threshold=0.5))
+    return _round4(
+        similarity.cosine_pairs(emb, threshold=0.5, exhaustive=True)
+    )
 
 
 O_EMBEDDING_DEDUP = """
@@ -4435,8 +4443,10 @@ def q_dedup_all(spark, sf_dir):
         F.col("n_bench_docs").cast("long").alias("v2"),
     )
     # SemDeDup (Abbas'23) + quality-aware keeper policy, end to end:
-    # embedding-cosine pairs (LSH-banded; full recall at this threshold —
-    # the O_EMBEDDING_DEDUP argument), connected components, keeper =
+    # embedding-cosine pairs (r14: exhaustive=True — the gate's
+    # provably-recall-1 config; the default LSH banding's expected recall
+    # for a pair AT cosine 0.5 is ~0.58 and sf0.1 exposed missed boundary
+    # pairs against the exhaustive oracle), connected components, keeper =
     # best score then lowest id (pick_keepers), loser anti-join
     # (semantic_dedup). Score = byte length: integer-valued, so the
     # keeper argmax is engine-exact, and lengths tie often enough to
@@ -4448,7 +4458,7 @@ def q_dedup_all(spark, sf_dir):
     scored = docs_src.withColumn(
         "score", F.octet_length("text").cast("double")
     )
-    sem_pairs = similarity.cosine_pairs(emb, threshold=0.5)
+    sem_pairs = similarity.cosine_pairs(emb, threshold=0.5, exhaustive=True)
     sem_keep_df = dedup.pick_keepers(
         dedup.dedup_groups(sem_pairs), scored,
         id_col="doc_id", score_col="score",
@@ -4459,7 +4469,7 @@ def q_dedup_all(spark, sf_dir):
         F.col("is_keeper").cast("long").alias("v2"),
     )
     sem_kept = dedup.semantic_dedup(
-        scored, emb, threshold=0.5, score_col="score"
+        scored, emb, threshold=0.5, score_col="score", exhaustive=True
     )
     semdedup = sem_kept.select(
         F.lit("semdedup").alias("part"),
@@ -4639,6 +4649,43 @@ def q_dedup_all(spark, sf_dir):
         F.col("__nt").cast("long").alias("v1"),
         F.lit(0).cast("long").alias("v2"),
     )
+    # r14: DSIR importance resampling (Xie et al. 2023; pipeline/dsir.py)
+    # under the gate. Target = every 17th doc (a subset corpus, so every
+    # target bucket also appears in the raw counts), 64 buckets,
+    # uni+bigrams. Log-ratios ride as floor(x*1e9+0.5) integer nanonats of
+    # IEEE doubles, so per-doc weights are EXACT integer sums and DuckDB
+    # replays the whole chain — tokenize -> md5 bucket -> smoothed
+    # log-ratio -> weight -> Gumbel top-k — bit-for-bit.
+    from hyperdx_spark.pipeline import dsir as _dsir
+
+    d_docs = docs_src.select("doc_id", "text")
+    d_target = d_docs.where(F.col("doc_id") % 17 == 0)
+    d_lam = _dsir.dsir_fit(d_target, d_docs, buckets=64)
+    d_t = _dsir.bucket_counts(d_target, buckets=64).withColumnRenamed(
+        "cnt", "__t"
+    )
+    d_r = _dsir.bucket_counts(d_docs, buckets=64).withColumnRenamed(
+        "cnt", "__r"
+    )
+    dsircnt = d_t.join(d_r, on="bucket", how="outer").select(
+        F.lit("dsir|cnt").alias("part"),
+        F.col("bucket").cast("string").alias("k"),
+        F.coalesce("__t", F.lit(0)).cast("long").alias("v1"),
+        F.coalesce("__r", F.lit(0)).cast("long").alias("v2"),
+    )
+    d_w = _dsir.dsir_weights(d_docs, d_lam, buckets=64)
+    dsirw = d_w.select(
+        F.lit("dsir|w").alias("part"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("dsir_lw9").alias("v1"),
+        F.lit(0).cast("long").alias("v2"),
+    )
+    dsirsel = _dsir.dsir_resample(d_w, 200, seed=13).select(
+        F.lit("dsir|sel").alias("part"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("dsir_rank").cast("long").alias("v1"),
+        F.col("dsir_lw9").alias("v2"),
+    )
     return (
         exact.unionByName(groups).unionByName(samp).unionByName(mix)
         .unionByName(span).unionByName(contam).unionByName(semkeep)
@@ -4646,6 +4693,7 @@ def q_dedup_all(spark, sf_dir):
         .unionByName(langid).unionByName(htmlstrip).unionByName(packpart)
         .unionByName(storeprobe).unionByName(urldedup).unionByName(urlcap)
         .unionByName(qscore).unionByName(windowed)
+        .unionByName(dsircnt).unionByName(dsirw).unionByName(dsirsel)
     )
 
 
@@ -5333,6 +5381,59 @@ UNION ALL
 SELECT 'window' AS part, doc_id::VARCHAR AS k,
        strlen(text_dedup)::BIGINT AS v1, n_dropped::BIGINT AS v2
 FROM ({O_WINDOW_DEDUP})
+UNION ALL
+-- r14 DSIR replay (Xie et al. 2023): uni+bigram md5 buckets, add-1
+-- smoothed log-ratio in floor(x*1e9+0.5) integer nanonats (IEEE multiply
+-- + floor are deterministic, so the doubles match Spark bit-for-bit),
+-- per-doc weight = exact integer sum, Gumbel top-k from the portable
+-- md5 uniform. Target = doc_id % 17 = 0 is a SUBSET corpus, so raw
+-- buckets cover target buckets and LEFT JOIN == the Spark outer join.
+SELECT part, k, v1, v2 FROM (
+  WITH dtok AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+  dgram AS (
+    SELECT doc_id, g
+    FROM dtok,
+         UNNEST(list_concat(t,
+           list_transform(generate_series(1, len(t) - 1),
+                          i -> t[i] || ' ' || t[i + 1]))) AS u(g)),
+  dbkt AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(g || ':0'), 1, 15)) AS BIGINT) % 64 AS b
+    FROM dgram),
+  dtc AS (SELECT b, count(*) AS c FROM dbkt WHERE doc_id % 17 = 0 GROUP BY 1),
+  drc AS (SELECT b, count(*) AS c FROM dbkt GROUP BY 1),
+  ddom AS (SELECT range::BIGINT AS b FROM range(64)),
+  dlam AS (
+    SELECT ddom.b,
+      CAST(floor(
+        (ln((coalesce(dtc.c, 0) + 1.0)
+            / ((SELECT coalesce(sum(c), 0) FROM dtc) + 64.0))
+         - ln((coalesce(drc.c, 0) + 1.0)
+              / ((SELECT coalesce(sum(c), 0) FROM drc) + 64.0)))
+        * 1000000000.0 + 0.5) AS BIGINT) AS lam9
+    FROM ddom LEFT JOIN dtc ON ddom.b = dtc.b
+              LEFT JOIN drc ON ddom.b = drc.b),
+  dw AS (
+    SELECT d.doc_id, coalesce(s.lw, 0)::BIGINT AS lw
+    FROM documents d LEFT JOIN (
+      SELECT doc_id, sum(lam9)::BIGINT AS lw
+      FROM dbkt JOIN dlam ON dbkt.b = dlam.b GROUP BY 1) s USING (doc_id)),
+  dsel AS (
+    SELECT doc_id, lw,
+           row_number() OVER (ORDER BY
+             lw / 1000000000.0
+             + (-ln(-ln((CAST(('0x' || substr(md5(doc_id::VARCHAR || ':13'),
+                                              1, 15)) AS BIGINT) + 1.0)
+                        / (16.0 ** 15 + 1.0)))) DESC) AS rk
+    FROM dw ORDER BY rk LIMIT 200)
+  SELECT 'dsir|cnt' AS part, drc.b::VARCHAR AS k,
+         coalesce(dtc.c, 0)::BIGINT AS v1, drc.c::BIGINT AS v2
+  FROM drc LEFT JOIN dtc ON drc.b = dtc.b
+  UNION ALL
+  SELECT 'dsir|w', doc_id::VARCHAR, lw, 0::BIGINT FROM dw
+  UNION ALL
+  SELECT 'dsir|sel', doc_id::VARCHAR, rk::BIGINT, lw FROM dsel
+) dsir_all
 """
 
 

@@ -1092,6 +1092,7 @@ def semantic_dedup(
     max_iterations: int = 20,
     max_bucket_size: Optional[int] = 10_000,
     min_expected_recall: Optional[float] = 0.5,
+    exhaustive: bool = False,
 ) -> DataFrame:
     """SemDeDup (Abbas'23): drop documents whose *embeddings* are
     near-duplicates (cosine ≥ *threshold*), keeping one representative per
@@ -1124,6 +1125,7 @@ def semantic_dedup(
         seed=seed,
         max_bucket_size=max_bucket_size,
         min_expected_recall=min_expected_recall,
+        exhaustive=exhaustive,
     )
     return drop_near_duplicates(
         corpus,

@@ -213,9 +213,20 @@ def cosine_pairs(
     seed: int = 42,
     max_bucket_size: Optional[int] = 10_000,
     min_expected_recall: Optional[float] = 0.5,
+    exhaustive: bool = False,
 ) -> DataFrame:
     """Embedding near-duplicate pairs (cos >= threshold) via LSH banding —
     the embedding-cosine member of the dedup family.
+
+    ``exhaustive=True`` skips the banding and generates ALL candidate
+    pairs (recall provably 1 at ANY threshold) — the gate/verification
+    configuration, the pairs analogue of ``cosine_topk_ivf(nprobe=nlist)``
+    / ``cosine_topk_pq(refine >= corpus)``. O(N²) candidates: the
+    small-corpus or within-cluster mode, NOT the 100 TB path (LSH banding
+    with a recall-checked geometry is). r14 note: the default geometry's
+    expected recall for a pair AT cosine 0.5 is only ~0.58, which showed
+    up as missed boundary pairs at sf0.1 — exact gates must use this flag
+    or tighten the banding.
 
     ``min_expected_recall``: warn when the banding geometry's expected
     recall for a pair at exactly ``threshold`` (:func:`lsh_expected_recall`
@@ -243,6 +254,29 @@ def cosine_pairs(
     deduplicated pair list for the exact-cosine verify. Release the cached
     signature frame with ``dedup.release_cached(result)``."""
     from hyperdx_spark.pipeline.dedup import _register_cached
+
+    if exhaustive:
+        ids = df.select(F.col(id_col).alias("id"))
+        a_, b_ = ids.alias("a"), ids.alias("b")
+        cand = (
+            a_.crossJoin(b_)
+            .where(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        )
+        vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        return (
+            cand.join(
+                vecs.withColumnsRenamed({"id": "id_a", "v": "__va"}),
+                on="id_a",
+            )
+            .join(
+                vecs.withColumnsRenamed({"id": "id_b", "v": "__vb"}),
+                on="id_b",
+            )
+            .withColumn("cos", cosine(F.col("__va"), F.col("__vb")))
+            .where(F.col("cos") >= threshold)
+            .select("id_a", "id_b", "cos")
+        )
 
     if min_expected_recall is not None:
         expected = lsh_expected_recall(threshold, num_planes, bands)

@@ -198,6 +198,41 @@ def test_cosine_pairs_threshold(spark, embeddings):
         assert r["cos"] >= 0.99
 
 
+def test_cosine_pairs_exhaustive_is_a_recall_superset(spark, embeddings):
+    """r14: the exhaustive mode (the gate's provably-recall-1 config) must
+    return every banded pair and any boundary pairs the banding missed —
+    LSH output is always a subset of exhaustive output."""
+    sub = embeddings.where(F.col("vec_id") < 200)
+    ex = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_pairs(
+            sub, threshold=0.5, exhaustive=True
+        ).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_pairs(
+            sub, threshold=0.5, min_expected_recall=None
+        ).collect()
+    }
+    assert lsh <= ex
+    # and the exhaustive set matches a driver-side numpy recompute
+    import numpy as np
+
+    rows = sub.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in rows}
+    want = set()
+    ids = sorted(vecs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            va, vb = vecs[a], vecs[b]
+            cos = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+            if cos >= 0.5:
+                want.add((a, b))
+    assert ex == want
+
+
 # ------------------------------------------------------------------ multimodal
 
 def test_codecs_roundtrip():
