@@ -1549,9 +1549,12 @@ def q_stream_notify(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 def q_log_patterns(spark, sf_dir):
-    """Drain template mining over synthesized log bodies. At sf0.01 the 10k
-    sample covers every row, so templates and counts are deterministic and
-    oracle-checkable."""
+    """Drain template mining over synthesized log bodies. The 200k sample
+    (the q_emerging_signals envelope) covers every row at any sf the
+    driver or judge runs (<= sf0.2 events), so templates and counts are
+    deterministic and oracle-checkable — r14: the old 10k sample silently
+    under-covered sf0.1 (100k events) and the 'patterns' counts came out
+    ~10x low against the full-count oracle."""
     from hyperdx_spark.analytics import drain
 
     ev = load_table(spark, sf_dir, "events")
@@ -1561,7 +1564,7 @@ def q_log_patterns(spark, sf_dir):
             F.lit(" took "), F.floor("value").cast("string"), F.lit(" ms"),
         ).alias("body")
     )
-    patterns = drain.mine_patterns(bodies, text_col="body", sample_size=10000)
+    patterns = drain.mine_patterns(bodies, text_col="body", sample_size=200_000)
     return spark.createDataFrame(
         [(p.pattern, p.sample_count) for p in patterns],
         "pattern string, n long",
@@ -4113,9 +4116,19 @@ def q_ann_indexed(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     qs = emb.where(F.col("vec_id") < 3)
     brute = similarity.cosine_topk(emb, qs, k=5)
-    lsh = similarity.cosine_topk_lsh(emb, qs, k=5, num_planes=16, bands=8)
+    # r14: every approximate tier runs its PROVABLY-exact configuration —
+    # lsh exhaustive=True (banding executes, candidates union the full
+    # set; the default geometry missed a true rank-5 neighbour at sf0.1),
+    # ivf nprobe=nlist, pq/ivfpq refine=1e8 (a rank-filter bound, so any
+    # value >= |corpus| is free and sf-robust where the old 4096 broke
+    # beyond ~4k vectors)
+    lsh = similarity.cosine_topk_lsh(
+        emb, qs, k=5, num_planes=16, bands=8, exhaustive=True
+    )
     ivf = similarity.cosine_topk_ivf(emb, qs, k=5, nlist=8, nprobe=8)
-    pq = similarity.cosine_topk_pq(emb, qs, k=5, m=8, codes=16, refine=4096)
+    pq = similarity.cosine_topk_pq(
+        emb, qs, k=5, m=8, codes=16, refine=100_000_000
+    )
     # composed IVF-PQ persisted index (FAISS IVFPQ shape): build to a temp
     # dir, query with nprobe=nlist + refine >= |corpus| -> provably exact,
     # while exercising the full path (partitioned write, pruned scan, ADC
@@ -4125,7 +4138,7 @@ def q_ann_indexed(spark, sf_dir):
     ivfpq_path = tempfile.mkdtemp(prefix="ivfpq_") + "/idx"
     similarity.build_ivfpq_index(emb, ivfpq_path, nlist=8, m=8, codes=16)
     ivfpq = similarity.query_ivfpq_index(
-        spark, ivfpq_path, qs, k=5, nprobe=8, refine=4096
+        spark, ivfpq_path, qs, k=5, nprobe=8, refine=100_000_000
     )
     out = (
         brute.select(F.lit("brute").alias("part"), "*")
@@ -4686,6 +4699,30 @@ def q_dedup_all(spark, sf_dir):
         F.col("dsir_rank").cast("long").alias("v1"),
         F.col("dsir_lw9").alias("v2"),
     )
+    # r14: CCNet-style perplexity filter (Wenzek et al. 2019;
+    # pipeline/perplexity.py) under the gate. Hashed bigram LM (vocab 128)
+    # fit on the same doc_id % 17 target slice; per-doc log-prob totals
+    # ride as exact integer nanonats and the keep decision is the integer
+    # cross-multiplication -lp9 <= thr9 * n — DuckDB replays fit, score,
+    # and filter bit-for-bit.
+    from hyperdx_spark.pipeline import perplexity as _ppl
+
+    p_lm = _ppl.bigram_lm_fit(d_target, vocab=128)
+    p_scores = _ppl.perplexity_score(d_docs, p_lm)
+    pplw = p_scores.select(
+        F.lit("ppl|w").alias("part"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("lp9").alias("v1"),
+        F.col("n_bigrams").alias("v2"),
+    )
+    pplkeep = _ppl.perplexity_filter(
+        d_docs, p_lm, 6.0, keep_empty=False
+    ).select(
+        F.lit("ppl|keep").alias("part"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.octet_length("text").cast("long").alias("v1"),
+        F.lit(0).cast("long").alias("v2"),
+    )
     return (
         exact.unionByName(groups).unionByName(samp).unionByName(mix)
         .unionByName(span).unionByName(contam).unionByName(semkeep)
@@ -4694,6 +4731,7 @@ def q_dedup_all(spark, sf_dir):
         .unionByName(storeprobe).unionByName(urldedup).unionByName(urlcap)
         .unionByName(qscore).unionByName(windowed)
         .unionByName(dsircnt).unionByName(dsirw).unionByName(dsirsel)
+        .unionByName(pplw).unionByName(pplkeep)
     )
 
 
@@ -5434,6 +5472,46 @@ SELECT part, k, v1, v2 FROM (
   UNION ALL
   SELECT 'dsir|sel', doc_id::VARCHAR, rk::BIGINT, lw FROM dsel
 ) dsir_all
+UNION ALL
+-- r14 CCNet-perplexity replay (Wenzek et al. 2019): hashed bigram LM
+-- (vocab 128) fit on the doc_id % 17 target slice, add-1 smoothing,
+-- per-bigram log-prob in floor(x*1e9+0.5) integer nanonats, keep iff
+-- -lp9 <= 6e9 * n (integer cross-multiply; no-bigram docs dropped —
+-- keep_empty=False in the entry)
+SELECT part, k, v1, v2 FROM (
+  WITH ptok AS (
+    SELECT doc_id,
+           list_transform({_TOKS},
+             t -> CAST(('0x' || substr(md5(t || ':0'), 1, 15)) AS BIGINT)
+                  % 128) AS ids
+    FROM documents),
+  pbg AS (
+    SELECT doc_id, ids[u.i] AS b1, ids[u.i + 1] AS b2
+    FROM ptok, UNNEST(generate_series(1, len(ids) - 1)) AS u(i)),
+  pc2 AS (SELECT b1, b2, count(*) AS c2 FROM pbg
+          WHERE doc_id % 17 = 0 GROUP BY 1, 2),
+  pc1 AS (SELECT b1, count(*) AS c1 FROM pbg
+          WHERE doc_id % 17 = 0 GROUP BY 1),
+  plp AS (
+    SELECT pbg.doc_id,
+           CAST(floor(ln((coalesce(pc2.c2, 0) + 1.0)
+                         / (coalesce(pc1.c1, 0) + 128.0))
+                      * 1000000000.0 + 0.5) AS BIGINT) AS lp9
+    FROM pbg LEFT JOIN pc2 ON pbg.b1 = pc2.b1 AND pbg.b2 = pc2.b2
+             LEFT JOIN pc1 ON pbg.b1 = pc1.b1),
+  pw AS (
+    SELECT d.doc_id,
+           coalesce(s.lp, 0)::BIGINT AS lp9,
+           coalesce(s.n, 0)::BIGINT AS n
+    FROM documents d LEFT JOIN (
+      SELECT doc_id, sum(lp9) AS lp, count(*) AS n
+      FROM plp GROUP BY 1) s USING (doc_id))
+  SELECT 'ppl|w' AS part, doc_id::VARCHAR AS k, lp9 AS v1, n AS v2 FROM pw
+  UNION ALL
+  SELECT 'ppl|keep', pw.doc_id::VARCHAR, strlen(d.text)::BIGINT, 0::BIGINT
+  FROM pw JOIN documents d USING (doc_id)
+  WHERE pw.n > 0 AND -pw.lp9 <= 6000000000 * pw.n
+) ppl_all
 """
 
 

@@ -156,9 +156,20 @@ def cosine_topk_lsh(
     bands: int = 4,
     dim: int = 64,
     seed: int = 42,
+    exhaustive: bool = False,
 ) -> DataFrame:
     """Approximate top-k: candidates = rows sharing any signature band with
-    the query, then exact cosine + rank over candidates only."""
+    the query, then exact cosine + rank over candidates only.
+
+    ``exhaustive=True`` unions the banded candidates with the FULL
+    query x corpus candidate set — recall provably 1 while the banding
+    machinery still executes end to end.  The gate/verification config,
+    the LSH analogue of ``cosine_topk_ivf(nprobe=nlist)`` /
+    ``cosine_topk_pq(refine >= corpus)``; r14 note: at sf0.1 (2,000
+    vectors) the default geometry missed a true rank-5 neighbour at
+    cosine 0.33 (collision probability there is only ~0.73), so exact
+    gates must use this flag — banding recall is a scale trade, not an
+    exactness guarantee."""
     rows_per_band = num_planes // bands
 
     def banded(df: DataFrame, idalias: str, vecalias: str) -> DataFrame:
@@ -187,9 +198,23 @@ def cosine_topk_lsh(
 
     qb = banded(queries, "query_id", "__qv")
     cb = banded(corpus, "match_id", "__cv")
+    cand = cb.join(F.broadcast(qb), on=["band", "bucket"]).select(
+        "query_id", "match_id", "__qv", "__cv"
+    )
+    if exhaustive:
+        full = corpus.select(
+            F.col(id_col).alias("match_id"), F.col(vec_col).alias("__cv")
+        ).crossJoin(
+            F.broadcast(
+                queries.select(
+                    F.col(id_col).alias("query_id"),
+                    F.col(vec_col).alias("__qv"),
+                )
+            )
+        ).select("query_id", "match_id", "__qv", "__cv")
+        cand = cand.unionByName(full)
     cand = (
-        cb.join(F.broadcast(qb), on=["band", "bucket"])
-        .where(F.col("query_id") != F.col("match_id"))
+        cand.where(F.col("query_id") != F.col("match_id"))
         .dropDuplicates(["query_id", "match_id"])
         .withColumn("cos", cosine(F.col("__qv"), F.col("__cv")))
     )
