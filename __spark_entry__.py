@@ -4199,7 +4199,37 @@ def q_ann_indexed(spark, sf_dir):
         F.col("n").alias("match_id"), F.col("__ss").cast("double").alias("cos"),
         F.col("i").cast("int").alias("rank"),
     )
-    return out.unionByName(pca_mu).unionByName(pca_ss)
+    out = out.unionByName(pca_mu).unionByName(pca_ss)
+    # r14: deterministic fixed-point k-means (pipeline/clustering.py) —
+    # k=2, farthest-first init, 2 Lloyd iterations. Every decision is an
+    # exact integer (micro-unit quantization, integer squared distances,
+    # floor(sum/n + 0.5) centroid means), so the DuckDB oracle replays
+    # init, both updates, and the final assignment bit-for-bit. Gate
+    # rows: per-vector cluster + exact distance ('km|asg'), final
+    # centroid components ('km|cent').
+    from hyperdx_spark.pipeline import clustering as _clu
+
+    km_c = _clu.kmeans_fit(emb, 2, iterations=2)
+    q = _clu.quantize_vec(F.col("embedding"))
+    d0 = _clu._sq_dist(q, km_c[0])
+    d1 = _clu._sq_dist(q, km_c[1])
+    km_asg = emb.select(
+        F.lit("km|asg").alias("part"),
+        F.col("vec_id").cast("long").alias("query_id"),
+        F.when(d1 < d0, F.lit(1)).otherwise(F.lit(0))
+        .cast("long").alias("match_id"),
+        F.least(d0, d1).cast("double").alias("cos"),
+        F.lit(0).cast("int").alias("rank"),
+    )
+    km_cent = spark.createDataFrame(
+        [
+            ("km|cent", ci, di, float(v), 0)
+            for ci, c in enumerate(km_c)
+            for di, v in enumerate(c)
+        ],
+        "part string, query_id long, match_id long, cos double, rank int",
+    )
+    return out.unionByName(km_asg).unionByName(km_cent)
 
 
 O_ANN_INDEXED = f"""
@@ -4394,7 +4424,10 @@ def q_dedup_all(spark, sf_dir):
     (GPT-3/PaLM decontamination rule; bench = first 200 chars of every
     29th doc, so every benchmark source doc genuinely self-flags),
     SemDeDup + quality-aware keeper policy end to end (semkeep/semdedup
-    parts), and the per-source quality-percentile cut (srccut part)."""
+    parts), the per-source quality-percentile cut (srccut part), and —
+    r14 — DSIR importance resampling (dsir|cnt/w/sel parts) and the
+    CCNet-style perplexity filter (ppl|w/keep parts), both exact-integer
+    nanonat chains DuckDB replays bit-for-bit."""
     from hyperdx_spark.pipeline import sampling
 
     exact = q_dedup_exact(spark, sf_dir).select(
@@ -6023,10 +6056,70 @@ _O_MM_UNPIVOT = "\nUNION ALL\n".join(
               "duration_us", "grayscale")
 )
 
+_O_KM_DIST0 = (
+    "list_sum(list_transform(generate_series(1, len(qv)),"
+    " i -> (qv[i] - c0[i]) * (qv[i] - c0[i])))"
+)
+_O_KM_DIST1 = (
+    "list_sum(list_transform(generate_series(1, len(qv)),"
+    " i -> (qv[i] - c1[i]) * (qv[i] - c1[i])))"
+)
+
+# one Lloyd step in SQL: assign under the (c0, c1) pair, then per-(cluster,
+# dim) deterministic integer mean floor(sum/n + 0.5)
+def _o_km_step(prev_w: str, asg: str, cent: str) -> str:
+    return f"""
+  {asg} AS (
+    SELECT vec_id, qv, CASE WHEN d1 < d0 THEN 1::BIGINT ELSE 0::BIGINT END AS c
+    FROM (SELECT kq.vec_id, kq.qv, {_O_KM_DIST0} AS d0, {_O_KM_DIST1} AS d1
+          FROM kq CROSS JOIN {prev_w})),
+  {cent} AS (
+    SELECT c, list(val ORDER BY i) AS cv FROM (
+      SELECT c, u.i AS i,
+             CAST(floor(sum(qv[u.i])::DOUBLE / count(*) + 0.5) AS BIGINT) AS val
+      FROM {asg}, UNNEST(generate_series(1, len(qv))) AS u(i)
+      GROUP BY c, u.i) GROUP BY c),
+  {cent}w AS (SELECT (SELECT cv FROM {cent} WHERE c = 0) AS c0,
+                     (SELECT cv FROM {cent} WHERE c = 1) AS c1)"""
+
+
 O_ANN_MULTIMODAL = f"""
 SELECT *, '' AS s FROM ({O_ANN_INDEXED})
 UNION ALL
 {_O_MM_UNPIVOT}
+UNION ALL
+-- r14 fixed-point k-means replay (clustering.py): micro-unit quantize,
+-- smallest-md5-key first seed, farthest-second seed, two Lloyd steps
+-- (exact integer distances; floor(sum/n+0.5) means), final assignment +
+-- centroids — every decision integer, replayed bit-for-bit
+SELECT part, query_id, match_id, cos, rank, s FROM (
+  WITH kq AS (
+    SELECT vec_id,
+           list_transform(embedding,
+             x -> CAST(floor(x::DOUBLE * 1000000.0 + 0.5) AS BIGINT)) AS qv
+    FROM embeddings),
+  ks0 AS (SELECT qv FROM kq
+          ORDER BY md5(vec_id::VARCHAR || ':42') ASC, vec_id ASC LIMIT 1),
+  ks1 AS (SELECT kq.qv FROM kq CROSS JOIN ks0
+          ORDER BY list_sum(list_transform(generate_series(1, len(kq.qv)),
+                     i -> (kq.qv[i] - ks0.qv[i]) * (kq.qv[i] - ks0.qv[i]))) DESC,
+                   kq.vec_id ASC
+          LIMIT 1),
+  kc0w AS (SELECT (SELECT qv FROM ks0) AS c0, (SELECT qv FROM ks1) AS c1),
+  {_o_km_step("kc0w", "ka1", "kc1")},
+  {_o_km_step("kc1w", "ka2", "kc2")},
+  ka3 AS (
+    SELECT vec_id, CASE WHEN d1 < d0 THEN 1::BIGINT ELSE 0::BIGINT END AS c,
+           least(d0, d1) AS d
+    FROM (SELECT kq.vec_id, kq.qv, {_O_KM_DIST0} AS d0, {_O_KM_DIST1} AS d1
+          FROM kq CROSS JOIN kc2w))
+  SELECT 'km|asg' AS part, vec_id AS query_id, c AS match_id,
+         d::DOUBLE AS cos, 0 AS rank, '' AS s
+  FROM ka3
+  UNION ALL
+  SELECT 'km|cent', c, u.i - 1, cv[u.i]::DOUBLE, 0, ''
+  FROM kc2, UNNEST(generate_series(1, len(cv))) AS u(i)
+) km_all
 """
 
 

@@ -1,0 +1,310 @@
+"""Deterministic fixed-point k-means for embedding clustering.
+
+The clustering stage of cluster-then-dedup curation (SemDeDup, Abbas et
+al. 2023, runs k-means first and dedups WITHIN clusters; DSIR/It's-About-
+Time-style mixes cluster for balance).  Standard Lloyd's algorithm with
+one twist that matters for a 100 TB curation pipeline: every quantity is
+**fixed-point integer** (micro-units, ``floor(x * 1e6 + 0.5)`` of the
+IEEE double), so
+
+* assignments do not depend on partitioning, reduce order, or engine —
+  squared distances are EXACT integer sums;
+* centroid updates round deterministically (``floor(sum / n + 0.5)`` —
+  the sum is an exact integer that fits a double, and IEEE
+  divide/add/floor are reproducible everywhere);
+* an independent engine (the DuckDB gate oracle) can replay any number
+  of iterations bit-for-bit.
+
+Initialization is deterministic too: the k corpus rows with the smallest
+engine-portable md5 sample key (`sampling.sample_key`) — a reproducible
+uniform draw without replacement.
+
+Scale shapes:
+
+* assignment is ROW-LOCAL: centroids ride the plan as a k x dim literal
+  array (driver state, the classic Spark k-means shape — k*dim ints,
+  kilobytes);
+* the update is one map-side-combined groupBy over (cluster, dim) keys —
+  at most k*dim groups regardless of corpus size;
+* the driver loop holds only the centroid matrix.
+
+Reference: the observability reference has no clustering surface; this
+extends the LLM-pipeline tier (pairs with ``dedup.semantic_dedup``'s
+within-cluster mode).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .sampling import sample_key
+
+#: micro-unit scaling for the fixed-point vector representation
+VEC_SCALE = 1_000_000
+
+
+def quantize_vec(vec_col: Column) -> Column:
+    """float vector -> exact micro-unit longs: floor(x * 1e6 + 0.5) of the
+    double (deterministic in any IEEE engine)."""
+    return F.transform(
+        vec_col,
+        lambda x: F.floor(x.cast("double") * F.lit(float(VEC_SCALE)) + F.lit(0.5))
+        .cast("long"),
+    )
+
+
+def _sq_dist(q_col: Column, centroid: Sequence[int]) -> Column:
+    """Exact integer squared distance between a quantized vector column
+    and a quantized centroid literal."""
+    cent = F.array(*[F.lit(int(c)).cast("long") for c in centroid])
+    return F.aggregate(
+        F.zip_with(q_col, cent, lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("long"),
+        lambda acc, d: acc + d,
+    )
+
+
+def _assign_expr(q_col: Column, centroids: Sequence[Sequence[int]]) -> Column:
+    """Index of the nearest centroid (ties -> lowest index), row-local.
+
+    Built as ``least(d_0..d_k)`` + a first-match CASE chain — NOT a
+    running-min fold: a fold re-embeds the accumulated best inside BOTH
+    branches of every step's ``when``, doubling the expression tree per
+    centroid (2^k nodes — k=16 OOMed the driver building the plan).  The
+    flat form is O(k² · dim) nodes; for large k use the Arrow path."""
+    ds = [_sq_dist(q_col, c) for c in centroids]
+    if len(ds) == 1:
+        return F.lit(0).alias("cluster")
+    best = F.least(*ds)
+    expr = F.when(ds[0] == best, F.lit(0))
+    for i in range(1, len(ds)):
+        expr = expr.when(ds[i] == best, F.lit(i))
+    return expr.otherwise(F.lit(0)).alias("cluster")
+
+
+def kmeans_init(
+    df: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    method: str = "farthest",
+    distance: str = "arrow",
+) -> list[list[int]]:
+    """Deterministic init, two methods:
+
+    * ``"farthest"`` (default) — farthest-first traversal (Gonzalez
+      1985, the deterministic k-means++ cousin): seed = the row with the
+      smallest md5 sample key, then k-1 rounds each picking the row with
+      the MAXIMUM exact integer distance to its nearest chosen centroid
+      (ties -> lowest id).  One top-1 job per round (k small); immune to
+      the all-seeds-in-one-blob local optimum plain hash init hits.
+    * ``"hash"`` — the k rows with the smallest md5 sample keys (one
+      job; fine when k ≪ natural cluster count).
+
+    Both are exact-integer + portable-hash decisions: reproducible on
+    any engine or partitioning."""
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        quantize_vec(F.col(vec_col)).alias("__q"),
+        sample_key(id_col, seed).alias("__sk"),
+    )
+    if method == "hash":
+        rows = base.orderBy("__sk", "__id").limit(k).collect()
+        if len(rows) < k:
+            raise ValueError(f"k={k} but corpus has only {len(rows)} rows")
+        return [list(r["__q"]) for r in rows]
+    if method != "farthest":
+        raise ValueError(f"unknown init method {method!r}")
+    first = base.orderBy("__sk", "__id").limit(1).collect()
+    if not first:
+        raise ValueError(f"k={k} but corpus has only 0 rows")
+    cents = [list(first[0]["__q"])]
+    ids = df.select(F.col(id_col).alias("__id"), F.col(vec_col))
+    for _ in range(k - 1):
+        if distance == "arrow":
+            scored = _assign_arrow(
+                ids, cents, vec_col=vec_col, keep_cols=["__id"],
+                dist_col="__d",
+            ).select("__id", "__q", "__d")
+        else:
+            scored = base.select(
+                "__id", "__q",
+                _min_dist(F.col("__q"), cents).alias("__d"),
+            )
+        row = scored.orderBy(F.desc("__d"), F.asc("__id")).limit(1).collect()
+        nxt = list(row[0]["__q"])
+        if row[0]["__d"] == 0:
+            raise ValueError(
+                f"k={k} but corpus has fewer than {k} distinct vectors"
+            )
+        cents.append(nxt)
+    return cents
+
+
+def _min_dist(q_col: Column, centroids: Sequence[Sequence[int]]) -> Column:
+    ds = [_sq_dist(q_col, c) for c in centroids]
+    return ds[0] if len(ds) == 1 else F.least(*ds)
+
+
+def _assign_arrow(
+    df: DataFrame,
+    centroids: Sequence[Sequence[int]],
+    *,
+    vec_col: str,
+    keep_cols: Sequence[str],
+    cluster_col: str = "cluster",
+    dist_col: Optional[str] = None,
+) -> DataFrame:
+    """Arrow-batched assignment: numpy argmin over the k x dim int64
+    centroid matrix per batch — the SAME exact-integer decision as the
+    Column fold (int64 arithmetic, ties -> lowest index via argmin), at
+    vectorized speed.  Row-local (mapInPandas), no shuffle.  With
+    ``dist_col`` the exact min squared distance rides along (farthest-
+    first init consumes it)."""
+    import numpy as np
+
+    cent = np.asarray([list(c) for c in centroids], dtype=np.int64)
+    cols = list(keep_cols)
+    fields = [
+        f"`{c}` {df.schema[c].dataType.simpleString()}" for c in cols
+    ]
+    fields += ["__q array<bigint>", f"{cluster_col} int"]
+    if dist_col:
+        fields.append(f"{dist_col} bigint")
+    out_schema = ", ".join(fields)
+    src = df.select(*cols, quantize_vec(F.col(vec_col)).alias("__q"))
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = np.stack(
+                [np.asarray(v, dtype=np.int64) for v in pdf["__q"]]
+            )
+            # exact int64 squared distances: values are micro-units
+            # (<= ~2^21), so diffs² sum to ~2^48 * dim — no overflow
+            d = ((q[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            res = pdf[cols + ["__q"]].copy()
+            res[cluster_col] = d.argmin(axis=1).astype("int32")
+            if dist_col:
+                res[dist_col] = d.min(axis=1)
+            yield res
+
+    return src.mapInPandas(run, out_schema)
+
+
+def kmeans_update(
+    df: DataFrame,
+    centroids: Sequence[Sequence[int]],
+    *,
+    vec_col: str = "embedding",
+    method: str = "arrow",
+) -> list[list[int]]:
+    """One Lloyd step: assign (row-local) then per-cluster deterministic
+    integer mean ``floor(sum / n + 0.5)``.  The shuffle carries at most
+    k x dim (cluster, dim) partial sums; empty clusters keep their old
+    centroid (standard Lloyd's convention).
+
+    ``method``: ``"arrow"`` (default) assigns via the vectorized numpy
+    batch (identical exact-integer decisions); ``"column"`` keeps the
+    pure-JVM Column fold — fine for small k, but interpreted HOFs price
+    each distance at ~10µs/row, so large k x N runs want Arrow (the
+    quality.py scoring precedent)."""
+    if method == "arrow":
+        assigned = _assign_arrow(
+            df, centroids, vec_col=vec_col, keep_cols=[]
+        ).select(F.col("cluster"), F.posexplode("__q").alias("i", "v"))
+    else:
+        q = df.select(quantize_vec(F.col(vec_col)).alias("__q"))
+        assigned = q.select(
+            _assign_expr(F.col("__q"), centroids),
+            F.posexplode("__q").alias("i", "v"),
+        )
+    sums = (
+        assigned.groupBy("cluster", "i")
+        .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+        .collect()
+    )
+    dim = len(centroids[0])
+    out = [list(c) for c in centroids]
+    per_cluster: dict[int, dict[int, tuple[int, int]]] = {}
+    for r in sums:
+        per_cluster.setdefault(r["cluster"], {})[r["i"]] = (r["s"], r["n"])
+    for ci, dims in per_cluster.items():
+        out[ci] = [
+            # exact int sum fits a double (<= 2^40 * rows); IEEE divide +
+            # floor reproduce identically in any engine
+            math.floor(dims[i][0] / dims[i][1] + 0.5) for i in range(dim)
+        ]
+    return out
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    iterations: int = 5,
+    method: str = "arrow",
+) -> list[list[int]]:
+    """Lloyd's k-means: deterministic init + ``iterations`` update steps.
+    Returns the quantized centroid matrix (driver state, k x dim ints).
+    ``method``: "arrow" (vectorized numpy distances; default) or
+    "column" (pure-JVM Column folds) — identical exact-integer results."""
+    cents = kmeans_init(
+        df, k, id_col=id_col, vec_col=vec_col, seed=seed, distance=method
+    )
+    for _ in range(iterations):
+        cents = kmeans_update(df, cents, vec_col=vec_col, method=method)
+    return cents
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: Sequence[Sequence[int]],
+    *,
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+    method: str = "column",
+) -> DataFrame:
+    """Attach the nearest-centroid index as ``cluster_col`` (row-local —
+    no shuffle; safe to chain into a within-cluster pair join).
+    ``method="arrow"`` routes through the vectorized numpy batch (same
+    exact-integer decisions) — use it for large k x N."""
+    if method == "arrow":
+        return _assign_arrow(
+            df, centroids, vec_col=vec_col,
+            keep_cols=list(df.columns), cluster_col=cluster_col,
+        ).drop("__q")
+    return df.withColumn(
+        cluster_col,
+        _assign_expr(quantize_vec(F.col(vec_col)), centroids),
+    )
+
+
+def kmeans_sse(
+    df: DataFrame,
+    centroids: Sequence[Sequence[int]],
+    *,
+    vec_col: str = "embedding",
+) -> int:
+    """Total within-cluster sum of squared (quantized) distances — the
+    Lloyd objective, exact integer; monotonically non-increasing across
+    ``kmeans_update`` steps (the classic invariant, pytest-pinned)."""
+    q = quantize_vec(F.col(vec_col))
+    dists = [
+        _sq_dist(q, c) for c in centroids
+    ]
+    best = dists[0]
+    for d in dists[1:]:
+        best = F.least(best, d)
+    row = df.select(F.sum(best).alias("sse")).collect()[0]
+    return int(row["sse"] or 0)

@@ -64,10 +64,15 @@ def _tokens(text_col: Column) -> Column:
     )
 
 
-def _grams(text_col: Column, n: int) -> Column:
-    """Unigrams plus space-joined k-grams for k = 2..n, concatenated into
-    one array (row-local)."""
-    toks = _tokens(text_col)
+def _grams_of(toks: Column, n: int) -> Column:
+    """Unigrams plus space-joined k-grams for k = 2..n over an ALREADY
+    MATERIALIZED token-array column.  ``toks`` must be a bound column,
+    never the raw ``_tokens(...)`` expression: interpreted higher-order
+    functions do no common-subexpression elimination, so an inlined
+    split/filter expression would re-tokenize the document inside every
+    ``element_at`` — O(len²) per doc (the r14 harness caught exactly
+    this: the sf1 fit sat minutes in one stage until the array was bound
+    once per row)."""
     parts = [toks]
     for k in range(2, n + 1):
         idx = F.sequence(F.lit(1), F.size(toks) - (k - 1))
@@ -82,6 +87,14 @@ def _grams(text_col: Column, n: int) -> Column:
         ).otherwise(F.array().cast("array<string>"))
         parts.append(gram_k)
     return F.concat(*parts)
+
+
+def _gram_rows(df: DataFrame, text_col: str, n: int, extra: list[str]):
+    """``extra`` columns + one exploded gram column ``__g``, with the token
+    array bound to a real column first (see :func:`_grams_of`)."""
+    return df.select(
+        *extra, _tokens(F.col(text_col)).alias("__toks")
+    ).select(*extra, F.explode(_grams_of(F.col("__toks"), n)).alias("__g"))
 
 
 def gram_bucket(gram: Column, buckets: int, seed: int = 0) -> Column:
@@ -108,7 +121,7 @@ def bucket_counts(
 ) -> DataFrame:
     """Corpus n-gram bucket distribution: ``(bucket long, cnt long)``.
     One map-side-combined groupBy over at most ``buckets`` keys."""
-    g = df.select(F.explode(_grams(F.col(text_col), n)).alias("__g"))
+    g = _gram_rows(df, text_col, n, [])
     return (
         g.select(gram_bucket(F.col("__g"), buckets, seed).alias("bucket"))
         .groupBy("bucket")
@@ -186,9 +199,7 @@ def dsir_weights(
     with a zero row per document (so empty documents survive WITHOUT a
     second full-width join on the id) -> ONE partial-aggregated groupBy
     on the id.  Exactly one shuffle, no sort-merge join anywhere."""
-    g = df.select(
-        F.col(id_col), F.explode(_grams(F.col(text_col), n)).alias("__g")
-    ).select(
+    g = _gram_rows(df, text_col, n, [id_col]).select(
         id_col, gram_bucket(F.col("__g"), buckets, seed).alias("bucket")
     )
     g_lam = g.join(F.broadcast(lam_df), on="bucket", how="inner").select(

@@ -61,10 +61,12 @@ def token_bucket(tok: Column, vocab: int, seed: int = 0) -> Column:
     return h % F.lit(vocab)
 
 
-def _bigram_ids(text_col: Column, vocab: int, seed: int) -> Column:
-    """Array of (b1, b2) structs for consecutive token pairs (row-local)."""
-    toks = _tokens(text_col)
-    ids = F.transform(toks, lambda t: token_bucket(t, vocab, seed))
+def _bigram_ids_of(ids: Column) -> Column:
+    """Array of (b1, b2) structs for consecutive pairs of an ALREADY
+    MATERIALIZED token-id array column.  ``ids`` must be a bound column:
+    interpreted HOFs do no CSE, so an inlined transform-over-split
+    expression would re-hash the whole document inside every
+    ``element_at`` — O(len²) per doc (the dsir._grams_of lesson)."""
     idx = F.sequence(F.lit(1), F.size(ids) - 1)
     return F.when(
         F.size(ids) >= 2,
@@ -76,6 +78,28 @@ def _bigram_ids(text_col: Column, vocab: int, seed: int) -> Column:
             ),
         ),
     ).otherwise(F.array().cast("array<struct<b1:long,b2:long>>"))
+
+
+def _bigram_rows(
+    df: DataFrame, text_col: str, vocab: int, seed: int, extra: list[str]
+):
+    """``extra`` columns + exploded (b1, b2) bigram columns, with the
+    token-id array bound to a real column first."""
+    return (
+        df.select(*extra, _tokens(F.col(text_col)).alias("__toks"))
+        .select(
+            *extra,
+            F.transform(
+                F.col("__toks"), lambda t: token_bucket(t, vocab, seed)
+            ).alias("__ids"),
+        )
+        .select(
+            *extra, F.explode(_bigram_ids_of(F.col("__ids"))).alias("bg")
+        )
+        .select(
+            *extra, F.col("bg.b1").alias("b1"), F.col("bg.b2").alias("b2")
+        )
+    )
 
 
 def bigram_lm_fit(
@@ -92,9 +116,7 @@ def bigram_lm_fit(
     SPARSE (observed keys only) and map-side combined; the unigram count
     is over bigram LEFT contexts, so the conditional rows sum to c1
     exactly."""
-    bg = df.select(
-        F.explode(_bigram_ids(F.col(text_col), vocab, seed)).alias("bg")
-    ).select(F.col("bg.b1").alias("b1"), F.col("bg.b2").alias("b2"))
+    bg = _bigram_rows(df, text_col, vocab, seed, [])
     bigrams = bg.groupBy("b1", "b2").agg(F.count("*").alias("c2"))
     unigrams = bg.groupBy("b1").agg(F.count("*").alias("c1"))
     return {"bigrams": bigrams, "unigrams": unigrams,
@@ -118,10 +140,7 @@ def perplexity_score(
     contexts smooth to c1=0) -> one partial-aggregated groupBy on the id,
     with a zero-row union so short documents survive."""
     vocab, seed = lm["vocab"], lm["seed"]
-    bg = df.select(
-        F.col(id_col),
-        F.explode(_bigram_ids(F.col(text_col), vocab, seed)).alias("bg"),
-    ).select(id_col, F.col("bg.b1").alias("b1"), F.col("bg.b2").alias("b2"))
+    bg = _bigram_rows(df, text_col, vocab, seed, [id_col])
     a = F.lit(float(alpha))
     av = F.lit(float(alpha * vocab))
     lp = F.log(

@@ -239,6 +239,7 @@ def cosine_pairs(
     max_bucket_size: Optional[int] = 10_000,
     min_expected_recall: Optional[float] = 0.5,
     exhaustive: bool = False,
+    block_col: Optional[str] = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs (cos >= threshold) via LSH banding —
     the embedding-cosine member of the dedup family.
@@ -252,6 +253,13 @@ def cosine_pairs(
     expected recall for a pair AT cosine 0.5 is only ~0.58, which showed
     up as missed boundary pairs at sf0.1 — exact gates must use this flag
     or tighten the banding.
+
+    ``block_col`` (with ``exhaustive=True``): restrict candidates to rows
+    sharing the block value — the SemDeDup-paper shape
+    (``clustering.kmeans_assign`` then exhaustive pairs WITHIN each
+    cluster).  O(sum of block² ) instead of O(N²): the scale-correct
+    middle path between banding and global all-pairs; the candidate join
+    shuffles on the block key like any co-partitioned equi-join.
 
     ``min_expected_recall``: warn when the banding geometry's expected
     recall for a pair at exactly ``threshold`` (:func:`lsh_expected_recall`
@@ -281,13 +289,29 @@ def cosine_pairs(
     from hyperdx_spark.pipeline.dedup import _register_cached
 
     if exhaustive:
-        ids = df.select(F.col(id_col).alias("id"))
-        a_, b_ = ids.alias("a"), ids.alias("b")
-        cand = (
-            a_.crossJoin(b_)
-            .where(F.col("a.id") < F.col("b.id"))
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        )
+        if block_col is not None:
+            ids = df.select(
+                F.col(id_col).alias("id"), F.col(block_col).alias("__blk")
+            )
+            a_, b_ = ids.alias("a"), ids.alias("b")
+            cand = (
+                a_.join(b_, on=F.col("a.__blk") == F.col("b.__blk"))
+                .where(F.col("a.id") < F.col("b.id"))
+                .select(
+                    F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+                )
+            )
+        else:
+            ids = df.select(F.col(id_col).alias("id"))
+            a_, b_ = ids.alias("a"), ids.alias("b")
+            cand = (
+                a_.crossJoin(b_)
+                .where(F.col("a.id") < F.col("b.id"))
+                .select(
+                    F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"),
+                )
+            )
         vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         return (
             cand.join(

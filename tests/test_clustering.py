@@ -1,0 +1,184 @@
+"""Deterministic fixed-point k-means (pipeline/clustering.py) and the
+SemDeDup-paper within-cluster pairing composition."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from hyperdx_spark.pipeline import clustering, similarity
+from hyperdx_spark.pipeline.sampling import sample_key
+
+
+def _three_blob_df(spark):
+    """Three tight blobs in 4-d: cluster structure is unambiguous."""
+    rows = []
+    centers = [(10.0, 0.0, 0.0, 0.0), (0.0, 10.0, 0.0, 0.0),
+               (0.0, 0.0, 10.0, 0.0)]
+    i = 0
+    for ci, c in enumerate(centers):
+        for j in range(8):
+            vec = [c[d] + ((i * 7 + d * 3) % 5) * 0.01 for d in range(4)]
+            rows.append((i, [float(x) for x in vec]))
+            i += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_quantize_is_floor_half_up(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0000004, -1.0000004, 0.25])],
+        "vec_id long, embedding array<double>",
+    )
+    q = df.select(clustering.quantize_vec(F.col("embedding")).alias("q"))
+    assert q.collect()[0]["q"] == [1000000, -1000000, 250000]
+
+
+def test_kmeans_recovers_blobs(spark):
+    df = _three_blob_df(spark)
+    cents = clustering.kmeans_fit(df, 3, iterations=4)
+    out = clustering.kmeans_assign(df, cents).collect()
+    by_cluster: dict[int, set[int]] = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], set()).add(r["vec_id"])
+    groups = sorted(frozenset(v) for v in by_cluster.values())
+    want = sorted(
+        frozenset(range(s, s + 8)) for s in (0, 8, 16)
+    )
+    assert groups == want
+
+
+def test_sse_monotone_under_lloyd_steps(spark):
+    df = _three_blob_df(spark)
+    cents = clustering.kmeans_init(df, 3)
+    prev = clustering.kmeans_sse(df, cents)
+    for _ in range(3):
+        cents = clustering.kmeans_update(df, cents)
+        cur = clustering.kmeans_sse(df, cents)
+        assert cur <= prev  # the Lloyd invariant
+        prev = cur
+
+
+def test_assignment_partitioning_invariant(spark):
+    df = _three_blob_df(spark)
+    cents = clustering.kmeans_fit(df, 3, iterations=2)
+    a = clustering.kmeans_assign(df.repartition(7), cents)
+    b = clustering.kmeans_assign(df.coalesce(1), cents)
+    assert sorted((r["vec_id"], r["cluster"]) for r in a.collect()) == \
+        sorted((r["vec_id"], r["cluster"]) for r in b.collect())
+
+
+def test_hash_init_is_smallest_sample_keys(spark):
+    df = _three_blob_df(spark)
+    cents = clustering.kmeans_init(df, 2, seed=9, method="hash")
+    keys = sorted(
+        (r["k"], r["vec_id"])
+        for r in df.select("vec_id", sample_key("vec_id", 9).alias("k")).collect()
+    )
+    want_ids = [vid for _, vid in keys[:2]]
+    got = {tuple(c) for c in cents}
+    rows = {r["vec_id"]: r["embedding"] for r in df.collect()}
+    want = {
+        tuple(math.floor(float(x) * 1e6 + 0.5) for x in rows[i])
+        for i in want_ids
+    }
+    assert got == want
+    with pytest.raises(ValueError, match="k=999"):
+        clustering.kmeans_init(df, 999, method="hash")
+
+
+def test_farthest_init_spreads_across_blobs(spark):
+    """Farthest-first picks one seed per blob — the property that makes
+    blob recovery robust where hash init can put two seeds in one blob."""
+    df = _three_blob_df(spark)
+    cents = clustering.kmeans_init(df, 3)
+
+    def blob(c):
+        return max(range(4), key=lambda d: c[d])
+
+    assert sorted(blob(c) for c in cents) == [0, 1, 2]
+    with pytest.raises(ValueError, match="distinct"):
+        clustering.kmeans_init(df, 999)
+
+
+def test_update_matches_python_mean(spark):
+    df = _three_blob_df(spark)
+    cents = clustering.kmeans_init(df, 3)
+    nxt = clustering.kmeans_update(df, cents)
+    # python replay: same quantize, same assign, same floor(sum/n + .5)
+    rows = [
+        (r["vec_id"], [math.floor(float(x) * 1e6 + 0.5) for x in r["embedding"]])
+        for r in df.collect()
+    ]
+
+    def assign(q):
+        best, bi = None, None
+        for i, c in enumerate(cents):
+            d = sum((x - y) ** 2 for x, y in zip(q, c))
+            if best is None or d < best:
+                best, bi = d, i
+        return bi
+
+    sums: dict[int, list[int]] = {}
+    ns: dict[int, int] = {}
+    for _, q in rows:
+        ci = assign(q)
+        if ci not in sums:
+            sums[ci] = [0] * len(q)
+            ns[ci] = 0
+        ns[ci] += 1
+        for d, v in enumerate(q):
+            sums[ci][d] += v
+    want = [list(c) for c in cents]
+    for ci, s in sums.items():
+        want[ci] = [math.floor(v / ns[ci] + 0.5) for v in s]
+    assert nxt == want
+
+
+def test_arrow_and_column_paths_agree_exactly(spark):
+    """The Arrow (numpy int64) and Column (JVM fold) paths make the SAME
+    exact-integer decisions: identical assignments, identical centroid
+    trajectories, identical farthest-first seeds."""
+    df = _three_blob_df(spark)
+    ca = clustering.kmeans_init(df, 3, distance="arrow")
+    cc = clustering.kmeans_init(df, 3, distance="column")
+    assert ca == cc
+    for _ in range(2):
+        na = clustering.kmeans_update(df, ca, method="arrow")
+        nc = clustering.kmeans_update(df, cc, method="column")
+        assert na == nc
+        ca, cc = na, nc
+    aa = sorted(
+        (r["vec_id"], r["cluster"])
+        for r in clustering.kmeans_assign(df, ca, method="arrow").collect()
+    )
+    ac = sorted(
+        (r["vec_id"], r["cluster"])
+        for r in clustering.kmeans_assign(df, ca, method="column").collect()
+    )
+    assert aa == ac
+
+
+def test_within_cluster_exhaustive_pairs(spark):
+    """SemDeDup-paper composition: kmeans_assign + block-exhaustive pairs
+    finds every within-blob pair and no cross-blob pair."""
+    df = _three_blob_df(spark)
+    cents = clustering.kmeans_fit(df, 3, iterations=3)
+    blocked = clustering.kmeans_assign(df, cents)
+    pairs = similarity.cosine_pairs(
+        blocked, threshold=0.9, exhaustive=True, block_col="cluster"
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    want = {
+        (a, b)
+        for s in (0, 8, 16)
+        for a in range(s, s + 8)
+        for b in range(a + 1, s + 8)
+    }
+    assert got == want  # blobs are tight: every within pair has cos ~1
+    # plan: block equi-join, not a cartesian
+    plan = similarity.cosine_pairs(
+        blocked, threshold=0.9, exhaustive=True, block_col="cluster"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan

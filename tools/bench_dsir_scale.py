@@ -27,7 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from hyperdx_spark import get_spark  # noqa: E402
-from hyperdx_spark.io import load_table  # noqa: E402
+from hyperdx_spark.io import ensure_min_parallelism, load_table  # noqa: E402
 from hyperdx_spark.pipeline import dsir  # noqa: E402
 
 DIRS = sys.argv[1:] or ["/root/repo/.scale/sf1", "/root/repo/.scale/sf10"]
@@ -39,7 +39,12 @@ def main() -> None:
     res = {}
     for sf_dir in DIRS:
         tag = sf_dir.rsplit("/", 1)[-1]
-        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        # single-row-group parquet delivers 1-2 scan partitions; widen so
+        # the row-local n-gram explode uses every core (the q_text_stats
+        # lesson — featurization is partition-count-bound, not data-bound)
+        docs = ensure_min_parallelism(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        )
         target = docs.where(F.col("doc_id") % 17 == 0)
         n = docs.count()
 
