@@ -4427,7 +4427,7 @@ def q_dedup_all(spark, sf_dir):
     parts), the per-source quality-percentile cut (srccut part), and —
     r14 — DSIR importance resampling (dsir|cnt/w/sel parts) and the
     CCNet-style perplexity filter (ppl|w/keep parts), both exact-integer
-    nanonat chains DuckDB replays bit-for-bit."""
+    micronat chains DuckDB replays bit-for-bit."""
     from hyperdx_spark.pipeline import sampling
 
     exact = q_dedup_exact(spark, sf_dir).select(
@@ -4698,7 +4698,7 @@ def q_dedup_all(spark, sf_dir):
     # r14: DSIR importance resampling (Xie et al. 2023; pipeline/dsir.py)
     # under the gate. Target = every 17th doc (a subset corpus, so every
     # target bucket also appears in the raw counts), 64 buckets,
-    # uni+bigrams. Log-ratios ride as floor(x*1e9+0.5) integer nanonats of
+    # uni+bigrams. Log-ratios ride as floor(x*1e6+0.5) integer micronats of
     # IEEE doubles, so per-doc weights are EXACT integer sums and DuckDB
     # replays the whole chain — tokenize -> md5 bucket -> smoothed
     # log-ratio -> weight -> Gumbel top-k — bit-for-bit.
@@ -4723,20 +4723,20 @@ def q_dedup_all(spark, sf_dir):
     dsirw = d_w.select(
         F.lit("dsir|w").alias("part"),
         F.col("doc_id").cast("string").alias("k"),
-        F.col("dsir_lw9").alias("v1"),
+        F.col("dsir_lw_fp").alias("v1"),
         F.lit(0).cast("long").alias("v2"),
     )
     dsirsel = _dsir.dsir_resample(d_w, 200, seed=13).select(
         F.lit("dsir|sel").alias("part"),
         F.col("doc_id").cast("string").alias("k"),
         F.col("dsir_rank").cast("long").alias("v1"),
-        F.col("dsir_lw9").alias("v2"),
+        F.col("dsir_lw_fp").alias("v2"),
     )
     # r14: CCNet-style perplexity filter (Wenzek et al. 2019;
     # pipeline/perplexity.py) under the gate. Hashed bigram LM (vocab 128)
     # fit on the same doc_id % 17 target slice; per-doc log-prob totals
-    # ride as exact integer nanonats and the keep decision is the integer
-    # cross-multiplication -lp9 <= thr9 * n — DuckDB replays fit, score,
+    # ride as exact integer micronats and the keep decision is the integer
+    # cross-multiplication -lp_fp <= thr9 * n — DuckDB replays fit, score,
     # and filter bit-for-bit.
     from hyperdx_spark.pipeline import perplexity as _ppl
 
@@ -4745,7 +4745,7 @@ def q_dedup_all(spark, sf_dir):
     pplw = p_scores.select(
         F.lit("ppl|w").alias("part"),
         F.col("doc_id").cast("string").alias("k"),
-        F.col("lp9").alias("v1"),
+        F.col("lp_fp").alias("v1"),
         F.col("n_bigrams").alias("v2"),
     )
     pplkeep = _ppl.perplexity_filter(
@@ -5454,7 +5454,7 @@ SELECT 'window' AS part, doc_id::VARCHAR AS k,
 FROM ({O_WINDOW_DEDUP})
 UNION ALL
 -- r14 DSIR replay (Xie et al. 2023): uni+bigram md5 buckets, add-1
--- smoothed log-ratio in floor(x*1e9+0.5) integer nanonats (IEEE multiply
+-- smoothed log-ratio in floor(x*1e6+0.5) integer micronats (IEEE multiply
 -- + floor are deterministic, so the doubles match Spark bit-for-bit),
 -- per-doc weight = exact integer sum, Gumbel top-k from the portable
 -- md5 uniform. Target = doc_id % 17 = 0 is a SUBSET corpus, so raw
@@ -5481,18 +5481,18 @@ SELECT part, k, v1, v2 FROM (
             / ((SELECT coalesce(sum(c), 0) FROM dtc) + 64.0))
          - ln((coalesce(drc.c, 0) + 1.0)
               / ((SELECT coalesce(sum(c), 0) FROM drc) + 64.0)))
-        * 1000000000.0 + 0.5) AS BIGINT) AS lam9
+        * 1000000.0 + 0.5) AS BIGINT) AS lam_fp
     FROM ddom LEFT JOIN dtc ON ddom.b = dtc.b
               LEFT JOIN drc ON ddom.b = drc.b),
   dw AS (
     SELECT d.doc_id, coalesce(s.lw, 0)::BIGINT AS lw
     FROM documents d LEFT JOIN (
-      SELECT doc_id, sum(lam9)::BIGINT AS lw
+      SELECT doc_id, sum(lam_fp)::BIGINT AS lw
       FROM dbkt JOIN dlam ON dbkt.b = dlam.b GROUP BY 1) s USING (doc_id)),
   dsel AS (
     SELECT doc_id, lw,
            row_number() OVER (ORDER BY
-             lw / 1000000000.0
+             lw / 1000000.0
              + (-ln(-ln((CAST(('0x' || substr(md5(doc_id::VARCHAR || ':13'),
                                               1, 15)) AS BIGINT) + 1.0)
                         / (16.0 ** 15 + 1.0)))) DESC) AS rk
@@ -5508,8 +5508,8 @@ SELECT part, k, v1, v2 FROM (
 UNION ALL
 -- r14 CCNet-perplexity replay (Wenzek et al. 2019): hashed bigram LM
 -- (vocab 128) fit on the doc_id % 17 target slice, add-1 smoothing,
--- per-bigram log-prob in floor(x*1e9+0.5) integer nanonats, keep iff
--- -lp9 <= 6e9 * n (integer cross-multiply; no-bigram docs dropped —
+-- per-bigram log-prob in floor(x*1e6+0.5) integer micronats, keep iff
+-- -lp_fp <= 6e6 * n (integer cross-multiply; no-bigram docs dropped —
 -- keep_empty=False in the entry)
 SELECT part, k, v1, v2 FROM (
   WITH ptok AS (
@@ -5529,21 +5529,21 @@ SELECT part, k, v1, v2 FROM (
     SELECT pbg.doc_id,
            CAST(floor(ln((coalesce(pc2.c2, 0) + 1.0)
                          / (coalesce(pc1.c1, 0) + 128.0))
-                      * 1000000000.0 + 0.5) AS BIGINT) AS lp9
+                      * 1000000.0 + 0.5) AS BIGINT) AS lp_fp
     FROM pbg LEFT JOIN pc2 ON pbg.b1 = pc2.b1 AND pbg.b2 = pc2.b2
              LEFT JOIN pc1 ON pbg.b1 = pc1.b1),
   pw AS (
     SELECT d.doc_id,
-           coalesce(s.lp, 0)::BIGINT AS lp9,
+           coalesce(s.lp, 0)::BIGINT AS lp_fp,
            coalesce(s.n, 0)::BIGINT AS n
     FROM documents d LEFT JOIN (
-      SELECT doc_id, sum(lp9) AS lp, count(*) AS n
+      SELECT doc_id, sum(lp_fp) AS lp, count(*) AS n
       FROM plp GROUP BY 1) s USING (doc_id))
-  SELECT 'ppl|w' AS part, doc_id::VARCHAR AS k, lp9 AS v1, n AS v2 FROM pw
+  SELECT 'ppl|w' AS part, doc_id::VARCHAR AS k, lp_fp AS v1, n AS v2 FROM pw
   UNION ALL
   SELECT 'ppl|keep', pw.doc_id::VARCHAR, strlen(d.text)::BIGINT, 0::BIGINT
   FROM pw JOIN documents d USING (doc_id)
-  WHERE pw.n > 0 AND -pw.lp9 <= 6000000000 * pw.n
+  WHERE pw.n > 0 AND -pw.lp_fp <= 6000000 * pw.n
 ) ppl_all
 """
 
@@ -6066,7 +6066,10 @@ _O_KM_DIST1 = (
 )
 
 # one Lloyd step in SQL: assign under the (c0, c1) pair, then per-(cluster,
-# dim) deterministic integer mean floor(sum/n + 0.5)
+# dim) deterministic integer mean floor(sum/n + 0.5). A cluster that
+# empties keeps its previous centroid (COALESCE to {prev_w} — the Spark
+# kmeans_update convention; without it the scalar subquery would yield
+# NULL and every later distance would go NULL).
 def _o_km_step(prev_w: str, asg: str, cent: str) -> str:
     return f"""
   {asg} AS (
@@ -6079,8 +6082,11 @@ def _o_km_step(prev_w: str, asg: str, cent: str) -> str:
              CAST(floor(sum(qv[u.i])::DOUBLE / count(*) + 0.5) AS BIGINT) AS val
       FROM {asg}, UNNEST(generate_series(1, len(qv))) AS u(i)
       GROUP BY c, u.i) GROUP BY c),
-  {cent}w AS (SELECT (SELECT cv FROM {cent} WHERE c = 0) AS c0,
-                     (SELECT cv FROM {cent} WHERE c = 1) AS c1)"""
+  {cent}w AS (SELECT
+    coalesce((SELECT cv FROM {cent} WHERE c = 0),
+             (SELECT c0 FROM {prev_w})) AS c0,
+    coalesce((SELECT cv FROM {cent} WHERE c = 1),
+             (SELECT c1 FROM {prev_w})) AS c1)"""
 
 
 O_ANN_MULTIMODAL = f"""
@@ -6117,8 +6123,11 @@ SELECT part, query_id, match_id, cos, rank, s FROM (
          d::DOUBLE AS cos, 0 AS rank, '' AS s
   FROM ka3
   UNION ALL
-  SELECT 'km|cent', c, u.i - 1, cv[u.i]::DOUBLE, 0, ''
-  FROM kc2, UNNEST(generate_series(1, len(cv))) AS u(i)
+  SELECT 'km|cent', 0, u.i - 1, c0[u.i]::DOUBLE, 0, ''
+  FROM kc2w, UNNEST(generate_series(1, len(c0))) AS u(i)
+  UNION ALL
+  SELECT 'km|cent', 1, u.i - 1, c1[u.i]::DOUBLE, 0, ''
+  FROM kc2w, UNNEST(generate_series(1, len(c1))) AS u(i)
 ) km_all
 """
 

@@ -113,7 +113,12 @@ AMBIENT_RERUN_BUDGET_S = 120.0  # post-loop contended reruns
 def _read_proc_stat():
     with open("/proc/stat") as f:
         vals = [int(x) for x in f.readline().split()[1:]]
-    # busy = everything except idle + iowait
+    # fields: user nice system idle iowait irq softirq steal [guest
+    # guest_nice]. guest/guest_nice are ALREADY included in user/nice —
+    # summing them would double-count KVM-guest jiffies in the
+    # denominator and underreport busy cores, letting the quiet-box gate
+    # pass while neighbours are hot. Total = fields through steal only.
+    vals = vals[:8]
     return sum(vals), vals[3] + (vals[4] if len(vals) > 4 else 0)
 
 

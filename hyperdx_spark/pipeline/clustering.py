@@ -49,7 +49,13 @@ VEC_SCALE = 1_000_000
 
 def quantize_vec(vec_col: Column) -> Column:
     """float vector -> exact micro-unit longs: floor(x * 1e6 + 0.5) of the
-    double (deterministic in any IEEE engine)."""
+    double (deterministic in any IEEE engine).
+
+    Contract: component magnitudes must satisfy
+    ``dim * (2 * |x|_max * 1e6)² < 2^63`` — for dim 64 that is
+    ``|x| <= ~750`` — or int64 squared distances wrap silently in the
+    Column fold (embedding spaces are normalized far below this; the
+    Arrow path additionally RAISES on violation)."""
     return F.transform(
         vec_col,
         lambda x: F.floor(x.cast("double") * F.lit(float(VEC_SCALE)) + F.lit(0.5))
@@ -94,7 +100,6 @@ def kmeans_init(
     vec_col: str = "embedding",
     seed: int = 42,
     method: str = "farthest",
-    distance: str = "arrow",
 ) -> list[list[int]]:
     """Deterministic init, two methods:
 
@@ -125,25 +130,40 @@ def kmeans_init(
     if not first:
         raise ValueError(f"k={k} but corpus has only 0 rows")
     cents = [list(first[0]["__q"])]
-    ids = df.select(F.col(id_col).alias("__id"), F.col(vec_col))
-    for _ in range(k - 1):
-        if distance == "arrow":
-            scored = _assign_arrow(
-                ids, cents, vec_col=vec_col, keep_cols=["__id"],
-                dist_col="__d",
-            ).select("__id", "__q", "__d")
-        else:
-            scored = base.select(
+    # running min-distance: each round scores ONLY the newest centroid and
+    # folds it into the carried minimum — O(k·N·dim) total instead of the
+    # naive re-score-all-chosen O(k²·N·dim) (review r14 finding). The
+    # lineage grows one `least` per round; cache so the quantize + earlier
+    # distances evaluate once.
+    cur = base.select(
+        "__id", "__q", _sq_dist(F.col("__q"), cents[0]).alias("__d")
+    ).persist()
+    prev = None
+    try:
+        for _ in range(k - 1):
+            # this collect materializes cur FROM prev's cache; only then
+            # is prev safe to release (unpersisting earlier would force
+            # the whole lineage — every prior fold — to re-evaluate)
+            row = cur.orderBy(F.desc("__d"), F.asc("__id")).limit(1).collect()
+            if prev is not None:
+                prev.unpersist()
+            nxt = list(row[0]["__q"])
+            if row[0]["__d"] == 0:
+                raise ValueError(
+                    f"k={k} but corpus has fewer than {k} distinct vectors"
+                )
+            cents.append(nxt)
+            nxt_cur = cur.select(
                 "__id", "__q",
-                _min_dist(F.col("__q"), cents).alias("__d"),
-            )
-        row = scored.orderBy(F.desc("__d"), F.asc("__id")).limit(1).collect()
-        nxt = list(row[0]["__q"])
-        if row[0]["__d"] == 0:
-            raise ValueError(
-                f"k={k} but corpus has fewer than {k} distinct vectors"
-            )
-        cents.append(nxt)
+                F.least(
+                    F.col("__d"), _sq_dist(F.col("__q"), nxt)
+                ).alias("__d"),
+            ).persist()
+            prev, cur = cur, nxt_cur
+    finally:
+        if prev is not None:
+            prev.unpersist()
+        cur.unpersist()
     return cents
 
 
@@ -180,6 +200,14 @@ def _assign_arrow(
     out_schema = ", ".join(fields)
     src = df.select(*cols, quantize_vec(F.col(vec_col)).alias("__q"))
 
+    cmax = int(np.abs(cent).max()) if cent.size else 0
+    dim = cent.shape[1] if cent.size else 1
+    # per-batch overflow guard: dim * (qmax + cmax)^2 must fit int64 —
+    # wrapping would silently produce garbage assignments (the DuckDB
+    # replay would error instead, so engine and oracle would even
+    # disagree in failure mode)
+    limit = int(math.isqrt((2**63 - 1) // max(dim, 1)))
+
     def run(batches):
         for pdf in batches:
             if len(pdf) == 0:
@@ -187,8 +215,13 @@ def _assign_arrow(
             q = np.stack(
                 [np.asarray(v, dtype=np.int64) for v in pdf["__q"]]
             )
-            # exact int64 squared distances: values are micro-units
-            # (<= ~2^21), so diffs² sum to ~2^48 * dim — no overflow
+            qmax = int(np.abs(q).max()) if q.size else 0
+            if qmax + cmax > limit:
+                raise ValueError(
+                    f"quantized magnitude {qmax}+{cmax} exceeds the int64 "
+                    f"distance bound {limit} for dim {dim} — see "
+                    "quantize_vec's contract"
+                )
             d = ((q[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
             res = pdf[cols + ["__q"]].copy()
             res[cluster_col] = d.argmin(axis=1).astype("int32")
@@ -259,9 +292,7 @@ def kmeans_fit(
     Returns the quantized centroid matrix (driver state, k x dim ints).
     ``method``: "arrow" (vectorized numpy distances; default) or
     "column" (pure-JVM Column folds) — identical exact-integer results."""
-    cents = kmeans_init(
-        df, k, id_col=id_col, vec_col=vec_col, seed=seed, distance=method
-    )
+    cents = kmeans_init(df, k, id_col=id_col, vec_col=vec_col, seed=seed)
     for _ in range(iterations):
         cents = kmeans_update(df, cents, vec_col=vec_col, method=method)
     return cents
@@ -299,12 +330,6 @@ def kmeans_sse(
     """Total within-cluster sum of squared (quantized) distances — the
     Lloyd objective, exact integer; monotonically non-increasing across
     ``kmeans_update`` steps (the classic invariant, pytest-pinned)."""
-    q = quantize_vec(F.col(vec_col))
-    dists = [
-        _sq_dist(q, c) for c in centroids
-    ]
-    best = dists[0]
-    for d in dists[1:]:
-        best = F.least(best, d)
+    best = _min_dist(quantize_vec(F.col(vec_col)), centroids)
     row = df.select(F.sum(best).alias("sse")).collect()[0]
     return int(row["sse"] or 0)

@@ -18,7 +18,9 @@ bag-of-n-gram distribution looks like a target corpus:
 
 Engine-portable determinism: the n-gram bucket AND the Gumbel uniform both
 key off the md5 hex digest (`sampling.py` trick), and every log-ratio is
-stored as ``floor(x * 1e9 + 0.5)`` of the IEEE double — integer nanonats.
+stored as ``floor(x * 1e6 + 0.5)`` of the IEEE double — integer micronats
+(coarse enough that a 1-ulp ln() difference between libm implementations
+essentially never crosses a rounding boundary).
 IEEE multiply/floor are deterministic, so an independent engine (the DuckDB
 gate oracle) reproduces weights EXACTLY as integer sums; only the final
 Gumbel ordering touches floats, where ulp differences cannot flip ranks
@@ -49,8 +51,12 @@ from typing import Optional
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-#: nanonat scaling for the integer-exact log-ratio representation
-LAM_SCALE = 1_000_000_000
+#: micronat scaling for the integer-exact log-ratio representation.
+#: 1e6, not 1e9: the cross-engine replay floors ln() outputs, and ln is
+#: only 1-ulp-reproducible across libms — at 1e6 the flake window per
+#: value is ~4e-9 (vs ~4e-6 at 1e9) while micronat resolution is far
+#: beyond any selection decision's needs.
+LAM_SCALE = 1_000_000
 
 _KEY_DIGITS = 15
 _KEY_SPACE = float(16 ** _KEY_DIGITS)
@@ -141,9 +147,9 @@ def dsir_fit(
 ) -> DataFrame:
     """Fit the per-bucket importance log-ratios.
 
-    Returns the dense ``buckets``-row frame ``(bucket long, lam9 long)``
-    where ``lam9 = floor(1e9 * (ln p_target(b) - ln p_raw(b)) + 0.5)`` —
-    integer nanonats of the add-``alpha``-smoothed log-likelihood ratio.
+    Returns the dense ``buckets``-row frame ``(bucket long, lam_fp long)``
+    where ``lam_fp = floor(1e6 * (ln p_target(b) - ln p_raw(b)) + 0.5)`` —
+    integer micronats of the add-``alpha``-smoothed log-likelihood ratio.
     Both totals ride the plan as scalar aggregates (no driver round-trip);
     the result is ``buckets`` rows, always broadcast-joinable."""
     spark = target_df.sparkSession
@@ -177,7 +183,7 @@ def dsir_fit(
         "bucket",
         F.floor(lam * F.lit(float(LAM_SCALE)) + F.lit(0.5))
         .cast("long")
-        .alias("lam9"),
+        .alias("lam_fp"),
     )
 
 
@@ -191,9 +197,9 @@ def dsir_weights(
     n: int = 2,
     seed: int = 0,
 ) -> DataFrame:
-    """Per-document log importance weight: ``(id, dsir_lw9 long)`` where
-    ``dsir_lw9`` is the exact integer sum of the matched buckets' ``lam9``
-    (nanonats).  Documents with no tokens get weight 0.
+    """Per-document log importance weight: ``(id, dsir_lw_fp long)`` where
+    ``dsir_lw_fp`` is the exact integer sum of the matched buckets' ``lam_fp``
+    (micronats).  Documents with no tokens get weight 0.
 
     Plan: explode (row-local) -> broadcast join on the bucket -> union
     with a zero row per document (so empty documents survive WITHOUT a
@@ -203,18 +209,18 @@ def dsir_weights(
         id_col, gram_bucket(F.col("__g"), buckets, seed).alias("bucket")
     )
     g_lam = g.join(F.broadcast(lam_df), on="bucket", how="inner").select(
-        id_col, "lam9"
+        id_col, "lam_fp"
     )
-    zero = df.select(F.col(id_col), F.lit(0).cast("long").alias("lam9"))
+    zero = df.select(F.col(id_col), F.lit(0).cast("long").alias("lam_fp"))
     return (
         zero.unionByName(g_lam)
         .groupBy(id_col)
-        .agg(F.sum("lam9").alias("dsir_lw9"))
+        .agg(F.sum("lam_fp").alias("dsir_lw_fp"))
     )
 
 
 def gumbel_key(
-    id_col: str, *, seed: int = 13, lw9_col: str = "dsir_lw9",
+    id_col: str, *, seed: int = 13, lw_fp_col: str = "dsir_lw_fp",
     temperature: float = 1.0,
 ) -> Column:
     """The Gumbel top-k sort key ``log w / temperature + G`` with
@@ -236,7 +242,7 @@ def gumbel_key(
     ).cast("long")
     u = (h.cast("double") + F.lit(1.0)) / F.lit(_KEY_SPACE + 1.0)
     g = -F.log(-F.log(u))
-    lw = F.col(lw9_col).cast("double") / F.lit(float(LAM_SCALE))
+    lw = F.col(lw_fp_col).cast("double") / F.lit(float(LAM_SCALE))
     return lw / F.lit(float(temperature)) + g
 
 
@@ -245,27 +251,27 @@ def dsir_resample(
     k: int,
     *,
     id_col: str = "doc_id",
-    lw9_col: str = "dsir_lw9",
+    lw_fp_col: str = "dsir_lw_fp",
     seed: int = 13,
     temperature: float = 1.0,
 ) -> DataFrame:
     """Gumbel top-k resample: k rows drawn with probability proportional
     to ``w^(1/temperature)`` without replacement (Gumbel-max trick —
     public folklore result; see also Vieira 2014).  Returns
-    ``(id, dsir_lw9, dsir_rank)`` ordered by the draw.
+    ``(id, dsir_lw_fp, dsir_rank)`` ordered by the draw.
 
     Plan: TakeOrderedAndProject top-k (no global sort); the rank window
     runs over the k survivors only."""
     keyed = weights_df.withColumn(
         "__gk",
         gumbel_key(
-            id_col, seed=seed, lw9_col=lw9_col, temperature=temperature
+            id_col, seed=seed, lw_fp_col=lw_fp_col, temperature=temperature
         ),
     )
     top = keyed.orderBy(F.desc("__gk")).limit(k)
     w = Window.orderBy(F.desc("__gk"))
     return top.withColumn("dsir_rank", F.row_number().over(w)).select(
-        id_col, lw9_col, "dsir_rank"
+        id_col, lw_fp_col, "dsir_rank"
     )
 
 
@@ -286,7 +292,7 @@ def dsir_select(
 ) -> DataFrame:
     """End-to-end DSIR selection: fit (unless a pre-fit ``lam_df`` is
     passed), weight, Gumbel top-k.  Returns the selected raw rows joined
-    with ``(dsir_lw9, dsir_rank)``."""
+    with ``(dsir_lw_fp, dsir_rank)``."""
     if lam_df is None:
         lam_df = dsir_fit(
             target_df, raw_df, text_col,
@@ -350,6 +356,6 @@ def py_fit(
 
 
 def py_weight(
-    text: str, lam9: list[int], *, buckets: int, n: int = 2, seed: int = 0
+    text: str, lam_fp: list[int], *, buckets: int, n: int = 2, seed: int = 0
 ) -> int:
-    return sum(lam9[py_bucket(g, buckets, seed)] for g in py_grams(text, n))
+    return sum(lam_fp[py_bucket(g, buckets, seed)] for g in py_grams(text, n))

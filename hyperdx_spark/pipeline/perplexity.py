@@ -9,17 +9,17 @@ add-``alpha`` smoothed **hashed bigram model** (tokens hashed into a
 whole chain exactly replayable by an independent engine:
 
 * token/bigram bucketing uses the md5 hash (`sampling.py` trick);
-* every log-probability is stored as ``floor(x * 1e9 + 0.5)`` of the IEEE
-  double — integer nanonats, so per-document totals are EXACT integer
+* every log-probability is stored as ``floor(x * 1e6 + 0.5)`` of the IEEE
+  double — integer micronats (see dsir.LAM_SCALE for why 1e6), so per-document totals are EXACT integer
   sums (the `dsir.py` pattern);
-* the keep/drop decision compares ``sum_lp9 >= threshold_lp9 * n`` —
+* the keep/drop decision compares ``sum_lp_fp >= threshold_lp_fp * n`` —
   an integer cross-multiplication, no float boundary anywhere.
 
 Model::
 
     P(w2 | w1) = (c(w1, w2) + alpha) / (c(w1) + alpha * vocab)
 
-per-document score = mean bigram log-prob (nanonats); perplexity =
+per-document score = mean bigram log-prob (micronats); perplexity =
 ``exp(-mean)``.  Documents with fewer than 2 tokens have no bigrams and
 score 0 (kept by any threshold below 0 — the CCNet head bucket).
 
@@ -44,21 +44,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .dsir import LAM_SCALE, _tokens
+from .dsir import gram_bucket as token_bucket  # same 60-bit md5 bucket —
+# one definition keeps the three md5-bucket call sites (sampling, dsir,
+# here) in sync with the oracle's substr(md5(...), 1, 15) replay
 
 _KEY_DIGITS = 15
-
-
-def token_bucket(tok: Column, vocab: int, seed: int = 0) -> Column:
-    """Engine-portable token id: first 60 bits of ``md5(tok ':' seed)``
-    modulo ``vocab``."""
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat_ws(":", tok, F.lit(str(seed)))), 1, _KEY_DIGITS
-        ),
-        16,
-        10,
-    ).cast("long")
-    return h % F.lit(vocab)
 
 
 def _bigram_ids_of(ids: Column) -> Column:
@@ -132,8 +122,8 @@ def perplexity_score(
     alpha: float = 1.0,
 ) -> DataFrame:
     """Per-document bigram log-prob totals under the LM:
-    ``(id, lp9 long, n_bigrams long)`` where ``lp9`` is the exact integer
-    sum of per-bigram ``floor(1e9 * ln P(w2|w1) + 0.5)`` nanonats.
+    ``(id, lp_fp long, n_bigrams long)`` where ``lp_fp`` is the exact integer
+    sum of per-bigram ``floor(1e6 * ln P(w2|w1) + 0.5)`` micronats.
 
     Plan: row-local bigram ids -> broadcast join on (b1, b2) (left —
     unseen bigrams smooth to c2=0) -> broadcast join on b1 (left — unseen
@@ -154,19 +144,19 @@ def perplexity_score(
             id_col,
             F.floor(lp * F.lit(float(LAM_SCALE)) + F.lit(0.5))
             .cast("long")
-            .alias("__lp9"),
+            .alias("__lp_fp"),
             F.lit(1).cast("long").alias("__n"),
         )
     )
     zero = df.select(
         F.col(id_col),
-        F.lit(0).cast("long").alias("__lp9"),
+        F.lit(0).cast("long").alias("__lp_fp"),
         F.lit(0).cast("long").alias("__n"),
     )
     return (
         zero.unionByName(scored)
         .groupBy(id_col)
-        .agg(F.sum("__lp9").alias("lp9"), F.sum("__n").alias("n_bigrams"))
+        .agg(F.sum("__lp_fp").alias("lp_fp"), F.sum("__n").alias("n_bigrams"))
     )
 
 
@@ -184,14 +174,14 @@ def perplexity_filter(
     ``max_avg_nll`` nats (perplexity <= exp(max_avg_nll)).
 
     The comparison is the exact integer cross-multiplication
-    ``-lp9 <= threshold_lp9 * n_bigrams`` with ``threshold_lp9 =
-    floor(max_avg_nll * 1e9 + 0.5)`` — no float division, so the decision
+    ``-lp_fp <= threshold_lp_fp * n_bigrams`` with ``threshold_lp_fp =
+    floor(max_avg_nll * 1e6 + 0.5)`` — no float division, so the decision
     replays bit-for-bit in an independent engine.  ``keep_empty`` routes
     the no-bigram documents (CCNet keeps judging them separately)."""
     thr9 = int(max_avg_nll * LAM_SCALE + 0.5)
     scores = perplexity_score(df, lm, text_col, id_col=id_col, alpha=alpha)
     keep = F.when(F.col("n_bigrams") == 0, F.lit(bool(keep_empty))).otherwise(
-        -F.col("lp9") <= F.lit(thr9) * F.col("n_bigrams")
+        -F.col("lp_fp") <= F.lit(thr9) * F.col("n_bigrams")
     )
     kept = scores.where(keep).select(id_col)
     return df.join(F.broadcast(kept), on=id_col, how="left_semi")
@@ -203,7 +193,7 @@ def avg_nll_nats(scores: DataFrame) -> DataFrame:
     the exact gate path)."""
     nll = F.when(
         F.col("n_bigrams") > 0,
-        -F.col("lp9").cast("double")
+        -F.col("lp_fp").cast("double")
         / F.lit(float(LAM_SCALE))
         / F.col("n_bigrams").cast("double"),
     ).otherwise(F.lit(0.0))
@@ -245,10 +235,10 @@ def py_score(
     from .dsir import _py_tokens
 
     ids = [py_token_bucket(w, vocab, seed) for w in _py_tokens(text)]
-    lp9 = 0
+    lp_fp = 0
     n = 0
     for x, y in zip(ids, ids[1:]):
         p = (c2.get((x, y), 0) + alpha) / (c1.get(x, 0) + alpha * vocab)
-        lp9 += math.floor(math.log(p) * LAM_SCALE + 0.5)
+        lp_fp += math.floor(math.log(p) * LAM_SCALE + 0.5)
         n += 1
-    return lp9, n
+    return lp_fp, n

@@ -288,6 +288,12 @@ def cosine_pairs(
     signature frame with ``dedup.release_cached(result)``."""
     from hyperdx_spark.pipeline.dedup import _register_cached
 
+    if block_col is not None and not exhaustive:
+        raise ValueError(
+            "block_col requires exhaustive=True (within-block all-pairs); "
+            "the banded path would silently emit cross-block pairs and "
+            "miss within-block boundary pairs"
+        )
     if exhaustive:
         if block_col is not None:
             ids = df.select(

@@ -50,14 +50,14 @@ def test_bucket_counts_match_python(spark, docs):
 def test_fit_and_weights_match_python(spark, docs):
     target = docs.where(F.col("doc_id") % 3 == 0)
     lam = dsir.dsir_fit(target, docs, buckets=BUCKETS)
-    got_lam = {r["bucket"]: r["lam9"] for r in lam.collect()}
+    got_lam = {r["bucket"]: r["lam_fp"] for r in lam.collect()}
     want_lam = dsir.py_fit(
         [t for i, t in enumerate(TEXTS) if i % 3 == 0], TEXTS,
         buckets=BUCKETS,
     )
     assert got_lam == dict(enumerate(want_lam))
     w = dsir.dsir_weights(docs, lam, buckets=BUCKETS)
-    got_w = {r["doc_id"]: r["dsir_lw9"] for r in w.collect()}
+    got_w = {r["doc_id"]: r["dsir_lw_fp"] for r in w.collect()}
     want_w = {
         i: dsir.py_weight(t, want_lam, buckets=BUCKETS)
         for i, t in enumerate(TEXTS)
@@ -71,7 +71,7 @@ def test_lambda_table_is_dense_and_sums_like_a_distribution(spark, docs):
     lam = dsir.dsir_fit(docs, docs, buckets=BUCKETS).collect()
     assert sorted(r["bucket"] for r in lam) == list(range(BUCKETS))
     # target == raw -> every log ratio is exactly ln(1) = 0
-    assert all(r["lam9"] == 0 for r in lam)
+    assert all(r["lam_fp"] == 0 for r in lam)
 
 
 def test_resample_is_gumbel_topk_of_python_keys(spark, docs):
@@ -95,7 +95,7 @@ def test_resample_is_gumbel_topk_of_python_keys(spark, docs):
             hashlib.md5(f"{i}:13".encode()).hexdigest()[:15], 16
         )
         u = (h + 1.0) / (16.0**15 + 1.0)
-        lw = dsir.py_weight(TEXTS[i], lam_rows, buckets=BUCKETS) / 1e9
+        lw = dsir.py_weight(TEXTS[i], lam_rows, buckets=BUCKETS) / dsir.LAM_SCALE
         return lw + -math.log(-math.log(u))
 
     want = sorted(range(len(TEXTS)), key=py_key, reverse=True)[:4]
@@ -108,14 +108,14 @@ def test_select_end_to_end_and_temperature(spark, docs):
     out = dsir.dsir_select(docs, target, 3, buckets=BUCKETS)
     rows = out.collect()
     assert len(rows) == 3
-    assert {"dsir_lw9", "dsir_rank"} <= set(out.columns)
+    assert {"dsir_lw_fp", "dsir_rank"} <= set(out.columns)
     # temperature -> 0 approaches argmax-by-weight: with a huge inverse
     # temperature the top-1 must be the max-weight doc
     w = dsir.dsir_weights(
         docs, dsir.dsir_fit(target, docs, buckets=BUCKETS), buckets=BUCKETS
     )
     top = dsir.dsir_resample(w, 1, temperature=1e-9).collect()[0]
-    best = max(w.collect(), key=lambda r: r["dsir_lw9"])
+    best = max(w.collect(), key=lambda r: r["dsir_lw_fp"])
     assert top["doc_id"] == best["doc_id"]
 
 

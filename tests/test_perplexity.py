@@ -60,7 +60,7 @@ def test_fit_counts_match_python(spark, target):
 def test_scores_match_python_and_empty_docs_survive(spark, target, raw):
     lm = ppl.bigram_lm_fit(target, vocab=VOCAB)
     got = {
-        r["doc_id"]: (r["lp9"], r["n_bigrams"])
+        r["doc_id"]: (r["lp_fp"], r["n_bigrams"])
         for r in ppl.perplexity_score(raw, lm).collect()
     }
     c2, c1 = ppl.py_fit(TARGET, vocab=VOCAB)
@@ -77,9 +77,9 @@ def test_filter_is_exact_integer_decision(spark, target, raw):
     # threshold between the in-distribution docs and the garbage doc
     nlls = {}
     for i, t in enumerate(RAW):
-        lp9, n = ppl.py_score(t, c2, c1, vocab=VOCAB)
+        lp_fp, n = ppl.py_score(t, c2, c1, vocab=VOCAB)
         if n:
-            nlls[i] = -lp9 / 1e9 / n
+            nlls[i] = -lp_fp / ppl.LAM_SCALE / n
     assert nlls[0] < nlls[2]  # target-like beats garbage
     thr = (nlls[0] + nlls[2]) / 2
     kept = {
@@ -104,9 +104,9 @@ def test_avg_nll_projection(spark, target, raw):
         for r in ppl.avg_nll_nats(ppl.perplexity_score(raw, lm)).collect()
     }
     c2, c1 = ppl.py_fit(TARGET, vocab=VOCAB)
-    lp9, n = ppl.py_score(RAW[0], c2, c1, vocab=VOCAB)
-    assert out[0]["avg_nll"] == pytest.approx(-lp9 / 1e9 / n)
-    assert out[0]["perplexity"] == pytest.approx(math.exp(-lp9 / 1e9 / n))
+    lp_fp, n = ppl.py_score(RAW[0], c2, c1, vocab=VOCAB)
+    assert out[0]["avg_nll"] == pytest.approx(-lp_fp / ppl.LAM_SCALE / n)
+    assert out[0]["perplexity"] == pytest.approx(math.exp(-lp_fp / ppl.LAM_SCALE / n))
     assert out[4]["avg_nll"] == 0.0 and out[4]["perplexity"] == 1.0
 
 
