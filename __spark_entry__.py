@@ -4756,6 +4756,24 @@ def q_dedup_all(spark, sf_dir):
         F.octet_length("text").cast("long").alias("v1"),
         F.lit(0).cast("long").alias("v2"),
     )
+    # r14: Unicode NFC normalization (pipeline/textnorm.py) under the
+    # gate — decomposed accents synthesized by suffixing every 'e' with
+    # the combining acute (U+0301); the Arrow-batched unicodedata UDF is
+    # hash-compared against DuckDB's INDEPENDENT nfc_normalize
+    # implementation of the same standard (composed char count = e count,
+    # so the lengths pin real composition work).
+    from hyperdx_spark.pipeline import textnorm as _tn
+
+    decomposed = d_docs.select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit("e"), F.lit("é")).alias("__t"),
+    )
+    tnorm = decomposed.select(
+        F.lit("tnorm").alias("part"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.length(_tn.nfc_normalize(F.col("__t"))).cast("long").alias("v1"),
+        F.length("__t").cast("long").alias("v2"),
+    )
     return (
         exact.unionByName(groups).unionByName(samp).unionByName(mix)
         .unionByName(span).unionByName(contam).unionByName(semkeep)
@@ -4764,7 +4782,7 @@ def q_dedup_all(spark, sf_dir):
         .unionByName(storeprobe).unionByName(urldedup).unionByName(urlcap)
         .unionByName(qscore).unionByName(windowed)
         .unionByName(dsircnt).unionByName(dsirw).unionByName(dsirsel)
-        .unionByName(pplw).unionByName(pplkeep)
+        .unionByName(pplw).unionByName(pplkeep).unionByName(tnorm)
     )
 
 
@@ -5545,6 +5563,15 @@ SELECT part, k, v1, v2 FROM (
   FROM pw JOIN documents d USING (doc_id)
   WHERE pw.n > 0 AND -pw.lp_fp <= 6000000 * pw.n
 ) ppl_all
+UNION ALL
+-- r14 Unicode NFC replay (textnorm.py): every 'e' suffixed with the
+-- combining acute (chr(769) = U+0301); DuckDB's nfc_normalize — an
+-- INDEPENDENT implementation of the same Unicode standard — must
+-- compose exactly like the unicodedata pandas UDF (v2 - v1 = e count)
+SELECT 'tnorm' AS part, doc_id::VARCHAR AS k,
+       length(nfc_normalize(replace(text, 'e', 'e' || chr(769))))::BIGINT AS v1,
+       length(replace(text, 'e', 'e' || chr(769)))::BIGINT AS v2
+FROM documents
 """
 
 
