@@ -109,6 +109,53 @@ def test_control_and_whitespace_passes(spark, docs):
     assert out[4][1] == "tab and newline kept"
 
 
+def test_mojibake_properties_fuzz():
+    """Pure-python hypothesis properties for the repair rule."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    f = textnorm.py_fix_mojibake
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(alphabet=st.characters(max_codepoint=0x7F), max_size=80))
+    def ascii_is_fixed_point(s):
+        # pure ASCII round-trips losslessly at the SAME length, so the
+        # strictly-shorter guard always rejects: identity
+        assert f(s) == s
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(min_size=1, max_size=40))
+    def single_mojibake_layer_repairs(s):
+        # corrupt: encode utf-8, decode cp1252 (skip when the bytes hit
+        # one of cp1252's 5 holes); repair must recover s exactly when
+        # corruption changed the string at all
+        b = s.encode("utf-8")
+        try:
+            broken = b.decode("cp1252")
+        except UnicodeDecodeError:
+            return
+        if broken == s:
+            assert f(s) == s
+        else:
+            # repair undoes the corruption layer — landing on s, or on
+            # f(s) when s is ITSELF mojibake-shaped (e.g. 'Ñ\x80' IS the
+            # cp1252 rendering of UTF-8 'р'; no repairer can tell intent
+            # from encoding — the same ambiguity ftfy resolves by
+            # heuristic). Found by hypothesis.
+            assert f(broken) in (s, f(s))
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(max_size=60))
+    def idempotent_and_never_longer(s):
+        out = f(s)
+        assert len(out) <= len(s)
+        assert f(out) == out
+
+    ascii_is_fixed_point()
+    single_mojibake_layer_repairs()
+    idempotent_and_never_longer()
+
+
 def test_normalize_for_dedup_composed(spark, docs):
     out = {
         r["doc_id"]: r["text"]
