@@ -4736,7 +4736,7 @@ def q_dedup_all(spark, sf_dir):
     # pipeline/perplexity.py) under the gate. Hashed bigram LM (vocab 128)
     # fit on the same doc_id % 17 target slice; per-doc log-prob totals
     # ride as exact integer micronats and the keep decision is the integer
-    # cross-multiplication -lp_fp <= thr9 * n — DuckDB replays fit, score,
+    # cross-multiplication -lp_fp <= thr_fp * n — DuckDB replays fit, score,
     # and filter bit-for-bit.
     from hyperdx_spark.pipeline import perplexity as _ppl
 

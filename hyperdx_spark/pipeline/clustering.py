@@ -53,7 +53,7 @@ def quantize_vec(vec_col: Column) -> Column:
 
     Contract: component magnitudes must satisfy
     ``dim * (2 * |x|_max * 1e6)² < 2^63`` — for dim 64 that is
-    ``|x| <= ~750`` — or int64 squared distances wrap silently in the
+    ``|x| <= ~190`` — or int64 squared distances wrap silently in the
     Column fold (embedding spaces are normalized far below this; the
     Arrow path additionally RAISES on violation)."""
     return F.transform(
@@ -179,14 +179,11 @@ def _assign_arrow(
     vec_col: str,
     keep_cols: Sequence[str],
     cluster_col: str = "cluster",
-    dist_col: Optional[str] = None,
 ) -> DataFrame:
     """Arrow-batched assignment: numpy argmin over the k x dim int64
     centroid matrix per batch — the SAME exact-integer decision as the
     Column fold (int64 arithmetic, ties -> lowest index via argmin), at
-    vectorized speed.  Row-local (mapInPandas), no shuffle.  With
-    ``dist_col`` the exact min squared distance rides along (farthest-
-    first init consumes it)."""
+    vectorized speed.  Row-local (mapInPandas), no shuffle."""
     import numpy as np
 
     cent = np.asarray([list(c) for c in centroids], dtype=np.int64)
@@ -195,8 +192,6 @@ def _assign_arrow(
         f"`{c}` {df.schema[c].dataType.simpleString()}" for c in cols
     ]
     fields += ["__q array<bigint>", f"{cluster_col} int"]
-    if dist_col:
-        fields.append(f"{dist_col} bigint")
     out_schema = ", ".join(fields)
     src = df.select(*cols, quantize_vec(F.col(vec_col)).alias("__q"))
 
@@ -225,8 +220,6 @@ def _assign_arrow(
             d = ((q[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
             res = pdf[cols + ["__q"]].copy()
             res[cluster_col] = d.argmin(axis=1).astype("int32")
-            if dist_col:
-                res[dist_col] = d.min(axis=1)
             yield res
 
     return src.mapInPandas(run, out_schema)

@@ -178,10 +178,10 @@ def perplexity_filter(
     floor(max_avg_nll * 1e6 + 0.5)`` — no float division, so the decision
     replays bit-for-bit in an independent engine.  ``keep_empty`` routes
     the no-bigram documents (CCNet keeps judging them separately)."""
-    thr9 = int(max_avg_nll * LAM_SCALE + 0.5)
+    thr_fp = int(max_avg_nll * LAM_SCALE + 0.5)
     scores = perplexity_score(df, lm, text_col, id_col=id_col, alpha=alpha)
     keep = F.when(F.col("n_bigrams") == 0, F.lit(bool(keep_empty))).otherwise(
-        -F.col("lp_fp") <= F.lit(thr9) * F.col("n_bigrams")
+        -F.col("lp_fp") <= F.lit(thr_fp) * F.col("n_bigrams")
     )
     kept = scores.where(keep).select(id_col)
     return df.join(F.broadcast(kept), on=id_col, how="left_semi")

@@ -28,13 +28,17 @@ All operators are row-local (zero shuffles, partition-agnostic):
 from __future__ import annotations
 
 import unicodedata
-from typing import Iterator, Optional
+from typing import Optional
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: C0/C1 control chars except \t \n \r (kept: meaningful whitespace)
-_CONTROL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]"
+#: C0/C1 control chars EXCEPT the whitespace-class ones (\t \n \r, and
+#: also \x0b vertical-tab, \x0c form-feed, \x85 NEL — all Unicode
+#: White_Space): those are WORD BOUNDARIES, and stripping them before the
+#: whitespace collapse would glue adjacent words ('page1\x0cpage2' ->
+#: 'page1page2'); the collapse pass turns them into single spaces instead
+_CONTROL_RE = r"[\x00-\x08\x0e-\x1f\x7f-\x84\x86-\x9f]"
 
 
 def _norm_udf_col(col, form: str):
@@ -101,7 +105,8 @@ def fix_mojibake(col, max_passes: int = 2) -> Column:
 
 
 def strip_control_chars(col) -> Column:
-    """Drop C0/C1 control characters (keeping tab/newline/CR) — one
+    """Drop non-whitespace C0/C1 control characters (tab/newline/CR/VT/
+    FF/NEL survive for the collapse pass to treat as boundaries) — one
     codegen'd regex pass."""
     c = F.col(col) if isinstance(col, str) else col
     return F.regexp_replace(c, _CONTROL_RE, "")

@@ -138,8 +138,9 @@ def test_update_matches_python_mean(spark):
 
 def test_arrow_and_column_paths_agree_exactly(spark):
     """The Arrow (numpy int64) and Column (JVM fold) paths make the SAME
-    exact-integer decisions: identical assignments, identical centroid
-    trajectories, identical farthest-first seeds."""
+    exact-integer decisions: identical assignments and identical centroid
+    trajectories from a shared init (init itself has a single Column
+    implementation — the running-min farthest-first traversal)."""
     df = _three_blob_df(spark)
     ca = cc = clustering.kmeans_init(df, 3)
     for _ in range(2):

@@ -52,14 +52,17 @@ def corpus(spark):
             # plus an NBSP for the whitespace-collapse pass
             t = body(i - 1).replace(" ", "\u00a0", 1)
             t = t.encode("utf-8").decode("cp1252")
-        if i % 17 == 5:
+        if i % 17 == 5 and i % 10 != 7:
             # garbage tier: long enough and stopword-sprinkled so it
-            # PASSES Gopher (the perplexity gate is what must catch it)
+            # PASSES Gopher (the perplexity gate is what must catch it).
+            # Disjoint from the twin branch (doc 107 satisfies both
+            # residues) and i-unique (the i tag) so no garbage doc is
+            # accidentally exact-deduped away.
             t = " ".join(
                 ("the " if j % 3 == 0 else "") + junk[(i + j) % 6]
                 + str(j % 7)
                 for j in range(55)
-            )
+            ) + f" tag{i}"
         rows.append((i, t))
     return spark.createDataFrame(rows, "doc_id long, text string")
 
@@ -135,7 +138,7 @@ def test_full_curation_chain(spark, corpus, embeddings):
 
     # 4. quality gates: Gopher conjunction + CCNet perplexity against a
     # target LM fit on the clean tier
-    garbage = {i for i in range(120) if i % 17 == 5}
+    garbage = {i for i in range(120) if i % 17 == 5 and i % 10 != 7}
     sig = text.corpus_signals(sem_kept)
     gophered = sig.where(F.col("__sig.gopher_pass")).select(
         "doc_id", "text"

@@ -103,8 +103,20 @@ def test_control_and_whitespace_passes(spark, docs):
             textnorm.collapse_whitespace("text").alias("w"),
         ).collect()
     }
-    assert out[5][0] == "badctlcharshere"
+    # \x00/\x1f stripped; \x85 (NEL) is Unicode White_Space — KEPT as a
+    # word boundary for the collapse pass (review r14: stripping it glued
+    # adjacent words)
+    assert out[5][0] == "badctlchars\x85here"
     assert out[4][0] == "tab\tand\nnewline\rkept"  # kept whitespace
+    # VT/FF/NEL survive the strip and become word boundaries at collapse
+    row = spark.range(1).select(
+        textnorm.collapse_whitespace(
+            textnorm.strip_control_chars(
+                F.lit("page1\x0cpage2\x0bpage3\x85page4\x00page5")
+            )
+        ).alias("x")
+    ).collect()[0]
+    assert row["x"] == "page1 page2 page3 page4page5"
     assert out[6][1] == "spaced out"
     assert out[4][1] == "tab and newline kept"
 
@@ -163,7 +175,7 @@ def test_normalize_for_dedup_composed(spark, docs):
     }
     assert out[0] == "Café naïve"             # NFC composed
     assert out[7] == "Café"                   # mojibake repaired
-    assert out[5] == "badctlcharshere"        # controls stripped
+    assert out[5] == "badctlchars here"       # controls stripped, NEL -> space
     assert out[6] == "spaced out"             # whitespace canonical
     assert out[2] == "plain ascii"
     # the point: visually-identical variants now hash identically
