@@ -281,13 +281,19 @@ def kmeans_fit(
     iterations: int = 5,
     method: str = "arrow",
 ) -> list[list[int]]:
-    """Lloyd's k-means: deterministic init + ``iterations`` update steps.
-    Returns the quantized centroid matrix (driver state, k x dim ints).
-    ``method``: "arrow" (vectorized numpy distances; default) or
-    "column" (pure-JVM Column folds) — identical exact-integer results."""
+    """Lloyd's k-means: deterministic init + up to ``iterations`` update
+    steps, stopping early at the Lloyd fixed point (an unchanged centroid
+    matrix reproduces itself forever — exact integers make the equality
+    test trivial, no epsilon).  Returns the quantized centroid matrix
+    (driver state, k x dim ints).  ``method``: "arrow" (vectorized numpy
+    distances; default) or "column" (pure-JVM Column folds) — identical
+    exact-integer results."""
     cents = kmeans_init(df, k, id_col=id_col, vec_col=vec_col, seed=seed)
     for _ in range(iterations):
-        cents = kmeans_update(df, cents, vec_col=vec_col, method=method)
+        nxt = kmeans_update(df, cents, vec_col=vec_col, method=method)
+        if nxt == cents:
+            break
+        cents = nxt
     return cents
 
 

@@ -60,6 +60,18 @@ def test_sse_monotone_under_lloyd_steps(spark):
         prev = cur
 
 
+def test_early_stop_at_lloyd_fixed_point(spark):
+    """Converged centroids are a fixed point: update() reproduces them
+    exactly (integer equality, no epsilon), so a huge iteration budget
+    returns the same matrix as a small one on separable blobs — and the
+    early stop can never change the final result."""
+    df = _three_blob_df(spark)
+    small = clustering.kmeans_fit(df, 3, iterations=3)
+    big = clustering.kmeans_fit(df, 3, iterations=50)
+    assert small == big
+    assert clustering.kmeans_update(df, big) == big
+
+
 def test_assignment_partitioning_invariant(spark):
     df = _three_blob_df(spark)
     cents = clustering.kmeans_fit(df, 3, iterations=2)
