@@ -5513,7 +5513,7 @@ SELECT part, k, v1, v2 FROM (
              lw / 1000000.0
              + (-ln(-ln((CAST(('0x' || substr(md5(doc_id::VARCHAR || ':13'),
                                               1, 15)) AS BIGINT) + 1.0)
-                        / (16.0 ** 15 + 1.0)))) DESC) AS rk
+                        / (16.0 ** 15 + 1.0)))) DESC, doc_id ASC) AS rk
     FROM dw ORDER BY rk LIMIT 200)
   SELECT 'dsir|cnt' AS part, drc.b::VARCHAR AS k,
          coalesce(dtc.c, 0)::BIGINT AS v1, drc.c::BIGINT AS v2

@@ -207,6 +207,23 @@ def _assign_arrow(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            # validate before np.stack: a NULL embedding (quantize of NULL
+            # is NULL) or a ragged dimension would otherwise surface as an
+            # opaque numpy stack error — raise a descriptive ValueError in
+            # the overflow-guard style instead (r14 advice)
+            for pos, v in enumerate(pdf["__q"]):
+                if v is None:
+                    raise ValueError(
+                        f"NULL embedding at batch position {pos} — k-means "
+                        "assignment needs a vector in every row; filter or "
+                        "impute NULLs upstream"
+                    )
+                if len(v) != dim:
+                    raise ValueError(
+                        f"embedding at batch position {pos} has dimension "
+                        f"{len(v)} but the centroid matrix is dim {dim} — "
+                        "mixed-dimension corpus"
+                    )
             q = np.stack(
                 [np.asarray(v, dtype=np.int64) for v in pdf["__q"]]
             )
@@ -264,9 +281,14 @@ def kmeans_update(
         per_cluster.setdefault(r["cluster"], {})[r["i"]] = (r["s"], r["n"])
     for ci, dims in per_cluster.items():
         out[ci] = [
-            # exact int sum fits a double (<= 2^40 * rows); IEEE divide +
-            # floor reproduce identically in any engine
-            math.floor(dims[i][0] / dims[i][1] + 0.5) for i in range(dim)
+            # exact integer mean: floor(s/n + 1/2) == (2s + n) // (2n) for
+            # any integer s and n > 0 (Python // is floor division, so
+            # negatives round correctly) — exact at ANY magnitude.  An
+            # engine replaying this as floor(sum::DOUBLE / n + 0.5) matches
+            # while |sum| <= 2^53 (the double rounds the sum first); beyond
+            # that only the all-integer form is authoritative (r14 advice).
+            (2 * dims[i][0] + dims[i][1]) // (2 * dims[i][1])
+            for i in range(dim)
         ]
     return out
 

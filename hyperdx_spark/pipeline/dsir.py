@@ -261,15 +261,19 @@ def dsir_resample(
     ``(id, dsir_lw_fp, dsir_rank)`` ordered by the draw.
 
     Plan: TakeOrderedAndProject top-k (no global sort); the rank window
-    runs over the k survivors only."""
+    runs over the k survivors only.  The id column is a secondary sort
+    key in both the top-k and the rank window: a Gumbel-key tie is
+    astronomically rare, but the module's contract is bit-for-bit
+    cross-engine replay, so membership and rank must not be left to
+    partition order even then (r14 advice)."""
     keyed = weights_df.withColumn(
         "__gk",
         gumbel_key(
             id_col, seed=seed, lw_fp_col=lw_fp_col, temperature=temperature
         ),
     )
-    top = keyed.orderBy(F.desc("__gk")).limit(k)
-    w = Window.orderBy(F.desc("__gk"))
+    top = keyed.orderBy(F.desc("__gk"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc("__gk"), F.asc(id_col))
     return top.withColumn("dsir_rank", F.row_number().over(w)).select(
         id_col, lw_fp_col, "dsir_rank"
     )

@@ -38,6 +38,7 @@ this extends the LLM-pipeline tier alongside ``dsir.py`` / ``quality.py``.
 
 from __future__ import annotations
 
+import math
 from typing import Optional
 
 from pyspark.sql import Column, DataFrame
@@ -178,7 +179,10 @@ def perplexity_filter(
     floor(max_avg_nll * 1e6 + 0.5)`` — no float division, so the decision
     replays bit-for-bit in an independent engine.  ``keep_empty`` routes
     the no-bigram documents (CCNet keeps judging them separately)."""
-    thr_fp = int(max_avg_nll * LAM_SCALE + 0.5)
+    # floor, not int(): int() truncates toward zero, which would be off by
+    # one micronat vs a floor-based oracle replay for negative thresholds
+    # (r14 advice) — everywhere else uses the floor(x*1e6+0.5) convention
+    thr_fp = math.floor(max_avg_nll * LAM_SCALE + 0.5)
     scores = perplexity_score(df, lm, text_col, id_col=id_col, alpha=alpha)
     keep = F.when(F.col("n_bigrams") == 0, F.lit(bool(keep_empty))).otherwise(
         -F.col("lp_fp") <= F.lit(thr_fp) * F.col("n_bigrams")

@@ -296,8 +296,21 @@ def cosine_pairs(
         )
     if exhaustive:
         if block_col is not None:
+            # NULL never equi-joins: a NULL-blocked row would silently drop
+            # out of EVERY pair, breaking exhaustive's recall-1 contract
+            # within the corpus. Fail loudly at execution time instead —
+            # row-local CASE, no extra job (r14 advice).
+            blk = F.when(
+                F.col(block_col).isNull(),
+                F.raise_error(F.lit(
+                    f"cosine_pairs: NULL {block_col!r} block value — "
+                    "exhaustive block pairing would silently exclude the "
+                    "row from every pair; assign a block (e.g. "
+                    "clustering.kmeans_assign) or filter NULLs explicitly"
+                )).cast(df.schema[block_col].dataType),
+            ).otherwise(F.col(block_col))
             ids = df.select(
-                F.col(id_col).alias("id"), F.col(block_col).alias("__blk")
+                F.col(id_col).alias("id"), blk.alias("__blk")
             )
             a_, b_ = ids.alias("a"), ids.alias("b")
             cand = (

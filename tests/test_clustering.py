@@ -171,6 +171,38 @@ def test_arrow_and_column_paths_agree_exactly(spark):
     assert aa == ac
 
 
+def test_null_block_value_raises(spark):
+    """exhaustive+block_col promises recall 1 within the corpus, but NULL
+    never equi-joins — a NULL-blocked row would silently vanish from every
+    pair. The guard raises at execution time instead (r14 advice)."""
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0), (1, [1.0, 0.0], None), (2, [1.0, 0.0], 0)],
+        "vec_id long, embedding array<float>, cluster int",
+    )
+    with pytest.raises(Exception, match="NULL 'cluster' block value"):
+        similarity.cosine_pairs(
+            df, threshold=0.5, exhaustive=True, block_col="cluster"
+        ).collect()
+
+
+def test_assign_arrow_rejects_null_and_ragged(spark):
+    """The Arrow assignment path raises a descriptive ValueError on NULL or
+    mixed-dimension embeddings instead of an opaque numpy stack error
+    (r14 advice; matches the overflow-guard style)."""
+    cents = [[1_000_000, 0], [0, 1_000_000]]
+    nulls = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, None)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="NULL embedding at batch position"):
+        clustering.kmeans_assign(nulls, cents, method="arrow").collect()
+    ragged = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(Exception, match="dimension 3 but the centroid"):
+        clustering.kmeans_assign(ragged, cents, method="arrow").collect()
+
+
 def test_within_cluster_exhaustive_pairs(spark):
     """SemDeDup-paper composition: kmeans_assign + block-exhaustive pairs
     finds every within-blob pair and no cross-blob pair."""
