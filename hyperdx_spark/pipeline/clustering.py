@@ -100,8 +100,24 @@ def kmeans_init(
     vec_col: str = "embedding",
     seed: int = 42,
     method: str = "farthest",
+    oversample: Optional[int] = None,
+    rounds: int = 5,
 ) -> list[list[int]]:
-    """Deterministic init, two methods:
+    """Deterministic init, three methods:
+
+    * ``"parallel"`` — k-means‖ (Bahmani et al. 2012): ``rounds``
+      oversampling passes, each sampling every point independently with
+      probability ``min(1, ℓ·d²(x,C)/ψ)`` (ℓ = ``oversample``, default
+      2k; ψ = current cost), then one pass weighting the ~ℓ·rounds
+      candidates by attraction counts and a driver-side weighted Lloyd
+      down to k.  O(rounds) distributed passes REGARDLESS of k — the
+      scale path for SemDeDup-realistic k ≈ 10⁴ clusters (Abbas'23 §3
+      uses ~11k), where farthest-first's k−1 sequential top-1 jobs are a
+      wall-clock non-starter.  Deterministic: the per-round coin is the
+      engine-portable md5 uniform ``md5(id ":" seed ":kmpar:" round)``
+      compared against ℓ·d²/ψ in IEEE doubles (correctly-rounded ops —
+      reproducible on any engine or partitioning; ψ itself is an exact
+      integer via decimal(38,0) aggregation).
 
     * ``"farthest"`` (default) — farthest-first traversal (Gonzalez
       1985, the deterministic k-means++ cousin): seed = the row with the
@@ -124,6 +140,10 @@ def kmeans_init(
         if len(rows) < k:
             raise ValueError(f"k={k} but corpus has only {len(rows)} rows")
         return [list(r["__q"]) for r in rows]
+    if method == "parallel":
+        return _kmeans_parallel_init(
+            base, k, seed=seed, oversample=oversample, rounds=rounds
+        )
     if method != "farthest":
         raise ValueError(f"unknown init method {method!r}")
     first = base.orderBy("__sk", "__id").limit(1).collect()
@@ -172,6 +192,275 @@ def _min_dist(q_col: Column, centroids: Sequence[Sequence[int]]) -> Column:
     return ds[0] if len(ds) == 1 else F.least(*ds)
 
 
+def _mindist_fold_arrow(df: DataFrame, new_cents: Sequence[Sequence[int]]) -> DataFrame:
+    """Fold the min squared distance to a BATCH of new centroids into an
+    existing ``__d`` column (k-means‖ round update).  Row-local
+    mapInPandas; the new-centroid matrix broadcasts once per executor.
+    Unlike the farthest-first fold (one Column `least` per single new
+    centroid) this handles ~ℓ new centroids per round in one vectorized
+    pass — a Column fold over 2k exprs would not compile."""
+    import numpy as np
+
+    cent = np.asarray([list(c) for c in new_cents], dtype=np.int64)
+    bc = df.sparkSession.sparkContext.broadcast(cent)
+    cmax = int(np.abs(cent).max()) if cent.size else 0
+    dim = cent.shape[1]
+    limit = int(math.isqrt((2**63 - 1) // max(dim, 1)))
+    chunk = max(1, (1 << 22) // max(len(new_cents), 1))
+    schema = df.schema
+
+    def run(batches):
+        c = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = _stack_q(pdf, dim)
+            d = pdf["__d"].to_numpy(dtype=np.int64).copy()
+            for s in range(0, len(pdf), chunk):
+                m = _sqdist_matrix(q[s:s + chunk], c, cmax, limit).min(axis=1)
+                d[s:s + chunk] = np.minimum(d[s:s + chunk], m)
+            out = pdf.copy()
+            out["__d"] = d
+            yield out
+
+    return df.mapInPandas(run, schema)
+
+
+def _weighted_kmeans_driver(cand, w, k: int, *, iterations: int = 30) -> list[list[int]]:
+    """Driver-side weighted Lloyd over the k-means‖ candidate set
+    (Bahmani'12 step 8: "recluster the weighted points in C into k
+    clusters").  m ≈ ℓ·rounds candidates — driver-sized by construction.
+
+    Deterministic end to end: weighted farthest-first seeding (argmax of
+    w·d², ties → lowest candidate index; zero-weight-but-distinct
+    candidates fall back to plain farthest), then Lloyd with argmin ties →
+    lowest index and the exact integer weighted mean
+    ``floor(Σw·v / Σw + 1/2)`` computed in Python-int (object-dtype)
+    arithmetic — w·v can exceed int64 at corpus-scale weights."""
+    import numpy as np
+
+    m, dim = cand.shape
+    if m < k:
+        raise ValueError(
+            f"k-means‖ produced only {m} candidates for k={k} — "
+            "increase rounds/oversample (or the corpus has fewer than "
+            "k distinct vectors)"
+        )
+    cmax = int(np.abs(cand).max()) if cand.size else 0
+    limit = int(math.isqrt((2**63 - 1) // max(dim, 1)))
+    start = int(np.argmax(w))
+    centers = [start]
+    d = _sqdist_matrix(cand, cand[[start]], cmax, limit)[:, 0]
+    for _ in range(k - 1):
+        score = w.astype(np.float64) * d.astype(np.float64)
+        nxt = int(np.argmax(score))
+        if score[nxt] == 0.0:
+            nxt = int(np.argmax(d))
+            if d[nxt] == 0:
+                raise ValueError(
+                    f"fewer than k={k} distinct k-means‖ candidates "
+                    f"({m} total) — increase rounds/oversample"
+                )
+        centers.append(nxt)
+        d = np.minimum(
+            d, _sqdist_matrix(cand, cand[[nxt]], cmax, limit)[:, 0]
+        )
+    cent = cand[centers].copy()
+    chunk = max(1, (1 << 22) // max(k, 1))
+    for _ in range(iterations):
+        assign = np.empty(m, dtype=np.int64)
+        for s in range(0, m, chunk):
+            assign[s:s + chunk] = _sqdist_matrix(
+                cand[s:s + chunk], cent, cmax, limit
+            ).argmin(axis=1)
+        nxt_cent = cent.copy()
+        for ci in range(k):
+            idx = np.nonzero(assign == ci)[0]
+            wt = int(w[idx].sum())
+            if wt == 0:
+                continue  # empty/weightless cluster keeps its centroid
+            s_vec = (
+                w[idx].astype(object)[:, None] * cand[idx].astype(object)
+            ).sum(axis=0)
+            nxt_cent[ci] = np.asarray(
+                [(2 * int(s) + wt) // (2 * wt) for s in s_vec],
+                dtype=np.int64,
+            )
+        if np.array_equal(nxt_cent, cent):
+            break  # Lloyd fixed point
+        cent = nxt_cent
+    return [[int(x) for x in row] for row in cent]
+
+
+def _kmeans_parallel_init(
+    base: DataFrame,
+    k: int,
+    *,
+    seed: int,
+    oversample: Optional[int],
+    rounds: int,
+) -> list[list[int]]:
+    """k-means‖ (Bahmani et al. 2012) over the prepared ``(__id, __q,
+    __sk)`` frame.  O(``rounds``) distributed passes regardless of k:
+
+    1. seed = smallest-md5-key row;
+    2. each round: ψ = Σd²(x, C) (exact integer via decimal(38,0)), then
+       select every row whose portable md5 uniform satisfies
+       ``u < ℓ·d²/ψ`` — evaluated as the IEEE-double comparison
+       ``h·ψ < (ℓ·d²)·16^15`` (correctly-rounded ops: reproducible on any
+       engine/partitioning); fold the new candidates into the carried
+       min-distance with one Arrow pass;
+    3. weight each candidate by its attraction count (one distributed
+       assignment pass) and recluster driver-side to k.
+
+    Expected candidate count ≈ 1 + ℓ·rounds (driver-sized)."""
+    import numpy as np
+
+    from .sampling import _KEY_DIGITS, _KEY_SPACE
+
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    ell = 2 * k if oversample is None else oversample
+    if ell < 1:
+        raise ValueError("oversample must be >= 1")
+    first = base.orderBy("__sk", "__id").limit(1).collect()
+    if not first:
+        raise ValueError(f"k={k} but corpus has only 0 rows")
+    cands: list[list[int]] = [list(first[0]["__q"])]
+    cur = base.select(
+        "__id", "__q", _sq_dist(F.col("__q"), cands[0]).alias("__d")
+    ).persist()
+    prev = None
+    try:
+        for r in range(rounds):
+            # this agg materializes cur FROM prev's cache (same discipline
+            # as the farthest-first loop); only then is prev releasable
+            psi_row = cur.agg(
+                F.sum(F.col("__d").cast("decimal(38,0)")).alias("psi")
+            ).collect()
+            if prev is not None:
+                prev.unpersist()
+                prev = None
+            psi = int(psi_row[0]["psi"] or 0)
+            if psi == 0:
+                break  # every row coincides with a candidate
+            h = F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("__id").cast("string"),
+                            F.lit(str(seed)),
+                            F.lit("kmpar"),
+                            F.lit(str(r)),
+                        )
+                    ),
+                    1,
+                    _KEY_DIGITS,
+                ),
+                16,
+                10,
+            ).cast("long")
+            sel = (h.cast("double") * F.lit(float(psi))) < (
+                (F.lit(float(ell)) * F.col("__d").cast("double"))
+                * F.lit(float(_KEY_SPACE))
+            )
+            # orderBy before collect: candidate order must not depend on
+            # partitioning (it seeds the deterministic driver recluster)
+            rows = cur.where(sel).select("__id", "__q").orderBy("__id").collect()
+            new = [list(x["__q"]) for x in rows]
+            if new:
+                cands.extend(new)
+                if r < rounds - 1:
+                    nxt = _mindist_fold_arrow(cur, new).persist()
+                    prev, cur = cur, nxt
+    finally:
+        if prev is not None:
+            prev.unpersist()
+        cur.unpersist()
+
+    cand = np.asarray(cands, dtype=np.int64)
+    bc = base.sparkSession.sparkContext.broadcast(cand)
+    cmax = int(np.abs(cand).max()) if cand.size else 0
+    dim = cand.shape[1]
+    limit = int(math.isqrt((2**63 - 1) // max(dim, 1)))
+    chunk = max(1, (1 << 22) // max(len(cands), 1))
+
+    def weigh(batches):
+        import pandas as pd
+
+        c = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = _stack_q(pdf, dim)
+            idx = np.empty(len(pdf), dtype=np.int32)
+            for s in range(0, len(pdf), chunk):
+                idx[s:s + chunk] = _sqdist_matrix(
+                    q[s:s + chunk], c, cmax, limit
+                ).argmin(axis=1)
+            yield pd.DataFrame({"cand": idx})
+
+    counts = (
+        base.select("__q")
+        .mapInPandas(weigh, "cand int")
+        .groupBy("cand")
+        .count()
+        .collect()
+    )
+    w = np.zeros(len(cands), dtype=np.int64)
+    for row in counts:
+        w[row["cand"]] = row["count"]
+    return _weighted_kmeans_driver(cand, w, k)
+
+
+def _stack_q(pdf, dim: int):
+    """Validate + stack a batch's quantized vectors into an (n, dim) int64
+    matrix.  A NULL embedding (quantize of NULL is NULL) or a ragged
+    dimension raises a descriptive ValueError in the overflow-guard style
+    instead of an opaque numpy stack error (r14 advice)."""
+    import numpy as np
+
+    for pos, v in enumerate(pdf["__q"]):
+        if v is None:
+            raise ValueError(
+                f"NULL embedding at batch position {pos} — k-means "
+                "assignment needs a vector in every row; filter or "
+                "impute NULLs upstream"
+            )
+        if len(v) != dim:
+            raise ValueError(
+                f"embedding at batch position {pos} has dimension "
+                f"{len(v)} but the centroid matrix is dim {dim} — "
+                "mixed-dimension corpus"
+            )
+    return np.stack([np.asarray(v, dtype=np.int64) for v in pdf["__q"]])
+
+
+def _sqdist_matrix(q, cent, cmax: int, limit: int):
+    """Exact int64 pairwise squared distances, (n, m) for (n, dim) x
+    (m, dim), via the decomposed form ||q||² - 2 q·Cᵀ + ||C||².
+
+    Identical integers to the naive (q-c)² broadcast (every term and every
+    partial sum is bounded by dim·(qmax+cmax)² < 2^63 under the guard —
+    2ab ≤ (a+b)² and a²+b² ≤ (a+b)²), but it materializes only the (n, m)
+    result instead of the naive form's (n, m, dim) intermediate — the
+    difference between "works at k=3" and "works with 10⁵ k-means‖
+    candidates" (the naive 3-D array at n=10⁴, m=10⁵, dim=64 is 500 GB)."""
+    import numpy as np
+
+    qmax = int(np.abs(q).max()) if q.size else 0
+    if qmax + cmax > limit:
+        raise ValueError(
+            f"quantized magnitude {qmax}+{cmax} exceeds the int64 "
+            f"distance bound {limit} for dim {cent.shape[1]} — see "
+            "quantize_vec's contract"
+        )
+    qq = (q * q).sum(axis=1)
+    cc = (cent * cent).sum(axis=1)
+    return qq[:, None] - 2 * (q @ cent.T) + cc[None, :]
+
+
 def _assign_arrow(
     df: DataFrame,
     centroids: Sequence[Sequence[int]],
@@ -183,10 +472,14 @@ def _assign_arrow(
     """Arrow-batched assignment: numpy argmin over the k x dim int64
     centroid matrix per batch — the SAME exact-integer decision as the
     Column fold (int64 arithmetic, ties -> lowest index via argmin), at
-    vectorized speed.  Row-local (mapInPandas), no shuffle."""
+    vectorized speed.  Row-local (mapInPandas), no shuffle; the centroid
+    matrix ships once per executor as a Spark broadcast (k x dim longs —
+    at k-means‖-candidate scale that is tens of MB, which must not ride
+    every task closure)."""
     import numpy as np
 
     cent = np.asarray([list(c) for c in centroids], dtype=np.int64)
+    bc = df.sparkSession.sparkContext.broadcast(cent)
     cols = list(keep_cols)
     fields = [
         f"`{c}` {df.schema[c].dataType.simpleString()}" for c in cols
@@ -202,41 +495,22 @@ def _assign_arrow(
     # replay would error instead, so engine and oracle would even
     # disagree in failure mode)
     limit = int(math.isqrt((2**63 - 1) // max(dim, 1)))
+    # bound the (rows, k) distance block per chunk so large candidate
+    # matrices don't blow batch memory (2^22 int64 cells ~= 32 MB)
+    chunk = max(1, (1 << 22) // max(len(centroids), 1))
 
     def run(batches):
+        c = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            # validate before np.stack: a NULL embedding (quantize of NULL
-            # is NULL) or a ragged dimension would otherwise surface as an
-            # opaque numpy stack error — raise a descriptive ValueError in
-            # the overflow-guard style instead (r14 advice)
-            for pos, v in enumerate(pdf["__q"]):
-                if v is None:
-                    raise ValueError(
-                        f"NULL embedding at batch position {pos} — k-means "
-                        "assignment needs a vector in every row; filter or "
-                        "impute NULLs upstream"
-                    )
-                if len(v) != dim:
-                    raise ValueError(
-                        f"embedding at batch position {pos} has dimension "
-                        f"{len(v)} but the centroid matrix is dim {dim} — "
-                        "mixed-dimension corpus"
-                    )
-            q = np.stack(
-                [np.asarray(v, dtype=np.int64) for v in pdf["__q"]]
-            )
-            qmax = int(np.abs(q).max()) if q.size else 0
-            if qmax + cmax > limit:
-                raise ValueError(
-                    f"quantized magnitude {qmax}+{cmax} exceeds the int64 "
-                    f"distance bound {limit} for dim {dim} — see "
-                    "quantize_vec's contract"
-                )
-            d = ((q[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            q = _stack_q(pdf, dim)
+            out = np.empty(len(pdf), dtype=np.int32)
+            for s in range(0, len(pdf), chunk):
+                d = _sqdist_matrix(q[s:s + chunk], c, cmax, limit)
+                out[s:s + chunk] = d.argmin(axis=1).astype(np.int32)
             res = pdf[cols + ["__q"]].copy()
-            res[cluster_col] = d.argmin(axis=1).astype("int32")
+            res[cluster_col] = out
             yield res
 
     return src.mapInPandas(run, out_schema)
@@ -302,6 +576,9 @@ def kmeans_fit(
     seed: int = 42,
     iterations: int = 5,
     method: str = "arrow",
+    init: str = "farthest",
+    init_oversample: Optional[int] = None,
+    init_rounds: int = 5,
 ) -> list[list[int]]:
     """Lloyd's k-means: deterministic init + up to ``iterations`` update
     steps, stopping early at the Lloyd fixed point (an unchanged centroid
@@ -309,8 +586,13 @@ def kmeans_fit(
     test trivial, no epsilon).  Returns the quantized centroid matrix
     (driver state, k x dim ints).  ``method``: "arrow" (vectorized numpy
     distances; default) or "column" (pure-JVM Column folds) — identical
-    exact-integer results."""
-    cents = kmeans_init(df, k, id_col=id_col, vec_col=vec_col, seed=seed)
+    exact-integer results.  ``init``: "farthest" (default; k−1 sequential
+    top-1 jobs — moderate k), "parallel" (k-means‖ — O(init_rounds)
+    passes, the large-k path), or "hash"."""
+    cents = kmeans_init(
+        df, k, id_col=id_col, vec_col=vec_col, seed=seed, method=init,
+        oversample=init_oversample, rounds=init_rounds,
+    )
     for _ in range(iterations):
         nxt = kmeans_update(df, cents, vec_col=vec_col, method=method)
         if nxt == cents:

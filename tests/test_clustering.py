@@ -171,6 +171,58 @@ def test_arrow_and_column_paths_agree_exactly(spark):
     assert aa == ac
 
 
+def _eight_blob_df(spark):
+    """Eight blobs of uneven sizes in 8-d — enough structure that a plain
+    hash init regularly lands two seeds in one blob."""
+    rows = []
+    i = 0
+    for ci in range(8):
+        center = [10.0 if d == ci else 0.0 for d in range(8)]
+        for j in range(3 + (ci * 5) % 7):
+            vec = [center[d] + ((i * 7 + d * 3) % 5) * 0.01 for d in range(8)]
+            rows.append((i, [float(x) for x in vec]))
+            i += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_parallel_init_recovers_blobs(spark):
+    """k-means‖ init + Lloyd recovers the 3-blob structure exactly, like
+    the farthest-first path."""
+    df = _three_blob_df(spark)
+    cents = clustering.kmeans_fit(df, 3, iterations=4, init="parallel")
+    out = clustering.kmeans_assign(df, cents).collect()
+    by_cluster: dict[int, set[int]] = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], set()).add(r["vec_id"])
+    groups = sorted(frozenset(v) for v in by_cluster.values())
+    assert groups == sorted(frozenset(range(s, s + 8)) for s in (0, 8, 16))
+
+
+def test_parallel_init_sse_not_worse_than_hash(spark):
+    """The point of oversampling init (Bahmani'12): seed spread. After the
+    same Lloyd budget, k-means‖ must land at an SSE no worse than the
+    one-job hash init on a multi-blob corpus."""
+    df = _eight_blob_df(spark)
+    par = clustering.kmeans_fit(df, 8, iterations=5, init="parallel")
+    hsh = clustering.kmeans_fit(df, 8, iterations=5, init="hash")
+    assert clustering.kmeans_sse(df, par) <= clustering.kmeans_sse(df, hsh)
+
+
+def test_parallel_init_partitioning_invariant(spark):
+    """md5 coins + exact-integer folds: the candidate set, the weights,
+    and the reclustered centroids must not depend on partitioning."""
+    df = _eight_blob_df(spark)
+    a = clustering.kmeans_init(df.repartition(7), 4, method="parallel")
+    b = clustering.kmeans_init(df.coalesce(1), 4, method="parallel")
+    assert a == b
+
+
+def test_parallel_init_insufficient_candidates(spark):
+    df = _three_blob_df(spark)
+    with pytest.raises(ValueError, match="candidates"):
+        clustering.kmeans_init(df, 999, method="parallel")
+
+
 def test_null_block_value_raises(spark):
     """exhaustive+block_col promises recall 1 within the corpus, but NULL
     never equi-joins — a NULL-blocked row would silently vanish from every

@@ -1,0 +1,65 @@
+"""Measured recall of the banded (production) near-dup path against its
+own documented expectation (r14 verdict task #2).
+
+The correctness gate exercises the provably-exact ``exhaustive`` configs;
+banding recall was previously guarded only by the geometry formula in
+``lsh_expected_recall``.  This test PLANTS pairs at a known cosine and
+fails if the measured recall of a default-geometry config falls below the
+config's own ``min_expected_recall`` floor (0.5) or materially below the
+Charikar'02 prediction the guard relies on.
+
+Everything is deterministic: numpy-seeded corpus, seeded hyperplanes, and
+the planted-partner construction cos(v, partner) = s exactly (float eps).
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_spec = importlib.util.spec_from_file_location(
+    "bench_dedup_recall", os.path.join(ROOT, "tools", "bench_dedup_recall.py")
+)
+bench_dedup_recall = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(bench_dedup_recall)
+
+from hyperdx_spark.pipeline import similarity  # noqa: E402
+
+DIM = 64
+TIER = 0.76        # just above the operator threshold: measures recall
+THRESHOLD = 0.75   # essentially AT threshold without the knife-edge of
+#                    float32 storage rounding cos to a hair below it
+
+
+def _corpus(spark, n=600):
+    rng = np.random.default_rng(4242)
+    v = rng.normal(size=(n, DIM))
+    rows = [(i, [float(x) for x in v[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_banded_recall_meets_documented_floor(spark):
+    emb = _corpus(spark)
+    aug, planted = bench_dedup_recall.plant_pairs(
+        spark, emb, tiers=(TIER,), per_tier=200
+    )
+    pairs = similarity.cosine_pairs(
+        aug, id_col="vec_id", threshold=THRESHOLD,
+        num_planes=16, bands=4, min_expected_recall=0.5,
+    )
+    recall = bench_dedup_recall.measure_recall(pairs, planted, spark)[TIER]
+    predicted = similarity.lsh_expected_recall(TIER, 16, 4)
+    # the config's own documented floor — dropping below it means the
+    # min_expected_recall guard is lying about this geometry
+    assert recall >= 0.5, f"measured {recall} < the config's 0.5 floor"
+    # and the Charikar prediction must be honest (deterministic seeds:
+    # the 0.12 margin is ~5 sigma of the 200-pair binomial, so this pins
+    # the formula, not luck)
+    assert recall >= predicted - 0.12, (
+        f"measured {recall} vs predicted {predicted:.3f} — the "
+        "lsh_expected_recall formula overstates this geometry"
+    )

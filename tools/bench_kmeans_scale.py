@@ -12,6 +12,12 @@ Claims to pin across the sf1 -> sf10 decade:
    SemDeDup-paper shape) stays bounded by the sum of squared cluster
    sizes, never the global N².
 
+4. (r15) k-means‖ init (Bahmani'12, ``method="parallel"``) is
+   O(rounds) distributed passes REGARDLESS of k — at k=256 it must not
+   cost 256 sequential jobs like farthest-first would, and its seeds
+   must be at least as good (SSE <= hash init after the same Lloyd
+   budget).
+
 Usage: python tools/bench_kmeans_scale.py [sf_dirs...]
 Prints one JSON line; paste the numbers into SCALE.md.
 """
@@ -31,6 +37,7 @@ from hyperdx_spark.pipeline import clustering  # noqa: E402
 
 DIRS = sys.argv[1:] or ["/root/repo/.scale/sf1", "/root/repo/.scale/sf10"]
 K = 16
+K_PAR = 256
 ITERS = 3
 
 
@@ -61,6 +68,18 @@ def main() -> None:
         assign_s = round(time.monotonic() - t0, 2)
         sse = clustering.kmeans_sse(emb, cents)
 
+        # r15: k-means|| at large k — O(rounds) passes, not O(k) jobs
+        t0 = time.monotonic()
+        par = clustering.kmeans_init(emb, K_PAR, method="parallel")
+        par_init_s = round(time.monotonic() - t0, 2)
+        t0 = time.monotonic()
+        par = clustering.kmeans_update(emb, par)
+        par_iter_s = round(time.monotonic() - t0, 2)
+        sse_par = clustering.kmeans_sse(emb, par)
+        hsh = clustering.kmeans_init(emb, K_PAR, method="hash")
+        hsh = clustering.kmeans_update(emb, hsh)
+        sse_hash = clustering.kmeans_sse(emb, hsh)
+
         res[tag] = {
             "vectors": n,
             "init_s": init_s,
@@ -69,8 +88,15 @@ def main() -> None:
             "clusters_nonempty": len(sizes),
             "max_cluster": max(sizes.values()),
             "sse": sse,
+            "par_init_s_k256": par_init_s,
+            "par_iter_s_k256": par_iter_s,
+            "sse_par_k256": sse_par,
+            "sse_hash_k256": sse_hash,
+            "par_vs_hash_sse_ratio": round(sse_par / max(sse_hash, 1), 4),
         }
-    print(json.dumps({"kmeans": res, "k": K, "iterations": ITERS}))
+    print(json.dumps(
+        {"kmeans": res, "k": K, "k_parallel": K_PAR, "iterations": ITERS}
+    ))
 
 
 if __name__ == "__main__":
