@@ -201,6 +201,115 @@ def spread_exceeds_band(samples, band: float = SPREAD_BAND) -> bool:
     return lo > 0 and (hi - lo) / lo > band
 
 
+def run_query_loop(spark, sf_dir: str) -> dict:
+    """One full measurement loop over HEADLINE: per-query ambient gate,
+    best-of-3 (+spread reruns), post-loop ambient-contended repairs.
+    Returns timings/cold/loads/ambient/annotations as a dict so the
+    whole loop can run twice (quiet-box rerun, VERDICT r14 #4)."""
+    timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
+    spread_reruns: dict[str, int] = {}
+    loads: dict[str, list[float]] = {}
+    ambient: dict[str, float] = {}
+    ambient_wait_budget = AMBIENT_TOTAL_BUDGET_S
+    for name in HEADLINE:
+        fn = getattr(entrymod, name)
+        # between-query ambient gate (VERDICT r13 #3): /proc/stat deltas see
+        # only the neighbours while our executors are parked
+        if ambient_wait_budget > 0:
+            g = wait_for_quiet_cpu(
+                max_wait_s=min(AMBIENT_MAX_WAIT_S, ambient_wait_budget)
+            )
+            ambient_wait_budget -= g["waited_s"]
+            ambient[name] = g["busy_cores"]
+        else:
+            ambient[name] = round(ambient_busy_cores(), 2)
+        samples: list[float] = []
+        loads[name] = [os.getloadavg()[0]]
+        for i in range(3):
+            t0 = time.perf_counter()
+            materialize(fn(spark, sf_dir))
+            dt = time.perf_counter() - t0
+            if i == 0:
+                cold[name] = round(dt, 3)
+            samples.append(dt)
+            loads[name].append(os.getloadavg()[0])
+        # best-of-3 spread beyond the ±50% band = a contended sample slipped
+        # in; take extra runs so the min reflects steady state (r11 finding)
+        if spread_exceeds_band(samples):
+            for _ in range(SPREAD_EXTRA_RUNS):
+                t0 = time.perf_counter()
+                materialize(fn(spark, sf_dir))
+                samples.append(time.perf_counter() - t0)
+                loads[name].append(os.getloadavg()[0])
+            spread_reruns[name] = SPREAD_EXTRA_RUNS
+        timings[name] = round(min(samples), 3)
+
+    # post-loop: queries whose pre-sample was ambient-contended get one more
+    # run once the box quiets, budget permitting — min() repairs the timing
+    ambient_contended = {
+        n: b for n, b in ambient.items() if b > AMBIENT_THRESHOLD_CORES
+    }
+    ambient_reruns: dict[str, float] = {}
+    if ambient_contended:
+        rerun_start = time.monotonic()
+        for name in ambient_contended:
+            spent = time.monotonic() - rerun_start
+            if spent >= AMBIENT_RERUN_BUDGET_S:
+                break
+            g = wait_for_quiet_cpu(
+                max_wait_s=min(AMBIENT_MAX_WAIT_S,
+                               AMBIENT_RERUN_BUDGET_S - spent)
+            )
+            if g["gave_up"]:
+                continue
+            t0 = time.perf_counter()
+            materialize(getattr(entrymod, name)(spark, sf_dir))
+            dt = time.perf_counter() - t0
+            ambient_reruns[name] = round(dt, 3)
+            timings[name] = min(timings[name], round(dt, 3))
+    return {
+        "timings": timings,
+        "cold": cold,
+        "loads": loads,
+        "ambient": ambient,
+        "spread_reruns": spread_reruns,
+        "ambient_contended": ambient_contended,
+        "ambient_reruns": ambient_reruns,
+    }
+
+
+def loop_contention_score(loop: dict, threshold: float) -> int:
+    """Number of queries measured contended in a loop — loadavg marks
+    (mid-query neighbour spikes the pre-gate cannot see) plus ambient
+    pre-sample marks.  The quiet-rerun decision key."""
+    marks = set(contention_annotation(loop["loads"], threshold))
+    marks |= set(loop["ambient_contended"])
+    return len(marks)
+
+
+def choose_quieter_loop(loop1: dict, loop2: dict, threshold: float) -> int:
+    """1 or 2: fewer contended queries wins; ties go to the lower total
+    (both loops are fully JVM-warm by construction — loop 2 runs after
+    loop 1's 3+ samples per query, and loop 1's min already excludes its
+    cold sample)."""
+    c1 = loop_contention_score(loop1, threshold)
+    c2 = loop_contention_score(loop2, threshold)
+    if c2 < c1:
+        return 2
+    if c2 == c1 and sum(loop2["timings"].values()) < sum(
+        loop1["timings"].values()
+    ):
+        return 2
+    return 1
+
+
+# bounded wait for the whole-loop quiet rerun: a second full loop costs
+# ~1-2 min at sf0.1, so waiting up to 5 min for a quiet window is the
+# right trade vs publishing a contended artifact (VERDICT r14 #4)
+QUIET_RERUN_MAX_WAIT_S = 300.0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -241,82 +350,63 @@ def main() -> None:
     materialize(entrymod.q_tpch_q1(spark, sf_dir).limit(1))
     env["warmup_s"] = round(time.perf_counter() - t0, 3)
 
-    # best-of-3: this box's run-to-run noise is ±50%+ (documented in
-    # SCALE.md); single bad runs have shown 10x outliers on the
-    # shuffle-heavy queries, and two samples are not enough to shed them
-    timings: dict[str, float] = {}
-    cold: dict[str, float] = {}
-    spread_reruns: dict[str, int] = {}
-    loads: dict[str, list[float]] = {}
-    ambient: dict[str, float] = {}
+    # best-of-3 per query inside the loop: this box's run-to-run noise is
+    # ±50%+ (documented in SCALE.md); single bad runs have shown 10x
+    # outliers on the shuffle-heavy queries
     threshold = load_guard_threshold(int(cpus))
-    ambient_wait_budget = AMBIENT_TOTAL_BUDGET_S
-    for name in HEADLINE:
-        fn = getattr(entrymod, name)
-        # between-query ambient gate (VERDICT r13 #3): /proc/stat deltas see
-        # only the neighbours while our executors are parked
-        if ambient_wait_budget > 0:
-            g = wait_for_quiet_cpu(
-                max_wait_s=min(AMBIENT_MAX_WAIT_S, ambient_wait_budget)
-            )
-            ambient_wait_budget -= g["waited_s"]
-            ambient[name] = g["busy_cores"]
+    loop = run_query_loop(spark, sf_dir)
+
+    # whole-loop quiet rerun (VERDICT r14 #4): the r14 artifact shipped
+    # contended because mid-query neighbour spikes escape the between-query
+    # pre-gate. If ANY query measured contended, wait (bounded) for a quiet
+    # window and re-run the ENTIRE warm loop — not just flagged queries:
+    # JVM warmth differs across queries, so a partial rerun is not
+    # comparable — then publish the quieter of the two loops.
+    published = 1
+    if loop_contention_score(loop, threshold) > 0:
+        q = wait_for_quiet_box(threshold, max_wait_s=QUIET_RERUN_MAX_WAIT_S)
+        qa = (
+            wait_for_quiet_cpu(max_wait_s=60.0)
+            if not q["gave_up"] else {"gave_up": True, "waited_s": 0.0}
+        )
+        env["quiet_rerun_wait"] = {
+            "load_guard": q,
+            "ambient": qa,
+        }
+        if not q["gave_up"] and not qa["gave_up"]:
+            loop2 = run_query_loop(spark, sf_dir)
+            published = choose_quieter_loop(loop, loop2, threshold)
+            env["quiet_rerun"] = {
+                "loop1_total": round(sum(loop["timings"].values()), 3),
+                "loop2_total": round(sum(loop2["timings"].values()), 3),
+                "loop1_contended": loop_contention_score(loop, threshold),
+                "loop2_contended": loop_contention_score(loop2, threshold),
+                "published_loop": published,
+            }
+            if published == 2:
+                # cold numbers stay from loop 1 — loop 2 has no cold runs
+                loop2["cold"] = loop["cold"]
+                loop = loop2
         else:
-            ambient[name] = round(ambient_busy_cores(), 2)
-        samples: list[float] = []
-        loads[name] = [os.getloadavg()[0]]
-        for i in range(3):
-            t0 = time.perf_counter()
-            materialize(fn(spark, sf_dir))
-            dt = time.perf_counter() - t0
-            if i == 0:
-                cold[name] = round(dt, 3)
-            samples.append(dt)
-            loads[name].append(os.getloadavg()[0])
-        # best-of-3 spread beyond the ±50% band = a contended sample slipped
-        # in; take extra runs so the min reflects steady state (r11 finding)
-        if spread_exceeds_band(samples):
-            for _ in range(SPREAD_EXTRA_RUNS):
-                t0 = time.perf_counter()
-                materialize(fn(spark, sf_dir))
-                samples.append(time.perf_counter() - t0)
-                loads[name].append(os.getloadavg()[0])
-            spread_reruns[name] = SPREAD_EXTRA_RUNS
-        timings[name] = round(min(samples), 3)
-    if spread_reruns:
-        env["spread_reruns"] = spread_reruns
-    env["loadavg_per_query"] = {n: round(max(ls), 2) for n, ls in loads.items()}
-    contended = contention_annotation(loads, threshold)
+            env["quiet_rerun_wait"]["note"] = (
+                "no quiet window appeared within the bounded wait; "
+                "publishing the contended loop (annotated below)"
+            )
+
+    timings, cold = loop["timings"], loop["cold"]
+    if loop["spread_reruns"]:
+        env["spread_reruns"] = loop["spread_reruns"]
+    env["loadavg_per_query"] = {
+        n: round(max(ls), 2) for n, ls in loop["loads"].items()
+    }
+    contended = contention_annotation(loop["loads"], threshold)
     if contended:
         env["contended_queries"] = contended
-    env["ambient_busy_per_query"] = ambient
-
-    # post-loop: queries whose pre-sample was ambient-contended get one more
-    # run once the box quiets, budget permitting — min() repairs the timing
-    ambient_contended = {
-        n: b for n, b in ambient.items() if b > AMBIENT_THRESHOLD_CORES
-    }
-    if ambient_contended:
-        env["ambient_contended"] = ambient_contended
-        rerun_start = time.monotonic()
-        reruns: dict[str, float] = {}
-        for name in ambient_contended:
-            spent = time.monotonic() - rerun_start
-            if spent >= AMBIENT_RERUN_BUDGET_S:
-                break
-            g = wait_for_quiet_cpu(
-                max_wait_s=min(AMBIENT_MAX_WAIT_S,
-                               AMBIENT_RERUN_BUDGET_S - spent)
-            )
-            if g["gave_up"]:
-                continue
-            t0 = time.perf_counter()
-            materialize(getattr(entrymod, name)(spark, sf_dir))
-            dt = time.perf_counter() - t0
-            reruns[name] = round(dt, 3)
-            timings[name] = min(timings[name], round(dt, 3))
-        if reruns:
-            env["ambient_reruns"] = reruns
+    env["ambient_busy_per_query"] = loop["ambient"]
+    if loop["ambient_contended"]:
+        env["ambient_contended"] = loop["ambient_contended"]
+    if loop["ambient_reruns"]:
+        env["ambient_reruns"] = loop["ambient_reruns"]
 
     env["ts_end"] = time.strftime("%Y-%m-%dT%H:%M:%S%z")
     env["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]

@@ -192,3 +192,38 @@ def test_headline_set_unchanged_since_r2():
         "q_minhash_lsh",
         "q_ann_cosine",
     ]
+
+
+def _loop(timings, loads_max, ambient):
+    return {
+        "timings": timings,
+        "loads": {n: [v] for n, v in loads_max.items()},
+        "ambient": ambient,
+        "ambient_contended": {
+            n: b for n, b in ambient.items()
+            if b > bench.AMBIENT_THRESHOLD_CORES
+        },
+    }
+
+
+def test_choose_quieter_loop_prefers_fewer_contended():
+    # loop1 had a mid-query loadavg spike on q_a; loop2 is clean but a hair
+    # slower overall — fewer contended queries must win over raw total
+    l1 = _loop({"q_a": 1.0, "q_b": 1.0}, {"q_a": 99.0, "q_b": 0.1},
+               {"q_a": 0.0, "q_b": 0.0})
+    l2 = _loop({"q_a": 1.2, "q_b": 1.1}, {"q_a": 0.1, "q_b": 0.1},
+               {"q_a": 0.0, "q_b": 0.0})
+    assert bench.choose_quieter_loop(l1, l2, threshold=8.0) == 2
+
+
+def test_choose_quieter_loop_tie_goes_to_lower_total():
+    l1 = _loop({"q_a": 1.0}, {"q_a": 0.1}, {"q_a": 0.0})
+    l2 = _loop({"q_a": 0.8}, {"q_a": 0.1}, {"q_a": 0.0})
+    assert bench.choose_quieter_loop(l1, l2, threshold=8.0) == 2
+    assert bench.choose_quieter_loop(l2, l1, threshold=8.0) == 1
+
+
+def test_loop_contention_score_unions_both_marks():
+    l1 = _loop({"q_a": 1.0, "q_b": 1.0}, {"q_a": 99.0, "q_b": 0.1},
+               {"q_a": 0.0, "q_b": 5.0})
+    assert bench.loop_contention_score(l1, threshold=8.0) == 2

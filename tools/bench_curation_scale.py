@@ -1,0 +1,175 @@
+"""Scale measurement for the FULL curation chain (r15 — verdict task #3).
+
+`tests/test_curation_e2e.py` proves the composition at toy size and the
+stages are individually decade-measured, but the CHAIN — normalize →
+exact dedup → SemDeDup within k-means clusters → Gopher + perplexity
+gates → DSIR → packing, with localCheckpoint materialization between
+stages — was not.  This runs the same composition shape at sf1/sf10 and
+reports per-stage wall time, per-stage survivor counts, and the peak
+single-stage shuffle write (via the Spark UI REST API — the one metric
+that flags a stage whose shuffle would not survive a 100× scale-up).
+
+The semantic stage runs at SemDeDup-realistic k = n_vectors/100 with the
+r15 k-means‖ init — the configuration farthest-first init could not
+reach (k sequential jobs).
+
+Usage: python tools/bench_curation_scale.py [sf_dirs...]
+Prints one JSON line; paste into SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession, functions as F  # noqa: E402
+
+from hyperdx_spark.session import RUNTIME_CONFS, tune_session  # noqa: E402
+from hyperdx_spark.io import ensure_min_parallelism, load_table  # noqa: E402
+from hyperdx_spark.pipeline import (  # noqa: E402
+    clustering, dedup, dsir, packing, perplexity, similarity, text, textnorm,
+)
+
+DIRS = sys.argv[1:] or ["/root/repo/.scale/sf1", "/root/repo/.scale/sf10"]
+UI_PORT = 4055
+
+
+def get_ui_spark(cpus: int = 32) -> SparkSession:
+    """get_spark's config, but with the UI on so the REST API can report
+    per-stage shuffle bytes (the library session keeps it off)."""
+    builder = (
+        SparkSession.builder.appName("bench-curation")
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 32)))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "true")
+        .config("spark.ui.port", str(UI_PORT))
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "8388608"),
+        )
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return tune_session(spark)
+
+
+def peak_stage_shuffle_mb(spark) -> float:
+    """Max shuffle write bytes of any completed stage so far (REST API)."""
+    app_id = spark.sparkContext.applicationId
+    try:
+        with urllib.request.urlopen(
+            f"http://localhost:{UI_PORT}/api/v1/applications/{app_id}/stages",
+            timeout=10,
+        ) as resp:
+            stages = json.loads(resp.read())
+        return round(
+            max((s.get("shuffleWriteBytes", 0) for s in stages), default=0)
+            / 1e6,
+            1,
+        )
+    except Exception:
+        return -1.0  # UI unavailable — report honestly rather than fake 0
+
+
+def run_chain(spark, sf_dir: str) -> dict:
+    docs = ensure_min_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    emb = ensure_min_parallelism(load_table(spark, sf_dir, "embeddings"))
+    out: dict = {"docs": docs.count(), "vectors": emb.count()}
+
+    t0 = time.monotonic()
+    cleaned = textnorm.normalize_for_dedup(docs).localCheckpoint()
+    out["normalize_s"] = round(time.monotonic() - t0, 2)
+
+    t0 = time.monotonic()
+    exact = dedup.drop_exact_duplicates(cleaned).localCheckpoint()
+    out["exact_rows"] = exact.count()
+    out["exact_s"] = round(time.monotonic() - t0, 2)
+
+    # semantic near-dup within k-means clusters at SemDeDup-realistic k
+    t0 = time.monotonic()
+    semi = emb.join(
+        exact.select(F.col("doc_id").alias("vec_id")), on="vec_id",
+        how="left_semi",
+    )
+    k = max(16, out["vectors"] // 100)
+    cents = clustering.kmeans_fit(semi, k, iterations=3, init="parallel")
+    blocked = clustering.kmeans_assign(semi, cents, method="arrow")
+    pairs = similarity.cosine_pairs(
+        blocked, id_col="vec_id", threshold=0.99,
+        exhaustive=True, block_col="cluster",
+    )
+    scored = exact.withColumn("score", F.octet_length("text").cast("double"))
+    sem = dedup.drop_near_duplicates(
+        scored,
+        pairs.select(
+            F.col("id_a").cast("long").alias("id_a"),
+            F.col("id_b").cast("long").alias("id_b"),
+        ),
+        id_col="doc_id", score_col="score",
+    ).localCheckpoint()
+    out["semdedup_k"] = k
+    out["sem_rows"] = sem.count()
+    out["sem_s"] = round(time.monotonic() - t0, 2)
+
+    # Gopher gate with corpus-calibrated thresholds: the paper defaults
+    # target web text (>=2 stopword hits from a fixed English list); the
+    # synthetic corpus has ~0 hits of those words, so the uncalibrated
+    # conjunction keeps nothing and the rest of the chain would measure
+    # empty inputs. Same operator, realistic keep-rate (~73%).
+    t0 = time.monotonic()
+    gophered = text.gopher_filter(
+        sem, keep_only=True,
+        min_words=20, min_stopword_hits=1, min_alpha_word_frac=0.5,
+    ).select("doc_id", "text").localCheckpoint()
+    out["gopher_rows"] = gophered.count()
+    out["gopher_s"] = round(time.monotonic() - t0, 2)
+
+    t0 = time.monotonic()
+    target = gophered.where(F.col("doc_id") % 17 == 0)
+    lm = perplexity.bigram_lm_fit(target, vocab=4096)
+    filtered = perplexity.perplexity_filter(
+        gophered, lm, 8.0, keep_empty=False
+    ).localCheckpoint()
+    out["ppl_rows"] = filtered.count()
+    out["ppl_s"] = round(time.monotonic() - t0, 2)
+
+    t0 = time.monotonic()
+    selected = dsir.dsir_select(filtered, target, 1000, buckets=8192)
+    out["dsir_rows"] = selected.count()
+    out["dsir_s"] = round(time.monotonic() - t0, 2)
+
+    t0 = time.monotonic()
+    with_tokens = selected.select(
+        "doc_id", text.token_count("text").alias("n_tokens")
+    )
+    packed = packing.pack_sequences(with_tokens, 2048, num_shards=32)
+    out["packed_rows"] = packed.count()
+    out["pack_s"] = round(time.monotonic() - t0, 2)
+
+    out["chain_s"] = round(
+        sum(v for s, v in out.items() if s.endswith("_s")), 2
+    )
+    out["peak_stage_shuffle_mb"] = peak_stage_shuffle_mb(spark)
+    return out
+
+
+def main() -> None:
+    spark = get_ui_spark()
+    res = {}
+    for sf_dir in DIRS:
+        res[sf_dir.rsplit("/", 1)[-1]] = run_chain(spark, sf_dir)
+    print(json.dumps({"curation_chain": res}))
+
+
+if __name__ == "__main__":
+    main()
