@@ -4229,7 +4229,20 @@ def q_ann_indexed(spark, sf_dir):
         ],
         "part string, query_id long, match_id long, cos double, rank int",
     )
-    return out.unionByName(km_asg).unionByName(km_cent)
+    # r15: k-means|| distributed phases (Bahmani'12; clustering.py) —
+    # candidate rounds + attraction weights at the gate config (k=2,
+    # oversample=4, rounds=2). The md5 selection coins, exact-integer
+    # psi/distances, the IEEE-double compare h*psi < (l*d^2)*16^15, and
+    # the argmin weighting with (round, id) tie order all replay in
+    # DuckDB; the driver-side weighted recluster that follows is
+    # pytest-pinned pure Python. One row per candidate:
+    # (id, round, weight).
+    kmp_rows = _clu.kmeans_parallel_trace(emb, 2, oversample=4, rounds=2)
+    km_par = spark.createDataFrame(
+        [("kmp|cw", int(i), int(r), float(wt), 0) for (i, r, wt) in kmp_rows],
+        "part string, query_id long, match_id long, cos double, rank int",
+    )
+    return out.unionByName(km_asg).unionByName(km_cent).unionByName(km_par)
 
 
 O_ANN_INDEXED = f"""
@@ -6156,6 +6169,63 @@ SELECT part, query_id, match_id, cos, rank, s FROM (
   SELECT 'km|cent', 1, u.i - 1, c1[u.i]::DOUBLE, 0, ''
   FROM kc2w, UNNEST(generate_series(1, len(c1))) AS u(i)
 ) km_all
+UNION ALL
+-- r15 k-means|| replay (Bahmani'12; clustering._kmeans_parallel_sample):
+-- seed = smallest-md5-key row (round -1); each round selects every row
+-- whose 60-bit md5 coin satisfies h * psi < (l * d^2) * 16^15 in IEEE
+-- doubles (psi = the EXACT integer cost cast to double — both engines
+-- round half-even, and *,< are correctly rounded, so the candidate sets
+-- match bit-for-bit); the round-1 distances fold the round-0 candidates
+-- into the carried minimum; weights = argmin over the candidate set with
+-- (round, id) tie order. Gate config k=2 -> l=4, rounds=2, seed 42.
+SELECT part, query_id, match_id, cos, rank, s FROM (
+  WITH kq2 AS (
+    SELECT vec_id,
+           list_transform(embedding,
+             x -> CAST(floor(x::DOUBLE * 1000000.0 + 0.5) AS BIGINT)) AS qv
+    FROM embeddings),
+  kp0 AS (SELECT vec_id, qv FROM kq2
+          ORDER BY md5(vec_id::VARCHAR || ':42') ASC, vec_id ASC LIMIT 1),
+  kd0 AS (SELECT kq2.vec_id, kq2.qv,
+                 list_sum(list_transform(generate_series(1, len(kq2.qv)),
+                   i -> (kq2.qv[i] - kp0.qv[i]) * (kq2.qv[i] - kp0.qv[i])))
+                 AS d
+          FROM kq2 CROSS JOIN kp0),
+  ksel0 AS (
+    SELECT vec_id, qv FROM kd0
+    WHERE (CAST(('0x' || substr(md5(vec_id::VARCHAR || ':42:kmpar:0'),
+                                1, 15)) AS BIGINT)::DOUBLE
+           * (SELECT sum(d) FROM kd0)::DOUBLE)
+        < ((4.0 * d::DOUBLE) * (16.0 ** 15))),
+  kd1 AS (SELECT kd0.vec_id, kd0.qv,
+                 least(kd0.d, coalesce(
+                   (SELECT min(list_sum(list_transform(
+                      generate_series(1, len(kd0.qv)),
+                      i -> (kd0.qv[i] - s.qv[i]) * (kd0.qv[i] - s.qv[i]))))
+                    FROM ksel0 s), kd0.d)) AS d
+          FROM kd0),
+  ksel1 AS (
+    SELECT vec_id, qv FROM kd1
+    WHERE (CAST(('0x' || substr(md5(vec_id::VARCHAR || ':42:kmpar:1'),
+                                1, 15)) AS BIGINT)::DOUBLE
+           * (SELECT sum(d) FROM kd1)::DOUBLE)
+        < ((4.0 * d::DOUBLE) * (16.0 ** 15))),
+  kcands AS (
+    SELECT vec_id, -1 AS rnd, qv FROM kp0
+    UNION ALL SELECT vec_id, 0, qv FROM ksel0
+    UNION ALL SELECT vec_id, 1, qv FROM ksel1),
+  kassign AS (
+    SELECT c.vec_id AS cand_id, c.rnd
+    FROM kq2 q JOIN kcands c ON true
+    QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      list_sum(list_transform(generate_series(1, len(q.qv)),
+        i -> (q.qv[i] - c.qv[i]) * (q.qv[i] - c.qv[i]))) ASC,
+      c.rnd ASC, c.vec_id ASC) = 1),
+  kwt AS (SELECT cand_id, rnd, count(*) AS w FROM kassign GROUP BY 1, 2)
+  SELECT 'kmp|cw' AS part, c.vec_id AS query_id, c.rnd::BIGINT AS match_id,
+         coalesce(kwt.w, 0)::DOUBLE AS cos, 0 AS rank, '' AS s
+  FROM kcands c LEFT JOIN kwt ON kwt.cand_id = c.vec_id AND kwt.rnd = c.rnd
+) kmp_all
 """
 
 

@@ -292,26 +292,32 @@ def _weighted_kmeans_driver(cand, w, k: int, *, iterations: int = 30) -> list[li
     return [[int(x) for x in row] for row in cent]
 
 
-def _kmeans_parallel_init(
+def _kmeans_parallel_sample(
     base: DataFrame,
     k: int,
     *,
     seed: int,
     oversample: Optional[int],
     rounds: int,
-) -> list[list[int]]:
-    """k-means‖ (Bahmani et al. 2012) over the prepared ``(__id, __q,
-    __sk)`` frame.  O(``rounds``) distributed passes regardless of k:
+):
+    """The distributed phases of k-means‖ over the prepared ``(__id, __q,
+    __sk)`` frame: oversampling rounds + attraction weighting.  Returns
+    ``(meta, w)`` with ``meta = [(id, round, quantized_vec), ...]`` in
+    deterministic order (seed tagged round −1, then each round's
+    selections ordered by id) and ``w`` the int64 attraction weights
+    aligned to ``meta``.
 
     1. seed = smallest-md5-key row;
     2. each round: ψ = Σd²(x, C) (exact integer via decimal(38,0)), then
        select every row whose portable md5 uniform satisfies
        ``u < ℓ·d²/ψ`` — evaluated as the IEEE-double comparison
        ``h·ψ < (ℓ·d²)·16^15`` (correctly-rounded ops: reproducible on any
-       engine/partitioning); fold the new candidates into the carried
-       min-distance with one Arrow pass;
-    3. weight each candidate by its attraction count (one distributed
-       assignment pass) and recluster driver-side to k.
+       engine/partitioning — the ``kmp|cand`` gate part replays it in
+       DuckDB); fold the new candidates into the carried min-distance
+       with one Arrow pass;
+    3. weight each candidate by its attraction count — argmin over the
+       candidate matrix, ties → lowest (round, id) position (one
+       distributed assignment pass; the ``kmp|w`` gate part).
 
     Expected candidate count ≈ 1 + ℓ·rounds (driver-sized)."""
     import numpy as np
@@ -326,9 +332,9 @@ def _kmeans_parallel_init(
     first = base.orderBy("__sk", "__id").limit(1).collect()
     if not first:
         raise ValueError(f"k={k} but corpus has only 0 rows")
-    cands: list[list[int]] = [list(first[0]["__q"])]
+    meta: list[tuple] = [(first[0]["__id"], -1, list(first[0]["__q"]))]
     cur = base.select(
-        "__id", "__q", _sq_dist(F.col("__q"), cands[0]).alias("__d")
+        "__id", "__q", _sq_dist(F.col("__q"), meta[0][2]).alias("__d")
     ).persist()
     prev = None
     try:
@@ -370,7 +376,7 @@ def _kmeans_parallel_init(
             rows = cur.where(sel).select("__id", "__q").orderBy("__id").collect()
             new = [list(x["__q"]) for x in rows]
             if new:
-                cands.extend(new)
+                meta.extend((x["__id"], r, list(x["__q"])) for x in rows)
                 if r < rounds - 1:
                     nxt = _mindist_fold_arrow(cur, new).persist()
                     prev, cur = cur, nxt
@@ -379,12 +385,12 @@ def _kmeans_parallel_init(
             prev.unpersist()
         cur.unpersist()
 
-    cand = np.asarray(cands, dtype=np.int64)
+    cand = np.asarray([m[2] for m in meta], dtype=np.int64)
     bc = base.sparkSession.sparkContext.broadcast(cand)
     cmax = int(np.abs(cand).max()) if cand.size else 0
     dim = cand.shape[1]
     limit = int(math.isqrt((2**63 - 1) // max(dim, 1)))
-    chunk = max(1, (1 << 22) // max(len(cands), 1))
+    chunk = max(1, (1 << 22) // max(len(meta), 1))
 
     def weigh(batches):
         import pandas as pd
@@ -408,10 +414,58 @@ def _kmeans_parallel_init(
         .count()
         .collect()
     )
-    w = np.zeros(len(cands), dtype=np.int64)
+    w = np.zeros(len(meta), dtype=np.int64)
     for row in counts:
         w[row["cand"]] = row["count"]
+    return meta, w
+
+
+def _kmeans_parallel_init(
+    base: DataFrame,
+    k: int,
+    *,
+    seed: int,
+    oversample: Optional[int],
+    rounds: int,
+) -> list[list[int]]:
+    """k-means‖ (Bahmani et al. 2012): distributed sample + weight
+    (:func:`_kmeans_parallel_sample`), then a driver-side weighted Lloyd
+    reclusters the candidates down to k."""
+    import numpy as np
+
+    meta, w = _kmeans_parallel_sample(
+        base, k, seed=seed, oversample=oversample, rounds=rounds
+    )
+    cand = np.asarray([m[2] for m in meta], dtype=np.int64)
     return _weighted_kmeans_driver(cand, w, k)
+
+
+def kmeans_parallel_trace(
+    df: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    oversample: Optional[int] = None,
+    rounds: int = 5,
+) -> list[tuple]:
+    """Audit surface for the k-means‖ distributed phases: returns
+    ``[(id, round, weight), ...]`` in deterministic candidate order (seed
+    row tagged round −1).  Every value is replayable by an independent
+    engine — md5 coins, exact-integer ψ/distances, IEEE-double selection
+    compare, argmin weighting with (round, id) tie order — which is what
+    the ``kmp|*`` gate parts of ``q_ann_multimodal`` check against
+    DuckDB."""
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        quantize_vec(F.col(vec_col)).alias("__q"),
+        sample_key(id_col, seed).alias("__sk"),
+    )
+    meta, w = _kmeans_parallel_sample(
+        base, k, seed=seed, oversample=oversample, rounds=rounds
+    )
+    return [(m[0], m[1], int(w[i])) for i, m in enumerate(meta)]
 
 
 def _stack_q(pdf, dim: int):

@@ -217,6 +217,22 @@ def test_parallel_init_partitioning_invariant(spark):
     assert a == b
 
 
+def test_parallel_trace_partition_invariant_and_conserves_mass(spark):
+    """The kmp|cw gate surface: candidate (id, round, weight) rows must
+    not depend on partitioning, weights sum to the corpus size (every row
+    attracts to exactly one candidate), and the seed rides round -1."""
+    df = _eight_blob_df(spark)
+    n = df.count()
+    a = clustering.kmeans_parallel_trace(df.repartition(7), 2, oversample=4,
+                                         rounds=2)
+    b = clustering.kmeans_parallel_trace(df.coalesce(1), 2, oversample=4,
+                                         rounds=2)
+    assert a == b
+    assert sum(w for _, _, w in a) == n
+    assert [r for _, r, _ in a][0] == -1
+    assert all(r in (-1, 0, 1) for _, r, _ in a)
+
+
 def test_parallel_init_insufficient_candidates(spark):
     df = _three_blob_df(spark)
     with pytest.raises(ValueError, match="candidates"):
