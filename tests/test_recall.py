@@ -42,6 +42,32 @@ def _corpus(spark, n=600):
     return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
 
 
+def test_minhash_banding_recall_tracks_broder_prediction(spark):
+    """Planted text pairs at EXACT Jaccard (shared-prefix construction):
+    the Broder identity P[minhash agree] = J makes 1-(1-J^r)^b an exact
+    prediction, so a measured shortfall would expose bias in the
+    xxhash64 min-wise family, not sampling luck (everything is seeded —
+    the measurement is deterministic)."""
+    from hyperdx_spark.pipeline import dedup
+
+    corpus, planted = bench_dedup_recall.plant_text_pairs(
+        spark, n_base=400, tiers=(0.9,), per_tier=150
+    )
+    pairs = dedup.minhash_lsh_pairs(
+        corpus, num_hashes=32, bands=8, verify_threshold=0.75
+    )
+    tier = planted[0.9]
+    exp = spark.createDataFrame(tier["pairs"], "id_a long, id_b long")
+    found = pairs.join(exp, on=["id_a", "id_b"], how="left_semi").count()
+    dedup.release_cached(pairs)
+    measured = found / len(tier["pairs"])
+    predicted = 1.0 - (1.0 - tier["j"] ** 4) ** 8  # r=4, b=8
+    assert measured >= predicted - 0.05, (
+        f"minhash banding recall {measured:.3f} vs Broder prediction "
+        f"{predicted:.3f} at J={tier['j']} — min-wise family bias?"
+    )
+
+
 def test_banded_recall_meets_documented_floor(spark):
     emb = _corpus(spark)
     aug, planted = bench_dedup_recall.plant_pairs(

@@ -100,6 +100,59 @@ def plant_pairs(spark, emb_df, tiers=TIERS, per_tier=PER_TIER, *, seed=7):
     return aug, planted
 
 
+def plant_text_pairs(
+    spark,
+    *,
+    n_base: int = 2000,
+    tiers=(0.8, 0.9, 0.95),
+    per_tier: int = 300,
+    words_per_doc: int = 102,
+    ngram: int = 3,
+):
+    """Synthesize a corpus with planted near-duplicate TEXT pairs at exact
+    Jaccard over word ``ngram``-shingles.  Every base doc is
+    ``words_per_doc`` globally-unique words (so cross-doc shingle overlap
+    is zero except where planted); a partner keeps the first ``q`` words
+    and replaces the rest with fresh unique words, sharing exactly
+    ``x = q-ngram+1`` of the ``M = words_per_doc-ngram+1`` shingles —
+    J(base, partner) = x / (2M - x) EXACTLY, so the Broder identity
+    P[minhash agree] = J makes the banding recall prediction
+    ``1-(1-J^r)^b`` exact too.  Returns
+    ``(corpus_df, {tier: {"j": actual_jaccard, "pairs": [...]}})``."""
+    M = words_per_doc - (ngram - 1)
+    docs = []
+    did = 0
+    for _ in range(n_base):
+        docs.append(
+            (did, " ".join(f"w{did}x{i}" for i in range(words_per_doc)))
+        )
+        did += 1
+    if per_tier * len(tiers) > n_base:
+        raise ValueError("not enough base docs for the planted tiers")
+    planted = {}
+    idx = 0
+    for t in tiers:
+        x = round(2 * t * M / (1 + t))
+        j_actual = x / (2 * M - x)
+        q = x + (ngram - 1)
+        tier = {"j": round(j_actual, 4), "pairs": []}
+        for _ in range(per_tier):
+            base_id, base_text = docs[idx]
+            idx += 1
+            words = base_text.split()
+            partner = words[:q] + [
+                f"p{did}x{i}" for i in range(words_per_doc - q)
+            ]
+            docs.append((did, " ".join(partner)))
+            tier["pairs"].append((base_id, did))
+            did += 1
+        planted[t] = tier
+    return (
+        spark.createDataFrame(docs, "doc_id long, text string"),
+        planted,
+    )
+
+
 def measure_recall(pairs_df, planted, spark):
     """Fraction of each tier's planted (id_a, id_b) pairs present in the
     operator's output — one semi-join per tier, no pair collect."""
@@ -111,9 +164,47 @@ def measure_recall(pairs_df, planted, spark):
     return out
 
 
+def measure_minhash_recall(spark, *, n_base: int = 2000) -> dict:
+    """MinHash-banding recall at exact planted Jaccards, for the default
+    near-dup geometry (32 hashes × 8 bands, r=4 — recall-heavy) and a
+    precision-heavy dedup geometry (64 × 4, r=16).  Measured-vs-predicted
+    also validates the xxhash64 min-wise family: a biased family would
+    show a systematic shortfall from the Broder prediction."""
+    from hyperdx_spark.pipeline import dedup
+
+    corpus, planted = plant_text_pairs(spark, n_base=n_base)
+    corpus = corpus.persist()
+    corpus.count()
+    out = {}
+    for nh, b in ((32, 8), (64, 4)):
+        r = nh // b
+        t0 = time.monotonic()
+        pairs = dedup.minhash_lsh_pairs(
+            corpus, num_hashes=nh, bands=b, verify_threshold=0.75
+        )
+        tiers = {}
+        for t, tier in planted.items():
+            exp = spark.createDataFrame(tier["pairs"], "id_a long, id_b long")
+            found = pairs.join(
+                exp, on=["id_a", "id_b"], how="left_semi"
+            ).count()
+            tiers[t] = {
+                "j": tier["j"],
+                "measured": round(found / len(tier["pairs"]), 4),
+                "predicted": round(
+                    1.0 - (1.0 - tier["j"] ** r) ** b, 4
+                ),
+            }
+        dedup.release_cached(pairs)
+        out[f"{nh}x{b}"] = {"tiers": tiers,
+                            "wall_s": round(time.monotonic() - t0, 2)}
+    corpus.unpersist()
+    return out
+
+
 def main() -> None:
     spark = get_spark("bench-dedup-recall", cpus=32)
-    res = {}
+    res = {"minhash": measure_minhash_recall(spark)}
     for sf_dir in DIRS:
         tag = sf_dir.rsplit("/", 1)[-1]
         emb = ensure_min_parallelism(load_table(spark, sf_dir, "embeddings"))
