@@ -6106,11 +6106,19 @@ _O_KM_DIST1 = (
 )
 
 # one Lloyd step in SQL: assign under the (c0, c1) pair, then per-(cluster,
-# dim) deterministic integer mean floor(sum/n + 0.5). A cluster that
-# empties keeps its previous centroid (COALESCE to {prev_w} — the Spark
-# kmeans_update convention; without it the scalar subquery would yield
-# NULL and every later distance would go NULL).
+# dim) deterministic integer mean floor(sum/n + 0.5) — computed in EXACT
+# integer arithmetic as floor((2s+n)/(2n)) to match the engine's r15
+# all-integer form (the old sum::DOUBLE/n replay can round across the .5
+# boundary whenever 1/(2n) falls below half an ulp of s/n — a review-found
+# counterexample at s=2^53-1, n=3 — so the double form was never safe at
+# corpus-scale sums). DuckDB's // truncates toward zero, hence the CASE
+# for negative numerators (floor semantics). A cluster that empties keeps
+# its previous centroid (COALESCE to {prev_w} — the Spark kmeans_update
+# convention; without it the scalar subquery would yield NULL and every
+# later distance would go NULL).
 def _o_km_step(prev_w: str, asg: str, cent: str) -> str:
+    num = "2*sum(qv[u.i]) + count(*)"
+    den = "2*count(*)"
     return f"""
   {asg} AS (
     SELECT vec_id, qv, CASE WHEN d1 < d0 THEN 1::BIGINT ELSE 0::BIGINT END AS c
@@ -6119,7 +6127,9 @@ def _o_km_step(prev_w: str, asg: str, cent: str) -> str:
   {cent} AS (
     SELECT c, list(val ORDER BY i) AS cv FROM (
       SELECT c, u.i AS i,
-             CAST(floor(sum(qv[u.i])::DOUBLE / count(*) + 0.5) AS BIGINT) AS val
+             CAST(CASE WHEN {num} >= 0 THEN ({num}) // ({den})
+                  ELSE -((-({num}) + {den} - 1) // ({den}))
+                  END AS BIGINT) AS val
       FROM {asg}, UNNEST(generate_series(1, len(qv))) AS u(i)
       GROUP BY c, u.i) GROUP BY c),
   {cent}w AS (SELECT

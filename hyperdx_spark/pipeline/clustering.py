@@ -203,10 +203,7 @@ def _mindist_fold_arrow(df: DataFrame, new_cents: Sequence[Sequence[int]]) -> Da
 
     cent = np.asarray([list(c) for c in new_cents], dtype=np.int64)
     bc = df.sparkSession.sparkContext.broadcast(cent)
-    cmax = int(np.abs(cent).max()) if cent.size else 0
-    dim = cent.shape[1]
-    limit = int(math.isqrt((2**63 - 1) // max(dim, 1)))
-    chunk = max(1, (1 << 22) // max(len(new_cents), 1))
+    cmax, dim, limit, chunk = _dist_params(cent)
     schema = df.schema
 
     def run(batches):
@@ -215,12 +212,11 @@ def _mindist_fold_arrow(df: DataFrame, new_cents: Sequence[Sequence[int]]) -> Da
             if len(pdf) == 0:
                 continue
             q = _stack_q(pdf, dim)
-            d = pdf["__d"].to_numpy(dtype=np.int64).copy()
-            for s in range(0, len(pdf), chunk):
-                m = _sqdist_matrix(q[s:s + chunk], c, cmax, limit).min(axis=1)
-                d[s:s + chunk] = np.minimum(d[s:s + chunk], m)
+            m = _chunked_sqdist_reduce(q, c, cmax, limit, chunk, "min")
             out = pdf.copy()
-            out["__d"] = d
+            out["__d"] = np.minimum(
+                pdf["__d"].to_numpy(dtype=np.int64), m
+            )
             yield out
 
     return df.mapInPandas(run, schema)
@@ -266,13 +262,10 @@ def _weighted_kmeans_driver(cand, w, k: int, *, iterations: int = 30) -> list[li
             d, _sqdist_matrix(cand, cand[[nxt]], cmax, limit)[:, 0]
         )
     cent = cand[centers].copy()
-    chunk = max(1, (1 << 22) // max(k, 1))
+    chunk = _dist_params(cent)[3]
     for _ in range(iterations):
-        assign = np.empty(m, dtype=np.int64)
-        for s in range(0, m, chunk):
-            assign[s:s + chunk] = _sqdist_matrix(
-                cand[s:s + chunk], cent, cmax, limit
-            ).argmin(axis=1)
+        assign = _chunked_sqdist_reduce(cand, cent, cmax, limit, chunk,
+                                        "argmin")
         nxt_cent = cent.copy()
         for ci in range(k):
             idx = np.nonzero(assign == ci)[0]
@@ -387,10 +380,7 @@ def _kmeans_parallel_sample(
 
     cand = np.asarray([m[2] for m in meta], dtype=np.int64)
     bc = base.sparkSession.sparkContext.broadcast(cand)
-    cmax = int(np.abs(cand).max()) if cand.size else 0
-    dim = cand.shape[1]
-    limit = int(math.isqrt((2**63 - 1) // max(dim, 1)))
-    chunk = max(1, (1 << 22) // max(len(meta), 1))
+    cmax, dim, limit, chunk = _dist_params(cand)
 
     def weigh(batches):
         import pandas as pd
@@ -400,12 +390,11 @@ def _kmeans_parallel_sample(
             if len(pdf) == 0:
                 continue
             q = _stack_q(pdf, dim)
-            idx = np.empty(len(pdf), dtype=np.int32)
-            for s in range(0, len(pdf), chunk):
-                idx[s:s + chunk] = _sqdist_matrix(
-                    q[s:s + chunk], c, cmax, limit
-                ).argmin(axis=1)
-            yield pd.DataFrame({"cand": idx})
+            yield pd.DataFrame({
+                "cand": _chunked_sqdist_reduce(
+                    q, c, cmax, limit, chunk, "argmin"
+                )
+            })
 
     counts = (
         base.select("__q")
@@ -515,6 +504,38 @@ def _sqdist_matrix(q, cent, cmax: int, limit: int):
     return qq[:, None] - 2 * (q @ cent.T) + cc[None, :]
 
 
+def _dist_params(cent) -> tuple[int, int, int, int]:
+    """(cmax, dim, limit, chunk) for a centroid/candidate matrix: the
+    overflow-guard inputs plus a row-chunk size bounding the (rows, k)
+    distance block at ~32 MB of int64 cells."""
+    import numpy as np
+
+    cmax = int(np.abs(cent).max()) if cent.size else 0
+    dim = cent.shape[1] if cent.size else 1
+    limit = int(math.isqrt((2**63 - 1) // max(dim, 1)))
+    chunk = max(1, (1 << 22) // max(cent.shape[0], 1))
+    return cmax, dim, limit, chunk
+
+
+def _chunked_sqdist_reduce(q, cent, cmax: int, limit: int, chunk: int,
+                           reduce: str):
+    """Row-chunked pairwise distances reduced per row — the ONE loop every
+    Arrow/driver distance consumer shares (argmin assignment, min-distance
+    fold): ``"argmin"`` → int32 nearest indices (ties → lowest index),
+    ``"min"`` → int64 minima."""
+    import numpy as np
+
+    n = q.shape[0]
+    out = np.empty(n, dtype=np.int32 if reduce == "argmin" else np.int64)
+    for s in range(0, n, chunk):
+        d = _sqdist_matrix(q[s:s + chunk], cent, cmax, limit)
+        out[s:s + chunk] = (
+            d.argmin(axis=1).astype(np.int32) if reduce == "argmin"
+            else d.min(axis=1)
+        )
+    return out
+
+
 def _assign_arrow(
     df: DataFrame,
     centroids: Sequence[Sequence[int]],
@@ -542,16 +563,11 @@ def _assign_arrow(
     out_schema = ", ".join(fields)
     src = df.select(*cols, quantize_vec(F.col(vec_col)).alias("__q"))
 
-    cmax = int(np.abs(cent).max()) if cent.size else 0
-    dim = cent.shape[1] if cent.size else 1
     # per-batch overflow guard: dim * (qmax + cmax)^2 must fit int64 —
     # wrapping would silently produce garbage assignments (the DuckDB
     # replay would error instead, so engine and oracle would even
     # disagree in failure mode)
-    limit = int(math.isqrt((2**63 - 1) // max(dim, 1)))
-    # bound the (rows, k) distance block per chunk so large candidate
-    # matrices don't blow batch memory (2^22 int64 cells ~= 32 MB)
-    chunk = max(1, (1 << 22) // max(len(centroids), 1))
+    cmax, dim, limit, chunk = _dist_params(cent)
 
     def run(batches):
         c = bc.value
@@ -559,12 +575,10 @@ def _assign_arrow(
             if len(pdf) == 0:
                 continue
             q = _stack_q(pdf, dim)
-            out = np.empty(len(pdf), dtype=np.int32)
-            for s in range(0, len(pdf), chunk):
-                d = _sqdist_matrix(q[s:s + chunk], c, cmax, limit)
-                out[s:s + chunk] = d.argmin(axis=1).astype(np.int32)
             res = pdf[cols + ["__q"]].copy()
-            res[cluster_col] = out
+            res[cluster_col] = _chunked_sqdist_reduce(
+                q, c, cmax, limit, chunk, "argmin"
+            )
             yield res
 
     return src.mapInPandas(run, out_schema)
@@ -611,10 +625,13 @@ def kmeans_update(
         out[ci] = [
             # exact integer mean: floor(s/n + 1/2) == (2s + n) // (2n) for
             # any integer s and n > 0 (Python // is floor division, so
-            # negatives round correctly) — exact at ANY magnitude.  An
-            # engine replaying this as floor(sum::DOUBLE / n + 0.5) matches
-            # while |sum| <= 2^53 (the double rounds the sum first); beyond
-            # that only the all-integer form is authoritative (r14 advice).
+            # negatives round correctly) — exact at ANY magnitude.  A
+            # double-division replay (floor(sum::DOUBLE/n + 0.5)) is NOT
+            # equivalent: the division's rounding can cross the .5 boundary
+            # whenever 1/(2n) falls below half an ulp of s/n (e.g.
+            # s=2^53-1, n=3 — review-found counterexample), so the gate
+            # oracle replays this SAME integer form (r14 advice + r15
+            # review fix).
             (2 * dims[i][0] + dims[i][1]) // (2 * dims[i][1])
             for i in range(dim)
         ]

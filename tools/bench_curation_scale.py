@@ -61,17 +61,35 @@ def get_ui_spark(cpus: int = 32) -> SparkSession:
     return tune_session(spark)
 
 
-def peak_stage_shuffle_mb(spark) -> float:
-    """Max shuffle write bytes of any completed stage so far (REST API)."""
+def _stages(spark) -> list:
     app_id = spark.sparkContext.applicationId
+    with urllib.request.urlopen(
+        f"http://localhost:{UI_PORT}/api/v1/applications/{app_id}/stages",
+        timeout=10,
+    ) as resp:
+        return json.loads(resp.read())
+
+
+def max_stage_id(spark) -> int:
+    """High-water stage id — snapshot BEFORE a chain so its shuffle peak
+    covers only its own stages (the session is shared across sf dirs; an
+    unscoped max would report the biggest EARLIER dir's peak)."""
     try:
-        with urllib.request.urlopen(
-            f"http://localhost:{UI_PORT}/api/v1/applications/{app_id}/stages",
-            timeout=10,
-        ) as resp:
-            stages = json.loads(resp.read())
+        return max((s.get("stageId", -1) for s in _stages(spark)), default=-1)
+    except Exception:
+        return -1
+
+
+def peak_stage_shuffle_mb(spark, since_stage: int) -> float:
+    """Max shuffle write bytes over stages NEWER than ``since_stage``."""
+    try:
+        stages = _stages(spark)
         return round(
-            max((s.get("shuffleWriteBytes", 0) for s in stages), default=0)
+            max(
+                (s.get("shuffleWriteBytes", 0) for s in stages
+                 if s.get("stageId", -1) > since_stage),
+                default=0,
+            )
             / 1e6,
             1,
         )
@@ -80,6 +98,7 @@ def peak_stage_shuffle_mb(spark) -> float:
 
 
 def run_chain(spark, sf_dir: str) -> dict:
+    stage_mark = max_stage_id(spark)
     docs = ensure_min_parallelism(
         load_table(spark, sf_dir, "documents").select("doc_id", "text")
     )
@@ -159,7 +178,7 @@ def run_chain(spark, sf_dir: str) -> dict:
     out["chain_s"] = round(
         sum(v for s, v in out.items() if s.endswith("_s")), 2
     )
-    out["peak_stage_shuffle_mb"] = peak_stage_shuffle_mb(spark)
+    out["peak_stage_shuffle_mb"] = peak_stage_shuffle_mb(spark, stage_mark)
     return out
 
 
