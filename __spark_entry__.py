@@ -4242,7 +4242,23 @@ def q_ann_indexed(spark, sf_dir):
         [("kmp|cw", int(i), int(r), float(wt), 0) for (i, r, wt) in kmp_rows],
         "part string, query_id long, match_id long, cos double, rank int",
     )
-    return out.unionByName(km_asg).unionByName(km_cent).unionByName(km_par)
+    # r15: D4 diversification (Tirumala'23; clustering.drop_prototypical)
+    # — drop the 25% of each cluster nearest its centroid. Exact integer
+    # distances + (distance, id) rank + floor(0.25*n) in IEEE doubles:
+    # the DuckDB oracle replays the keep set bit-for-bit from the same
+    # two-Lloyd-step centroids.
+    d4 = _clu.drop_prototypical(emb, km_c, 0.25, dist_col="__dd")
+    km_d4 = d4.select(
+        F.lit("d4|keep").alias("part"),
+        F.col("vec_id").cast("long").alias("query_id"),
+        F.col("cluster").cast("long").alias("match_id"),
+        F.col("__dd").cast("double").alias("cos"),
+        F.lit(0).cast("int").alias("rank"),
+    )
+    return (
+        out.unionByName(km_asg).unionByName(km_cent)
+        .unionByName(km_par).unionByName(km_d4)
+    )
 
 
 O_ANN_INDEXED = f"""
@@ -6178,6 +6194,17 @@ SELECT part, query_id, match_id, cos, rank, s FROM (
   UNION ALL
   SELECT 'km|cent', 1, u.i - 1, c1[u.i]::DOUBLE, 0, ''
   FROM kc2w, UNNEST(generate_series(1, len(c1))) AS u(i)
+  UNION ALL
+  -- r15 D4 replay (Tirumala'23): from the same final assignment ka3,
+  -- drop the floor(0.25*n) rows of each cluster nearest its centroid
+  -- (rank order: distance ASC, id ASC)
+  SELECT 'd4|keep', vec_id, c, d::DOUBLE, 0, ''
+  FROM (SELECT vec_id, c, d,
+               row_number() OVER (PARTITION BY c
+                                  ORDER BY d ASC, vec_id ASC) AS rn,
+               count(*) OVER (PARTITION BY c) AS n
+        FROM ka3) d4t
+  WHERE rn > floor(0.25 * n::DOUBLE)
 ) km_all
 UNION ALL
 -- r15 k-means|| replay (Bahmani'12; clustering._kmeans_parallel_sample):

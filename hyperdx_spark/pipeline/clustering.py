@@ -38,7 +38,7 @@ from __future__ import annotations
 import math
 from typing import Optional, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .sampling import sample_key
@@ -543,6 +543,7 @@ def _assign_arrow(
     vec_col: str,
     keep_cols: Sequence[str],
     cluster_col: str = "cluster",
+    dist_col: Optional[str] = None,
 ) -> DataFrame:
     """Arrow-batched assignment: numpy argmin over the k x dim int64
     centroid matrix per batch — the SAME exact-integer decision as the
@@ -550,7 +551,9 @@ def _assign_arrow(
     vectorized speed.  Row-local (mapInPandas), no shuffle; the centroid
     matrix ships once per executor as a Spark broadcast (k x dim longs —
     at k-means‖-candidate scale that is tens of MB, which must not ride
-    every task closure)."""
+    every task closure).  ``dist_col`` additionally emits the exact
+    integer squared distance to the assigned centroid (the D4
+    prototypicality signal)."""
     import numpy as np
 
     cent = np.asarray([list(c) for c in centroids], dtype=np.int64)
@@ -560,6 +563,8 @@ def _assign_arrow(
         f"`{c}` {df.schema[c].dataType.simpleString()}" for c in cols
     ]
     fields += ["__q array<bigint>", f"{cluster_col} int"]
+    if dist_col is not None:
+        fields.append(f"{dist_col} bigint")
     out_schema = ", ".join(fields)
     src = df.select(*cols, quantize_vec(F.col(vec_col)).alias("__q"))
 
@@ -579,6 +584,10 @@ def _assign_arrow(
             res[cluster_col] = _chunked_sqdist_reduce(
                 q, c, cmax, limit, chunk, "argmin"
             )
+            if dist_col is not None:
+                res[dist_col] = _chunked_sqdist_reduce(
+                    q, c, cmax, limit, chunk, "min"
+                )
             yield res
 
     return src.mapInPandas(run, out_schema)
@@ -679,20 +688,85 @@ def kmeans_assign(
     vec_col: str = "embedding",
     cluster_col: str = "cluster",
     method: str = "column",
+    dist_col: Optional[str] = None,
 ) -> DataFrame:
     """Attach the nearest-centroid index as ``cluster_col`` (row-local —
     no shuffle; safe to chain into a within-cluster pair join).
     ``method="arrow"`` routes through the vectorized numpy batch (same
-    exact-integer decisions) — use it for large k x N."""
+    exact-integer decisions) — use it for large k x N.  ``dist_col``
+    additionally attaches the exact integer squared distance to the
+    assigned centroid."""
     if method == "arrow":
         return _assign_arrow(
             df, centroids, vec_col=vec_col,
             keep_cols=list(df.columns), cluster_col=cluster_col,
+            dist_col=dist_col,
         ).drop("__q")
-    return df.withColumn(
+    out = df.withColumn(
         cluster_col,
         _assign_expr(quantize_vec(F.col(vec_col)), centroids),
     )
+    if dist_col is not None:
+        out = out.withColumn(
+            dist_col,
+            _min_dist(quantize_vec(F.col(vec_col)), centroids),
+        )
+    return out
+
+
+def drop_prototypical(
+    df: DataFrame,
+    centroids: Sequence[Sequence[int]],
+    drop_frac: float,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+    method: str = "arrow",
+    dist_col: Optional[str] = None,
+) -> DataFrame:
+    """D4 diversification (Tirumala et al. 2023, "D4: Improving LLM
+    Pretraining via Document De-Duplication and Diversification"): after
+    SemDeDup, drop the ``drop_frac`` fraction of each k-means cluster
+    NEAREST its centroid — the most prototypical points sit in over-dense
+    regions of embedding space, and removing them upweights the diverse
+    tail (the paper's SSL-prototypes stage).
+
+    Deterministic + engine-replayable: exact integer squared distances,
+    within-cluster rank ordered (distance ASC, id ASC), and
+    ``n_drop = floor(drop_frac * cluster_size)`` in IEEE doubles (one
+    multiply + floor — identical in any engine); the ``d4|keep`` gate
+    part of ``q_ann_multimodal`` replays the whole rule in DuckDB.
+    ``dist_col`` keeps the prototypicality distance on the output.
+
+    Plan shape: row-local assignment (centroids broadcast), then ONE
+    window shuffle partitioned by cluster — the heaviest partition is the
+    largest cluster, the same bound as the SemDeDup within-cluster pair
+    stage."""
+    if not (0.0 <= drop_frac < 1.0):
+        raise ValueError(f"drop_frac must be in [0, 1), got {drop_frac}")
+    assigned = kmeans_assign(
+        df, centroids, vec_col=vec_col, cluster_col=cluster_col,
+        method=method, dist_col="__d4d",
+    )
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.asc("__d4d"), F.asc(id_col)
+    )
+    wn = Window.partitionBy(cluster_col)
+    out = (
+        assigned.withColumn("__d4r", F.row_number().over(w))
+        .withColumn("__d4n", F.count("*").over(wn))
+        .where(
+            F.col("__d4r")
+            > F.floor(
+                F.lit(float(drop_frac)) * F.col("__d4n").cast("double")
+            )
+        )
+        .drop("__d4r", "__d4n")
+    )
+    if dist_col is None:
+        return out.drop("__d4d")
+    return out.withColumnRenamed("__d4d", dist_col)
 
 
 def kmeans_sse(

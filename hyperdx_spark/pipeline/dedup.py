@@ -1093,6 +1093,10 @@ def semantic_dedup(
     max_bucket_size: Optional[int] = 10_000,
     min_expected_recall: Optional[float] = 0.5,
     exhaustive: bool = False,
+    block_col: Optional[str] = None,
+    block_k: Optional[int] = None,
+    block_iterations: int = 3,
+    block_init: str = "parallel",
 ) -> DataFrame:
     """SemDeDup (Abbas'23): drop documents whose *embeddings* are
     near-duplicates (cosine ≥ *threshold*), keeping one representative per
@@ -1106,6 +1110,17 @@ def semantic_dedup(
     corpus rows by id (``emb_id_col`` ↔ ``id_col``); corpus docs without
     an embedding are kept untouched.
 
+    **The paper's own shape, first-class (r15):** ``block_k=K`` runs
+    deterministic k-means (``clustering.kmeans_fit`` with the k-means‖
+    init — K can be SemDeDup-realistic, Abbas'23 uses ~11k clusters) and
+    dedups EXHAUSTIVELY within each cluster — O(Σ cluster²) candidate
+    pairs, never N², with within-cluster recall exactly 1.  Alternatively
+    pass ``block_col`` when *embeddings* already carries a cluster
+    column.  Recall across cluster boundaries is a function of K vs the
+    corpus's natural granularity (measured: SCALE.md "banded/blocked
+    recall", r15) — use the banded path (the default) when a recall floor
+    at a specific cosine must hold regardless of cluster geometry.
+
     ``max_bucket_size`` defaults to ``cosine_pairs``'s 10k cap (sf10-proven
     mandatory at scale; ``None`` opts out). Blocks persisted by the inner
     operators are registered on the result — one
@@ -1113,6 +1128,26 @@ def semantic_dedup(
     signature frame, edge list and checkpoint blocks (ADVICE r5).
     """
     from hyperdx_spark.pipeline.similarity import cosine_pairs
+
+    if block_k is not None:
+        if block_col is not None:
+            raise ValueError(
+                "block_k and block_col are mutually exclusive — block_k "
+                "clusters internally, block_col uses a precomputed column"
+            )
+        from hyperdx_spark.pipeline.clustering import kmeans_assign, kmeans_fit
+
+        cents = kmeans_fit(
+            embeddings, block_k, id_col=emb_id_col, vec_col=vec_col,
+            seed=seed, iterations=block_iterations, init=block_init,
+        )
+        embeddings = kmeans_assign(
+            embeddings, cents, vec_col=vec_col,
+            cluster_col="__sem_blk", method="arrow",
+        )
+        block_col = "__sem_blk"
+    if block_col is not None:
+        exhaustive = True  # within-block pairing is exhaustive by contract
 
     pairs = cosine_pairs(
         embeddings,
@@ -1126,6 +1161,7 @@ def semantic_dedup(
         max_bucket_size=max_bucket_size,
         min_expected_recall=min_expected_recall,
         exhaustive=exhaustive,
+        block_col=block_col,
     )
     return drop_near_duplicates(
         corpus,

@@ -239,6 +239,66 @@ def test_parallel_init_insufficient_candidates(spark):
         clustering.kmeans_init(df, 999, method="parallel")
 
 
+def test_drop_prototypical_matches_python_replay(spark):
+    """D4 diversification (Tirumala'23): drop floor(0.25*n) rows of each
+    cluster nearest its centroid, rank ties -> lowest id — replayed in
+    pure Python over the same quantized integers."""
+    df = _three_blob_df(spark)
+    cents = clustering.kmeans_fit(df, 3, iterations=3)
+    kept = clustering.drop_prototypical(df, cents, 0.25, dist_col="d")
+    got = sorted((r["vec_id"], r["cluster"], r["d"]) for r in kept.collect())
+
+    rows = [
+        (r["vec_id"], [math.floor(float(x) * 1e6 + 0.5) for x in r["embedding"]])
+        for r in df.collect()
+    ]
+    per: dict[int, list] = {}
+    for vid, q in rows:
+        ds = [sum((x - y) ** 2 for x, y in zip(q, c)) for c in cents]
+        ci = min(range(len(cents)), key=lambda i: (ds[i], i))
+        per.setdefault(ci, []).append((ds[ci], vid))
+    want = []
+    for ci, members in per.items():
+        members.sort()
+        n_drop = math.floor(0.25 * len(members))
+        want += [(vid, ci, d) for d, vid in members[n_drop:]]
+    assert got == sorted(want)
+    # each 8-row blob loses exactly floor(0.25*8)=2 prototypical rows
+    assert len(got) == 18
+
+
+def test_drop_prototypical_partition_invariant(spark):
+    df = _three_blob_df(spark)
+    cents = clustering.kmeans_fit(df, 3, iterations=2)
+    a = clustering.drop_prototypical(df.repartition(7), cents, 0.5)
+    b = clustering.drop_prototypical(df.coalesce(1), cents, 0.5)
+    assert sorted(r["vec_id"] for r in a.collect()) == sorted(
+        r["vec_id"] for r in b.collect()
+    )
+    with pytest.raises(ValueError, match="drop_frac"):
+        clustering.drop_prototypical(df, cents, 1.0)
+
+
+def test_semantic_dedup_block_k_composition(spark):
+    """The paper's cluster-then-dedup shape as one call: block_k clusters
+    internally (k-means‖ init) and dedups exhaustively within clusters —
+    on tight separable blobs the result equals global exhaustive SemDeDup."""
+    from hyperdx_spark.pipeline import dedup
+
+    emb = _three_blob_df(spark)
+    corpus = emb.select(F.col("vec_id").alias("doc_id"),
+                        F.concat(F.lit("doc"), "vec_id").alias("text"))
+    blocked = dedup.semantic_dedup(
+        corpus, emb, threshold=0.9, block_k=3, block_iterations=3,
+    )
+    globl = dedup.semantic_dedup(corpus, emb, threshold=0.9, exhaustive=True)
+    kept_b = sorted(r["doc_id"] for r in blocked.collect())
+    kept_g = sorted(r["doc_id"] for r in globl.collect())
+    assert kept_b == kept_g == [0, 8, 16]  # one keeper per blob
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        dedup.semantic_dedup(corpus, emb, block_k=3, block_col="x")
+
+
 def test_null_block_value_raises(spark):
     """exhaustive+block_col promises recall 1 within the corpus, but NULL
     never equi-joins — a NULL-blocked row would silently vanish from every
