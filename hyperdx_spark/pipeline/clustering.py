@@ -481,15 +481,28 @@ def _stack_q(pdf, dim: int):
 
 
 def _sqdist_matrix(q, cent, cmax: int, limit: int):
-    """Exact int64 pairwise squared distances, (n, m) for (n, dim) x
-    (m, dim), via the decomposed form ||q||² - 2 q·Cᵀ + ||C||².
+    """Exact pairwise squared distances, (n, m) for (n, dim) x (m, dim),
+    via the decomposed form ||q||² - 2 q·Cᵀ + ||C||².
 
     Identical integers to the naive (q-c)² broadcast (every term and every
     partial sum is bounded by dim·(qmax+cmax)² < 2^63 under the guard —
     2ab ≤ (a+b)² and a²+b² ≤ (a+b)²), but it materializes only the (n, m)
     result instead of the naive form's (n, m, dim) intermediate — the
     difference between "works at k=3" and "works with 10⁵ k-means‖
-    candidates" (the naive 3-D array at n=10⁴, m=10⁵, dim=64 is 500 GB)."""
+    candidates" (the naive 3-D array at n=10⁴, m=10⁵, dim=64 is 500 GB).
+
+    Fast path (r15): when ``dim·(qmax+cmax)² < 2^53`` — true for
+    normalized embedding spaces, where micro-unit components are ≤ ~2e6 —
+    every product, every partial sum, and the result are integers exactly
+    representable in float64, so float64 arithmetic is EXACT regardless
+    of summation order (each op's true result is an integer < 2^53 →
+    representable → correctly rounded = itself).  That makes a BLAS
+    float64 matmul bit-identical to the int64 loop while being 10-100×
+    faster — the lever that keeps the k-means‖ driver recluster at
+    SemDeDup-realistic k≈10⁴ (m·k·dim ≈ 6e13 ops) in BLAS minutes instead
+    of integer-loop hours.  Outside the bound the int64 path (exact to
+    2^63) runs instead; both are pytest-pinned equal on straddling
+    fixtures."""
     import numpy as np
 
     qmax = int(np.abs(q).max()) if q.size else 0
@@ -499,6 +512,16 @@ def _sqdist_matrix(q, cent, cmax: int, limit: int):
             f"distance bound {limit} for dim {cent.shape[1]} — see "
             "quantize_vec's contract"
         )
+    dim = cent.shape[1] if cent.size else 1
+    if dim * (qmax + cmax) ** 2 < 2**53:
+        qf = q.astype(np.float64)
+        cf = cent.astype(np.float64)
+        d = (
+            (qf * qf).sum(axis=1)[:, None]
+            - 2.0 * (qf @ cf.T)
+            + (cf * cf).sum(axis=1)[None, :]
+        )
+        return d.astype(np.int64)
     qq = (q * q).sum(axis=1)
     cc = (cent * cent).sum(axis=1)
     return qq[:, None] - 2 * (q @ cent.T) + cc[None, :]

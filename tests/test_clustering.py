@@ -239,6 +239,40 @@ def test_parallel_init_insufficient_candidates(spark):
         clustering.kmeans_init(df, 999, method="parallel")
 
 
+def test_sqdist_float_and_int_paths_agree_exactly():
+    """The BLAS float64 fast path is EXACT under dim*(qmax+cmax)^2 < 2^53
+    (every intermediate is an integer representable in float64): both
+    paths must return identical integers, pinned against pure-Python ints
+    on fixtures straddling the switch bound."""
+    import numpy as np
+
+    from hyperdx_spark.pipeline.clustering import _sqdist_matrix
+
+    rng = np.random.default_rng(7)
+
+    def python_ints(q, c):
+        return [
+            [sum((int(a) - int(b)) ** 2 for a, b in zip(row, cen))
+             for cen in c]
+            for row in q
+        ]
+
+    # under the float bound (normalized-embedding magnitudes, ~1e6)
+    q = rng.integers(-2_000_000, 2_000_000, size=(17, 8), dtype=np.int64)
+    c = rng.integers(-2_000_000, 2_000_000, size=(5, 8), dtype=np.int64)
+    limit = int((2**63 - 1) ** 0.5 // 8)
+    assert 8 * (4_000_000) ** 2 < 2**53  # float path active
+    assert _sqdist_matrix(q, c, int(np.abs(c).max()), limit).tolist() == \
+        python_ints(q, c)
+    # over the float bound (blob-fixture magnitudes) -> int64 path
+    q2 = rng.integers(-80_000_000, 80_000_000, size=(9, 8), dtype=np.int64)
+    c2 = rng.integers(-80_000_000, 80_000_000, size=(4, 8), dtype=np.int64)
+    assert 8 * (160_000_000) ** 2 >= 2**53  # int64 path active
+    lim2 = int(math.isqrt((2**63 - 1) // 8))
+    assert _sqdist_matrix(q2, c2, int(np.abs(c2).max()), lim2).tolist() == \
+        python_ints(q2, c2)
+
+
 def test_drop_prototypical_matches_python_replay(spark):
     """D4 diversification (Tirumala'23): drop floor(0.25*n) rows of each
     cluster nearest its centroid, rank ties -> lowest id — replayed in

@@ -140,6 +140,24 @@ def run_chain(spark, sf_dir: str) -> dict:
     out["sem_rows"] = sem.count()
     out["sem_s"] = round(time.monotonic() - t0, 2)
 
+    # D4 diversification (Tirumala'23): drop the 25% of each cluster
+    # nearest its centroid, over the SemDeDup survivors that carry an
+    # embedding (docs without one pass through, like semantic_dedup)
+    t0 = time.monotonic()
+    semi2 = emb.join(
+        sem.select(F.col("doc_id").alias("vec_id")), on="vec_id",
+        how="left_semi",
+    )
+    kept_vec = clustering.drop_prototypical(semi2, cents, 0.25).select(
+        F.col("vec_id").alias("doc_id")
+    )
+    dropped = semi2.select(F.col("vec_id").alias("doc_id")).join(
+        kept_vec, on="doc_id", how="left_anti"
+    )
+    sem = sem.join(dropped, on="doc_id", how="left_anti").localCheckpoint()
+    out["d4_rows"] = sem.count()
+    out["d4_s"] = round(time.monotonic() - t0, 2)
+
     # Gopher gate with corpus-calibrated thresholds: the paper defaults
     # target web text (>=2 stopword hits from a fixed English list); the
     # synthetic corpus has ~0 hits of those words, so the uncalibrated

@@ -68,6 +68,12 @@ def main() -> None:
         assign_s = round(time.monotonic() - t0, 2)
         sse = clustering.kmeans_sse(emb, cents)
 
+        # r15: D4 diversification over the fitted clusters — one window
+        # shuffle partitioned by cluster
+        t0 = time.monotonic()
+        d4_kept = clustering.drop_prototypical(emb, cents, 0.25).count()
+        d4_s = round(time.monotonic() - t0, 2)
+
         # r15: k-means|| at large k — O(rounds) passes, not O(k) jobs
         t0 = time.monotonic()
         par = clustering.kmeans_init(emb, K_PAR, method="parallel")
@@ -88,6 +94,8 @@ def main() -> None:
             "clusters_nonempty": len(sizes),
             "max_cluster": max(sizes.values()),
             "sse": sse,
+            "d4_s": d4_s,
+            "d4_kept": d4_kept,
             "par_init_s_k256": par_init_s,
             "par_iter_s_k256": par_iter_s,
             "sse_par_k256": sse_par,
