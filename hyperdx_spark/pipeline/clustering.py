@@ -545,10 +545,21 @@ def _chunked_sqdist_reduce(q, cent, cmax: int, limit: int, chunk: int,
     """Row-chunked pairwise distances reduced per row — the ONE loop every
     Arrow/driver distance consumer shares (argmin assignment, min-distance
     fold): ``"argmin"`` → int32 nearest indices (ties → lowest index),
-    ``"min"`` → int64 minima."""
+    ``"min"`` → int64 minima, ``"argmin_min"`` → (indices, minima) from a
+    SINGLE distance pass (the D4 shape — computing them separately would
+    double the dominant k×N·dim cost)."""
     import numpy as np
 
     n = q.shape[0]
+    if reduce == "argmin_min":
+        idx = np.empty(n, dtype=np.int32)
+        mn = np.empty(n, dtype=np.int64)
+        for s in range(0, n, chunk):
+            d = _sqdist_matrix(q[s:s + chunk], cent, cmax, limit)
+            i = d.argmin(axis=1)
+            idx[s:s + chunk] = i.astype(np.int32)
+            mn[s:s + chunk] = d[np.arange(d.shape[0]), i]
+        return idx, mn
     out = np.empty(n, dtype=np.int32 if reduce == "argmin" else np.int64)
     for s in range(0, n, chunk):
         d = _sqdist_matrix(q[s:s + chunk], cent, cmax, limit)
@@ -604,12 +615,15 @@ def _assign_arrow(
                 continue
             q = _stack_q(pdf, dim)
             res = pdf[cols + ["__q"]].copy()
-            res[cluster_col] = _chunked_sqdist_reduce(
-                q, c, cmax, limit, chunk, "argmin"
-            )
             if dist_col is not None:
-                res[dist_col] = _chunked_sqdist_reduce(
-                    q, c, cmax, limit, chunk, "min"
+                idx, mn = _chunked_sqdist_reduce(
+                    q, c, cmax, limit, chunk, "argmin_min"
+                )
+                res[cluster_col] = idx
+                res[dist_col] = mn
+            else:
+                res[cluster_col] = _chunked_sqdist_reduce(
+                    q, c, cmax, limit, chunk, "argmin"
                 )
             yield res
 
@@ -718,23 +732,29 @@ def kmeans_assign(
     ``method="arrow"`` routes through the vectorized numpy batch (same
     exact-integer decisions) — use it for large k x N.  ``dist_col``
     additionally attaches the exact integer squared distance to the
-    assigned centroid."""
+    assigned centroid; the Arrow path computes cluster+distance from ONE
+    distance pass, while the Column path re-evaluates the k interpreted
+    distance folds for each expression (HOFs do no CSE — prefer Arrow
+    whenever the distance is needed)."""
     if method == "arrow":
         return _assign_arrow(
             df, centroids, vec_col=vec_col,
             keep_cols=list(df.columns), cluster_col=cluster_col,
             dist_col=dist_col,
         ).drop("__q")
-    out = df.withColumn(
+    if dist_col is not None:
+        # bind the quantized array once so at least the quantize pass is
+        # shared between the CASE chain and the least() fold
+        return (
+            df.withColumn("__qa", quantize_vec(F.col(vec_col)))
+            .withColumn(cluster_col, _assign_expr(F.col("__qa"), centroids))
+            .withColumn(dist_col, _min_dist(F.col("__qa"), centroids))
+            .drop("__qa")
+        )
+    return df.withColumn(
         cluster_col,
         _assign_expr(quantize_vec(F.col(vec_col)), centroids),
     )
-    if dist_col is not None:
-        out = out.withColumn(
-            dist_col,
-            _min_dist(quantize_vec(F.col(vec_col)), centroids),
-        )
-    return out
 
 
 def drop_prototypical(

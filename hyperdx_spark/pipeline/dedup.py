@@ -1114,9 +1114,11 @@ def semantic_dedup(
     deterministic k-means (``clustering.kmeans_fit`` with the k-means‖
     init — K can be SemDeDup-realistic, Abbas'23 uses ~11k clusters) and
     dedups EXHAUSTIVELY within each cluster — O(Σ cluster²) candidate
-    pairs, never N², with within-cluster recall exactly 1.  Alternatively
-    pass ``block_col`` when *embeddings* already carries a cluster
-    column.  Recall across cluster boundaries is a function of K vs the
+    pairs, never N², with within-cluster recall exactly 1 (and the
+    ``max_bucket_size`` cap applying to degenerate mega-clusters).
+    Alternatively pass ``block_col`` (together with ``exhaustive=True``
+    — the ``cosine_pairs`` contract, enforced there) when *embeddings*
+    already carries a cluster column.  Recall across cluster boundaries is a function of K vs the
     corpus's natural granularity (measured: SCALE.md "banded/blocked
     recall", r15) — use the banded path (the default) when a recall floor
     at a specific cosine must hold regardless of cluster geometry.
@@ -1129,6 +1131,7 @@ def semantic_dedup(
     """
     from hyperdx_spark.pipeline.similarity import cosine_pairs
 
+    cached: list = []
     if block_k is not None:
         if block_col is not None:
             raise ValueError(
@@ -1141,13 +1144,23 @@ def semantic_dedup(
             embeddings, block_k, id_col=emb_id_col, vec_col=vec_col,
             seed=seed, iterations=block_iterations, init=block_init,
         )
+        # persist: cosine_pairs reads the assignment frame ~4 times (ids
+        # aliased twice for the self-join + vectors re-attached twice) and
+        # mapInPandas assignments cannot be collapsed by Catalyst — without
+        # the barrier the dominant k x N distance pass re-runs each time
+        # (the banded path persists its signature frame for the same
+        # reason). Registered on the result for release_cached.
         embeddings = kmeans_assign(
             embeddings, cents, vec_col=vec_col,
             cluster_col="__sem_blk", method="arrow",
-        )
+        ).persist()
+        cached.append(embeddings)
         block_col = "__sem_blk"
-    if block_col is not None:
-        exhaustive = True  # within-block pairing is exhaustive by contract
+        exhaustive = True  # we created the blocks: within-block all-pairs
+        # is the contract (block_col passed BY THE CALLER instead forwards
+        # the caller's exhaustive and lets cosine_pairs enforce its own
+        # block_col-requires-exhaustive error rather than silently
+        # upgrading a banded request to O(sum block^2))
 
     pairs = cosine_pairs(
         embeddings,
@@ -1163,10 +1176,11 @@ def semantic_dedup(
         exhaustive=exhaustive,
         block_col=block_col,
     )
-    return drop_near_duplicates(
+    out = drop_near_duplicates(
         corpus,
         pairs,
         id_col=id_col,
         score_col=score_col,
         max_iterations=max_iterations,
     )
+    return _register_cached(out, _inherit_cached(out) + cached)

@@ -272,7 +272,10 @@ def cosine_pairs(
     ``max_bucket_size`` drops degenerate mega-buckets (the embedding
     analogue of boilerplate: all-zero vectors, a default embedding
     stamped on millions of rows) whose n² candidate fan-out would
-    otherwise dominate — same mandatory-at-scale lever as
+    otherwise dominate — and (r15) oversized BLOCKS in the
+    ``exhaustive`` + ``block_col`` path, which hit the same n² failure
+    mode on a degenerate cluster (the global no-block exhaustive path
+    stays uncapped by design: it is the gate/verification configuration) — same mandatory-at-scale lever as
     minhash_lsh_pairs' cap and winnow's max_fp_df, and like them capped
     BY DEFAULT at 10k since the r5 sf10 run proved the uncapped family
     OOMs on degenerate inputs (``None`` opts out explicitly).
@@ -312,6 +315,19 @@ def cosine_pairs(
             ids = df.select(
                 F.col(id_col).alias("id"), blk.alias("__blk")
             )
+            if max_bucket_size is not None:
+                # the mega-bucket guard applies to BLOCKS too: a degenerate
+                # embedding cluster (all-zero / default vector stamped on
+                # millions of rows) would otherwise fan out n² within-block
+                # pairs with no cap — the exact scenario the banded path's
+                # bucket cap exists for (r15 review)
+                big = (
+                    ids.groupBy("__blk")
+                    .agg(F.count("*").alias("__n"))
+                    .where(F.col("__n") > max_bucket_size)
+                    .select("__blk")
+                )
+                ids = ids.join(F.broadcast(big), on="__blk", how="left_anti")
             a_, b_ = ids.alias("a"), ids.alias("b")
             cand = (
                 a_.join(b_, on=F.col("a.__blk") == F.col("b.__blk"))

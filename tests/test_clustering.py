@@ -333,6 +333,27 @@ def test_semantic_dedup_block_k_composition(spark):
         dedup.semantic_dedup(corpus, emb, block_k=3, block_col="x")
 
 
+def test_block_mega_cluster_cap(spark):
+    """max_bucket_size applies to exhaustive blocks too: a degenerate
+    mega-cluster (default embedding stamped on many rows) is dropped from
+    pairing instead of fanning out n² candidates (r15 review)."""
+    rows = [(i, [1.0, 0.0], 0) for i in range(8)]  # mega block
+    rows += [(100, [0.0, 1.0], 1), (101, [0.0, 1.0], 1)]  # healthy block
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, cluster int"
+    )
+    got = similarity.cosine_pairs(
+        df, threshold=0.5, exhaustive=True, block_col="cluster",
+        max_bucket_size=3,
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in got] == [(100, 101)]
+    uncapped = similarity.cosine_pairs(
+        df, threshold=0.5, exhaustive=True, block_col="cluster",
+        max_bucket_size=None,
+    ).count()
+    assert uncapped == 28 + 1  # 8C2 within the mega block + the pair
+
+
 def test_null_block_value_raises(spark):
     """exhaustive+block_col promises recall 1 within the corpus, but NULL
     never equi-joins — a NULL-blocked row would silently vanish from every
