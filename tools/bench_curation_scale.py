@@ -2,9 +2,10 @@
 
 `tests/test_curation_e2e.py` proves the composition at toy size and the
 stages are individually decade-measured, but the CHAIN — normalize →
-exact dedup → SemDeDup within k-means clusters → Gopher + perplexity
-gates → DSIR → packing, with localCheckpoint materialization between
-stages — was not.  This runs the same composition shape at sf1/sf10 and
+exact dedup → SemDeDup within k-means clusters → D4 diversification
+(drop the most prototypical 25% per cluster, Tirumala'23) → Gopher +
+perplexity gates → DSIR → packing, with localCheckpoint materialization
+between stages — was not.  This runs the same composition shape at sf1/sf10 and
 reports per-stage wall time, per-stage survivor counts, and the peak
 single-stage shuffle write (via the Spark UI REST API — the one metric
 that flags a stage whose shuffle would not survive a 100× scale-up).

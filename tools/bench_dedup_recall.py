@@ -21,6 +21,11 @@ reports:
   pytest-pinned), so blocked recall == same-cluster fraction; measured at
   SemDeDup-realistic k = N/100, which only the r15 ``parallel`` init makes
   feasible (farthest-first would be k sequential jobs).
+* **MinHash text banding** (:func:`measure_minhash_recall`): pairs
+  planted at EXACT word-shingle Jaccard (shared-prefix construction), so
+  the Broder identity P[minhash agree] = J makes ``1-(1-J^r)^b`` an
+  exact prediction — measured-vs-predicted also validates the xxhash64
+  min-wise family.
 
 Usage: python tools/bench_dedup_recall.py [sf_dirs...]
 Prints one JSON line; paste into SCALE.md's "banded recall" table.
