@@ -786,17 +786,40 @@ def drop_prototypical(
     window shuffle partitioned by cluster — the heaviest partition is the
     largest cluster, the same bound as the SemDeDup within-cluster pair
     stage."""
-    if not (0.0 <= drop_frac < 1.0):
-        raise ValueError(f"drop_frac must be in [0, 1), got {drop_frac}")
     assigned = kmeans_assign(
         df, centroids, vec_col=vec_col, cluster_col=cluster_col,
         method=method, dist_col="__d4d",
     )
+    out = prototype_filter(
+        assigned, drop_frac,
+        id_col=id_col, cluster_col=cluster_col, dist_col="__d4d",
+    )
+    if dist_col is None:
+        return out.drop("__d4d")
+    return out.withColumnRenamed("__d4d", dist_col)
+
+
+def prototype_filter(
+    assigned: DataFrame,
+    drop_frac: float,
+    *,
+    id_col: str = "vec_id",
+    cluster_col: str = "cluster",
+    dist_col: str = "__d4d",
+) -> DataFrame:
+    """The window half of D4 over an ALREADY-ASSIGNED frame carrying
+    ``cluster_col`` + ``dist_col``: drop the ``floor(drop_frac·n)`` rows
+    of each cluster nearest the centroid, rank ties → lowest id.  Lets a
+    composition that already paid the assignment pass (``d4_select``
+    shares one clustering between SemDeDup and prototypes) skip paying
+    it twice."""
+    if not (0.0 <= drop_frac < 1.0):
+        raise ValueError(f"drop_frac must be in [0, 1), got {drop_frac}")
     w = Window.partitionBy(cluster_col).orderBy(
-        F.asc("__d4d"), F.asc(id_col)
+        F.asc(dist_col), F.asc(id_col)
     )
     wn = Window.partitionBy(cluster_col)
-    out = (
+    return (
         assigned.withColumn("__d4r", F.row_number().over(w))
         .withColumn("__d4n", F.count("*").over(wn))
         .where(
@@ -807,9 +830,6 @@ def drop_prototypical(
         )
         .drop("__d4r", "__d4n")
     )
-    if dist_col is None:
-        return out.drop("__d4d")
-    return out.withColumnRenamed("__d4d", dist_col)
 
 
 def kmeans_sse(

@@ -1184,3 +1184,77 @@ def semantic_dedup(
         max_iterations=max_iterations,
     )
     return _register_cached(out, _inherit_cached(out) + cached)
+
+
+def d4_select(
+    corpus: DataFrame,
+    embeddings: DataFrame,
+    *,
+    block_k: int,
+    threshold: float = 0.9,
+    drop_frac: float = 0.25,
+    id_col: str = "doc_id",
+    emb_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_col: Optional[str] = None,
+    seed: int = 42,
+    block_iterations: int = 3,
+    block_init: str = "parallel",
+    max_bucket_size: Optional[int] = 10_000,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """D4 (Tirumala et al. 2023) end to end, ONE call and ONE clustering
+    pass: k-means‖ clusters → SemDeDup within clusters (drop embeddings
+    at cosine ≥ ``threshold``, keeper by ``score_col`` else lowest id) →
+    SSL-prototypes diversification (drop the ``drop_frac`` fraction of
+    each cluster nearest its centroid, over the SemDeDup survivors).
+    Returns the kept corpus rows; docs without an embedding pass through
+    both stages untouched (the :func:`semantic_dedup` convention).
+
+    The expensive pieces are shared: the centroids are fit once, the
+    assignment frame (cluster + exact integer distance) is computed once,
+    persisted, and reused by both the within-cluster pair join and the
+    prototype window (``clustering.prototype_filter``) — release with
+    ``dedup.release_cached(result)`` after the terminal action.
+
+    Scale shape: O(rounds) init passes + row-local assignment +
+    O(Σ cluster²) capped pair join + one window shuffle per cluster —
+    never a global N² and never k sequential jobs."""
+    from hyperdx_spark.pipeline.clustering import (
+        kmeans_assign, kmeans_fit, prototype_filter,
+    )
+    from hyperdx_spark.pipeline.similarity import cosine_pairs
+
+    cents = kmeans_fit(
+        embeddings, block_k, id_col=emb_id_col, vec_col=vec_col,
+        seed=seed, iterations=block_iterations, init=block_init,
+    )
+    assigned = kmeans_assign(
+        embeddings, cents, vec_col=vec_col,
+        cluster_col="__sem_blk", method="arrow", dist_col="__sem_d",
+    ).persist()
+    pairs = cosine_pairs(
+        assigned, id_col=emb_id_col, vec_col=vec_col,
+        threshold=threshold, seed=seed,
+        max_bucket_size=max_bucket_size,
+        exhaustive=True, block_col="__sem_blk",
+    )
+    sem = drop_near_duplicates(
+        corpus, pairs, id_col=id_col, score_col=score_col,
+        max_iterations=max_iterations,
+    )
+    survivors = assigned.join(
+        sem.select(F.col(id_col).alias(emb_id_col)),
+        on=emb_id_col, how="left_semi",
+    )
+    kept = prototype_filter(
+        survivors, drop_frac,
+        id_col=emb_id_col, cluster_col="__sem_blk", dist_col="__sem_d",
+    )
+    dropped = (
+        survivors.select(emb_id_col)
+        .join(kept.select(emb_id_col), on=emb_id_col, how="left_anti")
+        .select(F.col(emb_id_col).alias(id_col))
+    )
+    out = sem.join(dropped, on=id_col, how="left_anti")
+    return _register_cached(out, _inherit_cached(sem) + [assigned])

@@ -354,6 +354,34 @@ def test_block_mega_cluster_cap(spark):
     assert uncapped == 28 + 1  # 8C2 within the mega block + the pair
 
 
+def test_d4_select_end_to_end(spark):
+    """d4_select = SemDeDup + prototype drop sharing one clustering: on
+    the 3-blob fixture with cos~1 within blobs, SemDeDup keeps one doc
+    per blob; with threshold high enough that nothing near-dups, the
+    prototype stage alone drops floor(0.25*8)=2 per blob."""
+    from hyperdx_spark.pipeline import dedup
+
+    emb = _three_blob_df(spark)
+    corpus = emb.select(F.col("vec_id").alias("doc_id"),
+                        F.concat(F.lit("doc"), "vec_id").alias("text"))
+    # dedup-dominant: blobs are tight, everything within a blob pairs
+    sem = dedup.d4_select(corpus, emb, block_k=3, threshold=0.9)
+    assert sorted(r["doc_id"] for r in sem.collect()) == [0, 8, 16]
+    dedup.release_cached(sem)
+    # diversify-dominant: threshold 1.1 -> no pairs; D4 drops 2 per blob
+    div = dedup.d4_select(corpus, emb, block_k=3, threshold=1.1)
+    kept = sorted(r["doc_id"] for r in div.collect())
+    assert len(kept) == 18
+    # replay: per blob, the 2 rows nearest the final centroid are gone
+    cents = clustering.kmeans_fit(emb, 3, iterations=3, init="parallel")
+    want = sorted(
+        r["vec_id"]
+        for r in clustering.drop_prototypical(emb, cents, 0.25).collect()
+    )
+    assert kept == want
+    dedup.release_cached(div)
+
+
 def test_null_block_value_raises(spark):
     """exhaustive+block_col promises recall 1 within the corpus, but NULL
     never equi-joins — a NULL-blocked row would silently vanish from every
