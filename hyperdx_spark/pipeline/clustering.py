@@ -786,6 +786,11 @@ def drop_prototypical(
     window shuffle partitioned by cluster — the heaviest partition is the
     largest cluster, the same bound as the SemDeDup within-cluster pair
     stage."""
+    if not (0.0 <= drop_frac < 1.0):
+        # validate BEFORE kmeans_assign eagerly broadcasts the centroid
+        # matrix (tens of MB at candidate scale) — a bad fraction must
+        # cost nothing (r15 review)
+        raise ValueError(f"drop_frac must be in [0, 1), got {drop_frac}")
     assigned = kmeans_assign(
         df, centroids, vec_col=vec_col, cluster_col=cluster_col,
         method=method, dist_col="__d4d",
@@ -806,28 +811,29 @@ def prototype_filter(
     id_col: str = "vec_id",
     cluster_col: str = "cluster",
     dist_col: str = "__d4d",
+    invert: bool = False,
 ) -> DataFrame:
     """The window half of D4 over an ALREADY-ASSIGNED frame carrying
     ``cluster_col`` + ``dist_col``: drop the ``floor(drop_frac·n)`` rows
     of each cluster nearest the centroid, rank ties → lowest id.  Lets a
     composition that already paid the assignment pass (``d4_select``
     shares one clustering between SemDeDup and prototypes) skip paying
-    it twice."""
+    it twice.  ``invert=True`` returns the DROPPED rows instead — one
+    window pass either way, so a composition needing the drop set never
+    anti-joins the (much larger) keep set to recover it."""
     if not (0.0 <= drop_frac < 1.0):
         raise ValueError(f"drop_frac must be in [0, 1), got {drop_frac}")
     w = Window.partitionBy(cluster_col).orderBy(
         F.asc(dist_col), F.asc(id_col)
     )
     wn = Window.partitionBy(cluster_col)
+    keep = F.col("__d4r") > F.floor(
+        F.lit(float(drop_frac)) * F.col("__d4n").cast("double")
+    )
     return (
         assigned.withColumn("__d4r", F.row_number().over(w))
         .withColumn("__d4n", F.count("*").over(wn))
-        .where(
-            F.col("__d4r")
-            > F.floor(
-                F.lit(float(drop_frac)) * F.col("__d4n").cast("double")
-            )
-        )
+        .where(~keep if invert else keep)
         .drop("__d4r", "__d4n")
     )
 

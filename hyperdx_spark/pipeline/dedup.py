@@ -1213,8 +1213,11 @@ def d4_select(
 
     The expensive pieces are shared: the centroids are fit once, the
     assignment frame (cluster + exact integer distance) is computed once,
-    persisted, and reused by both the within-cluster pair join and the
-    prototype window (``clustering.prototype_filter``) — release with
+    persisted, and reused by both the within-cluster pair join (via the
+    :func:`semantic_dedup` caller-block path — one SemDeDup wiring, not
+    two) and the prototype window; the SemDeDup survivor frame is
+    persisted too (it feeds both the prototype stage and the final
+    anti-join).  Release everything with
     ``dedup.release_cached(result)`` after the terminal action.
 
     Scale shape: O(rounds) init passes + row-local assignment +
@@ -1223,8 +1226,10 @@ def d4_select(
     from hyperdx_spark.pipeline.clustering import (
         kmeans_assign, kmeans_fit, prototype_filter,
     )
-    from hyperdx_spark.pipeline.similarity import cosine_pairs
 
+    if not (0.0 <= drop_frac < 1.0):
+        # fail before the k-means fit / assignment / dedup pipeline runs
+        raise ValueError(f"drop_frac must be in [0, 1), got {drop_frac}")
     cents = kmeans_fit(
         embeddings, block_k, id_col=emb_id_col, vec_col=vec_col,
         seed=seed, iterations=block_iterations, init=block_init,
@@ -1233,28 +1238,20 @@ def d4_select(
         embeddings, cents, vec_col=vec_col,
         cluster_col="__sem_blk", method="arrow", dist_col="__sem_d",
     ).persist()
-    pairs = cosine_pairs(
-        assigned, id_col=emb_id_col, vec_col=vec_col,
-        threshold=threshold, seed=seed,
-        max_bucket_size=max_bucket_size,
+    sem = semantic_dedup(
+        corpus, assigned,
+        threshold=threshold, id_col=id_col, emb_id_col=emb_id_col,
+        vec_col=vec_col, score_col=score_col, seed=seed,
+        max_iterations=max_iterations, max_bucket_size=max_bucket_size,
         exhaustive=True, block_col="__sem_blk",
-    )
-    sem = drop_near_duplicates(
-        corpus, pairs, id_col=id_col, score_col=score_col,
-        max_iterations=max_iterations,
-    )
+    ).persist()
     survivors = assigned.join(
         sem.select(F.col(id_col).alias(emb_id_col)),
         on=emb_id_col, how="left_semi",
     )
-    kept = prototype_filter(
-        survivors, drop_frac,
+    dropped = prototype_filter(
+        survivors, drop_frac, invert=True,
         id_col=emb_id_col, cluster_col="__sem_blk", dist_col="__sem_d",
-    )
-    dropped = (
-        survivors.select(emb_id_col)
-        .join(kept.select(emb_id_col), on=emb_id_col, how="left_anti")
-        .select(F.col(emb_id_col).alias(id_col))
-    )
+    ).select(F.col(emb_id_col).alias(id_col))
     out = sem.join(dropped, on=id_col, how="left_anti")
-    return _register_cached(out, _inherit_cached(sem) + [assigned])
+    return _register_cached(out, _inherit_cached(sem) + [assigned, sem])

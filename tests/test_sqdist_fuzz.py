@@ -21,10 +21,13 @@ def _python_ints(q, c):
     ]
 
 
-# magnitudes straddling the float-path bound: at dim<=6, the switch sits
-# at (qmax+cmax) ~ sqrt(2^53/6) ~ 3.9e7 — draw components well past it
-# in both directions so hypothesis exercises BOTH code paths
-component = st.integers(min_value=-120_000_000, max_value=120_000_000)
+# magnitudes straddling BOTH boundaries: the float-path switch at
+# (qmax+cmax) ~ sqrt(2^53/dim) (~3.9e7 at dim 6) AND the int64 overflow
+# guard at sqrt((2^63-1)/dim) (~1.24e9 at dim 6) — hypothesis draws
+# examples on every side, so the float path, the int64 path, AND the
+# must-raise guard branch all execute (r15 review: the previous ±1.2e8
+# range could never reach the guard)
+component = st.integers(min_value=-2_000_000_000, max_value=2_000_000_000)
 
 
 @settings(max_examples=200, deadline=None)
@@ -68,9 +71,10 @@ def test_sqdist_matches_arbitrary_precision(dim, n, m, data):
     data=st.data(),
 )
 def test_float_path_bound_is_honored(dim, data):
-    """Whenever the float path is taken (dim*(qmax+cmax)^2 < 2^53), the
-    result must equal the int64 path bit-for-bit — checked by forcing the
-    int64 branch with a sentinel just over the bound."""
+    """Components drawn strictly under the float-path bound: the fast
+    path is guaranteed active, and its results must equal
+    arbitrary-precision Python integers (the cross-path agreement at the
+    boundary itself is covered by the straddling strategy above)."""
     bound = math.isqrt(2**53 // dim)
     comp = st.integers(min_value=-(bound // 2 - 1), max_value=bound // 2 - 1)
     q = np.asarray(
