@@ -46,6 +46,16 @@ from .sampling import sample_key
 #: micro-unit scaling for the fixed-point vector representation
 VEC_SCALE = 1_000_000
 
+#: driver-size bound on the realized k-means‖ candidate set (expected
+#: ~1 + oversample*rounds rows, each dim int64s — 1M candidates at dim 64
+#: is ~512 MB of driver matrix, the edge of comfortable for the weighted
+#: recluster).  Validated up front against the EXPECTED count and again
+#: against the REALIZED per-round selection before any collect, so a
+#: misconfigured oversample raises a descriptive error instead of
+#: silently OOMing the driver (r15 advice; the same boundary discipline
+#: as max_bucket_size and the k-row collects).
+MAX_INIT_CANDIDATES = 1_000_000
+
 
 def quantize_vec(vec_col: Column) -> Column:
     """float vector -> exact micro-unit longs: floor(x * 1e6 + 0.5) of the
@@ -269,7 +279,10 @@ def _weighted_kmeans_driver(cand, w, k: int, *, iterations: int = 30) -> list[li
         nxt_cent = cent.copy()
         for ci in range(k):
             idx = np.nonzero(assign == ci)[0]
-            wt = int(w[idx].sum())
+            # object-dtype sum, same discipline as s_vec below: an int64
+            # Σw would wrap past 2^63 at extreme weights while the w·v
+            # products are already exact — keep the whole mean exact
+            wt = int(w[idx].astype(object).sum())
             if wt == 0:
                 continue  # empty/weightless cluster keeps its centroid
             s_vec = (
@@ -322,6 +335,14 @@ def _kmeans_parallel_sample(
     ell = 2 * k if oversample is None else oversample
     if ell < 1:
         raise ValueError("oversample must be >= 1")
+    if 1 + ell * rounds > MAX_INIT_CANDIDATES:
+        raise ValueError(
+            f"k-means‖ expects ~1 + oversample*rounds = {1 + ell * rounds} "
+            f"candidates, above the driver-size bound "
+            f"MAX_INIT_CANDIDATES={MAX_INIT_CANDIDATES} — lower oversample "
+            f"(default 2k) or rounds; the driver must hold the candidate "
+            "matrix for the weighted recluster"
+        )
     first = base.orderBy("__sk", "__id").limit(1).collect()
     if not first:
         raise ValueError(f"k={k} but corpus has only 0 rows")
@@ -365,8 +386,27 @@ def _kmeans_parallel_sample(
                 * F.lit(float(_KEY_SPACE))
             )
             # orderBy before collect: candidate order must not depend on
-            # partitioning (it seeds the deterministic driver recluster)
-            rows = cur.where(sel).select("__id", "__q").orderBy("__id").collect()
+            # partitioning (it seeds the deterministic driver recluster).
+            # limit(remaining+1) bounds the transfer; we RAISE (never
+            # truncate — a truncated candidate set would silently change
+            # the deterministic init) if the realized selection overshoots
+            # the driver bound, e.g. a pathological distance distribution
+            # where ℓ·d²/ψ ≥ 1 for huge row counts.
+            remaining = MAX_INIT_CANDIDATES - len(meta)
+            rows = (
+                cur.where(sel)
+                .select("__id", "__q")
+                .orderBy("__id")
+                .limit(remaining + 1)
+                .collect()
+            )
+            if len(rows) > remaining:
+                raise ValueError(
+                    f"k-means‖ round {r} realized more than {remaining} "
+                    f"candidate selections (driver bound "
+                    f"MAX_INIT_CANDIDATES={MAX_INIT_CANDIDATES}, "
+                    f"{len(meta)} already held) — lower oversample/rounds"
+                )
             new = [list(x["__q"]) for x in rows]
             if new:
                 meta.extend((x["__id"], r, list(x["__q"])) for x in rows)
@@ -659,19 +699,34 @@ def kmeans_update(
         )
     sums = (
         assigned.groupBy("cluster", "i")
-        .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+        # decimal(38,0), not int64: Spark's long sum silently wraps past
+        # 2^63 while the DuckDB oracle sums in HUGEINT — at corpus-scale
+        # component-magnitude x cluster-size products (~1e19, reachable
+        # for unnormalized vectors) engine and oracle would diverge.  The
+        # k-means‖ ψ aggregation uses the same cast for the same reason
+        # (r15 advice).  decimal(38,0) holds |Σv| up to 1e38; the
+        # quantize_vec magnitude bound (< ~3.4e8 per component at dim 64)
+        # times any realistic row count stays far inside.
+        .agg(
+            F.sum(F.col("v").cast("decimal(38,0)")).alias("s"),
+            F.count("*").alias("n"),
+        )
         .collect()
     )
     dim = len(centroids[0])
     out = [list(c) for c in centroids]
     per_cluster: dict[int, dict[int, tuple[int, int]]] = {}
     for r in sums:
-        per_cluster.setdefault(r["cluster"], {})[r["i"]] = (r["s"], r["n"])
+        # int(), not Decimal: Decimal.__floordiv__ truncates toward zero,
+        # Python int // floors — they disagree on negative numerators,
+        # exactly the case the (2s + n) // (2n) form exists to get right
+        per_cluster.setdefault(r["cluster"], {})[r["i"]] = (int(r["s"]), r["n"])
     for ci, dims in per_cluster.items():
         out[ci] = [
             # exact integer mean: floor(s/n + 1/2) == (2s + n) // (2n) for
             # any integer s and n > 0 (Python // is floor division, so
-            # negatives round correctly) — exact at ANY magnitude.  A
+            # negatives round correctly) — exact at any magnitude the
+            # decimal(38,0) sum can carry (1e38).  A
             # double-division replay (floor(sum::DOUBLE/n + 0.5)) is NOT
             # equivalent: the division's rounding can cross the .5 boundary
             # whenever 1/(2n) falls below half an ulp of s/n (e.g.

@@ -1162,27 +1162,41 @@ def semantic_dedup(
         # block_col-requires-exhaustive error rather than silently
         # upgrading a banded request to O(sum block^2))
 
-    pairs = cosine_pairs(
-        embeddings,
-        id_col=emb_id_col,
-        vec_col=vec_col,
-        threshold=threshold,
-        num_planes=num_planes,
-        bands=bands,
-        dim=dim,
-        seed=seed,
-        max_bucket_size=max_bucket_size,
-        min_expected_recall=min_expected_recall,
-        exhaustive=exhaustive,
-        block_col=block_col,
-    )
-    out = drop_near_duplicates(
-        corpus,
-        pairs,
-        id_col=id_col,
-        score_col=score_col,
-        max_iterations=max_iterations,
-    )
+    # unpersist-on-raise: the assignment frame is persisted BEFORE the
+    # downstream wiring; if cosine_pairs validation (or anything after)
+    # raises, the block would otherwise leak in a long-lived session until
+    # storage eviction — the accumulation release_cached exists to prevent
+    # (r15 advice)
+    pairs = None
+    try:
+        pairs = cosine_pairs(
+            embeddings,
+            id_col=emb_id_col,
+            vec_col=vec_col,
+            threshold=threshold,
+            num_planes=num_planes,
+            bands=bands,
+            dim=dim,
+            seed=seed,
+            max_bucket_size=max_bucket_size,
+            min_expected_recall=min_expected_recall,
+            exhaustive=exhaustive,
+            block_col=block_col,
+        )
+        out = drop_near_duplicates(
+            corpus,
+            pairs,
+            id_col=id_col,
+            score_col=score_col,
+            max_iterations=max_iterations,
+        )
+    except BaseException:
+        release = list(cached)
+        if pairs is not None:
+            release += _inherit_cached(pairs)
+        for c in release:
+            c.unpersist()
+        raise
     return _register_cached(out, _inherit_cached(out) + cached)
 
 
@@ -1238,20 +1252,32 @@ def d4_select(
         embeddings, cents, vec_col=vec_col,
         cluster_col="__sem_blk", method="arrow", dist_col="__sem_d",
     ).persist()
-    sem = semantic_dedup(
-        corpus, assigned,
-        threshold=threshold, id_col=id_col, emb_id_col=emb_id_col,
-        vec_col=vec_col, score_col=score_col, seed=seed,
-        max_iterations=max_iterations, max_bucket_size=max_bucket_size,
-        exhaustive=True, block_col="__sem_blk",
-    ).persist()
-    survivors = assigned.join(
-        sem.select(F.col(id_col).alias(emb_id_col)),
-        on=emb_id_col, how="left_semi",
-    )
-    dropped = prototype_filter(
-        survivors, drop_frac, invert=True,
-        id_col=emb_id_col, cluster_col="__sem_blk", dist_col="__sem_d",
-    ).select(F.col(emb_id_col).alias(id_col))
-    out = sem.join(dropped, on=id_col, how="left_anti")
+    # unpersist-on-raise, same discipline as semantic_dedup (r15 advice):
+    # semantic_dedup releases ITS OWN persists when it raises, but the
+    # frames persisted HERE must be released here or they leak
+    try:
+        sem = semantic_dedup(
+            corpus, assigned,
+            threshold=threshold, id_col=id_col, emb_id_col=emb_id_col,
+            vec_col=vec_col, score_col=score_col, seed=seed,
+            max_iterations=max_iterations, max_bucket_size=max_bucket_size,
+            exhaustive=True, block_col="__sem_blk",
+        ).persist()
+    except BaseException:
+        assigned.unpersist()
+        raise
+    try:
+        survivors = assigned.join(
+            sem.select(F.col(id_col).alias(emb_id_col)),
+            on=emb_id_col, how="left_semi",
+        )
+        dropped = prototype_filter(
+            survivors, drop_frac, invert=True,
+            id_col=emb_id_col, cluster_col="__sem_blk", dist_col="__sem_d",
+        ).select(F.col(emb_id_col).alias(id_col))
+        out = sem.join(dropped, on=id_col, how="left_anti")
+    except BaseException:
+        for c in _inherit_cached(sem) + [assigned, sem]:
+            c.unpersist()
+        raise
     return _register_cached(out, _inherit_cached(sem) + [assigned, sem])

@@ -298,6 +298,7 @@ def cosine_pairs(
             "miss within-block boundary pairs"
         )
     if exhaustive:
+        cached: list = []
         if block_col is not None:
             # NULL never equi-joins: a NULL-blocked row would silently drop
             # out of EVERY pair, breaking exhaustive's recall-1 contract
@@ -326,7 +327,27 @@ def cosine_pairs(
                     .agg(F.count("*").alias("__n"))
                     .where(F.col("__n") > max_bucket_size)
                     .select("__blk")
+                    .persist()
                 )
+                cached.append(big)
+                # no silent caps (r15 advice): the drop must be observable
+                # at runtime, not inferred.  The count is one agg job over
+                # the already-persisted ≤-#blocks frame the broadcast join
+                # reads anyway; collect() would instead be unbounded (up
+                # to n/max_bucket_size mega-blocks at corpus scale).
+                n_dropped = big.count()
+                if n_dropped:
+                    warnings.warn(
+                        f"cosine_pairs: {n_dropped} block(s) exceed "
+                        f"max_bucket_size={max_bucket_size} and are "
+                        "DROPPED from exhaustive pairing (their rows pair "
+                        "with nothing) — a degenerate mega-cluster, or a "
+                        "block_k too small for the corpus; raise "
+                        "max_bucket_size / increase block_k, or pass "
+                        "max_bucket_size=None to pair them at O(n²) cost",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
                 ids = ids.join(F.broadcast(big), on="__blk", how="left_anti")
             a_, b_ = ids.alias("a"), ids.alias("b")
             cand = (
@@ -348,7 +369,7 @@ def cosine_pairs(
                 )
             )
         vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        return (
+        out = (
             cand.join(
                 vecs.withColumnsRenamed({"id": "id_a", "v": "__va"}),
                 on="id_a",
@@ -361,6 +382,7 @@ def cosine_pairs(
             .where(F.col("cos") >= threshold)
             .select("id_a", "id_b", "cos")
         )
+        return _register_cached(out, cached)
 
     if min_expected_recall is not None:
         expected = lsh_expected_recall(threshold, num_planes, bands)
