@@ -4255,9 +4255,30 @@ def q_ann_indexed(spark, sf_dir):
         F.col("__dd").cast("double").alias("cos"),
         F.lit(0).cast("int").alias("rank"),
     )
+    # r16: the COMPOSED d4_select end to end (r15 verdict #2) — the pieces
+    # (km|asg clustering, d4|keep prototype window, the q_dedup_all
+    # pair/connected-components replay) each ride the gate already; this
+    # part hashes the kept doc_id set of the ONE-CALL composition: shared
+    # clustering (block_init="farthest", block_iterations=2 == the kc2w
+    # centroids the oracle replays), within-cluster exhaustive pairs at
+    # cosine 0.5, connected components, keeper = lowest id (score_col
+    # None), SemDeDup survivors feeding the prototype window, final
+    # anti-join; docs without an embedding pass through.
+    d4s = dedup.d4_select(
+        load_table(spark, sf_dir, "documents").select("doc_id"),
+        emb, block_k=2, threshold=0.5, drop_frac=0.25,
+        block_init="farthest", block_iterations=2,
+    )
+    km_d4sel = d4s.select(
+        F.lit("d4sel|keep").alias("part"),
+        F.col("doc_id").cast("long").alias("query_id"),
+        F.lit(0).cast("long").alias("match_id"),
+        F.lit(0.0).alias("cos"),
+        F.lit(0).cast("int").alias("rank"),
+    )
     return (
         out.unionByName(km_asg).unionByName(km_cent)
-        .unionByName(km_par).unionByName(km_d4)
+        .unionByName(km_par).unionByName(km_d4).unionByName(km_d4sel)
     )
 
 
@@ -6205,6 +6226,50 @@ SELECT part, query_id, match_id, cos, rank, s FROM (
                count(*) OVER (PARTITION BY c) AS n
         FROM ka3) d4t
   WHERE rn > floor(0.25 * n::DOUBLE)
+  UNION ALL
+  -- r16 composed d4_select replay: ONE clustering (the same ka3 final
+  -- assignment + exact integer distance) shared by both stages.
+  -- SemDeDup within clusters: exact-cosine pairs restricted to
+  -- same-cluster (the within-block exhaustive contract), recursive-CTE
+  -- connected components, keeper = lowest id; then the prototype window
+  -- drops the floor(0.25*n) SURVIVORS of each cluster nearest the final
+  -- centroid (rank: distance ASC, id ASC). Docs without an embedding
+  -- pass through both stages.
+  SELECT 'd4sel|keep', t.doc_id, 0::BIGINT, 0.0::DOUBLE, 0, '' FROM (
+    WITH RECURSIVE
+    dse AS (SELECT e.vec_id AS id, e.embedding AS v, a.c, a.d
+            FROM embeddings e JOIN ka3 a ON a.vec_id = e.vec_id),
+    dsp AS (SELECT a.id AS id_a, b.id AS id_b
+            FROM dse a JOIN dse b ON a.id < b.id AND a.c = b.c
+            WHERE list_sum(list_transform(range(1, len(a.v) + 1),
+                    i -> a.v[i]::DOUBLE * b.v[i]::DOUBLE))
+                  / (sqrt(list_sum(list_transform(range(1, len(a.v) + 1),
+                       i -> a.v[i]::DOUBLE * a.v[i]::DOUBLE)))
+                     * sqrt(list_sum(list_transform(range(1, len(b.v) + 1),
+                         i -> b.v[i]::DOUBLE * b.v[i]::DOUBLE)))) >= 0.5),
+    dedges AS (SELECT id_a AS src, id_b AS dst FROM dsp
+               UNION SELECT id_b, id_a FROM dsp),
+    dreach(id, lbl) AS (
+      SELECT src, src FROM dedges
+      UNION
+      SELECT e.src, r.lbl FROM dedges e JOIN dreach r ON e.dst = r.id),
+    dgroups AS (SELECT id, min(lbl) AS group_id FROM dreach GROUP BY id),
+    dkeepid AS (SELECT group_id, min(id) AS keep_id FROM dgroups GROUP BY 1),
+    dlosers AS (SELECT g.id FROM dgroups g JOIN dkeepid USING (group_id)
+                WHERE g.id != dkeepid.keep_id),
+    dsurv AS (SELECT s.id, s.c, s.d FROM dse s
+              WHERE s.id NOT IN (SELECT id FROM dlosers)),
+    dproto AS (SELECT id FROM (
+        SELECT id,
+               row_number() OVER (PARTITION BY c
+                                  ORDER BY d ASC, id ASC) AS rn,
+               count(*) OVER (PARTITION BY c) AS n
+        FROM dsurv) p
+      WHERE rn <= floor(0.25 * n::DOUBLE))
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id NOT IN (SELECT id FROM dlosers)
+      AND d.doc_id NOT IN (SELECT id FROM dproto)
+  ) t
 ) km_all
 UNION ALL
 -- r15 k-means|| replay (Bahmani'12; clustering._kmeans_parallel_sample):
