@@ -733,6 +733,24 @@ def simhash_near_duplicates(
         ).otherwise(F.lit(0).cast("long"))
         packed = bit if packed is None else packed + bit
     hs = votes.select("id", packed.alias("h"))
+    return simhash_block_pairs(hs, max_hamming=max_hamming, blocks=blocks)
+
+
+def simhash_block_pairs(
+    hs: DataFrame,
+    *,
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """The blocking half of :func:`simhash_near_duplicates` over an
+    ALREADY-FINGERPRINTED frame ``(id, h)``: pigeonhole-block on
+    ``blocks`` contiguous ``64/blocks``-bit chunks, then verify
+    ``bit_count(xor) <= max_hamming``.  Split out (r16) so the recall
+    harness can plant fingerprint pairs at EXACT Hamming distance — the
+    vote computation above is deterministic and pytest-pinned; the
+    probabilistic recall surface is THIS stage (for h > max guaranteed by
+    pigeonhole, recall = P[some block untouched by the h flips], an exact
+    inclusion-exclusion prediction the harness measures against)."""
     chunk_bits = 64 // blocks
     blocked = hs.select(
         "id",

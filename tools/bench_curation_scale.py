@@ -201,11 +201,69 @@ def run_chain(spark, sf_dir: str) -> dict:
     return out
 
 
+def measure_d4_shared(spark, sf_dir: str) -> dict:
+    """r15 verdict #4: quantify d4_select's shared-clustering saving.
+    Runs the ONE-CALL d4_select (one k-means fit + one persisted
+    assignment shared by SemDeDup and the prototype window) against the
+    naive two-pass composition (semantic_dedup(block_k=k), then a SECOND
+    kmeans_fit + assignment for the prototype stage).  Both paths are
+    deterministic with the same seed, so the kept sets must be IDENTICAL
+    — asserted, which re-proves the composition while timing it."""
+    docs = ensure_min_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    emb = ensure_min_parallelism(load_table(spark, sf_dir, "embeddings"))
+    n = emb.count()
+    k = max(16, n // 100)
+    out = {"k": k, "vectors": n}
+
+    t0 = time.monotonic()
+    sel = dedup.d4_select(
+        docs, emb, block_k=k, threshold=0.99, drop_frac=0.25,
+    )
+    out["d4_select_rows"] = sel.count()
+    out["d4_select_s"] = round(time.monotonic() - t0, 2)
+
+    t0 = time.monotonic()
+    sem = dedup.semantic_dedup(
+        docs, emb, threshold=0.99, block_k=k,
+    )
+    sem = sem.persist()
+    sem.count()
+    # the naive second pass: refit + reassign (what a caller composing
+    # the two public operators without d4_select would pay)
+    cents = clustering.kmeans_fit(emb, k, iterations=3, init="parallel")
+    semi = emb.join(
+        sem.select(F.col("doc_id").alias("vec_id")), on="vec_id",
+        how="left_semi",
+    )
+    assigned = clustering.kmeans_assign(
+        semi, cents, method="arrow", cluster_col="cluster", dist_col="__d",
+    )
+    dropped = clustering.prototype_filter(
+        assigned, 0.25, invert=True, cluster_col="cluster", dist_col="__d",
+    ).select(F.col("vec_id").alias("doc_id"))
+    naive = sem.join(dropped, on="doc_id", how="left_anti")
+    out["naive_rows"] = naive.count()
+    out["naive_s"] = round(time.monotonic() - t0, 2)
+    if out["naive_rows"] != out["d4_select_rows"]:
+        raise AssertionError(
+            f"d4_select ({out['d4_select_rows']}) and the naive two-pass "
+            f"({out['naive_rows']}) kept different row counts — the "
+            "composition no longer matches its parts"
+        )
+    dedup.release_cached(sel)
+    sem.unpersist()
+    return out
+
+
 def main() -> None:
     spark = get_ui_spark()
     res = {}
     for sf_dir in DIRS:
-        res[sf_dir.rsplit("/", 1)[-1]] = run_chain(spark, sf_dir)
+        tag = sf_dir.rsplit("/", 1)[-1]
+        res[tag] = run_chain(spark, sf_dir)
+        res[tag]["d4_shared"] = measure_d4_shared(spark, sf_dir)
     print(json.dumps({"curation_chain": res}))
 
 

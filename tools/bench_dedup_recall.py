@@ -207,9 +207,162 @@ def measure_minhash_recall(spark, *, n_base: int = 2000) -> dict:
     return out
 
 
+def measure_simhash_recall(
+    spark,
+    *,
+    n_base: int = 3000,
+    per_tier: int = 300,
+    hams=(1, 2, 3, 4, 5, 6),
+    max_hamming: int = 6,
+    blocks: int = 4,
+    seed: int = 11,
+) -> dict:
+    """SimHash block-recall at planted EXACT Hamming distances (r15
+    verdict #5).  The vote fingerprint is deterministic and pytest-pinned,
+    so pairs are planted at the fingerprint level: random 64-bit
+    fingerprints, partner = base with h uniformly-chosen distinct bits
+    flipped.  Candidate recall through ``simhash_block_pairs`` is then
+    P[the h flips leave >= 1 of the ``blocks`` chunks untouched] — exact
+    by inclusion-exclusion over uniform-without-replacement positions:
+    ``sum_j (-1)^(j+1) C(B,j) C(64-cj, h) / C(64, h)`` — 1.0 for every
+    h < blocks (the pigeonhole guarantee the production default rides).
+    ``max_hamming`` covers every planted h so the verify filter never
+    masks a blocking miss."""
+    import random
+
+    from hyperdx_spark.pipeline import dedup
+
+    rng = random.Random(seed)
+    c = 64 // blocks
+
+    def pred(h: int) -> float:
+        tot = math.comb(64, h)
+        p = 0.0
+        for j in range(1, blocks + 1):
+            if 64 - c * j >= h:
+                p += (-1) ** (j + 1) * math.comb(blocks, j) * math.comb(
+                    64 - c * j, h
+                ) / tot
+        return round(p, 4)
+
+    rows, planted, nid = [], {h: [] for h in hams}, 0
+    for h in hams:
+        for _ in range(per_tier):
+            base = rng.getrandbits(64)
+            flips = rng.sample(range(64), h)
+            part = base
+            for b in flips:
+                part ^= 1 << b
+            for v in (base, part):
+                rows.append((nid, v - (1 << 64) if v >= (1 << 63) else v))
+                nid += 1
+            planted[h].append((nid - 2, nid - 1))
+    # noise fingerprints so buckets aren't planted-only
+    for _ in range(n_base):
+        v = rng.getrandbits(64)
+        rows.append((nid, v - (1 << 64) if v >= (1 << 63) else v))
+        nid += 1
+    hs = spark.createDataFrame(rows, "id long, h long")
+    t0 = time.monotonic()
+    pairs = dedup.simhash_block_pairs(
+        hs, max_hamming=max_hamming, blocks=blocks
+    ).persist()
+    pairs.count()
+    tiers = {}
+    for h in hams:
+        exp = spark.createDataFrame(planted[h], "id_a long, id_b long")
+        found = pairs.join(exp, on=["id_a", "id_b"], how="left_semi").count()
+        tiers[h] = {
+            "measured": round(found / per_tier, 4),
+            "predicted": pred(h),
+        }
+    pairs.unpersist()
+    return {
+        "tiers": tiers,
+        "blocks": blocks,
+        "max_hamming": max_hamming,
+        "wall_s": round(time.monotonic() - t0, 2),
+    }
+
+
+def measure_winnow_recall(
+    spark,
+    *,
+    per_tier: int = 250,
+    lengths=(12, 16, 20, 23, 32, 46),
+    k: int = 8,
+    w: int = 16,
+    doc_chars: int = 400,
+    seed: int = 13,
+) -> dict:
+    """Winnowing candidate recall at planted shared-substring lengths
+    (r15 verdict #5).  Base docs are random lowercase streams; the
+    partner is an independent random stream with the base's centered
+    L-char substring spliced into its middle.  Schleimer'03's guarantee:
+    any shared run of >= w+k-1 chars contains a full window of w k-grams,
+    whose min-hash fingerprint is selected in BOTH docs — so candidate
+    recall (>= 1 shared fingerprint, threshold ~0) must be EXACTLY 1.0
+    at L >= w+k-1 (23 at the production k=8/w=16) and the build fails if
+    it isn't; below the guarantee the curve is reported as measured
+    (selection there depends on surrounding hashes — no closed form)."""
+    import random
+
+    from hyperdx_spark.pipeline import dedup
+
+    rng = random.Random(seed)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+
+    def stream(n: int) -> str:
+        return "".join(rng.choice(alpha) for _ in range(n))
+
+    docs, planted, did = [], {}, 0
+    guarantee = w + k - 1
+    for L in lengths:
+        pairs = []
+        for _ in range(per_tier):
+            base = stream(doc_chars)
+            start = (doc_chars - L) // 2
+            shared = base[start:start + L]
+            other = stream(doc_chars)
+            mid = doc_chars // 2
+            partner = other[:mid] + shared + other[mid:]
+            docs.append((did, base))
+            docs.append((did + 1, partner))
+            pairs.append((did, did + 1))
+            did += 2
+        planted[L] = pairs
+    corpus = spark.createDataFrame(docs, "doc_id long, text string").persist()
+    corpus.count()
+    t0 = time.monotonic()
+    pairs_df = dedup.winnow_pairs(
+        corpus, k=k, w=w, threshold=1e-9, max_fp_df=None
+    ).persist()
+    pairs_df.count()
+    tiers = {}
+    for L, pp in planted.items():
+        exp = spark.createDataFrame(pp, "id_a long, id_b long")
+        found = pairs_df.join(exp, on=["id_a", "id_b"], how="left_semi").count()
+        tiers[L] = {
+            "measured": round(found / len(pp), 4),
+            "guaranteed": 1.0 if L >= guarantee else None,
+        }
+        if L >= guarantee and found != len(pp):
+            raise AssertionError(
+                f"winnowing guarantee violated: L={L} >= w+k-1={guarantee} "
+                f"but only {found}/{len(pp)} planted pairs produced a "
+                "shared fingerprint"
+            )
+    dedup.release_cached(pairs_df)
+    corpus.unpersist()
+    return {"tiers": tiers, "k": k, "w": w, "guarantee_len": guarantee,
+            "wall_s": round(time.monotonic() - t0, 2)}
+
+
 def main() -> None:
     spark = get_spark("bench-dedup-recall", cpus=32)
-    res = {"minhash": measure_minhash_recall(spark)}
+    res = {"minhash": measure_minhash_recall(spark),
+           "simhash": measure_simhash_recall(spark),
+           "winnow": measure_winnow_recall(spark)}
     for sf_dir in DIRS:
         tag = sf_dir.rsplit("/", 1)[-1]
         emb = ensure_min_parallelism(load_table(spark, sf_dir, "embeddings"))

@@ -163,6 +163,127 @@ def build_corpus(n: int, src: str, dst: str) -> None:
         FROM {t('embeddings')} CROSS JOIN reps""")
 
 
+def build_synth(n_docs: int, n_vecs: int, dst: str, seed: int = 16) -> None:
+    """Distinct-content corpus decade (VERDICT r15 #1): the replicated
+    builds above preserve intra-replica structure but collapse under
+    exact dedup (.scale/sf10 holds 500k docs with only 39,936 distinct
+    texts), so the post-dedup chain stages and the blocked-recall sf10
+    row measured a near-sf1 corpus.  This synthesizes EVERY row from a
+    seeded hash — same schema, same vocabulary, same length/lang/source
+    distributions as the driver corpus — with a controlled dup funnel:
+
+    * documents: word streams drawn uniformly from the driver's 31-word
+      vocabulary (the driver corpus is uniform-vocab), 8-96 words
+      (avg ≈ 290 chars, matching sf0.1's 297).  Roles by ``doc_id % 20``:
+      ``19`` = EXACT duplicate of doc_id-1 (5% — the exact-dedup stage's
+      real work), ``9`` = NEAR duplicate of doc_id-1 (5% — shared prefix,
+      fresh tail, shingle-Jaccard ≈ 0.8), everything else globally
+      distinct (the word stream is salted with doc_id, so two ids collide
+      only if 50+ independent 64-bit hashes collide).
+    * embeddings: ``max(8, n_vecs/250)`` latent clusters; vector =
+      cluster center (components U[-0.35, 0.35], matching the driver's
+      observed range) + per-vector noise (U[-0.08, 0.08]) — same-cluster
+      cosine ≈ 0.95, cross-cluster ≈ 0, so k-means at the SemDeDup-
+      realistic k = N/100 SUBDIVIDES real clusters and the blocked-recall
+      measurement shows the k-granularity curve instead of replicated-
+      vector saturation.  ``vec_id % 20 == 9`` vectors are the planted
+      semantic near-dups: vec(v-1) + U[-0.002, 0.002] per component
+      (cosine ≈ 0.9999 > every production threshold).  vec_id v is the
+      embedding of doc_id v (docs beyond n_vecs carry no embedding and
+      pass through the semantic stages, the semantic_dedup convention).
+
+    Deterministic in (n_docs, n_vecs, seed); no RNG state, only hashes.
+    """
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    vocab = (
+        "a agg batch big column customer data dup fast filter group hash "
+        "join key line merge order part query row scan slow small sort "
+        "spark stream table the value vector window"
+    ).split()
+    vlist = "[" + ", ".join(f"'{w}'" for w in vocab) + "]"
+    con.sql(f"SET threads TO {max(os.cpu_count() or 8, 8)}")
+    # word stream for id x with salt s: nw in 8..96, uniform vocab draw
+    con.sql(f"""
+        CREATE MACRO nw(x) AS
+          8 + (hash(x::VARCHAR || ':nw:{seed}') % 89)::INT;
+        CREATE MACRO wstream(x, s, n) AS
+          list_transform(range(1, n + 1),
+            j -> ({vlist})[1 + (hash(x::VARCHAR || ':' || j::VARCHAR
+                                 || ':' || s || ':{seed}') % 31)::INT]);
+    """)
+    docs_sql = f"""
+      WITH ids AS (SELECT unnest(range({n_docs})) AS did),
+      base AS (
+        SELECT did,
+          CASE
+            WHEN did % 20 = 19 THEN
+              array_to_string(wstream(did - 1, 'w', nw(did - 1)), ' ')
+            WHEN did % 20 = 9 THEN
+              array_to_string(
+                wstream(did - 1, 'w',
+                        nw(did - 1) - 3 - (hash(did::VARCHAR
+                                           || ':cut:{seed}') % 5)::INT)
+                || wstream(did, 'nd', 3 + (hash(did::VARCHAR
+                                           || ':cut:{seed}') % 5)::INT),
+                ' ')
+            ELSE array_to_string(wstream(did, 'w', nw(did)), ' ')
+          END AS text
+        FROM ids)
+      SELECT did AS doc_id, text,
+        CASE WHEN hash(did::VARCHAR || ':lg:{seed}') % 100 < 42 THEN 'en'
+             WHEN hash(did::VARCHAR || ':lg:{seed}') % 100 < 57 THEN 'zh'
+             WHEN hash(did::VARCHAR || ':lg:{seed}') % 100 < 72 THEN 'es'
+             WHEN hash(did::VARCHAR || ':lg:{seed}') % 100 < 86 THEN 'fr'
+             ELSE 'de' END AS lang,
+        'src' || (hash(did::VARCHAR || ':sr:{seed}') % 20)::VARCHAR AS source,
+        strlen(text)::BIGINT AS n_chars
+      FROM base
+    """
+    con.sql(f"COPY ({docs_sql}) TO '{dst}/documents.parquet' (FORMAT PARQUET)")
+    nd = con.sql(
+        f"SELECT count(*), count(DISTINCT text) "
+        f"FROM read_parquet('{dst}/documents.parquet')"
+    ).fetchone()
+    print(f"documents: {nd[0]} rows, {nd[1]} distinct texts")
+
+    n_clusters = max(8, n_vecs // 250)
+    # center: U[-0.35, 0.35]; noise: U[-0.08, 0.08]; near-dup jitter:
+    # U[-0.002, 0.002] on the PARENT's realized vector
+    con.sql(f"""
+        CREATE MACRO centc(c, d) AS
+          (hash('c:' || c::VARCHAR || ':' || d::VARCHAR || ':{seed}')
+           % 700001)::DOUBLE / 1e6 - 0.35;
+        CREATE MACRO noisec(v, d) AS
+          (hash('n:' || v::VARCHAR || ':' || d::VARCHAR || ':{seed}')
+           % 160001)::DOUBLE / 1e6 - 0.08;
+        CREATE MACRO jitc(v, d) AS
+          (hash('j:' || v::VARCHAR || ':' || d::VARCHAR || ':{seed}')
+           % 4001)::DOUBLE / 1e6 - 0.002;
+        CREATE MACRO basevec(v) AS
+          list_transform(range(0, 64),
+            d -> centc(hash(v::VARCHAR || ':cl:{seed}') % {n_clusters}, d)
+                 + noisec(v, d));
+    """)
+    emb_sql = f"""
+      WITH ids AS (SELECT unnest(range({n_vecs})) AS vid)
+      SELECT vid AS vec_id,
+        CAST(CASE WHEN vid % 20 = 9 THEN
+               list_transform(basevec(vid - 1), (x, i) -> x + jitc(vid, i))
+             ELSE basevec(vid) END AS FLOAT[]) AS embedding,
+        ((hash((CASE WHEN vid % 20 = 9 THEN vid - 1 ELSE vid END)::VARCHAR
+               || ':cl:{seed}') % {n_clusters}) % 10)::INT AS label
+      FROM ids
+    """
+    con.sql(f"COPY ({emb_sql}) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)")
+    ne = con.sql(
+        f"SELECT count(*), count(DISTINCT embedding::VARCHAR) "
+        f"FROM read_parquet('{dst}/embeddings.parquet')"
+    ).fetchone()
+    print(f"embeddings: {ne[0]} rows, {ne[1]} distinct, "
+          f"{n_clusters} latent clusters")
+
+
 def build_relational(n: int, src: str, dst: str, corpus_dir: str | None) -> None:
     """The relational/metrics decade (VERDICT r7 #3): TPC-H tables + events
     ONLY, scaled n x from *src* with the same consistently-shifted-key
@@ -241,6 +362,11 @@ if __name__ == "__main__":
         dst = sys.argv[4] if len(sys.argv) > 4 else "/root/repo/.scale/rel/sf10"
         corpus = sys.argv[5] if len(sys.argv) > 5 else "/root/repo/.scale/sf10"
         build_relational(n, src, dst, corpus)
+    elif len(sys.argv) > 1 and sys.argv[1] == "synth":
+        n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
+        n_vecs = int(sys.argv[3]) if len(sys.argv) > 3 else 20_000
+        dst = sys.argv[4] if len(sys.argv) > 4 else "/root/repo/.scale/synth_sf1"
+        build_synth(n_docs, n_vecs, dst)
     elif len(sys.argv) > 1 and sys.argv[1] == "corpus":
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 10
         src = sys.argv[3] if len(sys.argv) > 3 else "/root/repo/.scale/sf1"
