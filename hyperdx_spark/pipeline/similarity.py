@@ -313,8 +313,19 @@ def cosine_pairs(
                     "clustering.kmeans_assign) or filter NULLs explicitly"
                 )).cast(df.schema[block_col].dataType),
             ).otherwise(F.col(block_col))
+            # vectors ride the block self-join (r16): the previous plan
+            # emitted slim (id_a, id_b) candidates and RE-JOINED vectors
+            # onto every pair — an O(Σ block²) SHUFFLE (measured 1.28 GB
+            # at 200k vectors/k=2000 once the vector side outgrew the
+            # broadcast threshold and flipped to sort-merge; 155× the sf1
+            # peak for 10× input — a 100×-scale killer).  Carrying v
+            # through the join keeps the shuffle INPUT-LINEAR (2·N rows
+            # hashed on __blk; a block is ≤ max_bucket_size so each join
+            # group is small) and the quadratic part stays in-memory
+            # inside the join group, where it is CPU, not network.
             ids = df.select(
-                F.col(id_col).alias("id"), blk.alias("__blk")
+                F.col(id_col).alias("id"), blk.alias("__blk"),
+                F.col(vec_col).alias("__v"),
             )
             if max_bucket_size is not None:
                 # the mega-bucket guard applies to BLOCKS too: a degenerate
@@ -350,13 +361,17 @@ def cosine_pairs(
                     )
                 ids = ids.join(F.broadcast(big), on="__blk", how="left_anti")
             a_, b_ = ids.alias("a"), ids.alias("b")
-            cand = (
+            out = (
                 a_.join(b_, on=F.col("a.__blk") == F.col("b.__blk"))
                 .where(F.col("a.id") < F.col("b.id"))
                 .select(
-                    F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+                    F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"),
+                    cosine(F.col("a.__v"), F.col("b.__v")).alias("cos"),
                 )
+                .where(F.col("cos") >= threshold)
             )
+            return _register_cached(out, cached)
         else:
             ids = df.select(F.col(id_col).alias("id"))
             a_, b_ = ids.alias("a"), ids.alias("b")

@@ -89,3 +89,35 @@ def test_banded_recall_meets_documented_floor(spark):
         f"measured {recall} vs predicted {predicted:.3f} — the "
         "lsh_expected_recall formula overstates this geometry"
     )
+
+
+def test_simhash_pigeonhole_guarantee_and_prediction(spark):
+    """SimHash blocking (r16): within the pigeonhole guarantee
+    (h < blocks) every planted fingerprint pair MUST collide in some
+    block — recall exactly 1.0, a property of the bits, not the corpus.
+    Beyond the guarantee the measured recall must track the exact
+    inclusion-exclusion prediction (the harness's closed form)."""
+    res = bench_dedup_recall.measure_simhash_recall(
+        spark, n_base=300, per_tier=80, hams=(1, 2, 3, 5),
+    )
+    for h in (1, 2, 3):
+        assert res["tiers"][h]["measured"] == 1.0, (
+            f"pigeonhole guarantee violated at hamming {h}: "
+            f"{res['tiers'][h]}"
+        )
+    t5 = res["tiers"][5]
+    # 80-pair binomial sigma ~ 0.049 at p~0.74; 0.2 is ~4 sigma
+    assert abs(t5["measured"] - t5["predicted"]) < 0.2, t5
+
+
+def test_winnow_guarantee_length_recall_is_one(spark):
+    """Winnowing (r16): any shared run >= w+k-1 chars contains a full
+    window whose min fingerprint is selected in BOTH docs (Schleimer'03)
+    — candidate recall at the guarantee length must be exactly 1.0.
+    measure_winnow_recall itself raises on a violation; this pins the
+    guarantee into the test suite at pytest size."""
+    res = bench_dedup_recall.measure_winnow_recall(
+        spark, per_tier=40, lengths=(23, 32),
+    )
+    assert res["tiers"][23]["measured"] == 1.0
+    assert res["tiers"][32]["measured"] == 1.0
