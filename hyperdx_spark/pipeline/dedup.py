@@ -1162,12 +1162,13 @@ def semantic_dedup(
             embeddings, block_k, id_col=emb_id_col, vec_col=vec_col,
             seed=seed, iterations=block_iterations, init=block_init,
         )
-        # persist: cosine_pairs reads the assignment frame ~4 times (ids
-        # aliased twice for the self-join + vectors re-attached twice) and
-        # mapInPandas assignments cannot be collapsed by Catalyst — without
-        # the barrier the dominant k x N distance pass re-runs each time
-        # (the banded path persists its signature frame for the same
-        # reason). Registered on the result for release_cached.
+        # persist: cosine_pairs reads the assignment frame ~3 times (the
+        # mega-block cap aggregate + the two sides of the block self-join,
+        # which since r16 carries the vectors) and mapInPandas assignments
+        # cannot be collapsed by Catalyst — without the barrier the
+        # dominant k x N distance pass re-runs each time (the banded path
+        # persists its signature frame for the same reason). Registered on
+        # the result for release_cached.
         embeddings = kmeans_assign(
             embeddings, cents, vec_col=vec_col,
             cluster_col="__sem_blk", method="arrow",
