@@ -37,8 +37,14 @@ def main() -> None:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
     )
-    hist = docs.where(F.col("doc_id") % 10 != 0)
-    batch = docs.where(F.col("doc_id") % 10 == 0)
+    # batch = ids ending in 9: on BOTH fixture families the planted
+    # near-dup pairs are id-adjacent (did-1, did) with did ending in 9,
+    # so this split puts each pair's partner in the batch and its base in
+    # history — the probe recall denominator is non-empty by construction
+    # (the previous %10==0 split left every synth planted pair inside
+    # history, making recall vacuous — r16).
+    hist = docs.where(F.col("doc_id") % 10 != 9)
+    batch = docs.where(F.col("doc_id") % 10 == 9)
     n_hist, n_batch = hist.count(), batch.count()
     out: dict = {"sf_dir": sf_dir, "n_hist": n_hist, "n_batch": n_batch}
 
@@ -86,8 +92,8 @@ def main() -> None:
     want = set()
     for r in rows:
         a, b = r["id_a"], r["id_b"]
-        if (a % 10 == 0) != (b % 10 == 0):  # cross (batch, hist) pairs
-            want.add((a, b) if a % 10 == 0 else (b, a))
+        if (a % 10 == 9) != (b % 10 == 9):  # cross (batch, hist) pairs
+            want.add((a, b) if a % 10 == 9 else (b, a))
     out["full_cross_pairs"] = len(want)
     out["recall"] = round(len(got_pairs & want) / len(want), 4) if want else 1.0
     spark.sql("DROP TABLE IF EXISTS bx_mh")
