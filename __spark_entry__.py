@@ -4264,10 +4264,17 @@ def q_ann_indexed(spark, sf_dir):
     # cosine 0.5, connected components, keeper = lowest id (score_col
     # None), SemDeDup survivors feeding the prototype window, final
     # anti-join; docs without an embedding pass through.
+    # block_centroids=km_c: the identical fit already ran above — reuse
+    # it instead of paying the farthest init + 2 Lloyd passes twice per
+    # gate evaluation (r16 review).  max_bucket_size=None: the DuckDB
+    # replay models the UNCAPPED within-cluster contract; the engine's
+    # 10k default would silently diverge from the oracle (and constrain
+    # fixture growth) the moment a cluster outgrew the cap.
     d4s = dedup.d4_select(
         load_table(spark, sf_dir, "documents").select("doc_id"),
         emb, block_k=2, threshold=0.5, drop_frac=0.25,
         block_init="farthest", block_iterations=2,
+        block_centroids=km_c, max_bucket_size=None,
     )
     km_d4sel = d4s.select(
         F.lit("d4sel|keep").alias("part"),

@@ -33,7 +33,7 @@ not reported similarity.)
 from __future__ import annotations
 
 import warnings
-from typing import Optional
+from typing import Optional, Sequence
 
 from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
@@ -1233,6 +1233,7 @@ def d4_select(
     seed: int = 42,
     block_iterations: int = 3,
     block_init: str = "parallel",
+    block_centroids: Optional[Sequence[Sequence[int]]] = None,
     max_bucket_size: Optional[int] = 10_000,
     max_iterations: int = 20,
 ) -> DataFrame:
@@ -1255,7 +1256,11 @@ def d4_select(
 
     Scale shape: O(rounds) init passes + row-local assignment +
     O(Σ cluster²) capped pair join + one window shuffle per cluster —
-    never a global N² and never k sequential jobs."""
+    never a global N² and never k sequential jobs.
+
+    ``block_centroids``: pass an already-fitted centroid matrix (r16) to
+    skip the internal ``kmeans_fit`` — for callers that already paid a
+    clustering pass (must have exactly ``block_k`` rows)."""
     from hyperdx_spark.pipeline.clustering import (
         kmeans_assign, kmeans_fit, prototype_filter,
     )
@@ -1263,10 +1268,21 @@ def d4_select(
     if not (0.0 <= drop_frac < 1.0):
         # fail before the k-means fit / assignment / dedup pipeline runs
         raise ValueError(f"drop_frac must be in [0, 1), got {drop_frac}")
-    cents = kmeans_fit(
-        embeddings, block_k, id_col=emb_id_col, vec_col=vec_col,
-        seed=seed, iterations=block_iterations, init=block_init,
-    )
+    if block_centroids is not None:
+        # caller already paid a clustering pass (r16 review): reuse it
+        # instead of refitting bit-identical centroids — the operator's
+        # whole point is sharing ONE clustering
+        if len(block_centroids) != block_k:
+            raise ValueError(
+                f"block_centroids has {len(block_centroids)} rows but "
+                f"block_k={block_k}"
+            )
+        cents = [list(c) for c in block_centroids]
+    else:
+        cents = kmeans_fit(
+            embeddings, block_k, id_col=emb_id_col, vec_col=vec_col,
+            seed=seed, iterations=block_iterations, init=block_init,
+        )
     assigned = kmeans_assign(
         embeddings, cents, vec_col=vec_col,
         cluster_col="__sem_blk", method="arrow", dist_col="__sem_d",

@@ -346,19 +346,29 @@ def cosine_pairs(
                 # the already-persisted ≤-#blocks frame the broadcast join
                 # reads anyway; collect() would instead be unbounded (up
                 # to n/max_bucket_size mega-blocks at corpus scale).
-                n_dropped = big.count()
-                if n_dropped:
-                    warnings.warn(
-                        f"cosine_pairs: {n_dropped} block(s) exceed "
-                        f"max_bucket_size={max_bucket_size} and are "
-                        "DROPPED from exhaustive pairing (their rows pair "
-                        "with nothing) — a degenerate mega-cluster, or a "
-                        "block_k too small for the corpus; raise "
-                        "max_bucket_size / increase block_k, or pass "
-                        "max_bucket_size=None to pair them at O(n²) cost",
-                        RuntimeWarning,
-                        stacklevel=2,
-                    )
+                # unpersist-on-raise: the count job can fail, and the
+                # warning itself raises under warnings-as-errors — either
+                # way the freshly persisted frame must not leak (the
+                # semantic_dedup handler can only release what a RETURNED
+                # frame registers).
+                try:
+                    n_dropped = big.count()
+                    if n_dropped:
+                        warnings.warn(
+                            f"cosine_pairs: {n_dropped} block(s) exceed "
+                            f"max_bucket_size={max_bucket_size} and are "
+                            "DROPPED from exhaustive pairing (their rows "
+                            "pair with nothing) — a degenerate "
+                            "mega-cluster, or a block_k too small for the "
+                            "corpus; raise max_bucket_size / increase "
+                            "block_k, or pass max_bucket_size=None to "
+                            "pair them at O(n²) cost",
+                            RuntimeWarning,
+                            stacklevel=2,
+                        )
+                except BaseException:
+                    big.unpersist()
+                    raise
                 ids = ids.join(F.broadcast(big), on="__blk", how="left_anti")
             a_, b_ = ids.alias("a"), ids.alias("b")
             out = (

@@ -246,14 +246,19 @@ def measure_d4_shared(spark, sf_dir: str) -> dict:
     naive = sem.join(dropped, on="doc_id", how="left_anti")
     out["naive_rows"] = naive.count()
     out["naive_s"] = round(time.monotonic() - t0, 2)
+    # release BOTH paths' cached blocks before returning (even on the
+    # mismatch raise): the sf1 call's persisted assignment frames would
+    # otherwise stay cached through the sf10 run and bias exactly the
+    # timings this function reports (r16 review)
+    dedup.release_cached(sel)
+    dedup.release_cached(sem)
+    sem.unpersist()
     if out["naive_rows"] != out["d4_select_rows"]:
         raise AssertionError(
             f"d4_select ({out['d4_select_rows']}) and the naive two-pass "
             f"({out['naive_rows']}) kept different row counts — the "
             "composition no longer matches its parts"
         )
-    dedup.release_cached(sel)
-    sem.unpersist()
     return out
 
 

@@ -352,7 +352,8 @@ def measure_winnow_recall(
                 f"but only {found}/{len(pp)} planted pairs produced a "
                 "shared fingerprint"
             )
-    dedup.release_cached(pairs_df)
+    pairs_df.unpersist()  # our own persist; release_cached frees only
+    dedup.release_cached(pairs_df)  # ...winnow_pairs' fingerprint frame
     corpus.unpersist()
     return {"tiers": tiers, "k": k, "w": w, "guarantee_len": guarantee,
             "wall_s": round(time.monotonic() - t0, 2)}
