@@ -436,3 +436,29 @@ def test_within_cluster_exhaustive_pairs(spark):
         blocked, threshold=0.9, exhaustive=True, block_col="cluster"
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_d4_select_precomputed_centroids(spark):
+    """block_centroids (r16): reusing an already-fitted matrix must give
+    the IDENTICAL kept set as the internal fit (same seed/config), and a
+    matrix whose row count disagrees with block_k must raise before any
+    job runs."""
+    from hyperdx_spark.pipeline import dedup
+
+    emb = _three_blob_df(spark)
+    corpus = emb.select(F.col("vec_id").alias("doc_id"),
+                        F.concat(F.lit("doc"), "vec_id").alias("text"))
+    cents = clustering.kmeans_fit(emb, 3, iterations=3, init="parallel")
+    pre = dedup.d4_select(
+        corpus, emb, block_k=3, threshold=0.9, block_centroids=cents
+    )
+    fit = dedup.d4_select(corpus, emb, block_k=3, threshold=0.9)
+    got_pre = sorted(r["doc_id"] for r in pre.collect())
+    got_fit = sorted(r["doc_id"] for r in fit.collect())
+    assert got_pre == got_fit == [0, 8, 16]
+    dedup.release_cached(pre)
+    dedup.release_cached(fit)
+    with pytest.raises(ValueError, match="block_centroids"):
+        dedup.d4_select(
+            corpus, emb, block_k=2, threshold=0.9, block_centroids=cents
+        )
