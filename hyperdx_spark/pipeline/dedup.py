@@ -822,40 +822,58 @@ def dedup_groups(
     )
     converged = False
     cp_handles: list[_LocalCheckpointHandle] = []
-    for it in range(max_iterations):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("lbl").alias("nlbl"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
-            .select(
-                "id",
-                F.least(F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))).alias("lbl"),
+    new_labels: DataFrame | None = None
+    # unpersist-on-raise: the loop runs jobs (eager checkpoints, the
+    # convergence count) while edges/labels/checkpoint blocks are
+    # persisted — a mid-loop failure would strand them all in a
+    # long-lived session, since only a RETURNED frame's registrations
+    # reach release_cached.
+    try:
+        for it in range(max_iterations):
+            neighbor_min = (
+                edges.join(labels, edges.dst == labels.id)
+                .groupBy("src")
+                .agg(F.min("lbl").alias("nlbl"))
             )
-        )
-        # Truncate lineage every few rounds: without this the plan tree at
-        # iteration N nests N joins and analysis/scheduling cost blows up on
-        # deep components.
-        if it > 0 and it % 5 == 0:
-            new_labels = new_labels.localCheckpoint(eager=True)
-            # DataFrame.unpersist() cannot free checkpoint blocks — keep a
-            # LogicalRDD handle so release_cached frees them (ADVICE r5)
-            cp_handles.append(_LocalCheckpointHandle(new_labels))
-        else:
-            new_labels = new_labels.persist()
-        changed = (
-            new_labels.join(labels.withColumnRenamed("lbl", "old"), on="id")
-            .where(F.col("lbl") != F.col("old"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()  # no-op on the (unpersisted) first iteration
-        labels = new_labels
-        if changed == 0:
-            converged = True
-            break
+            new_labels = (
+                labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))
+                    ).alias("lbl"),
+                )
+            )
+            # Truncate lineage every few rounds: without this the plan tree
+            # at iteration N nests N joins and analysis/scheduling cost
+            # blows up on deep components.
+            if it > 0 and it % 5 == 0:
+                new_labels = new_labels.localCheckpoint(eager=True)
+                # DataFrame.unpersist() cannot free checkpoint blocks —
+                # keep a LogicalRDD handle so release_cached frees them
+                # (ADVICE r5)
+                cp_handles.append(_LocalCheckpointHandle(new_labels))
+            else:
+                new_labels = new_labels.persist()
+            changed = (
+                new_labels.join(labels.withColumnRenamed("lbl", "old"), on="id")
+                .where(F.col("lbl") != F.col("old"))
+                .limit(1)
+                .count()
+            )
+            labels.unpersist()  # no-op on the (unpersisted) first iteration
+            labels = new_labels
+            if changed == 0:
+                converged = True
+                break
+    except BaseException:
+        edges.unpersist()
+        labels.unpersist()
+        if new_labels is not None and new_labels is not labels:
+            new_labels.unpersist()
+        for handle in cp_handles:
+            handle.unpersist()
+        raise
     if not converged:
         warnings.warn(
             f"dedup_groups: min-label propagation did not converge within "

@@ -1041,6 +1041,46 @@ def test_composed_release_frees_inner_blocks(spark):
     assert n_blocks() == before
 
 
+def test_dedup_groups_unpersists_on_midloop_failure(spark, monkeypatch):
+    """The CC loop runs convergence-count jobs while edges/labels are
+    persisted; a mid-loop failure must release every block it materialized
+    (same unpersist-on-raise discipline as semantic_dedup — r15 advice),
+    not strand them in a long-lived session."""
+    import pytest as _pytest
+
+    from hyperdx_spark.pipeline import dedup
+
+    sc = spark.sparkContext
+
+    def n_blocks():
+        return len(sc._jsc.sc().getRDDStorageInfo())
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a long, id_b long"
+    )
+    # patch the CONCRETE class: pyspark.sql.DataFrame is the abstract
+    # dispatch base in Spark 4 and the classic subclass overrides count
+    df_cls = type(pairs)
+    before = n_blocks()
+    real_count = df_cls.count
+    calls = {"n": 0}
+
+    def flaky_count(self):
+        # iteration 0's convergence count succeeds (edges + the first
+        # label frame materialize into the cache); iteration 1's fails
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected mid-loop failure")
+        return real_count(self)
+
+    monkeypatch.setattr(df_cls, "count", flaky_count)
+    with _pytest.raises(RuntimeError, match="injected mid-loop"):
+        dedup.dedup_groups(pairs)
+    monkeypatch.undo()
+    assert calls["n"] == 2  # the failure really came from inside the loop
+    assert n_blocks() == before
+
+
 def test_scale_safety_caps_default_on():
     """VERDICT r5 #1: the sf10-proven-mandatory caps are the DEFAULT, with
     None as the explicit opt-out — a 100 TB user who takes defaults must
