@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hyperdx_spark.io import write_bucketed
-from hyperdx_spark.pipeline.dedup import fingerprint
+from hyperdx_spark.pipeline.dedup import _LocalCheckpointHandle, fingerprint
 
 DEFAULT_BUCKETS = 256
 
@@ -159,12 +159,19 @@ def compact_exact_store(spark: SparkSession, table: str) -> None:
         .agg(F.min("keep_id").alias("keep_id"))
         .localCheckpoint()  # sever lineage from the table being replaced
     )
-    spark.sql(f"DROP TABLE IF EXISTS {staging}")
-    spark.sql(f"DROP TABLE IF EXISTS {old}")
-    write_bucketed(
-        compacted, staging, buckets=buckets, bucket_cols=["fp"],
-        sort_cols=["fp"],
-    )
+    # the checkpoint blocks are a full pass of the store — free them
+    # deterministically once the staging write (the terminal action on
+    # the frame) finishes or fails, instead of waiting for JVM GC
+    handle = _LocalCheckpointHandle(compacted)
+    try:
+        spark.sql(f"DROP TABLE IF EXISTS {staging}")
+        spark.sql(f"DROP TABLE IF EXISTS {old}")
+        write_bucketed(
+            compacted, staging, buckets=buckets, bucket_cols=["fp"],
+            sort_cols=["fp"],
+        )
+    finally:
+        handle.unpersist()
     _swap_in_staging(spark, table)
 
 
@@ -189,12 +196,18 @@ def compact_minhash_store(spark: SparkSession, table: str) -> None:
     compacted = spark.table(table).dropDuplicates(
         ["band", "bucket", "id"]
     ).localCheckpoint()
-    spark.sql(f"DROP TABLE IF EXISTS {staging}")
-    spark.sql(f"DROP TABLE IF EXISTS {old}")
-    write_bucketed(
-        compacted, staging, buckets=buckets, bucket_cols=["bucket"],
-        sort_cols=["bucket"],
-    )
+    # same deterministic release as compact_exact_store: a full-store
+    # checkpoint must not wait for GC (or leak on a failed write)
+    handle = _LocalCheckpointHandle(compacted)
+    try:
+        spark.sql(f"DROP TABLE IF EXISTS {staging}")
+        spark.sql(f"DROP TABLE IF EXISTS {old}")
+        write_bucketed(
+            compacted, staging, buckets=buckets, bucket_cols=["bucket"],
+            sort_cols=["bucket"],
+        )
+    finally:
+        handle.unpersist()
     _swap_in_staging(spark, table)
 
 

@@ -62,14 +62,23 @@ def start_incremental_dedup(
         classified = dedup_exact_against_store(
             batch_df, spark, table, text_col=text_col, id_col=id_col
         ).localCheckpoint()  # one pass feeds BOTH the sink and the append
-        (
-            classified.withColumn("__epoch", F.lit(int(epoch_id)))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("__epoch")
-            .parquet(out_path)
-        )
-        append_novel_to_store(classified, table, id_col=id_col)
+        # free each epoch's checkpoint blocks at epoch end (or on a failed
+        # sink/append) — a long-running stream would otherwise accumulate
+        # per-batch blocks until JVM GC gets around to them
+        from hyperdx_spark.pipeline.dedup import _LocalCheckpointHandle
+
+        handle = _LocalCheckpointHandle(classified)
+        try:
+            (
+                classified.withColumn("__epoch", F.lit(int(epoch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("__epoch")
+                .parquet(out_path)
+            )
+            append_novel_to_store(classified, table, id_col=id_col)
+        finally:
+            handle.unpersist()
         if compact_every and (int(epoch_id) + 1) % compact_every == 0:
             compact_exact_store(spark, table)
 
