@@ -657,6 +657,7 @@ def cosine_topk_ivf(
     nlist: int = 16,
     nprobe: int = 4,
     seed: int = 42,
+    arrow: bool = True,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: corpus vectors are assigned to
     their nearest coarse centroid once; a query scores only the lists of its
@@ -666,10 +667,16 @@ def cosine_topk_ivf(
 
     Same output contract as :func:`cosine_topk`: (query_id, match_id, cos,
     rank) — and with nprobe high enough to cover the true neighbors it is
-    exactly the brute-force answer."""
+    exactly the brute-force answer. ``arrow`` (default) runs the N x nlist
+    corpus assignment — the dominant cost at production nlist ~ sqrt(N) —
+    as numpy batch math, as in :func:`build_ivf_index`; full-probe results
+    are unaffected, partial-probe assignment can shift by last-ulp
+    rounding. The (tiny) query-side probe keeps the Column path either
+    way."""
     cents = _centroids(corpus, id_col=id_col, vec_col=vec_col, nlist=nlist, seed=seed)
     c = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("__cv"))
-    cl = _assign(c, cents, "__cv", 1)  # each corpus vector lives in ONE list
+    assign = _assign_arrow if arrow else _assign
+    cl = assign(c, cents, "__cv", 1)  # each corpus vector lives in ONE list
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
     ql = _assign(q, cents, "__qv", nprobe)  # queries probe several lists
     cand = (
@@ -919,6 +926,7 @@ def cosine_topk_pq(
     codes: int = 16,
     seed: int = 42,
     refine: int = 50,
+    arrow: bool = True,
 ) -> DataFrame:
     """Approximate top-k via PQ asymmetric distance, exact-cosine re-ranked.
 
@@ -929,11 +937,17 @@ def cosine_topk_pq(
     Stage 2: the top ``refine`` ADC candidates per query are re-ranked by
     exact cosine (standard two-stage retrieval; refine bounds the exact
     work per query regardless of corpus size). Output matches
-    ``cosine_topk``: (query_id, match_id, cos, rank)."""
+    ``cosine_topk``: (query_id, match_id, cos, rank). ``arrow`` (default)
+    runs the full-corpus PQ encode as numpy batch math, as in
+    :func:`build_ivfpq_index`; refine-covering queries are unaffected at
+    the result level, partial-refine candidate sets can shift by last-ulp
+    encode rounding."""
     books = pq_codebooks(
-        corpus, id_col=id_col, vec_col=vec_col, m=m, codes=codes, seed=seed
+        corpus, id_col=id_col, vec_col=vec_col, m=m, codes=codes, seed=seed,
+        arrow=arrow,
     )
-    enc = pq_encode(corpus, books, vec_col=vec_col).select(
+    encode = pq_encode_arrow if arrow else pq_encode
+    enc = encode(corpus, books, vec_col=vec_col).select(
         F.col(id_col).alias("match_id"), F.col(vec_col).alias("__cv"), "pq_code"
     )
     qt = _adc_query_tables(queries, books, id_col=id_col, vec_col=vec_col)
