@@ -147,10 +147,18 @@ def test_ivf_exact_when_probing_all_lists(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     qs = emb.where(F.col("vec_id") < 3)
     brute = norm([tuple(r) for r in similarity.cosine_topk(emb, qs, k=5).collect()])
-    ivf = norm(
-        [tuple(r) for r in similarity.cosine_topk_ivf(emb, qs, k=5, nlist=8, nprobe=8).collect()]
-    )
-    assert ivf == brute and len(ivf) == 15
+    # both corpus-assignment paths: arrow (default, numpy batch) and the
+    # interpreted Column walk must each reproduce brute at full probe
+    for arrow in (True, False):
+        ivf = norm(
+            [
+                tuple(r)
+                for r in similarity.cosine_topk_ivf(
+                    emb, qs, k=5, nlist=8, nprobe=8, arrow=arrow
+                ).collect()
+            ]
+        )
+        assert ivf == brute and len(ivf) == 15, f"arrow={arrow}"
 
 
 def test_ivf_recall_with_partial_probe(spark, sf_dir):
@@ -200,16 +208,18 @@ def test_pq_exact_when_refine_covers_corpus(spark, sf_dir):
         .collect()
     )
     # refine >= |corpus| -> stage-2 re-ranks every row by exact cosine, so
-    # PQ quantization error cannot change the output: identical to brute
-    pq = sorted(
-        tuple(r)
-        for r in similarity.cosine_topk_pq(
-            emb, qs, k=5, m=8, codes=8, refine=10**6
+    # PQ quantization error cannot change the output: identical to brute —
+    # on BOTH encode paths (arrow numpy batch and interpreted Column)
+    for arrow in (True, False):
+        pq = sorted(
+            tuple(r)
+            for r in similarity.cosine_topk_pq(
+                emb, qs, k=5, m=8, codes=8, refine=10**6, arrow=arrow
+            )
+            .select("query_id", "match_id", "rank")
+            .collect()
         )
-        .select("query_id", "match_id", "rank")
-        .collect()
-    )
-    assert pq == brute
+        assert pq == brute, f"arrow={arrow}"
 
 
 def test_pq_recall_with_small_refine(spark, sf_dir):
