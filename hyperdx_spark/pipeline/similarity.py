@@ -601,13 +601,21 @@ def build_ivf_index(
     nlist: int = 16,
     seed: int = 42,
     arrow: bool = True,
+    centroid_iters: int = 1,
 ) -> None:
     """Persist an IVF index: corpus vectors written as parquet PARTITIONED
     BY their coarse-centroid list, plus the centroid table. This is the
     build-once/query-many shape for a 100 TB corpus — a query later reads
     ONLY its ``nprobe`` list partitions (partition pruning on ``cent_id``),
-    not the whole corpus. ``arrow`` as in :func:`build_ivfpq_index`."""
+    not the whole corpus. ``arrow`` and ``centroid_iters`` as in
+    :func:`build_ivfpq_index` — fitted list means tighten the Voronoi
+    cells, so partial probes cover more of the true neighbors per list
+    read; build-once/query-many amortizes the refit passes."""
     cents = _centroids(corpus, id_col=id_col, vec_col=vec_col, nlist=nlist, seed=seed)
+    if centroid_iters:
+        cents = _refit_centroids(
+            corpus, cents, vec_col=vec_col, iterations=centroid_iters
+        )
     c = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("vec"))
     assign = _assign_arrow if arrow else _assign
     assigned = assign(c, cents, "vec", 1)
@@ -707,12 +715,16 @@ def pq_codebooks(
     seed: int = 42,
     refine_iters: int = 1,
     arrow: bool = False,
+    normalize: bool = True,
 ) -> list[list[list[float]]]:
     """Deterministic PQ codebooks: split the vector into ``m`` subspaces and
     use the sub-vectors of the ``codes`` hash-top-k corpus rows as each
     subspace's codewords (the `_centroids` trick per subspace — a uniform
     reproducible sample standing in for k-means; no iterative training).
-    Vectors are L2-normalized first so PQ L2 distance orders like cosine.
+    Vectors are L2-normalized first so PQ L2 distance orders like cosine;
+    ``normalize=False`` trains on the vectors as-is (the residual-encoding
+    path, where the input is already ``unit(x) − unit(centroid)`` and
+    renormalizing would destroy the decomposition).
 
     Returns ``books[j][c] = codeword c of subspace j`` as plain lists —
     tiny (m × codes × dim/m floats), ships to executors as literals."""
@@ -737,7 +749,7 @@ def pq_codebooks(
         book = []
         for r in anchors:
             v = [float(x) for x in r["v"]]
-            n = sum(x * x for x in v) ** 0.5 or 1.0
+            n = (sum(x * x for x in v) ** 0.5 or 1.0) if normalize else 1.0
             book.append([x / n for x in v[j * sub : (j + 1) * sub]])
         books.append(book)
     # Lloyd refinement: re-center each codeword on the mean of its assigned
@@ -748,9 +760,14 @@ def pq_codebooks(
 
     for _ in range(refine_iters):
         encode = pq_encode_arrow if arrow else pq_encode
-        enc = encode(corpus, books, vec_col=vec_col).withColumn(
-            "__u", _unit(F.col(vec_col))
+        as_double = (
+            _unit(F.col(vec_col))
+            if normalize
+            else F.transform(F.col(vec_col), lambda x: x.cast("double"))
         )
+        enc = encode(
+            corpus, books, vec_col=vec_col, normalize=normalize
+        ).withColumn("__u", as_double)
         # materialize BEFORE the explode: the interpreted-HOF encode
         # expression would otherwise be re-evaluated per generated row
         # downstream (measured ~20x slower without this)
@@ -783,12 +800,17 @@ def _unit(vec: Column) -> Column:
 
 
 def pq_encode_arrow(
-    df: DataFrame, books: list[list[list[float]]], *, vec_col: str = "embedding"
+    df: DataFrame,
+    books: list[list[list[float]]],
+    *,
+    vec_col: str = "embedding",
+    normalize: bool = True,
 ) -> DataFrame:
     """Vectorized PQ encode: per Arrow batch, one (rows x codes x sub)
     squared-distance broadcast per subspace over the codebook tensor —
     ~100x the interpreted nested-HOF Column walk. Ties take the first
-    (lowest) code index, same as the Column path's array_position."""
+    (lowest) code index, same as the Column path's array_position.
+    ``normalize=False`` encodes the vectors as-is (residual path)."""
     import numpy as np
 
     m = len(books)
@@ -801,8 +823,11 @@ def pq_encode_arrow(
         if len(series) == 0:
             return pd.Series([], dtype=object)
         X = np.stack([np.asarray(v, dtype=np.float64) for v in series])
-        n = np.linalg.norm(X, axis=1)
-        U = X / np.where(n == 0, 1.0, n)[:, None]
+        if normalize:
+            n = np.linalg.norm(X, axis=1)
+            U = X / np.where(n == 0, 1.0, n)[:, None]
+        else:
+            U = X
         out = np.empty((len(X), m), dtype=np.int64)
         for j in range(m):
             S = U[:, j * sub:(j + 1) * sub]
@@ -815,10 +840,15 @@ def pq_encode_arrow(
 
 
 def pq_encode(
-    df: DataFrame, books: list[list[list[float]]], *, vec_col: str = "embedding"
+    df: DataFrame,
+    books: list[list[list[float]]],
+    *,
+    vec_col: str = "embedding",
+    normalize: bool = True,
 ) -> DataFrame:
     """Attach ``pq_code`` (array<int>, length m): per subspace, the index of
-    the nearest codeword by L2 on the normalized vector. All JVM-side — the
+    the nearest codeword by L2 on the normalized vector (``normalize=False``:
+    on the vector as-is — residual path). All JVM-side — the
     codebooks splice in as array literals; at 100 TB this is a row-local
     projection (zero shuffles) and the 8-byte code replaces the 256-byte
     vector in every downstream candidate pass."""
@@ -831,7 +861,12 @@ def pq_encode(
     cbdf = F.broadcast(
         spark.createDataFrame([(books,)], "__cb array<array<array<double>>>")
     )
-    staged = df.crossJoin(cbdf).withColumn("__u", _unit(F.col(vec_col)))
+    as_double = (
+        _unit(F.col(vec_col))
+        if normalize
+        else F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    )
+    staged = df.crossJoin(cbdf).withColumn("__u", as_double)
 
     def sq_dist(cw: Column, usub: Column) -> Column:
         return F.aggregate(
@@ -900,6 +935,77 @@ def _adc_query_tables(
         ]
     )
     return queries.sparkSession.createDataFrame(table_rows, qt_schema)
+
+
+def _adc_residual_tables(
+    queries: DataFrame,
+    ql: DataFrame,
+    cents: DataFrame,
+    books: list[list[list[float]]],
+    *,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Per-(query, probed-list) ADC tables for a residual-encoded index:
+    ``table[j][c] = ||(q̂ − ĉ)_j − book[j][c]||²``, so the ADC sum
+    approximates ``||q̂ − (ĉ + r)||² = ||q̂ − x̂||`` — L2 on the unit
+    sphere, i.e. cosine order. One numpy pass over the collected probe
+    pairs; the collect is the same |queries| × nprobe set the partition
+    pruner already materializes. Returns (cent_id, query_id, __qv,
+    __tables) keyed for a single broadcast join on cent_id."""
+    import numpy as np
+
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        StructField,
+        StructType,
+    )
+
+    m, codes, sub = len(books), len(books[0]), len(books[0][0])
+    bk = np.asarray(books, dtype=np.float64)  # (m, codes, sub)
+    ids, Cn = _unit_cent_matrix(cents.collect())
+    cidx = {cid: i for i, cid in enumerate(ids)}
+    pairs = ql.collect()  # |queries| x nprobe — already driver-bounded
+    if len(pairs) * m * codes > 200_000_000:
+        raise ValueError(
+            f"residual ADC tables would hold {len(pairs)} probe pairs x "
+            f"{m}x{codes} doubles on the driver — chunk the query batch "
+            "(windows.py offset windows) or lower nprobe instead"
+        )
+    qrows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("v")
+    ).collect()
+    qv = {}
+    for r in qrows:
+        v = np.asarray(r["v"], dtype=np.float64)
+        n = float(np.linalg.norm(v)) or 1.0
+        qv[r["query_id"]] = v / n
+    if pairs:
+        D = np.stack(
+            [qv[p["query_id"]] - Cn[cidx[p["cent_id"]]] for p in pairs]
+        )
+        T = ((D.reshape(len(pairs), m, 1, sub) - bk[None]) ** 2).sum(-1)
+        rows = [
+            (
+                p["cent_id"],
+                p["query_id"],
+                qv[p["query_id"]].tolist(),
+                t.tolist(),
+            )
+            for p, t in zip(pairs, T)
+        ]
+    else:
+        rows = []
+    schema = StructType(
+        [
+            StructField("cent_id", cents.schema["cent_id"].dataType),
+            StructField("query_id", queries.schema[id_col].dataType),
+            StructField("__qv", ArrayType(DoubleType())),
+            StructField("__tables", ArrayType(ArrayType(DoubleType()))),
+        ]
+    )
+    return queries.sparkSession.createDataFrame(rows, schema)
 
 
 def _adc_score() -> Column:
@@ -973,6 +1079,147 @@ def cosine_topk_pq(
 # ---------------------------------------------------------------------------
 
 
+def _refit_centroids(
+    corpus: DataFrame,
+    cents: DataFrame,
+    *,
+    vec_col: str,
+    iterations: int,
+) -> DataFrame:
+    """Deterministic Lloyd refit of the coarse quantizer: the hash-sampled
+    seed rows are quantized to the micro-unit integer space and stepped
+    with :func:`clustering.kmeans_update` over the UNIT-normalized corpus
+    (cosine geometry), then dequantized back to a centroid frame with the
+    original ``cent_id`` ordering.
+
+    Hash-sampled seeds are corpus ROWS, not means — residual encoding
+    against them is biased by the seed's own offset from the local mean,
+    which is exactly what the IVFADC advantage cannot survive (measured on
+    the synth decade: residual recall@10 0.66 vs 0.93 raw at sf10 without
+    the refit, 0.94 vs 0.93 with ONE Lloyd step).  The integer Lloyd step
+    (exact decimal sums, ``(2s+n)//(2n)`` means) keeps the build
+    bit-deterministic under any partitioning — a float ``avg`` refit
+    would shift Voronoi-boundary assignments run to run.  Cost per
+    iteration: one row-local assignment pass + a (k x dim)-row shuffle,
+    the documented ``kmeans_update`` bound."""
+    import math
+
+    from hyperdx_spark.pipeline.clustering import VEC_SCALE, kmeans_update
+
+    n = norm(F.col(vec_col))
+    safe = F.when(n == F.lit(0.0), F.lit(1.0)).otherwise(n)
+    unit_df = corpus.select(
+        F.transform(F.col(vec_col), lambda x: x.cast("double") / safe).alias(
+            "__uv"
+        )
+    )
+    rows = sorted(cents.collect(), key=lambda r: r["cent_id"])
+    icents = []
+    for r in rows:
+        v = [float(x) for x in r["cvec"]]
+        nv = math.sqrt(sum(x * x for x in v)) or 1.0
+        icents.append(
+            [math.floor(x / nv * VEC_SCALE + 0.5) for x in v]
+        )
+    for _ in range(iterations):
+        nxt = kmeans_update(unit_df, icents, vec_col="__uv")
+        if nxt == icents:
+            break
+        icents = nxt
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        StructField,
+        StructType,
+    )
+
+    out_rows = [
+        (r["cent_id"], [c / VEC_SCALE for c in cent])
+        for r, cent in zip(rows, icents)
+    ]
+    return corpus.sparkSession.createDataFrame(
+        out_rows,
+        StructType(
+            [
+                StructField("cent_id", cents.schema["cent_id"].dataType),
+                StructField("cvec", ArrayType(DoubleType())),
+            ]
+        ),
+    )
+
+
+def _unit_cent_matrix(cent_rows):
+    """(sorted cent ids, unit-normalized centroid matrix) from collected
+    centroid rows — the shared residual-path quantizer representation."""
+    import numpy as np
+
+    rows = sorted(cent_rows, key=lambda r: r["cent_id"])
+    ids = [r["cent_id"] for r in rows]
+    C = np.stack([np.asarray(r["cvec"], dtype=np.float64) for r in rows])
+    cn = np.linalg.norm(C, axis=1)
+    return ids, C / np.where(cn == 0, 1.0, cn)[:, None]
+
+
+def _residuals_arrow(
+    df: DataFrame, cent_rows, vec: str, cent_id_type
+) -> DataFrame:
+    """Attach ``__res = unit(vec) − unit(centroid[cent_id])`` per row —
+    numpy per Arrow batch against the (tiny, driver-collected) centroid
+    matrix, same batch shape as :func:`_assign_arrow`."""
+    import numpy as np
+
+    ids, Cn = _unit_cent_matrix(cent_rows)
+    idx = {cid: i for i, cid in enumerate(ids)}
+
+    def res(v, cser):
+        import pandas as pd
+
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        X = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        xn = np.linalg.norm(X, axis=1)
+        U = X / np.where(xn == 0, 1.0, xn)[:, None]
+        R = U - Cn[[idx[c] for c in cser]]
+        return pd.Series([r.tolist() for r in R])
+
+    udf = F.pandas_udf(res, "array<double>")
+    return df.withColumn("__res", udf(F.col(vec), F.col("cent_id")))
+
+
+def _residuals_col(
+    df: DataFrame, cent_rows, vec: str, cent_id_type
+) -> DataFrame:
+    """Pure-Column residuals: broadcast-join the unit centroid per assigned
+    list, subtract element-wise. The Column twin of
+    :func:`_residuals_arrow` (``arrow=False`` build path)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        StructField,
+        StructType,
+    )
+
+    ids, Cn = _unit_cent_matrix(cent_rows)
+    spark = df.sparkSession
+    cdf = spark.createDataFrame(
+        [(cid, [float(x) for x in row]) for cid, row in zip(ids, Cn)],
+        StructType(
+            [
+                StructField("cent_id", cent_id_type),
+                StructField("__cu", ArrayType(DoubleType())),
+            ]
+        ),
+    )
+    return (
+        df.join(F.broadcast(cdf), on="cent_id")
+        .withColumn(
+            "__res",
+            F.zip_with(_unit(F.col(vec)), F.col("__cu"), lambda a, b: a - b),
+        )
+        .drop("__cu")
+    )
+
+
 def build_ivfpq_index(
     corpus: DataFrame,
     path: str,
@@ -984,18 +1231,43 @@ def build_ivfpq_index(
     codes: int = 16,
     seed: int = 42,
     arrow: bool = True,
+    residual: bool = True,
+    centroid_iters: int = 1,
 ) -> None:
     """Persist an IVF-PQ index: every corpus vector is assigned to its
     coarse-centroid list AND compressed to an m-byte PQ code; the lists are
     written as parquet PARTITIONED BY ``cent_id`` carrying
-    (match_id, pq_code, vec), plus the centroid table and codebooks.
+    (match_id, pq_code, vec), plus the centroid table, codebooks, and a
+    meta flag recording the encoding.
 
-    ``arrow=True`` (default) runs the two row-local hot loops — coarse
-    assignment and PQ encode — as numpy batch math (~100x the interpreted
-    HOF walk; build measured 91 s -> seconds at 20k x 64). Queries are
-    unaffected at the result level whenever they re-rank (refine) or probe
-    every list; partial-probe recall can shift by last-ulp assignment
-    rounding. ``arrow=False`` keeps the pure-Column build.
+    ``residual=True`` (default) is IVFADC (Jégou'11 §IV-A): the PQ code
+    quantizes ``unit(x) − unit(centroid_a)`` — the vector's offset from
+    its own list's centroid — instead of ``unit(x)`` itself. Raw-vector PQ
+    measures quantization error against the whole sphere; on a clustered
+    corpus that error dwarfs the margins between true neighbors inside a
+    cluster (measured on the synth decade: recall@10 0.26–0.32 at the
+    m=8/codes=16/refine=50 defaults, and more codes barely help — 0.40 at
+    codes=256). The residual's magnitude is ~ the cluster radius, so the
+    same codebook budget resolves exactly the distances the query cares
+    about. Codebooks are trained on the residuals (``normalize=False`` —
+    renormalizing a residual would destroy the x̂ = ĉ + r decomposition
+    the query-side ADC tables rely on).
+
+    ``centroid_iters`` (default 1) Lloyd-refits the hash-sampled coarse
+    seeds into actual list MEANS before assignment (deterministic
+    integer steps — see :func:`_refit_centroids`). Residual encoding
+    NEEDS this: against a raw sampled row the residual carries the
+    seed's own offset and the IVFADC advantage inverts (measured 0.66 vs
+    0.93 raw at sf10/codes=256/refine=200; 0.94 with the refit).
+    ``centroid_iters=0`` keeps the r15 sampled-seed layout.
+
+    ``arrow=True`` (default) runs the three row-local hot loops — coarse
+    assignment, residual computation, and PQ encode — as numpy batch math
+    (~100x the interpreted HOF walk; build measured 91 s -> seconds at
+    20k x 64). Queries are unaffected at the result level whenever they
+    re-rank (refine) or probe every list; partial-probe recall can shift
+    by last-ulp assignment rounding. ``arrow=False`` keeps the
+    pure-Column build.
 
     This composes the two scale levers: a query prunes the scan to its
     ``nprobe`` list partitions (IVF), then ranks candidates by ADC table
@@ -1005,24 +1277,44 @@ def build_ivfpq_index(
     store (codes-only lists + a keyed re-rank fetch); it rides along here
     so the refine stage is one read.
     """
+    spark = corpus.sparkSession
     cents = _centroids(corpus, id_col=id_col, vec_col=vec_col, nlist=nlist, seed=seed)
-    books = pq_codebooks(
-        corpus, id_col=id_col, vec_col=vec_col, m=m, codes=codes, seed=seed,
-        arrow=arrow,
-    )
+    if centroid_iters:
+        cents = _refit_centroids(
+            corpus, cents, vec_col=vec_col, iterations=centroid_iters
+        )
     c = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("vec"))
     assign = _assign_arrow if arrow else _assign
     assigned = assign(c, cents, "vec", 1)
     encode = pq_encode_arrow if arrow else pq_encode
-    enc = encode(assigned, books, vec_col="vec")
+    if residual:
+        cent_rows = cents.collect()  # nlist rows — bounded by construction
+        res_df = (_residuals_arrow if arrow else _residuals_col)(
+            assigned, cent_rows, "vec", cents.schema["cent_id"].dataType
+        )
+        books = pq_codebooks(
+            res_df, id_col="match_id", vec_col="__res", m=m, codes=codes,
+            seed=seed, arrow=arrow, normalize=False,
+        )
+        enc = encode(res_df, books, vec_col="__res", normalize=False).drop(
+            "__res"
+        )
+    else:
+        books = pq_codebooks(
+            corpus, id_col=id_col, vec_col=vec_col, m=m, codes=codes,
+            seed=seed, arrow=arrow,
+        )
+        enc = encode(assigned, books, vec_col="vec")
     enc.select("match_id", "vec", "pq_code", "cent_id").write.mode(
         "overwrite"
     ).partitionBy("cent_id").parquet(path + "/lists")
     cents.write.mode("overwrite").parquet(path + "/centroids")
-    spark = corpus.sparkSession
     spark.createDataFrame([(books,)], "__cb array<array<array<double>>>").write.mode(
         "overwrite"
     ).parquet(path + "/codebooks")
+    spark.createDataFrame(
+        [(bool(residual),)], "residual boolean"
+    ).write.mode("overwrite").parquet(path + "/meta")
 
 
 def query_ivfpq_index(
@@ -1040,18 +1332,43 @@ def query_ivfpq_index(
     ADC ranking over codes -> exact-cosine re-rank of the top ``refine``.
     With nprobe=nlist and refine covering the probed lists this is exactly
     the brute-force answer (the gate asserts that); at scale nprobe and
-    refine bound the scanned fraction and the exact work per query."""
+    refine bound the scanned fraction and the exact work per query.
+
+    Residual-encoded indexes (the ``build_ivfpq_index`` default, recorded
+    in the index's meta file) get per-(query, probed-list) ADC tables —
+    ``table[j][c] = ||(q̂ − ĉ)_j − book[j][c]||²`` — computed driver-side
+    over the collected probe assignments. The driver bound is
+    |queries| · nprobe · m · codes doubles (the probe set is
+    driver-collected for partition pruning already); a descriptive error
+    fires past ~2e8 entries — chunk the query batch (windows.py) instead
+    of raising the bound."""
+    from pyspark.errors import AnalysisException
+
     cents = spark.read.parquet(path + "/centroids")
     books_row = spark.read.parquet(path + "/codebooks").collect()[0]
     books = [[list(cw) for cw in book] for book in books_row["__cb"]]
+    try:
+        residual = bool(
+            spark.read.parquet(path + "/meta").collect()[0]["residual"]
+        )
+    except AnalysisException:  # pre-meta index layout: raw encoding
+        residual = False
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
     ql = _assign(q, cents, "__qv", nprobe).select("query_id", "cent_id")
     probed = [r["cent_id"] for r in ql.select("cent_id").distinct().collect()]
     lists = spark.read.parquet(path + "/lists").where(F.col("cent_id").isin(probed))
-    qt = _adc_query_tables(queries, books, id_col=id_col, vec_col=vec_col)
+    if residual:
+        qt = _adc_residual_tables(
+            queries, ql, cents, books, id_col=id_col, vec_col=vec_col
+        )
+        probe_join = lists.join(F.broadcast(qt), on="cent_id")
+    else:
+        qt = _adc_query_tables(queries, books, id_col=id_col, vec_col=vec_col)
+        probe_join = lists.join(F.broadcast(ql), on="cent_id").join(
+            F.broadcast(qt), on="query_id"
+        )
     cand = (
-        lists.join(F.broadcast(ql), on="cent_id")
-        .join(F.broadcast(qt), on="query_id")
+        probe_join
         .where(F.col("query_id") != F.col("match_id"))
         .withColumn("__adc", _adc_score())
     )

@@ -279,6 +279,103 @@ def test_ivfpq_persisted_index_matches_brute(spark, sf_dir, tmp_path):
     assert len(part_pairs & brute_pairs) >= len(brute_pairs) // 3
 
 
+def test_ivfpq_residual_and_raw_encodings(spark, sf_dir, tmp_path):
+    """IVFADC residual encoding (r16, the build default): both encodings
+    are exact under full probe + corpus-covering refine, the meta flag
+    routes the query to the matching ADC-table shape, and a meta-less
+    (pre-r16) index layout still reads as raw."""
+    import shutil
+
+    from hyperdx_spark.io import load_table
+    from hyperdx_spark.pipeline import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 3)
+    brute = norm([tuple(r) for r in similarity.cosine_topk(emb, qs, k=5).collect()])
+    for residual in (True, False):
+        path = str(tmp_path / f"ivfpq_res_{residual}")
+        similarity.build_ivfpq_index(
+            emb, path, nlist=8, m=8, codes=8, residual=residual
+        )
+        meta = spark.read.parquet(path + "/meta").collect()
+        assert [r["residual"] for r in meta] == [residual]
+        out = norm(
+            [
+                tuple(r)
+                for r in similarity.query_ivfpq_index(
+                    spark, path, qs, k=5, nprobe=8, refine=10**6
+                ).collect()
+            ]
+        )
+        assert out == brute, f"residual={residual}"
+    # pre-meta layout: a raw index whose meta dir is gone must read
+    # identically (the residual branch would mis-score raw codes)
+    raw_path = str(tmp_path / "ivfpq_res_False")
+    partial = norm(
+        [
+            tuple(r)
+            for r in similarity.query_ivfpq_index(
+                spark, raw_path, qs, k=5, nprobe=4, refine=20
+            ).collect()
+        ]
+    )
+    shutil.rmtree(raw_path + "/meta")
+    legacy = norm(
+        [
+            tuple(r)
+            for r in similarity.query_ivfpq_index(
+                spark, raw_path, qs, k=5, nprobe=4, refine=20
+            ).collect()
+        ]
+    )
+    assert legacy == partial
+
+
+def test_pq_encode_normalize_false_paths_agree(spark):
+    """pq_encode and pq_encode_arrow must assign identical codes with
+    normalize=False (the residual-encoding contract) — including on
+    vectors whose norm is far from 1, which the normalize=True path
+    would collapse."""
+    from hyperdx_spark.pipeline import similarity
+
+    rows = [
+        (i, [float((i * 7 + j * 3) % 5) - 2.0 for j in range(8)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = similarity.pq_codebooks(
+        df, m=4, codes=4, normalize=False
+    )
+    a = sorted(
+        map(
+            tuple,
+            similarity.pq_encode(df, books, normalize=False)
+            .select("vec_id", "pq_code")
+            .collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            similarity.pq_encode_arrow(df, books, normalize=False)
+            .select("vec_id", "pq_code")
+            .collect(),
+        )
+    )
+    assert [(i, list(c)) for i, c in a] == [(i, list(c)) for i, c in b]
+    # and the codes differ from the normalized encode somewhere — the
+    # flag is actually load-bearing on non-unit vectors
+    c = sorted(
+        map(
+            tuple,
+            similarity.pq_encode(df, books)
+            .select("vec_id", "pq_code")
+            .collect(),
+        )
+    )
+    assert a != c
+
+
 def test_pca_fit_project_whiten(spark):
     """Distributed PCA: moments match numpy exactly, whitened projection
     has unit variance and decorrelated coordinates, components are

@@ -118,22 +118,34 @@ def measure_dir(spark, sf_dir: str, *, sweep: bool = False) -> dict:
         )
         res["pq_s"] = round(time.monotonic() - t0, 2)
 
-        # persisted IVF-PQ index at the same coarse shape
-        path = tempfile.mkdtemp(prefix="annrecall_")
-        try:
-            t0 = time.monotonic()
-            similarity.build_ivfpq_index(emb, path, nlist=nlist)
-            res["ivfpq_build_s"] = round(time.monotonic() - t0, 2)
-            t0 = time.monotonic()
-            res["ivfpq_recall"] = _recall(
-                truth,
-                similarity.query_ivfpq_index(
-                    spark, path, queries, k=K, nprobe=nprobe, refine=50
-                ),
-            )
-            res["ivfpq_s"] = round(time.monotonic() - t0, 2)
-        finally:
-            shutil.rmtree(path, ignore_errors=True)
+        # persisted IVF-PQ index at the same coarse shape — residual
+        # (IVFADC, the default) vs raw-vector encoding: once at the
+        # operator defaults, once at the production corner
+        # (codes=256 = 8-bit books, refine = 20·k)
+        for tag, residual, codes, refine in (
+            ("ivfpq", True, 16, 50),
+            ("ivfpq_raw", False, 16, 50),
+            ("ivfpq_prod", True, 256, 200),
+            ("ivfpq_prod_raw", False, 256, 200),
+        ):
+            path = tempfile.mkdtemp(prefix="annrecall_")
+            try:
+                t0 = time.monotonic()
+                similarity.build_ivfpq_index(
+                    emb, path, nlist=nlist, codes=codes, residual=residual
+                )
+                res[f"{tag}_build_s"] = round(time.monotonic() - t0, 2)
+                t0 = time.monotonic()
+                res[f"{tag}_recall"] = _recall(
+                    truth,
+                    similarity.query_ivfpq_index(
+                        spark, path, queries, k=K, nprobe=nprobe,
+                        refine=refine,
+                    ),
+                )
+                res[f"{tag}_s"] = round(time.monotonic() - t0, 2)
+            finally:
+                shutil.rmtree(path, ignore_errors=True)
 
         if sweep:
             # the two scan-fraction knobs, swept so the knob table can
@@ -165,6 +177,33 @@ def measure_dir(spark, sf_dir: str, *, sweep: bool = False) -> dict:
                 )
                 for c in (64, 256)
             }
+            # full IVF-PQ encoding x codes x refine matrix: residual
+            # (IVFADC) vs raw at both codebook sizes and both refine
+            # depths — the measured basis for the knob-table guidance
+            matrix = {}
+            for residual in (True, False):
+                for c in (16, 256):
+                    path = tempfile.mkdtemp(prefix="annrecall_")
+                    try:
+                        similarity.build_ivfpq_index(
+                            emb, path, nlist=nlist, codes=c,
+                            residual=residual,
+                        )
+                        for r in (50, 200):
+                            key = (
+                                f"{'res' if residual else 'raw'}"
+                                f"_codes{c}_refine{r}"
+                            )
+                            matrix[key] = _recall(
+                                truth,
+                                similarity.query_ivfpq_index(
+                                    spark, path, queries, k=K,
+                                    nprobe=nprobe, refine=r,
+                                ),
+                            )
+                    finally:
+                        shutil.rmtree(path, ignore_errors=True)
+            res["ivfpq_matrix"] = matrix
     finally:
         queries.unpersist()
         emb.unpersist()
