@@ -951,8 +951,11 @@ def _adc_residual_tables(
     approximates ``||q̂ − (ĉ + r)||² = ||q̂ − x̂||`` — L2 on the unit
     sphere, i.e. cosine order. One numpy pass over the collected probe
     pairs; the collect is the same |queries| × nprobe set the partition
-    pruner already materializes. Returns (cent_id, query_id, __qv,
-    __tables) keyed for a single broadcast join on cent_id."""
+    pruner already materializes. Returns TWO frames keyed for broadcast:
+    (cent_id, query_id, __tables) for the ADC stage and the much smaller
+    (query_id, __qv) for the refine re-rank — carrying ``__qv`` inside
+    the pair frame would duplicate every query vector nprobe times in
+    the broadcast for a stage that never reads it."""
     import numpy as np
 
     from pyspark.sql.types import (
@@ -967,11 +970,12 @@ def _adc_residual_tables(
     ids, Cn = _unit_cent_matrix(cents.collect())
     cidx = {cid: i for i, cid in enumerate(ids)}
     pairs = ql.collect()  # |queries| x nprobe — already driver-bounded
-    if len(pairs) * m * codes > 200_000_000:
+    if len(pairs) * m * codes > 25_000_000:  # ~200 MB of table doubles
         raise ValueError(
             f"residual ADC tables would hold {len(pairs)} probe pairs x "
-            f"{m}x{codes} doubles on the driver — chunk the query batch "
-            "(windows.py offset windows) or lower nprobe instead"
+            f"{m}x{codes} doubles on the driver and in the broadcast — "
+            "chunk the query batch (windows.py offset windows) or lower "
+            "nprobe instead"
         )
     qrows = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("v")
@@ -987,25 +991,30 @@ def _adc_residual_tables(
         )
         T = ((D.reshape(len(pairs), m, 1, sub) - bk[None]) ** 2).sum(-1)
         rows = [
-            (
-                p["cent_id"],
-                p["query_id"],
-                qv[p["query_id"]].tolist(),
-                t.tolist(),
-            )
+            (p["cent_id"], p["query_id"], t.tolist())
             for p, t in zip(pairs, T)
         ]
     else:
         rows = []
-    schema = StructType(
+    spark = queries.sparkSession
+    qid_type = queries.schema[id_col].dataType
+    pair_schema = StructType(
         [
             StructField("cent_id", cents.schema["cent_id"].dataType),
-            StructField("query_id", queries.schema[id_col].dataType),
-            StructField("__qv", ArrayType(DoubleType())),
+            StructField("query_id", qid_type),
             StructField("__tables", ArrayType(ArrayType(DoubleType()))),
         ]
     )
-    return queries.sparkSession.createDataFrame(rows, schema)
+    qv_schema = StructType(
+        [
+            StructField("query_id", qid_type),
+            StructField("__qv", ArrayType(DoubleType())),
+        ]
+    )
+    qv_df = spark.createDataFrame(
+        [(k, v.tolist()) for k, v in qv.items()], qv_schema
+    )
+    return spark.createDataFrame(rows, pair_schema), qv_df
 
 
 def _adc_score() -> Column:
@@ -1358,11 +1367,12 @@ def query_ivfpq_index(
     probed = [r["cent_id"] for r in ql.select("cent_id").distinct().collect()]
     lists = spark.read.parquet(path + "/lists").where(F.col("cent_id").isin(probed))
     if residual:
-        qt = _adc_residual_tables(
+        qt, qv_df = _adc_residual_tables(
             queries, ql, cents, books, id_col=id_col, vec_col=vec_col
         )
         probe_join = lists.join(F.broadcast(qt), on="cent_id")
     else:
+        qv_df = None
         qt = _adc_query_tables(queries, books, id_col=id_col, vec_col=vec_col)
         probe_join = lists.join(F.broadcast(ql), on="cent_id").join(
             F.broadcast(qt), on="query_id"
@@ -1376,6 +1386,10 @@ def query_ivfpq_index(
     top = cand.withColumn("__crk", F.row_number().over(w)).where(
         F.col("__crk") <= max(refine, k)
     )
+    if qv_df is not None:
+        # the residual pair frame carries only the ADC tables; the query
+        # vector joins in here, on the ≤ refine x |queries| survivors
+        top = top.join(F.broadcast(qv_df), on="query_id")
     rer = top.withColumn("cos", cosine(F.col("__qv"), F.col("vec")))
     w2 = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("match_id"))
     return (
