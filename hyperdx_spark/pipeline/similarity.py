@@ -666,6 +666,7 @@ def cosine_topk_ivf(
     nprobe: int = 4,
     seed: int = 42,
     arrow: bool = True,
+    centroid_iters: int = 0,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: corpus vectors are assigned to
     their nearest coarse centroid once; a query scores only the lists of its
@@ -680,8 +681,15 @@ def cosine_topk_ivf(
     as numpy batch math, as in :func:`build_ivf_index`; full-probe results
     are unaffected, partial-probe assignment can shift by last-ulp
     rounding. The (tiny) query-side probe keeps the Column path either
-    way."""
+    way. ``centroid_iters`` (default 0 — this is the one-shot path, so
+    every refit pass is paid per call) Lloyd-refits the sampled seeds as
+    in :func:`build_ivf_index`, tightening partial-probe recall at low
+    nprobe."""
     cents = _centroids(corpus, id_col=id_col, vec_col=vec_col, nlist=nlist, seed=seed)
+    if centroid_iters:
+        cents = _refit_centroids(
+            corpus, cents, vec_col=vec_col, iterations=centroid_iters
+        )
     c = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("__cv"))
     assign = _assign_arrow if arrow else _assign
     cl = assign(c, cents, "__cv", 1)  # each corpus vector lives in ONE list
