@@ -848,7 +848,12 @@ def dedup_groups(
             # at iteration N nests N joins and analysis/scheduling cost
             # blows up on deep components.
             if it > 0 and it % 5 == 0:
-                new_labels = new_labels.localCheckpoint(eager=True)
+                # LAZY checkpoint: the handle must exist BEFORE anything
+                # materializes the blocks — an eager checkpoint whose job
+                # dies mid-way leaves partial blocks with no handle, which
+                # the except path below could never free (review r16).
+                # The convergence count right after materializes it.
+                new_labels = new_labels.localCheckpoint(eager=False)
                 # DataFrame.unpersist() cannot free checkpoint blocks —
                 # keep a LogicalRDD handle so release_cached frees them
                 # (ADVICE r5)

@@ -157,11 +157,15 @@ def compact_exact_store(spark: SparkSession, table: str) -> None:
         spark.table(table)
         .groupBy("fp")
         .agg(F.min("keep_id").alias("keep_id"))
-        .localCheckpoint()  # sever lineage from the table being replaced
+        # LAZY: sever lineage from the table being replaced, but only
+        # materialize under the handle below — an eager checkpoint that
+        # dies mid-job would strand its partial blocks handle-less
+        .localCheckpoint(eager=False)
     )
     # the checkpoint blocks are a full pass of the store — free them
     # deterministically once the staging write (the terminal action on
-    # the frame) finishes or fails, instead of waiting for JVM GC
+    # the frame, and what materializes the blocks) finishes or fails,
+    # instead of waiting for JVM GC
     handle = _LocalCheckpointHandle(compacted)
     try:
         spark.sql(f"DROP TABLE IF EXISTS {staging}")
@@ -195,7 +199,7 @@ def compact_minhash_store(spark: SparkSession, table: str) -> None:
     staging, old = f"{table}__compacting", f"{table}__old"
     compacted = spark.table(table).dropDuplicates(
         ["band", "bucket", "id"]
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)  # lazy: handle first, materialize under it
     # same deterministic release as compact_exact_store: a full-store
     # checkpoint must not wait for GC (or leak on a failed write)
     handle = _LocalCheckpointHandle(compacted)

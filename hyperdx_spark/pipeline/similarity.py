@@ -515,11 +515,7 @@ def _assign_arrow(
     which full-probe / refine-covering queries are insensitive to."""
     import numpy as np
 
-    rows = sorted(cents.collect(), key=lambda r: r["cent_id"])
-    ids = [r["cent_id"] for r in rows]
-    C = np.stack([np.asarray(r["cvec"], dtype=np.float64) for r in rows])
-    cn = np.linalg.norm(C, axis=1)
-    Cn = C / np.where(cn == 0, 1.0, cn)[:, None]
+    ids, Cn = _unit_cent_matrix(cents.collect())
     id_type = cents.schema["cent_id"].dataType.simpleString()
 
     def topn(series):
@@ -776,27 +772,35 @@ def pq_codebooks(
         enc = encode(
             corpus, books, vec_col=vec_col, normalize=normalize
         ).withColumn("__u", as_double)
-        # materialize BEFORE the explode: the interpreted-HOF encode
-        # expression would otherwise be re-evaluated per generated row
-        # downstream (measured ~20x slower without this)
-        enc = enc.select("pq_code", "__u").localCheckpoint(eager=True)
+        # checkpoint barrier BEFORE the explode: the interpreted-HOF
+        # encode expression would otherwise be re-evaluated per generated
+        # row downstream (measured ~20x slower without this).  Lazy, so
+        # the handle exists before the means collect materializes the
+        # blocks — a died-mid-job eager checkpoint would strand partial
+        # blocks handle-less (review r16)
+        enc = enc.select("pq_code", "__u").localCheckpoint(eager=False)
         cp_handle = _LocalCheckpointHandle(enc)
-        ex = enc.select(F.posexplode("pq_code").alias("j", "c"), "__u").select(
-            "j", "c", F.expr(f"slice(__u, j * {sub} + 1, {sub})").alias("sv")
-        )
-        means = (
-            ex.groupBy("j", "c")
-            .agg(
-                F.array(
-                    *[F.avg(F.element_at("sv", i + 1)) for i in range(sub)]
-                ).alias("mean")
+        try:
+            ex = enc.select(
+                F.posexplode("pq_code").alias("j", "c"), "__u"
+            ).select(
+                "j", "c", F.expr(f"slice(__u, j * {sub} + 1, {sub})").alias("sv")
             )
-            .collect()
-        )
-        # the collect above is this iteration's terminal action — free the
-        # checkpoint blocks now instead of waiting for JVM GC (at corpus
-        # scale each iteration's encode blocks are a full pass of codes)
-        cp_handle.unpersist()
+            means = (
+                ex.groupBy("j", "c")
+                .agg(
+                    F.array(
+                        *[F.avg(F.element_at("sv", i + 1)) for i in range(sub)]
+                    ).alias("mean")
+                )
+                .collect()
+            )
+        finally:
+            # the collect is this iteration's terminal action — free the
+            # checkpoint blocks now (leak-safe on a failed job too)
+            # instead of waiting for JVM GC: at corpus scale each
+            # iteration's encode blocks are a full pass of codes
+            cp_handle.unpersist()
         for r in means:
             books[r["j"]][r["c"]] = [float(x) for x in r["mean"]]
     return books
@@ -953,7 +957,7 @@ def _adc_residual_tables(
     *,
     id_col: str,
     vec_col: str,
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame]:
     """Per-(query, probed-list) ADC tables for a residual-encoded index:
     ``table[j][c] = ||(q̂ − ĉ)_j − book[j][c]||²``, so the ADC sum
     approximates ``||q̂ − (ĉ + r)||² = ||q̂ − x̂||`` — L2 on the unit
@@ -1208,7 +1212,11 @@ def _residuals_col(
 ) -> DataFrame:
     """Pure-Column residuals: broadcast-join the unit centroid per assigned
     list, subtract element-wise. The Column twin of
-    :func:`_residuals_arrow` (``arrow=False`` build path)."""
+    :func:`_residuals_arrow` (``arrow=False`` build path) — including the
+    zero-norm guard: an unguarded ``_unit`` would emit all-NULL residuals
+    for a zero vector (0.0/0.0), which encode to garbage codes whose NULL
+    ADC scores sort FIRST and occupy a refine slot in every probe of the
+    list, while the arrow twin emits the valid ``0 − ĉ`` residual."""
     from pyspark.sql.types import (
         ArrayType,
         DoubleType,
@@ -1227,11 +1235,14 @@ def _residuals_col(
             ]
         ),
     )
+    n = norm(F.col(vec))
+    safe = F.when(n == F.lit(0.0), F.lit(1.0)).otherwise(n)
+    unit = F.transform(F.col(vec), lambda x: x.cast("double") / safe)
     return (
         df.join(F.broadcast(cdf), on="cent_id")
         .withColumn(
             "__res",
-            F.zip_with(_unit(F.col(vec)), F.col("__cu"), lambda a, b: a - b),
+            F.zip_with(unit, F.col("__cu"), lambda a, b: a - b),
         )
         .drop("__cu")
     )
@@ -1300,38 +1311,53 @@ def build_ivfpq_index(
         cents = _refit_centroids(
             corpus, cents, vec_col=vec_col, iterations=centroid_iters
         )
+    # the meta flag is written FIRST: the query side falls back to raw
+    # ADC when /meta is absent, so a build that crashed after /lists but
+    # before a trailing meta write would leave a fully-readable residual
+    # index silently mis-scored as raw — meta-first means a torn build
+    # instead fails loudly on the missing /lists read (review r16)
+    spark.createDataFrame(
+        [(bool(residual),)], "residual boolean"
+    ).write.mode("overwrite").parquet(path + "/meta")
     c = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("vec"))
     assign = _assign_arrow if arrow else _assign
     assigned = assign(c, cents, "vec", 1)
     encode = pq_encode_arrow if arrow else pq_encode
     if residual:
         cent_rows = cents.collect()  # nlist rows — bounded by construction
+        # persist the residual frame: it feeds the codebook anchor
+        # collect, the Lloyd-refinement encode, AND the final encode+write
+        # — without the barrier the N x nlist assignment + residual pass
+        # (the dominant build cost) re-runs three times
         res_df = (_residuals_arrow if arrow else _residuals_col)(
             assigned, cent_rows, "vec", cents.schema["cent_id"].dataType
-        )
-        books = pq_codebooks(
-            res_df, id_col="match_id", vec_col="__res", m=m, codes=codes,
-            seed=seed, arrow=arrow, normalize=False,
-        )
-        enc = encode(res_df, books, vec_col="__res", normalize=False).drop(
-            "__res"
-        )
+        ).persist()
+        try:
+            books = pq_codebooks(
+                res_df, id_col="match_id", vec_col="__res", m=m, codes=codes,
+                seed=seed, arrow=arrow, normalize=False,
+            )
+            enc = encode(
+                res_df, books, vec_col="__res", normalize=False
+            ).drop("__res")
+            enc.select("match_id", "vec", "pq_code", "cent_id").write.mode(
+                "overwrite"
+            ).partitionBy("cent_id").parquet(path + "/lists")
+        finally:
+            res_df.unpersist()
     else:
         books = pq_codebooks(
             corpus, id_col=id_col, vec_col=vec_col, m=m, codes=codes,
             seed=seed, arrow=arrow,
         )
         enc = encode(assigned, books, vec_col="vec")
-    enc.select("match_id", "vec", "pq_code", "cent_id").write.mode(
-        "overwrite"
-    ).partitionBy("cent_id").parquet(path + "/lists")
+        enc.select("match_id", "vec", "pq_code", "cent_id").write.mode(
+            "overwrite"
+        ).partitionBy("cent_id").parquet(path + "/lists")
     cents.write.mode("overwrite").parquet(path + "/centroids")
     spark.createDataFrame([(books,)], "__cb array<array<array<double>>>").write.mode(
         "overwrite"
     ).parquet(path + "/codebooks")
-    spark.createDataFrame(
-        [(bool(residual),)], "residual boolean"
-    ).write.mode("overwrite").parquet(path + "/meta")
 
 
 def query_ivfpq_index(
@@ -1357,8 +1383,9 @@ def query_ivfpq_index(
     over the collected probe assignments. The driver bound is
     |queries| · nprobe · m · codes doubles (the probe set is
     driver-collected for partition pruning already); a descriptive error
-    fires past ~2e8 entries — chunk the query batch (windows.py) instead
-    of raising the bound."""
+    fires past 2.5e7 table entries (~200 MB of doubles, driver AND
+    broadcast) — chunk the query batch (windows.py) instead of raising
+    the bound."""
     from pyspark.errors import AnalysisException
 
     cents = spark.read.parquet(path + "/centroids")

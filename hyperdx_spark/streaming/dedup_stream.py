@@ -61,7 +61,10 @@ def start_incremental_dedup(
         spark = batch_df.sparkSession
         classified = dedup_exact_against_store(
             batch_df, spark, table, text_col=text_col, id_col=id_col
-        ).localCheckpoint()  # one pass feeds BOTH the sink and the append
+        ).localCheckpoint(eager=False)
+        # lazy checkpoint: one pass feeds BOTH the sink and the append,
+        # and the handle below exists before the sink write materializes
+        # the blocks — so even a failed materialization is releasable
         # free each epoch's checkpoint blocks at epoch end (or on a failed
         # sink/append) — a long-running stream would otherwise accumulate
         # per-batch blocks until JVM GC gets around to them
