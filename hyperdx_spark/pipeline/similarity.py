@@ -1304,6 +1304,14 @@ def build_ivfpq_index(
     true billion scale the ``vec`` column would live only in the primary
     store (codes-only lists + a keyed re-rank fetch); it rides along here
     so the refine stage is one read.
+
+    NOT atomic when rebuilding over an existing index path: the
+    component writes (meta, lists, centroids, codebooks) land one by
+    one, so a crashed REBUILD can mix files from the two builds. Build
+    a replacement at a fresh path and swap (the rename-aside pattern of
+    ``incremental._swap_in_staging``). For a FRESH path the write order
+    (meta first) guarantees a torn build fails loudly on the missing
+    /lists rather than mis-scoring.
     """
     spark = corpus.sparkSession
     cents = _centroids(corpus, id_col=id_col, vec_col=vec_col, nlist=nlist, seed=seed)
