@@ -376,6 +376,45 @@ def test_pq_encode_normalize_false_paths_agree(spark):
     assert a != c
 
 
+def test_pca_then_ann_composition(spark, sf_dir, tmp_path):
+    """PCA's documented purpose here is dim reduction AHEAD of the ANN
+    tiers — pin that the projected space actually composes into them:
+    the reduced column feeds the brute, IVF (full probe == brute in the
+    reduced space), and persisted IVF-PQ paths without reshaping."""
+    from hyperdx_spark.io import load_table
+    from hyperdx_spark.pipeline import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = similarity.pca_fit(emb, k=8)
+    red = similarity.pca_project(emb, model).select(
+        "vec_id", F.col("pca").alias("embedding")
+    )
+    qs = red.where(F.col("vec_id") < 3)
+    brute = norm(
+        [tuple(r) for r in similarity.cosine_topk(red, qs, k=5).collect()]
+    )
+    ivf = norm(
+        [
+            tuple(r)
+            for r in similarity.cosine_topk_ivf(
+                red, qs, k=5, nlist=8, nprobe=8
+            ).collect()
+        ]
+    )
+    assert ivf == brute and len(brute) == 15
+    path = str(tmp_path / "pca_ivfpq")
+    similarity.build_ivfpq_index(red, path, nlist=8, m=4, codes=8)
+    out = norm(
+        [
+            tuple(r)
+            for r in similarity.query_ivfpq_index(
+                spark, path, qs, k=5, nprobe=8, refine=10**6
+            ).collect()
+        ]
+    )
+    assert out == brute
+
+
 def test_pca_fit_project_whiten(spark):
     """Distributed PCA: moments match numpy exactly, whitened projection
     has unit variance and decorrelated coordinates, components are
