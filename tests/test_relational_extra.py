@@ -376,6 +376,92 @@ def test_pq_encode_normalize_false_paths_agree(spark):
     assert a != c
 
 
+def test_ivfpq_residual_query_numpy_twin(spark, tmp_path):
+    """Independent replay of the residual (IVFADC) QUERY math: given the
+    persisted index artifacts (lists/centroids/codebooks/meta) as plain
+    data, a pure-numpy twin computes the expected partial-refine output —
+    probe selection, per-(query, list) ADC tables, (adc, id) candidate
+    cut, exact-cosine re-rank — and must agree with query_ivfpq_index
+    exactly on ranks.  Closes the loop the recall measurements can't:
+    they bound quality, not the table indexing (an off-by-one in the
+    ``table[j][code_j]`` lookup could survive a recall floor)."""
+    import numpy as np
+
+    from hyperdx_spark.pipeline import similarity
+
+    rng = np.random.default_rng(77)
+    vecs = rng.normal(size=(24, 8)).round(3)  # well-separated, no ties
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(24)],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "twin")
+    similarity.build_ivfpq_index(emb, path, nlist=3, m=2, codes=4)
+    qs = emb.where(F.col("vec_id") < 2)
+    k, nprobe, refine = 3, 2, 5
+    got = sorted(
+        (r["query_id"], r["rank"], r["match_id"])
+        for r in similarity.query_ivfpq_index(
+            spark, path, qs, k=k, nprobe=nprobe, refine=refine
+        ).collect()
+    )
+
+    # ---- numpy twin, from the artifacts only
+    assert spark.read.parquet(path + "/meta").collect()[0]["residual"]
+    lists = spark.read.parquet(path + "/lists").collect()
+    cents = sorted(
+        spark.read.parquet(path + "/centroids").collect(),
+        key=lambda r: r["cent_id"],
+    )
+    books = np.asarray(
+        [
+            [list(cw) for cw in book]
+            for book in spark.read.parquet(path + "/codebooks").collect()[0][
+                "__cb"
+            ]
+        ]
+    )
+    m, codes, sub = books.shape
+    C = np.stack([np.asarray(r["cvec"]) for r in cents])
+    Cn = C / np.linalg.norm(C, axis=1)[:, None]
+    cent_ids = [r["cent_id"] for r in cents]
+    expected = []
+    for qid in (0, 1):
+        qv = vecs[qid]
+        qn = qv / np.linalg.norm(qv)
+        # probe: top-nprobe centroids by cosine, ties id-asc (none here)
+        cos_c = Cn @ (qv / np.linalg.norm(qv))
+        probe = [
+            cent_ids[j]
+            for j in sorted(
+                range(len(cent_ids)), key=lambda j: (-cos_c[j], cent_ids[j])
+            )[:nprobe]
+        ]
+        cand = []
+        for row in lists:
+            if row["cent_id"] not in probe or row["match_id"] == qid:
+                continue
+            d = qn - Cn[cent_ids.index(row["cent_id"])]
+            adc = sum(
+                ((d[j * sub : (j + 1) * sub] - books[j][row["pq_code"][j]]) ** 2).sum()
+                for j in range(m)
+            )
+            cand.append((adc, row["match_id"], np.asarray(row["vec"])))
+        cand.sort(key=lambda t: (t[0], t[1]))
+        top = cand[: max(refine, k)]
+        rer = sorted(
+            top,
+            key=lambda t: (
+                -(qv @ t[2]) / (np.linalg.norm(qv) * np.linalg.norm(t[2])),
+                t[1],
+            ),
+        )
+        expected.extend(
+            (qid, rank + 1, mid) for rank, (_, mid, _) in enumerate(rer[:k])
+        )
+    assert got == sorted(expected)
+
+
 def test_pca_then_ann_composition(spark, sf_dir, tmp_path):
     """PCA's documented purpose here is dim reduction AHEAD of the ANN
     tiers — pin that the projected space actually composes into them:
