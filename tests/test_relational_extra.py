@@ -376,15 +376,17 @@ def test_pq_encode_normalize_false_paths_agree(spark):
     assert a != c
 
 
-def test_ivfpq_residual_query_numpy_twin(spark, tmp_path):
-    """Independent replay of the residual (IVFADC) QUERY math: given the
-    persisted index artifacts (lists/centroids/codebooks/meta) as plain
-    data, a pure-numpy twin computes the expected partial-refine output —
-    probe selection, per-(query, list) ADC tables, (adc, id) candidate
-    cut, exact-cosine re-rank — and must agree with query_ivfpq_index
-    exactly on ranks.  Closes the loop the recall measurements can't:
-    they bound quality, not the table indexing (an off-by-one in the
-    ``table[j][code_j]`` lookup could survive a recall floor)."""
+@pytest.mark.parametrize("residual", [True, False])
+def test_ivfpq_query_numpy_twin(spark, tmp_path, residual):
+    """Independent replay of the IVF-PQ QUERY math, both encodings: given
+    the persisted index artifacts (lists/centroids/codebooks/meta) as
+    plain data, a pure-numpy twin computes the expected partial-refine
+    output — probe selection, ADC tables (per-(query, list) for residual,
+    per-query for raw), (adc, id) candidate cut, exact-cosine re-rank —
+    and must agree with query_ivfpq_index exactly on ranks.  Closes the
+    loop the recall measurements can't: they bound quality, not the table
+    indexing (an off-by-one in the ``table[j][code_j]`` lookup could
+    survive a recall floor)."""
     import numpy as np
 
     from hyperdx_spark.pipeline import similarity
@@ -396,7 +398,8 @@ def test_ivfpq_residual_query_numpy_twin(spark, tmp_path):
         "vec_id long, embedding array<double>",
     )
     path = str(tmp_path / "twin")
-    similarity.build_ivfpq_index(emb, path, nlist=3, m=2, codes=4)
+    similarity.build_ivfpq_index(emb, path, nlist=3, m=2, codes=4,
+                                 residual=residual)
     qs = emb.where(F.col("vec_id") < 2)
     k, nprobe, refine = 3, 2, 5
     got = sorted(
@@ -407,7 +410,10 @@ def test_ivfpq_residual_query_numpy_twin(spark, tmp_path):
     )
 
     # ---- numpy twin, from the artifacts only
-    assert spark.read.parquet(path + "/meta").collect()[0]["residual"]
+    assert (
+        spark.read.parquet(path + "/meta").collect()[0]["residual"]
+        == residual
+    )
     lists = spark.read.parquet(path + "/lists").collect()
     cents = sorted(
         spark.read.parquet(path + "/centroids").collect(),
@@ -441,7 +447,13 @@ def test_ivfpq_residual_query_numpy_twin(spark, tmp_path):
         for row in lists:
             if row["cent_id"] not in probe or row["match_id"] == qid:
                 continue
-            d = qn - Cn[cent_ids.index(row["cent_id"])]
+            # residual: table base is the query's offset from THIS list's
+            # centroid; raw: the unit query itself (per-query table)
+            d = (
+                qn - Cn[cent_ids.index(row["cent_id"])]
+                if residual
+                else qn
+            )
             adc = sum(
                 ((d[j * sub : (j + 1) * sub] - books[j][row["pq_code"][j]]) ** 2).sum()
                 for j in range(m)
