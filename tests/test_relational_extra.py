@@ -474,6 +474,69 @@ def test_ivfpq_query_numpy_twin(spark, tmp_path, residual):
     assert got == sorted(expected)
 
 
+def test_refit_centroids_pure_python_twin(spark):
+    """Independent replay of the coarse-quantizer refit: unit-normalize +
+    micro-unit quantize the seeds and corpus in pure Python (identical
+    IEEE ops), one exact-integer Lloyd step (int argmin, exact sums,
+    ``(2s+n)//(2n)`` means, empty clusters keep their seed), dequantize —
+    must equal _refit_centroids bit-for-bit.  The refit is otherwise
+    verified only through the composed index results (the untwinned-stage
+    class the r15 verdict called out for the weighted recluster)."""
+    import math
+
+    from hyperdx_spark.pipeline import similarity
+    from hyperdx_spark.pipeline.clustering import VEC_SCALE
+
+    vals = [
+        [0.3, -1.2, 0.7, 2.1], [1.1, 0.2, -0.4, 0.9], [-2.0, 0.5, 1.5, 0.1],
+        [0.6, 0.6, 0.6, -0.6], [1.9, -0.3, 0.2, 0.8], [-0.7, 1.4, -1.1, 0.5],
+        [0.0, 0.0, 0.0, 0.0],  # zero-norm row rides the guard
+        [2.2, 1.0, -0.9, 1.3], [0.4, -0.8, 1.8, -1.6], [1.0, 1.0, 1.0, 1.0],
+    ]
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = similarity._centroids(emb, id_col="vec_id", vec_col="embedding",
+                                  nlist=3, seed=42)
+    got = sorted(
+        (r["cent_id"], list(r["cvec"]))
+        for r in similarity._refit_centroids(
+            emb, cents, vec_col="embedding", iterations=1
+        ).collect()
+    )
+
+    # ---- pure-Python twin
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        return [x / n for x in v]
+
+    def quant(u):
+        return [math.floor(x * float(VEC_SCALE) + 0.5) for x in u]
+
+    rows = sorted(cents.collect(), key=lambda r: r["cent_id"])
+    seeds = [quant(unit(list(r["cvec"]))) for r in rows]
+    qs = [quant(unit(v)) for v in vals]
+    sums = {}
+    for q in qs:
+        best, bd = 0, None
+        for ci, s in enumerate(seeds):
+            d = sum((a - b) ** 2 for a, b in zip(q, s))
+            if bd is None or d < bd:
+                best, bd = ci, d
+        n, acc = sums.get(best, (0, [0, 0, 0, 0]))
+        sums[best] = (n + 1, [a + v for a, v in zip(acc, q)])
+    out = []
+    for ci, r in enumerate(rows):
+        if ci in sums:
+            n, acc = sums[ci]
+            cent = [(2 * s + n) // (2 * n) for s in acc]
+        else:
+            cent = seeds[ci]
+        out.append((r["cent_id"], [c / VEC_SCALE for c in cent]))
+    assert got == sorted(out)
+
+
 def test_pca_then_ann_composition(spark, sf_dir, tmp_path):
     """PCA's documented purpose here is dim reduction AHEAD of the ANN
     tiers — pin that the projected space actually composes into them:
