@@ -324,6 +324,12 @@ def main() -> None:
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # r16: disable PySpark's per-API-call error-origin capture (static
+        # conf; ~3 driver RPCs + a stack walk per DataFrame op).  Measured
+        # 2.93 s -> 2.33 s of pure query-construction wall across 8
+        # headline queries; affects only error-message enrichment, never
+        # results.  See session.py for the full rationale.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

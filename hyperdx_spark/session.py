@@ -44,7 +44,15 @@ RUNTIME_CONFS = {
 
 
 def tune_session(spark: SparkSession) -> SparkSession:
-    """Apply the engine's runtime confs to an externally-created session."""
+    """Apply the engine's runtime confs to an externally-created session.
+
+    Idempotent per session object: every entry point calls this (often
+    several times per query via ``load_table``), and each ``conf.set`` is a
+    synchronous driver RPC — 12 confs × 2-4 loads per query was ~5% of the
+    sub-second queries' wall (r16 driver-overhead profile).  The confs are
+    constants, so setting them once per session is equivalent."""
+    if getattr(spark, "_hdx_session_tuned", False):
+        return spark
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
@@ -52,6 +60,10 @@ def tune_session(spark: SparkSession) -> SparkSession:
             # immutable in this deployment — keep going, the engine degrades
             # gracefully (io falls back to pyarrow-level conversion)
             pass
+    try:
+        spark._hdx_session_tuned = True
+    except Exception:
+        pass  # exotic session proxy refusing attributes — just re-tune
     return spark
 
 
@@ -64,6 +76,16 @@ def get_spark(app_name: str = "hyperdx_spark", cpus: int | None = None) -> Spark
         .config("spark.sql.shuffle.partitions", str(max(cpus, 32)))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # Static conf: PySpark 4 wraps every DataFrame/Column op in a
+        # call-site capture (errors/utils._with_origin) costing ~3 extra
+        # driver RPCs + a Python stack walk per op — measured ~20% of
+        # query-construction wall across the headline queries (r16).  The
+        # capture only enriches error messages with user line numbers; the
+        # engine's own validation raises descriptive errors before Spark
+        # ever sees bad input, so trade the debug nicety for driver
+        # latency.  Scale-independent: this is per-API-call driver
+        # overhead, identical on a 1000-node cluster.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         # Split size trades scheduling overhead against parallelism. On a
         # 1000-executor cluster reading 100 TB the Spark default (128 MB ->
         # ~800k tasks) is right, and a deployment would leave it alone. This
