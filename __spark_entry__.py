@@ -1646,11 +1646,17 @@ def q_tpch_q1(spark, sf_dir):
     # so the narrow projection is widened to full task parallelism when the
     # scan under-partitions (small-file case only — no-op at scale; decimal
     # addition is exactly associative, the sums are partition-invariant).
+    # r16: hash-spread on l_extendedprice (high-cardinality, already in
+    # the projection) instead of round-robin — keyless repartition pays a
+    # whole-row local sort (SPARK-23207 retry determinism); a column hash
+    # is deterministic per row, so it needs no sort, and decimal addition
+    # is partition-invariant.
     narrow = ensure_min_parallelism(
         li.where(F.col("l_shipdate") <= F.lit(datetime(2000, 9, 2))).select(
             "l_returnflag", "l_linestatus", "l_quantity",
             "l_extendedprice", "l_discount", "l_tax",
-        )
+        ),
+        key_cols=["l_extendedprice"],
     )
     out = (
         narrow
@@ -1854,7 +1860,9 @@ def q_text_stats(spark, sf_dir):
     # explode use every core (no-op when the scan already has enough tasks)
     from hyperdx_spark.io import ensure_min_parallelism
 
-    docs = ensure_min_parallelism(docs)  # guarded probe (VERDICT r7 #4)
+    # guarded probe (VERDICT r7 #4); r16: doc_id hash instead of
+    # round-robin skips the sort-before-repartition (see io.py)
+    docs = ensure_min_parallelism(docs, key_cols=["doc_id"])
     from hyperdx_spark.pipeline import bpe as _bpe
 
     pii = text.pii_counts("text")
@@ -1891,38 +1899,39 @@ def q_text_stats(spark, sf_dir):
         .withColumn("__n_ipv4", pii["ipv4"])
         .groupBy("source")
         .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("__sig.n_tokens").alias("total_tokens"),
-            F.round(F.avg("__sig.quality"), 4).alias("avg_quality"),
-            F.round(F.avg("__sig.stopword_ratio"), 4).alias("avg_sw_ratio"),
-            F.count_if(F.col("__sig.lang_pred") == "en").alias("n_en"),
-            F.round(F.avg("__sig.char_entropy"), 4).alias("avg_entropy"),
-            F.round(F.avg("__sig.dup_line_frac"), 4).alias("avg_dup_line"),
-            F.sum("__n_email").alias("n_email"),
-            F.sum("__n_ipv4").alias("n_ipv4"),
-            F.sum("__bpe").alias("total_bpe_tokens"),
-            F.sum("__bpev").alias("total_vocab_tokens"),
-            F.sum(
-                F.aggregate(
-                    "__bpeids", F.lit(0).cast("long"), lambda a, x: a + x
-                )
+            # r16: each aggregate is one parsed SQL expression instead of a
+            # 3-5-RPC Column tree — same expressions, ~120 fewer driver
+            # round trips per construction (see dedup.shingle_rows note)
+            F.expr("count(*)").alias("n_docs"),
+            F.expr("sum(__sig.n_tokens)").alias("total_tokens"),
+            F.expr("round(avg(__sig.quality), 4)").alias("avg_quality"),
+            F.expr("round(avg(__sig.stopword_ratio), 4)").alias("avg_sw_ratio"),
+            F.expr("count_if(__sig.lang_pred = 'en')").alias("n_en"),
+            F.expr("round(avg(__sig.char_entropy), 4)").alias("avg_entropy"),
+            F.expr("round(avg(__sig.dup_line_frac), 4)").alias("avg_dup_line"),
+            F.expr("sum(__n_email)").alias("n_email"),
+            F.expr("sum(__n_ipv4)").alias("n_ipv4"),
+            F.expr("sum(__bpe)").alias("total_bpe_tokens"),
+            F.expr("sum(__bpev)").alias("total_vocab_tokens"),
+            F.expr(
+                "sum(aggregate(__bpeids, cast(0 AS bigint), (a, x) -> a + x))"
             ).alias("vocab_id_sum"),
-            F.sum(F.size(F.filter("__bpeids", lambda x: x == -1))).alias(
+            F.expr("sum(size(filter(__bpeids, x -> x = -1)))").alias(
                 "n_unk_ids"
             ),
-            F.count_if(F.col("__sig.gopher_pass")).alias("n_gopher_pass"),
-            F.count_if(F.col("__sig.c4_keep")).alias("n_c4_keep"),
+            F.expr("count_if(__sig.gopher_pass)").alias("n_gopher_pass"),
+            F.expr("count_if(__sig.c4_keep)").alias("n_c4_keep"),
             # r8: the Gopher REPETITION family (gopher_repetition_signals)
             # — paragraph dup fracs, top-2-gram and dup-5-gram character
             # coverage, each DuckDB-replayed expression for expression (the
             # full 13-signal conjunction is pytest-oracled vs an
             # independent reference, test_pipeline_fuzz)
-            F.round(F.avg("__rep.dup_para_frac"), 4).alias("avg_dup_para"),
-            F.round(F.avg("__rep.dup_line_char_frac"), 4).alias(
+            F.expr("round(avg(__rep.dup_para_frac), 4)").alias("avg_dup_para"),
+            F.expr("round(avg(__rep.dup_line_char_frac), 4)").alias(
                 "avg_dup_line_char"
             ),
-            F.round(F.avg("__rep.top_2gram_char_frac"), 4).alias("avg_top2"),
-            F.round(F.avg("__rep.dup_5gram_char_frac"), 4).alias("avg_dup5"),
+            F.expr("round(avg(__rep.top_2gram_char_frac), 4)").alias("avg_top2"),
+            F.expr("round(avg(__rep.dup_5gram_char_frac), 4)").alias("avg_dup5"),
         )
     )
     # vocabulary tier: most frequent token per source (text.vocabulary's
@@ -2175,9 +2184,8 @@ def _docs_with_near_dups(spark, sf_dir):
     """documents UNION a deterministic mutation (known near-dups) so the
     near-dup operators have true positives to find at any sf."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    mutated = docs.where(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" mutated tail")).alias("text"),
+    mutated = docs.where("doc_id % 10 = 0").selectExpr(
+        "doc_id + 1000000 AS doc_id", "text || ' mutated tail' AS text"
     )
     return docs.unionByName(mutated)
 

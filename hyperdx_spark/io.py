@@ -170,7 +170,12 @@ def register_tables(
         load_table(spark, sf_dir, name, time_filter=tf).createOrReplaceTempView(name)
 
 
-def ensure_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+def ensure_min_parallelism(
+    df: DataFrame,
+    min_partitions: int | None = None,
+    *,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
     """Repartition *df* up to ``min_partitions`` (default: the session's
     ``defaultParallelism``) ONLY when the scan delivered fewer partitions —
     the small-file rescue rule (same pattern as ``corpus_signals``'
@@ -181,7 +186,19 @@ def ensure_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> 
     TPC-H Q1 at sf0.1). At real corpus scale the scan already has far
     more partitions than cores and this is a NO-OP — it never inserts a
     shuffle into a well-partitioned plan, where repartition-before-agg
-    would defeat map-side partial aggregation."""
+    would defeat map-side partial aggregation.
+
+    ``key_cols``: hash-partition on these columns instead of round-robin.
+    A keyless ``repartition(n)`` first pays a full local sort of its input
+    (``spark.sql.execution.sortBeforeRepartition``, on since SPARK-23207
+    so retried tasks reproduce the same row placement) — measured 0.7 s of
+    the TPC-H Q1 wall at sf0.1, ~60% of that stage.  Hash partitioning on
+    a real high-cardinality column is deterministic per row (no retry
+    hazard, the same reason the guide bans rand-derived keys but not
+    column keys) and skips the sort.  Use a key whose distinct count is
+    >> ``min_partitions``; the caller owns that judgement — and the
+    downstream must be partition-layout-invariant (every engine aggregate
+    is; see the partition-invariance pytest net)."""
     if df.isStreaming:
         return df
     if min_partitions is None:
@@ -191,6 +208,8 @@ def ensure_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> 
             return df
     n = num_partitions(df)
     if n is not None and n < min_partitions:
+        if key_cols:
+            return df.repartition(min_partitions, *key_cols)
         return df.repartition(min_partitions)
     return df
 

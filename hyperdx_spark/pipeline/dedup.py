@@ -173,25 +173,41 @@ def shingle_rows(
     Input is spread across the cluster first: tiny parquet files arrive as
     1-2 splits and would otherwise serialize the expensive step; at real
     scale the window shuffle on id is the only data movement.
-    """
-    from pyspark.sql import Window
 
+    Construction note (r16): the window/lead/aggregate trees are built as
+    single SQL expression strings — every ``Column`` operator is a
+    synchronous driver RPC, and this constructor sat on the hot path of
+    three gate queries (~0.2 s of pure construction per call measured at
+    ~1 ms/RPC).  ``expr`` parses the identical expression tree in one
+    round trip; identical window specs collapse into one Window operator
+    exactly as the shared-``Window``-object form did.
+    """
     spark = df.sparkSession
     base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
     base = base.repartition(spark.sparkContext.defaultParallelism, "id")
     tokrows = base.select("id", F.posexplode(tokens("__text")).alias("__pos", "__tk"))
-    w = Window.partitionBy("id").orderBy("__pos")
-    leads = [F.col("__tk")] + [F.lead("__tk", i).over(w) for i in range(1, n)]
+    over = "OVER (PARTITION BY id ORDER BY __pos)"
+    lead_chain = "".join(
+        f", lead(__tk, {i}) {over}" for i in range(1, n)
+    )
     full = (
-        tokrows.select("id", F.concat_ws(" ", *leads).alias("s"), leads[-1].alias("__ok"))
+        tokrows.selectExpr(
+            "id",
+            f"concat_ws(' ', __tk{lead_chain}) AS s",
+            f"lead(__tk, {n - 1}) {over} AS __ok",
+        )
         .where(F.col("__ok").isNotNull())
         .drop("__ok")
     )
     # docs with < n tokens: whole text as the single shingle
     short = (
         tokrows.groupBy("id")
-        .agg(F.concat_ws(" ", F.array_sort(F.collect_list(F.struct("__pos", "__tk")))["__tk"]).alias("s"),
-             F.count("*").alias("__n"))
+        .agg(
+            F.expr(
+                "concat_ws(' ', array_sort(collect_list(struct(__pos, __tk))).__tk)"
+            ).alias("s"),
+            F.count("*").alias("__n"),
+        )
         .where(F.col("__n") < n)
         .select("id", "s")
     )
@@ -583,30 +599,23 @@ def minhash_lsh_pairs(
     # (multi-second janino compile on first execution); the narrow
     # (id, seed) min-agg is tiny, still map-side-combined, and shuffles only
     # the per-(id, seed) minima
-    seeded = exploded.select(
-        "id",
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
-        "s",
+    # single-expr construction (r16): same trees, one parse RPC each
+    # instead of one RPC per Column operator — see shingle_rows note
+    seeded = exploded.selectExpr(
+        "id", f"explode(sequence(0, {num_hashes - 1})) AS seed", "s"
     )
     minh = seeded.groupBy("id", "seed").agg(F.min(F.xxhash64("seed", "s")).alias("h"))
     sig = (
         minh.groupBy("id")
-        .agg(F.array_sort(F.collect_list(F.struct("seed", "h"))).alias("__sh"))
+        .agg(F.expr("array_sort(collect_list(struct(seed, h)))").alias("__sh"))
         .select("id", F.col("__sh.h").alias("sig"))
     )
-    banded = sig.select(
+    banded = sig.selectExpr(
         "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.slice("sig", b * rows_per_band + 1, rows_per_band)
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
+        f"explode(transform(sequence(0, {bands - 1}),"
+        f" b -> struct(b AS band,"
+        f" xxhash64(slice(sig, b * {rows_per_band} + 1, {rows_per_band}))"
+        f" AS bucket))) AS bb",
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     # Bucket members meet via ONE aggregation (collect ids per (band,bucket),
     # emit in-bucket pairs) instead of a self-join — the signature pipeline
@@ -616,16 +625,10 @@ def minhash_lsh_pairs(
     )
     if max_bucket_size is not None:
         buckets = buckets.where(F.size("ids") <= max_bucket_size)
-    pair = F.explode(
-        F.flatten(
-            F.transform(
-                F.col("ids"),
-                lambda x, i: F.transform(
-                    F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-                ),
-            )
-        )
+    pair = F.expr(
+        "explode(flatten(transform(ids,"
+        " (x, i) -> transform(slice(ids, i + 2, size(ids)),"
+        " y -> struct(x AS id_a, y AS id_b)))))"
     )
     cand = (
         buckets.where(F.size("ids") > 1)
