@@ -63,6 +63,30 @@ def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
     return tuple(cols)
 
 
+#: (realpath, mtime_ns, size) -> StructType.  Schema inference runs a
+#: 1-task Spark job per ``spark.read.parquet`` call (~40 ms of driver
+#: latency; q_tpch_q5ish paid it six times per construction).  The schema
+#: of a given parquet file is immutable, so cache it keyed on the file
+#: stat and pass it explicitly — ``read.schema(...)`` skips the inference
+#: job entirely.  At cluster scale the same job is a remote-storage footer
+#: read, so the win grows with storage latency.
+_SCHEMA_CACHE: dict = {}
+
+
+def _read_parquet_cached_schema(spark: SparkSession, path: str) -> DataFrame:
+    try:
+        st = os.stat(path)
+        key = (os.path.realpath(path), st.st_mtime_ns, st.st_size)
+    except OSError:
+        return spark.read.parquet(path)  # missing/dir path: original error
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
+
+
 def load_table(
     spark: SparkSession,
     sf_dir: str,
@@ -84,7 +108,7 @@ def load_table(
 
     tune_session(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
-    df = spark.read.parquet(path)
+    df = _read_parquet_cached_schema(spark, path)
     nanos_cols = [
         c
         for c in _nanos_timestamp_cols(path)
