@@ -606,20 +606,16 @@ def q_heatmap(spark, sf_dir):
     part 'log' = quantile(0.01) lower + true-max upper + effectiveMin cap +
     widthBucket over ln; part 'lin' = quantile(0.001) lower, raw min, linear
     widthBucket.  Oracle re-derives the full algorithm in SQL."""
-    from pyspark.sql import functions as F
+    from hyperdx_spark.analytics.heatmap import heatmap_parts
 
-    from hyperdx_spark.analytics.heatmap import heatmap
-
+    # r16: both scales share ONE bounds aggregate and ONE bucket pass
+    # (2 input scans instead of 4); heatmap_parts is pytest-asserted
+    # row-identical to the composed two-heatmap() union this replaced.
     ev = load_table(spark, sf_dir, "events")
-    log_part = heatmap(
+    return heatmap_parts(
         ev, ts="ts", value="value", bucket_seconds=86400, n_buckets=80,
-        scale="log",
-    ).withColumn("part", F.lit("log"))
-    lin_part = heatmap(
-        ev, ts="ts", value="value", bucket_seconds=86400, n_buckets=80,
-        scale="linear",
-    ).withColumn("part", F.lit("lin"))
-    return log_part.unionByName(lin_part)
+        parts=(("log", "log"), ("lin", "linear")),
+    )
 
 
 O_HEATMAP = """

@@ -194,6 +194,104 @@ def heatmap(
     )
 
 
+def heatmap_parts(
+    df: DataFrame,
+    *,
+    parts: Sequence[tuple[str, str]] = (("log", "log"), ("lin", "linear")),
+    ts: str = "ts",
+    value: str = "value",
+    bucket_seconds: int = 86400,
+    n_buckets: int = HEATMAP_N_BUCKETS,
+    ts_alias: str = "__timestamp",
+    exact_bounds: bool = True,
+) -> DataFrame:
+    """Several :func:`heatmap` scales over ONE pair of input scans.
+
+    ``parts`` is ``[(label, scale), ...]``; the result is row-for-row the
+    ``unionByName`` of ``heatmap(df, scale=s).withColumn("part", lit(l))``
+    per part (pytest-asserted), with columns
+    ``(ts_alias, x_bucket, count, part)``.
+
+    Why (r16, guide §2.3/§6): the composed form runs one bounds aggregate
+    and one bucket aggregate PER scale — four full input scans for the
+    standard log+linear pair.  Both bounds rows come from the same
+    aggregate pass (two ``percentile_disc`` levels + one ``max``), and the
+    bucket pass broadcasts the per-part ``(eff, hi)`` rows and buckets
+    each input row once per part inside one codegen'd projection — two
+    scans total, halving the query's input I/O at any scale.  Every
+    per-part arithmetic path is the same Column expression CASE-selected
+    by part, so the produced doubles are bit-identical to the composed
+    form's.
+    """
+    labels = [p[0] for p in parts]
+    scales = [p[1] for p in parts]
+    for s in scales:
+        _check_scale(s)
+    v = F.col(value).cast("double")
+
+    # one bounds pass: every distinct quantile level + the shared max
+    levels = sorted({get_quantile_lo(s) for s in scales})
+    aggs = [F.max(v).alias("max")]
+    for q_lo in levels:
+        if exact_bounds:
+            min_agg = F.expr(
+                f"percentile_disc({q_lo!r}) WITHIN GROUP "
+                f"(ORDER BY CASE WHEN CAST({value} AS DOUBLE) >= 0 "
+                f"THEN CAST({value} AS DOUBLE) END)"
+            )
+        else:
+            min_agg = F.percentile_approx(
+                F.when(v >= 0, v), F.lit(q_lo), F.lit(100000)
+            )
+        aggs.append(min_agg.alias(f"min_{str(q_lo).replace('.', '_')}"))
+    b = df.agg(*aggs)
+
+    # per-part (label, eff, hi) rows — same effectiveMin Columns as
+    # heatmap()'s bounds branch, selected per scale
+    part_structs = []
+    for label, scale in parts:
+        mn = F.col(f"min_{str(get_quantile_lo(scale)).replace('.', '_')}")
+        if scale == "log":
+            cap = F.col("max") * F.lit(1e-4)
+            cap = F.when(
+                cap.isNull() | F.isnan(cap) | (cap == 0), F.lit(1e-4)
+            ).otherwise(cap)
+            eff = F.greatest(mn, cap)
+        else:
+            eff = mn
+        part_structs.append(
+            F.struct(
+                F.lit(label).alias("part"),
+                F.lit(scale == "log").alias("__is_log"),
+                eff.alias("__eff"),
+                F.col("max").alias("__hi"),
+            )
+        )
+    bounds = b.select(
+        F.explode(F.array(*part_structs)).alias("__b")
+    ).select("__b.part", "__b.__is_log", "__b.__eff", "__b.__hi")
+
+    src = df.crossJoin(F.broadcast(bounds))
+    is_log = F.col("__is_log")
+    x = F.when(is_log, F.log(F.greatest(v, F.col("__eff")))).otherwise(v)
+    lo = F.when(is_log, F.log(F.col("__eff"))).otherwise(F.col("__eff"))
+    hi = F.when(is_log, F.log(F.col("__hi"))).otherwise(F.col("__hi"))
+    return (
+        src.where(F.col("__hi") > F.col("__eff"))
+        .withColumn("x_bucket", width_bucket(x, lo, hi, n_buckets))
+        .groupBy(
+            F.timestamp_seconds(
+                (F.unix_timestamp(F.col(ts)) / bucket_seconds).cast("long")
+                * bucket_seconds
+            ).alias(ts_alias),
+            "x_bucket",
+            "part",
+        )
+        .agg(F.count("*").alias("count"))
+        .select(ts_alias, "x_bucket", "count", "part")
+    )
+
+
 def format_data_for_heatmap(
     data: Sequence[Mapping],
     *,

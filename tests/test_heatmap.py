@@ -290,3 +290,31 @@ def test_percentiles_sorted_by_y_value():
     assert compute_bucket_percentiles([[0, 0], [5, 1], [1, 3]]) == {
         1: 75, 5: 100,
     }
+
+
+def test_heatmap_parts_equals_composed_union(spark, sf_dir):
+    # r16 optimization contract: the shared-scan heatmap_parts must be
+    # row-for-row identical to the two-heatmap() union it replaced in
+    # q_heatmap (one bounds pass + one bucket pass instead of four scans).
+    from pyspark.sql import functions as F
+
+    from hyperdx_spark.analytics.heatmap import heatmap, heatmap_parts
+    from hyperdx_spark.io import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    composed = (
+        heatmap(ev, ts="ts", value="value", bucket_seconds=86400,
+                n_buckets=80, scale="log").withColumn("part", F.lit("log"))
+        .unionByName(
+            heatmap(ev, ts="ts", value="value", bucket_seconds=86400,
+                    n_buckets=80, scale="linear")
+            .withColumn("part", F.lit("lin")))
+    )
+    fused = heatmap_parts(
+        ev, ts="ts", value="value", bucket_seconds=86400, n_buckets=80,
+        parts=(("log", "log"), ("lin", "linear")),
+    )
+    assert fused.columns == composed.columns
+    a = sorted(map(tuple, composed.collect()))
+    b = sorted(map(tuple, fused.collect()))
+    assert a == b
