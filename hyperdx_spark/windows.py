@@ -404,13 +404,22 @@ def offset_paginated_search(
             # end-exclusive so no row lands in two windows
             date_range_end_inclusive=(w.end == end and cfg.date_range_end_inclusive),
             order_by=cfg.order_by or f"{ts} {direction}",
-            limit=page_size,
+            limit=None,
+            offset=None,
         )
+        # r16: compile the window ONCE and page by offset/limit on the
+        # compiled frame — compile applies cfg.offset/cfg.limit as the
+        # final two plan nodes, so `base.offset(o).limit(n)` is the
+        # byte-identical plan tail while re-compilation (driver RPCs +
+        # re-analysis per page) is paid once per window, not per page.
+        # Each page remains its own job, exactly like the reference's
+        # per-page LIMIT/OFFSET round trips.
+        base_df = compile_chart_config(spark, sub, sf_dir=sf_dir)
         for page_no in range(max_pages_per_window):
-            page_df = compile_chart_config(
-                spark, replace(sub, offset=page_no * page_size), sf_dir=sf_dir
+            page_df = base_df if page_no == 0 else base_df.offset(
+                page_no * page_size
             )
-            rows = page_df.collect()
+            rows = page_df.limit(page_size).collect()
             if rows:
                 yield rows
             if len(rows) < page_size:
