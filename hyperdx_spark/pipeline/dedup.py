@@ -813,6 +813,11 @@ def dedup_groups(
             pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
         )
         .distinct()
+        # r16: hash-partition the cached edges on the per-iteration join
+        # key so InMemoryTableScan's reported partitioning satisfies the
+        # join's distribution every round — one exchange at cache build
+        # replaces one per iteration on the (larger) edge side.
+        .repartition("dst")
         # every propagation round joins the edge list — persist it, or the
         # UPSTREAM pair-finding DAG (LSH bands, self-join, verify) re-runs
         # once per iteration (measured ~6x the whole semantic-dedup cost at
@@ -823,9 +828,28 @@ def dedup_groups(
         edges.select(F.col("src").alias("id")).distinct()
         .withColumn("lbl", F.col("id"))
     )
+    # r16: for numeric ids the convergence probe is ONE aggregate instead
+    # of a labels⋈labels join per round: lbl is non-increasing per id
+    # (least of itself and the neighbor min), so Σlbl is strictly
+    # decreasing until the fixed point and equal sums ⟺ no change.
+    # decimal(38,0) keeps the sum exact at any corpus size (|V|·max_id <
+    # 10³⁸).  Non-numeric ids keep the join-based probe.
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    numeric_ids = isinstance(
+        labels.schema["lbl"].dataType,
+        (ByteType, ShortType, IntegerType, LongType),
+    )
+
+    def _label_sum(frame):
+        return frame.agg(
+            F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
     converged = False
     cp_handles: list[_LocalCheckpointHandle] = []
     new_labels: DataFrame | None = None
+    prev_sum = object()  # never equal on the first comparison
     # unpersist-on-raise: the loop runs jobs (eager checkpoints, the
     # convergence count) while edges/labels/checkpoint blocks are
     # persisted — a mid-loop failure would strand them all in a
@@ -863,15 +887,23 @@ def dedup_groups(
                 cp_handles.append(_LocalCheckpointHandle(new_labels))
             else:
                 new_labels = new_labels.persist()
-            changed = (
-                new_labels.join(labels.withColumnRenamed("lbl", "old"), on="id")
-                .where(F.col("lbl") != F.col("old"))
-                .limit(1)
-                .count()
-            )
+            if numeric_ids:
+                new_sum = _label_sum(new_labels)
+                unchanged = new_sum == prev_sum
+                prev_sum = new_sum
+            else:
+                unchanged = (
+                    new_labels.join(
+                        labels.withColumnRenamed("lbl", "old"), on="id"
+                    )
+                    .where(F.col("lbl") != F.col("old"))
+                    .limit(1)
+                    .count()
+                    == 0
+                )
             labels.unpersist()  # no-op on the (unpersisted) first iteration
             labels = new_labels
-            if changed == 0:
+            if unchanged:
                 converged = True
                 break
     except BaseException:

@@ -1059,21 +1059,23 @@ def test_dedup_groups_unpersists_on_midloop_failure(spark, monkeypatch):
         [(i, i + 1) for i in range(8)], "id_a long, id_b long"
     )
     # patch the CONCRETE class: pyspark.sql.DataFrame is the abstract
-    # dispatch base in Spark 4 and the classic subclass overrides count
+    # dispatch base in Spark 4 and the classic subclass overrides collect.
+    # r16: numeric-id convergence probes are one agg + collect per round
+    # (the label-sum check), so the injected failure rides collect now.
     df_cls = type(pairs)
     before = n_blocks()
-    real_count = df_cls.count
+    real_collect = df_cls.collect
     calls = {"n": 0}
 
-    def flaky_count(self):
-        # iteration 0's convergence count succeeds (edges + the first
+    def flaky_collect(self):
+        # iteration 0's convergence probe succeeds (edges + the first
         # label frame materialize into the cache); iteration 1's fails
         calls["n"] += 1
         if calls["n"] == 2:
             raise RuntimeError("injected mid-loop failure")
-        return real_count(self)
+        return real_collect(self)
 
-    monkeypatch.setattr(df_cls, "count", flaky_count)
+    monkeypatch.setattr(df_cls, "collect", flaky_collect)
     with _pytest.raises(RuntimeError, match="injected mid-loop"):
         dedup.dedup_groups(pairs)
     monkeypatch.undo()
