@@ -1254,6 +1254,158 @@ def parse(query: str, experimental: bool = False):
 
 
 # --------------------------------------------------------------------------
+# Native-histogram SQL fragment builders
+# --------------------------------------------------------------------------
+# Construction-cost twins of the former Column-by-Column builders: each
+# helper returns Spark-SQL TEXT for the same expression semantics the Column
+# operators built (same ops, same literal types, same CASE order), so one
+# parse RPC replaces thousands of py4j Column round trips — the r16 driver
+# profile measured ~2 ms per Column op and ~13 ms per Python-built lambda
+# vs ~1 ms to parse a whole SQL expression; a single histogram_fraction
+# construction was ~3,000 RPCs (≈2 s of pure driver latency). Exactness is
+# pinned by tests/test_promql_native_hist.py golden values,
+# tests/test_promql_hist_sql_twin.py (Column-twin equality) and the strict
+# q_promql_features oracle gate.
+
+_EMPTY_D = "CAST(array() AS ARRAY<DOUBLE>)"
+_EMPTY_BKT = (
+    "CAST(array() AS ARRAY<STRUCT<lower: DOUBLE, upper: DOUBLE, cnt: DOUBLE>>)"
+)
+
+
+def _sql_dlit(x: float) -> str:
+    """Double literal SQL text for a finite/infinite Python float — the
+    parsed Literal carries the identical IEEE value to ``F.lit(float(x))``
+    (repr is the shortest round-trip form; Double.parseDouble inverts it)."""
+    x = float(x)
+    if x != x:
+        return "CAST('NaN' AS DOUBLE)"
+    if x == float("inf"):
+        return "CAST('Infinity' AS DOUBLE)"
+    if x == float("-inf"):
+        return "CAST('-Infinity' AS DOUBLE)"
+    return f"{x!r}D"
+
+
+def _sql_h_elem(cnt: str, off: str, i: str) -> str:
+    """counts[] lookup at absolute bucket index i (0.0 outside range)."""
+    return (
+        f"CASE WHEN ({i}) >= ({off}) AND ({i}) <= ({off}) + size({cnt}) - 1 "
+        f"THEN element_at({cnt}, CAST(({i}) - ({off}) + 1 AS INT)) "
+        f"ELSE 0.0D END"
+    )
+
+
+def _sql_h_down(cnt: str, off: str, shift: str, var: str = "j") -> tuple:
+    """Downscale dense exponential buckets by ``shift`` schema steps:
+    2^shift adjacent source buckets merge into one. Returns
+    (off_sql, cnt_sql); shift 0 passes through. ``var`` prefixes the lambda
+    variable names so nested uses (one _sql_h_down per array element in the
+    sum-aggregation) never shadow an outer lambda."""
+    div = f"power(2.0D, CAST({shift} AS DOUBLE))"
+    noff = f"CAST(FLOOR(CAST({off} AS DOUBLE) / {div}) AS BIGINT)"
+    last = f"CAST({off} AS BIGINT) + size({cnt}) - 1"
+    nlast = f"CAST(FLOOR(CAST({last} AS DOUBLE) / {div}) AS BIGINT)"
+    vj, vc, vi, va, vx = var, f"{var}c", f"{var}i", f"{var}a", f"{var}x"
+    merged = (
+        f"transform(sequence({noff}, {nlast}), {vj} -> "
+        f"aggregate(zip_with({cnt}, "
+        f"sequence(CAST({off} AS BIGINT), CAST({off} AS BIGINT) + size({cnt}) - 1), "
+        f"({vc}, {vi}) -> CASE WHEN CAST(FLOOR(CAST({vi} AS DOUBLE) / {div}) AS BIGINT) = {vj} "
+        f"THEN {vc} ELSE 0.0D END), "
+        f"0.0D, ({va}, {vx}) -> {va} + {vx}))"
+    )
+    off_out = (
+        f"CASE WHEN size({cnt}) = 0 THEN CAST(0 AS BIGINT) "
+        f"ELSE CASE WHEN ({shift}) = 0 THEN CAST({off} AS BIGINT) ELSE {noff} END END"
+    )
+    cnt_out = (
+        f"CASE WHEN size({cnt}) = 0 THEN {_EMPTY_D} "
+        f"ELSE CASE WHEN ({shift}) = 0 THEN {cnt} ELSE {merged} END END"
+    )
+    return off_out, cnt_out
+
+
+def _sql_h_pair(a_off: str, a_cnt: str, b_off: str, b_cnt: str, op: str,
+                var: str = "i") -> tuple:
+    """Element-wise ``op`` ('+'/'-') over the union index range of two dense
+    bucket arrays (both already at the same schema). Returns (off, counts)."""
+    a_ne, b_ne = f"size({a_cnt}) > 0", f"size({b_cnt}) > 0"
+    a_last = f"({a_off}) + size({a_cnt}) - 1"
+    b_last = f"({b_off}) + size({b_cnt}) - 1"
+    lo = (
+        f"CAST(CASE WHEN ({a_ne}) AND ({b_ne}) THEN least({a_off}, {b_off}) "
+        f"WHEN {a_ne} THEN {a_off} ELSE {b_off} END AS BIGINT)"
+    )
+    hi = (
+        f"CAST(CASE WHEN ({a_ne}) AND ({b_ne}) THEN greatest({a_last}, {b_last}) "
+        f"WHEN {a_ne} THEN {a_last} ELSE {b_last} END AS BIGINT)"
+    )
+    ea = _sql_h_elem(a_cnt, a_off, var)
+    eb = _sql_h_elem(b_cnt, b_off, var)
+    cnts = (
+        f"CASE WHEN (NOT ({a_ne})) AND (NOT ({b_ne})) THEN {_EMPTY_D} "
+        f"ELSE transform(sequence({lo}, {hi}), {var} -> ({ea}) {op} ({eb})) END"
+    )
+    off_out = (
+        f"CASE WHEN (NOT ({a_ne})) AND (NOT ({b_ne})) THEN CAST(0 AS BIGINT) "
+        f"ELSE {lo} END"
+    )
+    return off_out, cnts
+
+
+def _sql_h_struct(schema: str, zc: str, zt: str, cnt: str, sm: str, poff: str,
+                  pcnt: str, noff: str, ncnt: str) -> str:
+    return (
+        "named_struct("
+        f"'schema', CAST({schema} AS INT), "
+        f"'zero_count', CAST({zc} AS DOUBLE), "
+        f"'zero_threshold', CAST({zt} AS DOUBLE), "
+        f"'count', CAST({cnt} AS DOUBLE), "
+        f"'sum', CAST({sm} AS DOUBLE), "
+        f"'pos_offset', CAST({poff} AS INT), "
+        f"'pos_counts', CAST({pcnt} AS ARRAY<DOUBLE>), "
+        f"'neg_offset', CAST({noff} AS INT), "
+        f"'neg_counts', CAST({ncnt} AS ARRAY<DOUBLE>))"
+    )
+
+
+def _sql_h_buckets(h: str, zero_lower: str, zero_upper: str) -> str:
+    """The ascending bucket array [reversed negatives, zero bucket,
+    positives] as (lower, upper, cnt) structs — shared assembly of the
+    quantile / stdvar / fraction walks; the zero bucket's bounds differ per
+    caller (`zero_lower`/`zero_upper` SQL fragments)."""
+    invs = f"power(2.0D, -CAST({h}.schema AS DOUBLE))"
+
+    def bound(i: str) -> str:
+        return f"power(2.0D, CAST({i} AS DOUBLE) * {invs})"
+
+    e_neg = _sql_h_elem(f"{h}.neg_counts", f"{h}.neg_offset", "bi")
+    negs = (
+        f"CASE WHEN size({h}.neg_counts) = 0 THEN {_EMPTY_BKT} "
+        f"ELSE transform(sequence("
+        f"CAST({h}.neg_offset AS BIGINT) + size({h}.neg_counts) - 1, "
+        f"CAST({h}.neg_offset AS BIGINT), -1), "
+        f"bi -> named_struct('lower', -({bound('bi + 1')}), "
+        f"'upper', -({bound('bi')}), 'cnt', {e_neg})) END"
+    )
+    zero = (
+        f"array(named_struct('lower', {zero_lower}, 'upper', {zero_upper}, "
+        f"'cnt', {h}.zero_count))"
+    )
+    e_pos = _sql_h_elem(f"{h}.pos_counts", f"{h}.pos_offset", "bi")
+    poss = (
+        f"CASE WHEN size({h}.pos_counts) = 0 THEN {_EMPTY_BKT} "
+        f"ELSE transform(sequence("
+        f"CAST({h}.pos_offset AS BIGINT), "
+        f"CAST({h}.pos_offset AS BIGINT) + size({h}.pos_counts) - 1), "
+        f"bi -> named_struct('lower', {bound('bi')}, "
+        f"'upper', {bound('bi + 1')}, 'cnt', {e_pos})) END"
+    )
+    return f"concat({negs}, {zero}, {poss})"
+
+
+# --------------------------------------------------------------------------
 # Evaluator
 # --------------------------------------------------------------------------
 
@@ -1722,85 +1874,10 @@ class PromQLEngine:
     # this engine's no-extrapolation float semantics; NULL where Prometheus
     # emits NaN.
 
-    @staticmethod
-    def _h_elem(cnt: Column, off: Column, i: Column) -> Column:
-        """counts[] lookup at absolute bucket index i (0.0 outside range)."""
-        return F.when(
-            (i >= off) & (i <= off + F.size(cnt) - 1),
-            F.element_at(cnt, (i - off + 1).cast("int")),
-        ).otherwise(F.lit(0.0))
-
-    @staticmethod
-    def _h_down(cnt: Column, off: Column, shift: Column) -> tuple:
-        """Downscale dense exponential buckets by `shift` schema steps: 2^shift
-        adjacent source buckets merge into one (metrics._downscale, double
-        counts). Returns (new_off, new_counts); shift 0 passes through."""
-        div = F.pow(F.lit(2.0), shift.cast("double"))
-        noff = F.floor(off.cast("double") / div).cast("long")
-        last = off.cast("long") + F.size(cnt) - 1
-        nlast = F.floor(last.cast("double") / div).cast("long")
-        merged = F.transform(
-            F.sequence(noff, nlast),
-            lambda j: F.aggregate(
-                F.zip_with(
-                    cnt,
-                    F.sequence(off.cast("long"), off.cast("long") + F.size(cnt) - 1),
-                    lambda c, i: F.when(
-                        F.floor(i.cast("double") / div).cast("long") == j, c
-                    ).otherwise(F.lit(0.0)),
-                ),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            ),
-        )
-        empty = F.array().cast("array<double>")
-        return (
-            F.when(F.size(cnt) == 0, F.lit(0).cast("long")).otherwise(
-                F.when(shift == 0, off.cast("long")).otherwise(noff)
-            ),
-            F.when(F.size(cnt) == 0, empty).otherwise(
-                F.when(shift == 0, cnt).otherwise(merged)
-            ),
-        )
-
-    @classmethod
-    def _h_pair(cls, a_off, a_cnt, b_off, b_cnt, op) -> tuple:
-        """Element-wise op over the union index range of two dense bucket
-        arrays (both already at the same schema). Returns (off, counts)."""
-        a_ne, b_ne = F.size(a_cnt) > 0, F.size(b_cnt) > 0
-        a_last = a_off + F.size(a_cnt) - 1
-        b_last = b_off + F.size(b_cnt) - 1
-        lo = (
-            F.when(a_ne & b_ne, F.least(a_off, b_off))
-            .when(a_ne, a_off)
-            .otherwise(b_off)
-        ).cast("long")
-        hi = (
-            F.when(a_ne & b_ne, F.greatest(a_last, b_last))
-            .when(a_ne, a_last)
-            .otherwise(b_last)
-        ).cast("long")
-        cnts = F.when(~a_ne & ~b_ne, F.array().cast("array<double>")).otherwise(
-            F.transform(
-                F.sequence(lo, hi),
-                lambda i: op(cls._h_elem(a_cnt, a_off, i), cls._h_elem(b_cnt, b_off, i)),
-            )
-        )
-        return F.when(~a_ne & ~b_ne, F.lit(0).cast("long")).otherwise(lo), cnts
-
-    @staticmethod
-    def _h_struct(schema, zc, zt, cnt, sm, poff, pcnt, noff, ncnt) -> Column:
-        return F.struct(
-            schema.cast("int").alias("schema"),
-            zc.cast("double").alias("zero_count"),
-            zt.cast("double").alias("zero_threshold"),
-            cnt.cast("double").alias("count"),
-            sm.cast("double").alias("sum"),
-            poff.cast("int").alias("pos_offset"),
-            pcnt.cast("array<double>").alias("pos_counts"),
-            noff.cast("int").alias("neg_offset"),
-            ncnt.cast("array<double>").alias("neg_counts"),
-        )
+    # The pre-r16 Column-by-Column builders (_h_elem/_h_down/_h_pair/
+    # _h_struct) live on verbatim as the reference twin in
+    # tests/test_promql_hist_sql_twin.py; the engine builds the same
+    # expressions as SQL text via the module-level _sql_h_* helpers.
 
     def _native_hist_shape(self, node) -> bool:
         """True when `node` is an expression this engine can evaluate in
@@ -1870,10 +1947,11 @@ class PromQLEngine:
                 "histogram_count/sum/avg need one"
             )
         h = F.col(self.hist_col)
-        canon = self._h_struct(
-            h["schema"], h["zero_count"], h["zero_threshold"], h["count"],
-            h["sum"], h["pos_offset"], h["pos_counts"], h["neg_offset"],
-            h["neg_counts"],
+        H, TS = f"`{self.hist_col}`", f"`{self.ts_col}`"
+        canon = _sql_h_struct(
+            f"{H}.schema", f"{H}.zero_count", f"{H}.zero_threshold",
+            f"{H}.count", f"{H}.sum", f"{H}.pos_offset", f"{H}.pos_counts",
+            f"{H}.neg_offset", f"{H}.neg_counts",
         )
         if isinstance(node, Selector) and node.window_s is None:
             df = self._filter(node).where(h.isNotNull())
@@ -1885,7 +1963,7 @@ class PromQLEngine:
                 (ts > eff - F.expr(f"INTERVAL {lookback_s} SECOND")) & (ts <= eff),
             )
             return j.groupBy("__step", *self.label_cols).agg(
-                F.max_by(canon, ts).alias("__hist")
+                F.expr(f"max_by({canon}, {TS})").alias("__hist")
             )
         if (
             isinstance(node, RangeFn)
@@ -1909,63 +1987,84 @@ class PromQLEngine:
             g = (
                 j.groupBy("__step", *self.label_cols)
                 .agg(
-                    F.min_by(canon, ts).alias("__f"),
-                    F.max_by(canon, ts).alias("__l"),
-                    F.count(ts).alias("__n"),
+                    F.expr(f"min_by({canon}, {TS})").alias("__f"),
+                    F.expr(f"max_by({canon}, {TS})").alias("__l"),
+                    F.expr(f"count({TS})").alias("__n"),
                 )
                 .where(F.col("__n") >= 2)
             )
-            f_, l_ = F.col("__f"), F.col("__l")
-            tgt = F.least(f_["schema"], l_["schema"]).cast("int")
-            fp_off, fp_cnt = self._h_down(
-                f_["pos_counts"], f_["pos_offset"], f_["schema"] - tgt
+            # staged projections: each downscale/pair array is NAMED and so
+            # evaluated once per row, where the former Column tree inlined
+            # (and re-evaluated) it at every use site — same deterministic
+            # values, one evaluation
+            lbl = [f"`{c}`" for c in self.label_cols]
+            keep = ["__step", *lbl, "__f", "__l"]
+            s1 = g.selectExpr(
+                *keep, "CAST(least(__f.schema, __l.schema) AS INT) AS __tgt"
             )
-            fn_off, fn_cnt = self._h_down(
-                f_["neg_counts"], f_["neg_offset"], f_["schema"] - tgt
-            )
-            lp_off, lp_cnt = self._h_down(
-                l_["pos_counts"], l_["pos_offset"], l_["schema"] - tgt
-            )
-            ln_off, ln_cnt = self._h_down(
-                l_["neg_counts"], l_["neg_offset"], l_["schema"] - tgt
-            )
-            sub = lambda a, b: a - b  # noqa: E731
-            dp_off, dp_cnt = self._h_pair(lp_off, lp_cnt, fp_off, fp_cnt, sub)
-            dn_off, dn_cnt = self._h_pair(ln_off, ln_cnt, fn_off, fn_cnt, sub)
-            if node.fn == "delta":
-                reset = F.lit(False)
-            else:
-                neg_bucket = (
-                    F.coalesce(F.array_min(dp_cnt) < 0, F.lit(False))
-                    | F.coalesce(F.array_min(dn_cnt) < 0, F.lit(False))
+
+            def down(side: str, pre: str, var: str) -> str:
+                o, c = _sql_h_down(
+                    f"__{pre}.{side}_counts", f"__{pre}.{side}_offset",
+                    f"__{pre}.schema - __tgt", var=var,
                 )
+                return f"named_struct('off', {o}, 'cnt', {c})"
+
+            s2 = s1.selectExpr(
+                *keep, "__tgt",
+                f"{down('pos', 'f', 'fp')} AS __fp",
+                f"{down('neg', 'f', 'fn')} AS __fn",
+                f"{down('pos', 'l', 'lp')} AS __lp",
+                f"{down('neg', 'l', 'ln')} AS __ln",
+            )
+            dp_off, dp_cnt = _sql_h_pair(
+                "__lp.off", "__lp.cnt", "__fp.off", "__fp.cnt", "-", var="dp"
+            )
+            dn_off, dn_cnt = _sql_h_pair(
+                "__ln.off", "__ln.cnt", "__fn.off", "__fn.cnt", "-", var="dn"
+            )
+            s3 = s2.selectExpr(
+                *keep, "__tgt", "__lp", "__ln",
+                f"named_struct('off', {dp_off}, 'cnt', {dp_cnt}) AS __dp",
+                f"named_struct('off', {dn_off}, 'cnt', {dn_cnt}) AS __dn",
+            )
+            if node.fn == "delta":
+                reset = "false"
+            else:
                 reset = (
-                    (l_["count"] < f_["count"])
-                    | (l_["zero_count"] < f_["zero_count"])
-                    | neg_bucket
+                    "((__l.count < __f.count) OR "
+                    "(__l.zero_count < __f.zero_count) OR "
+                    "(coalesce(array_min(__dp.cnt) < 0, false)) OR "
+                    "(coalesce(array_min(__dn.cnt) < 0, false)))"
                 )
             scale = (
-                F.lit(1.0) / F.lit(float(w_s)) if node.fn == "rate" else F.lit(1.0)
+                f"(1.0D / {float(w_s)!r}D)" if node.fn == "rate" else "1.0D"
             )
 
-            def pick(delta_c, abs_c):
-                return F.when(reset, abs_c).otherwise(delta_c) * scale
+            def pick(delta_c: str, abs_c: str) -> str:
+                return (
+                    f"(CASE WHEN {reset} THEN {abs_c} ELSE {delta_c} END)"
+                    f" * {scale}"
+                )
 
-            arr_scale = lambda dc, ac: F.transform(  # noqa: E731
-                F.when(reset, ac).otherwise(dc), lambda x: x * scale
+            def arr_scale(dc: str, ac: str) -> str:
+                return (
+                    f"transform(CASE WHEN {reset} THEN {ac} ELSE {dc} END, "
+                    f"sx -> sx * {scale})"
+                )
+
+            out = _sql_h_struct(
+                "__tgt",
+                pick("__l.zero_count - __f.zero_count", "__l.zero_count"),
+                "greatest(__f.zero_threshold, __l.zero_threshold)",
+                pick("__l.count - __f.count", "__l.count"),
+                pick("__l.sum - __f.sum", "__l.sum"),
+                f"CASE WHEN {reset} THEN __lp.off ELSE __dp.off END",
+                arr_scale("__dp.cnt", "__lp.cnt"),
+                f"CASE WHEN {reset} THEN __ln.off ELSE __dn.off END",
+                arr_scale("__dn.cnt", "__ln.cnt"),
             )
-            out = self._h_struct(
-                tgt,
-                pick(l_["zero_count"] - f_["zero_count"], l_["zero_count"]),
-                F.greatest(f_["zero_threshold"], l_["zero_threshold"]),
-                pick(l_["count"] - f_["count"], l_["count"]),
-                pick(l_["sum"] - f_["sum"], l_["sum"]),
-                F.when(reset, lp_off).otherwise(dp_off),
-                arr_scale(dp_cnt, lp_cnt),
-                F.when(reset, ln_off).otherwise(dn_off),
-                arr_scale(dn_cnt, ln_cnt),
-            )
-            return g.select("__step", *self.label_cols, out.alias("__hist"))
+            return s3.selectExpr("__step", *lbl, f"{out} AS __hist")
         if isinstance(node, Agg) and node.op in ("sum", "avg"):
             inner = self._eval_hist(spark, node.arg, start, end, step_s, lookback_s)
             labels = [c for c in inner.columns if c not in ("__step", "__hist")]
@@ -1973,67 +2072,82 @@ class PromQLEngine:
                 keep = [c for c in labels if c not in set(node.without)]
             else:
                 keep = [c for c in (node.by or []) if c in inner.columns]
-            ih = F.col("__hist")
             g = inner.groupBy("__step", *keep).agg(
                 F.collect_list("__hist").alias("__hs")
             )
-            hs = F.col("__hs")
-            tgt = F.array_min(F.transform(hs, lambda x: x["schema"]))
-            def _ssum(field: str) -> Column:
-                # (closure, not a default arg — pyspark counts lambda params
-                # to pick the HOF arity)
-                return F.aggregate(hs, F.lit(0.0), lambda a, x: a + x[field])
-
-            scalars = {
-                name: _ssum(name) for name in ("zero_count", "count", "sum")
-            }
-            zt = F.aggregate(
-                hs, F.lit(0.0), lambda a, x: F.greatest(a, x["zero_threshold"])
+            # staged projections (see the rate path): the downscaled array,
+            # its non-empty filter, and the union bounds are NAMED columns,
+            # evaluated once per row instead of re-inlined at each use
+            lbl = [f"`{c}`" for c in keep]
+            base = ["__step", *lbl, "__hs"]
+            s1 = g.selectExpr(
+                *base,
+                "array_min(transform(__hs, tx -> tx.schema)) AS __tgt",
             )
 
-            def side(off_f: str, cnt_f: str) -> tuple:
-                def _down(x: Column) -> Column:
-                    # one _h_down call per element; only the selected tuple
-                    # fields enter the plan either way, this just makes the
-                    # single evaluation explicit
-                    noff, ncnt = self._h_down(
-                        x[cnt_f], x[off_f], x["schema"] - tgt
-                    )
-                    return F.struct(noff.alias("off"), ncnt.alias("cnt"))
-
-                ds = F.transform(hs, _down)
-                ne = F.filter(ds, lambda x: F.size(x["cnt"]) > 0)
-                lo = F.array_min(F.transform(ne, lambda x: x["off"]))
-                hi = F.array_max(
-                    F.transform(ne, lambda x: x["off"] + F.size(x["cnt"]) - 1)
+            def down_all(side: str, var: str) -> str:
+                o, c = _sql_h_down(
+                    f"dx.{side}_counts", f"dx.{side}_offset",
+                    "dx.schema - __tgt", var=var,
                 )
-                cnts = F.when(F.size(ne) == 0, F.array().cast("array<double>")).otherwise(
-                    F.transform(
-                        F.sequence(lo, hi),
-                        lambda i: F.aggregate(
-                            ne,
-                            F.lit(0.0),
-                            lambda a, x: a + self._h_elem(x["cnt"], x["off"], i),
-                        ),
-                    )
+                return (
+                    f"transform(__hs, dx -> named_struct('off', {o}, "
+                    f"'cnt', {c}))"
                 )
-                return F.coalesce(lo, F.lit(0)).cast("long"), cnts
 
-            p_off, p_cnt = side("pos_offset", "pos_counts")
-            n_off, n_cnt = side("neg_offset", "neg_counts")
+            s2 = s1.selectExpr(
+                *base, "__tgt",
+                f"filter({down_all('pos', 'p')}, fx -> size(fx.cnt) > 0) AS __pne",
+                f"filter({down_all('neg', 'n')}, fx -> size(fx.cnt) > 0) AS __nne",
+            )
+
+            def bounds(ne: str, pre: str) -> list:
+                return [
+                    f"array_min(transform({ne}, bx -> bx.off)) AS __{pre}lo",
+                    f"array_max(transform({ne}, bx -> bx.off + size(bx.cnt) - 1))"
+                    f" AS __{pre}hi",
+                ]
+
+            s3 = s2.selectExpr(
+                *base, "__tgt", "__pne", "__nne",
+                *bounds("__pne", "p"), *bounds("__nne", "n"),
+            )
+
+            def merged(ne: str, lo: str, hi: str, var: str) -> str:
+                elem = _sql_h_elem(f"{var}x.cnt", f"{var}x.off", f"{var}i")
+                return (
+                    f"CASE WHEN size({ne}) = 0 THEN {_EMPTY_D} "
+                    f"ELSE transform(sequence({lo}, {hi}), {var}i -> "
+                    f"aggregate({ne}, 0.0D, ({var}a, {var}x) -> "
+                    f"{var}a + ({elem}))) END"
+                )
+
+            p_off = "CAST(coalesce(__plo, 0) AS BIGINT)"
+            n_off = "CAST(coalesce(__nlo, 0) AS BIGINT)"
+            p_cnt = merged("__pne", "__plo", "__phi", "m")
+            n_cnt = merged("__nne", "__nlo", "__nhi", "w")
+
+            def ssum(field: str) -> str:
+                return f"aggregate(__hs, 0.0D, (sa, sx) -> sa + sx.{field})"
+
+            scalars = {f: ssum(f) for f in ("zero_count", "count", "sum")}
+            zt = (
+                "aggregate(__hs, 0.0D, (za, zx) -> "
+                "greatest(za, zx.zero_threshold))"
+            )
             if node.op == "avg":
                 # avg of histograms = merged sum scaled by 1/n (Prometheus
                 # aggregations.md: every bucket and scalar divides by the
                 # number of merged histograms)
-                inv = F.lit(1.0) / F.size(hs).cast("double")
-                scalars = {k: v * inv for k, v in scalars.items()}
-                p_cnt = F.transform(p_cnt, lambda x: x * inv)
-                n_cnt = F.transform(n_cnt, lambda x: x * inv)
-            out = self._h_struct(
-                tgt, scalars["zero_count"], zt, scalars["count"], scalars["sum"],
-                p_off, p_cnt, n_off, n_cnt,
+                inv = "(1.0D / CAST(size(__hs) AS DOUBLE))"
+                scalars = {k: f"({v}) * {inv}" for k, v in scalars.items()}
+                p_cnt = f"transform({p_cnt}, vx -> vx * {inv})"
+                n_cnt = f"transform({n_cnt}, vx -> vx * {inv})"
+            out = _sql_h_struct(
+                "__tgt", scalars["zero_count"], zt, scalars["count"],
+                scalars["sum"], p_off, p_cnt, n_off, n_cnt,
             )
-            return g.select("__step", *keep, out.alias("__hist"))
+            return s3.selectExpr("__step", *lbl, f"{out} AS __hist")
         if isinstance(node, BinOp):
             return self._eval_hist_binop(
                 spark, node, start, end, step_s, lookback_s
@@ -2078,21 +2192,26 @@ class PromQLEngine:
                 factor = k
             else:  # "/" — shape check guarantees the scalar is on the right
                 factor = float("inf") if k == 0.0 else 1.0 / k
-            ih = F.col("__hist")
-            sc = F.lit(factor)
-            out = self._h_struct(
-                ih["schema"],
-                ih["zero_count"] * sc,
-                ih["zero_threshold"],
-                ih["count"] * sc,
-                ih["sum"] * sc,
-                ih["pos_offset"],
-                F.transform(ih["pos_counts"], lambda x: x * sc),
-                ih["neg_offset"],
-                F.transform(ih["neg_counts"], lambda x: x * sc),
+            sc = (
+                "CAST('Infinity' AS DOUBLE)"
+                if factor == float("inf")
+                else f"{factor!r}D"
+            )
+            out = _sql_h_struct(
+                "__hist.schema",
+                f"__hist.zero_count * {sc}",
+                "__hist.zero_threshold",
+                f"__hist.count * {sc}",
+                f"__hist.sum * {sc}",
+                "__hist.pos_offset",
+                f"transform(__hist.pos_counts, kx -> kx * {sc})",
+                "__hist.neg_offset",
+                f"transform(__hist.neg_counts, kx -> kx * {sc})",
             )
             labels = [c for c in inner.columns if c not in ("__step", "__hist")]
-            return inner.select("__step", *labels, out.alias("__hist"))
+            return inner.selectExpr(
+                "__step", *[f"`{c}`" for c in labels], f"{out} AS __hist"
+            )
         if node.group is not None:
             raise ValueError(
                 "group_left/group_right is not allowed with histogram "
@@ -2132,37 +2251,47 @@ class PromQLEngine:
             _dup("right"),
         )
         j = lv2.join(rv2, on=match_keys, how="inner")
-        a, b = F.col("__hist"), F.col("__rh")
-        tgt = F.least(a["schema"], b["schema"]).cast("int")
-        ap_off, ap_cnt = self._h_down(
-            a["pos_counts"], a["pos_offset"], a["schema"] - tgt
+        # staged projections (see _eval_hist rate path): downscaled arrays
+        # and pair results are named, single-evaluation columns
+        mk = [f"`{c}`" for c in match_keys]
+        s1 = j.selectExpr(
+            *mk, "__hist", "__rh",
+            "CAST(least(__hist.schema, __rh.schema) AS INT) AS __tgt",
         )
-        an_off, an_cnt = self._h_down(
-            a["neg_counts"], a["neg_offset"], a["schema"] - tgt
+
+        def down(col: str, side: str, var: str) -> str:
+            o, c = _sql_h_down(
+                f"{col}.{side}_counts", f"{col}.{side}_offset",
+                f"{col}.schema - __tgt", var=var,
+            )
+            return f"named_struct('off', {o}, 'cnt', {c})"
+
+        s2 = s1.selectExpr(
+            *mk, "__hist", "__rh", "__tgt",
+            f"{down('__hist', 'pos', 'ap')} AS __ap",
+            f"{down('__hist', 'neg', 'an')} AS __an",
+            f"{down('__rh', 'pos', 'bp')} AS __bp",
+            f"{down('__rh', 'neg', 'bn')} AS __bn",
         )
-        bp_off, bp_cnt = self._h_down(
-            b["pos_counts"], b["pos_offset"], b["schema"] - tgt
+        op = "+" if node.op == "+" else "-"
+        p_off, p_cnt = _sql_h_pair(
+            "__ap.off", "__ap.cnt", "__bp.off", "__bp.cnt", op, var="pp"
         )
-        bn_off, bn_cnt = self._h_down(
-            b["neg_counts"], b["neg_offset"], b["schema"] - tgt
+        n_off, n_cnt = _sql_h_pair(
+            "__an.off", "__an.cnt", "__bn.off", "__bn.cnt", op, var="nn"
         )
-        op = (
-            (lambda x, y: x + y) if node.op == "+" else (lambda x, y: x - y)
-        )
-        p_off, p_cnt = self._h_pair(ap_off, ap_cnt, bp_off, bp_cnt, op)
-        n_off, n_cnt = self._h_pair(an_off, an_cnt, bn_off, bn_cnt, op)
-        out = self._h_struct(
-            tgt,
-            op(a["zero_count"], b["zero_count"]),
-            F.greatest(a["zero_threshold"], b["zero_threshold"]),
-            op(a["count"], b["count"]),
-            op(a["sum"], b["sum"]),
+        out = _sql_h_struct(
+            "__tgt",
+            f"(__hist.zero_count) {op} (__rh.zero_count)",
+            "greatest(__hist.zero_threshold, __rh.zero_threshold)",
+            f"(__hist.count) {op} (__rh.count)",
+            f"(__hist.sum) {op} (__rh.sum)",
             p_off,
             p_cnt,
             n_off,
             n_cnt,
         )
-        return j.select(*match_keys, out.alias("__hist"))
+        return s2.selectExpr(*mk, f"{out} AS __hist")
 
     def _native_histogram_quantile(self, phi: float, hv: DataFrame) -> DataFrame:
         """histogram_quantile over a native-histogram vector, row-local:
@@ -2172,86 +2301,49 @@ class PromQLEngine:
         histogramQuantile; the zero bucket's lower bound collapses to 0
         when there are no negative buckets). NULL for empty histograms."""
         labels = [c for c in hv.columns if c not in ("__step", "__hist")]
-        h = F.col("__hist")
+        lbl = [f"`{c}`" for c in labels]
         if phi < 0 or phi > 1:
             const = float("-inf") if phi < 0 else float("inf")
             return hv.select(
                 "__step", *labels, F.lit(const).cast("double").alias("value")
             )
-        invs = F.pow(F.lit(2.0), -h["schema"].cast("double"))
-
-        def bound(i: Column) -> Column:
-            return F.pow(F.lit(2.0), i.cast("double") * invs)
-
-        negs = F.when(
-            F.size(h["neg_counts"]) == 0,
-            F.array().cast("array<struct<lower:double,upper:double,cnt:double>>"),
-        ).otherwise(
-            F.transform(
-                F.sequence(
-                    h["neg_offset"].cast("long") + F.size(h["neg_counts"]) - 1,
-                    h["neg_offset"].cast("long"),
-                    F.lit(-1),
-                ),
-                lambda i: F.struct(
-                    (-bound(i + 1)).alias("lower"),
-                    (-bound(i)).alias("upper"),
-                    self._h_elem(h["neg_counts"], h["neg_offset"], i).alias("cnt"),
-                ),
-            )
+        bk = _sql_h_buckets(
+            "__hist",
+            "CASE WHEN size(__hist.neg_counts) > 0 "
+            "THEN -__hist.zero_threshold ELSE 0.0D END",
+            "__hist.zero_threshold",
         )
-        zero = F.array(
-            F.struct(
-                F.when(F.size(h["neg_counts"]) > 0, -h["zero_threshold"])
-                .otherwise(F.lit(0.0))
-                .alias("lower"),
-                h["zero_threshold"].alias("upper"),
-                h["zero_count"].alias("cnt"),
-            )
-        )
-        poss = F.when(
-            F.size(h["pos_counts"]) == 0,
-            F.array().cast("array<struct<lower:double,upper:double,cnt:double>>"),
-        ).otherwise(
-            F.transform(
-                F.sequence(
-                    h["pos_offset"].cast("long"),
-                    h["pos_offset"].cast("long") + F.size(h["pos_counts"]) - 1,
-                ),
-                lambda i: F.struct(
-                    bound(i).alias("lower"),
-                    bound(i + 1).alias("upper"),
-                    self._h_elem(h["pos_counts"], h["pos_offset"], i).alias("cnt"),
-                ),
-            )
-        )
-        staged = hv.withColumn("__b", F.concat(negs, zero, poss))
-        cnts = F.transform(F.col("__b"), lambda x: x["cnt"])
-        staged = staged.withColumn("__cnts", cnts).withColumn(
-            "__cum",
-            F.expr(
-                "transform(__cnts, (x, i) -> aggregate(slice(__cnts, 1, i + 1),"
-                " CAST(0.0 AS DOUBLE), (a, c) -> a + c))"
-            ),
-        )
-        total = F.element_at("__cum", -1)
-        rank = F.lit(phi) * total
-        sel = F.expr(
+        staged = hv.selectExpr("*", f"({bk}) AS __b").selectExpr(
+            "*", "transform(__b, cx -> cx.cnt) AS __cnts"
+        ).selectExpr(
+            "*",
+            "transform(__cnts, (x, i) -> aggregate(slice(__cnts, 1, i + 1),"
+            " CAST(0.0 AS DOUBLE), (a, c) -> a + c)) AS __cum",
+        ).selectExpr(
+            "*",
             f"array_position(zip_with(__cum, __cnts, (c, n) -> n > 0 AND c >= {phi} *"
-            " element_at(__cum, -1)), true)"
+            " element_at(__cum, -1)), true) AS __i",
+        ).selectExpr(
+            "*",
+            # guarded: array_position's 0 (no bucket reaches the rank) must
+            # not reach element_at, which rejects index 0 at runtime — the
+            # former Column tree never evaluated `cur` on that branch
+            # because CASE WHEN is lazy
+            "CASE WHEN __i > 0 THEN element_at(__b, CAST(__i AS INT)) END"
+            " AS __cur",
+            "element_at(__cum, -1) AS __tot",
         )
-        staged = staged.withColumn("__i", sel)
-        cur = F.element_at("__b", F.col("__i").cast("int"))
-        cum_before = F.when(F.col("__i") <= 1, F.lit(0.0)).otherwise(
-            F.element_at("__cum", (F.col("__i") - 1).cast("int"))
+        rank = f"{_sql_dlit(phi)} * __tot"
+        cum_before = (
+            "CASE WHEN __i <= 1 THEN 0.0D "
+            "ELSE element_at(__cum, CAST(__i - 1 AS INT)) END"
         )
-        frac = (rank - cum_before) / cur["cnt"]
         value = (
-            F.when((total.isNull()) | (total <= 0) | (F.col("__i") <= 0), F.lit(None))
-            .otherwise(cur["lower"] + (cur["upper"] - cur["lower"]) * frac)
-            .cast("double")
+            "CAST(CASE WHEN (__tot IS NULL) OR (__tot <= 0) OR (__i <= 0) "
+            "THEN NULL ELSE __cur.lower + (__cur.upper - __cur.lower) * "
+            f"((({rank}) - ({cum_before})) / __cur.cnt) END AS DOUBLE)"
         )
-        return staged.select("__step", *labels, value.alias("value"))
+        return staged.selectExpr("__step", *lbl, f"{value} AS value")
 
     def _native_histogram_stdvar(
         self, hv: DataFrame, *, sqrt: bool
@@ -2265,73 +2357,28 @@ class PromQLEngine:
         the reference Kahan-compensates — documented divergence at the
         last ulp. Empty histogram → NULL."""
         labels = [c for c in hv.columns if c not in ("__step", "__hist")]
-        h = F.col("__hist")
-        invs = F.pow(F.lit(2.0), -h["schema"].cast("double"))
-
-        def bound(i: Column) -> Column:
-            return F.pow(F.lit(2.0), i.cast("double") * invs)
-
-        negs = F.when(
-            F.size(h["neg_counts"]) == 0,
-            F.array().cast("array<struct<lower:double,upper:double,cnt:double>>"),
-        ).otherwise(
-            F.transform(
-                F.sequence(
-                    h["neg_offset"].cast("long") + F.size(h["neg_counts"]) - 1,
-                    h["neg_offset"].cast("long"),
-                    F.lit(-1),
-                ),
-                lambda i: F.struct(
-                    (-bound(i + 1)).alias("lower"),
-                    (-bound(i)).alias("upper"),
-                    self._h_elem(h["neg_counts"], h["neg_offset"], i).alias("cnt"),
-                ),
-            )
+        lbl = [f"`{c}`" for c in labels]
+        bk = _sql_h_buckets(
+            "__hist", "-__hist.zero_threshold", "__hist.zero_threshold"
         )
-        zero = F.array(
-            F.struct(
-                (-h["zero_threshold"]).alias("lower"),
-                h["zero_threshold"].alias("upper"),
-                h["zero_count"].alias("cnt"),
-            )
+        staged = hv.selectExpr("*", f"({bk}) AS __b")
+        mean = "(__hist.sum / __hist.count)"
+        mid = (
+            "CASE WHEN (vb.lower <= 0) AND (vb.upper >= 0) THEN 0.0D "
+            "ELSE CASE WHEN vb.upper < 0 THEN -SQRT(vb.upper * vb.lower) "
+            "ELSE SQRT(vb.upper * vb.lower) END END"
         )
-        poss = F.when(
-            F.size(h["pos_counts"]) == 0,
-            F.array().cast("array<struct<lower:double,upper:double,cnt:double>>"),
-        ).otherwise(
-            F.transform(
-                F.sequence(
-                    h["pos_offset"].cast("long"),
-                    h["pos_offset"].cast("long") + F.size(h["pos_counts"]) - 1,
-                ),
-                lambda i: F.struct(
-                    bound(i).alias("lower"),
-                    bound(i + 1).alias("upper"),
-                    self._h_elem(h["pos_counts"], h["pos_offset"], i).alias("cnt"),
-                ),
-            )
-        )
-        staged = hv.withColumn("__b", F.concat(negs, zero, poss))
-        mean = h["sum"] / h["count"]
-
-        def term(b: Column) -> Column:
-            mid = F.when(
-                (b["lower"] <= 0) & (b["upper"] >= 0), F.lit(0.0)
-            ).otherwise(
-                F.when(b["upper"] < 0, -F.sqrt(b["upper"] * b["lower"]))
-                .otherwise(F.sqrt(b["upper"] * b["lower"]))
-            )
-            d = mid - mean
-            return F.when(b["cnt"] > 0, b["cnt"] * d * d).otherwise(F.lit(0.0))
-
+        d = f"(({mid}) - {mean})"
+        term = f"CASE WHEN vb.cnt > 0 THEN vb.cnt * {d} * {d} ELSE 0.0D END"
         var = (
-            F.aggregate(F.col("__b"), F.lit(0.0), lambda a, b: a + term(b))
-            / h["count"]
+            f"(aggregate(__b, 0.0D, (va, vb) -> va + ({term}))"
+            " / __hist.count)"
         )
-        value = F.when(
-            h["count"].isNull() | (h["count"] <= 0), F.lit(None)
-        ).otherwise(F.sqrt(var) if sqrt else var).cast("double")
-        return staged.select("__step", *labels, value.alias("value"))
+        value = (
+            "CAST(CASE WHEN (__hist.count IS NULL) OR (__hist.count <= 0) "
+            f"THEN NULL ELSE {f'SQRT({var})' if sqrt else var} END AS DOUBLE)"
+        )
+        return staged.selectExpr("__step", *lbl, f"{value} AS value")
 
     def _native_histogram_fraction(
         self, lower: float, upper: float, hv: DataFrame
@@ -2346,98 +2393,48 @@ class PromQLEngine:
         empty histogram → NULL (this engine's convention where Prometheus
         emits NaN — same divergence as the quantile path)."""
         labels = [c for c in hv.columns if c not in ("__step", "__hist")]
-        h = F.col("__hist")
+        lbl = [f"`{c}`" for c in labels]
         if lower >= upper:
             return hv.select(
                 "__step", *labels, F.lit(0.0).cast("double").alias("value")
             )
-        invs = F.pow(F.lit(2.0), -h["schema"].cast("double"))
-
-        def bound(i: Column) -> Column:
-            return F.pow(F.lit(2.0), i.cast("double") * invs)
-
-        negs = F.when(
-            F.size(h["neg_counts"]) == 0,
-            F.array().cast("array<struct<lower:double,upper:double,cnt:double>>"),
-        ).otherwise(
-            F.transform(
-                F.sequence(
-                    h["neg_offset"].cast("long") + F.size(h["neg_counts"]) - 1,
-                    h["neg_offset"].cast("long"),
-                    F.lit(-1),
-                ),
-                lambda i: F.struct(
-                    (-bound(i + 1)).alias("lower"),
-                    (-bound(i)).alias("upper"),
-                    self._h_elem(h["neg_counts"], h["neg_offset"], i).alias("cnt"),
-                ),
-            )
-        )
         # zero bucket: a bound collapses to 0 only when exactly one side has
         # buckets (promql/quantile.go histogramFraction) — with neither pos
         # nor neg buckets the zero bucket keeps [-zt, zt], so interpolated
         # ranks inside (0, zt) stay symmetric (ADVICE r5)
-        zero = F.array(
-            F.struct(
-                F.when(
-                    (F.size(h["neg_counts"]) == 0) & (F.size(h["pos_counts"]) > 0),
-                    F.lit(0.0),
-                )
-                .otherwise(-h["zero_threshold"])
-                .alias("lower"),
-                F.when(
-                    (F.size(h["pos_counts"]) == 0) & (F.size(h["neg_counts"]) > 0),
-                    F.lit(0.0),
-                )
-                .otherwise(h["zero_threshold"])
-                .alias("upper"),
-                h["zero_count"].alias("cnt"),
-            )
+        bk = _sql_h_buckets(
+            "__hist",
+            "CASE WHEN size(__hist.neg_counts) = 0 "
+            "AND size(__hist.pos_counts) > 0 THEN 0.0D "
+            "ELSE -__hist.zero_threshold END",
+            "CASE WHEN size(__hist.pos_counts) = 0 "
+            "AND size(__hist.neg_counts) > 0 THEN 0.0D "
+            "ELSE __hist.zero_threshold END",
         )
-        poss = F.when(
-            F.size(h["pos_counts"]) == 0,
-            F.array().cast("array<struct<lower:double,upper:double,cnt:double>>"),
-        ).otherwise(
-            F.transform(
-                F.sequence(
-                    h["pos_offset"].cast("long"),
-                    h["pos_offset"].cast("long") + F.size(h["pos_counts"]) - 1,
-                ),
-                lambda i: F.struct(
-                    bound(i).alias("lower"),
-                    bound(i + 1).alias("upper"),
-                    self._h_elem(h["pos_counts"], h["pos_offset"], i).alias("cnt"),
-                ),
-            )
-        )
-        staged = hv.withColumn("__b", F.concat(negs, zero, poss))
+        staged = hv.selectExpr("*", f"({bk}) AS __b")
 
-        def rank_of(x: float) -> Column:
+        def rank_of(x: float, var: str) -> str:
             # observations below x: full buckets under x plus the linear
             # share of the straddling bucket — buckets starting at/after x
             # contribute nothing (ascending order makes this the loop's
             # "rank so far" in the reference walk)
-            xl = F.lit(float(x))
-            return F.aggregate(
-                F.col("__b"),
-                F.lit(0.0),
-                lambda a, b: a
-                + F.when(b["lower"] >= xl, F.lit(0.0))
-                .when(
-                    b["upper"] > xl,
-                    b["cnt"] * (xl - b["lower"]) / (b["upper"] - b["lower"]),
-                )
-                .otherwise(b["cnt"]),
+            xl = _sql_dlit(x)
+            va, vb = f"{var}a", f"{var}b"
+            return (
+                f"aggregate(__b, 0.0D, ({va}, {vb}) -> {va} + "
+                f"CASE WHEN {vb}.lower >= {xl} THEN 0.0D "
+                f"WHEN {vb}.upper > {xl} "
+                f"THEN {vb}.cnt * ({xl} - {vb}.lower) / ({vb}.upper - {vb}.lower) "
+                f"ELSE {vb}.cnt END)"
             )
-        cnt = h["count"]
-        lr = F.least(rank_of(lower), cnt)
-        ur = F.least(rank_of(upper), cnt)
+
+        lr = f"least({rank_of(lower, 'l')}, __hist.count)"
+        ur = f"least({rank_of(upper, 'u')}, __hist.count)"
         value = (
-            F.when(cnt.isNull() | (cnt <= 0), F.lit(None))
-            .otherwise((ur - lr) / cnt)
-            .cast("double")
+            "CAST(CASE WHEN (__hist.count IS NULL) OR (__hist.count <= 0) "
+            f"THEN NULL ELSE (({ur}) - ({lr})) / __hist.count END AS DOUBLE)"
         )
-        return staged.select("__step", *labels, value.alias("value"))
+        return staged.selectExpr("__step", *lbl, f"{value} AS value")
 
     _REAGG = {"sum": F.sum, "min": F.min, "max": F.max}
 
