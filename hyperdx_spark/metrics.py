@@ -281,49 +281,58 @@ def exp_histogram_count(
     )
 
 
-def _empty_longs() -> Column:
-    return F.array().cast("array<bigint>")
+# --------------------------------------------------------------------------
+# Exponential-histogram SQL fragment builders
+# --------------------------------------------------------------------------
+# Construction-cost twins of the former Column-by-Column builders: each
+# helper returns Spark-SQL TEXT for the same expression semantics (same ops,
+# same literal types, same CASE order), so one parse RPC per projection
+# replaces thousands of py4j Column round trips — exp_histogram_quantile was
+# 2141 RPCs (≈2.1 s of pure driver latency) before any job ran.  Exactness
+# is pinned by tests/test_exp_hist_sql_twin.py (the original Column
+# implementation, kept verbatim there, must produce bit-identical output)
+# plus the tests/test_metrics.py goldens and the strict q_exp_histogram
+# oracle gate.
+
+_SQL_EMPTY_LONGS = "CAST(array() AS ARRAY<BIGINT>)"
 
 
-def _index_range(off: Column, counts: Column) -> Column:
+def _sql_index_range(off: str, cnt: str) -> str:
     """sequence(off, off+len-1) — empty array when counts is empty (sequence
     with reversed bounds would otherwise count DOWN)."""
-    return F.when(
-        F.size(counts) > 0,
-        F.sequence(off.cast("long"), off.cast("long") + F.size(counts) - 1),
-    ).otherwise(_empty_longs())
-
-
-def _resize(arr: Column, n: Column) -> Column:
-    """ClickHouse arrayResize(arr, n) with 0-fill (n >= 0)."""
-    padded = F.concat(
-        arr, F.array_repeat(F.lit(0).cast("bigint"), F.greatest(n - F.size(arr), F.lit(0)))
+    return (
+        f"CASE WHEN size({cnt}) > 0 THEN sequence(CAST({off} AS BIGINT), "
+        f"CAST({off} AS BIGINT) + size({cnt}) - 1) ELSE {_SQL_EMPTY_LONGS} END"
     )
-    return F.slice(padded, 1, n)
 
 
-def _downscale(counts: Column, off: Column, divisor: Column, norm_off: Column) -> Column:
+def _sql_resize(arr: str, n: str) -> str:
+    """ClickHouse arrayResize(arr, n) with 0-fill (n >= 0)."""
+    padded = (
+        f"concat({arr}, array_repeat(CAST(0 AS BIGINT), "
+        f"greatest(({n}) - size({arr}), 0)))"
+    )
+    return f"slice({padded}, 1, {n})"
+
+
+def _sql_downscale(cnt: str, off: str, div: str, noff: str) -> str:
     """Merge 2^shift adjacent exponential buckets into one (scale reduction):
     normalized bucket j sums source buckets whose floor(index/divisor) == j.
     Equivalent to the reference's arraySplit-on-divisibility + arraySum
     (histogram.ts:396-421)."""
-    last = off + F.size(counts) - 1
-    norm_last = F.floor(last.cast("double") / divisor).cast("long")
-    return F.when(F.size(counts) == 0, _empty_longs()).otherwise(
-        F.transform(
-            F.sequence(norm_off, norm_last),
-            lambda j: F.aggregate(
-                F.zip_with(
-                    counts,
-                    F.sequence(off.cast("long"), off.cast("long") + F.size(counts) - 1),
-                    lambda c, i: F.when(
-                        F.floor(i.cast("double") / divisor).cast("long") == j, c
-                    ).otherwise(F.lit(0)),
-                ),
-                F.lit(0).cast("bigint"),
-                lambda a, x: a + x,
-            ),
-        )
+    off_l = f"CAST({off} AS BIGINT)"
+    norm_last = (
+        f"CAST(FLOOR(CAST(({off_l} + size({cnt}) - 1) AS DOUBLE) / ({div})) "
+        f"AS BIGINT)"
+    )
+    return (
+        f"CASE WHEN size({cnt}) = 0 THEN {_SQL_EMPTY_LONGS} "
+        f"ELSE transform(sequence({noff}, {norm_last}), j -> "
+        f"aggregate(zip_with({cnt}, "
+        f"sequence({off_l}, {off_l} + size({cnt}) - 1), "
+        f"(c, i) -> CASE WHEN CAST(FLOOR(CAST(i AS DOUBLE) / ({div})) "
+        f"AS BIGINT) = j THEN c ELSE 0 END), "
+        f"CAST(0 AS BIGINT), (a, x) -> a + x)) END"
     )
 
 
@@ -369,165 +378,175 @@ def exp_histogram_quantile(
     All array math is Spark higher-order functions over plain column
     references (cheap under interpreted HOF eval; OTel exp histograms have
     ≤ ~320 buckets).
+
+    The expression trees are built as SQL text staged through ``selectExpr``
+    projections (one parse RPC each) — the Column-by-Column form was 2141
+    py4j RPCs of pure driver latency.  tests/test_exp_hist_sql_twin.py keeps
+    that original form as a reference twin and asserts bit-identical output.
     """
     gcols = list(group_cols)
+    q = lambda c: f"`{c}`"  # noqa: E731
+    gsel = [q(c) for c in gcols]
     min_scale = df.agg(F.min(F.col(scale)).alias("__min_scale"))
-    d = df.crossJoin(F.broadcast(min_scale))
-    shift = (F.col(scale) - F.col("__min_scale")).cast("int")
-    d = d.withColumn("__div", F.pow(F.lit(2.0), shift).cast("long"))
-    for side, off_c, cnt_c in (
-        ("pos", pos_offset, pos_counts),
-        ("neg", neg_offset, neg_counts),
-    ):
-        norm_off = F.floor(
-            F.col(off_c).cast("double") / F.col("__div")
-        ).cast("long")
-        d = d.withColumn(f"__{side}_off", norm_off).withColumn(
-            f"__{side}_cnt",
-            F.when(F.col("__div") == 1, F.col(cnt_c).cast("array<bigint>")).otherwise(
-                _downscale(
-                    F.col(cnt_c).cast("array<bigint>"),
-                    F.col(off_c).cast("long"),
-                    F.col("__div"),
-                    norm_off,
-                )
-            ),
+    d = df.crossJoin(F.broadcast(min_scale)).selectExpr(
+        "*",
+        f"CAST(power(2.0D, CAST(({q(scale)} - __min_scale) AS INT)) AS BIGINT)"
+        " AS __div",
+    )
+    side_off = [
+        f"CAST(FLOOR(CAST({q(off_c)} AS DOUBLE) / __div) AS BIGINT)"
+        f" AS __{side}_off"
+        for side, off_c in (("pos", pos_offset), ("neg", neg_offset))
+    ]
+    d = d.selectExpr("*", *side_off)
+    side_cnt = [
+        f"CASE WHEN __div = 1 THEN CAST({q(cnt_c)} AS ARRAY<BIGINT>) ELSE "
+        + _sql_downscale(
+            f"CAST({q(cnt_c)} AS ARRAY<BIGINT>)", q(off_c), "__div",
+            f"__{side}_off",
         )
-    d = d.select(
-        F.col(ts).alias("__ts"),
-        F.col(start_ts).alias("__start"),
-        F.col("__min_scale").alias("__scale"),
-        F.col(zero_count).cast("long").alias("__zero"),
+        + f" END AS __{side}_cnt"
+        for side, off_c, cnt_c in (
+            ("pos", pos_offset, pos_counts),
+            ("neg", neg_offset, neg_counts),
+        )
+    ]
+    d = d.selectExpr(
+        f"{q(ts)} AS __ts",
+        f"{q(start_ts)} AS __start",
+        "__min_scale AS __scale",
+        f"CAST({q(zero_count)} AS BIGINT) AS __zero",
         "__pos_off",
-        "__pos_cnt",
         "__neg_off",
-        "__neg_cnt",
-        *[F.col(c) for c in dict.fromkeys([*series_cols, *gcols])],
+        *side_cnt,
+        *[q(c) for c in dict.fromkeys([*series_cols, *gcols])],
         (
-            F.col(temporality_col) if temporality_col is not None else F.lit(2)
-        ).alias("__temp"),
+            f"{q(temporality_col)} AS __temp"
+            if temporality_col is not None
+            else "2 AS __temp"
+        ),
     )
 
     # ---- cumulative branch: align previous counts, delta, reset detection
-    w = Window.partitionBy(*[F.col(c) for c in series_cols]).orderBy("__ts")
-    cum = d.where(F.col("__temp") == 2)
-    for side in ("pos", "neg"):
-        cur_cnt, cur_off = F.col(f"__{side}_cnt"), F.col(f"__{side}_off")
-        prev_cnt = F.lag(cur_cnt, 1).over(w)
-        prev_off = F.lag(cur_off, 1).over(w)
-        cum = (
-            cum.withColumn(f"__{side}_prev", prev_cnt)
-            .withColumn(f"__{side}_prev_off", prev_off)
-        )
-    cum = (
-        cum.withColumn("__prev_zero", F.lag(F.col("__zero"), 1).over(w))
-        .withColumn("__prev_start", F.lag(F.col("__start"), 1).over(w))
-        .withColumn("__is_first", F.lag(F.col("__ts"), 1).over(w).isNull())
+    part = (
+        "PARTITION BY " + ", ".join(q(c) for c in series_cols) + " "
+        if series_cols
+        else ""
     )
-    for side in ("pos", "neg"):
-        cur_cnt, cur_off = F.col(f"__{side}_cnt"), F.col(f"__{side}_off")
-        prev_cnt = F.coalesce(F.col(f"__{side}_prev"), _empty_longs())
-        prev_off = F.coalesce(F.col(f"__{side}_prev_off"), cur_off)
-        aligned = _resize(
-            F.concat(
-                F.array_repeat(
-                    F.lit(0).cast("bigint"),
-                    F.greatest(
-                        (prev_off - cur_off).cast("int"), F.lit(0)
-                    ),
-                ),
-                F.slice(
-                    prev_cnt,
-                    (F.lit(1) + F.greatest((cur_off - prev_off).cast("int"), F.lit(0))),
-                    F.greatest(F.size(prev_cnt), F.lit(1)),
-                ),
-            ),
-            F.size(cur_cnt),
-        )
-        cum = cum.withColumn(f"__{side}_aligned", aligned)
-    for side in ("pos", "neg"):
-        cur_cnt = F.col(f"__{side}_cnt")
-        aligned = F.col(f"__{side}_aligned")
-        prev_cnt = F.coalesce(F.col(f"__{side}_prev"), _empty_longs())
-        deltas = F.zip_with(cur_cnt, aligned, lambda a, b: a - b)
-        asum = lambda c: F.aggregate(c, F.lit(0).cast("bigint"), lambda a, x: a + x)  # noqa: E731
-        decreased = (
-            F.coalesce(F.array_min(deltas) < 0, F.lit(False))
-            | (asum(prev_cnt) > asum(aligned))
-        )
-        cum = cum.withColumn(f"__{side}_deltas", deltas).withColumn(
-            f"__{side}_decreased", decreased
-        )
-    use_zero = F.col("__is_first") | (F.col("__start") == F.col("__ts"))
-    use_current = ~use_zero & (
-        (F.col("__start") != F.col("__prev_start"))
-        | (F.col("__zero") < F.col("__prev_zero"))
-        | F.col("__pos_decreased")
-        | F.col("__neg_decreased")
+    over = f"OVER ({part}ORDER BY __ts)"
+    cum = d.where(F.col("__temp") == 2).selectExpr(
+        "*",
+        f"lag(__pos_cnt, 1) {over} AS __pos_prev",
+        f"lag(__pos_off, 1) {over} AS __pos_prev_off",
+        f"lag(__neg_cnt, 1) {over} AS __neg_prev",
+        f"lag(__neg_off, 1) {over} AS __neg_prev_off",
+        f"lag(__zero, 1) {over} AS __prev_zero",
+        f"lag(__start, 1) {over} AS __prev_start",
+        f"lag(__ts, 1) {over} IS NULL AS __is_first",
     )
-    use_current = F.coalesce(use_current, F.lit(True))
+    cum = cum.selectExpr(
+        "*",
+        *[
+            e
+            for side in ("pos", "neg")
+            for e in (
+                f"coalesce(__{side}_prev, {_SQL_EMPTY_LONGS}) AS __{side}_prevc",
+                f"coalesce(__{side}_prev_off, __{side}_off) AS __{side}_prevoff",
+            )
+        ],
+    )
+    aligned = {
+        side: _sql_resize(
+            f"concat(array_repeat(CAST(0 AS BIGINT), "
+            f"greatest(CAST((__{side}_prevoff - __{side}_off) AS INT), 0)), "
+            f"slice(__{side}_prevc, "
+            f"1 + greatest(CAST((__{side}_off - __{side}_prevoff) AS INT), 0), "
+            f"greatest(size(__{side}_prevc), 1)))",
+            f"size(__{side}_cnt)",
+        )
+        for side in ("pos", "neg")
+    }
+    cum = cum.selectExpr(
+        "*",
+        f"{aligned['pos']} AS __pos_aligned",
+        f"{aligned['neg']} AS __neg_aligned",
+    )
+    asum = "aggregate({0}, CAST(0 AS BIGINT), (a, x) -> a + x)"
+    cum = cum.selectExpr(
+        "*",
+        "zip_with(__pos_cnt, __pos_aligned, (a, b) -> a - b) AS __pos_deltas",
+        "zip_with(__neg_cnt, __neg_aligned, (a, b) -> a - b) AS __neg_deltas",
+    ).selectExpr(
+        "*",
+        *[
+            f"(coalesce(array_min(__{side}_deltas) < 0, false) OR "
+            f"({asum.format(f'__{side}_prevc')} > "
+            f"{asum.format(f'__{side}_aligned')})) AS __{side}_decreased"
+            for side in ("pos", "neg")
+        ],
+    )
+    cum = cum.selectExpr(
+        "*", "(__is_first OR (__start = __ts)) AS __use_zero"
+    ).selectExpr(
+        "*",
+        "coalesce((NOT __use_zero) AND ((__start != __prev_start) OR "
+        "(__zero < __prev_zero) OR __pos_decreased OR __neg_decreased), true)"
+        " AS __use_current",
+    )
 
-    def _branch(side: str) -> tuple[Column, Column]:
-        idxs = F.when(use_zero, _empty_longs()).otherwise(
-            _index_range(F.col(f"__{side}_off"), F.col(f"__{side}_cnt"))
+    def _branch(side: str) -> "tuple[str, str]":
+        rng = _sql_index_range(f"__{side}_off", f"__{side}_cnt")
+        idxs = (
+            f"CASE WHEN __use_zero THEN {_SQL_EMPTY_LONGS} ELSE {rng} END"
+            f" AS __{side}_i"
         )
         cnts = (
-            F.when(use_zero, _empty_longs())
-            .when(use_current, F.col(f"__{side}_cnt"))
-            .otherwise(F.col(f"__{side}_deltas"))
+            f"CASE WHEN __use_zero THEN {_SQL_EMPTY_LONGS} "
+            f"WHEN __use_current THEN __{side}_cnt "
+            f"ELSE __{side}_deltas END AS __{side}_c"
         )
         return idxs, cnts
 
     pos_i, pos_c = _branch("pos")
     neg_i, neg_c = _branch("neg")
-    cum_out = cum.select(
+    cum_out = cum.selectExpr(
         "__ts",
         "__scale",
-        *gcols,
-        F.when(use_zero, F.lit(0))
-        .when(use_current, F.col("__zero"))
-        .otherwise(F.col("__zero") - F.col("__prev_zero"))
-        .alias("__zero_d"),
-        pos_i.alias("__pos_i"),
-        pos_c.alias("__pos_c"),
-        neg_i.alias("__neg_i"),
-        neg_c.alias("__neg_c"),
+        *gsel,
+        "CASE WHEN __use_zero THEN 0 WHEN __use_current THEN __zero "
+        "ELSE __zero - __prev_zero END AS __zero_d",
+        pos_i,
+        pos_c,
+        neg_i,
+        neg_c,
     )
 
     # ---- delta-temporality branch passes through
-    delta_out = d.where(F.col("__temp") == 1).select(
+    delta_out = d.where(F.col("__temp") == 1).selectExpr(
         "__ts",
         "__scale",
-        *gcols,
-        F.col("__zero").alias("__zero_d"),
-        _index_range(F.col("__pos_off"), F.col("__pos_cnt")).alias("__pos_i"),
-        F.col("__pos_cnt").alias("__pos_c"),
-        _index_range(F.col("__neg_off"), F.col("__neg_cnt")).alias("__neg_i"),
-        F.col("__neg_cnt").alias("__neg_c"),
+        *gsel,
+        "__zero AS __zero_d",
+        _sql_index_range("__pos_off", "__pos_cnt") + " AS __pos_i",
+        "__pos_cnt AS __pos_c",
+        _sql_index_range("__neg_off", "__neg_cnt") + " AS __neg_i",
+        "__neg_cnt AS __neg_c",
     )
     unioned = cum_out.unionByName(delta_out)
 
     # ---- sumMap across series per (bucket, groups): explode (side, idx, cnt)
-    b = _bucket(F.col("__ts"), bucket_seconds).alias(bucket_alias)
-    entries = F.concat(
-        F.array(F.struct(F.lit(0).alias("side"), F.lit(0).cast("long").alias("idx"), F.col("__zero_d").cast("long").alias("cnt"))),
-        F.zip_with(
-            F.col("__pos_i"),
-            F.col("__pos_c"),
-            lambda i, c: F.struct(
-                F.lit(1).alias("side"), i.alias("idx"), c.cast("long").alias("cnt")
-            ),
-        ),
-        F.zip_with(
-            F.col("__neg_i"),
-            F.col("__neg_c"),
-            lambda i, c: F.struct(
-                F.lit(-1).alias("side"), i.alias("idx"), c.cast("long").alias("cnt")
-            ),
-        ),
-    )
-    exploded = unioned.select(
-        b, *gcols, F.col("__scale"), F.explode(entries).alias("__e")
+    exploded = unioned.selectExpr(
+        f"timestamp_seconds(CAST(unix_timestamp(__ts) / {bucket_seconds} "
+        f"AS BIGINT) * {bucket_seconds}) AS {q(bucket_alias)}",
+        *gsel,
+        "__scale",
+        "explode(concat("
+        "array(named_struct('side', 0, 'idx', CAST(0 AS BIGINT), "
+        "'cnt', CAST(__zero_d AS BIGINT))), "
+        "zip_with(__pos_i, __pos_c, (i, c) -> named_struct("
+        "'side', 1, 'idx', i, 'cnt', CAST(c AS BIGINT))), "
+        "zip_with(__neg_i, __neg_c, (i, c) -> named_struct("
+        "'side', -1, 'idx', i, 'cnt', CAST(c AS BIGINT))))) AS __e",
     )
     summed = exploded.groupBy(
         bucket_alias, *gcols, F.col("__e.side").alias("__side"), F.col("__e.idx").alias("__idx")
@@ -535,56 +554,48 @@ def exp_histogram_quantile(
 
     # ---- assemble ascending-value order: sort key (side, side*idx)
     assembled = summed.groupBy(bucket_alias, *gcols).agg(
-        F.array_sort(
-            F.collect_list(
-                F.struct(
-                    F.col("__side").alias("s"),
-                    (F.col("__side") * F.col("__idx")).alias("k"),
-                    F.col("__idx").alias("idx"),
-                    F.col("__cnt").alias("cnt"),
-                )
-            )
+        F.expr(
+            "array_sort(collect_list(named_struct('s', __side, "
+            "'k', __side * __idx, 'idx', __idx, 'cnt', __cnt)))"
         ).alias("__b"),
         F.first("__scale").alias("__scale"),
     )
-    counts = F.transform(F.col("__b"), lambda s: s["cnt"].cast("double"))
-    assembled = assembled.withColumn("__counts", counts)
-    assembled = assembled.withColumn(
-        "__cum",
-        F.expr(
-            "transform(__counts, (x, i) -> aggregate(slice(__counts, 1, i + 1),"
-            " CAST(0.0 AS DOUBLE), (a, c) -> a + c))"
-        ),
+    lvl = f"{float(level)!r}D"
+    assembled = assembled.selectExpr(
+        "*", "transform(__b, s -> CAST(s.cnt AS DOUBLE)) AS __counts"
+    ).selectExpr(
+        "*",
+        "transform(__counts, (x, i) -> aggregate(slice(__counts, 1, i + 1),"
+        " CAST(0.0 AS DOUBLE), (a, c) -> a + c)) AS __cum",
+    ).selectExpr(
+        "*",
+        f"{lvl} * element_at(__cum, -1) AS __rank",
+        "element_at(__cum, -1) AS __total",
+    ).selectExpr(
+        "*",
+        "array_position(zip_with(__cum, __counts, "
+        "(c, n) -> n > 0 AND c >= __rank), true) AS __i",
     )
-    total = F.element_at("__cum", -1)
-    rank = F.lit(level) * total
-    assembled = assembled.withColumn("__rank", rank).withColumn("__total", total)
-    sel = F.expr(
-        "array_position(zip_with(__cum, __counts, (c, n) -> n > 0 AND c >= __rank), true)"
+    assembled = assembled.where(
+        (F.col("__total") > 0) & (F.col("__i") > 0)
+    ).selectExpr(
+        "*",
+        "element_at(__b, CAST(__i AS INT)) AS __sel",
+        "CASE WHEN __i <= 1 THEN 0.0D "
+        "ELSE element_at(__cum, CAST((__i - 1) AS INT)) END AS __cum_before",
     )
-    assembled = (
-        assembled.withColumn("__i", sel)
-        .where((F.col("__total") > 0) & (F.col("__i") > 0))
-        .withColumn("__sel", F.element_at("__b", F.col("__i").cast("int")))
-        .withColumn(
-            "__cum_before",
-            F.when(F.col("__i") <= 1, F.lit(0.0)).otherwise(
-                F.element_at("__cum", (F.col("__i") - 1).cast("int"))
-            ),
-        )
-    )
-    frac = (F.col("__rank") - F.col("__cum_before")) / F.element_at(
-        "__counts", F.col("__i").cast("int")
-    )
-    sel_side = F.col("__sel.s")
-    sel_idx = F.col("__sel.idx").cast("double")
-    inv_scale = F.pow(F.lit(2.0), -F.col("__scale").cast("double"))
+    frac = "((__rank - __cum_before) / element_at(__counts, CAST(__i AS INT)))"
+    inv_scale = "power(2.0D, -CAST(__scale AS DOUBLE))"
     value = (
-        F.when(sel_side < 0, -F.pow(F.lit(2.0), (sel_idx + 1 - frac) * inv_scale))
-        .when(sel_side > 0, F.pow(F.lit(2.0), (sel_idx + frac) * inv_scale))
-        .otherwise(F.lit(0.0))
+        f"CASE WHEN __sel.s < 0 THEN -power(2.0D, "
+        f"(CAST(__sel.idx AS DOUBLE) + 1 - {frac}) * {inv_scale}) "
+        f"WHEN __sel.s > 0 THEN power(2.0D, "
+        f"(CAST(__sel.idx AS DOUBLE) + {frac}) * {inv_scale}) "
+        f"ELSE 0.0D END"
     )
-    return assembled.select(bucket_alias, *gcols, value.alias(value_alias))
+    return assembled.selectExpr(
+        q(bucket_alias), *gsel, f"{value} AS {q(value_alias)}"
+    )
 
 
 def histogram_quantile(
