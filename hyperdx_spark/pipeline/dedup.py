@@ -183,9 +183,13 @@ def shingle_rows(
     exactly as the shared-``Window``-object form did.
     """
     spark = df.sparkSession
-    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+    base = df.selectExpr(f"`{id_col}` AS id", f"`{text_col}` AS __text")
     base = base.repartition(spark.sparkContext.defaultParallelism, "id")
-    tokrows = base.select("id", F.posexplode(tokens("__text")).alias("__pos", "__tk"))
+    tokrows = base.selectExpr(
+        "id",
+        f"posexplode(filter(split(lower(__text), '{TOKEN_SPLIT}'), "
+        "t -> t != '')) AS (__pos, __tk)",
+    )
     over = "OVER (PARTITION BY id ORDER BY __pos)"
     lead_chain = "".join(
         f", lead(__tk, {i}) {over}" for i in range(1, n)
@@ -196,8 +200,8 @@ def shingle_rows(
             f"concat_ws(' ', __tk{lead_chain}) AS s",
             f"lead(__tk, {n - 1}) {over} AS __ok",
         )
-        .where(F.col("__ok").isNotNull())
-        .drop("__ok")
+        .where("__ok IS NOT NULL")
+        .select("id", "s")
     )
     # docs with < n tokens: whole text as the single shingle
     short = (
@@ -206,14 +210,14 @@ def shingle_rows(
             F.expr(
                 "concat_ws(' ', array_sort(collect_list(struct(__pos, __tk))).__tk)"
             ).alias("s"),
-            F.count("*").alias("__n"),
+            F.expr("count(*)").alias("__n"),
         )
-        .where(F.col("__n") < n)
+        .where(f"__n < {n}")
         .select("id", "s")
     )
-    empty = base.join(tokrows.select("id").distinct(), on="id", how="left_anti").select(
-        "id", F.lit("").alias("s")
-    )
+    empty = base.join(
+        tokrows.select("id").distinct(), on="id", how="left_anti"
+    ).selectExpr("id", "'' AS s")
     return full.unionByName(short).unionByName(empty).distinct()
 
 
@@ -604,11 +608,13 @@ def minhash_lsh_pairs(
     seeded = exploded.selectExpr(
         "id", f"explode(sequence(0, {num_hashes - 1})) AS seed", "s"
     )
-    minh = seeded.groupBy("id", "seed").agg(F.min(F.xxhash64("seed", "s")).alias("h"))
+    minh = seeded.groupBy("id", "seed").agg(
+        F.expr("min(xxhash64(seed, s))").alias("h")
+    )
     sig = (
         minh.groupBy("id")
         .agg(F.expr("array_sort(collect_list(struct(seed, h)))").alias("__sh"))
-        .select("id", F.col("__sh.h").alias("sig"))
+        .selectExpr("id", "__sh.h AS sig")
     )
     banded = sig.selectExpr(
         "id",
@@ -616,7 +622,7 @@ def minhash_lsh_pairs(
         f" b -> struct(b AS band,"
         f" xxhash64(slice(sig, b * {rows_per_band} + 1, {rows_per_band}))"
         f" AS bucket))) AS bb",
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).selectExpr("id", "bb.band AS band", "bb.bucket AS bucket")
     # Bucket members meet via ONE aggregation (collect ids per (band,bucket),
     # emit in-bucket pairs) instead of a self-join — the signature pipeline
     # is evaluated once and only bucket ids are shuffled.
@@ -631,24 +637,28 @@ def minhash_lsh_pairs(
         " y -> struct(x AS id_a, y AS id_b)))))"
     )
     cand = (
-        buckets.where(F.size("ids") > 1)
+        buckets.where("size(ids) > 1")
         .select(pair.alias("p"))
-        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .selectExpr("p.id_a AS id_a", "p.id_b AS id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
     if verify_threshold is None:
         return cand
     shingle_sets = (
-        exploded.groupBy("id").agg(F.sort_array(F.collect_set("s")).alias("sh"))
+        exploded.groupBy("id").agg(F.expr("sort_array(collect_set(s))").alias("sh"))
     )
     cand = cand.join(
-        shingle_sets.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), on="id_a"
-    ).join(shingle_sets.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), on="id_b")
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = (F.size("sh_a") + F.size("sh_b") - inter).cast("double")
+        shingle_sets.selectExpr("id AS id_a", "sh AS sh_a"), on="id_a"
+    ).join(shingle_sets.selectExpr("id AS id_b", "sh AS sh_b"), on="id_b")
+    inter = "CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE)"
+    union = f"CAST((size(sh_a) + size(sh_b) - {inter}) AS DOUBLE)"
     out = (
-        cand.withColumn("jaccard", F.when(union > 0, inter / union).otherwise(F.lit(0.0)))
-        .where(F.col("jaccard") >= verify_threshold)
+        cand.selectExpr(
+            "*",
+            f"CASE WHEN {union} > 0 THEN {inter} / {union} ELSE 0.0D END"
+            " AS jaccard",
+        )
+        .where(f"jaccard >= {float(verify_threshold)!r}D")
         .select("id_a", "id_b", "jaccard")
     )
     return _register_cached(out, [exploded])
