@@ -1653,36 +1653,41 @@ def q_tpch_q1(spark, sf_dir):
             "l_extendedprice", "l_discount", "l_tax",
         ),
         key_cols=["l_extendedprice"],
+        # where/select are narrow — same partitioning as the scan; probing
+        # the memoized scan frame lets the partition-count memo hit (io.py)
+        probe=li,
     )
+    # r16: each aggregate/projection is one parsed SQL expression (inline
+    # alias) instead of a 4-6-RPC Column tree — identical expressions
+    # (integer literal 1, left-assoc products, same cast points); see
+    # dedup.shingle_rows construction note
     out = (
         narrow
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast(dec)).alias("_sum_qty"),
-            F.sum(F.col("l_extendedprice").cast(dec)).alias("_sum_base_price"),
-            F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(dec)
-            ).alias("_sum_disc_price"),
-            F.sum(
-                (
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                ).cast(dec)
-            ).alias("_sum_charge"),
-            F.sum(F.col("l_discount").cast(dec)).alias("_sum_disc"),
-            F.count("*").alias("count_order"),
+            F.expr(f"sum(cast(l_quantity AS {dec})) AS _sum_qty"),
+            F.expr(f"sum(cast(l_extendedprice AS {dec})) AS _sum_base_price"),
+            F.expr(
+                f"sum(cast(l_extendedprice * (1 - l_discount) AS {dec}))"
+                " AS _sum_disc_price"
+            ),
+            F.expr(
+                "sum(cast(l_extendedprice * (1 - l_discount) * (1 + l_tax)"
+                f" AS {dec})) AS _sum_charge"
+            ),
+            F.expr(f"sum(cast(l_discount AS {dec})) AS _sum_disc"),
+            F.expr("count(*) AS count_order"),
         )
-        .select(
+        .selectExpr(
             "l_returnflag",
             "l_linestatus",
-            F.col("_sum_qty").cast("double").alias("sum_qty"),
-            F.col("_sum_base_price").cast("double").alias("sum_base_price"),
-            F.col("_sum_disc_price").cast("double").alias("sum_disc_price"),
-            F.col("_sum_charge").cast("double").alias("sum_charge"),
-            (F.col("_sum_qty").cast("double") / F.col("count_order")).alias("avg_qty"),
-            (F.col("_sum_base_price").cast("double") / F.col("count_order")).alias("avg_price"),
-            (F.col("_sum_disc").cast("double") / F.col("count_order")).alias("avg_disc"),
+            "cast(_sum_qty AS double) AS sum_qty",
+            "cast(_sum_base_price AS double) AS sum_base_price",
+            "cast(_sum_disc_price AS double) AS sum_disc_price",
+            "cast(_sum_charge AS double) AS sum_charge",
+            "cast(_sum_qty AS double) / count_order AS avg_qty",
+            "cast(_sum_base_price AS double) / count_order AS avg_price",
+            "cast(_sum_disc AS double) / count_order AS avg_disc",
             "count_order",
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -1874,7 +1879,21 @@ def q_text_stats(spark, sf_dir):
         # JVM-regex signals (PII counts, GPT-2 pre-token count) stay
         # Column-side: they're single codegen'd regex passes.
         text.corpus_signals(docs)
-        .withColumn("__bpe", text.bpe_token_count("text"))
+        # r16: one withColumns map per dependency tier instead of five
+        # withColumn calls (each a driver RPC); __bpev reads __bpeids so
+        # it lands in a second map — intermediate column ORDER shifts
+        # (__bpev appended last) but the aggregate below reads by name
+        .withColumns(
+            {
+                "__bpe": text.bpe_token_count("text"),
+                "__bpeids": _bpe.encode_token_ids(
+                    "text", [("e", "r"), ("t", "h"), ("i", "n"), ("o", "u")]
+                ),
+                "__n_email": pii["email"],
+                "__n_ipv4": pii["ipv4"],
+            }
+        )
+        .withColumns({"__bpev": F.size("__bpeids").cast("long")})
         # trained-vocab encoding: ONE Arrow pass (bpe.encode_token_ids over
         # bpe.build_vocab) serves BOTH gate columns — the token count is
         # size(ids) by construction, so the r10 encode_token_count pass is
@@ -1884,69 +1903,68 @@ def q_text_stats(spark, sf_dir):
         # regex scan '(er|th|in|ou|.)' per pre-token piece: counts replay
         # as len(piece) - per-pair greedy replace counts, ids as a CASE
         # lookup over the scan; chars outside the 12-token vocab -> -1.
-        .withColumn(
-            "__bpeids",
-            _bpe.encode_token_ids(
-                "text", [("e", "r"), ("t", "h"), ("i", "n"), ("o", "u")]
-            ),
-        )
-        .withColumn("__bpev", F.size("__bpeids").cast("long"))
-        .withColumn("__n_email", pii["email"])
-        .withColumn("__n_ipv4", pii["ipv4"])
         .groupBy("source")
         .agg(
-            # r16: each aggregate is one parsed SQL expression instead of a
-            # 3-5-RPC Column tree — same expressions, ~120 fewer driver
-            # round trips per construction (see dedup.shingle_rows note)
-            F.expr("count(*)").alias("n_docs"),
-            F.expr("sum(__sig.n_tokens)").alias("total_tokens"),
-            F.expr("round(avg(__sig.quality), 4)").alias("avg_quality"),
-            F.expr("round(avg(__sig.stopword_ratio), 4)").alias("avg_sw_ratio"),
-            F.expr("count_if(__sig.lang_pred = 'en')").alias("n_en"),
-            F.expr("round(avg(__sig.char_entropy), 4)").alias("avg_entropy"),
-            F.expr("round(avg(__sig.dup_line_frac), 4)").alias("avg_dup_line"),
-            F.expr("sum(__n_email)").alias("n_email"),
-            F.expr("sum(__n_ipv4)").alias("n_ipv4"),
-            F.expr("sum(__bpe)").alias("total_bpe_tokens"),
-            F.expr("sum(__bpev)").alias("total_vocab_tokens"),
+            # r16: each aggregate is one parsed SQL expression (alias
+            # inline — the separate .alias() call was one more RPC each)
+            # instead of a 3-5-RPC Column tree — same expressions, ~140
+            # fewer driver round trips per construction (see
+            # dedup.shingle_rows note)
+            F.expr("count(*) AS n_docs"),
+            F.expr("sum(__sig.n_tokens) AS total_tokens"),
+            F.expr("round(avg(__sig.quality), 4) AS avg_quality"),
+            F.expr("round(avg(__sig.stopword_ratio), 4) AS avg_sw_ratio"),
+            F.expr("count_if(__sig.lang_pred = 'en') AS n_en"),
+            F.expr("round(avg(__sig.char_entropy), 4) AS avg_entropy"),
+            F.expr("round(avg(__sig.dup_line_frac), 4) AS avg_dup_line"),
+            F.expr("sum(__n_email) AS n_email"),
+            F.expr("sum(__n_ipv4) AS n_ipv4"),
+            F.expr("sum(__bpe) AS total_bpe_tokens"),
+            F.expr("sum(__bpev) AS total_vocab_tokens"),
             F.expr(
                 "sum(aggregate(__bpeids, cast(0 AS bigint), (a, x) -> a + x))"
-            ).alias("vocab_id_sum"),
-            F.expr("sum(size(filter(__bpeids, x -> x = -1)))").alias(
-                "n_unk_ids"
+                " AS vocab_id_sum"
             ),
-            F.expr("count_if(__sig.gopher_pass)").alias("n_gopher_pass"),
-            F.expr("count_if(__sig.c4_keep)").alias("n_c4_keep"),
+            F.expr("sum(size(filter(__bpeids, x -> x = -1))) AS n_unk_ids"),
+            F.expr("count_if(__sig.gopher_pass) AS n_gopher_pass"),
+            F.expr("count_if(__sig.c4_keep) AS n_c4_keep"),
             # r8: the Gopher REPETITION family (gopher_repetition_signals)
             # — paragraph dup fracs, top-2-gram and dup-5-gram character
             # coverage, each DuckDB-replayed expression for expression (the
             # full 13-signal conjunction is pytest-oracled vs an
             # independent reference, test_pipeline_fuzz)
-            F.expr("round(avg(__rep.dup_para_frac), 4)").alias("avg_dup_para"),
-            F.expr("round(avg(__rep.dup_line_char_frac), 4)").alias(
-                "avg_dup_line_char"
+            F.expr("round(avg(__rep.dup_para_frac), 4) AS avg_dup_para"),
+            F.expr(
+                "round(avg(__rep.dup_line_char_frac), 4) AS avg_dup_line_char"
             ),
-            F.expr("round(avg(__rep.top_2gram_char_frac), 4)").alias("avg_top2"),
-            F.expr("round(avg(__rep.dup_5gram_char_frac), 4)").alias("avg_dup5"),
+            F.expr("round(avg(__rep.top_2gram_char_frac), 4) AS avg_top2"),
+            F.expr("round(avg(__rep.dup_5gram_char_frac), 4) AS avg_dup5"),
         )
     )
     # vocabulary tier: most frequent token per source (text.vocabulary's
-    # explode -> (token, group) aggregate shape, scoped per source)
-    from pyspark.sql import Window as _W
+    # explode -> (token, group) aggregate shape, scoped per source).
+    # r16: SQL-text construction (one parse per projection, inline
+    # tokenizer — identical to text.tokens); DESC/ASC keep Spark's default
+    # NULLS LAST/FIRST, same as F.desc/F.asc
+    from hyperdx_spark.pipeline.text import TOKEN_SPLIT as _TSPLIT
 
     tt = (
-        docs.select("source", F.explode(text.tokens("text")).alias("t"))
-        .groupBy("source", "t")
-        .agg(F.count("*").alias("cnt"))
-    )
-    w_tt = _W.partitionBy("source").orderBy(F.desc("cnt"), F.asc("t"))
-    tt1 = (
-        tt.withColumn("rn", F.row_number().over(w_tt))
-        .where(F.col("rn") == 1)
-        .select(
-            "source", F.col("t").alias("top_term"),
-            F.col("cnt").alias("top_term_tf"),
+        docs.selectExpr(
+            "source",
+            f"explode(filter(split(lower(text), '{_TSPLIT}'),"
+            " t -> t != '')) AS t",
         )
+        .groupBy("source", "t")
+        .agg(F.expr("count(*) AS cnt"))
+    )
+    tt1 = (
+        tt.selectExpr(
+            "source", "t", "cnt",
+            "row_number() OVER (PARTITION BY source"
+            " ORDER BY cnt DESC, t ASC) AS rn",
+        )
+        .where("rn = 1")
+        .selectExpr("source", "t AS top_term", "cnt AS top_term_tf")
     )
     return out.join(tt1, on="source")
 

@@ -103,11 +103,41 @@ def load_table(
     ``timestamp_micros(ts div 1000)`` cannot be pushed because Catalyst won't
     invert the conversion. At 100 TB this is the difference between pruning
     to the queried window and scanning everything.
+
+    The built frame is memoized per session, keyed on the file stat and the
+    filter args (r16): a DataFrame is an immutable *plan*, so repeat
+    constructions of the same (path, filter) return the identical plan
+    without re-paying the ~20 driver RPCs of reader/filter/convert wiring —
+    same discipline as the schema cache above, and like it this never
+    caches *data*; every execution still scans the parquet. The memo lives
+    on the session object (dies with it); the mtime/size key evicts on any
+    file change, and conf-dependent plan pieces are fixed per session by
+    ``tune_session``.
     """
     from hyperdx_spark.session import tune_session
 
     tune_session(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
+    cache_key = None
+    cache = None
+    try:
+        st = os.stat(path)
+        cache_key = (
+            os.path.realpath(path), st.st_mtime_ns, st.st_size,
+            time_filter, end_inclusive,
+        )
+        cache = getattr(spark, "_hdx_table_plan_cache", None)
+        if cache is None:
+            cache = {}
+            spark._hdx_table_plan_cache = cache
+        hit = cache.get(cache_key)
+        if hit is not None:
+            return hit
+    except (OSError, TypeError, AttributeError):
+        # missing file (keep the reader's original error), unhashable
+        # filter, or a session proxy refusing attributes — just rebuild
+        cache_key = None
+        cache = None
     df = _read_parquet_cached_schema(spark, path)
     nanos_cols = [
         c
@@ -130,6 +160,8 @@ def load_table(
     for c in nanos_cols:
         # integer-div truncation matches DuckDB's nanos->micros read
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    if cache is not None and cache_key is not None:
+        cache[cache_key] = df
     return df
 
 
@@ -199,6 +231,7 @@ def ensure_min_parallelism(
     min_partitions: int | None = None,
     *,
     key_cols: list[str] | None = None,
+    probe: DataFrame | None = None,
 ) -> DataFrame:
     """Repartition *df* up to ``min_partitions`` (default: the session's
     ``defaultParallelism``) ONLY when the scan delivered fewer partitions —
@@ -222,7 +255,15 @@ def ensure_min_parallelism(
     column keys) and skips the sort.  Use a key whose distinct count is
     >> ``min_partitions``; the caller owns that judgement — and the
     downstream must be partition-layout-invariant (every engine aggregate
-    is; see the partition-invariance pytest net)."""
+    is; see the partition-invariance pytest net).
+
+    ``probe``: probe this frame's partition count instead of *df*'s —
+    valid whenever *df* derives from ``probe`` through narrow ops only
+    (select/where/withColumn never change partitioning). Passing the raw
+    ``load_table`` frame here lets the ``num_partitions`` object memo hit
+    on repeat constructions (the plan memo returns the same object), so
+    the ~50 ms ``df.rdd`` probe runs once per session instead of once per
+    construction."""
     if df.isStreaming:
         return df
     if min_partitions is None:
@@ -230,7 +271,7 @@ def ensure_min_parallelism(
             min_partitions = df.sparkSession.sparkContext.defaultParallelism
         except Exception:  # Spark Connect has no SparkContext
             return df
-    n = num_partitions(df)
+    n = num_partitions(probe if probe is not None else df)
     if n is not None and n < min_partitions:
         if key_cols:
             return df.repartition(min_partitions, *key_cols)
@@ -243,14 +284,29 @@ def num_partitions(df: DataFrame) -> int | None:
     probed. The classic probe is ``df.rdd.getNumPartitions()``, but
     ``df.rdd`` (a) raises under Spark Connect — there is no RDD API on the
     client — and (b) converts the plan to an RDD on every call even when
-    the answer is "plenty of partitions, no-op". Guarded here so callers
-    (``ensure_min_parallelism``, ``corpus_signals``) degrade to "leave the
-    plan alone" instead of crashing, which is the right call at cluster
-    scale where the rescue is a no-op anyway (VERDICT r7 #4)."""
+    the answer is "plenty of partitions, no-op" — ~50 ms of driver work,
+    24% of q_tpch_q1's warm construction (r16 profile). Guarded here so
+    callers (``ensure_min_parallelism``, ``corpus_signals``) degrade to
+    "leave the plan alone" instead of crashing, which is the right call at
+    cluster scale where the rescue is a no-op anyway (VERDICT r7 #4).
+
+    The answer is memoized on the DataFrame object (r16): a DataFrame's
+    plan is immutable, so its partition count can only change if a
+    partitioning conf changes mid-session — which ``tune_session`` pins.
+    Combined with the ``load_table`` plan memo (same object returned per
+    construction) the probe runs once per session per table."""
+    n = getattr(df, "_hdx_num_partitions", None)
+    if n is not None:
+        return n
     try:
-        return df.rdd.getNumPartitions()
+        n = df.rdd.getNumPartitions()
     except Exception:
         return None
+    try:
+        df._hdx_num_partitions = n
+    except Exception:
+        pass
+    return n
 
 
 def write_bucketed(
