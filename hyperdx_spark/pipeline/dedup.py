@@ -437,21 +437,30 @@ def _duplicate_unit_removal(
     drops = removed.select(
         "id", F.explode(F.sequence(F.col("idx"), F.col("idx") + span - 1)).alias("idx")
     ).distinct()
-    kept = sent.join(drops, on=["id", "idx"], how="left_anti")
-    rebuilt = kept.groupBy("id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("idx", "s"))),
-                lambda st: st["s"],
-            ),
-            "",
-        ).alias("text_dedup"),
-        F.count("*").alias("n_kept"),
+    # rebuild + totals in ONE pass over the persisted sentence table (r16,
+    # guide §2.2): the former anti-join + separate totals aggregate read
+    # `sent` twice and shuffled it twice; a left join marks dropped units
+    # (__d) and a single per-doc aggregate derives the rebuilt text
+    # (collect_list skips the NULLed-out dropped structs — same kept set
+    # as the anti-join), the unit total (count(*)) and the kept count
+    # (count_if(__d IS NULL)). A doc whose every unit dropped still
+    # aggregates (count(*) > 0) to text_dedup = '' — identical to the old
+    # missing-row + coalesce('') path; zero-unit docs stay absent and
+    # coalesce below covers them, exactly as before.
+    marked = sent.join(
+        drops.withColumn("__d", F.lit(1)), on=["id", "idx"], how="left"
     )
-    totals = sent.groupBy("id").agg(F.count("*").alias("__n_units"))
+    rebuilt = marked.groupBy("id").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list("
+            "CASE WHEN __d IS NULL THEN struct(idx, s) END)),"
+            " st -> st.s), '') AS text_dedup"
+        ),
+        F.expr("count(*) AS __n_units"),
+        F.expr("count_if(__d IS NULL) AS n_kept"),
+    )
     out = (
         df.select(F.col(id_col).alias("id"))
-        .join(totals, on="id", how="left")
         .join(rebuilt, on="id", how="left")
         .select(
             F.col("id").alias(id_col),
