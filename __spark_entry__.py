@@ -56,14 +56,18 @@ def _src() -> Source:
 
 def _round4(df: DataFrame) -> DataFrame:
     """Round every double column to 4 decimals (hash stability across
-    engines / partition orders); oracles apply ROUND(x, 4) identically."""
-    cols = []
-    for f in df.schema.fields:
-        if isinstance(f.dataType, DoubleType):
-            cols.append(F.round(F.col(f.name), 4).alias(f.name))
-        else:
-            cols.append(F.col(f.name))
-    return df.select(*cols)
+    engines / partition orders); oracles apply ROUND(x, 4) identically.
+
+    One parsed projection instead of a py4j RPC per column (r16 RPC
+    discipline); the ``df.schema`` probe itself is the one analysis pass
+    the query pays anyway at execution."""
+    exprs = [
+        f"round(`{f.name}`, 4) AS `{f.name}`"
+        if isinstance(f.dataType, DoubleType)
+        else f"`{f.name}`"
+        for f in df.schema.fields
+    ]
+    return df.selectExpr(*exprs)
 
 
 def entry(spark: SparkSession) -> DataFrame:

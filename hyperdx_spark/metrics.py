@@ -216,25 +216,44 @@ def histogram_count(
     cumulative. The reference partitions the window by (groups, attr_hash,
     bounds_hash, temporality); pass bounds/temporality columns in
     ``series_cols`` for the same isolation.
+
+    Expression trees are SQL text staged through ``selectExpr`` (one parse
+    RPC per projection) — same discipline as :func:`exp_histogram_quantile`;
+    the original Column form lives on as the reference twin in
+    ``tests/test_hist_sql_twin.py`` (bit-identical output required).
     """
-    w = Window.partitionBy(*[F.col(c) for c in series_cols]).orderBy(F.col(ts))
-    cur = F.col(count).cast("long")
-    prev = F.lag(cur, 1).over(w)
-    cum_delta = F.when(prev.isNull(), F.lit(0)).otherwise(
-        F.when(cur < prev, cur).otherwise(cur - prev)
+    q = lambda c: f"`{c}`"  # noqa: E731
+    part = (
+        "PARTITION BY " + ", ".join(q(c) for c in series_cols) + " "
+        if series_cols
+        else ""
+    )
+    over = f"OVER ({part}ORDER BY {q(ts)})"
+    cur = f"CAST({q(count)} AS BIGINT)"
+    d = df.selectExpr("*", f"lag({cur}, 1) {over} AS __prev")
+    cum_delta = (
+        f"CASE WHEN __prev IS NULL THEN 0 WHEN {cur} < __prev THEN {cur} "
+        f"ELSE {cur} - __prev END"
     )
     if temporality_col is None:
         delta = cum_delta
     else:
-        t = F.col(temporality_col)
+        t = q(temporality_col)
         delta = (
-            F.when(t == 1, cur).when(t == 2, cum_delta).otherwise(F.lit(0))
+            f"CASE WHEN {t} = 1 THEN {cur} WHEN {t} = 2 THEN ({cum_delta}) "
+            "ELSE 0 END"
         )
-    b = _bucket(F.col(ts), bucket_seconds).alias(bucket_alias)
-    return (
-        df.withColumn("__delta", delta)
-        .groupBy(b, *[F.col(c) for c in group_cols])
-        .agg(F.sum("__delta").alias(value_alias))
+    bucket = (
+        f"timestamp_seconds(CAST(unix_timestamp({q(ts)}) / "
+        f"{int(bucket_seconds)} AS BIGINT) * {int(bucket_seconds)})"
+    )
+    d = d.selectExpr(
+        f"{bucket} AS {q(bucket_alias)}",
+        *[q(c) for c in group_cols],
+        f"({delta}) AS __delta",
+    )
+    return d.groupBy(bucket_alias, *group_cols).agg(
+        F.expr(f"sum(__delta) AS {q(value_alias)}")
     )
 
 
@@ -257,27 +276,47 @@ def exp_histogram_count(
     series' first or when start==ts; a changed start time or a decreased
     count restarts the series (delta = current); otherwise delta =
     current - previous.
+
+    SQL-text construction (see :func:`histogram_count`); Column twin pinned
+    in ``tests/test_hist_sql_twin.py``.
     """
-    w = Window.partitionBy(*[F.col(c) for c in series_cols]).orderBy(F.col(ts))
-    cur = F.col(count).cast("long")
-    prev = F.lag(cur, 1).over(w)
-    prev_start = F.lag(F.col(start_ts), 1).over(w)
-    is_first = prev.isNull()
+    q = lambda c: f"`{c}`"  # noqa: E731
+    part = (
+        "PARTITION BY " + ", ".join(q(c) for c in series_cols) + " "
+        if series_cols
+        else ""
+    )
+    over = f"OVER ({part}ORDER BY {q(ts)})"
+    cur = f"CAST({q(count)} AS BIGINT)"
+    d = df.selectExpr(
+        "*",
+        f"lag({cur}, 1) {over} AS __prev",
+        f"lag({q(start_ts)}, 1) {over} AS __prev_start",
+    )
     cum_delta = (
-        F.when(is_first | (F.col(start_ts) == F.col(ts)), F.lit(0))
-        .when((F.col(start_ts) != prev_start) | (cur < prev), cur)
-        .otherwise(cur - prev)
+        f"CASE WHEN __prev IS NULL OR ({q(start_ts)} = {q(ts)}) THEN 0 "
+        f"WHEN ({q(start_ts)} != __prev_start) OR ({cur} < __prev) "
+        f"THEN {cur} ELSE {cur} - __prev END"
     )
     if temporality_col is None:
         delta = cum_delta
     else:
-        t = F.col(temporality_col)
-        delta = F.when(t == 1, cur).when(t == 2, cum_delta).otherwise(F.lit(0))
-    b = _bucket(F.col(ts), bucket_seconds).alias(bucket_alias)
-    return (
-        df.withColumn("__delta", delta)
-        .groupBy(b, *[F.col(c) for c in group_cols])
-        .agg(F.sum("__delta").alias(value_alias))
+        t = q(temporality_col)
+        delta = (
+            f"CASE WHEN {t} = 1 THEN {cur} WHEN {t} = 2 THEN ({cum_delta}) "
+            "ELSE 0 END"
+        )
+    bucket = (
+        f"timestamp_seconds(CAST(unix_timestamp({q(ts)}) / "
+        f"{int(bucket_seconds)} AS BIGINT) * {int(bucket_seconds)})"
+    )
+    d = d.selectExpr(
+        f"{bucket} AS {q(bucket_alias)}",
+        *[q(c) for c in group_cols],
+        f"({delta}) AS __delta",
+    )
+    return d.groupBy(bucket_alias, *group_cols).agg(
+        F.expr(f"sum(__delta) AS {q(value_alias)}")
     )
 
 
@@ -626,77 +665,104 @@ def histogram_quantile(
 
     All array math uses Spark higher-order functions (zip_with, aggregate,
     transform) — JVM-side, no UDFs.
+
+    Expression trees are SQL text staged through ``selectExpr`` projections
+    (one parse RPC each, SQL lambdas instead of py4j-built Python lambdas) —
+    same discipline as :func:`exp_histogram_quantile`.  The original Column
+    form is the reference twin in ``tests/test_hist_sql_twin.py``
+    (bit-identical output required).  Per-row CASE short-circuiting keeps
+    ``element_at(..., 0)`` unevaluated for not-found ranks, exactly like the
+    lazy ``when``/``otherwise`` chain it replaces.
     """
-    w = Window.partitionBy(*[F.col(c) for c in series_cols]).orderBy(F.col(ts))
-    cur = F.col(bucket_counts)
+    q = lambda c: f"`{c}`"  # noqa: E731
+    gsel = [q(c) for c in group_cols]
+    cur = q(bucket_counts)
     if cumulative:
-        prev = F.lag(cur, 1).over(w)
-        prev_bounds = F.lag(F.col(explicit_bounds), 1).over(w)
+        part = (
+            "PARTITION BY " + ", ".join(q(c) for c in series_cols) + " "
+            if series_cols
+            else ""
+        )
+        over = f"OVER ({part}ORDER BY {q(ts)})"
+        d = df.selectExpr(
+            "*",
+            f"lag({cur}, 1) {over} AS __prev",
+            f"lag({q(explicit_bounds)}, 1) {over} AS __prev_bounds",
+        )
         # reset detection: any element decreased, length or bounds changed
-        decreased = F.exists(
-            F.zip_with(cur, prev, lambda a, b: a < b), lambda x: x
-        )
         reset = (
-            prev.isNull()
-            | (F.size(cur) != F.size(prev))
-            | (prev_bounds != F.col(explicit_bounds))
-            | decreased
-        )
-        delta = F.when(reset, cur.cast("array<double>")).otherwise(
-            F.zip_with(cur, prev, lambda a, b: (a - b).cast("double"))
+            f"__prev IS NULL OR (size({cur}) != size(__prev)) OR "
+            f"(__prev_bounds != {q(explicit_bounds)}) OR "
+            f"exists(zip_with({cur}, __prev, (a, b) -> a < b), x -> x)"
         )
         # first-point rows: the reference keeps the current counts when the
         # series starts (histogram.ts reset semantics: current<prev -> current)
-        deltad = df.withColumn("__delta", delta)
+        delta = (
+            f"CASE WHEN {reset} THEN CAST({cur} AS ARRAY<DOUBLE>) "
+            f"ELSE zip_with({cur}, __prev, (a, b) -> CAST((a - b) AS DOUBLE)) "
+            "END"
+        )
+        deltad = d.selectExpr("*", f"({delta}) AS __delta")
     else:
-        deltad = df.withColumn("__delta", cur.cast("array<double>"))
+        deltad = df.selectExpr(
+            "*", f"CAST({cur} AS ARRAY<DOUBLE>) AS __delta"
+        )
 
-    b = _bucket(F.col(ts), bucket_seconds).alias(bucket_alias)
+    bucket = (
+        f"timestamp_seconds(CAST(unix_timestamp({q(ts)}) / "
+        f"{int(bucket_seconds)} AS BIGINT) * {int(bucket_seconds)})"
+    )
     # element-wise sum across series (sumForEach): explode to (idx, cnt) and
     # re-assemble — distributed, no size assumption on the arrays
-    exploded = deltad.select(
-        b,
-        *[F.col(c) for c in group_cols],
-        F.col(explicit_bounds).alias("__bounds"),
-        F.posexplode(F.col("__delta")).alias("__idx", "__cnt"),
+    exploded = deltad.selectExpr(
+        f"{bucket} AS {q(bucket_alias)}",
+        *gsel,
+        f"{q(explicit_bounds)} AS __bounds",
+        "posexplode(__delta) AS (__idx, __cnt)",
     )
     summed = exploded.groupBy(bucket_alias, *group_cols, "__bounds", "__idx").agg(
-        F.sum("__cnt").alias("__cnt")
+        F.expr("sum(__cnt) AS __cnt")
     )
-    assembled = (
-        summed.groupBy(bucket_alias, *group_cols, "__bounds")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("__idx"), F.col("__cnt")))
-            ).alias("__pairs")
+    assembled = summed.groupBy(bucket_alias, *group_cols, "__bounds").agg(
+        F.expr(
+            "transform(array_sort(collect_list("
+            "named_struct('__idx', __idx, '__cnt', __cnt))), s -> s.__cnt)"
+            " AS __counts"
         )
-        .withColumn("__counts", F.transform(F.col("__pairs"), lambda s: s["__cnt"]))
-        .drop("__pairs")
     )
     # cumulative distribution + rank -> interpolate (histogram.ts:205-250)
-    total = F.aggregate("__counts", F.lit(0.0), lambda acc, x: acc + x)
-    rank = F.lit(level) * total
-    cum = F.expr(
-        "transform(__counts, (x, i) -> aggregate(slice(__counts, 1, i + 1), CAST(0.0 AS DOUBLE), (a, b) -> a + b))"
+    out = assembled.selectExpr(
+        "*",
+        "transform(__counts, (x, i) -> aggregate(slice(__counts, 1, i + 1),"
+        " CAST(0.0 AS DOUBLE), (a, b) -> a + b)) AS __cum",
+        f"{float(level)!r}D * aggregate(__counts, CAST(0.0 AS DOUBLE),"
+        " (acc, x) -> acc + x) AS __rank",
+    ).selectExpr(
+        # idx of first bucket with cum >= rank; 1-based, 0 = not found
+        "*",
+        "array_position(transform(__cum, c -> c >= __rank), true) AS __i",
     )
-    out = assembled.withColumn("__cum", cum).withColumn("__rank", rank)
-    # idx of first bucket with cum >= rank
-    idx = F.expr("array_position(transform(__cum, c -> c >= __rank), true)")
-    out = out.withColumn("__i", idx)  # 1-based; 0 = not found
-    lower = F.when(F.col("__i") <= 1, F.lit(0.0)).otherwise(
-        F.expr("element_at(__bounds, int(__i) - 1)")
+    lower = (
+        "CASE WHEN __i <= 1 THEN 0.0D "
+        "ELSE element_at(__bounds, int(__i) - 1) END"
     )
-    upper_exists = F.col("__i") <= F.size(F.col("__bounds"))
-    upper = F.expr("element_at(__bounds, int(__i))")
-    cum_before = F.when(F.col("__i") <= 1, F.lit(0.0)).otherwise(
-        F.expr("element_at(__cum, int(__i) - 1)")
+    cum_before = (
+        "CASE WHEN __i <= 1 THEN 0.0D "
+        "ELSE element_at(__cum, int(__i) - 1) END"
     )
-    cnt_in = F.expr("element_at(__counts, int(__i))")
-    frac = F.when(cnt_in > 0, (F.col("__rank") - cum_before) / cnt_in).otherwise(F.lit(0.0))
-    interp = F.when(~upper_exists, lower).otherwise(lower + (upper - lower) * frac)
-    value = F.when(F.col("__i") == 0, None).otherwise(interp)
-    return out.select(
-        bucket_alias, *group_cols, value.alias(value_alias)
+    frac = (
+        "CASE WHEN element_at(__counts, int(__i)) > 0 "
+        f"THEN (__rank - ({cum_before})) / element_at(__counts, int(__i)) "
+        "ELSE 0.0D END"
+    )
+    value = (
+        "CASE WHEN __i = 0 THEN NULL "
+        f"WHEN NOT (__i <= size(__bounds)) THEN ({lower}) "
+        f"ELSE ({lower}) + (element_at(__bounds, int(__i)) - ({lower}))"
+        f" * ({frac}) END"
+    )
+    return out.selectExpr(
+        q(bucket_alias), *gsel, f"({value}) AS {q(value_alias)}"
     )
 
 
