@@ -28,6 +28,8 @@ from typing import Optional
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from hyperdx_spark.io import ensure_min_parallelism
+
 
 def dot(a: Column, b: Column) -> Column:
     """Element-wise dot product of two array<numeric> columns (JVM-side)."""
@@ -454,6 +456,16 @@ def cosine_pairs(
                 F.col(id_col).alias("id"), blk.alias("__blk"),
                 F.col(vec_col).alias("__v"),
             )
+            # single-row-group gate fixtures deliver a 1-partition scan and
+            # the broadcast self-join inherits it — the WHOLE quadratic
+            # pair enumeration + Arrow scoring then runs as ONE task
+            # (measured: q_embedding_dedup 9.2 s single-task at sf0.1).
+            # Hash-spread the streamed side on the high-cardinality id
+            # (sort-free, deterministic — io.ensure_min_parallelism); a
+            # no-op at scale where the scan is already wide, and the
+            # within-block shuffle stays input-linear (the widening moves
+            # N vector rows, never pairs).
+            ids = ensure_min_parallelism(ids, key_cols=["id"], probe=df)
             if max_bucket_size is not None:
                 # the mega-bucket guard applies to BLOCKS too: a degenerate
                 # embedding cluster (all-zero / default vector stamped on
@@ -516,7 +528,11 @@ def cosine_pairs(
             return _register_cached(out, cached)
         else:
             ids = df.select(F.col(id_col).alias("id"))
-            a_, b_ = ids.alias("a"), ids.alias("b")
+            # same 1-partition rescue as the block path: spread the
+            # STREAMED left of the n² cross join so enumeration + scoring
+            # parallelize; the id-only shuffle is N rows of 8 bytes
+            ids_wide = ensure_min_parallelism(ids, key_cols=["id"], probe=df)
+            a_, b_ = ids_wide.alias("a"), ids.alias("b")
             cand = (
                 a_.crossJoin(b_)
                 .where(F.col("a.id") < F.col("b.id"))
