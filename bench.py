@@ -289,17 +289,23 @@ def loop_contention_score(loop: dict, threshold: float) -> int:
 
 
 def choose_quieter_loop(loop1: dict, loop2: dict, threshold: float) -> int:
-    """1 or 2: fewer contended queries wins; ties go to the lower total
-    (both loops are fully JVM-warm by construction — loop 2 runs after
-    loop 1's 3+ samples per query, and loop 1's min already excludes its
-    cold sample)."""
+    """1 or 2.  A fully-clean loop (zero contention marks) beats a marked
+    one; otherwise the lower TOTAL wins (both loops are fully JVM-warm by
+    construction — loop 2 runs after loop 1's 3+ samples per query, and
+    loop 1's min already excludes its cold sample).
+
+    Why total, not mark count, between two CONTENDED loops (r16): the
+    marks come from loadavg/ambient sampling windows that interference
+    can escape entirely — observed a loop published at 17.96 s with 2
+    marks over a 7.70 s loop with 4, when the checkout's clean steady
+    state was 7.4 s.  Contention only ever ADDS time, so among marked
+    loops the lower total is the less-contaminated measurement; marks
+    stay decisive only when one loop is provably clean."""
     c1 = loop_contention_score(loop1, threshold)
     c2 = loop_contention_score(loop2, threshold)
-    if c2 < c1:
-        return 2
-    if c2 == c1 and sum(loop2["timings"].values()) < sum(
-        loop1["timings"].values()
-    ):
+    if (c1 == 0) != (c2 == 0):
+        return 1 if c1 == 0 else 2
+    if sum(loop2["timings"].values()) < sum(loop1["timings"].values()):
         return 2
     return 1
 

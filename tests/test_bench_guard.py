@@ -227,3 +227,16 @@ def test_loop_contention_score_unions_both_marks():
     l1 = _loop({"q_a": 1.0, "q_b": 1.0}, {"q_a": 99.0, "q_b": 0.1},
                {"q_a": 0.0, "q_b": 5.0})
     assert bench.loop_contention_score(l1, threshold=8.0) == 2
+
+
+def test_choose_quieter_loop_both_contended_takes_lower_total():
+    # r16: between two CONTENDED loops the lower total wins regardless of
+    # mark count — marks come from sampling windows that interference can
+    # escape (observed: 17.96 s loop with 2 marks vs 7.70 s loop with 4;
+    # contention only ADDS time, so min total = least contaminated)
+    l1 = _loop({"q_a": 9.0, "q_b": 9.0}, {"q_a": 99.0, "q_b": 0.1},
+               {"q_a": 0.0, "q_b": 0.0})
+    l2 = _loop({"q_a": 1.0, "q_b": 1.0}, {"q_a": 99.0, "q_b": 99.0},
+               {"q_a": 0.0, "q_b": 0.0})
+    assert bench.choose_quieter_loop(l1, l2, threshold=8.0) == 2
+    assert bench.choose_quieter_loop(l2, l1, threshold=8.0) == 1
