@@ -20,6 +20,8 @@ from functools import lru_cache
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hyperdx_spark.sqlident import sql_ident
+
 _EPOCH_NAIVE = datetime(1970, 1, 1)
 _EPOCH_UTC = datetime(1970, 1, 1, tzinfo=timezone.utc)
 _US = timedelta(microseconds=1)
@@ -113,6 +115,13 @@ def load_table(
     on the session object (dies with it); the mtime/size key evicts on any
     file change, and conf-dependent plan pieces are fixed per session by
     ``tune_session``.
+
+    ASSUMPTION (r16 ADVICE #5): the memoized plan and the
+    ``num_partitions`` on-object memo bake in the session's scan confs
+    (``spark.sql.files.maxPartitionBytes`` etc.) as pinned by
+    ``tune_session``. A caller that changes those confs mid-session gets
+    stale cached plans / partition counts — call :func:`clear_plan_caches`
+    after any such conf change.
     """
     from hyperdx_spark.session import tune_session
 
@@ -159,10 +168,25 @@ def load_table(
             )
     for c in nanos_cols:
         # integer-div truncation matches DuckDB's nanos->micros read
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"{sql_ident(c)} div 1000")))
     if cache is not None and cache_key is not None:
         cache[cache_key] = df
     return df
+
+
+def clear_plan_caches(spark: SparkSession) -> None:
+    """Escape hatch for the per-session memos (r16 ADVICE #5): drop the
+    table-plan memo (and with it the plan objects carrying
+    ``_hdx_num_partitions`` memos) and the module-level parquet schema
+    cache. Required after changing a partitioning/scan conf mid-session
+    (``spark.sql.files.maxPartitionBytes``, ``spark.sql.shuffle.partitions``
+    …), which the memoized plans baked in. Never touches persisted data —
+    the memos hold only immutable plan/metadata objects."""
+    try:
+        spark._hdx_table_plan_cache = {}
+    except AttributeError:
+        pass
+    _SCHEMA_CACHE.clear()
 
 
 def export_csv(

@@ -22,6 +22,8 @@ from typing import Optional, Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from hyperdx_spark.sqlident import sql_ident
+
 
 def series_hash(*cols: Column) -> Column:
     """Series identity hash (ref histogram.ts:61-62 cityHash64 analogue)."""
@@ -222,7 +224,7 @@ def histogram_count(
     the original Column form lives on as the reference twin in
     ``tests/test_hist_sql_twin.py`` (bit-identical output required).
     """
-    q = lambda c: f"`{c}`"  # noqa: E731
+    q = sql_ident
     part = (
         "PARTITION BY " + ", ".join(q(c) for c in series_cols) + " "
         if series_cols
@@ -280,7 +282,7 @@ def exp_histogram_count(
     SQL-text construction (see :func:`histogram_count`); Column twin pinned
     in ``tests/test_hist_sql_twin.py``.
     """
-    q = lambda c: f"`{c}`"  # noqa: E731
+    q = sql_ident
     part = (
         "PARTITION BY " + ", ".join(q(c) for c in series_cols) + " "
         if series_cols
@@ -424,7 +426,7 @@ def exp_histogram_quantile(
     that original form as a reference twin and asserts bit-identical output.
     """
     gcols = list(group_cols)
-    q = lambda c: f"`{c}`"  # noqa: E731
+    q = sql_ident
     gsel = [q(c) for c in gcols]
     min_scale = df.agg(F.min(F.col(scale)).alias("__min_scale"))
     d = df.crossJoin(F.broadcast(min_scale)).selectExpr(
@@ -674,7 +676,7 @@ def histogram_quantile(
     ``element_at(..., 0)`` unevaluated for not-found ranks, exactly like the
     lazy ``when``/``otherwise`` chain it replaces.
     """
-    q = lambda c: f"`{c}`"  # noqa: E731
+    q = sql_ident
     gsel = [q(c) for c in group_cols]
     cur = q(bucket_counts)
     if cumulative:
@@ -829,7 +831,7 @@ def metric_to_raw_sql(
     if metric_name_sql:
         where_parts.append(f"({translate_expr(metric_name_sql)})")
     elif metric_name is not None:
-        where_parts.append(f"`{name_col}` = {_sql_str(metric_name)}")
+        where_parts.append(f"{sql_ident(name_col)} = {_sql_str(metric_name)}")
     if where_sql:
         where_parts.append(f"({where_sql})")
     where_parts.append("$__filters")

@@ -39,6 +39,7 @@ from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from hyperdx_spark.sqlident import sql_ident
 from hyperdx_spark.pipeline.text import TOKEN_SPLIT, fingerprint, tokens
 
 
@@ -183,7 +184,7 @@ def shingle_rows(
     exactly as the shared-``Window``-object form did.
     """
     spark = df.sparkSession
-    base = df.selectExpr(f"`{id_col}` AS id", f"`{text_col}` AS __text")
+    base = df.selectExpr(f"{sql_ident(id_col)} AS id", f"{sql_ident(text_col)} AS __text")
     base = base.repartition(spark.sparkContext.defaultParallelism, "id")
     tokrows = base.selectExpr(
         "id",
@@ -875,6 +876,15 @@ def dedup_groups(
     # long-lived session, since only a RETURNED frame's registrations
     # reach release_cached.
     try:
+        if numeric_ids:
+            # seed with the INITIAL label sum (r16 ADVICE #1): an
+            # already-converged graph (self-loops, empty edge set) is then
+            # detected in iteration 1 instead of needing a second round —
+            # and convergence landing exactly on max_iterations no longer
+            # raises a spurious did-not-converge warning. One extra small
+            # aggregate; it materializes the persisted edges the first
+            # propagation round would have paid for anyway.
+            prev_sum = _label_sum(labels)
         for it in range(max_iterations):
             neighbor_min = (
                 edges.join(labels, edges.dst == labels.id)

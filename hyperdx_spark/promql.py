@@ -85,6 +85,8 @@ from typing import Optional, Sequence
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from hyperdx_spark.sqlident import sql_ident
+
 DEFAULT_LOOKBACK_S = 300  # Prometheus staleness window
 
 
@@ -1947,7 +1949,7 @@ class PromQLEngine:
                 "histogram_count/sum/avg need one"
             )
         h = F.col(self.hist_col)
-        H, TS = f"`{self.hist_col}`", f"`{self.ts_col}`"
+        H, TS = sql_ident(self.hist_col), sql_ident(self.ts_col)
         canon = _sql_h_struct(
             f"{H}.schema", f"{H}.zero_count", f"{H}.zero_threshold",
             f"{H}.count", f"{H}.sum", f"{H}.pos_offset", f"{H}.pos_counts",
@@ -1997,7 +1999,7 @@ class PromQLEngine:
             # evaluated once per row, where the former Column tree inlined
             # (and re-evaluated) it at every use site — same deterministic
             # values, one evaluation
-            lbl = [f"`{c}`" for c in self.label_cols]
+            lbl = [sql_ident(c) for c in self.label_cols]
             keep = ["__step", *lbl, "__f", "__l"]
             s1 = g.selectExpr(
                 *keep, "CAST(least(__f.schema, __l.schema) AS INT) AS __tgt"
@@ -2078,7 +2080,7 @@ class PromQLEngine:
             # staged projections (see the rate path): the downscaled array,
             # its non-empty filter, and the union bounds are NAMED columns,
             # evaluated once per row instead of re-inlined at each use
-            lbl = [f"`{c}`" for c in keep]
+            lbl = [sql_ident(c) for c in keep]
             base = ["__step", *lbl, "__hs"]
             s1 = g.selectExpr(
                 *base,
@@ -2210,7 +2212,7 @@ class PromQLEngine:
             )
             labels = [c for c in inner.columns if c not in ("__step", "__hist")]
             return inner.selectExpr(
-                "__step", *[f"`{c}`" for c in labels], f"{out} AS __hist"
+                "__step", *[sql_ident(c) for c in labels], f"{out} AS __hist"
             )
         if node.group is not None:
             raise ValueError(
@@ -2253,7 +2255,7 @@ class PromQLEngine:
         j = lv2.join(rv2, on=match_keys, how="inner")
         # staged projections (see _eval_hist rate path): downscaled arrays
         # and pair results are named, single-evaluation columns
-        mk = [f"`{c}`" for c in match_keys]
+        mk = [sql_ident(c) for c in match_keys]
         s1 = j.selectExpr(
             *mk, "__hist", "__rh",
             "CAST(least(__hist.schema, __rh.schema) AS INT) AS __tgt",
@@ -2301,7 +2303,7 @@ class PromQLEngine:
         histogramQuantile; the zero bucket's lower bound collapses to 0
         when there are no negative buckets). NULL for empty histograms."""
         labels = [c for c in hv.columns if c not in ("__step", "__hist")]
-        lbl = [f"`{c}`" for c in labels]
+        lbl = [sql_ident(c) for c in labels]
         if phi < 0 or phi > 1:
             const = float("-inf") if phi < 0 else float("inf")
             return hv.select(
@@ -2321,8 +2323,12 @@ class PromQLEngine:
             " CAST(0.0 AS DOUBLE), (a, c) -> a + c)) AS __cum",
         ).selectExpr(
             "*",
-            f"array_position(zip_with(__cum, __cnts, (c, n) -> n > 0 AND c >= {phi} *"
-            " element_at(__cum, -1)), true) AS __i",
+            # _sql_dlit, not raw interpolation: f"{phi}" would parse as a
+            # DECIMAL literal (same value after decimal->double rounding,
+            # but a different literal type from the Column twin and from
+            # the rank expression below — r16 ADVICE #2)
+            f"array_position(zip_with(__cum, __cnts, (c, n) -> n > 0 AND c >= "
+            f"{_sql_dlit(phi)} * element_at(__cum, -1)), true) AS __i",
         ).selectExpr(
             "*",
             # guarded: array_position's 0 (no bucket reaches the rank) must
@@ -2357,7 +2363,7 @@ class PromQLEngine:
         the reference Kahan-compensates — documented divergence at the
         last ulp. Empty histogram → NULL."""
         labels = [c for c in hv.columns if c not in ("__step", "__hist")]
-        lbl = [f"`{c}`" for c in labels]
+        lbl = [sql_ident(c) for c in labels]
         bk = _sql_h_buckets(
             "__hist", "-__hist.zero_threshold", "__hist.zero_threshold"
         )
@@ -2393,7 +2399,7 @@ class PromQLEngine:
         empty histogram → NULL (this engine's convention where Prometheus
         emits NaN — same divergence as the quantile path)."""
         labels = [c for c in hv.columns if c not in ("__step", "__hist")]
-        lbl = [f"`{c}`" for c in labels]
+        lbl = [sql_ident(c) for c in labels]
         if lower >= upper:
             return hv.select(
                 "__step", *labels, F.lit(0.0).cast("double").alias("value")
