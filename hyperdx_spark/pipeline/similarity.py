@@ -181,6 +181,199 @@ def score_pairs_arrow(
     return pairs.mapInArrow(_batches, out_schema)
 
 
+# --- exhaustive all-pairs via corpus broadcast (r17) ------------------------
+# The r16 exhaustive path enumerated pairs through a BroadcastNestedLoopJoin
+# and shipped BOTH vectors per pair row across the Arrow boundary: at N
+# vectors of dim d that is O(N²·d) bytes serialized (2 GB at N=2000, d=64 —
+# each vector crosses ~N times), and the whole stage was JVM threads waiting
+# on Python workers decoding pair rows. Guide §2.3/§8: when the decision
+# (cos ≥ t) needs only a lightweight proxy per pair, move the heavy bytes
+# ONCE — broadcast the corpus matrix (O(N·d)), stream each vector row a
+# single time, and compute all-pairs inside the worker with the IDENTICAL
+# IEEE fold as score_pairs_arrow, emitting only survivors. The exhaustive
+# mode is documented as the small-corpus / gate configuration (NOT the
+# 100 TB path — LSH banding / block mode are), so a bounded driver collect
+# here is the same cost class as the BroadcastExchange the old plan already
+# paid; the caps below keep it explicit.
+
+#: eligibility caps for the broadcast all-pairs path: beyond either, fall
+#: back to the legacy pair-row plan (which is equally O(N²) compute but
+#: never holds the corpus in one piece)
+_ALLPAIRS_MAX_ROWS = 131_072
+_ALLPAIRS_MAX_ELEMS = 16_777_216  # ~128 MB of float64 payload
+
+
+class _BroadcastHandle:
+    """``unpersist()`` adapter so a py4j Broadcast rides the
+    ``_register_cached``/``release_cached`` lifecycle like persisted
+    frames do."""
+
+    def __init__(self, bc):
+        self._bc = bc
+
+    def unpersist(self) -> None:
+        try:
+            self._bc.unpersist()
+        except Exception:  # pragma: no cover - already destroyed / Connect
+            pass
+
+
+def _allpairs_corpus_parts(rows):
+    """Driver-side prep: per-dim (ids, matrix, sqrt-norm) for the broadcast.
+
+    Rows whose pair could NEVER be emitted are dropped here: NULL id (the
+    legacy join's ``a.id < b.id`` is NULL), NULL vector / inner-NULL
+    element (cos is NULL), zero-length vector (0.0 divisor → NULL).
+    NaN ELEMENTS stay — a NaN cos is a VALUE that passes ``cos >= t``
+    (Spark orders NaN greatest), exactly as in score_pairs_arrow.
+    Norms fold left-to-right per vector — the same op sequence as
+    ``norm()``/score_pairs_arrow, so emitted cos doubles are bit-identical.
+    """
+    import numpy as np
+
+    by_dim: dict = {}
+    for r in rows:
+        i, v = r[0], r[1]
+        if i is None or v is None:
+            continue
+        if len(v) == 0 or any(x is None for x in v):
+            continue
+        ids, vecs = by_dim.setdefault(len(v), ([], []))
+        ids.append(i)
+        vecs.append(v)
+    parts = {}
+    for dim_, (ids, vecs) in by_dim.items():
+        B = np.asarray(vecs, dtype=np.float64)
+        QB = B * B
+        nb = np.zeros(len(ids))
+        for j in range(dim_):  # left-to-right fold, same as norm()
+            nb = nb + QB[:, j]
+        parts[dim_] = (np.asarray(ids), B, np.sqrt(nb))
+    return parts
+
+
+def _allpairs_broadcast(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float
+) -> Optional[DataFrame]:
+    """(id_a, id_b, cos) for every row pair with ``id_a < id_b`` and
+    ``cos >= threshold`` (NaN passes, NULL never emits) — bit-identical to
+    the legacy candidate-join + score_pairs_arrow + filter composition,
+    pytest-pinned by tests/test_allpairs_broadcast.py. Returns None when
+    the corpus exceeds the broadcast caps or the id type is unsupported
+    (caller falls back to the legacy plan). Runs two bounded eager jobs at
+    construction (size probe + corpus collect), like dedup_groups'
+    convergence jobs."""
+    from pyspark.sql.types import (
+        ByteType, IntegerType, LongType, ShortType, StringType,
+    )
+
+    if not isinstance(
+        df.schema[id_col].dataType,
+        (ByteType, ShortType, IntegerType, LongType, StringType),
+    ):
+        return None
+    ids = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v"))
+    probe = ids.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.coalesce(F.array_size("__v"), F.lit(0))).alias("elems"),
+        F.count("id").alias("n_ids"),
+        F.count_distinct("id").alias("n_distinct"),
+    ).collect()[0]
+    if (
+        probe["n"] > _ALLPAIRS_MAX_ROWS
+        or (probe["elems"] or 0) > _ALLPAIRS_MAX_ELEMS
+        # duplicate ids: the legacy plan's id-keyed vector joins fan each
+        # pair out by the id multiplicities (a degenerate-input shape this
+        # row-level scorer would NOT reproduce) — keep bit-compat by
+        # declining
+        or probe["n_ids"] != probe["n_distinct"]
+    ):
+        return None
+    spark = df.sparkSession
+    parts = _allpairs_corpus_parts(ids.collect())
+    bc = spark.sparkContext.broadcast(parts)
+    t = float(threshold)
+    id_sql_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"id_a {id_sql_type}, id_b {id_sql_type}, cos double"
+    _PA_ID_TYPES = {
+        "tinyint": "int8", "smallint": "int16", "int": "int32",
+        "bigint": "int64", "string": "string",
+    }
+    pa_id_type = _PA_ID_TYPES[id_sql_type]
+
+    def _batches(it):
+        import numpy as np
+        import pyarrow as pa
+
+        P = bc.value
+        for batch in it:
+            idc = batch.column(0)
+            vc = batch.column(1)
+            if isinstance(idc, pa.ChunkedArray):
+                idc = idc.combine_chunks()
+            a_off, a_vals, a_null, a_inull = _list_parts(
+                vc.combine_chunks() if isinstance(vc, pa.ChunkedArray) else vc
+            )
+            a_np = a_vals.to_numpy(zero_copy_only=False).astype(np.float64)
+            a_len = a_off[1:] - a_off[:-1]
+            a_ids_py = idc.to_pylist()
+            # rows that can never emit: NULL id/vector, inner NULL, dim 0
+            dead = a_null | (a_len == 0)
+            if a_inull.any():
+                cs = np.concatenate(([0], np.cumsum(a_inull)))
+                dead |= (cs[a_off[1:]] - cs[a_off[:-1]]) > 0
+            groups: dict = {}
+            for i in range(batch.num_rows):
+                if dead[i] or a_ids_py[i] is None:
+                    continue
+                groups.setdefault(int(a_len[i]), []).append(i)
+            out_a, out_b, out_c = [], [], []
+            for dim_, idxs in groups.items():
+                part = P.get(dim_)
+                if part is None:
+                    continue
+                b_ids, B, sq_nb = part
+                ix = np.asarray(idxs)
+                gather = a_off[ix, None] + np.arange(dim_)[None, :]
+                A = a_np[gather]
+                a_ids = np.asarray([a_ids_py[i] for i in idxs])
+                QA = A * A
+                d = np.zeros((len(ix), len(b_ids)))
+                na = np.zeros(len(ix))
+                for j in range(dim_):  # identical fold to score_pairs_arrow
+                    d = d + A[:, j][:, None] * B[:, j][None, :]
+                    na = na + QA[:, j]
+                denom = np.sqrt(na)[:, None] * sq_nb[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    c = d / denom
+                    emit = (
+                        (a_ids[:, None] < b_ids[None, :])
+                        & (denom != 0.0)           # 0.0 divisor → NULL, drop
+                        & ((c >= t) | np.isnan(c))  # NaN passes like Spark
+                    )
+                ai, bi = np.nonzero(emit)
+                if len(ai):
+                    out_a.append(a_ids[ai])
+                    out_b.append(b_ids[bi])
+                    out_c.append(c[ai, bi])
+            if out_a:
+                id_t = getattr(pa, pa_id_type)()
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.concatenate(out_a).tolist(), type=id_t),
+                        pa.array(np.concatenate(out_b).tolist(), type=id_t),
+                        pa.array(np.concatenate(out_c), type=pa.float64()),
+                    ],
+                    names=["id_a", "id_b", "cos"],
+                )
+
+    wide = ensure_min_parallelism(ids, key_cols=["id"], probe=df)
+    out = wide.mapInArrow(_batches, out_schema)
+    from hyperdx_spark.pipeline.dedup import _register_cached
+
+    return _register_cached(out, [_BroadcastHandle(bc)])
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -527,6 +720,15 @@ def cosine_pairs(
             )
             return _register_cached(out, cached)
         else:
+            # r17: broadcast all-pairs scorer — the corpus matrix crosses
+            # the Python boundary ONCE (O(N·d) bytes) instead of once per
+            # pair (O(N²·d)); survivors-only output. Bit-identical to the
+            # legacy join+score+filter plan below (same IEEE fold;
+            # tests/test_allpairs_broadcast.py), which remains the
+            # fallback above the broadcast caps / for exotic id types.
+            fast = _allpairs_broadcast(df, id_col, vec_col, threshold)
+            if fast is not None:
+                return fast
             ids = df.select(F.col(id_col).alias("id"))
             # same 1-partition rescue as the block path: spread the
             # STREAMED left of the n² cross join so enumeration + scoring
