@@ -316,6 +316,52 @@ def choose_quieter_loop(loop1: dict, loop2: dict, threshold: float) -> int:
 QUIET_RERUN_MAX_WAIT_S = 300.0
 
 
+# --- one-line JSON size guard (VERDICT r16 #2) ------------------------------
+# BENCH_r15's output line was truncated in the driver's captured tail, which
+# parsed as null and erased that round's whole PERF comparison table. The
+# per-query loadavg/ambient maps made the line grow with query count; they
+# are diagnostics, not contract. Split them to a sidecar file and keep line
+# one under a documented bound. The contract keys ({"metric", "value",
+# "unit", "queries", "sf"} + queries_cold/cold_total/env) stay on line one.
+
+#: keys moved from env to the sidecar detail file — bulky per-query
+#: diagnostics that grow O(queries) and are not needed to interpret the
+#: headline numbers (contention ANNOTATIONS stay on line one; the raw
+#: samples behind them move)
+ENV_DETAIL_KEYS = (
+    "loadavg_per_query",
+    "ambient_busy_per_query",
+    "ambient_reruns",
+    "spread_reruns",
+)
+
+#: documented ceiling for the printed line; test_bench_guard.py asserts a
+#: worst-case artifact (16 queries, every one contended, full env) stays
+#: under it with ~2x headroom
+MAX_LINE_BYTES = 8192
+
+ENV_DETAIL_PATH = os.environ.get(
+    "SPARK_GRAFT_BENCH_DETAIL", "/tmp/bench_env_detail.json"
+)
+
+
+def slim_env(env: dict, detail_path: str | None = ENV_DETAIL_PATH) -> dict:
+    """Move the O(queries) diagnostic maps out of the one-line env into a
+    sidecar JSON file (path recorded as ``env_detail_file``), returning the
+    same dict slimmed. Contention annotations (``contended_queries``,
+    ``ambient_contended``) are bounded and decision-relevant, so they stay
+    on line one."""
+    detail = {k: env.pop(k) for k in ENV_DETAIL_KEYS if k in env}
+    if detail and detail_path:
+        try:
+            with open(detail_path, "w") as fh:
+                json.dump(detail, fh)
+            env["env_detail_file"] = detail_path
+        except OSError:
+            pass  # diagnostics only — never fail the artifact over them
+    return env
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -361,6 +407,29 @@ def main() -> None:
     t0 = time.perf_counter()
     materialize(entrymod.q_tpch_q1(spark, sf_dir).limit(1))
     env["warmup_s"] = round(time.perf_counter() - t0, 3)
+
+    # Python-worker warmup (r17, VERDICT r16 #6 — measurement-methodology
+    # fix, documented in OPTIMIZATION_r17.md): one tiny ArrowEvalPython
+    # stage with a task per core forks the Python workers and pays the
+    # pandas/pyarrow import ONCE, here, instead of inside the first
+    # Python-stage query's cold number (which previously measured a
+    # 32-way simultaneous fork+import storm — ~2.3 s per worker,
+    # dominating cold q_text_stats 5.25 s / q_minhash_lsh 6.5 s in
+    # BENCH_r16 — rather than any engine work). This changes what "cold"
+    # measures for Python-stage queries: engine cold-path work (codegen,
+    # page cache) WITHOUT the one-time interpreter farm spin-up, which at
+    # cluster scale is paid at executor provisioning, not per query. The
+    # warmup's own cost is recorded, not counted.
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    py_identity = F.pandas_udf(lambda s: s, "long")
+    materialize(
+        spark.range(int(cpus) * 2, numPartitions=int(cpus)).select(
+            py_identity("id").alias("x")
+        )
+    )
+    env["py_warmup_s"] = round(time.perf_counter() - t0, 3)
 
     # best-of-3 per query inside the loop: this box's run-to-run noise is
     # ±50%+ (documented in SCALE.md); single bad runs have shown 10x
@@ -436,20 +505,24 @@ def main() -> None:
     env["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_cold": cold,
-                "cold_total": round(sum(cold.values()), 3),
-                "env": env,
-                "sf": sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "queries_cold": cold,
+            "cold_total": round(sum(cold.values()), 3),
+            "env": slim_env(env),
+            "sf": sf,
+        }
     )
+    assert len(line.encode()) <= MAX_LINE_BYTES, (
+        f"bench output line {len(line.encode())} B exceeds the documented "
+        f"{MAX_LINE_BYTES} B bound — move the offending env key to "
+        "ENV_DETAIL_KEYS (truncated lines erase the driver's PERF table)"
+    )
+    print(line)
 
 
 if __name__ == "__main__":

@@ -240,3 +240,89 @@ def test_choose_quieter_loop_both_contended_takes_lower_total():
                {"q_a": 0.0, "q_b": 0.0})
     assert bench.choose_quieter_loop(l1, l2, threshold=8.0) == 2
     assert bench.choose_quieter_loop(l2, l1, threshold=8.0) == 1
+
+
+# --- one-line JSON size guard (VERDICT r16 #2) ------------------------------
+
+def _worst_case_artifact():
+    """A 16-query artifact with EVERY per-query map present and every query
+    contended — the fattest line the current schema can produce."""
+    qs = {n: 123.456 for n in bench.HEADLINE}
+    env = {
+        "ts_start": "2026-08-17T21:06:10+0000",
+        "loadavg_start": [32.0, 32.0, 32.0],
+        "cpus": 32,
+        "load_guard": {"threshold": 8.0, "waited_s": 600.0,
+                       "loadavg_after_wait": 32.0, "gave_up": True},
+        "warmup_s": 99.999,
+        "py_warmup_s": 99.999,
+        "quiet_rerun_wait": {
+            "load_guard": {"threshold": 8.0, "waited_s": 300.0,
+                           "loadavg_after_wait": 32.0, "gave_up": True},
+            "ambient": {"busy_cores": 32.0, "waited_s": 60.0, "gave_up": True},
+            "note": "no quiet window appeared within the bounded wait; "
+                    "publishing the contended loop (annotated below)",
+        },
+        "quiet_rerun": {"loop1_total": 999.999, "loop2_total": 999.999,
+                        "loop1_contended": 16, "loop2_contended": 16,
+                        "published_loop": 2, "trigger": "contention"},
+        # bulky per-query diagnostics (these must be SPLIT OFF line one)
+        "loadavg_per_query": {n: 32.99 for n in bench.HEADLINE},
+        "ambient_busy_per_query": {n: 32.99 for n in bench.HEADLINE},
+        "ambient_reruns": {n: 123.456 for n in bench.HEADLINE},
+        "spread_reruns": {n: 2 for n in bench.HEADLINE},
+        # bounded annotations (these STAY on line one)
+        "contended_queries": {n: 32.99 for n in bench.HEADLINE},
+        "ambient_contended": {n: 32.99 for n in bench.HEADLINE},
+        "ts_end": "2026-08-17T21:08:26+0000",
+        "loadavg_end": [32.0, 32.0, 32.0],
+    }
+    return qs, env
+
+
+def test_slim_env_splits_bulky_maps_and_keeps_annotations(tmp_path):
+    import json
+
+    _, env = _worst_case_artifact()
+    detail_path = str(tmp_path / "detail.json")
+    slim = bench.slim_env(dict(env), detail_path)
+    for k in bench.ENV_DETAIL_KEYS:
+        assert k not in slim
+    assert slim["env_detail_file"] == detail_path
+    # annotations the driver reads stay on line one
+    assert "contended_queries" in slim and "ambient_contended" in slim
+    # nothing is lost: the sidecar holds exactly the split-off maps
+    detail = json.load(open(detail_path))
+    assert set(detail) == set(bench.ENV_DETAIL_KEYS)
+    assert detail["loadavg_per_query"] == env["loadavg_per_query"]
+
+
+def test_slim_env_unwritable_detail_path_never_fails(tmp_path):
+    _, env = _worst_case_artifact()
+    slim = bench.slim_env(dict(env), str(tmp_path / "no" / "dir" / "d.json"))
+    assert "env_detail_file" not in slim  # diagnostics dropped, not fatal
+    for k in bench.ENV_DETAIL_KEYS:
+        assert k not in slim
+
+
+def test_output_line_worst_case_stays_under_bound(tmp_path):
+    """The BENCH_r15 failure mode: the one-line JSON grew until the driver's
+    captured tail truncated it and parsed null, erasing a whole round's PERF
+    table. Pin the worst-case line under the documented bound."""
+    import json
+
+    qs, env = _worst_case_artifact()
+    slim = bench.slim_env(dict(env), str(tmp_path / "detail.json"))
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": 1999.999,
+            "unit": "sec",
+            "queries": qs,
+            "queries_cold": qs,
+            "cold_total": 1999.999,
+            "env": slim,
+            "sf": 0.1,
+        }
+    )
+    assert len(line.encode()) <= bench.MAX_LINE_BYTES, len(line.encode())
