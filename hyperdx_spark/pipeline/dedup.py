@@ -832,6 +832,21 @@ def dedup_groups(
         .unionByName(
             pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
         )
+        # r17: SELF-LOOPS (x, x) fold each node's own label into the
+        # neighbor-min aggregate, so a propagation round is ONE join + ONE
+        # aggregate — the former per-round `labels LEFT JOIN neighbor_min
+        # + least(...)` (a third per-round operator and its exchange) is
+        # gone, and the aggregate's output partitioning (src = id) is
+        # exactly what the next round's labels side needs, so rounds chain
+        # with a single exchange each (guide §2.4). min(lbl over
+        # {neighbors + self}) ≡ least(own, neighbor-min) — identical
+        # labels per round, identical fixed point.
+        .unionByName(
+            pairs.select(F.col(a_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(b_col).alias("dst"))
+        )
         .distinct()
         # r16: hash-partition the cached edges on the per-iteration join
         # key so InMemoryTableScan's reported partitioning satisfies the
@@ -886,19 +901,14 @@ def dedup_groups(
             # propagation round would have paid for anyway.
             prev_sum = _label_sum(labels)
         for it in range(max_iterations):
-            neighbor_min = (
+            # self-loops make the neighbor-min aggregate include the node's
+            # own label, so this IS the new label — no least()/left-join
+            # pass (see the edges construction note)
+            new_labels = (
                 edges.join(labels, edges.dst == labels.id)
                 .groupBy("src")
-                .agg(F.min("lbl").alias("nlbl"))
-            )
-            new_labels = (
-                labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
-                .select(
-                    "id",
-                    F.least(
-                        F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))
-                    ).alias("lbl"),
-                )
+                .agg(F.min("lbl").alias("lbl"))
+                .withColumnRenamed("src", "id")
             )
             # Truncate lineage every few rounds: without this the plan tree
             # at iteration N nests N joins and analysis/scheduling cost
