@@ -4597,9 +4597,21 @@ def q_dedup_all(spark, sf_dir):
         F.col("group_id").cast("long").alias("v1"),
         F.col("is_keeper").cast("long").alias("v2"),
     )
-    sem_kept = dedup.semantic_dedup(
-        scored, emb, threshold=0.5, score_col="score", exhaustive=True
+    # r17: semdedup derives from the SAME sem_keep_df as the semkeep part
+    # instead of a second semantic_dedup() call. semantic_dedup(scored,
+    # emb, threshold=0.5, score_col="score", exhaustive=True) is exactly
+    # cosine_pairs(emb, 0.5, exhaustive) -> dedup_groups -> pick_keepers
+    # (same defaults) -> loser anti-join (dedup.py drop_near_duplicates)
+    # — the chain already computed above — so the anti-join below is the
+    # identical composition and the oracle result is unchanged (strict
+    # oracle re-verified at sf0.01/sf0.001). This halves the eager CC
+    # work in this query's construction: one exhaustive pair scan + one
+    # connected-components loop instead of two of each (guide §1.2 step 1
+    # — don't compute things twice).
+    sem_losers = sem_keep_df.where(~F.col("is_keeper")).select(
+        F.col("id").alias("doc_id")
     )
+    sem_kept = scored.join(sem_losers, on="doc_id", how="left_anti")
     semdedup = sem_kept.select(
         F.lit("semdedup").alias("part"),
         F.col("doc_id").cast("string").alias("k"),
