@@ -26,8 +26,9 @@ import re
 from dataclasses import dataclass, field
 from typing import Callable, Iterable, Optional
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Row
 from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
 
 PARAM = "<*>"
 _WS = re.compile(r"\s+")
@@ -506,29 +507,51 @@ def mine_patterns(
     if total_count is None:
         total_count = df.count()
     cols = [text_col] + ([ts_col] if ts_col else [])
-    rows = df.select(*cols).limit(sample_size).collect()
-    if not rows:
+    sdf = df.select(*cols).limit(sample_size)
+    # r17 (guide §4/§5): the sample transfer used row-pickle collect() —
+    # at the 200k-row q_log_patterns envelope that is ~0.7 s of pickle
+    # plus ~0.6 s of driver-side Row construction for rows whose text is
+    # the only thing read. Ship the sample through Arrow instead and build
+    # genuine Row objects ONLY for the <= max_samples rows per cluster
+    # that callers actually keep (signals.py reads samples[0][text_col] /
+    # .__fields__, so sample elements stay Rows). Gated to the
+    # string-text / no-timestamp shape every production caller uses:
+    # with a ts_col the legacy path keeps collect()'s exact
+    # naive-local-datetime values (Arrow returns tz-aware timestamps).
+    rows = None
+    texts = None
+    if ts_col is None and isinstance(df.schema[text_col].dataType, StringType):
+        try:
+            texts = sdf.toArrow().column(0).to_pylist()
+            # kwargs Row: __fields__ is a list, matching collect() rows
+            _mk_row = lambda v: Row(**{text_col: v})  # noqa: E731
+        except Exception:  # Arrow unavailable (e.g. Connect quirk) — fall back
+            texts = None
+    if texts is None:
+        rows = sdf.collect()
+        texts = [r[text_col] for r in rows]
+    if not texts:
         return []
 
     step, start_epoch, spine = _trend_spine(date_range, trend_buckets, bucket_seconds)
 
     miner = Drain()
     clustered = []
-    for r in rows:
-        body = flatten_body(str(r[text_col]) if r[text_col] is not None else "")
+    for i, raw in enumerate(texts):
+        body = flatten_body(str(raw) if raw is not None else "")
         if masking:
             body = apply_masking(body, masking)
         cluster, _ = miner.add_log_message(body)
-        ts = r[ts_col] if ts_col else None
-        clustered.append((cluster.cluster_id, body, ts, r))
-    multiplier = total_count / len(rows) if total_count > 0 else 1.0
+        ts = rows[i][ts_col] if ts_col else None
+        clustered.append((cluster.cluster_id, body, ts, i))
+    multiplier = total_count / len(texts) if total_count > 0 else 1.0
 
     groups: dict[int, dict] = {}
-    for cid, body, ts, row in clustered:
+    for cid, body, ts, i in clustered:
         g = groups.setdefault(cid, {"n": 0, "samples": [], "buckets": {}, "first": body})
         g["n"] += 1
         if len(g["samples"]) < max_samples:
-            g["samples"].append(row)
+            g["samples"].append(rows[i] if rows is not None else _mk_row(texts[i]))
         epoch = (
             ts.timestamp() if ts is not None
             else (start_epoch if start_epoch is not None else None)
@@ -541,7 +564,7 @@ def mine_patterns(
     for cid, g in groups.items():
         matched = miner.match(flatten_body(g["first"]), full_search="fallback")
         template = matched.template() if matched else g["first"]
-        if noise_threshold is not None and g["n"] / len(rows) > noise_threshold:
+        if noise_threshold is not None and g["n"] / len(texts) > noise_threshold:
             continue
         if spine is not None:
             trend = [(b, round(g["buckets"].get(b, 0) * multiplier)) for b in spine]

@@ -856,6 +856,44 @@ def test_scoring_reference_matrix():
     assert sb("SpanAttributes.HTTP.METHOD") == 1
 
 
+def test_mine_patterns_arrow_sample_path_parity(spark):
+    """r17: the string/no-ts sample transfer goes through Arrow with
+    lazily built Row samples — outputs (patterns, counts, samples as Row
+    objects with __fields__, NULL-text handling) must match the legacy
+    collect() path bit for bit."""
+    from pyspark.sql import Row
+
+    rows = [(f"request {i} served in {i % 7} ms",) for i in range(40)] + [
+        (None,),  # NULL text -> flatten_body("") empty-token cluster
+        ("cache miss for key alpha",),
+    ] * 3
+    df = spark.createDataFrame(rows, "body string")
+    arrow = drain_mod.mine_patterns(df, text_col="body", sample_size=1000)
+
+    # legacy path: force it by making toArrow raise (the impl's fallback)
+    import pyspark.sql.classic.dataframe as _cdf
+
+    orig = _cdf.DataFrame.toArrow
+    try:
+        def _boom(self):
+            raise RuntimeError("forced legacy path")
+        _cdf.DataFrame.toArrow = _boom
+        legacy = drain_mod.mine_patterns(df, text_col="body", sample_size=1000)
+    finally:
+        _cdf.DataFrame.toArrow = orig
+
+    # sample Rows: genuine Row objects, field name preserved
+    for p in arrow:
+        for s in p.samples:
+            assert isinstance(s, Row)
+            assert s.__fields__ == ["body"]
+    assert [(p.id, p.pattern, p.sample_count, p.estimated_count, p.trend,
+             p.samples) for p in arrow] == [
+        (p.id, p.pattern, p.sample_count, p.estimated_count, p.trend,
+         p.samples) for p in legacy
+    ]
+
+
 def test_mine_patterns_zero_total_multiplier_one(spark):
     # mine-patterns.ts:175-176: totalCount 0 -> sampleMultiplier 1
     df = spark.createDataFrame([("worker 1 started",)] * 10, "body string")
