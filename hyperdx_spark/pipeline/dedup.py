@@ -38,6 +38,16 @@ from typing import Optional, Sequence
 from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    ByteType,
+    IntegerType,
+    LongType,
+    ShortType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from hyperdx_spark.sqlident import sql_ident
 from hyperdx_spark.pipeline.text import TOKEN_SPLIT, fingerprint, tokens
@@ -809,6 +819,100 @@ def simhash_block_pairs(
 
 # ---------------------------------------------------------------- clustering
 
+#: edge cap for the driver-local connected-components fast path; above it
+#: (or for non-int/string ids, or any NULL endpoint) dedup_groups runs the
+#: distributed propagation loop unchanged
+_LOCAL_CC_MAX_EDGES = 262_144
+
+
+def _dedup_groups_local(
+    pairs: DataFrame, a_col: str, b_col: str, max_iterations: int
+) -> Optional[DataFrame]:
+    """Driver-local replay of dedup_groups' min-label propagation for small
+    pair sets — returns None (caller falls back to the distributed loop)
+    above ``_LOCAL_CC_MAX_EDGES`` pairs, for non-int/string id types, or if
+    any endpoint is NULL.
+
+    Motivation (guide §2/§5, r17): at gate scale the near-dup graph is tens
+    of edges, but every distributed propagation round is a full
+    join+aggregate job — ~0.7-0.9 s of scheduler/AQE fixed cost per round
+    for KBs of data, times 2-4 rounds, times every dedup_groups call. A
+    bounded driver collect is the same cost class as the BroadcastExchange
+    the pair-finding plan already pays; the cap keeps it explicit, and the
+    100 TB path (cap exceeded) is the untouched distributed loop.
+
+    Exactness: this is the IDENTICAL algorithm, not an equivalent one —
+    per round new_lbl[x] = min(lbl over neighbors(x) ∪ {x}), convergence
+    checked after each round, the same ``max_iterations`` backstop splits
+    the same deep components into the same partial groups, and the same
+    RuntimeWarning fires on non-convergence (pinned by pytest parity
+    including the diameter-overflow case). Int ids compare identically in
+    Python and SQL; string ids compare by code point, which equals Spark's
+    UTF8-binary ordering (UTF-8 byte order is code-point order).
+    """
+    ok_types = (ByteType, ShortType, IntegerType, LongType, StringType)
+    ta = pairs.schema[a_col].dataType
+    tb = pairs.schema[b_col].dataType
+    if not isinstance(ta, ok_types) or not isinstance(tb, ok_types) or ta != tb:
+        return None
+    rows = (
+        pairs.select(F.col(a_col), F.col(b_col))
+        .limit(_LOCAL_CC_MAX_EDGES + 1)
+        .collect()
+    )
+    if len(rows) > _LOCAL_CC_MAX_EDGES:
+        return None
+    adj: dict = {}
+    for r in rows:
+        a, b = r[0], r[1]
+        if a is None or b is None:
+            # NULL endpoints: keep the distributed plan's exact NULL
+            # join/aggregate semantics rather than re-deriving them here
+            return None
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    labels = {x: x for x in adj}
+    converged = not adj  # empty graph: the distributed loop's seed probe
+    # detects the fixed point in round 1; with no rows the round is a no-op
+    for _ in range(max_iterations):
+        if converged:
+            break
+        changed = False
+        new = {}
+        for x, nbrs in adj.items():
+            m = labels[x]
+            for y in nbrs:
+                ly = labels[y]
+                if ly < m:
+                    m = ly
+            new[x] = m
+            if m != labels[x]:
+                changed = True
+        labels = new
+        if not changed:
+            converged = True
+            break
+    if not converged:
+        warnings.warn(
+            f"dedup_groups: min-label propagation did not converge within "
+            f"{max_iterations} iterations — a component with diameter > "
+            f"{max_iterations} is split into multiple groups; raise "
+            f"max_iterations for chain-shaped near-dup graphs",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+    spark = pairs.sparkSession
+    out_schema = StructType(
+        [
+            StructField("id", ta, True),
+            StructField("group_id", ta, True),
+            StructField("is_keeper", BooleanType(), True),
+        ]
+    )
+    data = [(x, g, x == g) for x, g in labels.items()]
+    return spark.createDataFrame(data, out_schema)
+
+
 def dedup_groups(
     pairs: DataFrame,
     *,
@@ -826,7 +930,14 @@ def dedup_groups(
     Returns (id, group_id, is_keeper): group_id = min member id (the kept
     document in keep-lowest-id dedup policies). Only ids that appear in a
     pair are returned — everything else is its own singleton group.
+
+    Small pair sets (≤ ``_LOCAL_CC_MAX_EDGES``, int/string ids, no NULLs)
+    take a driver-local replay of the identical algorithm — see
+    :func:`_dedup_groups_local`; everything else runs the distributed loop.
     """
+    local = _dedup_groups_local(pairs, a_col, b_col, max_iterations)
+    if local is not None:
+        return local
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(

@@ -1058,6 +1058,11 @@ def test_dedup_groups_unpersists_on_midloop_failure(spark, monkeypatch):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(8)], "id_a long, id_b long"
     )
+    # r17: force the DISTRIBUTED loop — the unpersist-on-raise discipline
+    # under test only exists there (the small-graph local path persists
+    # nothing). Cap 0 makes _dedup_groups_local's bounded probe (collect
+    # call #1) decline.
+    monkeypatch.setattr(dedup, "_LOCAL_CC_MAX_EDGES", 0)
     # patch the CONCRETE class: pyspark.sql.DataFrame is the abstract
     # dispatch base in Spark 4 and the classic subclass overrides collect.
     # r16: numeric-id convergence probes are one agg + collect per round
@@ -1068,10 +1073,11 @@ def test_dedup_groups_unpersists_on_midloop_failure(spark, monkeypatch):
     calls = {"n": 0}
 
     def flaky_collect(self):
-        # iteration 0's convergence probe succeeds (edges + the first
-        # label frame materialize into the cache); iteration 1's fails
+        # call #1 is the local-path probe (declines via the cap); call #2
+        # is the seed-sum probe (edges + seed labels materialize into the
+        # cache); iteration 0's convergence probe (#3) fails
         calls["n"] += 1
-        if calls["n"] == 2:
+        if calls["n"] == 3:
             raise RuntimeError("injected mid-loop failure")
         return real_collect(self)
 
@@ -1079,7 +1085,7 @@ def test_dedup_groups_unpersists_on_midloop_failure(spark, monkeypatch):
     with _pytest.raises(RuntimeError, match="injected mid-loop"):
         dedup.dedup_groups(pairs)
     monkeypatch.undo()
-    assert calls["n"] == 2  # the failure really came from inside the loop
+    assert calls["n"] == 3  # the failure really came from inside the loop
     assert n_blocks() == before
 
 
