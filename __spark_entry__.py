@@ -3794,16 +3794,23 @@ def q_promql_features(spark, sf_dir):
     nh_mul = _nh("nh_mul", "histogram_sum(3 * nh)", True)
     nh_divc = _nh("nh_divc", "histogram_count(nh / 4)", True)
     # r12: the /label/:name/values endpoint (prometheus.ts:713-810) —
-    # sorted distinct values for a label, metric names for '__name__'
-    label_rows = [
-        ("labels", datetime(1970, 1, 1), f"{name}={v}", 0.0)
-        for name in ("__name__", "event_type", "umod")
-        for v in eng.label_values(name)
-    ]
-    lv = spark.createDataFrame(
-        label_rows,
-        "part string, __timestamp timestamp, event_type string, value double",
-    )
+    # distinct values for a label, metric names for '__name__'. Built
+    # lazily from label_values_df (all three label columns are strings, so
+    # the `name=value` rendering matches the endpoint's Python f-string)
+    # instead of three eager label_values() collects: the distincts ride
+    # the query's own job, and the oracle compares rows order-insensitively
+    # so the endpoint's sort is presentation-only here.
+    lv_parts = []
+    for name in ("__name__", "event_type", "umod"):
+        lv_parts.append(
+            eng.label_values_df(name).select(
+                F.lit("labels").alias("part"),
+                F.lit(datetime(1970, 1, 1)).alias("__timestamp"),
+                F.concat(F.lit(name + "="), F.col("val")).alias("event_type"),
+                F.lit(0.0).alias("value"),
+            )
+        )
+    lv = lv_parts[0].unionByName(lv_parts[1]).unionByName(lv_parts[2])
     return hq.unionByName(off).unionByName(ab).unionByName(wo).unionByName(
         sd
     ).unionByName(qt).unionByName(dw).unionByName(nhc).unionByName(

@@ -1452,6 +1452,15 @@ class PromQLEngine:
         # (parser-gated upstream; the reference reaches these only via
         # passthrough to flag-enabled servers)
         self.experimental = experimental
+        # eval memo: a subexpression evaluated twice at the same window
+        # (same AST node, start, end, step, lookback) returns the SAME
+        # DataFrame object. DataFrames are immutable so sharing is safe,
+        # construction pays its py4j RPCs once, and the byte-identical
+        # subtrees let Spark's ReuseExchange compute the shared work once
+        # at runtime. Keyed on the dataclass repr (structural, covers the
+        # whole subtree); engine-scoped, so it dies with the engine.
+        self._eval_memo: dict = {}
+        self._steps_memo: dict = {}
 
     # -- selectors ---------------------------------------------------------
 
@@ -1471,10 +1480,14 @@ class PromQLEngine:
 
     def _steps(self, spark: SparkSession, start: datetime, end: datetime, step_s: int) -> DataFrame:
         lo, hi = int(start.timestamp()), int(end.timestamp())
-        return spark.range(lo, hi + 1, step_s).select(
-            F.timestamp_seconds(F.col("id")).alias("__step"),
-            F.col("id").alias("__step_epoch"),
-        )
+        out = self._steps_memo.get((lo, hi, step_s))
+        if out is None:
+            out = spark.range(lo, hi + 1, step_s).select(
+                F.timestamp_seconds(F.col("id")).alias("__step"),
+                F.col("id").alias("__step_epoch"),
+            )
+            self._steps_memo[(lo, hi, step_s)] = out
+        return out
 
     @staticmethod
     def _resolve_at(at_s, start, end):
@@ -1941,6 +1954,15 @@ class PromQLEngine:
         return False
 
     def _eval_hist(self, spark, node, start, end, step_s, lookback_s) -> DataFrame:
+        """Memoizing front door for _eval_hist_impl (see _eval_memo)."""
+        key = ("h", repr(node), start, end, step_s, lookback_s)
+        out = self._eval_memo.get(key)
+        if out is None:
+            out = self._eval_hist_impl(spark, node, start, end, step_s, lookback_s)
+            self._eval_memo[key] = out
+        return out
+
+    def _eval_hist_impl(self, spark, node, start, end, step_s, lookback_s) -> DataFrame:
         """Evaluate `node` to a histogram vector: (__step, labels..., __hist)."""
         if self.hist_col is None:
             raise ValueError(
@@ -2664,13 +2686,11 @@ class PromQLEngine:
 
     # -- public ------------------------------------------------------------
 
-    def label_values(self, name: str) -> list:
-        """GET /label/:name/values (prometheus.ts:713-810): the label-name
-        grammar is validated first ('Invalid label name'); '__name__' lists
-        distinct metric names, any other label lists its distinct non-null
-        values, both sorted; an unknown label is an empty list (the
-        reference's mapContains filter matches nothing). The collect is the
-        API response itself, bounded by label cardinality."""
+    def label_values_df(self, name: str):
+        """Lazy core of label_values: the distinct non-null values for a
+        label as an UNORDERED one-column ('val') DataFrame, or None for an
+        unknown label. Lets callers fold the distinct into a larger plan
+        (one job) instead of paying an eager collect per label."""
         if not _PROM_LABEL_NAME_RE.match(name):
             raise ValueError("Invalid label name")
         if name == "__name__":
@@ -2678,15 +2698,24 @@ class PromQLEngine:
         elif name in self.label_cols:
             col = name
         else:
-            return []
-        rows = (
+            return None
+        return (
             self.samples.select(F.col(col).alias("val"))
             .where(F.col("val").isNotNull())
             .distinct()
-            .orderBy("val")
-            .collect()
         )
-        return [r["val"] for r in rows]
+
+    def label_values(self, name: str) -> list:
+        """GET /label/:name/values (prometheus.ts:713-810): the label-name
+        grammar is validated first ('Invalid label name'); '__name__' lists
+        distinct metric names, any other label lists its distinct non-null
+        values, both sorted; an unknown label is an empty list (the
+        reference's mapContains filter matches nothing). The collect is the
+        API response itself, bounded by label cardinality."""
+        df = self.label_values_df(name)
+        if df is None:
+            return []
+        return [r["val"] for r in df.orderBy("val").collect()]
 
     def query_range(
         self,
@@ -2702,6 +2731,18 @@ class PromQLEngine:
         return self._eval(spark, node, start, end, step_s, lookback_s)
 
     def _eval(self, spark, node, start, end, step_s, lookback_s) -> DataFrame:
+        """Memoizing front door for _eval_impl (see _eval_memo)."""
+        memo = getattr(self, "_eval_memo", None)
+        if memo is None:
+            return PromQLEngine._eval_impl(self, spark, node, start, end, step_s, lookback_s)
+        key = ("v", repr(node), start, end, step_s, lookback_s)
+        out = memo.get(key)
+        if out is None:
+            out = self._eval_impl(spark, node, start, end, step_s, lookback_s)
+            memo[key] = out
+        return out
+
+    def _eval_impl(self, spark, node, start, end, step_s, lookback_s) -> DataFrame:
         if isinstance(node, NumberLit):
             raise ValueError("bare scalar queries are not supported")
         if isinstance(node, Selector):

@@ -991,7 +991,7 @@ def test_span_dedup_storage_control(spark):
     dedup.release_cached(pairs)
 
 
-def test_composed_release_frees_inner_blocks(spark):
+def test_composed_release_frees_inner_blocks(spark, monkeypatch):
     """ADVICE r5 (medium): the composed public APIs — drop_near_duplicates /
     semantic_dedup — must re-register the blocks their inner operators
     persisted (LSH signature frame, CC edge list / labels), so ONE
@@ -999,6 +999,10 @@ def test_composed_release_frees_inner_blocks(spark):
     label-propagation localCheckpoint blocks DataFrame.unpersist() cannot
     reach."""
     from hyperdx_spark.pipeline import dedup
+
+    # the contract under test is the DISTRIBUTED loop's persisted blocks;
+    # force past the r17 driver-local CC path (which persists nothing)
+    monkeypatch.setattr(dedup, "_LOCAL_CC_MAX_EDGES", -1)
 
     sc = spark.sparkContext
 
