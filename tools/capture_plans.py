@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import io
 import os
+import subprocess
 import sys
 from contextlib import redirect_stdout
 
@@ -31,6 +32,14 @@ def main() -> None:
     out_dir = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "plans", tag)
     os.makedirs(out_dir, exist_ok=True)
+    repo_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        commit = subprocess.run(
+            ["git", "rev-parse", "HEAD"], cwd=repo_dir,
+            capture_output=True, text=True, check=True).stdout.strip()
+    except Exception:
+        commit = "unknown"
+    header = f"-- captured at commit {commit} ({suffix}), sf_dir={sf_dir}\n"
     spark = get_spark("capture-plans")
     for name in names:
         fn = getattr(entrymod, name)
@@ -40,6 +49,7 @@ def main() -> None:
             df.explain("formatted")
         path = os.path.join(out_dir, f"{name}_{suffix}.txt")
         with open(path, "w") as fh:
+            fh.write(header)
             fh.write(buf.getvalue())
         print(f"wrote {path} ({len(buf.getvalue())} chars)")
 
