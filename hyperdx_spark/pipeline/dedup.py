@@ -192,6 +192,20 @@ def shingle_rows(
     ~1 ms/RPC).  ``expr`` parses the identical expression tree in one
     round trip; identical window specs collapse into one Window operator
     exactly as the shared-``Window``-object form did.
+
+    Single-pass note (r17): the full / short-doc / empty-doc branches used
+    to be three separate plan subtrees, so the tokenize + posexplode
+    pipeline (and its Generate) evaluated THREE times per build, plus an
+    ObjectHashAggregate and a broadcast anti-join just to classify short
+    and empty docs.  Both shingle shapes now come out of the ONE window
+    projection: a doc with fewer than *n* tokens is exactly the doc whose
+    ``__pos = 0`` row has ``lead(n-1)`` NULL, and its whole-text shingle
+    is ``concat_ws`` over the leads up to ``n-2`` (``concat_ws`` skips
+    NULLs, so trailing missing tokens drop out).  Empty docs (no tokens at
+    all, including NULL text) are detected on ``base`` directly with one
+    vectorized re-tokenize — no join.  Row set is bit-identical to the
+    three-branch form (pinned by tests for n = 1, 2, 3, 5 incl. NULL/empty
+    /punctuation-only/duplicate-text docs).
     """
     spark = df.sparkSession
     base = df.selectExpr(f"{sql_ident(id_col)} AS id", f"{sql_ident(text_col)} AS __text")
@@ -202,34 +216,23 @@ def shingle_rows(
         "t -> t != '')) AS (__pos, __tk)",
     )
     over = "OVER (PARTITION BY id ORDER BY __pos)"
-    lead_chain = "".join(
-        f", lead(__tk, {i}) {over}" for i in range(1, n)
-    )
-    full = (
-        tokrows.selectExpr(
-            "id",
-            f"concat_ws(' ', __tk{lead_chain}) AS s",
-            f"lead(__tk, {n - 1}) {over} AS __ok",
-        )
-        .where("__ok IS NOT NULL")
-        .select("id", "s")
-    )
-    # docs with < n tokens: whole text as the single shingle
-    short = (
-        tokrows.groupBy("id")
-        .agg(
-            F.expr(
-                "concat_ws(' ', array_sort(collect_list(struct(__pos, __tk))).__tk)"
-            ).alias("s"),
-            F.expr("count(*)").alias("__n"),
-        )
-        .where(f"__n < {n}")
-        .select("id", "s")
-    )
-    empty = base.join(
-        tokrows.select("id").distinct(), on="id", how="left_anti"
-    ).selectExpr("id", "'' AS s")
-    return full.unionByName(short).unionByName(empty).distinct()
+    full_chain = "".join(f", lead(__tk, {i}) {over}" for i in range(1, n))
+    short_chain = "".join(f", lead(__tk, {i}) {over}" for i in range(1, n - 1))
+    main = tokrows.selectExpr(
+        "id",
+        f"CASE WHEN lead(__tk, {n - 1}) {over} IS NOT NULL"
+        f" THEN concat_ws(' ', __tk{full_chain})"
+        f" WHEN __pos = 0 THEN concat_ws(' ', __tk{short_chain})"
+        " END AS s",
+    ).where("s IS NOT NULL")
+    # docs with no tokens at all (empty, whitespace/punctuation-only, or
+    # NULL text): one '' shingle, straight off base — size() is -1 for a
+    # NULL array on non-ANSI sessions and NULL under ANSI, so both gates
+    empty = base.selectExpr(
+        "id",
+        f"size(filter(split(lower(__text), '{TOKEN_SPLIT}'), t -> t != '')) AS __nt",
+    ).where("__nt IS NULL OR __nt <= 0").selectExpr("id", "'' AS s")
+    return main.unionByName(empty).distinct()
 
 
 def shingle_table(
@@ -272,11 +275,23 @@ def ngram_jaccard_pairs(
     # (release with release_cached(result); storage_level=DISK_ONLY trades
     # re-read cost for executor memory at corpus scale)
     sh = shingle_rows(df, text_col, id_col, n).persist(storage_level)
+    # Per-doc set size rides INTO the postings as struct(id, sz) (r17):
+    # the former groupBy(id) sizes relation forced two joins of the (much
+    # larger) candidate-pair table afterwards — and at gate scale Spark
+    # picked the PAIR side (1.4M rows) as the broadcast build. One window
+    # count over the persisted shingles replaces the sizes agg, and the
+    # pair rows carry (sz_a, sz_b) through the count aggregation, so no
+    # join touches the pair table at all.  sz is functionally dependent on
+    # id, so the widened grouping key produces identical groups and
+    # identical jaccard values.
+    shsz = sh.selectExpr("id", "s", "count(*) OVER (PARTITION BY id) AS sz")
     # Inverted index as ONE aggregation: group docs per shingle, generate
     # in-posting pairs (posting lists are short once stop-shingles are
     # dropped), count co-occurrences. Compared to the classic self-join this
     # evaluates the shingle pipeline once and shuffles each posting once.
-    postings = sh.groupBy("s").agg(F.sort_array(F.collect_set("id")).alias("ids"))
+    postings = shsz.groupBy("s").agg(
+        F.expr("sort_array(collect_set(struct(id, sz)))").alias("ids")
+    )
     if max_shingle_df is not None:
         postings = postings.where(F.size("ids") <= max_shingle_df)
     pair = F.explode(
@@ -285,7 +300,10 @@ def ngram_jaccard_pairs(
                 F.col("ids"),
                 lambda x, i: F.transform(
                     F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    lambda y: F.struct(
+                        x["id"].alias("id_a"), x["sz"].alias("sz_a"),
+                        y["id"].alias("id_b"), y["sz"].alias("sz_b"),
+                    ),
                 ),
             )
         )
@@ -293,14 +311,14 @@ def ngram_jaccard_pairs(
     inter = (
         postings.where(F.size("ids") > 1)
         .select(pair.alias("p"))
-        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .groupBy(
+            F.col("p.id_a").alias("id_a"), F.col("p.sz_a").alias("sz_a"),
+            F.col("p.id_b").alias("id_b"), F.col("p.sz_b").alias("sz_b"),
+        )
         .agg(F.count("*").alias("inter"))
     )
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     out = (
-        inter.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), on="id_a")
-        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), on="id_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.col("inter").cast("double")
             / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
