@@ -111,15 +111,27 @@ class Drain:
         self.root = _Node()
         self.clusters: dict[int, LogCluster] = {}
         self._counter = 0
+        self._tok_cache: dict[str, list[str]] = {}
 
     # -- tokenization -------------------------------------------------------
     def tokenize(self, content: str) -> list[str]:
+        # Pure in (content, extra_delimiters), and extra_delimiters is fixed
+        # per instance — memoized (r17): mining corpora repeat bodies heavily
+        # (12.5x duplication on the gate corpus), and the returned list is
+        # shared safely because token lists are never mutated in place
+        # (templates are REPLACED on change, never edited).  Bounded: the
+        # cache resets at 64k distinct messages.
+        cached = self._tok_cache.get(content)
+        if cached is not None:
+            return cached
         c = content.strip()
         for delim in self.extra_delimiters:
             c = c.replace(delim, " ")
-        if not c:
-            return []
-        return _WS.split(c)
+        toks = _WS.split(c) if c else []
+        if len(self._tok_cache) >= 65536:
+            self._tok_cache.clear()
+        self._tok_cache[content] = toks
+        return toks
 
     # -- similarity ---------------------------------------------------------
     def _seq_distance(
@@ -537,10 +549,17 @@ def mine_patterns(
 
     miner = Drain()
     clustered = []
+    # flatten_body + apply_masking are pure per call (mask rules fixed):
+    # memoized per raw string — the gate corpus repeats bodies ~12.5x
+    fb_memo: dict[str, str] = {}
     for i, raw in enumerate(texts):
-        body = flatten_body(str(raw) if raw is not None else "")
-        if masking:
-            body = apply_masking(body, masking)
+        key = str(raw) if raw is not None else ""
+        body = fb_memo.get(key)
+        if body is None:
+            body = flatten_body(key)
+            if masking:
+                body = apply_masking(body, masking)
+            fb_memo[key] = body
         cluster, _ = miner.add_log_message(body)
         ts = rows[i][ts_col] if ts_col else None
         clustered.append((cluster.cluster_id, body, ts, i))
@@ -627,13 +646,17 @@ def mine_patterns_distributed(
         miner = Drain()
         buckets: dict[int, dict[int, int]] = {}
         samples: dict[int, list[str]] = {}
+        fb_memo: dict[str, str] = {}  # same pure-function memo as mine_patterns
         for pdf in batches:
             ts_vals = pdf[ts_col] if ts_col else None
             for i, body in enumerate(pdf[text_col]):
                 raw = str(body) if body is not None else ""
-                b = flatten_body(raw)
-                if mask_rules:
-                    b = apply_masking(b, mask_rules)
+                b = fb_memo.get(raw)
+                if b is None:
+                    b = flatten_body(raw)
+                    if mask_rules:
+                        b = apply_masking(b, mask_rules)
+                    fb_memo[raw] = b
                 cluster, _ = miner.add_log_message(b)
                 cid = cluster.cluster_id
                 ss = samples.setdefault(cid, [])
