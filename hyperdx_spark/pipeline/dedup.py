@@ -546,7 +546,15 @@ def winnow_pairs(
     fp = winnow_fingerprint_rows(
         df, text_col=text_col, id_col=id_col, k=k, w=w
     ).persist(storage_level)
-    postings = fp.groupBy("f").agg(F.sort_array(F.collect_set("id")).alias("ids"))
+    # Per-doc fingerprint-set size rides INTO the postings as struct(id, sz)
+    # (r17, same device as ngram_jaccard_pairs): the former sizes relation
+    # forced two joins of the larger candidate-pair table. sz is
+    # functionally dependent on id, so the widened grouping key produces
+    # identical groups and identical overlap values.
+    fpsz = fp.selectExpr("id", "f", "count(*) OVER (PARTITION BY id) AS sz")
+    postings = fpsz.groupBy("f").agg(
+        F.expr("sort_array(collect_set(struct(id, sz)))").alias("ids")
+    )
     if max_fp_df is not None:
         postings = postings.where(F.size("ids") <= max_fp_df)
     pair = F.explode(
@@ -555,7 +563,10 @@ def winnow_pairs(
                 F.col("ids"),
                 lambda x, i: F.transform(
                     F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    lambda y: F.struct(
+                        x["id"].alias("id_a"), x["sz"].alias("sz_a"),
+                        y["id"].alias("id_b"), y["sz"].alias("sz_b"),
+                    ),
                 ),
             )
         )
@@ -563,14 +574,14 @@ def winnow_pairs(
     inter = (
         postings.where(F.size("ids") > 1)
         .select(pair.alias("p"))
-        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .groupBy(
+            F.col("p.id_a").alias("id_a"), F.col("p.sz_a").alias("sz_a"),
+            F.col("p.id_b").alias("id_b"), F.col("p.sz_b").alias("sz_b"),
+        )
         .agg(F.count("*").alias("inter"))
     )
-    sizes = fp.groupBy("id").agg(F.count("*").alias("sz"))
     out = (
-        inter.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), on="id_a")
-        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), on="id_b")
-        .withColumn(
+        inter.withColumn(
             "overlap",
             F.col("inter").cast("double")
             / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),

@@ -165,6 +165,79 @@ def test_jaccard_dup_text_pair_is_exact_one(spark, edge_docs):
     dedup.release_cached(new)
 
 
+def _winnow_pairs_twin(df, *, k=8, w=16, threshold=0.3, max_fp_df=1000):
+    """Pre-r17 winnow_pairs tail, verbatim (sizes-join form)."""
+    from hyperdx_spark.pipeline.text import winnow_fingerprint_rows
+
+    fp = winnow_fingerprint_rows(df, text_col="text", id_col="doc_id", k=k, w=w)
+    postings = fp.groupBy("f").agg(F.sort_array(F.collect_set("id")).alias("ids"))
+    if max_fp_df is not None:
+        postings = postings.where(F.size("ids") <= max_fp_df)
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
+        )
+    )
+    inter = (
+        postings.where(F.size("ids") > 1)
+        .select(pair.alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = fp.groupBy("id").agg(F.count("*").alias("sz"))
+    return (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), on="id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), on="id_b")
+        .withColumn(
+            "overlap",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .where(F.col("overlap") >= threshold)
+        .select("id_a", "id_b", "overlap")
+    )
+
+
+@pytest.fixture(scope="module")
+def winnow_docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while the band plays "
+        "a long boilerplate header shared by many documents in this corpus"
+    )
+    rows = [
+        (1, base),
+        (2, base + " with a unique suffix appended here"),
+        (3, "a completely different text body with no shared runs at all x"),
+        (4, base.replace("quick", "slow")),
+        (5, ""),
+        (6, None),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.mark.parametrize("max_fp_df", [None, 3])
+def test_winnow_pairs_match_sizes_join_twin(spark, winnow_docs, max_fp_df):
+    old = _winnow_pairs_twin(winnow_docs, threshold=0.05, max_fp_df=max_fp_df)
+    new = dedup.winnow_pairs(winnow_docs, threshold=0.05, max_fp_df=max_fp_df)
+    o = sorted(map(tuple, old.collect()))
+    m = sorted(map(tuple, new.collect()))
+    assert o == m and len(m) > 0  # incl. exact overlap doubles
+    dedup.release_cached(new)
+
+
+def test_winnow_plan_has_no_pair_side_join(spark, winnow_docs):
+    new = dedup.winnow_pairs(winnow_docs, threshold=0.05)
+    plan = new._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    dedup.release_cached(new)
+
+
 def test_jaccard_plan_has_no_pair_side_join(spark, edge_docs):
     new = dedup.ngram_jaccard_pairs(edge_docs, n=3, threshold=0.5)
     plan = new._jdf.queryExecution().executedPlan().toString()
