@@ -4539,11 +4539,40 @@ def q_dedup_all(spark, sf_dir):
         F.octet_length("text_dedup").cast("long").alias("v1"),
         F.col("n_dropped").cast("long").alias("v2"),
     )
-    groups = q_dedup_groups(spark, sf_dir).select(
-        F.lit("groups").alias("part"), F.col("id").cast("string").alias("k"),
-        F.col("group_id").cast("long").alias("v1"),
-        F.col("is_keeper").cast("long").alias("v2"),
-    )
+    # r17 (guide §2.6): the two eager connected-components chains — the
+    # ngram-jaccard CC behind the groups part and the cosine-pair CC
+    # behind semkeep/semdedup — are independent and each ends in a driver
+    # collect, so built sequentially their cluster work serializes
+    # (~2.0 s + ~1.4 s measured). Submit both from a thread pool so the
+    # jobs overlap on the scheduler; the frames produced are IDENTICAL
+    # (no shared temp views, and local-CC label propagation is
+    # order-insensitive over the collected edge SET), only the wall
+    # changes. Exceptions surface at .result() exactly as they did
+    # inline.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _semkeep_chain():
+        emb_t = load_table(spark, sf_dir, "embeddings")
+        scored_t = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text", "source")
+            .withColumn("score", F.octet_length("text").cast("double"))
+        )
+        pairs_t = similarity.cosine_pairs(emb_t, threshold=0.5, exhaustive=True)
+        return dedup.pick_keepers(
+            dedup.dedup_groups(pairs_t), scored_t,
+            id_col="doc_id", score_col="score",
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _fut_groups = _pool.submit(q_dedup_groups, spark, sf_dir)
+        _fut_semkeep = _pool.submit(_semkeep_chain)
+        groups = _fut_groups.result().select(
+            F.lit("groups").alias("part"), F.col("id").cast("string").alias("k"),
+            F.col("group_id").cast("long").alias("v1"),
+            F.col("is_keeper").cast("long").alias("v2"),
+        )
+        sem_keep_df = _fut_semkeep.result()
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", text.token_count("text").alias("__nt")
     )
@@ -4587,18 +4616,15 @@ def q_dedup_all(spark, sf_dir):
     # (semantic_dedup). Score = byte length: integer-valued, so the
     # keeper argmax is engine-exact, and lengths tie often enough to
     # exercise the min-id tie-break for real.
-    emb = load_table(spark, sf_dir, "embeddings")
     docs_src = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "source"
     )
     scored = docs_src.withColumn(
         "score", F.octet_length("text").cast("double")
     )
-    sem_pairs = similarity.cosine_pairs(emb, threshold=0.5, exhaustive=True)
-    sem_keep_df = dedup.pick_keepers(
-        dedup.dedup_groups(sem_pairs), scored,
-        id_col="doc_id", score_col="score",
-    )
+    # sem_keep_df was computed above (thread-pool overlap with the groups
+    # CC); it is the same pick_keepers(dedup_groups(cosine_pairs(emb,
+    # 0.5, exhaustive)), scored) chain this block used to build inline.
     semkeep = sem_keep_df.select(
         F.lit("semkeep").alias("part"), F.col("id").cast("string").alias("k"),
         F.col("group_id").cast("long").alias("v1"),
