@@ -4148,31 +4148,112 @@ def q_ann_indexed(spark, sf_dir):
     replay + raising rotation-invariance self-check on the projection)."""
     emb = load_table(spark, sf_dir, "embeddings")
     qs = emb.where(F.col("vec_id") < 3)
-    brute = similarity.cosine_topk(emb, qs, k=5)
+    from concurrent.futures import ThreadPoolExecutor
+    from hyperdx_spark.pipeline import clustering as _clu
+    import tempfile
+
+    # r17 (guide §2.6, same device as q_dedup_all): this entry's
+    # construction is a sequence of INDEPENDENT eager chains — the IVFPQ
+    # index build+query, the fixed-point k-means fit feeding d4_select,
+    # the PQ/IVF codebook trainings, the k-means|| trace, and the PCA
+    # fit + raising rotation-invariance self-check — each a string of
+    # small driver-blocking jobs (cProfile: 19.2 s of 20.7 s construction
+    # was py4j socket wait across 32 sequential collects). Submitting the
+    # chains from a thread pool overlaps their cluster work; every chain
+    # is internally unchanged and deterministic (md5 seeds, exact-integer
+    # arithmetic), no temp views are shared, and exceptions surface at
+    # .result() exactly as they did inline.
+
+    def _ivfpq_chain():
+        # composed IVF-PQ persisted index (FAISS IVFPQ shape): build to a
+        # temp dir, query with nprobe=nlist + refine >= |corpus| ->
+        # provably exact, while exercising the full path (partitioned
+        # write, pruned scan, ADC over codes, re-rank)
+        ivfpq_path = tempfile.mkdtemp(prefix="ivfpq_") + "/idx"
+        similarity.build_ivfpq_index(emb, ivfpq_path, nlist=8, m=8, codes=16)
+        return similarity.query_ivfpq_index(
+            spark, ivfpq_path, qs, k=5, nprobe=8, refine=100_000_000
+        )
+
+    def _km_chain():
+        # r14: deterministic fixed-point k-means (pipeline/clustering.py)
+        # — k=2, farthest-first init, 2 Lloyd iterations; every decision
+        # an exact integer, so the DuckDB oracle replays it bit-for-bit.
+        km_c = _clu.kmeans_fit(emb, 2, iterations=2)
+        # r16: the COMPOSED d4_select end to end (r15 verdict #2).
+        # block_centroids=km_c: the identical fit already ran above —
+        # reuse it instead of paying the farthest init + 2 Lloyd passes
+        # twice per gate evaluation (r16 review).  max_bucket_size=None:
+        # the DuckDB replay models the UNCAPPED within-cluster contract.
+        d4s = dedup.d4_select(
+            load_table(spark, sf_dir, "documents").select("doc_id"),
+            emb, block_k=2, threshold=0.5, drop_frac=0.25,
+            block_init="farthest", block_iterations=2,
+            block_centroids=km_c, max_bucket_size=None,
+        )
+        return km_c, d4s
+
+    def _pca_chain():
+        # 6th tier: distributed PCA. The eigendecomposition is driver-side
+        # numpy; the fitted projection is verified by a RAISING
+        # rotation-invariance self-check: full-rank orthonormal components
+        # preserve the centered norm, ‖P(x−μ)‖² = ‖x−μ‖², for every row.
+        model = similarity.pca_fit(emb, vec_col="embedding")
+        proj = similarity.pca_project(emb, model, vec_col="embedding")
+        mean_lit = F.array(*[F.lit(m) for m in model["mean"]])
+        sq = lambda arr: F.aggregate(  # noqa: E731
+            arr, F.lit(0.0), lambda a, x: a + x * x
+        )
+        chk = proj.select(
+            "vec_id",
+            sq(F.col("pca")).alias("__pn"),
+            sq(
+                F.zip_with(
+                    F.col("embedding"), mean_lit,
+                    lambda x, m: x.cast("double") - m,
+                )
+            ).alias("__cn"),
+        ).where(
+            F.abs(F.col("__pn") - F.col("__cn"))
+            > F.lit(1e-8) * (F.col("__cn") + F.lit(1.0))
+        )
+        bad = chk.limit(1).collect()
+        if bad:
+            raise RuntimeError(
+                f"PCA rotation-invariance self-check failed: {bad[0]}"
+            )
+
     # r14: every approximate tier runs its PROVABLY-exact configuration —
     # lsh exhaustive=True (banding executes, candidates union the full
     # set; the default geometry missed a true rank-5 neighbour at sf0.1),
     # ivf nprobe=nlist, pq/ivfpq refine=1e8 (a rank-filter bound, so any
     # value >= |corpus| is free and sf-robust where the old 4096 broke
     # beyond ~4k vectors)
-    lsh = similarity.cosine_topk_lsh(
-        emb, qs, k=5, num_planes=16, bands=8, exhaustive=True
-    )
-    ivf = similarity.cosine_topk_ivf(emb, qs, k=5, nlist=8, nprobe=8)
-    pq = similarity.cosine_topk_pq(
-        emb, qs, k=5, m=8, codes=16, refine=100_000_000
-    )
-    # composed IVF-PQ persisted index (FAISS IVFPQ shape): build to a temp
-    # dir, query with nprobe=nlist + refine >= |corpus| -> provably exact,
-    # while exercising the full path (partitioned write, pruned scan, ADC
-    # over codes, re-rank)
-    import tempfile
-
-    ivfpq_path = tempfile.mkdtemp(prefix="ivfpq_") + "/idx"
-    similarity.build_ivfpq_index(emb, ivfpq_path, nlist=8, m=8, codes=16)
-    ivfpq = similarity.query_ivfpq_index(
-        spark, ivfpq_path, qs, k=5, nprobe=8, refine=100_000_000
-    )
+    with ThreadPoolExecutor(max_workers=4) as _pool:
+        _fut_ivfpq = _pool.submit(_ivfpq_chain)
+        _fut_km = _pool.submit(_km_chain)
+        _fut_pca = _pool.submit(_pca_chain)
+        _fut_kmp = _pool.submit(
+            _clu.kmeans_parallel_trace, emb, 2, oversample=4, rounds=2
+        )
+        _fut_pq = _pool.submit(
+            similarity.cosine_topk_pq,
+            emb, qs, k=5, m=8, codes=16, refine=100_000_000,
+        )
+        _fut_ivf = _pool.submit(
+            similarity.cosine_topk_ivf, emb, qs, k=5, nlist=8, nprobe=8
+        )
+        # lazy builders ride this thread while the eager chains run
+        brute = similarity.cosine_topk(emb, qs, k=5)
+        lsh = similarity.cosine_topk_lsh(
+            emb, qs, k=5, num_planes=16, bands=8, exhaustive=True
+        )
+        ivfpq = _fut_ivfpq.result()
+        km_c, d4s = _fut_km.result()
+        kmp_rows = _fut_kmp.result()
+        pq = _fut_pq.result()
+        ivf = _fut_ivf.result()
+        _fut_pca.result()  # raising self-check; no frame rides the gate
     out = (
         brute.select(F.lit("brute").alias("part"), "*")
         .unionByName(lsh.select(F.lit("lsh").alias("part"), "*"))
@@ -4181,37 +4262,12 @@ def q_ann_indexed(spark, sf_dir):
         .unionByName(ivfpq.select(F.lit("ivfpq").alias("part"), "*"))
     )
     out = _round4(out)
-    # 6th tier: distributed PCA (similarity.pca_fit/pca_project). The
-    # eigendecomposition is driver-side numpy (not SQL-expressible), so the
-    # gate splits multimodal-style: (a) the corpus moments the fit consumes
-    # ride as exact-decimal rows DuckDB replays bit-for-bit (float→DECIMAL
-    # can never tie at a rounding boundary — dyadic rationals are never
-    # half-multiples of 1e-6 — so both engines round identically), and
-    # (b) the fitted projection is verified by a RAISING rotation-invariance
-    # self-check: full-rank orthonormal components preserve the centered
-    # norm, ‖P(x−μ)‖² = ‖x−μ‖², for every row.
-    model = similarity.pca_fit(emb, vec_col="embedding")
-    proj = similarity.pca_project(emb, model, vec_col="embedding")
-    mean_lit = F.array(*[F.lit(m) for m in model["mean"]])
-    sq = lambda arr: F.aggregate(  # noqa: E731
-        arr, F.lit(0.0), lambda a, x: a + x * x
-    )
-    chk = proj.select(
-        "vec_id",
-        sq(F.col("pca")).alias("__pn"),
-        sq(
-            F.zip_with(
-                F.col("embedding"), mean_lit,
-                lambda x, m: x.cast("double") - m,
-            )
-        ).alias("__cn"),
-    ).where(
-        F.abs(F.col("__pn") - F.col("__cn"))
-        > F.lit(1e-8) * (F.col("__cn") + F.lit(1.0))
-    )
-    bad = chk.limit(1).collect()
-    if bad:
-        raise RuntimeError(f"PCA rotation-invariance self-check failed: {bad[0]}")
+    # 6th-tier gate rows: the corpus moments the PCA fit consumes ride as
+    # exact-decimal rows DuckDB replays bit-for-bit (float→DECIMAL can
+    # never tie at a rounding boundary — dyadic rationals are never
+    # half-multiples of 1e-6 — so both engines round identically); the
+    # fitted projection itself was verified by _pca_chain's raising
+    # rotation-invariance self-check above.
     dec = F.col("v").cast("decimal(18,6)")
     mom = (
         emb.select(F.posexplode("embedding").alias("i", "v"))
@@ -4233,16 +4289,11 @@ def q_ann_indexed(spark, sf_dir):
         F.col("i").cast("int").alias("rank"),
     )
     out = out.unionByName(pca_mu).unionByName(pca_ss)
-    # r14: deterministic fixed-point k-means (pipeline/clustering.py) —
-    # k=2, farthest-first init, 2 Lloyd iterations. Every decision is an
-    # exact integer (micro-unit quantization, integer squared distances,
-    # floor(sum/n + 0.5) centroid means), so the DuckDB oracle replays
-    # init, both updates, and the final assignment bit-for-bit. Gate
-    # rows: per-vector cluster + exact distance ('km|asg'), final
-    # centroid components ('km|cent').
-    from hyperdx_spark.pipeline import clustering as _clu
-
-    km_c = _clu.kmeans_fit(emb, 2, iterations=2)
+    # Gate rows from the fixed-point k-means fit (km_c, _km_chain above):
+    # per-vector cluster + exact distance ('km|asg'), final centroid
+    # components ('km|cent') — every decision an exact integer, so the
+    # DuckDB oracle replays init, both updates, and the final assignment
+    # bit-for-bit.
     q = _clu.quantize_vec(F.col("embedding"))
     d0 = _clu._sq_dist(q, km_c[0])
     d1 = _clu._sq_dist(q, km_c[1])
@@ -4264,13 +4315,12 @@ def q_ann_indexed(spark, sf_dir):
     )
     # r15: k-means|| distributed phases (Bahmani'12; clustering.py) —
     # candidate rounds + attraction weights at the gate config (k=2,
-    # oversample=4, rounds=2). The md5 selection coins, exact-integer
-    # psi/distances, the IEEE-double compare h*psi < (l*d^2)*16^15, and
-    # the argmin weighting with (round, id) tie order all replay in
-    # DuckDB; the driver-side weighted recluster that follows is
-    # pytest-pinned pure Python. One row per candidate:
-    # (id, round, weight).
-    kmp_rows = _clu.kmeans_parallel_trace(emb, 2, oversample=4, rounds=2)
+    # oversample=4, rounds=2; kmp_rows collected in the pool above). The
+    # md5 selection coins, exact-integer psi/distances, the IEEE-double
+    # compare h*psi < (l*d^2)*16^15, and the argmin weighting with
+    # (round, id) tie order all replay in DuckDB; the driver-side
+    # weighted recluster that follows is pytest-pinned pure Python. One
+    # row per candidate: (id, round, weight).
     km_par = spark.createDataFrame(
         [("kmp|cw", int(i), int(r), float(wt), 0) for (i, r, wt) in kmp_rows],
         "part string, query_id long, match_id long, cos double, rank int",
@@ -4288,27 +4338,16 @@ def q_ann_indexed(spark, sf_dir):
         F.col("__dd").cast("double").alias("cos"),
         F.lit(0).cast("int").alias("rank"),
     )
-    # r16: the COMPOSED d4_select end to end (r15 verdict #2) — the pieces
-    # (km|asg clustering, d4|keep prototype window, the q_dedup_all
-    # pair/connected-components replay) each ride the gate already; this
-    # part hashes the kept doc_id set of the ONE-CALL composition: shared
-    # clustering (block_init="farthest", block_iterations=2 == the kc2w
-    # centroids the oracle replays), within-cluster exhaustive pairs at
-    # cosine 0.5, connected components, keeper = lowest id (score_col
-    # None), SemDeDup survivors feeding the prototype window, final
-    # anti-join; docs without an embedding pass through.
-    # block_centroids=km_c: the identical fit already ran above — reuse
-    # it instead of paying the farthest init + 2 Lloyd passes twice per
-    # gate evaluation (r16 review).  max_bucket_size=None: the DuckDB
-    # replay models the UNCAPPED within-cluster contract; the engine's
-    # 10k default would silently diverge from the oracle (and constrain
-    # fixture growth) the moment a cluster outgrew the cap.
-    d4s = dedup.d4_select(
-        load_table(spark, sf_dir, "documents").select("doc_id"),
-        emb, block_k=2, threshold=0.5, drop_frac=0.25,
-        block_init="farthest", block_iterations=2,
-        block_centroids=km_c, max_bucket_size=None,
-    )
+    # r16: the COMPOSED d4_select end to end (r15 verdict #2; d4s built in
+    # _km_chain above) — the pieces (km|asg clustering, d4|keep prototype
+    # window, the q_dedup_all pair/connected-components replay) each ride
+    # the gate already; this part hashes the kept doc_id set of the
+    # ONE-CALL composition: shared clustering (block_init="farthest",
+    # block_iterations=2 == the kc2w centroids the oracle replays),
+    # within-cluster exhaustive pairs at cosine 0.5, connected components,
+    # keeper = lowest id (score_col None), SemDeDup survivors feeding the
+    # prototype window, final anti-join; docs without an embedding pass
+    # through.
     km_d4sel = d4s.select(
         F.lit("d4sel|keep").alias("part"),
         F.col("doc_id").cast("long").alias("query_id"),
@@ -6186,21 +6225,47 @@ def q_ann_multimodal(spark, sf_dir):
     that silently dropped out of the driver window in r13 — in one entry.
     The multimodal metric columns unpivot onto the ANN schema (one
     'mm|<metric>' part per column, kind carried in a new string slot)."""
-    ann = q_ann_indexed(spark, sf_dir).withColumn("s", F.lit(""))
-    mm = q_multimodal_features(spark, sf_dir)
+    # r17 (guide §2.6): the ANN construction (its own pool of eager
+    # chains) and the multimodal decode's raising self-check are
+    # independent eager work — overlap them. Frames are identical to the
+    # sequential build; exceptions propagate at .result().
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _fut_ann = _pool.submit(q_ann_indexed, spark, sf_dir)
+        _fut_mm = _pool.submit(q_multimodal_features, spark, sf_dir)
+        ann = _fut_ann.result().withColumn("s", F.lit(""))
+        mm = _fut_mm.result()
     sch = {f.name: f.dataType for f in ann.schema.fields}
-    out = ann
-    for metric in ("width", "height", "frames", "fps", "rate",
-                   "duration_us", "grayscale"):
-        out = out.unionByName(mm.select(
-            F.lit(f"mm|{metric}").alias("part"),
-            F.col("media_id").cast(sch["query_id"]).alias("query_id"),
-            F.lit(0).cast(sch["match_id"]).alias("match_id"),
-            F.col(metric).cast("double").alias("cos"),
-            F.lit(0).cast(sch["rank"]).alias("rank"),
-            F.col("kind").alias("s"),
-        ))
-    return out
+    # r17 (guide §2.3/§1.2): the old per-metric unionByName loop planted
+    # SEVEN copies of the decode subtree (scan → render → mapInPandas
+    # decode) in the plan — at corpus scale that decodes every media
+    # payload seven times for one query. One stack() unpivot over a
+    # single decode emits the identical rows (same part tags, same
+    # CAST(metric AS DOUBLE) values, row order immaterial — the gate
+    # hashes sorted canonical rows).
+    stacked = mm.select(
+        F.col("media_id").cast(sch["query_id"]).alias("query_id"),
+        F.col("kind").alias("s"),
+        F.expr(
+            "stack(7, "
+            "'mm|width', CAST(width AS DOUBLE), "
+            "'mm|height', CAST(height AS DOUBLE), "
+            "'mm|frames', CAST(frames AS DOUBLE), "
+            "'mm|fps', CAST(fps AS DOUBLE), "
+            "'mm|rate', CAST(rate AS DOUBLE), "
+            "'mm|duration_us', CAST(duration_us AS DOUBLE), "
+            "'mm|grayscale', CAST(grayscale AS DOUBLE)) AS (part, cos)"
+        ),
+    ).select(
+        "part",
+        "query_id",
+        F.lit(0).cast(sch["match_id"]).alias("match_id"),
+        "cos",
+        F.lit(0).cast(sch["rank"]).alias("rank"),
+        "s",
+    )
+    return ann.unionByName(stacked)
 
 
 _O_MM_UNPIVOT = "\nUNION ALL\n".join(
