@@ -2614,16 +2614,24 @@ def q_sqlast_filters(spark, sf_dir):
         "ts": iso, "event_type": anchor["event_type"],
         "value": anchor["value"], "user_id": anchor["user_id"],
     })["where"]
-    c_full = ev2.where(F.expr(translate_expr(w_full))).count()
     w_null = process_row_to_where_clause(
         {"props": None}, _cm1("props", "String", "string"))
-    c_null = ev2.where(F.expr(translate_expr(w_null))).count()
     # >512-char value over an expression alias exercises the md5/leftUTF8
     # truncation branch end-to-end
     fn_big = row_where(meta=[{"name": "big", "type": "String"}],
                        alias_map={"big": "repeat(props, 150)"})
     w_big = fn_big({"big": anchor["props"] * 150})["where"]
-    c_big = ev2.where(F.expr(translate_expr(w_big))).count()
+    # r17 (guide §1.2): the three generated WHEREs were executed as three
+    # separate where().count() jobs — three full scans of events for
+    # three integers. One aggregate of count_if()s computes the identical
+    # TRUE-only counts (count_if and where().count() both exclude
+    # NULL/false) in a single pass.
+    _c = ev2.select(
+        F.count_if(F.expr(translate_expr(w_full))).alias("c_full"),
+        F.count_if(F.expr(translate_expr(w_null))).alias("c_null"),
+        F.count_if(F.expr(translate_expr(w_big))).alias("c_big"),
+    ).collect()[0]
+    c_full, c_null, c_big = _c["c_full"], _c["c_null"], _c["c_big"]
     rw_rows += [
         ("rwexec|full", datetime(1970, 1, 1), c_full),
         ("rwexec|isnull", datetime(1970, 1, 1), c_null),
@@ -5109,21 +5117,41 @@ def q_trace_waterfall(spark, sf_dir):
     rng = (datetime(2024, 1, 1), datetime(2024, 7, 1))
     rows = []
 
-    wf = traces.trace_waterfall(spark, src, tmp, trace_id="7", max_spans=2000)
+    # r17 (guide §2.6): the five post-write reads — the waterfall DFS,
+    # the three trace pickers, and the breakdown — are independent eager
+    # jobs over the just-written spans table; run them from a thread
+    # pool instead of serially. Each call is unchanged; `rows` is
+    # assembled in the original order after the gather.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as _pool:
+        _fut_wf = _pool.submit(
+            traces.trace_waterfall, spark, src, tmp,
+            trace_id="7", max_spans=2000,
+        )
+        _fut_pick = {
+            mode: _pool.submit(
+                traces.pick_trace, spark, src, tmp,
+                date_range=rng, pick_by=mode,
+            )
+            for mode in ("slowest", "first_error", "most_recent")
+        }
+        _fut_bd = _pool.submit(
+            lambda: traces.trace_breakdown(
+                spark, src, tmp, parent_filter_sql="name = 'op1'",
+                date_range=rng, min_parent_duration_ms=50, top_n=10,
+            ).collect()
+        )
+        wf = _fut_wf.result()
+        picks = {m: f.result() for m, f in _fut_pick.items()}
+        bd = _fut_bd.result()
     rows += [
         ("wf", i, f"{s['spanId']}|{s['parentSpanId']}|{s['depth']}",
          s["durationMs"])
         for i, s in enumerate(wf["spans"])
     ]
     for mode in ("slowest", "first_error", "most_recent"):
-        picked = traces.pick_trace(
-            spark, src, tmp, date_range=rng, pick_by=mode
-        )
-        rows.append((f"pick|{mode}", 0, picked, 0.0))
-    bd = traces.trace_breakdown(
-        spark, src, tmp, parent_filter_sql="name = 'op1'", date_range=rng,
-        min_parent_duration_ms=50, top_n=10,
-    ).collect()
+        rows.append((f"pick|{mode}", 0, picks[mode], 0.0))
     for r in bd:
         key = f"{r['service']}|{r['operation']}"
         rows += [
@@ -6181,8 +6209,16 @@ def q_mcp_tools(spark, sf_dir):
     (already (part,k,s,v)-shaped) + emerging & disappeared signals
     (q_emerging_signals — which had never been driver-verified) reshaped
     into the same narrow schema, one row per (signal, metric)."""
-    tw = q_trace_waterfall(spark, sf_dir)
-    es = q_emerging_signals(spark, sf_dir)
+    # r17 (guide §2.6): both sub-entries are construction-eager (the
+    # waterfall/picker/breakdown collects; the Drain mining sample) and
+    # fully independent — overlap them.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _fut_tw = _pool.submit(q_trace_waterfall, spark, sf_dir)
+        _fut_es = _pool.submit(q_emerging_signals, spark, sf_dir)
+        tw = _fut_tw.result()
+        es = _fut_es.result()
     key = F.concat_ws("|", F.col("pattern"), F.col("status"))
     sig_parts = [
         es.select(
