@@ -4411,13 +4411,45 @@ def q_csv_render(spark, sf_dir):
         convert_to_table_chart_config,
     )
 
-    csv = q_csv_export(spark, sf_dir).select(
-        F.lit("csv").alias("part"), F.col("day_s").alias("ts_s"),
-        F.col("event_type").alias("series"), F.col("cnt").cast("double").alias("value"),
-    )
-    cap = q_render_cap(spark, sf_dir).select(
-        F.lit("render").alias("part"), "ts_s", "series", "value"
-    )
+    # r17 (guide §2.6): the three eager sub-parts — the CSV round-trip,
+    # the render-cap collect, and the external-API series run further
+    # down — are independent; overlap them. Each call is unchanged.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from hyperdx_spark.externalapi import run_chart_series
+
+    ext_src = _src()
+    _pool = ThreadPoolExecutor(max_workers=3)
+    try:
+        _fut_csv = _pool.submit(q_csv_export, spark, sf_dir)
+        _fut_cap = _pool.submit(q_render_cap, spark, sf_dir)
+        _fut_ext = _pool.submit(
+            run_chart_series,
+            spark,
+            [
+                {"agg_fn": "count", "group_by": ["event_type"]},
+                # integral sum (floor) keeps the gated aggregate
+                # float-exact; the lucene where threads through as the
+                # aggCondition
+                {"agg_fn": "sum", "field": "floor(value)",
+                 "where": "value:>=50", "group_by": ["event_type"]},
+            ],
+            [ext_src, ext_src],
+            sf_dir=sf_dir,
+            start_time_ms=1704067200000,   # 2024-01-01 UTC (== RANGE)
+            end_time_ms=1706745600000,     # 2024-02-01 UTC
+            granularity="1d",
+        )
+        csv = _fut_csv.result().select(
+            F.lit("csv").alias("part"), F.col("day_s").alias("ts_s"),
+            F.col("event_type").alias("series"),
+            F.col("cnt").cast("double").alias("value"),
+        )
+        cap = _fut_cap.result().select(
+            F.lit("render").alias("part"), "ts_s", "series", "value"
+        )
+    finally:
+        _pool.shutdown(wait=True)
     # one granular tile config, rendered through each display-shape rewrite
     tile = ChartConfig(
         source=_src(),
@@ -4462,24 +4494,8 @@ def q_csv_render(spark, sf_dir):
     # external_series_to_chart_config -> compile -> format_ch_result; the
     # zipped records unpivot one row per (record, series) so the oracle
     # hashes the epoch-ms bucket, group, and each series_<i>.data value.
-    from hyperdx_spark.externalapi import run_chart_series
-
-    ext_src = _src()
-    recs = run_chart_series(
-        spark,
-        [
-            {"agg_fn": "count", "group_by": ["event_type"]},
-            # integral sum (floor) keeps the gated aggregate float-exact;
-            # the lucene where threads through as the aggCondition
-            {"agg_fn": "sum", "field": "floor(value)",
-             "where": "value:>=50", "group_by": ["event_type"]},
-        ],
-        [ext_src, ext_src],
-        sf_dir=sf_dir,
-        start_time_ms=1704067200000,   # 2024-01-01 UTC (== RANGE)
-        end_time_ms=1706745600000,     # 2024-02-01 UTC
-        granularity="1d",
-    )
+    # (submitted to the pool above; the pool has already drained)
+    recs = _fut_ext.result()
     ext_rows = []
     for r in recs:
         grp = "|".join(str(g) for g in r["group"])
