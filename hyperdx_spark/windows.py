@@ -24,6 +24,7 @@ seconds regardless of total range.
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, replace
 from datetime import datetime, timedelta
 from typing import Iterator, Optional, Sequence
@@ -35,6 +36,10 @@ from hyperdx_spark.granularity import auto_granularity, granularity_seconds
 from hyperdx_spark.model import ChartConfig
 
 ONE_MIN_WINDOW = 60
+# How many windows ahead offset_paginated_search keeps in flight (compile +
+# first-page job). Driver-side pipelining only — never affects results.
+_WINDOW_PREFETCH = 3
+
 DEFAULT_TIME_WINDOWS_SECONDS = (
     15 * 60,       # 15m
     6 * 60 * 60,   # 6h
@@ -395,7 +400,11 @@ def offset_paginated_search(
         else generate_time_windows_ascending
     )
     ts = cfg.source.timestamp_value_expression
-    for w in gen(start, end, durations):
+    if max_pages_per_window <= 0:
+        return
+    windows = gen(start, end, durations)
+
+    def _first_page(w):
         sub = replace(
             cfg,
             date_range=(w.start, w.end),
@@ -415,12 +424,40 @@ def offset_paginated_search(
         # Each page remains its own job, exactly like the reference's
         # per-page LIMIT/OFFSET round trips.
         base_df = compile_chart_config(spark, sub, sf_dir=sf_dir)
-        for page_no in range(max_pages_per_window):
-            page_df = base_df if page_no == 0 else base_df.offset(
-                page_no * page_size
-            )
-            rows = page_df.limit(page_size).collect()
+        return base_df, base_df.limit(page_size).collect()
+
+    # r17 (guide §2.6): the window ladder is fully enumerable up front and a
+    # full drain always fetches every window's first page, so the compile +
+    # page-0 job of the next few windows is prefetched from a small thread
+    # pool while the current window's pages are consumed — the drain is no
+    # longer serialized on one (compile, tiny job) round per window. Pages
+    # still execute as their own LIMIT/OFFSET jobs (the reference's per-page
+    # round-trip shape), pages within a window stay strictly sequential
+    # (page n+1 is only issued after page n proved full), and yield order is
+    # unchanged. The prefetch depth bounds how much read-only work an
+    # abandoned iterator can waste.
+    pool = ThreadPoolExecutor(max_workers=_WINDOW_PREFETCH)
+    futs = {}
+    submitted = 0
+    try:
+        def _top_up(upto):
+            nonlocal submitted
+            while submitted < min(upto, len(windows)):
+                futs[submitted] = pool.submit(_first_page, windows[submitted])
+                submitted += 1
+
+        for i in range(len(windows)):
+            _top_up(i + 1 + _WINDOW_PREFETCH)
+            base_df, rows = futs.pop(i).result()
             if rows:
                 yield rows
             if len(rows) < page_size:
-                break
+                continue
+            for page_no in range(1, max_pages_per_window):
+                rows = base_df.offset(page_no * page_size).limit(page_size).collect()
+                if rows:
+                    yield rows
+                if len(rows) < page_size:
+                    break
+    finally:
+        pool.shutdown(wait=False, cancel_futures=True)

@@ -389,3 +389,53 @@ def test_pin_series_limit_skips_unselected_groups(spark, sf_dir):
     assert out.count() > 0
     whole = compile_chart_config(spark, cfg, sf_dir=sf_dir)
     assert out.count() == whole.count()
+
+
+def test_offset_pagination_prefetch_edges(spark, sf_dir):
+    """r17: the window-prefetch pipeline must not change paging semantics —
+    max_pages_per_window gates, early abandonment, and page-1+ sequencing
+    behave exactly as the serial loop did."""
+    cfg = ChartConfig(
+        source=_src(),
+        select="event_id, ts",
+        where="click",
+        date_range=(datetime(2024, 1, 1), datetime(2024, 1, 3)),
+    )
+    # max_pages_per_window=0: nothing is fetched, nothing yielded
+    assert list(offset_paginated_search(
+        spark, cfg, sf_dir=sf_dir, page_size=50, max_pages_per_window=0
+    )) == []
+    # max_pages_per_window=1: exactly the first page of each window, and
+    # those pages are prefixes of the unlimited drain's per-window pages
+    capped = list(offset_paginated_search(
+        spark, cfg, sf_dir=sf_dir, page_size=50, max_pages_per_window=1
+    ))
+    full = list(offset_paginated_search(
+        spark, cfg, sf_dir=sf_dir, page_size=50
+    ))
+    assert all(len(p) <= 50 for p in capped)
+    capped_ids = [r["event_id"] for p in capped for r in p]
+    full_ids = [r["event_id"] for p in full for r in p]
+    assert set(capped_ids) <= set(full_ids)
+    # identical first page between capped and full drains
+    assert [r["event_id"] for r in capped[0]] == [r["event_id"] for r in full[0]]
+    # early abandonment: consume one page, close the generator — the
+    # prefetch pool must shut down without raising
+    it = offset_paginated_search(spark, cfg, sf_dir=sf_dir, page_size=50)
+    first = next(it)
+    assert len(first) > 0
+    it.close()
+
+
+def test_offset_pagination_prefetch_error_propagates(spark, sf_dir):
+    """A compile error inside a prefetched window must surface to the
+    consumer as an exception during iteration, like the serial loop."""
+    import pytest
+
+    bad = ChartConfig(
+        source=_src(),
+        select="definitely_not_a_column_xyz",
+        date_range=(datetime(2024, 1, 1), datetime(2024, 1, 2)),
+    )
+    with pytest.raises(Exception):
+        list(offset_paginated_search(spark, bad, sf_dir=sf_dir, page_size=50))
